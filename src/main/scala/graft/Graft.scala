@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.rules.UWheelRule
+
+/** Session wiring. Two ways to enable the wheel optimizer, mirroring the
+  * reference's `SessionStateBuilder::with_optimizer_rules` registration
+  * (`/root/reference/examples/nyc_taxi/src/main.rs:70-75`) — except that we
+  * *add* our rule to Spark's optimizer instead of replacing the rule set:
+  *
+  *  1. `spark.sql.extensions=graft.GraftExtensions` at session build, or
+  *  2. `Graft.enable(spark)` on a live session (uses
+  *     `spark.experimental.extraOptimizations`, which Spark applies as a
+  *     post-hoc optimizer batch on every query).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => UWheelRule)
+}
+
+object Graft {
+  /** Idempotently installs the wheel rewrite rule on a live session. */
+  def enable(spark: SparkSession): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val cur = cs.experimental.extraOptimizations
+    if (!cur.contains(UWheelRule)) {
+      cs.experimental.extraOptimizations = cur :+ UWheelRule
+    }
+  }
+}

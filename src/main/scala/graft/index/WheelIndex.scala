@@ -1,0 +1,187 @@
+package graft.index
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.wheel.HawWheel
+
+/** A registered wheel: the [[HawWheel]] plus the metadata the optimizer rule
+  * needs to decide whether a rewrite is exact.
+  *
+  * @param valueColumn     None for the count-only wheel
+  * @param filterKey       canonicalized residual predicate ("" = unfiltered);
+  *                        mirrors the reference's string-keyed wheel registry
+  *                        (`/root/reference/datafusion-uwheel/src/lib.rs:164-173`)
+  * @param valueAllNonNull true iff no NULL values were seen in valueColumn —
+  *                        required for AVG rewrites (count(*) vs count(col))
+  * @param coverage        time range (epoch sec) the build was restricted to;
+  *                        None = full table. Restricted wheels only answer
+  *                        queries whose range lies inside the coverage.
+  */
+final case class IndexedWheel(
+    wheel: HawWheel,
+    valueColumn: Option[String],
+    filterKey: String,
+    valueAllNonNull: Boolean,
+    coverage: Option[(Long, Long)] = None)
+
+/** All wheels for one table (identified by its parquet root path). */
+final class TableIndex(
+    val pathKey: String,
+    val timeColumn: String,
+    val tsAllNonNull: Boolean) extends Serializable {
+  private val wheels = new ConcurrentHashMap[(Option[String], String), IndexedWheel]()
+
+  def put(w: IndexedWheel): Unit = wheels.put((w.valueColumn, w.filterKey), w)
+  def get(col: Option[String], filterKey: String): Option[IndexedWheel] =
+    Option(wheels.get((col, filterKey)))
+  /** Any wheel whose row coverage is the given residual filter (for COUNT(*)). */
+  def anyForFilter(filterKey: String): Option[IndexedWheel] = {
+    val cw = get(None, filterKey)
+    if (cw.isDefined) cw
+    else wheels.asScala.collectFirst { case ((_, fk), w) if fk == filterKey => w }
+  }
+  def countWheel: Option[IndexedWheel] = get(None, "")
+  def minMaxWheel(col: String): Option[IndexedWheel] = get(Some(col), "")
+  def indexUsageBytes: Long = wheels.asScala.values.map(_.wheel.sizeBytes).sum
+}
+
+/** Driver-side registry of wheel indices, consulted by the optimizer rule at
+  * plan time (reference: `BuiltInWheels`, `wheels.rs:19-37`). Keys are
+  * normalized parquet root paths. */
+object WheelRegistry {
+  private val tables = new ConcurrentHashMap[String, TableIndex]()
+
+  def normalizePath(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
+  def register(t: TableIndex): Unit = tables.put(t.pathKey, t)
+  def lookup(rootPath: String): Option[TableIndex] =
+    Option(tables.get(normalizePath(rootPath)))
+  def isEmpty: Boolean = tables.isEmpty
+  def clear(): Unit = tables.clear()
+}
+
+/** Ad-hoc index request — API parity with the reference's `IndexBuilder`
+  * (`/root/reference/datafusion-uwheel/src/index/mod.rs:42-182`). The wheel we
+  * build always carries count+sum+min+max partials, so a single build serves
+  * SUM/AVG/MIN/MAX/COUNT over the same (column, filter). */
+final case class IndexBuilder(
+    column: String,
+    filterSql: Option[String] = None,
+    timeRangeSec: Option[(Long, Long)] = None) {
+  def withFilter(sql: String): IndexBuilder = copy(filterSql = Some(sql))
+  def withTimeRange(startSec: Long, endSec: Long): IndexBuilder =
+    copy(timeRangeSec = Some((startSec, endSec)))
+}
+
+/** Builder mirroring the reference's `Builder`
+  * (`/root/reference/datafusion-uwheel/src/builder.rs:59-252`): constructs the
+  * COUNT(*) wheel and per-column min/max wheels for one parquet table, then
+  * registers the result for plan-time rewrites. */
+final case class UWheelBuilder(
+    timeColumn: String,
+    minMaxColumns: Seq[String] = Nil,
+    timeRangeSec: Option[(Long, Long)] = None,
+    scale: Int = 2) {
+  def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
+  def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
+    copy(timeRangeSec = Some((startSec, endSec)))
+
+  def build(spark: SparkSession, path: String): TableIndex =
+    UWheelIndex.build(spark, path, this)
+}
+
+object UWheelIndex {
+
+  /** Distributed wheel build. One shuffle: rows are pre-aggregated to
+    * per-second partials by a map-side-combining `groupBy`, so the data
+    * collected to the driver is bounded by the table's *time span in seconds*
+    * — independent of row count, which is what makes this viable at 100 TB
+    * (the reference instead collects every row to one process,
+    * `lib.rs:1130-1158`). */
+  private def buildWheel(
+      df: DataFrame,
+      timeColumn: String,
+      valueColumn: Option[String],
+      filter: Option[Column],
+      filterKey: String,
+      timeRangeSec: Option[(Long, Long)],
+      scale: Int): IndexedWheel = {
+    var base = filter.map(df.filter).getOrElse(df)
+    timeRangeSec.foreach { case (s, e) =>
+      base = base.filter(F.col(timeColumn).cast("long") >= s && F.col(timeColumn).cast("long") < e)
+    }
+    val sec = F.col(timeColumn).cast("long").as("sec")
+    valueColumn match {
+      case Some(vc) =>
+        val partials = base
+          .select(sec, F.col(vc).cast("double").as("v"))
+          .groupBy("sec")
+          .agg(
+            F.count(F.lit(1)).as("c"),
+            F.count(F.col("v")).as("cv"),
+            F.sum(F.col("v").cast(DecimalType(38, scale))).as("s"),
+            F.min("v").as("mn"),
+            F.max("v").as("mx"))
+          .collect()
+        var allNonNull = true
+        val it = partials.iterator.filter(!_.isNullAt(0)).map { r =>
+          val c = r.getLong(1)
+          val cv = r.getLong(2)
+          if (cv != c) allNonNull = false
+          val sumScaled =
+            if (r.isNullAt(3)) 0L
+            else r.getDecimal(3).movePointRight(scale).longValueExact()
+          val mn = if (r.isNullAt(4)) Double.PositiveInfinity else r.getDouble(4)
+          val mx = if (r.isNullAt(5)) Double.NegativeInfinity else r.getDouble(5)
+          (r.getLong(0), c, sumScaled, mn, mx)
+        }
+        val wheel = HawWheel.fromSecondPartials(it, scale, hasValues = true)
+        IndexedWheel(wheel, Some(vc), filterKey, allNonNull, timeRangeSec)
+      case None =>
+        val partials = base.select(sec).groupBy("sec").agg(F.count(F.lit(1)).as("c")).collect()
+        val it = partials.iterator.filter(!_.isNullAt(0)).map { r =>
+          (r.getLong(0), r.getLong(1), 0L, Double.PositiveInfinity, Double.NegativeInfinity)
+        }
+        IndexedWheel(HawWheel.fromSecondPartials(it, scale, hasValues = false),
+          None, filterKey, valueAllNonNull = true, timeRangeSec)
+    }
+  }
+
+  /** Optimizer-construction build (reference `try_new` + `build`,
+    * `lib.rs:92-122,912-965`): COUNT(*) wheel + one min/max wheel per
+    * requested column, registered under the table's path. */
+  def build(spark: SparkSession, path: String, conf: UWheelBuilder): TableIndex = {
+    val df = spark.read.parquet(path)
+    val tsAllNonNull = df.filter(F.col(conf.timeColumn).isNull).isEmpty
+    val t = new TableIndex(WheelRegistry.normalizePath(path), conf.timeColumn, tsAllNonNull)
+    t.put(buildWheel(df, conf.timeColumn, None, None, "", conf.timeRangeSec, conf.scale))
+    conf.minMaxColumns.foreach { c =>
+      t.put(buildWheel(df, conf.timeColumn, Some(c), None, "", conf.timeRangeSec, conf.scale))
+    }
+    WheelRegistry.register(t)
+    t
+  }
+
+  /** Ad-hoc keyed/filtered index build (reference `build_index`,
+    * `lib.rs:154-239`). The table must already have been registered via
+    * [[build]]. */
+  def buildIndex(spark: SparkSession, path: String, ib: IndexBuilder, scale: Int = 2): Unit = {
+    val key = WheelRegistry.normalizePath(path)
+    val t = WheelRegistry.lookup(key).getOrElse(
+      throw new IllegalStateException(s"no TableIndex registered for $key — call build() first"))
+    val df = spark.read.parquet(path)
+    val (filterCol, filterKey) = ib.filterSql match {
+      case Some(sql) =>
+        val c = F.expr(sql)
+        (Some(c), graft.expr.Canon.canonFilterKey(df.filter(c)))
+      case None => (None, "")
+    }
+    t.put(buildWheel(df, t.timeColumn, Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale))
+  }
+}

@@ -1,0 +1,309 @@
+package graft.rules
+
+import scala.collection.mutable
+import scala.util.Try
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expr.{Canon, Extract}
+import graft.index.{IndexedWheel, TableIndex, WheelRegistry}
+import graft.wheel.{HawWheel, RangeAgg}
+
+/** Plan-time rewrite of temporal aggregation queries against wheel-indexed
+  * tables — the Spark-native re-expression of the reference's
+  * `UWheelOptimizer` rule (`/root/reference/datafusion-uwheel/src/lib.rs:246-649`).
+  *
+  * Rewrites implemented (reference arm in parens):
+  *  - COUNT(*) over a time range → constant row (R1, `lib.rs:599-604`)
+  *  - single SUM/AVG/MIN/MAX over a time range, optionally with a keyed
+  *    residual predicate matched against the wheel registry → constant row
+  *    (R2, `lib.rs:307-328`)
+  *  - GROUP BY date_trunc(second|minute|hour|day|week) + any mix of
+  *    COUNT/SUM/AVG/MIN/MAX → materialized rows (R3, `lib.rs:333-501`)
+  *  - multiple aggregates, no GROUP BY → constant row (R4, `lib.rs:503-552`)
+  *  - landmark aggregate, no WHERE → constant row (R5, `lib.rs:554-577`)
+  *  - zero-count time range → empty relation (R6, `lib.rs:606-618`)
+  *  - min/max contradiction over a range → empty relation (R7, `lib.rs:621-649`)
+  *
+  * Deliberate differences from the reference:
+  *  - Rewrites are *exactness-gated*: the reference truncates sub-second
+  *    bounds to wheel granularity and silently returns slightly-wrong answers
+  *    for unaligned predicates (`expr.rs:219-222`); we only rewrite
+  *    aggregates when the extracted range is provably identical to the
+  *    predicate, and use conservative outward rounding for emptiness pruning
+  *    (which is always sound).
+  *  - Result expressions may be arbitrary scalar compositions over the
+  *    aggregates (e.g. `CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE) / COUNT(*)`):
+  *    aggregate sub-expressions are replaced by wheel-computed literals and
+  *    the rest is constant-folded, so the rule survives CollapseProject and
+  *    PullOutGroupingExpressions.
+  *  - NULL discipline: AVG/MIN/MAX/SUM rewrites require the wheel to have
+  *    seen no NULL values; unbounded-time rewrites require a NULL-free time
+  *    column. SQL aggregates over an empty range come back NULL (count 0).
+  *  - The replacement [[LocalRelation]] reuses the original plan's output
+  *    attributes (same exprIds) — the schema graft of `lib.rs:872-881`.
+  */
+object UWheelRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (WheelRegistry.isEmpty || plan.isStreaming) return plan
+    plan.transformDown {
+      case agg: Aggregate => tryAggRewrite(agg).getOrElse(agg)
+      case f: Filter      => tryPrune(f).getOrElse(f)
+    }
+  }
+
+  // ---------------------------------------------------------------- unwrap
+
+  private final case class Unwrapped(
+      table: TableIndex,
+      conjuncts: Seq[Expression],
+      aliases: Map[ExprId, Expression])
+
+  /** Peels Project/Filter/SubqueryAlias down to a wheel-indexed relation,
+    * collecting filter conjuncts and alias definitions on the way. The alias
+    * map makes the matcher robust to column pruning and
+    * PullOutGroupingExpressions. */
+  private def unwrap(plan: LogicalPlan): Option[Unwrapped] = {
+    val aliases = mutable.Map.empty[ExprId, Expression]
+    val conjuncts = Vector.newBuilder[Expression]
+
+    @scala.annotation.tailrec
+    def walk(p: LogicalPlan): Option[TableIndex] = p match {
+      case Project(projList, child) =>
+        if (projList.forall {
+              case a: Alias if a.child.deterministic => aliases(a.exprId) = a.child; true
+              case _: AttributeReference => true
+              case _ => false
+            }) walk(child)
+        else None
+      case Filter(cond, child) =>
+        conjuncts ++= Canon.splitConjuncts(cond)
+        walk(child)
+      case s: SubqueryAlias => walk(s.child)
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.headOption.map(_.toString).flatMap(WheelRegistry.lookup)
+          case _ => None
+        }
+      case _ => None
+    }
+
+    walk(plan).map { t =>
+      val am = aliases.toMap
+      Unwrapped(t, conjuncts.result().map(resolve(_, am)), am)
+    }
+  }
+
+  /** Inlines alias definitions (bounded fixpoint). */
+  private def resolve(e: Expression, aliases: Map[ExprId, Expression]): Expression = {
+    var cur = e
+    var i = 0
+    while (i < 8) {
+      val next = cur.transformUp {
+        case a: AttributeReference if aliases.contains(a.exprId) => aliases(a.exprId)
+      }
+      if (next.fastEquals(cur)) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  // ----------------------------------------------------- aggregate rewrite
+
+  /** What one AggregateExpression needs from the index. */
+  private final case class Need(column: Option[String], kind: String,
+                                decScale: Option[Int]) {
+    def value(ra: RangeAgg): Any = kind match {
+      case "count"  => ra.count
+      case "sum"    => ra.sum.map(Double.box).orNull
+      case "sumdec" => ra.sumDecimal.map(Decimal(_)).orNull
+      case "avg"    => ra.avg.map(Double.box).orNull
+      case "min"    => ra.minOpt.map(Double.box).orNull
+      case "max"    => ra.maxOpt.map(Double.box).orNull
+    }
+  }
+
+  private def classify(ae: AggregateExpression): Option[Need] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    ae.aggregateFunction match {
+      case Count(Seq(Literal(v, _))) if v != null => Some(Need(None, "count", None))
+      case Count(Nil) => Some(Need(None, "count", None))
+      case s: Sum => s.child match {
+        case a: AttributeReference if a.dataType == DoubleType =>
+          Some(Need(Some(a.name), "sum", None))
+        case Cast(a: AttributeReference, dt: DecimalType, _, _) if a.dataType == DoubleType =>
+          Some(Need(Some(a.name), "sumdec", Some(dt.scale)))
+        case _ => None
+      }
+      case av: Average => av.child match {
+        case a: AttributeReference if a.dataType == DoubleType =>
+          Some(Need(Some(a.name), "avg", None))
+        case _ => None
+      }
+      case Min(a: AttributeReference) if a.dataType == DoubleType =>
+        Some(Need(Some(a.name), "min", None))
+      case Max(a: AttributeReference) if a.dataType == DoubleType =>
+        Some(Need(Some(a.name), "max", None))
+      case _ => None
+    }
+  }
+
+  private def isTime(e: Expression, timeCol: String): Boolean = e match {
+    case a: AttributeReference => a.name == timeCol && a.dataType == TimestampType
+    case Cast(c, TimestampType, _, _) => isTime(c, timeCol)
+    case _ => false
+  }
+
+  private val LoSentinel = Long.MinValue / 4
+  private val HiSentinel = Long.MaxValue / 4
+
+  private def tryAggRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.length > 1) return None
+    if (agg.aggregateExpressions.exists(!_.deterministic)) return None
+    val uw = unwrap(agg.child).getOrElse(return None)
+    val table = uw.table
+    val (range, residualRaw) = Extract.splitTimeRange(uw.conjuncts, table.timeColumn)
+    if (!range.exact) return None
+    if (!range.isBounded && !table.tsAllNonNull) return None
+    val residual = Extract.dropImpliedNotNull(residualRaw)
+    val filterKey = Canon.canonFilterKey(residual)
+    val sSec = range.startSec.getOrElse(LoSentinel)
+    val eSec = range.endSec.getOrElse(HiSentinel)
+
+    def coverageOk(w: IndexedWheel): Boolean = w.coverage match {
+      case None => true
+      case Some((cs, ce)) =>
+        range.startSec.exists(_ >= cs) && range.endSec.exists(_ <= ce)
+    }
+
+    def wheelFor(n: Need): Option[IndexedWheel] = (n.column match {
+      case None => table.anyForFilter(filterKey)
+      case Some(c) =>
+        table.get(Some(c), filterKey)
+          .filter(_.valueAllNonNull)
+          .filter(w => n.decScale.forall(_ == w.wheel.scale))
+    }).filter(coverageOk)
+
+    // Collect and classify every aggregate sub-expression in the output.
+    val resolvedOutputs: Seq[Expression] = agg.aggregateExpressions.map {
+      case a: Alias => resolve(a.child, uw.aliases)
+      case other    => resolve(other, uw.aliases)
+    }
+    val needs = mutable.LinkedHashMap.empty[Expression, (Need, IndexedWheel)]
+    var ok = true
+    resolvedOutputs.foreach(_.foreach {
+      case ae: AggregateExpression if ok && !needs.contains(ae.canonicalized) =>
+        classify(ae).flatMap(n => wheelFor(n).map(w => (n, w))) match {
+          case Some(nw) => needs(ae.canonicalized) = nw
+          case None     => ok = false
+        }
+      case _ => ()
+    })
+    if (!ok) return None
+
+    def evalOutput(resolved: Expression,
+                   aggValues: Map[Expression, (Any, DataType)],
+                   groupKey: Option[(Expression, Long)]): Option[Any] = {
+      var evalOk = true
+      val substituted = resolved.transformDown {
+        case ae: AggregateExpression =>
+          aggValues.get(ae.canonicalized) match {
+            case Some((v, dt)) => Literal(v, dt)
+            case None          => evalOk = false; ae
+          }
+        case e if groupKey.exists(_._1.semanticEquals(e)) =>
+          Literal(groupKey.get._2, TimestampType)
+      }
+      if (!evalOk || substituted.references.nonEmpty ||
+          substituted.exists(_.isInstanceOf[AggregateExpression])) None
+      else Try(substituted.eval(InternalRow.empty)).fold(_ => None, v => Some(v))
+    }
+
+    def buildRow(aggValues: Map[Expression, (Any, DataType)],
+                 groupKey: Option[(Expression, Long)]): Option[InternalRow] = {
+      val vals = new Array[Any](resolvedOutputs.length)
+      var i = 0
+      while (i < resolvedOutputs.length) {
+        evalOutput(resolvedOutputs(i), aggValues, groupKey) match {
+          case Some(v) => vals(i) = v
+          case None    => return None
+        }
+        i += 1
+      }
+      Some(new GenericInternalRow(vals))
+    }
+
+    agg.groupingExpressions match {
+      case Nil =>
+        val aggValues = needs.map { case (k, (n, w)) =>
+          k -> (n.value(w.wheel.range(sSec, eSec)),
+                dataTypeOf(k))
+        }.toMap
+        buildRow(aggValues, None).map(r => LocalRelation(agg.output, Seq(r)))
+
+      case Seq(ge0) =>
+        val ge = resolve(ge0, uw.aliases)
+        val levelIdx = ge match {
+          case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, _)
+              if isTime(t, table.timeColumn) =>
+            HawWheel.levelIndexOf(fmt.toString).getOrElse(return None)
+          case _ => return None
+        }
+        // Need at least one wheel to enumerate the groups.
+        val enumWheel: IndexedWheel =
+          needs.headOption.map(_._2._2)
+            .orElse(table.anyForFilter(filterKey).filter(coverageOk))
+            .getOrElse(return None)
+        val groups = enumWheel.wheel.groupBy(sSec, eSec, levelIdx)
+        // Per-wheel group maps; key sets must agree (identical row coverage).
+        val wheelGroups: Map[HawWheel, Map[Long, RangeAgg]] =
+          needs.values.map(_._2.wheel).toSet.map { (hw: HawWheel) =>
+            hw -> hw.groupBy(sSec, eSec, levelIdx).toMap
+          }.toMap
+        if (wheelGroups.values.exists(_.size != groups.size)) return None
+        val rows = groups.map { case (gs, _) =>
+          val aggValues = needs.map { case (k, (n, w)) =>
+            k -> (n.value(wheelGroups(w.wheel)(gs)), dataTypeOf(k))
+          }.toMap
+          buildRow(aggValues, Some((ge, gs * 1000000L))).getOrElse(return None)
+        }
+        Some(LocalRelation(agg.output, rows))
+
+      case _ => None
+    }
+  }
+
+  private def dataTypeOf(canonicalAe: Expression): DataType = canonicalAe.dataType
+
+  // ----------------------------------------------------- emptiness pruning
+
+  private def tryPrune(f: Filter): Option[LogicalPlan] = {
+    val uw = unwrap(f).getOrElse(return None)
+    val table = uw.table
+    val (range, residual) = Extract.splitTimeRange(uw.conjuncts, table.timeColumn)
+    if (!range.isBounded) return None
+    val cw = table.countWheel.filter(_.coverage.isEmpty).getOrElse(return None)
+    val s = range.startSec.getOrElse(LoSentinel)
+    val e = range.endSec.getOrElse(HiSentinel)
+    if (cw.wheel.countRange(s, e) == 0L) {
+      return Some(LocalRelation(f.output, Nil))
+    }
+    val provenEmpty = Extract.minMaxPreds(residual).exists { p =>
+      table.minMaxWheel(p.column).filter(_.coverage.isEmpty).exists { w =>
+        val ra = w.wheel.range(s, e)
+        ra.count > 0 && Extract.provesEmpty(p, ra.min, ra.max)
+      }
+    }
+    if (provenEmpty) Some(LocalRelation(f.output, Nil)) else None
+  }
+}

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexBuilder, UWheelBuilder, UWheelIndex, WheelRegistry}
+
+class UWheelRuleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val path = "/root/testdata/sf0.001/events.parquet"
+
+  lazy val setup: Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.enable(spark)
+    UWheelBuilder("ts", Seq("value")).build(spark, path)
+    UWheelIndex.buildIndex(spark, path, IndexBuilder("value", Some("event_type = 'click'")))
+  }
+
+  def events: DataFrame = spark.read.parquet(path)
+
+  def assertRewritten(df: DataFrame): Unit = {
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+    assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+  }
+
+  def assertNotRewritten(df: DataFrame): Unit = {
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case r: LogicalRelation => r }.nonEmpty, s"expected scan in:\n$opt")
+  }
+
+  /** Runs `q` with the rule disabled to get the ground-truth answer. */
+  def groundTruth[T](q: => T): T = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cs.experimental.extraOptimizations
+    cs.experimental.extraOptimizations = Nil
+    try q finally cs.experimental.extraOptimizations = saved
+  }
+
+  val lo = "2024-01-05 00:00:00"
+  val hi = "2024-01-12 00:00:00"
+  def ranged: DataFrame =
+    events.filter(col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp"))
+
+  test("R1: COUNT(*) over time range rewrites and is exact") {
+    setup
+    val q = ranged.agg(count(lit(1)).as("cnt"))
+    assertRewritten(q)
+    val expected = groundTruth(ranged.count())
+    assert(q.collect()(0).getLong(0) === expected)
+    assert(expected > 0)
+  }
+
+  test("R2: SUM/MIN/MAX/AVG over time range rewrite and are exact") {
+    setup
+    val q = ranged.agg(
+      sum(col("value")).as("s"), min(col("value")).as("mn"),
+      max(col("value")).as("mx"), avg(col("value")).as("av"))
+    assertRewritten(q)
+    val got = q.collect()(0)
+    val exp = groundTruth {
+      ranged.agg(sum("value"), min("value"), max("value"), avg("value")).collect()(0)
+    }
+    assert(math.abs(got.getDouble(0) - exp.getDouble(0)) < 1e-6)
+    assert(got.getDouble(1) === exp.getDouble(1))
+    assert(got.getDouble(2) === exp.getDouble(2))
+    assert(math.abs(got.getDouble(3) - exp.getDouble(3)) < 1e-9)
+  }
+
+  test("R2 keyed: SUM with residual predicate matching a keyed wheel") {
+    setup
+    val q = ranged.filter(col("event_type") === "click").agg(sum("value").as("s"))
+    assertRewritten(q)
+    val exp = groundTruth(
+      ranged.filter(col("event_type") === "click").agg(sum("value")).collect()(0).getDouble(0))
+    assert(math.abs(q.collect()(0).getDouble(0) - exp) < 1e-6)
+  }
+
+  test("R2 keyed: unknown residual predicate does NOT rewrite") {
+    setup
+    val q = ranged.filter(col("event_type") === "view").agg(sum("value").as("s"))
+    assertNotRewritten(q)
+  }
+
+  test("decimal-exact SUM rewrite (sum over CAST(value AS DECIMAL))") {
+    setup
+    val q = ranged.agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+    assertRewritten(q)
+    val exp = groundTruth(
+      ranged.agg(sum(col("value").cast("decimal(18,2)")).cast("double")).collect()(0).getDouble(0))
+    assert(q.collect()(0).getDouble(0) === exp)
+  }
+
+  test("R3: GROUP BY date_trunc(hour) rewrites and matches") {
+    setup
+    val q = ranged
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("mn"), max("value").as("mx"))
+      .orderBy("bucket")
+    assertRewritten(q)
+    val got = q.collect()
+    val exp = groundTruth {
+      ranged.groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), min("value").as("mn"), max("value").as("mx"))
+        .orderBy("bucket").collect()
+    }
+    assert(got.length === exp.length)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getTimestamp(0) === e.getTimestamp(0))
+      assert(g.getLong(1) === e.getLong(1))
+      assert(g.getDouble(2) === e.getDouble(2))
+      assert(g.getDouble(3) === e.getDouble(3))
+    }
+  }
+
+  test("R3: GROUP BY date_trunc(week) is Monday-anchored like Spark") {
+    setup
+    val q = events
+      .filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-29 00:00:00").cast("timestamp"))
+      .groupBy(date_trunc("week", col("ts")).as("wk")).agg(count(lit(1)).as("cnt"))
+      .orderBy("wk")
+    assertRewritten(q)
+    val got = q.collect()
+    val exp = groundTruth {
+      events.filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+                    col("ts") < lit("2024-01-29 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("week", col("ts")).as("wk")).agg(count(lit(1)).as("cnt"))
+        .orderBy("wk").collect()
+    }
+    assert(got.map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq ===
+           exp.map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq)
+  }
+
+  test("R4/R5: landmark multi-aggregate with no WHERE") {
+    setup
+    val q = events.agg(count(lit(1)).as("cnt"), sum("value").as("s"))
+    assertRewritten(q)
+    val got = q.collect()(0)
+    val exp = groundTruth(events.agg(count(lit(1)), sum("value")).collect()(0))
+    assert(got.getLong(0) === exp.getLong(0))
+    assert(math.abs(got.getDouble(1) - exp.getDouble(1)) < 1e-4)
+  }
+
+  test("R6: zero-count range prunes to empty without scan") {
+    setup
+    val q = events.filter(
+      col("ts") >= lit("2030-01-01 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2030-02-01 00:00:00").cast("timestamp"))
+    assertRewritten(q)
+    assert(q.count() === 0)
+  }
+
+  test("R7: min/max contradiction prunes to empty") {
+    setup
+    val q = ranged.filter(col("value") > lit(1e6))
+    assertRewritten(q)
+    assert(q.count() === 0)
+  }
+
+  test("R7 negative: satisfiable min/max predicate does not prune") {
+    setup
+    val q = ranged.filter(col("value") > lit(1.0))
+    assertNotRewritten(q)
+    assert(q.count() > 0)
+  }
+
+  test("sub-second bound does not rewrite aggregates (exactness gate)") {
+    setup
+    val q = events.filter(
+      col("ts") >= lit("2024-01-05 00:00:00.5").cast("timestamp") &&
+      col("ts") < lit(hi).cast("timestamp")).agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(q)
+  }
+
+  test("unindexed table is untouched") {
+    setup
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    assertNotRewritten(li.agg(count(lit(1))))
+  }
+}
