@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-corpus table loaders (TESTDATA.md).
+  *
+  * `events.ts` is stored as parquet INT64 TIMESTAMP(NANOS); Spark 4 has no
+  * nanosecond timestamp type and refuses the file unless
+  * `spark.sql.legacy.parquet.nanosAsLong` is set, in which case the column
+  * surfaces as a raw nanosecond Long. We derive the microsecond-precision
+  * `ts` with `timestamp_micros(ts div 1000)` — the same ns→µs truncation
+  * DuckDB (the correctness oracle) applies when it reads the file, so both
+  * engines see identical timestamps.
+  *
+  * The wheel optimizer sees through the conversion: `graft.expr.Extract`
+  * matches `timestamp_micros(<nanosCol> div 1000)` as the indexed time
+  * column, so predicates written against the derived `ts` still hit the
+  * wheel index built over the raw nanos column.
+  */
+object Tables {
+
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def ensureNanosConf(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureNanosConf(spark)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Registers every corpus table as a temp view named after the file. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    All.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -58,9 +58,23 @@ object Extract {
     case _ => None
   }
 
-  private def isTime(e: Expression, timeCol: String): Boolean = e match {
-    case a: AttributeReference => a.name == timeCol
+  /** Does `e` denote the indexed time column as an absolute (timezone-free)
+    * instant? Accepts the bare TimestampType column, a timestamp→timestamp
+    * cast of it, and the `timestamp_micros(col div 1000)` pattern produced by
+    * [[graft.Tables]] for nanosecond-Long columns. Date/string casts are
+    * rejected — their timestamp value depends on the session time zone.
+    */
+  def isTime(e: Expression, timeCol: String): Boolean = e match {
+    case a: AttributeReference => a.name == timeCol && a.dataType == TimestampType
     case Cast(child, _: TimestampType, _, _) => isTime(child, timeCol)
+    case m: MicrosToTimestamp => m.child match {
+      case d: IntegralDivide =>
+        (d.left match {
+          case a: AttributeReference => a.name == timeCol && a.dataType == LongType
+          case _ => false
+        }) && d.right.foldable && d.right.eval() == 1000L
+      case _ => false
+    }
     case _ => false
   }
 

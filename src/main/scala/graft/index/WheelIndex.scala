@@ -113,10 +113,18 @@ object UWheelIndex {
       timeRangeSec: Option[(Long, Long)],
       scale: Int): IndexedWheel = {
     var base = filter.map(df.filter).getOrElse(df)
-    timeRangeSec.foreach { case (s, e) =>
-      base = base.filter(F.col(timeColumn).cast("long") >= s && F.col(timeColumn).cast("long") < e)
+    // Epoch-second slot of the time column. TimestampType → cast; a raw
+    // nanosecond Long (events.ts via Tables) → floor-div by 1e9. Both equal
+    // DuckDB's ns→µs→sec truncation for epoch-positive data.
+    val secExpr = df.schema(timeColumn).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        F.expr(s"`$timeColumn` div 1000000000")
+      case _ => F.col(timeColumn).cast("long")
     }
-    val sec = F.col(timeColumn).cast("long").as("sec")
+    timeRangeSec.foreach { case (s, e) =>
+      base = base.filter(secExpr >= s && secExpr < e)
+    }
+    val sec = secExpr.as("sec")
     valueColumn match {
       case Some(vc) =>
         val partials = base
@@ -157,6 +165,7 @@ object UWheelIndex {
     * `lib.rs:92-122,912-965`): COUNT(*) wheel + one min/max wheel per
     * requested column, registered under the table's path. */
   def build(spark: SparkSession, path: String, conf: UWheelBuilder): TableIndex = {
+    graft.Tables.ensureNanosConf(spark)
     val df = spark.read.parquet(path)
     val tsAllNonNull = df.filter(F.col(conf.timeColumn).isNull).isEmpty
     val t = new TableIndex(WheelRegistry.normalizePath(path), conf.timeColumn, tsAllNonNull)
@@ -175,6 +184,7 @@ object UWheelIndex {
     val key = WheelRegistry.normalizePath(path)
     val t = WheelRegistry.lookup(key).getOrElse(
       throw new IllegalStateException(s"no TableIndex registered for $key — call build() first"))
+    graft.Tables.ensureNanosConf(spark)
     val df = spark.read.parquet(path)
     val (filterCol, filterKey) = ib.filterSql match {
       case Some(sql) =>

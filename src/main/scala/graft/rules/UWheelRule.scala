@@ -158,11 +158,8 @@ object UWheelRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def isTime(e: Expression, timeCol: String): Boolean = e match {
-    case a: AttributeReference => a.name == timeCol && a.dataType == TimestampType
-    case Cast(c, TimestampType, _, _) => isTime(c, timeCol)
-    case _ => false
-  }
+  private def isTime(e: Expression, timeCol: String): Boolean =
+    Extract.isTime(e, timeCol)
 
   private val LoSentinel = Long.MinValue / 4
   private val HiSentinel = Long.MaxValue / 4

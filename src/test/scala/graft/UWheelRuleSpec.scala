@@ -26,7 +26,7 @@ class UWheelRuleSpec extends AnyFunSuite {
     UWheelIndex.buildIndex(spark, path, IndexBuilder("value", Some("event_type = 'click'")))
   }
 
-  def events: DataFrame = spark.read.parquet(path)
+  def events: DataFrame = Tables.events(spark, "/root/testdata/sf0.001")
 
   def assertRewritten(df: DataFrame): Unit = {
     val opt = df.queryExecution.optimizedPlan
