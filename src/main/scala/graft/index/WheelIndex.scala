@@ -18,6 +18,14 @@ import graft.wheel.HawWheel
   *                        (`/root/reference/datafusion-uwheel/src/lib.rs:164-173`)
   * @param valueAllNonNull true iff no NULL values were seen in valueColumn —
   *                        required for AVG rewrites (count(*) vs count(col))
+  * @param valuesExactAtScale true iff every value round-trips through
+  *                        DECIMAL(38,scale) unchanged — i.e. the scaled-long
+  *                        sum is the mathematically exact sum. Plain
+  *                        SUM/AVG(double) rewrites are gated on this; without
+  *                        it only the sum-over-decimal-cast form is exact.
+  *                        (When true, the rewritten SUM is the correctly
+  *                        rounded true sum — a scan's float accumulation may
+  *                        differ from it by ulps, in the scan's disfavor.)
   * @param coverage        time range (epoch sec) the build was restricted to;
   *                        None = full table. Restricted wheels only answer
   *                        queries whose range lies inside the coverage.
@@ -27,13 +35,24 @@ final case class IndexedWheel(
     valueColumn: Option[String],
     filterKey: String,
     valueAllNonNull: Boolean,
+    valuesExactAtScale: Boolean = true,
     coverage: Option[(Long, Long)] = None)
 
-/** All wheels for one table (identified by its parquet root path). */
+/** All wheels for one table (identified by its parquet root path).
+  *
+  * @param fingerprint hash of the table's file listing (path, length,
+  *                    modification time) at build time. The optimizer rule
+  *                    re-hashes the current listing on every lookup and
+  *                    refuses to rewrite when they differ, so appends or
+  *                    overwrites after the build make the index inert instead
+  *                    of silently serving stale answers (the reference never
+  *                    invalidates — `lib.rs:154-239` keys wheels forever).
+  */
 final class TableIndex(
     val pathKey: String,
     val timeColumn: String,
-    val tsAllNonNull: Boolean) extends Serializable {
+    val tsAllNonNull: Boolean,
+    val fingerprint: Long = 0L) extends Serializable {
   private val wheels = new ConcurrentHashMap[(Option[String], String), IndexedWheel]()
 
   def put(w: IndexedWheel): Unit = wheels.put((w.valueColumn, w.filterKey), w)
@@ -127,6 +146,13 @@ object UWheelIndex {
     val sec = secExpr.as("sec")
     valueColumn match {
       case Some(vc) =>
+        // Exactness probe: does v survive a round-trip through
+        // DECIMAL(38,scale)? NaN/Infinity/overflow cast to NULL and count as
+        // non-representable.
+        val roundTrip = F.col("v").cast(DecimalType(38, scale)).cast("double")
+        val notExact = F.when(
+          F.col("v").isNotNull && (roundTrip.isNull || roundTrip =!= F.col("v")), 1L
+        ).otherwise(0L)
         val partials = base
           .select(sec, F.col(vc).cast("double").as("v"))
           .groupBy("sec")
@@ -135,13 +161,16 @@ object UWheelIndex {
             F.count(F.col("v")).as("cv"),
             F.sum(F.col("v").cast(DecimalType(38, scale))).as("s"),
             F.min("v").as("mn"),
-            F.max("v").as("mx"))
+            F.max("v").as("mx"),
+            F.sum(notExact).as("badrep"))
           .collect()
         var allNonNull = true
+        var badRep = 0L
         val it = partials.iterator.filter(!_.isNullAt(0)).map { r =>
           val c = r.getLong(1)
           val cv = r.getLong(2)
           if (cv != c) allNonNull = false
+          badRep += r.getLong(6)
           val sumScaled =
             if (r.isNullAt(3)) 0L
             else r.getDecimal(3).movePointRight(scale).longValueExact()
@@ -150,25 +179,47 @@ object UWheelIndex {
           (r.getLong(0), c, sumScaled, mn, mx)
         }
         val wheel = HawWheel.fromSecondPartials(it, scale, hasValues = true)
-        IndexedWheel(wheel, Some(vc), filterKey, allNonNull, timeRangeSec)
+        IndexedWheel(wheel, Some(vc), filterKey, allNonNull, badRep == 0L, timeRangeSec)
       case None =>
         val partials = base.select(sec).groupBy("sec").agg(F.count(F.lit(1)).as("c")).collect()
         val it = partials.iterator.filter(!_.isNullAt(0)).map { r =>
           (r.getLong(0), r.getLong(1), 0L, Double.PositiveInfinity, Double.NegativeInfinity)
         }
         IndexedWheel(HawWheel.fromSecondPartials(it, scale, hasValues = false),
-          None, filterKey, valueAllNonNull = true, timeRangeSec)
+          None, filterKey, valueAllNonNull = true, valuesExactAtScale = true,
+          timeRangeSec)
     }
   }
 
   /** Optimizer-construction build (reference `try_new` + `build`,
     * `lib.rs:92-122,912-965`): COUNT(*) wheel + one min/max wheel per
     * requested column, registered under the table's path. */
+  /** Stable hash of a file listing — the staleness fingerprint. */
+  def fingerprintOf(location: org.apache.spark.sql.execution.datasources.FileIndex): Long = {
+    val files = location.listFiles(Nil, Nil).flatMap(_.files)
+    files.map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+      .sortBy(_._1)
+      .foldLeft(1125899906842597L) { case (h, (p, l, m)) =>
+        ((h * 31 + p.##) * 31 + l) * 31 + m
+      }
+  }
+
+  private def fingerprintOf(df: DataFrame): Long =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+    } match {
+      case Some(h: org.apache.spark.sql.execution.datasources.HadoopFsRelation) =>
+        fingerprintOf(h.location)
+      case _ => 0L
+    }
+
   def build(spark: SparkSession, path: String, conf: UWheelBuilder): TableIndex = {
     graft.Tables.ensureNanosConf(spark)
     val df = spark.read.parquet(path)
     val tsAllNonNull = df.filter(F.col(conf.timeColumn).isNull).isEmpty
-    val t = new TableIndex(WheelRegistry.normalizePath(path), conf.timeColumn, tsAllNonNull)
+    val t = new TableIndex(WheelRegistry.normalizePath(path), conf.timeColumn,
+      tsAllNonNull, fingerprintOf(df))
     t.put(buildWheel(df, conf.timeColumn, None, None, "", conf.timeRangeSec, conf.scale))
     conf.minMaxColumns.foreach { c =>
       t.put(buildWheel(df, conf.timeColumn, Some(c), None, "", conf.timeRangeSec, conf.scale))

@@ -91,7 +91,12 @@ object UWheelRule extends Rule[LogicalPlan] {
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
-            fs.location.rootPaths.headOption.map(_.toString).flatMap(WheelRegistry.lookup)
+            fs.location.rootPaths.headOption.map(_.toString)
+              .flatMap(WheelRegistry.lookup)
+              // Staleness gate: only rewrite when the table's current file
+              // listing still matches the one the index was built from.
+              .filter(t => t.fingerprint == 0L ||
+                t.fingerprint == graft.index.UWheelIndex.fingerprintOf(fs.location))
           case _ => None
         }
       case _ => None
@@ -189,6 +194,13 @@ object UWheelRule extends Rule[LogicalPlan] {
         table.get(Some(c), filterKey)
           .filter(_.valueAllNonNull)
           .filter(w => n.decScale.forall(_ == w.wheel.scale))
+          // Plain SUM/AVG over doubles are only exact when every value is
+          // representable at the wheel's decimal scale (ADVICE: the scaled
+          // sum would otherwise be a rounded answer); the explicit
+          // sum-over-decimal-cast form matches the wheel's arithmetic by
+          // construction and needs no gate.
+          .filter(w => n.kind == "sumdec" || n.kind == "min" || n.kind == "max" ||
+                       w.valuesExactAtScale)
     }).filter(coverageOk)
 
     // Collect and classify every aggregate sub-expression in the output.
@@ -251,9 +263,16 @@ object UWheelRule extends Rule[LogicalPlan] {
       case Seq(ge0) =>
         val ge = resolve(ge0, uw.aliases)
         val levelIdx = ge match {
-          case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, _)
+          case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
               if isTime(t, table.timeColumn) =>
-            HawWheel.levelIndexOf(fmt.toString).getOrElse(return None)
+            val unit = fmt.toString.toLowerCase
+            // Wheel slots are fixed UTC/epoch-aligned spans, but Spark
+            // truncates minute/hour/day/week in the session time zone (DST,
+            // :30/:45 offsets, pre-1972 sub-minute LMT offsets). Only
+            // 'second' is timezone-invariant; everything coarser requires
+            // the resolved zone to be UTC, else fall through to the scan.
+            if (unit != "second" && !tzId.exists(isUtcZone)) return None
+            HawWheel.levelIndexOf(unit).getOrElse(return None)
           case _ => return None
         }
         // Need at least one wheel to enumerate the groups.
@@ -262,15 +281,21 @@ object UWheelRule extends Rule[LogicalPlan] {
             .orElse(table.anyForFilter(filterKey).filter(coverageOk))
             .getOrElse(return None)
         val groups = enumWheel.wheel.groupBy(sSec, eSec, levelIdx)
-        // Per-wheel group maps; key sets must agree (identical row coverage).
+        // Per-wheel group maps. All wheels must cover the identical key set
+        // (same rows seen at build time); wheels built at different times
+        // over changed data could have equal sizes but different keys, so
+        // compare the sets and skip the rewrite on any mismatch rather than
+        // failing the query inside the optimizer.
+        val groupKeys = groups.map(_._1).toSet
         val wheelGroups: Map[HawWheel, Map[Long, RangeAgg]] =
           needs.values.map(_._2.wheel).toSet.map { (hw: HawWheel) =>
             hw -> hw.groupBy(sSec, eSec, levelIdx).toMap
           }.toMap
-        if (wheelGroups.values.exists(_.size != groups.size)) return None
+        if (wheelGroups.values.exists(_.keySet != groupKeys)) return None
         val rows = groups.map { case (gs, _) =>
           val aggValues = needs.map { case (k, (n, w)) =>
-            k -> (n.value(wheelGroups(w.wheel)(gs)), dataTypeOf(k))
+            val ra = wheelGroups(w.wheel).getOrElse(gs, return None)
+            k -> (n.value(ra), dataTypeOf(k))
           }.toMap
           buildRow(aggValues, Some((ge, gs * 1000000L))).getOrElse(return None)
         }
@@ -281,6 +306,10 @@ object UWheelRule extends Rule[LogicalPlan] {
   }
 
   private def dataTypeOf(canonicalAe: Expression): DataType = canonicalAe.dataType
+
+  private def isUtcZone(tz: String): Boolean =
+    Try(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC)
+      .getOrElse(false)
 
   // ----------------------------------------------------- emptiness pruning
 

@@ -14,11 +14,23 @@ import scala.collection.mutable
   * (write-ahead ring of 65,536 slots ≈ here an unbounded sorted map — the
   * driver-side build has no backpressure concern).
   *
+  * Count and scaled sum are accumulated as Longs so integer exactness holds
+  * all the way to Long range (a Double slot would silently lose exactness
+  * above 2^53); only min/max are Doubles.
+  *
   * Two wheels built from the same rows merge associatively ([[merge]]), which
   * is what makes a distributed per-partition build correct.
   */
 final class RwWheel(val scale: Int, val hasValues: Boolean) extends Serializable {
-  private val slots = mutable.LongMap.empty[Array[Double]] // sec -> [count, sumScaled, min, max]
+
+  private final class Slot extends Serializable {
+    var count: Long = 0L
+    var sumScaled: Long = 0L
+    var min: Double = Double.PositiveInfinity
+    var max: Double = Double.NegativeInfinity
+  }
+
+  private val slots = mutable.LongMap.empty[Slot] // epoch second -> partials
   private var watermarkMs: Long = Long.MinValue
   private val scaleFactor = math.pow(10, scale)
 
@@ -28,12 +40,12 @@ final class RwWheel(val scale: Int, val hasValues: Boolean) extends Serializable
   def insert(tsMs: Long, value: Double): Unit = {
     require(tsMs >= watermarkMs, s"insert at $tsMs behind watermark $watermarkMs")
     val sec = Math.floorDiv(tsMs, 1000L)
-    val slot = slots.getOrElseUpdate(sec, Array(0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity))
-    slot(0) += 1
+    val slot = slots.getOrElseUpdate(sec, new Slot)
+    slot.count += 1
     if (hasValues) {
-      slot(1) += math.rint(value * scaleFactor)
-      if (value < slot(2)) slot(2) = value
-      if (value > slot(3)) slot(3) = value
+      slot.sumScaled = Math.addExact(slot.sumScaled, math.rint(value * scaleFactor).toLong)
+      if (value < slot.min) slot.min = value
+      if (value > slot.max) slot.max = value
     }
   }
 
@@ -43,10 +55,11 @@ final class RwWheel(val scale: Int, val hasValues: Boolean) extends Serializable
   def merge(other: RwWheel): RwWheel = {
     require(other.scale == scale && other.hasValues == hasValues)
     other.slots.foreach { case (sec, o) =>
-      val slot = slots.getOrElseUpdate(sec, Array(0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity))
-      slot(0) += o(0); slot(1) += o(1)
-      if (o(2) < slot(2)) slot(2) = o(2)
-      if (o(3) > slot(3)) slot(3) = o(3)
+      val slot = slots.getOrElseUpdate(sec, new Slot)
+      slot.count = Math.addExact(slot.count, o.count)
+      slot.sumScaled = Math.addExact(slot.sumScaled, o.sumScaled)
+      if (o.min < slot.min) slot.min = o.min
+      if (o.max > slot.max) slot.max = o.max
     }
     if (other.watermarkMs > watermarkMs) watermarkMs = other.watermarkMs
     this
@@ -54,6 +67,6 @@ final class RwWheel(val scale: Int, val hasValues: Boolean) extends Serializable
 
   def freeze(): HawWheel =
     HawWheel.fromSecondPartials(
-      slots.iterator.map { case (sec, a) => (sec, a(0).toLong, a(1).toLong, a(2), a(3)) },
+      slots.iterator.map { case (sec, s) => (sec, s.count, s.sumScaled, s.min, s.max) },
       scale, hasValues)
 }

@@ -188,4 +188,38 @@ class UWheelRuleSpec extends AnyFunSuite {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     assertNotRewritten(li.agg(count(lit(1))))
   }
+
+  test("non-UTC session time zone blocks date_trunc rewrites coarser than second") {
+    setup
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val q = ranged.groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      assertNotRewritten(q)
+      val q2 = ranged.groupBy(date_trunc("second", col("ts")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      assertRewritten(q2)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("stale index: file change after build disables rewrites") {
+    setup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val p = s"$dir/t.parquet"
+    def row(s: String, v: Double) = (java.sql.Timestamp.valueOf(s), v)
+    Seq(row("2024-01-01 00:00:00", 1.0)).toDF("ts", "value")
+      .write.mode("overwrite").parquet(p)
+    UWheelBuilder("ts", Seq("value")).build(spark, p)
+    def q = spark.read.parquet(p)
+      .filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("c"))
+    assertRewritten(q)
+    assert(q.collect()(0).getLong(0) === 1L)
+    Seq(row("2024-01-01 00:00:00", 1.0), row("2024-01-01 00:00:01", 2.0))
+      .toDF("ts", "value").write.mode("overwrite").parquet(p)
+    assertNotRewritten(q)
+    assert(q.collect()(0).getLong(0) === 2L)
+  }
 }
