@@ -1,0 +1,38 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.{Graft, Tables}
+import graft.index.{IndexBuilder, UWheelBuilder, UWheelIndex}
+
+/** Shared query-context plumbing for the driver contract
+  * (`SparkEntry.queries`): registers the corpus views and builds the wheel
+  * indices once per (session, scale-factor dir).
+  *
+  * Index configuration mirrors the reference benchmark's setup
+  * (`/root/reference/benchmarks/nyc_taxi_bench/src/main.rs:79-120`): a
+  * COUNT(*) wheel + min/max wheel over the measure column + a keyed SUM wheel
+  * for one residual predicate.
+  */
+object Q {
+
+  private val prepared = ConcurrentHashMap.newKeySet[String]()
+
+  def ctx(spark: SparkSession, sfDir: String): SparkSession = {
+    Tables.registerAll(spark, sfDir)
+    val key = System.identityHashCode(spark) + "#" + sfDir
+    if (prepared.add(key)) {
+      Graft.enable(spark)
+      val ev = s"$sfDir/events.parquet"
+      UWheelBuilder("ts", Seq("value")).build(spark, ev)
+      UWheelIndex.buildIndex(spark, ev, IndexBuilder("value", Some("event_type = 'click'")))
+    }
+    spark
+  }
+
+  /** A query whose Spark side is a plain SQL string over the corpus views. */
+  def sql(text: String): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => ctx(spark, sfDir).sql(text)
+}

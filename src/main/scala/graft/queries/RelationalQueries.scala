@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational breadth over the TPC-H-ish corpus — the operator families the
+  * reference delegates to its host engine (SURVEY.md §2.5: joins, sorts, set
+  * ops, window functions, scalar functions all fall through `try_rewrite`
+  * returning None, `/root/reference/datafusion-uwheel/src/lib.rs:250,580,595`)
+  * and that stock Spark SQL must therefore answer in our engine.
+  *
+  * Determinism rules shared with the DuckDB oracle: additive aggregates go
+  * through DECIMAL and are lowered to DOUBLE once; counts/lengths are cast to
+  * BIGINT (DuckDB's sum(int)→HUGEINT, length→BIGINT would otherwise drift
+  * from Spark's types); every query has a total ORDER BY; NULL ordering is
+  * spelled out where rollup rows appear.
+  *
+  * Scale notes (100 TB design point): q3/q5 join dimension-filtered customer
+  * to orders/lineitem — Spark broadcasts the small sides automatically under
+  * AQE; q1 is a single map-side-combinable hash aggregate; window queries
+  * shuffle once on the partition key. No query collects to the driver.
+  */
+object RelationalQueries {
+
+  private val disc = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** (name, shared SQL) — same text runs on Spark and DuckDB. */
+  private val shared: Seq[(String, String)] = Seq(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+         |  CAST(sum($disc) AS DOUBLE) AS sum_disc,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      s"""SELECT l_orderkey, CAST(sum($disc) AS DOUBLE) AS revenue, o_orderdate
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name, CAST(sum($disc) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |       CAST(count(*) AS BIGINT) AS n FROM orders""".stripMargin,
+
+    "q_topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q_union" ->
+      """SELECT CAST(c_nationkey AS INT) AS k FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey AS INT) AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+
+    "q_except" ->
+      """SELECT CAST(c_nationkey AS INT) AS k FROM customer
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS INT) AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_case_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS b,
+        |  substring(p_type, 1, 6) AS t6,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat(p_brand, '-', p_type) AS bt,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  abs(p_size - 25) AS size_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 10 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
+    shared.map { case (n, s) => n -> Q.sql(s) }
+
+  val oracles: Map[String, String] = shared.toMap
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-dedup and similarity-search operators: MinHash+LSH and SimHash
+  * over `documents`, cosine near-dup and (exact + IVF-bucketed) nearest-
+  * neighbor search over `embeddings`.
+  *
+  * Scale design: every operator is shuffle-bounded — shingle explosion and
+  * signature building are map-side; candidate generation joins on (band,
+  * band-hash) buckets so the all-pairs O(n²) comparison only happens inside
+  * colliding buckets; verification joins are restricted to the (small)
+  * candidate set, which Spark broadcasts. The brute-force ANN and cosine
+  * near-dup are the small-n baselines; the LSH/IVF variants are the 100 TB
+  * paths.
+  */
+object SimilarityQueries {
+
+  private val NumPerm = 64
+  private val Bands = 16
+  private val RowsPerBand = NumPerm / Bands
+
+  /** doc_id → distinct 3-word shingles, as in TextQueries.dd_shingle_jaccard. */
+  private def shingles(spark: SparkSession): DataFrame =
+    spark.table("documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))).as("s"))
+
+  /** MinHash signatures + banded LSH candidates + exact-Jaccard verification.
+    * Output = pairs with true shingle-Jaccard >= 0.5 among LSH candidates.
+    * (16 bands × 4 rows: P[candidate | J=0.9] ≈ 1 - (1 - 0.9⁴)¹⁶ ≈ 0.999.) */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val sh = shingles(spark).cache()
+    val minCols = (0 until NumPerm).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), hash(cols: _*).as("bh"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    // verify candidates with the exact Jaccard (joins restricted to candidates)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(sh.as("x"), col("x.doc_id") === col("i"))
+      .join(sh.as("y"), col("y.doc_id") === col("j") && col("y.s") === col("x.s"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("sa"), col("sa.doc_id") === col("i"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("j"))
+      .where(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")) >= 0.5)
+      .select(col("i"), col("j"))
+      .orderBy("i", "j")
+  }
+
+  /** 64-bit SimHash per document from word-frequency-weighted bit votes. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val words = spark.table("documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val voteCols = (0 until 64).map { i =>
+      sum(col("cnt") * when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"v$i")
+    }
+    val votes = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val bits: Column = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), bits.as("simhash")).orderBy("doc_id")
+  }
+
+  /** embeddings with double-precision vector + L2 norm. */
+  private def vecs(spark: SparkSession): DataFrame =
+    spark.table("embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (s, x) -> s + x * x))"))
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+
+  /** Embedding-cosine near-duplicate pairs (brute-force baseline). */
+  def embedDup(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val e = vecs(spark)
+    val a = e.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("i") < col("j"))
+      .where(dot("va", "vb") / (col("na") * col("nb")) > 0.45)
+      .select(col("i"), col("j"))
+      .orderBy("i", "j")
+  }
+
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
+  def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val e = vecs(spark)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"))
+    val x = e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx"))
+    val scored = broadcast(q).join(x, col("qi") =!= col("xi"))
+      .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
+    val rn = row_number().over(
+      Window.partitionBy("qi").orderBy(col("sim").desc, col("xi")))
+    scored.withColumn("rn", rn).where(col("rn") <= 5)
+      .select(col("qi"), col("xi"))
+      .orderBy("qi", "xi")
+  }
+
+  /** IVF-bucketed ANN — the 100 TB path: vectors are assigned to their
+    * nearest centroid once (an O(n·k) map-side pass); a query probes only
+    * the `nprobe` closest centroids' buckets instead of the full corpus.
+    * Centroid "training" is a deterministic subsample (every 37th vector). */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val nprobe = 3
+    val e = vecs(spark)
+    val cents = e.where(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
+    // assignment: nearest centroid per vector
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("csim", dot("v", "vc") / (col("nrm") * col("nc")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
+      .where(col("crn") === 1)
+      .select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx"), col("cid"))
+    // queries probe their nprobe nearest centroids
+    val probes = e.where(col("vec_id") < 10).join(broadcast(cents), lit(true))
+      .withColumn("csim", dot("v", "vc") / (col("nrm") * col("nc")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
+      .where(col("crn") <= nprobe)
+      .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"), col("cid"))
+    val scored = probes.join(assigned, probes("cid") === assigned("cid") && col("qi") =!= col("xi"))
+      .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy("qi").orderBy(col("sim").desc, col("xi"))))
+      .where(col("rn") <= 5)
+      .select(col("qi"), col("xi"))
+      .orderBy("qi", "xi")
+  }
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dd_minhash_lsh" -> (minhashLsh _),
+    "dd_simhash" -> (simhash _),
+    "dd_embed_dup" -> (embedDup _),
+    "ann_topk" -> (annTopK _),
+    "ann_ivf" -> (annIvf _),
+  )
+
+  /** dd_minhash_lsh / dd_simhash / ann_ivf intentionally have no oracle:
+    * their outputs depend on Spark's xxhash64/Murmur3 (LSH, SimHash) or on
+    * the probe-limited candidate set (IVF) — the driver records a rows-only
+    * check. dd_embed_dup and ann_topk are exactly checkable. */
+  val oracles: Map[String, String] = Map(
+    "dd_embed_dup" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
+        |ORDER BY i, j""".stripMargin,
+    "ann_topk" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS qi, x.vec_id AS xi,
+        |         list_cosine_similarity(q.embedding, x.embedding) AS sim
+        |  FROM embeddings q JOIN embeddings x
+        |    ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
+        |r AS (SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi) AS rn FROM s)
+        |SELECT qi, xi FROM r WHERE rn <= 5 ORDER BY qi, xi""".stripMargin,
+  )
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis + exact/n-gram deduplication operators over the `documents`
+  * table — the training-data-pipeline surface a 100 TB corpus engine needs
+  * beyond the reference's temporal operators.
+  *
+  * Every operator here is a pure distributed dataflow (explode → hash-agg →
+  * hash-join); nothing collects to the driver, so each scales with executors.
+  * All arithmetic is integer or single-division double so the DuckDB oracle
+  * is bit-identical.
+  */
+object TextQueries {
+
+  private val enStops = Seq("the", "a", "of", "and", "to", "is", "in")
+  private val enStopsSql = enStops.map(w => s"'$w'").mkString(", ")
+  private def orChain(v: String) = enStops.map(w => s"$v = '$w'").mkString(" OR ")
+
+  // --- Spark SQL ----------------------------------------------------------
+
+  private val sparkSql: Seq[(String, String)] = Seq(
+    // token counting + type/token stats (whitespace tokenizer)
+    "txt_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_char,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+        |    / CAST(size(split(text, ' ')) AS DOUBLE) AS ttr,
+        |  CAST(length(text) - (size(split(text, ' ')) - 1) AS DOUBLE)
+        |    / CAST(size(split(text, ' ')) AS DOUBLE) AS mean_wlen
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // language-ID heuristic: English-stopword density (integer-ratio gate)
+    "txt_lang_id" ->
+      s"""SELECT doc_id,
+         |  CAST(size(filter(split(text, ' '), w -> ${orChain("w")})) AS BIGINT) AS en_hits,
+         |  CASE WHEN size(filter(split(text, ' '), w -> ${orChain("w")})) * 20
+         |            >= size(split(text, ' ')) THEN 'en' ELSE 'unk' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // rolling polynomial fingerprint over the token stream
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |  aggregate(
+        |    transform(split(text, ' '), w -> CAST(length(w) * 131 + ascii(w) AS BIGINT)),
+        |    CAST(7 AS BIGINT),
+        |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact dedup: hash-groupBy on a normalized key, keep-min representative
+    "dd_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_sz
+        |FROM documents
+        |GROUP BY md5(substring(text, 1, 30))
+        |HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+
+    // exact 3-word-shingle Jaccard near-dup pairs (the ground truth the
+    // MinHash/LSH variant in SimilarityQueries approximates)
+    "dd_shingle_jaccard" ->
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, explode(array_distinct(
+        |         transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3))))) AS s
+        |       FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT i, j FROM inter
+        |JOIN sz sa ON sa.doc_id = i
+        |JOIN sz sb ON sb.doc_id = j
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        |ORDER BY i, j""".stripMargin,
+  )
+
+  // --- DuckDB oracles -----------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "txt_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_char,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_wlen
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_lang_id" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($enStopsSql))) AS BIGINT) AS en_hits,
+         |  CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($enStopsSql))) * 20
+         |            >= len(string_split(text, ' ')) THEN 'en' ELSE 'unk' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |                     w -> CAST(length(w) * 131 + ascii(w) AS BIGINT))),
+        |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_sz
+        |FROM documents
+        |GROUP BY md5(substring(text, 1, 30))
+        |HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+
+    "dd_shingle_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+        |       FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT i, j FROM inter
+        |JOIN sz sa ON sa.doc_id = i
+        |JOIN sz sb ON sb.doc_id = j
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        |ORDER BY i, j""".stripMargin,
+  )
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
+    sparkSql.map { case (n, s) => n -> Q.sql(s) }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Temporal-aggregation queries answered from the wheel index at plan time —
+  * one per rewrite arm of `graft.rules.UWheelRule` (reference arms R1–R7,
+  * `/root/reference/datafusion-uwheel/src/lib.rs:284-649`).
+  *
+  * Aggregate forms are chosen to be *bit-identical* across engines: additive
+  * aggregates go through DECIMAL (exact integer arithmetic in any evaluation
+  * order) and are lowered to DOUBLE once; AVG is expressed as exact-sum /
+  * count so no engine's float accumulation order matters.
+  */
+object WheelQueries {
+
+  private val lo = "TIMESTAMP '2024-01-05 00:00:00'"
+  private val hi = "TIMESTAMP '2024-01-12 00:00:00'"
+  private val range = s"ts >= $lo AND ts < $hi"
+  private val sumDec = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "uw_count_range" -> Q.sql(
+      s"SELECT count(*) AS cnt FROM events WHERE $range"),
+    "uw_sum_range" -> Q.sql(
+      s"SELECT $sumDec AS sum_val FROM events WHERE $range"),
+    "uw_avg_range" -> Q.sql(
+      s"SELECT $sumDec / count(*) AS avg_val FROM events WHERE $range"),
+    "uw_multi_agg" -> Q.sql(
+      s"SELECT min(value) AS mn, max(value) AS mx, count(*) AS cnt FROM events WHERE $range"),
+    "uw_groupby_hour" -> Q.sql(
+      s"""SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt,
+         |       min(value) AS mn, max(value) AS mx
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
+    "uw_groupby_day" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, $sumDec AS sum_val, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
+    "uw_groupby_week" -> Q.sql(
+      """SELECT date_trunc('week', ts) AS wk, count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-29 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "uw_landmark" -> Q.sql(
+      s"SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx FROM events"),
+    "uw_keyed_sum" -> Q.sql(
+      s"SELECT $sumDec AS sum_click FROM events WHERE $range AND event_type = 'click'"),
+    "uw_prune_time" -> Q.sql(
+      """SELECT event_id, user_id, value FROM events
+        |WHERE ts >= TIMESTAMP '2030-01-01 00:00:00' AND ts < TIMESTAMP '2030-06-01 00:00:00'
+        |ORDER BY event_id""".stripMargin),
+    "uw_prune_minmax" -> Q.sql(
+      s"SELECT event_id FROM events WHERE $range AND value > 100000.0 ORDER BY event_id"),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "uw_count_range" -> s"SELECT count(*) AS cnt FROM events WHERE $range",
+    "uw_sum_range" -> s"SELECT $sumDec AS sum_val FROM events WHERE $range",
+    "uw_avg_range" -> s"SELECT $sumDec / count(*) AS avg_val FROM events WHERE $range",
+    "uw_multi_agg" -> s"SELECT min(value) AS mn, max(value) AS mx, count(*) AS cnt FROM events WHERE $range",
+    "uw_groupby_hour" ->
+      s"""SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt,
+         |       min(value) AS mn, max(value) AS mx
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB's date_trunc('day'/'week') yields DATE; cast back to TIMESTAMP
+    // to match Spark's result type.
+    "uw_groupby_day" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, $sumDec AS sum_val, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_groupby_week" ->
+      """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk, count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-29 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_landmark" ->
+      s"SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx FROM events",
+    "uw_keyed_sum" ->
+      s"SELECT $sumDec AS sum_click FROM events WHERE $range AND event_type = 'click'",
+    "uw_prune_time" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE ts >= TIMESTAMP '2030-01-01 00:00:00' AND ts < TIMESTAMP '2030-06-01 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "uw_prune_minmax" ->
+      s"SELECT event_id FROM events WHERE $range AND value > 100000.0 ORDER BY event_id",
+  )
+}
