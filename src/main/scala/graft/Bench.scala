@@ -1,24 +1,69 @@
 package graft
+
+import scala.collection.mutable
+
 import org.apache.spark.sql.SparkSession
+
+import graft.queries.{Q, WheelQueries}
+
+/** Driver-run benchmark: times every SparkEntry query on SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line. For the wheel-indexed family it additionally
+  * times the identical query with rewrites disabled (`*_scan` entries) — the
+  * reference's headline comparison (indexed µs vs engine-scan ms,
+  * BASELINE.md) — plus the one-off index build cost (`index_build`).
+  *
+  * Timing: short queries (< 5 s) are measured as best-of-two (steady state,
+  * matching the reference's repeated-query percentile setup); long queries
+  * run once.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val t0 = System.nanoTime()
+    Q.ctx(spark, sfDir)
+    val indexBuildSec = (System.nanoTime() - t0) / 1e9
+
+    // Steady-state timing, mirroring the reference's repeated-query p50
+    // (`benchmarks/nyc_taxi_bench/src/main.rs:504-518`): sub-second queries
+    // report the median of 9 runs; heavier ones run once (cold).
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      def run(): Double = {
+        val t = System.nanoTime()
+        fn(spark, sfDir).collect()
+        (System.nanoTime() - t) / 1e9
+      }
+      val first = run()
+      if (first >= 1.0) first
+      else {
+        val runs = (first +: Array.fill(8)(run())).sorted
+        runs(runs.length / 2)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = try timeOne(fn) catch { case _: Throwable => -1.0 }
+    }
+    // Same temporal queries with the wheel rule off: the full-scan baseline.
+    Graft.rewritesEnabled = false
+    try WheelQueries.defs.foreach { case (name, fn) =>
+      results(name + "_scan") = try timeOne(fn) catch { case _: Throwable => -1.0 }
+    } finally Graft.rewritesEnabled = true
+    results("index_build") = indexBuildSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object Graft {
+  /** Global kill-switch for the rewrite rule (used by Bench to time the
+    * same queries with and without the index). */
+  @volatile var rewritesEnabled: Boolean = true
+
   /** Idempotently installs the wheel rewrite rule on a live session. */
   def enable(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

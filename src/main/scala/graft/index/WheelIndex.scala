@@ -123,6 +123,11 @@ object UWheelIndex {
     * — independent of row count, which is what makes this viable at 100 TB
     * (the reference instead collects every row to one process,
     * `lib.rs:1130-1158`). */
+  /** @param sawNullTs whether any row had a NULL time value (null seconds
+    *                   group present in the partials) — derived from the same
+    *                   single scan instead of a separate pass. */
+  final case class BuiltWheel(wheel: IndexedWheel, sawNullTs: Boolean)
+
   private def buildWheel(
       df: DataFrame,
       timeColumn: String,
@@ -130,7 +135,7 @@ object UWheelIndex {
       filter: Option[Column],
       filterKey: String,
       timeRangeSec: Option[(Long, Long)],
-      scale: Int): IndexedWheel = {
+      scale: Int): BuiltWheel = {
     var base = filter.map(df.filter).getOrElse(df)
     // Epoch-second slot of the time column. TimestampType → cast; a raw
     // nanosecond Long (events.ts via Tables) → floor-div by 1e9. Both equal
@@ -179,15 +184,19 @@ object UWheelIndex {
           (r.getLong(0), c, sumScaled, mn, mx)
         }
         val wheel = HawWheel.fromSecondPartials(it, scale, hasValues = true)
-        IndexedWheel(wheel, Some(vc), filterKey, allNonNull, badRep == 0L, timeRangeSec)
+        BuiltWheel(
+          IndexedWheel(wheel, Some(vc), filterKey, allNonNull, badRep == 0L, timeRangeSec),
+          partials.exists(_.isNullAt(0)))
       case None =>
         val partials = base.select(sec).groupBy("sec").agg(F.count(F.lit(1)).as("c")).collect()
         val it = partials.iterator.filter(!_.isNullAt(0)).map { r =>
           (r.getLong(0), r.getLong(1), 0L, Double.PositiveInfinity, Double.NegativeInfinity)
         }
-        IndexedWheel(HawWheel.fromSecondPartials(it, scale, hasValues = false),
-          None, filterKey, valueAllNonNull = true, valuesExactAtScale = true,
-          timeRangeSec)
+        BuiltWheel(
+          IndexedWheel(HawWheel.fromSecondPartials(it, scale, hasValues = false),
+            None, filterKey, valueAllNonNull = true, valuesExactAtScale = true,
+            timeRangeSec),
+          partials.exists(_.isNullAt(0)))
     }
   }
 
@@ -217,13 +226,27 @@ object UWheelIndex {
   def build(spark: SparkSession, path: String, conf: UWheelBuilder): TableIndex = {
     graft.Tables.ensureNanosConf(spark)
     val df = spark.read.parquet(path)
-    val tsAllNonNull = df.filter(F.col(conf.timeColumn).isNull).isEmpty
+    // One distributed scan per wheel; the count wheel is derived from the
+    // first min/max wheel's partials (same per-second counts), so a typical
+    // build is a single scan instead of the reference's
+    // count-then-per-column passes (`lib.rs:912-965`). NULL-time detection
+    // rides along in the same partials.
+    val built = conf.minMaxColumns.map { c =>
+      buildWheel(df, conf.timeColumn, Some(c), None, "", conf.timeRangeSec, conf.scale)
+    }
+    val countBuilt = built.headOption match {
+      case Some(bw) =>
+        BuiltWheel(IndexedWheel(bw.wheel.wheel, None, "",
+          valueAllNonNull = true, valuesExactAtScale = true, conf.timeRangeSec),
+          bw.sawNullTs)
+      case None =>
+        buildWheel(df, conf.timeColumn, None, None, "", conf.timeRangeSec, conf.scale)
+    }
+    val tsAllNonNull = !(countBuilt.sawNullTs || built.exists(_.sawNullTs))
     val t = new TableIndex(WheelRegistry.normalizePath(path), conf.timeColumn,
       tsAllNonNull, fingerprintOf(df))
-    t.put(buildWheel(df, conf.timeColumn, None, None, "", conf.timeRangeSec, conf.scale))
-    conf.minMaxColumns.foreach { c =>
-      t.put(buildWheel(df, conf.timeColumn, Some(c), None, "", conf.timeRangeSec, conf.scale))
-    }
+    t.put(countBuilt.wheel)
+    built.foreach(bw => t.put(bw.wheel))
     WheelRegistry.register(t)
     t
   }
@@ -243,6 +266,7 @@ object UWheelIndex {
         (Some(c), graft.expr.Canon.canonFilterKey(df.filter(c)))
       case None => (None, "")
     }
-    t.put(buildWheel(df, t.timeColumn, Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale))
+    t.put(buildWheel(df, t.timeColumn, Some(ib.column), filterCol, filterKey,
+      ib.timeRangeSec, scale).wheel)
   }
 }

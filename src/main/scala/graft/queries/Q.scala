@@ -19,10 +19,14 @@ import graft.index.{IndexBuilder, UWheelBuilder, UWheelIndex}
 object Q {
 
   private val prepared = ConcurrentHashMap.newKeySet[String]()
+  private val registeredDir = new ConcurrentHashMap[Integer, String]()
 
   def ctx(spark: SparkSession, sfDir: String): SparkSession = {
-    Tables.registerAll(spark, sfDir)
-    val key = System.identityHashCode(spark) + "#" + sfDir
+    // Re-register the corpus views only when this session switches sfDir —
+    // doing it per query would put 10 parquet schema reads on every call.
+    val sid = Integer.valueOf(System.identityHashCode(spark))
+    if (registeredDir.put(sid, sfDir) != sfDir) Tables.registerAll(spark, sfDir)
+    val key = sid + "#" + sfDir
     if (prepared.add(key)) {
       Graft.enable(spark)
       val ev = s"$sfDir/events.parquet"

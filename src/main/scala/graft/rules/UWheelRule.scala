@@ -53,11 +53,31 @@ import graft.wheel.{HawWheel, RangeAgg}
 object UWheelRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (WheelRegistry.isEmpty || plan.isStreaming) return plan
-    plan.transformDown {
+    if (!graft.Graft.rewritesEnabled || WheelRegistry.isEmpty || plan.isStreaming) return plan
+    val rewritten = plan.transformDown {
       case agg: Aggregate => tryAggRewrite(agg).getOrElse(agg)
       case f: Filter      => tryPrune(f).getOrElse(f)
     }
+    if (rewritten.fastEquals(plan)) plan else cleanupLocal(rewritten)
+  }
+
+  /** Post-rewrite cleanup: our rule runs after Spark's main optimizer
+    * batches, so Project/Limit/Sort nodes sitting on the materialized
+    * [[LocalRelation]] would each cost a full exchange/sort stage at run
+    * time for a handful of rows. Fold them at plan time: Catalyst's own
+    * ConvertToLocalRelation collapses Project/Filter/Limit, and the Sort arm
+    * here pre-sorts the local rows (sound: downstream operators never assume
+    * an ordering they didn't establish themselves). */
+  private def cleanupLocal(plan: LogicalPlan): LogicalPlan = {
+    val c2l = org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation
+    val folded = c2l(plan).transformDown {
+      case Sort(order, true, lr: LocalRelation, _)
+          if order.nonEmpty && order.forall(_.deterministic) =>
+        val ordering = RowOrdering.create(
+          order.map(BindReferences.bindReference(_, lr.output)), Nil)
+        LocalRelation(lr.output, lr.data.sorted(ordering), lr.isStreaming)
+    }
+    c2l(folded)
   }
 
   // ---------------------------------------------------------------- unwrap
