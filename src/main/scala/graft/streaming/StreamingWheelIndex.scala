@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.{functions => F}
+
+import graft.wheel.{HawWheel, RwWheel}
+
+/** Continuously-maintained wheel index over a Structured Streaming source —
+  * the streaming half of µWheel that the reference leaves unexposed (its
+  * `RwWheel` has watermark + write-ahead inserts, `advance_to` progression —
+  * `/root/reference/datafusion-uwheel/src/lib.rs:1005-1010,1075-1080` — but
+  * datafusion-uwheel only ever builds indices once from a static table).
+  *
+  * Spark-first design: each micro-batch is reduced to *per-second partial
+  * aggregates* by a distributed map-side-combining groupBy — the driver
+  * merges one row per distinct second per batch, so ingest cost is bounded
+  * by the batch's time span, not its row count (same property that makes the
+  * batch build viable at 100 TB). Late data is governed by the upstream
+  * watermark (`withWatermark` on the source); whatever the watermark admits,
+  * the wheel merges exactly.
+  *
+  * Readers call [[snapshot]] for an immutable [[HawWheel]] (freeze-on-read,
+  * the reference's `ReaderWheel` conversion) and query `range`/`groupBy`/
+  * `landmark` on it.
+  */
+final class StreamingWheelIndex(
+    timeColumn: String,
+    valueColumn: Option[String],
+    scale: Int = 2) {
+
+  private val rw = new RwWheel(scale, valueColumn.isDefined)
+  private val cached = new AtomicReference[(Long, HawWheel)]((0L, null))
+  private var version = 0L
+
+  def watermarkMs: Long = rw.synchronized(rw.watermark)
+
+  /** Immutable point-in-time view; cheap when no batch arrived since the
+    * last call. */
+  def snapshot(): HawWheel = {
+    val (v, hw) = cached.get()
+    val cur = rw.synchronized(version)
+    if (hw != null && v == cur) hw
+    else {
+      val fresh = rw.synchronized((version, rw.freeze()))
+      cached.set(fresh)
+      fresh._2
+    }
+  }
+
+  /** Starts the maintenance query on a streaming DataFrame. */
+  def attach(stream: DataFrame, queryName: String): StreamingQuery = {
+    val secExpr = stream.schema(timeColumn).dataType match {
+      case LongType => F.expr(s"`$timeColumn` div 1000000000")
+      case _        => F.col(timeColumn).cast("long")
+    }
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val projected = valueColumn match {
+          case Some(vc) => batch.select(secExpr.as("__sec"), F.col(vc).cast("double").as("__v"))
+          case None     => batch.select(secExpr.as("__sec"), F.lit(null).cast("double").as("__v"))
+        }
+        val partials = projected
+          .where(F.col("__sec").isNotNull)
+          .groupBy("__sec")
+          .agg(
+            F.count(F.lit(1)).as("c"),
+            F.sum(F.col("__v").cast(DecimalType(38, scale))).as("s"),
+            F.min("__v").as("mn"),
+            F.max("__v").as("mx"))
+          .collect()
+        rw.synchronized {
+          partials.foreach { r =>
+            val sec = r.getLong(0)
+            val sumScaled =
+              if (r.isNullAt(2)) 0L
+              else r.getDecimal(2).movePointRight(scale).longValueExact()
+            val mn = if (r.isNullAt(3)) Double.PositiveInfinity else r.getDouble(3)
+            val mx = if (r.isNullAt(4)) Double.NegativeInfinity else r.getDouble(4)
+            rw.mergePartial(sec, r.getLong(1), sumScaled, mn, mx)
+          }
+          if (partials.nonEmpty) {
+            val maxSec = partials.iterator.map(_.getLong(0)).max
+            rw.advanceTo((maxSec + 1) * 1000L)
+          }
+          version += 1
+        }
+        ()
+      }
+      .start()
+  }
+}

@@ -49,6 +49,20 @@ final class RwWheel(val scale: Int, val hasValues: Boolean) extends Serializable
     }
   }
 
+  /** Merge one pre-aggregated per-second partial (the distributed-build and
+    * streaming-ingest fast path: executors aggregate rows to per-second
+    * partials, the driver merges). Accepts any second — cross-batch
+    * lateness is bounded upstream by the source's watermark, not here. */
+  def mergePartial(sec: Long, count: Long, sumScaled: Long, min: Double, max: Double): Unit = {
+    val slot = slots.getOrElseUpdate(sec, new Slot)
+    slot.count = Math.addExact(slot.count, count)
+    if (hasValues) {
+      slot.sumScaled = Math.addExact(slot.sumScaled, sumScaled)
+      if (min < slot.min) slot.min = min
+      if (max > slot.max) slot.max = max
+    }
+  }
+
   /** Event-time progression; inserts behind the new watermark are rejected. */
   def advanceTo(tsMs: Long): Unit = if (tsMs > watermarkMs) watermarkMs = tsMs
 

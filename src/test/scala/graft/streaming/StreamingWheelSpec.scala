@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingWheelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("incremental wheel over a MemoryStream matches batch aggregates") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "value")
+
+    val idx = new StreamingWheelIndex("ts", Some("value"))
+    val q = idx.attach(df, "wheel-maintenance")
+    try {
+      val batch1 = Seq(
+        (ts("2024-03-01 00:00:00"), 1.0),
+        (ts("2024-03-01 00:00:01"), 2.5),
+        (ts("2024-03-01 00:01:30"), 4.0))
+      val batch2 = Seq( // second batch, partially out of order vs batch1
+        (ts("2024-03-01 00:00:30"), 8.0),
+        (ts("2024-03-01 00:02:00"), 0.5),
+        (ts("2024-03-01 00:02:00"), 3.0))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val snap1 = idx.snapshot()
+      assert(snap1.landmark.count === 3)
+      assert(snap1.landmark.sumDecimal.get === new java.math.BigDecimal("7.50"))
+
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val snap2 = idx.snapshot()
+      val all = batch1 ++ batch2
+      assert(snap2.landmark.count === all.size)
+      assert(snap2.landmark.sum.get === all.map(_._2).sum)
+      assert(snap2.landmark.minOpt.get === all.map(_._2).min)
+      assert(snap2.landmark.maxOpt.get === all.map(_._2).max)
+      // arbitrary sub-range [00:00:30, 00:02:00)
+      val lo = ts("2024-03-01 00:00:30").getTime / 1000
+      val hi = ts("2024-03-01 00:02:00").getTime / 1000
+      val ra = snap2.range(lo, hi)
+      val expect = all.filter(r => r._1.getTime / 1000 >= lo && r._1.getTime / 1000 < hi)
+      assert(ra.count === expect.size)
+      assert(ra.sum.get === expect.map(_._2).sum)
+      // watermark advanced past the max event
+      assert(idx.watermarkMs > ts("2024-03-01 00:02:00").getTime)
+    } finally q.stop()
+  }
+
+  test("wheel groupBy(minute) equals Structured Streaming windowed aggregation") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "value")
+
+    // the conventional Spark pipeline: watermark + tumbling window to a sink
+    val windowed = df
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value").cast("decimal(18,2)")).as("s"))
+    val wq = windowed.writeStream
+      .format("memory").queryName("win_agg").outputMode("complete").start()
+
+    val idx = new StreamingWheelIndex("ts", Some("value"))
+    val q = idx.attach(df, "wheel-maintenance-2")
+    try {
+      input.addData(
+        (ts("2024-03-02 10:00:05"), 1.0), (ts("2024-03-02 10:00:55"), 2.0),
+        (ts("2024-03-02 10:01:10"), 3.0), (ts("2024-03-02 10:03:59"), 4.5),
+        (ts("2024-03-02 10:03:01"), 0.5))
+      q.processAllAvailable()
+      wq.processAllAvailable()
+
+      val fromWindow = spark.table("win_agg")
+        .select(col("window.start").cast("long").as("sec"), col("cnt"), col("s").cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .toMap
+      val lo = ts("2024-03-02 10:00:00").getTime / 1000
+      val hi = ts("2024-03-02 10:04:00").getTime / 1000
+      val fromWheel = idx.snapshot().groupBy(lo, hi, levelIdx = 1)
+        .map { case (sec, ra) => (sec, (ra.count, ra.sum.get)) }
+        .toMap
+      assert(fromWheel === fromWindow)
+    } finally { q.stop(); wq.stop() }
+  }
+}
