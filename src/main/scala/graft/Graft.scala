@@ -15,8 +15,10 @@ import graft.rules.UWheelRule
   *     post-hoc optimizer batch on every query).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => UWheelRule)
+    ext.injectOptimizerRule(_ => graft.rules.NanosTimePushdown)
+  }
 }
 
 object Graft {
@@ -24,12 +26,13 @@ object Graft {
     * same queries with and without the index). */
   @volatile var rewritesEnabled: Boolean = true
 
-  /** Idempotently installs the wheel rewrite rule on a live session. */
+  /** Idempotently installs the wheel rewrite + nanos pushdown rules on a
+    * live session (UWheelRule first: plans it answers never reach the
+    * scan-path pushdown). */
   def enable(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val cur = cs.experimental.extraOptimizations
-    if (!cur.contains(UWheelRule)) {
-      cs.experimental.extraOptimizations = cur :+ UWheelRule
-    }
+    val add = Seq(UWheelRule, graft.rules.NanosTimePushdown).filterNot(cur.contains)
+    if (add.nonEmpty) cs.experimental.extraOptimizations = cur ++ add
   }
 }

@@ -99,6 +99,40 @@ object Extract {
 
     def mergeLo(us: Long): Unit = lo = Some(lo.fold(us)(math.max(_, us)))
     def mergeHi(us: Long): Unit = hi = Some(hi.fold(us)(math.min(_, us)))
+    // rows with rawNs >= ns have derived µs >= floor(ns/1000) (exact iff aligned)
+    def mergeLoNs(ns: Long): Unit = {
+      if (ns % 1000 != 0) exact = false
+      mergeLo(Math.floorDiv(ns, 1000))
+    }
+    // rows with rawNs < ns have derived µs < ceil(ns/1000) (exact iff aligned)
+    def mergeHiNs(ns: Long): Unit = {
+      if (ns % 1000 != 0) { exact = false; mergeHi(Math.floorDiv(ns - 1, 1000) + 1) }
+      else mergeHi(ns / 1000)
+    }
+
+    def isNanosCol(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == timeCol && a.dataType == LongType
+      case _ => false
+    }
+    object NsL { def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }}
+    // normalized "rawNs >= ns" / "rawNs < ns" bounds from any orientation
+    object NsGe { def unapply(e: Expression): Option[Long] = e match {
+      case GreaterThanOrEqual(c, NsL(v)) if isNanosCol(c) => Some(v)
+      case GreaterThan(c, NsL(v)) if isNanosCol(c) && v < Long.MaxValue => Some(v + 1)
+      case LessThanOrEqual(NsL(v), c) if isNanosCol(c) => Some(v)
+      case LessThan(NsL(v), c) if isNanosCol(c) && v < Long.MaxValue => Some(v + 1)
+      case _ => None
+    }}
+    object NsLt { def unapply(e: Expression): Option[Long] = e match {
+      case LessThan(c, NsL(v)) if isNanosCol(c) => Some(v)
+      case LessThanOrEqual(c, NsL(v)) if isNanosCol(c) && v < Long.MaxValue => Some(v + 1)
+      case GreaterThan(NsL(v), c) if isNanosCol(c) => Some(v)
+      case GreaterThanOrEqual(NsL(v), c) if isNanosCol(c) && v < Long.MaxValue => Some(v + 1)
+      case _ => None
+    }}
 
     conjuncts.foreach {
       case GreaterThanOrEqual(t, l) if isTime(t, timeCol) && litMicros(l).isDefined =>
@@ -122,6 +156,11 @@ object Extract {
       case IsNotNull(a: AttributeReference) if a.name == timeCol =>
         () // implied by any time bound; harmless to drop even without bounds
            // only when bounds exist — caller checks
+      // Raw-nanosecond bounds on a Long time column (as injected by
+      // NanosTimePushdown, or written directly by a user): `c >= L` in ns is
+      // the µs bound L/1000 — exact when L is µs-aligned, else outward.
+      case NsGe(ns) => mergeLoNs(ns)
+      case NsLt(ns) => mergeHiNs(ns)
       case other => residual += other
     }
 
