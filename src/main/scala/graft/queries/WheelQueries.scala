@@ -39,6 +39,9 @@ object WheelQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-29 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "uw_groupby_month" -> Q.sql(
+      s"""SELECT date_trunc('month', ts) AS mth, count(*) AS cnt, $sumDec AS sum_val
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     "uw_landmark" -> Q.sql(
       s"SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx FROM events"),
     "uw_keyed_sum" -> Q.sql(
@@ -70,6 +73,9 @@ object WheelQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-29 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_groupby_month" ->
+      s"""SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS mth, count(*) AS cnt, $sumDec AS sum_val
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_landmark" ->
       s"SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx FROM events",
     "uw_keyed_sum" ->

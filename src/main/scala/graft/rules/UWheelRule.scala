@@ -282,17 +282,24 @@ object UWheelRule extends Rule[LogicalPlan] {
 
       case Seq(ge0) =>
         val ge = resolve(ge0, uw.aliases)
-        val levelIdx = ge match {
+        val groupFn: HawWheel => IndexedSeq[(Long, RangeAgg)] = ge match {
           case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
               if isTime(t, table.timeColumn) =>
             val unit = fmt.toString.toLowerCase
             // Wheel slots are fixed UTC/epoch-aligned spans, but Spark
-            // truncates minute/hour/day/week in the session time zone (DST,
-            // :30/:45 offsets, pre-1972 sub-minute LMT offsets). Only
-            // 'second' is timezone-invariant; everything coarser requires
-            // the resolved zone to be UTC, else fall through to the scan.
+            // truncates minute/hour/day/week/month/year in the session time
+            // zone (DST, :30/:45 offsets, pre-1972 sub-minute LMT offsets).
+            // Only 'second' is timezone-invariant; everything coarser
+            // requires the resolved zone to be UTC, else fall through.
             if (unit != "second" && !tzId.exists(isUtcZone)) return None
-            HawWheel.levelIndexOf(unit).getOrElse(return None)
+            HawWheel.levelIndexOf(unit) match {
+              case Some(idx) => hw => hw.groupBy(sSec, eSec, idx)
+              case None =>
+                // month/quarter/year: calendar spans composed from day slots
+                // (the reference rejects these, lib.rs:357)
+                val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+                hw => hw.groupByCalendar(sSec, eSec, stride)
+            }
           case _ => return None
         }
         // Need at least one wheel to enumerate the groups.
@@ -300,7 +307,7 @@ object UWheelRule extends Rule[LogicalPlan] {
           needs.headOption.map(_._2._2)
             .orElse(table.anyForFilter(filterKey).filter(coverageOk))
             .getOrElse(return None)
-        val groups = enumWheel.wheel.groupBy(sSec, eSec, levelIdx)
+        val groups = groupFn(enumWheel.wheel)
         // Per-wheel group maps. All wheels must cover the identical key set
         // (same rows seen at build time); wheels built at different times
         // over changed data could have equal sizes but different keys, so
@@ -309,7 +316,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         val groupKeys = groups.map(_._1).toSet
         val wheelGroups: Map[HawWheel, Map[Long, RangeAgg]] =
           needs.values.map(_._2.wheel).toSet.map { (hw: HawWheel) =>
-            hw -> hw.groupBy(sSec, eSec, levelIdx).toMap
+            hw -> groupFn(hw).toMap
           }.toMap
         if (wheelGroups.values.exists(_.keySet != groupKeys)) return None
         val rows = groups.map { case (gs, _) =>

@@ -58,6 +58,17 @@ object HawWheel {
     case _        => None
   }
 
+  /** Calendar (non-uniform-span) group-by units, as a month stride.
+    * The reference explicitly rejects these
+    * (`/root/reference/datafusion-uwheel/src/lib.rs:357`); we compose them
+    * exactly from day slots. UTC-only — callers gate on the session TZ. */
+  def monthStrideOf(unit: String): Option[Int] = unit.toLowerCase match {
+    case "month" | "mon" | "mm"  => Some(1)
+    case "quarter"               => Some(3)
+    case "year" | "yyyy" | "yy"  => Some(12)
+    case _                       => None
+  }
+
   /** Builds a wheel from per-second partial aggregates.
     *
     * @param partials iterator of (epochSec, count, sumScaled, min, max);
@@ -233,6 +244,33 @@ final class HawWheel private (
       val a = range(math.max(gs, lo), math.min(gs + span, hi))
       if (a.count > 0) out += ((gs, a))
       gs += span
+    }
+    out.result()
+  }
+
+  /** Calendar group-by at month granularity multiples (1 = month,
+    * 3 = quarter, 12 = year), UTC boundaries. Buckets are non-uniform spans
+    * composed exactly from the underlying slots; identical to SQL
+    * `GROUP BY date_trunc(unit, ts)` under an UTC session. */
+  def groupByCalendar(s: Long, e: Long, monthStride: Int): IndexedSeq[(Long, RangeAgg)] = {
+    import java.time.{Instant, LocalDate, ZoneOffset}
+    val lo = math.max(s, startSec)
+    val hi = math.min(e, endSec)
+    if (lo >= hi) return Vector.empty
+    def monthStart(sec: Long): LocalDate = {
+      val d = Instant.ofEpochSecond(sec).atZone(ZoneOffset.UTC).toLocalDate
+      val m0 = ((d.getMonthValue - 1) / monthStride) * monthStride + 1
+      LocalDate.of(d.getYear, m0, 1)
+    }
+    def toSec(d: LocalDate): Long = d.atStartOfDay(ZoneOffset.UTC).toEpochSecond
+    val out = Vector.newBuilder[(Long, RangeAgg)]
+    var bucket = monthStart(lo)
+    while (toSec(bucket) < hi) {
+      val bs = toSec(bucket)
+      val be = toSec(bucket.plusMonths(monthStride.toLong))
+      val a = range(math.max(bs, lo), math.min(be, hi))
+      if (a.count > 0) out += ((bs, a))
+      bucket = bucket.plusMonths(monthStride.toLong)
     }
     out.result()
   }

@@ -202,6 +202,40 @@ class UWheelRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("month/quarter/year group-by composes calendar spans exactly") {
+    setup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cal").toString
+    val p = s"$dir/t.parquet"
+    // 500 irregular timestamps spanning Mar 2023 .. Feb 2024 (covers a
+    // leap-February and month-length changes)
+    val base = java.sql.Timestamp.valueOf("2023-03-05 07:11:13").getTime
+    val rows = (0 until 500).map { i =>
+      (new java.sql.Timestamp(base + i.toLong * 59123 * 1000), (i % 97) / 4.0)
+    }
+    rows.toDF("ts", "value").write.mode("overwrite").parquet(p)
+    UWheelBuilder("ts", Seq("value")).build(spark, p)
+    for (unit <- Seq("month", "quarter", "year")) {
+      val q = spark.read.parquet(p)
+        .groupBy(date_trunc(unit, col("ts")).as("b"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("s"),
+          min("value").as("mn"), max("value").as("mx"))
+        .orderBy("b")
+      assertRewritten(q)
+      val got = q.collect()
+      val exp = groundTruth(q.collect())
+      assert(got.length === exp.length, s"unit=$unit")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g.getTimestamp(0) === e.getTimestamp(0), s"unit=$unit")
+        assert(g.getLong(1) === e.getLong(1), s"unit=$unit")
+        assert(g.getDecimal(2) === e.getDecimal(2), s"unit=$unit")
+        assert(g.getDouble(3) === e.getDouble(3), s"unit=$unit")
+        assert(g.getDouble(4) === e.getDouble(4), s"unit=$unit")
+      }
+    }
+  }
+
   test("stale index: file change after build disables rewrites") {
     setup
     import spark.implicits._
