@@ -42,6 +42,9 @@ object WheelQueries {
     "uw_groupby_month" -> Q.sql(
       s"""SELECT date_trunc('month', ts) AS mth, count(*) AS cnt, $sumDec AS sum_val
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    "uw_groupby_date" -> Q.sql(
+      s"""SELECT to_date(ts) AS d, count(*) AS cnt, count(value) AS cnt_val
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
     "uw_landmark" -> Q.sql(
       s"SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx FROM events"),
     "uw_keyed_sum" -> Q.sql(
@@ -76,6 +79,9 @@ object WheelQueries {
     "uw_groupby_month" ->
       s"""SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS mth, count(*) AS cnt, $sumDec AS sum_val
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_groupby_date" ->
+      s"""SELECT CAST(ts AS DATE) AS d, count(*) AS cnt, count(value) AS cnt_val
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_landmark" ->
       s"SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx FROM events",
     "uw_keyed_sum" ->

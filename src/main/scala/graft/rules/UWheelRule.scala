@@ -149,7 +149,7 @@ object UWheelRule extends Rule[LogicalPlan] {
   private final case class Need(column: Option[String], kind: String,
                                 decScale: Option[Int]) {
     def value(ra: RangeAgg): Any = kind match {
-      case "count"  => ra.count
+      case "count" | "countcol" => ra.count
       case "sum"    => ra.sum.map(Double.box).orNull
       case "sumdec" => ra.sumDecimal.map(Decimal(_)).orNull
       case "avg"    => ra.avg.map(Double.box).orNull
@@ -163,6 +163,10 @@ object UWheelRule extends Rule[LogicalPlan] {
     ae.aggregateFunction match {
       case Count(Seq(Literal(v, _))) if v != null => Some(Need(None, "count", None))
       case Count(Nil) => Some(Need(None, "count", None))
+      // COUNT(col): equals COUNT(*) when the wheel proved col NULL-free
+      // (wheelFor gates on valueAllNonNull for column-bearing needs).
+      case Count(Seq(a: AttributeReference)) if a.dataType == DoubleType =>
+        Some(Need(Some(a.name), "countcol", None))
       case s: Sum => s.child match {
         case a: AttributeReference if a.dataType == DoubleType =>
           Some(Need(Some(a.name), "sum", None))
@@ -220,7 +224,7 @@ object UWheelRule extends Rule[LogicalPlan] {
           // sum-over-decimal-cast form matches the wheel's arithmetic by
           // construction and needs no gate.
           .filter(w => n.kind == "sumdec" || n.kind == "min" || n.kind == "max" ||
-                       w.valuesExactAtScale)
+                       n.kind == "countcol" || w.valuesExactAtScale)
     }).filter(coverageOk)
 
     // Collect and classify every aggregate sub-expression in the output.
@@ -242,7 +246,7 @@ object UWheelRule extends Rule[LogicalPlan] {
 
     def evalOutput(resolved: Expression,
                    aggValues: Map[Expression, (Any, DataType)],
-                   groupKey: Option[(Expression, Long)]): Option[Any] = {
+                   groupKey: Option[(Expression, Literal)]): Option[Any] = {
       var evalOk = true
       val substituted = resolved.transformDown {
         case ae: AggregateExpression =>
@@ -251,7 +255,7 @@ object UWheelRule extends Rule[LogicalPlan] {
             case None          => evalOk = false; ae
           }
         case e if groupKey.exists(_._1.semanticEquals(e)) =>
-          Literal(groupKey.get._2, TimestampType)
+          groupKey.get._2
       }
       if (!evalOk || substituted.references.nonEmpty ||
           substituted.exists(_.isInstanceOf[AggregateExpression])) None
@@ -259,7 +263,7 @@ object UWheelRule extends Rule[LogicalPlan] {
     }
 
     def buildRow(aggValues: Map[Expression, (Any, DataType)],
-                 groupKey: Option[(Expression, Long)]): Option[InternalRow] = {
+                 groupKey: Option[(Expression, Literal)]): Option[InternalRow] = {
       val vals = new Array[Any](resolvedOutputs.length)
       var i = 0
       while (i < resolvedOutputs.length) {
@@ -282,7 +286,8 @@ object UWheelRule extends Rule[LogicalPlan] {
 
       case Seq(ge0) =>
         val ge = resolve(ge0, uw.aliases)
-        val groupFn: HawWheel => IndexedSeq[(Long, RangeAgg)] = ge match {
+        // (bucketing function, group-slot-seconds -> key literal)
+        val (groupFn, keyLit): (HawWheel => IndexedSeq[(Long, RangeAgg)], Long => Literal) = ge match {
           case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
               if isTime(t, table.timeColumn) =>
             val unit = fmt.toString.toLowerCase
@@ -292,14 +297,23 @@ object UWheelRule extends Rule[LogicalPlan] {
             // Only 'second' is timezone-invariant; everything coarser
             // requires the resolved zone to be UTC, else fall through.
             if (unit != "second" && !tzId.exists(isUtcZone)) return None
-            HawWheel.levelIndexOf(unit) match {
-              case Some(idx) => hw => hw.groupBy(sSec, eSec, idx)
-              case None =>
-                // month/quarter/year: calendar spans composed from day slots
-                // (the reference rejects these, lib.rs:357)
-                val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                hw => hw.groupByCalendar(sSec, eSec, stride)
-            }
+            val fn: HawWheel => IndexedSeq[(Long, RangeAgg)] =
+              HawWheel.levelIndexOf(unit) match {
+                case Some(idx) => hw => hw.groupBy(sSec, eSec, idx)
+                case None =>
+                  // month/quarter/year: calendar spans composed from day
+                  // slots (the reference rejects these, lib.rs:357)
+                  val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+                  hw => hw.groupByCalendar(sSec, eSec, stride)
+              }
+            (fn, gs => Literal(gs * 1000000L, TimestampType))
+          // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
+          // DateType key (days since epoch); date truncation follows the
+          // session zone, so UTC-gated like the coarse units above.
+          case Cast(t, DateType, tzId, _)
+              if isTime(t, table.timeColumn) && tzId.exists(isUtcZone) =>
+            (hw => hw.groupBy(sSec, eSec, 3),
+              gs => Literal((gs / HawWheel.DAY).toInt, DateType))
           case _ => return None
         }
         // Need at least one wheel to enumerate the groups.
@@ -324,7 +338,7 @@ object UWheelRule extends Rule[LogicalPlan] {
             val ra = wheelGroups(w.wheel).getOrElse(gs, return None)
             k -> (n.value(ra), dataTypeOf(k))
           }.toMap
-          buildRow(aggValues, Some((ge, gs * 1000000L))).getOrElse(return None)
+          buildRow(aggValues, Some((ge, keyLit(gs)))).getOrElse(return None)
         }
         Some(LocalRelation(agg.output, rows))
 
