@@ -18,6 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => UWheelRule)
     ext.injectOptimizerRule(_ => graft.rules.NanosTimePushdown)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.VecDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VecDot(exprs(0), exprs(1))))
   }
 }
 
@@ -26,13 +32,22 @@ object Graft {
     * same queries with and without the index). */
   @volatile var rewritesEnabled: Boolean = true
 
-  /** Idempotently installs the wheel rewrite + nanos pushdown rules on a
-    * live session (UWheelRule first: plans it answers never reach the
-    * scan-path pushdown). */
+  /** Idempotently installs the wheel rewrite + nanos pushdown rules and the
+    * native vector functions on a live session (UWheelRule first: plans it
+    * answers never reach the scan-path pushdown). */
   def enable(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val cur = cs.experimental.extraOptimizations
     val add = Seq(UWheelRule, graft.rules.NanosTimePushdown).filterNot(cur.contains)
     if (add.nonEmpty) cs.experimental.extraOptimizations = cur ++ add
+    registerFunctions(spark)
+  }
+
+  def registerFunctions(spark: SparkSession): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => graft.functions.VecDot(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

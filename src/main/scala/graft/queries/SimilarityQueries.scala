@@ -81,14 +81,15 @@ object SimilarityQueries {
     votes.select(col("doc_id"), bits.as("simhash")).orderBy("doc_id")
   }
 
-  /** embeddings with double-precision vector + L2 norm. */
+  /** embeddings + L2 norm via the native codegen'd dot product
+    * ([[graft.functions.VecDot]]) — same sequential double fold as the
+    * `aggregate(zip_with(...))` form, minus the per-element lambda dispatch. */
   private def vecs(spark: SparkSession): DataFrame =
     spark.table("embeddings")
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (s, x) -> s + x * x))"))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+  private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   /** Embedding-cosine near-duplicate pairs (brute-force baseline). */
   def embedDup(spark: SparkSession, sfDir: String): DataFrame = {
