@@ -41,10 +41,11 @@ object Bench {
         fn(spark, sfDir).collect()
         (System.nanoTime() - t) / 1e9
       }
-      val first = run()
-      if (first >= 1.0) first
+      val first = run() // warm-up: codegen compile, broadcast build, page cache
+      if (first >= 10.0) first
       else {
-        val runs = (first +: Array.fill(8)(run())).sorted
+        val reps = if (first < 1.0) 7 else 3
+        val runs = Array.fill(reps)(run()).sorted
         runs(runs.length / 2)
       }
     }
