@@ -1,0 +1,205 @@
+package graft.wheel
+
+import scala.collection.mutable
+import scala.reflect.ClassTag
+
+/** User-extensible aggregation typeclass — the extension surface the
+  * reference demonstrates with its µWheel `Aggregator` trait and the
+  * `BitPackingSumAggregator` example
+  * (`/root/reference/datafusion-uwheel/src/aggregator/mod.rs:8-64`):
+  * `IDENTITY`/`lift`/`combine`/`combine_inverse`/`lower`.
+  *
+  * `inverse` is optional; when present the frozen wheel keeps a prefix array
+  * and answers any range in O(1) (the reference's `to_prefix_wheels`,
+  * `lib.rs:1122-1124`); without it ranges decompose greedily across the
+  * granularity hierarchy in O(log + slots), like min/max.
+  *
+  * The fused count/sum/min/max engine ([[HawWheel]]) remains the optimizer's
+  * index; this typed surface is for custom aggregates the fused partials
+  * can't express.
+  */
+trait WheelAggregator[In, P, Out] extends Serializable {
+  def identity: P
+  def lift(in: In): P
+  def combine(a: P, b: P): P
+  /** `Some((ab, a) => b)` for invertible aggregates — enables prefix wheels. */
+  def inverse: Option[(P, P) => P] = None
+  def lower(p: P): Out
+}
+
+object WheelAggregators {
+  object LongSum extends WheelAggregator[Long, Long, Long] {
+    val identity = 0L
+    def lift(in: Long): Long = in
+    def combine(a: Long, b: Long): Long = a + b
+    override val inverse: Option[(Long, Long) => Long] = Some(_ - _)
+    def lower(p: Long): Long = p
+  }
+  object DoubleSum extends WheelAggregator[Double, Double, Double] {
+    val identity = 0.0
+    def lift(in: Double): Double = in
+    def combine(a: Double, b: Double): Double = a + b
+    override val inverse: Option[(Double, Double) => Double] = Some(_ - _)
+    def lower(p: Double): Double = p
+  }
+  object DoubleMin extends WheelAggregator[Double, Double, Double] {
+    val identity = Double.PositiveInfinity
+    def lift(in: Double): Double = in
+    def combine(a: Double, b: Double): Double = math.min(a, b)
+    def lower(p: Double): Double = p
+  }
+  object DoubleMax extends WheelAggregator[Double, Double, Double] {
+    val identity = Double.NegativeInfinity
+    def lift(in: Double): Double = in
+    def combine(a: Double, b: Double): Double = math.max(a, b)
+    def lower(p: Double): Double = p
+  }
+  /** (sum, count) pair lowered to the mean (reference `F64AvgAggregator`;
+    * partials kept un-lowered per SURVEY §7.4 trap 7). */
+  object DoubleAvg extends WheelAggregator[Double, (Double, Long), Double] {
+    val identity = (0.0, 0L)
+    def lift(in: Double): (Double, Long) = (in, 1L)
+    def combine(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override val inverse: Option[((Double, Long), (Double, Long)) => (Double, Long)] =
+      Some((ab, a) => (ab._1 - a._1, ab._2 - a._2))
+    def lower(p: (Double, Long)): Double = if (p._2 == 0) Double.NaN else p._1 / p._2
+  }
+  /** Demonstration custom aggregator in the spirit of the reference's
+    * `BitPackingSumAggregator` (32-bit sum partials with an inverse). Note a
+    * deliberate difference: the reference pairs *saturating* add with
+    * saturating subtract (`aggregator/mod.rs:30-34`), which is not a true
+    * inverse — once a prefix saturates, subtraction reconstructs wrong range
+    * sums. Wrapping Int arithmetic is an exact group (a+b-a == b mod 2³²),
+    * so prefix-wheel range queries stay exact for any data. */
+  object WrappingIntSum extends WheelAggregator[Int, Int, Int] {
+    val identity = 0
+    def lift(in: Int): Int = in
+    def combine(a: Int, b: Int): Int = a + b
+    override val inverse: Option[(Int, Int) => Int] = Some(_ - _)
+    def lower(p: Int): Int = p
+  }
+}
+
+/** Typed ingest wheel for a custom [[WheelAggregator]]. */
+final class TypedRwWheel[In, P, Out](val agg: WheelAggregator[In, P, Out]) extends Serializable {
+  private val slots = mutable.LongMap.empty[P]
+  private var watermarkMs: Long = Long.MinValue
+
+  def watermark: Long = watermarkMs
+
+  def insert(tsMs: Long, in: In): Unit = {
+    require(tsMs >= watermarkMs, s"insert at $tsMs behind watermark $watermarkMs")
+    val sec = Math.floorDiv(tsMs, 1000L)
+    slots.updateWith(sec) {
+      case Some(p) => Some(agg.combine(p, agg.lift(in)))
+      case None    => Some(agg.lift(in))
+    }
+  }
+
+  def advanceTo(tsMs: Long): Unit = if (tsMs > watermarkMs) watermarkMs = tsMs
+
+  def merge(other: TypedRwWheel[In, P, Out]): this.type = {
+    other.slots.foreach { case (sec, p) =>
+      slots.updateWith(sec) {
+        case Some(q) => Some(agg.combine(q, p))
+        case None    => Some(p)
+      }
+    }
+    if (other.watermarkMs > watermarkMs) watermarkMs = other.watermarkMs
+    this
+  }
+
+  def freeze()(implicit ct: ClassTag[P]): TypedHawWheel[P, Out] =
+    TypedHawWheel.fromSecondPartials(slots.iterator, agg)
+}
+
+object TypedHawWheel {
+  def fromSecondPartials[In, P: ClassTag, Out](
+      partials: Iterator[(Long, P)],
+      agg: WheelAggregator[In, P, Out]): TypedHawWheel[P, Out] = {
+    val buf = partials.toArray
+    if (buf.isEmpty)
+      return new TypedHawWheel[P, Out](agg.asInstanceOf[WheelAggregator[_, P, Out]], 0L, Array.empty[P])
+    val minSec = buf.iterator.map(_._1).min
+    val maxSec = buf.iterator.map(_._1).max
+    require(maxSec - minSec + 1 <= Int.MaxValue, "second span too large")
+    val n = (maxSec - minSec + 1).toInt
+    val arr = Array.fill[P](n)(agg.identity)
+    buf.foreach { case (sec, p) => arr((sec - minSec).toInt) = agg.combine(arr((sec - minSec).toInt), p) }
+    new TypedHawWheel[P, Out](agg.asInstanceOf[WheelAggregator[_, P, Out]], minSec, arr)
+  }
+}
+
+/** Immutable typed HAW: prefix array when the aggregator is invertible
+  * (O(1) any-range), greedy hierarchy decomposition otherwise. */
+final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
+    agg: WheelAggregator[_, P, Out],
+    val startSec: Long,
+    secs: Array[P]) extends Serializable {
+  import HawWheel.{Spans, alignDown}
+
+  val numSecs: Int = secs.length
+  val endSec: Long = startSec + numSecs
+
+  private val prefix: Option[Array[P]] = agg.inverse.map { _ =>
+    val p = Array.fill[P](numSecs + 1)(agg.identity)
+    var i = 0
+    while (i < numSecs) { p(i + 1) = agg.combine(p(i), secs(i)); i += 1 }
+    p
+  }
+
+  // granularity levels for the non-invertible path (same layout as HawWheel)
+  private val levels: Array[(Long, Long, Array[P])] = // (span, base, slots)
+    if (numSecs == 0 || prefix.isDefined) Array.empty
+    else {
+      val out = Array.newBuilder[(Long, Long, Array[P])]
+      out += ((1L, startSec, secs))
+      var child: (Long, Long, Array[P]) = (1L, startSec, secs)
+      var li = 1
+      while (li < Spans.length) {
+        val span = Spans(li)
+        val base = alignDown(startSec, span)
+        val nSlots = ((alignDown(endSec - 1, span) - base) / span + 1).toInt
+        val slots = Array.fill[P](nSlots)(agg.identity)
+        val (cSpan, cBase, cArr) = child
+        var ci = 0
+        while (ci < cArr.length) {
+          val cSec = cBase + ci * cSpan
+          val si = ((alignDown(cSec, span) - base) / span).toInt
+          slots(si) = agg.combine(slots(si), cArr(ci))
+          ci += 1
+        }
+        child = (span, base, slots)
+        out += child
+        li += 1
+      }
+      out.result()
+    }
+
+  /** Combined partial over [s, e) seconds. */
+  def combineRange(s: Long, e: Long): P = {
+    val lo = math.max(s, startSec)
+    val hi = math.min(e, endSec)
+    if (lo >= hi) return agg.identity
+    prefix match {
+      case Some(pre) =>
+        agg.inverse.get(pre((hi - startSec).toInt), pre((lo - startSec).toInt))
+      case None =>
+        var acc = agg.identity
+        var cur = lo
+        while (cur < hi) {
+          var li = Spans.length - 1
+          while (li > 0 && !(alignDown(cur, Spans(li)) == cur && cur + Spans(li) <= hi)) li -= 1
+          val (span, base, slots) = levels(li)
+          val slot = ((cur - base) / span).toInt
+          if (slot >= 0 && slot < slots.length) acc = agg.combine(acc, slots(slot))
+          cur += span
+        }
+        acc
+    }
+  }
+
+  def range(s: Long, e: Long): Out = agg.lower(combineRange(s, e))
+  def landmark: Out = agg.lower(combineRange(startSec, endSec))
+}
