@@ -66,7 +66,10 @@ final class TableIndex(
   }
   def countWheel: Option[IndexedWheel] = get(None, "")
   def minMaxWheel(col: String): Option[IndexedWheel] = get(Some(col), "")
-  def indexUsageBytes: Long = wheels.asScala.values.map(_.wheel.sizeBytes).sum
+  /** Retained bytes across wheels, counting shared HawWheels (e.g. the
+    * count wheel aliasing the first min/max wheel) once. */
+  def indexUsageBytes: Long =
+    wheels.asScala.values.map(_.wheel).toList.distinct.map(_.sizeBytes).sum
 }
 
 /** Driver-side registry of wheel indices, consulted by the optimizer rule at
