@@ -84,8 +84,14 @@ object RelationalQueries {
         |ORDER BY k""".stripMargin,
 
     "q_except" ->
-      """SELECT CAST(c_nationkey AS INT) AS k FROM customer
+      """SELECT DISTINCT event_type AS k FROM events
         |EXCEPT
+        |SELECT DISTINCT o_orderstatus AS k FROM orders
+        |ORDER BY k""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT CAST(c_nationkey AS INT) AS k FROM customer
+        |INTERSECT
         |SELECT CAST(s_nationkey AS INT) AS k FROM supplier
         |ORDER BY k""".stripMargin,
 

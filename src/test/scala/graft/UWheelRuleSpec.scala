@@ -236,6 +236,31 @@ class UWheelRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("time-range-restricted wheel only answers queries inside its coverage") {
+    setup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cov").toString
+    val p = s"$dir/t.parquet"
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    (0 until 200).map(i => (new java.sql.Timestamp(base + i * 60000L), i.toDouble))
+      .toDF("ts", "value").write.mode("overwrite").parquet(p)
+    val covLo = base / 1000 + 1800            // coverage [t+30min, t+90min)
+    val covHi = base / 1000 + 5400
+    UWheelBuilder("ts", Seq("value")).withTimeRange(covLo, covHi).build(spark, p)
+    def q(a: String, b: String) = spark.read.parquet(p)
+      .filter(col("ts") >= lit(a).cast("timestamp") && col("ts") < lit(b).cast("timestamp"))
+      .agg(count(lit(1)).as("c"))
+    // inside coverage: rewrites and matches ground truth
+    val inside = q("2024-06-01 00:40:00", "2024-06-01 01:20:00")
+    assertRewritten(inside)
+    assert(inside.collect()(0).getLong(0) === groundTruth(
+      q("2024-06-01 00:40:00", "2024-06-01 01:20:00").collect()(0).getLong(0)))
+    // straddling the coverage edge: must NOT rewrite (wheel is partial there)
+    assertNotRewritten(q("2024-06-01 00:00:00", "2024-06-01 01:00:00"))
+    // fully outside: must NOT rewrite
+    assertNotRewritten(q("2024-06-01 02:00:00", "2024-06-01 03:00:00"))
+  }
+
   test("stale index: file change after build disables rewrites") {
     setup
     import spark.implicits._
