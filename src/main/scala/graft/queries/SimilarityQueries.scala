@@ -160,11 +160,36 @@ object SimilarityQueries {
     "ann_ivf" -> (annIvf _),
   )
 
-  /** dd_minhash_lsh / dd_simhash / ann_ivf intentionally have no oracle:
-    * their outputs depend on Spark's xxhash64/Murmur3 (LSH, SimHash) or on
-    * the probe-limited candidate set (IVF) — the driver records a rows-only
-    * check. dd_embed_dup and ann_topk are exactly checkable. */
+  /** dd_minhash_lsh / dd_simhash intentionally have no oracle: their outputs
+    * depend on Spark's xxhash64/Murmur3 — the driver records a rows-only
+    * check (their semantics are validated against exact counterparts in the
+    * test suite instead). Everything else is exactly checkable — including
+    * IVF, whose centroid choice, assignment, and probing are deterministic
+    * with explicit tie-breaks. */
   val oracles: Map[String, String] = Map(
+    "ann_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS vc FROM embeddings WHERE vec_id % 37 = 0),
+        |assign AS (
+        |  SELECT vec_id AS xi, embedding AS vx, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(e.embedding, c.vc) DESC, c.cid) AS crn
+        |    FROM embeddings e CROSS JOIN cents c) t
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qi, embedding AS vq, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(e.embedding, c.vc) DESC, c.cid) AS crn
+        |    FROM embeddings e CROSS JOIN cents c
+        |    WHERE e.vec_id < 10) t
+        |  WHERE crn <= 3),
+        |scored AS (
+        |  SELECT p.qi, a.xi, list_cosine_similarity(p.vq, a.vx) AS sim
+        |  FROM probes p JOIN assign a ON p.cid = a.cid AND p.qi <> a.xi)
+        |SELECT qi, xi FROM (
+        |  SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi) AS rn FROM scored) t
+        |WHERE rn <= 5 ORDER BY qi, xi""".stripMargin,
     "dd_embed_dup" ->
       """SELECT a.vec_id AS i, b.vec_id AS j
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

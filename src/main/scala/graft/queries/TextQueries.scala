@@ -49,6 +49,13 @@ object TextQueries {
         |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // corpus statistics: top terms by document frequency (+ total term freq)
+    "txt_topterms" ->
+      """SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |       CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents) t
+        |GROUP BY w ORDER BY df DESC, tf DESC, w LIMIT 10""".stripMargin,
+
     // exact dedup: hash-groupBy on a normalized key, keep-min representative
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_sz
@@ -104,6 +111,12 @@ object TextQueries {
         |                     w -> CAST(length(w) * 131 + ascii(w) AS BIGINT))),
         |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_topterms" ->
+      """SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |       CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        |GROUP BY w ORDER BY df DESC, tf DESC, w LIMIT 10""".stripMargin,
 
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_sz
