@@ -109,10 +109,15 @@ final case class UWheelBuilder(
     timeColumn: String,
     minMaxColumns: Seq[String] = Nil,
     timeRangeSec: Option[(Long, Long)] = None,
-    scale: Int = 2) {
+    scale: Int = 2,
+    keyedWheels: Seq[IndexBuilder] = Nil) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
+  /** Fuses an ad-hoc keyed/filtered wheel into the same single build scan
+    * (equivalent to a later `UWheelIndex.buildIndex` call, minus the pass). */
+  def withKeyedWheel(ib: IndexBuilder): UWheelBuilder =
+    copy(keyedWheels = keyedWheels :+ ib)
 
   def build(spark: SparkSession, path: String): TableIndex =
     UWheelIndex.build(spark, path, this)
@@ -131,15 +136,27 @@ object UWheelIndex {
     *                   single scan instead of a separate pass. */
   final case class BuiltWheel(wheel: IndexedWheel, sawNullTs: Boolean)
 
-  private def buildWheel(
-      df: DataFrame,
-      timeColumn: String,
+  /** One wheel to build: which column (None = row count), under which
+    * residual filter, over which time coverage. */
+  final case class WheelSpec(
       valueColumn: Option[String],
       filter: Option[Column],
       filterKey: String,
       timeRangeSec: Option[(Long, Long)],
-      scale: Int): BuiltWheel = {
-    var base = filter.map(df.filter).getOrElse(df)
+      scale: Int)
+
+  /** Builds ANY number of wheels in ONE distributed scan: each spec becomes
+    * six conditional aggregate columns of a single map-side-combining
+    * `groupBy(second)`, so index construction over 100 TB is one pass
+    * regardless of how many count/min-max/keyed wheels are requested (the
+    * reference runs one full query per wheel, `lib.rs:154-239,912-965`).
+    * Rows a spec filters out contribute nothing to that spec's aggregates
+    * (`WHEN keep` → NULL / 0). */
+  private def buildWheels(
+      df: DataFrame,
+      timeColumn: String,
+      specs: Seq[WheelSpec]): Seq[BuiltWheel] = {
+    require(specs.nonEmpty)
     // Epoch-second slot of the time column. TimestampType → cast; a raw
     // nanosecond Long (events.ts via Tables) → floor-div by 1e9. Both equal
     // DuckDB's ns→µs→sec truncation for epoch-positive data.
@@ -148,58 +165,59 @@ object UWheelIndex {
         F.expr(s"`$timeColumn` div 1000000000")
       case _ => F.col(timeColumn).cast("long")
     }
-    timeRangeSec.foreach { case (s, e) =>
-      base = base.filter(secExpr >= s && secExpr < e)
+    val aggCols = specs.zipWithIndex.flatMap { case (sp, i) =>
+      val inRange = sp.timeRangeSec
+        .map { case (s, e) => secExpr >= s && secExpr < e }
+        .getOrElse(F.lit(true))
+      val keep = sp.filter.map(_ && inRange).getOrElse(inRange)
+      val v = sp.valueColumn match {
+        case Some(c) => F.when(keep, F.col(c).cast("double"))
+        case None    => F.lit(null).cast("double")
+      }
+      // Exactness probe: does v survive a round-trip through
+      // DECIMAL(38,scale)? NaN/Infinity/overflow cast to NULL and count as
+      // non-representable.
+      val roundTrip = v.cast(DecimalType(38, sp.scale)).cast("double")
+      Seq(
+        F.sum(F.when(keep, F.lit(1L)).otherwise(F.lit(0L))).as(s"c$i"),
+        F.count(v).as(s"cv$i"),
+        F.sum(v.cast(DecimalType(38, sp.scale))).as(s"s$i"),
+        F.min(v).as(s"mn$i"),
+        F.max(v).as(s"mx$i"),
+        F.sum(F.when(v.isNotNull && (roundTrip.isNull || roundTrip =!= v), F.lit(1L))
+          .otherwise(F.lit(0L))).as(s"b$i"))
     }
-    val sec = secExpr.as("sec")
-    valueColumn match {
-      case Some(vc) =>
-        // Exactness probe: does v survive a round-trip through
-        // DECIMAL(38,scale)? NaN/Infinity/overflow cast to NULL and count as
-        // non-representable.
-        val roundTrip = F.col("v").cast(DecimalType(38, scale)).cast("double")
-        val notExact = F.when(
-          F.col("v").isNotNull && (roundTrip.isNull || roundTrip =!= F.col("v")), 1L
-        ).otherwise(0L)
-        val partials = base
-          .select(sec, F.col(vc).cast("double").as("v"))
-          .groupBy("sec")
-          .agg(
-            F.count(F.lit(1)).as("c"),
-            F.count(F.col("v")).as("cv"),
-            F.sum(F.col("v").cast(DecimalType(38, scale))).as("s"),
-            F.min("v").as("mn"),
-            F.max("v").as("mx"),
-            F.sum(notExact).as("badrep"))
-          .collect()
-        var allNonNull = true
-        var badRep = 0L
-        val it = partials.iterator.filter(!_.isNullAt(0)).map { r =>
-          val c = r.getLong(1)
-          val cv = r.getLong(2)
-          if (cv != c) allNonNull = false
-          badRep += r.getLong(6)
-          val sumScaled =
-            if (r.isNullAt(3)) 0L
-            else r.getDecimal(3).movePointRight(scale).longValueExact()
-          val mn = if (r.isNullAt(4)) Double.PositiveInfinity else r.getDouble(4)
-          val mx = if (r.isNullAt(5)) Double.NegativeInfinity else r.getDouble(5)
-          (r.getLong(0), c, sumScaled, mn, mx)
+    val partials = df.groupBy(secExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*).collect()
+    specs.zipWithIndex.map { case (sp, i) =>
+      val o = 1 + i * 6
+      val hasValues = sp.valueColumn.isDefined
+      var allNonNull = true
+      var badRep = 0L
+      var sawNullTs = false
+      val buf = Vector.newBuilder[(Long, Long, Long, Double, Double)]
+      partials.foreach { r =>
+        val c = r.getLong(o)
+        if (c > 0) {
+          if (r.isNullAt(0)) sawNullTs = true
+          else {
+            if (r.getLong(o + 1) != c) allNonNull = false
+            badRep += r.getLong(o + 5)
+            val sumScaled =
+              if (r.isNullAt(o + 2)) 0L
+              else r.getDecimal(o + 2).movePointRight(sp.scale).longValueExact()
+            val mn = if (r.isNullAt(o + 3)) Double.PositiveInfinity else r.getDouble(o + 3)
+            val mx = if (r.isNullAt(o + 4)) Double.NegativeInfinity else r.getDouble(o + 4)
+            buf += ((r.getLong(0), c, sumScaled, mn, mx))
+          }
         }
-        val wheel = HawWheel.fromSecondPartials(it, scale, hasValues = true)
-        BuiltWheel(
-          IndexedWheel(wheel, Some(vc), filterKey, allNonNull, badRep == 0L, timeRangeSec),
-          partials.exists(_.isNullAt(0)))
-      case None =>
-        val partials = base.select(sec).groupBy("sec").agg(F.count(F.lit(1)).as("c")).collect()
-        val it = partials.iterator.filter(!_.isNullAt(0)).map { r =>
-          (r.getLong(0), r.getLong(1), 0L, Double.PositiveInfinity, Double.NegativeInfinity)
-        }
-        BuiltWheel(
-          IndexedWheel(HawWheel.fromSecondPartials(it, scale, hasValues = false),
-            None, filterKey, valueAllNonNull = true, valuesExactAtScale = true,
-            timeRangeSec),
-          partials.exists(_.isNullAt(0)))
+      }
+      val wheel = HawWheel.fromSecondPartials(buf.result().iterator, sp.scale, hasValues)
+      BuiltWheel(
+        IndexedWheel(wheel, sp.valueColumn, sp.filterKey,
+          valueAllNonNull = !hasValues || allNonNull,
+          valuesExactAtScale = !hasValues || badRep == 0L,
+          sp.timeRangeSec),
+        sawNullTs)
     }
   }
 
@@ -229,27 +247,38 @@ object UWheelIndex {
   def build(spark: SparkSession, path: String, conf: UWheelBuilder): TableIndex = {
     graft.Tables.ensureNanosConf(spark)
     val df = spark.read.parquet(path)
-    // One distributed scan per wheel; the count wheel is derived from the
-    // first min/max wheel's partials (same per-second counts), so a typical
-    // build is a single scan instead of the reference's
-    // count-then-per-column passes (`lib.rs:912-965`). NULL-time detection
-    // rides along in the same partials.
-    val built = conf.minMaxColumns.map { c =>
-      buildWheel(df, conf.timeColumn, Some(c), None, "", conf.timeRangeSec, conf.scale)
+    // ONE distributed scan builds everything: per-column min/max wheels,
+    // keyed wheels, and the count wheel (derived from the first min/max
+    // wheel's partials — same per-second counts — or built as its own spec
+    // when no columns are requested). The reference runs one full table
+    // query per wheel (`lib.rs:912-965,154-239`).
+    val colSpecs = conf.minMaxColumns.map(c =>
+      WheelSpec(Some(c), None, "", conf.timeRangeSec, conf.scale))
+    val keyedSpecs = conf.keyedWheels.map { ib =>
+      val fc = F.expr(ib.filterSql.getOrElse(
+        throw new IllegalArgumentException("keyed wheel requires a filter")))
+      WheelSpec(Some(ib.column), Some(fc),
+        graft.expr.Canon.canonFilterKey(df.filter(fc)),
+        ib.timeRangeSec.orElse(conf.timeRangeSec), conf.scale)
     }
-    val countBuilt = built.headOption match {
+    val countSpec =
+      if (colSpecs.isEmpty) Seq(WheelSpec(None, None, "", conf.timeRangeSec, conf.scale))
+      else Nil
+    val built = buildWheels(df, conf.timeColumn, colSpecs ++ keyedSpecs ++ countSpec)
+    val (colBuilt, rest) = built.splitAt(colSpecs.length)
+    val countBuilt = colBuilt.headOption match {
       case Some(bw) =>
         BuiltWheel(IndexedWheel(bw.wheel.wheel, None, "",
           valueAllNonNull = true, valuesExactAtScale = true, conf.timeRangeSec),
           bw.sawNullTs)
-      case None =>
-        buildWheel(df, conf.timeColumn, None, None, "", conf.timeRangeSec, conf.scale)
+      case None => rest.last
     }
-    val tsAllNonNull = !(countBuilt.sawNullTs || built.exists(_.sawNullTs))
+    val unfiltered = colBuilt :+ countBuilt
+    val tsAllNonNull = !unfiltered.exists(_.sawNullTs)
     val t = new TableIndex(WheelRegistry.normalizePath(path), conf.timeColumn,
       tsAllNonNull, fingerprintOf(df))
     t.put(countBuilt.wheel)
-    built.foreach(bw => t.put(bw.wheel))
+    (colBuilt ++ rest.take(keyedSpecs.length)).foreach(bw => t.put(bw.wheel))
     WheelRegistry.register(t)
     t
   }
@@ -269,7 +298,8 @@ object UWheelIndex {
         (Some(c), graft.expr.Canon.canonFilterKey(df.filter(c)))
       case None => (None, "")
     }
-    t.put(buildWheel(df, t.timeColumn, Some(ib.column), filterCol, filterKey,
-      ib.timeRangeSec, scale).wheel)
+    t.put(buildWheels(df, t.timeColumn,
+      Seq(WheelSpec(Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale)))
+      .head.wheel)
   }
 }

@@ -30,8 +30,10 @@ object Q {
     if (prepared.add(key)) {
       Graft.enable(spark)
       val ev = s"$sfDir/events.parquet"
-      UWheelBuilder("ts", Seq("value")).build(spark, ev)
-      UWheelIndex.buildIndex(spark, ev, IndexBuilder("value", Some("event_type = 'click'")))
+      // count + min/max + keyed SUM wheels, all from ONE scan
+      UWheelBuilder("ts", Seq("value"))
+        .withKeyedWheel(IndexBuilder("value", Some("event_type = 'click'")))
+        .build(spark, ev)
     }
     spark
   }
