@@ -81,6 +81,48 @@ object WheelRegistry {
   def normalizePath(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 
+  /** Registry key for an in-memory DataFrame index (display only). */
+  def viewKey(name: String): String = "view::" + name.toLowerCase
+
+  // In-memory (no file backing) indexes are found by the attribute ExprIds
+  // of the indexed DataFrame (names and SubqueryAlias nodes are gone by the
+  // time the optimizer rule runs; ExprIds survive and are globally unique),
+  // BUT ExprId identity alone is unsound: Catalyst's ConvertToLocalRelation
+  // folds filters/projections INTO local data before our rule runs, so a
+  // leaf carrying the registered ids may be an arbitrary row SUBSET of the
+  // indexed data. The leaf must therefore also be semantically identical
+  // (sameResult) to the plan the index was built from.
+  private val byExprId =
+    new ConcurrentHashMap[Long, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, TableIndex)]()
+
+  def registerExprIds(
+      ids: Seq[Long],
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      t: TableIndex): Unit = {
+    tables.put(t.pathKey, t)
+    ids.foreach(id => byExprId.put(Long.box(id).longValue(), (plan, t)))
+  }
+
+  def lookupLeaf(
+      leaf: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[TableIndex] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    leaf.output.view
+      .flatMap(a => Option(byExprId.get(a.exprId.id)))
+      .collectFirst {
+        case (plan, t) if leaf.sameResult(plan) => t
+        // Column pruning projects the leaf but keeps ExprIds and rows.
+        // Folding rules (Filter/Limit/Sample) can only DROP rows and an
+        // id-preserving Project passes values through unchanged, so a leaf
+        // whose attrs are all registered ids with the registered row count
+        // is exactly the indexed data, projected.
+        case (reg: LocalRelation, t)
+            if leaf.isInstanceOf[LocalRelation] &&
+              leaf.asInstanceOf[LocalRelation].data.length == reg.data.length &&
+              leaf.output.forall(a => reg.output.exists(_.exprId == a.exprId)) =>
+          t
+      }
+  }
+
   def register(t: TableIndex): Unit = tables.put(t.pathKey, t)
   def lookup(rootPath: String): Option[TableIndex] =
     Option(tables.get(normalizePath(rootPath)))
@@ -247,6 +289,26 @@ object UWheelIndex {
   def build(spark: SparkSession, path: String, conf: UWheelBuilder): TableIndex = {
     graft.Tables.ensureNanosConf(spark)
     val df = spark.read.parquet(path)
+    buildFrom(df, WheelRegistry.normalizePath(path), fingerprintOf(df), conf)
+  }
+
+  /** Indexes an arbitrary DataFrame (no file backing) — the in-memory-table
+    * path of the reference (`examples/memtable/src/main.rs:86-114`). The
+    * rule recognizes the data by the DataFrame's attribute ExprIds, which
+    * survive optimization and pruning; queries against a temp view over the
+    * same DataFrame (or the DataFrame itself) rewrite. Local data is
+    * immutable, so no staleness fingerprint applies; re-creating the view
+    * from a NEW DataFrame yields new ExprIds and the old index goes inert. */
+  def buildFromDataFrame(df: DataFrame, viewName: String, conf: UWheelBuilder): TableIndex = {
+    val t = buildFrom(df, WheelRegistry.viewKey(viewName), 0L, conf)
+    WheelRegistry.registerExprIds(
+      df.queryExecution.analyzed.output.map(_.exprId.id),
+      df.queryExecution.optimizedPlan, t)
+    t
+  }
+
+  private def buildFrom(df: DataFrame, pathKey: String, fingerprint: Long,
+      conf: UWheelBuilder): TableIndex = {
     // ONE distributed scan builds everything: per-column min/max wheels,
     // keyed wheels, and the count wheel (derived from the first min/max
     // wheel's partials — same per-second counts — or built as its own spec
@@ -275,8 +337,7 @@ object UWheelIndex {
     }
     val unfiltered = colBuilt :+ countBuilt
     val tsAllNonNull = !unfiltered.exists(_.sawNullTs)
-    val t = new TableIndex(WheelRegistry.normalizePath(path), conf.timeColumn,
-      tsAllNonNull, fingerprintOf(df))
+    val t = new TableIndex(pathKey, conf.timeColumn, tsAllNonNull, fingerprint)
     t.put(countBuilt.wheel)
     (colBuilt ++ rest.take(keyedSpecs.length)).foreach(bw => t.put(bw.wheel))
     WheelRegistry.register(t)

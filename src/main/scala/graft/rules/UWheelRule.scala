@@ -119,6 +119,13 @@ object UWheelRule extends Rule[LogicalPlan] {
                 t.fingerprint == graft.index.UWheelIndex.fingerprintOf(fs.location))
           case _ => None
         }
+      // in-memory (DataFrame-built) index: leaf must carry the registered
+      // ExprIds AND be semantically identical to the registered plan —
+      // Catalyst folds filters into local data before this rule runs, so a
+      // same-ids leaf can be a row subset of the indexed table (matching it
+      // by ids alone would answer from the wrong row set)
+      case leaf if leaf.children.isEmpty =>
+        WheelRegistry.lookupLeaf(leaf)
       case _ => None
     }
 
