@@ -12,10 +12,14 @@ object Canon {
   /** Canonical string form of a residual predicate, used as the wheel
     * registry key (reference keys wheels by stringified expr,
     * `lib.rs:310-320,782-787`). Qualifiers are stripped so `t.col` and `col`
-    * match; conjuncts are sorted so order never matters. */
+    * match; conjuncts are sorted so order never matters; foldable
+    * sub-expressions are evaluated so the analyzed build side
+    * (`CAST(100 AS BIGINT)`) and the optimized query side (`100L`) agree. */
   def canonExpr(e: Expression): String =
     e.transformUp {
       case a: AttributeReference => a.withQualifier(Nil).withExprId(ExprId(0))
+      case f if f.foldable && !f.isInstanceOf[Literal] && f.references.isEmpty =>
+        scala.util.Try(Literal.create(f.eval(null), f.dataType)).getOrElse(f)
     }.sql
 
   def canonFilterKey(conjuncts: Seq[Expression]): String =

@@ -55,6 +55,9 @@ object WheelQueries {
         |ORDER BY event_id""".stripMargin),
     "uw_prune_minmax" -> Q.sql(
       s"SELECT event_id FROM events WHERE $range AND value > 100000.0 ORDER BY event_id"),
+    // one-sided bound: upper side unbounded (requires the NULL-free time proof)
+    "uw_count_from" -> Q.sql(
+      s"SELECT count(*) AS cnt, max(value) AS mx FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'"),
   )
 
   val oracles: Map[String, String] = Map(
@@ -92,5 +95,7 @@ object WheelQueries {
         |ORDER BY event_id""".stripMargin,
     "uw_prune_minmax" ->
       s"SELECT event_id FROM events WHERE $range AND value > 100000.0 ORDER BY event_id",
+    "uw_count_from" ->
+      s"SELECT count(*) AS cnt, max(value) AS mx FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'",
   )
 }

@@ -86,6 +86,21 @@ class UWheelRuleSpec extends AnyFunSuite {
     assert(math.abs(q.collect()(0).getDouble(0) - exp) < 1e-6)
   }
 
+  test("R2 keyed: multi-conjunct residual matches regardless of conjunct order") {
+    setup
+    UWheelIndex.buildIndex(spark, path,
+      IndexBuilder("value", Some("event_type = 'click' AND user_id > 10")))
+    val q1 = ranged.filter(col("event_type") === "click" && col("user_id") > 10)
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+    val q2 = ranged.filter(col("user_id") > 10 && col("event_type") === "click")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+    assertRewritten(q1)
+    assertRewritten(q2)
+    val exp = groundTruth(q1.collect()(0).getDouble(0))
+    assert(q1.collect()(0).getDouble(0) === exp)
+    assert(q2.collect()(0).getDouble(0) === exp)
+  }
+
   test("R2 keyed: unknown residual predicate does NOT rewrite") {
     setup
     val q = ranged.filter(col("event_type") === "view").agg(sum("value").as("s"))
