@@ -58,6 +58,9 @@ object Extract {
 
   private def litMicros(e: Expression): Option[Long] = e match {
     case Literal(v: Long, TimestampType) => Some(v)
+    // NTZ literals carry wall-clock micros — the same scale the wheel is
+    // built on for NTZ columns (build pins the epoch extraction to UTC)
+    case Literal(v: Long, TimestampNTZType) => Some(v)
     case Cast(child, TimestampType, _, _) => litMicros(child)
     case _ => None
   }
@@ -69,7 +72,9 @@ object Extract {
     * rejected — their timestamp value depends on the session time zone.
     */
   def isTime(e: Expression, timeCol: String): Boolean = e match {
-    case a: AttributeReference => a.name == timeCol && a.dataType == TimestampType
+    case a: AttributeReference =>
+      a.name == timeCol &&
+        (a.dataType == TimestampType || a.dataType == TimestampNTZType)
     case Cast(child, _: TimestampType, _, _) => isTime(child, timeCol)
     case m: MicrosToTimestamp => m.child match {
       case d: IntegralDivide =>

@@ -200,11 +200,19 @@ object UWheelIndex {
       specs: Seq[WheelSpec]): Seq[BuiltWheel] = {
     require(specs.nonEmpty)
     // Epoch-second slot of the time column. TimestampType → cast; a raw
-    // nanosecond Long (events.ts via Tables) → floor-div by 1e9. Both equal
-    // DuckDB's ns→µs→sec truncation for epoch-positive data.
+    // nanosecond Long (events.ts via Tables) → floor-div by 1e9; NTZ →
+    // wall-clock seconds (cast through TimestampType with the session
+    // pinned to UTC below, so the slot equals the NTZ micros / 1e6 that
+    // query-side literals carry, independent of the caller's zone).
+    val isNtz = df.schema(timeColumn).dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
     val secExpr = df.schema(timeColumn).dataType match {
       case org.apache.spark.sql.types.LongType =>
         F.expr(s"`$timeColumn` div 1000000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ→BIGINT is not castable directly; go through TimestampType
+        // (zone pinned to UTC around the collect, so this is wall-clock µs)
+        F.col(timeColumn).cast(org.apache.spark.sql.types.TimestampType).cast("long")
       case _ => F.col(timeColumn).cast("long")
     }
     val aggCols = specs.zipWithIndex.flatMap { case (sp, i) =>
@@ -229,7 +237,13 @@ object UWheelIndex {
         F.sum(F.when(v.isNotNull && (roundTrip.isNull || roundTrip =!= v), F.lit(1L))
           .otherwise(F.lit(0L))).as(s"b$i"))
     }
-    val partials = df.groupBy(secExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*).collect()
+    val spark = df.sparkSession
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    val partials =
+      try {
+        if (isNtz) spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.groupBy(secExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*).collect()
+      } finally if (isNtz) spark.conf.set("spark.sql.session.timeZone", savedTz)
     specs.zipWithIndex.map { case (sp, i) =>
       val o = 1 + i * 6
       val hasValues = sp.valueColumn.isDefined

@@ -29,11 +29,21 @@ object Q {
     val key = sid + "#" + sfDir
     if (prepared.add(key)) {
       Graft.enable(spark)
-      val ev = s"$sfDir/events.parquet"
-      // count + min/max + keyed SUM wheels, all from ONE scan
-      UWheelBuilder("ts", Seq("value"))
+      // A failed build must not poison the session: queries stay correct
+      // through the scan path, so log and continue without that index.
+      def tryBuild(what: String)(b: => Unit): Unit =
+        try b catch {
+          case e: Throwable =>
+            System.err.println(s"[graft] index build failed for $what: ${e.getMessage}")
+        }
+      // events: count + min/max + keyed SUM wheels, all from ONE scan
+      tryBuild("events")(UWheelBuilder("ts", Seq("value"))
         .withKeyedWheel(IndexBuilder("value", Some("event_type = 'click'")))
-        .build(spark, ev)
+        .build(spark, s"$sfDir/events.parquet"))
+      // lineitem: second indexed table (multi-year NTZ time span, so
+      // calendar group-bys produce real multi-bucket results)
+      tryBuild("lineitem")(UWheelBuilder("l_shipdate", Seq("l_quantity"))
+        .build(spark, s"$sfDir/lineitem.parquet"))
     }
     spark
   }

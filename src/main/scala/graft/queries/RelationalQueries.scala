@@ -89,6 +89,12 @@ object RelationalQueries {
         |SELECT DISTINCT o_orderstatus AS k FROM orders
         |ORDER BY k""".stripMargin,
 
+    "q_left_join" ->
+      """SELECT c_mktsegment, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_intersect" ->
       """SELECT CAST(c_nationkey AS INT) AS k FROM customer
         |INTERSECT

@@ -58,6 +58,18 @@ object WheelQueries {
     // one-sided bound: upper side unbounded (requires the NULL-free time proof)
     "uw_count_from" -> Q.sql(
       s"SELECT count(*) AS cnt, max(value) AS mx FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'"),
+    // second indexed table, multi-year span: calendar buckets are plural
+    "uw_li_groupby_month" -> Q.sql(
+      """SELECT date_trunc('month', l_shipdate) AS m, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "uw_li_groupby_year" -> Q.sql(
+      """SELECT date_trunc('year', l_shipdate) AS y, count(*) AS cnt,
+        |       min(l_quantity) AS mn, max(l_quantity) AS mx
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
   val oracles: Map[String, String] = Map(
@@ -97,5 +109,16 @@ object WheelQueries {
       s"SELECT event_id FROM events WHERE $range AND value > 100000.0 ORDER BY event_id",
     "uw_count_from" ->
       s"SELECT count(*) AS cnt, max(value) AS mx FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'",
+    "uw_li_groupby_month" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_li_groupby_year" ->
+      """SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y, count(*) AS cnt,
+        |       min(l_quantity) AS mn, max(l_quantity) AS mx
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -299,11 +299,14 @@ object UWheelRule extends Rule[LogicalPlan] {
               if isTime(t, table.timeColumn) =>
             val unit = fmt.toString.toLowerCase
             // Wheel slots are fixed UTC/epoch-aligned spans, but Spark
-            // truncates minute/hour/day/week/month/year in the session time
-            // zone (DST, :30/:45 offsets, pre-1972 sub-minute LMT offsets).
-            // Only 'second' is timezone-invariant; everything coarser
-            // requires the resolved zone to be UTC, else fall through.
-            if (unit != "second" && !tzId.exists(isUtcZone)) return None
+            // truncates minute/hour/day/week/month/year TIMESTAMP values in
+            // the session time zone (DST, :30/:45 offsets, pre-1972
+            // sub-minute LMT offsets). Only 'second' is timezone-invariant;
+            // everything coarser requires the resolved zone to be UTC, else
+            // fall through. NTZ columns truncate on the wall clock — no
+            // zone involved — so they are exempt.
+            val ntz = t.dataType == TimestampNTZType
+            if (unit != "second" && !ntz && !tzId.exists(isUtcZone)) return None
             val fn: HawWheel => IndexedSeq[(Long, RangeAgg)] =
               HawWheel.levelIndexOf(unit) match {
                 case Some(idx) => hw => hw.groupBy(sSec, eSec, idx)
@@ -313,12 +316,14 @@ object UWheelRule extends Rule[LogicalPlan] {
                   val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
                   hw => hw.groupByCalendar(sSec, eSec, stride)
               }
-            (fn, gs => Literal(gs * 1000000L, TimestampType))
+            (fn, gs => Literal(gs * 1000000L, ge.dataType))
           // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
-          // DateType key (days since epoch); date truncation follows the
-          // session zone, so UTC-gated like the coarse units above.
+          // DateType key (days since epoch); date truncation of TIMESTAMP
+          // follows the session zone, so UTC-gated like the coarse units
+          // above — NTZ casts are wall-clock and exempt.
           case Cast(t, DateType, tzId, _)
-              if isTime(t, table.timeColumn) && tzId.exists(isUtcZone) =>
+              if isTime(t, table.timeColumn) &&
+                (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) =>
             (hw => hw.groupBy(sSec, eSec, 3),
               gs => Literal((gs / HawWheel.DAY).toInt, DateType))
           case _ => return None

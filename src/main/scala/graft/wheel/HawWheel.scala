@@ -4,27 +4,30 @@ package graft.wheel
   * µWheel index used by the reference optimizer
   * (`/root/reference/datafusion-uwheel/src/lib.rs`, `wheels.rs:19-37`).
   *
-  * Layout: one dense array of partial aggregates per granularity
-  * (second / minute / hour / day / week), all slots retained (the reference's
-  * `RetentionPolicy::Keep`, `/root/reference/datafusion-uwheel/src/builder.rs:99-112`).
-  * Counts and sums additionally keep prefix arrays so any `[start,end)` range
-  * is answered in O(1) (the reference's `to_prefix_wheels()`,
-  * `lib.rs:1122-1124`); min/max are not invertible and use greedy
-  * calendar decomposition across granularities (O(slots-per-level), ≤ ~240
-  * combines for any range plus one slot per week spanned).
+  * Layout: SPARSE sorted per-second partials plus sparse rolled-up min/max
+  * levels (minute / hour / day / week). The reference (and round 1 of this
+  * engine) uses dense ring buffers per granularity — fine for its one-month
+  * benchmark table, but dense per-second arrays over a multi-year time span
+  * are gigabytes regardless of row count (a 7-year retail table OOMed the
+  * build). Here memory is proportional to DISTINCT seconds with data;
+  * count/sum prefix arrays over the compacted domain answer any `[start,
+  * end)` range in O(log n) (the reference's `to_prefix_wheels()` O(1) with a
+  * binary-search index step, `lib.rs:1122-1124`); min/max use greedy
+  * calendar decomposition across granularities with per-level binary-search
+  * slot lookup.
   *
   * Exactness contract (stricter than the reference, which silently truncates
   * sub-second bounds — `expr.rs:219-222`): all query ranges are in *whole
   * epoch seconds*; the optimizer rule only rewrites when predicate bounds are
   * exactly second-aligned, so a rewritten answer equals the full scan answer
   * bit-for-bit. Sums are kept as scaled longs ("cents" at `scale` decimal
-  * digits) so range sums are exact integer arithmetic, not float accumulation.
+  * digits) so range sums are exact integer arithmetic, not float
+  * accumulation.
   *
   * Scale story (100 TB design point): the wheel is built from *per-second
-  * partial aggregates* computed by a distributed `groupBy(second)` — the data
-  * collected to the driver is bounded by the time span (one row per distinct
-  * second), independent of table row count. A year of data is ~31.5M seconds
-  * regardless of whether the table has 1M or 1T rows.
+  * partial aggregates* computed by a distributed `groupBy(second)` — the
+  * data collected to the driver is bounded by the number of distinct active
+  * seconds, independent of table row count.
   */
 object HawWheel {
   final val SECOND = 1L
@@ -72,43 +75,47 @@ object HawWheel {
   /** Builds a wheel from per-second partial aggregates.
     *
     * @param partials iterator of (epochSec, count, sumScaled, min, max);
-    *                 at most one entry per distinct second. For count-only
-    *                 wheels pass sumScaled=0, min=+Inf, max=-Inf.
+    *                 duplicate seconds are merged. For count-only wheels
+    *                 pass sumScaled=0, min=+Inf, max=-Inf.
     * @param scale    decimal digits of the scaled sum (2 => cents)
     */
   def fromSecondPartials(partials: Iterator[(Long, Long, Long, Double, Double)],
                          scale: Int,
                          hasValues: Boolean): HawWheel = {
-    val buf = partials.toArray
+    val buf = partials.toArray.sortBy(_._1)
     if (buf.isEmpty) return empty(scale, hasValues)
-    var minSec = Long.MaxValue
-    var maxSec = Long.MinValue
-    buf.foreach { p =>
-      if (p._1 < minSec) minSec = p._1
-      if (p._1 > maxSec) maxSec = p._1
+    // merge duplicate seconds in place
+    var n = 0
+    var i = 0
+    while (i < buf.length) {
+      if (n > 0 && buf(n - 1)._1 == buf(i)._1) {
+        val a = buf(n - 1); val b = buf(i)
+        buf(n - 1) = (a._1, a._2 + b._2, a._3 + b._3,
+          math.min(a._4, b._4), math.max(a._5, b._5))
+      } else { buf(n) = buf(i); n += 1 }
+      i += 1
     }
-    val n = (maxSec - minSec + 1).toInt
-    require(n > 0 && (maxSec - minSec + 1) <= Int.MaxValue, s"second span too large: ${maxSec - minSec}")
+    val secs   = new Array[Long](n)
     val counts = new Array[Long](n)
     val sums   = new Array[Long](n)
-    val mins   = Array.fill(n)(Double.PositiveInfinity)
-    val maxs   = Array.fill(n)(Double.NegativeInfinity)
-    buf.foreach { case (sec, c, s, mn, mx) =>
-      val i = (sec - minSec).toInt
-      counts(i) += c
-      sums(i) += s
-      if (mn < mins(i)) mins(i) = mn
-      if (mx > maxs(i)) maxs(i) = mx
+    val mins   = new Array[Double](n)
+    val maxs   = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val p = buf(i)
+      secs(i) = p._1; counts(i) = p._2; sums(i) = p._3; mins(i) = p._4; maxs(i) = p._5
+      i += 1
     }
-    new HawWheel(minSec, n, scale, hasValues, counts, sums, mins, maxs)
+    new HawWheel(secs(0), secs(n - 1) + 1, scale, hasValues, secs, counts, sums, mins, maxs)
   }
 
   def empty(scale: Int, hasValues: Boolean): HawWheel =
-    new HawWheel(0L, 0, scale, hasValues, Array.emptyLongArray, Array.emptyLongArray,
-      Array.emptyDoubleArray, Array.emptyDoubleArray)
+    new HawWheel(0L, 0L, scale, hasValues, Array.emptyLongArray, Array.emptyLongArray,
+      Array.emptyLongArray, Array.emptyDoubleArray, Array.emptyDoubleArray)
 
-  /** One granularity level of the min/max hierarchy. */
-  private[wheel] final class Level(val span: Long, val baseSec: Long,
+  /** One granularity level of the min/max hierarchy: sorted aligned slot
+    * starts with their min/max. */
+  private[wheel] final class Level(val span: Long, val starts: Array[Long],
                                    val mins: Array[Double], val maxs: Array[Double])
 }
 
@@ -127,19 +134,30 @@ final case class RangeAgg(count: Long, sumScaled: Long, min: Double, max: Double
 
 final class HawWheel private (
     val startSec: Long,
-    val numSecs: Int,
+    val endSec: Long, // last data second + 1 (exclusive)
     val scale: Int,
     val hasValues: Boolean,
+    secs: Array[Long],
     counts: Array[Long],
     sums: Array[Long],
     secMins: Array[Double],
     secMaxs: Array[Double]) extends Serializable {
   import HawWheel._
 
-  val endSec: Long = startSec + numSecs // exclusive
+  /** Number of DISTINCT seconds with data. */
+  val numSecs: Int = secs.length
 
-  // Prefix arrays: O(1) count/sum for any second range (invertible aggs only,
-  // mirroring the reference's prefix wheels).
+  /** First index i with secs(i) >= x. */
+  private def lowerBound(arr: Array[Long], x: Long): Int = {
+    val r = java.util.Arrays.binarySearch(arr, x)
+    if (r >= 0) {
+      // binarySearch gives no guarantee which duplicate; arrays are distinct
+      r
+    } else -(r + 1)
+  }
+
+  // Prefix arrays over the compacted (distinct-seconds) domain: O(log)
+  // count/sum for any second range, memory ∝ active seconds.
   private val prefCount: Array[Long] = {
     val p = new Array[Long](numSecs + 1)
     var i = 0
@@ -153,59 +171,64 @@ final class HawWheel private (
     p
   }
 
-  // Coarser min/max levels (minute/hour/day/week), each covering the data
-  // span, built by rolling up the next-finer level.
+  // Sparse min/max levels (second/minute/hour/day/week): built by one
+  // run-merge pass per level over the sorted input, so each level holds only
+  // slots that contain data.
   private val levels: Array[HawWheel.Level] = {
     if (numSecs == 0) Array.empty
     else {
       val out = new Array[HawWheel.Level](Spans.length)
-      out(0) = new HawWheel.Level(SECOND, startSec, secMins, secMaxs)
+      out(0) = new HawWheel.Level(SECOND, secs, secMins, secMaxs)
       var li = 1
       while (li < Spans.length) {
         val span = Spans(li)
-        val base = alignDown(startSec, span)
-        val nSlots = ((alignDown(endSec - 1, span) - base) / span + 1).toInt
-        val mins = Array.fill(nSlots)(Double.PositiveInfinity)
-        val maxs = Array.fill(nSlots)(Double.NegativeInfinity)
         val child = out(li - 1)
+        val starts = Array.newBuilder[Long]
+        val mins = Array.newBuilder[Double]
+        val maxs = Array.newBuilder[Double]
         var ci = 0
-        while (ci < child.mins.length) {
-          val childSec = child.baseSec + ci * child.span
-          val slot = ((alignDown(childSec, span) - base) / span).toInt
-          if (child.mins(ci) < mins(slot)) mins(slot) = child.mins(ci)
-          if (child.maxs(ci) > maxs(slot)) maxs(slot) = child.maxs(ci)
+        var curStart = Long.MinValue
+        var curMin = Double.PositiveInfinity
+        var curMax = Double.NegativeInfinity
+        while (ci < child.starts.length) {
+          val slot = alignDown(child.starts(ci), span)
+          if (slot != curStart) {
+            if (curStart != Long.MinValue) { starts += curStart; mins += curMin; maxs += curMax }
+            curStart = slot; curMin = child.mins(ci); curMax = child.maxs(ci)
+          } else {
+            if (child.mins(ci) < curMin) curMin = child.mins(ci)
+            if (child.maxs(ci) > curMax) curMax = child.maxs(ci)
+          }
           ci += 1
         }
-        out(li) = new HawWheel.Level(span, base, mins, maxs)
+        if (curStart != Long.MinValue) { starts += curStart; mins += curMin; maxs += curMax }
+        out(li) = new HawWheel.Level(span, starts.result(), mins.result(), maxs.result())
         li += 1
       }
       out
     }
   }
 
-  /** Exact count of rows with timestamp second in [s, e). O(1). */
+  /** Exact count of rows with timestamp second in [s, e). O(log). */
   def countRange(s: Long, e: Long): Long = {
-    val lo = math.max(s, startSec)
-    val hi = math.min(e, endSec)
-    if (lo >= hi) 0L
-    else prefCount((hi - startSec).toInt) - prefCount((lo - startSec).toInt)
+    if (numSecs == 0 || s >= e) return 0L
+    prefCount(lowerBound(secs, e)) - prefCount(lowerBound(secs, s))
   }
 
-  /** Exact scaled sum over [s, e). O(1). Meaningless if count==0. */
+  /** Exact scaled sum over [s, e). O(log). Meaningless if count==0. */
   def sumScaledRange(s: Long, e: Long): Long = {
-    val lo = math.max(s, startSec)
-    val hi = math.min(e, endSec)
-    if (lo >= hi) 0L
-    else prefSum((hi - startSec).toInt) - prefSum((lo - startSec).toInt)
+    if (numSecs == 0 || s >= e) return 0L
+    prefSum(lowerBound(secs, e)) - prefSum(lowerBound(secs, s))
   }
 
   /** Full aggregate over [s, e) seconds. min/max via greedy calendar
-    * decomposition: repeatedly take the largest aligned slot that fits. */
+    * decomposition: repeatedly take the largest aligned slot that fits,
+    * looking each up in the sparse per-level arrays. */
   def range(s: Long, e: Long): RangeAgg = {
-    val lo = math.max(s, startSec)
-    val hi = math.min(e, endSec)
     val c = countRange(s, e)
     if (c == 0) return RangeAgg(0L, 0L, Double.PositiveInfinity, Double.NegativeInfinity, scale)
+    val lo = math.max(s, startSec)
+    val hi = math.min(e, endSec)
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
     var cur = lo
@@ -214,10 +237,10 @@ final class HawWheel private (
       var li = Spans.length - 1
       while (li > 0 && !(alignDown(cur, Spans(li)) == cur && cur + Spans(li) <= hi)) li -= 1
       val lvl = levels(li)
-      val slot = ((cur - lvl.baseSec) / lvl.span).toInt
-      if (slot >= 0 && slot < lvl.mins.length) {
-        if (lvl.mins(slot) < mn) mn = lvl.mins(slot)
-        if (lvl.maxs(slot) > mx) mx = lvl.maxs(slot)
+      val idx = java.util.Arrays.binarySearch(lvl.starts, cur)
+      if (idx >= 0) {
+        if (lvl.mins(idx) < mn) mn = lvl.mins(idx)
+        if (lvl.maxs(idx) > mx) mx = lvl.maxs(idx)
       }
       cur += Spans(li)
     }
@@ -230,20 +253,25 @@ final class HawWheel private (
 
   /** Per-interval aggregates within [s, e) — the reference's
     * `group_by(WheelRange, Duration)` (`lib.rs:396-467`) generalized to
-    * unaligned edges. Returns (slotStartSec, agg) for each interval slot with
-    * count > 0, ascending — identical to SQL
+    * unaligned edges. Iterates only the NON-EMPTY slots of the requested
+    * level (sparse — a minute-grouping over a seven-year table visits the
+    * minutes with data, not 3.7M aligned positions). Returns (slotStartSec,
+    * agg) ascending for each slot with count > 0 — identical to SQL
     * `GROUP BY date_trunc(unit, ts) ... WHERE ts in range`. */
   def groupBy(s: Long, e: Long, levelIdx: Int): IndexedSeq[(Long, RangeAgg)] = {
+    if (numSecs == 0) return Vector.empty
     val span = Spans(levelIdx)
     val lo = math.max(s, startSec)
     val hi = math.min(e, endSec)
     if (lo >= hi) return Vector.empty
+    val lvl = levels(levelIdx)
     val out = Vector.newBuilder[(Long, RangeAgg)]
-    var gs = alignDown(lo, span)
-    while (gs < hi) {
+    var i = lowerBound(lvl.starts, alignDown(lo, span))
+    while (i < lvl.starts.length && lvl.starts(i) < hi) {
+      val gs = lvl.starts(i)
       val a = range(math.max(gs, lo), math.min(gs + span, hi))
       if (a.count > 0) out += ((gs, a))
-      gs += span
+      i += 1
     }
     out.result()
   }
@@ -256,7 +284,7 @@ final class HawWheel private (
     import java.time.{Instant, LocalDate, ZoneOffset}
     val lo = math.max(s, startSec)
     val hi = math.min(e, endSec)
-    if (lo >= hi) return Vector.empty
+    if (numSecs == 0 || lo >= hi) return Vector.empty
     def monthStart(sec: Long): LocalDate = {
       val d = Instant.ofEpochSecond(sec).atZone(ZoneOffset.UTC).toLocalDate
       val m0 = ((d.getMonthValue - 1) / monthStride) * monthStride + 1
@@ -276,10 +304,11 @@ final class HawWheel private (
   }
 
   /** Approximate retained-index footprint in bytes (reference:
-    * `index_usage_bytes`, `lib.rs:143-151`). */
+    * `index_usage_bytes`, `lib.rs:143-151`) — proportional to distinct
+    * active seconds, not to the time span. */
   def sizeBytes: Long = {
-    val secArrays = numSecs.toLong * (8 + 8 + 8 + 8) + (numSecs + 1).toLong * 16
-    val lvlArrays = levels.drop(1).map(l => l.mins.length.toLong * 16).sum
+    val secArrays = numSecs.toLong * (8 + 8 + 8 + 8 + 8) + (numSecs + 1).toLong * 16
+    val lvlArrays = levels.drop(1).map(l => l.starts.length.toLong * 24).sum
     secArrays + lvlArrays
   }
 }
