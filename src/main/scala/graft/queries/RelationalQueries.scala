@@ -109,6 +109,20 @@ object RelationalQueries {
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
+    "q_window_lead" ->
+      """SELECT o_custkey, o_orderkey, next_key FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate, o_orderkey) AS next_key
+        |  FROM orders) t
+        |WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "dd_events_exact" ->
+      """SELECT user_id, event_type, value, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id, event_type, value
+        |HAVING count(*) > 1
+        |ORDER BY user_id, event_type, value""".stripMargin,
+
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
