@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the approximate operators against their exact counterparts —
+  * the validation the DuckDB oracle can't do (their outputs depend on
+  * Spark's hash functions, so the driver only rows-only-checks them).
+  *
+  * On this corpus the planted near-duplicates all have shingle-Jaccard
+  * ≥ 0.9, where 16-band × 4-row LSH has collision probability
+  * 1 − (1 − 0.9⁴)¹⁶ ≈ 0.999, so LSH-then-verify must recover the exact
+  * Jaccard pair set. IVF probing 3 of ~14 centroids is lossy by design;
+  * assert recall@5 against the brute-force neighbors instead.
+  */
+class SimilaritySemanticSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("MinHash+LSH recovers the exact shingle-Jaccard pair set") {
+    val exact = TextQueries.defs.toMap.apply("dd_shingle_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus has no planted near-duplicates?")
+    assert(lsh === exact)
+  }
+
+  test("SimHash puts near-duplicate pairs within small Hamming distance") {
+    val sim = SimilarityQueries.simhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nearDups = TextQueries.defs.toMap.apply("dd_shingle_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    val hams = nearDups.map { case (i, j) =>
+      java.lang.Long.bitCount(sim(i) ^ sim(j))
+    }
+    // planted dups are ≥0.9 Jaccard; word-weighted SimHash should place
+    // them well below the conventional ≤3-of-64 near-dup band… allow 12.
+    assert(hams.forall(_ <= 12), s"hamming distances: ${hams.toList}")
+    // sanity: unrelated pairs are NOT all close
+    val unrelated = Seq((0L, 1L), (2L, 5L), (7L, 9L))
+      .filterNot(p => nearDups.contains(p))
+      .map { case (i, j) => java.lang.Long.bitCount(sim(i) ^ sim(j)) }
+    assert(unrelated.exists(_ > 12), s"unrelated hamming: $unrelated")
+  }
+
+  test("IVF ANN achieves useful recall against brute force") {
+    val exact = SimilarityQueries.annTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.annIvf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(exact.size === 50)
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+}
