@@ -61,6 +61,27 @@ object RelationalQueries {
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q10_returned_topk" ->
+      s"""SELECT c_custkey, c_name, CAST(sum($disc) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // correlated scalar subquery (TPC-H Q17 flavor). l_quantity is
+    // integral-valued, so avg() is exact in any accumulation order and the
+    // threshold membership is engine-independent.
+    "q17_small_qty" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
     "q_semi_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
