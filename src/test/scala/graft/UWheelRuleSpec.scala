@@ -200,8 +200,10 @@ class UWheelRuleSpec extends AnyFunSuite {
 
   test("unindexed table is untouched") {
     setup
-    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    assertNotRewritten(li.agg(count(lit(1))))
+    // supplier is never indexed by any suite (lineitem may be, via the
+    // contract-query context built in other specs sharing this JVM)
+    val s = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    assertNotRewritten(s.agg(count(lit(1))))
   }
 
   test("non-UTC session time zone blocks date_trunc rewrites coarser than second") {
