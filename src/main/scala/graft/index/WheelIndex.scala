@@ -204,15 +204,16 @@ object UWheelIndex {
     // wall-clock seconds (cast through TimestampType with the session
     // pinned to UTC below, so the slot equals the NTZ micros / 1e6 that
     // query-side literals carry, independent of the caller's zone).
-    val isNtz = df.schema(timeColumn).dataType ==
-      org.apache.spark.sql.types.TimestampNTZType
     val secExpr = df.schema(timeColumn).dataType match {
       case org.apache.spark.sql.types.LongType =>
         F.expr(s"`$timeColumn` div 1000000000")
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // NTZ→BIGINT is not castable directly; go through TimestampType
-        // (zone pinned to UTC around the collect, so this is wall-clock µs)
-        F.col(timeColumn).cast(org.apache.spark.sql.types.TimestampType).cast("long")
+        // Wall-clock epoch seconds from purely timezone-free pieces
+        // (date diff + hour/minute/second are all wall-clock on NTZ), so
+        // the build never depends on — or has to mutate — the session zone.
+        F.expr(
+          s"""CAST(datediff(CAST(`$timeColumn` AS DATE), DATE '1970-01-01') AS BIGINT) * 86400
+             | + hour(`$timeColumn`) * 3600 + minute(`$timeColumn`) * 60 + second(`$timeColumn`)""".stripMargin)
       case _ => F.col(timeColumn).cast("long")
     }
     val aggCols = specs.zipWithIndex.flatMap { case (sp, i) =>
@@ -237,13 +238,7 @@ object UWheelIndex {
         F.sum(F.when(v.isNotNull && (roundTrip.isNull || roundTrip =!= v), F.lit(1L))
           .otherwise(F.lit(0L))).as(s"b$i"))
     }
-    val spark = df.sparkSession
-    val savedTz = spark.conf.get("spark.sql.session.timeZone")
-    val partials =
-      try {
-        if (isNtz) spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df.groupBy(secExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*).collect()
-      } finally if (isNtz) spark.conf.set("spark.sql.session.timeZone", savedTz)
+    val partials = df.groupBy(secExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*).collect()
     specs.zipWithIndex.map { case (sp, i) =>
       val o = 1 + i * 6
       val hasValues = sp.valueColumn.isDefined

@@ -49,6 +49,31 @@ class HawWheelPropSpec extends AnyFunSuite {
     rw.freeze()
   }
 
+  test("sparse year-span data: range/groupBy equal brute force across big gaps") {
+    // stresses the sparse layout: few rows scattered over ~400 days, ranges
+    // that straddle multi-week empty gaps
+    val genSparseRows: Gen[List[(Long, Double)]] = Gen.listOf(for {
+      off <- Gen.chooseNum(0L, 400L * 86400L)
+      cents <- Gen.chooseNum(-500000L, 500000L)
+    } yield (t0 + off, cents / 100.0))
+    val genWideRange: Gen[(Long, Long)] = for {
+      s <- Gen.chooseNum(t0 - 86400L, t0 + 401L * 86400L)
+      len <- Gen.chooseNum(0L, 420L * 86400L)
+    } yield (s, s + len)
+    check(Prop.forAll(genSparseRows, genWideRange, Gen.chooseNum(0, 4)) { (rows, r, lvl) =>
+      val (s, e) = r
+      val w = build(rows)
+      val m = Model(rows)
+      val ra = w.range(s, e)
+      val (c, sum, mn, mx) = m.range(s, e)
+      val rangeOk = ra.count == c &&
+        (c == 0L || ra.sumDecimal.get == sum.bigDecimal.setScale(2)) &&
+        ra.minOpt == mn && ra.maxOpt == mx
+      val groups = w.groupBy(s, e, lvl)
+      rangeOk && groups.map(_._2.count).sum == c
+    })
+  }
+
   test("range aggregates equal brute force on arbitrary data and ranges") {
     check(Prop.forAll(genRows, genRange) { (rows, r) =>
       val (s, e) = r
