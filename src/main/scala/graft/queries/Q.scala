@@ -31,19 +31,28 @@ object Q {
       Graft.enable(spark)
       // A failed build must not poison the session: queries stay correct
       // through the scan path, so log and continue without that index.
-      def tryBuild(what: String)(b: => Unit): Unit =
+      // Builds run concurrently — they are independent Spark actions and
+      // touch no shared session state (the NTZ path is expression-level
+      // timezone-free).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def tryBuild(what: String)(b: => Unit): Future[Unit] = Future {
         try b catch {
           case e: Throwable =>
             System.err.println(s"[graft] index build failed for $what: ${e.getMessage}")
         }
-      // events: count + min/max + keyed SUM wheels, all from ONE scan
-      tryBuild("events")(UWheelBuilder("ts", Seq("value"))
-        .withKeyedWheel(IndexBuilder("value", Some("event_type = 'click'")))
-        .build(spark, s"$sfDir/events.parquet"))
-      // lineitem: second indexed table (multi-year NTZ time span, so
-      // calendar group-bys produce real multi-bucket results)
-      tryBuild("lineitem")(UWheelBuilder("l_shipdate", Seq("l_quantity"))
-        .build(spark, s"$sfDir/lineitem.parquet"))
+      }
+      Await.result(Future.sequence(Seq(
+        // events: count + min/max + keyed SUM wheels, all from ONE scan
+        tryBuild("events")(UWheelBuilder("ts", Seq("value"))
+          .withKeyedWheel(IndexBuilder("value", Some("event_type = 'click'")))
+          .build(spark, s"$sfDir/events.parquet")),
+        // lineitem: second indexed table (multi-year NTZ time span, so
+        // calendar group-bys produce real multi-bucket results)
+        tryBuild("lineitem")(UWheelBuilder("l_shipdate", Seq("l_quantity"))
+          .build(spark, s"$sfDir/lineitem.parquet")),
+      )), Duration.Inf)
     }
     spark
   }
