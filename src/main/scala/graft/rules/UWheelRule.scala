@@ -70,7 +70,11 @@ object UWheelRule extends Rule[LogicalPlan] {
     * an ordering they didn't establish themselves). */
   private def cleanupLocal(plan: LogicalPlan): LogicalPlan = {
     val c2l = org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation
-    val folded = c2l(plan).transformDown {
+    // Catalyst's own PropagateEmptyRelation batch already ran, so an empty
+    // relation we emit would otherwise leave joins/aggregates (and their
+    // scans of the other side) standing; re-running it collapses them.
+    val per = org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation
+    val folded = per(c2l(plan)).transformDown {
       case Sort(order, true, lr: LocalRelation, _)
           if order.nonEmpty && order.forall(_.deterministic) =>
         val ordering = RowOrdering.create(
