@@ -12,9 +12,9 @@ import graft.queries.{Q, WheelQueries}
   * reference's headline comparison (indexed µs vs engine-scan ms,
   * BASELINE.md) — plus the one-off index build cost (`index_build`).
   *
-  * Timing: short queries (< 5 s) are measured as best-of-two (steady state,
-  * matching the reference's repeated-query percentile setup); long queries
-  * run once.
+  * Timing: one unmeasured warm-up, then the median of 7 runs (queries under
+  * 1 s) or 3 runs (1–10 s); genuinely heavy queries (≥ 10 s) report the
+  * single cold run. Mirrors the reference's repeated-query p50 setup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,8 +33,7 @@ object Bench {
     val indexBuildSec = (System.nanoTime() - t0) / 1e9
 
     // Steady-state timing, mirroring the reference's repeated-query p50
-    // (`benchmarks/nyc_taxi_bench/src/main.rs:504-518`): sub-second queries
-    // report the median of 9 runs; heavier ones run once (cold).
+    // (`benchmarks/nyc_taxi_bench/src/main.rs:504-518`).
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       def run(): Double = {
         val t = System.nanoTime()
@@ -61,10 +60,13 @@ object Bench {
     } finally Graft.rewritesEnabled = true
     results("index_build") = indexBuildSec
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    // machine-parsed output: format under Locale.ROOT so a comma-decimal
+    // default locale can't produce invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

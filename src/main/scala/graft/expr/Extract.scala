@@ -71,10 +71,21 @@ object Extract {
     * [[graft.Tables]] for nanosecond-Long columns. Date/string casts are
     * rejected — their timestamp value depends on the session time zone.
     */
+  def isUtcZone(tz: String): Boolean =
+    scala.util.Try(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC)
+      .getOrElse(false)
+
   def isTime(e: Expression, timeCol: String): Boolean = e match {
     case a: AttributeReference =>
       a.name == timeCol &&
         (a.dataType == TimestampType || a.dataType == TimestampNTZType)
+    // An NTZ column coerced to TIMESTAMP shifts wall clock by the CAST's
+    // zone; the wheel stores wall-clock (UTC-equivalent) seconds, so the
+    // comparison only means what the wheel thinks it means when that zone
+    // is UTC. (Found in review: day-aligned corpus data masked this.)
+    case Cast(child, _: TimestampType, tzId, _)
+        if child.dataType == TimestampNTZType =>
+      tzId.exists(isUtcZone) && isTime(child, timeCol)
     case Cast(child, _: TimestampType, _, _) => isTime(child, timeCol)
     case m: MicrosToTimestamp => m.child match {
       case d: IntegralDivide =>

@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   * `aggregate(zip_with(...))` higher-order chain: the generated code is a
   * tight primitive loop with no per-element lambda dispatch or boxing, and it
   * stays inside the WholeStageCodegen span of the enclosing join/projection.
-  * Accumulation is a sequential double fold in index order — bit-identical
-  * to the `aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (s, x) -> s + x)`
-  * form it replaces, so oracle comparisons are unaffected.
+  * Accumulation is a sequential double fold in index order — for EQUAL-
+  * LENGTH arrays of non-NULL elements (the embedding-corpus case) this is
+  * bit-identical to `aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (s, x) ->
+  * s + x)`, so oracle comparisons are unaffected.
   *
-  * NULL discipline: a NULL array yields NULL; NULL *elements* contribute 0
-  * (embedding corpora don't have them; documented, deterministic either way).
+  * Degenerate inputs diverge from that HOF form by design: a NULL array
+  * yields NULL; ragged lengths truncate to the shorter array and NULL
+  * *elements* contribute 0 (zip_with would pad/poison the whole result to
+  * NULL — rarely what a similarity pipeline wants).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -226,13 +226,16 @@ object UWheelIndex {
         case None    => F.lit(null).cast("double")
       }
       // Exactness probe: does v survive a round-trip through
-      // DECIMAL(38,scale)? NaN/Infinity/overflow cast to NULL and count as
-      // non-representable.
-      val roundTrip = v.cast(DecimalType(38, sp.scale)).cast("double")
+      // DECIMAL(38,scale)? NaN/Infinity/overflow become NULL and count as
+      // non-representable. try_* casts keep that contract under ANSI mode
+      // (Spark 4 default), where a plain cast would throw and kill the
+      // whole build instead of marking the wheel inexact.
+      val asDec = v.try_cast(s"decimal(38,${sp.scale})")
+      val roundTrip = asDec.cast("double") // decimal→double never errors
       Seq(
         F.sum(F.when(keep, F.lit(1L)).otherwise(F.lit(0L))).as(s"c$i"),
         F.count(v).as(s"cv$i"),
-        F.sum(v.cast(DecimalType(38, sp.scale))).as(s"s$i"),
+        F.sum(asDec).as(s"s$i"),
         F.min(v).as(s"mn$i"),
         F.max(v).as(s"mx$i"),
         F.sum(F.when(v.isNotNull && (roundTrip.isNull || roundTrip =!= v), F.lit(1L))

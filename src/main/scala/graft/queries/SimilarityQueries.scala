@@ -35,7 +35,9 @@ object SimilarityQueries {
     * (16 bands × 4 rows: P[candidate | J=0.9] ≈ 1 - (1 - 0.9⁴)¹⁶ ≈ 0.999.) */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
-    val sh = shingles(spark).cache()
+    // not cached: the explode is cheap to recompute and a session-lifetime
+    // cache of the largest intermediate would squat on storage memory
+    val sh = shingles(spark)
     val minCols = (0 until NumPerm).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
     val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until Bands).map { b =>

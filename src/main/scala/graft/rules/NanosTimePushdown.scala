@@ -53,7 +53,10 @@ object NanosTimePushdown extends Rule[LogicalPlan] {
 
   private object TsLit {
     def unapply(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, TimestampType) if math.abs(v) < MaxSafeMicros => Some(v)
+      // non-negative only: `div` truncates toward zero while the µs↔ns
+      // algebra below assumes floor, so pre-1970 bounds would be (slightly)
+      // stronger than the original predicate and could drop matching rows
+      case Literal(v: Long, TimestampType) if v >= 0 && v < MaxSafeMicros => Some(v)
       case _ => None
     }
   }

@@ -364,9 +364,7 @@ object UWheelRule extends Rule[LogicalPlan] {
 
   private def dataTypeOf(canonicalAe: Expression): DataType = canonicalAe.dataType
 
-  private def isUtcZone(tz: String): Boolean =
-    Try(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC)
-      .getOrElse(false)
+  private def isUtcZone(tz: String): Boolean = Extract.isUtcZone(tz)
 
   // ----------------------------------------------------- emptiness pruning
 

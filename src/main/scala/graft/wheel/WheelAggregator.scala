@@ -118,59 +118,84 @@ object TypedHawWheel {
   def fromSecondPartials[In, P: ClassTag, Out](
       partials: Iterator[(Long, P)],
       agg: WheelAggregator[In, P, Out]): TypedHawWheel[P, Out] = {
-    val buf = partials.toArray
+    val buf = partials.toArray.sortBy(_._1)
     if (buf.isEmpty)
-      return new TypedHawWheel[P, Out](agg.asInstanceOf[WheelAggregator[_, P, Out]], 0L, Array.empty[P])
-    val minSec = buf.iterator.map(_._1).min
-    val maxSec = buf.iterator.map(_._1).max
-    require(maxSec - minSec + 1 <= Int.MaxValue, "second span too large")
-    val n = (maxSec - minSec + 1).toInt
-    val arr = Array.fill[P](n)(agg.identity)
-    buf.foreach { case (sec, p) => arr((sec - minSec).toInt) = agg.combine(arr((sec - minSec).toInt), p) }
-    new TypedHawWheel[P, Out](agg.asInstanceOf[WheelAggregator[_, P, Out]], minSec, arr)
+      return new TypedHawWheel[P, Out](agg.asInstanceOf[WheelAggregator[_, P, Out]],
+        0L, 0L, Array.emptyLongArray, Array.empty[P])
+    // merge duplicate seconds in place
+    var n = 0
+    var i = 0
+    while (i < buf.length) {
+      if (n > 0 && buf(n - 1)._1 == buf(i)._1)
+        buf(n - 1) = (buf(n - 1)._1, agg.combine(buf(n - 1)._2, buf(i)._2))
+      else { buf(n) = buf(i); n += 1 }
+      i += 1
+    }
+    val secs = new Array[Long](n)
+    val parts = new Array[P](n)
+    i = 0
+    while (i < n) { secs(i) = buf(i)._1; parts(i) = buf(i)._2; i += 1 }
+    new TypedHawWheel[P, Out](agg.asInstanceOf[WheelAggregator[_, P, Out]],
+      secs(0), secs(n - 1) + 1, secs, parts)
   }
 }
 
-/** Immutable typed HAW: prefix array when the aggregator is invertible
-  * (O(1) any-range), greedy hierarchy decomposition otherwise. */
+/** Immutable typed HAW — SPARSE like [[HawWheel]] (dense per-second arrays
+  * over a multi-year span are gigabytes regardless of row count): sorted
+  * distinct-second partials with a prefix array when the aggregator is
+  * invertible (O(log n) any-range), sparse granularity levels with greedy
+  * decomposition otherwise. */
 final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
     agg: WheelAggregator[_, P, Out],
     val startSec: Long,
-    secs: Array[P]) extends Serializable {
+    val endSec: Long, // last data second + 1
+    secs: Array[Long],
+    parts: Array[P]) extends Serializable {
   import HawWheel.{Spans, alignDown}
 
+  /** Number of DISTINCT seconds with data. */
   val numSecs: Int = secs.length
-  val endSec: Long = startSec + numSecs
+
+  private def lowerBound(arr: Array[Long], x: Long): Int = {
+    val r = java.util.Arrays.binarySearch(arr, x)
+    if (r >= 0) r else -(r + 1)
+  }
 
   private val prefix: Option[Array[P]] = agg.inverse.map { _ =>
-    val p = Array.fill[P](numSecs + 1)(agg.identity)
+    val p = new Array[P](numSecs + 1)
+    p(0) = agg.identity
     var i = 0
-    while (i < numSecs) { p(i + 1) = agg.combine(p(i), secs(i)); i += 1 }
+    while (i < numSecs) { p(i + 1) = agg.combine(p(i), parts(i)); i += 1 }
     p
   }
 
-  // granularity levels for the non-invertible path (same layout as HawWheel)
-  private val levels: Array[(Long, Long, Array[P])] = // (span, base, slots)
+  // sparse granularity levels for the non-invertible path: per level, sorted
+  // aligned slot starts + combined partials (only slots containing data)
+  private val levels: Array[(Long, Array[Long], Array[P])] =
     if (numSecs == 0 || prefix.isDefined) Array.empty
     else {
-      val out = Array.newBuilder[(Long, Long, Array[P])]
-      out += ((1L, startSec, secs))
-      var child: (Long, Long, Array[P]) = (1L, startSec, secs)
+      val out = Array.newBuilder[(Long, Array[Long], Array[P])]
+      var child: (Long, Array[Long], Array[P]) = (1L, secs, parts)
+      out += child
       var li = 1
       while (li < Spans.length) {
         val span = Spans(li)
-        val base = alignDown(startSec, span)
-        val nSlots = ((alignDown(endSec - 1, span) - base) / span + 1).toInt
-        val slots = Array.fill[P](nSlots)(agg.identity)
-        val (cSpan, cBase, cArr) = child
+        val (_, cStarts, cParts) = child
+        val starts = Array.newBuilder[Long]
+        val slots = Array.newBuilder[P]
         var ci = 0
-        while (ci < cArr.length) {
-          val cSec = cBase + ci * cSpan
-          val si = ((alignDown(cSec, span) - base) / span).toInt
-          slots(si) = agg.combine(slots(si), cArr(ci))
+        var curStart = Long.MinValue
+        var cur = agg.identity
+        while (ci < cStarts.length) {
+          val slot = alignDown(cStarts(ci), span)
+          if (slot != curStart) {
+            if (curStart != Long.MinValue) { starts += curStart; slots += cur }
+            curStart = slot; cur = cParts(ci)
+          } else cur = agg.combine(cur, cParts(ci))
           ci += 1
         }
-        child = (span, base, slots)
+        if (curStart != Long.MinValue) { starts += curStart; slots += cur }
+        child = (span, starts.result(), slots.result())
         out += child
         li += 1
       }
@@ -181,20 +206,20 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
   def combineRange(s: Long, e: Long): P = {
     val lo = math.max(s, startSec)
     val hi = math.min(e, endSec)
-    if (lo >= hi) return agg.identity
+    if (numSecs == 0 || lo >= hi) return agg.identity
     prefix match {
       case Some(pre) =>
-        agg.inverse.get(pre((hi - startSec).toInt), pre((lo - startSec).toInt))
+        agg.inverse.get(pre(lowerBound(secs, hi)), pre(lowerBound(secs, lo)))
       case None =>
         var acc = agg.identity
         var cur = lo
         while (cur < hi) {
           var li = Spans.length - 1
           while (li > 0 && !(alignDown(cur, Spans(li)) == cur && cur + Spans(li) <= hi)) li -= 1
-          val (span, base, slots) = levels(li)
-          val slot = ((cur - base) / span).toInt
-          if (slot >= 0 && slot < slots.length) acc = agg.combine(acc, slots(slot))
-          cur += span
+          val (_, starts, slots) = levels(li)
+          val idx = java.util.Arrays.binarySearch(starts, cur)
+          if (idx >= 0) acc = agg.combine(acc, slots(idx))
+          cur += Spans(li)
         }
         acc
     }

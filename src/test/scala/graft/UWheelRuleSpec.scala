@@ -278,6 +278,59 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertNotRewritten(q("2024-06-01 02:00:00", "2024-06-01 03:00:00"))
   }
 
+  test("NaN/Infinity values survive the build and disable plain-SUM rewrites") {
+    setup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nan").toString
+    val p = s"$dir/t.parquet"
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-07-01 00:00:00"), 1.5),
+      (java.sql.Timestamp.valueOf("2024-07-01 00:00:01"), Double.NaN),
+      (java.sql.Timestamp.valueOf("2024-07-01 00:00:02"), 2.5))
+      .toDF("ts", "value").write.mode("overwrite").parquet(p)
+    // must not throw (ANSI double->decimal of NaN would); wheel marks inexact
+    UWheelBuilder("ts", Seq("value")).build(spark, p)
+    def ranged = spark.read.parquet(p).filter(
+      col("ts") >= lit("2024-07-01 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-07-02 00:00:00").cast("timestamp"))
+    val c = ranged.agg(count(lit(1)).as("c"))
+    assertRewritten(c) // counts stay exact
+    assert(c.collect()(0).getLong(0) === 3L)
+    assertNotRewritten(ranged.agg(sum("value").as("s"))) // sums are not
+  }
+
+  test("non-UTC session: NTZ range aggregates fall back to the scan") {
+    setup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    val p = s"$dir/t.parquet"
+    // sub-day timestamps so a zone shift actually moves rows across bounds
+    Seq("2024-07-01 03:30:00", "2024-07-01 10:00:00", "2024-07-01 23:30:00")
+      .map(s => Tuple1(java.time.LocalDateTime.parse(s.replace(' ', 'T'))))
+      .toDF("ts").withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(p)
+    val dt = spark.read.parquet(p).schema("ts").dataType
+    assert(dt === org.apache.spark.sql.types.TimestampNTZType)
+    UWheelBuilder("ts", Seq("value")).build(spark, p)
+    def q = spark.read.parquet(p)
+      .filter(col("ts") >= lit("2024-07-01 05:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-07-02 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("c"))
+    assertRewritten(q)
+    assert(q.collect()(0).getLong(0) === 2L)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      // Spark unwraps the session-zone cast into a pure NTZ wall-clock
+      // comparison during optimization, so the rewrite stays sound in any
+      // zone; assert it fires AND equals the rule-disabled scan. (A
+      // non-unwrapped NTZ→LTZ cast in a non-UTC zone is rejected by
+      // Extract.isTime as defense-in-depth.)
+      assertRewritten(q)
+      assert(q.collect()(0).getLong(0) === groundTruth(q.collect()(0).getLong(0)))
+      assert(q.collect()(0).getLong(0) === 2L)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("stale index: file change after build disables rewrites") {
     setup
     import spark.implicits._
