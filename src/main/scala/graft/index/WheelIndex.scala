@@ -26,6 +26,12 @@ import graft.wheel.HawWheel
   *                        (When true, the rewritten SUM is the correctly
   *                        rounded true sum — a scan's float accumulation may
   *                        differ from it by ulps, in the scan's disfavor.)
+  * @param valuesNaNFree   true iff no NaN was seen in valueColumn. The
+  *                        wheel's min/max roll-up uses Java double ordering,
+  *                        which drops NaN, while Spark orders NaN above
+  *                        every value — so MIN/MAX rewrites and min/max
+  *                        emptiness pruning are only sound on NaN-free
+  *                        wheels. (±Infinity compares normally and is fine.)
   * @param coverage        time range (epoch sec) the build was restricted to;
   *                        None = full table. Restricted wheels only answer
   *                        queries whose range lies inside the coverage.
@@ -36,6 +42,7 @@ final case class IndexedWheel(
     filterKey: String,
     valueAllNonNull: Boolean,
     valuesExactAtScale: Boolean = true,
+    valuesNaNFree: Boolean = true,
     coverage: Option[(Long, Long)] = None)
 
 /** All wheels for one table (identified by its parquet root path).
@@ -239,14 +246,16 @@ object UWheelIndex {
         F.min(v).as(s"mn$i"),
         F.max(v).as(s"mx$i"),
         F.sum(F.when(v.isNotNull && (roundTrip.isNull || roundTrip =!= v), F.lit(1L))
-          .otherwise(F.lit(0L))).as(s"b$i"))
+          .otherwise(F.lit(0L))).as(s"b$i"),
+        F.sum(F.when(F.isnan(v), F.lit(1L)).otherwise(F.lit(0L))).as(s"nan$i"))
     }
     val partials = df.groupBy(secExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*).collect()
     specs.zipWithIndex.map { case (sp, i) =>
-      val o = 1 + i * 6
+      val o = 1 + i * 7
       val hasValues = sp.valueColumn.isDefined
       var allNonNull = true
       var badRep = 0L
+      var nanCount = 0L
       var sawNullTs = false
       val buf = Vector.newBuilder[(Long, Long, Long, Double, Double)]
       partials.foreach { r =>
@@ -256,6 +265,7 @@ object UWheelIndex {
           else {
             if (r.getLong(o + 1) != c) allNonNull = false
             badRep += r.getLong(o + 5)
+            nanCount += r.getLong(o + 6)
             val sumScaled =
               if (r.isNullAt(o + 2)) 0L
               else r.getDecimal(o + 2).movePointRight(sp.scale).longValueExact()
@@ -270,6 +280,7 @@ object UWheelIndex {
         IndexedWheel(wheel, sp.valueColumn, sp.filterKey,
           valueAllNonNull = !hasValues || allNonNull,
           valuesExactAtScale = !hasValues || badRep == 0L,
+          valuesNaNFree = !hasValues || nanCount == 0L,
           sp.timeRangeSec),
         sawNullTs)
     }
@@ -343,7 +354,8 @@ object UWheelIndex {
     val countBuilt = colBuilt.headOption match {
       case Some(bw) =>
         BuiltWheel(IndexedWheel(bw.wheel.wheel, None, "",
-          valueAllNonNull = true, valuesExactAtScale = true, conf.timeRangeSec),
+          valueAllNonNull = true, valuesExactAtScale = true,
+          coverage = conf.timeRangeSec),
           bw.sawNullTs)
       case None => rest.last
     }

@@ -65,17 +65,24 @@ object NanosTimePushdown extends Rule[LogicalPlan] {
   // an exact integer-equivalent on c:
   //   u >= L  ⟺  c >= L*1000          u <  L  ⟺  c < L*1000
   //   u >  L  ⟺  c >= (L+1)*1000      u <= L  ⟺  c < (L+1)*1000
+  // `div` truncates toward zero, so for c in [-999, -1] u is 0, not -1:
+  // a lower bound of c >= 0 would wrongly drop those rows when L == 0.
+  // geBound therefore requires a strictly positive ns bound; ltBound is
+  // sound for any L >= 0 (c < 0 <= L*1000 trivially satisfies it).
   private def impliedNanos(e: Expression): Option[Expression] = e match {
-    case GreaterThanOrEqual(DerivedTs(a), TsLit(us)) => Some(GreaterThanOrEqual(a, lit(us * 1000)))
-    case GreaterThan(DerivedTs(a), TsLit(us))        => Some(GreaterThanOrEqual(a, lit((us + 1) * 1000)))
+    case GreaterThanOrEqual(DerivedTs(a), TsLit(us)) => geBound(a, us * 1000)
+    case GreaterThan(DerivedTs(a), TsLit(us))        => geBound(a, (us + 1) * 1000)
     case LessThan(DerivedTs(a), TsLit(us))           => Some(LessThan(a, lit(us * 1000)))
     case LessThanOrEqual(DerivedTs(a), TsLit(us))    => Some(LessThan(a, lit((us + 1) * 1000)))
     case GreaterThanOrEqual(TsLit(us), DerivedTs(a)) => Some(LessThan(a, lit((us + 1) * 1000)))
     case GreaterThan(TsLit(us), DerivedTs(a))        => Some(LessThan(a, lit(us * 1000)))
-    case LessThan(TsLit(us), DerivedTs(a))           => Some(GreaterThanOrEqual(a, lit((us + 1) * 1000)))
-    case LessThanOrEqual(TsLit(us), DerivedTs(a))    => Some(GreaterThanOrEqual(a, lit(us * 1000)))
+    case LessThan(TsLit(us), DerivedTs(a))           => geBound(a, (us + 1) * 1000)
+    case LessThanOrEqual(TsLit(us), DerivedTs(a))    => geBound(a, us * 1000)
     case _ => None
   }
+
+  private def geBound(a: Expression, ns: Long): Option[Expression] =
+    if (ns >= 1000) Some(GreaterThanOrEqual(a, lit(ns))) else None
 
   private def lit(ns: Long): Literal = Literal(ns, LongType)
 }

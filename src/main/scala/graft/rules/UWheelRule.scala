@@ -236,6 +236,9 @@ object UWheelRule extends Rule[LogicalPlan] {
           // construction and needs no gate.
           .filter(w => n.kind == "sumdec" || n.kind == "min" || n.kind == "max" ||
                        n.kind == "countcol" || w.valuesExactAtScale)
+          // MIN/MAX are NaN-blind in the wheel (Java ordering) but Spark
+          // orders NaN above everything — only rewrite from NaN-free wheels.
+          .filter(w => (n.kind != "min" && n.kind != "max") || w.valuesNaNFree)
     }).filter(coverageOk)
 
     // Collect and classify every aggregate sub-expression in the output.
@@ -380,10 +383,15 @@ object UWheelRule extends Rule[LogicalPlan] {
       return Some(LocalRelation(f.output, Nil))
     }
     val provenEmpty = Extract.minMaxPreds(residual).exists { p =>
-      table.minMaxWheel(p.column).filter(_.coverage.isEmpty).exists { w =>
-        val ra = w.wheel.range(s, e)
-        ra.count > 0 && Extract.provesEmpty(p, ra.min, ra.max)
-      }
+      table.minMaxWheel(p.column)
+        .filter(_.coverage.isEmpty)
+        // a NaN row satisfies `col > k` under Spark's ordering but is
+        // invisible to the wheel's min/max — never prune NaN-bearing wheels
+        .filter(_.valuesNaNFree)
+        .exists { w =>
+          val ra = w.wheel.range(s, e)
+          ra.count > 0 && Extract.provesEmpty(p, ra.min, ra.max)
+        }
     }
     if (provenEmpty) Some(LocalRelation(f.output, Nil)) else None
   }

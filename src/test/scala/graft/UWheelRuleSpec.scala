@@ -297,6 +297,15 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertRewritten(c) // counts stay exact
     assert(c.collect()(0).getLong(0) === 3L)
     assertNotRewritten(ranged.agg(sum("value").as("s"))) // sums are not
+    // MIN/MAX are NaN-blind in the wheel while Spark orders NaN greatest:
+    // they must fall back, and the scan's NaN answer must come through
+    val mx = ranged.agg(max("value").as("mx"))
+    assertNotRewritten(mx)
+    assert(mx.collect()(0).getDouble(0).isNaN)
+    // min/max pruning must not fire either: value > 3.0 matches the NaN row
+    val f = ranged.filter(col("value") > lit(3.0))
+    assertNotRewritten(f)
+    assert(f.count() === 1L)
   }
 
   test("non-UTC session: NTZ range aggregates fall back to the scan") {
