@@ -175,11 +175,13 @@ final case class UWheelBuilder(
 object UWheelIndex {
 
   /** Distributed wheel build. One shuffle: rows are pre-aggregated to
-    * per-second partials by a map-side-combining `groupBy`, so the data
-    * collected to the driver is bounded by the table's *time span in seconds*
-    * — independent of row count, which is what makes this viable at 100 TB
-    * (the reference instead collects every row to one process,
-    * `lib.rs:1130-1158`). */
+    * per-second partials by a map-side-combining `groupBy`, then folded into
+    * per-partition [[graft.wheel.RwWheel]]s and tree-merged on the executors
+    * — the driver receives one compact accumulator, never a Row per active
+    * second. Data volume at every stage is bounded by the table's *distinct
+    * active seconds*, independent of row count, which is what makes this
+    * viable at 100 TB (the reference instead collects every row to one
+    * process, `lib.rs:1130-1158`). */
   /** @param sawNullTs whether any row had a NULL time value (null seconds
     *                   group present in the partials) — derived from the same
     *                   single scan instead of a separate pass. */
@@ -249,40 +251,30 @@ object UWheelIndex {
           .otherwise(F.lit(0L))).as(s"b$i"),
         F.sum(F.when(F.isnan(v), F.lit(1L)).otherwise(F.lit(0L))).as(s"nan$i"))
     }
-    val partials = df.groupBy(secExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*).collect()
+    // Executor-side merge: each shuffle partition folds its per-second rows
+    // into compact RwWheels, and partials meet in a depth-2 aggregation tree
+    // — the driver receives ONE serialized accumulator (primitive slot
+    // payloads), never a Row per active second. At a 1000-executor scale a
+    // flat collect of per-second Rows is the driver bottleneck; the tree
+    // merge is bounded per node by active-seconds/branching. RwWheel.merge
+    // is associative (RwWheelSpec), so tree shape cannot change the result.
+    val scales  = specs.map(_.scale).toArray
+    val hasVals = specs.map(_.valueColumn.isDefined).toArray
+    val acc = df.groupBy(secExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
+      .rdd
+      .treeAggregate(new WheelBuildAcc(scales, hasVals))(
+        (a, row) => { a.add(row); a },
+        (a, b) => a.merge(b),
+        depth = 2)
     specs.zipWithIndex.map { case (sp, i) =>
-      val o = 1 + i * 7
       val hasValues = sp.valueColumn.isDefined
-      var allNonNull = true
-      var badRep = 0L
-      var nanCount = 0L
-      var sawNullTs = false
-      val buf = Vector.newBuilder[(Long, Long, Long, Double, Double)]
-      partials.foreach { r =>
-        val c = r.getLong(o)
-        if (c > 0) {
-          if (r.isNullAt(0)) sawNullTs = true
-          else {
-            if (r.getLong(o + 1) != c) allNonNull = false
-            badRep += r.getLong(o + 5)
-            nanCount += r.getLong(o + 6)
-            val sumScaled =
-              if (r.isNullAt(o + 2)) 0L
-              else r.getDecimal(o + 2).movePointRight(sp.scale).longValueExact()
-            val mn = if (r.isNullAt(o + 3)) Double.PositiveInfinity else r.getDouble(o + 3)
-            val mx = if (r.isNullAt(o + 4)) Double.NegativeInfinity else r.getDouble(o + 4)
-            buf += ((r.getLong(0), c, sumScaled, mn, mx))
-          }
-        }
-      }
-      val wheel = HawWheel.fromSecondPartials(buf.result().iterator, sp.scale, hasValues)
       BuiltWheel(
-        IndexedWheel(wheel, sp.valueColumn, sp.filterKey,
-          valueAllNonNull = !hasValues || allNonNull,
-          valuesExactAtScale = !hasValues || badRep == 0L,
-          valuesNaNFree = !hasValues || nanCount == 0L,
+        IndexedWheel(acc.wheels(i).freeze(), sp.valueColumn, sp.filterKey,
+          valueAllNonNull = !hasValues || acc.allNonNull(i),
+          valuesExactAtScale = !hasValues || acc.badRep(i) == 0L,
+          valuesNaNFree = !hasValues || acc.nanCount(i) == 0L,
           sp.timeRangeSec),
-        sawNullTs)
+        acc.sawNullTs(i))
     }
   }
 

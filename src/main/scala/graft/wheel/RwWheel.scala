@@ -22,13 +22,7 @@ import scala.collection.mutable
   * is what makes a distributed per-partition build correct.
   */
 final class RwWheel(val scale: Int, val hasValues: Boolean) extends Serializable {
-
-  private final class Slot extends Serializable {
-    var count: Long = 0L
-    var sumScaled: Long = 0L
-    var min: Double = Double.PositiveInfinity
-    var max: Double = Double.NegativeInfinity
-  }
+  import RwWheel.Slot
 
   private val slots = mutable.LongMap.empty[Slot] // epoch second -> partials
   private var watermarkMs: Long = Long.MinValue
@@ -83,4 +77,15 @@ final class RwWheel(val scale: Int, val hasValues: Boolean) extends Serializable
     HawWheel.fromSecondPartials(
       slots.iterator.map { case (sec, s) => (sec, s.count, s.sumScaled, s.min, s.max) },
       scale, hasValues)
+}
+
+object RwWheel {
+  /** Top-level (no outer pointer) so a serialized wheel ships only slot
+    * payloads — the distributed build tree-merges wheels across executors. */
+  private[wheel] final class Slot extends Serializable {
+    var count: Long = 0L
+    var sumScaled: Long = 0L
+    var min: Double = Double.PositiveInfinity
+    var max: Double = Double.NegativeInfinity
+  }
 }
