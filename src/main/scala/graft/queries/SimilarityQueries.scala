@@ -121,15 +121,26 @@ object SimilarityQueries {
       .orderBy("qi", "xi")
   }
 
+  /** Centroid count cap. Constant in n: the broadcast stays bounded and
+    * assignment is O(n·k) with fixed k, so the plan survives a 100× corpus.
+    * (A k growing with n — e.g. every 37th vector — makes assignment O(n²)
+    * and the broadcast unbounded.) */
+  private val IvfK = 32L
+  private[queries] val IvfNprobe = 10
+
   /** IVF-bucketed ANN — the 100 TB path: vectors are assigned to their
     * nearest centroid once (an O(n·k) map-side pass); a query probes only
     * the `nprobe` closest centroids' buckets instead of the full corpus.
-    * Centroid "training" is a deterministic subsample (every 37th vector). */
+    * Centroid "training" is a deterministic fixed-k pick: ids divisible by
+    * `stride = ceil(n / K)`, so k ≤ K for dense ids regardless of corpus
+    * size, and the choice is reproducible by the SQL oracle (no RNG). */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
-    val nprobe = 3
+    val nprobe = IvfNprobe
     val e = vecs(spark)
-    val cents = e.where(col("vec_id") % 37 === 0)
+    val n = e.count() // one column scan; amortize via table stats in a service
+    val stride = math.max(1L, math.ceil(n.toDouble / IvfK).toLong)
+    val cents = e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
     // assignment: nearest centroid per vector
     val assigned = e.join(broadcast(cents), lit(true))
@@ -170,7 +181,11 @@ object SimilarityQueries {
     * with explicit tie-breaks. */
   val oracles: Map[String, String] = Map(
     "ann_ivf" ->
-      """WITH cents AS (SELECT vec_id AS cid, embedding AS vc FROM embeddings WHERE vec_id % 37 = 0),
+      """WITH params AS (
+        |  SELECT greatest(1, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS stride FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, embedding AS vc FROM embeddings, params
+        |  WHERE vec_id % stride = 0),
         |assign AS (
         |  SELECT vec_id AS xi, embedding AS vx, cid FROM (
         |    SELECT e.vec_id, e.embedding, c.cid,
@@ -185,7 +200,7 @@ object SimilarityQueries {
         |                              ORDER BY list_cosine_similarity(e.embedding, c.vc) DESC, c.cid) AS crn
         |    FROM embeddings e CROSS JOIN cents c
         |    WHERE e.vec_id < 10) t
-        |  WHERE crn <= 3),
+        |  WHERE crn <= 10),
         |scored AS (
         |  SELECT p.qi, a.xi, list_cosine_similarity(p.vq, a.vx) AS sim
         |  FROM probes p JOIN assign a ON p.cid = a.cid AND p.qi <> a.xi)

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * On this corpus the planted near-duplicates all have shingle-Jaccard
   * ≥ 0.9, where 16-band × 4-row LSH has collision probability
   * 1 − (1 − 0.9⁴)¹⁶ ≈ 0.999, so LSH-then-verify must recover the exact
-  * Jaccard pair set. IVF probing 3 of ~14 centroids is lossy by design;
-  * assert recall@5 against the brute-force neighbors instead.
+  * Jaccard pair set. IVF probing nprobe of ≤32 fixed centroids is lossy by
+  * design; assert recall@5 against the brute-force neighbors instead.
   */
 class SimilaritySemanticSpec extends AnyFunSuite {
 
@@ -58,7 +58,10 @@ class SimilaritySemanticSpec extends AnyFunSuite {
     val ivf = SimilarityQueries.annIvf(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
     assert(exact.size === 50)
-    assert(recall >= 0.5, s"recall@5 = $recall")
+    // the round-2 k∝n policy (every 37th id, nprobe 3) measured 0.56 here;
+    // the fixed-k policy must not trade its bounded broadcast for recall
+    assert(recall >= 0.56, s"recall@5 = $recall")
   }
 }
