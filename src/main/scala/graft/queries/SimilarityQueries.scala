@@ -83,6 +83,41 @@ object SimilarityQueries {
     votes.select(col("doc_id"), bits.as("simhash")).orderBy("doc_id")
   }
 
+  /** SimHash near-duplicate pairs: 4×16-bit Hamming-banded candidate join +
+    * exact Hamming verification at ≤ 3 bits of 64 — the conventional
+    * near-dup band. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    simhashBandedPairs(simhash(spark, sfDir), bands = 4, maxHam = 3)
+  }
+
+  /** Banded Hamming pair-gen over a `(doc_id, simhash)` frame. With `b`
+    * bands, a pair within Hamming distance ≤ b−1 must agree EXACTLY on at
+    * least one band (pigeonhole), so unlike MinHash/SRP banding this
+    * candidate join loses nothing: banded + verify ≡ all-pairs Hamming join.
+    * Two map-side-cheap shuffles (band explode + bucket join), no n².
+    * 16-bit bands give a 65,536-key bucket space per band; for corpora where
+    * n/2^16 buckets grow hot, widen the signature and the bands together. */
+  private[queries] def simhashBandedPairs(sig: DataFrame, bands: Int, maxHam: Int): DataFrame = {
+    require(maxHam < bands, s"pigeonhole exactness needs maxHam < bands, got $maxHam/$bands")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), expr(s"shiftright(simhash, ${b * width}) & $mask").as("bk")))
+    val bd = sig.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    bd.as("a").join(bd.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.simhash").as("si"), col("b.simhash").as("sj"))
+      .distinct()
+      .where(expr(s"bit_count(si ^ sj) <= $maxHam"))
+      .select(col("i"), col("j"))
+      .orderBy("i", "j")
+  }
+
   /** embeddings + L2 norm via the native codegen'd dot product
     * ([[graft.functions.VecDot]]) — same sequential double fold as the
     * `aggregate(zip_with(...))` form, minus the per-element lambda dispatch. */
@@ -103,6 +138,82 @@ object SimilarityQueries {
       .where(dot("va", "vb") / (col("na") * col("nb")) > 0.45)
       .select(col("i"), col("j"))
       .orderBy("i", "j")
+  }
+
+  // ---- Random-hyperplane (SRP) LSH for embedding near-dup ----
+
+  /** 256 signature bits in 32 bands of 8. Bits-per-band sets the bucket key
+    * space: at corpus scale choose it ≳ log2(n) so expected bucket size stays
+    * O(collision-rate · n / 2^bits) and in-bucket pair-gen is subquadratic;
+    * 8 bits ≈ 256 buckets/band fits the test corpora (n ≤ 5000). */
+  private val SrpBits = 256
+  private val SrpRowsPerBand = 8
+  private val SrpBands = SrpBits / SrpRowsPerBand
+
+  /** SplitMix64 finalizer — a pure bit mix, so the hyperplanes are library
+    * constants reproducible across sessions (no RNG state). */
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic Rademacher (±1) hyperplanes, one sign bit per (plane, dim). */
+  private def srpPlanes(dim: Int): Array[Array[Double]] =
+    Array.tabulate(SrpBits, dim) { (p, d) =>
+      if ((mix64(p.toLong * dim + d) & 1L) == 1L) 1.0 else -1.0
+    }
+
+  /** SRP-banded near-duplicate pairs with exact-cosine verification over an
+    * `(vec_id, v, nrm)` frame — the 100 TB replacement for the all-pairs
+    * cartesian in [[embedDup]]: signatures and band keys are one map-side
+    * projection (each dot via the codegen'd `vec_dot`), candidates come from
+    * a (band, key) bucket join, and only candidates are exactly verified.
+    *
+    * P[bit agrees] = 1 − θ/π, so a band of 8 bits collides with prob
+    * (1 − θ/π)⁸ and 32 bands give recall 1 − (1 − (1−θ/π)⁸)³² — ≈ 1.0 at
+    * cosine ≥ 0.8, the regime LSH near-dup detection is built for. Near the
+    * decision boundary recall degrades smoothly (≈ 0.7 for this corpus's
+    * 0.45–0.48 pairs — measured; no banding scheme separates θ ≈ 63° from a
+    * θ ≈ 90° background without quadratic candidates). Verification is
+    * exact, so precision w.r.t. the brute-force pair set is always 1. */
+  private[queries] def srpNearDupPairs(e: DataFrame, threshold: Double): DataFrame = {
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val planes = srpPlanes(dim)
+    val dotCols = (0 until SrpBits).map(p =>
+      call_function("vec_dot", col("v"), typedlit(planes(p))).as(s"d$p"))
+    val sigs = e.select(col("vec_id") +: dotCols: _*)
+    val bandCols = (0 until SrpBands).map { b =>
+      val key = (0 until SrpRowsPerBand).map { i =>
+        when(col(s"d${b * SrpRowsPerBand + i}") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bk"))
+    }
+    val bands = sigs.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    val x = e.select(col("vec_id").as("xi"), col("v").as("xv"), col("nrm").as("xn"))
+    val y = e.select(col("vec_id").as("yi"), col("v").as("yv"), col("nrm").as("yn"))
+    cand
+      .join(x, col("xi") === col("i"))
+      .join(y, col("yi") === col("j"))
+      .where(dot("xv", "yv") / (col("xn") * col("yn")) > threshold)
+      .select(col("i"), col("j"))
+      .orderBy("i", "j")
+  }
+
+  /** Embedding near-dup via SRP LSH at the corpus threshold. Rows-only at
+    * the gate (plane constants aren't reasonably expressible in the SQL
+    * oracle); `SimilaritySemanticSpec` checks precision/recall against the
+    * exact [[embedDup]] pair set. */
+  def embedLshDup(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    srpNearDupPairs(vecs(spark), 0.45)
   }
 
   /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
@@ -168,17 +279,20 @@ object SimilarityQueries {
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_minhash_lsh" -> (minhashLsh _),
     "dd_simhash" -> (simhash _),
+    "dd_simhash_pairs" -> (simhashPairs _),
     "dd_embed_dup" -> (embedDup _),
+    "dd_embed_lsh" -> (embedLshDup _),
     "ann_topk" -> (annTopK _),
     "ann_ivf" -> (annIvf _),
   )
 
-  /** dd_minhash_lsh / dd_simhash intentionally have no oracle: their outputs
-    * depend on Spark's xxhash64/Murmur3 — the driver records a rows-only
-    * check (their semantics are validated against exact counterparts in the
-    * test suite instead). Everything else is exactly checkable — including
-    * IVF, whose centroid choice, assignment, and probing are deterministic
-    * with explicit tie-breaks. */
+  /** dd_minhash_lsh / dd_simhash / dd_simhash_pairs (Spark xxhash64/Murmur3-
+    * dependent) and dd_embed_lsh (256×dim plane constants) intentionally
+    * have no oracle — the driver records a rows-only check, and
+    * `SimilaritySemanticSpec` validates each against its exact counterpart
+    * instead. Everything else is exactly checkable — including IVF, whose
+    * centroid choice, assignment, and probing are deterministic with
+    * explicit tie-breaks. */
   val oracles: Map[String, String] = Map(
     "ann_ivf" ->
       """WITH params AS (

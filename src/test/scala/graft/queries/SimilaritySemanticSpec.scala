@@ -52,6 +52,100 @@ class SimilaritySemanticSpec extends AnyFunSuite {
     assert(unrelated.exists(_ > 12), s"unrelated hamming: $unrelated")
   }
 
+  test("SRP LSH near-dup: precision 1 vs exact pairs; bounded-recall at corpus threshold") {
+    val exact = SimilarityQueries.embedDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.embedLshDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // exact verification ⇒ every emitted pair is a true near-dup
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    info(s"SRP recall at corpus threshold 0.45 = $recall (pairs sit at cos 0.45–0.48, " +
+      "the boundary regime where banding recall degrades by construction)")
+    assert(recall >= 0.5, s"recall = $recall")
+  }
+
+  test("SRP LSH recovers the exact pair set in the high-cosine regime it is built for") {
+    import spark.implicits._
+    graft.Graft.enable(spark)
+    // deterministic synthetic corpus: 150 background vectors + 25 planted
+    // near-duplicates at cosine ≈ 0.95
+    val rnd = new scala.util.Random(42)
+    def unit(dim: Int): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val dim = 32
+    val base = Array.fill(150)(unit(dim))
+    val planted = (0 until 25).map { i =>
+      val b = base(i)
+      val noise = unit(dim)
+      val mixed = b.indices.map(d => b(d) + 0.25 * noise(d)).toArray
+      val n = math.sqrt(mixed.map(x => x * x).sum)
+      mixed.map(_ / n)
+    }
+    val all = base ++ planted
+    val df = all.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("vec_id", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.expr("sqrt(vec_dot(v, v))"))
+    val threshold = 0.8
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      i <- all.indices; j <- all.indices if i < j && cos(all(i), all(j)) > threshold
+    } yield (i.toLong, j.toLong)).toSet
+    assert(expected.size >= 25, s"planted dups missing: ${expected.size}")
+    val got = SimilarityQueries.srpNearDupPairs(df, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("banded SimHash pairs ≡ exact 64-bit Hamming all-pairs (pigeonhole)") {
+    val sigRows = SimilarityQueries.simhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def brute(maxHam: Int): Set[(Long, Long)] = (for {
+      (i, si) <- sigRows; (j, sj) <- sigRows
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= maxHam
+    } yield (i, j)).toSet
+    val minHam = (for { (i, si) <- sigRows; (j, sj) <- sigRows if i < j }
+      yield java.lang.Long.bitCount(si ^ sj)).min
+    info(s"closest corpus pair at hamming $minHam")
+    val sigDf = SimilarityQueries.simhash(spark, sf)
+    for ((bands, maxHam) <- Seq((4, 3), (8, 7))) {
+      val got = SimilarityQueries.simhashBandedPairs(sigDf, bands, maxHam)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === brute(maxHam), s"bands=$bands maxHam=$maxHam")
+    }
+  }
+
+  test("banded SimHash pairs find planted low-Hamming signatures exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = rnd.nextLong()
+    def flip(x: Long, bits: Int): Long = {
+      var v = x
+      rnd.shuffle((0 until 64).toList).take(bits).foreach(b => v ^= (1L << b))
+      v
+    }
+    val sigs = Seq(
+      (0L, base), (1L, flip(base, 1)), (2L, flip(base, 3)), (3L, flip(base, 4))) ++
+      (4L until 200L).map(i => (i, rnd.nextLong()))
+    val expected = (for {
+      (i, si) <- sigs; (j, sj) <- sigs
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= 3
+    } yield (i, j)).toSet
+    assert(expected.contains((0L, 1L)) && expected.contains((0L, 2L)))
+    assert(!expected.contains((0L, 3L))) // ham 4 excluded by the verify step
+    val got = SimilarityQueries.simhashBandedPairs(
+        sigs.toDF("doc_id", "simhash"), bands = 4, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("IVF ANN achieves useful recall against brute force") {
     val exact = SimilarityQueries.annTopK(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
