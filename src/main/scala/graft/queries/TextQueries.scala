@@ -13,6 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TextQueries {
 
+  /** Stop-shingle document-frequency cap for `dd_shingle_capped`.
+    * (Declared before `sparkSql`, which captures it at object init.) */
+  val ShingleCapDf = 32
+
   private val enStops = Seq("the", "a", "of", "and", "to", "is", "in")
   private val enStopsSql = enStops.map(w => s"'$w'").mkString(", ")
   private def orChain(v: String) = enStops.map(w => s"$v = '$w'").mkString(" OR ")
@@ -69,27 +73,72 @@ object TextQueries {
     // counting goes through per-shingle sorted doc lists with in-task pair
     // generation instead of a shingle self-join: identical output, but the
     // multi-ten-million-row join intermediate never materializes (44× at
-    // sf0.1). A pathologically common shingle still inflates one list —
-    // stop-shingle filtering would bound that, at the cost of exactness.
-    "dd_shingle_jaccard" ->
-      """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 3),
-        |sh AS (SELECT doc_id, explode(array_distinct(
-        |         transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3))))) AS s
-        |       FROM d),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |lists AS (SELECT sort_array(collect_list(doc_id)) AS ds
-        |          FROM sh GROUP BY s HAVING count(*) > 1),
-        |pairs AS (SELECT p.i AS i, p.j AS j FROM lists
-        |          LATERAL VIEW explode(flatten(transform(ds, (x, xi) ->
-        |            transform(slice(ds, xi + 2, size(ds)),
-        |                      y -> named_struct('i', x, 'j', y))))) t AS p),
-        |inter AS (SELECT i, j, count(*) AS c FROM pairs GROUP BY i, j)
-        |SELECT i, j FROM inter
-        |JOIN sz sa ON sa.doc_id = i
-        |JOIN sz sb ON sb.doc_id = j
-        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
-        |ORDER BY i, j""".stripMargin,
+    // sf0.1).
+    "dd_shingle_jaccard" -> shingleJaccardSparkSql(capDf = None),
+
+    // skew-capped variant: the at-scale default (see shingleJaccardSparkSql)
+    "dd_shingle_capped" -> shingleJaccardSparkSql(capDf = Some(ShingleCapDf)),
   )
+
+  /** Shingle-Jaccard pair SQL, optionally excluding "stop shingles" that
+    * appear in more than `capDf` documents from pair generation.
+    *
+    * Why the cap exists: per-shingle doc lists make co-occurrence counting
+    * linear in list size, EXCEPT that pair generation inside one list is
+    * quadratic — one pathologically common shingle (a boilerplate phrase in
+    * 1M documents) turns into 5·10¹¹ in-task pairs and kills the stage. A
+    * df cap bounds every list at `capDf`, so per-list work is ≤ capDf²/2 and
+    * the whole plan is again linear in corpus size.
+    *
+    * Effect on results: dropping a shingle can only LOWER intersection
+    * counts, so estimated Jaccard ≤ true Jaccard and the capped output is a
+    * subset of the exact pairs — precision stays 1; only pairs whose overlap
+    * hinges on ubiquitous shingles are missed (for near-dup detection those
+    * are exactly the uninformative matches). `capDf = None` is the exact
+    * form. */
+  private[queries] def shingleJaccardSparkSql(capDf: Option[Int]): String = {
+    val cap = capDf.map(n => s" AND count(*) <= $n").getOrElse("")
+    s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, explode(array_distinct(
+       |         transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3))))) AS s
+       |       FROM d),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |lists AS (SELECT sort_array(collect_list(doc_id)) AS ds
+       |          FROM sh GROUP BY s HAVING count(*) > 1$cap),
+       |pairs AS (SELECT p.i AS i, p.j AS j FROM lists
+       |          LATERAL VIEW explode(flatten(transform(ds, (x, xi) ->
+       |            transform(slice(ds, xi + 2, size(ds)),
+       |                      y -> named_struct('i', x, 'j', y))))) t AS p),
+       |inter AS (SELECT i, j, count(*) AS c FROM pairs GROUP BY i, j)
+       |SELECT i, j FROM inter
+       |JOIN sz sa ON sa.doc_id = i
+       |JOIN sz sb ON sb.doc_id = j
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+       |ORDER BY i, j""".stripMargin
+  }
+
+  /** DuckDB twin of [[shingleJaccardSparkSql]] (join-based co-occurrence —
+    * the oracle only needs to be correct, not skew-proof). */
+  private def shingleJaccardDuckSql(capDf: Option[Int]): String = {
+    val capJoin = capDf.map(n =>
+      s"""
+         |          JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND $n) ok
+         |            ON ok.s = a.s""".stripMargin).getOrElse("")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |         [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+       |       FROM d),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id$capJoin
+       |          GROUP BY a.doc_id, b.doc_id)
+       |SELECT i, j FROM inter
+       |JOIN sz sa ON sa.doc_id = i
+       |JOIN sz sb ON sb.doc_id = j
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+       |ORDER BY i, j""".stripMargin
+  }
 
   // --- DuckDB oracles -----------------------------------------------------
 
@@ -134,21 +183,9 @@ object TextQueries {
         |HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
 
-    "dd_shingle_jaccard" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT doc_id, unnest(list_distinct(
-        |         [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
-        |       FROM d),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY a.doc_id, b.doc_id)
-        |SELECT i, j FROM inter
-        |JOIN sz sa ON sa.doc_id = i
-        |JOIN sz sb ON sb.doc_id = j
-        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
-        |ORDER BY i, j""".stripMargin,
+    "dd_shingle_jaccard" -> shingleJaccardDuckSql(capDf = None),
+
+    "dd_shingle_capped" -> shingleJaccardDuckSql(capDf = Some(ShingleCapDf)),
   )
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
