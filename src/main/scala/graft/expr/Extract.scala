@@ -55,14 +55,30 @@ final case class MinMaxPred(column: String, op: String, value: Double)
 
 object Extract {
   private val MicrosPerSec = 1000000L
+  private val MicrosPerDay = 86400L * MicrosPerSec
 
   private def litMicros(e: Expression): Option[Long] = e match {
     case Literal(v: Long, TimestampType) => Some(v)
     // NTZ literals carry wall-clock micros — the same scale the wheel is
     // built on for NTZ columns (build pins the epoch extraction to UTC)
     case Literal(v: Long, TimestampNTZType) => Some(v)
+    // DATE literals are epoch days — timezone-free; the wheel stores a
+    // DateType column at days × 86400 s (the reference's Date32 arm copies
+    // day counts as ms, `lib.rs:1250-1258` — a unit bug we do not inherit)
+    case Literal(d: Int, DateType) => Some(d.toLong * MicrosPerDay)
     case Cast(child, TimestampType, _, _) => litMicros(child)
     case _ => None
+  }
+
+  /** DATE literal value in micros, for the whole-day-exact comparison arms. */
+  private def litDateMicros(e: Expression): Option[Long] = e match {
+    case Literal(d: Int, DateType) => Some(d.toLong * MicrosPerDay)
+    case _ => None
+  }
+
+  private def isDateAttr(e: Expression, timeCol: String): Boolean = e match {
+    case a: AttributeReference => a.name == timeCol && a.dataType == DateType
+    case _ => false
   }
 
   /** Does `e` denote the indexed time column as an absolute (timezone-free)
@@ -78,13 +94,19 @@ object Extract {
   def isTime(e: Expression, timeCol: String): Boolean = e match {
     case a: AttributeReference =>
       a.name == timeCol &&
-        (a.dataType == TimestampType || a.dataType == TimestampNTZType)
+        (a.dataType == TimestampType || a.dataType == TimestampNTZType ||
+          a.dataType == DateType)
     // An NTZ column coerced to TIMESTAMP shifts wall clock by the CAST's
     // zone; the wheel stores wall-clock (UTC-equivalent) seconds, so the
     // comparison only means what the wheel thinks it means when that zone
     // is UTC. (Found in review: day-aligned corpus data masked this.)
     case Cast(child, _: TimestampType, tzId, _)
         if child.dataType == TimestampNTZType =>
+      tzId.exists(isUtcZone) && isTime(child, timeCol)
+    // Same for DATE→TIMESTAMP promotion: the cast yields midnight in the
+    // CAST's zone, while the wheel slot is midnight UTC (days × 86400).
+    case Cast(child, _: TimestampType, tzId, _)
+        if child.dataType == DateType =>
       tzId.exists(isUtcZone) && isTime(child, timeCol)
     case Cast(child, _: TimestampType, _, _) => isTime(child, timeCol)
     case m: MicrosToTimestamp => m.child match {
@@ -155,6 +177,18 @@ object Extract {
     }}
 
     conjuncts.foreach {
+      // DATE-column vs DATE-literal comparisons first: day slots make every
+      // operator exact (`d <= lit` ⇔ `d < lit + 1 day`, `d > lit` ⇔
+      // `d >= lit + 1 day`), where the generic timestamp arms below must
+      // round outward and drop exactness.
+      case LessThanOrEqual(t, l) if isDateAttr(t, timeCol) && litDateMicros(l).isDefined =>
+        mergeHi(litDateMicros(l).get + MicrosPerDay)
+      case GreaterThanOrEqual(l, t) if isDateAttr(t, timeCol) && litDateMicros(l).isDefined =>
+        mergeHi(litDateMicros(l).get + MicrosPerDay)
+      case GreaterThan(t, l) if isDateAttr(t, timeCol) && litDateMicros(l).isDefined =>
+        mergeLo(litDateMicros(l).get + MicrosPerDay)
+      case LessThan(l, t) if isDateAttr(t, timeCol) && litDateMicros(l).isDefined =>
+        mergeLo(litDateMicros(l).get + MicrosPerDay)
       case GreaterThanOrEqual(t, l) if isTime(t, timeCol) && litMicros(l).isDefined =>
         mergeLo(litMicros(l).get)
       case LessThanOrEqual(l, t) if isTime(t, timeCol) && litMicros(l).isDefined =>

@@ -216,6 +216,11 @@ object UWheelIndex {
     val secExpr = df.schema(timeColumn).dataType match {
       case org.apache.spark.sql.types.LongType =>
         F.expr(s"`$timeColumn` div 1000000000")
+      case org.apache.spark.sql.types.DateType =>
+        // DATE is epoch DAYS, timezone-free → days × 86400 s (UTC midnight).
+        // The reference's Date32 arm copies day counts as milliseconds
+        // (`lib.rs:1250-1258`) — support the type, not the unit bug.
+        F.expr(s"CAST(unix_date(`$timeColumn`) AS BIGINT) * 86400")
       case org.apache.spark.sql.types.TimestampNTZType =>
         // Wall-clock epoch seconds from purely timezone-free pieces
         // (date diff + hour/minute/second are all wall-clock on NTZ), so

@@ -52,9 +52,34 @@ object Q {
         // calendar group-bys produce real multi-bucket results)
         tryBuild("lineitem")(UWheelBuilder("l_shipdate", Seq("l_quantity"))
           .build(spark, s"$sfDir/lineitem.parquet")),
+        // orders with a DATE-typed time column (the corpus stores
+        // timestamps; real TPC-H dumps keep o_orderdate as DATE — derive a
+        // dated copy once so the DateType index path has a contract query)
+        tryBuild("orders_dated")(buildDatedOrders(spark, sfDir)),
       )), Duration.Inf)
     }
     spark
+  }
+
+  private val datedDirs = new ConcurrentHashMap[String, String]()
+
+  /** Writes a date-typed projection of `orders` (o_orderdate → DATE) to a
+    * session-temp parquet, registers it as `orders_dated`, and wheel-indexes
+    * it on the DATE column. The UTC-session `to_date` here equals DuckDB's
+    * `CAST(o_orderdate AS DATE)`, which is what the oracles use. */
+  private def buildDatedOrders(spark: SparkSession, sfDir: String): Unit = {
+    val path = datedDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dated").toString
+      val p = s"$dir/orders_dated.parquet"
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .withColumn("o_odate", to_date(col("o_orderdate")))
+        .drop("o_orderdate")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path).createOrReplaceTempView("orders_dated")
+    UWheelBuilder("o_odate", Seq("o_totalprice")).build(spark, path)
   }
 
   /** A query whose Spark side is a plain SQL string over the corpus views. */

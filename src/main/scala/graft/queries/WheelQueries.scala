@@ -70,6 +70,19 @@ object WheelQueries {
       """SELECT date_trunc('year', l_shipdate) AS y, count(*) AS cnt,
         |       min(l_quantity) AS mn, max(l_quantity) AS mx
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+    // DATE-typed time column (orders_dated, built by Q.ctx): inclusive upper
+    // bound — exact for whole-day slots via the date-specific extraction arms
+    "uw_date_range" -> Q.sql(
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_dated
+        |WHERE o_odate >= DATE '1995-01-01' AND o_odate <= DATE '1995-12-31'""".stripMargin),
+    // GROUP BY the bare DATE column: day buckets with DATE keys, zone-free
+    "uw_date_groupby" -> Q.sql(
+      """SELECT o_odate AS d, count(*) AS cnt, min(o_totalprice) AS mn
+        |FROM orders_dated
+        |WHERE o_odate >= DATE '1995-03-01' AND o_odate < DATE '1995-04-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +133,18 @@ object WheelQueries {
       """SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS y, count(*) AS cnt,
         |       min(l_quantity) AS mn, max(l_quantity) AS mx
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle reads the REAL orders table, deriving the same DATE view
+    "uw_date_range" ->
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(o_orderdate AS DATE) <= DATE '1995-12-31'""".stripMargin,
+    "uw_date_groupby" ->
+      """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS cnt, min(o_totalprice) AS mn
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -333,6 +333,26 @@ object UWheelRule extends Rule[LogicalPlan] {
                 (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) =>
             (hw => hw.groupBy(sSec, eSec, 3),
               gs => Literal((gs / HawWheel.DAY).toInt, DateType))
+          // GROUP BY a DateType time column directly: day buckets, DATE keys.
+          // Purely calendar arithmetic on epoch days — no session zone
+          // involved, so no UTC gate.
+          case a: AttributeReference
+              if a.name == table.timeColumn && a.dataType == DateType =>
+            (hw => hw.groupBy(sSec, eSec, 3),
+              gs => Literal((gs / HawWheel.DAY).toInt, DateType))
+          // GROUP BY trunc(dateCol, 'week'|'month'|'quarter'|'year'): DATE in,
+          // DATE out, zone-free (TruncDate never consults the session zone).
+          case TruncDate(t: AttributeReference, Literal(fmt: UTF8String, StringType))
+              if t.name == table.timeColumn && t.dataType == DateType =>
+            val unit = fmt.toString.toLowerCase
+            val fn: HawWheel => IndexedSeq[(Long, RangeAgg)] =
+              if (HawWheel.levelIndexOf(unit).contains(4)) {
+                hw => hw.groupBy(sSec, eSec, 4)
+              } else {
+                val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+                hw => hw.groupByCalendar(sSec, eSec, stride)
+              }
+            (fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType))
           case _ => return None
         }
         // Need at least one wheel to enumerate the groups.

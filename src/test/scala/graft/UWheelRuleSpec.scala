@@ -340,6 +340,75 @@ class UWheelRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("DateType time column: build, exact inclusive bounds, group-bys, zone-freedom") {
+    setup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-date").toString
+    val p = s"$dir/t.parquet"
+    // 400 days spanning 2023-11-15 .. 2024-12-18 (crosses a year boundary
+    // and a leap February), several rows per day
+    val d0 = java.time.LocalDate.parse("2023-11-15")
+    val rows = (0 until 1200).map { i =>
+      (java.sql.Date.valueOf(d0.plusDays(i % 400)), (i % 53) / 2.0)
+    }
+    rows.toDF("d", "value").write.mode("overwrite").parquet(p)
+    assert(spark.read.parquet(p).schema("d").dataType ===
+      org.apache.spark.sql.types.DateType)
+    UWheelBuilder("d", Seq("value")).build(spark, p)
+
+    def t = spark.read.parquet(p)
+    def check(q: DataFrame): Unit = {
+      assertRewritten(q)
+      val got = q.collect().map(_.toString).toSeq
+      val exp = groundTruth(q.collect().map(_.toString).toSeq)
+      assert(got === exp)
+    }
+    // inclusive upper bound and strict lower bound are whole-day-exact
+    check(t.filter(col("d") >= lit("2024-01-01").cast("date") &&
+                   col("d") <= lit("2024-03-31").cast("date"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("s"),
+        min("value").as("mn"), max("value").as("mx")))
+    check(t.filter(col("d") > lit("2024-02-28").cast("date") &&
+                   col("d") < lit("2024-04-01").cast("date"))
+      .agg(count(lit(1)).as("cnt")))
+    // GROUP BY the bare date column (day buckets, DATE keys)
+    check(t.filter(col("d") >= lit("2024-02-01").cast("date") &&
+                   col("d") < lit("2024-03-05").cast("date"))
+      .groupBy(col("d")).agg(count(lit(1)).as("cnt"), max("value").as("mx"))
+      .orderBy("d"))
+    // trunc(date, unit): DATE-in/DATE-out calendar group-bys
+    for (unit <- Seq("week", "month", "quarter", "year"))
+      check(t.groupBy(trunc(col("d"), unit).as("b"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value").cast("decimal(18,2)")).as("s"))
+        .orderBy("b"))
+    // date_trunc through the timestamp cast works under UTC too
+    check(t.groupBy(date_trunc("month", col("d")).as("b"))
+      .agg(count(lit(1)).as("cnt")).orderBy("b"))
+    // emptiness pruning from date bounds
+    val pruned = t.filter(col("d") >= lit("2031-01-01").cast("date") &&
+                          col("d") < lit("2031-06-01").cast("date"))
+    assertRewritten(pruned)
+    assert(pruned.count() === 0)
+
+    // zone-freedom: DATE vs DATE is calendar arithmetic — rewrites must
+    // stay correct (and on) in any session zone; the timestamp-cast
+    // group-by must fall through instead of silently differing
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla") // +08:45
+    try {
+      check(t.filter(col("d") >= lit("2024-01-01").cast("date") &&
+                     col("d") <= lit("2024-03-31").cast("date"))
+        .agg(count(lit(1)).as("cnt")))
+      check(t.filter(col("d") >= lit("2024-02-01").cast("date") &&
+                     col("d") < lit("2024-03-05").cast("date"))
+        .groupBy(col("d")).agg(count(lit(1)).as("cnt")).orderBy("d"))
+      check(t.groupBy(trunc(col("d"), "month").as("b"))
+        .agg(count(lit(1)).as("cnt")).orderBy("b"))
+      assertNotRewritten(t.groupBy(date_trunc("month", col("d")).as("b"))
+        .agg(count(lit(1)).as("cnt")))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("stale index: file change after build disables rewrites") {
     setup
     import spark.implicits._
