@@ -219,6 +219,37 @@ class UWheelRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("non-UTC sessions: every coarse trunc unit and to_date fall through and still match the scan") {
+    setup
+    // a half-hour-offset zone and a DST zone: the two ways session-zone
+    // truncation diverges from the wheel's fixed UTC slots
+    for (tz <- Seq("Asia/Kolkata", "America/New_York")) {
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try {
+        for (unit <- Seq("minute", "hour", "day", "week", "month", "quarter", "year")) {
+          val q = ranged.groupBy(date_trunc(unit, col("ts")).as("b"))
+            .agg(count(lit(1)).as("c"), min("value").as("mn")).orderBy("b")
+          assertNotRewritten(q)
+          // falling through must mean "answered by the scan", never
+          // "silently different": compare against the rule-disabled plan
+          val got = q.collect().map(_.toString).toSeq
+          val exp = groundTruth(q.collect().map(_.toString).toSeq)
+          assert(got === exp, s"$tz / $unit")
+        }
+        val qd = ranged.groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+        assertNotRewritten(qd)
+        assert(qd.collect().map(_.toString).sorted.toSeq ===
+          groundTruth(qd.collect().map(_.toString).sorted.toSeq), s"$tz / to_date")
+        // 'second' truncation is timezone-invariant: stays rewritten + exact
+        val qs = ranged.groupBy(date_trunc("second", col("ts")).as("b"))
+          .agg(count(lit(1)).as("c")).orderBy("b")
+        assertRewritten(qs)
+        assert(qs.collect().map(_.toString).toSeq ===
+          groundTruth(qs.collect().map(_.toString).toSeq), s"$tz / second")
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+  }
+
   test("month/quarter/year group-by composes calendar spans exactly") {
     setup
     import spark.implicits._
