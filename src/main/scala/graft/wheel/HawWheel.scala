@@ -98,13 +98,17 @@ object HawWheel {
     }
     val secs   = new Array[Long](n)
     val counts = new Array[Long](n)
-    val sums   = new Array[Long](n)
-    val mins   = new Array[Double](n)
-    val maxs   = new Array[Double](n)
+    // count-only wheels carry no sum/min/max payload — dropping the three
+    // arrays (and the min/max levels + sum prefix below) cuts the footprint
+    // of a standalone COUNT(*) wheel by ~3×
+    val sums   = if (hasValues) new Array[Long](n) else Array.emptyLongArray
+    val mins   = if (hasValues) new Array[Double](n) else Array.emptyDoubleArray
+    val maxs   = if (hasValues) new Array[Double](n) else Array.emptyDoubleArray
     i = 0
     while (i < n) {
       val p = buf(i)
-      secs(i) = p._1; counts(i) = p._2; sums(i) = p._3; mins(i) = p._4; maxs(i) = p._5
+      secs(i) = p._1; counts(i) = p._2
+      if (hasValues) { sums(i) = p._3; mins(i) = p._4; maxs(i) = p._5 }
       i += 1
     }
     new HawWheel(secs(0), secs(n - 1) + 1, scale, hasValues, secs, counts, sums, mins, maxs)
@@ -166,10 +170,13 @@ final class HawWheel private (
     p
   }
   private val prefSum: Array[Long] = {
-    val p = new Array[Long](numSecs + 1)
-    var i = 0
-    while (i < numSecs) { p(i + 1) = p(i) + sums(i); i += 1 }
-    p
+    if (!hasValues) Array.emptyLongArray
+    else {
+      val p = new Array[Long](numSecs + 1)
+      var i = 0
+      while (i < numSecs) { p(i + 1) = p(i) + sums(i); i += 1 }
+      p
+    }
   }
 
   // Sparse min/max levels (second/minute/hour/day/week): built by one
@@ -194,15 +201,22 @@ final class HawWheel private (
         while (ci < child.starts.length) {
           val slot = alignDown(child.starts(ci), span)
           if (slot != curStart) {
-            if (curStart != Long.MinValue) { starts += curStart; mins += curMin; maxs += curMax }
-            curStart = slot; curMin = child.mins(ci); curMax = child.maxs(ci)
-          } else {
+            if (curStart != Long.MinValue) {
+              starts += curStart
+              if (hasValues) { mins += curMin; maxs += curMax }
+            }
+            curStart = slot
+            if (hasValues) { curMin = child.mins(ci); curMax = child.maxs(ci) }
+          } else if (hasValues) {
             if (child.mins(ci) < curMin) curMin = child.mins(ci)
             if (child.maxs(ci) > curMax) curMax = child.maxs(ci)
           }
           ci += 1
         }
-        if (curStart != Long.MinValue) { starts += curStart; mins += curMin; maxs += curMax }
+        if (curStart != Long.MinValue) {
+          starts += curStart
+          if (hasValues) { mins += curMin; maxs += curMax }
+        }
         out(li) = new HawWheel.Level(span, starts.result(), mins.result(), maxs.result())
         li += 1
       }
@@ -218,7 +232,7 @@ final class HawWheel private (
 
   /** Exact scaled sum over [s, e). O(log). Meaningless if count==0. */
   def sumScaledRange(s: Long, e: Long): Long = {
-    if (numSecs == 0 || s >= e) return 0L
+    if (!hasValues || numSecs == 0 || s >= e) return 0L
     prefSum(lowerBound(secs, e)) - prefSum(lowerBound(secs, s))
   }
 
@@ -233,7 +247,7 @@ final class HawWheel private (
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
     var cur = lo
-    while (cur < hi) {
+    while (hasValues && cur < hi) {
       // largest level aligned at cur and fitting within hi
       var li = Spans.length - 1
       while (li > 0 && !(alignDown(cur, Spans(li)) == cur && cur + Spans(li) <= hi)) li -= 1
@@ -308,8 +322,10 @@ final class HawWheel private (
     * `index_usage_bytes`, `lib.rs:143-151`) — proportional to distinct
     * active seconds, not to the time span. */
   def sizeBytes: Long = {
-    val secArrays = numSecs.toLong * (8 + 8 + 8 + 8 + 8) + (numSecs + 1).toLong * 16
-    val lvlArrays = levels.drop(1).map(l => l.starts.length.toLong * 24).sum
-    secArrays + lvlArrays
+    val perSec = if (hasValues) 8 + 8 + 8 + 8 + 8 else 8 + 8
+    val prefixes = (numSecs + 1).toLong * (if (hasValues) 16 else 8)
+    val perSlot = if (hasValues) 24 else 8
+    numSecs.toLong * perSec + prefixes +
+      levels.drop(1).map(_.starts.length.toLong * perSlot).sum
   }
 }

@@ -10,9 +10,14 @@ import scala.collection.mutable
   * watermark, buffered in per-second partials, and sealed into an immutable
   * [[HawWheel]] by [[freeze]] (the reference's `ReaderWheel` conversion with
   * SIMD/prefix finalization, `lib.rs:1082-1087`). Out-of-order inserts behind
-  * the watermark are rejected, mirroring µWheel's write-ahead semantics
-  * (write-ahead ring of 65,536 slots ≈ here an unbounded sorted map — the
-  * driver-side build has no backpressure concern).
+  * the watermark are rejected, and — mirroring the reference's 65,536-slot
+  * write-ahead ring (`lib.rs:978-982`) — inserts more than
+  * `writeAheadSlots` seconds AHEAD of the watermark are rejected too, so a
+  * stuck watermark cannot grow the buffer without bound (the map is sparse,
+  * so memory is `min(active seconds, horizon)`, never the dense ring's
+  * `horizon`). [[mergePartial]] is the trusted build/merge path and is
+  * exempt: there the source's own watermark bounds lateness and the build
+  * has no notion of progress.
   *
   * Count and scaled sum are accumulated as Longs so integer exactness holds
   * all the way to Long range (a Double slot would silently lose exactness
@@ -21,7 +26,10 @@ import scala.collection.mutable
   * Two wheels built from the same rows merge associatively ([[merge]]), which
   * is what makes a distributed per-partition build correct.
   */
-final class RwWheel(val scale: Int, val hasValues: Boolean) extends Serializable {
+final class RwWheel(
+    val scale: Int,
+    val hasValues: Boolean,
+    val writeAheadSlots: Long = RwWheel.DefaultWriteAheadSlots) extends Serializable {
   import RwWheel.Slot
 
   private val slots = mutable.LongMap.empty[Slot] // epoch second -> partials
@@ -33,6 +41,11 @@ final class RwWheel(val scale: Int, val hasValues: Boolean) extends Serializable
   /** Insert one row. `value` ignored for count-only wheels. */
   def insert(tsMs: Long, value: Double): Unit = {
     require(tsMs >= watermarkMs, s"insert at $tsMs behind watermark $watermarkMs")
+    require(
+      watermarkMs == Long.MinValue ||
+        tsMs - watermarkMs <= writeAheadSlots * 1000L,
+      s"insert at $tsMs exceeds write-ahead horizon " +
+        s"(watermark $watermarkMs + $writeAheadSlots s); advance the watermark first")
     val sec = Math.floorDiv(tsMs, 1000L)
     val slot = slots.getOrElseUpdate(sec, new Slot)
     slot.count += 1
@@ -80,6 +93,10 @@ final class RwWheel(val scale: Int, val hasValues: Boolean) extends Serializable
 }
 
 object RwWheel {
+  /** Write-ahead horizon in seconds — the reference's ring capacity
+    * (`lib.rs:978-982`). */
+  final val DefaultWriteAheadSlots: Long = 65536L
+
   /** Top-level (no outer pointer) so a serialized wheel ships only slot
     * payloads — the distributed build tree-merges wheels across executors. */
   private[wheel] final class Slot extends Serializable {

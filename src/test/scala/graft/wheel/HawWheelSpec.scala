@@ -94,4 +94,40 @@ class HawWheelSpec extends AnyFunSuite {
     assert(w.range(t0, t0 + 1).sum === Some(5.0))
     assert(w.range(t0, t0 + 1).count === 2)
   }
+
+  test("count-only wheel: same counts, no value payload, smaller footprint") {
+    def build(hasValues: Boolean): HawWheel = {
+      val rw = new RwWheel(2, hasValues)
+      (0 until 500).foreach(i => rw.insert((t0 + i * 7) * 1000L, (i + 1).toDouble))
+      rw.freeze()
+    }
+    val co = build(hasValues = false)
+    val full = build(hasValues = true)
+    assert(co.countRange(t0, t0 + 3500) === full.countRange(t0, t0 + 3500))
+    assert(co.countRange(t0 + 70, t0 + 700) === full.countRange(t0 + 70, t0 + 700))
+    assert(co.groupBy(t0, t0 + 3500, 1).map { case (k, a) => (k, a.count) } ===
+           full.groupBy(t0, t0 + 3500, 1).map { case (k, a) => (k, a.count) })
+    val ra = co.range(t0, t0 + 3500)
+    assert(ra.sumScaled === 0L && ra.min.isPosInfinity && ra.max.isNegInfinity)
+    // dropped arrays: scaled sum + min/max per second (24B) + sum prefix +
+    // per-slot min/max in the levels — comfortably under half the footprint
+    assert(co.sizeBytes * 2 < full.sizeBytes,
+      s"count-only ${co.sizeBytes}B vs full ${full.sizeBytes}B")
+  }
+
+  test("write-ahead horizon: far-future insert rejected until watermark advances") {
+    val rw = new RwWheel(2, hasValues = true)
+    rw.insert(t0 * 1000L, 1.0)
+    rw.advanceTo(t0 * 1000L)
+    val farMs = (t0 + RwWheel.DefaultWriteAheadSlots + 10) * 1000L
+    intercept[IllegalArgumentException](rw.insert(farMs, 2.0))
+    // inside the horizon is fine
+    rw.insert((t0 + RwWheel.DefaultWriteAheadSlots) * 1000L, 3.0)
+    // advancing the watermark re-admits the previously-too-far second
+    rw.advanceTo((t0 + 20) * 1000L)
+    rw.insert(farMs, 2.0)
+    val w = rw.freeze()
+    assert(w.landmark.count === 3)
+    assert(w.landmark.sum === Some(6.0))
+  }
 }
