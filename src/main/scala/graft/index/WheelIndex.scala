@@ -159,7 +159,9 @@ final case class UWheelBuilder(
     minMaxColumns: Seq[String] = Nil,
     timeRangeSec: Option[(Long, Long)] = None,
     scale: Int = 2,
-    keyedWheels: Seq[IndexBuilder] = Nil) {
+    keyedWheels: Seq[IndexBuilder] = Nil,
+    slotSpanSec: Long = 1L,
+    slotBudget: Option[Long] = None) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
@@ -167,6 +169,17 @@ final case class UWheelBuilder(
     * (equivalent to a later `UWheelIndex.buildIndex` call, minus the pass). */
   def withKeyedWheel(ib: IndexBuilder): UWheelBuilder =
     copy(keyedWheels = keyedWheels :+ ib)
+  /** Coarsens every wheel of this build to `span` seconds per slot (60,
+    * 3600 or 86400): wheel memory drops by the span factor; rewrites then
+    * require span-aligned predicates (emptiness pruning still works for any
+    * bounds, conservatively). The memory guard for always-active multi-year
+    * tables — a decade of dense per-second slots is 315M entries, of
+    * per-minute slots 5.3M. */
+  def withSlotSpan(span: Long): UWheelBuilder = copy(slotSpanSec = span)
+  /** Auto-coarsen: picks the finest allowed span whose worst-case slot count
+    * over the table's [min, max] time range stays within `maxSlots`. Costs
+    * one extra min/max scan of the time column before the build. */
+  def withSlotBudget(maxSlots: Long): UWheelBuilder = copy(slotBudget = Some(maxSlots))
 
   def build(spark: SparkSession, path: String): TableIndex =
     UWheelIndex.build(spark, path, this)
@@ -187,6 +200,26 @@ object UWheelIndex {
     *                   single scan instead of a separate pass. */
   final case class BuiltWheel(wheel: IndexedWheel, sawNullTs: Boolean)
 
+  /** Epoch-second slot of the time column. TimestampType → cast; a raw
+    * nanosecond Long (events.ts via Tables) → floor-div by 1e9; DATE →
+    * days × 86400 s, timezone-free (the reference's Date32 arm copies day
+    * counts as milliseconds, `lib.rs:1250-1258` — support the type, not the
+    * unit bug); NTZ → wall-clock seconds from purely timezone-free pieces
+    * (date diff + hour/minute/second), so the build never depends on — or
+    * has to mutate — the session zone. */
+  private def secExprOf(df: DataFrame, timeColumn: String): Column =
+    df.schema(timeColumn).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        F.expr(s"`$timeColumn` div 1000000000")
+      case org.apache.spark.sql.types.DateType =>
+        F.expr(s"CAST(unix_date(`$timeColumn`) AS BIGINT) * 86400")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        F.expr(
+          s"""CAST(datediff(CAST(`$timeColumn` AS DATE), DATE '1970-01-01') AS BIGINT) * 86400
+             | + hour(`$timeColumn`) * 3600 + minute(`$timeColumn`) * 60 + second(`$timeColumn`)""".stripMargin)
+      case _ => F.col(timeColumn).cast("long")
+    }
+
   /** One wheel to build: which column (None = row count), under which
     * residual filter, over which time coverage. */
   final case class WheelSpec(
@@ -206,30 +239,10 @@ object UWheelIndex {
   private def buildWheels(
       df: DataFrame,
       timeColumn: String,
-      specs: Seq[WheelSpec]): Seq[BuiltWheel] = {
+      specs: Seq[WheelSpec],
+      slotSpan: Long = 1L): Seq[BuiltWheel] = {
     require(specs.nonEmpty)
-    // Epoch-second slot of the time column. TimestampType → cast; a raw
-    // nanosecond Long (events.ts via Tables) → floor-div by 1e9; NTZ →
-    // wall-clock seconds (cast through TimestampType with the session
-    // pinned to UTC below, so the slot equals the NTZ micros / 1e6 that
-    // query-side literals carry, independent of the caller's zone).
-    val secExpr = df.schema(timeColumn).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        F.expr(s"`$timeColumn` div 1000000000")
-      case org.apache.spark.sql.types.DateType =>
-        // DATE is epoch DAYS, timezone-free → days × 86400 s (UTC midnight).
-        // The reference's Date32 arm copies day counts as milliseconds
-        // (`lib.rs:1250-1258`) — support the type, not the unit bug.
-        F.expr(s"CAST(unix_date(`$timeColumn`) AS BIGINT) * 86400")
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // Wall-clock epoch seconds from purely timezone-free pieces
-        // (date diff + hour/minute/second are all wall-clock on NTZ), so
-        // the build never depends on — or has to mutate — the session zone.
-        F.expr(
-          s"""CAST(datediff(CAST(`$timeColumn` AS DATE), DATE '1970-01-01') AS BIGINT) * 86400
-             | + hour(`$timeColumn`) * 3600 + minute(`$timeColumn`) * 60 + second(`$timeColumn`)""".stripMargin)
-      case _ => F.col(timeColumn).cast("long")
-    }
+    val secExpr = secExprOf(df, timeColumn)
     val aggCols = specs.zipWithIndex.flatMap { case (sp, i) =>
       val inRange = sp.timeRangeSec
         .map { case (s, e) => secExpr >= s && secExpr < e }
@@ -265,7 +278,13 @@ object UWheelIndex {
     // is associative (RwWheelSpec), so tree shape cannot change the result.
     val scales  = specs.map(_.scale).toArray
     val hasVals = specs.map(_.valueColumn.isDefined).toArray
-    val acc = df.groupBy(secExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
+    // Coarse builds align the shuffle key itself, so the per-second → per-slot
+    // reduction happens map-side too (pmod keeps pre-1970 seconds aligned
+    // down, where `div` would truncate toward zero).
+    val slotExpr =
+      if (slotSpan == 1L) secExpr
+      else secExpr - F.pmod(secExpr, F.lit(slotSpan))
+    val acc = df.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
       .rdd
       .treeAggregate(new WheelBuildAcc(scales, hasVals))(
         (a, row) => { a.add(row); a },
@@ -274,7 +293,7 @@ object UWheelIndex {
     specs.zipWithIndex.map { case (sp, i) =>
       val hasValues = sp.valueColumn.isDefined
       BuiltWheel(
-        IndexedWheel(acc.wheels(i).freeze(), sp.valueColumn, sp.filterKey,
+        IndexedWheel(acc.wheels(i).freeze(slotSpan), sp.valueColumn, sp.filterKey,
           valueAllNonNull = !hasValues || acc.allNonNull(i),
           valuesExactAtScale = !hasValues || acc.badRep(i) == 0L,
           valuesNaNFree = !hasValues || acc.nanCount(i) == 0L,
@@ -346,7 +365,8 @@ object UWheelIndex {
     val countSpec =
       if (colSpecs.isEmpty) Seq(WheelSpec(None, None, "", conf.timeRangeSec, conf.scale))
       else Nil
-    val built = buildWheels(df, conf.timeColumn, colSpecs ++ keyedSpecs ++ countSpec)
+    val slotSpan = effectiveSlotSpan(df, conf)
+    val built = buildWheels(df, conf.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, slotSpan)
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val countBuilt = colBuilt.headOption match {
       case Some(bw) =>
@@ -365,9 +385,27 @@ object UWheelIndex {
     t
   }
 
+  /** Explicit span, or the finest allowed span fitting the budget (worst
+    * case: every slot in the table's [min, max] time range is active). */
+  private def effectiveSlotSpan(df: DataFrame, conf: UWheelBuilder): Long =
+    conf.slotBudget match {
+      case None => conf.slotSpanSec
+      case Some(budget) =>
+        val sec = secExprOf(df, conf.timeColumn)
+        val mm = df.agg(F.min(sec), F.max(sec)).head()
+        if (mm.isNullAt(0)) conf.slotSpanSec
+        else {
+          val spanSec = mm.getLong(1) - mm.getLong(0) + 1
+          graft.wheel.HawWheel.AllowedSlotSpans
+            .find(sp => spanSec / sp <= budget)
+            .getOrElse(graft.wheel.HawWheel.AllowedSlotSpans.last)
+        }
+    }
+
   /** Ad-hoc keyed/filtered index build (reference `build_index`,
     * `lib.rs:154-239`). The table must already have been registered via
-    * [[build]]. */
+    * [[build]]; the new wheel inherits the table's slot span so all wheels
+    * of one table gate identically. */
   def buildIndex(spark: SparkSession, path: String, ib: IndexBuilder, scale: Int = 2): Unit = {
     val key = WheelRegistry.normalizePath(path)
     val t = WheelRegistry.lookup(key).getOrElse(
@@ -380,8 +418,9 @@ object UWheelIndex {
         (Some(c), graft.expr.Canon.canonFilterKey(df.filter(c)))
       case None => (None, "")
     }
+    val span = t.countWheel.map(_.wheel.slotSpan).getOrElse(1L)
     t.put(buildWheels(df, t.timeColumn,
-      Seq(WheelSpec(Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale)))
+      Seq(WheelSpec(Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale)), span)
       .head.wheel)
   }
 }

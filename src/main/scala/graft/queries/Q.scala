@@ -26,7 +26,7 @@ object Q {
     // doing it per query would put 10 parquet schema reads on every call.
     val sid = Integer.valueOf(System.identityHashCode(spark))
     if (registeredDir.put(sid, sfDir) != sfDir) Tables.registerAll(spark, sfDir)
-    val key = sid + "#" + sfDir
+    val key = s"$sid#$sfDir"
     if (prepared.add(key)) {
       Graft.enable(spark)
       // A failed build must not poison the session: queries stay correct

@@ -223,6 +223,15 @@ object UWheelRule extends Rule[LogicalPlan] {
         range.startSec.exists(_ >= cs) && range.endSec.exists(_ <= ce)
     }
 
+    // Coarsened wheels (slotSpan > 1) only answer span-aligned ranges
+    // exactly; unbounded sides are clamped to the (aligned) wheel extent.
+    def spanOk(w: IndexedWheel): Boolean = {
+      val span = w.wheel.slotSpan
+      span == 1L ||
+        (range.startSec.forall(Math.floorMod(_, span) == 0) &&
+         range.endSec.forall(Math.floorMod(_, span) == 0))
+    }
+
     def wheelFor(n: Need): Option[IndexedWheel] = (n.column match {
       case None => table.anyForFilter(filterKey)
       case Some(c) =>
@@ -239,7 +248,7 @@ object UWheelRule extends Rule[LogicalPlan] {
           // MIN/MAX are NaN-blind in the wheel (Java ordering) but Spark
           // orders NaN above everything — only rewrite from NaN-free wheels.
           .filter(w => (n.kind != "min" && n.kind != "max") || w.valuesNaNFree)
-    }).filter(coverageOk)
+    }).filter(coverageOk).filter(spanOk)
 
     // Collect and classify every aggregate sub-expression in the output.
     val resolvedOutputs: Seq[Expression] = agg.aggregateExpressions.map {
@@ -300,8 +309,9 @@ object UWheelRule extends Rule[LogicalPlan] {
 
       case Seq(ge0) =>
         val ge = resolve(ge0, uw.aliases)
-        // (bucketing function, group-slot-seconds -> key literal)
-        val (groupFn, keyLit): (HawWheel => IndexedSeq[(Long, RangeAgg)], Long => Literal) = ge match {
+        // (bucketing function, group-slot-seconds -> key literal, bucket span
+        //  in seconds — coarsened wheels require slotSpan | bucketSpan)
+        val (groupFn, keyLit, bucketSpan): (HawWheel => IndexedSeq[(Long, RangeAgg)], Long => Literal, Long) = ge match {
           case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
               if isTime(t, table.timeColumn) =>
             val unit = fmt.toString.toLowerCase
@@ -314,16 +324,17 @@ object UWheelRule extends Rule[LogicalPlan] {
             // zone involved — so they are exempt.
             val ntz = t.dataType == TimestampNTZType
             if (unit != "second" && !ntz && !tzId.exists(isUtcZone)) return None
-            val fn: HawWheel => IndexedSeq[(Long, RangeAgg)] =
+            val (fn, bspan): (HawWheel => IndexedSeq[(Long, RangeAgg)], Long) =
               HawWheel.levelIndexOf(unit) match {
-                case Some(idx) => hw => hw.groupBy(sSec, eSec, idx)
+                case Some(idx) =>
+                  (hw => hw.groupBy(sSec, eSec, idx), HawWheel.Spans(idx))
                 case None =>
                   // month/quarter/year: calendar spans composed from day
                   // slots (the reference rejects these, lib.rs:357)
                   val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                  hw => hw.groupByCalendar(sSec, eSec, stride)
+                  (hw => hw.groupByCalendar(sSec, eSec, stride), HawWheel.DAY)
               }
-            (fn, gs => Literal(gs * 1000000L, ge.dataType))
+            (fn, gs => Literal(gs * 1000000L, ge.dataType), bspan)
           // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
           // DateType key (days since epoch); date truncation of TIMESTAMP
           // follows the session zone, so UTC-gated like the coarse units
@@ -332,34 +343,37 @@ object UWheelRule extends Rule[LogicalPlan] {
               if isTime(t, table.timeColumn) &&
                 (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) =>
             (hw => hw.groupBy(sSec, eSec, 3),
-              gs => Literal((gs / HawWheel.DAY).toInt, DateType))
+              gs => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY)
           // GROUP BY a DateType time column directly: day buckets, DATE keys.
           // Purely calendar arithmetic on epoch days — no session zone
           // involved, so no UTC gate.
           case a: AttributeReference
               if a.name == table.timeColumn && a.dataType == DateType =>
             (hw => hw.groupBy(sSec, eSec, 3),
-              gs => Literal((gs / HawWheel.DAY).toInt, DateType))
+              gs => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY)
           // GROUP BY trunc(dateCol, 'week'|'month'|'quarter'|'year'): DATE in,
           // DATE out, zone-free (TruncDate never consults the session zone).
           case TruncDate(t: AttributeReference, Literal(fmt: UTF8String, StringType))
               if t.name == table.timeColumn && t.dataType == DateType =>
             val unit = fmt.toString.toLowerCase
-            val fn: HawWheel => IndexedSeq[(Long, RangeAgg)] =
+            val (fn, bspan): (HawWheel => IndexedSeq[(Long, RangeAgg)], Long) =
               if (HawWheel.levelIndexOf(unit).contains(4)) {
-                hw => hw.groupBy(sSec, eSec, 4)
+                (hw => hw.groupBy(sSec, eSec, 4), HawWheel.WEEK)
               } else {
                 val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                hw => hw.groupByCalendar(sSec, eSec, stride)
+                (hw => hw.groupByCalendar(sSec, eSec, stride), HawWheel.DAY)
               }
-            (fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType))
+            (fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType), bspan)
           case _ => return None
         }
         // Need at least one wheel to enumerate the groups.
         val enumWheel: IndexedWheel =
           needs.headOption.map(_._2._2)
-            .orElse(table.anyForFilter(filterKey).filter(coverageOk))
+            .orElse(table.anyForFilter(filterKey).filter(coverageOk).filter(spanOk))
             .getOrElse(return None)
+        // coarsened wheels can only serve buckets their slots tile exactly
+        val slotSpans = needs.values.map(_._2.wheel.slotSpan).toSet + enumWheel.wheel.slotSpan
+        if (slotSpans.exists(sp => bucketSpan % sp != 0)) return None
         val groups = groupFn(enumWheel.wheel)
         // Per-wheel group maps. All wheels must cover the identical key set
         // (same rows seen at build time); wheels built at different times
@@ -397,9 +411,19 @@ object UWheelRule extends Rule[LogicalPlan] {
     val (range, residual) = Extract.splitTimeRange(uw.conjuncts, table.timeColumn)
     if (!range.isBounded) return None
     val cw = table.countWheel.filter(_.coverage.isEmpty).getOrElse(return None)
-    val s = range.startSec.getOrElse(LoSentinel)
-    val e = range.endSec.getOrElse(HiSentinel)
-    if (cw.wheel.countRange(s, e) == 0L) {
+    // Coarsened wheels: widen to slot boundaries — a superset range, so
+    // count==0 / min-max contradictions remain sound proofs of emptiness.
+    def alignedBounds(span: Long): (Long, Long) = {
+      val s = range.startSec.getOrElse(LoSentinel)
+      val e = range.endSec.getOrElse(HiSentinel)
+      if (span == 1L) (s, e)
+      else {
+        val m = Math.floorMod(e, span)
+        (s - Math.floorMod(s, span), if (m == 0L) e else e + (span - m))
+      }
+    }
+    val (cs, ce) = alignedBounds(cw.wheel.slotSpan)
+    if (cw.wheel.countRange(cs, ce) == 0L) {
       return Some(LocalRelation(f.output, Nil))
     }
     val provenEmpty = Extract.minMaxPreds(residual).exists { p =>
@@ -409,7 +433,8 @@ object UWheelRule extends Rule[LogicalPlan] {
         // invisible to the wheel's min/max — never prune NaN-bearing wheels
         .filter(_.valuesNaNFree)
         .exists { w =>
-          val ra = w.wheel.range(s, e)
+          val (ws, we) = alignedBounds(w.wheel.slotSpan)
+          val ra = w.wheel.range(ws, we)
           ra.count > 0 && Extract.provesEmpty(p, ra.min, ra.max)
         }
     }

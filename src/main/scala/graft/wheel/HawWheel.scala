@@ -73,17 +73,33 @@ object HawWheel {
     case _                       => None
   }
 
+  /** Slot spans a wheel may be coarsened to (must divide every group-by
+    * level span and the calendar day). */
+  final val AllowedSlotSpans: Seq[Long] = Seq(SECOND, MINUTE, HOUR, DAY)
+
   /** Builds a wheel from per-second partial aggregates.
     *
     * @param partials iterator of (epochSec, count, sumScaled, min, max);
     *                 duplicate seconds are merged. For count-only wheels
     *                 pass sumScaled=0, min=+Inf, max=-Inf.
     * @param scale    decimal digits of the scaled sum (2 => cents)
+    * @param slotSpan seconds per slot (1, 60, 3600 or 86400). Spans > 1
+    *                 coarsen the wheel: memory drops by the span factor and
+    *                 range answers are exact only for span-aligned bounds —
+    *                 the optimizer rule gates on [[HawWheel.slotSpan]]. This
+    *                 bounds wheel memory on always-active multi-year tables
+    *                 (a decade of dense seconds is 315M slots; of dense
+    *                 minutes, 5.3M).
     */
   def fromSecondPartials(partials: Iterator[(Long, Long, Long, Double, Double)],
                          scale: Int,
-                         hasValues: Boolean): HawWheel = {
-    val buf = partials.toArray.sortBy(_._1)
+                         hasValues: Boolean,
+                         slotSpan: Long = 1L): HawWheel = {
+    require(AllowedSlotSpans.contains(slotSpan), s"unsupported slot span $slotSpan")
+    val aligned =
+      if (slotSpan == 1L) partials
+      else partials.map(p => (alignDown(p._1, slotSpan), p._2, p._3, p._4, p._5))
+    val buf = aligned.toArray.sortBy(_._1)
     if (buf.isEmpty) return empty(scale, hasValues)
     // merge duplicate seconds in place
     var n = 0
@@ -111,11 +127,12 @@ object HawWheel {
       if (hasValues) { sums(i) = p._3; mins(i) = p._4; maxs(i) = p._5 }
       i += 1
     }
-    new HawWheel(secs(0), secs(n - 1) + 1, scale, hasValues, secs, counts, sums, mins, maxs)
+    new HawWheel(secs(0), secs(n - 1) + slotSpan, scale, hasValues, slotSpan,
+      secs, counts, sums, mins, maxs)
   }
 
   def empty(scale: Int, hasValues: Boolean): HawWheel =
-    new HawWheel(0L, 0L, scale, hasValues, Array.emptyLongArray, Array.emptyLongArray,
+    new HawWheel(0L, 0L, scale, hasValues, 1L, Array.emptyLongArray, Array.emptyLongArray,
       Array.emptyLongArray, Array.emptyDoubleArray, Array.emptyDoubleArray)
 
   /** One granularity level of the min/max hierarchy: sorted aligned slot
@@ -139,9 +156,12 @@ final case class RangeAgg(count: Long, sumScaled: Long, min: Double, max: Double
 
 final class HawWheel private (
     val startSec: Long,
-    val endSec: Long, // last data second + 1 (exclusive)
+    val endSec: Long, // last data slot start + slotSpan (exclusive)
     val scale: Int,
     val hasValues: Boolean,
+    /** Seconds per slot. 1 = exact for any whole-second range; coarser spans
+      * are exact only for span-aligned ranges (callers gate). */
+    val slotSpan: Long,
     secs: Array[Long],
     counts: Array[Long],
     sums: Array[Long],
@@ -191,34 +211,40 @@ final class HawWheel private (
       while (li < Spans.length) {
         val span = Spans(li)
         val child = out(li - 1)
-        val starts = Array.newBuilder[Long]
-        val mins = Array.newBuilder[Double]
-        val maxs = Array.newBuilder[Double]
-        var ci = 0
-        var curStart = Long.MinValue
-        var curMin = Double.PositiveInfinity
-        var curMax = Double.NegativeInfinity
-        while (ci < child.starts.length) {
-          val slot = alignDown(child.starts(ci), span)
-          if (slot != curStart) {
-            if (curStart != Long.MinValue) {
-              starts += curStart
-              if (hasValues) { mins += curMin; maxs += curMax }
+        if (span <= slotSpan) {
+          // level no coarser than the slots themselves — share the arrays
+          out(li) = new HawWheel.Level(span, child.starts, child.mins, child.maxs)
+          li += 1
+        } else {
+          val starts = Array.newBuilder[Long]
+          val mins = Array.newBuilder[Double]
+          val maxs = Array.newBuilder[Double]
+          var ci = 0
+          var curStart = Long.MinValue
+          var curMin = Double.PositiveInfinity
+          var curMax = Double.NegativeInfinity
+          while (ci < child.starts.length) {
+            val slot = alignDown(child.starts(ci), span)
+            if (slot != curStart) {
+              if (curStart != Long.MinValue) {
+                starts += curStart
+                if (hasValues) { mins += curMin; maxs += curMax }
+              }
+              curStart = slot
+              if (hasValues) { curMin = child.mins(ci); curMax = child.maxs(ci) }
+            } else if (hasValues) {
+              if (child.mins(ci) < curMin) curMin = child.mins(ci)
+              if (child.maxs(ci) > curMax) curMax = child.maxs(ci)
             }
-            curStart = slot
-            if (hasValues) { curMin = child.mins(ci); curMax = child.maxs(ci) }
-          } else if (hasValues) {
-            if (child.mins(ci) < curMin) curMin = child.mins(ci)
-            if (child.maxs(ci) > curMax) curMax = child.maxs(ci)
+            ci += 1
           }
-          ci += 1
+          if (curStart != Long.MinValue) {
+            starts += curStart
+            if (hasValues) { mins += curMin; maxs += curMax }
+          }
+          out(li) = new HawWheel.Level(span, starts.result(), mins.result(), maxs.result())
+          li += 1
         }
-        if (curStart != Long.MinValue) {
-          starts += curStart
-          if (hasValues) { mins += curMin; maxs += curMax }
-        }
-        out(li) = new HawWheel.Level(span, starts.result(), mins.result(), maxs.result())
-        li += 1
       }
       out
     }
@@ -326,6 +352,8 @@ final class HawWheel private (
     val prefixes = (numSecs + 1).toLong * (if (hasValues) 16 else 8)
     val perSlot = if (hasValues) 24 else 8
     numSecs.toLong * perSec + prefixes +
-      levels.drop(1).map(_.starts.length.toLong * perSlot).sum
+      // levels at or below the slot span share the slot arrays (no copy)
+      levels.drop(1).filter(_.span > slotSpan)
+        .map(_.starts.length.toLong * perSlot).sum
   }
 }

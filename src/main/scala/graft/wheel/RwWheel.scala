@@ -86,10 +86,14 @@ final class RwWheel(
     this
   }
 
-  def freeze(): HawWheel =
+  def freeze(): HawWheel = freeze(1L)
+
+  /** Seals into a HawWheel at the given slot span (partials are re-aligned,
+    * so a second-granular ingest can still freeze into a coarse wheel). */
+  def freeze(slotSpan: Long): HawWheel =
     HawWheel.fromSecondPartials(
       slots.iterator.map { case (sec, s) => (sec, s.count, s.sumScaled, s.min, s.max) },
-      scale, hasValues)
+      scale, hasValues, slotSpan)
 }
 
 object RwWheel {
