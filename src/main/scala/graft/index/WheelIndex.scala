@@ -175,10 +175,16 @@ final case class UWheelBuilder(
     * bounds, conservatively). The memory guard for always-active multi-year
     * tables — a decade of dense per-second slots is 315M entries, of
     * per-minute slots 5.3M. */
-  def withSlotSpan(span: Long): UWheelBuilder = copy(slotSpanSec = span)
-  /** Auto-coarsen: picks the finest allowed span whose worst-case slot count
-    * over the table's [min, max] time range stays within `maxSlots`. Costs
-    * one extra min/max scan of the time column before the build. */
+  def withSlotSpan(span: Long): UWheelBuilder = {
+    // validate here, not after the full build scan has already run
+    require(graft.wheel.HawWheel.AllowedSlotSpans.contains(span),
+      s"slot span must be one of ${graft.wheel.HawWheel.AllowedSlotSpans.mkString(", ")} s, got $span")
+    copy(slotSpanSec = span)
+  }
+  /** Auto-coarsen: picks the finest allowed span — never finer than an
+    * explicit [[withSlotSpan]] — whose worst-case slot count over the
+    * table's [min, max] time range stays within `maxSlots`. Costs one extra
+    * min/max scan of the time column before the build. */
   def withSlotBudget(maxSlots: Long): UWheelBuilder = copy(slotBudget = Some(maxSlots))
 
   def build(spark: SparkSession, path: String): TableIndex =
@@ -397,6 +403,8 @@ object UWheelIndex {
         else {
           val spanSec = mm.getLong(1) - mm.getLong(0) + 1
           graft.wheel.HawWheel.AllowedSlotSpans
+            // an explicit span is a floor — the budget may only coarsen it
+            .filter(_ >= conf.slotSpanSec)
             .find(sp => spanSec / sp <= budget)
             .getOrElse(graft.wheel.HawWheel.AllowedSlotSpans.last)
         }

@@ -25,7 +25,15 @@ object Q {
     // Re-register the corpus views only when this session switches sfDir —
     // doing it per query would put 10 parquet schema reads on every call.
     val sid = Integer.valueOf(System.identityHashCode(spark))
-    if (registeredDir.put(sid, sfDir) != sfDir) Tables.registerAll(spark, sfDir)
+    if (registeredDir.put(sid, sfDir) != sfDir) {
+      Tables.registerAll(spark, sfDir)
+      // orders_dated must track the dir too: on a switch BACK to an already-
+      // prepared dir the build block below is skipped, and a view left
+      // pointing at another dir's derived parquet would silently answer
+      // from the wrong corpus (review finding).
+      Option(datedDirs.get(sfDir)).foreach(p =>
+        spark.read.parquet(p).createOrReplaceTempView("orders_dated"))
+    }
     val key = s"$sid#$sfDir"
     if (prepared.add(key)) {
       Graft.enable(spark)

@@ -225,11 +225,13 @@ object UWheelRule extends Rule[LogicalPlan] {
 
     // Coarsened wheels (slotSpan > 1) only answer span-aligned ranges
     // exactly; unbounded sides are clamped to the (aligned) wheel extent.
+    // Alignment goes through HawWheel.alignDown so the rule can never
+    // disagree with the wheel's own slotting convention.
     def spanOk(w: IndexedWheel): Boolean = {
       val span = w.wheel.slotSpan
       span == 1L ||
-        (range.startSec.forall(Math.floorMod(_, span) == 0) &&
-         range.endSec.forall(Math.floorMod(_, span) == 0))
+        (range.startSec.forall(s => HawWheel.alignDown(s, span) == s) &&
+         range.endSec.forall(e => HawWheel.alignDown(e, span) == e))
     }
 
     def wheelFor(n: Need): Option[IndexedWheel] = (n.column match {
@@ -418,8 +420,8 @@ object UWheelRule extends Rule[LogicalPlan] {
       val e = range.endSec.getOrElse(HiSentinel)
       if (span == 1L) (s, e)
       else {
-        val m = Math.floorMod(e, span)
-        (s - Math.floorMod(s, span), if (m == 0L) e else e + (span - m))
+        val ea = HawWheel.alignDown(e, span)
+        (HawWheel.alignDown(s, span), if (ea == e) e else ea + span)
       }
     }
     val (cs, ce) = alignedBounds(cw.wheel.slotSpan)

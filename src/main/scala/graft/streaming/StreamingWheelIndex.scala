@@ -38,6 +38,10 @@ final class StreamingWheelIndex(
 
   def watermarkMs: Long = rw.synchronized(rw.watermark)
 
+  /** Partials dropped for lying beyond the write-ahead horizon (corrupt
+    * far-future event times) — bounded loss instead of unbounded memory. */
+  def droppedBeyondHorizon: Long = rw.synchronized(rw.droppedBeyondHorizon)
+
   /** Immutable point-in-time view; cheap when no batch arrived since the
     * last call. */
   def snapshot(): HawWheel = {
@@ -75,19 +79,21 @@ final class StreamingWheelIndex(
             F.max("__v").as("mx"))
           .collect()
         rw.synchronized {
-          partials.foreach { r =>
+          // ascending order so the first batch anchors the horizon at its
+          // EARLIEST second; corrupt far-future partials are then dropped
+          // (and counted) by the horizon guard instead of growing the map
+          var maxAccepted = Long.MinValue
+          partials.sortBy(_.getLong(0)).foreach { r =>
             val sec = r.getLong(0)
             val sumScaled =
               if (r.isNullAt(2)) 0L
               else r.getDecimal(2).movePointRight(scale).longValueExact()
             val mn = if (r.isNullAt(3)) Double.PositiveInfinity else r.getDouble(3)
             val mx = if (r.isNullAt(4)) Double.NegativeInfinity else r.getDouble(4)
-            rw.mergePartial(sec, r.getLong(1), sumScaled, mn, mx)
+            if (rw.tryMergePartial(sec, r.getLong(1), sumScaled, mn, mx) && sec > maxAccepted)
+              maxAccepted = sec
           }
-          if (partials.nonEmpty) {
-            val maxSec = partials.iterator.map(_.getLong(0)).max
-            rw.advanceTo((maxSec + 1) * 1000L)
-          }
+          if (maxAccepted != Long.MinValue) rw.advanceTo((maxAccepted + 1) * 1000L)
           version += 1
         }
         ()

@@ -34,16 +34,24 @@ final class RwWheel(
 
   private val slots = mutable.LongMap.empty[Slot] // epoch second -> partials
   private var watermarkMs: Long = Long.MinValue
+  private var dropped: Long = 0L
   private val scaleFactor = math.pow(10, scale)
 
   def watermark: Long = watermarkMs
 
-  /** Insert one row. `value` ignored for count-only wheels. */
+  /** Partials rejected by [[tryMergePartial]] for lying beyond the horizon. */
+  def droppedBeyondHorizon: Long = dropped
+
+  /** Insert one row. `value` ignored for count-only wheels. The first insert
+    * anchors the watermark at its own second (the reference initializes its
+    * ring at stream start), so the horizon binds from the first event on —
+    * without this, an insert-only caller that never calls [[advanceTo]]
+    * would face no bound at all. */
   def insert(tsMs: Long, value: Double): Unit = {
+    if (watermarkMs == Long.MinValue) watermarkMs = Math.floorDiv(tsMs, 1000L) * 1000L
     require(tsMs >= watermarkMs, s"insert at $tsMs behind watermark $watermarkMs")
     require(
-      watermarkMs == Long.MinValue ||
-        tsMs - watermarkMs <= writeAheadSlots * 1000L,
+      tsMs - watermarkMs <= writeAheadSlots * 1000L,
       s"insert at $tsMs exceeds write-ahead horizon " +
         s"(watermark $watermarkMs + $writeAheadSlots s); advance the watermark first")
     val sec = Math.floorDiv(tsMs, 1000L)
@@ -67,6 +75,24 @@ final class RwWheel(
       slot.sumScaled = Math.addExact(slot.sumScaled, sumScaled)
       if (min < slot.min) slot.min = min
       if (max > slot.max) slot.max = max
+    }
+  }
+
+  /** Horizon-guarded [[mergePartial]] for untrusted ingest (streaming):
+    * partials beyond `watermark + writeAheadSlots` are DROPPED and counted
+    * rather than merged (failing the whole stream on one corrupt far-future
+    * event would be worse than bounded loss — the counter makes the loss
+    * observable). Behind-watermark partials are accepted as in
+    * [[mergePartial]]. The first partial anchors the watermark, so feed
+    * batches in ascending-second order. Returns true iff merged. */
+  def tryMergePartial(sec: Long, count: Long, sumScaled: Long, min: Double, max: Double): Boolean = {
+    if (watermarkMs == Long.MinValue) watermarkMs = sec * 1000L
+    if (sec * 1000L - watermarkMs > writeAheadSlots * 1000L) {
+      dropped += 1
+      false
+    } else {
+      mergePartial(sec, count, sumScaled, min, max)
+      true
     }
   }
 

@@ -43,11 +43,19 @@ class HawWheelPropSpec extends AnyFunSuite {
     len <- Gen.chooseNum(0L, 5 * 86400L)
   } yield (s, s + len)
 
-  private def build(rows: List[(Long, Double)]): HawWheel = {
-    val rw = new RwWheel(scale = 2, hasValues = true)
-    rows.sortBy(_._1).foreach { case (sec, v) => rw.insert(sec * 1000L, v) }
-    rw.freeze()
+  /** Sorted ingest with watermark progression (the write-ahead horizon
+    * bounds how far an insert may run AHEAD of the watermark, so a bulk
+    * loader advances as it goes — as a real stream would). */
+  private def feed(rw: RwWheel, rows: List[(Long, Double)]): RwWheel = {
+    rows.sortBy(_._1).foreach { case (sec, v) =>
+      rw.advanceTo(sec * 1000L)
+      rw.insert(sec * 1000L, v)
+    }
+    rw
   }
+
+  private def build(rows: List[(Long, Double)]): HawWheel =
+    feed(new RwWheel(scale = 2, hasValues = true), rows).freeze()
 
   test("sparse year-span data: range/groupBy equal brute force across big gaps") {
     // stresses the sparse layout: few rows scattered over ~400 days, ranges
@@ -110,10 +118,8 @@ class HawWheelPropSpec extends AnyFunSuite {
   test("any partition split + merge equals a single build") {
     check(Prop.forAll(genRows, Gen.chooseNum(0, 100)) { (rows, pct) =>
       val (a, b) = rows.splitAt(rows.size * pct / 100)
-      val wa = new RwWheel(2, hasValues = true)
-      val wb = new RwWheel(2, hasValues = true)
-      a.sortBy(_._1).foreach { case (sec, v) => wa.insert(sec * 1000L, v) }
-      b.sortBy(_._1).foreach { case (sec, v) => wb.insert(sec * 1000L, v) }
+      val wa = feed(new RwWheel(2, hasValues = true), a)
+      val wb = feed(new RwWheel(2, hasValues = true), b)
       val merged = wa.merge(wb).freeze()
       val single = build(rows)
       val ra = merged.range(t0 - 86400L, t0 + 5 * 86400L)

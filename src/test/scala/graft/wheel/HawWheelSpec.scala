@@ -115,6 +115,15 @@ class HawWheelSpec extends AnyFunSuite {
       s"count-only ${co.sizeBytes}B vs full ${full.sizeBytes}B")
   }
 
+  test("tryMergePartial drops beyond-horizon partials, counts them, accepts late ones") {
+    val rw = new RwWheel(2, hasValues = true)
+    assert(rw.tryMergePartial(t0, 1L, 100L, 1.0, 1.0)) // anchors the horizon
+    assert(!rw.tryMergePartial(t0 + RwWheel.DefaultWriteAheadSlots + 5, 1L, 0L, 0.0, 0.0))
+    assert(rw.droppedBeyondHorizon === 1L)
+    assert(rw.tryMergePartial(t0 - 100, 1L, 50L, 0.5, 0.5)) // late: accepted
+    assert(rw.freeze().landmark.count === 2L)
+  }
+
   test("write-ahead horizon: far-future insert rejected until watermark advances") {
     val rw = new RwWheel(2, hasValues = true)
     rw.insert(t0 * 1000L, 1.0)
