@@ -25,6 +25,68 @@ trait WheelAggregator[In, P, Out] extends Serializable {
   /** `Some((ab, a) => b)` for invertible aggregates — enables prefix wheels. */
   def inverse: Option[(P, P) => P] = None
   def lower(p: P): Out
+  /** Optional lossless slot-block codec (the reference demonstrates
+    * BitPacker4x partial compression on its aggregator trait,
+    * `aggregator/mod.rs:36-63`). When present, the frozen typed wheel
+    * stores NON-invertible level partials as compressed 128-slot blocks,
+    * decoded on access — trading a per-read decode for span-factor memory.
+    * Invertible aggregators keep their prefix arrays raw (O(1) random
+    * access is the whole point of the prefix path). */
+  def slotCodec: Option[SlotCodec[P]] = None
+}
+
+/** Lossless block codec for slot partials. `decode(encode(a))` must equal
+  * `a` element-for-element — the wheel's exactness contract does not bend
+  * for compression. */
+trait SlotCodec[P] extends Serializable {
+  def encode(parts: Array[P]): Array[Byte]
+  def decode(bytes: Array[Byte]): Array[P]
+}
+
+/** Zigzag-delta varint codec for Long partials: deltas between consecutive
+  * partials zigzag-mapped to unsigned and LEB128-encoded — small for slot
+  * sequences that move smoothly (counters, monotone maxima), never wrong
+  * for ones that don't. */
+object ZigZagDeltaLongCodec extends SlotCodec[Long] {
+  def encode(parts: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(parts.length * 2)
+    var prev = 0L
+    var i = 0
+    while (i < parts.length) {
+      val delta = parts(i) - prev
+      prev = parts(i)
+      var z = (delta << 1) ^ (delta >> 63) // zigzag: sign bit to bit 0
+      var more = true
+      while (more) {
+        val b = (z & 0x7f).toInt
+        z >>>= 7
+        more = z != 0
+        out.write(if (more) b | 0x80 else b)
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+  def decode(bytes: Array[Byte]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var prev = 0L
+    var i = 0
+    while (i < bytes.length) {
+      var z = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = bytes(i) & 0xff
+        z |= (b & 0x7fL) << shift
+        shift += 7
+        i += 1
+      } while ((b & 0x80) != 0)
+      val delta = (z >>> 1) ^ -(z & 1L)
+      prev += delta
+      out += prev
+    }
+    out.result()
+  }
 }
 
 object WheelAggregators {
@@ -79,6 +141,42 @@ object WheelAggregators {
     override val inverse: Option[(Int, Int) => Int] = Some(_ - _)
     def lower(p: Int): Int = p
   }
+  /** Non-invertible Long maximum with the delta-varint slot codec attached —
+    * the compressed-partials demonstration (slot maxima that move smoothly
+    * delta-pack to ~1–2 bytes each; adversarial ones just pack worse, never
+    * wrong). */
+  object LongMax extends WheelAggregator[Long, Long, Long] {
+    val identity = Long.MinValue
+    def lift(in: Long): Long = in
+    def combine(a: Long, b: Long): Long = math.max(a, b)
+    def lower(p: Long): Long = p
+    override val slotCodec: Option[SlotCodec[Long]] = Some(ZigZagDeltaLongCodec)
+  }
+}
+
+/** Block storage for level partials: raw array, or codec-encoded 128-slot
+  * blocks decoded on access (bounded work per read — a range lookup touches
+  * a handful of slots). */
+private[wheel] final class SlotStore[P: ClassTag](
+    raw: Array[P], codec: Option[SlotCodec[P]]) extends Serializable {
+  private val BlockSize = 128
+  private val blocks: Array[Array[Byte]] = codec match {
+    case Some(c) =>
+      Array.tabulate((raw.length + BlockSize - 1) / BlockSize) { bi =>
+        c.encode(raw.slice(bi * BlockSize, math.min(raw.length, (bi + 1) * BlockSize)))
+      }
+    case None => null
+  }
+  private val rawKeep: Array[P] = if (blocks == null) raw else null
+
+  def apply(i: Int): P =
+    if (rawKeep != null) rawKeep(i)
+    else codec.get.decode(blocks(i / BlockSize))(i % BlockSize)
+
+  /** Stored payload bytes (8/slot raw for primitives; encoded size otherwise). */
+  def storedBytes: Long =
+    if (rawKeep != null) rawKeep.length.toLong * 8
+    else blocks.iterator.map(_.length.toLong).sum
 }
 
 /** Typed ingest wheel for a custom [[WheelAggregator]]. */
@@ -170,13 +268,16 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
   }
 
   // sparse granularity levels for the non-invertible path: per level, sorted
-  // aligned slot starts + combined partials (only slots containing data)
-  private val levels: Array[(Long, Array[Long], Array[P])] =
+  // aligned slot starts + combined partials (only slots containing data),
+  // partials behind a SlotStore — codec-compressed blocks when the
+  // aggregator provides a SlotCodec, raw arrays otherwise
+  private val levels: Array[(Long, Array[Long], SlotStore[P])] =
     if (numSecs == 0 || prefix.isDefined) Array.empty
     else {
-      val out = Array.newBuilder[(Long, Array[Long], Array[P])]
+      val out = Array.newBuilder[(Long, Array[Long], SlotStore[P])]
+      def store(a: Array[P]) = new SlotStore[P](a, agg.slotCodec)
       var child: (Long, Array[Long], Array[P]) = (1L, secs, parts)
-      out += child
+      out += ((1L, secs, store(parts)))
       var li = 1
       while (li < Spans.length) {
         val span = Spans(li)
@@ -196,11 +297,16 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
         }
         if (curStart != Long.MinValue) { starts += curStart; slots += cur }
         child = (span, starts.result(), slots.result())
-        out += child
+        out += ((span, child._2, store(child._3)))
         li += 1
       }
       out.result()
     }
+
+  /** Stored partial-payload bytes across levels (prefix path: raw prefix). */
+  def partialStoreBytes: Long =
+    prefix.map(_.length.toLong * 8)
+      .getOrElse(levels.iterator.map(_._3.storedBytes).sum)
 
   /** Combined partial over [s, e) seconds. */
   def combineRange(s: Long, e: Long): P = {
@@ -216,9 +322,9 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
         while (cur < hi) {
           var li = Spans.length - 1
           while (li > 0 && !(alignDown(cur, Spans(li)) == cur && cur + Spans(li) <= hi)) li -= 1
-          val (_, starts, slots) = levels(li)
+          val (_, starts, store) = levels(li)
           val idx = java.util.Arrays.binarySearch(starts, cur)
-          if (idx >= 0) acc = agg.combine(acc, slots(idx))
+          if (idx >= 0) acc = agg.combine(acc, store(idx))
           cur += Spans(li)
         }
         acc

@@ -67,6 +67,39 @@ class TypedWheelSpec extends AnyFunSuite {
     })
   }
 
+  test("slot codec roundtrips exactly, including wrap-around deltas") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { xs =>
+      val a = xs.toArray
+      ZigZagDeltaLongCodec.decode(ZigZagDeltaLongCodec.encode(a)).sameElements(a)
+    })
+  }
+
+  test("codec-compressed hierarchy wheel ≡ uncompressed, at smaller storage") {
+    // same semantics as LongMax minus the codec
+    object PlainLongMax extends WheelAggregator[Long, Long, Long] {
+      val identity = Long.MinValue
+      def lift(in: Long): Long = in
+      def combine(a: Long, b: Long): Long = math.max(a, b)
+      def lower(p: Long): Long = p
+    }
+    def feed[O](agg: WheelAggregator[Long, Long, O]): TypedHawWheel[Long, O] = {
+      val rw = new TypedRwWheel(agg)
+      // smooth-ish monotone values over ~2000 distinct seconds
+      (0 until 6000).foreach { i =>
+        rw.insert((t0 + (i % 2000).toLong * 3) * 1000L, 1000000L + i.toLong * 7)
+      }
+      rw.freeze()
+    }
+    val comp = feed(LongMax)
+    val plain = feed(PlainLongMax)
+    val ranges = Seq((t0, t0 + 6000L), (t0 + 100, t0 + 101), (t0 + 33, t0 + 4321),
+      (t0 - 50, t0 + 9999), (t0 + 5999, t0 + 6000))
+    for ((s, e) <- ranges)
+      assert(comp.range(s, e) === plain.range(s, e), s"range($s,$e)")
+    assert(comp.partialStoreBytes * 2 < plain.partialStoreBytes,
+      s"compressed ${comp.partialStoreBytes}B vs raw ${plain.partialStoreBytes}B")
+  }
+
   test("custom user aggregator (wrapping int sum) plugs in with exact inverse") {
     val rw = new TypedRwWheel(WrappingIntSum)
     rw.insert(t0 * 1000L, 10)
