@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.VecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("srp_band_keys"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SrpBandKeys].getName, "srp_band_keys"),
+      Graft.srpBuilder))
   }
 }
 
@@ -49,5 +54,23 @@ object Graft {
       "vec_dot",
       exprs => graft.functions.VecDot(exprs(0), exprs(1)),
       "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "srp_band_keys", srpBuilder, "scala_udf")
+  }
+
+  /** `srp_band_keys(vec, bits, rowsPerBand)` — the parameter arguments must
+    * be integer literals (they size the generated signature loop). */
+  private[graft] def srpBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    def intOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+      require(e.foldable, s"srp_band_keys parameters must be literals, got $e")
+      e.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"not an integer: $other")
+      }
+    }
+    graft.functions.SrpBandKeys(exprs(0), intOf(exprs(1)), intOf(exprs(2)))
   }
 }

@@ -150,26 +150,13 @@ object SimilarityQueries {
   private val SrpRowsPerBand = 8
   private val SrpBands = SrpBits / SrpRowsPerBand
 
-  /** SplitMix64 finalizer — a pure bit mix, so the hyperplanes are library
-    * constants reproducible across sessions (no RNG state). */
-  private def mix64(x0: Long): Long = {
-    var z = x0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  /** Deterministic Rademacher (±1) hyperplanes, one sign bit per (plane, dim). */
-  private def srpPlanes(dim: Int): Array[Array[Double]] =
-    Array.tabulate(SrpBits, dim) { (p, d) =>
-      if ((mix64(p.toLong * dim + d) & 1L) == 1L) 1.0 else -1.0
-    }
-
   /** SRP-banded near-duplicate pairs with exact-cosine verification over an
     * `(vec_id, v, nrm)` frame — the 100 TB replacement for the all-pairs
-    * cartesian in [[embedDup]]: signatures and band keys are one map-side
-    * projection (each dot via the codegen'd `vec_dot`), candidates come from
-    * a (band, key) bucket join, and only candidates are exactly verified.
+    * cartesian in [[embedDup]]: signatures and band keys are ONE map-side
+    * codegen'd expression ([[graft.functions.SrpBandKeys]] — a single
+    * Catalyst node where the equivalent `vec_dot`-per-plane projection is a
+    * ~16k-literal tree), candidates come from a (band, key) bucket join,
+    * and only candidates are exactly verified.
     *
     * P[bit agrees] = 1 − θ/π, so a band of 8 bits collides with prob
     * (1 − θ/π)⁸ and 32 bands give recall 1 − (1 − (1−θ/π)⁸)³² — ≈ 1.0 at
@@ -179,19 +166,9 @@ object SimilarityQueries {
     * θ ≈ 90° background without quadratic candidates). Verification is
     * exact, so precision w.r.t. the brute-force pair set is always 1. */
   private[queries] def srpNearDupPairs(e: DataFrame, threshold: Double): DataFrame = {
-    val dim = e.select(size(col("v"))).head().getInt(0)
-    val planes = srpPlanes(dim)
-    val dotCols = (0 until SrpBits).map(p =>
-      call_function("vec_dot", col("v"), typedlit(planes(p))).as(s"d$p"))
-    val sigs = e.select(col("vec_id") +: dotCols: _*)
-    val bandCols = (0 until SrpBands).map { b =>
-      val key = (0 until SrpRowsPerBand).map { i =>
-        when(col(s"d${b * SrpRowsPerBand + i}") > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), key.as("bk"))
-    }
-    val bands = sigs.select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val bands = e
+      .select(col("vec_id"),
+        posexplode(expr(s"srp_band_keys(v, $SrpBits, $SrpRowsPerBand)")).as(Seq("band", "bk")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.vec_id") < col("b.vec_id"))
