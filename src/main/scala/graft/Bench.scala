@@ -28,8 +28,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // corpus derivation (orders_dated parquet) is setup, not index build
-    Q.derivedOrdersPath(spark, sfDir)
+    // corpus derivation (orders_dated parquet) is setup, not index build —
+    // and a derivation failure must not cost the whole bench its JSON line
+    // (Q.ctx's own tryBuild re-attempts and logs; dated entries report -1)
+    try Q.derivedOrdersPath(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[graft] derive failed: ${e.getMessage}") }
     val t0 = System.nanoTime()
     Q.ctx(spark, sfDir)
     val indexBuildSec = (System.nanoTime() - t0) / 1e9

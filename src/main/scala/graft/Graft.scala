@@ -67,7 +67,9 @@ object Graft {
       require(e.foldable, s"srp_band_keys parameters must be literals, got $e")
       e.eval(null) match {
         case i: Int => i
-        case l: Long => l.toInt
+        case l: Long =>
+          require(l.isValidInt, s"srp_band_keys parameter out of Int range: $l")
+          l.toInt
         case other => throw new IllegalArgumentException(s"not an integer: $other")
       }
     }

@@ -63,6 +63,10 @@ case class SrpBandKeys(child: Expression, bits: Int, rowsPerBand: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (isFloat) "getFloat" else "getDouble"
+    // planes held in operator state, refreshed only when the vector dim
+    // changes — the hot loop must not pay a map lookup per row
+    val planesField = ctx.addMutableState("double[][]", "srpPlanes")
+    val dimField = ctx.addMutableState("int", "srpPlanesDim", v => s"$v = -1;")
     nullSafeCodeGen(ctx, ev, a => {
       val planes = ctx.freshName("planes")
       val keys = ctx.freshName("keys")
@@ -72,7 +76,11 @@ case class SrpBandKeys(child: Expression, bits: Int, rowsPerBand: Int)
       val pl = ctx.freshName("pl")
       val n = ctx.freshName("n")
       s"""
-         |double[][] $planes = graft.functions.SrpBandKeys.planesFor($bits, $a.numElements());
+         |if ($dimField != $a.numElements()) {
+         |  $planesField = graft.functions.SrpBandKeys.planesFor($bits, $a.numElements());
+         |  $dimField = $a.numElements();
+         |}
+         |double[][] $planes = $planesField;
          |long[] $keys = new long[${bits / rowsPerBand}];
          |for (int $p = 0; $p < $bits; $p++) {
          |  double[] $pl = $planes[$p];

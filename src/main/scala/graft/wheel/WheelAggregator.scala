@@ -169,11 +169,25 @@ private[wheel] final class SlotStore[P: ClassTag](
   }
   private val rawKeep: Array[P] = if (blocks == null) raw else null
 
+  // one-block memo: range decompositions touch runs of consecutive slots,
+  // so without it the same block would be re-decoded once per slot
+  @transient private var lastBlock: Int = -1
+  @transient private var lastDecoded: Array[P] = _
+
   def apply(i: Int): P =
     if (rawKeep != null) rawKeep(i)
-    else codec.get.decode(blocks(i / BlockSize))(i % BlockSize)
+    else {
+      val bi = i / BlockSize
+      if (bi != lastBlock || lastDecoded == null) {
+        lastDecoded = codec.get.decode(blocks(bi))
+        lastBlock = bi
+      }
+      lastDecoded(i % BlockSize)
+    }
 
-  /** Stored payload bytes (8/slot raw for primitives; encoded size otherwise). */
+  /** Stored payload bytes. Raw path assumes primitive 8-byte slots — an
+    * ESTIMATE that understates boxed/tuple partials; encoded path is the
+    * true byte count. Compare like against like. */
   def storedBytes: Long =
     if (rawKeep != null) rawKeep.length.toLong * 8
     else blocks.iterator.map(_.length.toLong).sum
@@ -303,7 +317,10 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
       out.result()
     }
 
-  /** Stored partial-payload bytes across levels (prefix path: raw prefix). */
+  /** Stored partial-payload bytes across levels (prefix path: raw prefix).
+    * Raw/prefix figures assume primitive 8-byte slots — an estimate that
+    * understates boxed partials like DoubleAvg's (sum, count) pairs; only
+    * codec-encoded figures are exact byte counts. */
   def partialStoreBytes: Long =
     prefix.map(_.length.toLong * 8)
       .getOrElse(levels.iterator.map(_._3.storedBytes).sum)
