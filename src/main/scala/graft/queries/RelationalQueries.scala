@@ -158,6 +158,35 @@ object RelationalQueries {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // correlated EXISTS subquery (decorrelated by both planners into a semi join)
+    "q_exists" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // uncorrelated scalar subquery; the threshold goes through DECIMAL so
+    // both engines compute the identical double before comparing
+    "q_scalar_subq" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                             / count(*) FROM orders) * 1.8
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_case_agg" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
@@ -197,8 +226,48 @@ object RelationalQueries {
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 
-  val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
-    shared.map { case (n, s) => n -> Q.sql(s) }
+  /** Point-in-time ("as-of") join, the operator behind click attribution and
+    * feature backfill: for each purchase, the same user's most recent click
+    * at or before it. Implemented the scale-right way — tag both sides, ONE
+    * shuffle on the key, and a linear window pass carrying the latest click
+    * forward — instead of the inequality join (`c.ts <= p.ts` + top-1 per
+    * purchase) whose intermediate is |purchases| × |prior clicks| per user.
+    * Clicks sort before purchases at equal ts (side 0 < 1), matching the
+    * oracle's `c.ts <= p.ts` inclusive bound; (user, ts) pairs are unique in
+    * this corpus so the pick is tie-free in both formulations. */
+  private def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    Q.ctx(spark, sfDir)
+    val ev = spark.table("events")
+    val tagged = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id").as("id"))
+      .unionByName(ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id").as("id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("click_id", last(when(col("side") === 0, col("id")), ignoreNulls = true).over(w))
+      .where(col("side") === 1 && col("click_id").isNotNull)
+      .select(col("id").as("purchase_id"), col("click_id"))
+      .orderBy("purchase_id")
+  }
 
-  val oracles: Map[String, String] = shared.toMap
+  /** Oracle for the as-of join: the direct (quadratic) formulation. */
+  private val asofOracle: String =
+    """WITH j AS (
+      |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM events p JOIN events c
+      |    ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+      |  WHERE p.event_type = 'purchase')
+      |SELECT purchase_id, click_id FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
+    shared.map { case (n, s) => n -> Q.sql(s) } :+
+      ("q_asof_join" -> (asofAttribution _))
+
+  val oracles: Map[String, String] = shared.toMap + ("q_asof_join" -> asofOracle)
 }
