@@ -44,6 +44,17 @@ object TextQueries {
          |            >= size(split(text, ' ')) THEN 'en' ELSE 'unk' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // BPE-ish subword token count: letter runs, digit runs, and single
+    // punctuation marks — the shape of a GPT-2-style pre-tokenizer, kept to
+    // ASCII classes that Java regex (Spark) and RE2 (DuckDB) treat
+    // identically. tokens-per-word is the standard fertility estimate.
+    "txt_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_tokens,
+        |  CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS DOUBLE)
+        |    / CAST(size(split(text, ' ')) AS DOUBLE) AS fertility
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // rolling polynomial fingerprint over the token stream
     "txt_fingerprint" ->
       """SELECT doc_id,
@@ -160,6 +171,13 @@ object TextQueries {
          |  CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($enStopsSql))) * 20
          |            >= len(string_split(text, ' ')) THEN 'en' ELSE 'unk' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS fertility
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "txt_fingerprint" ->
       """SELECT doc_id,

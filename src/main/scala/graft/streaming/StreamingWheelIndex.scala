@@ -30,7 +30,14 @@ import graft.wheel.{HawWheel, RwWheel}
 final class StreamingWheelIndex(
     timeColumn: String,
     valueColumn: Option[String],
-    scale: Int = 2) {
+    scale: Int = 2,
+    /** Snapshot slot span in seconds (1, 60, 3600 or 86400): long-running
+      * ingest over months of event time can coarsen its read-side wheels
+      * the same way batch builds do (`UWheelBuilder.withSlotSpan`) — the
+      * per-second ingest state is unchanged; only [[snapshot]] compacts. */
+    slotSpanSec: Long = 1L) {
+  require(graft.wheel.HawWheel.AllowedSlotSpans.contains(slotSpanSec),
+    s"slot span must be one of ${graft.wheel.HawWheel.AllowedSlotSpans.mkString(", ")} s")
 
   private val rw = new RwWheel(scale, valueColumn.isDefined)
   private val cached = new AtomicReference[(Long, HawWheel)]((0L, null))
@@ -49,7 +56,7 @@ final class StreamingWheelIndex(
     val cur = rw.synchronized(version)
     if (hw != null && v == cur) hw
     else {
-      val fresh = rw.synchronized((version, rw.freeze()))
+      val fresh = rw.synchronized((version, rw.freeze(slotSpanSec)))
       cached.set(fresh)
       fresh._2
     }

@@ -62,6 +62,32 @@ class StreamingWheelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("coarse-span streaming snapshot: minute slots, aligned ranges exact") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val idx = new StreamingWheelIndex("ts", Some("value"), slotSpanSec = 60L)
+    val q = idx.attach(input.toDF().toDF("ts", "value"), "wheel-maintenance-span")
+    try {
+      val rows = Seq(
+        (ts("2024-03-01 00:00:05"), 1.0),
+        (ts("2024-03-01 00:00:55"), 2.0),
+        (ts("2024-03-01 00:01:30"), 4.0),
+        (ts("2024-03-01 00:03:10"), 8.0))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val snap = idx.snapshot()
+      assert(snap.slotSpan === 60L)
+      val m0 = ts("2024-03-01 00:00:00").getTime / 1000
+      // minute-aligned ranges answer exactly despite sub-minute event times
+      assert(snap.range(m0, m0 + 60).sum === Some(3.0))
+      assert(snap.range(m0 + 60, m0 + 120).sum === Some(4.0))
+      assert(snap.range(m0, m0 + 240).count === 4)
+      assert(idx.droppedBeyondHorizon === 0L)
+    } finally q.stop()
+  }
+
   test("wheel groupBy(minute) equals Structured Streaming windowed aggregation") {
     val session = spark
     import session.implicits._
