@@ -40,6 +40,30 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  final case class FrameSample(doc_id: Long, frame_idx: Int, byte_offset: Long, frame_bytes: Long)
+
+  /** Frame sampling: every 2nd frame of each media payload, emitted as
+    * (frame index, byte offset, span) — the imperative per-partition shape a
+    * video pipeline uses to cut decode cost before feature extraction. The
+    * frame geometry comes from the stub decoder; the byte arithmetic around
+    * it (uniform spans at `len / n_frames`) is the real plumbing and has an
+    * exact SQL oracle. */
+  def frames(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .as[DocBin]
+      .mapPartitions(_.flatMap { d =>
+        val meta = decodeStub(d)
+        val span = d.bin.length.toLong / meta.n_frames
+        (0 until meta.n_frames by 2).iterator
+          .map(f => FrameSample(d.doc_id, f, f * span, span))
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Declarative metadata extraction over the same binary column. */
   def meta(spark: SparkSession, sfDir: String): DataFrame =
     Q.ctx(spark, sfDir).sql(
@@ -51,6 +75,7 @@ object MultimodalQueries {
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "mm_meta" -> (meta _),
     "mm_pipeline" -> (pipeline _),
+    "mm_frames" -> (frames _),
   )
 
   /** The stub decoder's features are pure integer/byte functions of the UTF-8
@@ -73,5 +98,13 @@ object MultimodalQueries {
         |     + ascii(substring(text, 5, 1)) + ascii(substring(text, 6, 1))
         |     + ascii(substring(text, 7, 1)) + ascii(substring(text, 8, 1)) AS DOUBLE) / 8.0 AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n,
+        |                  1 + octet_length(encode(text)) % 7 AS nf FROM documents)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(f * (n // nf) AS BIGINT) AS byte_offset,
+        |       CAST(n // nf AS BIGINT) AS frame_bytes
+        |FROM m, unnest(range(0, nf, 2)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -44,6 +44,23 @@ object TextQueries {
          |            >= size(split(text, ' ')) THEN 'en' ELSE 'unk' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // quality scoring: length / punctuation / stopword-density gates, the
+    // standard pre-training document filter. Ratios are single divisions
+    // and the keep/drop verdict is pure integer comparison, so both engines
+    // agree bit-for-bit.
+    "txt_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(size(split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(size(filter(split(text, ' '), w -> ${orChain("w")})) AS DOUBLE)
+         |    / CAST(size(split(text, ' ')) AS DOUBLE) AS stop_ratio,
+         |  CAST(size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CASE WHEN size(split(text, ' ')) BETWEEN 5 AND 1000
+         |        AND size(filter(split(text, ' '), w -> ${orChain("w")})) * 20 >= size(split(text, ' '))
+         |        AND size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) * 10 <= length(text)
+         |       THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     // BPE-ish subword token count: letter runs, digit runs, and single
     // punctuation marks — the shape of a GPT-2-style pre-tokenizer, kept to
     // ASCII classes that Java regex (Spark) and RE2 (DuckDB) treat
@@ -170,6 +187,19 @@ object TextQueries {
          |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($enStopsSql))) AS BIGINT) AS en_hits,
          |  CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($enStopsSql))) * 20
          |            >= len(string_split(text, ' ')) THEN 'en' ELSE 'unk' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($enStopsSql))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000
+         |        AND len(list_filter(string_split(text, ' '), w -> w IN ($enStopsSql))) * 20 >= len(string_split(text, ' '))
+         |        AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 10 <= length(text)
+         |       THEN 'keep' ELSE 'drop' END AS verdict
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "txt_tokens_bpe" ->
