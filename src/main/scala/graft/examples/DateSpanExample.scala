@@ -25,17 +25,16 @@ object DateSpanExample {
     spark.sparkContext.setLogLevel("WARN")
     Graft.enable(spark)
 
-    // derive a DATE-typed orders table (the corpus stores timestamps)
-    val dir = java.nio.file.Files.createTempDirectory("graft-example").toString
-    val dated = s"$dir/orders_dated.parquet"
-    spark.read.parquet(s"$sfDir/orders.parquet")
-      .withColumn("o_odate", to_date(col("o_orderdate"))).drop("o_orderdate")
-      .write.mode("overwrite").parquet(dated)
+    // date-typed orders (the shared derivation the contract queries use;
+    // the corpus stores timestamps, real TPC-H dumps store DATE)
+    val dated = graft.queries.Q.derivedOrdersPath(spark, sfDir)
 
     val t = UWheelBuilder("o_odate", Seq("o_totalprice")).build(spark, dated)
     println(f"index over DATE column: ${t.indexUsageBytes / 1024.0}%.1f KiB")
 
-    val q = spark.read.parquet(dated)
+    // built fresh per use: a Dataset memoizes its QueryExecution, so reusing
+    // one `val q` across index rebuilds would replay the FIRST plan
+    def q = spark.read.parquet(dated)
       .filter(col("o_odate") >= lit("1995-01-01").cast("date") &&
               col("o_odate") <= lit("1995-12-31").cast("date")) // inclusive: exact on day slots
       .agg(count(lit(1)).as("orders"),

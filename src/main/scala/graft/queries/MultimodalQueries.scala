@@ -32,9 +32,7 @@ object MultimodalQueries {
   def pipeline(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     import spark.implicits._
-    spark.table("documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
-      .as[DocBin]
+    docBins(spark)
       .mapPartitions(_.map(decodeStub))
       .toDF()
       .orderBy("doc_id")
@@ -48,12 +46,18 @@ object MultimodalQueries {
     * frame geometry comes from the stub decoder; the byte arithmetic around
     * it (uniform spans at `len / n_frames`) is the real plumbing and has an
     * exact SQL oracle. */
-  def frames(spark: SparkSession, sfDir: String): DataFrame = {
-    Q.ctx(spark, sfDir)
+  /** documents → typed binary payloads, shared by every imperative stage. */
+  private def docBins(spark: SparkSession): org.apache.spark.sql.Dataset[DocBin] = {
     import spark.implicits._
     spark.table("documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
       .as[DocBin]
+  }
+
+  def frames(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    import spark.implicits._
+    docBins(spark)
       .mapPartitions(_.flatMap { d =>
         val meta = decodeStub(d)
         val span = d.bin.length.toLong / meta.n_frames

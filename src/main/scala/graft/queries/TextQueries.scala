@@ -17,6 +17,14 @@ object TextQueries {
     * (Declared before `sparkSql`, which captures it at object init.) */
   val ShingleCapDf = 32
 
+  /** Explicit whitespace class for the tokenizer regexes: Java's `\s`
+    * includes `\x0B` (vertical tab) where RE2's does not, so the class is
+    * spelled out to keep Spark and the DuckDB oracle bit-identical on ANY
+    * corpus. Spark SQL unescapes string literals (hence the doubled
+    * backslashes); DuckDB passes them through raw. */
+  private val wsSpark = " \\\\t\\\\n\\\\f\\\\r"
+  private val wsDuck  = " \\t\\n\\f\\r"
+
   private val enStops = Seq("the", "a", "of", "and", "to", "is", "in")
   private val enStopsSql = enStops.map(w => s"'$w'").mkString(", ")
   private def orChain(v: String) = enStops.map(w => s"$v = '$w'").mkString(" OR ")
@@ -53,11 +61,11 @@ object TextQueries {
          |  CAST(size(split(text, ' ')) AS BIGINT) AS n_words,
          |  CAST(size(filter(split(text, ' '), w -> ${orChain("w")})) AS DOUBLE)
          |    / CAST(size(split(text, ' ')) AS DOUBLE) AS stop_ratio,
-         |  CAST(size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) AS DOUBLE)
+         |  CAST(size(regexp_extract_all(text, '[^A-Za-z0-9$wsSpark]', 0)) AS DOUBLE)
          |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
          |  CASE WHEN size(split(text, ' ')) BETWEEN 5 AND 1000
          |        AND size(filter(split(text, ' '), w -> ${orChain("w")})) * 20 >= size(split(text, ' '))
-         |        AND size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) * 10 <= length(text)
+         |        AND size(regexp_extract_all(text, '[^A-Za-z0-9$wsSpark]', 0)) * 10 <= length(text)
          |       THEN 'keep' ELSE 'drop' END AS verdict
          |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -66,9 +74,9 @@ object TextQueries {
     // ASCII classes that Java regex (Spark) and RE2 (DuckDB) treat
     // identically. tokens-per-word is the standard fertility estimate.
     "txt_tokens_bpe" ->
-      """SELECT doc_id,
-        |  CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_tokens,
-        |  CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS DOUBLE)
+      s"""SELECT doc_id,
+         |  CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9$wsSpark]', 0)) AS BIGINT) AS n_tokens,
+        |  CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9$wsSpark]', 0)) AS DOUBLE)
         |    / CAST(size(split(text, ' ')) AS DOUBLE) AS fertility
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -194,18 +202,18 @@ object TextQueries {
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
          |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($enStopsSql))) AS DOUBLE)
          |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
-         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9$wsDuck]')) AS DOUBLE)
          |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
          |  CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000
          |        AND len(list_filter(string_split(text, ' '), w -> w IN ($enStopsSql))) * 20 >= len(string_split(text, ' '))
-         |        AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 10 <= length(text)
+         |        AND len(regexp_extract_all(text, '[^A-Za-z0-9$wsDuck]')) * 10 <= length(text)
          |       THEN 'keep' ELSE 'drop' END AS verdict
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "txt_tokens_bpe" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9$wsDuck]')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9$wsDuck]')) AS DOUBLE)
         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS fertility
         |FROM documents ORDER BY doc_id""".stripMargin,
 
