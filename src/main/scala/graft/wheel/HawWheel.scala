@@ -136,9 +136,11 @@ object HawWheel {
       Array.emptyLongArray, Array.emptyDoubleArray, Array.emptyDoubleArray)
 
   /** One granularity level of the min/max hierarchy: sorted aligned slot
-    * starts with their min/max. */
+    * starts with their min/max. Serializable so whole wheels can be
+    * persisted ([[graft.index.WheelIndexIO]]). */
   private[wheel] final class Level(val span: Long, val starts: Array[Long],
                                    val mins: Array[Double], val maxs: Array[Double])
+    extends Serializable
 }
 
 /** Aggregate result for a range; `count == 0` means SQL aggregates over the

@@ -1,0 +1,63 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WheelIndexIOSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rewritten(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+
+  test("save/load round-trip: loaded index answers; stale data makes it inert") {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.enable(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val p = s"$dir/t.parquet"
+    val base = java.sql.Timestamp.valueOf("2024-09-01 00:00:00").getTime
+    (0 until 500).map(i => (new java.sql.Timestamp(base + i * 7000L), i / 4.0))
+      .toDF("ts", "value").write.mode("overwrite").parquet(p)
+
+    val built = UWheelBuilder("ts", Seq("value")).build(spark, p)
+    val file = s"$dir/index.bin"
+    WheelIndexIO.save(built, file)
+
+    def q = spark.read.parquet(p)
+      .filter(col("ts") >= lit("2024-09-01 00:10:00").cast("timestamp") &&
+              col("ts") < lit("2024-09-01 00:40:00").cast("timestamp"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("value").cast("decimal(18,2)")).as("s"))
+    val expected = q.collect()(0) // answered via the freshly built index
+    assert(rewritten(q))
+
+    // process restart: empty registry, then load from disk
+    WheelRegistry.clear()
+    assert(!rewritten(q))
+    val (loaded, fresh) = WheelIndexIO.load(spark, file)
+    assert(fresh)
+    assert(loaded.indexUsageBytes === built.indexUsageBytes)
+    assert(rewritten(q))
+    val got = q.collect()(0)
+    assert(got.getLong(0) === expected.getLong(0))
+    assert(got.getDecimal(1) === expected.getDecimal(1))
+
+    // data changes after the save: load reports stale AND the rule's
+    // per-query fingerprint gate keeps the index inert (scan answers)
+    (0 until 600).map(i => (new java.sql.Timestamp(base + i * 7000L), i / 4.0))
+      .toDF("ts", "value").write.mode("overwrite").parquet(p)
+    WheelRegistry.clear()
+    val (_, fresh2) = WheelIndexIO.load(spark, file)
+    assert(!fresh2)
+    assert(!rewritten(q))
+    assert(q.collect()(0).getLong(0) > 0L)
+  }
+}
