@@ -440,6 +440,32 @@ class UWheelRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("randomized range parity: rewritten answers equal the scan on 60 random ranges") {
+    setup
+    val rnd = new scala.util.Random(20240812L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    var rewrites = 0
+    for (_ <- 0 until 60) {
+      val s = base + rnd.nextInt(35 * 86400)
+      val e = s + 1 + rnd.nextInt(20 * 86400)
+      def fmt(sec: Long) = new java.sql.Timestamp(sec * 1000).toString
+      val q = events.filter(
+          col("ts") >= lit(fmt(s)).cast("timestamp") && col("ts") < lit(fmt(e)).cast("timestamp"))
+        .agg(count(lit(1)).as("c"),
+          sum(col("value").cast("decimal(18,2)")).as("sd"),
+          min("value").as("mn"), max("value").as("mx"))
+      if (rewritten(q)) rewrites += 1
+      val got = q.collect()(0).toString
+      val exp = groundTruth(q.collect()(0).toString)
+      assert(got === exp, s"range [${fmt(s)}, ${fmt(e)})")
+    }
+    // whole-second literals over an indexed table: every one must rewrite
+    assert(rewrites === 60)
+  }
+
+  def rewritten(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
+
   test("stale index: file change after build disables rewrites") {
     setup
     import spark.implicits._
