@@ -321,6 +321,8 @@ object UWheelIndex {
       }
   }
 
+  private[index] def fingerprintOfDf(df: DataFrame): Long = fingerprintOf(df)
+
   private def fingerprintOf(df: DataFrame): Long =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>

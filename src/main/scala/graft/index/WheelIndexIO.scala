@@ -1,7 +1,9 @@
 package graft.index
 
 import java.io.{ObjectInputStream, ObjectOutputStream}
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.util.Using
 
 /** Persistence for built indexes, so a restarted service re-registers its
   * wheels instead of re-scanning the table (the reference keeps wheels
@@ -13,37 +15,42 @@ import java.nio.file.{Files, Paths}
   * listing on every lookup — a loaded index over data that changed since
   * the save is inert (no rewrites, queries fall back to scans), never
   * silently wrong. [[load]] also reports that staleness eagerly so callers
-  * can schedule a rebuild.
+  * can schedule a rebuild. Writes are atomic (temp file + move), so a crash
+  * mid-save cannot leave a truncated file behind.
   */
 object WheelIndexIO {
 
-  /** Serializes a built index (all wheels + metadata) to `file`. */
+  /** Serializes a built parquet-table index (all wheels + metadata) to
+    * `file`, atomically. View-built indexes ([[UWheelIndex.buildFromDataFrame]])
+    * are rejected: they are matched by in-process ExprIds, which do not
+    * survive a restart — a reloaded one could never answer a query. */
   def save(t: TableIndex, file: String): Unit = {
-    val out = new ObjectOutputStream(Files.newOutputStream(Paths.get(file)))
-    try out.writeObject(t) finally out.close()
+    require(!t.pathKey.startsWith("view::"),
+      s"${t.pathKey} is an in-memory (DataFrame-built) index; its ExprId " +
+        "registration dies with the process, so persisting it is meaningless — rebuild instead")
+    val target = Paths.get(file)
+    val tmp = Files.createTempFile(
+      Option(target.getParent).getOrElse(Paths.get(".")), ".wheelidx", ".tmp")
+    try {
+      Using.resource(new ObjectOutputStream(Files.newOutputStream(tmp)))(_.writeObject(t))
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Loads and registers a saved index. Returns the index and whether it is
-    * still fresh (fingerprint matches the table's current file listing —
-    * in-memory-built indexes with fingerprint 0 are always "fresh": their
-    * staleness is governed by ExprId identity instead). */
+    * still fresh (fingerprint matches the table's current file listing).
+    * A corrupt or unreadable file throws (`IOException` family) — with
+    * atomic saves that indicates external damage, and the caller's recovery
+    * is the same as for a stale index: rebuild. */
   def load(spark: org.apache.spark.sql.SparkSession, file: String): (TableIndex, Boolean) = {
-    val in = new ObjectInputStream(Files.newInputStream(Paths.get(file)))
-    val t = try in.readObject().asInstanceOf[TableIndex] finally in.close()
+    val t = Using.resource(new ObjectInputStream(Files.newInputStream(Paths.get(file))))(
+      _.readObject().asInstanceOf[TableIndex])
     WheelRegistry.register(t)
-    val fresh = t.fingerprint == 0L || {
+    val fresh = scala.util.Try {
       graft.Tables.ensureNanosConf(spark)
-      scala.util.Try {
-        spark.read.parquet(t.pathKey).queryExecution.analyzed.collectFirst {
-          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            lr.relation
-        } match {
-          case Some(h: org.apache.spark.sql.execution.datasources.HadoopFsRelation) =>
-            UWheelIndex.fingerprintOf(h.location) == t.fingerprint
-          case _ => false
-        }
-      }.getOrElse(false)
-    }
+      UWheelIndex.fingerprintOfDf(spark.read.parquet(t.pathKey)) == t.fingerprint
+    }.getOrElse(false)
     (t, fresh)
   }
 }

@@ -184,14 +184,16 @@ final class HawWheel private (
   }
 
   // Prefix arrays over the compacted (distinct-seconds) domain: O(log)
-  // count/sum for any second range, memory ∝ active seconds.
-  private val prefCount: Array[Long] = {
+  // count/sum for any second range, memory ∝ active seconds. Transient:
+  // pure functions of the constructor arrays, recomputed on first use after
+  // deserialization instead of doubling every persisted index file.
+  @transient private lazy val prefCount: Array[Long] = {
     val p = new Array[Long](numSecs + 1)
     var i = 0
     while (i < numSecs) { p(i + 1) = p(i) + counts(i); i += 1 }
     p
   }
-  private val prefSum: Array[Long] = {
+  @transient private lazy val prefSum: Array[Long] = {
     if (!hasValues) Array.emptyLongArray
     else {
       val p = new Array[Long](numSecs + 1)
@@ -204,7 +206,7 @@ final class HawWheel private (
   // Sparse min/max levels (second/minute/hour/day/week): built by one
   // run-merge pass per level over the sorted input, so each level holds only
   // slots that contain data.
-  private val levels: Array[HawWheel.Level] = {
+  @transient private lazy val levels: Array[HawWheel.Level] = {
     if (numSecs == 0) Array.empty
     else {
       val out = new Array[HawWheel.Level](Spans.length)

@@ -444,27 +444,28 @@ class UWheelRuleSpec extends AnyFunSuite {
     setup
     val rnd = new scala.util.Random(20240812L)
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
-    var rewrites = 0
     for (_ <- 0 until 60) {
       val s = base + rnd.nextInt(35 * 86400)
       val e = s + 1 + rnd.nextInt(20 * 86400)
       def fmt(sec: Long) = new java.sql.Timestamp(sec * 1000).toString
-      val q = events.filter(
+      // a def, not a val: a Dataset memoizes its QueryExecution, so the
+      // groundTruth evaluation must plan a FRESH query with the rule off
+      def q = events.filter(
           col("ts") >= lit(fmt(s)).cast("timestamp") && col("ts") < lit(fmt(e)).cast("timestamp"))
         .agg(count(lit(1)).as("c"),
           sum(col("value").cast("decimal(18,2)")).as("sd"),
           min("value").as("mn"), max("value").as("mx"))
-      if (rewritten(q)) rewrites += 1
+      // whole-second literals over an indexed table: every one must rewrite
+      assertRewritten(q)
       val got = q.collect()(0).toString
-      val exp = groundTruth(q.collect()(0).toString)
+      val exp = groundTruth {
+        val scan = q
+        assertNotRewritten(scan)
+        scan.collect()(0).toString
+      }
       assert(got === exp, s"range [${fmt(s)}, ${fmt(e)})")
     }
-    // whole-second literals over an indexed table: every one must rewrite
-    assert(rewrites === 60)
   }
-
-  def rewritten(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }.nonEmpty
 
   test("stale index: file change after build disables rewrites") {
     setup
