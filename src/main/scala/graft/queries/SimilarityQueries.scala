@@ -22,6 +22,33 @@ object SimilarityQueries {
   private val Bands = 16
   private val RowsPerBand = NumPerm / Bands
 
+  /** Hot-bucket guard for banded candidate generation. In-bucket pair-gen is
+    * quadratic in bucket size, so one degenerate bucket (a boilerplate
+    * band-hash shared by 1M rows) dominates the stage; buckets above this
+    * cap are excluded. With many independent bands, a true near-dup pair
+    * that collides in a pathological bucket almost surely also collides in
+    * a healthy one, so the recall cost is marginal — the same argument as
+    * the stop-shingle cap in TextQueries. Far above any bucket in the test
+    * corpora, so contract outputs are unaffected. */
+  private val MaxBucket = 4096
+
+  /** (band, bk)-bucketed candidate pairs over `(id, band, bk)` rows, with
+    * the hot-bucket guard applied. The size filter joins on the same
+    * (band, bk) key the self-join shuffles on, so it adds no extra
+    * partitioning. */
+  private[queries] def bandedCandidates(
+      bands: DataFrame, idCol: String, maxBucket: Int = MaxBucket): DataFrame = {
+    val ok = bands.groupBy("band", "bk").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+      .select("band", "bk")
+    val kept = bands.join(ok, Seq("band", "bk"))
+    kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
+      .distinct()
+  }
+
   /** doc_id → distinct 3-word shingles, as in TextQueries.dd_shingle_jaccard. */
   private def shingles(spark: SparkSession): DataFrame =
     spark.table("documents")
@@ -46,12 +73,8 @@ object SimilarityQueries {
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bk"))
+    val cand = bandedCandidates(bands, "doc_id")
     // verify candidates with the exact Jaccard (joins restricted to candidates)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = broadcast(cand)
@@ -97,7 +120,9 @@ object SimilarityQueries {
     * candidate join loses nothing: banded + verify ≡ all-pairs Hamming join.
     * Two map-side-cheap shuffles (band explode + bucket join), no n².
     * 16-bit bands give a 65,536-key bucket space per band; for corpora where
-    * n/2^16 buckets grow hot, widen the signature and the bands together. */
+    * n/2^16 buckets grow hot, widen the signature and the bands together —
+    * deliberately NOT the [[bandedCandidates]] hot-bucket cap, which would
+    * trade away the pigeonhole exactness this operator guarantees. */
   private[queries] def simhashBandedPairs(sig: DataFrame, bands: Int, maxHam: Int): DataFrame = {
     require(maxHam < bands, s"pigeonhole exactness needs maxHam < bands, got $maxHam/$bands")
     require(64 % bands == 0, s"bands must divide 64, got $bands")
@@ -169,11 +194,7 @@ object SimilarityQueries {
     val bands = e
       .select(col("vec_id"),
         posexplode(expr(s"srp_band_keys(v, $SrpBits, $SrpRowsPerBand)")).as(Seq("band", "bk")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      .distinct()
+    val cand = bandedCandidates(bands, "vec_id")
     val x = e.select(col("vec_id").as("xi"), col("v").as("xv"), col("nrm").as("xn"))
     val y = e.select(col("vec_id").as("yi"), col("v").as("yv"), col("nrm").as("yn"))
     cand

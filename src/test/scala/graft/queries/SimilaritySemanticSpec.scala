@@ -146,6 +146,20 @@ class SimilaritySemanticSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("hot LSH buckets are excluded from pair-gen; healthy buckets are kept") {
+    import spark.implicits._
+    // one pathological bucket with 2,000 members, plus healthy buckets that
+    // pair some of the same ids — the cap must bound work without losing
+    // pairs that collide anywhere healthy
+    val hot = (0L until 2000L).map(id => (id, 0, 77L))
+    val healthy = Seq((0L, 1, 5L), (1L, 1, 5L), (42L, 2, 9L), (43L, 2, 9L))
+    val bands = (hot ++ healthy).toDF("doc_id", "band", "bk")
+    val cand = SimilarityQueries.bandedCandidates(bands, "doc_id", maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot-bucket-only pairs are gone (2M pairs otherwise); band-1/2 pairs kept
+    assert(cand === Set((0L, 1L), (42L, 43L)))
+  }
+
   test("IVF ANN achieves useful recall against brute force") {
     val exact = SimilarityQueries.annTopK(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
