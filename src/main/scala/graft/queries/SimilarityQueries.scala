@@ -33,15 +33,17 @@ object SimilarityQueries {
   private val MaxBucket = 4096
 
   /** (band, bk)-bucketed candidate pairs over `(id, band, bk)` rows, with
-    * the hot-bucket guard applied. The size filter joins on the same
-    * (band, bk) key the self-join shuffles on, so it adds no extra
+    * the hot-bucket guard applied. Bucket sizes come from a window count
+    * over the same (band, bk) key the self-join shuffles on — the band
+    * pipeline (often an expensive signature computation) is not evaluated
+    * an extra time for the filter, and the join reuses the window's
     * partitioning. */
   private[queries] def bandedCandidates(
       bands: DataFrame, idCol: String, maxBucket: Int = MaxBucket): DataFrame = {
-    val ok = bands.groupBy("band", "bk").agg(count(lit(1)).as("bsz"))
+    val kept = bands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bk")))
       .where(col("bsz") <= maxBucket)
-      .select("band", "bk")
-    val kept = bands.join(ok, Seq("band", "bk"))
+      .drop("bsz")
     kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
