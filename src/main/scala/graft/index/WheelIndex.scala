@@ -403,11 +403,15 @@ object UWheelIndex {
         val mm = df.agg(F.min(sec), F.max(sec)).head()
         if (mm.isNullAt(0)) conf.slotSpanSec
         else {
-          val spanSec = mm.getLong(1) - mm.getLong(0) + 1
+          val lo = mm.getLong(0)
+          val hi = mm.getLong(1)
           graft.wheel.HawWheel.AllowedSlotSpans
             // an explicit span is a floor — the budget may only coarsen it
             .filter(_ >= conf.slotSpanSec)
-            .find(sp => spanSec / sp <= budget)
+            // ALIGNED slot count, not raw-span division: a 61 s span at
+            // sp=60 is one slot by division but can straddle two aligned
+            // slots (round-3 advice)
+            .find(sp => Math.floorDiv(hi, sp) - Math.floorDiv(lo, sp) + 1 <= budget)
             .getOrElse(graft.wheel.HawWheel.AllowedSlotSpans.last)
         }
     }

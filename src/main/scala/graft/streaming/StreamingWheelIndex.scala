@@ -86,10 +86,14 @@ final class StreamingWheelIndex(
             F.max("__v").as("mx"))
           .collect()
         rw.synchronized {
-          // ascending order so the first batch anchors the horizon at its
-          // EARLIEST second; corrupt far-future partials are then dropped
-          // (and counted) by the horizon guard instead of growing the map
-          var maxAccepted = Long.MinValue
+          // ascending order, advancing the watermark ALONG the batch: a
+          // single batch replaying weeks of history merges whole (round-3
+          // advice — the previous anchor-at-earliest-second horizon silently
+          // dropped the tail of any batch spanning > writeAheadSlots).
+          // Lateness is governed by the upstream Spark watermark, as the
+          // class doc states; the wheel-side horizon remains only as a guard
+          // for direct, unsorted tryMergePartial callers.
+          var last = Long.MinValue
           partials.sortBy(_.getLong(0)).foreach { r =>
             val sec = r.getLong(0)
             val sumScaled =
@@ -97,10 +101,10 @@ final class StreamingWheelIndex(
               else r.getDecimal(2).movePointRight(scale).longValueExact()
             val mn = if (r.isNullAt(3)) Double.PositiveInfinity else r.getDouble(3)
             val mx = if (r.isNullAt(4)) Double.NegativeInfinity else r.getDouble(4)
-            if (rw.tryMergePartial(sec, r.getLong(1), sumScaled, mn, mx) && sec > maxAccepted)
-              maxAccepted = sec
+            rw.advanceTo(sec * 1000L)
+            if (rw.tryMergePartial(sec, r.getLong(1), sumScaled, mn, mx)) last = sec
           }
-          if (maxAccepted != Long.MinValue) rw.advanceTo((maxAccepted + 1) * 1000L)
+          if (last != Long.MinValue) rw.advanceTo((last + 1) * 1000L)
           version += 1
         }
         ()

@@ -9,15 +9,14 @@ import scala.collection.mutable
   * Inserts are accepted at millisecond timestamps at or ahead of the
   * watermark, buffered in per-second partials, and sealed into an immutable
   * [[HawWheel]] by [[freeze]] (the reference's `ReaderWheel` conversion with
-  * SIMD/prefix finalization, `lib.rs:1082-1087`). Out-of-order inserts behind
-  * the watermark are rejected, and — mirroring the reference's 65,536-slot
-  * write-ahead ring (`lib.rs:978-982`) — inserts more than
-  * `writeAheadSlots` seconds AHEAD of the watermark are rejected too, so a
-  * stuck watermark cannot grow the buffer without bound (the map is sparse,
-  * so memory is `min(active seconds, horizon)`, never the dense ring's
-  * `horizon`). [[mergePartial]] is the trusted build/merge path and is
-  * exempt: there the source's own watermark bounds lateness and the build
-  * has no notion of progress.
+  * SIMD/prefix finalization, `lib.rs:1082-1087`). Mirroring the reference's
+  * 65,536-slot write-ahead ring (`lib.rs:978-982`), the accepting window is
+  * `writeAheadSlots` seconds wide and ROTATES with the newest write: in-order
+  * inserts always land, while inserts more than `writeAheadSlots` behind the
+  * newest write are late and rejected. [[advanceTo]] can push the window
+  * further forward explicitly (sealing more history as late). [[mergePartial]]
+  * is the trusted build/merge path and is exempt: there the source's own
+  * watermark bounds lateness and the build has no notion of progress.
   *
   * Count and scaled sum are accumulated as Longs so integer exactness holds
   * all the way to Long range (a Double slot would silently lose exactness
@@ -42,19 +41,22 @@ final class RwWheel(
   /** Partials rejected by [[tryMergePartial]] for lying beyond the horizon. */
   def droppedBeyondHorizon: Long = dropped
 
-  /** Insert one row. `value` ignored for count-only wheels. The first insert
-    * anchors the watermark at its own second (the reference initializes its
-    * ring at stream start), so the horizon binds from the first event on —
-    * without this, an insert-only caller that never calls [[advanceTo]]
-    * would face no bound at all. */
+  /** Insert one row. `value` ignored for count-only wheels. The write-ahead
+    * window TRAILS the newest write, the way the reference's ring rotates as
+    * it fills (`lib.rs:978-982`): an in-order insert far ahead of the
+    * watermark rotates the window forward instead of throwing, so a monotone
+    * bulk loader never needs interleaved [[advanceTo]] calls (round-3
+    * advice — the previous anchor-at-first-insert horizon threw after ~18 h
+    * of event time). The cost, identical to the reference ring's, is that
+    * rotation re-classifies data more than `writeAheadSlots` behind the
+    * newest write as late, and late inserts are rejected. */
   def insert(tsMs: Long, value: Double): Unit = {
-    if (watermarkMs == Long.MinValue) watermarkMs = Math.floorDiv(tsMs, 1000L) * 1000L
-    require(tsMs >= watermarkMs, s"insert at $tsMs behind watermark $watermarkMs")
-    require(
-      tsMs - watermarkMs <= writeAheadSlots * 1000L,
-      s"insert at $tsMs exceeds write-ahead horizon " +
-        s"(watermark $watermarkMs + $writeAheadSlots s); advance the watermark first")
+    require(tsMs >= watermarkMs,
+      s"insert at $tsMs behind watermark $watermarkMs " +
+        s"(more than $writeAheadSlots s older than the newest write)")
     val sec = Math.floorDiv(tsMs, 1000L)
+    val trailMs = (sec - writeAheadSlots) * 1000L
+    if (trailMs > watermarkMs) watermarkMs = trailMs
     val slot = slots.getOrElseUpdate(sec, new Slot)
     slot.count += 1
     if (hasValues) {

@@ -170,19 +170,26 @@ private[wheel] final class SlotStore[P: ClassTag](
   private val rawKeep: Array[P] = if (blocks == null) raw else null
 
   // one-block memo: range decompositions touch runs of consecutive slots,
-  // so without it the same block would be re-decoded once per slot
-  @transient private var lastBlock: Int = -1
-  @transient private var lastDecoded: Array[P] = _
+  // so without it the same block would be re-decoded once per slot. A single
+  // volatile (blockIdx, decoded) pair, read once into a local: frozen wheels
+  // are read concurrently, and a torn two-field memo could pair one reader's
+  // index with another's array (round-3 advice). Racing writers at worst
+  // publish either pair — both internally consistent.
+  @transient @volatile private var memo: (Int, Array[P]) = _
 
   def apply(i: Int): P =
     if (rawKeep != null) rawKeep(i)
     else {
       val bi = i / BlockSize
-      if (bi != lastBlock || lastDecoded == null) {
-        lastDecoded = codec.get.decode(blocks(bi))
-        lastBlock = bi
-      }
-      lastDecoded(i % BlockSize)
+      val m = memo
+      val decoded =
+        if (m != null && m._1 == bi) m._2
+        else {
+          val d = codec.get.decode(blocks(bi))
+          memo = (bi, d)
+          d
+        }
+      decoded(i % BlockSize)
     }
 
   /** Stored payload bytes. Raw path assumes primitive 8-byte slots — an

@@ -88,6 +88,29 @@ class StreamingWheelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("one batch replaying more than writeAheadSlots of history merges whole") {
+    // round-3 advice regression: the horizon used to anchor at the batch's
+    // earliest second and silently drop everything > 65,536 s later — the
+    // first micro-batch of a stream replaying days of history lost its tail
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val idx = new StreamingWheelIndex("ts", Some("value"))
+    val q = idx.attach(input.toDF().toDF("ts", "value"), "wheel-maintenance-replay")
+    try {
+      input.addData( // three days of event time in ONE batch (3 × horizon)
+        (ts("2024-03-01 00:00:00"), 1.0),
+        (ts("2024-03-02 00:00:00"), 2.0),
+        (ts("2024-03-04 00:00:00"), 4.0))
+      q.processAllAvailable()
+      val snap = idx.snapshot()
+      assert(snap.landmark.count === 3)
+      assert(snap.landmark.sum === Some(7.0))
+      assert(idx.droppedBeyondHorizon === 0L)
+    } finally q.stop()
+  }
+
   test("wheel groupBy(minute) equals Structured Streaming windowed aggregation") {
     val session = spark
     import session.implicits._

@@ -43,9 +43,9 @@ class HawWheelPropSpec extends AnyFunSuite {
     len <- Gen.chooseNum(0L, 5 * 86400L)
   } yield (s, s + len)
 
-  /** Sorted ingest with watermark progression (the write-ahead horizon
-    * bounds how far an insert may run AHEAD of the watermark, so a bulk
-    * loader advances as it goes — as a real stream would). */
+  /** Sorted ingest with watermark progression (the write-ahead window now
+    * rotates with in-order inserts on its own; the explicit advanceTo keeps
+    * the test exercising both progression paths — as a real stream would). */
   private def feed(rw: RwWheel, rows: List[(Long, Double)]): RwWheel = {
     rows.sortBy(_._1).foreach { case (sec, v) =>
       rw.advanceTo(sec * 1000L)

@@ -124,17 +124,17 @@ class HawWheelSpec extends AnyFunSuite {
     assert(rw.freeze().landmark.count === 2L)
   }
 
-  test("write-ahead horizon: far-future insert rejected until watermark advances") {
+  test("write-ahead window rotates: monotone inserts never throw, stale lates rejected") {
     val rw = new RwWheel(2, hasValues = true)
     rw.insert(t0 * 1000L, 1.0)
-    rw.advanceTo(t0 * 1000L)
+    // a far-ahead in-order insert rotates the window forward instead of
+    // throwing (a monotone bulk loader needs no interleaved advanceTo)
     val farMs = (t0 + RwWheel.DefaultWriteAheadSlots + 10) * 1000L
-    intercept[IllegalArgumentException](rw.insert(farMs, 2.0))
-    // inside the horizon is fine
-    rw.insert((t0 + RwWheel.DefaultWriteAheadSlots) * 1000L, 3.0)
-    // advancing the watermark re-admits the previously-too-far second
-    rw.advanceTo((t0 + 20) * 1000L)
     rw.insert(farMs, 2.0)
+    // t0 is now more than writeAheadSlots behind the newest write: late
+    intercept[IllegalArgumentException](rw.insert(t0 * 1000L, 9.0))
+    // the trailing edge of the rotated window is still writable
+    rw.insert(farMs - RwWheel.DefaultWriteAheadSlots * 1000L, 3.0)
     val w = rw.freeze()
     assert(w.landmark.count === 3)
     assert(w.landmark.sum === Some(6.0))
