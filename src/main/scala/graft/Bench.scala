@@ -67,11 +67,49 @@ object Bench {
 
     // machine-parsed output: format under Locale.ROOT so a comma-decimal
     // default locale can't produce invalid JSON
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    def num(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val fmt = if (v >= 100) "%.1f" else if (v >= 10) "%.2f" else "%.3f"
+        String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+      }
+    def line(entries: Seq[(String, String)], total: Double): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full detail for humans/logs — prefixed so the driver's `^{` JSON-line
+    // match never picks it up.
+    println("BENCH_FULL " + line(results.toSeq.map { case (k, v) => k -> num(v) }, total))
+
+    // The driver keeps only the LAST 2000 chars of stdout and parses the JSON
+    // line out of that window; sbt prints ~75 chars of `[success] Total time`
+    // after us. Round 3's 84-entry line (~2150 chars) overflowed the window
+    // and benched as `parsed: null`. Guarantee the contract line fits: if it
+    // exceeds the cap, fold the cheapest non-wheel entries into an
+    // `other_sec`/`other_n` pair (wheel-family and index_build entries are the
+    // BASELINE.md comparison and are always kept verbatim).
+    val cap = 1750
+    val essential = results.keys.filter(k => k.startsWith("uw_") || k == "index_build").toSet
+    var kept = results.toSeq
+    var otherSum = 0.0
+    var otherN = 0
+    def render(): String = {
+      val extra =
+        if (otherN == 0) Nil
+        else Seq("other_sec" -> num(otherSum), "other_n" -> otherN.toString)
+      line(kept.map { case (k, v) => k -> num(v) } ++ extra, total)
+    }
+    var out = render()
+    while (out.length > cap && kept.exists(e => !essential(e._1))) {
+      val victim = kept.filter(e => !essential(e._1)).minBy(e => math.abs(e._2))
+      kept = kept.filterNot(_._1 == victim._1)
+      if (victim._2 >= 0) otherSum += victim._2
+      otherN += 1
+      out = render()
+    }
+    println(out)
     spark.stop()
   }
 }
