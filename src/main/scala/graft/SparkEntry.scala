@@ -25,6 +25,7 @@ object SparkEntry {
       (RelationalQueries.defs, RelationalQueries.oracles),
       (TextQueries.defs, TextQueries.oracles),
       (SimilarityQueries.defs, SimilarityQueries.oracles),
+      (PipelineQueries.defs, PipelineQueries.oracles),
       (MultimodalQueries.defs, MultimodalQueries.oracles),
     )
 

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators a training-data pipeline layers on top of the
+  * dedup/similarity/text primitives: deterministic splits, per-language
+  * quota sampling, benchmark decontamination, repetition scoring, duplicate
+  * clustering, and exact distribution statistics (nearest-rank percentiles,
+  * fixed-width histograms).
+  *
+  * Scale design mirrors the rest of the query surface: everything is a
+  * hash-partitioned dataflow (map → hash-agg → hash/broadcast join); the one
+  * iterative operator (connected-components clustering) runs a bounded
+  * hash-min label propagation whose per-round work is a single shuffle of
+  * the (small) near-dup edge list, never of the corpus. Determinism
+  * everywhere: splits and samples order by a multiplicative integer hash —
+  * not engine RNG — so the DuckDB oracle reproduces them bit-for-bit.
+  */
+object PipelineQueries {
+
+  /** Knuth's multiplicative constant; `(id * K) % p` with prime p is
+    * injective for id < p, so hash order is total and tie-free. Both engines
+    * evaluate it in 64-bit integer arithmetic (no overflow until id ~3.5e9
+    * even at p = 1e9+7). */
+  private val HashK = "2654435761"
+
+  /** Eval-set membership for decontamination: a deterministic 1-in-97 slice
+    * standing in for a held-out benchmark table. */
+  private val EvalMod = 97
+
+  /** Contamination n-gram width. Real pipelines use 8–13-gram overlap; this
+    * synthetic corpus's documents share no 8-grams at all, so the contract
+    * query uses the narrowest width that still flags only a sparse set
+    * (4-gram ⇒ 7 of 500 docs at sf0.01; 3-gram would flag a third of the
+    * corpus). Width is a single constant in both SQL texts. */
+  private val ContamN = 4
+
+  // --- Spark SQL ----------------------------------------------------------
+
+  private val sparkSql: Seq[(String, String)] = Seq(
+    // deterministic train/val/test split: 80/10/10 by multiplicative hash
+    // of the stable doc id. Hash-based (not random) so any engine — and any
+    // re-run over a grown corpus — assigns unchanged rows to unchanged
+    // splits, the property training pipelines need for reproducibility.
+    "ds_split" ->
+      s"""SELECT CASE WHEN (doc_id * $HashK) % 1000 < 800 THEN 'train'
+         |            WHEN (doc_id * $HashK) % 1000 < 900 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(size(split(text, ' '))) AS BIGINT) AS n_words
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // language-balanced subsampling: up to 50 docs per language, picked in
+    // deterministic hash order (a seeded shuffle both engines reproduce).
+    // The standard rebalancing step before mixing a multilingual corpus.
+    "ds_lang_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |             ORDER BY (doc_id * $HashK) % 1000000007, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
+
+    // benchmark decontamination: flag training docs sharing any word
+    // n-gram with the (broadcast-small) eval slice, with the shared-gram
+    // count as evidence. Distinct-gram explode keeps the join input linear
+    // in corpus size; the eval side is DISTINCT-collapsed before the join.
+    "txt_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+         |           WHERE size(split(text, ' ')) >= $ContamN),
+         |g AS (SELECT doc_id, explode(array_distinct(
+         |        transform(sequence(0, size(w) - $ContamN),
+         |                  i -> concat_ws(' ', slice(w, i + 1, $ContamN))))) AS s
+         |      FROM d),
+         |e AS (SELECT DISTINCT s FROM g WHERE doc_id % $EvalMod = 0),
+         |t AS (SELECT doc_id, s FROM g WHERE doc_id % $EvalMod <> 0)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM t JOIN e ON t.s = e.s
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // intra-document repetition score (the Gopher-style rep signal):
+    // duplicate-bigram fraction, integer counts + one division so both
+    // engines agree bit-for-bit.
+    "txt_repetition" ->
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+        |           WHERE size(split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id, size(w) - 1 AS n_bi,
+        |             size(array_distinct(transform(sequence(0, size(w) - 2),
+        |                  i -> concat_ws(' ', slice(w, i + 1, 2))))) AS n_uniq
+        |      FROM d)
+        |SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bigrams,
+        |       CAST(n_bi - n_uniq AS DOUBLE) / n_bi AS dup_frac,
+        |       CASE WHEN (n_bi - n_uniq) * 5 >= n_bi THEN 'repetitive' ELSE 'ok' END AS verdict
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // exact nearest-rank percentiles per group: one distributed sort per
+    // partition key (window), no interpolation — `ceil(n·q)`-th value is
+    // pure integer pick, identical in any engine (quantile_cont-style
+    // interpolation semantics differ between engines; nearest-rank doesn't).
+    "q_percentile" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |           row_number() OVER (PARTITION BY o_orderpriority
+        |                              ORDER BY o_totalprice, o_orderkey) AS rn,
+        |           count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |           FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN o_totalprice END) AS p95,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN o_totalprice END) AS p99
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // fixed-width histogram: floor-bin then hash-agg — one map-side-combined
+    // shuffle of bin counts, the scalable form of a distribution profile.
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+  )
+
+  /** Duplicate clustering: connected components over the exact near-dup
+    * pair set (`dd_shingle_jaccard`), reported as (cluster representative,
+    * member count). The canonical post-dedup step — a transitive family of
+    * pairwise matches must collapse to ONE kept document, not pairwise
+    * drops.
+    *
+    * Implementation is hash-min label propagation: every node starts as its
+    * own label and each round takes the min of its own and its neighbors'
+    * labels, until a fixpoint. Each round is one shuffle of the EDGE list
+    * (near-dup edges are a vanishing fraction of a deduped corpus), the
+    * label frame is `localCheckpoint`ed so lineage stays flat, and
+    * convergence is detected by the monotonically-decreasing label sum —
+    * one scalar per round to the driver, never rows. Rounds are bounded by
+    * component diameter; near-dup clusters are shallow (stars around a
+    * template), so this converges in a handful of rounds at any corpus
+    * size. (For adversarially long path-shaped components, the
+    * alternating large-star/small-star variant caps rounds at O(log n);
+    * same per-round dataflow.)
+    */
+  def ddCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    connectedComponents(
+      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = None)))
+  }
+
+  /** Hash-min connected components over an undirected `(i, j)` pair frame:
+    * (cluster representative = min member id, member count), representatives
+    * ascending. See [[ddCluster]] for the scale argument. */
+  private[queries] def connectedComponents(pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.select(col("i"), col("j"))
+      .localCheckpoint() // materialize once; reused every round
+    val edges = pairs.union(pairs.select(col("j"), col("i"))).toDF("a", "b")
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min("label").as("nl"))
+      val next = labels
+        .join(nbrMin, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum("label")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+    }
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  // --- DuckDB oracles -----------------------------------------------------
+
+  /** dd_cluster's oracle: the same edge set (TextQueries' join-based
+    * shingle-Jaccard twin), closed transitively with a recursive CTE, then
+    * min-reachable-label per node — tiny-corpus-only, which is all an
+    * oracle needs to be. */
+  private val ddClusterOracle = {
+    val n = 3 // 3-word shingles, as dd_shingle_jaccard
+    s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |         [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS s
+       |       FROM d),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT i, j FROM inter
+       |          JOIN sz sa ON sa.doc_id = i
+       |          JOIN sz sb ON sb.doc_id = j
+       |          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+       |edges AS (SELECT i AS a, b FROM (SELECT i, j AS b FROM pairs
+       |                                 UNION ALL SELECT j, i FROM pairs) t(i, b)),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+       |),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ds_split" ->
+      s"""SELECT CASE WHEN (doc_id * $HashK) % 1000 < 800 THEN 'train'
+         |            WHEN (doc_id * $HashK) % 1000 < 900 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "ds_lang_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |             ORDER BY (doc_id * $HashK) % 1000000007, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
+
+    "txt_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE len(string_split(text, ' ')) >= $ContamN),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |        [array_to_string(w[i:i+${ContamN - 1}], ' ')
+         |         for i in range(1, len(w) - ${ContamN - 2})])) AS s
+         |      FROM d),
+         |e AS (SELECT DISTINCT s FROM g WHERE doc_id % $EvalMod = 0),
+         |t AS (SELECT doc_id, s FROM g WHERE doc_id % $EvalMod <> 0)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM t JOIN e ON t.s = e.s
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "txt_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id, len(w) - 1 AS n_bi,
+        |             len(list_distinct([array_to_string(w[i:i+1], ' ')
+        |                                for i in range(1, len(w))])) AS n_uniq
+        |      FROM d)
+        |SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bigrams,
+        |       CAST(n_bi - n_uniq AS DOUBLE) / n_bi AS dup_frac,
+        |       CASE WHEN (n_bi - n_uniq) * 5 >= n_bi THEN 'repetitive' ELSE 'ok' END AS verdict
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_percentile" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |           row_number() OVER (PARTITION BY o_orderpriority
+        |                              ORDER BY o_totalprice, o_orderkey) AS rn,
+        |           count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |           FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN o_totalprice END) AS p95,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN o_totalprice END) AS p99
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "dd_cluster" -> ddClusterOracle,
+  )
+
+  val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
+    sparkSql.map { case (n, s) => n -> Q.sql(s) } :+ ("dd_cluster" -> (ddCluster _))
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the curation operators that a row/hash oracle can't pin
+  * down structurally: the clustering operator must compute TRUE connected
+  * components (transitive closure), not just something per-pair — checked
+  * against an in-memory union-find — and must converge on graph shapes that
+  * need several propagation rounds. */
+class PipelineSemanticSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    // path-compress everything, then label each node by its root's min member
+    val roots = parent.keys.toSeq.map(n => n -> find(n))
+    val minOfRoot = roots.groupBy(_._2).map { case (r, ns) => r -> ns.map(_._1).min }
+    roots.map { case (n, r) => n -> math.min(minOfRoot(r), r) }.toMap
+  }
+
+  test("dd_cluster equals union-find components of the exact pair set") {
+    val pairs = TextQueries.defs.toMap.apply("dd_shingle_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, "corpus has no planted near-duplicates?")
+    val expected = unionFind(pairs)
+      .groupBy(_._2).map { case (c, ns) => (c, ns.size.toLong) }
+      .toSeq.sorted
+    val got = PipelineQueries.ddCluster(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("propagation converges on a path graph (diameter > 1 round)") {
+    val session = spark
+    import session.implicits._
+    // 0-1-2-...-9 chain plus a disjoint triangle {20,21,22}: the chain's min
+    // label needs ~9 rounds of one-hop propagation to reach the far end
+    val chain = (0L until 9L).map(k => (k, k + 1))
+    val tri = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val got = PipelineQueries.connectedComponents(
+        (chain ++ tri).toDF("i", "j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 10L), (20L, 3L)))
+  }
+}
