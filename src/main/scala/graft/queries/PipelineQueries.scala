@@ -139,8 +139,11 @@ object PipelineQueries {
     */
   def ddCluster(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
+    // edges = the skew-capped pair set (dd_shingle_capped): the at-scale
+    // default, and on corpora without a pathological stop shingle (incl.
+    // this one) identical to the exact pairs
     connectedComponents(
-      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = None)))
+      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf))))
   }
 
   /** Hash-min connected components over an undirected `(i, j)` pair frame:
@@ -176,12 +179,11 @@ object PipelineQueries {
 
   // --- DuckDB oracles -----------------------------------------------------
 
-  /** dd_cluster's oracle: the same edge set (TextQueries' join-based
-    * shingle-Jaccard twin), closed transitively with a recursive CTE, then
-    * min-reachable-label per node — tiny-corpus-only, which is all an
-    * oracle needs to be. */
-  private val ddClusterOracle = {
-    val n = 3 // 3-word shingles, as dd_shingle_jaccard
+  /** dd_cluster's oracle: the same capped edge set (TextQueries' join-based
+    * shingle-Jaccard twin with the stop-shingle cap), closed transitively
+    * with a recursive CTE, then min-reachable-label per node — tiny-corpus-
+    * only, which is all an oracle needs to be. */
+  private val ddClusterOracle =
     s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |           WHERE len(string_split(text, ' ')) >= 3),
        |sh AS (SELECT doc_id, unnest(list_distinct(
@@ -190,6 +192,9 @@ object PipelineQueries {
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          JOIN (SELECT s FROM sh GROUP BY s
+       |                HAVING count(*) BETWEEN 2 AND ${TextQueries.ShingleCapDf}) ok
+       |            ON ok.s = a.s
        |          GROUP BY a.doc_id, b.doc_id),
        |pairs AS (SELECT i, j FROM inter
        |          JOIN sz sa ON sa.doc_id = i
@@ -205,7 +210,6 @@ object PipelineQueries {
        |lab AS (SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "ds_split" ->

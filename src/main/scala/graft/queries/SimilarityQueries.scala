@@ -245,11 +245,17 @@ object SimilarityQueries {
     * Centroid "training" is a deterministic fixed-k pick: ids divisible by
     * `stride = ceil(n / K)`, so k ≤ K for dense ids regardless of corpus
     * size, and the choice is reproducible by the SQL oracle (no RNG). */
+  /** Corpus row count per (session, sfDir) — the one scalar IVF "training"
+    * needs. Cached so repeated queries don't re-scan for it (a service would
+    * read it from table stats / the index catalog). */
+  private val corpusN = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     val nprobe = IvfNprobe
     val e = vecs(spark)
-    val n = e.count() // one column scan; amortize via table stats in a service
+    val n: Long = corpusN.computeIfAbsent(
+      s"${System.identityHashCode(spark)}#$sfDir", _ => e.count()).longValue()
     val stride = math.max(1L, math.ceil(n.toDouble / IvfK).toLong)
     val cents = e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
