@@ -35,6 +35,11 @@ import graft.wheel.HawWheel
   * @param coverage        time range (epoch sec) the build was restricted to;
   *                        None = full table. Restricted wheels only answer
   *                        queries whose range lies inside the coverage.
+  * @param filterSql       the raw filter SQL the wheel was built with (None
+  *                        for unfiltered wheels) — kept so incremental
+  *                        refresh ([[UWheelIndex.refresh]]) can re-apply the
+  *                        same filter to appended data (the canonical
+  *                        `filterKey` is a matching key, not executable).
   */
 final case class IndexedWheel(
     wheel: HawWheel,
@@ -43,7 +48,8 @@ final case class IndexedWheel(
     valueAllNonNull: Boolean,
     valuesExactAtScale: Boolean = true,
     valuesNaNFree: Boolean = true,
-    coverage: Option[(Long, Long)] = None)
+    coverage: Option[(Long, Long)] = None,
+    filterSql: Option[String] = None)
 
 /** All wheels for one table (identified by its parquet root path).
   *
@@ -59,12 +65,20 @@ final class TableIndex(
     val pathKey: String,
     val timeColumn: String,
     val tsAllNonNull: Boolean,
-    val fingerprint: Long = 0L) extends Serializable {
+    val fingerprint: Long = 0L,
+    /** (path → (length, modificationTime)) of every file at build time —
+      * the data [[UWheelIndex.refresh]] diffs the current listing against
+      * to decide append-merge vs full rebuild. */
+    val filesAtBuild: Map[String, (Long, Long)] = Map.empty,
+    /** The build's slot budget, re-applied on refresh so a growing time
+      * range coarsens the merged wheels exactly as a fresh build would. */
+    val slotBudget: Option[Long] = None) extends Serializable {
   private val wheels = new ConcurrentHashMap[(Option[String], String), IndexedWheel]()
 
   def put(w: IndexedWheel): Unit = wheels.put((w.valueColumn, w.filterKey), w)
   def get(col: Option[String], filterKey: String): Option[IndexedWheel] =
     Option(wheels.get((col, filterKey)))
+  def allWheels: Seq[IndexedWheel] = wheels.asScala.values.toSeq
   /** Any wheel whose row coverage is the given residual filter (for COUNT(*)). */
   def anyForFilter(filterKey: String): Option[IndexedWheel] = {
     val cw = get(None, filterKey)
@@ -233,7 +247,8 @@ object UWheelIndex {
       filter: Option[Column],
       filterKey: String,
       timeRangeSec: Option[(Long, Long)],
-      scale: Int)
+      scale: Int,
+      filterSql: Option[String] = None)
 
   /** Builds ANY number of wheels in ONE distributed scan: each spec becomes
     * six conditional aggregate columns of a single map-side-combining
@@ -303,7 +318,7 @@ object UWheelIndex {
           valueAllNonNull = !hasValues || acc.allNonNull(i),
           valuesExactAtScale = !hasValues || acc.badRep(i) == 0L,
           valuesNaNFree = !hasValues || acc.nanCount(i) == 0L,
-          sp.timeRangeSec),
+          sp.timeRangeSec, sp.filterSql),
         acc.sawNullTs(i))
     }
   }
@@ -312,26 +327,32 @@ object UWheelIndex {
     * `lib.rs:92-122,912-965`): COUNT(*) wheel + one min/max wheel per
     * requested column, registered under the table's path. */
   /** Stable hash of a file listing — the staleness fingerprint. */
-  def fingerprintOf(location: org.apache.spark.sql.execution.datasources.FileIndex): Long = {
-    val files = location.listFiles(Nil, Nil).flatMap(_.files)
-    files.map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
-      .sortBy(_._1)
-      .foldLeft(1125899906842597L) { case (h, (p, l, m)) =>
-        ((h * 31 + p.##) * 31 + l) * 31 + m
-      }
-  }
+  def fingerprintOf(location: org.apache.spark.sql.execution.datasources.FileIndex): Long =
+    fingerprintOfListing(location.listFiles(Nil, Nil).flatMap(_.files)
+      .map(f => (f.getPath.toString, f.getLen, f.getModificationTime)))
 
-  private[index] def fingerprintOfDf(df: DataFrame): Long = fingerprintOf(df)
+  private def fingerprintOfListing(files: Seq[(String, Long, Long)]): Long =
+    files.sortBy(_._1).foldLeft(1125899906842597L) { case (h, (p, l, m)) =>
+      ((h * 31 + p.##) * 31 + l) * 31 + m
+    }
 
-  private def fingerprintOf(df: DataFrame): Long =
+  /** Current (path, length, modificationTime) listing of a file-backed
+    * DataFrame; None for non-file plans (views, local data). */
+  private def listingOf(df: DataFrame): Option[Seq[(String, Long, Long)]] =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation
     } match {
       case Some(h: org.apache.spark.sql.execution.datasources.HadoopFsRelation) =>
-        fingerprintOf(h.location)
-      case _ => 0L
+        Some(h.location.listFiles(Nil, Nil).flatMap(_.files)
+          .map(f => (f.getPath.toString, f.getLen, f.getModificationTime)))
+      case _ => None
     }
+
+  private[index] def fingerprintOfDf(df: DataFrame): Long = fingerprintOf(df)
+
+  private def fingerprintOf(df: DataFrame): Long =
+    listingOf(df).map(fingerprintOfListing).getOrElse(0L)
 
   def build(spark: SparkSession, path: String, conf: UWheelBuilder): TableIndex = {
     graft.Tables.ensureNanosConf(spark)
@@ -368,7 +389,7 @@ object UWheelIndex {
         throw new IllegalArgumentException("keyed wheel requires a filter")))
       WheelSpec(Some(ib.column), Some(fc),
         graft.expr.Canon.canonFilterKey(df.filter(fc)),
-        ib.timeRangeSec.orElse(conf.timeRangeSec), conf.scale)
+        ib.timeRangeSec.orElse(conf.timeRangeSec), conf.scale, ib.filterSql)
     }
     val countSpec =
       if (colSpecs.isEmpty) Seq(WheelSpec(None, None, "", conf.timeRangeSec, conf.scale))
@@ -386,7 +407,9 @@ object UWheelIndex {
     }
     val unfiltered = colBuilt :+ countBuilt
     val tsAllNonNull = !unfiltered.exists(_.sawNullTs)
-    val t = new TableIndex(pathKey, conf.timeColumn, tsAllNonNull, fingerprint)
+    val t = new TableIndex(pathKey, conf.timeColumn, tsAllNonNull, fingerprint,
+      filesAtBuild = listingOf(df).getOrElse(Nil).map(f => f._1 -> (f._2, f._3)).toMap,
+      slotBudget = conf.slotBudget)
     t.put(countBuilt.wheel)
     (colBuilt ++ rest.take(keyedSpecs.length)).foreach(bw => t.put(bw.wheel))
     WheelRegistry.register(t)
@@ -434,7 +457,138 @@ object UWheelIndex {
     }
     val span = t.countWheel.map(_.wheel.slotSpan).getOrElse(1L)
     t.put(buildWheels(df, t.timeColumn,
-      Seq(WheelSpec(Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale)), span)
-      .head.wheel)
+      Seq(WheelSpec(Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale, ib.filterSql)),
+      span).head.wheel)
+  }
+
+  /** Outcome of an incremental [[UWheelIndex.refresh]]. */
+  sealed trait RefreshOutcome
+  object RefreshOutcome {
+    /** File listing unchanged — the index is already fresh. */
+    case object NoChange extends RefreshOutcome
+    /** Only new files appeared: one delta scan over them, merged into the
+      * existing wheels. */
+    final case class Appended(newFiles: Int) extends RefreshOutcome
+    /** Existing files were modified or removed (or the index predates
+      * refresh metadata) — rebuilt from the full table. */
+    case object Rebuilt extends RefreshOutcome
+  }
+
+  /** Incremental index maintenance. The staleness fingerprint makes a grown
+    * table's index inert (safe, but every query scans again); `refresh`
+    * makes it CURRENT again at the cost of scanning only the data that
+    * changed. The current file listing is diffed against the build-time
+    * snapshot ([[TableIndex.filesAtBuild]]):
+    *
+    *  - unchanged → [[RefreshOutcome.NoChange]];
+    *  - strictly grown (append-only writers — new parquet part-files, old
+    *    ones byte-identical) → wheels for the NEW files only are built with
+    *    the same one-scan pipeline and merged slot-wise into the existing
+    *    ones ([[graft.wheel.HawWheel.slotPartials]]; counts/scaled-sums add,
+    *    min/max combine — associative, so merged ≡ rebuilt bit-for-bit);
+    *  - anything rewritten in place → full rebuild (incremental merge could
+    *    double-count; correctness first).
+    *
+    * A configured slot budget is re-applied over the grown time range, so
+    * refresh coarsens the merged wheels exactly where a fresh build would.
+    * At 100 TB this is the difference between a daily index touch of one
+    * day's partitions and a 10-year rescan; the reference has no
+    * invalidation at all (`lib.rs:154-239` keys wheels forever). */
+  def refresh(spark: SparkSession, path: String): RefreshOutcome = {
+    val key = WheelRegistry.normalizePath(path)
+    require(!key.startsWith("view::"),
+      "in-memory (DataFrame-built) indexes have no file listing to refresh — rebuild instead")
+    val t = WheelRegistry.lookup(key).getOrElse(
+      throw new IllegalStateException(s"no TableIndex registered for $key — call build() first"))
+    graft.Tables.ensureNanosConf(spark)
+    val df = spark.read.parquet(path)
+    val listing = listingOf(df).getOrElse(
+      throw new IllegalStateException(s"$key is not a file-backed table"))
+    val now = listing.map(f => f._1 -> (f._2, f._3)).toMap
+    if (t.filesAtBuild.nonEmpty && now == t.filesAtBuild) return RefreshOutcome.NoChange
+
+    val wheels = t.allWheels
+    val colWheels = wheels.filter(w => w.filterKey.isEmpty && w.valueColumn.isDefined)
+      .sortBy(_.valueColumn.get)
+    val keyedWheels = wheels.filter(_.filterKey.nonEmpty)
+    val countWheel = wheels.find(w => w.filterKey.isEmpty && w.valueColumn.isEmpty)
+    val oldSpan = countWheel.orElse(wheels.headOption).map(_.wheel.slotSpan).getOrElse(1L)
+
+    val mutated = t.filesAtBuild.isEmpty ||
+      t.filesAtBuild.exists { case (p, lm) => !now.get(p).contains(lm) }
+    if (mutated || keyedWheels.exists(_.filterSql.isEmpty)) {
+      val conf = UWheelBuilder(t.timeColumn,
+        minMaxColumns = colWheels.map(_.valueColumn.get),
+        timeRangeSec = countWheel.flatMap(_.coverage),
+        scale = colWheels.headOption.orElse(countWheel).map(_.wheel.scale).getOrElse(2),
+        keyedWheels = keyedWheels.map(w =>
+          IndexBuilder(w.valueColumn.get, w.filterSql, w.coverage)),
+        slotSpanSec = oldSpan,
+        slotBudget = t.slotBudget)
+      buildFrom(df, key, fingerprintOfListing(listing), conf)
+      return RefreshOutcome.Rebuilt
+    }
+
+    val newPaths = listing.collect { case (p, _, _) if !t.filesAtBuild.contains(p) => p }
+    val deltaDf = spark.read.parquet(newPaths: _*)
+
+    // re-apply the slot budget over the GROWN range (old wheels realign
+    // during the merge if this coarsens)
+    val span = t.slotBudget match {
+      case None => oldSpan
+      case Some(budget) =>
+        val sec = secExprOf(deltaDf, t.timeColumn)
+        val mm = deltaDf.agg(F.min(sec), F.max(sec)).head()
+        val oldW = countWheel.orElse(colWheels.headOption).map(_.wheel).filter(_.numSecs > 0)
+        val bounds = Seq(
+          oldW.map(w => (w.startSec, w.endSec - w.slotSpan)),
+          if (mm.isNullAt(0)) None else Some((mm.getLong(0), mm.getLong(1)))).flatten
+        if (bounds.isEmpty) oldSpan
+        else {
+          val lo = bounds.map(_._1).min
+          val hi = bounds.map(_._2).max
+          graft.wheel.HawWheel.AllowedSlotSpans
+            .filter(_ >= oldSpan)
+            .find(sp => Math.floorDiv(hi, sp) - Math.floorDiv(lo, sp) + 1 <= budget)
+            .getOrElse(graft.wheel.HawWheel.AllowedSlotSpans.last)
+        }
+    }
+
+    val colSpecs = colWheels.map(w =>
+      WheelSpec(w.valueColumn, None, "", w.coverage, w.wheel.scale))
+    val keyedSpecs = keyedWheels.map(w => WheelSpec(w.valueColumn,
+      w.filterSql.map(F.expr), w.filterKey, w.coverage, w.wheel.scale, w.filterSql))
+    val needOwnCount = colWheels.isEmpty && countWheel.isDefined
+    val countSpec =
+      if (needOwnCount)
+        Seq(WheelSpec(None, None, "", countWheel.get.coverage, countWheel.get.wheel.scale))
+      else Nil
+    val built = buildWheels(deltaDf, t.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, span)
+    val (colBuilt, rest) = built.splitAt(colSpecs.length)
+    val keyedBuilt = rest.take(keyedSpecs.length)
+
+    def merge2(old: IndexedWheel, delta: BuiltWheel): IndexedWheel =
+      old.copy(
+        wheel = HawWheel.fromSecondPartials(
+          old.wheel.slotPartials ++ delta.wheel.wheel.slotPartials,
+          old.wheel.scale, old.wheel.hasValues, span),
+        valueAllNonNull = old.valueAllNonNull && delta.wheel.valueAllNonNull,
+        valuesExactAtScale = old.valuesExactAtScale && delta.wheel.valuesExactAtScale,
+        valuesNaNFree = old.valuesNaNFree && delta.wheel.valuesNaNFree)
+
+    val mergedCols = colWheels.zip(colBuilt).map { case (o, d) => merge2(o, d) }
+    val mergedKeyed = keyedWheels.zip(keyedBuilt).map { case (o, d) => merge2(o, d) }
+    // the count wheel shares the first unfiltered column wheel's HawWheel
+    // (same per-slot counts), as in the original build
+    val mergedCount =
+      if (needOwnCount) Some(merge2(countWheel.get, rest.last))
+      else countWheel.map(cw => cw.copy(wheel = mergedCols.head.wheel))
+    val unfilteredDelta = colBuilt ++ (if (needOwnCount) Seq(rest.last) else Nil)
+    val nt = new TableIndex(key, t.timeColumn,
+      t.tsAllNonNull && !unfilteredDelta.exists(_.sawNullTs),
+      fingerprintOfListing(listing), now, t.slotBudget)
+    (mergedCols ++ mergedKeyed ++ mergedCount).foreach(nt.put)
+    WheelRegistry.register(nt)
+    RefreshOutcome.Appended(newPaths.length)
   }
 }

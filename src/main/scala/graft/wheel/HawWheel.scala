@@ -348,6 +348,18 @@ final class HawWheel private (
     out.result()
   }
 
+  /** The wheel's per-slot partials, in slot order: (slot start sec, count,
+    * scaled sum, min, max) — count-only wheels emit neutral value payloads.
+    * This is [[HawWheel.fromSecondPartials]]'s input shape, so
+    * `fromSecondPartials(a.slotPartials ++ b.slotPartials, …)` is the
+    * merge of two frozen wheels (incremental index maintenance,
+    * [[graft.index.UWheelIndex.refresh]]). */
+  private[graft] def slotPartials: Iterator[(Long, Long, Long, Double, Double)] =
+    Iterator.range(0, numSecs).map { i =>
+      if (hasValues) (secs(i), counts(i), sums(i), secMins(i), secMaxs(i))
+      else (secs(i), counts(i), 0L, Double.PositiveInfinity, Double.NegativeInfinity)
+    }
+
   /** Approximate retained-index footprint in bytes (reference:
     * `index_usage_bytes`, `lib.rs:143-151`) — proportional to distinct
     * active seconds, not to the time span. */

@@ -1,0 +1,140 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Graft
+import graft.index.UWheelIndex.RefreshOutcome
+
+/** Incremental index maintenance ([[UWheelIndex.refresh]]): an append-only
+  * file-listing delta must merge into the existing wheels BIT-identically to
+  * a from-scratch rebuild over the full table (counts/scaled sums are
+  * integer adds and min/max combines are associative — same argument as the
+  * distributed build's tree merge), in-place rewrites must fall back to a
+  * full rebuild, and the staleness gate must flip from inert to rewriting
+  * again after the refresh. */
+class WheelRefreshSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def mkDf(fromIdx: Int, n: Int, secStride: Int = 60): DataFrame = {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    (fromIdx until fromIdx + n).map { i =>
+      val ts = new java.sql.Timestamp(base + i.toLong * secStride * 1000)
+      val v: java.lang.Double = (i % 97) / 4.0
+      val k = if (i % 3 == 0) "a" else "b"
+      (ts, v, k)
+    }.toDF("ts", "value", "k")
+  }
+
+  private def tmpTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-refresh").toString
+    s"$dir/t.parquet"
+  }
+
+  /** All per-slot partials of every wheel, keyed like the registry. */
+  private def partialsOf(t: TableIndex): Map[(Option[String], String), Seq[(Long, Long, Long, Double, Double)]] =
+    t.allWheels.map(w => (w.valueColumn, w.filterKey) -> w.wheel.slotPartials.toSeq).toMap
+
+  private def builder = UWheelBuilder("ts", Seq("value"))
+    .withKeyedWheel(IndexBuilder("value", Some("k = 'a'")))
+
+  test("append-only delta merges bit-identically to a full rebuild") {
+    spark.sparkContext.setLogLevel("WARN")
+    val path = tmpTable()
+    mkDf(0, 2000).write.mode("overwrite").parquet(path)
+    builder.build(spark, path)
+
+    // append new part-files (old files untouched)
+    mkDf(2000, 1000).write.mode("append").parquet(path)
+    val outcome = UWheelIndex.refresh(spark, path)
+    assert(outcome.isInstanceOf[RefreshOutcome.Appended])
+    val merged = WheelRegistry.lookup(path).get
+    assert(merged.fingerprint ===
+      UWheelIndex.fingerprintOfDf(spark.read.parquet(path)))
+
+    // scratch rebuild of the SAME full data under a different path
+    val path2 = tmpTable()
+    spark.read.parquet(path).write.parquet(path2)
+    val rebuilt = builder.build(spark, path2)
+    assert(partialsOf(merged) === partialsOf(rebuilt))
+    assert(merged.tsAllNonNull === rebuilt.tsAllNonNull)
+    assert(merged.allWheels.map(w => (w.valueColumn, w.filterKey, w.valueAllNonNull,
+      w.valuesExactAtScale, w.valuesNaNFree)).toSet ===
+      rebuilt.allWheels.map(w => (w.valueColumn, w.filterKey, w.valueAllNonNull,
+        w.valuesExactAtScale, w.valuesNaNFree)).toSet)
+    // count wheel still shares the column wheel's HawWheel (memory dedup)
+    assert(merged.countWheel.get.wheel eq merged.minMaxWheel("value").get.wheel)
+  }
+
+  test("refresh flips the staleness gate back to rewriting, with exact answers") {
+    val path = tmpTable()
+    mkDf(0, 2000).write.mode("overwrite").parquet(path)
+    builder.build(spark, path)
+    Graft.enable(spark)
+    spark.read.parquet(path).createOrReplaceTempView("refresh_t")
+    def q = spark.sql(
+      """SELECT count(*) AS c, sum(CAST(value AS DECIMAL(20,2))) AS s FROM refresh_t
+        |WHERE ts >= TIMESTAMP '2024-03-01 00:00:00' AND ts < TIMESTAMP '2024-03-05 00:00:00'
+        |""".stripMargin)
+    def rewritten = q.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    assert(rewritten)
+
+    mkDf(2000, 1000).write.mode("append").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("refresh_t")
+    // stale: inert (no rewrite), still correct via scan
+    assert(!rewritten)
+    val scanAnswer = q.collect().toSeq
+
+    assert(UWheelIndex.refresh(spark, path).isInstanceOf[RefreshOutcome.Appended])
+    assert(rewritten)
+    assert(q.collect().toSeq === scanAnswer)
+  }
+
+  test("in-place rewrite falls back to full rebuild") {
+    val path = tmpTable()
+    mkDf(0, 1000).write.mode("overwrite").parquet(path)
+    builder.build(spark, path)
+    // rewrite the whole table in place (every old file replaced)
+    mkDf(500, 800).write.mode("overwrite").parquet(path)
+    assert(UWheelIndex.refresh(spark, path) === RefreshOutcome.Rebuilt)
+    val t = WheelRegistry.lookup(path).get
+    val path2 = tmpTable()
+    spark.read.parquet(path).write.parquet(path2)
+    assert(partialsOf(t) === partialsOf(builder.build(spark, path2)))
+  }
+
+  test("unchanged listing is NoChange") {
+    val path = tmpTable()
+    mkDf(0, 500).write.mode("overwrite").parquet(path)
+    builder.build(spark, path)
+    assert(UWheelIndex.refresh(spark, path) === RefreshOutcome.NoChange)
+  }
+
+  test("slot budget re-applies over the grown range (refresh coarsens like a fresh build)") {
+    val path = tmpTable()
+    // 2000 minutes ≈ 33 h of minute-stride data; budget 3000 keeps 1 s slots
+    // (2000 active slots over a 120000 s range? aligned count uses the span
+    // range — 1 s slots need range/1 ≤ budget, so 120000 > 3000 → 60 s span;
+    // grow the range 10× and 60 s no longer fits either → 3600 s)
+    mkDf(0, 2000).write.mode("overwrite").parquet(path)
+    UWheelBuilder("ts", Seq("value")).withSlotBudget(3000).build(spark, path)
+    val spanBefore = WheelRegistry.lookup(path).get.countWheel.get.wheel.slotSpan
+    mkDf(20000, 2000).write.mode("append").parquet(path)
+    assert(UWheelIndex.refresh(spark, path).isInstanceOf[RefreshOutcome.Appended])
+    val after = WheelRegistry.lookup(path).get
+    val path2 = tmpTable()
+    spark.read.parquet(path).write.parquet(path2)
+    val fresh = UWheelBuilder("ts", Seq("value")).withSlotBudget(3000).build(spark, path2)
+    assert(after.countWheel.get.wheel.slotSpan === fresh.countWheel.get.wheel.slotSpan)
+    assert(after.countWheel.get.wheel.slotSpan >= spanBefore)
+    assert(partialsOf(after) === partialsOf(fresh))
+  }
+}
