@@ -111,6 +111,26 @@ class WheelRefreshSpec extends AnyFunSuite {
     assert(partialsOf(t) === partialsOf(builder.build(spark, path2)))
   }
 
+  test("saved index + append + load in a fresh registry refreshes incrementally") {
+    // the restart story: persist, data grows while the service is down,
+    // reload (stale ⇒ inert) and catch up by scanning only the new files
+    val path = tmpTable()
+    mkDf(0, 1500).write.mode("overwrite").parquet(path)
+    val t0 = builder.build(spark, path)
+    val idx = java.nio.file.Files.createTempDirectory("graft-refresh-io").toString + "/t.wheelidx"
+    WheelIndexIO.save(t0, idx)
+    mkDf(1500, 700).write.mode("append").parquet(path)
+    WheelRegistry.clear()
+    val (_, fresh) = WheelIndexIO.load(spark, idx)
+    assert(!fresh)
+    assert(UWheelIndex.refresh(spark, path) === RefreshOutcome.Appended(
+      spark.read.parquet(path).inputFiles.length - t0.filesAtBuild.size))
+    val after = WheelRegistry.lookup(path).get
+    val path2 = tmpTable()
+    spark.read.parquet(path).write.parquet(path2)
+    assert(partialsOf(after) === partialsOf(builder.build(spark, path2)))
+  }
+
   test("unchanged listing is NoChange") {
     val path = tmpTable()
     mkDf(0, 500).write.mode("overwrite").parquet(path)
