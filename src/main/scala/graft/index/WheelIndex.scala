@@ -41,6 +41,7 @@ import graft.wheel.HawWheel
   *                        same filter to appended data (the canonical
   *                        `filterKey` is a matching key, not executable).
   */
+@SerialVersionUID(1L)
 final case class IndexedWheel(
     wheel: HawWheel,
     valueColumn: Option[String],
@@ -61,6 +62,7 @@ final case class IndexedWheel(
   *                    of silently serving stale answers (the reference never
   *                    invalidates — `lib.rs:154-239` keys wheels forever).
   */
+@SerialVersionUID(1L)
 final class TableIndex(
     val pathKey: String,
     val timeColumn: String,
@@ -416,6 +418,18 @@ object UWheelIndex {
     t
   }
 
+  /** Finest allowed span ≥ `floor` (an explicit span is a floor — a budget
+    * may only coarsen) whose ALIGNED slot count over [lo, hi] fits the
+    * budget. Aligned count, not raw-span division: a 61 s span at sp=60 is
+    * one slot by division but can straddle two aligned slots (round-3
+    * advice). Shared by the fresh build and [[refresh]] so the two can
+    * never diverge in how they coarsen. */
+  private def fitSpan(lo: Long, hi: Long, floor: Long, budget: Long): Long =
+    graft.wheel.HawWheel.AllowedSlotSpans
+      .filter(_ >= floor)
+      .find(sp => Math.floorDiv(hi, sp) - Math.floorDiv(lo, sp) + 1 <= budget)
+      .getOrElse(graft.wheel.HawWheel.AllowedSlotSpans.last)
+
   /** Explicit span, or the finest allowed span fitting the budget (worst
     * case: every slot in the table's [min, max] time range is active). */
   private def effectiveSlotSpan(df: DataFrame, conf: UWheelBuilder): Long =
@@ -425,18 +439,7 @@ object UWheelIndex {
         val sec = secExprOf(df, conf.timeColumn)
         val mm = df.agg(F.min(sec), F.max(sec)).head()
         if (mm.isNullAt(0)) conf.slotSpanSec
-        else {
-          val lo = mm.getLong(0)
-          val hi = mm.getLong(1)
-          graft.wheel.HawWheel.AllowedSlotSpans
-            // an explicit span is a floor — the budget may only coarsen it
-            .filter(_ >= conf.slotSpanSec)
-            // ALIGNED slot count, not raw-span division: a 61 s span at
-            // sp=60 is one slot by division but can straddle two aligned
-            // slots (round-3 advice)
-            .find(sp => Math.floorDiv(hi, sp) - Math.floorDiv(lo, sp) + 1 <= budget)
-            .getOrElse(graft.wheel.HawWheel.AllowedSlotSpans.last)
-        }
+        else fitSpan(mm.getLong(0), mm.getLong(1), conf.slotSpanSec, budget)
     }
 
   /** Ad-hoc keyed/filtered index build (reference `build_index`,
@@ -505,7 +508,10 @@ object UWheelIndex {
     val listing = listingOf(df).getOrElse(
       throw new IllegalStateException(s"$key is not a file-backed table"))
     val now = listing.map(f => f._1 -> (f._2, f._3)).toMap
-    if (t.filesAtBuild.nonEmpty && now == t.filesAtBuild) return RefreshOutcome.NoChange
+    // null-safe: an index deserialized from a pre-refresh save has no
+    // listing snapshot (Java deserialization defaults, not Scala's)
+    val fab = Option(t.filesAtBuild).getOrElse(Map.empty[String, (Long, Long)])
+    if (fab.nonEmpty && now == fab) return RefreshOutcome.NoChange
 
     val wheels = t.allWheels
     val colWheels = wheels.filter(w => w.filterKey.isEmpty && w.valueColumn.isDefined)
@@ -514,81 +520,79 @@ object UWheelIndex {
     val countWheel = wheels.find(w => w.filterKey.isEmpty && w.valueColumn.isEmpty)
     val oldSpan = countWheel.orElse(wheels.headOption).map(_.wheel.slotSpan).getOrElse(1L)
 
-    val mutated = t.filesAtBuild.isEmpty ||
-      t.filesAtBuild.exists { case (p, lm) => !now.get(p).contains(lm) }
-    if (mutated || keyedWheels.exists(_.filterSql.isEmpty)) {
-      val conf = UWheelBuilder(t.timeColumn,
-        minMaxColumns = colWheels.map(_.valueColumn.get),
-        timeRangeSec = countWheel.flatMap(_.coverage),
-        scale = colWheels.headOption.orElse(countWheel).map(_.wheel.scale).getOrElse(2),
-        keyedWheels = keyedWheels.map(w =>
-          IndexBuilder(w.valueColumn.get, w.filterSql, w.coverage)),
-        slotSpanSec = oldSpan,
-        slotBudget = t.slotBudget)
-      buildFrom(df, key, fingerprintOfListing(listing), conf)
-      return RefreshOutcome.Rebuilt
-    }
+    val appendOnly = fab.nonEmpty && keyedWheels.forall(_.filterSql.isDefined) &&
+      fab.forall { case (p, lm) => now.get(p).contains(lm) }
 
-    val newPaths = listing.collect { case (p, _, _) if !t.filesAtBuild.contains(p) => p }
-    val deltaDf = spark.read.parquet(newPaths: _*)
-
-    // re-apply the slot budget over the GROWN range (old wheels realign
-    // during the merge if this coarsens)
-    val span = t.slotBudget match {
-      case None => oldSpan
-      case Some(budget) =>
-        val sec = secExprOf(deltaDf, t.timeColumn)
-        val mm = deltaDf.agg(F.min(sec), F.max(sec)).head()
-        val oldW = countWheel.orElse(colWheels.headOption).map(_.wheel).filter(_.numSecs > 0)
-        val bounds = Seq(
-          oldW.map(w => (w.startSec, w.endSec - w.slotSpan)),
-          if (mm.isNullAt(0)) None else Some((mm.getLong(0), mm.getLong(1)))).flatten
-        if (bounds.isEmpty) oldSpan
-        else {
-          val lo = bounds.map(_._1).min
-          val hi = bounds.map(_._2).max
-          graft.wheel.HawWheel.AllowedSlotSpans
-            .filter(_ >= oldSpan)
-            .find(sp => Math.floorDiv(hi, sp) - Math.floorDiv(lo, sp) + 1 <= budget)
-            .getOrElse(graft.wheel.HawWheel.AllowedSlotSpans.last)
-        }
-    }
-
+    // One spec per REGISTERED wheel, carrying that wheel's own scale,
+    // coverage, and filter — wheels added later via buildIndex may differ
+    // from the original builder conf, and a refresh must not homogenize
+    // them. A keyed wheel whose filter SQL wasn't retained (pre-refresh
+    // metadata) cannot be reconstructed: a rebuild DROPS it (safe — those
+    // queries scan again) rather than silently rebuilding it unfiltered.
+    // The count wheel shares a column wheel's HawWheel only when their
+    // coverage matches (their per-slot counts are identical then);
+    // otherwise it gets its own spec.
+    val keyedKept = keyedWheels.filter(_.filterSql.isDefined)
     val colSpecs = colWheels.map(w =>
       WheelSpec(w.valueColumn, None, "", w.coverage, w.wheel.scale))
-    val keyedSpecs = keyedWheels.map(w => WheelSpec(w.valueColumn,
+    val keyedSpecs = keyedKept.map(w => WheelSpec(w.valueColumn,
       w.filterSql.map(F.expr), w.filterKey, w.coverage, w.wheel.scale, w.filterSql))
-    val needOwnCount = colWheels.isEmpty && countWheel.isDefined
+    val shareIdx = countWheel.map(cw => colWheels.indexWhere(_.coverage == cw.coverage))
+      .getOrElse(-1)
+    val needOwnCount = countWheel.isDefined && shareIdx < 0
     val countSpec =
       if (needOwnCount)
         Seq(WheelSpec(None, None, "", countWheel.get.coverage, countWheel.get.wheel.scale))
       else Nil
-    val built = buildWheels(deltaDf, t.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, span)
+    val newPaths = listing.collect { case (p, _, _) if !fab.contains(p) => p }
+    val scanDf = if (appendOnly) spark.read.parquet(newPaths: _*) else df
+
+    // re-apply the slot budget over the grown range (old wheels realign
+    // during the merge if this coarsens); the previous span is the floor,
+    // so refresh only ever coarsens — never silently re-finens
+    val span = t.slotBudget match {
+      case None => oldSpan
+      case Some(budget) =>
+        val sec = secExprOf(scanDf, t.timeColumn)
+        val mm = scanDf.agg(F.min(sec), F.max(sec)).head()
+        val oldW = countWheel.orElse(colWheels.headOption).map(_.wheel).filter(_.numSecs > 0)
+        val bounds = Seq(
+          if (appendOnly) oldW.map(w => (w.startSec, w.endSec - w.slotSpan)) else None,
+          if (mm.isNullAt(0)) None else Some((mm.getLong(0), mm.getLong(1)))).flatten
+        if (bounds.isEmpty) oldSpan
+        else fitSpan(bounds.map(_._1).min, bounds.map(_._2).max, oldSpan, budget)
+    }
+
+    val built = buildWheels(scanDf, t.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, span)
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val keyedBuilt = rest.take(keyedSpecs.length)
 
-    def merge2(old: IndexedWheel, delta: BuiltWheel): IndexedWheel =
-      old.copy(
+    // append: slot-wise merge (counts/scaled sums add, min/max combine —
+    // associative, so merged ≡ rebuilt bit-for-bit); rebuild: the fresh
+    // wheel replaces the old outright
+    def finish(old: IndexedWheel, fresh: BuiltWheel): IndexedWheel =
+      if (!appendOnly) fresh.wheel
+      else old.copy(
         wheel = HawWheel.fromSecondPartials(
-          old.wheel.slotPartials ++ delta.wheel.wheel.slotPartials,
+          old.wheel.slotPartials ++ fresh.wheel.wheel.slotPartials,
           old.wheel.scale, old.wheel.hasValues, span),
-        valueAllNonNull = old.valueAllNonNull && delta.wheel.valueAllNonNull,
-        valuesExactAtScale = old.valuesExactAtScale && delta.wheel.valuesExactAtScale,
-        valuesNaNFree = old.valuesNaNFree && delta.wheel.valuesNaNFree)
+        valueAllNonNull = old.valueAllNonNull && fresh.wheel.valueAllNonNull,
+        valuesExactAtScale = old.valuesExactAtScale && fresh.wheel.valuesExactAtScale,
+        valuesNaNFree = old.valuesNaNFree && fresh.wheel.valuesNaNFree)
 
-    val mergedCols = colWheels.zip(colBuilt).map { case (o, d) => merge2(o, d) }
-    val mergedKeyed = keyedWheels.zip(keyedBuilt).map { case (o, d) => merge2(o, d) }
-    // the count wheel shares the first unfiltered column wheel's HawWheel
-    // (same per-slot counts), as in the original build
-    val mergedCount =
-      if (needOwnCount) Some(merge2(countWheel.get, rest.last))
-      else countWheel.map(cw => cw.copy(wheel = mergedCols.head.wheel))
+    val newCols = colWheels.zip(colBuilt).map { case (o, d) => finish(o, d) }
+    val newKeyed = keyedKept.zip(keyedBuilt).map { case (o, d) => finish(o, d) }
+    val newCount = countWheel.map { cw =>
+      if (needOwnCount) finish(cw, rest.last)
+      else cw.copy(wheel = newCols(shareIdx).wheel)
+    }
     val unfilteredDelta = colBuilt ++ (if (needOwnCount) Seq(rest.last) else Nil)
+    val sawNull = unfilteredDelta.exists(_.sawNullTs)
     val nt = new TableIndex(key, t.timeColumn,
-      t.tsAllNonNull && !unfilteredDelta.exists(_.sawNullTs),
+      if (appendOnly) t.tsAllNonNull && !sawNull else !sawNull,
       fingerprintOfListing(listing), now, t.slotBudget)
-    (mergedCols ++ mergedKeyed ++ mergedCount).foreach(nt.put)
+    (newCols ++ newKeyed ++ newCount).foreach(nt.put)
     WheelRegistry.register(nt)
-    RefreshOutcome.Appended(newPaths.length)
+    if (appendOnly) RefreshOutcome.Appended(newPaths.length) else RefreshOutcome.Rebuilt
   }
 }

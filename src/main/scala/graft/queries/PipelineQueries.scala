@@ -150,28 +150,49 @@ object PipelineQueries {
     * (cluster representative = min member id, member count), representatives
     * ascending. See [[ddCluster]] for the scale argument. */
   private[queries] def connectedComponents(pairFrame: DataFrame): DataFrame = {
-    val pairs = pairFrame.select(col("i"), col("j"))
-      .localCheckpoint() // materialize once; reused every round
-    val edges = pairs.union(pairs.select(col("j"), col("i"))).toDF("a", "b")
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    val sc = pairFrame.sparkSession.sparkContext
+    // localCheckpoint materializes and truncates lineage, but the Dataset
+    // API offers no handle to free the backing blocks — track each
+    // checkpoint's newly-persisted RDD ids so superseded label frames can
+    // be unpersisted (otherwise a diameter-d component retains d copies)
+    def checkpointTracked(d: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val ck = d.localCheckpoint()
+      (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // sum(label) is NULL over zero rows; 0 is a safe stand-in because the
+    // fixpoint test is "sum unchanged between rounds" (labels only ever
+    // decrease, so equality ⇔ no change), not any absolute value
+    def labelSum(d: DataFrame): Long = {
+      val r = d.agg(sum("label")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+
+    val (pairs, pairIds) = checkpointTracked(pairFrame.select(col("i"), col("j")))
+    val (edges, edgeIds) = checkpointTracked(
+      pairs.union(pairs.select(col("j"), col("i"))).toDF("a", "b"))
+    free(pairIds) // edges are materialized; the pair blocks are done
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("a").as("node")).distinct().withColumn("label", col("node")))
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val nbrMin = edges.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min("label").as("nl"))
-      val next = labels
+      val (next, nextIds) = checkpointTracked(labels
         .join(nbrMin, col("node") === col("a"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
-      val s = next.agg(sum("label")).head().getLong(0)
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
+      free(labelIds) // next is materialized; the previous round's blocks are done
       labels = next
+      labelIds = nextIds
     }
+    free(edgeIds) // the result below reads only the final label frame
     labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).cast("long").as("n_members"))
       .orderBy("cluster_id")

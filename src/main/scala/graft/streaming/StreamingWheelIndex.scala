@@ -45,8 +45,15 @@ final class StreamingWheelIndex(
 
   def watermarkMs: Long = rw.synchronized(rw.watermark)
 
-  /** Partials dropped for lying beyond the write-ahead horizon (corrupt
-    * far-future event times) — bounded loss instead of unbounded memory. */
+  /** Partials dropped by the write-ahead horizon. The ATTACHED stream path
+    * never trips it: each batch is merged in ascending event-time order
+    * with the watermark advancing alongside, so arbitrarily large in-order
+    * replays land whole — within a batch the source's event times are
+    * trusted (a far-future timestamp is merged, exactly as the upstream
+    * engine itself would window it; there is no general way to tell
+    * corruption from a genuine replay gap). The horizon remains binding for
+    * DIRECT `tryMergePartial` callers feeding unsorted cross-batch
+    * partials, where it bounds memory instead of failing the stream. */
   def droppedBeyondHorizon: Long = rw.synchronized(rw.droppedBeyondHorizon)
 
   /** Immutable point-in-time view; cheap when no batch arrived since the

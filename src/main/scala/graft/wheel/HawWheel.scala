@@ -138,6 +138,7 @@ object HawWheel {
   /** One granularity level of the min/max hierarchy: sorted aligned slot
     * starts with their min/max. Serializable so whole wheels can be
     * persisted ([[graft.index.WheelIndexIO]]). */
+  @SerialVersionUID(1L)
   private[wheel] final class Level(val span: Long, val starts: Array[Long],
                                    val mins: Array[Double], val maxs: Array[Double])
     extends Serializable
@@ -156,6 +157,7 @@ final case class RangeAgg(count: Long, sumScaled: Long, min: Double, max: Double
   def maxOpt: Option[Double] = if (count == 0) None else Some(max)
 }
 
+@SerialVersionUID(1L)
 final class HawWheel private (
     val startSec: Long,
     val endSec: Long, // last data slot start + slotSpan (exclusive)

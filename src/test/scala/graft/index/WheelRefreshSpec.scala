@@ -131,6 +131,32 @@ class WheelRefreshSpec extends AnyFunSuite {
     assert(partialsOf(after) === partialsOf(builder.build(spark, path2)))
   }
 
+  test("count wheel only shares a column wheel with MATCHING coverage after refresh") {
+    // an unfiltered, coverage-restricted wheel added via buildIndex sorts
+    // first alphabetically (v2 < value); a refresh must not rebind the
+    // unrestricted COUNT(*) wheel to its time-sliced partials
+    val session = spark
+    import session.implicits._
+    val path = tmpTable()
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def rows(from: Int, n: Int) = (from until from + n).map { i =>
+      (new java.sql.Timestamp(base + i.toLong * 60000), (i % 97) / 4.0, i.toDouble)
+    }.toDF("ts", "value", "v2")
+    rows(0, 2000).write.mode("overwrite").parquet(path)
+    UWheelBuilder("ts", Seq("value")).build(spark, path)
+    val covLo = base / 1000
+    UWheelIndex.buildIndex(spark, path,
+      IndexBuilder("v2").withTimeRange(covLo, covLo + 600 * 60)) // first 600 rows only
+    rows(2000, 1000).write.mode("append").parquet(path)
+    assert(UWheelIndex.refresh(spark, path).isInstanceOf[RefreshOutcome.Appended])
+    val t = WheelRegistry.lookup(path).get
+    assert(t.countWheel.get.wheel.landmark.count === 3000)
+    // the restricted v2 wheel kept its own coverage and only its rows
+    val v2 = t.get(Some("v2"), "").get
+    assert(v2.coverage === Some((covLo, covLo + 600 * 60)))
+    assert(v2.wheel.landmark.count === 600)
+  }
+
   test("unchanged listing is NoChange") {
     val path = tmpTable()
     mkDf(0, 500).write.mode("overwrite").parquet(path)

@@ -49,6 +49,14 @@ class PipelineSemanticSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("empty pair set yields an empty cluster frame (no NPE)") {
+    val session = spark
+    import session.implicits._
+    val got = PipelineQueries.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("i", "j")).collect()
+    assert(got.isEmpty)
+  }
+
   test("propagation converges on a path graph (diameter > 1 round)") {
     val session = spark
     import session.implicits._
