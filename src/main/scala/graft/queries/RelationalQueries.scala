@@ -224,6 +224,38 @@ object RelationalQueries {
         |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // pivot as conditional aggregation (the portable, codegen-friendly form;
+    // Spark's PIVOT clause plans to exactly these CASE aggregates)
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS open_rev,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS filled_rev,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS partial_rev
+        |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
+
+    // mode (most frequent value) per group, deterministic min-value tiebreak
+    "q_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |             ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+  )
+
+  /** (name, Spark SQL, DuckDB SQL) — engine dialects differ only in the
+    * aggregation function spelling; semantics (incl. order) are identical. */
+  private val split: Seq[(String, String, String)] = Seq(
+    // ordered string aggregation (LISTAGG): deterministic because the
+    // element order is sorted explicitly on both sides
+    ("q_listagg",
+      """SELECT r_name, concat_ws(',', sort_array(collect_list(n_name))) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
   )
 
   /** Point-in-time ("as-of") join, the operator behind click attribution and
@@ -266,8 +298,10 @@ object RelationalQueries {
       |SELECT purchase_id, click_id FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
-    shared.map { case (n, s) => n -> Q.sql(s) } :+
+    shared.map { case (n, s) => n -> Q.sql(s) } ++
+      split.map { case (n, s, _) => n -> Q.sql(s) } :+
       ("q_asof_join" -> (asofAttribution _))
 
-  val oracles: Map[String, String] = shared.toMap + ("q_asof_join" -> asofOracle)
+  val oracles: Map[String, String] =
+    shared.toMap ++ split.map { case (n, _, d) => n -> d } + ("q_asof_join" -> asofOracle)
 }
