@@ -96,6 +96,26 @@ object TextQueries {
         |FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents) t
         |GROUP BY w ORDER BY df DESC, tf DESC, w LIMIT 10""".stripMargin,
 
+    // tf-idf keyword extraction: top-3 terms per document. The idf is the
+    // RATIONAL inverse document frequency N/df (not ln(N/df)): transcendental
+    // functions differ in the last ulp between libm implementations, while
+    // one IEEE multiply + divide is correctly rounded everywhere — the
+    // ranking is identical (x ↦ ln is monotone) and the oracle bit-exact.
+    "txt_tfidf" ->
+      """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM ranked WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+
     // exact dedup: hash-groupBy on a normalized key, keep-min representative
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_sz
@@ -231,6 +251,21 @@ object TextQueries {
         |       CAST(count(*) AS BIGINT) AS tf
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
         |GROUP BY w ORDER BY df DESC, tf DESC, w LIMIT 10""".stripMargin,
+
+    "txt_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM ranked WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
 
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_sz
