@@ -452,6 +452,14 @@ object UWheelIndex {
       throw new IllegalStateException(s"no TableIndex registered for $key — call build() first"))
     graft.Tables.ensureNanosConf(spark)
     val df = spark.read.parquet(path)
+    // Invariant every refresh relies on: ALL wheels of a TableIndex are
+    // built from the same file-listing snapshot. A keyed wheel built over a
+    // GROWN listing would already contain the new files' rows, and the next
+    // append-only refresh would merge them again — double counting. Refuse
+    // instead of silently mixing snapshots.
+    if (t.fingerprint != 0L && fingerprintOf(df) != t.fingerprint)
+      throw new IllegalStateException(
+        s"$key changed since its index was built — call UWheelIndex.refresh first, then add wheels")
     val (filterCol, filterKey) = ib.filterSql match {
       case Some(sql) =>
         val c = F.expr(sql)
@@ -545,7 +553,10 @@ object UWheelIndex {
         Seq(WheelSpec(None, None, "", countWheel.get.coverage, countWheel.get.wheel.scale))
       else Nil
     val newPaths = listing.collect { case (p, _, _) if !fab.contains(p) => p }
-    val scanDf = if (appendOnly) spark.read.parquet(newPaths: _*) else df
+    // basePath keeps Hive-partition columns (dt=.../ directories — the
+    // canonical append layout) in the delta schema when reading leaf files
+    val scanDf =
+      if (appendOnly) spark.read.option("basePath", path).parquet(newPaths: _*) else df
 
     // re-apply the slot budget over the grown range (old wheels realign
     // during the merge if this coarsens); the previous span is the floor,

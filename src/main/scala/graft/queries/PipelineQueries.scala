@@ -150,18 +150,28 @@ object PipelineQueries {
     * (cluster representative = min member id, member count), representatives
     * ascending. See [[ddCluster]] for the scale argument. */
   private[queries] def connectedComponents(pairFrame: DataFrame): DataFrame = {
-    val sc = pairFrame.sparkSession.sparkContext
     // localCheckpoint materializes and truncates lineage, but the Dataset
-    // API offers no handle to free the backing blocks — track each
-    // checkpoint's newly-persisted RDD ids so superseded label frames can
-    // be unpersisted (otherwise a diameter-d component retains d copies)
-    def checkpointTracked(d: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val ck = d.localCheckpoint()
-      (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
+    // API offers no handle to free the backing blocks — recover it from the
+    // checkpointed frame's OWN (truncated, shallow) RDD lineage: the
+    // persisted node is right under the deserialization wrapper. Walking the
+    // frame's lineage is thread-safe where diffing the session-global
+    // persistent-RDD registry would race with concurrent jobs and could
+    // unpersist a bystander's irrecoverable checkpoint.
+    def persistedIn(rdd: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] = {
+      val out = scala.collection.mutable.Buffer.empty[org.apache.spark.rdd.RDD[_]]
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) out += r
+        r.dependencies.foreach(d => walk(d.rdd))
+      }
+      walk(rdd)
+      out.toSeq
     }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def checkpointTracked(d: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val ck = d.localCheckpoint()
+      (ck, persistedIn(ck.rdd))
+    }
+    def free(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
     // sum(label) is NULL over zero rows; 0 is a safe stand-in because the
     // fixpoint test is "sum unchanged between rounds" (labels only ever
     // decrease, so equality ⇔ no change), not any absolute value
@@ -170,29 +180,29 @@ object PipelineQueries {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
 
-    val (pairs, pairIds) = checkpointTracked(pairFrame.select(col("i"), col("j")))
-    val (edges, edgeIds) = checkpointTracked(
+    val (pairs, pairBlocks) = checkpointTracked(pairFrame.select(col("i"), col("j")))
+    val (edges, edgeBlocks) = checkpointTracked(
       pairs.union(pairs.select(col("j"), col("i"))).toDF("a", "b"))
-    free(pairIds) // edges are materialized; the pair blocks are done
-    var (labels, labelIds) = checkpointTracked(
+    free(pairBlocks) // edges are materialized; the pair blocks are done
+    var (labels, labelBlocks) = checkpointTracked(
       edges.select(col("a").as("node")).distinct().withColumn("label", col("node")))
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val nbrMin = edges.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min("label").as("nl"))
-      val (next, nextIds) = checkpointTracked(labels
+      val (next, nextBlocks) = checkpointTracked(labels
         .join(nbrMin, col("node") === col("a"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
-      free(labelIds) // next is materialized; the previous round's blocks are done
+      free(labelBlocks) // next is materialized; the previous round's blocks are done
       labels = next
-      labelIds = nextIds
+      labelBlocks = nextBlocks
     }
-    free(edgeIds) // the result below reads only the final label frame
+    free(edgeBlocks) // the result below reads only the final label frame
     labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).cast("long").as("n_members"))
       .orderBy("cluster_id")

@@ -245,14 +245,16 @@ object SimilarityQueries {
     * Centroid "training" is a deterministic fixed-k pick: ids divisible by
     * `stride = ceil(n / K)`, so k ≤ K for dense ids regardless of corpus
     * size, and the choice is reproducible by the SQL oracle (no RNG). */
-  /** Corpus row count per (session, sfDir, file listing) — the one scalar
-    * IVF "training" needs. Cached so repeated queries don't re-scan for it
-    * (a service would read it from table stats / the index catalog); the
-    * file-listing component invalidates the entry when the corpus grows, so
-    * centroid selection can't drift from the data (in-place rewrites that
-    * keep identical file names are not detected — key on a content
-    * fingerprint if the store allows them). */
-  private val corpusN = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Corpus row count per (session, sfDir) with the file listing it was
+    * counted under — the one scalar IVF "training" needs. Cached so
+    * repeated queries don't re-scan for it (a service would read it from
+    * table stats / the index catalog); a changed listing recounts AND
+    * REPLACES the entry, so centroid selection can't drift from the data
+    * and the map stays one entry per live (session, sfDir) rather than
+    * accreting superseded listings. (In-place rewrites that keep identical
+    * file names are not detected — key on a content fingerprint if the
+    * store allows them.) */
+  private val corpusN = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
@@ -260,8 +262,9 @@ object SimilarityQueries {
     val e = vecs(spark)
     val files = java.util.Arrays.hashCode(
       spark.table("embeddings").inputFiles.sorted.asInstanceOf[Array[AnyRef]])
-    val n: Long = corpusN.computeIfAbsent(
-      s"${System.identityHashCode(spark)}#$sfDir#$files", _ => e.count()).longValue()
+    val n: Long = corpusN.compute(
+      s"${System.identityHashCode(spark)}#$sfDir",
+      (_, old) => if (old != null && old._1 == files) old else (files, e.count()))._2
     val stride = math.max(1L, math.ceil(n.toDouble / IvfK).toLong)
     val cents = e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))

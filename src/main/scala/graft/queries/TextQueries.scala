@@ -96,11 +96,16 @@ object TextQueries {
         |FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents) t
         |GROUP BY w ORDER BY df DESC, tf DESC, w LIMIT 10""".stripMargin,
 
-    // tf-idf keyword extraction: top-3 terms per document. The idf is the
-    // RATIONAL inverse document frequency N/df (not ln(N/df)): transcendental
-    // functions differ in the last ulp between libm implementations, while
-    // one IEEE multiply + divide is correctly rounded everywhere — the
-    // ranking is identical (x ↦ ln is monotone) and the oracle bit-exact.
+    // tf-idf-style keyword extraction: top-3 terms per document, scored
+    // tf·(N/df). The idf here is the RATIONAL inverse document frequency,
+    // not ln(N/df): one IEEE multiply + divide is correctly rounded in any
+    // engine, where transcendental functions differ in the last ulp between
+    // libm implementations and would break the bit-exact oracle. This is a
+    // deliberately different WEIGHTING, not just a rescale — ln dampens the
+    // rare-term factor, so relative to log-tf-idf this score favors rarer
+    // terms over high-tf common ones (and a term in every doc keeps score
+    // tf·1 instead of 0). Fold the eval into buckets or precompute a
+    // df→weight table if log weighting must be reproduced exactly.
     "txt_tfidf" ->
       """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),

@@ -157,6 +157,43 @@ class WheelRefreshSpec extends AnyFunSuite {
     assert(v2.wheel.landmark.count === 600)
   }
 
+  test("Hive-partitioned append keeps partition columns in the delta scan") {
+    val session = spark
+    import session.implicits._
+    val path = tmpTable()
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def rows(from: Int, n: Int) = (from until from + n).map { i =>
+      (new java.sql.Timestamp(base + i.toLong * 60000), (i % 97) / 4.0,
+        f"d${i / 1440}%02d") // one dt partition per day of minutes
+    }.toDF("ts", "value", "dt")
+    rows(0, 2880).write.partitionBy("dt").parquet(path)
+    UWheelBuilder("ts", Seq("value")).build(spark, path)
+    rows(2880, 1440).write.mode("append").partitionBy("dt").parquet(path) // new dt=d02
+    assert(UWheelIndex.refresh(spark, path).isInstanceOf[RefreshOutcome.Appended])
+    val t = WheelRegistry.lookup(path).get
+    assert(t.countWheel.get.wheel.landmark.count === 4320)
+    val path2 = tmpTable()
+    spark.read.parquet(path).select("ts", "value", "dt")
+      .write.partitionBy("dt").parquet(path2)
+    assert(partialsOf(t) === partialsOf(UWheelBuilder("ts", Seq("value")).build(spark, path2)))
+  }
+
+  test("buildIndex on a grown table refuses until refresh (snapshot invariant)") {
+    val path = tmpTable()
+    mkDf(0, 500).write.mode("overwrite").parquet(path)
+    UWheelBuilder("ts", Seq("value")).build(spark, path)
+    mkDf(500, 100).write.mode("append").parquet(path)
+    // adding a wheel now would bake the appended rows into it; the next
+    // append-only refresh would merge them AGAIN — refuse instead
+    intercept[IllegalStateException](
+      UWheelIndex.buildIndex(spark, path, IndexBuilder("value", Some("k = 'a'"))))
+    assert(UWheelIndex.refresh(spark, path).isInstanceOf[RefreshOutcome.Appended])
+    UWheelIndex.buildIndex(spark, path, IndexBuilder("value", Some("k = 'a'")))
+    val t = WheelRegistry.lookup(path).get
+    assert(t.get(Some("value"), "").isDefined)
+    assert(t.allWheels.exists(_.filterKey.nonEmpty))
+  }
+
   test("unchanged listing is NoChange") {
     val path = tmpTable()
     mkDf(0, 500).write.mode("overwrite").parquet(path)
