@@ -73,6 +73,25 @@ class WheelRefreshSpec extends AnyFunSuite {
     assert(merged.countWheel.get.wheel eq merged.minMaxWheel("value").get.wheel)
   }
 
+  test("a chain of appends+refreshes stays bit-identical to one full rebuild") {
+    // the steady-state operating mode: data lands daily, refresh follows
+    // each landing — N merge generations must not drift from a fresh build
+    val path = tmpTable()
+    mkDf(0, 700).write.mode("overwrite").parquet(path)
+    builder.build(spark, path)
+    var expected = 700
+    for (chunk <- Seq((700, 400), (1100, 900), (2000, 250))) {
+      mkDf(chunk._1, chunk._2).write.mode("append").parquet(path)
+      assert(UWheelIndex.refresh(spark, path).isInstanceOf[RefreshOutcome.Appended])
+      expected += chunk._2
+      assert(WheelRegistry.lookup(path).get.countWheel.get.wheel.landmark.count === expected)
+    }
+    val path2 = tmpTable()
+    spark.read.parquet(path).write.parquet(path2)
+    assert(partialsOf(WheelRegistry.lookup(path).get) ===
+      partialsOf(builder.build(spark, path2)))
+  }
+
   test("refresh flips the staleness gate back to rewriting, with exact answers") {
     val path = tmpTable()
     mkDf(0, 2000).write.mode("overwrite").parquet(path)
