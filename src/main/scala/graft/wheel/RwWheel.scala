@@ -28,11 +28,20 @@ import scala.collection.mutable
 final class RwWheel(
     val scale: Int,
     val hasValues: Boolean,
-    val writeAheadSlots: Long = RwWheel.DefaultWriteAheadSlots) extends Serializable {
+    val writeAheadSlots: Long = RwWheel.DefaultWriteAheadSlots,
+    /** Opt-in sanity bound on event-time PROGRESS: an insert more than this
+      * many seconds ahead of the newest write so far throws instead of
+      * rotating the window (None = trust the source, the reference ring's
+      * behavior). Without it, one corrupt far-future timestamp is silently
+      * indexed and — worse — rotates the window so every subsequent good
+      * row is rejected as late; with it, the corrupt row is the one that
+      * fails. Choose ≫ the source's real replay gaps. */
+    val maxFutureSkewSec: Option[Long] = None) extends Serializable {
   import RwWheel.Slot
 
   private val slots = mutable.LongMap.empty[Slot] // epoch second -> partials
   private var watermarkMs: Long = Long.MinValue
+  private var newestSec: Long = Long.MinValue
   private var dropped: Long = 0L
   private val scaleFactor = math.pow(10, scale)
 
@@ -55,6 +64,12 @@ final class RwWheel(
       s"insert at $tsMs behind watermark $watermarkMs " +
         s"(more than $writeAheadSlots s older than the newest write)")
     val sec = Math.floorDiv(tsMs, 1000L)
+    maxFutureSkewSec.foreach { skew =>
+      require(newestSec == Long.MinValue || sec - newestSec <= skew,
+        s"insert at second $sec jumps ${sec - newestSec} s ahead of newest write " +
+          s"$newestSec (maxFutureSkewSec = $skew) — corrupt timestamp?")
+    }
+    if (sec > newestSec) newestSec = sec
     val trailMs = (sec - writeAheadSlots) * 1000L
     if (trailMs > watermarkMs) watermarkMs = trailMs
     val slot = slots.getOrElseUpdate(sec, new Slot)

@@ -124,6 +124,17 @@ class HawWheelSpec extends AnyFunSuite {
     assert(rw.freeze().landmark.count === 2L)
   }
 
+  test("maxFutureSkewSec rejects the corrupt far-future row, not the good ones after it") {
+    val rw = new RwWheel(2, hasValues = true, maxFutureSkewSec = Some(3600L))
+    rw.insert(t0 * 1000L, 1.0)
+    rw.insert((t0 + 1800) * 1000L, 2.0) // within skew: fine
+    // a year-3000-style corrupt timestamp fails ITSELF instead of rotating
+    // the window and poisoning every subsequent in-order insert
+    intercept[IllegalArgumentException](rw.insert((t0 + 100000) * 1000L, 9.0))
+    rw.insert((t0 + 2400) * 1000L, 3.0) // ingest continues unharmed
+    assert(rw.freeze().landmark.count === 3)
+  }
+
   test("write-ahead window rotates: monotone inserts never throw, stale lates rejected") {
     val rw = new RwWheel(2, hasValues = true)
     rw.insert(t0 * 1000L, 1.0)
