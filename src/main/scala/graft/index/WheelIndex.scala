@@ -147,6 +147,7 @@ object WheelRegistry {
   }
 
   def register(t: TableIndex): Unit = tables.put(t.pathKey, t)
+  def registeredPaths: Seq[String] = tables.keySet().asScala.toSeq.sorted
   def lookup(rootPath: String): Option[TableIndex] =
     Option(tables.get(normalizePath(rootPath)))
   def isEmpty: Boolean = tables.isEmpty
@@ -606,4 +607,13 @@ object UWheelIndex {
     WheelRegistry.register(nt)
     if (appendOnly) RefreshOutcome.Appended(newPaths.length) else RefreshOutcome.Rebuilt
   }
+
+  /** [[refresh]] for every file-backed registered index — the one-call
+    * maintenance tick a scheduler runs after each ingest cycle. In-memory
+    * (view-built) indexes are skipped: their data is immutable. */
+  def refreshAll(spark: SparkSession): Map[String, RefreshOutcome] =
+    WheelRegistry.registeredPaths
+      .filterNot(_.startsWith("view::"))
+      .map(p => p -> refresh(spark, p))
+      .toMap
 }

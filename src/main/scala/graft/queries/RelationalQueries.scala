@@ -225,6 +225,16 @@ object RelationalQueries {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // rolling time-window aggregate: a RANGE (event-time interval) frame,
+    // not ROWS — the per-entity "activity in the trailing hour" shape.
+    // One shuffle on the partition key; the frame slides in a single sort
+    // pass per partition.
+    "q_window_timerange" ->
+      """SELECT event_id,
+        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+        |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+
     // pivot as conditional aggregation (the portable, codegen-friendly form;
     // Spark's PIVOT clause plans to exactly these CASE aggregates)
     "q_pivot" ->

@@ -220,6 +220,19 @@ class WheelRefreshSpec extends AnyFunSuite {
     assert(UWheelIndex.refresh(spark, path) === RefreshOutcome.NoChange)
   }
 
+  test("refreshAll ticks every registered file-backed index") {
+    val (pa, pb) = (tmpTable(), tmpTable())
+    mkDf(0, 400).write.parquet(pa)
+    mkDf(0, 300).write.parquet(pb)
+    builder.build(spark, pa)
+    UWheelBuilder("ts", Seq("value")).build(spark, pb)
+    mkDf(400, 100).write.mode("append").parquet(pa) // only pa grows
+    val outcomes = UWheelIndex.refreshAll(spark)
+    assert(outcomes(WheelRegistry.normalizePath(pa)).isInstanceOf[RefreshOutcome.Appended])
+    assert(outcomes(WheelRegistry.normalizePath(pb)) === RefreshOutcome.NoChange)
+    assert(WheelRegistry.lookup(pa).get.countWheel.get.wheel.landmark.count === 500)
+  }
+
   test("slot budget re-applies over the grown range (refresh coarsens like a fresh build)") {
     val path = tmpTable()
     // 2000 minutes ≈ 33 h of minute-stride data; budget 3000 keeps 1 s slots
