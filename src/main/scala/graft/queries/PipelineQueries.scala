@@ -148,64 +148,61 @@ object PipelineQueries {
 
   /** Hash-min connected components over an undirected `(i, j)` pair frame:
     * (cluster representative = min member id, member count), representatives
-    * ascending. See [[ddCluster]] for the scale argument. */
+    * ascending. See [[ddCluster]] for the scale argument.
+    *
+    * Implemented as a partitioner-pinned RDD fixpoint — the one genuinely
+    * iterative operator in the engine, and the canonical case where the
+    * Dataset API is the wrong tool: a Dataset join re-shuffles the EDGE
+    * list every round (no way to pin its partitioning across iterations),
+    * while here edges are hash-partitioned once, persisted, and every
+    * round's join/reduce reuses that partitioning — the only per-round
+    * shuffle is the label-update message stream (GraphX's Pregel makes the
+    * same trade). Superseded label RDDs are unpersisted each round. */
   private[queries] def connectedComponents(pairFrame: DataFrame): DataFrame = {
-    // localCheckpoint materializes and truncates lineage, but the Dataset
-    // API offers no handle to free the backing blocks — recover it from the
-    // checkpointed frame's OWN (truncated, shallow) RDD lineage: the
-    // persisted node is right under the deserialization wrapper. Walking the
-    // frame's lineage is thread-safe where diffing the session-global
-    // persistent-RDD registry would race with concurrent jobs and could
-    // unpersist a bystander's irrecoverable checkpoint.
-    def persistedIn(rdd: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] = {
-      val out = scala.collection.mutable.Buffer.empty[org.apache.spark.rdd.RDD[_]]
-      def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
-        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) out += r
-        r.dependencies.foreach(d => walk(d.rdd))
-      }
-      walk(rdd)
-      out.toSeq
-    }
-    def checkpointTracked(d: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val ck = d.localCheckpoint()
-      (ck, persistedIn(ck.rdd))
-    }
-    def free(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
-      rdds.foreach(_.unpersist(blocking = false))
-    // sum(label) is NULL over zero rows; 0 is a safe stand-in because the
-    // fixpoint test is "sum unchanged between rounds" (labels only ever
-    // decrease, so equality ⇔ no change), not any absolute value
-    def labelSum(d: DataFrame): Long = {
-      val r = d.agg(sum("label")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairFrame.sparkSession
+    import spark.implicits._
+    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
 
-    val (pairs, pairBlocks) = checkpointTracked(pairFrame.select(col("i"), col("j")))
-    val (edges, edgeBlocks) = checkpointTracked(
-      pairs.union(pairs.select(col("j"), col("i"))).toDF("a", "b"))
-    free(pairBlocks) // edges are materialized; the pair blocks are done
-    var (labels, labelBlocks) = checkpointTracked(
-      edges.select(col("a").as("node")).distinct().withColumn("label", col("node")))
-    var prevSum = labelSum(labels)
-    var converged = false
+    // (dst, src): each edge delivers dst's label to src below
+    val edges = pairFrame.select(col("i"), col("j")).as[(Long, Long)].rdd
+      .flatMap { case (i, j) => Iterator((i, j), (j, i)) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.mapValues(_ => ()).reduceByKey(part, (_, _) => ())
+      .map { case (n, _) => (n, n) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels only ever decrease, so an unchanged sum ⇔ fixpoint
+    var prevSum = labels.values.fold(0L)(_ + _)
+    var converged = labels.isEmpty() // empty input: nothing to propagate
     while (!converged) {
-      val nbrMin = edges.join(labels, col("b") === col("node"))
-        .groupBy(col("a")).agg(min("label").as("nl"))
-      val (next, nextBlocks) = checkpointTracked(labels
-        .join(nbrMin, col("node") === col("a"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
-      val s = labelSum(next)
+      // co-partitioned join (no edge shuffle) → one shuffle of label updates
+      val updates = edges.join(labels)
+        .map { case (_, (src, lbl)) => (src, lbl) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val next = labels.leftOuterJoin(updates)
+        .mapValues { case (own, cand) => math.min(own, cand.getOrElse(own)) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s = next.values.fold(0L)(_ + _)
       converged = s == prevSum
       prevSum = s
-      free(labelBlocks) // next is materialized; the previous round's blocks are done
+      labels.unpersist(blocking = false)
       labels = next
-      labelBlocks = nextBlocks
     }
-    free(edgeBlocks) // the result below reads only the final label frame
-    labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).cast("long").as("n_members"))
-      .orderBy("cluster_id")
+    // the output stays distributed (one row per duplicate cluster — small
+    // relative to the corpus but unbounded in absolute terms); materialize
+    // it before releasing the iteration state so the downstream read
+    // normally serves from these blocks instead of recomputing the lineage
+    val result = labels
+      .map { case (_, label) => (label, 1L) }
+      .reduceByKey(part, _ + _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    edges.unpersist(blocking = false)
+    labels.unpersist(blocking = false)
+    spark.createDataset(result).toDF("cluster_id", "n_members").orderBy("cluster_id")
   }
 
   // --- DuckDB oracles -----------------------------------------------------
