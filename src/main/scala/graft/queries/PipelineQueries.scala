@@ -126,16 +126,15 @@ object PipelineQueries {
     *
     * Implementation is hash-min label propagation: every node starts as its
     * own label and each round takes the min of its own and its neighbors'
-    * labels, until a fixpoint. Each round is one shuffle of the EDGE list
-    * (near-dup edges are a vanishing fraction of a deduped corpus), the
-    * label frame is `localCheckpoint`ed so lineage stays flat, and
-    * convergence is detected by the monotonically-decreasing label sum —
-    * one scalar per round to the driver, never rows. Rounds are bounded by
-    * component diameter; near-dup clusters are shallow (stars around a
-    * template), so this converges in a handful of rounds at any corpus
-    * size. (For adversarially long path-shaped components, the
-    * alternating large-star/small-star variant caps rounds at O(log n);
-    * same per-round dataflow.)
+    * labels, until a fixpoint. The edge list is partitioned ONCE; each
+    * round shuffles only the label-update message stream (see
+    * [[connectedComponents]]), and convergence is detected by the
+    * monotonically-decreasing label sum — one scalar per round to the
+    * driver, never rows. Rounds are bounded by component diameter; near-dup
+    * clusters are shallow (stars around a template), so this converges in a
+    * handful of rounds at any corpus size. (For adversarially long
+    * path-shaped components, the alternating large-star/small-star variant
+    * caps rounds at O(log n); same per-round dataflow.)
     */
   def ddCluster(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
