@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale design mirrors the rest of the query surface: everything is a
   * hash-partitioned dataflow (map → hash-agg → hash/broadcast join); the one
-  * iterative operator (connected-components clustering) runs a bounded
-  * hash-min label propagation whose per-round work is a single shuffle of
-  * the (small) near-dup edge list, never of the corpus. Determinism
+  * iterative operator (connected-components clustering) runs an alternating
+  * large-star/small-star contraction whose round count is O(log n) even on
+  * adversarial path-shaped components, and whose per-round work shuffles
+  * only the (small) near-dup edge list, never the corpus. Determinism
   * everywhere: splits and samples order by a multiplicative integer hash —
   * not engine RNG — so the DuckDB oracle reproduces them bit-for-bit.
   */
@@ -124,17 +125,14 @@ object PipelineQueries {
     * pairwise matches must collapse to ONE kept document, not pairwise
     * drops.
     *
-    * Implementation is hash-min label propagation: every node starts as its
-    * own label and each round takes the min of its own and its neighbors'
-    * labels, until a fixpoint. The edge list is partitioned ONCE; each
-    * round shuffles only the label-update message stream (see
-    * [[connectedComponents]]), and convergence is detected by the
-    * monotonically-decreasing label sum — one scalar per round to the
-    * driver, never rows. Rounds are bounded by component diameter; near-dup
-    * clusters are shallow (stars around a template), so this converges in a
-    * handful of rounds at any corpus size. (For adversarially long
-    * path-shaped components, the alternating large-star/small-star variant
-    * caps rounds at O(log n); same per-round dataflow.)
+    * Implementation is the alternating large-star/small-star contraction
+    * (see [[connectedComponents]]): each round every node links its
+    * neighbors to the minimum of its neighborhood, which contracts even
+    * adversarial path-shaped components in O(log n) rounds — unlike one-hop
+    * hash-min label propagation, whose round count is the component
+    * DIAMETER (a 1M-link chain of template-drift near-dups would take 1M
+    * rounds). Convergence is an exact zero-changed-edges test, one
+    * accumulator scalar per round to the driver, never rows.
     */
   def ddCluster(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
@@ -145,63 +143,116 @@ object PipelineQueries {
       spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf))))
   }
 
-  /** Hash-min connected components over an undirected `(i, j)` pair frame:
+  /** Connected components over an undirected `(i, j)` pair frame:
     * (cluster representative = min member id, member count), representatives
-    * ascending. See [[ddCluster]] for the scale argument.
+    * ascending. See [[ddCluster]] for the scale argument. */
+  private[queries] def connectedComponents(pairFrame: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairFrame)._1
+
+  /** Alternating large-star/small-star contraction (the MapReduce CC
+    * algorithm of Kiveris et al., SoCC'14), returning the cluster frame and
+    * the number of rounds it took — the round count is what the long-path
+    * spec asserts on.
     *
-    * Implemented as a partitioner-pinned RDD fixpoint — the one genuinely
-    * iterative operator in the engine, and the canonical case where the
-    * Dataset API is the wrong tool: a Dataset join re-shuffles the EDGE
-    * list every round (no way to pin its partitioning across iterations),
-    * while here edges are hash-partitioned once, persisted, and every
-    * round's join/reduce reuses that partitioning — the only per-round
-    * shuffle is the label-update message stream (GraphX's Pregel makes the
-    * same trade). Superseded label RDDs are unpersisted each round. */
-  private[queries] def connectedComponents(pairFrame: DataFrame): DataFrame = {
+    * Each round runs two halves over the canonical `(hi, lo)` edge set:
+    *
+    *  - large-star: every node `u` re-links each LARGER neighbor to the
+    *    minimum of `u`'s closed neighborhood — long tails fold toward small
+    *    ids from every node at once;
+    *  - small-star: every node re-links its smaller neighbors (and itself)
+    *    to the smallest of them — multi-parent nodes collapse to one parent.
+    *
+    * Components contract to stars rooted at their minimum id in O(log n)
+    * rounds even for adversarial path-shaped components, where one-hop
+    * hash-min label propagation needs DIAMETER rounds (a 1M-link chain of
+    * template-drift near-dups would take 1M one-hop rounds). The price is
+    * that each round shuffles the edge list itself (neighborhood mins +
+    * re-link joins + dedup) rather than only a label stream — the right
+    * trade because the edge list shrinks monotonically toward one edge per
+    * non-root node while the round count stays logarithmic.
+    *
+    * Both halves compute neighborhood minima via `reduceByKey` and emit
+    * re-links through a co-partitioned join — no neighbor list is ever
+    * materialized, so a hub node of a giant duplicate cluster costs O(degree)
+    * streamed records, not O(degree) heap. Convergence is an exact
+    * zero-changed-edges test: each half counts re-links that moved an edge
+    * in a `LongAccumulator`, one scalar per round to the driver, never rows.
+    * (Stage retries or shared-lineage recomputation can only inflate a
+    * nonzero count, never turn zero into nonzero, so the ==0 test is safe.)
+    * Superseded edge RDDs are unpersisted each round. */
+  private[queries] def connectedComponentsWithRounds(
+      pairFrame: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
     val spark = pairFrame.sparkSession
     import spark.implicits._
+    val sc = spark.sparkContext
     val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
 
-    // (dst, src): each edge delivers dst's label to src below
-    val edges = pairFrame.select(col("i"), col("j")).as[(Long, Long)].rdd
-      .flatMap { case (i, j) => Iterator((i, j), (j, i)) }
-      .partitionBy(part)
+    // canonical (hi, lo) edges: self-loops dropped, orientation fixed, deduped
+    var cur: RDD[(Long, Long)] = pairFrame.select(col("i"), col("j")).as[(Long, Long)].rdd
+      .flatMap { case (a, b) =>
+        if (a == b) Iterator.empty
+        else if (a > b) Iterator((a, b))
+        else Iterator((b, a))
+      }
+      .distinct(part.numPartitions)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.mapValues(_ => ()).reduceByKey(part, (_, _) => ())
-      .map { case (n, _) => (n, n) }
-      .partitionBy(part)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // labels only ever decrease, so an unchanged sum ⇔ fixpoint
-    var prevSum = labels.values.fold(0L)(_ + _)
-    var converged = labels.isEmpty() // empty input: nothing to propagate
+
+    var rounds = 0
+    var converged = cur.isEmpty()
     while (!converged) {
-      // co-partitioned join (no edge shuffle) → one shuffle of label updates
-      val updates = edges.join(labels)
-        .map { case (_, (src, lbl)) => (src, lbl) }
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      val next = labels.leftOuterJoin(updates)
-        .mapValues { case (own, cand) => math.min(own, cand.getOrElse(own)) }
+      rounds += 1
+      val lsMoved = sc.longAccumulator(s"cc-large-star-moves-r$rounds")
+      val ssMoved = sc.longAccumulator(s"cc-small-star-moves-r$rounds")
+
+      // large-star: per-node closed-neighborhood min via reduceByKey, then a
+      // co-partitioned join re-links every larger neighbor to that min. Each
+      // undirected edge is emitted by exactly one side (its smaller endpoint),
+      // so |ls| == |cur| and connectivity is preserved.
+      val bidir = cur.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      val nbrMin = bidir.reduceByKey(part, math.min(_: Long, _: Long))
+      val ls = bidir.join(nbrMin, part).flatMap { case (u, (v, mN)) =>
+        if (v <= u) Iterator.empty
+        else {
+          val m = math.min(u, mN)
+          if (m != u) lsMoved.add(1L)
+          Iterator((v, m)) // v > u >= m: canonical orientation holds
+        }
+      }
+
+      // small-star: group by the larger endpoint; its smaller neighbors (and
+      // itself) all re-link to the smallest of them. ls feeds two shuffles,
+      // so lsMoved may double-count — harmless for the ==0 test.
+      val ssMin = ls.reduceByKey(part, math.min(_: Long, _: Long))
+      val ssRewired = ls.join(ssMin, part).flatMap { case (u, (v, m)) =>
+        if (v == m) Iterator.empty
+        else { ssMoved.add(1L); Iterator((v, m)) } // m = min < v < u: canonical
+      }
+      val next = ssRewired.union(ssMin)
+        .distinct(part.numPartitions)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = next.values.fold(0L)(_ + _)
-      converged = s == prevSum
-      prevSum = s
-      labels.unpersist(blocking = false)
-      labels = next
+      next.count() // materialize: fires both halves' accumulators
+      converged = lsMoved.value == 0L && ssMoved.value == 0L
+      cur.unpersist(blocking = false)
+      cur = next
     }
-    // the output stays distributed (one row per duplicate cluster — small
+
+    // fixpoint = stars (child, root) rooted at each component's min id.
+    // The output stays distributed (one row per duplicate cluster — small
     // relative to the corpus but unbounded in absolute terms); materialize
     // it before releasing the iteration state so the downstream read
-    // normally serves from these blocks instead of recomputing the lineage
-    val result = labels
-      .map { case (_, label) => (label, 1L) }
+    // normally serves from these blocks instead of recomputing the lineage.
+    val result = cur
+      .map { case (_, root) => (root, 1L) }
       .reduceByKey(part, _ + _)
+      .map { case (root, kids) => (root, kids + 1L) } // + the root itself
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    edges.unpersist(blocking = false)
-    labels.unpersist(blocking = false)
-    spark.createDataset(result).toDF("cluster_id", "n_members").orderBy("cluster_id")
+    cur.unpersist(blocking = false)
+    (spark.createDataset(result).toDF("cluster_id", "n_members").orderBy("cluster_id"),
+      rounds)
   }
 
   // --- DuckDB oracles -----------------------------------------------------

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   * Scale design: every operator is shuffle-bounded — shingle explosion and
   * signature building are map-side; candidate generation joins on (band,
   * band-hash) buckets so the all-pairs O(n²) comparison only happens inside
-  * colliding buckets; verification joins are restricted to the (small)
-  * candidate set, which Spark broadcasts. The brute-force ANN and cosine
+  * colliding buckets; verification joins are restricted to the candidate
+  * set, with NO broadcast hint — the candidate pair count is proportional to
+  * the number of near-duplicate pairs in the corpus, which is unbounded in
+  * absolute terms (a heavily-duplicated 1B-doc corpus yields 10⁸⁺ candidate
+  * rows), so the strategy is left to AQE, which broadcasts only when the
+  * runtime size statistics say it fits. The brute-force ANN and cosine
   * near-dup are the small-n baselines; the LSH/IVF variants are the 100 TB
   * paths.
   */
@@ -77,9 +81,13 @@ object SimilarityQueries {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bk"))
     val cand = bandedCandidates(bands, "doc_id")
-    // verify candidates with the exact Jaccard (joins restricted to candidates)
+    // Verify candidates with the exact Jaccard, joins restricted to the
+    // candidate set. Deliberately NO broadcast hint: |cand| scales with the
+    // number of near-dup pairs in the corpus — unbounded at 100 TB — so a
+    // forced broadcast is a driver OOM at exactly the scale this operator
+    // exists for. AQE broadcasts small candidate sets on its own.
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = broadcast(cand)
+    val inter = cand
       .join(sh.as("x"), col("x.doc_id") === col("i"))
       .join(sh.as("y"), col("y.doc_id") === col("j") && col("y.s") === col("x.s"))
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
@@ -155,9 +163,25 @@ object SimilarityQueries {
 
   private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
-  /** Embedding-cosine near-duplicate pairs (brute-force baseline). */
+  /** Vector-count ceiling for the brute-force cosine baseline: above it the
+    * O(n²) cartesian is refused instead of silently launching a job that
+    * cannot finish. The test corpora are far below it (≤ 5,000 vectors). */
+  private[queries] val EmbedDupMaxVectors = 200000L
+
+  /** Embedding-cosine near-duplicate pairs — ORACLE TIER, not a production
+    * path. This is the exact brute-force twin of [[embedLshDup]]: a cartesian
+    * `i < j` self-join, O(n²) by construction, kept because the contract
+    * oracle and `SimilaritySemanticSpec`'s recall measurement need the exact
+    * pair set as ground truth. It is guarded by [[EmbedDupMaxVectors]]
+    * (refuses above ~200k vectors, ~2·10¹⁰ pairs) so it can never be
+    * mistaken for, or promoted into, the scale path. At 100 TB use
+    * [[embedLshDup]] — SRP-banded candidates + exact verification. */
   def embedDup(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
+    val n = embeddingsCount(spark, sfDir)
+    require(n <= EmbedDupMaxVectors,
+      s"embedDup is the O(n²) oracle-tier baseline (n=$n > $EmbedDupMaxVectors); " +
+        "use embedLshDup (dd_embed_lsh) for large corpora")
     val e = vecs(spark)
     val a = e.select(col("vec_id").as("i"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
@@ -256,15 +280,22 @@ object SimilarityQueries {
     * store allows them.) */
   private val corpusN = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
 
+  /** Cached `embeddings` row count (see [[corpusN]] doc above). */
+  private def embeddingsCount(spark: SparkSession, sfDir: String): Long = {
+    val files = java.util.Arrays.hashCode(
+      spark.table("embeddings").inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+    corpusN.compute(
+      s"${System.identityHashCode(spark)}#$sfDir",
+      (_, old) =>
+        if (old != null && old._1 == files) old
+        else (files, spark.table("embeddings").count()))._2
+  }
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     val nprobe = IvfNprobe
     val e = vecs(spark)
-    val files = java.util.Arrays.hashCode(
-      spark.table("embeddings").inputFiles.sorted.asInstanceOf[Array[AnyRef]])
-    val n: Long = corpusN.compute(
-      s"${System.identityHashCode(spark)}#$sfDir",
-      (_, old) => if (old != null && old._1 == files) old else (files, e.count()))._2
+    val n: Long = embeddingsCount(spark, sfDir)
     val stride = math.max(1L, math.ceil(n.toDouble / IvfK).toLong)
     val cents = e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))

@@ -60,13 +60,32 @@ class PipelineSemanticSpec extends AnyFunSuite {
   test("propagation converges on a path graph (diameter > 1 round)") {
     val session = spark
     import session.implicits._
-    // 0-1-2-...-9 chain plus a disjoint triangle {20,21,22}: the chain's min
-    // label needs ~9 rounds of one-hop propagation to reach the far end
+    // 0-1-2-...-9 chain plus a disjoint triangle {20,21,22}: the chain's
+    // far end is 9 hops from the min, so one-hop propagation wouldn't
+    // finish in one round — star contraction must still get it right
     val chain = (0L until 9L).map(k => (k, k + 1))
     val tri = Seq((20L, 21L), (21L, 22L), (20L, 22L))
     val got = PipelineQueries.connectedComponents(
         (chain ++ tri).toDF("i", "j"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((0L, 10L), (20L, 3L)))
+  }
+
+  test("long path contracts in O(log n) rounds, not O(diameter)") {
+    val session = spark
+    import session.implicits._
+    // a 513-node path (diameter 512): one-hop hash-min label propagation
+    // needs ~512 rounds; large-star/small-star contraction must stay
+    // logarithmic. Shuffle the edge order and offset the ids so nothing
+    // depends on input order or 0-based labels.
+    val n = 512L
+    val edges = (0L until n).map(k => (1000L + k, 1000L + k + 1))
+    val shuffled = new scala.util.Random(42).shuffle(edges)
+    val (df, rounds) = PipelineQueries.connectedComponentsWithRounds(
+      shuffled.toDF("i", "j"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1000L, n + 1)))
+    assert(rounds <= 20,
+      s"star contraction took $rounds rounds on a diameter-$n path; expected O(log n)")
   }
 }
