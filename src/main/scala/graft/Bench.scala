@@ -15,6 +15,13 @@ import graft.queries.{Q, WheelQueries}
   * Timing: one unmeasured warm-up, then the median of 7 runs (queries under
   * 1 s) or 3 runs (1–10 s); genuinely heavy queries (≥ 10 s) report the
   * single cold run. Mirrors the reference's repeated-query p50 setup.
+  *
+  * Cross-query isolation: sub-10 s entries get an explicit GC pause between
+  * warm-up and the timed reps. The bench runs alphabetically, so the whole
+  * `q_*` family times right after the heavy `dd_*` dedup queries — whose
+  * shuffle/GC debris otherwise bleeds into sub-second medians (round 4's
+  * `q_except` benched 0.92 s inside the suite vs 0.38 s steady-state in
+  * isolation, a 2.4× artifact of suite position, not the query).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,6 +55,10 @@ object Bench {
       val first = run() // warm-up: codegen compile, broadcast build, page cache
       if (first >= 10.0) first
       else {
+        // settle the heap before timing: collect garbage left by the
+        // previous (possibly much heavier) entry so its GC debt isn't
+        // billed to this query's median
+        System.gc()
         val reps = if (first < 1.0) 7 else 3
         val runs = Array.fill(reps)(run()).sorted
         runs(runs.length / 2)
