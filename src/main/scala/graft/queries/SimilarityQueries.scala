@@ -99,56 +99,119 @@ object SimilarityQueries {
       .orderBy("i", "j")
   }
 
-  /** 64-bit SimHash per document from word-frequency-weighted bit votes. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    Q.ctx(spark, sfDir)
+  /** Multi-word SimHash signature: `sigWords`×64 bits per document from
+    * word-frequency-weighted bit votes, as columns `s0..s{sigWords-1}`.
+    * Word k draws its bits from `xxhash64(k, term)`; word 0 uses the
+    * unseeded hash so the 1-word signature is bit-identical to the public
+    * 64-bit [[simhash]]. One groupBy with 64·sigWords map-side-combined
+    * vote sums — still a single shuffle of per-doc partials at any width. */
+  private[queries] def simhashSig(spark: SparkSession, sigWords: Int): DataFrame = {
     val words = spark.table("documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("w")))
-    val voteCols = (0 until 64).map { i =>
-      sum(col("cnt") * when(expr(s"(shiftright(h, $i) & 1) = 1"), 1).otherwise(-1)).as(s"v$i")
+    val withH = (0 until sigWords).foldLeft(words) { (df, k) =>
+      df.withColumn(s"h$k", if (k == 0) xxhash64(col("w")) else xxhash64(lit(k), col("w")))
     }
-    val votes = words.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val bits: Column = (0 until 64)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
-    votes.select(col("doc_id"), bits.as("simhash")).orderBy("doc_id")
+    val voteCols = for { k <- 0 until sigWords; i <- 0 until 64 } yield
+      sum(col("cnt") * when(expr(s"(shiftright(h$k, $i) & 1) = 1"), 1).otherwise(-1))
+        .as(s"v${k}_$i")
+    val votes = withH.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sigCols = (0 until sigWords).map { k =>
+      (0 until 64)
+        .map(i => when(col(s"v${k}_$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _).as(s"s$k")
+    }
+    votes.select(col("doc_id") +: sigCols: _*)
   }
 
-  /** SimHash near-duplicate pairs: 4×16-bit Hamming-banded candidate join +
-    * exact Hamming verification at ≤ 3 bits of 64 — the conventional
-    * near-dup band. */
+  /** 64-bit SimHash per document from word-frequency-weighted bit votes. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    simhashSig(spark, sigWords = 1)
+      .select(col("doc_id"), col("s0").as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash banding geometry: `sigWords`×64 signature bits in
+    * `bands` bands of `widthBits` each. */
+  private[queries] final case class SimHashConfig(sigWords: Int, bands: Int) {
+    def widthBits: Int = 64 * sigWords / bands
+  }
+
+  /** Soft ceiling on the EXPECTED band-bucket size (n / 2^width) the auto
+    * config aims for. In-bucket pair-gen is quadratic in bucket size, so the
+    * key space must outgrow the corpus; 1024 keeps per-bucket work ~10⁶
+    * pairs worst-expected-case while staying far from the next width step. */
+  private val SimHashTargetBucket = 1024L
+
+  /** Derive the banding geometry from a corpus-size hint: the fewest bands
+    * that keep the pigeonhole guarantee (`maxHam + 1`), and the narrowest
+    * band width in {16, 32, 64} whose 2^width key space holds the expected
+    * bucket size under [[SimHashTargetBucket]] — n ≤ 2²⁶ stays at the
+    * classic 64-bit/4×16 layout, up to 2⁴² widens to 128-bit/4×32, beyond
+    * that 256-bit/4×64. Widening the signature together with the bands
+    * preserves exactness (the pigeonhole argument is width-independent);
+    * only the bucket-key space grows. */
+  private[queries] def simhashAutoConfig(corpusSize: Long, maxHam: Int = 3): SimHashConfig = {
+    val bands = maxHam + 1
+    val width = Seq(16, 32)
+      .find(w => corpusSize <= (SimHashTargetBucket << w))
+      .getOrElse(64)
+    SimHashConfig(sigWords = bands * width / 64, bands = bands)
+  }
+
+  /** SimHash near-duplicate pairs: Hamming-banded candidate join + exact
+    * Hamming verification at ≤ 3 differing bits — the conventional near-dup
+    * band. The banding geometry auto-widens with the corpus
+    * ([[simhashAutoConfig]]): at test scale this is the classic 64-bit
+    * signature in 4×16-bit bands; at 10⁹⁺ documents the signature and bands
+    * widen together so the bucket space outgrows n and no bucket goes hot —
+    * without giving up the pigeonhole exactness guarantee. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
-    simhashBandedPairs(simhash(spark, sfDir), bands = 4, maxHam = 3)
+    val cfg = simhashAutoConfig(cachedCount(spark, sfDir, "documents"))
+    simhashBandedPairsN(simhashSig(spark, cfg.sigWords), cfg.sigWords, cfg.bands, maxHam = 3)
   }
 
-  /** Banded Hamming pair-gen over a `(doc_id, simhash)` frame. With `b`
-    * bands, a pair within Hamming distance ≤ b−1 must agree EXACTLY on at
-    * least one band (pigeonhole), so unlike MinHash/SRP banding this
-    * candidate join loses nothing: banded + verify ≡ all-pairs Hamming join.
-    * Two map-side-cheap shuffles (band explode + bucket join), no n².
-    * 16-bit bands give a 65,536-key bucket space per band; for corpora where
-    * n/2^16 buckets grow hot, widen the signature and the bands together —
-    * deliberately NOT the [[bandedCandidates]] hot-bucket cap, which would
-    * trade away the pigeonhole exactness this operator guarantees. */
-  private[queries] def simhashBandedPairs(sig: DataFrame, bands: Int, maxHam: Int): DataFrame = {
+  /** 1-word convenience form of [[simhashBandedPairsN]] over a
+    * `(doc_id, simhash)` frame. */
+  private[queries] def simhashBandedPairs(sig: DataFrame, bands: Int, maxHam: Int): DataFrame =
+    simhashBandedPairsN(sig.withColumnRenamed("simhash", "s0"), 1, bands, maxHam)
+
+  /** Banded Hamming pair-gen over a `(doc_id, s0..s{sigWords-1})` signature
+    * frame. With `b` bands, a pair within Hamming distance ≤ b−1 must agree
+    * EXACTLY on at least one band (pigeonhole), so unlike MinHash/SRP
+    * banding this candidate join loses nothing: banded + verify ≡ all-pairs
+    * Hamming join, at ANY signature width. Two map-side-cheap shuffles
+    * (band explode + bucket join), no n². Hot buckets are handled by
+    * widening, not by the [[bandedCandidates]] hot-bucket cap, which would
+    * trade away the exactness this operator guarantees. */
+  private[queries] def simhashBandedPairsN(
+      sig: DataFrame, sigWords: Int, bands: Int, maxHam: Int): DataFrame = {
     require(maxHam < bands, s"pigeonhole exactness needs maxHam < bands, got $maxHam/$bands")
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
+    val totalBits = 64 * sigWords
+    require(totalBits % bands == 0, s"bands must divide $totalBits, got $bands")
+    val width = totalBits / bands
+    require(width <= 64 && 64 % width == 0,
+      s"band width must be a divisor of 64 so bands never straddle words, got $width")
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"), expr(s"shiftright(simhash, ${b * width}) & $mask").as("bk")))
-    val bd = sig.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val bandCols = (0 until bands).map { b =>
+      val word = b * width / 64
+      val shift = b * width % 64
+      struct(lit(b).as("band"), expr(s"shiftright(s$word, $shift) & $mask").as("bk"))
+    }
+    val sigCols = (0 until sigWords).map(k => col(s"s$k"))
+    val bd = sig
+      .select(col("doc_id") +: sigCols :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(col("doc_id") +: sigCols :+ col("bb.band").as("band") :+ col("bb.bk").as("bk"): _*)
+    val pairSigCols = (0 until sigWords).flatMap(k =>
+      Seq(col(s"a.s$k").as(s"si$k"), col(s"b.s$k").as(s"sj$k")))
+    val ham = (0 until sigWords).map(k => s"bit_count(si$k ^ sj$k)").mkString(" + ")
     bd.as("a").join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        col("a.simhash").as("si"), col("b.simhash").as("sj"))
+      .select(col("a.doc_id").as("i") +: col("b.doc_id").as("j") +: pairSigCols: _*)
       .distinct()
-      .where(expr(s"bit_count(si ^ sj) <= $maxHam"))
+      .where(expr(s"($ham) <= $maxHam"))
       .select(col("i"), col("j"))
       .orderBy("i", "j")
   }
@@ -178,7 +241,7 @@ object SimilarityQueries {
     * [[embedLshDup]] — SRP-banded candidates + exact verification. */
   def embedDup(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
-    val n = embeddingsCount(spark, sfDir)
+    val n = cachedCount(spark, sfDir, "embeddings")
     require(n <= EmbedDupMaxVectors,
       s"embedDup is the O(n²) oracle-tier baseline (n=$n > $EmbedDupMaxVectors); " +
         "use embedLshDup (dd_embed_lsh) for large corpora")
@@ -280,22 +343,22 @@ object SimilarityQueries {
     * store allows them.) */
   private val corpusN = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
 
-  /** Cached `embeddings` row count (see [[corpusN]] doc above). */
-  private def embeddingsCount(spark: SparkSession, sfDir: String): Long = {
+  /** Cached row count of a registered table (see [[corpusN]] doc above). */
+  private def cachedCount(spark: SparkSession, sfDir: String, table: String): Long = {
     val files = java.util.Arrays.hashCode(
-      spark.table("embeddings").inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+      spark.table(table).inputFiles.sorted.asInstanceOf[Array[AnyRef]])
     corpusN.compute(
-      s"${System.identityHashCode(spark)}#$sfDir",
+      s"${System.identityHashCode(spark)}#$sfDir#$table",
       (_, old) =>
         if (old != null && old._1 == files) old
-        else (files, spark.table("embeddings").count()))._2
+        else (files, spark.table(table).count()))._2
   }
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     val nprobe = IvfNprobe
     val e = vecs(spark)
-    val n: Long = embeddingsCount(spark, sfDir)
+    val n: Long = cachedCount(spark, sfDir, "embeddings")
     val stride = math.max(1L, math.ceil(n.toDouble / IvfK).toLong)
     val cents = e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))

@@ -122,6 +122,40 @@ class SimilaritySemanticSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash auto config widens bands with the corpus, keeping pigeonhole") {
+    import SimilarityQueries.{simhashAutoConfig, SimHashConfig}
+    // test-scale corpora stay on the classic 64-bit / 4×16 layout (so the
+    // contract query is unchanged), and each widening step keeps
+    // bands = maxHam + 1 with a key space ≥ corpus/1024
+    assert(simhashAutoConfig(500L) === SimHashConfig(1, 4))
+    assert(simhashAutoConfig(50L * 1000 * 1000) === SimHashConfig(1, 4))
+    assert(simhashAutoConfig(1000L * 1000 * 1000) === SimHashConfig(2, 4))
+    assert(simhashAutoConfig(1L << 41) === SimHashConfig(2, 4))
+    assert(simhashAutoConfig(1L << 50) === SimHashConfig(4, 4))
+    for (n <- Seq(500L, 1L << 30, 1L << 50); cfg = simhashAutoConfig(n)) {
+      assert(cfg.bands === 4) // maxHam 3 + 1: exactness precondition
+      assert(cfg.sigWords * 64 % cfg.bands === 0)
+    }
+  }
+
+  test("wide SimHash banding (128-bit, 4×32) ≡ all-pairs Hamming (pigeonhole)") {
+    val sig = SimilarityQueries.simhashSig(spark, sigWords = 2)
+    val rows = sig.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (i, a0, a1) <- rows; (j, b0, b1) <- rows
+      if i < j &&
+        java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1) <= 3
+    } yield (i, j)).toSet
+    assert(brute.nonEmpty, "no 128-bit near-dup pairs in corpus?")
+    // word 0 must be the public 64-bit signature (same votes, same bits)
+    val pub = SimilarityQueries.simhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.forall { case (id, s0, _) => pub(id) == s0 })
+    val got = SimilarityQueries.simhashBandedPairsN(sig, sigWords = 2, bands = 4, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+  }
+
   test("banded SimHash pairs find planted low-Hamming signatures exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
