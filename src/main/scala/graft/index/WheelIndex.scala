@@ -230,7 +230,7 @@ object UWheelIndex {
     * unit bug); NTZ → wall-clock seconds from purely timezone-free pieces
     * (date diff + hour/minute/second), so the build never depends on — or
     * has to mutate — the session zone. */
-  private def secExprOf(df: DataFrame, timeColumn: String): Column =
+  private[graft] def secExprOf(df: DataFrame, timeColumn: String): Column =
     df.schema(timeColumn).dataType match {
       case org.apache.spark.sql.types.LongType =>
         F.expr(s"`$timeColumn` div 1000000000")
@@ -616,4 +616,40 @@ object UWheelIndex {
       .filterNot(_.startsWith("view::"))
       .map(p => p -> refresh(spark, p))
       .toMap
+
+  /** The steady-state service hook: a daemon thread ticking [[refreshAll]]
+    * every `intervalMs`, so a long-lived session's indexes track ingest
+    * without any query-path involvement. Fixed-DELAY scheduling — the next
+    * tick waits for the previous one to finish, so a refresh that takes
+    * longer than the interval (a full rebuild after an in-place rewrite)
+    * never piles up concurrent refreshes. A tick that throws (e.g. the
+    * table directory momentarily disappearing mid-rewrite) is logged and
+    * the schedule continues — one bad cycle must not kill the service.
+    * Close the returned handle to stop the tick; the no-change case is one
+    * file listing per table, so sub-second intervals are fine in tests and
+    * ~minutes are typical in production. */
+  def scheduleRefresh(spark: SparkSession, intervalMs: Long): AutoCloseable = {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "uwheel-refresh-tick")
+      t.setDaemon(true)
+      t
+    }
+    ex.scheduleWithFixedDelay(
+      () =>
+        try refreshAll(spark)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"uwheel refresh tick failed: $e")
+        },
+      intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => {
+      ex.shutdownNow()
+      // wait out an in-flight tick so callers can stop the session right
+      // after close() without racing a refresh against the shutdown
+      ex.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+  }
 }

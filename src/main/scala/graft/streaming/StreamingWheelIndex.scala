@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{functions => F}
 
 import graft.wheel.{HawWheel, RwWheel}
@@ -69,12 +69,14 @@ final class StreamingWheelIndex(
     }
   }
 
-  /** Starts the maintenance query on a streaming DataFrame. */
+  /** Starts the maintenance query on a streaming DataFrame. The time column
+    * takes every type the batch build takes, via the same conversion
+    * ([[graft.index.UWheelIndex.secExprOf]]): TIMESTAMP, raw-nanos LONG,
+    * DATE (days × 86400 s, zone-free — a DATE stream previously fell into
+    * the generic `cast(long)` arm, which is not a valid cast for DateType),
+    * and TIMESTAMP_NTZ. */
   def attach(stream: DataFrame, queryName: String): StreamingQuery = {
-    val secExpr = stream.schema(timeColumn).dataType match {
-      case LongType => F.expr(s"`$timeColumn` div 1000000000")
-      case _        => F.col(timeColumn).cast("long")
-    }
+    val secExpr = graft.index.UWheelIndex.secExprOf(stream, timeColumn)
     stream.writeStream
       .queryName(queryName)
       .outputMode("update")

@@ -233,6 +233,28 @@ class WheelRefreshSpec extends AnyFunSuite {
     assert(WheelRegistry.lookup(pa).get.countWheel.get.wheel.landmark.count === 500)
   }
 
+  test("scheduleRefresh ticks in the background until closed") {
+    val path = tmpTable()
+    mkDf(0, 400).write.parquet(path)
+    UWheelBuilder("ts", Seq("value")).build(spark, path)
+    val tick = UWheelIndex.scheduleRefresh(spark, intervalMs = 100L)
+    try {
+      mkDf(400, 200).write.mode("append").parquet(path)
+      // the tick is asynchronous: poll (bounded) for the refreshed index
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def count(): Long =
+        WheelRegistry.lookup(path).get.countWheel.get.wheel.landmark.count
+      while (count() != 600 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(count() === 600)
+    } finally tick.close()
+    // after close no further ticks: another append stays unseen
+    val fp = WheelRegistry.lookup(path).get.fingerprint
+    mkDf(600, 100).write.mode("append").parquet(path)
+    Thread.sleep(400)
+    assert(WheelRegistry.lookup(path).get.fingerprint === fp)
+    assert(WheelRegistry.lookup(path).get.countWheel.get.wheel.landmark.count === 600)
+  }
+
   test("slot budget re-applies over the grown range (refresh coarsens like a fresh build)") {
     val path = tmpTable()
     // 2000 minutes ≈ 33 h of minute-stride data; budget 3000 keeps 1 s slots

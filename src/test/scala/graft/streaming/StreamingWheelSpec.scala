@@ -111,6 +111,61 @@ class StreamingWheelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("DATE-typed stream ingests with batch-build parity (days x 86400, zone-free)") {
+    // reference accepts Date32/64 everywhere (lib.rs:1203-1272); the
+    // streaming path previously sent DATE into a generic cast(long) arm,
+    // which is not a valid cast for DateType — it must share the batch
+    // build's conversion instead
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Date, Double)]
+    val df = input.toDF().toDF("d", "value")
+    assert(df.schema("d").dataType === org.apache.spark.sql.types.DateType)
+
+    val idx = new StreamingWheelIndex("d", Some("value"), slotSpanSec = 86400L)
+    val q = idx.attach(df, "wheel-maintenance-date")
+    try {
+      val rows = Seq(
+        (java.sql.Date.valueOf("2024-03-01"), 1.0),
+        (java.sql.Date.valueOf("2024-03-01"), 2.5),
+        (java.sql.Date.valueOf("2024-03-03"), 4.0),
+        (java.sql.Date.valueOf("2024-03-10"), 8.0))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val snap = idx.snapshot()
+      assert(idx.droppedBeyondHorizon === 0L)
+      assert(snap.landmark.count === 4)
+      assert(snap.landmark.sum === Some(15.5))
+
+      // day-aligned range [03-01, 03-03): zone-free day * 86400 seconds
+      def daySec(s: String): Long =
+        java.sql.Date.valueOf(s).toLocalDate.toEpochDay * 86400L
+      val ra = snap.range(daySec("2024-03-01"), daySec("2024-03-03"))
+      assert(ra.count === 2)
+      assert(ra.sum === Some(3.5))
+
+      // parity with a batch build over the same rows written as parquet
+      val dir = java.nio.file.Files.createTempDirectory("graft-date-stream").toString
+      rows.toDF("d", "value").write.mode("overwrite").parquet(dir)
+      val batch = graft.index.UWheelBuilder("d", Seq("value"))
+        .withSlotSpan(86400L)
+        .build(spark, dir)
+      val bw = batch.minMaxWheel("value").get.wheel
+      for ((lo, hi) <- Seq(
+          (daySec("2024-03-01"), daySec("2024-03-03")),
+          (daySec("2024-03-01"), daySec("2024-03-11")),
+          (daySec("2024-03-05"), daySec("2024-03-09")))) {
+        val a = snap.range(lo, hi)
+        val b = bw.range(lo, hi)
+        assert(a.count === b.count, s"count mismatch on [$lo,$hi)")
+        assert(a.sum === b.sum, s"sum mismatch on [$lo,$hi)")
+        assert(a.minOpt === b.minOpt, s"min mismatch on [$lo,$hi)")
+        assert(a.maxOpt === b.maxOpt, s"max mismatch on [$lo,$hi)")
+      }
+    } finally q.stop()
+  }
+
   test("wheel groupBy(minute) equals Structured Streaming windowed aggregation") {
     val session = spark
     import session.implicits._
