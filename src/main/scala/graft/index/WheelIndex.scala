@@ -178,7 +178,8 @@ final case class UWheelBuilder(
     scale: Int = 2,
     keyedWheels: Seq[IndexBuilder] = Nil,
     slotSpanSec: Long = 1L,
-    slotBudget: Option[Long] = None) {
+    slotBudget: Option[Long] = None,
+    packLevels: Boolean = false) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
@@ -203,6 +204,16 @@ final case class UWheelBuilder(
     * table's [min, max] time range stays within `maxSlots`. Costs one extra
     * min/max scan of the time column before the build. */
   def withSlotBudget(maxSlots: Long): UWheelBuilder = copy(slotBudget = Some(maxSlots))
+
+  /** Stores every value wheel's min/max hierarchy as codec-compressed
+    * blocks — the remaining memory lever AFTER slot-span coarsening for
+    * always-active multi-year tables. Lossless: rewritten answers stay
+    * bit-identical (`WheelPackSpec`); reads pay a bounded one-block decode,
+    * amortized by a per-level block memo. Count/sum prefix arrays stay raw
+    * (their O(1) access is the point), so this compresses the non-invertible
+    * min/max partials the way the reference's aggregator-level compression
+    * hook does (`aggregator/mod.rs:36-63`). */
+  def withPackedLevels(): UWheelBuilder = copy(packLevels = true)
 
   def build(spark: SparkSession, path: String): TableIndex =
     UWheelIndex.build(spark, path, this)
@@ -264,7 +275,8 @@ object UWheelIndex {
       df: DataFrame,
       timeColumn: String,
       specs: Seq[WheelSpec],
-      slotSpan: Long = 1L): Seq[BuiltWheel] = {
+      slotSpan: Long = 1L,
+      packLevels: Boolean = false): Seq[BuiltWheel] = {
     require(specs.nonEmpty)
     val secExpr = secExprOf(df, timeColumn)
     val aggCols = specs.zipWithIndex.flatMap { case (sp, i) =>
@@ -317,7 +329,7 @@ object UWheelIndex {
     specs.zipWithIndex.map { case (sp, i) =>
       val hasValues = sp.valueColumn.isDefined
       BuiltWheel(
-        IndexedWheel(acc.wheels(i).freeze(slotSpan), sp.valueColumn, sp.filterKey,
+        IndexedWheel(acc.wheels(i).freeze(slotSpan, packLevels), sp.valueColumn, sp.filterKey,
           valueAllNonNull = !hasValues || acc.allNonNull(i),
           valuesExactAtScale = !hasValues || acc.badRep(i) == 0L,
           valuesNaNFree = !hasValues || acc.nanCount(i) == 0L,
@@ -398,7 +410,8 @@ object UWheelIndex {
       if (colSpecs.isEmpty) Seq(WheelSpec(None, None, "", conf.timeRangeSec, conf.scale))
       else Nil
     val slotSpan = effectiveSlotSpan(df, conf)
-    val built = buildWheels(df, conf.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, slotSpan)
+    val built = buildWheels(df, conf.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, slotSpan,
+      conf.packLevels)
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val countBuilt = colBuilt.headOption match {
       case Some(bw) =>
@@ -468,9 +481,11 @@ object UWheelIndex {
       case None => (None, "")
     }
     val span = t.countWheel.map(_.wheel.slotSpan).getOrElse(1L)
+    // an ad-hoc wheel added to a packed index packs too (homogeneous table)
+    val pack = t.allWheels.exists(_.wheel.isPacked)
     t.put(buildWheels(df, t.timeColumn,
       Seq(WheelSpec(Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale, ib.filterSql)),
-      span).head.wheel)
+      span, pack).head.wheel)
   }
 
   /** Outcome of an incremental [[UWheelIndex.refresh]]. */
@@ -575,19 +590,21 @@ object UWheelIndex {
         else fitSpan(bounds.map(_._1).min, bounds.map(_._2).max, oldSpan, budget)
     }
 
-    val built = buildWheels(scanDf, t.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, span)
+    val packLevels = t.allWheels.exists(_.wheel.isPacked)
+    val built = buildWheels(scanDf, t.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, span,
+      packLevels)
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val keyedBuilt = rest.take(keyedSpecs.length)
 
     // append: slot-wise merge (counts/scaled sums add, min/max combine —
     // associative, so merged ≡ rebuilt bit-for-bit); rebuild: the fresh
-    // wheel replaces the old outright
+    // wheel replaces the old outright. Packedness survives both paths.
     def finish(old: IndexedWheel, fresh: BuiltWheel): IndexedWheel =
       if (!appendOnly) fresh.wheel
       else old.copy(
         wheel = HawWheel.fromSecondPartials(
           old.wheel.slotPartials ++ fresh.wheel.wheel.slotPartials,
-          old.wheel.scale, old.wheel.hasValues, span),
+          old.wheel.scale, old.wheel.hasValues, span, old.wheel.isPacked),
         valueAllNonNull = old.valueAllNonNull && fresh.wheel.valueAllNonNull,
         valuesExactAtScale = old.valuesExactAtScale && fresh.wheel.valuesExactAtScale,
         valuesNaNFree = old.valuesNaNFree && fresh.wheel.valuesNaNFree)

@@ -90,11 +90,22 @@ object HawWheel {
     *                 bounds wheel memory on always-active multi-year tables
     *                 (a decade of dense seconds is 315M slots; of dense
     *                 minutes, 5.3M).
+    * @param packLevels store the min/max hierarchy as codec-compressed
+    *                 blocks ([[HawWheel.PackedMinMaxLevel]]) instead of raw
+    *                 arrays — the remaining memory lever after slot-span
+    *                 coarsening, for always-active multi-year value wheels.
+    *                 Lossless (answers are bit-identical to raw); the
+    *                 count/sum prefix path keeps its raw arrays (O(1)
+    *                 random access is the point of the prefix layout, and
+    *                 the in-memory prefix would dominate either way).
+    *                 Ignored for count-only wheels, which carry no min/max
+    *                 payload to compress.
     */
   def fromSecondPartials(partials: Iterator[(Long, Long, Long, Double, Double)],
                          scale: Int,
                          hasValues: Boolean,
-                         slotSpan: Long = 1L): HawWheel = {
+                         slotSpan: Long = 1L,
+                         packLevels: Boolean = false): HawWheel = {
     require(AllowedSlotSpans.contains(slotSpan), s"unsupported slot span $slotSpan")
     val aligned =
       if (slotSpan == 1L) partials
@@ -127,8 +138,24 @@ object HawWheel {
       if (hasValues) { sums(i) = p._3; mins(i) = p._4; maxs(i) = p._5 }
       i += 1
     }
-    new HawWheel(secs(0), secs(n - 1) + slotSpan, scale, hasValues, slotSpan,
-      secs, counts, sums, mins, maxs)
+    if (!packLevels || !hasValues)
+      new HawWheel(secs(0), secs(n - 1) + slotSpan, scale, hasValues, slotSpan,
+        secs, counts, sums, mins, maxs)
+    else {
+      // eager roll-up + per-level pack; levels that share their child's
+      // arrays (span <= slotSpan) share the packed object too
+      val lvls = rollUp(secs, mins, maxs, hasValues = true, slotSpan)
+      val packed = new Array[PackedMinMaxLevel](lvls.length)
+      i = 0
+      while (i < lvls.length) {
+        packed(i) =
+          if (i > 0 && (lvls(i).starts eq lvls(i - 1).starts)) packed(i - 1)
+          else PackedMinMaxLevel.pack(lvls(i))
+        i += 1
+      }
+      new HawWheel(secs(0), secs(n - 1) + slotSpan, scale, hasValues, slotSpan,
+        secs, counts, sums, Array.emptyDoubleArray, Array.emptyDoubleArray, packed)
+    }
   }
 
   def empty(scale: Int, hasValues: Boolean): HawWheel =
@@ -142,6 +169,156 @@ object HawWheel {
   private[wheel] final class Level(val span: Long, val starts: Array[Long],
                                    val mins: Array[Double], val maxs: Array[Double])
     extends Serializable
+
+  /** Builds the sparse min/max granularity hierarchy over sorted per-slot
+    * arrays: one run-merge pass per level, levels no coarser than the slot
+    * span sharing the slot arrays outright. Shared by the lazy raw path and
+    * the eager packed path ([[PackedMinMaxLevel]]). */
+  private[wheel] def rollUp(secs: Array[Long], secMins: Array[Double],
+      secMaxs: Array[Double], hasValues: Boolean, slotSpan: Long): Array[Level] = {
+    val out = new Array[Level](Spans.length)
+    out(0) = new Level(SECOND, secs, secMins, secMaxs)
+    var li = 1
+    while (li < Spans.length) {
+      val span = Spans(li)
+      val child = out(li - 1)
+      if (span <= slotSpan) {
+        // level no coarser than the slots themselves — share the arrays
+        out(li) = new Level(span, child.starts, child.mins, child.maxs)
+        li += 1
+      } else {
+        val starts = Array.newBuilder[Long]
+        val mins = Array.newBuilder[Double]
+        val maxs = Array.newBuilder[Double]
+        var ci = 0
+        var curStart = Long.MinValue
+        var curMin = Double.PositiveInfinity
+        var curMax = Double.NegativeInfinity
+        while (ci < child.starts.length) {
+          val slot = alignDown(child.starts(ci), span)
+          if (slot != curStart) {
+            if (curStart != Long.MinValue) {
+              starts += curStart
+              if (hasValues) { mins += curMin; maxs += curMax }
+            }
+            curStart = slot
+            if (hasValues) { curMin = child.mins(ci); curMax = child.maxs(ci) }
+          } else if (hasValues) {
+            if (child.mins(ci) < curMin) curMin = child.mins(ci)
+            if (child.maxs(ci) > curMax) curMax = child.maxs(ci)
+          }
+          ci += 1
+        }
+        if (curStart != Long.MinValue) {
+          starts += curStart
+          if (hasValues) { mins += curMin; maxs += curMax }
+        }
+        out(li) = new Level(span, starts.result(), mins.result(), maxs.result())
+        li += 1
+      }
+    }
+    out
+  }
+
+  private[wheel] object PackedMinMaxLevel {
+    final val BlockSize = 128
+
+    def pack(lvl: Level): PackedMinMaxLevel = {
+      val n = lvl.starts.length
+      val nb = (n + BlockSize - 1) / BlockSize
+      val bf = new Array[Long](nb)
+      val sb = new Array[Array[Byte]](nb)
+      val mb = new Array[Array[Byte]](nb)
+      val xb = new Array[Array[Byte]](nb)
+      var bi = 0
+      while (bi < nb) {
+        val from = bi * BlockSize
+        val until = math.min(n, from + BlockSize)
+        bf(bi) = lvl.starts(from)
+        sb(bi) = ZigZagDeltaLongCodec.encode(
+          java.util.Arrays.copyOfRange(lvl.starts, from, until))
+        mb(bi) = XorDoubleCodec.encode(
+          java.util.Arrays.copyOfRange(lvl.mins, from, until))
+        xb(bi) = XorDoubleCodec.encode(
+          java.util.Arrays.copyOfRange(lvl.maxs, from, until))
+        bi += 1
+      }
+      new PackedMinMaxLevel(lvl.span, n, bf, sb, mb, xb)
+    }
+  }
+
+  /** One packed granularity level of the min/max hierarchy: slots in
+    * 128-slot blocks — starts delta-varint-encoded, min/max XOR-encoded
+    * ([[XorDoubleCodec]]) — behind a RAW array of block-first starts (the
+    * block index). A slot lookup binary-searches the block index, decodes
+    * ONE block, and binary-searches within it: O(log blocks + log 128) with
+    * bounded decode work, preserving the read path's complexity. Lossless
+    * by the codecs' bit-for-bit contract, so packed answers are identical
+    * to raw answers, not approximations. */
+  @SerialVersionUID(1L)
+  private[wheel] final class PackedMinMaxLevel(
+      val span: Long,
+      val length: Int,
+      blockFirst: Array[Long],
+      startBlocks: Array[Array[Byte]],
+      minBlocks: Array[Array[Byte]],
+      maxBlocks: Array[Array[Byte]]) extends Serializable {
+    import PackedMinMaxLevel.BlockSize
+
+    // one-block decode memo: range decompositions and groupBy touch runs of
+    // consecutive slots, so without it the same block would be re-decoded
+    // once per slot. A single volatile immutable tuple read once into a
+    // local — frozen wheels are read concurrently, and a torn multi-field
+    // memo could pair one reader's index with another's arrays.
+    @transient @volatile
+    private var memo: (Int, Array[Long], Array[Double], Array[Double]) = _
+
+    private def block(bi: Int): (Int, Array[Long], Array[Double], Array[Double]) = {
+      val m = memo
+      if (m != null && m._1 == bi) m
+      else {
+        val d = (bi, ZigZagDeltaLongCodec.decode(startBlocks(bi)),
+          XorDoubleCodec.decode(minBlocks(bi)), XorDoubleCodec.decode(maxBlocks(bi)))
+        memo = d
+        d
+      }
+    }
+
+    /** Global index of the slot starting exactly at `sec`, or -1. */
+    def indexOf(sec: Long): Int = {
+      if (length == 0) return -1
+      val r = java.util.Arrays.binarySearch(blockFirst, sec)
+      val bi = if (r >= 0) r else -(r + 1) - 1
+      if (bi < 0) return -1
+      val b = block(bi)
+      val idx = java.util.Arrays.binarySearch(b._2, sec)
+      if (idx < 0) -1 else bi * BlockSize + idx
+    }
+
+    /** First global index whose start is >= `sec`. Middle blocks are always
+      * full, so an off-the-end in-block insertion point lands exactly on the
+      * next block's first slot. */
+    def lowerBound(sec: Long): Int = {
+      if (length == 0) return 0
+      val r = java.util.Arrays.binarySearch(blockFirst, sec)
+      val bi = if (r >= 0) r else -(r + 1) - 1
+      if (bi < 0) return 0
+      val b = block(bi)
+      val ri = java.util.Arrays.binarySearch(b._2, sec)
+      bi * BlockSize + (if (ri >= 0) ri else -(ri + 1))
+    }
+
+    def startAt(g: Int): Long = block(g / BlockSize)._2(g % BlockSize)
+    def minAt(g: Int): Double = block(g / BlockSize)._3(g % BlockSize)
+    def maxAt(g: Int): Double = block(g / BlockSize)._4(g % BlockSize)
+
+    /** True encoded byte count plus the raw block index. */
+    def storedBytes: Long =
+      blockFirst.length.toLong * 8 +
+        startBlocks.iterator.map(_.length.toLong).sum +
+        minBlocks.iterator.map(_.length.toLong).sum +
+        maxBlocks.iterator.map(_.length.toLong).sum
+  }
 }
 
 /** Aggregate result for a range; `count == 0` means SQL aggregates over the
@@ -170,11 +347,20 @@ final class HawWheel private (
     counts: Array[Long],
     sums: Array[Long],
     secMins: Array[Double],
-    secMaxs: Array[Double]) extends Serializable {
+    secMaxs: Array[Double],
+    /** Non-null = the min/max hierarchy lives in codec-compressed blocks
+      * and `secMins`/`secMaxs` are empty ([[HawWheel.fromSecondPartials]]'s
+      * `packLevels`). Null for raw wheels AND for wheels persisted before
+      * the field existed — Java serialization defaults the missing field,
+      * which lands exactly on the raw path those files were built for. */
+    private val packed: Array[HawWheel.PackedMinMaxLevel] = null) extends Serializable {
   import HawWheel._
 
   /** Number of DISTINCT seconds with data. */
   val numSecs: Int = secs.length
+
+  /** True when the min/max hierarchy is stored codec-compressed. */
+  def isPacked: Boolean = packed != null
 
   /** First index i with secs(i) >= x. */
   private def lowerBound(arr: Array[Long], x: Long): Int = {
@@ -207,54 +393,11 @@ final class HawWheel private (
 
   // Sparse min/max levels (second/minute/hour/day/week): built by one
   // run-merge pass per level over the sorted input, so each level holds only
-  // slots that contain data.
-  @transient private lazy val levels: Array[HawWheel.Level] = {
+  // slots that contain data. Raw path only — packed wheels never touch this
+  // (their hierarchy was rolled up and compressed at build time).
+  @transient private lazy val levels: Array[HawWheel.Level] =
     if (numSecs == 0) Array.empty
-    else {
-      val out = new Array[HawWheel.Level](Spans.length)
-      out(0) = new HawWheel.Level(SECOND, secs, secMins, secMaxs)
-      var li = 1
-      while (li < Spans.length) {
-        val span = Spans(li)
-        val child = out(li - 1)
-        if (span <= slotSpan) {
-          // level no coarser than the slots themselves — share the arrays
-          out(li) = new HawWheel.Level(span, child.starts, child.mins, child.maxs)
-          li += 1
-        } else {
-          val starts = Array.newBuilder[Long]
-          val mins = Array.newBuilder[Double]
-          val maxs = Array.newBuilder[Double]
-          var ci = 0
-          var curStart = Long.MinValue
-          var curMin = Double.PositiveInfinity
-          var curMax = Double.NegativeInfinity
-          while (ci < child.starts.length) {
-            val slot = alignDown(child.starts(ci), span)
-            if (slot != curStart) {
-              if (curStart != Long.MinValue) {
-                starts += curStart
-                if (hasValues) { mins += curMin; maxs += curMax }
-              }
-              curStart = slot
-              if (hasValues) { curMin = child.mins(ci); curMax = child.maxs(ci) }
-            } else if (hasValues) {
-              if (child.mins(ci) < curMin) curMin = child.mins(ci)
-              if (child.maxs(ci) > curMax) curMax = child.maxs(ci)
-            }
-            ci += 1
-          }
-          if (curStart != Long.MinValue) {
-            starts += curStart
-            if (hasValues) { mins += curMin; maxs += curMax }
-          }
-          out(li) = new HawWheel.Level(span, starts.result(), mins.result(), maxs.result())
-          li += 1
-        }
-      }
-      out
-    }
-  }
+    else HawWheel.rollUp(secs, secMins, secMaxs, hasValues, slotSpan)
 
   /** Exact count of rows with timestamp second in [s, e). O(log). */
   def countRange(s: Long, e: Long): Long = {
@@ -283,11 +426,21 @@ final class HawWheel private (
       // largest level aligned at cur and fitting within hi
       var li = Spans.length - 1
       while (li > 0 && !(alignDown(cur, Spans(li)) == cur && cur + Spans(li) <= hi)) li -= 1
-      val lvl = levels(li)
-      val idx = java.util.Arrays.binarySearch(lvl.starts, cur)
-      if (idx >= 0) {
-        if (lvl.mins(idx) < mn) mn = lvl.mins(idx)
-        if (lvl.maxs(idx) > mx) mx = lvl.maxs(idx)
+      if (packed != null) {
+        val pl = packed(li)
+        val g = pl.indexOf(cur)
+        if (g >= 0) {
+          val pmn = pl.minAt(g); val pmx = pl.maxAt(g)
+          if (pmn < mn) mn = pmn
+          if (pmx > mx) mx = pmx
+        }
+      } else {
+        val lvl = levels(li)
+        val idx = java.util.Arrays.binarySearch(lvl.starts, cur)
+        if (idx >= 0) {
+          if (lvl.mins(idx) < mn) mn = lvl.mins(idx)
+          if (lvl.maxs(idx) > mx) mx = lvl.maxs(idx)
+        }
       }
       cur += Spans(li)
     }
@@ -311,14 +464,25 @@ final class HawWheel private (
     val lo = math.max(s, startSec)
     val hi = math.min(e, endSec)
     if (lo >= hi) return Vector.empty
-    val lvl = levels(levelIdx)
     val out = Vector.newBuilder[(Long, RangeAgg)]
-    var i = lowerBound(lvl.starts, alignDown(lo, span))
-    while (i < lvl.starts.length && lvl.starts(i) < hi) {
-      val gs = lvl.starts(i)
-      val a = range(math.max(gs, lo), math.min(gs + span, hi))
-      if (a.count > 0) out += ((gs, a))
-      i += 1
+    if (packed != null) {
+      val pl = packed(levelIdx)
+      var g = pl.lowerBound(alignDown(lo, span))
+      while (g < pl.length && pl.startAt(g) < hi) {
+        val gs = pl.startAt(g)
+        val a = range(math.max(gs, lo), math.min(gs + span, hi))
+        if (a.count > 0) out += ((gs, a))
+        g += 1
+      }
+    } else {
+      val lvl = levels(levelIdx)
+      var i = lowerBound(lvl.starts, alignDown(lo, span))
+      while (i < lvl.starts.length && lvl.starts(i) < hi) {
+        val gs = lvl.starts(i)
+        val a = range(math.max(gs, lo), math.min(gs + span, hi))
+        if (a.count > 0) out += ((gs, a))
+        i += 1
+      }
     }
     out.result()
   }
@@ -358,20 +522,31 @@ final class HawWheel private (
     * [[graft.index.UWheelIndex.refresh]]). */
   private[graft] def slotPartials: Iterator[(Long, Long, Long, Double, Double)] =
     Iterator.range(0, numSecs).map { i =>
-      if (hasValues) (secs(i), counts(i), sums(i), secMins(i), secMaxs(i))
-      else (secs(i), counts(i), 0L, Double.PositiveInfinity, Double.NegativeInfinity)
+      if (!hasValues) (secs(i), counts(i), 0L, Double.PositiveInfinity, Double.NegativeInfinity)
+      else if (packed != null)
+        // level 0's slots are exactly `secs`, so indices line up; sequential
+        // reads decode each block once via the level's memo
+        (secs(i), counts(i), sums(i), packed(0).minAt(i), packed(0).maxAt(i))
+      else (secs(i), counts(i), sums(i), secMins(i), secMaxs(i))
     }
 
   /** Approximate retained-index footprint in bytes (reference:
     * `index_usage_bytes`, `lib.rs:143-151`) — proportional to distinct
     * active seconds, not to the time span. */
   def sizeBytes: Long = {
-    val perSec = if (hasValues) 8 + 8 + 8 + 8 + 8 else 8 + 8
     val prefixes = (numSecs + 1).toLong * (if (hasValues) 16 else 8)
-    val perSlot = if (hasValues) 24 else 8
-    numSecs.toLong * perSec + prefixes +
-      // levels at or below the slot span share the slot arrays (no copy)
-      levels.drop(1).filter(_.span > slotSpan)
-        .map(_.starts.length.toLong * perSlot).sum
+    if (packed != null)
+      // raw count/sum path (secs, counts, sums) + true encoded level bytes;
+      // shared packed levels (span <= slotSpan) counted once
+      numSecs.toLong * (8 + 8 + 8) + prefixes +
+        packed.toSeq.distinct.map(_.storedBytes).sum
+    else {
+      val perSec = if (hasValues) 8 + 8 + 8 + 8 + 8 else 8 + 8
+      val perSlot = if (hasValues) 24 else 8
+      numSecs.toLong * perSec + prefixes +
+        // levels at or below the slot span share the slot arrays (no copy)
+        levels.drop(1).filter(_.span > slotSpan)
+          .map(_.starts.length.toLong * perSlot).sum
+    }
   }
 }

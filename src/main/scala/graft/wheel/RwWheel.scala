@@ -132,11 +132,13 @@ final class RwWheel(
   def freeze(): HawWheel = freeze(1L)
 
   /** Seals into a HawWheel at the given slot span (partials are re-aligned,
-    * so a second-granular ingest can still freeze into a coarse wheel). */
-  def freeze(slotSpan: Long): HawWheel =
+    * so a second-granular ingest can still freeze into a coarse wheel).
+    * `packLevels` stores the frozen min/max hierarchy codec-compressed
+    * ([[HawWheel.fromSecondPartials]]). */
+  def freeze(slotSpan: Long, packLevels: Boolean = false): HawWheel =
     HawWheel.fromSecondPartials(
       slots.iterator.map { case (sec, s) => (sec, s.count, s.sumScaled, s.min, s.max) },
-      scale, hasValues, slotSpan)
+      scale, hasValues, slotSpan, packLevels)
 }
 
 object RwWheel {
