@@ -147,6 +147,10 @@ object WheelRegistry {
   }
 
   def register(t: TableIndex): Unit = tables.put(t.pathKey, t)
+  /** Removes a table's index — the operational complement of register for
+    * dropped tables, so a scheduled [[UWheelIndex.refreshAll]] stops
+    * reporting them as failed forever. */
+  def deregister(rootPath: String): Unit = tables.remove(normalizePath(rootPath))
   def registeredPaths: Seq[String] = tables.keySet().asScala.toSeq.sorted
   def lookup(rootPath: String): Option[TableIndex] =
     Option(tables.get(normalizePath(rootPath)))
@@ -499,6 +503,11 @@ object UWheelIndex {
     /** Existing files were modified or removed (or the index predates
       * refresh metadata) — rebuilt from the full table. */
     case object Rebuilt extends RefreshOutcome
+    /** This table's refresh threw ([[UWheelIndex.refreshAll]] isolates
+      * failures per table); the previous index stays registered — stale but
+      * guarded by the fingerprint gate, so queries fall back to scans
+      * rather than serve wrong answers. */
+    final case class Failed(error: String) extends RefreshOutcome
   }
 
   /** Incremental index maintenance. The staleness fingerprint makes a grown
@@ -627,11 +636,20 @@ object UWheelIndex {
 
   /** [[refresh]] for every file-backed registered index — the one-call
     * maintenance tick a scheduler runs after each ingest cycle. In-memory
-    * (view-built) indexes are skipped: their data is immutable. */
+    * (view-built) indexes are skipped: their data is immutable. Failures
+    * are isolated PER TABLE (reported as [[RefreshOutcome.Failed]]): one
+    * table whose directory vanished mid-rewrite must not starve every other
+    * table's refresh for as long as it stays broken. */
   def refreshAll(spark: SparkSession): Map[String, RefreshOutcome] =
     WheelRegistry.registeredPaths
       .filterNot(_.startsWith("view::"))
-      .map(p => p -> refresh(spark, p))
+      .map { p =>
+        p -> (try refresh(spark, p)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            RefreshOutcome.Failed(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        })
+      }
       .toMap
 
   /** The steady-state service hook: a daemon thread ticking [[refreshAll]]
@@ -639,12 +657,13 @@ object UWheelIndex {
     * without any query-path involvement. Fixed-DELAY scheduling — the next
     * tick waits for the previous one to finish, so a refresh that takes
     * longer than the interval (a full rebuild after an in-place rewrite)
-    * never piles up concurrent refreshes. A tick that throws (e.g. the
-    * table directory momentarily disappearing mid-rewrite) is logged and
-    * the schedule continues — one bad cycle must not kill the service.
-    * Close the returned handle to stop the tick; the no-change case is one
-    * file listing per table, so sub-second intervals are fine in tests and
-    * ~minutes are typical in production. */
+    * never piles up concurrent refreshes. Per-TABLE failures are already
+    * isolated inside [[refreshAll]] ([[RefreshOutcome.Failed]]); failed
+    * tables are logged and the schedule continues — one bad table (or one
+    * bad cycle) must not kill the service. Close the returned handle to
+    * stop the tick; the no-change case is one file listing per table, so
+    * sub-second intervals are fine in tests and ~minutes are typical in
+    * production. */
   def scheduleRefresh(spark: SparkSession, intervalMs: Long): AutoCloseable = {
     require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
     val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
@@ -654,18 +673,27 @@ object UWheelIndex {
     }
     ex.scheduleWithFixedDelay(
       () =>
-        try refreshAll(spark)
-        catch {
+        try {
+          val failed = refreshAll(spark).collect {
+            case (p, RefreshOutcome.Failed(err)) => s"$p: $err"
+          }
+          if (failed.nonEmpty)
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"uwheel refresh tick: ${failed.size} table(s) failed — " +
+                failed.mkString("; "))
+        } catch {
+          // registry-level breakage (refreshAll itself) — log, keep ticking
           case scala.util.control.NonFatal(e) =>
             org.slf4j.LoggerFactory.getLogger(getClass)
               .warn(s"uwheel refresh tick failed: $e")
         },
       intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => {
-      ex.shutdownNow()
-      // wait out an in-flight tick so callers can stop the session right
-      // after close() without racing a refresh against the shutdown
-      ex.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+      // graceful stop: cancel FUTURE ticks but let an in-flight one finish
+      // (shutdownNow would interrupt it mid-Spark-job), then wait it out so
+      // callers can stop the session right after close()
+      ex.shutdown()
+      ex.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
       ()
     }
   }

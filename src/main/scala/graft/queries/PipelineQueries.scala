@@ -210,7 +210,10 @@ object PipelineQueries {
       // large-star: per-node closed-neighborhood min via reduceByKey, then a
       // co-partitioned join re-links every larger neighbor to that min. Each
       // undirected edge is emitted by exactly one side (its smaller endpoint),
-      // so |ls| == |cur| and connectivity is preserved.
+      // so |ls| == |cur| and connectivity is preserved. Persisted for the
+      // round: it feeds TWO shuffles below (small-star's min and re-link),
+      // which would otherwise recompute the join — the round's most
+      // expensive stage — twice.
       val bidir = cur.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       val nbrMin = bidir.reduceByKey(part, math.min(_: Long, _: Long))
       val ls = bidir.join(nbrMin, part).flatMap { case (u, (v, mN)) =>
@@ -220,11 +223,12 @@ object PipelineQueries {
           if (m != u) lsMoved.add(1L)
           Iterator((v, m)) // v > u >= m: canonical orientation holds
         }
-      }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
 
       // small-star: group by the larger endpoint; its smaller neighbors (and
-      // itself) all re-link to the smallest of them. ls feeds two shuffles,
-      // so lsMoved may double-count — harmless for the ==0 test.
+      // itself) all re-link to the smallest of them. (Task retries can still
+      // inflate the accumulators — inflation keeps nonzero nonzero, so the
+      // ==0 convergence test stays safe.)
       val ssMin = ls.reduceByKey(part, math.min(_: Long, _: Long))
       val ssRewired = ls.join(ssMin, part).flatMap { case (u, (v, m)) =>
         if (v == m) Iterator.empty
@@ -235,6 +239,7 @@ object PipelineQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize: fires both halves' accumulators
       converged = lsMoved.value == 0L && ssMoved.value == 0L
+      ls.unpersist(blocking = false)
       cur.unpersist(blocking = false)
       cur = next
     }

@@ -150,13 +150,24 @@ object SimilarityQueries {
     * classic 64-bit/4×16 layout, up to 2⁴² widens to 128-bit/4×32, beyond
     * that 256-bit/4×64. Widening the signature together with the bands
     * preserves exactness (the pigeonhole argument is width-independent);
-    * only the bucket-key space grows. */
+    * only the bucket-key space grows.
+    *
+    * `maxHam + 1` must be a power of two ≤ 64 so bands tile 64-bit words
+    * evenly (bands never straddle a word); a sub-minimum geometry rounds
+    * the band width UP to fill one word — wider keys than requested, never
+    * narrower. */
   private[queries] def simhashAutoConfig(corpusSize: Long, maxHam: Int = 3): SimHashConfig = {
     val bands = maxHam + 1
+    require(maxHam >= 1 && bands <= 64 && (bands & (bands - 1)) == 0,
+      s"maxHam + 1 must be a power of two <= 64 (band/word tiling), got maxHam=$maxHam")
     val width = Seq(16, 32)
       .find(w => corpusSize <= (SimHashTargetBucket << w))
       .getOrElse(64)
-    SimHashConfig(sigWords = bands * width / 64, bands = bands)
+    // fewer than 64/width bands would leave sigWords = 0: widen the bands to
+    // share one word instead (bands and width both powers of two, so
+    // 64*sigWords/bands is always a divisor-of-64 width >= requested)
+    val sigWords = math.max(1, bands * width / 64)
+    SimHashConfig(sigWords = sigWords, bands = bands)
   }
 
   /** SimHash near-duplicate pairs: Hamming-banded candidate join + exact
@@ -165,7 +176,14 @@ object SimilarityQueries {
     * ([[simhashAutoConfig]]): at test scale this is the classic 64-bit
     * signature in 4×16-bit bands; at 10⁹⁺ documents the signature and bands
     * widen together so the bucket space outgrows n and no bucket goes hot —
-    * without giving up the pigeonhole exactness guarantee. */
+    * without giving up the pigeonhole exactness guarantee.
+    *
+    * Note the semantics are corpus-size-scoped: "Hamming ≤ 3" over a wider
+    * signature is a finer (strictly stricter) near-dup test, so a pair's
+    * status can change when the corpus crosses a width step (2²⁶ / 2⁴²
+    * documents). Each result is exact for its own geometry; pipelines that
+    * need corpus-size-INDEPENDENT semantics across runs should pin a
+    * geometry explicitly via [[simhashSig]] + [[simhashBandedPairsN]]. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     val cfg = simhashAutoConfig(cachedCount(spark, sfDir, "documents"))

@@ -233,6 +233,27 @@ class WheelRefreshSpec extends AnyFunSuite {
     assert(WheelRegistry.lookup(pa).get.countWheel.get.wheel.landmark.count === 500)
   }
 
+  test("refreshAll isolates per-table failures (one broken table can't starve the rest)") {
+    val (pa, pb) = (tmpTable(), tmpTable())
+    mkDf(0, 300).write.parquet(pa)
+    mkDf(0, 300).write.parquet(pb)
+    UWheelBuilder("ts", Seq("value")).build(spark, pa)
+    UWheelBuilder("ts", Seq("value")).build(spark, pb)
+    // break pa outright (directory gone), grow pb
+    def rmRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmRec(java.nio.file.Paths.get(pa))
+    mkDf(300, 100).write.mode("append").parquet(pb)
+    val outcomes = UWheelIndex.refreshAll(spark)
+    assert(outcomes(WheelRegistry.normalizePath(pa)).isInstanceOf[RefreshOutcome.Failed])
+    assert(outcomes(WheelRegistry.normalizePath(pb)).isInstanceOf[RefreshOutcome.Appended])
+    assert(WheelRegistry.lookup(pb).get.countWheel.get.wheel.landmark.count === 400)
+    WheelRegistry.deregister(pa) // don't leak the broken table into other tests
+  }
+
   test("scheduleRefresh ticks in the background until closed") {
     val path = tmpTable()
     mkDf(0, 400).write.parquet(path)

@@ -136,6 +136,16 @@ class SimilaritySemanticSpec extends AnyFunSuite {
       assert(cfg.bands === 4) // maxHam 3 + 1: exactness precondition
       assert(cfg.sigWords * 64 % cfg.bands === 0)
     }
+    // non-default maxHam: bands must still tile words — few bands widen to
+    // fill one word (never sigWords = 0), many bands multiply words
+    assert(simhashAutoConfig(500L, maxHam = 1) === SimHashConfig(1, 2)) // 2×32-bit
+    assert(simhashAutoConfig(500L, maxHam = 7) === SimHashConfig(2, 8)) // 8×16-bit
+    assert(simhashAutoConfig(1L << 30, maxHam = 1) === SimHashConfig(1, 2))
+    for (mh <- Seq(1, 3, 7, 15); cfg = simhashAutoConfig(1L << 30, mh)) {
+      val width = cfg.sigWords * 64 / cfg.bands
+      assert(cfg.bands === mh + 1 && width >= 16 && 64 % math.min(width, 64) === 0)
+    }
+    assertThrows[IllegalArgumentException](simhashAutoConfig(500L, maxHam = 2))
   }
 
   test("wide SimHash banding (128-bit, 4×32) ≡ all-pairs Hamming (pigeonhole)") {
