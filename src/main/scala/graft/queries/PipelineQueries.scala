@@ -143,11 +143,54 @@ object PipelineQueries {
       spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf))))
   }
 
+  /** Representative selection — the step that turns clusters into a dedup
+    * DECISION: per duplicate cluster keep exactly one document (most words;
+    * ties to the smallest doc_id — deterministic, so the oracle reproduces
+    * it), reporting (cluster_id, keep_id, n_members). Downstream an
+    * anti-join of the corpus against the non-kept members IS the dedup.
+    * Memberships come from the same star fixpoint as [[ddCluster]]; the
+    * selection itself is one windowed pass over the (small) membership
+    * frame, never the corpus. */
+  def ddClusterKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Q.ctx(spark, sfDir)
+    val members = connectedComponentsMembers(
+      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf))))
+    val words = spark.table("documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+    val w = Window.partitionBy("cluster_id")
+    members.join(words, members("id") === words("doc_id"))
+      .withColumn("rn", row_number().over(w.orderBy(col("n_words").desc, col("id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("id").as("keep_id"),
+        col("n_members").cast("bigint").as("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Connected components over an undirected `(i, j)` pair frame:
     * (cluster representative = min member id, member count), representatives
     * ascending. See [[ddCluster]] for the scale argument. */
   private[queries] def connectedComponents(pairFrame: DataFrame): DataFrame =
     connectedComponentsWithRounds(pairFrame)._1
+
+  /** Per-node cluster memberships `(id, cluster_id)` from the same star
+    * fixpoint — the shape representative-selection needs ([[ddClusterKeep]]):
+    * each fixpoint star contributes its children (child, root) and the root
+    * itself (root, root). Materialized before the iteration state is
+    * released, like the counts path. */
+  private[queries] def connectedComponentsMembers(pairFrame: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairFrame.sparkSession
+    import spark.implicits._
+    val (stars, _) = starFixpoint(pairFrame)
+    val members = stars
+      .union(stars.values.distinct(stars.getNumPartitions).map(r => (r, r)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    members.count()
+    stars.unpersist(blocking = false)
+    spark.createDataset(members).toDF("id", "cluster_id")
+  }
 
   /** Alternating large-star/small-star contraction (the MapReduce CC
     * algorithm of Kiveris et al., SoCC'14), returning the cluster frame and
@@ -182,6 +225,32 @@ object PipelineQueries {
     * Superseded edge RDDs are unpersisted each round. */
   private[queries] def connectedComponentsWithRounds(
       pairFrame: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairFrame.sparkSession
+    import spark.implicits._
+    val (stars, rounds) = starFixpoint(pairFrame)
+    // one row per duplicate cluster — small relative to the corpus but
+    // unbounded in absolute terms, so it stays distributed; materialize it
+    // before releasing the iteration state so the downstream read serves
+    // from these blocks instead of recomputing the lineage
+    val result = stars
+      .map { case (_, root) => (root, 1L) }
+      .reduceByKey(_ + _)
+      .map { case (root, kids) => (root, kids + 1L) } // + the root itself
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    stars.unpersist(blocking = false)
+    (spark.createDataset(result).toDF("cluster_id", "n_members").orderBy("cluster_id"),
+      rounds)
+  }
+
+  /** The star fixpoint itself: returns the PERSISTED star edge set
+    * (child, root) — every component contracted to a star rooted at its
+    * minimum id — plus the round count. Callers derive counts
+    * ([[connectedComponentsWithRounds]]) or memberships
+    * ([[connectedComponentsMembers]]) and unpersist the returned RDD. */
+  private def starFixpoint(
+      pairFrame: DataFrame): (org.apache.spark.rdd.RDD[(Long, Long)], Int) = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
@@ -243,30 +312,17 @@ object PipelineQueries {
       cur.unpersist(blocking = false)
       cur = next
     }
-
-    // fixpoint = stars (child, root) rooted at each component's min id.
-    // The output stays distributed (one row per duplicate cluster — small
-    // relative to the corpus but unbounded in absolute terms); materialize
-    // it before releasing the iteration state so the downstream read
-    // normally serves from these blocks instead of recomputing the lineage.
-    val result = cur
-      .map { case (_, root) => (root, 1L) }
-      .reduceByKey(part, _ + _)
-      .map { case (root, kids) => (root, kids + 1L) } // + the root itself
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    cur.unpersist(blocking = false)
-    (spark.createDataset(result).toDF("cluster_id", "n_members").orderBy("cluster_id"),
-      rounds)
+    (cur, rounds)
   }
 
   // --- DuckDB oracles -----------------------------------------------------
 
-  /** dd_cluster's oracle: the same capped edge set (TextQueries' join-based
-    * shingle-Jaccard twin with the stop-shingle cap), closed transitively
-    * with a recursive CTE, then min-reachable-label per node — tiny-corpus-
-    * only, which is all an oracle needs to be. */
-  private val ddClusterOracle =
+  /** Shared oracle prelude for the clustering family: the same capped edge
+    * set (TextQueries' join-based shingle-Jaccard twin with the stop-shingle
+    * cap), closed transitively with a recursive CTE, then min-reachable
+    * label per node (`lab(node, cluster_id)`) — tiny-corpus-only, which is
+    * all an oracle needs to be. */
+  private val ddClusterOraclePrelude =
     s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |           WHERE len(string_split(text, ' ')) >= 3),
        |sh AS (SELECT doc_id, unnest(list_distinct(
@@ -290,9 +346,25 @@ object PipelineQueries {
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
        |),
-       |lab AS (SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+       |lab AS (SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  private val ddClusterOracle =
+    s"""$ddClusterOraclePrelude
        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  private val ddClusterKeepOracle =
+    s"""$ddClusterOraclePrelude,
+       |wc AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents),
+       |nm AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY cluster_id),
+       |sel AS (SELECT l.cluster_id, l.node,
+       |               row_number() OVER (PARTITION BY l.cluster_id
+       |                                  ORDER BY w.n_words DESC, l.node) AS rn
+       |        FROM lab l JOIN wc w ON w.doc_id = l.node)
+       |SELECT s.cluster_id, CAST(s.node AS BIGINT) AS keep_id,
+       |       CAST(n.n_members AS BIGINT) AS n_members
+       |FROM sel s JOIN nm n ON n.cluster_id = s.cluster_id
+       |WHERE s.rn = 1 ORDER BY s.cluster_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ds_split" ->
@@ -354,8 +426,11 @@ object PipelineQueries {
         |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "dd_cluster" -> ddClusterOracle,
+    "dd_cluster_keep" -> ddClusterKeepOracle,
   )
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
-    sparkSql.map { case (n, s) => n -> Q.sql(s) } :+ ("dd_cluster" -> (ddCluster _))
+    sparkSql.map { case (n, s) => n -> Q.sql(s) } :+
+      ("dd_cluster" -> (ddCluster _)) :+
+      ("dd_cluster_keep" -> (ddClusterKeep _))
 }

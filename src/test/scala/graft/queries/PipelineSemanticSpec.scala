@@ -71,6 +71,30 @@ class PipelineSemanticSpec extends AnyFunSuite {
     assert(got === Seq((0L, 10L), (20L, 3L)))
   }
 
+  test("cluster memberships equal union-find labels; keep picks the longest member") {
+    val session = spark
+    import session.implicits._
+    val pairs = TextQueries.defs.toMap.apply("dd_shingle_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    val expected = unionFind(pairs)
+    val got = PipelineQueries.connectedComponentsMembers(pairs.toDF("i", "j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+
+    // keep = most words, ties to smallest id — computed locally per cluster
+    val words = spark.table("documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS w")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expKeep = expected.groupBy(_._2).map { case (c, ns) =>
+      val keep = ns.keys.toSeq.maxBy(id => (words(id), -id))
+      (c, keep, ns.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val gotKeep = PipelineQueries.ddClusterKeep(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotKeep === expKeep)
+  }
+
   test("long path contracts in O(log n) rounds, not O(diameter)") {
     val session = spark
     import session.implicits._
