@@ -117,6 +117,26 @@ object PipelineQueries {
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // token-budget sequence packing (the pretraining "pack documents into
+    // fixed-length sequences" step), made deterministic and distributed:
+    // docs are hashed into independent packer buckets (PARTITION BY keeps
+    // every bucket's running token sum local — no global cumsum bottleneck),
+    // packed greedily in hash order, and a doc opens in the bin where its
+    // bucket-cumulative token count starts. Reported per (bucket, bin):
+    // the packing manifest. 2048-token budget; division through DOUBLE is
+    // exact here (counts << 2^53) and shared by both dialects.
+    "ds_pack" ->
+      s"""WITH t AS (SELECT doc_id, size(split(text, ' ')) AS n,
+         |                  (doc_id * $HashK) % 32 AS bucket,
+         |                  (doc_id * $HashK) % 1000000007 AS h FROM documents),
+         |c AS (SELECT bucket, doc_id, n,
+         |             sum(n) OVER (PARTITION BY bucket ORDER BY h, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT bucket, CAST(floor((cum - n) / 2048.0) AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
   )
 
   /** Duplicate clustering: connected components over the exact near-dup
@@ -424,6 +444,18 @@ object PipelineQueries {
       """SELECT CAST(floor(value / 10) AS BIGINT) AS bin,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "ds_pack" ->
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+         |                  (doc_id * $HashK) % 32 AS bucket,
+         |                  (doc_id * $HashK) % 1000000007 AS h FROM documents),
+         |c AS (SELECT bucket, doc_id, n,
+         |             sum(n) OVER (PARTITION BY bucket ORDER BY h, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT bucket, CAST(floor((cum - n) / 2048.0) AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
 
     "dd_cluster" -> ddClusterOracle,
     "dd_cluster_keep" -> ddClusterKeepOracle,
