@@ -277,7 +277,7 @@ object PipelineQueries {
     val spark = pairFrame.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
-    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
 
     // canonical (hi, lo) edges: self-loops dropped, orientation fixed, deduped
     var cur: RDD[(Long, Long)] = pairFrame.select(col("i"), col("j")).as[(Long, Long)].rdd
@@ -286,11 +286,21 @@ object PipelineQueries {
         else if (a > b) Iterator((a, b))
         else Iterator((b, a))
       }
-      .distinct(part.numPartitions)
+      .distinct(defaultParts)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // size the round partitioner to the MEASURED edge count (~1M edges per
+    // partition): every round runs ~5 shuffle jobs, and a near-dup edge
+    // list is usually orders of magnitude smaller than the corpus — at the
+    // session's corpus-sized partition count, per-round task overhead
+    // dominates; a giant edge list still fans out to the session default.
+    // The count also materializes the persist.
+    val nEdges = cur.count()
+    val part = new HashPartitioner(
+      math.max(1, math.min(defaultParts, ((nEdges - 1) / 1000000L + 1).toInt)))
+
     var rounds = 0
-    var converged = cur.isEmpty()
+    var converged = nEdges == 0L
     while (!converged) {
       rounds += 1
       val lsMoved = sc.longAccumulator(s"cc-large-star-moves-r$rounds")
