@@ -89,6 +89,10 @@ final class TableIndex(
   }
   def countWheel: Option[IndexedWheel] = get(None, "")
   def minMaxWheel(col: String): Option[IndexedWheel] = get(Some(col), "")
+  /** True when this table's wheels use codec-compressed min/max levels —
+    * the packedness that wheel additions and refreshes must preserve
+    * (builds are homogeneous per table). */
+  def packLevels: Boolean = allWheels.exists(_.wheel.isPacked)
   /** Retained bytes across wheels, counting shared HawWheels (e.g. the
     * count wheel aliasing the first min/max wheel) once. */
   def indexUsageBytes: Long =
@@ -485,11 +489,9 @@ object UWheelIndex {
       case None => (None, "")
     }
     val span = t.countWheel.map(_.wheel.slotSpan).getOrElse(1L)
-    // an ad-hoc wheel added to a packed index packs too (homogeneous table)
-    val pack = t.allWheels.exists(_.wheel.isPacked)
     t.put(buildWheels(df, t.timeColumn,
       Seq(WheelSpec(Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale, ib.filterSql)),
-      span, pack).head.wheel)
+      span, t.packLevels).head.wheel)
   }
 
   /** Outcome of an incremental [[UWheelIndex.refresh]]. */
@@ -599,9 +601,8 @@ object UWheelIndex {
         else fitSpan(bounds.map(_._1).min, bounds.map(_._2).max, oldSpan, budget)
     }
 
-    val packLevels = t.allWheels.exists(_.wheel.isPacked)
     val built = buildWheels(scanDf, t.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, span,
-      packLevels)
+      t.packLevels)
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val keyedBuilt = rest.take(keyedSpecs.length)
 

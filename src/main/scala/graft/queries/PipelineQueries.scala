@@ -256,7 +256,7 @@ object PipelineQueries {
     val result = stars
       .map { case (_, root) => (root, 1L) }
       .reduceByKey(_ + _)
-      .map { case (root, kids) => (root, kids + 1L) } // + the root itself
+      .mapValues(_ + 1L) // + the root itself
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     stars.unpersist(blocking = false)
