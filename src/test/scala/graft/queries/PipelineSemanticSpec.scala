@@ -95,6 +95,33 @@ class PipelineSemanticSpec extends AnyFunSuite {
     assert(gotKeep === expKeep)
   }
 
+  test("star contraction equals union-find on random graphs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val session = spark
+    import session.implicits._
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 120) // node-id space
+      m <- Gen.chooseNum(1, 240) // edge count (densities from tree-ish to multigraph)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b } // self-loops dropped upstream too
+    val prop = Prop.forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val expected = unionFind(edges)
+          .groupBy(_._2).map { case (c, ns) => (c, ns.size.toLong) }
+          .toSeq.sorted
+        val got = PipelineQueries.connectedComponents(edges.toDF("i", "j"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        got == expected
+      }
+    }
+    // Spark jobs per case: keep the case count moderate
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
   test("long path contracts in O(log n) rounds, not O(diameter)") {
     val session = spark
     import session.implicits._
