@@ -243,7 +243,7 @@ object PipelineQueries {
     * (Stage retries or shared-lineage recomputation can only inflate a
     * nonzero count, never turn zero into nonzero, so the ==0 test is safe.)
     * Superseded edge RDDs are unpersisted each round. */
-  private[queries] def connectedComponentsWithRounds(
+  private[graft] def connectedComponentsWithRounds(
       pairFrame: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairFrame.sparkSession
@@ -289,15 +289,15 @@ object PipelineQueries {
       .distinct(defaultParts)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // size the round partitioner to the MEASURED edge count (~1M edges per
-    // partition): every round runs ~5 shuffle jobs, and a near-dup edge
+    // size the round partitioner to the MEASURED edge count (~250k edges
+    // per partition): every round runs ~5 shuffle jobs, and a near-dup edge
     // list is usually orders of magnitude smaller than the corpus — at the
     // session's corpus-sized partition count, per-round task overhead
     // dominates; a giant edge list still fans out to the session default.
     // The count also materializes the persist.
     val nEdges = cur.count()
     val part = new HashPartitioner(
-      math.max(1, math.min(defaultParts, ((nEdges - 1) / 1000000L + 1).toInt)))
+      math.max(1, math.min(defaultParts, ((nEdges - 1) / 250000L + 1).toInt)))
 
     var rounds = 0
     var converged = nEdges == 0L
