@@ -60,4 +60,42 @@ class WheelIndexIOSpec extends AnyFunSuite {
     assert(!rewritten(q))
     assert(q.collect()(0).getLong(0) > 0L)
   }
+
+  test("packed index survives save/load: still packed, min/max exact, refresh keeps packing") {
+    graft.Graft.enable(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-pack").toString
+    val p = s"$dir/t.parquet"
+    val base = java.sql.Timestamp.valueOf("2024-09-01 00:00:00").getTime
+    def rows(from: Int, n: Int) =
+      (from until from + n).map(i => (new java.sql.Timestamp(base + i * 7000L), (i % 97) / 4.0))
+    rows(0, 2000).toDF("ts", "value").write.mode("overwrite").parquet(p)
+    val built = UWheelBuilder("ts", Seq("value")).withPackedLevels().build(spark, p)
+    assert(built.packLevels)
+    val file = s"$dir/index.bin"
+    WheelIndexIO.save(built, file)
+
+    def q = spark.read.parquet(p)
+      .filter(col("ts") >= lit("2024-09-01 00:10:00").cast("timestamp") &&
+              col("ts") < lit("2024-09-01 02:40:00").cast("timestamp"))
+      .agg(count(lit(1)).as("c"), min("value").as("mn"), max("value").as("mx"))
+    val expected = q.collect()(0)
+    assert(rewritten(q))
+
+    WheelRegistry.clear()
+    val (loaded, fresh) = WheelIndexIO.load(spark, file)
+    assert(fresh && loaded.packLevels)
+    assert(rewritten(q))
+    assert(q.collect()(0) === expected)
+
+    // append + refresh on the LOADED index: packing and exactness persist
+    rows(2000, 500).toDF("ts", "value").write.mode("append").parquet(p)
+    assert(UWheelIndex.refresh(spark, p)
+      .isInstanceOf[UWheelIndex.RefreshOutcome.Appended])
+    assert(WheelRegistry.lookup(p).get.packLevels)
+    assert(rewritten(q))
+    graft.Graft.rewritesEnabled = false
+    val scan = try q.collect()(0) finally graft.Graft.rewritesEnabled = true
+    assert(q.collect()(0) === scan)
+  }
 }
