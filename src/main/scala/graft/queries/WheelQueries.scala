@@ -49,6 +49,12 @@ object WheelQueries {
       s"SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx FROM events"),
     "uw_keyed_sum" -> Q.sql(
       s"SELECT $sumDec AS sum_click FROM events WHERE $range AND event_type = 'click'"),
+    // keyed GROUP BY: the residual filter routes to the keyed wheel and the
+    // time buckets come from ITS slots — the rewrite must compose both arms
+    "uw_keyed_groupby" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, $sumDec AS sum_click
+         |FROM events WHERE $range AND event_type = 'click'
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     "uw_prune_time" -> Q.sql(
       """SELECT event_id, user_id, value FROM events
         |WHERE ts >= TIMESTAMP '2030-01-01 00:00:00' AND ts < TIMESTAMP '2030-06-01 00:00:00'
@@ -114,6 +120,10 @@ object WheelQueries {
       s"SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx FROM events",
     "uw_keyed_sum" ->
       s"SELECT $sumDec AS sum_click FROM events WHERE $range AND event_type = 'click'",
+    "uw_keyed_groupby" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, $sumDec AS sum_click
+         |FROM events WHERE $range AND event_type = 'click'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_prune_time" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE ts >= TIMESTAMP '2030-01-01 00:00:00' AND ts < TIMESTAMP '2030-06-01 00:00:00'
