@@ -74,7 +74,14 @@ final class TableIndex(
     val filesAtBuild: Map[String, (Long, Long)] = Map.empty,
     /** The build's slot budget, re-applied on refresh so a growing time
       * range coarsens the merged wheels exactly as a fresh build would. */
-    val slotBudget: Option[Long] = None) extends Serializable {
+    val slotBudget: Option[Long] = None,
+    /** The build's `withPackedLevels` setting, re-applied by refreshes and
+      * ad-hoc wheel additions. A persisted FIELD, not an inference from the
+      * wheels: an empty initial build produces empty (necessarily unpacked)
+      * wheels, and inferring from them would silently drop the user's
+      * opt-in forever. Old persisted indexes deserialize to false — exactly
+      * right, their wheels are raw. */
+    val packLevels: Boolean = false) extends Serializable {
   private val wheels = new ConcurrentHashMap[(Option[String], String), IndexedWheel]()
 
   def put(w: IndexedWheel): Unit = wheels.put((w.valueColumn, w.filterKey), w)
@@ -89,10 +96,6 @@ final class TableIndex(
   }
   def countWheel: Option[IndexedWheel] = get(None, "")
   def minMaxWheel(col: String): Option[IndexedWheel] = get(Some(col), "")
-  /** True when this table's wheels use codec-compressed min/max levels —
-    * the packedness that wheel additions and refreshes must preserve
-    * (builds are homogeneous per table). */
-  def packLevels: Boolean = allWheels.exists(_.wheel.isPacked)
   /** Retained bytes across wheels, counting shared HawWheels (e.g. the
     * count wheel aliasing the first min/max wheel) once. */
   def indexUsageBytes: Long =
@@ -435,7 +438,7 @@ object UWheelIndex {
     val tsAllNonNull = !unfiltered.exists(_.sawNullTs)
     val t = new TableIndex(pathKey, conf.timeColumn, tsAllNonNull, fingerprint,
       filesAtBuild = listingOf(df).getOrElse(Nil).map(f => f._1 -> (f._2, f._3)).toMap,
-      slotBudget = conf.slotBudget)
+      slotBudget = conf.slotBudget, packLevels = conf.packLevels)
     t.put(countBuilt.wheel)
     (colBuilt ++ rest.take(keyedSpecs.length)).foreach(bw => t.put(bw.wheel))
     WheelRegistry.register(t)
@@ -470,7 +473,11 @@ object UWheelIndex {
     * `lib.rs:154-239`). The table must already have been registered via
     * [[build]]; the new wheel inherits the table's slot span so all wheels
     * of one table gate identically. */
-  def buildIndex(spark: SparkSession, path: String, ib: IndexBuilder, scale: Int = 2): Unit = {
+  def buildIndex(spark: SparkSession, path: String, ib: IndexBuilder, scale: Int = 2): Unit =
+    maintenanceLock.synchronized { buildIndexLocked(spark, path, ib, scale) }
+
+  private def buildIndexLocked(
+      spark: SparkSession, path: String, ib: IndexBuilder, scale: Int): Unit = {
     val key = WheelRegistry.normalizePath(path)
     val t = WheelRegistry.lookup(key).getOrElse(
       throw new IllegalStateException(s"no TableIndex registered for $key — call build() first"))
@@ -534,7 +541,21 @@ object UWheelIndex {
     * At 100 TB this is the difference between a daily index touch of one
     * day's partitions and a 10-year rescan; the reference has no
     * invalidation at all (`lib.rs:154-239` keys wheels forever). */
-  def refresh(spark: SparkSession, path: String): RefreshOutcome = {
+  def refresh(spark: SparkSession, path: String): RefreshOutcome =
+    maintenanceLock.synchronized { refreshLocked(spark, path) }
+
+  /** Serializes the read-modify-write maintenance ops (refresh, ad-hoc
+    * wheel additions) against each other. Without it, a background
+    * [[scheduleRefresh]] tick snapshotting a table's wheels could race a
+    * foreground [[buildIndex]] and register an index missing the freshly
+    * added wheel (lost update). [[build]] is deliberately NOT serialized
+    * under it: a full build may scan for minutes and both writers register
+    * complete fresh snapshots — if a stale one wins the race its older
+    * fingerprint just gates it inert until the next tick replaces it
+    * (eventual freshness, never wrong). */
+  private[this] val maintenanceLock = new Object
+
+  private def refreshLocked(spark: SparkSession, path: String): RefreshOutcome = {
     val key = WheelRegistry.normalizePath(path)
     require(!key.startsWith("view::"),
       "in-memory (DataFrame-built) indexes have no file listing to refresh — rebuild instead")
@@ -616,7 +637,7 @@ object UWheelIndex {
       else old.copy(
         wheel = HawWheel.fromSecondPartials(
           old.wheel.slotPartials ++ fresh.wheel.wheel.slotPartials,
-          old.wheel.scale, old.wheel.hasValues, span, old.wheel.isPacked),
+          old.wheel.scale, old.wheel.hasValues, span, t.packLevels),
         valueAllNonNull = old.valueAllNonNull && fresh.wheel.valueAllNonNull,
         valuesExactAtScale = old.valuesExactAtScale && fresh.wheel.valuesExactAtScale,
         valuesNaNFree = old.valuesNaNFree && fresh.wheel.valuesNaNFree)
@@ -631,7 +652,7 @@ object UWheelIndex {
     val sawNull = unfilteredDelta.exists(_.sawNullTs)
     val nt = new TableIndex(key, t.timeColumn,
       if (appendOnly) t.tsAllNonNull && !sawNull else !sawNull,
-      fingerprintOfListing(listing), now, t.slotBudget)
+      fingerprintOfListing(listing), now, t.slotBudget, t.packLevels)
     (newCols ++ newKeyed ++ newCount).foreach(nt.put)
     WheelRegistry.register(nt)
     if (appendOnly) RefreshOutcome.Appended(newPaths.length) else RefreshOutcome.Rebuilt
@@ -693,10 +714,13 @@ object UWheelIndex {
       intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => {
       // graceful stop: cancel FUTURE ticks but let an in-flight one finish
-      // (shutdownNow would interrupt it mid-Spark-job), then wait it out so
-      // callers can stop the session right after close()
+      // (shutdownNow would interrupt it mid-Spark-job), then wait it out —
+      // however long it takes — so callers can stop the session right after
+      // close() without pulling it out from under a running refresh
       ex.shutdown()
-      ex.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      while (!ex.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn("still waiting for an in-flight uwheel refresh tick to finish")
       ()
     }
   }

@@ -170,7 +170,11 @@ object PipelineQueries {
     * anti-join of the corpus against the non-kept members IS the dedup.
     * Memberships come from the same star fixpoint as [[ddCluster]]; the
     * selection itself is one windowed pass over the (small) membership
-    * frame, never the corpus. */
+    * frame, never the corpus. (As CONTRACT queries, dd_cluster and
+    * dd_cluster_keep each run their own fixpoint — deliberately, so every
+    * entry is independently checkable; a production pipeline would
+    * materialize [[connectedComponentsMembers]] once and derive both the
+    * counts and the keep set from it.) */
   def ddClusterKeep(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     Q.ctx(spark, sfDir)
@@ -190,7 +194,12 @@ object PipelineQueries {
 
   /** Connected components over an undirected `(i, j)` pair frame:
     * (cluster representative = min member id, member count), representatives
-    * ascending. See [[ddCluster]] for the scale argument. */
+    * ascending. See [[ddCluster]] for the scale argument.
+    *
+    * Contract: the pair relation is IRREFLEXIVE — every caller produces
+    * strict `i < j` match pairs, and a self-pair carries no duplication
+    * information, so `(x, x)` rows are ignored (a node whose only "edge" is
+    * a self-loop is not a duplicate cluster). */
   private[queries] def connectedComponents(pairFrame: DataFrame): DataFrame =
     connectedComponentsWithRounds(pairFrame)._1
 

@@ -197,6 +197,35 @@ class WheelPackSpec extends AnyFunSuite {
     assert(q2.head() === scanRow)
   }
 
+  test("packedness intent survives an EMPTY initial build (field, not inference)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.enable(spark)
+    import spark.implicits._
+    // empty seed table: wheels are empty, hence necessarily unpacked — an
+    // inference from the wheels would silently drop the user's opt-in here
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack-empty").toString + "/t.parquet"
+    Seq.empty[(java.sql.Timestamp, Double)].toDF("ts", "value").write.parquet(dir)
+    val t = graft.index.UWheelBuilder("ts", Seq("value")).withPackedLevels()
+      .build(spark, dir)
+    assert(t.packLevels)
+    assert(t.allWheels.forall(!_.wheel.isPacked)) // nothing to pack yet
+    // first real data arrives: the refresh must honor the recorded intent
+    (0 until 3000).map(i => (new java.sql.Timestamp(1709251200000L + i * 1000L), i / 7.0))
+      .toDF("ts", "value").write.mode("append").parquet(dir)
+    graft.index.UWheelIndex.refresh(spark, dir)
+    val after = graft.index.WheelRegistry.lookup(dir).get
+    assert(after.packLevels)
+    assert(after.allWheels.forall(_.wheel.isPacked),
+      "post-refresh wheels must be packed: the opt-in was recorded on the index")
+    assert(after.countWheel.get.wheel.landmark.count === 3000)
+  }
+
   test("count-only wheels ignore packLevels (no payload to compress)") {
     val parts = mkPartials(5, 1000).map(p => (p._1, p._2, 0L,
       Double.PositiveInfinity, Double.NegativeInfinity))
