@@ -65,14 +65,23 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run to those entries — the
+    // isolation probe for separating a query's own cost from suite-position
+    // effects (GC/shuffle debt of whatever ran before it alphabetically).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+
     val results = mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = try timeOne(fn) catch { case _: Throwable => -1.0 }
+      if (selected(name))
+        results(name) = try timeOne(fn) catch { case _: Throwable => -1.0 }
     }
     // Same temporal queries with the wheel rule off: the full-scan baseline.
     Graft.rewritesEnabled = false
     try WheelQueries.defs.foreach { case (name, fn) =>
-      results(name + "_scan") = try timeOne(fn) catch { case _: Throwable => -1.0 }
+      if (selected(name + "_scan"))
+        results(name + "_scan") = try timeOne(fn) catch { case _: Throwable => -1.0 }
     } finally Graft.rewritesEnabled = true
     results("index_build") = indexBuildSec
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst ports of the reference's predicate analysis
   * (`/root/reference/datafusion-uwheel/src/expr.rs`). */
@@ -79,6 +80,69 @@ object Extract {
   private def isDateAttr(e: Expression, timeCol: String): Boolean = e match {
     case a: AttributeReference => a.name == timeCol && a.dataType == DateType
     case _ => false
+  }
+
+  /** Does `e` denote the time column as a calendar DATE value, zone-free?
+    * Accepts the bare DateType column and `to_date`/`CAST(… AS DATE)` of the
+    * timestamp column — the cast truncates in its zone, so TimestampType
+    * requires that zone to be UTC (wheel slots are epoch-aligned); NTZ is
+    * wall-clock and exempt. */
+  private def isTimeAsDate(e: Expression, timeCol: String): Boolean = e match {
+    case a: AttributeReference => a.name == timeCol && a.dataType == DateType
+    case Cast(t, DateType, tzId, _) =>
+      (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) && isTime(t, timeCol)
+    case _ => false
+  }
+
+  /** Canonical calendar unit of a `date_trunc`/`trunc` format string, or
+    * None for unsupported (sub-second, millennium, …) units. */
+  private def truncUnitOf(fmt: String): Option[String] = {
+    import graft.wheel.HawWheel
+    val u = fmt.toLowerCase
+    HawWheel.levelIndexOf(u).map(Vector("second", "minute", "hour", "day", "week"))
+      .orElse(HawWheel.monthStrideOf(u).map {
+        case 1 => "month"
+        case 3 => "quarter"
+        case _ => "year"
+      })
+  }
+
+  /** UTC truncation of an epoch-micros instant to a calendar unit. Week is
+    * Monday-anchored (epoch day 0 is a Thursday) to match Spark and DuckDB;
+    * month/quarter/year use proleptic-Gregorian calendar arithmetic. */
+  private def truncUtcMicros(us: Long, unit: String): Long = unit match {
+    case "second" => Math.floorDiv(us, MicrosPerSec) * MicrosPerSec
+    case "minute" => Math.floorDiv(us, 60L * MicrosPerSec) * (60L * MicrosPerSec)
+    case "hour"   => Math.floorDiv(us, 3600L * MicrosPerSec) * (3600L * MicrosPerSec)
+    case "day"    => Math.floorDiv(us, MicrosPerDay) * MicrosPerDay
+    case "week"   =>
+      val anchor = -3L * MicrosPerDay // Monday 1969-12-29
+      Math.floorDiv(us - anchor, 7L * MicrosPerDay) * (7L * MicrosPerDay) + anchor
+    case _ =>
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, MicrosPerDay))
+      val t = unit match {
+        case "month"   => d.withDayOfMonth(1)
+        case "quarter" => java.time.LocalDate.of(d.getYear, (d.getMonthValue - 1) / 3 * 3 + 1, 1)
+        case _         => java.time.LocalDate.of(d.getYear, 1, 1)
+      }
+      t.toEpochDay * MicrosPerDay
+  }
+
+  /** The next unit boundary after an already-aligned instant. */
+  private def nextBoundaryMicros(alignedUs: Long, unit: String): Long = unit match {
+    case "second" => alignedUs + MicrosPerSec
+    case "minute" => alignedUs + 60L * MicrosPerSec
+    case "hour"   => alignedUs + 3600L * MicrosPerSec
+    case "day"    => alignedUs + MicrosPerDay
+    case "week"   => alignedUs + 7L * MicrosPerDay
+    case _ =>
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(alignedUs, MicrosPerDay))
+      val n = unit match {
+        case "month"   => d.plusMonths(1)
+        case "quarter" => d.plusMonths(3)
+        case _         => d.plusYears(1)
+      }
+      n.toEpochDay * MicrosPerDay
   }
 
   /** Does `e` denote the indexed time column as an absolute (timezone-free)
@@ -176,7 +240,72 @@ object Extract {
       case _ => None
     }}
 
+    // `time = literal` equality family → a half-open micros range. The
+    // reference has no equality arm at all (`expr.rs:209-241` handles only
+    // >,>=,<,<=); these are the patterns real dashboards emit ("this exact
+    // day/month/year"). Truncated-time equalities are exact unit ranges when
+    // the literal is unit-aligned and UNSATISFIABLE otherwise — the latter
+    // collapses to the empty range [0, 0), which downstream merging
+    // (max-lo / min-hi) can never widen back open.
+    def eqRangeUs(x: Expression, l: Expression): Option[(Long, Long)] = x match {
+      // dateCol = DATE 'd' / to_date(ts) = DATE 'd': the whole day, exact
+      case _ if isTimeAsDate(x, timeCol) && litDateMicros(l).isDefined =>
+        val d = litDateMicros(l).get
+        Some((d, d + MicrosPerDay))
+      // date_trunc(unit, ts) = TIMESTAMP 't': unit range when aligned.
+      // Coarse units truncate in the expression's zone (NTZ: wall clock) —
+      // same UTC gating as the GROUP BY date_trunc rewrite arm.
+      case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
+          if isTime(t, timeCol) =>
+        for {
+          unit <- truncUnitOf(fmt.toString)
+          if unit == "second" || t.dataType == TimestampNTZType || tzId.exists(isUtcZone)
+          v <- litMicros(l)
+        } yield
+          if (truncUtcMicros(v, unit) == v) (v, nextBoundaryMicros(v, unit))
+          else (0L, 0L)
+      // trunc(dateCol, unit) = DATE 'd': DATE in, DATE out, zone-free
+      // (TruncDate never consults the session zone). Spark's trunc() yields
+      // NULL for units finer than week, so those stay residual.
+      case TruncDate(t, Literal(fmt: UTF8String, StringType))
+          if isDateAttr(t, timeCol) =>
+        for {
+          unit <- truncUnitOf(fmt.toString)
+          if unit == "week" || unit == "month" || unit == "quarter" || unit == "year"
+          d <- litDateMicros(l)
+        } yield
+          if (truncUtcMicros(d, unit) == d) (d, nextBoundaryMicros(d, unit))
+          else (0L, 0L)
+      // year(ts) = N: the calendar year as a range (month/day-of-year
+      // equalities are recurring, not contiguous, so only year extracts)
+      case Year(t) if isTimeAsDate(t, timeCol) =>
+        l match {
+          case Literal(y: Int, IntegerType) if y >= 1 && y <= 9998 =>
+            val lo = java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay
+            val hi = java.time.LocalDate.of(y + 1, 1, 1).toEpochDay * MicrosPerDay
+            Some((lo, hi))
+          case _ => None
+        }
+      // ts = TIMESTAMP 't': a single microsecond — the final
+      // seconds-rounding marks it inexact (a one-second superset), which
+      // still powers R6/R7 pruning
+      case _ if isTime(x, timeCol) && litMicros(l).isDefined =>
+        val v = litMicros(l).get
+        Some((v, v + 1))
+      case _ => None
+    }
+    object TimeEq {
+      def unapply(e: Expression): Option[(Long, Long)] = e match {
+        // <=> with a non-null literal matches exactly the = rows
+        case EqualTo(a, b)       => eqRangeUs(a, b).orElse(eqRangeUs(b, a))
+        case EqualNullSafe(a, b) => eqRangeUs(a, b).orElse(eqRangeUs(b, a))
+        case _ => None
+      }
+    }
+
     conjuncts.foreach {
+      case TimeEq((lo0, hi0)) =>
+        mergeLo(lo0); mergeHi(hi0)
       // DATE-column vs DATE-literal comparisons first: day slots make every
       // operator exact (`d <= lit` ⇔ `d < lit + 1 day`, `d > lit` ⇔
       // `d >= lit + 1 day`), where the generic timestamp arms below must

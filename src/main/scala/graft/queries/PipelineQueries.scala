@@ -137,6 +137,20 @@ object PipelineQueries {
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n) AS BIGINT) AS n_tokens
          |FROM c GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
+
+    // weighted mixture construction: subsample each source (language) at its
+    // own rate — the "mix corpora at fixed ratios" step of a pretraining
+    // recipe. Deterministic per-row hash gate, no RNG, no shuffle beyond the
+    // final count: a row's fate depends only on its id and its source's
+    // weight, so a grown corpus keeps every previously-kept row (the same
+    // stability property as ds_split).
+    "ds_mix" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM documents
+         |WHERE (doc_id * $HashK) % 1000 <
+         |      CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 400
+         |                WHEN 'de' THEN 300 ELSE 150 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** Duplicate clustering: connected components over the exact near-dup
@@ -475,6 +489,14 @@ object PipelineQueries {
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n) AS BIGINT) AS n_tokens
          |FROM c GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
+
+    "ds_mix" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM documents
+         |WHERE (doc_id * $HashK) % 1000 <
+         |      CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 400
+         |                WHEN 'de' THEN 300 ELSE 150 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dd_cluster" -> ddClusterOracle,
     "dd_cluster_keep" -> ddClusterKeepOracle,

@@ -252,6 +252,23 @@ object RelationalQueries {
         |             ORDER BY count(*) DESC, o_orderpriority) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    // Pearson correlation per group from decimal-exact moment sums: the five
+    // sums are exact integers (DECIMAL) in any accumulation order, lowered to
+    // DOUBLE once, and the closed-form combination is a fixed expression tree
+    // — bit-identical across engines, unlike corr()'s float accumulation.
+    // One map-side-combinable hash aggregate; scales like q1.
+    "q_corr" ->
+      """WITH s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin,
   )
 
   /** (name, Spark SQL, DuckDB SQL) — engine dialects differ only in the
@@ -266,6 +283,31 @@ object RelationalQueries {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // Banded time-proximity self-join (interval/range join): same-user event
+    // pairs within 120 s. The Spark side is the SCALE form — events land in
+    // 120 s epoch buckets, the left side probes its own and the next bucket
+    // (covers every pair since bucket width = window), so the join is an
+    // equi-join on (user, bucket) that shuffles each side once; no
+    // inequality-only join, no cartesian corner. The oracle is the direct
+    // quadratic formulation. Pair canonicalization: earlier event first,
+    // id-ordered at equal timestamps.
+    ("q_time_band_join",
+      """WITH e AS (SELECT user_id, event_id, unix_micros(ts) AS us FROM events),
+        |a AS (SELECT user_id, event_id, us,
+        |             explode(array(us div 120000000, us div 120000000 + 1)) AS bk FROM e),
+        |b AS (SELECT user_id, event_id AS id_b, us AS us_b, us div 120000000 AS bk FROM e)
+        |SELECT a.event_id AS id_a, b.id_b AS id_b, CAST(b.us_b - a.us AS BIGINT) AS dt_us
+        |FROM a JOIN b ON a.user_id = b.user_id AND a.bk = b.bk
+        |WHERE b.us_b >= a.us AND b.us_b - a.us <= 120000000
+        |  AND (b.us_b > a.us OR a.event_id < b.id_b)
+        |ORDER BY id_a, id_b""".stripMargin,
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b, CAST(b.us - a.us AS BIGINT) AS dt_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |WHERE b.us >= a.us AND b.us - a.us <= 120000000
+        |  AND (b.us > a.us OR a.event_id < b.event_id)
+        |ORDER BY id_a, id_b""".stripMargin),
   )
 
   /** Point-in-time ("as-of") join, the operator behind click attribution and

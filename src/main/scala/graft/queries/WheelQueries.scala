@@ -89,6 +89,25 @@ object WheelQueries {
         |FROM orders_dated
         |WHERE o_odate >= DATE '1995-03-01' AND o_odate < DATE '1995-04-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // equality rewrite arms (beyond the reference, whose expression analyzer
+    // handles only >,>=,<,<= — expr.rs:209-241): "this exact day/year/date"
+    "uw_trunc_eq" -> Q.sql(
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
+         |FROM events WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-08 00:00:00'""".stripMargin),
+    // unit-unaligned trunc equality is UNSATISFIABLE — proven at plan time,
+    // the scan never runs
+    "uw_trunc_eq_empty" -> Q.sql(
+      """SELECT event_id, user_id, value FROM events
+        |WHERE date_trunc('month', ts) = TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin),
+    "uw_year_eq" -> Q.sql(
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE year(l_shipdate) = 1997""".stripMargin),
+    "uw_date_eq" -> Q.sql(
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_dated WHERE o_odate = DATE '1995-06-15'""".stripMargin),
   )
 
   val oracles: Map[String, String] = Map(
@@ -156,5 +175,20 @@ object WheelQueries {
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-03-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_trunc_eq" ->
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
+         |FROM events WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+    "uw_trunc_eq_empty" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE date_trunc('month', ts) = TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "uw_year_eq" ->
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE year(l_shipdate) = 1997""".stripMargin,
+    "uw_date_eq" ->
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '1995-06-15'""".stripMargin,
   )
 }

@@ -194,6 +194,73 @@ object WheelAggregators {
     def lower(p: Long): Long = p
     override val slotCodec: Option[SlotCodec[Long]] = Some(ZigZagDeltaLongCodec)
   }
+
+  /** HyperLogLog distinct-count sketch as a wheel partial — the temporal
+    * "distinct users over any time range" aggregate that no exact wheel can
+    * carry at 100 TB (exact distinct partials grow with cardinality; these
+    * are fixed 2^p bytes per active slot). The partial is the register
+    * array; `combine` is register-wise max — commutative, associative and
+    * IDEMPOTENT, so the wheel's greedy level decomposition returns the
+    * bit-identical sketch to a flat fold over the same rows, in any
+    * grouping (the property [[graft.HllWheelSpec]] asserts). Deterministic:
+    * inputs hash through the SplitMix64 finalizer, no RNG, rerun-stable.
+    * Standard error ≈ 1.04/√(2^p); the default p=11 is 2 KiB per active
+    * slot at ~2.3 %. Not invertible (register max has no inverse), so no
+    * prefix path — ranges decompose across the sparse levels like min/max.
+    *
+    * Combine never mutates its arguments (level partials are shared
+    * structures); each merge allocates a fresh register array. */
+  final class HllDistinct(p: Int = 11) extends WheelAggregator[Long, Array[Byte], Long] {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    private val m = 1 << p
+    private val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    def identity: Array[Byte] = new Array[Byte](m)
+    private def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def lift(in: Long): Array[Byte] = {
+      val h = mix64(in)
+      val idx = (h >>> (64 - p)).toInt
+      val w = h << p
+      val rank = (if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
+      val regs = new Array[Byte](m)
+      regs(idx) = rank.toByte
+      regs
+    }
+    def combine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](m)
+      var i = 0
+      while (i < m) {
+        out(i) = if (a(i) >= b(i)) a(i) else b(i)
+        i += 1
+      }
+      out
+    }
+    def lower(regs: Array[Byte]): Long = {
+      var invSum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        invSum += java.lang.Double.longBitsToDouble((1023L - regs(i)) << 52) // 2^-reg
+        if (regs(i) == 0) zeros += 1
+        i += 1
+      }
+      val e = alpha * m * m / invSum
+      // small-range (linear counting) correction; with a 64-bit hash the
+      // classic 2^32 large-range correction never applies
+      val corrected =
+        if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+      math.round(corrected)
+    }
+  }
 }
 
 /** Block storage for level partials: raw array, or codec-encoded 128-slot

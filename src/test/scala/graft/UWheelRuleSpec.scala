@@ -198,6 +198,53 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertNotRewritten(q)
   }
 
+  test("equality arms: date_trunc/to_date/year equality predicates") {
+    setup
+    def check(q: DataFrame): Unit = {
+      assertRewritten(q)
+      val got = q.collect().map(_.toString).toSeq
+      val exp = groundTruth(q.collect().map(_.toString).toSeq)
+      assert(got === exp)
+    }
+    // aligned trunc equalities: exact unit ranges (day / month / week —
+    // 2024-01-08 is a Monday, so it is week-aligned too)
+    val day = events.filter(
+      date_trunc("day", col("ts")) === lit("2024-01-08 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("mn"))
+    check(day)
+    assert(day.collect()(0).getLong(0) > 0)
+    check(events.filter(
+      date_trunc("month", col("ts")) === lit("2024-01-01 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("cnt")))
+    check(events.filter(
+      date_trunc("week", col("ts")) === lit("2024-01-08 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("cnt")))
+    // to_date / year equalities: whole-day and whole-year ranges
+    check(events.filter(to_date(col("ts")) === lit("2024-01-08").cast("date"))
+      .agg(count(lit(1)).as("cnt")))
+    check(events.filter(year(col("ts")) === 2024).agg(count(lit(1)).as("cnt")))
+    // unit-unaligned trunc equality is unsatisfiable: empty at plan time
+    val empty = events.filter(
+      date_trunc("month", col("ts")) === lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("event_id")
+    assertRewritten(empty)
+    assert(empty.count() === 0)
+    // point timestamp equality: a one-second superset, inexact — aggregates
+    // over a NON-empty second fall through to the scan (an empty second is
+    // instead pruned, which the 2030 case below exercises). Use a second
+    // that provably holds an event: any event's ts floored to its second.
+    val busySec = groundTruth(
+      events.select(date_trunc("second", col("ts")).as("s")).limit(1).collect()(0)
+        .getTimestamp(0))
+    assertNotRewritten(events.filter(col("ts") === lit(busySec))
+      .agg(count(lit(1)).as("cnt")))
+    // ...but a point inside a provably-empty second prunes rows at plan time
+    val p = events.filter(col("ts") === lit("2030-06-01 12:00:00").cast("timestamp"))
+      .select("event_id")
+    assertRewritten(p)
+    assert(p.count() === 0)
+  }
+
   test("unindexed table is untouched") {
     setup
     // supplier is never indexed by any suite (lineitem may be, via the
@@ -421,6 +468,17 @@ class UWheelRuleSpec extends AnyFunSuite {
                           col("d") < lit("2031-06-01").cast("date"))
     assertRewritten(pruned)
     assert(pruned.count() === 0)
+
+    // equality arms on DATE columns: whole-day, trunc-month, year — all
+    // calendar-exact; an unaligned trunc equality is empty at plan time
+    check(t.filter(col("d") === lit("2024-02-29").cast("date"))
+      .agg(count(lit(1)).as("cnt"), max("value").as("mx")))
+    check(t.filter(trunc(col("d"), "month") === lit("2024-02-01").cast("date"))
+      .agg(count(lit(1)).as("cnt")))
+    check(t.filter(year(col("d")) === 2024).agg(count(lit(1)).as("cnt")))
+    val eqEmpty = t.filter(trunc(col("d"), "month") === lit("2024-02-02").cast("date"))
+    assertRewritten(eqEmpty)
+    assert(eqEmpty.count() === 0)
 
     // zone-freedom: DATE vs DATE is calendar arithmetic — rewrites must
     // stay correct (and on) in any session zone; the timestamp-cast

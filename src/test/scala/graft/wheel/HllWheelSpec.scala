@@ -1,0 +1,83 @@
+package graft.wheel
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import WheelAggregators.HllDistinct
+
+/** The HLL distinct-count aggregator on the typed wheel surface.
+  *
+  * The load-bearing property is BIT-EXACT agreement between the wheel's
+  * greedy level decomposition and a flat fold over the same rows: register
+  * max is commutative, associative and idempotent, so any grouping of the
+  * same inputs must produce the identical register array — the wheel adds
+  * zero sketch error on top of HLL's own. Accuracy itself is then checked
+  * against exact distinct counts at several cardinalities.
+  */
+class HllWheelSpec extends AnyFunSuite {
+
+  private val t0 = 1715299200L
+  private val hll = new HllDistinct(11) // 2 KiB registers, stderr ~2.3 %
+
+  private def flatEstimate(users: Seq[Long]): Long =
+    hll.lower(users.foldLeft(hll.identity)((acc, u) => hll.combine(acc, hll.lift(u))))
+
+  private def rows(n: Int, span: Int, users: Int, seed: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(_ => (t0 + rnd.nextInt(span), rnd.nextInt(users).toLong))
+  }
+
+  private def wheelOf(rs: Seq[(Long, Long)]): TypedHawWheel[Array[Byte], Long] = {
+    val rw = new TypedRwWheel(hll)
+    rs.sortBy(_._1).foreach { case (sec, u) => rw.insert(sec * 1000L, u) }
+    rw.freeze()
+  }
+
+  test("wheel range sketch is bit-exact vs a flat fold over the same rows") {
+    val rs = rows(n = 20000, span = 3 * 86400, users = 5000, seed = 7)
+    val w = wheelOf(rs)
+    val ranges = Seq(
+      (t0, t0 + 86400L),                 // one day
+      (t0 + 100L, t0 + 90000L),          // unaligned, crosses a day
+      (t0 - 10L, t0 + 4 * 86400L),       // superset of all data
+      (t0 + 5000L, t0 + 5000L + 3600L),  // one mid-stream hour
+      (t0 + 50L, t0 + 50L))              // empty
+    for ((s, e) <- ranges) {
+      val in = rs.filter(r => r._1 >= s && r._1 < e).map(_._2)
+      assert(w.range(s, e) === flatEstimate(in), s"range [$s, $e)")
+    }
+  }
+
+  test("duplicates are free: re-inserting the same users changes nothing") {
+    val base = rows(n = 3000, span = 86400, users = 800, seed = 11)
+    val dup = base ++ base ++ base.map { case (s, u) => (s + 1, u) }
+    assert(wheelOf(base).range(t0, t0 + 2 * 86400L) ===
+      flatEstimate(base.map(_._2).distinct))
+    assert(wheelOf(dup).range(t0, t0 + 2 * 86400L) ===
+      flatEstimate(base.map(_._2).distinct))
+  }
+
+  test("merge across ingest wheels equals one wheel (executor tree-merge)") {
+    val rs = rows(n = 10000, span = 2 * 86400, users = 3000, seed = 13)
+    val (a, b) = rs.zipWithIndex.partition(_._2 % 2 == 0)
+    val wa = new TypedRwWheel(hll)
+    a.map(_._1).sortBy(_._1).foreach { case (sec, u) => wa.insert(sec * 1000L, u) }
+    val wb = new TypedRwWheel(hll)
+    b.map(_._1).sortBy(_._1).foreach { case (sec, u) => wb.insert(sec * 1000L, u) }
+    val merged = wa.merge(wb).freeze()
+    val single = wheelOf(rs)
+    for ((s, e) <- Seq((t0, t0 + 86400L), (t0 - 5L, t0 + 3 * 86400L)))
+      assert(merged.range(s, e) === single.range(s, e))
+  }
+
+  test("estimates land within 4 standard errors of exact distinct counts") {
+    val stderr = 1.04 / math.sqrt(1 << 11)
+    for (users <- Seq(100, 2000, 50000)) {
+      val rs = rows(n = math.max(users * 2, 1000), span = 86400, users = users, seed = users)
+      val exact = rs.map(_._2).distinct.size
+      val est = wheelOf(rs).range(t0, t0 + 2 * 86400L).toDouble
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr <= 4 * stderr + 0.01,
+        s"users=$users exact=$exact est=$est relErr=$relErr")
+    }
+  }
+}
