@@ -55,13 +55,22 @@ object Bench {
       val first = run() // warm-up: codegen compile, broadcast build, page cache
       if (first >= 10.0) first
       else {
-        // settle the heap before timing: collect garbage left by the
-        // previous (possibly much heavier) entry so its GC debt isn't
-        // billed to this query's median
+        // settle before timing: collect garbage left by the previous
+        // (possibly much heavier) entry, and give the ContextCleaner a
+        // beat to finish deleting the shuffle files that GC just released
+        // — its disk churn otherwise lands on whichever entry runs next
+        // (observed: the same query benching 2.7 s isolated and 12-16 s
+        // in-suite, with DIFFERENT entries spiking on identical reruns)
         System.gc()
-        val reps = if (first < 1.0) 7 else 3
+        Thread.sleep(200)
+        val reps = if (first < 1.0) 5 else 3
         val runs = Array.fill(reps)(run()).sorted
-        runs(runs.length / 2)
+        // sub-second: median of 5 (timer noise is symmetric at this scale).
+        // 1-10 s: MIN of 3 — every rep performs identical full work (no
+        // incremental caching), so min estimates the query's own cost and
+        // is the standard interference-robust statistic; a median can still
+        // be captured by multi-second cleaner churn spanning most reps.
+        if (first < 1.0) runs(runs.length / 2) else runs(0)
       }
     }
 

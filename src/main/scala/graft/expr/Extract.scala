@@ -359,6 +359,94 @@ object Extract {
     (SecRange(loSec, hiSec, exact), residual.result())
   }
 
+  private def splitDisjuncts(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => splitDisjuncts(l) ++ splitDisjuncts(r)
+    case other    => Seq(other)
+  }
+
+  /** Intersection of two ranges; None when provably empty. A superset
+    * (inexact) member with an empty intersection is still provably empty —
+    * the true row set is a subset of the superset. */
+  private def intersectRanges(a: SecRange, b: SecRange): Option[SecRange] = {
+    val lo = (a.startSec.toSeq ++ b.startSec.toSeq).reduceOption(math.max(_: Long, _: Long))
+    val hi = (a.endSec.toSeq ++ b.endSec.toSeq).reduceOption(math.min(_: Long, _: Long))
+    (lo, hi) match {
+      case (Some(l), Some(h)) if l >= h => None
+      case _ => Some(SecRange(lo, hi, a.exact && b.exact))
+    }
+  }
+
+  /** Sorts and merges overlapping/adjacent ranges into a disjoint ascending
+    * cover of the same point set — required before treating per-range
+    * aggregates as additive. Merging is a set union, so exactness survives
+    * only when both members are exact. */
+  private def normalizeRanges(rs: Seq[SecRange]): Seq[SecRange] = {
+    if (rs.isEmpty) return Nil
+    val sorted = rs.sortBy(_.startSec.getOrElse(Long.MinValue))
+    val out = scala.collection.mutable.ArrayBuffer(sorted.head)
+    sorted.tail.foreach { r =>
+      val cur = out.last
+      val touches = cur.endSec match {
+        case None    => true // cur is right-unbounded: absorbs everything after
+        case Some(h) => r.startSec.forall(_ <= h)
+      }
+      if (touches) {
+        val hi = (cur.endSec, r.endSec) match {
+          case (Some(a), Some(b)) => Some(math.max(a, b))
+          case _ => None
+        }
+        out(out.length - 1) = SecRange(cur.startSec, hi, cur.exact && r.exact)
+      } else out += r
+    }
+    out.toSeq
+  }
+
+  /** Multi-range extraction: [[splitTimeRange]] extended to consume ONE
+    * pure-time disjunctive conjunct — an `OR` whose every disjunct is a
+    * residual-free time range, or an `IN`/`InSet` over the time column —
+    * into a UNION of ranges, intersected with the conjunctive bounds from
+    * the remaining conjuncts and normalized to disjoint ascending order
+    * (so per-range aggregates are additive). The reference extracts single
+    * conjunctive ranges only (`expr.rs:146-167`); "this window OR that
+    * window" and `day IN (…)` are everyday dashboard shapes.
+    *
+    * Returns (ranges, residual). An EMPTY ranges list is a proof of
+    * emptiness (every disjunct contradicted the conjunctive bounds); a
+    * lone unbounded range means no time constraint, as before. */
+  def splitTimeRangeSet(conjuncts: Seq[Expression], timeCol: String): (Seq[SecRange], Seq[Expression]) = {
+    def rangeOfPureTime(conjs: Seq[Expression]): Option[SecRange] = {
+      val (r, resid) = splitTimeRange(conjs, timeCol)
+      if (resid.isEmpty && r.isBounded) Some(r) else None
+    }
+    def disjunctRanges(e: Expression): Option[Seq[SecRange]] = e match {
+      case o: Or =>
+        val rs = splitDisjuncts(o).map(d => rangeOfPureTime(Canon.splitConjuncts(d)))
+        if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
+      case In(x, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val rs = list.map(l => rangeOfPureTime(Seq(EqualTo(x, l))))
+        if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
+      // the optimizer turns long IN lists into InSet over internal values;
+      // re-wrap each as a Literal of the child's type for the equality arm
+      case InSet(x, hset) if hset.nonEmpty =>
+        val rs = hset.toSeq.map(v => rangeOfPureTime(Seq(EqualTo(x, Literal(v, x.dataType)))))
+        if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
+      case _ => None
+    }
+    var union: Option[Seq[SecRange]] = None
+    val rest = Vector.newBuilder[Expression]
+    conjuncts.foreach { c =>
+      if (union.isEmpty) disjunctRanges(c) match {
+        case some @ Some(_) => union = some
+        case None           => rest += c
+      } else rest += c
+    }
+    val (base, residual) = splitTimeRange(rest.result(), timeCol)
+    union match {
+      case None     => (Seq(base), residual)
+      case Some(rs) => (normalizeRanges(rs.flatMap(intersectRanges(_, base))), residual)
+    }
+  }
+
   /** Drops IsNotNull(c) conjuncts implied by another null-intolerant conjunct
     * referencing c (see splitTimeRange doc). Returns the cleaned residual. */
   def dropImpliedNotNull(residual: Seq[Expression]): Seq[Expression] =

@@ -108,6 +108,25 @@ object WheelQueries {
       """SELECT count(*) AS cnt,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders_dated WHERE o_odate = DATE '1995-06-15'""".stripMargin),
+    // multi-range arms (beyond the reference, which extracts one conjunctive
+    // range): OR of windows and IN date lists answer from per-range wheel
+    // reads merged additively
+    "uw_or_ranges" -> Q.sql(
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val
+         |FROM events
+         |WHERE (ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
+         |   OR (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00')""".stripMargin),
+    "uw_or_groupby" -> Q.sql(
+      """SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        |FROM events
+        |WHERE (ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
+        |   OR (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "uw_date_in" -> Q.sql(
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_dated
+        |WHERE o_odate IN (DATE '1995-06-15', DATE '1995-09-01', DATE '1996-02-29')""".stripMargin),
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,5 +209,21 @@ object WheelQueries {
       """SELECT count(*) AS cnt,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '1995-06-15'""".stripMargin,
+    "uw_or_ranges" ->
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val
+         |FROM events
+         |WHERE (ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
+         |   OR (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00')""".stripMargin,
+    "uw_or_groupby" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS cnt
+        |FROM events
+        |WHERE (ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
+        |   OR (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_date_in" ->
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) IN (DATE '1995-06-15', DATE '1995-09-01', DATE '1996-02-29')""".stripMargin,
   )
 }

@@ -209,18 +209,22 @@ object UWheelRule extends Rule[LogicalPlan] {
     if (agg.aggregateExpressions.exists(!_.deterministic)) return None
     val uw = unwrap(agg.child).getOrElse(return None)
     val table = uw.table
-    val (range, residualRaw) = Extract.splitTimeRange(uw.conjuncts, table.timeColumn)
-    if (!range.exact) return None
-    if (!range.isBounded && !table.tsAllNonNull) return None
+    // Multi-range extraction: a pure-time OR / IN conjunct becomes a set of
+    // disjoint ranges; per-range wheel answers merge additively. An EMPTY
+    // set is a plan-time proof of contradiction — every aggregate sees zero
+    // rows.
+    val (ranges, residualRaw) = Extract.splitTimeRangeSet(uw.conjuncts, table.timeColumn)
+    if (ranges.exists(!_.exact)) return None
+    if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
     val residual = Extract.dropImpliedNotNull(residualRaw)
     val filterKey = Canon.canonFilterKey(residual)
-    val sSec = range.startSec.getOrElse(LoSentinel)
-    val eSec = range.endSec.getOrElse(HiSentinel)
+    val bounds: Seq[(Long, Long)] = ranges.map(r =>
+      (r.startSec.getOrElse(LoSentinel), r.endSec.getOrElse(HiSentinel)))
 
     def coverageOk(w: IndexedWheel): Boolean = w.coverage match {
       case None => true
       case Some((cs, ce)) =>
-        range.startSec.exists(_ >= cs) && range.endSec.exists(_ <= ce)
+        ranges.forall(r => r.startSec.exists(_ >= cs) && r.endSec.exists(_ <= ce))
     }
 
     // Coarsened wheels (slotSpan > 1) only answer span-aligned ranges
@@ -230,9 +234,16 @@ object UWheelRule extends Rule[LogicalPlan] {
     def spanOk(w: IndexedWheel): Boolean = {
       val span = w.wheel.slotSpan
       span == 1L ||
-        (range.startSec.forall(s => HawWheel.alignDown(s, span) == s) &&
-         range.endSec.forall(e => HawWheel.alignDown(e, span) == e))
+        ranges.forall(r =>
+          r.startSec.forall(s => HawWheel.alignDown(s, span) == s) &&
+          r.endSec.forall(e => HawWheel.alignDown(e, span) == e))
     }
+
+    /** Merged aggregate over the (disjoint) range set on one wheel. */
+    def rangeAggOf(hw: HawWheel): RangeAgg =
+      if (bounds.isEmpty)
+        RangeAgg(0L, 0L, Double.PositiveInfinity, Double.NegativeInfinity, hw.scale)
+      else bounds.map { case (s, e) => hw.range(s, e) }.reduce(_.merge(_))
 
     def wheelFor(n: Need): Option[IndexedWheel] = (n.column match {
       case None => table.anyForFilter(filterKey)
@@ -304,7 +315,7 @@ object UWheelRule extends Rule[LogicalPlan] {
     agg.groupingExpressions match {
       case Nil =>
         val aggValues = needs.map { case (k, (n, w)) =>
-          k -> (n.value(w.wheel.range(sSec, eSec)),
+          k -> (n.value(rangeAggOf(w.wheel)),
                 dataTypeOf(k))
         }.toMap
         buildRow(aggValues, None).map(r => LocalRelation(agg.output, Seq(r)))
@@ -313,7 +324,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         val ge = resolve(ge0, uw.aliases)
         // (bucketing function, group-slot-seconds -> key literal, bucket span
         //  in seconds — coarsened wheels require slotSpan | bucketSpan)
-        val (groupFn, keyLit, bucketSpan): (HawWheel => IndexedSeq[(Long, RangeAgg)], Long => Literal, Long) = ge match {
+        val (groupFn, keyLit, bucketSpan): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Literal, Long) = ge match {
           case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
               if isTime(t, table.timeColumn) =>
             val unit = fmt.toString.toLowerCase
@@ -326,15 +337,15 @@ object UWheelRule extends Rule[LogicalPlan] {
             // zone involved — so they are exempt.
             val ntz = t.dataType == TimestampNTZType
             if (unit != "second" && !ntz && !tzId.exists(isUtcZone)) return None
-            val (fn, bspan): (HawWheel => IndexedSeq[(Long, RangeAgg)], Long) =
+            val (fn, bspan): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long) =
               HawWheel.levelIndexOf(unit) match {
                 case Some(idx) =>
-                  (hw => hw.groupBy(sSec, eSec, idx), HawWheel.Spans(idx))
+                  ((hw, s, e) => hw.groupBy(s, e, idx), HawWheel.Spans(idx))
                 case None =>
                   // month/quarter/year: calendar spans composed from day
                   // slots (the reference rejects these, lib.rs:357)
                   val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                  (hw => hw.groupByCalendar(sSec, eSec, stride), HawWheel.DAY)
+                  ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY)
               }
             (fn, gs => Literal(gs * 1000000L, ge.dataType), bspan)
           // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
@@ -344,26 +355,26 @@ object UWheelRule extends Rule[LogicalPlan] {
           case Cast(t, DateType, tzId, _)
               if isTime(t, table.timeColumn) &&
                 (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) =>
-            (hw => hw.groupBy(sSec, eSec, 3),
-              gs => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY)
+            ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
+              (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY)
           // GROUP BY a DateType time column directly: day buckets, DATE keys.
           // Purely calendar arithmetic on epoch days — no session zone
           // involved, so no UTC gate.
           case a: AttributeReference
               if a.name == table.timeColumn && a.dataType == DateType =>
-            (hw => hw.groupBy(sSec, eSec, 3),
-              gs => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY)
+            ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
+              (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY)
           // GROUP BY trunc(dateCol, 'week'|'month'|'quarter'|'year'): DATE in,
           // DATE out, zone-free (TruncDate never consults the session zone).
           case TruncDate(t: AttributeReference, Literal(fmt: UTF8String, StringType))
               if t.name == table.timeColumn && t.dataType == DateType =>
             val unit = fmt.toString.toLowerCase
-            val (fn, bspan): (HawWheel => IndexedSeq[(Long, RangeAgg)], Long) =
+            val (fn, bspan): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long) =
               if (HawWheel.levelIndexOf(unit).contains(4)) {
-                (hw => hw.groupBy(sSec, eSec, 4), HawWheel.WEEK)
+                ((hw, s, e) => hw.groupBy(s, e, 4), HawWheel.WEEK)
               } else {
                 val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                (hw => hw.groupByCalendar(sSec, eSec, stride), HawWheel.DAY)
+                ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY)
               }
             (fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType), bspan)
           case _ => return None
@@ -376,7 +387,16 @@ object UWheelRule extends Rule[LogicalPlan] {
         // coarsened wheels can only serve buckets their slots tile exactly
         val slotSpans = needs.values.map(_._2.wheel.slotSpan).toSet + enumWheel.wheel.slotSpan
         if (slotSpans.exists(sp => bucketSpan % sp != 0)) return None
-        val groups = groupFn(enumWheel.wheel)
+        // Bucket map per wheel over the (disjoint) range set: a bucket
+        // straddling two ranges (OR of two windows of one day, day buckets)
+        // merges its per-range partials additively.
+        def groupsOf(hw: HawWheel): Map[Long, RangeAgg] =
+          bounds.foldLeft(Map.empty[Long, RangeAgg]) { case (acc, (s, e)) =>
+            groupFn(hw, s, e).foldLeft(acc) { case (m, (k, ra)) =>
+              m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
+            }
+          }
+        val groups = groupsOf(enumWheel.wheel).toIndexedSeq.sortBy(_._1)
         // Per-wheel group maps. All wheels must cover the identical key set
         // (same rows seen at build time); wheels built at different times
         // over changed data could have equal sizes but different keys, so
@@ -385,7 +405,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         val groupKeys = groups.map(_._1).toSet
         val wheelGroups: Map[HawWheel, Map[Long, RangeAgg]] =
           needs.values.map(_._2.wheel).toSet.map { (hw: HawWheel) =>
-            hw -> groupFn(hw).toMap
+            hw -> groupsOf(hw)
           }.toMap
         if (wheelGroups.values.exists(_.keySet != groupKeys)) return None
         val rows = groups.map { case (gs, _) =>
@@ -410,24 +430,32 @@ object UWheelRule extends Rule[LogicalPlan] {
   private def tryPrune(f: Filter): Option[LogicalPlan] = {
     val uw = unwrap(f).getOrElse(return None)
     val table = uw.table
-    val (range, residual) = Extract.splitTimeRange(uw.conjuncts, table.timeColumn)
-    if (!range.isBounded) return None
+    val (ranges, residual) = Extract.splitTimeRangeSet(uw.conjuncts, table.timeColumn)
+    // every disjunct contradicted the conjunctive bounds: empty by algebra,
+    // no wheel consulted
+    if (ranges.isEmpty) return Some(LocalRelation(f.output, Nil))
+    if (!ranges.exists(_.isBounded)) return None
     val cw = table.countWheel.filter(_.coverage.isEmpty).getOrElse(return None)
     // Coarsened wheels: widen to slot boundaries — a superset range, so
     // count==0 / min-max contradictions remain sound proofs of emptiness.
-    def alignedBounds(span: Long): (Long, Long) = {
-      val s = range.startSec.getOrElse(LoSentinel)
-      val e = range.endSec.getOrElse(HiSentinel)
+    def alignedBounds(r: graft.expr.SecRange, span: Long): (Long, Long) = {
+      val s = r.startSec.getOrElse(LoSentinel)
+      val e = r.endSec.getOrElse(HiSentinel)
       if (span == 1L) (s, e)
       else {
         val ea = HawWheel.alignDown(e, span)
         (HawWheel.alignDown(s, span), if (ea == e) e else ea + span)
       }
     }
-    val (cs, ce) = alignedBounds(cw.wheel.slotSpan)
-    if (cw.wheel.countRange(cs, ce) == 0L) {
+    val allCountEmpty = ranges.forall { r =>
+      val (cs, ce) = alignedBounds(r, cw.wheel.slotSpan)
+      cw.wheel.countRange(cs, ce) == 0L
+    }
+    if (allCountEmpty) {
       return Some(LocalRelation(f.output, Nil))
     }
+    // min/max contradiction must hold on EVERY range of the union (a range
+    // the count already proves empty contributes no rows and passes)
     val provenEmpty = Extract.minMaxPreds(residual).exists { p =>
       table.minMaxWheel(p.column)
         .filter(_.coverage.isEmpty)
@@ -435,9 +463,11 @@ object UWheelRule extends Rule[LogicalPlan] {
         // invisible to the wheel's min/max — never prune NaN-bearing wheels
         .filter(_.valuesNaNFree)
         .exists { w =>
-          val (ws, we) = alignedBounds(w.wheel.slotSpan)
-          val ra = w.wheel.range(ws, we)
-          ra.count > 0 && Extract.provesEmpty(p, ra.min, ra.max)
+          ranges.forall { r =>
+            val (ws, we) = alignedBounds(r, w.wheel.slotSpan)
+            val ra = w.wheel.range(ws, we)
+            ra.count == 0 || Extract.provesEmpty(p, ra.min, ra.max)
+          }
         }
     }
     if (provenEmpty) Some(LocalRelation(f.output, Nil)) else None

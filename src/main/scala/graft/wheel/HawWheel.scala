@@ -332,6 +332,11 @@ final case class RangeAgg(count: Long, sumScaled: Long, min: Double, max: Double
   def avg: Option[Double] = if (count == 0) None else Some((sumScaled / math.pow(10, scale)) / count)
   def minOpt: Option[Double] = if (count == 0) None else Some(min)
   def maxOpt: Option[Double] = if (count == 0) None else Some(max)
+  /** Combines aggregates of DISJOINT ranges of the same wheel: count/sum
+    * additive, min/max by comparison (the multi-range OR/IN rewrite path). */
+  def merge(o: RangeAgg): RangeAgg =
+    RangeAgg(count + o.count, Math.addExact(sumScaled, o.sumScaled),
+      math.min(min, o.min), math.max(max, o.max), scale)
 }
 
 @SerialVersionUID(1L)

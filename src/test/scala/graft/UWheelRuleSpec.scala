@@ -245,6 +245,53 @@ class UWheelRuleSpec extends AnyFunSuite {
     assert(p.count() === 0)
   }
 
+  test("multi-range: OR of time windows and IN lists rewrite additively") {
+    setup
+    def check(q: DataFrame): Unit = {
+      assertRewritten(q)
+      val got = q.collect().map(_.toString).toSeq
+      val exp = groundTruth(q.collect().map(_.toString).toSeq)
+      assert(got === exp)
+    }
+    def ts(s: String) = lit(s).cast("timestamp")
+    val or2 = events.filter(
+      (col("ts") >= ts("2024-01-05 00:00:00") && col("ts") < ts("2024-01-07 00:00:00")) ||
+      (col("ts") >= ts("2024-01-10 00:00:00") && col("ts") < ts("2024-01-11 00:00:00")))
+    val full = or2.agg(count(lit(1)).as("cnt"),
+      sum(col("value").cast("decimal(18,2)")).as("s"),
+      min("value").as("mn"), max("value").as("mx"))
+    check(full)
+    assert(full.collect()(0).getLong(0) > 0)
+    // overlapping windows normalize to one range — no double counting
+    check(events.filter(
+      (col("ts") >= ts("2024-01-05 00:00:00") && col("ts") < ts("2024-01-08 00:00:00")) ||
+      (col("ts") >= ts("2024-01-07 00:00:00") && col("ts") < ts("2024-01-09 00:00:00")))
+      .agg(count(lit(1)).as("cnt")))
+    // group-by across the union; same-day split windows merge within bucket
+    check(or2.groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")).orderBy("d"))
+    check(events.filter(
+      (col("ts") >= ts("2024-01-05 02:00:00") && col("ts") < ts("2024-01-05 04:00:00")) ||
+      (col("ts") >= ts("2024-01-05 10:00:00") && col("ts") < ts("2024-01-05 12:00:00")))
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")).orderBy("d"))
+    // keyed residual composes with the OR range set
+    check(or2.filter(col("event_type") === "click")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s")))
+    // a non-time disjunct keeps the whole OR residual: no rewrite
+    assertNotRewritten(events.filter(
+      (col("ts") >= ts("2024-01-05 00:00:00") && col("ts") < ts("2024-01-07 00:00:00")) ||
+      col("user_id") === 5)
+      .agg(count(lit(1)).as("cnt")))
+    // OR of two provably-empty future windows prunes rows at plan time
+    val p = events.filter(
+      (col("ts") >= ts("2030-01-01 00:00:00") && col("ts") < ts("2030-02-01 00:00:00")) ||
+      (col("ts") >= ts("2031-01-01 00:00:00") && col("ts") < ts("2031-02-01 00:00:00")))
+      .select("event_id")
+    assertRewritten(p)
+    assert(p.count() === 0)
+  }
+
   test("unindexed table is untouched") {
     setup
     // supplier is never indexed by any suite (lineitem may be, via the
@@ -479,6 +526,18 @@ class UWheelRuleSpec extends AnyFunSuite {
     val eqEmpty = t.filter(trunc(col("d"), "month") === lit("2024-02-02").cast("date"))
     assertRewritten(eqEmpty)
     assert(eqEmpty.count() === 0)
+
+    // date IN lists: the short form stays In, the long form becomes InSet
+    // via OptimizeIn — both must extract to a union of day ranges
+    def dates(ss: String*) = ss.map(java.sql.Date.valueOf)
+    check(t.filter(col("d").isInCollection(dates("2024-02-29", "2024-03-01", "2024-06-15")))
+      .agg(count(lit(1)).as("cnt"), max("value").as("mx")))
+    val manyDates = dates(
+      "2024-01-01", "2024-01-05", "2024-01-09", "2024-02-02", "2024-02-12",
+      "2024-02-29", "2024-03-07", "2024-03-21", "2024-04-04", "2024-05-05",
+      "2024-06-15", "2024-07-04")
+    check(t.filter(col("d").isInCollection(manyDates))
+      .agg(count(lit(1)).as("cnt")))
 
     // zone-freedom: DATE vs DATE is calendar arithmetic — rewrites must
     // stay correct (and on) in any session zone; the timestamp-cast
