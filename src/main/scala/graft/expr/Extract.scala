@@ -303,9 +303,72 @@ object Extract {
       }
     }
 
+    // Comparisons on CALENDAR-VALUED views of the time column —
+    // `date_trunc(u, ts) OP lit`, `trunc(dateCol, u) OP lit`,
+    // `to_date(ts) OP lit`, `year(ts) OP n` — are all EXACT for every
+    // operator, because the view only takes unit-aligned values: with
+    // a = trunc(lit) and next = the boundary after a,
+    //   view >= lit ⇔ ts >= (lit aligned ? lit : next)   [calCeil]
+    //   view >  lit ⇔ ts >= next                          [calNext]
+    //   view <  lit ⇔ ts <  (lit aligned ? lit : next)   [calCeil]
+    //   view <= lit ⇔ ts <  next                          [calNext]
+    def calBounds(x: Expression, l: Expression): Option[(String, Long)] = x match {
+      case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
+          if isTime(t, timeCol) =>
+        for {
+          unit <- truncUnitOf(fmt.toString)
+          if unit == "second" || t.dataType == TimestampNTZType || tzId.exists(isUtcZone)
+          v <- litMicros(l)
+        } yield (unit, v)
+      case TruncDate(t, Literal(fmt: UTF8String, StringType))
+          if isDateAttr(t, timeCol) =>
+        for {
+          unit <- truncUnitOf(fmt.toString)
+          if unit == "week" || unit == "month" || unit == "quarter" || unit == "year"
+          d <- litDateMicros(l)
+        } yield (unit, d)
+      case Cast(t, DateType, tzId, _)
+          if (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) &&
+            isTime(t, timeCol) =>
+        litDateMicros(l).map(("day", _))
+      case Year(t) if isTimeAsDate(t, timeCol) =>
+        l match {
+          case Literal(y: Int, IntegerType) if y >= 1 && y <= 9998 =>
+            Some(("year", java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay))
+          case _ => None
+        }
+      case _ => None
+    }
+    def calCeil(u: String, v: Long): Long = {
+      val a = truncUtcMicros(v, u)
+      if (a == v) v else nextBoundaryMicros(a, u)
+    }
+    def calNext(u: String, v: Long): Long = nextBoundaryMicros(truncUtcMicros(v, u), u)
+    object CalCmp {
+      /** Left(lo) / Right(hi) contribution in micros; literal-first
+        * orientations flip the operator. */
+      def unapply(e: Expression): Option[scala.Either[Long, Long]] = e match {
+        case GreaterThanOrEqual(a, b) =>
+          calBounds(a, b).map { case (u, v) => scala.Left(calCeil(u, v)) }
+            .orElse(calBounds(b, a).map { case (u, v) => scala.Right(calNext(u, v)) })
+        case GreaterThan(a, b) =>
+          calBounds(a, b).map { case (u, v) => scala.Left(calNext(u, v)) }
+            .orElse(calBounds(b, a).map { case (u, v) => scala.Right(calCeil(u, v)) })
+        case LessThan(a, b) =>
+          calBounds(a, b).map { case (u, v) => scala.Right(calCeil(u, v)) }
+            .orElse(calBounds(b, a).map { case (u, v) => scala.Left(calNext(u, v)) })
+        case LessThanOrEqual(a, b) =>
+          calBounds(a, b).map { case (u, v) => scala.Right(calNext(u, v)) }
+            .orElse(calBounds(b, a).map { case (u, v) => scala.Left(calCeil(u, v)) })
+        case _ => None
+      }
+    }
+
     conjuncts.foreach {
       case TimeEq((lo0, hi0)) =>
         mergeLo(lo0); mergeHi(hi0)
+      case CalCmp(bound) =>
+        bound.fold(mergeLo, mergeHi)
       // DATE-column vs DATE-literal comparisons first: day slots make every
       // operator exact (`d <= lit` ⇔ `d < lit + 1 day`, `d > lit` ⇔
       // `d >= lit + 1 day`), where the generic timestamp arms below must

@@ -1,0 +1,55 @@
+package graft.index
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+import graft.wheel.{TypedHawWheel, TypedRwWheel, WheelAggregator}
+
+/** Distributed build of a TYPED wheel over a DataFrame — the same
+  * no-driver-collect shape as the fused index build
+  * ([[graft.index.WheelBuildAcc]]): executors fold their partitions into
+  * per-partition [[TypedRwWheel]]s, which merge in a depth-2 tree so the
+  * driver receives ONE wheel whose payload is bounded by
+  * (active slots) × (partial size), never by row count.
+  *
+  * This is what makes sketch aggregators usable at corpus scale: an
+  * [[graft.wheel.WheelAggregators.HllDistinct]] partial is a fixed 2^p
+  * bytes, so "distinct users over any time range" over 100 TB of events
+  * merges down to active-seconds × 2 KiB regardless of cardinality —
+  * the aggregate no exact wheel can carry (reference aggregator surface:
+  * `/root/reference/datafusion-uwheel/src/aggregator/mod.rs:8-34`).
+  *
+  * The time column takes every type the fused build takes (TIMESTAMP,
+  * TIMESTAMP_NTZ, DATE, raw-nanos LONG) via the same zone-free conversion.
+  */
+object TypedWheelBuild {
+
+  /** Builds a frozen typed wheel from `df`.
+    *
+    * @param valueCol the aggregated input column
+    * @param readIn   reads the input value from a (sec, value) row —
+    *                 e.g. `_.getLong(1)` for a LONG column
+    */
+  def build[In, P: ClassTag, Out](
+      df: DataFrame,
+      timeColumn: String,
+      valueCol: Column,
+      agg: WheelAggregator[In, P, Out],
+      readIn: Row => In): TypedHawWheel[P, Out] = {
+    val sec = UWheelIndex.secExprOf(df, timeColumn)
+    val rows = df.select(sec.as("__sec"), valueCol.as("__v"))
+      .where(col("__sec").isNotNull)
+    val partitions = rows.rdd.getNumPartitions
+    val merged = rows.rdd
+      .mapPartitions { it =>
+        val w = new TypedRwWheel(agg)
+        it.foreach(r => w.mergeLift(r.getLong(0), readIn(r)))
+        Iterator.single(w)
+      }
+      // depth 2: executor-side pre-merge, one wheel to the driver
+      .treeReduce((a, b) => a.merge(b), depth = math.min(2, math.max(1, partitions)))
+    merged.freeze()
+  }
+}

@@ -318,12 +318,17 @@ final class TypedRwWheel[In, P, Out](val agg: WheelAggregator[In, P, Out]) exten
 
   def insert(tsMs: Long, in: In): Unit = {
     require(tsMs >= watermarkMs, s"insert at $tsMs behind watermark $watermarkMs")
-    val sec = Math.floorDiv(tsMs, 1000L)
+    mergeLift(Math.floorDiv(tsMs, 1000L), in)
+  }
+
+  /** Order-free bulk ingest (the distributed-build path: executor partitions
+    * arrive unsorted and lateness is not a concept at build time, so no
+    * watermark check). */
+  def mergeLift(sec: Long, in: In): Unit =
     slots.updateWith(sec) {
       case Some(p) => Some(agg.combine(p, agg.lift(in)))
       case None    => Some(agg.lift(in))
     }
-  }
 
   def advanceTo(tsMs: Long): Unit = if (tsMs > watermarkMs) watermarkMs = tsMs
 

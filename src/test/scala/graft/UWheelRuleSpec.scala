@@ -243,6 +243,18 @@ class UWheelRuleSpec extends AnyFunSuite {
       .select("event_id")
     assertRewritten(p)
     assert(p.count() === 0)
+    // calendar-view INEQUALITIES are exact for every operator — including
+    // unit-unaligned literals (day-trunc < a noon literal rounds to the
+    // next day boundary, which is what the trunc comparison means)
+    check(events.filter(
+      date_trunc("day", col("ts")) >= lit("2024-01-06 00:00:00").cast("timestamp") &&
+      date_trunc("day", col("ts")) < lit("2024-01-09 12:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("cnt")))
+    check(events.filter(
+      to_date(col("ts")) > lit("2024-01-06").cast("date") &&
+      to_date(col("ts")) <= lit("2024-01-09").cast("date"))
+      .agg(count(lit(1)).as("cnt")))
+    check(events.filter(year(col("ts")) <= 2024).agg(count(lit(1)).as("cnt")))
   }
 
   test("multi-range: OR of time windows and IN lists rewrite additively") {
@@ -526,6 +538,11 @@ class UWheelRuleSpec extends AnyFunSuite {
     val eqEmpty = t.filter(trunc(col("d"), "month") === lit("2024-02-02").cast("date"))
     assertRewritten(eqEmpty)
     assert(eqEmpty.count() === 0)
+
+    // trunc-date inequality with an unaligned literal rounds to the next
+    // month boundary (what the trunc comparison means), staying exact
+    check(t.filter(trunc(col("d"), "month") >= lit("2024-02-15").cast("date"))
+      .agg(count(lit(1)).as("cnt")))
 
     // date IN lists: the short form stays In, the long form becomes InSet
     // via OptimizeIn — both must extract to a union of day ranges

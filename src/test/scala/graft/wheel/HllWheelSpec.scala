@@ -69,6 +69,32 @@ class HllWheelSpec extends AnyFunSuite {
       assert(merged.range(s, e) === single.range(s, e))
   }
 
+  test("distributed build over the events table is bit-exact vs a local fold") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // distinct users per time range; repartition so the tree-merge is real
+    val w = graft.index.TypedWheelBuild.build(
+      ev.repartition(7), "ts", col("user_id"), hll,
+      (r: org.apache.spark.sql.Row) => r.getLong(1))
+    val pairs = ev.select(expr("unix_micros(ts) div 1000000").as("sec"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = pairs.map(_._1).min
+    val hi = pairs.map(_._1).max + 1
+    for ((s, e) <- Seq((lo, hi), (lo, lo + 86400L), (lo + 86400L, lo + 5 * 86400L),
+                       (hi - 3600L, hi))) {
+      val in = pairs.filter(p => p._1 >= s && p._1 < e).map(_._2)
+      assert(w.range(s, e) === flatEstimate(in), s"range [$s, $e)")
+      assert(in.isEmpty || w.range(s, e) > 0)
+    }
+  }
+
   test("estimates land within 4 standard errors of exact distinct counts") {
     val stderr = 1.04 / math.sqrt(1 << 11)
     for (users <- Seq(100, 2000, 50000)) {
