@@ -1,0 +1,51 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.index.TypedWheelBuild
+import graft.wheel.WheelAggregators.HllDistinct
+
+/** Distinct-users-per-time-range via the HLL wheel — the sketch aggregate
+  * the fused index can't carry (exact distinct partials grow with
+  * cardinality; HLL partials are a fixed 2^p bytes per active second).
+  * Executors fold their partitions into typed wheels and tree-merge; the
+  * driver receives ONE wheel and answers any range without touching the
+  * table again.
+  *
+  * Run: `sbt "runMain graft.examples.HllExample"`
+  */
+object HllExample {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sfDir)
+    val hll = new HllDistinct(p = 11) // 2 KiB registers, stderr ~2.3 %
+
+    val w = TypedWheelBuild.build(ev, "ts", col("user_id"), hll, _.getLong(1))
+    println(s"wheel covers [${w.startSec}, ${w.endSec}) — ${w.numSecs} active seconds")
+
+    val day = 86400L
+    val ranges = Seq(
+      ("first day", w.startSec, w.startSec + day),
+      ("first week", w.startSec, w.startSec + 7 * day),
+      ("all time", w.startSec, w.endSec))
+    for ((name, s, e) <- ranges) {
+      val est = w.range(s, e)
+      val exact = ev
+        .where(expr(s"unix_micros(ts) div 1000000 >= $s AND unix_micros(ts) div 1000000 < $e"))
+        .agg(countDistinct("user_id")).head().getLong(0)
+      val err = if (exact == 0) 0.0 else math.abs(est - exact).toDouble / exact
+      println(f"$name%-12s distinct users: est=$est%5d exact=$exact%5d relErr=${err * 100}%.2f%%")
+    }
+    spark.stop()
+  }
+}

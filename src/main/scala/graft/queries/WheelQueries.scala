@@ -127,6 +127,12 @@ object WheelQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders_dated
         |WHERE o_odate IN (DATE '1995-06-15', DATE '1995-09-01', DATE '1996-02-29')""".stripMargin),
+    // HAVING over a rewritten group-by: the aggregate materializes from the
+    // wheel and the post-aggregation filter folds on the local rows
+    "uw_having" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+         |FROM events WHERE $range
+         |GROUP BY 1 HAVING count(*) > 300 ORDER BY 1""".stripMargin),
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +231,9 @@ object WheelQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) IN (DATE '1995-06-15', DATE '1995-09-01', DATE '1996-02-29')""".stripMargin,
+    "uw_having" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS cnt
+         |FROM events WHERE $range
+         |GROUP BY 1 HAVING count(*) > 300 ORDER BY 1""".stripMargin,
   )
 }
