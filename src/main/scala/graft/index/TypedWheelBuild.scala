@@ -37,19 +37,30 @@ object TypedWheelBuild {
       timeColumn: String,
       valueCol: Column,
       agg: WheelAggregator[In, P, Out],
-      readIn: Row => In): TypedHawWheel[P, Out] = {
+      readIn: Row => In): TypedHawWheel[P, Out] =
+    buildRw(df, timeColumn, valueCol, agg, readIn).freeze()
+
+  /** The pre-freeze ingest wheel — for callers that keep merging (the
+    * streaming maintenance path merges one of these per micro-batch into
+    * its live wheel). */
+  def buildRw[In, P: ClassTag, Out](
+      df: DataFrame,
+      timeColumn: String,
+      valueCol: Column,
+      agg: WheelAggregator[In, P, Out],
+      readIn: Row => In): TypedRwWheel[In, P, Out] = {
     val sec = UWheelIndex.secExprOf(df, timeColumn)
     val rows = df.select(sec.as("__sec"), valueCol.as("__v"))
       .where(col("__sec").isNotNull)
-    val partitions = rows.rdd.getNumPartitions
-    val merged = rows.rdd
+    val rdd = rows.rdd
+    if (rdd.getNumPartitions == 0) return new TypedRwWheel(agg)
+    rdd
       .mapPartitions { it =>
         val w = new TypedRwWheel(agg)
         it.foreach(r => w.mergeLift(r.getLong(0), readIn(r)))
         Iterator.single(w)
       }
       // depth 2: executor-side pre-merge, one wheel to the driver
-      .treeReduce((a, b) => a.merge(b), depth = math.min(2, math.max(1, partitions)))
-    merged.freeze()
+      .treeReduce((a, b) => a.merge(b), depth = 2)
   }
 }

@@ -151,6 +151,28 @@ object PipelineQueries {
          |      CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 400
          |                WHEN 'de' THEN 300 ELSE 150 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // curation-funnel accounting: every doc gets exactly one verdict by a
+    // fixed precedence (length → repetition → language allowlist → kept),
+    // reported as a per-verdict census — the drop-reason bookkeeping every
+    // filtering pipeline publishes alongside its output. One map pass + one
+    // tiny hash-agg; the CASE guard keeps the bigram computation off the
+    // sub-2-word rows (where slice() would fault) in both engines.
+    "ds_funnel" ->
+      """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, lang, size(w) AS n_words, size(w) - 1 AS n_bi,
+        |             CASE WHEN size(w) >= 2 THEN
+        |               size(array_distinct(transform(sequence(0, size(w) - 2),
+        |                    i -> concat_ws(' ', slice(w, i + 1, 2)))))
+        |             ELSE 0 END AS n_uniq
+        |      FROM d),
+        |v AS (SELECT CASE WHEN n_words < 30 THEN 'too_short'
+        |                  WHEN (n_bi - n_uniq) * 5 >= n_bi THEN 'repetitive'
+        |                  WHEN lang NOT IN ('en', 'de', 'fr') THEN 'lang_filtered'
+        |                  ELSE 'kept' END AS verdict
+        |      FROM s)
+        |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
   )
 
   /** Duplicate clustering: connected components over the exact near-dup
@@ -497,6 +519,22 @@ object PipelineQueries {
          |      CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 400
          |                WHEN 'de' THEN 300 ELSE 150 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "ds_funnel" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, lang, len(w) AS n_words, len(w) - 1 AS n_bi,
+        |             CASE WHEN len(w) >= 2 THEN
+        |               len(list_distinct([array_to_string(w[i:i+1], ' ')
+        |                                  for i in range(1, len(w))]))
+        |             ELSE 0 END AS n_uniq
+        |      FROM d),
+        |v AS (SELECT CASE WHEN n_words < 30 THEN 'too_short'
+        |                  WHEN (n_bi - n_uniq) * 5 >= n_bi THEN 'repetitive'
+        |                  WHEN lang NOT IN ('en', 'de', 'fr') THEN 'lang_filtered'
+        |                  ELSE 'kept' END AS verdict
+        |      FROM s)
+        |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
 
     "dd_cluster" -> ddClusterOracle,
     "dd_cluster_keep" -> ddClusterKeepOracle,

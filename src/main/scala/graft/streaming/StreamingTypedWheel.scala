@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.index.TypedWheelBuild
+import graft.wheel.{TypedHawWheel, TypedRwWheel, WheelAggregator}
+
+/** Continuously-maintained TYPED wheel over a Structured Streaming source —
+  * the custom-aggregator counterpart of [[StreamingWheelIndex]]. Each
+  * micro-batch runs the distributed typed build ([[TypedWheelBuild]]):
+  * executors fold their partitions into per-partition wheels that
+  * tree-merge, and the driver merges ONE wheel per batch into the live
+  * state, so ingest cost is bounded by (active slots) × (partial size),
+  * never batch row count.
+  *
+  * With [[graft.wheel.WheelAggregators.HllDistinct]] this is a live
+  * "distinct users over any time range" service: partials are fixed 2^p
+  * bytes and register-max merging is idempotent, so re-delivered rows
+  * (at-least-once sources) can only re-assert bits, never double-count.
+  * Late data is governed by the upstream watermark; whatever the source
+  * admits, the wheel merges — slot merging is order-free.
+  *
+  * Readers call [[snapshot]] for an immutable [[TypedHawWheel]]
+  * (freeze-on-read, cheap when no batch arrived since the last call).
+  */
+final class StreamingTypedWheel[In, P: ClassTag, Out](
+    timeColumn: String,
+    valueCol: Column,
+    agg: WheelAggregator[In, P, Out],
+    readIn: Row => In) {
+
+  private val live = new TypedRwWheel(agg)
+  private val cached = new AtomicReference[(Long, TypedHawWheel[P, Out])]((0L, null))
+  private var version = 0L
+
+  /** Immutable point-in-time view. */
+  def snapshot(): TypedHawWheel[P, Out] = {
+    val (v, w) = cached.get()
+    val cur = live.synchronized(version)
+    if (w != null && v == cur) w
+    else {
+      val fresh = live.synchronized((version, live.freeze()))
+      cached.set(fresh)
+      fresh._2
+    }
+  }
+
+  /** Starts the maintenance query on a streaming DataFrame. */
+  def attach(stream: DataFrame, queryName: String): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bw = TypedWheelBuild.buildRw(batch, timeColumn, valueCol, agg, readIn)
+        live.synchronized {
+          live.merge(bw)
+          version += 1
+        }
+        ()
+      }
+      .start()
+}

@@ -204,4 +204,45 @@ class StreamingWheelSpec extends AnyFunSuite {
       assert(fromWheel === fromWindow)
     } finally { q.stop(); wq.stop() }
   }
+
+  test("streaming typed HLL wheel: bit-exact vs flat fold; re-delivery free") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val hll = new graft.wheel.WheelAggregators.HllDistinct(11)
+    def flatEstimate(users: Seq[Long]): Long =
+      hll.lower(users.foldLeft(hll.identity)((a, u) => hll.combine(a, hll.lift(u))))
+
+    val idx = new StreamingTypedWheel("ts", col("user_id"), hll,
+      (r: org.apache.spark.sql.Row) => r.getLong(1))
+    val q = idx.attach(df, "typed-wheel-maintenance")
+    try {
+      val base = ts("2024-03-03 00:00:00").getTime
+      val batch1 = (0 until 300).map(i => (new Timestamp(base + i * 1000L), (i % 40).toLong))
+      val batch2 = (0 until 300).map(i => (new Timestamp(base + (300 + i) * 1000L), (i % 75).toLong))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+
+      val all = batch1 ++ batch2
+      val baseSec = base / 1000
+      val w = idx.snapshot()
+      for ((s, e) <- Seq((baseSec, baseSec + 600), (baseSec, baseSec + 120),
+                         (baseSec + 250, baseSec + 400))) {
+        val in = all.filter(r => r._1.getTime / 1000 >= s && r._1.getTime / 1000 < e).map(_._2)
+        assert(w.range(s, e) === flatEstimate(in), s"range [$s, $e)")
+      }
+
+      // at-least-once duplication: replaying batch1 re-asserts register
+      // bits, never double-counts
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val w2 = idx.snapshot()
+      assert(w2.range(baseSec, baseSec + 600) ===
+        flatEstimate(all.map(_._2)))
+    } finally q.stop()
+  }
 }
