@@ -601,6 +601,37 @@ class UWheelRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized OR-range parity: unions of 2-3 random windows match the scan") {
+    setup
+    val rnd = new scala.util.Random(51072026L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    def fmt(sec: Long) = new java.sql.Timestamp(sec * 1000).toString
+    for (_ <- 0 until 40) {
+      // random windows that may overlap, nest, touch, or be disjoint
+      val n = 2 + rnd.nextInt(2)
+      val windows = Seq.fill(n) {
+        val s = base + rnd.nextInt(35 * 86400)
+        (s, s + 1 + rnd.nextInt(10 * 86400))
+      }
+      def cond = windows.map { case (s, e) =>
+        col("ts") >= lit(fmt(s)).cast("timestamp") &&
+          col("ts") < lit(fmt(e)).cast("timestamp")
+      }.reduce(_ || _)
+      def q = events.filter(cond)
+        .agg(count(lit(1)).as("c"),
+          sum(col("value").cast("decimal(18,2)")).as("sd"),
+          min("value").as("mn"), max("value").as("mx"))
+      assertRewritten(q)
+      val got = q.collect()(0).toString
+      val exp = groundTruth {
+        val scan = q
+        assertNotRewritten(scan)
+        scan.collect()(0).toString
+      }
+      assert(got === exp, windows.map { case (s, e) => s"[${fmt(s)}, ${fmt(e)})" }.mkString(" OR "))
+    }
+  }
+
   test("stale index: file change after build disables rewrites") {
     setup
     import spark.implicits._
