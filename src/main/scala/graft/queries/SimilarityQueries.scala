@@ -403,6 +403,21 @@ object SimilarityQueries {
       .orderBy("qi", "xi")
   }
 
+  /** Per-label embedding centroids via FIXED-POINT accumulation: each
+    * component floor-quantizes to a µ-unit integer (floor over an exact
+    * float→double widening is bit-deterministic), so the per-class sums are
+    * order-independent BIGINTs — the deterministic-accumulation trick
+    * distributed training uses to make reductions reproducible regardless
+    * of partitioning. One posexplode + one hash-agg on (label, idx):
+    * map-side combined, output |labels|×dim rows. */
+  private val embCentroidSpark =
+    """SELECT label, pos + 1 AS idx, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+      |       CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+      |         / 1000000.0 / count(*) AS centroid
+      |FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, val
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_minhash_lsh" -> (minhashLsh _),
     "dd_simhash" -> (simhash _),
@@ -411,6 +426,7 @@ object SimilarityQueries {
     "dd_embed_lsh" -> (embedLshDup _),
     "ann_topk" -> (annTopK _),
     "ann_ivf" -> (annIvf _),
+    "emb_centroid" -> Q.sql(embCentroidSpark),
   )
 
   /** dd_minhash_lsh / dd_simhash / dd_simhash_pairs (Spark xxhash64/Murmur3-
@@ -461,5 +477,12 @@ object SimilarityQueries {
         |    ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
         |r AS (SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi) AS rn FROM s)
         |SELECT qi, xi FROM r WHERE rn <= 5 ORDER BY qi, xi""".stripMargin,
+    "emb_centroid" ->
+      """SELECT label, g.i AS idx, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |       CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+        |         / 1000000.0 / count(*) AS centroid
+        |FROM embeddings, generate_series(1, 64) AS g(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
