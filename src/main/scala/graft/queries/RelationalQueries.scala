@@ -253,6 +253,18 @@ object RelationalQueries {
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
 
+    // latest-record compaction (CDC/upsert semantics): one row per user —
+    // their most recent event — the "current snapshot from an append log"
+    // step every incremental pipeline runs. One shuffle on the key; at
+    // 100 TB this is the window form of max_by, with no self-join.
+    "q_latest_snapshot" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     // Pearson correlation per group from decimal-exact moment sums: the five
     // sums are exact integers (DECIMAL) in any accumulation order, lowered to
     // DOUBLE once, and the closed-form combination is a fixed expression tree
