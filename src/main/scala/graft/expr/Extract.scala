@@ -87,7 +87,7 @@ object Extract {
     * timestamp column — the cast truncates in its zone, so TimestampType
     * requires that zone to be UTC (wheel slots are epoch-aligned); NTZ is
     * wall-clock and exempt. */
-  private def isTimeAsDate(e: Expression, timeCol: String): Boolean = e match {
+  def isTimeAsDate(e: Expression, timeCol: String): Boolean = e match {
     case a: AttributeReference => a.name == timeCol && a.dataType == DateType
     case Cast(t, DateType, tzId, _) =>
       (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) && isTime(t, timeCol)

@@ -133,6 +133,11 @@ object WheelQueries {
       s"""SELECT date_trunc('day', ts) AS d, count(*) AS cnt
          |FROM events WHERE $range
          |GROUP BY 1 HAVING count(*) > 300 ORDER BY 1""".stripMargin),
+    // GROUP BY year(ts): integer year keys from 12-month calendar buckets
+    "uw_groupby_yearint" -> Q.sql(
+      """SELECT CAST(year(l_shipdate) AS INT) AS y, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
   val oracles: Map[String, String] = Map(
@@ -235,5 +240,9 @@ object WheelQueries {
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS cnt
          |FROM events WHERE $range
          |GROUP BY 1 HAVING count(*) > 300 ORDER BY 1""".stripMargin,
+    "uw_groupby_yearint" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS y, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -364,6 +364,16 @@ object UWheelRule extends Rule[LogicalPlan] {
               if a.name == table.timeColumn && a.dataType == DateType =>
             ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
               (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY)
+          // GROUP BY year(ts): 12-month calendar buckets keyed by the year
+          // NUMBER (IntegerType) — the only single-field extraction that is
+          // contiguous in time (month/day-of-year recur). Same zone gating
+          // as the to_date arm, via isTimeAsDate on Year's date-typed child.
+          case Year(t) if Extract.isTimeAsDate(t, table.timeColumn) =>
+            ((hw: HawWheel, s: Long, e: Long) => hw.groupByCalendar(s, e, 12),
+              (gs: Long) => Literal(
+                java.time.LocalDate.ofEpochDay(Math.floorDiv(gs, HawWheel.DAY)).getYear,
+                IntegerType),
+              HawWheel.DAY)
           // GROUP BY trunc(dateCol, 'week'|'month'|'quarter'|'year'): DATE in,
           // DATE out, zone-free (TruncDate never consults the session zone).
           case TruncDate(t: AttributeReference, Literal(fmt: UTF8String, StringType))

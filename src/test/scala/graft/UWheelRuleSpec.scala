@@ -257,6 +257,20 @@ class UWheelRuleSpec extends AnyFunSuite {
     check(events.filter(year(col("ts")) <= 2024).agg(count(lit(1)).as("cnt")))
   }
 
+  test("GROUP BY year(ts): integer year keys from calendar buckets") {
+    setup
+    def q = events.groupBy(year(col("ts")).as("y"))
+      .agg(count(lit(1)).as("cnt"), max("value").as("mx")).orderBy("y")
+    assertRewritten(q)
+    assert(q.collect().map(_.toString).toSeq ===
+      groundTruth(q.collect().map(_.toString).toSeq))
+    // year() of a TIMESTAMP goes through a session-zone date cast: gated
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try assertNotRewritten(
+      events.groupBy(year(col("ts")).as("y")).agg(count(lit(1)).as("c")))
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("multi-range: OR of time windows and IN lists rewrite additively") {
     setup
     def check(q: DataFrame): Unit = {
@@ -535,6 +549,8 @@ class UWheelRuleSpec extends AnyFunSuite {
     check(t.filter(trunc(col("d"), "month") === lit("2024-02-01").cast("date"))
       .agg(count(lit(1)).as("cnt")))
     check(t.filter(year(col("d")) === 2024).agg(count(lit(1)).as("cnt")))
+    // GROUP BY year(dateCol): two calendar years in this fixture
+    check(t.groupBy(year(col("d")).as("y")).agg(count(lit(1)).as("cnt")).orderBy("y"))
     val eqEmpty = t.filter(trunc(col("d"), "month") === lit("2024-02-02").cast("date"))
     assertRewritten(eqEmpty)
     assert(eqEmpty.count() === 0)
