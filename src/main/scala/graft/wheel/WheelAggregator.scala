@@ -21,7 +21,16 @@ import scala.reflect.ClassTag
 trait WheelAggregator[In, P, Out] extends Serializable {
   def identity: P
   def lift(in: In): P
+  /** Must NOT mutate its arguments — combined partials are shared across
+    * wheel levels and snapshots. */
   def combine(a: P, b: P): P
+  /** Per-row ingest step. Defaults to the pure `combine(p, lift(in))`;
+    * aggregators with heavy partials (sketches) may override it to mutate
+    * and return `p` — the caller passes OWNED accumulation state and treats
+    * the argument as consumed ([[TypedRwWheel]] snapshots partials through
+    * `combine(identity, _)` at freeze time, so frozen wheels never alias
+    * live state regardless of what accumulate does). */
+  def accumulate(p: P, in: In): P = combine(p, lift(in))
   /** `Some((ab, a) => b)` for invertible aggregates — enables prefix wheels. */
   def inverse: Option[(P, P) => P] = None
   def lower(p: P): Out
@@ -244,6 +253,19 @@ object WheelAggregators {
       }
       out
     }
+    /** In-place ingest: one hash + one register compare per row, ZERO
+      * allocation — the per-row cost the 100 TB fold needs (the default
+      * combine(p, lift(in)) would allocate two 2^p-byte arrays per row).
+      * Safe under the accumulate ownership contract: the wheel passes its
+      * own accumulation array and snapshots on freeze. */
+    override def accumulate(regs: Array[Byte], in: Long): Array[Byte] = {
+      val h = mix64(in)
+      val idx = (h >>> (64 - p)).toInt
+      val w = h << p
+      val rank = ((if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1).toByte
+      if (regs(idx) < rank) regs(idx) = rank
+      regs
+    }
     def lower(regs: Array[Byte]): Long = {
       var invSum = 0.0
       var zeros = 0
@@ -323,15 +345,20 @@ final class TypedRwWheel[In, P, Out](val agg: WheelAggregator[In, P, Out]) exten
 
   /** Order-free bulk ingest (the distributed-build path: executor partitions
     * arrive unsorted and lateness is not a concept at build time, so no
-    * watermark check). */
+    * watermark check). Goes through [[WheelAggregator.accumulate]] — the
+    * slot partial is accumulation state this wheel owns, so mutating
+    * aggregators (sketches) ingest allocation-free. */
   def mergeLift(sec: Long, in: In): Unit =
     slots.updateWith(sec) {
-      case Some(p) => Some(agg.combine(p, agg.lift(in)))
+      case Some(p) => Some(agg.accumulate(p, in))
       case None    => Some(agg.lift(in))
     }
 
   def advanceTo(tsMs: Long): Unit = if (tsMs > watermarkMs) watermarkMs = tsMs
 
+  /** Merges `other` into this wheel, CONSUMING it: absent-slot partials are
+    * adopted by reference, so `other` must not be ingested into afterwards
+    * (both the tree-merge and the streaming per-batch merge discard it). */
   def merge(other: TypedRwWheel[In, P, Out]): this.type = {
     other.slots.foreach { case (sec, p) =>
       slots.updateWith(sec) {
@@ -343,8 +370,13 @@ final class TypedRwWheel[In, P, Out](val agg: WheelAggregator[In, P, Out]) exten
     this
   }
 
+  /** Freeze-time snapshot copies each partial via `combine(identity, _)`
+    * (a no-op by the identity law, but a FRESH value), so the frozen wheel
+    * never aliases this wheel's live accumulation state — ingest may
+    * continue, and mutating `accumulate` implementations stay safe. */
   def freeze()(implicit ct: ClassTag[P]): TypedHawWheel[P, Out] =
-    TypedHawWheel.fromSecondPartials(slots.iterator, agg)
+    TypedHawWheel.fromSecondPartials(
+      slots.iterator.map { case (s, p) => (s, agg.combine(agg.identity, p)) }, agg)
 }
 
 object TypedHawWheel {

@@ -56,6 +56,21 @@ class HllWheelSpec extends AnyFunSuite {
       flatEstimate(base.map(_._2).distinct))
   }
 
+  test("freeze snapshots are isolated from continued (mutating) ingest") {
+    val rs = rows(n = 2000, span = 3600, users = 500, seed = 23)
+    val rw = new TypedRwWheel(hll)
+    rs.sortBy(_._1).foreach { case (sec, u) => rw.insert(sec * 1000L, u) }
+    val snap = rw.freeze()
+    val before = snap.range(t0, t0 + 3600L)
+    // keep ingesting into the SAME seconds — HllDistinct.accumulate mutates
+    // its register arrays in place, which must not reach the frozen view
+    val more = rows(n = 2000, span = 3600, users = 5000, seed = 29)
+    more.sortBy(_._1).foreach { case (sec, u) => rw.insert(sec * 1000L, u) }
+    assert(snap.range(t0, t0 + 3600L) === before)
+    assert(rw.freeze().range(t0, t0 + 3600L) ===
+      flatEstimate((rs ++ more).map(_._2)))
+  }
+
   test("merge across ingest wheels equals one wheel (executor tree-merge)") {
     val rs = rows(n = 10000, span = 2 * 86400, users = 3000, seed = 13)
     val (a, b) = rs.zipWithIndex.partition(_._2 % 2 == 0)
