@@ -157,7 +157,7 @@ object TextQueries {
     * hinges on ubiquitous shingles are missed (for near-dup detection those
     * are exactly the uninformative matches). `capDf = None` is the exact
     * form. */
-  private[queries] def shingleJaccardSparkSql(capDf: Option[Int]): String = {
+  private[graft] def shingleJaccardSparkSql(capDf: Option[Int]): String = {
     val cap = capDf.map(n => s" AND count(*) <= $n").getOrElse("")
     s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 3),
        |sh AS (SELECT doc_id, explode(array_distinct(

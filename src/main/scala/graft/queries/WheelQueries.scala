@@ -138,6 +138,13 @@ object WheelQueries {
       """SELECT CAST(year(l_shipdate) AS INT) AS y, count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+    // OR of two provably-empty windows: every member of the union counts
+    // zero, so the scan is skipped entirely
+    "uw_or_prune" -> Q.sql(
+      """SELECT event_id, user_id FROM events
+        |WHERE (ts >= TIMESTAMP '2030-01-01 00:00:00' AND ts < TIMESTAMP '2030-02-01 00:00:00')
+        |   OR (ts >= TIMESTAMP '2031-01-01 00:00:00' AND ts < TIMESTAMP '2031-02-01 00:00:00')
+        |ORDER BY event_id""".stripMargin),
   )
 
   val oracles: Map[String, String] = Map(
@@ -244,5 +251,10 @@ object WheelQueries {
       """SELECT CAST(year(l_shipdate) AS INT) AS y, count(*) AS cnt,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_or_prune" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE (ts >= TIMESTAMP '2030-01-01 00:00:00' AND ts < TIMESTAMP '2030-02-01 00:00:00')
+        |   OR (ts >= TIMESTAMP '2031-01-01 00:00:00' AND ts < TIMESTAMP '2031-02-01 00:00:00')
+        |ORDER BY event_id""".stripMargin,
   )
 }
