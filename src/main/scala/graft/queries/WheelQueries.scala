@@ -145,6 +145,14 @@ object WheelQueries {
         |WHERE (ts >= TIMESTAMP '2030-01-01 00:00:00' AND ts < TIMESTAMP '2030-02-01 00:00:00')
         |   OR (ts >= TIMESTAMP '2031-01-01 00:00:00' AND ts < TIMESTAMP '2031-02-01 00:00:00')
         |ORDER BY event_id""".stripMargin),
+    // a wheel-answerable SCALAR SUBQUERY: the rewrite fires inside the
+    // subquery plan (Catalyst optimizes subqueries with the full rule set),
+    // so the outer aggregation's threshold is a plan-time constant
+    "uw_subquery" -> Q.sql(
+      s"""SELECT user_id, count(*) AS n FROM events
+         |GROUP BY user_id
+         |HAVING count(*) > CAST((SELECT count(*) FROM events WHERE $range) AS DOUBLE) / 20.0
+         |ORDER BY user_id""".stripMargin),
   )
 
   val oracles: Map[String, String] = Map(
@@ -256,5 +264,10 @@ object WheelQueries {
         |WHERE (ts >= TIMESTAMP '2030-01-01 00:00:00' AND ts < TIMESTAMP '2030-02-01 00:00:00')
         |   OR (ts >= TIMESTAMP '2031-01-01 00:00:00' AND ts < TIMESTAMP '2031-02-01 00:00:00')
         |ORDER BY event_id""".stripMargin,
+    "uw_subquery" ->
+      s"""SELECT user_id, count(*) AS n FROM events
+         |GROUP BY user_id
+         |HAVING count(*) > CAST((SELECT count(*) FROM events WHERE $range) AS DOUBLE) / 20.0
+         |ORDER BY user_id""".stripMargin,
   )
 }

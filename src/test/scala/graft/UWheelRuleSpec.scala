@@ -257,6 +257,25 @@ class UWheelRuleSpec extends AnyFunSuite {
     check(events.filter(year(col("ts")) <= 2024).agg(count(lit(1)).as("cnt")))
   }
 
+  test("scalar subqueries rewrite: the wheel answer inlines as a LocalRelation") {
+    setup
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val q = spark.sql(
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id
+        |HAVING count(*) > CAST((SELECT count(*) FROM events
+        |                        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |                          AND ts < TIMESTAMP '2024-01-12 00:00:00') AS DOUBLE) / 20.0
+        |ORDER BY user_id""".stripMargin)
+    val subPlans = q.queryExecution.optimizedPlan.subqueriesAll
+    assert(subPlans.nonEmpty)
+    assert(subPlans.forall(_.collect { case l: LocalRelation => l }.nonEmpty),
+      s"subquery not wheel-answered:\n${subPlans.mkString("\n")}")
+    val got = q.collect().map(_.toString).toSeq
+    assert(got === groundTruth(q.collect().map(_.toString).toSeq))
+    assert(got.nonEmpty)
+  }
+
   test("GROUP BY year(ts): integer year keys from calendar buckets") {
     setup
     def q = events.groupBy(year(col("ts")).as("y"))
