@@ -145,6 +145,14 @@ object WheelQueries {
         |WHERE (ts >= TIMESTAMP '2030-01-01 00:00:00' AND ts < TIMESTAMP '2030-02-01 00:00:00')
         |   OR (ts >= TIMESTAMP '2031-01-01 00:00:00' AND ts < TIMESTAMP '2031-02-01 00:00:00')
         |ORDER BY event_id""".stripMargin),
+    // keyed residual composed with a multi-range OR: the residual routes to
+    // the keyed wheel and BOTH windows read from its slots
+    "uw_keyed_or" -> Q.sql(
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_click
+         |FROM events
+         |WHERE ((ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
+         |    OR (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'))
+         |  AND event_type = 'click'""".stripMargin),
     // a wheel-answerable SCALAR SUBQUERY: the rewrite fires inside the
     // subquery plan (Catalyst optimizes subqueries with the full rule set),
     // so the outer aggregation's threshold is a plan-time constant
@@ -264,6 +272,12 @@ object WheelQueries {
         |WHERE (ts >= TIMESTAMP '2030-01-01 00:00:00' AND ts < TIMESTAMP '2030-02-01 00:00:00')
         |   OR (ts >= TIMESTAMP '2031-01-01 00:00:00' AND ts < TIMESTAMP '2031-02-01 00:00:00')
         |ORDER BY event_id""".stripMargin,
+    "uw_keyed_or" ->
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_click
+         |FROM events
+         |WHERE ((ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
+         |    OR (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'))
+         |  AND event_type = 'click'""".stripMargin,
     "uw_subquery" ->
       s"""SELECT user_id, count(*) AS n FROM events
          |GROUP BY user_id
