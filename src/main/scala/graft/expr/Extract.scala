@@ -96,7 +96,7 @@ object Extract {
 
   /** Canonical calendar unit of a `date_trunc`/`trunc` format string, or
     * None for unsupported (sub-second, millennium, …) units. */
-  private def truncUnitOf(fmt: String): Option[String] = {
+  private[graft] def truncUnitOf(fmt: String): Option[String] = {
     import graft.wheel.HawWheel
     val u = fmt.toLowerCase
     HawWheel.levelIndexOf(u).map(Vector("second", "minute", "hour", "day", "week"))
@@ -110,7 +110,7 @@ object Extract {
   /** UTC truncation of an epoch-micros instant to a calendar unit. Week is
     * Monday-anchored (epoch day 0 is a Thursday) to match Spark and DuckDB;
     * month/quarter/year use proleptic-Gregorian calendar arithmetic. */
-  private def truncUtcMicros(us: Long, unit: String): Long = unit match {
+  private[graft] def truncUtcMicros(us: Long, unit: String): Long = unit match {
     case "second" => Math.floorDiv(us, MicrosPerSec) * MicrosPerSec
     case "minute" => Math.floorDiv(us, 60L * MicrosPerSec) * (60L * MicrosPerSec)
     case "hour"   => Math.floorDiv(us, 3600L * MicrosPerSec) * (3600L * MicrosPerSec)
@@ -129,7 +129,7 @@ object Extract {
   }
 
   /** The next unit boundary after an already-aligned instant. */
-  private def nextBoundaryMicros(alignedUs: Long, unit: String): Long = unit match {
+  private[graft] def nextBoundaryMicros(alignedUs: Long, unit: String): Long = unit match {
     case "second" => alignedUs + MicrosPerSec
     case "minute" => alignedUs + 60L * MicrosPerSec
     case "hour"   => alignedUs + 3600L * MicrosPerSec
