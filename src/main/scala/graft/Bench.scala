@@ -113,7 +113,22 @@ object Bench {
 
     // Full detail for humans/logs — prefixed so the driver's `^{` JSON-line
     // match never picks it up.
-    println("BENCH_FULL " + line(results.toSeq.map { case (k, v) => k -> num(v) }, total))
+    val fullLine = line(results.toSeq.map { case (k, v) => k -> num(v) }, total)
+    println("BENCH_FULL " + fullLine)
+    // ... and persisted to the repo so every entry stays comparable
+    // round-over-round even though the stdout contract line is capped
+    // (round-5 verdict: the cap folded 64 of ~100 entries into other_sec,
+    // blinding the per-query diff). Round number = 1 + the highest driver
+    // BENCH_r{N}.json present; a bench re-run within a round overwrites its
+    // own file, which is the freshest-numbers behavior we want.
+    try {
+      val repo = new java.io.File(".").getCanonicalFile
+      val prev = Option(repo.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      val round = if (prev.isEmpty) 1 else prev.max + 1
+      val path = new java.io.File(repo, f"BENCH_full_r$round%02d.json").toPath
+      java.nio.file.Files.write(path, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[graft] bench dump failed: ${e.getMessage}") }
 
     // The driver keeps only the LAST 2000 chars of stdout and parses the JSON
     // line out of that window; sbt prints ~75 chars of `[success] Total time`

@@ -48,23 +48,30 @@ object CurationPipelineExample {
     println(s"funnel: $total docs -> ${kept.count()} kept")
 
     // 2-3. cluster the near-dup pairs of the KEPT set, pick one rep each.
-    // (This example retargets the documents view at the funnel survivors so
-    // the clustering operators read the filtered corpus; restored below.)
-    kept.createOrReplaceTempView("documents")
-    val keeps = PipelineQueries.ddClusterKeep(spark, sfDir)
-      .select(col("keep_id").as("doc_id"))
-    // every doc in a near-dup pair belongs to exactly one cluster: the drop
-    // set is pair members minus the per-cluster keeps
-    val pairDocs = spark.sql(TextQueries.shingleJaccardSparkSql(
-        capDf = Some(TextQueries.ShingleCapDf)))
-      .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
-    val drops = pairDocs.join(keeps, Seq("doc_id"), "left_anti")
-    val nDrops = drops.count()
+    // The example retargets the documents view at the funnel survivors so
+    // the clustering operators read the filtered corpus; try/finally keeps
+    // any later user of this session from inheriting the narrowed view if
+    // a clustering stage throws.
+    val deduped =
+      try {
+        kept.createOrReplaceTempView("documents")
+        val keeps = PipelineQueries.ddClusterKeep(spark, sfDir)
+          .select(col("keep_id").as("doc_id"))
+        // every doc in a near-dup pair belongs to exactly one cluster: the
+        // drop set is pair members minus the per-cluster keeps
+        val pairDocs = spark.sql(TextQueries.shingleJaccardSparkSql(
+            capDf = Some(TextQueries.ShingleCapDf)))
+          .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
+        val drops = pairDocs.join(keeps, Seq("doc_id"), "left_anti")
+        val nDrops = drops.count()
 
-    // 4. apply: anti-join the kept corpus against dropped members
-    val deduped = kept.join(drops, Seq("doc_id"), "left_anti")
-    println(s"dedup: ${kept.count()} kept -> ${deduped.count()} after dropping $nDrops near-dups")
-    docs.createOrReplaceTempView("documents") // restore the full-corpus view
+        // 4. apply: anti-join the kept corpus against dropped members
+        val out = kept.join(drops, Seq("doc_id"), "left_anti")
+        println(s"dedup: ${kept.count()} kept -> ${out.count()} after dropping $nDrops near-dups")
+        out
+      } finally {
+        docs.createOrReplaceTempView("documents") // restore the full-corpus view
+      }
 
     // 5. mixture gate + split manifest (deterministic, no RNG). The two
     // decisions use DIFFERENT multipliers: with a shared hash the

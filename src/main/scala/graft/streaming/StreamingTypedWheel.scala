@@ -45,7 +45,15 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     if (w != null && v == cur) w
     else {
       val fresh = live.synchronized((version, live.freeze()))
-      cached.set(fresh)
+      // Install only if strictly fresher: two concurrent freezers may race
+      // here, and letting the staler pair win would force the next caller
+      // to re-freeze needlessly. Each caller still returns its own freeze.
+      var installed = false
+      while (!installed) {
+        val seen = cached.get()
+        val stale = seen._2 != null && fresh._1 <= seen._1
+        installed = stale || cached.compareAndSet(seen, fresh)
+      }
       fresh._2
     }
   }

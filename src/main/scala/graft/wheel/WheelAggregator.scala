@@ -214,8 +214,14 @@ object WheelAggregators {
     * grouping (the property [[graft.HllWheelSpec]] asserts). Deterministic:
     * inputs hash through the SplitMix64 finalizer, no RNG, rerun-stable.
     * Standard error ≈ 1.04/√(2^p); the default p=11 is 2 KiB per active
-    * slot at ~2.3 %. Not invertible (register max has no inverse), so no
-    * prefix path — ranges decompose across the sparse levels like min/max.
+    * slot at ~2.3 %. Accuracy caveat: this is original HyperLogLog (raw
+    * estimator + linear counting below 2.5·m), not HLL++ — estimates in the
+    * window just above the linear-counting crossover (≈ 2.5·m … 5·m, i.e.
+    * ~5 120–10 240 distinct at p=11) carry the well-known positive bias of
+    * the raw estimator, somewhat above the nominal stderr; outside that
+    * window the stderr bound applies. Not invertible (register max has no
+    * inverse), so no prefix path — ranges decompose across the sparse
+    * levels like min/max.
     *
     * Combine never mutates its arguments (level partials are shared
     * structures); each merge allocates a fresh register array. */
