@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.SrpBandKeys].getName, "srp_band_keys"),
       Graft.srpBuilder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hll_distinct"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.HllDistinctAgg].getName, "hll_distinct"),
+      Graft.hllBuilder))
   }
 }
 
@@ -56,23 +61,39 @@ object Graft {
       "scala_udf")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "srp_band_keys", srpBuilder, "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_distinct", hllBuilder, "scala_udf")
+  }
+
+  private def intOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                    what: String): Int = {
+    require(e.foldable, s"$what parameters must be literals, got $e")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long =>
+        require(l.isValidInt, s"$what parameter out of Int range: $l")
+        l.toInt
+      case other => throw new IllegalArgumentException(s"not an integer: $other")
+    }
   }
 
   /** `srp_band_keys(vec, bits, rowsPerBand)` — the parameter arguments must
     * be integer literals (they size the generated signature loop). */
   private[graft] def srpBuilder(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    graft.functions.SrpBandKeys(exprs(0), intOf(exprs(1), "srp_band_keys"),
+      intOf(exprs(2), "srp_band_keys"))
+
+  /** `hll_distinct(col[, p])` — `p` must be an integer literal (it sizes
+    * the register buffer); the analyzer wraps the returned
+    * AggregateFunction into a Complete AggregateExpression. */
+  private[graft] def hllBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {
-    def intOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
-      require(e.foldable, s"srp_band_keys parameters must be literals, got $e")
-      e.eval(null) match {
-        case i: Int => i
-        case l: Long =>
-          require(l.isValidInt, s"srp_band_keys parameter out of Int range: $l")
-          l.toInt
-        case other => throw new IllegalArgumentException(s"not an integer: $other")
-      }
-    }
-    graft.functions.SrpBandKeys(exprs(0), intOf(exprs(1)), intOf(exprs(2)))
+    require(exprs.length == 1 || exprs.length == 2,
+      s"hll_distinct takes (col) or (col, p), got ${exprs.length} arguments")
+    val p = if (exprs.length == 2) intOf(exprs(1), "hll_distinct") else 11
+    graft.functions.HllDistinctAgg(exprs(0), p)
   }
 }

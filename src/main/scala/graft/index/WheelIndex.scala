@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types.DecimalType
 
-import graft.wheel.HawWheel
+import graft.wheel.{HawWheel, TypedHawWheel, WheelAggregators}
 
 /** A registered wheel: the [[HawWheel]] plus the metadata the optimizer rule
   * needs to decide whether a rewrite is exact.
@@ -52,6 +52,23 @@ final case class IndexedWheel(
     coverage: Option[(Long, Long)] = None,
     filterSql: Option[String] = None)
 
+/** HLL distinct-count sketch wheel for one column — the typed-wheel twin of
+  * [[IndexedWheel]] that answers `hll_distinct(column)` over any time range
+  * (the aggregate no exact wheel can carry: exact distinct partials grow
+  * with cardinality, these are fixed 2^p bytes per active second). Always
+  * full-table and unfiltered (no keyed variants), always per-second slots
+  * regardless of the table's numeric-wheel slot span — so the rewrite rule
+  * needs no span or coverage gate for it. The aggregator instance rides
+  * along so the rule can combine partials across disjoint OR-ranges and
+  * lower them with the exact same arithmetic the build used. */
+@SerialVersionUID(1L)
+final case class DistinctIndexedWheel(
+    wheel: TypedHawWheel[Array[Byte], Long],
+    column: String,
+    agg: WheelAggregators.HllDistinct) {
+  def p: Int = agg.p
+}
+
 /** All wheels for one table (identified by its parquet root path).
   *
   * @param fingerprint hash of the table's file listing (path, length,
@@ -83,8 +100,17 @@ final class TableIndex(
       * right, their wheels are raw. */
     val packLevels: Boolean = false) extends Serializable {
   private val wheels = new ConcurrentHashMap[(Option[String], String), IndexedWheel]()
+  // HLL distinct-sketch wheels by column. Null after deserializing an index
+  // persisted before the field existed (Java serialization default) — reads
+  // guard on that; such an index simply has no distinct wheels.
+  private val distinct = new ConcurrentHashMap[String, DistinctIndexedWheel]()
 
   def put(w: IndexedWheel): Unit = wheels.put((w.valueColumn, w.filterKey), w)
+  def putDistinct(d: DistinctIndexedWheel): Unit = distinct.put(d.column, d)
+  def distinctWheel(col: String): Option[DistinctIndexedWheel] =
+    Option(distinct).flatMap(m => Option(m.get(col)))
+  def allDistinctWheels: Seq[DistinctIndexedWheel] =
+    Option(distinct).map(_.asScala.values.toSeq).getOrElse(Nil)
   def get(col: Option[String], filterKey: String): Option[IndexedWheel] =
     Option(wheels.get((col, filterKey)))
   def allWheels: Seq[IndexedWheel] = wheels.asScala.values.toSeq
@@ -97,9 +123,17 @@ final class TableIndex(
   def countWheel: Option[IndexedWheel] = get(None, "")
   def minMaxWheel(col: String): Option[IndexedWheel] = get(Some(col), "")
   /** Retained bytes across wheels, counting shared HawWheels (e.g. the
-    * count wheel aliasing the first min/max wheel) once. */
+    * count wheel aliasing the first min/max wheel) once. HLL distinct
+    * wheels dominate their own figure with register payloads: 2^p bytes
+    * per stored slot across the granularity levels (≤ 2× the per-second
+    * slot count), plus the slot-start longs. */
   def indexUsageBytes: Long =
-    wheels.asScala.values.map(_.wheel).toList.distinct.map(_.sizeBytes).sum
+    wheels.asScala.values.map(_.wheel).toList.distinct.map(_.sizeBytes).sum +
+      allDistinctWheels.map { d =>
+        // levels hold ≤ numSecs slots each and coarser levels shrink
+        // geometrically; 2 × numSecs × 2^p is the tight upper estimate
+        d.wheel.numSecs.toLong * 2 * ((1L << d.p) + 8)
+      }.sum
 }
 
 /** Driver-side registry of wheel indices, consulted by the optimizer rule at
@@ -190,7 +224,9 @@ final case class UWheelBuilder(
     keyedWheels: Seq[IndexBuilder] = Nil,
     slotSpanSec: Long = 1L,
     slotBudget: Option[Long] = None,
-    packLevels: Boolean = false) {
+    packLevels: Boolean = false,
+    distinctColumns: Seq[String] = Nil,
+    hllPrecision: Int = 11) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
@@ -215,6 +251,20 @@ final case class UWheelBuilder(
     * table's [min, max] time range stays within `maxSlots`. Costs one extra
     * min/max scan of the time column before the build. */
   def withSlotBudget(maxSlots: Long): UWheelBuilder = copy(slotBudget = Some(maxSlots))
+
+  /** Adds an HLL distinct-count sketch wheel over an integral column, so
+    * `hll_distinct(col)` over any time range answers from the index at plan
+    * time ([[graft.functions.HllDistinctAgg]]). One extra distributed scan
+    * per column (the typed build's tree merge ships ONE wheel to the
+    * driver, [[TypedWheelBuild]]); `p` sizes the registers — 2^p bytes per
+    * active second at stderr ≈ 1.04/√(2^p). Distinct wheels are always
+    * full-table, unfiltered, per-second. */
+  def withDistinctWheel(col: String, p: Int = 11): UWheelBuilder = {
+    require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
+    require(distinctColumns.forall(_ => p == hllPrecision),
+      "all distinct wheels of one build share a precision")
+    copy(distinctColumns = distinctColumns :+ col, hllPrecision = p)
+  }
 
   /** Stores every value wheel's min/max hierarchy as codec-compressed
     * blocks — the remaining memory lever AFTER slot-span coarsening for
@@ -441,8 +491,21 @@ object UWheelIndex {
       slotBudget = conf.slotBudget, packLevels = conf.packLevels)
     t.put(countBuilt.wheel)
     (colBuilt ++ rest.take(keyedSpecs.length)).foreach(bw => t.put(bw.wheel))
+    conf.distinctColumns.foreach(c => t.putDistinct(buildDistinct(df, conf.timeColumn, c, conf.hllPrecision)))
     WheelRegistry.register(t)
     t
+  }
+
+  /** One distributed typed-wheel scan for an HLL distinct column. The value
+    * goes through the same Spark long cast the SQL aggregate's implicit
+    * cast applies, so build-side and query-side hash identical values;
+    * NULL times/values are skipped on both sides. */
+  private def buildDistinct(
+      df: DataFrame, timeColumn: String, col: String, p: Int): DistinctIndexedWheel = {
+    val agg = new WheelAggregators.HllDistinct(p)
+    DistinctIndexedWheel(
+      TypedWheelBuild.build(df, timeColumn, F.col(col).cast("long"), agg, _.getLong(1)),
+      col, agg)
   }
 
   /** Finest allowed span ≥ `floor` (an explicit span is a floor — a budget
@@ -654,6 +717,20 @@ object UWheelIndex {
       if (appendOnly) t.tsAllNonNull && !sawNull else !sawNull,
       fingerprintOfListing(listing), now, t.slotBudget, t.packLevels)
     (newCols ++ newKeyed ++ newCount).foreach(nt.put)
+    // Distinct (HLL) wheels ride the same delta-vs-rebuild decision: a
+    // register array is the max over its rows' contributions, so merging
+    // old + delta partials slot-wise (register max, idempotent) is
+    // bit-identical to a full rebuild when the delta rows are exactly the
+    // appended ones.
+    t.allDistinctWheels.foreach { d =>
+      val fresh = TypedWheelBuild.build(
+        scanDf, t.timeColumn, F.col(d.column).cast("long"), d.agg, _.getLong(1))
+      val merged =
+        if (appendOnly)
+          TypedHawWheel.fromSecondPartials(d.wheel.slotPartials ++ fresh.slotPartials, d.agg)
+        else fresh
+      nt.putDistinct(d.copy(wheel = merged))
+    }
     WheelRegistry.register(nt)
     if (appendOnly) RefreshOutcome.Appended(newPaths.length) else RefreshOutcome.Rebuilt
   }

@@ -52,9 +52,12 @@ object Q {
         }
       }
       Await.result(Future.sequence(Seq(
-        // events: count + min/max + keyed SUM wheels, all from ONE scan
+        // events: count + min/max + keyed SUM wheels from ONE scan, plus an
+        // HLL distinct-sketch wheel over user_id (its own typed scan) so
+        // hll_distinct(user_id) range queries answer at plan time
         tryBuild("events")(UWheelBuilder("ts", Seq("value"))
           .withKeyedWheel(IndexBuilder("value", Some("event_type = 'click'")))
+          .withDistinctWheel("user_id")
           .build(spark, s"$sfDir/events.parquet")),
         // lineitem: second indexed table (multi-year NTZ time span, so
         // calendar group-bys produce real multi-bucket results)

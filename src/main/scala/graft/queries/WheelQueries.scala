@@ -153,6 +153,18 @@ object WheelQueries {
          |WHERE ((ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
          |    OR (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'))
          |  AND event_type = 'click'""".stripMargin),
+    // hll_distinct over a time range: answered from the HLL sketch wheel —
+    // "distinct users last week", the temporal shape no exact wheel can
+    // carry. No DuckDB oracle (the estimate is OUR sketch's, not a standard
+    // one) — rows-only in CORRECTNESS; HllSqlSpec proves the rewritten
+    // answer bit-equals running the aggregate, and HllWheelSpec bounds the
+    // estimate's error vs exact distinct
+    "uw_distinct_users" -> Q.sql(
+      s"SELECT hll_distinct(user_id) AS du FROM events WHERE $range"),
+    // per-day distinct users: per-bucket register merges from the same wheel
+    "uw_distinct_daily" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, hll_distinct(user_id) AS du, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
     // a wheel-answerable SCALAR SUBQUERY: the rewrite fires inside the
     // subquery plan (Catalyst optimizes subqueries with the full rule set),
     // so the outer aggregation's threshold is a plan-time constant

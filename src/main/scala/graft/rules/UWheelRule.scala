@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.expr.{Canon, Extract}
-import graft.index.{IndexedWheel, TableIndex, WheelRegistry}
+import graft.index.{DistinctIndexedWheel, IndexedWheel, TableIndex, WheelRegistry}
 import graft.wheel.{HawWheel, RangeAgg}
 
 /** Plan-time rewrite of temporal aggregation queries against wheel-indexed
@@ -156,9 +156,21 @@ object UWheelRule extends Rule[LogicalPlan] {
 
   // ----------------------------------------------------- aggregate rewrite
 
-  /** What one AggregateExpression needs from the index. */
+  /** Which wheel answers one Need: a fused numeric wheel, or an HLL
+    * distinct-sketch wheel (whose answer doesn't come from a [[RangeAgg]]). */
+  private sealed trait Src { def numeric: Option[IndexedWheel] }
+  private final case class NumSrc(w: IndexedWheel) extends Src {
+    def numeric: Option[IndexedWheel] = Some(w)
+  }
+  private final case class HllSrc(d: DistinctIndexedWheel) extends Src {
+    def numeric: Option[IndexedWheel] = None
+  }
+
+  /** What one AggregateExpression needs from the index.
+    * `hllP` is only meaningful for kind == "hll" (register precision the
+    * query's aggregate was invoked with — must match the wheel's). */
   private final case class Need(column: Option[String], kind: String,
-                                decScale: Option[Int]) {
+                                decScale: Option[Int], hllP: Int = 0) {
     def value(ra: RangeAgg): Any = kind match {
       case "count" | "countcol" => ra.count
       case "sum"    => ra.sum.map(Double.box).orNull
@@ -194,6 +206,20 @@ object UWheelRule extends Rule[LogicalPlan] {
         Some(Need(Some(a.name), "min", None))
       case Max(a: AttributeReference) if a.dataType == DoubleType =>
         Some(Need(Some(a.name), "max", None))
+      // hll_distinct(col): answered from an HLL sketch wheel with the same
+      // precision. Integral columns are exact through long widening — the
+      // wheel build's cast-to-long produces the same values, so both sides
+      // hash identically (bare attribute or an explicit exact long cast).
+      case h: graft.functions.HllDistinctAgg =>
+        val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+        h.child match {
+          case a: AttributeReference if integral.contains(a.dataType) =>
+            Some(Need(Some(a.name), "hll", None, h.p))
+          case Cast(a: AttributeReference, LongType, _, _)
+              if integral.contains(a.dataType) =>
+            Some(Need(Some(a.name), "hll", None, h.p))
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -263,17 +289,39 @@ object UWheelRule extends Rule[LogicalPlan] {
           .filter(w => (n.kind != "min" && n.kind != "max") || w.valuesNaNFree)
     }).filter(coverageOk).filter(spanOk)
 
+    def srcFor(n: Need): Option[Src] = n.kind match {
+      // HLL wheels are full-table, unfiltered, per-second by construction
+      // (DistinctIndexedWheel doc), so no coverage/span gate applies — but a
+      // residual predicate has no keyed distinct wheel to route to, and the
+      // query's precision must equal the wheel's (different p ⇒ different
+      // registers ⇒ different estimate than running the query would give).
+      case "hll" =>
+        if (filterKey.nonEmpty) None
+        else n.column.flatMap(table.distinctWheel).filter(_.p == n.hllP).map(HllSrc)
+      case _ => wheelFor(n).map(NumSrc)
+    }
+
+    /** `hll_distinct` over a union of disjoint clipped ranges: combine the
+      * per-range register partials (register max — exact for any union) and
+      * lower once. Zero ranges/rows lower the identity to 0, matching the
+      * SQL aggregate over empty input. */
+    def hllOver(d: DistinctIndexedWheel, bs: Seq[(Long, Long)]): Any = {
+      val parts = bs.map { case (s, e) => d.wheel.combineRange(s, e) }
+      val merged = if (parts.isEmpty) d.agg.identity else parts.reduce(d.agg.combine)
+      Long.box(d.agg.lower(merged))
+    }
+
     // Collect and classify every aggregate sub-expression in the output.
     val resolvedOutputs: Seq[Expression] = agg.aggregateExpressions.map {
       case a: Alias => resolve(a.child, uw.aliases)
       case other    => resolve(other, uw.aliases)
     }
-    val needs = mutable.LinkedHashMap.empty[Expression, (Need, IndexedWheel)]
+    val needs = mutable.LinkedHashMap.empty[Expression, (Need, Src)]
     var ok = true
     resolvedOutputs.foreach(_.foreach {
       case ae: AggregateExpression if ok && !needs.contains(ae.canonicalized) =>
-        classify(ae).flatMap(n => wheelFor(n).map(w => (n, w))) match {
-          case Some(nw) => needs(ae.canonicalized) = nw
+        classify(ae).flatMap(n => srcFor(n).map(s => (n, s))) match {
+          case Some(ns) => needs(ae.canonicalized) = ns
           case None     => ok = false
         }
       case _ => ()
@@ -314,17 +362,22 @@ object UWheelRule extends Rule[LogicalPlan] {
 
     agg.groupingExpressions match {
       case Nil =>
-        val aggValues = needs.map { case (k, (n, w)) =>
-          k -> (n.value(rangeAggOf(w.wheel)),
-                dataTypeOf(k))
+        val aggValues = needs.map { case (k, (n, src)) =>
+          val v = src match {
+            case NumSrc(w) => n.value(rangeAggOf(w.wheel))
+            case HllSrc(d) => hllOver(d, bounds)
+          }
+          k -> (v, dataTypeOf(k))
         }.toMap
         buildRow(aggValues, None).map(r => LocalRelation(agg.output, Seq(r)))
 
       case Seq(ge0) =>
         val ge = resolve(ge0, uw.aliases)
         // (bucketing function, group-slot-seconds -> key literal, bucket span
-        //  in seconds — coarsened wheels require slotSpan | bucketSpan)
-        val (groupFn, keyLit, bucketSpan): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Literal, Long) = ge match {
+        //  in seconds — coarsened wheels require slotSpan | bucketSpan —,
+        //  bucket start -> exclusive bucket end, for per-bucket HLL reads:
+        //  fixed-span levels add the span, calendar buckets add months)
+        val (groupFn, keyLit, bucketSpan, bucketEndOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Literal, Long, Long => Long) = ge match {
           case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
               if isTime(t, table.timeColumn) =>
             val unit = fmt.toString.toLowerCase
@@ -337,17 +390,19 @@ object UWheelRule extends Rule[LogicalPlan] {
             // zone involved — so they are exempt.
             val ntz = t.dataType == TimestampNTZType
             if (unit != "second" && !ntz && !tzId.exists(isUtcZone)) return None
-            val (fn, bspan): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long) =
+            val (fn, bspan, endOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long, Long => Long) =
               HawWheel.levelIndexOf(unit) match {
                 case Some(idx) =>
-                  ((hw, s, e) => hw.groupBy(s, e, idx), HawWheel.Spans(idx))
+                  ((hw, s, e) => hw.groupBy(s, e, idx), HawWheel.Spans(idx),
+                    (gs: Long) => gs + HawWheel.Spans(idx))
                 case None =>
                   // month/quarter/year: calendar spans composed from day
                   // slots (the reference rejects these, lib.rs:357)
                   val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                  ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY)
+                  ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY,
+                    (gs: Long) => plusMonthsSec(gs, stride))
               }
-            (fn, gs => Literal(gs * 1000000L, ge.dataType), bspan)
+            (fn, gs => Literal(gs * 1000000L, ge.dataType), bspan, endOf)
           // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
           // DateType key (days since epoch); date truncation of TIMESTAMP
           // follows the session zone, so UTC-gated like the coarse units
@@ -356,14 +411,16 @@ object UWheelRule extends Rule[LogicalPlan] {
               if isTime(t, table.timeColumn) &&
                 (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) =>
             ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
-              (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY)
+              (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY,
+              (gs: Long) => gs + HawWheel.DAY)
           // GROUP BY a DateType time column directly: day buckets, DATE keys.
           // Purely calendar arithmetic on epoch days — no session zone
           // involved, so no UTC gate.
           case a: AttributeReference
               if a.name == table.timeColumn && a.dataType == DateType =>
             ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
-              (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY)
+              (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY,
+              (gs: Long) => gs + HawWheel.DAY)
           // GROUP BY year(ts): 12-month calendar buckets keyed by the year
           // NUMBER (IntegerType) — the only single-field extraction that is
           // contiguous in time (month/day-of-year recur). Same zone gating
@@ -373,29 +430,36 @@ object UWheelRule extends Rule[LogicalPlan] {
               (gs: Long) => Literal(
                 java.time.LocalDate.ofEpochDay(Math.floorDiv(gs, HawWheel.DAY)).getYear,
                 IntegerType),
-              HawWheel.DAY)
+              HawWheel.DAY,
+              (gs: Long) => plusMonthsSec(gs, 12))
           // GROUP BY trunc(dateCol, 'week'|'month'|'quarter'|'year'): DATE in,
           // DATE out, zone-free (TruncDate never consults the session zone).
           case TruncDate(t: AttributeReference, Literal(fmt: UTF8String, StringType))
               if t.name == table.timeColumn && t.dataType == DateType =>
             val unit = fmt.toString.toLowerCase
-            val (fn, bspan): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long) =
+            val (fn, bspan, endOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long, Long => Long) =
               if (HawWheel.levelIndexOf(unit).contains(4)) {
-                ((hw, s, e) => hw.groupBy(s, e, 4), HawWheel.WEEK)
+                ((hw, s, e) => hw.groupBy(s, e, 4), HawWheel.WEEK,
+                  (gs: Long) => gs + HawWheel.WEEK)
               } else {
                 val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY)
+                ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY,
+                  (gs: Long) => plusMonthsSec(gs, stride))
               }
-            (fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType), bspan)
+            (fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType), bspan, endOf)
           case _ => return None
         }
-        // Need at least one wheel to enumerate the groups.
+        // Need at least one NUMERIC wheel to enumerate the groups (HLL
+        // wheels can't: they skip NULL-value rows, so their active seconds
+        // may under-enumerate the groups COUNT(*) would produce).
         val enumWheel: IndexedWheel =
-          needs.headOption.map(_._2._2)
+          needs.values.collectFirst { case (_, NumSrc(w)) => w }
             .orElse(table.anyForFilter(filterKey).filter(coverageOk).filter(spanOk))
             .getOrElse(return None)
         // coarsened wheels can only serve buckets their slots tile exactly
-        val slotSpans = needs.values.map(_._2.wheel.slotSpan).toSet + enumWheel.wheel.slotSpan
+        // (HLL wheels are per-second — any bucket tiles them)
+        val slotSpans = needs.values.flatMap(_._2.numeric).map(_.wheel.slotSpan).toSet +
+          enumWheel.wheel.slotSpan
         if (slotSpans.exists(sp => bucketSpan % sp != 0)) return None
         // Bucket map per wheel over the (disjoint) range set: a bucket
         // straddling two ranges (OR of two windows of one day, day buckets)
@@ -414,14 +478,25 @@ object UWheelRule extends Rule[LogicalPlan] {
         // failing the query inside the optimizer.
         val groupKeys = groups.map(_._1).toSet
         val wheelGroups: Map[HawWheel, Map[Long, RangeAgg]] =
-          needs.values.map(_._2.wheel).toSet.map { (hw: HawWheel) =>
+          needs.values.flatMap(_._2.numeric).map(_.wheel).toSet.map { (hw: HawWheel) =>
             hw -> groupsOf(hw)
           }.toMap
         if (wheelGroups.values.exists(_.keySet != groupKeys)) return None
         val rows = groups.map { case (gs, _) =>
-          val aggValues = needs.map { case (k, (n, w)) =>
-            val ra = wheelGroups(w.wheel).getOrElse(gs, return None)
-            k -> (n.value(ra), dataTypeOf(k))
+          val gEnd = bucketEndOf(gs)
+          val aggValues = needs.map { case (k, (n, src)) =>
+            val v = src match {
+              case NumSrc(w) =>
+                n.value(wheelGroups(w.wheel).getOrElse(gs, return None))
+              // per-bucket distinct: the bucket clipped against every range
+              // of the union — disjoint clips, so register-max merging is
+              // exactly the distinct over the bucket's qualifying rows
+              case HllSrc(d) =>
+                hllOver(d, bounds.map { case (s, e) =>
+                  (math.max(s, gs), math.min(e, gEnd))
+                })
+            }
+            k -> (v, dataTypeOf(k))
           }.toMap
           buildRow(aggValues, Some((ge, keyLit(gs)))).getOrElse(return None)
         }
@@ -432,6 +507,14 @@ object UWheelRule extends Rule[LogicalPlan] {
   }
 
   private def dataTypeOf(canonicalAe: Expression): DataType = canonicalAe.dataType
+
+  /** Exclusive end of a calendar bucket: `months` months after its start.
+    * Bucket starts are UTC month boundaries (day-aligned), so the LocalDate
+    * round-trip is exact. */
+  private def plusMonthsSec(sec: Long, months: Int): Long =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, HawWheel.DAY))
+      .plusMonths(months.toLong)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
 
   private def isUtcZone(tz: String): Boolean = Extract.isUtcZone(tz)
 

@@ -225,7 +225,7 @@ object WheelAggregators {
     *
     * Combine never mutates its arguments (level partials are shared
     * structures); each merge allocates a fresh register array. */
-  final class HllDistinct(p: Int = 11) extends WheelAggregator[Long, Array[Byte], Long] {
+  final class HllDistinct(val p: Int = 11) extends WheelAggregator[Long, Array[Byte], Long] {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
     private val m = 1 << p
     private val alpha = m match {
@@ -483,6 +483,15 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
   def partialStoreBytes: Long =
     prefix.map(_.length.toLong * 8)
       .getOrElse(levels.iterator.map(_._3.storedBytes).sum)
+
+  /** The wheel's per-second partials in slot order — the
+    * [[TypedHawWheel.fromSecondPartials]] input shape, so
+    * `fromSecondPartials(a.slotPartials ++ b.slotPartials, agg)` is the
+    * merge of two frozen typed wheels (incremental index maintenance).
+    * Partials are shared BY REFERENCE: sound because frozen wheels are
+    * immutable and `combine` never mutates its arguments. */
+  private[graft] def slotPartials: Iterator[(Long, P)] =
+    secs.iterator.zip(parts.iterator)
 
   /** Combined partial over [s, e) seconds. */
   def combineRange(s: Long, e: Long): P = {

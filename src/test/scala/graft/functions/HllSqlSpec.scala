@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Graft, Tables}
+import graft.index.UWheelBuilder
+import graft.wheel.WheelAggregators
+
+/** `hll_distinct` SQL surface: the native aggregate's flat fold must be
+  * bit-identical to [[WheelAggregators.HllDistinct]], and the
+  * [[graft.rules.UWheelRule]] rewrite must return exactly what running the
+  * aggregate would — the contract that makes `uw_distinct_users` sound
+  * without a DuckDB oracle (DuckDB can't evaluate our sketch). */
+class HllSqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  val path = s"$dir/events.parquet"
+
+  lazy val setup: Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.enable(spark)
+    Tables.registerAll(spark, dir)
+    UWheelBuilder("ts", Seq("value")).withDistinctWheel("user_id").build(spark, path)
+  }
+
+  /** Runs `sql` with the rewrite rule on, then off; returns both results. */
+  def onOff(sql: String): (Array[Row], Array[Row]) = {
+    val on = spark.sql(sql).collect()
+    Graft.rewritesEnabled = false
+    val off = try spark.sql(sql).collect() finally Graft.rewritesEnabled = true
+    (on, off)
+  }
+
+  def assertRewritten(df: DataFrame): Unit = {
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+    assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+  }
+
+  def assertNotRewritten(df: DataFrame): Unit = {
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case r: LogicalRelation => r }.nonEmpty, s"expected scan in:\n$opt")
+  }
+
+  val range = "ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'"
+
+  test("flat SQL fold is bit-identical to the library aggregator") {
+    setup
+    Graft.rewritesEnabled = false
+    val got =
+      try spark.sql("SELECT hll_distinct(user_id) AS du FROM events").collect()(0).getLong(0)
+      finally Graft.rewritesEnabled = true
+    val hll = new WheelAggregators.HllDistinct(11)
+    val expected = hll.lower(
+      Tables.events(spark, dir).select("user_id").where("user_id IS NOT NULL")
+        .collect().map(_.getLong(0))
+        .foldLeft(hll.identity)((acc, v) => hll.accumulate(acc, v)))
+    assert(got === expected)
+  }
+
+  test("estimate is deterministic under repartitioning") {
+    setup
+    Graft.rewritesEnabled = false
+    try {
+      val e = Tables.events(spark, dir)
+      val a = e.repartition(7).selectExpr("hll_distinct(user_id) AS du").collect()(0).getLong(0)
+      val b = e.coalesce(1).selectExpr("hll_distinct(user_id) AS du").collect()(0).getLong(0)
+      assert(a === b)
+    } finally Graft.rewritesEnabled = true
+  }
+
+  test("range query rewrites to LocalRelation and bit-equals the scan") {
+    setup
+    val sql = s"SELECT hll_distinct(user_id) AS du FROM events WHERE $range"
+    assertRewritten(spark.sql(sql))
+    val (on, off) = onOff(sql)
+    assert(on.toSeq === off.toSeq)
+  }
+
+  test("GROUP BY date_trunc(day) rewrites and bit-equals the scan") {
+    setup
+    val sql =
+      s"""SELECT date_trunc('day', ts) AS d, hll_distinct(user_id) AS du, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin
+    assertRewritten(spark.sql(sql))
+    val (on, off) = onOff(sql)
+    assert(on.toSeq === off.toSeq)
+  }
+
+  test("OR of disjoint windows merges registers exactly") {
+    setup
+    val sql =
+      """SELECT hll_distinct(user_id) AS du FROM events
+        |WHERE (ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
+        |   OR (ts >= TIMESTAMP '2024-02-01 00:00:00' AND ts < TIMESTAMP '2024-02-03 00:00:00')""".stripMargin
+    assertRewritten(spark.sql(sql))
+    val (on, off) = onOff(sql)
+    assert(on.toSeq === off.toSeq)
+  }
+
+  test("calendar GROUP BY month buckets read per-bucket register unions") {
+    setup
+    val sql =
+      """SELECT date_trunc('month', ts) AS m, hll_distinct(user_id) AS du
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    assertRewritten(spark.sql(sql))
+    val (on, off) = onOff(sql)
+    assert(on.toSeq === off.toSeq)
+  }
+
+  test("precision mismatch does NOT rewrite (different registers, different estimate)") {
+    setup
+    val q = spark.sql(s"SELECT hll_distinct(user_id, 12) AS du FROM events WHERE $range")
+    assertNotRewritten(q)
+    assert(q.collect()(0).getLong(0) > 0)
+  }
+
+  test("residual predicate does NOT rewrite (no keyed distinct wheels)") {
+    setup
+    val q = spark.sql(
+      s"SELECT hll_distinct(user_id) AS du FROM events WHERE $range AND event_type = 'click'")
+    assertNotRewritten(q)
+  }
+
+  test("non-integral input is rejected at analysis") {
+    setup
+    val e = intercept[Exception] {
+      spark.sql("SELECT hll_distinct(event_type) FROM events").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integral") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
+  test("mixed hll_distinct + COUNT + SUM rewrites as one local row") {
+    setup
+    val sql =
+      s"""SELECT hll_distinct(user_id) AS du, count(*) AS cnt,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+         |FROM events WHERE $range""".stripMargin
+    assertRewritten(spark.sql(sql))
+    val (on, off) = onOff(sql)
+    assert(on.toSeq === off.toSeq)
+  }
+}

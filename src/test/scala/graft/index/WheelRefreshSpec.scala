@@ -130,6 +130,37 @@ class WheelRefreshSpec extends AnyFunSuite {
     assert(partialsOf(t) === partialsOf(builder.build(spark, path2)))
   }
 
+  test("HLL distinct wheel append-merges bit-identically to a rebuild") {
+    import org.apache.spark.sql.functions.expr
+    // uid repeats across batches, so the append merge must be idempotent on
+    // re-asserted registers, not just additive
+    def df(fromIdx: Int, n: Int) =
+      mkDf(fromIdx, n).withColumn("uid", expr("CAST(value * 4 AS BIGINT) % 37"))
+    val path = tmpTable()
+    df(0, 2000).write.mode("overwrite").parquet(path)
+    val b = UWheelBuilder("ts", Seq("value")).withDistinctWheel("uid")
+    b.build(spark, path)
+    df(2000, 1000).write.mode("append").parquet(path)
+    assert(UWheelIndex.refresh(spark, path).isInstanceOf[RefreshOutcome.Appended])
+    val merged = WheelRegistry.lookup(path).get.distinctWheel("uid").get
+
+    val path2 = tmpTable()
+    spark.read.parquet(path).write.parquet(path2)
+    val rebuilt = b.build(spark, path2).distinctWheel("uid").get
+    def regs(d: DistinctIndexedWheel) =
+      d.wheel.slotPartials.map { case (s, p) => (s, p.toSeq) }.toSeq
+    assert(regs(merged) === regs(rebuilt))
+    assert(merged.p === rebuilt.p)
+
+    // in-place rewrite → full rebuild carries the distinct wheel too
+    df(100, 700).write.mode("overwrite").parquet(path)
+    assert(UWheelIndex.refresh(spark, path) === RefreshOutcome.Rebuilt)
+    val path3 = tmpTable()
+    spark.read.parquet(path).write.parquet(path3)
+    assert(regs(WheelRegistry.lookup(path).get.distinctWheel("uid").get) ===
+      regs(b.build(spark, path3).distinctWheel("uid").get))
+  }
+
   test("saved index + append + load in a fresh registry refreshes incrementally") {
     // the restart story: persist, data grows while the service is down,
     // reload (stale ⇒ inert) and catch up by scanning only the new files
