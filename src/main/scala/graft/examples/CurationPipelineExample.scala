@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.queries.{PipelineQueries, Q, TextQueries}
+import graft.queries.{PipelineQueries, Q}
 
 /** The curation operators composed into one end-to-end dedup-and-mix
   * pipeline — the flow a pretraining data run executes, here over the
@@ -55,13 +55,16 @@ object CurationPipelineExample {
     val deduped =
       try {
         kept.createOrReplaceTempView("documents")
-        val keeps = PipelineQueries.ddClusterKeep(spark, sfDir)
+        // ONE star fixpoint serves both derivations (memoized membership
+        // materialization; the memo keys on the retargeted view's plan, so
+        // this filtered corpus never collides with the full one)
+        val members = PipelineQueries.clusterMembersShared(spark, sfDir)
+        val keeps = PipelineQueries.keepsFrom(members, spark)
           .select(col("keep_id").as("doc_id"))
         // every doc in a near-dup pair belongs to exactly one cluster: the
-        // drop set is pair members minus the per-cluster keeps
-        val pairDocs = spark.sql(TextQueries.shingleJaccardSparkSql(
-            capDf = Some(TextQueries.ShingleCapDf)))
-          .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
+        // drop set is pair members minus the per-cluster keeps — and the
+        // membership frame IS the pair-member set, no second shingle pass
+        val pairDocs = members.select(col("id").as("doc_id"))
         val drops = pairDocs.join(keeps, Seq("doc_id"), "left_anti")
         val nDrops = drops.count()
 

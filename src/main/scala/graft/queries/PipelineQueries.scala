@@ -212,10 +212,18 @@ object PipelineQueries {
     * materialize [[connectedComponentsMembers]] once and derive both the
     * counts and the keep set from it.) */
   def ddClusterKeep(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     Q.ctx(spark, sfDir)
-    val members = connectedComponentsMembers(
-      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf))))
+    keepsFrom(connectedComponentsMembers(
+      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf)))),
+      spark)
+  }
+
+  /** Representative selection over an `(id, cluster_id)` membership frame —
+    * the derivation [[ddClusterKeep]] and the shared composition path both
+    * run: one windowed pass over the (small) membership frame joined with
+    * per-doc word counts. */
+  private[graft] def keepsFrom(members: DataFrame, spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val words = spark.table("documents")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
     val w = Window.partitionBy("cluster_id")
@@ -227,6 +235,40 @@ object PipelineQueries {
         col("n_members").cast("bigint").as("n_members"))
       .orderBy("cluster_id")
   }
+
+  // ---- shared-fixpoint composition path ----------------------------------
+
+  private val membersMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The membership materialization SHARED across consumers — the
+    * production composition path the contract entries deliberately don't
+    * take (each contract query runs its own fixpoint so the driver checks
+    * it independently). Memoized per (session, corpus dir, resolved
+    * `documents` plan): a pipeline that derives both the cluster census and
+    * the keep set — or an example that retargets the documents view at a
+    * filtered subset — pays the star fixpoint ONCE. The plan hash keys
+    * retargeted views correctly: a different underlying corpus is a
+    * different memo entry, never a stale hit. */
+  def clusterMembersShared(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val key = s"${System.identityHashCode(spark)}#$sfDir#" +
+      spark.table("documents").queryExecution.analyzed.semanticHash()
+    membersMemo.computeIfAbsent(key, _ =>
+      connectedComponentsMembers(
+        spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf)))))
+  }
+
+  /** [[ddCluster]]'s census derived from the shared materialization. */
+  def ddClusterShared(spark: SparkSession, sfDir: String): DataFrame =
+    clusterMembersShared(spark, sfDir)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).cast("bigint").as("n_members"))
+      .orderBy("cluster_id")
+
+  /** [[ddClusterKeep]] derived from the shared materialization. */
+  def ddClusterKeepShared(spark: SparkSession, sfDir: String): DataFrame =
+    keepsFrom(clusterMembersShared(spark, sfDir), spark)
 
   /** Connected components over an undirected `(i, j)` pair frame:
     * (cluster representative = min member id, member count), representatives
@@ -279,21 +321,26 @@ object PipelineQueries {
     * trade because the edge list shrinks monotonically toward one edge per
     * non-root node while the round count stays logarithmic.
     *
-    * Both halves compute neighborhood minima via `reduceByKey` and emit
-    * re-links through a co-partitioned join — no neighbor list is ever
-    * materialized, so a hub node of a giant duplicate cluster costs O(degree)
-    * streamed records, not O(degree) heap. Convergence is an exact
-    * zero-changed-edges test: each half counts re-links that moved an edge
-    * in a `LongAccumulator`, one scalar per round to the driver, never rows.
-    * (Stage retries or shared-lineage recomputation can only inflate a
-    * nonzero count, never turn zero into nonzero, so the ==0 test is safe.)
-    * Superseded edge RDDs are unpersisted each round. */
+    * Each half is one shuffle: the keyed edge view co-partitions once, the
+    * per-key minimum derives locally from that partitioning, and re-links
+    * stream through `zipPartitions` against the partition's min map (one
+    * entry per distinct node — the footprint a reduceByKey combiner builds,
+    * never a neighbor list per edge), so a round is 3 shuffles instead of
+    * the 5 a reduceByKey+join formulation costs. A hub node of a giant
+    * duplicate cluster still costs O(degree) streamed records, not
+    * O(degree) heap. Convergence is an exact zero-changed-edges test: each
+    * half counts re-links that moved an edge in a `LongAccumulator`, one
+    * scalar per round to the driver, never rows. (Stage retries or
+    * shared-lineage recomputation can only inflate a nonzero count, never
+    * turn zero into nonzero, so the ==0 test is safe.) Superseded edge RDDs
+    * are unpersisted each round. */
   private[graft] def connectedComponentsWithRounds(
-      pairFrame: DataFrame): (DataFrame, Int) = {
+      pairFrame: DataFrame,
+      localSolveMaxEdges: Long = LocalSolveMaxEdges): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairFrame.sparkSession
     import spark.implicits._
-    val (stars, rounds) = starFixpoint(pairFrame)
+    val (stars, rounds) = starFixpoint(pairFrame, localSolveMaxEdges)
     // one row per duplicate cluster — small relative to the corpus but
     // unbounded in absolute terms, so it stays distributed; materialize it
     // before releasing the iteration state so the downstream read serves
@@ -309,13 +356,32 @@ object PipelineQueries {
       rounds)
   }
 
+  /** Edge-count ceiling for the adaptive driver-local solve: ≤ 2^20 edges
+    * is ~16 MB collected — the same order as a broadcast join side. Near-dup
+    * edge lists are orders of magnitude smaller than their corpus (233
+    * clusters per 50k docs here), so most real corpora take the local path;
+    * anything larger runs the distributed star contraction. */
+  private[queries] val LocalSolveMaxEdges: Long = 1L << 20
+
   /** The star fixpoint itself: returns the PERSISTED star edge set
     * (child, root) — every component contracted to a star rooted at its
-    * minimum id — plus the round count. Callers derive counts
-    * ([[connectedComponentsWithRounds]]) or memberships
-    * ([[connectedComponentsMembers]]) and unpersist the returned RDD. */
+    * minimum id — plus the round count (0 when the local solve answered).
+    * Callers derive counts ([[connectedComponentsWithRounds]]) or
+    * memberships ([[connectedComponentsMembers]]) and unpersist the
+    * returned RDD.
+    *
+    * Below `localSolveMaxEdges` the fixpoint is answered by a driver-side
+    * union-find over the collected (bounded) edge list — the localness
+    * decision AQE makes for small join sides, applied to the iterative
+    * operator: ~10 scheduler round-trips of tiny distributed stages cost
+    * ~1 s of fixed overhead that a path-compressed union-find over ≤ 16 MB
+    * of longs answers in milliseconds. Union-by-min (the larger root always
+    * attaches under the smaller) makes every final root its component's
+    * minimum id — the exact postcondition of the star contraction, asserted
+    * equal by PipelineSemanticSpec's property test on both paths. */
   private def starFixpoint(
-      pairFrame: DataFrame): (org.apache.spark.rdd.RDD[(Long, Long)], Int) = {
+      pairFrame: DataFrame,
+      localSolveMaxEdges: Long = LocalSolveMaxEdges): (org.apache.spark.rdd.RDD[(Long, Long)], Int) = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
@@ -341,8 +407,56 @@ object PipelineQueries {
     // dominates; a giant edge list still fans out to the session default.
     // The count also materializes the persist.
     val nEdges = cur.count()
+
+    if (nEdges <= localSolveMaxEdges) {
+      val edges = cur.collect()
+      cur.unpersist(blocking = false)
+      // union-find, path-halving find, union-by-min: the minimum id of a
+      // component can never be attached under another root, so every final
+      // root is its component's minimum — the star-contraction postcondition
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrElse(x, x)
+        while (p != x) {
+          val gp = parent.getOrElse(p, p)
+          parent.update(x, gp) // halve the path as we walk it
+          x = gp
+          p = parent.getOrElse(x, x)
+        }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+        }
+      }
+      // materialize the key set first: find() path-halves (mutates values),
+      // and mutating a LongMap under its own iterator is not guaranteed safe
+      val nodes = parent.keysIterator.toArray
+      val stars = nodes.iterator
+        .map(n => (n, find(n)))
+        .filter { case (n, r) => n != r }
+        .toArray
+      val rdd = sc.parallelize(stars.toSeq, 1).persist(StorageLevel.MEMORY_AND_DISK)
+      return (rdd, 0)
+    }
+
     val part = new HashPartitioner(
       math.max(1, math.min(defaultParts, ((nEdges - 1) / 250000L + 1).toInt)))
+
+    // Per-partition key → min over that key's values: one map entry per
+    // DISTINCT key in the partition — the same footprint reduceByKey's
+    // map-side combiner builds, never a neighbor list per edge.
+    def localMin(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { case (k, v) => if (v < m.getOrElse(k, Long.MaxValue)) m.update(k, v) }
+      m.iterator
+    }
 
     var rounds = 0
     var converged = nEdges == 0L
@@ -351,39 +465,54 @@ object PipelineQueries {
       val lsMoved = sc.longAccumulator(s"cc-large-star-moves-r$rounds")
       val ssMoved = sc.longAccumulator(s"cc-small-star-moves-r$rounds")
 
-      // large-star: per-node closed-neighborhood min via reduceByKey, then a
-      // co-partitioned join re-links every larger neighbor to that min. Each
-      // undirected edge is emitted by exactly one side (its smaller endpoint),
-      // so |ls| == |cur| and connectivity is preserved. Persisted for the
-      // round: it feeds TWO shuffles below (small-star's min and re-link),
-      // which would otherwise recompute the join — the round's most
-      // expensive stage — twice.
+      // Each half is ONE shuffle: co-partition the keyed edge view, derive
+      // the per-key min locally (no second reduceByKey shuffle), and stream
+      // the same partition's edges against that min map via zipPartitions
+      // (no join shuffle) — the round-5 5-shuffle round (bidir reduce, bidir
+      // join, ls reduce, ls join, distinct) collapses to 3. Both sides of a
+      // zip read the SAME shuffle output, which Spark serves from shuffle
+      // files without recomputing the map stage.
+
+      // large-star: every node u re-links each LARGER neighbor to the min of
+      // u's closed neighborhood. Each undirected edge is emitted by exactly
+      // one side (its smaller endpoint), so |ls| == |cur| and connectivity
+      // is preserved.
       val bidir = cur.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      val nbrMin = bidir.reduceByKey(part, math.min(_: Long, _: Long))
-      val ls = bidir.join(nbrMin, part).flatMap { case (u, (v, mN)) =>
-        if (v <= u) Iterator.empty
-        else {
-          val m = math.min(u, mN)
-          if (m != u) lsMoved.add(1L)
-          Iterator((v, m)) // v > u >= m: canonical orientation holds
+        .partitionBy(part) // shuffle 1
+      val nbrMin = bidir.mapPartitions(localMin, preservesPartitioning = true)
+      val ls = bidir.zipPartitions(nbrMin) { (edges, mins) =>
+        val m = scala.collection.mutable.LongMap.empty[Long]
+        mins.foreach { case (k, v) => m.update(k, v) }
+        edges.flatMap { case (u, v) =>
+          if (v <= u) Iterator.empty
+          else {
+            val mm = math.min(u, m(u)) // closed-neighborhood min
+            if (mm != u) lsMoved.add(1L)
+            Iterator((v, mm)) // v > u >= mm: canonical orientation holds
+          }
         }
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+      }
 
       // small-star: group by the larger endpoint; its smaller neighbors (and
       // itself) all re-link to the smallest of them. (Task retries can still
       // inflate the accumulators — inflation keeps nonzero nonzero, so the
       // ==0 convergence test stays safe.)
-      val ssMin = ls.reduceByKey(part, math.min(_: Long, _: Long))
-      val ssRewired = ls.join(ssMin, part).flatMap { case (u, (v, m)) =>
-        if (v == m) Iterator.empty
-        else { ssMoved.add(1L); Iterator((v, m)) } // m = min < v < u: canonical
+      val lsPart = ls.partitionBy(part) // shuffle 2
+      val ssMin = lsPart.mapPartitions(localMin, preservesPartitioning = true)
+      val ssRewired = lsPart.zipPartitions(ssMin) { (edges, mins) =>
+        val m = scala.collection.mutable.LongMap.empty[Long]
+        mins.foreach { case (k, v) => m.update(k, v) }
+        edges.flatMap { case (v, child) =>
+          val mn = m(v)
+          if (child == mn) Iterator.empty
+          else { ssMoved.add(1L); Iterator((child, mn)) } // mn = min < child < v
+        }
       }
       val next = ssRewired.union(ssMin)
-        .distinct(part.numPartitions)
+        .distinct(part.numPartitions) // shuffle 3
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize: fires both halves' accumulators
       converged = lsMoved.value == 0L && ssMoved.value == 0L
-      ls.unpersist(blocking = false)
       cur.unpersist(blocking = false)
       cur = next
     }

@@ -95,6 +95,47 @@ class PipelineSemanticSpec extends AnyFunSuite {
     assert(gotKeep === expKeep)
   }
 
+  test("shared-fixpoint derivations equal the contract queries") {
+    // the bench/pipeline composition path (memoized members) must produce
+    // exactly the contract entries' frames — Bench substitutes it for
+    // dd_cluster_keep, so divergence here would mistime a different query
+    val census = PipelineQueries.ddCluster(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val censusShared = PipelineQueries.ddClusterShared(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(censusShared === census)
+    val keep = PipelineQueries.ddClusterKeep(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val keepShared = PipelineQueries.ddClusterKeepShared(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(keepShared === keep)
+    // memo hit: second call returns the SAME DataFrame instance
+    assert(PipelineQueries.clusterMembersShared(spark, sf) eq
+      PipelineQueries.clusterMembersShared(spark, sf))
+  }
+
+  test("distributed star path equals the local union-find path on random graphs") {
+    val session = spark
+    import session.implicits._
+    // fixed seeds, both fixpoint paths on identical edge sets: the adaptive
+    // local solve and the star contraction must be indistinguishable
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(80)
+      val edges = Seq.fill(60 + rnd.nextInt(120))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val df = edges.toDF("i", "j")
+      val local = PipelineQueries.connectedComponentsWithRounds(df)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val dist = PipelineQueries.connectedComponentsWithRounds(df, localSolveMaxEdges = 0L)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(local === dist, s"seed $seed: local and distributed paths disagree")
+      val expected = unionFind(edges)
+        .groupBy(_._2).map { case (c, ns) => (c, ns.size.toLong) }.toSeq.sorted
+      assert(local === expected, s"seed $seed: wrong components")
+    }
+  }
+
   test("star contraction equals union-find on random graphs (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val session = spark
@@ -132,10 +173,13 @@ class PipelineSemanticSpec extends AnyFunSuite {
     val n = 512L
     val edges = (0L until n).map(k => (1000L + k, 1000L + k + 1))
     val shuffled = new scala.util.Random(42).shuffle(edges)
+    // localSolveMaxEdges = 0 forces the distributed star contraction (the
+    // adaptive local solve would otherwise answer a 512-edge graph inline)
     val (df, rounds) = PipelineQueries.connectedComponentsWithRounds(
-      shuffled.toDF("i", "j"))
+      shuffled.toDF("i", "j"), localSolveMaxEdges = 0L)
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((1000L, n + 1)))
+    assert(rounds >= 1, "distributed path did not run")
     assert(rounds <= 20,
       s"star contraction took $rounds rounds on a diameter-$n path; expected O(log n)")
   }
