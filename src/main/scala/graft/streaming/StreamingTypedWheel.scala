@@ -7,8 +7,8 @@ import scala.reflect.ClassTag
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.index.TypedWheelBuild
-import graft.wheel.{TypedHawWheel, TypedRwWheel, WheelAggregator}
+import graft.index.{DistinctIndexedWheel, TableIndex, TypedWheelBuild, WheelRegistry}
+import graft.wheel.{TypedHawWheel, TypedRwWheel, WheelAggregator, WheelAggregators}
 
 /** Continuously-maintained TYPED wheel over a Structured Streaming source —
   * the custom-aggregator counterpart of [[StreamingWheelIndex]]. Each
@@ -58,6 +58,41 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     }
   }
 
+  @volatile private var publishTo: Option[(String, String, WheelAggregators.HllDistinct)] = None
+
+  /** Publishes freeze-on-read snapshots of this wheel into the optimizer's
+    * [[WheelRegistry]] as the HLL distinct index for `column` of the table
+    * at `path`, re-published after every batch (swap-on-version,
+    * fingerprint 0 — freshness is the stream's version, not a file
+    * listing). From then on batch SQL `hll_distinct(column)` over a time
+    * range of that table answers at plan time with the stream's
+    * watermark-consistent registers — a LIVE "distinct users over any
+    * range" service. Only HLL-aggregated wheels can publish (the rule's
+    * distinct arm is sketch-specific); the caller asserts this stream is
+    * the table's feed, as with [[StreamingWheelIndex.register]]. */
+  def register(path: String, column: String): Unit = agg match {
+    case h: WheelAggregators.HllDistinct =>
+      publishTo = Some((WheelRegistry.normalizePath(path), column, h))
+      live.synchronized(publishLocked())
+    case other => throw new IllegalArgumentException(
+      s"only HllDistinct wheels can register for SQL rewrites, got ${other.getClass.getSimpleName}")
+  }
+
+  /** Withdraws the published index; batch SQL falls back to scans. */
+  def deregister(): Unit = {
+    publishTo.foreach { case (key, _, _) => WheelRegistry.deregister(key) }
+    publishTo = None
+  }
+
+  private def publishLocked(): Unit = publishTo.foreach { case (key, column, h) =>
+    // P/Out are fixed to Array[Byte]/Long by the HllDistinct agg the wheel
+    // was constructed with, so this cast is sound by construction
+    val hw = snapshot().asInstanceOf[TypedHawWheel[Array[Byte], Long]]
+    val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
+    t.putDistinct(DistinctIndexedWheel(hw, column, h))
+    WheelRegistry.register(t)
+  }
+
   /** Starts the maintenance query on a streaming DataFrame. */
   def attach(stream: DataFrame, queryName: String): StreamingQuery =
     stream.writeStream
@@ -68,6 +103,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
         live.synchronized {
           live.merge(bw)
           version += 1
+          publishLocked()
         }
         ()
       }

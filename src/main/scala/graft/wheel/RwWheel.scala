@@ -81,11 +81,17 @@ final class RwWheel(
     }
   }
 
+  /** Newest slot second seen by any write path (Long.MinValue when empty) —
+    * what a per-batch merge wheel reports so the live wheel can advance its
+    * watermark past the batch. */
+  def newestSlotSec: Long = newestSec
+
   /** Merge one pre-aggregated per-second partial (the distributed-build and
     * streaming-ingest fast path: executors aggregate rows to per-second
     * partials, the driver merges). Accepts any second — cross-batch
     * lateness is bounded upstream by the source's watermark, not here. */
   def mergePartial(sec: Long, count: Long, sumScaled: Long, min: Double, max: Double): Unit = {
+    if (sec > newestSec) newestSec = sec
     val slot = slots.getOrElseUpdate(sec, new Slot)
     slot.count = Math.addExact(slot.count, count)
     if (hasValues) {
@@ -126,6 +132,7 @@ final class RwWheel(
       if (o.max > slot.max) slot.max = o.max
     }
     if (other.watermarkMs > watermarkMs) watermarkMs = other.watermarkMs
+    if (other.newestSec > newestSec) newestSec = other.newestSec
     this
   }
 

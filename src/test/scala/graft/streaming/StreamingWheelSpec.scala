@@ -111,6 +111,72 @@ class StreamingWheelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("registered streaming wheel serves batch SQL rewrites at plan time") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-reg").toString
+    val path = s"$dir/t.parquet"
+    val rows = Seq(
+      (ts("2024-03-01 00:00:00"), 1.0),
+      (ts("2024-03-01 00:00:30"), 2.5),
+      (ts("2024-03-01 00:01:30"), 4.0),
+      (ts("2024-03-01 00:02:10"), 8.0))
+    // the stream is the table's feed: identical rows land in the parquet
+    // table and in the streaming wheel
+    rows.toDF("ts", "value").write.parquet(path)
+    val input = MemoryStream[(Timestamp, Double)]
+    val idx = new StreamingWheelIndex("ts", Some("value"))
+    val q = idx.attach(input.toDF().toDF("ts", "value"), "wheel-reg")
+    try {
+      idx.register(path)
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val sql =
+        s"""SELECT count(*) AS cnt,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+           |       min(value) AS mn
+           |FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-03-01 00:00:30'
+           |  AND ts < TIMESTAMP '2024-03-01 00:02:00'""".stripMargin
+      val df = spark.sql(sql)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+      assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+      val got = df.collect()(0)
+      assert(got.getLong(0) === 2L)
+      assert(got.getDouble(1) === 6.5)
+      assert(got.getDouble(2) === 2.5)
+
+      // swap-on-version: the next batch's rows are visible to NEW queries
+      val more = Seq((ts("2024-03-01 00:01:45"), 16.0))
+      more.toDF("ts", "value").write.mode("append").parquet(path)
+      input.addData(more: _*)
+      q.processAllAvailable()
+      val df2 = spark.sql(sql)
+      assert(df2.queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty)
+      assert(df2.collect()(0).getLong(0) === 3L)
+
+      // unbounded arm stays on the scan (the stream can't prove the table's
+      // time column NULL-free)
+      val landmark = spark.sql(s"SELECT count(*) AS cnt FROM parquet.`$path`")
+      assert(landmark.queryExecution.optimizedPlan
+        .collect { case r: LogicalRelation => r }.nonEmpty)
+
+      // deregistration withdraws the index: back to scans
+      idx.deregister()
+      assert(spark.sql(sql).queryExecution.optimizedPlan
+        .collect { case r: LogicalRelation => r }.nonEmpty)
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
+  }
+
   test("DATE-typed stream ingests with batch-build parity (days x 86400, zone-free)") {
     // reference accepts Date32/64 everywhere (lib.rs:1203-1272); the
     // streaming path previously sent DATE into a generic cast(long) arm,
@@ -244,5 +310,49 @@ class StreamingWheelSpec extends AnyFunSuite {
       assert(w2.range(baseSec, baseSec + 600) ===
         flatEstimate(all.map(_._2)))
     } finally q.stop()
+  }
+
+  test("registered typed HLL stream serves hll_distinct SQL at plan time") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-typed-reg").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-03-05 00:00:00").getTime
+    val rows = (0 until 400).map(i => (new Timestamp(base + i * 1000L), (i % 55).toLong))
+    rows.toDF("ts", "uid").write.parquet(path)
+    val input = MemoryStream[(Timestamp, Long)]
+    val hll = new graft.wheel.WheelAggregators.HllDistinct(11)
+    val idx = new StreamingTypedWheel("ts", col("uid"), hll,
+      (r: org.apache.spark.sql.Row) => r.getLong(1))
+    val q = idx.attach(input.toDF().toDF("ts", "uid"), "typed-wheel-reg")
+    try {
+      idx.register(path, "uid")
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val sql =
+        s"""SELECT hll_distinct(uid) AS du FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-03-05 00:01:00'
+           |  AND ts < TIMESTAMP '2024-03-05 00:05:00'""".stripMargin
+      val df = spark.sql(sql)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+      assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+      // the rewritten answer bit-equals running the aggregate over the table
+      graft.Graft.rewritesEnabled = false
+      val flat = try spark.sql(sql).collect()(0).getLong(0)
+        finally graft.Graft.rewritesEnabled = true
+      assert(df.collect()(0).getLong(0) === flat)
+      // wrong-precision query still falls back to the scan
+      val p12 = spark.sql(sql.replace("hll_distinct(uid)", "hll_distinct(uid, 12)"))
+      assert(p12.queryExecution.optimizedPlan
+        .collect { case r: LogicalRelation => r }.nonEmpty)
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
   }
 }
