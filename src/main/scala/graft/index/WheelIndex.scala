@@ -40,6 +40,15 @@ import graft.wheel.{HawWheel, TypedHawWheel, WheelAggregators}
   *                        refresh ([[UWheelIndex.refresh]]) can re-apply the
   *                        same filter to appended data (the canonical
   *                        `filterKey` is a matching key, not executable).
+  * @param keyEq           Some((column, literal)) when the wheel's filter is
+  *                        exactly `column = literal` — the structured form
+  *                        the multi-column GROUP BY arm enumerates: a set of
+  *                        same-column equality wheels partitions the rows by
+  *                        key value (disjoint by construction), letting
+  *                        `GROUP BY date_trunc(...), column` materialize one
+  *                        row per (bucket, value). None for every other
+  *                        filter shape (those wheels still serve their
+  *                        residual-predicate rewrites via `filterKey`).
   */
 @SerialVersionUID(1L)
 final case class IndexedWheel(
@@ -50,7 +59,13 @@ final case class IndexedWheel(
     valuesExactAtScale: Boolean = true,
     valuesNaNFree: Boolean = true,
     coverage: Option[(Long, Long)] = None,
-    filterSql: Option[String] = None)
+    filterSql: Option[String] = None,
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+  /** Null-safe [[keyEq]]: an index persisted before the field existed
+    * deserializes it as null (Java default), not None. */
+  def keyEqOpt: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] =
+    Option(keyEq).flatten
+}
 
 /** HLL distinct-count sketch wheel for one column — the typed-wheel twin of
   * [[IndexedWheel]] that answers `hll_distinct(column)` over any time range
@@ -325,7 +340,22 @@ object UWheelIndex {
       filterKey: String,
       timeRangeSec: Option[(Long, Long)],
       scale: Int,
-      filterSql: Option[String] = None)
+      filterSql: Option[String] = None,
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+
+  /** Structured `column = literal` form of a wheel filter, when it has one
+    * (the multi-column GROUP BY arm routes on it). Matched on the ANALYZED
+    * predicate so folding/cast normalization has already run. */
+  private def keyEqOf(df: DataFrame, cond: Column): Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    df.filter(cond).queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+    } flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) => Some((a.name, l))
+      case EqualTo(l: Literal, a: AttributeReference) => Some((a.name, l))
+      case _ => None
+    }
+  }
 
   /** Builds ANY number of wheels in ONE distributed scan: each spec becomes
     * six conditional aggregate columns of a single map-side-combining
@@ -396,7 +426,7 @@ object UWheelIndex {
           valueAllNonNull = !hasValues || acc.allNonNull(i),
           valuesExactAtScale = !hasValues || acc.badRep(i) == 0L,
           valuesNaNFree = !hasValues || acc.nanCount(i) == 0L,
-          sp.timeRangeSec, sp.filterSql),
+          sp.timeRangeSec, sp.filterSql, sp.keyEq),
         acc.sawNullTs(i))
     }
   }
@@ -467,7 +497,8 @@ object UWheelIndex {
         throw new IllegalArgumentException("keyed wheel requires a filter")))
       WheelSpec(Some(ib.column), Some(fc),
         graft.expr.Canon.canonFilterKey(df.filter(fc)),
-        ib.timeRangeSec.orElse(conf.timeRangeSec), conf.scale, ib.filterSql)
+        ib.timeRangeSec.orElse(conf.timeRangeSec), conf.scale, ib.filterSql,
+        keyEqOf(df, fc))
     }
     val countSpec =
       if (colSpecs.isEmpty) Seq(WheelSpec(None, None, "", conf.timeRangeSec, conf.scale))
@@ -562,7 +593,8 @@ object UWheelIndex {
     }
     val span = t.countWheel.map(_.wheel.slotSpan).getOrElse(1L)
     t.put(buildWheels(df, t.timeColumn,
-      Seq(WheelSpec(Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale, ib.filterSql)),
+      Seq(WheelSpec(Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale, ib.filterSql,
+        filterCol.flatMap(keyEqOf(df, _)))),
       span, t.packLevels).head.wheel)
   }
 
@@ -657,7 +689,8 @@ object UWheelIndex {
     val colSpecs = colWheels.map(w =>
       WheelSpec(w.valueColumn, None, "", w.coverage, w.wheel.scale))
     val keyedSpecs = keyedKept.map(w => WheelSpec(w.valueColumn,
-      w.filterSql.map(F.expr), w.filterKey, w.coverage, w.wheel.scale, w.filterSql))
+      w.filterSql.map(F.expr), w.filterKey, w.coverage, w.wheel.scale, w.filterSql,
+      w.keyEqOpt))
     val shareIdx = countWheel.map(cw => colWheels.indexWhere(_.coverage == cw.coverage))
       .getOrElse(-1)
     val needOwnCount = countWheel.isDefined && shareIdx < 0

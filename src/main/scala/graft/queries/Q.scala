@@ -52,13 +52,19 @@ object Q {
         }
       }
       Await.result(Future.sequence(Seq(
-        // events: count + min/max + keyed SUM wheels from ONE scan, plus an
-        // HLL distinct-sketch wheel over user_id (its own typed scan) so
-        // hll_distinct(user_id) range queries answer at plan time
-        tryBuild("events")(UWheelBuilder("ts", Seq("value"))
-          .withKeyedWheel(IndexBuilder("value", Some("event_type = 'click'")))
-          .withDistinctWheel("user_id")
-          .build(spark, s"$sfDir/events.parquet")),
+        // events: count + min/max + keyed SUM wheels from ONE scan (one
+        // equality wheel per event_type value — the COMPLETE per-value set
+        // the multi-column GROUP BY arm routes on, proof-checked at plan
+        // time), plus an HLL distinct-sketch wheel over user_id (its own
+        // typed scan) so hll_distinct(user_id) range queries answer at plan
+        // time
+        tryBuild("events")(
+          Seq("click", "error", "purchase", "signup", "view")
+            .foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
+              b.withKeyedWheel(IndexBuilder("value", Some(s"event_type = '$et'")))
+            }
+            .withDistinctWheel("user_id")
+            .build(spark, s"$sfDir/events.parquet")),
         // lineitem: second indexed table (multi-year NTZ time span, so
         // calendar group-bys produce real multi-bucket results)
         tryBuild("lineitem")(UWheelBuilder("l_shipdate", Seq("l_quantity"))

@@ -153,6 +153,13 @@ object WheelQueries {
          |WHERE ((ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
          |    OR (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'))
          |  AND event_type = 'click'""".stripMargin),
+    // multi-column GROUP BY: time bucket × key column, answered from the
+    // per-value keyed wheel set; sound only under the plan-time counting
+    // proof (per-bucket value counts must sum to the unfiltered count)
+    "uw_keyed_multigroupby" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, event_type AS et, count(*) AS cnt,
+         |       $sumDec AS sum_val
+         |FROM events WHERE $range GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // hll_distinct over a time range: answered from the HLL sketch wheel —
     // "distinct users last week", the temporal shape no exact wheel can
     // carry. No DuckDB oracle (the estimate is OUR sketch's, not a standard
@@ -295,5 +302,9 @@ object WheelQueries {
          |GROUP BY user_id
          |HAVING count(*) > CAST((SELECT count(*) FROM events WHERE $range) AS DOUBLE) / 20.0
          |ORDER BY user_id""".stripMargin,
+    "uw_keyed_multigroupby" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type AS et,
+         |       count(*) AS cnt, $sumDec AS sum_val
+         |FROM events WHERE $range GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -231,7 +231,7 @@ object UWheelRule extends Rule[LogicalPlan] {
   private val HiSentinel = Long.MaxValue / 4
 
   private def tryAggRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    if (agg.groupingExpressions.length > 1) return None
+    if (agg.groupingExpressions.length > 2) return None
     if (agg.aggregateExpressions.exists(!_.deterministic)) return None
     val uw = unwrap(agg.child).getOrElse(return None)
     val table = uw.table
@@ -316,21 +316,36 @@ object UWheelRule extends Rule[LogicalPlan] {
       case a: Alias => resolve(a.child, uw.aliases)
       case other    => resolve(other, uw.aliases)
     }
-    val needs = mutable.LinkedHashMap.empty[Expression, (Need, Src)]
-    var ok = true
+    // Stage 1: classify every aggregate (shape only — shared by all arms).
+    val needList = mutable.LinkedHashMap.empty[Expression, Need]
+    var classified = true
     resolvedOutputs.foreach(_.foreach {
-      case ae: AggregateExpression if ok && !needs.contains(ae.canonicalized) =>
-        classify(ae).flatMap(n => srcFor(n).map(s => (n, s))) match {
-          case Some(ns) => needs(ae.canonicalized) = ns
-          case None     => ok = false
+      case ae: AggregateExpression if classified && !needList.contains(ae.canonicalized) =>
+        classify(ae) match {
+          case Some(n) => needList(ae.canonicalized) = n
+          case None    => classified = false
         }
       case _ => ()
     })
-    if (!ok) return None
+    if (!classified) return None
+
+    // Stage 2: resolve each need against the residual-matched wheel set —
+    // what the 0- and 1-column grouping arms answer from (the multi-column
+    // arm routes per key value instead, so it skips this resolution).
+    lazy val needs: Option[mutable.LinkedHashMap[Expression, (Need, Src)]] = {
+      val m = mutable.LinkedHashMap.empty[Expression, (Need, Src)]
+      val ok = needList.forall { case (k, n) =>
+        srcFor(n) match {
+          case Some(s) => m(k) = (n, s); true
+          case None    => false
+        }
+      }
+      if (ok) Some(m) else None
+    }
 
     def evalOutput(resolved: Expression,
                    aggValues: Map[Expression, (Any, DataType)],
-                   groupKey: Option[(Expression, Literal)]): Option[Any] = {
+                   groupKeys: Seq[(Expression, Literal)]): Option[Any] = {
       var evalOk = true
       val substituted = resolved.transformDown {
         case ae: AggregateExpression =>
@@ -338,8 +353,8 @@ object UWheelRule extends Rule[LogicalPlan] {
             case Some((v, dt)) => Literal(v, dt)
             case None          => evalOk = false; ae
           }
-        case e if groupKey.exists(_._1.semanticEquals(e)) =>
-          groupKey.get._2
+        case e if groupKeys.exists(_._1.semanticEquals(e)) =>
+          groupKeys.find(_._1.semanticEquals(e)).get._2
       }
       if (!evalOk || substituted.references.nonEmpty ||
           substituted.exists(_.isInstanceOf[AggregateExpression])) None
@@ -347,11 +362,11 @@ object UWheelRule extends Rule[LogicalPlan] {
     }
 
     def buildRow(aggValues: Map[Expression, (Any, DataType)],
-                 groupKey: Option[(Expression, Literal)]): Option[InternalRow] = {
+                 groupKeys: Seq[(Expression, Literal)]): Option[InternalRow] = {
       val vals = new Array[Any](resolvedOutputs.length)
       var i = 0
       while (i < resolvedOutputs.length) {
-        evalOutput(resolvedOutputs(i), aggValues, groupKey) match {
+        evalOutput(resolvedOutputs(i), aggValues, groupKeys) match {
           case Some(v) => vals(i) = v
           case None    => return None
         }
@@ -362,103 +377,31 @@ object UWheelRule extends Rule[LogicalPlan] {
 
     agg.groupingExpressions match {
       case Nil =>
-        val aggValues = needs.map { case (k, (n, src)) =>
+        val nds = needs.getOrElse(return None)
+        val aggValues = nds.map { case (k, (n, src)) =>
           val v = src match {
             case NumSrc(w) => n.value(rangeAggOf(w.wheel))
             case HllSrc(d) => hllOver(d, bounds)
           }
           k -> (v, dataTypeOf(k))
         }.toMap
-        buildRow(aggValues, None).map(r => LocalRelation(agg.output, Seq(r)))
+        buildRow(aggValues, Nil).map(r => LocalRelation(agg.output, Seq(r)))
 
       case Seq(ge0) =>
+        val nds = needs.getOrElse(return None)
         val ge = resolve(ge0, uw.aliases)
-        // (bucketing function, group-slot-seconds -> key literal, bucket span
-        //  in seconds — coarsened wheels require slotSpan | bucketSpan —,
-        //  bucket start -> exclusive bucket end, for per-bucket HLL reads:
-        //  fixed-span levels add the span, calendar buckets add months)
-        val (groupFn, keyLit, bucketSpan, bucketEndOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Literal, Long, Long => Long) = ge match {
-          case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
-              if isTime(t, table.timeColumn) =>
-            val unit = fmt.toString.toLowerCase
-            // Wheel slots are fixed UTC/epoch-aligned spans, but Spark
-            // truncates minute/hour/day/week/month/year TIMESTAMP values in
-            // the session time zone (DST, :30/:45 offsets, pre-1972
-            // sub-minute LMT offsets). Only 'second' is timezone-invariant;
-            // everything coarser requires the resolved zone to be UTC, else
-            // fall through. NTZ columns truncate on the wall clock — no
-            // zone involved — so they are exempt.
-            val ntz = t.dataType == TimestampNTZType
-            if (unit != "second" && !ntz && !tzId.exists(isUtcZone)) return None
-            val (fn, bspan, endOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long, Long => Long) =
-              HawWheel.levelIndexOf(unit) match {
-                case Some(idx) =>
-                  ((hw, s, e) => hw.groupBy(s, e, idx), HawWheel.Spans(idx),
-                    (gs: Long) => gs + HawWheel.Spans(idx))
-                case None =>
-                  // month/quarter/year: calendar spans composed from day
-                  // slots (the reference rejects these, lib.rs:357)
-                  val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                  ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY,
-                    (gs: Long) => plusMonthsSec(gs, stride))
-              }
-            (fn, gs => Literal(gs * 1000000L, ge.dataType), bspan, endOf)
-          // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
-          // DateType key (days since epoch); date truncation of TIMESTAMP
-          // follows the session zone, so UTC-gated like the coarse units
-          // above — NTZ casts are wall-clock and exempt.
-          case Cast(t, DateType, tzId, _)
-              if isTime(t, table.timeColumn) &&
-                (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) =>
-            ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
-              (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY,
-              (gs: Long) => gs + HawWheel.DAY)
-          // GROUP BY a DateType time column directly: day buckets, DATE keys.
-          // Purely calendar arithmetic on epoch days — no session zone
-          // involved, so no UTC gate.
-          case a: AttributeReference
-              if a.name == table.timeColumn && a.dataType == DateType =>
-            ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
-              (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY,
-              (gs: Long) => gs + HawWheel.DAY)
-          // GROUP BY year(ts): 12-month calendar buckets keyed by the year
-          // NUMBER (IntegerType) — the only single-field extraction that is
-          // contiguous in time (month/day-of-year recur). Same zone gating
-          // as the to_date arm, via isTimeAsDate on Year's date-typed child.
-          case Year(t) if Extract.isTimeAsDate(t, table.timeColumn) =>
-            ((hw: HawWheel, s: Long, e: Long) => hw.groupByCalendar(s, e, 12),
-              (gs: Long) => Literal(
-                java.time.LocalDate.ofEpochDay(Math.floorDiv(gs, HawWheel.DAY)).getYear,
-                IntegerType),
-              HawWheel.DAY,
-              (gs: Long) => plusMonthsSec(gs, 12))
-          // GROUP BY trunc(dateCol, 'week'|'month'|'quarter'|'year'): DATE in,
-          // DATE out, zone-free (TruncDate never consults the session zone).
-          case TruncDate(t: AttributeReference, Literal(fmt: UTF8String, StringType))
-              if t.name == table.timeColumn && t.dataType == DateType =>
-            val unit = fmt.toString.toLowerCase
-            val (fn, bspan, endOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long, Long => Long) =
-              if (HawWheel.levelIndexOf(unit).contains(4)) {
-                ((hw, s, e) => hw.groupBy(s, e, 4), HawWheel.WEEK,
-                  (gs: Long) => gs + HawWheel.WEEK)
-              } else {
-                val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY,
-                  (gs: Long) => plusMonthsSec(gs, stride))
-              }
-            (fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType), bspan, endOf)
-          case _ => return None
-        }
+        val (groupFn, keyLit, bucketSpan, bucketEndOf) =
+          timeBucketArm(ge, table).getOrElse(return None)
         // Need at least one NUMERIC wheel to enumerate the groups (HLL
         // wheels can't: they skip NULL-value rows, so their active seconds
         // may under-enumerate the groups COUNT(*) would produce).
         val enumWheel: IndexedWheel =
-          needs.values.collectFirst { case (_, NumSrc(w)) => w }
+          nds.values.collectFirst { case (_, NumSrc(w)) => w }
             .orElse(table.anyForFilter(filterKey).filter(coverageOk).filter(spanOk))
             .getOrElse(return None)
         // coarsened wheels can only serve buckets their slots tile exactly
         // (HLL wheels are per-second — any bucket tiles them)
-        val slotSpans = needs.values.flatMap(_._2.numeric).map(_.wheel.slotSpan).toSet +
+        val slotSpans = nds.values.flatMap(_._2.numeric).map(_.wheel.slotSpan).toSet +
           enumWheel.wheel.slotSpan
         if (slotSpans.exists(sp => bucketSpan % sp != 0)) return None
         // Bucket map per wheel over the (disjoint) range set: a bucket
@@ -478,13 +421,13 @@ object UWheelRule extends Rule[LogicalPlan] {
         // failing the query inside the optimizer.
         val groupKeys = groups.map(_._1).toSet
         val wheelGroups: Map[HawWheel, Map[Long, RangeAgg]] =
-          needs.values.flatMap(_._2.numeric).map(_.wheel).toSet.map { (hw: HawWheel) =>
+          nds.values.flatMap(_._2.numeric).map(_.wheel).toSet.map { (hw: HawWheel) =>
             hw -> groupsOf(hw)
           }.toMap
         if (wheelGroups.values.exists(_.keySet != groupKeys)) return None
         val rows = groups.map { case (gs, _) =>
           val gEnd = bucketEndOf(gs)
-          val aggValues = needs.map { case (k, (n, src)) =>
+          val aggValues = nds.map { case (k, (n, src)) =>
             val v = src match {
               case NumSrc(w) =>
                 n.value(wheelGroups(w.wheel).getOrElse(gs, return None))
@@ -498,7 +441,96 @@ object UWheelRule extends Rule[LogicalPlan] {
             }
             k -> (v, dataTypeOf(k))
           }.toMap
-          buildRow(aggValues, Some((ge, keyLit(gs)))).getOrElse(return None)
+          buildRow(aggValues, Seq((ge, keyLit(gs)))).getOrElse(return None)
+        }
+        Some(LocalRelation(agg.output, rows))
+
+      // GROUP BY time-bucket + key column: answered from a COMPLETE set of
+      // per-value equality wheels (one `k = v` wheel per key value, built by
+      // withKeyedWheel). Soundness is a plan-time counting proof, not an
+      // assumption: for EVERY bucket, the per-value counts must sum to the
+      // unfiltered count — rows with a NULL key or a value no wheel covers
+      // break the equation and the rewrite declines. Same single-column
+      // restriction as the reference otherwise (`lib.rs:260-281`).
+      case Seq(g1raw, g2raw) =>
+        if (filterKey.nonEmpty) return None // residuals don't compose with per-value routing
+        val g1 = resolve(g1raw, uw.aliases)
+        val g2 = resolve(g2raw, uw.aliases)
+        def orient(t: Expression, k: Expression) = (timeBucketArm(t, table), k) match {
+          case (Some(a), ka: AttributeReference) if ka.name != table.timeColumn =>
+            Some((a, t, ka))
+          case _ => None
+        }
+        val (arm, timeGe, keyAttr) =
+          orient(g1, g2).orElse(orient(g2, g1)).getOrElse(return None)
+        val (groupFn, keyLit, bucketSpan, _) = arm
+        // no keyed distinct wheels: HLL aggregates fall through to the scan
+        if (needList.values.exists(_.kind == "hll")) return None
+        val keyed = table.allWheels.filter(_.keyEqOpt.exists(_._1 == keyAttr.name))
+        val values: Seq[Literal] = keyed.flatMap(_.keyEqOpt).map(_._2)
+          .filter(_.dataType == keyAttr.dataType).distinct
+        if (values.isEmpty) return None
+
+        def qualityOk(n: Need, w: IndexedWheel): Boolean =
+          w.valueAllNonNull &&
+            n.decScale.forall(_ == w.wheel.scale) &&
+            (n.kind == "sumdec" || n.kind == "min" || n.kind == "max" ||
+              n.kind == "countcol" || w.valuesExactAtScale) &&
+            ((n.kind != "min" && n.kind != "max") || w.valuesNaNFree)
+        def wheelForValue(n: Need, v: Literal): Option[IndexedWheel] = {
+          val cands = keyed.filter(_.keyEqOpt.exists(_._2 == v))
+            .filter(coverageOk).filter(spanOk)
+          n.column match {
+            case None    => cands.headOption // COUNT(*): any wheel of this value
+            case Some(c) => cands.filter(_.valueColumn.contains(c)).find(qualityOk(n, _))
+          }
+        }
+        val perValue: Map[(Expression, Literal), IndexedWheel] =
+          (for { (k, n) <- needList.toSeq; v <- values }
+            yield (k, v) -> wheelForValue(n, v).getOrElse(return None)).toMap
+
+        // unfiltered wheel: enumerates ALL buckets and anchors the proof
+        val baseW = table.anyForFilter("").filter(coverageOk).filter(spanOk)
+          .getOrElse(return None)
+        val spans2 = perValue.values.map(_.wheel.slotSpan).toSet + baseW.wheel.slotSpan
+        if (spans2.exists(sp => bucketSpan % sp != 0)) return None
+        def groupsOf2(hw: HawWheel): Map[Long, RangeAgg] =
+          bounds.foldLeft(Map.empty[Long, RangeAgg]) { case (acc, (s, e)) =>
+            groupFn(hw, s, e).foldLeft(acc) { case (m, (k, ra)) =>
+              m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
+            }
+          }
+        val cache = mutable.HashMap.empty[HawWheel, Map[Long, RangeAgg]]
+        def groupsCached(hw: HawWheel): Map[Long, RangeAgg] =
+          cache.getOrElseUpdate(hw, groupsOf2(hw))
+        val allBuckets = groupsCached(baseW.wheel)
+        val valueCount: Map[Literal, Map[Long, RangeAgg]] = values.map { v =>
+          v -> groupsCached(
+            wheelForValue(Need(None, "count", None), v).getOrElse(return None).wheel)
+        }.toMap
+        // the counting proof, both directions: per-value buckets are a
+        // subset of the enumeration, and every bucket's count decomposes
+        // exactly across the values
+        if (valueCount.values.exists(m => !m.keySet.subsetOf(allBuckets.keySet)))
+          return None
+        val complete = allBuckets.forall { case (b, ra) =>
+          valueCount.values.map(_.get(b).map(_.count).getOrElse(0L)).sum == ra.count
+        }
+        if (!complete) return None
+
+        val rows = allBuckets.keys.toSeq.sorted.flatMap { b =>
+          values.sortBy(_.toString).flatMap { v =>
+            if (valueCount(v).get(b).forall(_.count == 0L)) None
+            else {
+              val aggValues = needList.map { case (k, n) =>
+                val w = perValue((k, v))
+                k -> (n.value(groupsCached(w.wheel).getOrElse(b, return None)),
+                  dataTypeOf(k))
+              }.toMap
+              Some(buildRow(aggValues, Seq((timeGe, keyLit(b)), (keyAttr, v)))
+                .getOrElse(return None))
+            }
+          }
         }
         Some(LocalRelation(agg.output, rows))
 
@@ -507,6 +539,86 @@ object UWheelRule extends Rule[LogicalPlan] {
   }
 
   private def dataTypeOf(canonicalAe: Expression): DataType = canonicalAe.dataType
+
+  /** Recognizes a time-bucketing grouping expression and returns its wheel
+    * reading plan: (bucketing function, group-slot-seconds -> key literal,
+    * bucket span in seconds — coarsened wheels require slotSpan |
+    * bucketSpan —, bucket start -> exclusive bucket end, for per-bucket HLL
+    * reads: fixed-span levels add the span, calendar buckets add months). */
+  private def timeBucketArm(ge: Expression, table: TableIndex)
+      : Option[((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Literal, Long, Long => Long)] =
+    Some(ge match {
+      case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
+          if isTime(t, table.timeColumn) =>
+        val unit = fmt.toString.toLowerCase
+        // Wheel slots are fixed UTC/epoch-aligned spans, but Spark
+        // truncates minute/hour/day/week/month/year TIMESTAMP values in
+        // the session time zone (DST, :30/:45 offsets, pre-1972
+        // sub-minute LMT offsets). Only 'second' is timezone-invariant;
+        // everything coarser requires the resolved zone to be UTC, else
+        // fall through. NTZ columns truncate on the wall clock — no
+        // zone involved — so they are exempt.
+        val ntz = t.dataType == TimestampNTZType
+        if (unit != "second" && !ntz && !tzId.exists(isUtcZone)) return None
+        val (fn, bspan, endOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long, Long => Long) =
+          HawWheel.levelIndexOf(unit) match {
+            case Some(idx) =>
+              ((hw, s, e) => hw.groupBy(s, e, idx), HawWheel.Spans(idx),
+                (gs: Long) => gs + HawWheel.Spans(idx))
+            case None =>
+              // month/quarter/year: calendar spans composed from day
+              // slots (the reference rejects these, lib.rs:357)
+              val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+              ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY,
+                (gs: Long) => plusMonthsSec(gs, stride))
+          }
+        (fn, gs => Literal(gs * 1000000L, ge.dataType), bspan, endOf)
+      // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
+      // DateType key (days since epoch); date truncation of TIMESTAMP
+      // follows the session zone, so UTC-gated like the coarse units
+      // above — NTZ casts are wall-clock and exempt.
+      case Cast(t, DateType, tzId, _)
+          if isTime(t, table.timeColumn) &&
+            (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) =>
+        ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
+          (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY,
+          (gs: Long) => gs + HawWheel.DAY)
+      // GROUP BY a DateType time column directly: day buckets, DATE keys.
+      // Purely calendar arithmetic on epoch days — no session zone
+      // involved, so no UTC gate.
+      case a: AttributeReference
+          if a.name == table.timeColumn && a.dataType == DateType =>
+        ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
+          (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY,
+          (gs: Long) => gs + HawWheel.DAY)
+      // GROUP BY year(ts): 12-month calendar buckets keyed by the year
+      // NUMBER (IntegerType) — the only single-field extraction that is
+      // contiguous in time (month/day-of-year recur). Same zone gating
+      // as the to_date arm, via isTimeAsDate on Year's date-typed child.
+      case Year(t) if Extract.isTimeAsDate(t, table.timeColumn) =>
+        ((hw: HawWheel, s: Long, e: Long) => hw.groupByCalendar(s, e, 12),
+          (gs: Long) => Literal(
+            java.time.LocalDate.ofEpochDay(Math.floorDiv(gs, HawWheel.DAY)).getYear,
+            IntegerType),
+          HawWheel.DAY,
+          (gs: Long) => plusMonthsSec(gs, 12))
+      // GROUP BY trunc(dateCol, 'week'|'month'|'quarter'|'year'): DATE in,
+      // DATE out, zone-free (TruncDate never consults the session zone).
+      case TruncDate(t: AttributeReference, Literal(fmt: UTF8String, StringType))
+          if t.name == table.timeColumn && t.dataType == DateType =>
+        val unit = fmt.toString.toLowerCase
+        val (fn, bspan, endOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long, Long => Long) =
+          if (HawWheel.levelIndexOf(unit).contains(4)) {
+            ((hw, s, e) => hw.groupBy(s, e, 4), HawWheel.WEEK,
+              (gs: Long) => gs + HawWheel.WEEK)
+          } else {
+            val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+            ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY,
+              (gs: Long) => plusMonthsSec(gs, stride))
+          }
+        (fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType), bspan, endOf)
+      case _ => return None
+    })
 
   /** Exclusive end of a calendar bucket: `months` months after its start.
     * Bucket starts are UTC month boundaries (day-aligned), so the LocalDate

@@ -667,6 +667,63 @@ class UWheelRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-column GROUP BY: time bucket x complete keyed-wheel set rewrites") {
+    setup
+    // one equality wheel per event_type value: the complete per-value set
+    // the two-column arm routes on (the click wheel exists from setup)
+    Seq("error", "purchase", "signup", "view").foreach { et =>
+      UWheelIndex.buildIndex(spark, path,
+        IndexBuilder("value", Some(s"event_type = '$et'")))
+    }
+    def q = ranged
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .orderBy("d", "event_type")
+    assertRewritten(q)
+    val got = q.collect().map(_.toString).toSeq
+    val exp = groundTruth {
+      assertNotRewritten(q)
+      q.collect().map(_.toString).toSeq
+    }
+    assert(got === exp)
+    assert(got.nonEmpty)
+
+    // key column with no equality wheels: falls back to the scan
+    val neg = ranged.groupBy(date_trunc("day", col("ts")), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(neg)
+
+    // residual predicate does not compose with per-value routing
+    val neg2 = ranged.filter(col("user_id") > 10)
+      .groupBy(date_trunc("day", col("ts")), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(neg2)
+  }
+
+  test("multi-column GROUP BY declines on an INCOMPLETE keyed-wheel set") {
+    // a table of its own: wheels for only one of two key values — the
+    // plan-time counting proof must reject the rewrite (missing value rows
+    // would silently vanish from the result otherwise)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-partial").toString
+    val p = s"$dir/t.parquet"
+    def row(s: String, v: Double, k: String) = (java.sql.Timestamp.valueOf(s), v, k)
+    Seq(row("2024-02-01 00:00:00", 1.0, "a"), row("2024-02-01 00:00:01", 2.0, "b"),
+      row("2024-02-02 00:00:00", 4.0, "a")).toDF("ts", "value", "k")
+      .write.mode("overwrite").parquet(p)
+    UWheelBuilder("ts", Seq("value"))
+      .withKeyedWheel(IndexBuilder("value", Some("k = 'a'"))) // no 'b' wheel
+      .build(spark, p)
+    val df = spark.read.parquet(p)
+      .filter(col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-02-03 00:00:00").cast("timestamp"))
+      .groupBy(date_trunc("day", col("ts")), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(df)
+    assert(df.collect().length === 3)
+  }
+
   test("stale index: file change after build disables rewrites") {
     setup
     import spark.implicits._
