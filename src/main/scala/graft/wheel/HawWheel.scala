@@ -381,6 +381,43 @@ final class HawWheel private (
     } else -(r + 1)
   }
 
+  // Dense block-offset directory over the sparse seconds — the O(1) seed
+  // the reference's dense `to_prefix_wheels()` gets for free
+  // (`lib.rs:1122-1124`): block width is the smallest power of two keeping
+  // the directory within 2× the slot count (≈1 slot/block on evenly active
+  // wheels), so a bound resolves in O(1) expected — one directory read plus
+  // a binary search over the ~constant-size block — instead of O(log n)
+  // over all slots. Transient and ∝ numSecs ints: no serialization or
+  // memory-footprint change, slot-budgeted wheels included.
+  @transient private lazy val secDir: (Int, Array[Int]) = {
+    val span = math.max(1L, secs(numSecs - 1) - startSec + 1)
+    var shift = 0
+    while ((span >> shift) + 1 > math.max(64L, 2L * numSecs)) shift += 1
+    val nBlocks = ((span - 1) >> shift).toInt + 1
+    val dir = new Array[Int](nBlocks)
+    var i = 0
+    var b = 0
+    while (b < nBlocks) {
+      val boundary = startSec + (b.toLong << shift)
+      while (i < numSecs && secs(i) < boundary) i += 1
+      dir(b) = i // first index with secs(i) >= this block's start
+      b += 1
+    }
+    (shift, dir)
+  }
+
+  /** First index i with secs(i) >= x, directory-seeded. */
+  private def lowerBoundSecs(x: Long): Int = {
+    if (numSecs == 0 || x <= startSec) return 0
+    if (x > secs(numSecs - 1)) return numSecs
+    val (shift, dir) = secDir
+    val b = ((x - startSec) >> shift).toInt
+    val lo = dir(b)
+    val hi = if (b + 1 < dir.length) dir(b + 1) else numSecs
+    val r = java.util.Arrays.binarySearch(secs, lo, hi, x)
+    if (r >= 0) r else -(r + 1)
+  }
+
   // Prefix arrays over the compacted (distinct-seconds) domain: O(log)
   // count/sum for any second range, memory ∝ active seconds. Transient:
   // pure functions of the constructor arrays, recomputed on first use after
@@ -409,16 +446,17 @@ final class HawWheel private (
     if (numSecs == 0) Array.empty
     else HawWheel.rollUp(secs, secMins, secMaxs, hasValues, slotSpan)
 
-  /** Exact count of rows with timestamp second in [s, e). O(log). */
+  /** Exact count of rows with timestamp second in [s, e). O(1) expected
+    * (directory-seeded prefix reads). */
   def countRange(s: Long, e: Long): Long = {
     if (numSecs == 0 || s >= e) return 0L
-    prefCount(lowerBound(secs, e)) - prefCount(lowerBound(secs, s))
+    prefCount(lowerBoundSecs(e)) - prefCount(lowerBoundSecs(s))
   }
 
-  /** Exact scaled sum over [s, e). O(log). Meaningless if count==0. */
+  /** Exact scaled sum over [s, e). O(1) expected. Meaningless if count==0. */
   def sumScaledRange(s: Long, e: Long): Long = {
     if (!hasValues || numSecs == 0 || s >= e) return 0L
-    prefSum(lowerBound(secs, e)) - prefSum(lowerBound(secs, s))
+    prefSum(lowerBoundSecs(e)) - prefSum(lowerBoundSecs(s))
   }
 
   /** Full aggregate over [s, e) seconds. min/max via greedy calendar
