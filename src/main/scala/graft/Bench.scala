@@ -16,8 +16,9 @@ import graft.queries.{Q, WheelQueries}
   * queries (timer noise is symmetric at that scale) and the MIN of 3 runs
   * for 1–10 s queries (every rep does identical full work, so min estimates
   * the query's own cost and is robust to multi-second background churn that
-  * can capture a median); genuinely heavy queries (≥ 10 s) report the
-  * single cold run.
+  * can capture a median); heavy queries (≥ 10 s on the first run) get ONE
+  * settled rep and report the min of the two, so a cold first run crossing
+  * the cutoff can't masquerade as the query's cost.
   *
   * Cross-query isolation: sub-10 s entries get an explicit GC pause between
   * warm-up and the timed reps. The bench runs alphabetically, so the whole
@@ -56,8 +57,16 @@ object Bench {
         (System.nanoTime() - t) / 1e9
       }
       val first = run() // warm-up: codegen compile, broadcast build, page cache
-      if (first >= 10.0) first
-      else {
+      if (first >= 10.0) {
+        // one settled rep even for heavy entries: a COLD first run crossing
+        // the cutoff must not be reported as the query's cost (q_corr
+        // benched 13.6 s cold vs 1.3 s steady in round 6) — min() picks the
+        // steady run, while a genuinely heavy query just confirms itself at
+        // the price of one extra execution
+        System.gc()
+        Thread.sleep(200)
+        math.min(first, run())
+      } else {
         // settle before timing: collect garbage left by the previous
         // (possibly much heavier) entry, and give the ContextCleaner a
         // beat to finish deleting the shuffle files that GC just released

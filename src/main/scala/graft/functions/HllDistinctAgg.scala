@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 import graft.wheel.WheelAggregators
 
@@ -37,7 +37,13 @@ case class HllDistinctAgg(
     child: Expression,
     p: Int = 11,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    /** Internal (not SQL-exposed): evaluate to the raw register array
+      * (BinaryType) instead of the estimate — the fused index build uses
+      * this to compute per-second register partials in the SAME scan as the
+      * numeric wheels ([[graft.index.UWheelIndex]]). The rewrite rule only
+      * matches the estimate form. */
+    returnRegisters: Boolean = false)
   extends TypedImperativeAggregate[Array[Byte]]
   with UnaryLike[Expression] {
 
@@ -80,14 +86,15 @@ case class HllDistinctAgg(
     buffer
   }
 
-  override def eval(buffer: Array[Byte]): Any = hll.lower(buffer)
+  override def eval(buffer: Array[Byte]): Any =
+    if (returnRegisters) buffer else hll.lower(buffer)
 
   override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
-  override def dataType: DataType = LongType
+  override def dataType: DataType = if (returnRegisters) BinaryType else LongType
   override def nullable: Boolean = false
-  override def prettyName: String = "hll_distinct"
+  override def prettyName: String = if (returnRegisters) "hll_regs" else "hll_distinct"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinctAgg =
     copy(mutableAggBufferOffset = newOffset)

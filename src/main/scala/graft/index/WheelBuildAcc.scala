@@ -2,26 +2,31 @@ package graft.index
 
 import org.apache.spark.sql.Row
 
-import graft.wheel.RwWheel
+import graft.wheel.{RwWheel, TypedRwWheel, WheelAggregators}
 
 /** Executor-side accumulator for the distributed index build: one [[RwWheel]]
   * per requested wheel spec plus the exactness metadata the optimizer rule
-  * gates rewrites on. Partitions of the per-second aggregate fold their rows
-  * in with [[add]]; [[merge]] combines two accumulators (associatively, via
-  * `RwWheel.merge`), so `treeAggregate` can reduce the whole build to a
-  * single object shipped to the driver — in contrast to the reference, which
-  * materializes every ROW in one process (`datafusion-uwheel/src/lib.rs:1130-1158`),
-  * and to a flat `collect()` of per-second Rows, whose driver heap cost grows
-  * with active seconds × Row overhead.
+  * gates rewrites on, plus one typed HLL wheel per requested distinct-sketch
+  * column. Partitions of the per-second aggregate fold their rows in with
+  * [[add]]; [[merge]] combines two accumulators (associatively, via
+  * `RwWheel.merge` / register-max), so `treeAggregate` can reduce the whole
+  * build to a single object shipped to the driver — in contrast to the
+  * reference, which materializes every ROW in one process
+  * (`datafusion-uwheel/src/lib.rs:1130-1158`), and to a flat `collect()` of
+  * per-second Rows, whose driver heap cost grows with active seconds × Row
+  * overhead.
   *
   * Row layout (produced by `UWheelIndex.buildWheels`): column 0 is the epoch
   * second (null when the source timestamp was NULL); then per spec `i`, at
   * offset `1 + 7*i`: rowCount, valueCount, sum(DECIMAL(38,scale)), min, max,
-  * nonRepresentableCount, nanCount.
+  * nonRepresentableCount, nanCount; then per distinct spec `j`, at offset
+  * `1 + 7*n + j`: the second's combined HLL register array (BinaryType,
+  * from the registers form of `HllDistinctAgg` in the SAME scan).
   */
 private[index] final class WheelBuildAcc(
     scales: Array[Int],
-    hasVals: Array[Boolean]) extends Serializable {
+    hasVals: Array[Boolean],
+    hllPs: Array[Int] = Array.emptyIntArray) extends Serializable {
 
   private val n = scales.length
   val wheels: Array[RwWheel] =
@@ -30,6 +35,9 @@ private[index] final class WheelBuildAcc(
   val badRep: Array[Long] = new Array[Long](n)
   val nanCount: Array[Long] = new Array[Long](n)
   val sawNullTs: Array[Boolean] = new Array[Boolean](n)
+  val distinct: Array[TypedRwWheel[Long, Array[Byte], Long]] =
+    hllPs.map(p => new TypedRwWheel[Long, Array[Byte], Long](
+      new WheelAggregators.HllDistinct(p)))
 
   def add(r: Row): Unit = {
     val nullSec = r.isNullAt(0)
@@ -54,6 +62,25 @@ private[index] final class WheelBuildAcc(
       }
       i += 1
     }
+    var j = 0
+    while (j < distinct.length) {
+      // all-zero registers = the second saw no non-null values: skip, so
+      // the slot set is identical to the value-filtered typed build's
+      if (!nullSec) {
+        val regs = r.getAs[Array[Byte]](1 + n * 7 + j)
+        if (regs != null && anyNonZero(regs)) distinct(j).mergePartial(sec, regs)
+      }
+      j += 1
+    }
+  }
+
+  private def anyNonZero(a: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      if (a(i) != 0) return true
+      i += 1
+    }
+    false
   }
 
   def merge(o: WheelBuildAcc): WheelBuildAcc = {
@@ -65,6 +92,11 @@ private[index] final class WheelBuildAcc(
       nanCount(i) += o.nanCount(i)
       sawNullTs(i) |= o.sawNullTs(i)
       i += 1
+    }
+    var j = 0
+    while (j < distinct.length) {
+      distinct(j).merge(o.distinct(j))
+      j += 1
     }
     this
   }

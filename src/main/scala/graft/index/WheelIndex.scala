@@ -269,11 +269,13 @@ final case class UWheelBuilder(
 
   /** Adds an HLL distinct-count sketch wheel over an integral column, so
     * `hll_distinct(col)` over any time range answers from the index at plan
-    * time ([[graft.functions.HllDistinctAgg]]). One extra distributed scan
-    * per column (the typed build's tree merge ships ONE wheel to the
-    * driver, [[TypedWheelBuild]]); `p` sizes the registers — 2^p bytes per
-    * active second at stderr ≈ 1.04/√(2^p). Distinct wheels are always
-    * full-table, unfiltered, per-second. */
+    * time ([[graft.functions.HllDistinctAgg]]). Fused into the SAME single
+    * build scan as every other wheel (the registers form of the native
+    * aggregate becomes one more column of the per-second aggregation, and
+    * the tree merge ships ONE wheel to the driver) — requesting distinct
+    * wheels costs zero extra passes over the table. `p` sizes the
+    * registers — 2^p bytes per active second at stderr ≈ 1.04/√(2^p).
+    * Distinct wheels are always full-table, unfiltered, per-second. */
   def withDistinctWheel(col: String, p: Int = 11): UWheelBuilder = {
     require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
     require(distinctColumns.forall(_ => p == hllPrecision),
@@ -369,7 +371,11 @@ object UWheelIndex {
       timeColumn: String,
       specs: Seq[WheelSpec],
       slotSpan: Long = 1L,
-      packLevels: Boolean = false): Seq[BuiltWheel] = {
+      packLevels: Boolean = false,
+      /** (column, precision) per HLL distinct-sketch wheel — fused into the
+        * SAME scan as register-array aggregate columns, so requesting
+        * distinct wheels costs zero extra passes over the table. */
+      distinctSpecs: Seq[(String, Int)] = Nil): (Seq[BuiltWheel], Seq[DistinctIndexedWheel]) = {
     require(specs.nonEmpty)
     val secExpr = secExprOf(df, timeColumn)
     val aggCols = specs.zipWithIndex.flatMap { case (sp, i) =>
@@ -397,6 +403,14 @@ object UWheelIndex {
         F.sum(F.when(v.isNotNull && (roundTrip.isNull || roundTrip =!= v), F.lit(1L))
           .otherwise(F.lit(0L))).as(s"b$i"),
         F.sum(F.when(F.isnan(v), F.lit(1L)).otherwise(F.lit(0L))).as(s"nan$i"))
+    } ++ distinctSpecs.zipWithIndex.map { case ((c, p), j) =>
+      // per-second register partials from the registers form of the native
+      // aggregate — bit-identical fold semantics to the SQL hll_distinct
+      // and the wheel's own aggregator (they are the same code)
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.HllDistinctAgg(
+          org.apache.spark.sql.graft.ColumnBridge.expression(F.col(c).cast("long")),
+          p, returnRegisters = true).toAggregateExpression()).as(s"h$j")
     }
     // Executor-side merge: each shuffle partition folds its per-second rows
     // into compact RwWheels, and partials meet in a depth-2 aggregation tree
@@ -413,13 +427,14 @@ object UWheelIndex {
     val slotExpr =
       if (slotSpan == 1L) secExpr
       else secExpr - F.pmod(secExpr, F.lit(slotSpan))
+    val hllPs = distinctSpecs.map(_._2).toArray
     val acc = df.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
       .rdd
-      .treeAggregate(new WheelBuildAcc(scales, hasVals))(
+      .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs))(
         (a, row) => { a.add(row); a },
         (a, b) => a.merge(b),
         depth = 2)
-    specs.zipWithIndex.map { case (sp, i) =>
+    val built = specs.zipWithIndex.map { case (sp, i) =>
       val hasValues = sp.valueColumn.isDefined
       BuiltWheel(
         IndexedWheel(acc.wheels(i).freeze(slotSpan, packLevels), sp.valueColumn, sp.filterKey,
@@ -429,6 +444,11 @@ object UWheelIndex {
           sp.timeRangeSec, sp.filterSql, sp.keyEq),
         acc.sawNullTs(i))
     }
+    val builtDistinct = distinctSpecs.zip(acc.distinct).map { case ((c, _), rw) =>
+      DistinctIndexedWheel(rw.freeze(), c,
+        rw.agg.asInstanceOf[WheelAggregators.HllDistinct])
+    }
+    (built, builtDistinct)
   }
 
   /** Optimizer-construction build (reference `try_new` + `build`,
@@ -504,8 +524,9 @@ object UWheelIndex {
       if (colSpecs.isEmpty) Seq(WheelSpec(None, None, "", conf.timeRangeSec, conf.scale))
       else Nil
     val slotSpan = effectiveSlotSpan(df, conf)
-    val built = buildWheels(df, conf.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, slotSpan,
-      conf.packLevels)
+    val (built, builtDistinct) = buildWheels(df, conf.timeColumn,
+      colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels,
+      conf.distinctColumns.map(c => (c, conf.hllPrecision)))
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val countBuilt = colBuilt.headOption match {
       case Some(bw) =>
@@ -522,21 +543,9 @@ object UWheelIndex {
       slotBudget = conf.slotBudget, packLevels = conf.packLevels)
     t.put(countBuilt.wheel)
     (colBuilt ++ rest.take(keyedSpecs.length)).foreach(bw => t.put(bw.wheel))
-    conf.distinctColumns.foreach(c => t.putDistinct(buildDistinct(df, conf.timeColumn, c, conf.hllPrecision)))
+    builtDistinct.foreach(t.putDistinct)
     WheelRegistry.register(t)
     t
-  }
-
-  /** One distributed typed-wheel scan for an HLL distinct column. The value
-    * goes through the same Spark long cast the SQL aggregate's implicit
-    * cast applies, so build-side and query-side hash identical values;
-    * NULL times/values are skipped on both sides. */
-  private def buildDistinct(
-      df: DataFrame, timeColumn: String, col: String, p: Int): DistinctIndexedWheel = {
-    val agg = new WheelAggregators.HllDistinct(p)
-    DistinctIndexedWheel(
-      TypedWheelBuild.build(df, timeColumn, F.col(col).cast("long"), agg, _.getLong(1)),
-      col, agg)
   }
 
   /** Finest allowed span ≥ `floor` (an explicit span is a floor — a budget
@@ -595,7 +604,7 @@ object UWheelIndex {
     t.put(buildWheels(df, t.timeColumn,
       Seq(WheelSpec(Some(ib.column), filterCol, filterKey, ib.timeRangeSec, scale, ib.filterSql,
         filterCol.flatMap(keyEqOf(df, _)))),
-      span, t.packLevels).head.wheel)
+      span, t.packLevels)._1.head.wheel)
   }
 
   /** Outcome of an incremental [[UWheelIndex.refresh]]. */
@@ -720,8 +729,10 @@ object UWheelIndex {
         else fitSpan(bounds.map(_._1).min, bounds.map(_._2).max, oldSpan, budget)
     }
 
-    val built = buildWheels(scanDf, t.timeColumn, colSpecs ++ keyedSpecs ++ countSpec, span,
-      t.packLevels)
+    val oldDistinct = t.allDistinctWheels
+    val (built, freshDistinct) = buildWheels(scanDf, t.timeColumn,
+      colSpecs ++ keyedSpecs ++ countSpec, span, t.packLevels,
+      oldDistinct.map(d => (d.column, d.p)))
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val keyedBuilt = rest.take(keyedSpecs.length)
 
@@ -750,18 +761,16 @@ object UWheelIndex {
       if (appendOnly) t.tsAllNonNull && !sawNull else !sawNull,
       fingerprintOfListing(listing), now, t.slotBudget, t.packLevels)
     (newCols ++ newKeyed ++ newCount).foreach(nt.put)
-    // Distinct (HLL) wheels ride the same delta-vs-rebuild decision: a
-    // register array is the max over its rows' contributions, so merging
-    // old + delta partials slot-wise (register max, idempotent) is
-    // bit-identical to a full rebuild when the delta rows are exactly the
-    // appended ones.
-    t.allDistinctWheels.foreach { d =>
-      val fresh = TypedWheelBuild.build(
-        scanDf, t.timeColumn, F.col(d.column).cast("long"), d.agg, _.getLong(1))
+    // Distinct (HLL) wheels ride the same delta-vs-rebuild decision — and
+    // the same SINGLE delta scan: a register array is the max over its
+    // rows' contributions, so merging old + delta partials slot-wise
+    // (register max, idempotent) is bit-identical to a full rebuild when
+    // the delta rows are exactly the appended ones.
+    oldDistinct.zip(freshDistinct).foreach { case (d, f) =>
       val merged =
         if (appendOnly)
-          TypedHawWheel.fromSecondPartials(d.wheel.slotPartials ++ fresh.slotPartials, d.agg)
-        else fresh
+          TypedHawWheel.fromSecondPartials(d.wheel.slotPartials ++ f.wheel.slotPartials, d.agg)
+        else f.wheel
       nt.putDistinct(d.copy(wheel = merged))
     }
     WheelRegistry.register(nt)

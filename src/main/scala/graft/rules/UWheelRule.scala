@@ -210,7 +210,7 @@ object UWheelRule extends Rule[LogicalPlan] {
       // precision. Integral columns are exact through long widening — the
       // wheel build's cast-to-long produces the same values, so both sides
       // hash identically (bare attribute or an explicit exact long cast).
-      case h: graft.functions.HllDistinctAgg =>
+      case h: graft.functions.HllDistinctAgg if !h.returnRegisters =>
         val integral = Seq(ByteType, ShortType, IntegerType, LongType)
         h.child match {
           case a: AttributeReference if integral.contains(a.dataType) =>

@@ -362,6 +362,15 @@ final class TypedRwWheel[In, P, Out](val agg: WheelAggregator[In, P, Out]) exten
 
   def advanceTo(tsMs: Long): Unit = if (tsMs > watermarkMs) watermarkMs = tsMs
 
+  /** Merges one pre-combined partial into a slot (the fused-build fast
+    * path: a SQL aggregate already combined the slot's rows into `p`).
+    * Adopts `p` by reference — the caller must not mutate it afterwards. */
+  def mergePartial(sec: Long, p: P): Unit =
+    slots.updateWith(sec) {
+      case Some(q) => Some(agg.combine(q, p))
+      case None    => Some(p)
+    }
+
   /** Merges `other` into this wheel, CONSUMING it: absent-slot partials are
     * adopted by reference, so `other` must not be ingested into afterwards
     * (both the tree-merge and the streaming per-batch merge discard it). */
