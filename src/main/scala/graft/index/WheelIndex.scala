@@ -71,16 +71,22 @@ final case class IndexedWheel(
   * [[IndexedWheel]] that answers `hll_distinct(column)` over any time range
   * (the aggregate no exact wheel can carry: exact distinct partials grow
   * with cardinality, these are fixed 2^p bytes per active second). Always
-  * full-table and unfiltered (no keyed variants), always per-second slots
-  * regardless of the table's numeric-wheel slot span — so the rewrite rule
-  * needs no span or coverage gate for it. The aggregator instance rides
-  * along so the rule can combine partials across disjoint OR-ranges and
-  * lower them with the exact same arithmetic the build used. */
+  * full-table in TIME and per-second slots regardless of the table's
+  * numeric-wheel slot span — so the rewrite rule needs no span or coverage
+  * gate for it; a non-empty `filterKey` marks a KEYED variant whose
+  * registers saw only rows matching the residual predicate ("distinct
+  * purchasers"), routed exactly like keyed numeric wheels. The aggregator
+  * instance rides along so the rule can combine partials across disjoint
+  * OR-ranges and lower them with the exact same arithmetic the build used.
+  * `filterSql` is kept so incremental refresh can re-apply the filter to
+  * appended data. */
 @SerialVersionUID(1L)
 final case class DistinctIndexedWheel(
     wheel: TypedHawWheel[Array[Byte], Long],
     column: String,
-    agg: WheelAggregators.HllDistinct) {
+    agg: WheelAggregators.HllDistinct,
+    filterKey: String = "",
+    filterSql: Option[String] = None) {
   def p: Int = agg.p
 }
 
@@ -115,15 +121,21 @@ final class TableIndex(
       * right, their wheels are raw. */
     val packLevels: Boolean = false) extends Serializable {
   private val wheels = new ConcurrentHashMap[(Option[String], String), IndexedWheel]()
-  // HLL distinct-sketch wheels by column. Null after deserializing an index
-  // persisted before the field existed (Java serialization default) — reads
-  // guard on that; such an index simply has no distinct wheels.
-  private val distinct = new ConcurrentHashMap[String, DistinctIndexedWheel]()
+  // HLL distinct-sketch wheels by (column, residual filter key). Null after
+  // deserializing an index persisted before the field existed (Java
+  // serialization default) — reads guard on that; such an index simply has
+  // no distinct wheels.
+  private val distinct = new ConcurrentHashMap[(String, String), DistinctIndexedWheel]()
 
   def put(w: IndexedWheel): Unit = wheels.put((w.valueColumn, w.filterKey), w)
-  def putDistinct(d: DistinctIndexedWheel): Unit = distinct.put(d.column, d)
-  def distinctWheel(col: String): Option[DistinctIndexedWheel] =
-    Option(distinct).flatMap(m => Option(m.get(col)))
+  def putDistinct(d0: DistinctIndexedWheel): Unit = {
+    // normalize fields a pre-keyed-era serialized wheel defaults to null
+    val d = if (d0.filterKey == null)
+      d0.copy(filterKey = "", filterSql = Option(d0.filterSql).flatten) else d0
+    distinct.put((d.column, d.filterKey), d)
+  }
+  def distinctWheel(col: String, filterKey: String = ""): Option[DistinctIndexedWheel] =
+    Option(distinct).flatMap(m => Option(m.get((col, filterKey))))
   def allDistinctWheels: Seq[DistinctIndexedWheel] =
     Option(distinct).map(_.asScala.values.toSeq).getOrElse(Nil)
   def get(col: Option[String], filterKey: String): Option[IndexedWheel] =
@@ -241,7 +253,8 @@ final case class UWheelBuilder(
     slotBudget: Option[Long] = None,
     packLevels: Boolean = false,
     distinctColumns: Seq[String] = Nil,
-    hllPrecision: Int = 11) {
+    hllPrecision: Int = 11,
+    keyedDistinctWheels: Seq[(String, String)] = Nil) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
@@ -277,10 +290,24 @@ final case class UWheelBuilder(
     * registers — 2^p bytes per active second at stderr ≈ 1.04/√(2^p).
     * Distinct wheels are always full-table, unfiltered, per-second. */
   def withDistinctWheel(col: String, p: Int = 11): UWheelBuilder = {
-    require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
-    require(distinctColumns.forall(_ => p == hllPrecision),
-      "all distinct wheels of one build share a precision")
+    requireHllP(p)
     copy(distinctColumns = distinctColumns :+ col, hllPrecision = p)
+  }
+
+  /** A KEYED distinct-sketch wheel: registers see only rows matching
+    * `filterSql`, so `hll_distinct(col)` composed with that residual
+    * predicate ("distinct purchasers last week") answers from the index.
+    * Routed by the same canonical filter key as keyed numeric wheels;
+    * fused into the same single build scan. */
+  def withKeyedDistinctWheel(col: String, filterSql: String, p: Int = 11): UWheelBuilder = {
+    requireHllP(p)
+    copy(keyedDistinctWheels = keyedDistinctWheels :+ ((col, filterSql)), hllPrecision = p)
+  }
+
+  private def requireHllP(p: Int): Unit = {
+    require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
+    require((distinctColumns.isEmpty && keyedDistinctWheels.isEmpty) || p == hllPrecision,
+      "all distinct wheels of one build share a precision")
   }
 
   /** Stores every value wheel's min/max hierarchy as codec-compressed
@@ -345,6 +372,15 @@ object UWheelIndex {
       filterSql: Option[String] = None,
       keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
 
+  /** One distinct-sketch wheel to build: which column, at which precision,
+    * under which residual filter (None/"" = unfiltered). */
+  final case class DistinctSpec(
+      column: String,
+      p: Int,
+      filter: Option[Column] = None,
+      filterKey: String = "",
+      filterSql: Option[String] = None)
+
   /** Structured `column = literal` form of a wheel filter, when it has one
     * (the multi-column GROUP BY arm routes on it). Matched on the ANALYZED
     * predicate so folding/cast normalization has already run. */
@@ -372,10 +408,10 @@ object UWheelIndex {
       specs: Seq[WheelSpec],
       slotSpan: Long = 1L,
       packLevels: Boolean = false,
-      /** (column, precision) per HLL distinct-sketch wheel — fused into the
-        * SAME scan as register-array aggregate columns, so requesting
-        * distinct wheels costs zero extra passes over the table. */
-      distinctSpecs: Seq[(String, Int)] = Nil): (Seq[BuiltWheel], Seq[DistinctIndexedWheel]) = {
+      /** HLL distinct-sketch wheels — fused into the SAME scan as
+        * register-array aggregate columns, so requesting distinct wheels
+        * costs zero extra passes over the table. */
+      distinctSpecs: Seq[DistinctSpec] = Nil): (Seq[BuiltWheel], Seq[DistinctIndexedWheel]) = {
     require(specs.nonEmpty)
     val secExpr = secExprOf(df, timeColumn)
     val aggCols = specs.zipWithIndex.flatMap { case (sp, i) =>
@@ -403,14 +439,21 @@ object UWheelIndex {
         F.sum(F.when(v.isNotNull && (roundTrip.isNull || roundTrip =!= v), F.lit(1L))
           .otherwise(F.lit(0L))).as(s"b$i"),
         F.sum(F.when(F.isnan(v), F.lit(1L)).otherwise(F.lit(0L))).as(s"nan$i"))
-    } ++ distinctSpecs.zipWithIndex.map { case ((c, p), j) =>
+    } ++ distinctSpecs.zipWithIndex.map { case (ds, j) =>
       // per-second register partials from the registers form of the native
       // aggregate — bit-identical fold semantics to the SQL hll_distinct
-      // and the wheel's own aggregator (they are the same code)
+      // and the wheel's own aggregator (they are the same code). A keyed
+      // spec folds its residual filter into the aggregate's child: rows
+      // not matching become NULL and are skipped, exactly like the SQL
+      // aggregate over the filtered query would skip them.
+      val in = ds.filter match {
+        case Some(f) => F.when(f, F.col(ds.column))
+        case None    => F.col(ds.column)
+      }
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.functions.HllDistinctAgg(
-          org.apache.spark.sql.graft.ColumnBridge.expression(F.col(c).cast("long")),
-          p, returnRegisters = true).toAggregateExpression()).as(s"h$j")
+          org.apache.spark.sql.graft.ColumnBridge.expression(in.cast("long")),
+          ds.p, returnRegisters = true).toAggregateExpression()).as(s"h$j")
     }
     // Executor-side merge: each shuffle partition folds its per-second rows
     // into compact RwWheels, and partials meet in a depth-2 aggregation tree
@@ -427,7 +470,7 @@ object UWheelIndex {
     val slotExpr =
       if (slotSpan == 1L) secExpr
       else secExpr - F.pmod(secExpr, F.lit(slotSpan))
-    val hllPs = distinctSpecs.map(_._2).toArray
+    val hllPs = distinctSpecs.map(_.p).toArray
     val acc = df.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
       .rdd
       .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs))(
@@ -444,9 +487,9 @@ object UWheelIndex {
           sp.timeRangeSec, sp.filterSql, sp.keyEq),
         acc.sawNullTs(i))
     }
-    val builtDistinct = distinctSpecs.zip(acc.distinct).map { case ((c, _), rw) =>
-      DistinctIndexedWheel(rw.freeze(), c,
-        rw.agg.asInstanceOf[WheelAggregators.HllDistinct])
+    val builtDistinct = distinctSpecs.zip(acc.distinct).map { case (ds, rw) =>
+      DistinctIndexedWheel(rw.freeze(), ds.column,
+        rw.agg.asInstanceOf[WheelAggregators.HllDistinct], ds.filterKey, ds.filterSql)
     }
     (built, builtDistinct)
   }
@@ -524,9 +567,14 @@ object UWheelIndex {
       if (colSpecs.isEmpty) Seq(WheelSpec(None, None, "", conf.timeRangeSec, conf.scale))
       else Nil
     val slotSpan = effectiveSlotSpan(df, conf)
+    val dSpecs = conf.distinctColumns.map(c => DistinctSpec(c, conf.hllPrecision)) ++
+      conf.keyedDistinctWheels.map { case (c, sql) =>
+        val fc = F.expr(sql)
+        DistinctSpec(c, conf.hllPrecision, Some(fc),
+          graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql))
+      }
     val (built, builtDistinct) = buildWheels(df, conf.timeColumn,
-      colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels,
-      conf.distinctColumns.map(c => (c, conf.hllPrecision)))
+      colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels, dSpecs)
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val countBuilt = colBuilt.headOption match {
       case Some(bw) =>
@@ -683,6 +731,8 @@ object UWheelIndex {
     val oldSpan = countWheel.orElse(wheels.headOption).map(_.wheel.slotSpan).getOrElse(1L)
 
     val appendOnly = fab.nonEmpty && keyedWheels.forall(_.filterSql.isDefined) &&
+      t.allDistinctWheels.forall(d =>
+        Option(d.filterKey).getOrElse("").isEmpty || Option(d.filterSql).flatten.isDefined) &&
       fab.forall { case (p, lm) => now.get(p).contains(lm) }
 
     // One spec per REGISTERED wheel, carrying that wheel's own scale,
@@ -729,10 +779,16 @@ object UWheelIndex {
         else fitSpan(bounds.map(_._1).min, bounds.map(_._2).max, oldSpan, budget)
     }
 
-    val oldDistinct = t.allDistinctWheels
+    // Keyed distinct wheels whose filter SQL wasn't retained cannot be
+    // reconstructed — a rebuild DROPS them (safe: those queries scan again),
+    // mirroring the keyed numeric wheel policy above.
+    val oldDistinct = t.allDistinctWheels.filter(d =>
+      Option(d.filterKey).getOrElse("").isEmpty || Option(d.filterSql).flatten.isDefined)
     val (built, freshDistinct) = buildWheels(scanDf, t.timeColumn,
       colSpecs ++ keyedSpecs ++ countSpec, span, t.packLevels,
-      oldDistinct.map(d => (d.column, d.p)))
+      oldDistinct.map(d => DistinctSpec(d.column, d.p,
+        Option(d.filterSql).flatten.map(F.expr), Option(d.filterKey).getOrElse(""),
+        Option(d.filterSql).flatten)))
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val keyedBuilt = rest.take(keyedSpecs.length)
 

@@ -64,6 +64,7 @@ object Q {
               b.withKeyedWheel(IndexBuilder("value", Some(s"event_type = '$et'")))
             }
             .withDistinctWheel("user_id")
+            .withKeyedDistinctWheel("user_id", "event_type = 'purchase'")
             .build(spark, s"$sfDir/events.parquet")),
         // lineitem: second indexed table (multi-year NTZ time span, so
         // calendar group-bys produce real multi-bucket results)

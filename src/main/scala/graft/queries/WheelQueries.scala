@@ -172,6 +172,11 @@ object WheelQueries {
     "uw_distinct_daily" -> Q.sql(
       s"""SELECT date_trunc('day', ts) AS d, hll_distinct(user_id) AS du, count(*) AS cnt
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
+    // distinct composed with a residual predicate: routes to the KEYED
+    // distinct wheel ("distinct purchasers last week")
+    "uw_distinct_keyed" -> Q.sql(
+      s"""SELECT hll_distinct(user_id) AS du FROM events
+         |WHERE $range AND event_type = 'purchase'""".stripMargin),
     // a wheel-answerable SCALAR SUBQUERY: the rewrite fires inside the
     // subquery plan (Catalyst optimizes subqueries with the full rule set),
     // so the outer aggregation's threshold is a plan-time constant

@@ -290,14 +290,16 @@ object UWheelRule extends Rule[LogicalPlan] {
     }).filter(coverageOk).filter(spanOk)
 
     def srcFor(n: Need): Option[Src] = n.kind match {
-      // HLL wheels are full-table, unfiltered, per-second by construction
-      // (DistinctIndexedWheel doc), so no coverage/span gate applies — but a
-      // residual predicate has no keyed distinct wheel to route to, and the
-      // query's precision must equal the wheel's (different p ⇒ different
-      // registers ⇒ different estimate than running the query would give).
+      // HLL wheels are full-table in time and per-second by construction
+      // (DistinctIndexedWheel doc), so no coverage/span gate applies. A
+      // residual predicate routes to the KEYED distinct wheel built with
+      // the same canonical filter key (registers that saw only matching
+      // rows); the query's precision must equal the wheel's (different p ⇒
+      // different registers ⇒ a different estimate than running the query
+      // would give).
       case "hll" =>
-        if (filterKey.nonEmpty) None
-        else n.column.flatMap(table.distinctWheel).filter(_.p == n.hllP).map(HllSrc)
+        n.column.flatMap(c => table.distinctWheel(c, filterKey))
+          .filter(_.p == n.hllP).map(HllSrc)
       case _ => wheelFor(n).map(NumSrc)
     }
 

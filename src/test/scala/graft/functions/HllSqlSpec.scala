@@ -30,7 +30,10 @@ class HllSqlSpec extends AnyFunSuite {
     spark.sparkContext.setLogLevel("WARN")
     Graft.enable(spark)
     Tables.registerAll(spark, dir)
-    UWheelBuilder("ts", Seq("value")).withDistinctWheel("user_id").build(spark, path)
+    UWheelBuilder("ts", Seq("value"))
+      .withDistinctWheel("user_id")
+      .withKeyedDistinctWheel("user_id", "event_type = 'purchase'")
+      .build(spark, path)
   }
 
   /** Runs `sql` with the rewrite rule on, then off; returns both results. */
@@ -125,11 +128,30 @@ class HllSqlSpec extends AnyFunSuite {
     assert(q.collect()(0).getLong(0) > 0)
   }
 
-  test("residual predicate does NOT rewrite (no keyed distinct wheels)") {
+  test("residual predicate without a keyed distinct wheel does NOT rewrite") {
     setup
     val q = spark.sql(
       s"SELECT hll_distinct(user_id) AS du FROM events WHERE $range AND event_type = 'click'")
     assertNotRewritten(q)
+  }
+
+  test("keyed distinct wheel: residual predicate routes to its registers") {
+    setup
+    val sql =
+      s"""SELECT hll_distinct(user_id) AS du FROM events
+         |WHERE $range AND event_type = 'purchase'""".stripMargin
+    assertRewritten(spark.sql(sql))
+    val (on, off) = onOff(sql)
+    assert(on.toSeq === off.toSeq)
+    // keyed group-by composes too: buckets enumerate from the keyed
+    // numeric wheel set? none here — the Nil-group path is the contract;
+    // conjunct order must not matter for the canonical key
+    val sql2 =
+      s"""SELECT hll_distinct(user_id) AS du FROM events
+         |WHERE event_type = 'purchase' AND $range""".stripMargin
+    assertRewritten(spark.sql(sql2))
+    val (on2, off2) = onOff(sql2)
+    assert(on2.toSeq === off2.toSeq)
   }
 
   test("non-integral input is rejected at analysis") {

@@ -138,19 +138,28 @@ class WheelRefreshSpec extends AnyFunSuite {
       mkDf(fromIdx, n).withColumn("uid", expr("CAST(value * 4 AS BIGINT) % 37"))
     val path = tmpTable()
     df(0, 2000).write.mode("overwrite").parquet(path)
-    val b = UWheelBuilder("ts", Seq("value")).withDistinctWheel("uid")
+    val b = UWheelBuilder("ts", Seq("value"))
+      .withDistinctWheel("uid")
+      .withKeyedDistinctWheel("uid", "k = 'a'")
     b.build(spark, path)
+    val keyedFk = WheelRegistry.lookup(path).get.allDistinctWheels
+      .find(_.filterKey.nonEmpty).get.filterKey
     df(2000, 1000).write.mode("append").parquet(path)
     assert(UWheelIndex.refresh(spark, path).isInstanceOf[RefreshOutcome.Appended])
     val merged = WheelRegistry.lookup(path).get.distinctWheel("uid").get
+    val mergedKeyed = WheelRegistry.lookup(path).get.distinctWheel("uid", keyedFk).get
 
     val path2 = tmpTable()
     spark.read.parquet(path).write.parquet(path2)
-    val rebuilt = b.build(spark, path2).distinctWheel("uid").get
+    val t2 = b.build(spark, path2)
+    val rebuilt = t2.distinctWheel("uid").get
     def regs(d: DistinctIndexedWheel) =
       d.wheel.slotPartials.map { case (s, p) => (s, p.toSeq) }.toSeq
     assert(regs(merged) === regs(rebuilt))
     assert(merged.p === rebuilt.p)
+    // the KEYED distinct wheel re-applies its filter on the delta scan
+    assert(regs(mergedKeyed) === regs(t2.distinctWheel("uid", keyedFk).get))
+    assert(regs(mergedKeyed) !== regs(merged)) // and is genuinely filtered
 
     // in-place rewrite → full rebuild carries the distinct wheel too
     df(100, 700).write.mode("overwrite").parquet(path)
