@@ -137,9 +137,10 @@ object Bench {
     // round-over-round even though the stdout contract line is capped
     // (round-5 verdict: the cap folded 64 of ~100 entries into other_sec,
     // blinding the per-query diff). Round number = 1 + the highest driver
-    // BENCH_r{N}.json present; a bench re-run within a round overwrites its
-    // own file, which is the freshest-numbers behavior we want.
-    try {
+    // BENCH_r{N}.json present; a FULL bench re-run within a round
+    // overwrites its own file (freshest numbers), but a SPARK_GRAFT_ONLY
+    // probe run must not clobber the full round record with its subset.
+    if (only.isEmpty) try {
       val repo = new java.io.File(".").getCanonicalFile
       val prev = Option(repo.listFiles()).getOrElse(Array.empty)
         .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))

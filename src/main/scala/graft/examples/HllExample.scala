@@ -4,15 +4,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.index.TypedWheelBuild
+import graft.index.{TypedWheelBuild, UWheelBuilder}
 import graft.wheel.WheelAggregators.HllDistinct
 
 /** Distinct-users-per-time-range via the HLL wheel — the sketch aggregate
-  * the fused index can't carry (exact distinct partials grow with
+  * no exact wheel can carry (exact distinct partials grow with
   * cardinality; HLL partials are a fixed 2^p bytes per active second).
   * Executors fold their partitions into typed wheels and tree-merge; the
   * driver receives ONE wheel and answers any range without touching the
-  * table again.
+  * table again. The SQL route does the same through the optimizer:
+  * `withDistinctWheel` + `hll_distinct(col)` rewrites to a LocalRelation.
   *
   * Run: `sbt "runMain graft.examples.HllExample"`
   */
@@ -46,6 +47,23 @@ object HllExample {
       val err = if (exact == 0) 0.0 else math.abs(est - exact).toDouble / exact
       println(f"$name%-12s distinct users: est=$est%5d exact=$exact%5d relErr=${err * 100}%.2f%%")
     }
+
+    // the same capability from SQL: the distinct wheel fuses into the one
+    // build scan and the optimizer answers hll_distinct from it
+    graft.Graft.enable(spark)
+    UWheelBuilder("ts", Seq("value")).withDistinctWheel("user_id")
+      .build(spark, s"$sfDir/events.parquet")
+    Tables.registerAll(spark, sfDir)
+    val q = spark.sql(
+      """SELECT date_trunc('day', ts) AS d, hll_distinct(user_id) AS distinct_users
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    val rewritten = q.queryExecution.optimizedPlan
+      .collectFirst { case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true }
+      .getOrElse(false)
+    println(s"SQL per-day distinct users (rewritten=$rewritten):")
+    q.show(7, truncate = false)
     spark.stop()
   }
 }

@@ -86,8 +86,19 @@ final case class DistinctIndexedWheel(
     column: String,
     agg: WheelAggregators.HllDistinct,
     filterKey: String = "",
-    filterSql: Option[String] = None) {
+    filterSql: Option[String] = None,
+    /** Seconds per register slot. The fused build groups by the table's
+      * (possibly coarsened) slot expression, so a span-coarsened build
+      * produces span-aligned register slots — the rewrite rule must then
+      * gate on span-aligned query bounds exactly like the numeric wheels
+      * (an unaligned range would silently include/exclude whole slots of
+      * users). After a refresh that coarsened, this records the COARSEST
+      * span present (divisibility chains across AllowedSlotSpans make
+      * coarse-aligned reads exact over mixed-granularity partials). */
+    slotSpan: Long = 1L) {
   def p: Int = agg.p
+  /** Null/zero-safe span (an old serialized wheel defaults the field to 0). */
+  def span: Long = if (slotSpan <= 0L) 1L else slotSpan
 }
 
 /** All wheels for one table (identified by its parquet root path).
@@ -489,7 +500,8 @@ object UWheelIndex {
     }
     val builtDistinct = distinctSpecs.zip(acc.distinct).map { case (ds, rw) =>
       DistinctIndexedWheel(rw.freeze(), ds.column,
-        rw.agg.asInstanceOf[WheelAggregators.HllDistinct], ds.filterKey, ds.filterSql)
+        rw.agg.asInstanceOf[WheelAggregators.HllDistinct], ds.filterKey, ds.filterSql,
+        slotSpan)
     }
     (built, builtDistinct)
   }
@@ -827,7 +839,11 @@ object UWheelIndex {
         if (appendOnly)
           TypedHawWheel.fromSecondPartials(d.wheel.slotPartials ++ f.wheel.slotPartials, d.agg)
         else f.wheel
-      nt.putDistinct(d.copy(wheel = merged))
+      // a budget-driven coarsening leaves old finer-grained partials in the
+      // merge; recording the coarsest span keeps reads exact (coarse-aligned
+      // bounds are also fine-aligned along the AllowedSlotSpans chain)
+      nt.putDistinct(d.copy(wheel = merged,
+        slotSpan = if (appendOnly) math.max(d.span, span) else f.span))
     }
     WheelRegistry.register(nt)
     if (appendOnly) RefreshOutcome.Appended(newPaths.length) else RefreshOutcome.Rebuilt

@@ -238,8 +238,22 @@ object PipelineQueries {
 
   // ---- shared-fixpoint composition path ----------------------------------
 
+  // Bounded: each entry pins a persisted RDD, and a long-lived service that
+  // retargets the documents view repeatedly (one filtered corpus per
+  // pipeline run) must not accumulate them forever. Access-ordered LRU;
+  // evicted entries unpersist their cached blocks (the stored backing RDD,
+  // not df.rdd, which would be a fresh unrelated RDD).
+  private val MembersMemoMax = 8
   private val membersMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.LinkedHashMap[String, (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)])](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)])]): Boolean = {
+        val evict = size() > MembersMemoMax
+        if (evict) e.getValue._2.unpersist(false)
+        evict
+      }
+    }
 
   /** The membership materialization SHARED across consumers — the
     * production composition path the contract entries deliberately don't
@@ -254,9 +268,16 @@ object PipelineQueries {
     Q.ctx(spark, sfDir)
     val key = s"${System.identityHashCode(spark)}#$sfDir#" +
       spark.table("documents").queryExecution.analyzed.semanticHash()
-    membersMemo.computeIfAbsent(key, _ =>
-      connectedComponentsMembers(
-        spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf)))))
+    membersMemo.synchronized {
+      Option(membersMemo.get(key)) match {
+        case Some((df, _)) => df
+        case None =>
+          val built = connectedComponentsMembersWithRdd(
+            spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf))))
+          membersMemo.put(key, built)
+          built._1
+      }
+    }
   }
 
   /** [[ddCluster]]'s census derived from the shared materialization. */
@@ -286,7 +307,14 @@ object PipelineQueries {
     * each fixpoint star contributes its children (child, root) and the root
     * itself (root, root). Materialized before the iteration state is
     * released, like the counts path. */
-  private[queries] def connectedComponentsMembers(pairFrame: DataFrame): DataFrame = {
+  private[queries] def connectedComponentsMembers(pairFrame: DataFrame): DataFrame =
+    connectedComponentsMembersWithRdd(pairFrame)._1
+
+  /** Also returns the PERSISTED backing RDD, so a caching consumer (the
+    * shared-members memo) can unpersist it on eviction — `df.rdd` would
+    * manufacture a new RDD and leave the cached blocks pinned. */
+  private def connectedComponentsMembersWithRdd(
+      pairFrame: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairFrame.sparkSession
     import spark.implicits._
@@ -296,7 +324,7 @@ object PipelineQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     members.count()
     stars.unpersist(blocking = false)
-    spark.createDataset(members).toDF("id", "cluster_id")
+    (spark.createDataset(members).toDF("id", "cluster_id"), members)
   }
 
   /** Alternating large-star/small-star contraction (the MapReduce CC

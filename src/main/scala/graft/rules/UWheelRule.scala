@@ -55,8 +55,15 @@ object UWheelRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!graft.Graft.rewritesEnabled || WheelRegistry.isEmpty || plan.isStreaming) return plan
     val rewritten = plan.transformDown {
-      case agg: Aggregate => tryAggRewrite(agg).getOrElse(agg)
-      case f: Filter      => tryPrune(f).getOrElse(f)
+      // an ArithmeticException (multi-range sum overflow in RangeAgg.merge,
+      // addExact on pathological mixed-sign data) must degrade to the scan,
+      // never abort the query from inside the optimizer
+      case agg: Aggregate =>
+        try tryAggRewrite(agg).getOrElse(agg)
+        catch { case _: ArithmeticException => agg }
+      case f: Filter =>
+        try tryPrune(f).getOrElse(f)
+        catch { case _: ArithmeticException => f }
     }
     if (rewritten.fastEquals(plan)) plan else cleanupLocal(rewritten)
   }
@@ -299,7 +306,15 @@ object UWheelRule extends Rule[LogicalPlan] {
       // would give).
       case "hll" =>
         n.column.flatMap(c => table.distinctWheel(c, filterKey))
-          .filter(_.p == n.hllP).map(HllSrc)
+          .filter(_.p == n.hllP)
+          // span-coarsened builds produce span-aligned register slots: an
+          // unaligned bound would silently include/exclude whole slots of
+          // users, so gate exactly like the numeric wheels
+          .filter(d => d.span == 1L ||
+            ranges.forall(r =>
+              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .map(HllSrc)
       case _ => wheelFor(n).map(NumSrc)
     }
 
@@ -402,9 +417,12 @@ object UWheelRule extends Rule[LogicalPlan] {
             .orElse(table.anyForFilter(filterKey).filter(coverageOk).filter(spanOk))
             .getOrElse(return None)
         // coarsened wheels can only serve buckets their slots tile exactly
-        // (HLL wheels are per-second — any bucket tiles them)
-        val slotSpans = nds.values.flatMap(_._2.numeric).map(_.wheel.slotSpan).toSet +
-          enumWheel.wheel.slotSpan
+        // (incl. coarsened HLL wheels — bucket boundaries must be
+        // span-aligned for their register slots too)
+        val slotSpans = nds.values.map {
+          case (_, NumSrc(w)) => w.wheel.slotSpan
+          case (_, HllSrc(d)) => d.span
+        }.toSet + enumWheel.wheel.slotSpan
         if (slotSpans.exists(sp => bucketSpan % sp != 0)) return None
         // Bucket map per wheel over the (disjoint) range set: a bucket
         // straddling two ranges (OR of two windows of one day, day buckets)

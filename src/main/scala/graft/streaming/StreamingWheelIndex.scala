@@ -89,7 +89,14 @@ final class StreamingWheelIndex(
     if (hw != null && v == cur) hw
     else {
       val fresh = rw.synchronized((version, rw.freeze(slotSpanSec)))
-      cached.set(fresh)
+      // install only if strictly fresher (same race as StreamingTypedWheel:
+      // two concurrent freezers must not let the staler pair win the cache)
+      var installed = false
+      while (!installed) {
+        val seen = cached.get()
+        val stale = seen._2 != null && fresh._1 <= seen._1
+        installed = stale || cached.compareAndSet(seen, fresh)
+      }
       fresh._2
     }
   }

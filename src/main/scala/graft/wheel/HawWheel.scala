@@ -334,13 +334,13 @@ final case class RangeAgg(count: Long, sumScaled: Long, min: Double, max: Double
   def maxOpt: Option[Double] = if (count == 0) None else Some(max)
   /** Combines aggregates of DISJOINT ranges of the same wheel: count/sum
     * additive, min/max by comparison (the multi-range OR/IN rewrite path).
-    * Plain addition: each operand is a difference of the wheel's prefix-sum
-    * array, so the sum over disjoint ranges is bounded by the wheel's total
-    * — if that total fits in a Long (guaranteed when the addExact-guarded
-    * build succeeded), this cannot overflow, and an exception here would
-    * abort the whole query from inside the optimizer rule. */
+    * addExact because boundedness-by-total only holds for same-sign data —
+    * with mixed signs two disjoint ranges can each sum near Long range
+    * while every prefix stays representable, and a silent wrap here would
+    * become a wrong plan-time answer. The optimizer rule catches the
+    * exception and falls back to the scan (never aborts the query). */
   def merge(o: RangeAgg): RangeAgg =
-    RangeAgg(count + o.count, sumScaled + o.sumScaled,
+    RangeAgg(count + o.count, Math.addExact(sumScaled, o.sumScaled),
       math.min(min, o.min), math.max(max, o.max), scale)
 }
 

@@ -154,6 +154,40 @@ class HllSqlSpec extends AnyFunSuite {
     assert(on2.toSeq === off2.toSeq)
   }
 
+  test("span-coarsened distinct wheel only serves span-aligned bounds") {
+    setup
+    import spark.implicits._
+    // own table: a coarse build on the shared events path would replace its
+    // per-second index for the rest of the suite
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll-span").toString + "/t.parquet"
+    def row(s: String, u: Long) = (java.sql.Timestamp.valueOf(s), u, 1.0)
+    (Seq(row("2024-04-01 00:00:10", 1), row("2024-04-01 00:00:50", 2),
+      row("2024-04-01 00:01:10", 3), row("2024-04-01 00:02:40", 4),
+      row("2024-04-01 00:03:20", 1))).toDF("ts", "uid", "value")
+      .write.mode("overwrite").parquet(tmp)
+    UWheelBuilder("ts", Seq("value")).withSlotSpan(60L).withDistinctWheel("uid")
+      .build(spark, tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("hll_span_t")
+    // minute-aligned: rewrites and bit-equals the scan
+    val aligned =
+      """SELECT hll_distinct(uid) AS du FROM hll_span_t
+        |WHERE ts >= TIMESTAMP '2024-04-01 00:01:00'
+        |  AND ts < TIMESTAMP '2024-04-01 00:03:00'""".stripMargin
+    assertRewritten(spark.sql(aligned))
+    val (on, off) = onOff(aligned)
+    assert(on.toSeq === off.toSeq)
+    // sub-minute bound: the coarse register slots cannot answer it exactly
+    // — must fall back to the scan (registers are minute-combined; an
+    // unaligned clip would include/exclude whole slots of users)
+    val unaligned =
+      """SELECT hll_distinct(uid) AS du FROM hll_span_t
+        |WHERE ts >= TIMESTAMP '2024-04-01 00:00:30'
+        |  AND ts < TIMESTAMP '2024-04-01 00:03:00'""".stripMargin
+    assertNotRewritten(spark.sql(unaligned))
+    val (on2, off2) = onOff(unaligned)
+    assert(on2.toSeq === off2.toSeq)
+  }
+
   test("non-integral input is rejected at analysis") {
     setup
     val e = intercept[Exception] {
