@@ -724,6 +724,40 @@ class UWheelRuleSpec extends AnyFunSuite {
     assert(df.collect().length === 3)
   }
 
+  test("multi-range sum overflow degrades to the scan, never aborts or wraps") {
+    // two disjoint ranges whose individual scaled sums fit in a Long but
+    // whose union does not: RangeAgg.merge's addExact throws, the rule's
+    // catch falls back to the scan, and the answer still matches it
+    setup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-overflow").toString
+    val p = s"$dir/t.parquet"
+    val big = 9.0e15 // exactly representable double; 9e17 at scale 2
+    val rows =
+      (0 until 6).map(i => (java.sql.Timestamp.valueOf(s"2024-05-01 00:00:0$i"), big)) ++
+      (0 until 6).map(i => (java.sql.Timestamp.valueOf(s"2024-05-03 00:00:0$i"), big))
+    rows.toDF("ts", "value").write.mode("overwrite").parquet(p)
+    UWheelBuilder("ts", Seq("value")).build(spark, p)
+    spark.read.parquet(p).createOrReplaceTempView("overflow_t")
+    def q = spark.sql(
+      """SELECT CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sv, count(*) AS cnt
+        |FROM overflow_t
+        |WHERE (ts >= TIMESTAMP '2024-05-01 00:00:00' AND ts < TIMESTAMP '2024-05-02 00:00:00')
+        |   OR (ts >= TIMESTAMP '2024-05-03 00:00:00' AND ts < TIMESTAMP '2024-05-04 00:00:00')""".stripMargin)
+    // single range (5.4e18 scaled, fits): still rewrites
+    val single = spark.sql(
+      """SELECT CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sv FROM overflow_t
+        |WHERE ts >= TIMESTAMP '2024-05-01 00:00:00' AND ts < TIMESTAMP '2024-05-02 00:00:00'""".stripMargin)
+    assertRewritten(single)
+    assert(single.collect()(0).getDouble(0) === 6 * big)
+    // union (1.08e19 scaled, overflows): falls back and matches the scan
+    assertNotRewritten(q)
+    val got = q.collect()(0)
+    val exp = groundTruth(q.collect()(0))
+    assert(got === exp)
+    assert(got.getLong(1) === 12L)
+  }
+
   test("stale index: file change after build disables rewrites") {
     setup
     import spark.implicits._
