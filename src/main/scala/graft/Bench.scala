@@ -93,15 +93,19 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
 
-    // Bench-only substitution: dd_cluster_keep is measured on the shared
-    // composition path (derived from the memoized membership
-    // materialization — the shape a production pipeline runs), while
-    // dd_cluster keeps pricing the full star fixpoint, so the suite pays
-    // the most expensive iterative computation once, and its cost stays
-    // visible under exactly one entry. Correctness of the shared derivation
-    // vs the contract query is asserted by PipelineSemanticSpec.
+    // dd_cluster_keep times the CONTRACT query — its own full star fixpoint,
+    // identical work every rep, like every other entry (round-6 advice: the
+    // earlier bench-only substitution timed a memo hit and hid the fixpoint
+    // cost from the record). The shared composition path is showcased under
+    // its own name, dd_cluster_keep_shared: its warm-up pays the fixpoint
+    // into the memo and the timed reps then measure the incremental
+    // derivation cost — deliberately, because that IS the production shape
+    // (membership materialized once, keep set derived from it), and the
+    // separate name keeps both numbers comparable round-over-round.
+    // Correctness of the shared derivation vs the contract query is
+    // asserted by PipelineSemanticSpec.
     val benchFns = SparkEntry.queries +
-      ("dd_cluster_keep" -> (graft.queries.PipelineQueries.ddClusterKeepShared _))
+      ("dd_cluster_keep_shared" -> (graft.queries.PipelineQueries.ddClusterKeepShared _))
     val results = mutable.LinkedHashMap.empty[String, Double]
     benchFns.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (selected(name))
@@ -114,6 +118,30 @@ object Bench {
         results(name + "_scan") = try timeOne(fn) catch { case _: Throwable => -1.0 }
     } finally Graft.rewritesEnabled = true
     results("index_build") = indexBuildSec
+
+    // Attribution probes (round-6 verdict: the single index_build number
+    // hid a 2.9× regression's cause): sequential REBUILDS of each build
+    // family, timed in isolation. `index_build` above stays the comparable
+    // round-over-round entry (the concurrent ctx build's wall-clock);
+    // these probes attribute it. events is built twice — numeric-only
+    // (count + min/max + 5 keyed wheels) and full (same scan + 2 HLL
+    // register wheels) — so (full − numeric) prices the fused sketch
+    // columns line-item without unfusing the scan. Probes run AFTER all
+    // timed queries (re-registering an index must not disturb an entry)
+    // and are excluded from `total` and from the capped stdout line, so
+    // totals stay comparable across rounds; they appear only in the
+    // BENCH_full record.
+    val probes = mutable.LinkedHashMap.empty[String, Double]
+    def probe(name: String)(b: => Unit): Unit = if (selected(name)) {
+      System.gc(); Thread.sleep(200)
+      val t = System.nanoTime()
+      try { b; probes(name) = (System.nanoTime() - t) / 1e9 }
+      catch { case _: Throwable => probes(name) = -1.0 }
+    }
+    probe("index_build_events_numeric")(Q.buildEvents(spark, sfDir, withDistinct = false))
+    probe("index_build_events")(Q.buildEvents(spark, sfDir))
+    probe("index_build_lineitem")(Q.buildLineitem(spark, sfDir))
+    probe("index_build_orders_dated")(Q.buildDatedOrders(spark, sfDir))
 
     // machine-parsed output: format under Locale.ROOT so a comma-decimal
     // default locale can't produce invalid JSON
@@ -130,8 +158,9 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
 
     // Full detail for humans/logs — prefixed so the driver's `^{` JSON-line
-    // match never picks it up.
-    val fullLine = line(results.toSeq.map { case (k, v) => k -> num(v) }, total)
+    // match never picks it up. Includes the attribution probes; `total`
+    // deliberately does not.
+    val fullLine = line((results ++ probes).toSeq.map { case (k, v) => k -> num(v) }, total)
     println("BENCH_FULL " + fullLine)
     // ... and persisted to the repo so every entry stays comparable
     // round-over-round even though the stdout contract line is capped

@@ -75,16 +75,12 @@ case class HllDistinctAgg(
     if (v == null) buffer else hll.accumulate(buffer, toLong(v))
   }
 
-  /** In-place register max — `buffer` is owned accumulation state under the
-    * TypedImperativeAggregate contract, `input` a deserialized partial. */
-  override def merge(buffer: Array[Byte], input: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < buffer.length) {
-      if (input(i) > buffer(i)) buffer(i) = input(i)
-      i += 1
-    }
-    buffer
-  }
+  /** Register max via the shared aggregator — partials are in the
+    * aggregator's canonical sparse/dense form, so the merge must be
+    * format-aware (returning a fresh buffer is allowed under the
+    * TypedImperativeAggregate contract). */
+  override def merge(buffer: Array[Byte], input: Array[Byte]): Array[Byte] =
+    hll.combine(buffer, input)
 
   override def eval(buffer: Array[Byte]): Any =
     if (returnRegisters) buffer else hll.lower(buffer)

@@ -64,24 +64,19 @@ private[index] final class WheelBuildAcc(
     }
     var j = 0
     while (j < distinct.length) {
-      // all-zero registers = the second saw no non-null values: skip, so
+      // empty registers = the second saw no non-null values: skip, so
       // the slot set is identical to the value-filtered typed build's
+      // (partials arrive in the aggregator's canonical sparse/dense form)
       if (!nullSec) {
         val regs = r.getAs[Array[Byte]](1 + n * 7 + j)
-        if (regs != null && anyNonZero(regs)) distinct(j).mergePartial(sec, regs)
+        if (regs != null && hllAggs(j).nonEmpty(regs)) distinct(j).mergePartial(sec, regs)
       }
       j += 1
     }
   }
 
-  private def anyNonZero(a: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      if (a(i) != 0) return true
-      i += 1
-    }
-    false
-  }
+  private def hllAggs(j: Int): WheelAggregators.HllDistinct =
+    distinct(j).agg.asInstanceOf[WheelAggregators.HllDistinct]
 
   def merge(o: WheelBuildAcc): WheelBuildAcc = {
     var i = 0

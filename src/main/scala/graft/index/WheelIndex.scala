@@ -162,16 +162,13 @@ final class TableIndex(
   def minMaxWheel(col: String): Option[IndexedWheel] = get(Some(col), "")
   /** Retained bytes across wheels, counting shared HawWheels (e.g. the
     * count wheel aliasing the first min/max wheel) once. HLL distinct
-    * wheels dominate their own figure with register payloads: 2^p bytes
-    * per stored slot across the granularity levels (≤ 2× the per-second
-    * slot count), plus the slot-start longs. */
+    * wheels report their MEASURED register payload across granularity
+    * levels — canonical sparse partials make this ∝ values seen per slot
+    * (≈ 10 B per low-traffic second), with 2^p bytes per slot only once a
+    * slot's distinct count earns a dense representation. */
   def indexUsageBytes: Long =
     wheels.asScala.values.map(_.wheel).toList.distinct.map(_.sizeBytes).sum +
-      allDistinctWheels.map { d =>
-        // levels hold ≤ numSecs slots each and coarser levels shrink
-        // geometrically; 2 × numSecs × 2^p is the tight upper estimate
-        d.wheel.numSecs.toLong * 2 * ((1L << d.p) + 8)
-      }.sum
+      allDistinctWheels.map(_.wheel.measuredBytes).sum
 }
 
 /** Driver-side registry of wheel indices, consulted by the optimizer rule at
@@ -425,31 +422,57 @@ object UWheelIndex {
       distinctSpecs: Seq[DistinctSpec] = Nil): (Seq[BuiltWheel], Seq[DistinctIndexedWheel]) = {
     require(specs.nonEmpty)
     val secExpr = secExprOf(df, timeColumn)
-    val aggCols = specs.zipWithIndex.flatMap { case (sp, i) =>
-      val inRange = sp.timeRangeSec
-        .map { case (s, e) => secExpr >= s && secExpr < e }
-        .getOrElse(F.lit(true))
-      val keep = sp.filter.map(_ && inRange).getOrElse(inRange)
-      val v = sp.valueColumn match {
-        case Some(c) => F.when(keep, F.col(c).cast("double"))
-        case None    => F.lit(null).cast("double")
-      }
+    // Per-ROW work is projected ONCE per distinct (valueColumn, scale) pair
+    // and shared across specs: six keyed wheels over the same measure
+    // column would otherwise each evaluate the double cast, the
+    // DECIMAL(38) exactness round-trip, and the NaN probe per row — the
+    // round-trip decimal cast in particular priced the round-6 events
+    // build. Catalyst cannot unify them itself (each sat under a
+    // spec-specific `when(keep, …)` guard, so the subtrees differ); with
+    // the shared projection the per-row cost is one cast set total, and
+    // each spec's aggregate columns reduce to cheap conditional folds the
+    // hash aggregate codegens. The `keep` gates are evaluated inside the
+    // aggregate exprs (they are per-spec by nature and cheap: a residual
+    // equality + optional range test).
+    val valKeys = specs.flatMap(sp => sp.valueColumn.map(c => (c, sp.scale))).distinct
+    val valIdx = valKeys.zipWithIndex.toMap
+    val projCols = valKeys.zipWithIndex.flatMap { case ((c, scale), k) =>
+      val v = F.col(c).cast("double")
       // Exactness probe: does v survive a round-trip through
       // DECIMAL(38,scale)? NaN/Infinity/overflow become NULL and count as
       // non-representable. try_* casts keep that contract under ANSI mode
       // (Spark 4 default), where a plain cast would throw and kill the
       // whole build instead of marking the wheel inexact.
-      val asDec = v.try_cast(s"decimal(38,${sp.scale})")
+      val asDec = v.try_cast(s"decimal(38,$scale)")
       val roundTrip = asDec.cast("double") // decimal→double never errors
+      Seq(
+        v.as(s"_v$k"),
+        asDec.as(s"_d$k"),
+        (v.isNotNull && (roundTrip.isNull || roundTrip =!= v)).as(s"_b$k"),
+        F.isnan(v).as(s"_n$k"))
+    }
+    val aggCols = specs.zipWithIndex.flatMap { case (sp, i) =>
+      val inRange = sp.timeRangeSec
+        .map { case (s, e) => secExpr >= s && secExpr < e }
+        .getOrElse(F.lit(true))
+      val keep = sp.filter.map(_ && inRange).getOrElse(inRange)
+      val (v, asDec, bad, nan) = sp.valueColumn match {
+        case Some(c) =>
+          val k = valIdx((c, sp.scale))
+          (F.when(keep, F.col(s"_v$k")), F.when(keep, F.col(s"_d$k")),
+            F.col(s"_b$k"), F.col(s"_n$k"))
+        case None =>
+          val nul = F.lit(null).cast("double")
+          (nul, nul, F.lit(false), F.lit(false))
+      }
       Seq(
         F.sum(F.when(keep, F.lit(1L)).otherwise(F.lit(0L))).as(s"c$i"),
         F.count(v).as(s"cv$i"),
         F.sum(asDec).as(s"s$i"),
         F.min(v).as(s"mn$i"),
         F.max(v).as(s"mx$i"),
-        F.sum(F.when(v.isNotNull && (roundTrip.isNull || roundTrip =!= v), F.lit(1L))
-          .otherwise(F.lit(0L))).as(s"b$i"),
-        F.sum(F.when(F.isnan(v), F.lit(1L)).otherwise(F.lit(0L))).as(s"nan$i"))
+        F.sum(F.when(keep && bad, F.lit(1L)).otherwise(F.lit(0L))).as(s"b$i"),
+        F.sum(F.when(keep && nan, F.lit(1L)).otherwise(F.lit(0L))).as(s"nan$i"))
     } ++ distinctSpecs.zipWithIndex.map { case (ds, j) =>
       // per-second register partials from the registers form of the native
       // aggregate — bit-identical fold semantics to the SQL hll_distinct
@@ -482,7 +505,11 @@ object UWheelIndex {
       if (slotSpan == 1L) secExpr
       else secExpr - F.pmod(secExpr, F.lit(slotSpan))
     val hllPs = distinctSpecs.map(_.p).toArray
-    val acc = df.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
+    // widen, don't replace: filters/secExpr/distinct columns still resolve
+    // by name against the original schema
+    val projected =
+      if (valKeys.isEmpty) df else df.select(F.col("*") +: projCols: _*)
+    val acc = projected.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
       .rdd
       .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs))(
         (a, row) => { a.add(row); a },

@@ -266,7 +266,12 @@ object PipelineQueries {
     * different memo entry, never a stale hit. */
   def clusterMembersShared(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
-    val key = s"${System.identityHashCode(spark)}#$sfDir#" +
+    // sessionUUID, not identityHashCode: identity hashes are not unique, so
+    // after a session is GC'd a new session could alias its memo entries.
+    // Returned frames are valid until LRU eviction unpersists the backing
+    // RDD — still correct afterwards (Spark recomputes), but the fixpoint
+    // silently re-runs; long-lived holders should re-call this method.
+    val key = s"${org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)}#$sfDir#" +
       spark.table("documents").queryExecution.analyzed.semanticHash()
     membersMemo.synchronized {
       Option(membersMemo.get(key)) match {

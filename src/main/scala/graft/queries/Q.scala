@@ -52,32 +52,40 @@ object Q {
         }
       }
       Await.result(Future.sequence(Seq(
-        // events: count + min/max + keyed SUM wheels from ONE scan (one
-        // equality wheel per event_type value — the COMPLETE per-value set
-        // the multi-column GROUP BY arm routes on, proof-checked at plan
-        // time), plus an HLL distinct-sketch wheel over user_id (its own
-        // typed scan) so hll_distinct(user_id) range queries answer at plan
-        // time
-        tryBuild("events")(
-          Seq("click", "error", "purchase", "signup", "view")
-            .foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
-              b.withKeyedWheel(IndexBuilder("value", Some(s"event_type = '$et'")))
-            }
-            .withDistinctWheel("user_id")
-            .withKeyedDistinctWheel("user_id", "event_type = 'purchase'")
-            .build(spark, s"$sfDir/events.parquet")),
-        // lineitem: second indexed table (multi-year NTZ time span, so
-        // calendar group-bys produce real multi-bucket results)
-        tryBuild("lineitem")(UWheelBuilder("l_shipdate", Seq("l_quantity"))
-          .build(spark, s"$sfDir/lineitem.parquet")),
-        // orders with a DATE-typed time column (the corpus stores
-        // timestamps; real TPC-H dumps keep o_orderdate as DATE — derive a
-        // dated copy once so the DateType index path has a contract query)
+        tryBuild("events")(buildEvents(spark, sfDir)),
+        tryBuild("lineitem")(buildLineitem(spark, sfDir)),
         tryBuild("orders_dated")(buildDatedOrders(spark, sfDir)),
       )), Duration.Inf)
     }
     spark
   }
+
+  /** events: count + min/max + keyed SUM wheels from ONE scan (one
+    * equality wheel per event_type value — the COMPLETE per-value set the
+    * multi-column GROUP BY arm routes on, proof-checked at plan time),
+    * plus HLL distinct-sketch wheels over user_id FUSED INTO THE SAME
+    * scan, so hll_distinct(user_id) range queries answer at plan time.
+    * `withDistinct = false` is the bench's attribution probe: the same
+    * build minus the sketch wheels, so (full − numeric) prices the HLL
+    * register columns line-item. */
+  def buildEvents(spark: SparkSession, sfDir: String, withDistinct: Boolean = true): Unit = {
+    val numeric = Seq("click", "error", "purchase", "signup", "view")
+      .foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
+        b.withKeyedWheel(IndexBuilder("value", Some(s"event_type = '$et'")))
+      }
+    val conf =
+      if (withDistinct)
+        numeric.withDistinctWheel("user_id")
+          .withKeyedDistinctWheel("user_id", "event_type = 'purchase'")
+      else numeric
+    conf.build(spark, s"$sfDir/events.parquet")
+  }
+
+  /** lineitem: second indexed table (multi-year NTZ time span, so calendar
+    * group-bys produce real multi-bucket results). */
+  def buildLineitem(spark: SparkSession, sfDir: String): Unit =
+    UWheelBuilder("l_shipdate", Seq("l_quantity"))
+      .build(spark, s"$sfDir/lineitem.parquet")
 
   private val datedDirs = new ConcurrentHashMap[String, String]()
 
@@ -100,7 +108,7 @@ object Q {
     })
 
   /** Registers the `orders_dated` view and wheel-indexes its DATE column. */
-  private def buildDatedOrders(spark: SparkSession, sfDir: String): Unit = {
+  def buildDatedOrders(spark: SparkSession, sfDir: String): Unit = {
     val path = derivedOrdersPath(spark, sfDir)
     spark.read.parquet(path).createOrReplaceTempView("orders_dated")
     UWheelBuilder("o_odate", Seq("o_totalprice")).build(spark, path)

@@ -234,7 +234,66 @@ object WheelAggregators {
       case 64 => 0.709
       case _  => 0.7213 / (1 + 1.079 / m)
     }
-    def identity: Array[Byte] = new Array[Byte](m)
+
+    // ---- partial representation --------------------------------------
+    // A partial is CANONICALLY either sparse or dense, decided by content:
+    //   sparse  ⟺ nonzero-register count n ≤ SparseMax
+    //   layout:   [n_lo, n_hi] ++ n × [idx_lo, idx_hi, rank], entries
+    //             sorted ascending by idx; length = 2 + 3n ≠ m always
+    //   dense   ⟺ n > SparseMax; layout: the raw m-byte register array
+    // Register-max merging only grows n, so canonical form is stable:
+    // dense never needs to re-sparsify, and equal register CONTENT always
+    // has equal canonical BYTES — the bit-for-bit equality the SQL-vs-wheel
+    // specs assert survives the encoding. Why it exists: a per-second
+    // build slot sees ~rows-per-second distinct values, so at any realistic
+    // event rate the 2^p-byte dense blob is >99 % zeros — at sf0.1 the two
+    // events sketch wheels shipped ~400 MB of near-zero registers through
+    // the shuffle + tree merge and took 8 s of the 10.6 s build (round-6
+    // weak); sparse partials make the shuffled bytes ∝ values seen, ~10 B
+    // per row, and the same representation serves the in-heap wheel slots
+    // and the registry, so index memory drops with it.
+    private val SparseMax = m / 8 // 3·(m/8)+2 < m, so lengths never collide
+
+    @inline private def isSparse(a: Array[Byte]): Boolean = a.length != m
+    @inline private def sparseN(a: Array[Byte]): Int =
+      (a(0) & 0xff) | ((a(1) & 0xff) << 8)
+    @inline private def sIdx(a: Array[Byte], k: Int): Int =
+      (a(2 + 3 * k) & 0xff) | ((a(3 + 3 * k) & 0xff) << 8)
+    @inline private def sRank(a: Array[Byte], k: Int): Byte = a(4 + 3 * k)
+    private def sparseEmpty: Array[Byte] = Array[Byte](0, 0)
+    private def sparse1(idx: Int, rank: Byte): Array[Byte] =
+      Array[Byte](1, 0, (idx & 0xff).toByte, ((idx >> 8) & 0xff).toByte, rank)
+    /** Entry position of idx in sparse a, or -(ins+1). */
+    private def sFind(a: Array[Byte], idx: Int): Int = {
+      var lo = 0; var hi = sparseN(a) - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = sIdx(a, mid)
+        if (v < idx) lo = mid + 1 else if (v > idx) hi = mid - 1 else return mid
+      }
+      -(lo + 1)
+    }
+    private def densify(a: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](m)
+      val n = sparseN(a)
+      var k = 0
+      while (k < n) { out(sIdx(a, k)) = sRank(a, k); k += 1 }
+      out
+    }
+    /** Nonzero-register count of a canonical partial (dense counts). */
+    private def nonZeroCount(a: Array[Byte]): Int =
+      if (isSparse(a)) sparseN(a)
+      else {
+        var c = 0; var i = 0
+        while (i < m) { if (a(i) != 0) c += 1; i += 1 }
+        c
+      }
+    /** Has any nonzero register? (canonical dense always does, but the
+      * check stays content-based for robustness) */
+    def nonEmpty(a: Array[Byte]): Boolean =
+      if (isSparse(a)) sparseN(a) > 0 else nonZeroCount(a) > 0
+
+    def identity: Array[Byte] = sparseEmpty
     private def mix64(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -245,41 +304,124 @@ object WheelAggregators {
       val h = mix64(in)
       val idx = (h >>> (64 - p)).toInt
       val w = h << p
-      val rank = (if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
-      val regs = new Array[Byte](m)
-      regs(idx) = rank.toByte
-      regs
+      val rank = ((if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1).toByte
+      sparse1(idx, rank)
     }
-    def combine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](m)
-      var i = 0
-      while (i < m) {
-        out(i) = if (a(i) >= b(i)) a(i) else b(i)
-        i += 1
+    def combine(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (!isSparse(a) && !isSparse(b)) {
+        val out = new Array[Byte](m)
+        var i = 0
+        while (i < m) {
+          out(i) = if (a(i) >= b(i)) a(i) else b(i)
+          i += 1
+        }
+        out
+      } else if (!isSparse(a) || !isSparse(b)) {
+        // dense ⊔ sparse: dense content already exceeds SparseMax, so the
+        // result is dense — copy and max the sparse entries in
+        val (d, s) = if (isSparse(a)) (b, a) else (a, b)
+        val out = java.util.Arrays.copyOf(d, m)
+        val n = sparseN(s)
+        var k = 0
+        while (k < n) {
+          val i = sIdx(s, k); val r = sRank(s, k)
+          if (out(i) < r) out(i) = r
+          k += 1
+        }
+        out
+      } else {
+        // sparse ⊔ sparse: sorted-merge union with register max
+        val na = sparseN(a); val nb = sparseN(b)
+        val buf = new Array[Byte](2 + 3 * (na + nb))
+        var ka = 0; var kb = 0; var n = 0
+        while (ka < na || kb < nb) {
+          val ia = if (ka < na) sIdx(a, ka) else Int.MaxValue
+          val ib = if (kb < nb) sIdx(b, kb) else Int.MaxValue
+          val (idx, r) =
+            if (ia < ib)      { val v = (ia, sRank(a, ka)); ka += 1; v }
+            else if (ib < ia) { val v = (ib, sRank(b, kb)); kb += 1; v }
+            else {
+              val ra = sRank(a, ka); val rb = sRank(b, kb)
+              ka += 1; kb += 1
+              (ia, if (ra >= rb) ra else rb)
+            }
+          buf(2 + 3 * n) = (idx & 0xff).toByte
+          buf(3 + 3 * n) = ((idx >> 8) & 0xff).toByte
+          buf(4 + 3 * n) = r
+          n += 1
+        }
+        if (n > SparseMax) {
+          val out = new Array[Byte](m)
+          var k = 0
+          while (k < n) {
+            out((buf(2 + 3 * k) & 0xff) | ((buf(3 + 3 * k) & 0xff) << 8)) = buf(4 + 3 * k)
+            k += 1
+          }
+          out
+        } else {
+          buf(0) = (n & 0xff).toByte; buf(1) = ((n >> 8) & 0xff).toByte
+          if (buf.length == 2 + 3 * n) buf else java.util.Arrays.copyOf(buf, 2 + 3 * n)
+        }
       }
-      out
-    }
-    /** In-place ingest: one hash + one register compare per row, ZERO
-      * allocation — the per-row cost the 100 TB fold needs (the default
-      * combine(p, lift(in)) would allocate two 2^p-byte arrays per row).
-      * Safe under the accumulate ownership contract: the wheel passes its
-      * own accumulation array and snapshots on freeze. */
+    /** Ingest one value: dense path is in-place (one hash + one register
+      * compare, zero allocation — the per-row cost the 100 TB fold needs);
+      * sparse path reallocates only when a NEW register index appears,
+      * which can happen at most SparseMax times before the buffer goes
+      * dense and stays in-place forever. Safe under the accumulate
+      * ownership contract: the wheel passes its own accumulation array and
+      * snapshots on freeze. */
     override def accumulate(regs: Array[Byte], in: Long): Array[Byte] = {
       val h = mix64(in)
       val idx = (h >>> (64 - p)).toInt
       val w = h << p
       val rank = ((if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1).toByte
-      if (regs(idx) < rank) regs(idx) = rank
-      regs
+      if (!isSparse(regs)) {
+        if (regs(idx) < rank) regs(idx) = rank
+        regs
+      } else {
+        val pos = sFind(regs, idx)
+        if (pos >= 0) {
+          if (sRank(regs, pos) < rank) regs(4 + 3 * pos) = rank
+          regs
+        } else {
+          val n = sparseN(regs)
+          if (n + 1 > SparseMax) {
+            val out = densify(regs)
+            out(idx) = rank
+            out
+          } else {
+            val ins = -(pos + 1)
+            val out = new Array[Byte](regs.length + 3)
+            System.arraycopy(regs, 0, out, 0, 2 + 3 * ins)
+            System.arraycopy(regs, 2 + 3 * ins, out, 5 + 3 * ins, 3 * (n - ins))
+            out(0) = ((n + 1) & 0xff).toByte; out(1) = (((n + 1) >> 8) & 0xff).toByte
+            out(2 + 3 * ins) = (idx & 0xff).toByte
+            out(3 + 3 * ins) = ((idx >> 8) & 0xff).toByte
+            out(4 + 3 * ins) = rank
+            out
+          }
+        }
+      }
     }
     def lower(regs: Array[Byte]): Long = {
       var invSum = 0.0
       var zeros = 0
-      var i = 0
-      while (i < m) {
-        invSum += java.lang.Double.longBitsToDouble((1023L - regs(i)) << 52) // 2^-reg
-        if (regs(i) == 0) zeros += 1
-        i += 1
+      if (isSparse(regs)) {
+        val n = sparseN(regs)
+        zeros = m - n
+        invSum = zeros.toDouble // each zero register contributes 2^-0
+        var k = 0
+        while (k < n) {
+          invSum += java.lang.Double.longBitsToDouble((1023L - sRank(regs, k)) << 52)
+          k += 1
+        }
+      } else {
+        var i = 0
+        while (i < m) {
+          invSum += java.lang.Double.longBitsToDouble((1023L - regs(i)) << 52) // 2^-reg
+          if (regs(i) == 0) zeros += 1
+          i += 1
+        }
       }
       val e = alpha * m * m / invSum
       // small-range (linear counting) correction; with a 64-bit hash the
@@ -492,6 +634,23 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
   def partialStoreBytes: Long =
     prefix.map(_.length.toLong * 8)
       .getOrElse(levels.iterator.map(_._3.storedBytes).sum)
+
+  /** Measured payload bytes: byte-array partials (sketches) count their
+    * REAL stored lengths across every level — with the canonical sparse
+    * HLL representation this is the honest figure, where a 2^p-per-slot
+    * estimate overstates sparse slots by orders of magnitude. Other
+    * partial kinds fall back to the 8-byte estimate of
+    * [[partialStoreBytes]]. Slot-start longs included. */
+  def measuredBytes: Long = {
+    def sz(x: Any): Long = x match {
+      case a: Array[Byte] => a.length.toLong + 16 // array object header
+      case _              => 8L
+    }
+    prefix.map(pre => numSecs * 8L + pre.iterator.map(sz).sum)
+      .getOrElse(levels.iterator.map { case (_, starts, st) =>
+        starts.length * 8L + starts.indices.iterator.map(i => sz(st(i))).sum
+      }.sum)
+  }
 
   /** The wheel's per-second partials in slot order — the
     * [[TypedHawWheel.fromSecondPartials]] input shape, so

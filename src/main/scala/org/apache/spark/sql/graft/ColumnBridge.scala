@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The session's stable unique id (`private[sql]` on SparkSession) — a
+    * memo key that, unlike `System.identityHashCode`, can never alias two
+    * sessions (identity hashes are reusable after GC). */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }
