@@ -42,7 +42,7 @@ object Bench {
     // corpus derivation (orders_dated parquet) is setup, not index build —
     // and a derivation failure must not cost the whole bench its JSON line
     // (Q.ctx's own tryBuild re-attempts and logs; dated entries report -1)
-    try Q.derivedOrdersPath(spark, sfDir)
+    try { Q.derivedOrdersPath(spark, sfDir); Q.derivedLineitemDecPath(spark, sfDir) }
     catch { case e: Throwable => System.err.println(s"[graft] derive failed: ${e.getMessage}") }
     val t0 = System.nanoTime()
     Q.ctx(spark, sfDir)
@@ -142,6 +142,7 @@ object Bench {
     probe("index_build_events")(Q.buildEvents(spark, sfDir))
     probe("index_build_lineitem")(Q.buildLineitem(spark, sfDir))
     probe("index_build_orders_dated")(Q.buildDatedOrders(spark, sfDir))
+    probe("index_build_lineitem_dec")(Q.buildDecLineitem(spark, sfDir))
 
     // machine-parsed output: format under Locale.ROOT so a comma-decimal
     // default locale can't produce invalid JSON

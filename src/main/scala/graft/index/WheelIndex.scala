@@ -437,19 +437,37 @@ object UWheelIndex {
     val valKeys = specs.flatMap(sp => sp.valueColumn.map(c => (c, sp.scale))).distinct
     val valIdx = valKeys.zipWithIndex.toMap
     val projCols = valKeys.zipWithIndex.flatMap { case ((c, scale), k) =>
-      val v = F.col(c).cast("double")
-      // Exactness probe: does v survive a round-trip through
-      // DECIMAL(38,scale)? NaN/Infinity/overflow become NULL and count as
-      // non-representable. try_* casts keep that contract under ANSI mode
-      // (Spark 4 default), where a plain cast would throw and kill the
-      // whole build instead of marking the wheel inexact.
-      val asDec = v.try_cast(s"decimal(38,$scale)")
-      val roundTrip = asDec.cast("double") // decimal→double never errors
-      Seq(
-        v.as(s"_v$k"),
-        asDec.as(s"_d$k"),
-        (v.isNotNull && (roundTrip.isNull || roundTrip =!= v)).as(s"_b$k"),
-        F.isnan(v).as(s"_n$k"))
+      val isDec = df.schema.find(_.name == c)
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      if (isDec) {
+        // Decimal source column at its own scale: the sum path widens the
+        // decimal directly (exact — no double anywhere), and the exactness
+        // probe flips direction: it asks whether the DOUBLE image converts
+        // back to the original decimal exactly, which is what gates the
+        // double-stored MIN/MAX rewrite. Decimals cannot be NaN.
+        val d = F.col(c).cast(s"decimal(38,$scale)")
+        val v = F.col(c).cast("double")
+        val rt = v.try_cast(s"decimal(38,$scale)")
+        Seq(
+          v.as(s"_v$k"),
+          d.as(s"_d$k"),
+          (F.col(c).isNotNull && (rt.isNull || rt =!= d)).as(s"_b$k"),
+          F.lit(false).as(s"_n$k"))
+      } else {
+        val v = F.col(c).cast("double")
+        // Exactness probe: does v survive a round-trip through
+        // DECIMAL(38,scale)? NaN/Infinity/overflow become NULL and count as
+        // non-representable. try_* casts keep that contract under ANSI mode
+        // (Spark 4 default), where a plain cast would throw and kill the
+        // whole build instead of marking the wheel inexact.
+        val asDec = v.try_cast(s"decimal(38,$scale)")
+        val roundTrip = asDec.cast("double") // decimal→double never errors
+        Seq(
+          v.as(s"_v$k"),
+          asDec.as(s"_d$k"),
+          (v.isNotNull && (roundTrip.isNull || roundTrip =!= v)).as(s"_b$k"),
+          F.isnan(v).as(s"_n$k"))
+      }
     }
     val aggCols = specs.zipWithIndex.flatMap { case (sp, i) =>
       val inRange = sp.timeRangeSec
@@ -592,14 +610,22 @@ object UWheelIndex {
     // wheel's partials — same per-second counts — or built as its own spec
     // when no columns are requested). The reference runs one full table
     // query per wheel (`lib.rs:912-965,154-239`).
+    // DecimalType measure columns index at the COLUMN'S OWN scale: the
+    // wheel's scaled-long slot sums then reproduce the column's exact
+    // decimal arithmetic (no double round-trip in the sum path), and the
+    // rule's decScale gate routes SUM(decimal_col) to exactly this wheel.
+    def scaleFor(c: String): Int = df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(d: org.apache.spark.sql.types.DecimalType) => d.scale
+      case _ => conf.scale
+    }
     val colSpecs = conf.minMaxColumns.map(c =>
-      WheelSpec(Some(c), None, "", conf.timeRangeSec, conf.scale))
+      WheelSpec(Some(c), None, "", conf.timeRangeSec, scaleFor(c)))
     val keyedSpecs = conf.keyedWheels.map { ib =>
       val fc = F.expr(ib.filterSql.getOrElse(
         throw new IllegalArgumentException("keyed wheel requires a filter")))
       WheelSpec(Some(ib.column), Some(fc),
         graft.expr.Canon.canonFilterKey(df.filter(fc)),
-        ib.timeRangeSec.orElse(conf.timeRangeSec), conf.scale, ib.filterSql,
+        ib.timeRangeSec.orElse(conf.timeRangeSec), scaleFor(ib.column), ib.filterSql,
         keyEqOf(df, fc))
     }
     val countSpec =

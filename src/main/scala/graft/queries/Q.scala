@@ -33,6 +33,8 @@ object Q {
       // from the wrong corpus (review finding).
       Option(datedDirs.get(sfDir)).foreach(p =>
         spark.read.parquet(p).createOrReplaceTempView("orders_dated"))
+      Option(decDirs.get(sfDir)).foreach(p =>
+        spark.read.parquet(p).createOrReplaceTempView("lineitem_dec"))
     }
     val key = s"$sid#$sfDir"
     if (prepared.add(key)) {
@@ -55,6 +57,7 @@ object Q {
         tryBuild("events")(buildEvents(spark, sfDir)),
         tryBuild("lineitem")(buildLineitem(spark, sfDir)),
         tryBuild("orders_dated")(buildDatedOrders(spark, sfDir)),
+        tryBuild("lineitem_dec")(buildDecLineitem(spark, sfDir)),
       )), Duration.Inf)
     }
     spark
@@ -112,6 +115,32 @@ object Q {
     val path = derivedOrdersPath(spark, sfDir)
     spark.read.parquet(path).createOrReplaceTempView("orders_dated")
     UWheelBuilder("o_odate", Seq("o_totalprice")).build(spark, path)
+  }
+
+  private val decDirs = new ConcurrentHashMap[String, String]()
+
+  /** Materializes the DECIMAL-typed projection of `lineitem`
+    * (l_quantity → DECIMAL(12,2)) once per sfDir — corpus derivation, like
+    * [[derivedOrdersPath]]: real TPC-H dumps store quantities/prices as
+    * DECIMAL already, the synthetic corpus stores doubles. */
+  def derivedLineitemDecPath(spark: SparkSession, sfDir: String): String =
+    decDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dec").toString
+      val p = s"$dir/lineitem_dec.parquet"
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_shipdate"),
+          col("l_quantity").cast("decimal(12,2)").as("l_quantity"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Registers the `lineitem_dec` view and wheel-indexes its DECIMAL
+    * measure column (at the column's own scale — see UWheelIndex). */
+  def buildDecLineitem(spark: SparkSession, sfDir: String): Unit = {
+    val path = derivedLineitemDecPath(spark, sfDir)
+    spark.read.parquet(path).createOrReplaceTempView("lineitem_dec")
+    UWheelBuilder("l_shipdate", Seq("l_quantity")).build(spark, path)
   }
 
   /** A query whose Spark side is a plain SQL string over the corpus views. */

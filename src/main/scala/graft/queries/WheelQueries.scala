@@ -177,6 +177,24 @@ object WheelQueries {
     "uw_distinct_keyed" -> Q.sql(
       s"""SELECT hll_distinct(user_id) AS du FROM events
          |WHERE $range AND event_type = 'purchase'""".stripMargin),
+    // DECIMAL-typed measure column (lineitem_dec, derived by Q.ctx): the
+    // wheel is built at the column's own scale, SUM answers from exact
+    // scaled-long slot sums, MIN/MAX from the double extrema under the
+    // double-image round-trip proof. CASTs to DOUBLE normalize result
+    // types across engines (DuckDB widens decimal sums differently).
+    "uw_dec_sum_range" -> Q.sql(
+      """SELECT count(*) AS cnt, CAST(sum(l_quantity) AS DOUBLE) AS qty,
+        |       CAST(min(l_quantity) AS DOUBLE) AS mn, CAST(max(l_quantity) AS DOUBLE) AS mx
+        |FROM lineitem_dec
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin),
+    "uw_dec_groupby" -> Q.sql(
+      """SELECT date_trunc('month', l_shipdate) AS m, count(*) AS cnt,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem_dec
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // a wheel-answerable SCALAR SUBQUERY: the rewrite fires inside the
     // subquery plan (Catalyst optimizes subqueries with the full rule set),
     // so the outer aggregation's threshold is a plan-time constant
@@ -302,6 +320,23 @@ object WheelQueries {
          |WHERE ((ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
          |    OR (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'))
          |  AND event_type = 'click'""".stripMargin,
+    // the oracle reads the REAL lineitem table, deriving the same DECIMAL
+    // projection the Spark side queries
+    "uw_dec_sum_range" ->
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |       CAST(min(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS mn,
+        |       CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS mx
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+    "uw_dec_groupby" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_subquery" ->
       s"""SELECT user_id, count(*) AS n FROM events
          |GROUP BY user_id

@@ -185,7 +185,17 @@ object UWheelRule extends Rule[LogicalPlan] {
       case "avg"    => ra.avg.map(Double.box).orNull
       case "min"    => ra.minOpt.map(Double.box).orNull
       case "max"    => ra.maxOpt.map(Double.box).orNull
+      // decimal-typed MIN/MAX: the wheel stores extrema as doubles; the
+      // valuesExactAtScale gate proved every value's double image converts
+      // back to the original decimal exactly, so this reconstruction (the
+      // same shortest-representation conversion Spark's double→decimal
+      // cast performs) is the true column value
+      case "mindec" => ra.minOpt.map(decOf).orNull
+      case "maxdec" => ra.maxOpt.map(decOf).orNull
     }
+    private def decOf(d: Double): Decimal =
+      Decimal(BigDecimal(java.math.BigDecimal.valueOf(d))
+        .setScale(decScale.get, scala.math.BigDecimal.RoundingMode.HALF_UP))
   }
 
   private def classify(ae: AggregateExpression): Option[Need] = {
@@ -195,11 +205,24 @@ object UWheelRule extends Rule[LogicalPlan] {
       case Count(Nil) => Some(Need(None, "count", None))
       // COUNT(col): equals COUNT(*) when the wheel proved col NULL-free
       // (wheelFor gates on valueAllNonNull for column-bearing needs).
-      case Count(Seq(a: AttributeReference)) if a.dataType == DoubleType =>
+      case Count(Seq(a: AttributeReference))
+          if a.dataType == DoubleType || a.dataType.isInstanceOf[DecimalType] =>
         Some(Need(Some(a.name), "countcol", None))
+      // DecimalType measure columns (real TPC-H dumps store quantities and
+      // prices as DECIMAL): the wheel is built AT THE COLUMN'S OWN SCALE and
+      // sums the decimal directly, so SUM needs no exactness gate at all —
+      // the scaled-long slot sums ARE the column's exact arithmetic
+      // (generalizing the reference's accept-all-numerics guard,
+      // `lib.rs:1161-1176`, which lowers everything to f64). AVG over
+      // decimal is declined: Spark computes it at widened scale s+4 with
+      // its own decimal-division rounding, which the wheel's double
+      // division does not reproduce digit-for-digit.
       case s: Sum => s.child match {
         case a: AttributeReference if a.dataType == DoubleType =>
           Some(Need(Some(a.name), "sum", None))
+        case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+          Some(Need(Some(a.name), "sumdec",
+            Some(a.dataType.asInstanceOf[DecimalType].scale)))
         case Cast(a: AttributeReference, dt: DecimalType, _, _) if a.dataType == DoubleType =>
           Some(Need(Some(a.name), "sumdec", Some(dt.scale)))
         case _ => None
@@ -213,6 +236,12 @@ object UWheelRule extends Rule[LogicalPlan] {
         Some(Need(Some(a.name), "min", None))
       case Max(a: AttributeReference) if a.dataType == DoubleType =>
         Some(Need(Some(a.name), "max", None))
+      case Min(a: AttributeReference) if a.dataType.isInstanceOf[DecimalType] =>
+        Some(Need(Some(a.name), "mindec",
+          Some(a.dataType.asInstanceOf[DecimalType].scale)))
+      case Max(a: AttributeReference) if a.dataType.isInstanceOf[DecimalType] =>
+        Some(Need(Some(a.name), "maxdec",
+          Some(a.dataType.asInstanceOf[DecimalType].scale)))
       // hll_distinct(col): answered from an HLL sketch wheel with the same
       // precision. Integral columns are exact through long widening — the
       // wheel build's cast-to-long produces the same values, so both sides
@@ -287,8 +316,13 @@ object UWheelRule extends Rule[LogicalPlan] {
           // Plain SUM/AVG over doubles are only exact when every value is
           // representable at the wheel's decimal scale (ADVICE: the scaled
           // sum would otherwise be a rounded answer); the explicit
-          // sum-over-decimal-cast form matches the wheel's arithmetic by
-          // construction and needs no gate.
+          // sum-over-decimal-cast form — and SUM over a decimal column,
+          // whose wheel summed the decimal itself — matches the wheel's
+          // arithmetic by construction and needs no gate. Decimal MIN/MAX
+          // ("mindec"/"maxdec") flip the gate's direction: for a
+          // decimal-built wheel, valuesExactAtScale records that every
+          // value's DOUBLE image round-trips back to the original decimal
+          // exactly — required because the wheel stores extrema as doubles.
           .filter(w => n.kind == "sumdec" || n.kind == "min" || n.kind == "max" ||
                        n.kind == "countcol" || w.valuesExactAtScale)
           // MIN/MAX are NaN-blind in the wheel (Java ordering) but Spark
