@@ -607,24 +607,34 @@ object UWheelRule extends Rule[LogicalPlan] {
         val unit = fmt.toString.toLowerCase
         // Wheel slots are fixed UTC/epoch-aligned spans, but Spark
         // truncates minute/hour/day/week/month/year TIMESTAMP values in
-        // the session time zone (DST, :30/:45 offsets, pre-1972
-        // sub-minute LMT offsets). Only 'second' is timezone-invariant;
-        // everything coarser requires the resolved zone to be UTC, else
-        // fall through. NTZ columns truncate on the wall clock — no
-        // zone involved — so they are exempt.
+        // the session time zone. 'second' is timezone-invariant, NTZ
+        // columns truncate on the wall clock (no zone involved) and UTC
+        // matches the slots directly — those take offset 0. Any OTHER zone
+        // composes exactly as a CONSTANT SHIFT of epoch-aligned slots
+        // provided its rules have no transition (DST or historical) across
+        // the indexed span: fixed-offset zones like Asia/Kolkata rewrite,
+        // DST zones decline (falling through, never wrong).
         val ntz = t.dataType == TimestampNTZType
-        if (unit != "second" && !ntz && !tzId.exists(isUtcZone)) return None
+        val o: Long =
+          if (unit == "second" || ntz || tzId.exists(isUtcZone)) 0L
+          else tzId.flatMap(z => constantZoneOffset(z, table)).getOrElse(return None)
         val (fn, bspan, endOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long, Long => Long) =
           HawWheel.levelIndexOf(unit) match {
             case Some(idx) =>
-              ((hw, s, e) => hw.groupBy(s, e, idx), HawWheel.Spans(idx),
-                (gs: Long) => gs + HawWheel.Spans(idx))
+              val span = HawWheel.Spans(idx)
+              val shift = Math.floorMod(o, span)
+              ((hw, s, e) => hw.groupByShifted(s, e, idx, shift),
+                fineSpanFor(span, shift), (gs: Long) => gs + span)
             case None =>
               // month/quarter/year: calendar spans composed from day
-              // slots (the reference rejects these, lib.rs:357)
+              // slots (the reference rejects these, lib.rs:357), at the
+              // zone's local month boundaries when shifted
               val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-              ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY,
-                (gs: Long) => plusMonthsSec(gs, stride))
+              ((hw, s, e) => hw.groupByCalendar(s, e, stride, o),
+                fineSpanFor(HawWheel.DAY, Math.floorMod(o, HawWheel.DAY)),
+                (gs: Long) => java.time.LocalDate
+                  .ofEpochDay(Math.floorDiv(gs + o, HawWheel.DAY))
+                  .plusMonths(stride.toLong).toEpochDay * HawWheel.DAY - o)
           }
         (fn, gs => Literal(gs * 1000000L, ge.dataType), bspan, endOf)
       // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
@@ -681,6 +691,39 @@ object UWheelRule extends Rule[LogicalPlan] {
     java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, HawWheel.DAY))
       .plusMonths(months.toLong)
       .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+
+  /** The coarsest wheel level span that nests inside `shift`-shifted
+    * buckets of `span` (divides both) — the slot granularity shifted
+    * buckets actually read, and therefore the alignment coarsened wheels
+    * must satisfy (the grouped arm gates slotSpan | this). */
+  private def fineSpanFor(span: Long, shift: Long): Long =
+    HawWheel.Spans.reverse.find(sp => span % sp == 0 && shift % sp == 0).get
+
+  /** The zone's UTC offset in seconds IF its rules are constant (no DST or
+    * historical transition) across the table's indexed span plus a
+    * one-year margin (covering every bucket boundary any calendar unit can
+    * reach from a data instant); None when the offset varies — the caller
+    * declines rather than truncating some rows with the wrong offset.
+    * Fixed-offset zone ids short-circuit; region zones check their actual
+    * transition history over the span, so Asia/Kolkata (constant +05:30
+    * since 1945) qualifies for modern data while any DST zone does not. */
+  private def constantZoneOffset(tz: String, table: TableIndex): Option[Long] =
+    try {
+      val rules = java.time.ZoneId.of(tz).getRules
+      if (rules.isFixedOffset)
+        Some(rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds.toLong)
+      else {
+        val hw = table.countWheel.map(_.wheel).getOrElse(return None)
+        val margin = 366L * HawWheel.DAY
+        val lo = java.time.Instant.ofEpochSecond(hw.startSec - margin)
+        val hi = java.time.Instant.ofEpochSecond(hw.endSec + margin)
+        val off = rules.getOffset(lo)
+        val next = rules.nextTransition(lo)
+        if (rules.getOffset(hi) == off && (next == null || !next.getInstant.isBefore(hi)))
+          Some(off.getTotalSeconds.toLong)
+        else None
+      }
+    } catch { case _: Throwable => None }
 
   private def isUtcZone(tz: String): Boolean = Extract.isUtcZone(tz)
 

@@ -535,21 +535,77 @@ final class HawWheel private (
     out.result()
   }
 
+  /** [[groupBy]] with bucket boundaries SHIFTED earlier by `shiftSec`
+    * (boundaries at k·span − shift): the fixed-offset-zone group-by, where
+    * a local-midnight day bucket is a constant shift of the epoch-aligned
+    * one (Asia/Kolkata days start at 18:30 UTC). Buckets compose exactly
+    * from the COARSEST level whose slots nest inside shifted buckets
+    * (span and shift both multiples of that level's span — minute slots
+    * for a +05:30 zone's days, hour slots for whole-hour zones), so a
+    * year of Kolkata day-buckets folds ~525k sparse minute slots at plan
+    * time, never raw rows. shift ≡ 0 (mod span) degenerates to the
+    * epoch-aligned [[groupBy]]. */
+  def groupByShifted(s: Long, e: Long, levelIdx: Int, shiftSec: Long): IndexedSeq[(Long, RangeAgg)] = {
+    val span = Spans(levelIdx)
+    val shift = Math.floorMod(shiftSec, span)
+    if (shift == 0L) return groupBy(s, e, levelIdx)
+    if (numSecs == 0) return Vector.empty
+    val lo = math.max(s, startSec)
+    val hi = math.min(e, endSec)
+    if (lo >= hi) return Vector.empty
+    val fineIdx = (levelIdx - 1 to 0 by -1)
+      .find(fi => span % Spans(fi) == 0 && shift % Spans(fi) == 0)
+      .get // level 0 (seconds) always qualifies
+    val fspan = Spans(fineIdx)
+    // fine slots ascending ⇒ bucket keys non-decreasing: fold runs
+    val out = Vector.newBuilder[(Long, RangeAgg)]
+    var curKey = Long.MinValue
+    var cur: RangeAgg = null
+    def fold(gs: Long): Unit = {
+      val a = range(math.max(gs, lo), math.min(gs + fspan, hi))
+      if (a.count > 0) {
+        val bk = alignDown(gs + shift, span) - shift
+        if (bk == curKey) cur = cur.merge(a)
+        else {
+          if (cur != null) out += ((curKey, cur))
+          curKey = bk; cur = a
+        }
+      }
+    }
+    if (packed != null) {
+      val pl = packed(fineIdx)
+      var g = pl.lowerBound(alignDown(lo, fspan))
+      while (g < pl.length && pl.startAt(g) < hi) { fold(pl.startAt(g)); g += 1 }
+    } else {
+      val lvl = levels(fineIdx)
+      var i = lowerBound(lvl.starts, alignDown(lo, fspan))
+      while (i < lvl.starts.length && lvl.starts(i) < hi) { fold(lvl.starts(i)); i += 1 }
+    }
+    if (cur != null) out += ((curKey, cur))
+    out.result()
+  }
+
   /** Calendar group-by at month granularity multiples (1 = month,
-    * 3 = quarter, 12 = year), UTC boundaries. Buckets are non-uniform spans
-    * composed exactly from the underlying slots; identical to SQL
-    * `GROUP BY date_trunc(unit, ts)` under an UTC session. */
-  def groupByCalendar(s: Long, e: Long, monthStride: Int): IndexedSeq[(Long, RangeAgg)] = {
+    * 3 = quarter, 12 = year). Buckets are non-uniform spans composed
+    * exactly from the underlying slots; with `offsetSec` = 0 boundaries are
+    * UTC month starts — identical to SQL `GROUP BY date_trunc(unit, ts)`
+    * under an UTC session. A non-zero `offsetSec` places boundaries at the
+    * LOCAL month starts of a fixed-offset zone (UTC instant = local
+    * boundary − offset), which is that zone's exact truncation as long as
+    * its offset is constant over the data span (callers prove this). */
+  def groupByCalendar(s: Long, e: Long, monthStride: Int,
+      offsetSec: Long = 0L): IndexedSeq[(Long, RangeAgg)] = {
     import java.time.{Instant, LocalDate, ZoneOffset}
     val lo = math.max(s, startSec)
     val hi = math.min(e, endSec)
     if (numSecs == 0 || lo >= hi) return Vector.empty
     def monthStart(sec: Long): LocalDate = {
-      val d = Instant.ofEpochSecond(sec).atZone(ZoneOffset.UTC).toLocalDate
+      val d = Instant.ofEpochSecond(sec + offsetSec).atZone(ZoneOffset.UTC).toLocalDate
       val m0 = ((d.getMonthValue - 1) / monthStride) * monthStride + 1
       LocalDate.of(d.getYear, m0, 1)
     }
-    def toSec(d: LocalDate): Long = d.atStartOfDay(ZoneOffset.UTC).toEpochSecond
+    def toSec(d: LocalDate): Long =
+      d.atStartOfDay(ZoneOffset.UTC).toEpochSecond - offsetSec
     val out = Vector.newBuilder[(Long, RangeAgg)]
     var bucket = monthStart(lo)
     while (toSec(bucket) < hi) {

@@ -358,23 +358,27 @@ class UWheelRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
-  test("non-UTC sessions: every coarse trunc unit and to_date fall through and still match the scan") {
+  test("non-UTC sessions: fixed-offset zones rewrite coarse truncs exactly, DST zones decline") {
     setup
-    // a half-hour-offset zone and a DST zone: the two ways session-zone
-    // truncation diverges from the wheel's fixed UTC slots
-    for (tz <- Seq("Asia/Kolkata", "America/New_York")) {
+    // a half-hour fixed-offset zone (constant +05:30 across the data span:
+    // the shifted-slot composition rewrites) and a DST zone (offset varies
+    // within the rule's one-year margin: must decline — falling through,
+    // never wrong). Asia/Kathmandu exercises a :45 offset (minute-level
+    // composition for day buckets).
+    for ((tz, rewrites) <- Seq("Asia/Kolkata" -> true, "Asia/Kathmandu" -> true,
+                               "America/New_York" -> false)) {
       spark.conf.set("spark.sql.session.timeZone", tz)
       try {
         for (unit <- Seq("minute", "hour", "day", "week", "month", "quarter", "year")) {
           val q = ranged.groupBy(date_trunc(unit, col("ts")).as("b"))
             .agg(count(lit(1)).as("c"), min("value").as("mn")).orderBy("b")
-          assertNotRewritten(q)
-          // falling through must mean "answered by the scan", never
-          // "silently different": compare against the rule-disabled plan
+          if (rewrites) assertRewritten(q) else assertNotRewritten(q)
+          // either way the answer must equal the rule-disabled scan's
           val got = q.collect().map(_.toString).toSeq
           val exp = groundTruth(q.collect().map(_.toString).toSeq)
           assert(got === exp, s"$tz / $unit")
         }
+        // to_date keeps its UTC gate (the Cast-to-DATE arm) in every zone
         val qd = ranged.groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
         assertNotRewritten(qd)
         assert(qd.collect().map(_.toString).sorted.toSeq ===
