@@ -95,10 +95,17 @@ final case class DistinctIndexedWheel(
       * users). After a refresh that coarsened, this records the COARSEST
       * span present (divisibility chains across AllowedSlotSpans make
       * coarse-aligned reads exact over mixed-granularity partials). */
-    slotSpan: Long = 1L) {
+    slotSpan: Long = 1L,
+    /** Structured `column = literal` form of the residual filter when it
+      * has one — the multi-column GROUP BY arm routes per key value on it,
+      * exactly like [[IndexedWheel.keyEq]]. */
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
   def p: Int = agg.p
   /** Null/zero-safe span (an old serialized wheel defaults the field to 0). */
   def span: Long = if (slotSpan <= 0L) 1L else slotSpan
+  /** Null-safe [[keyEq]] (persisted-before-the-field indexes deserialize null). */
+  def keyEqOpt: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] =
+    Option(keyEq).flatten
 }
 
 /** All wheels for one table (identified by its parquet root path).
@@ -387,7 +394,8 @@ object UWheelIndex {
       p: Int,
       filter: Option[Column] = None,
       filterKey: String = "",
-      filterSql: Option[String] = None)
+      filterSql: Option[String] = None,
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
 
   /** Structured `column = literal` form of a wheel filter, when it has one
     * (the multi-column GROUP BY arm routes on it). Matched on the ANALYZED
@@ -546,7 +554,7 @@ object UWheelIndex {
     val builtDistinct = distinctSpecs.zip(acc.distinct).map { case (ds, rw) =>
       DistinctIndexedWheel(rw.freeze(), ds.column,
         rw.agg.asInstanceOf[WheelAggregators.HllDistinct], ds.filterKey, ds.filterSql,
-        slotSpan)
+        slotSpan, ds.keyEq)
     }
     (built, builtDistinct)
   }
@@ -636,7 +644,8 @@ object UWheelIndex {
       conf.keyedDistinctWheels.map { case (c, sql) =>
         val fc = F.expr(sql)
         DistinctSpec(c, conf.hllPrecision, Some(fc),
-          graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql))
+          graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
+          keyEqOf(df, fc))
       }
     val (built, builtDistinct) = buildWheels(df, conf.timeColumn,
       colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels, dSpecs)

@@ -72,14 +72,19 @@ object Q {
     * build minus the sketch wheels, so (full − numeric) prices the HLL
     * register columns line-item. */
   def buildEvents(spark: SparkSession, sfDir: String, withDistinct: Boolean = true): Unit = {
-    val numeric = Seq("click", "error", "purchase", "signup", "view")
+    val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+    val numeric = eventTypes
       .foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
         b.withKeyedWheel(IndexBuilder("value", Some(s"event_type = '$et'")))
       }
     val conf =
       if (withDistinct)
-        numeric.withDistinctWheel("user_id")
-          .withKeyedDistinctWheel("user_id", "event_type = 'purchase'")
+        // the COMPLETE per-value keyed distinct set: the multi-column
+        // GROUP BY bucket, event_type arm routes hll_distinct per value
+        // (sparse registers make the extra aggregate columns cheap)
+        eventTypes.foldLeft(numeric.withDistinctWheel("user_id")) { (b, et) =>
+          b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
+        }
       else numeric
     conf.build(spark, s"$sfDir/events.parquet")
   }

@@ -177,6 +177,13 @@ object WheelQueries {
     "uw_distinct_keyed" -> Q.sql(
       s"""SELECT hll_distinct(user_id) AS du FROM events
          |WHERE $range AND event_type = 'purchase'""".stripMargin),
+    // the canonical dashboard shape: distinct users per (day, event_type),
+    // answered from the per-value keyed distinct wheels under the same
+    // counting proof as the numeric multi-column arm
+    "uw_distinct_multigroupby" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, event_type AS et,
+         |       hll_distinct(user_id) AS du, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // DECIMAL-typed measure column (lineitem_dec, derived by Q.ctx): the
     // wheel is built at the column's own scale, SUM answers from exact
     // scaled-long slot sums, MIN/MAX from the double extrema under the

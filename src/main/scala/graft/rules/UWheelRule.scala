@@ -501,11 +501,16 @@ object UWheelRule extends Rule[LogicalPlan] {
 
       // GROUP BY time-bucket + key column: answered from a COMPLETE set of
       // per-value equality wheels (one `k = v` wheel per key value, built by
-      // withKeyedWheel). Soundness is a plan-time counting proof, not an
-      // assumption: for EVERY bucket, the per-value counts must sum to the
-      // unfiltered count — rows with a NULL key or a value no wheel covers
-      // break the equation and the rewrite declines. Same single-column
-      // restriction as the reference otherwise (`lib.rs:260-281`).
+      // withKeyedWheel; hll_distinct routes to per-value KEYED distinct
+      // wheels the same way). Soundness is a plan-time counting proof, not
+      // an assumption: for EVERY bucket, the per-value counts must sum to
+      // the unfiltered count — rows with a NULL key or a value no wheel
+      // covers break the equation and the rewrite declines. Same
+      // single-column restriction as the reference otherwise
+      // (`lib.rs:260-281`). A residual filter still declines: the useful
+      // residual-on-the-key-column shape (`WHERE k = v GROUP BY bucket, k`)
+      // is just the single-column arm with a constant column, and other
+      // residuals would need per-(value × residual) wheels nobody builds.
       case Seq(g1raw, g2raw) =>
         if (filterKey.nonEmpty) return None // residuals don't compose with per-value routing
         val g1 = resolve(g1raw, uw.aliases)
@@ -517,9 +522,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         }
         val (arm, timeGe, keyAttr) =
           orient(g1, g2).orElse(orient(g2, g1)).getOrElse(return None)
-        val (groupFn, keyLit, bucketSpan, _) = arm
-        // no keyed distinct wheels: HLL aggregates fall through to the scan
-        if (needList.values.exists(_.kind == "hll")) return None
+        val (groupFn, keyLit, bucketSpan, bucketEndOf) = arm
         val keyed = table.allWheels.filter(_.keyEqOpt.exists(_._1 == keyAttr.name))
         val values: Seq[Literal] = keyed.flatMap(_.keyEqOpt).map(_._2)
           .filter(_.dataType == keyAttr.dataType).distinct
@@ -539,14 +542,32 @@ object UWheelRule extends Rule[LogicalPlan] {
             case Some(c) => cands.filter(_.valueColumn.contains(c)).find(qualityOk(n, _))
           }
         }
-        val perValue: Map[(Expression, Literal), IndexedWheel] =
-          (for { (k, n) <- needList.toSeq; v <- values }
-            yield (k, v) -> wheelForValue(n, v).getOrElse(return None)).toMap
+        // hll_distinct routes to the per-value KEYED distinct wheel (its
+        // registers saw only rows with keyAttr = v); the counting proof
+        // below certifies the per-value partition is complete, so the
+        // per-(bucket, value) register merge is exactly the aggregate over
+        // that group's rows
+        def distinctForValue(n: Need, v: Literal): Option[DistinctIndexedWheel] =
+          n.column.flatMap(c => table.allDistinctWheels.find(d =>
+            d.column == c && d.p == n.hllP &&
+              d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
+            .filter(d => d.span == 1L ||
+              ranges.forall(r =>
+                r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+                r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+        val perValue: Map[(Expression, Literal), Src] =
+          (for { (k, n) <- needList.toSeq; v <- values } yield (k, v) -> (n.kind match {
+            case "hll" => distinctForValue(n, v).map(HllSrc).getOrElse(return None)
+            case _     => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
+          })).toMap
 
         // unfiltered wheel: enumerates ALL buckets and anchors the proof
         val baseW = table.anyForFilter("").filter(coverageOk).filter(spanOk)
           .getOrElse(return None)
-        val spans2 = perValue.values.map(_.wheel.slotSpan).toSet + baseW.wheel.slotSpan
+        val spans2 = perValue.values.map {
+          case NumSrc(w) => w.wheel.slotSpan
+          case HllSrc(d) => d.span
+        }.toSet + baseW.wheel.slotSpan
         if (spans2.exists(sp => bucketSpan % sp != 0)) return None
         def groupsOf2(hw: HawWheel): Map[Long, RangeAgg] =
           bounds.foldLeft(Map.empty[Long, RangeAgg]) { case (acc, (s, e)) =>
@@ -573,13 +594,20 @@ object UWheelRule extends Rule[LogicalPlan] {
         if (!complete) return None
 
         val rows = allBuckets.keys.toSeq.sorted.flatMap { b =>
+          val bEnd = bucketEndOf(b)
           values.sortBy(_.toString).flatMap { v =>
             if (valueCount(v).get(b).forall(_.count == 0L)) None
             else {
               val aggValues = needList.map { case (k, n) =>
-                val w = perValue((k, v))
-                k -> (n.value(groupsCached(w.wheel).getOrElse(b, return None)),
-                  dataTypeOf(k))
+                val value = perValue((k, v)) match {
+                  case NumSrc(w) =>
+                    n.value(groupsCached(w.wheel).getOrElse(b, return None))
+                  case HllSrc(d) =>
+                    hllOver(d, bounds.map { case (s, e) =>
+                      (math.max(s, b), math.min(e, bEnd))
+                    })
+                }
+                k -> (value, dataTypeOf(k))
               }.toMap
               Some(buildRow(aggValues, Seq((timeGe, keyLit(b)), (keyAttr, v)))
                 .getOrElse(return None))

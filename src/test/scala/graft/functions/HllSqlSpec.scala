@@ -207,4 +207,26 @@ class HllSqlSpec extends AnyFunSuite {
     val (on, off) = onOff(sql)
     assert(on.toSeq === off.toSeq)
   }
+
+  test("GROUP BY bucket × key: hll_distinct answers from per-value keyed distinct wheels") {
+    setup
+    // the complete per-value set the multi-column arm requires: keyed
+    // numeric wheels (for the counting proof) + keyed distinct wheels
+    // (for the per-(bucket, value) register reads)
+    val ets = Seq("click", "error", "purchase", "signup", "view")
+    ets.foldLeft(
+      ets.foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
+        b.withKeyedWheel(graft.index.IndexBuilder("value", Some(s"event_type = '$et'")))
+      }.withDistinctWheel("user_id")) { (b, et) =>
+        b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
+      }.build(spark, path)
+    val sql =
+      s"""SELECT date_trunc('day', ts) AS d, event_type AS et,
+         |       hll_distinct(user_id) AS du, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    assertRewritten(spark.sql(sql))
+    val (on, off) = onOff(sql)
+    assert(on.toSeq === off.toSeq)
+    assert(on.length > 5, "expected multiple (day, event_type) groups")
+  }
 }
