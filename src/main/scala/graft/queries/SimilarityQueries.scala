@@ -337,11 +337,6 @@ object SimilarityQueries {
       .orderBy("qi", "xi")
   }
 
-  /** Centroid count cap. Constant in n: the broadcast stays bounded and
-    * assignment is O(n·k) with fixed k, so the plan survives a 100× corpus.
-    * (A k growing with n — e.g. every 37th vector — makes assignment O(n²)
-    * and the broadcast unbounded.) */
-  private val IvfK = 32L
   private[queries] val IvfNprobe = 10
 
   /** IVF-bucketed ANN — the 100 TB path: vectors are assigned to their
@@ -372,23 +367,73 @@ object SimilarityQueries {
         else (files, spark.table(table).count()))._2
   }
 
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    Q.ctx(spark, sfDir)
-    val nprobe = IvfNprobe
-    val e = vecs(spark)
-    val n: Long = cachedCount(spark, sfDir, "embeddings")
-    val stride = math.max(1L, math.ceil(n.toDouble / IvfK).toLong)
-    val cents = e.where(col("vec_id") % stride === 0)
+  /** Deterministic argmax over a broadcast candidate set WITHOUT a window:
+    * `max(struct(sim, -candId, payload…))` hash-aggregates with MAP-SIDE
+    * combine, so the shuffle carries one row per vector instead of the
+    * full vector × candidate cross product (the window formulation
+    * shuffles n·k rows — the difference between feasible and not at
+    * 10⁸⁺ vectors). Ties are impossible in the struct order: -candId is
+    * unique, so the payload fields after it never affect the comparison. */
+  private def argmaxJoin(
+      left: DataFrame, leftId: String, cands: DataFrame,
+      sim: Column, candId: String, payload: Seq[String]): DataFrame = {
+    val fields = Seq(sim.as("_s"), (-col(candId)).as("_n0"), col(candId).as(candId)) ++
+      payload.map(c => col(c).as(c))
+    left.join(broadcast(cands), lit(true))
+      .groupBy(col(leftId))
+      .agg(max(struct(fields: _*)).as("_a"))
+      .select(col(leftId) +: (candId +: payload).map(c => col(s"_a.$c").as(c)): _*)
+  }
+
+  /** Two-level IVF index: ~√n FINE centroids (stride-picked, deterministic
+    * so the SQL oracle reproduces them) hierarchically grouped under ~∜n
+    * COARSE centroids. Vectors assign coarse-first (O(√k + k/k1) ≈ O(2·⁴√n)
+    * comparisons each instead of O(k) flat), every step a broadcast join +
+    * map-side argmax — no shuffle wider than one row per vector. At 10⁸
+    * vectors: k = 10⁴ fine centroids (a ~3 MB broadcast at dim 64), each
+    * query scans nprobe/k = 0.1 % of the corpus, where the round-6 flat
+    * k ≤ 32 scheme scanned nprobe/32 ≈ 1/3 of EVERYTHING at any size.
+    * Hierarchical assignment may differ from exact-nearest-fine (standard
+    * IVF trade); the oracle mirrors the same hierarchy, so contract
+    * results stay exactly checkable.
+    *
+    * Returns (fine centroids (cid, vc, nc), assignment (xi, vx, nx, cid)). */
+  private[queries] def ivfIndex(e: DataFrame, n: Long): (DataFrame, DataFrame) = {
+    val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)
+    val fines = e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
-    // assignment: nearest centroid per vector
-    val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("csim", dot("v", "vc") / (col("nrm") * col("nc")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
-      .where(col("crn") === 1)
-      .select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx"), col("cid"))
-    // queries probe their nprobe nearest centroids
-    val probes = e.where(col("vec_id") < 10).join(broadcast(cents), lit(true))
+      .withColumn("r", row_number().over(Window.orderBy("cid")))
+    val kf = fines.count()
+    val k1 = math.max(1L, math.floor(math.sqrt(kf.toDouble)).toLong)
+    val stride2 = math.max(1L, math.ceil(kf.toDouble / k1).toLong)
+    val coarse = fines.where((col("r") - 1) % stride2 === 0)
+      .select(col("cid").as("ccid"), col("vc").as("vcc"), col("nc").as("ncc"))
+    // fine → nearest coarse (k × k1, tiny)
+    val f2c = argmaxJoin(
+      fines.select(col("cid"), col("vc"), col("nc")), "cid", coarse,
+      dot("vc", "vcc") / (col("nc") * col("ncc")), "ccid", Nil)
+      .join(fines.select(col("cid"), col("vc"), col("nc")), "cid")
+    // vector → nearest coarse → nearest fine within it
+    val vass1 = argmaxJoin(
+      e.select(col("vec_id"), col("v"), col("nrm")), "vec_id", coarse,
+      dot("v", "vcc") / (col("nrm") * col("ncc")), "ccid", Seq("v", "nrm"))
+    val assigned = vass1.join(broadcast(f2c), "ccid")
+      .withColumn("_fs", dot("v", "vc") / (col("nrm") * col("nc")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("_fs"), (-col("cid")).as("_n0"), col("cid"),
+        col("v"), col("nrm"))).as("_a"))
+      .select(col("vec_id").as("xi"), col("_a.v").as("vx"),
+        col("_a.nrm").as("nx"), col("_a.cid").as("cid"))
+    (fines.select(col("cid"), col("vc"), col("nc")), assigned)
+  }
+
+  /** Probe + scan: each query ranks ALL fine centroids (√n comparisons per
+    * query — per-query work, not per-corpus-row), scans its `nprobe`
+    * buckets, and keeps the top `topK` by cosine. */
+  private[queries] def ivfSearch(fines: DataFrame, assigned: DataFrame,
+      queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    val probes = queries.join(broadcast(fines), lit(true))
       .withColumn("csim", dot("v", "vc") / (col("nrm") * col("nc")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
@@ -398,9 +443,17 @@ object SimilarityQueries {
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
     scored.withColumn("rn", row_number().over(
         Window.partitionBy("qi").orderBy(col("sim").desc, col("xi"))))
-      .where(col("rn") <= 5)
+      .where(col("rn") <= topK)
       .select(col("qi"), col("xi"))
       .orderBy("qi", "xi")
+  }
+
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val e = vecs(spark)
+    val n: Long = cachedCount(spark, sfDir, "embeddings")
+    val (fines, assigned) = ivfIndex(e, n)
+    ivfSearch(fines, assigned, e.where(col("vec_id") < 10), IvfNprobe, 5)
   }
 
   /** Per-label embedding centroids via FIXED-POINT accumulation: each
@@ -437,27 +490,52 @@ object SimilarityQueries {
     * centroid choice, assignment, and probing are deterministic with
     * explicit tie-breaks. */
   val oracles: Map[String, String] = Map(
+    // mirrors the TWO-LEVEL hierarchy of ivfIndex/ivfSearch exactly:
+    // ~√n stride-picked fine centroids, ~√k of them coarse, vectors
+    // assigned coarse-first, queries probing the 10 nearest fines
     "ann_ivf" ->
-      """WITH params AS (
-        |  SELECT greatest(1, CAST(ceil(count(*) / 32.0) AS BIGINT)) AS stride FROM embeddings),
-        |cents AS (
-        |  SELECT vec_id AS cid, embedding AS vc FROM embeddings, params
-        |  WHERE vec_id % stride = 0),
+      """WITH p1 AS (
+        |  SELECT count(*) AS n,
+        |         greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+        |  FROM embeddings),
+        |p2 AS (SELECT n, k, greatest(1, CAST(ceil(n * 1.0 / k) AS BIGINT)) AS stride FROM p1),
+        |fines AS (
+        |  SELECT vec_id AS cid, embedding AS vc,
+        |         row_number() OVER (ORDER BY vec_id) AS r
+        |  FROM embeddings, p2 WHERE vec_id % stride = 0),
+        |p3 AS (
+        |  SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k1,
+        |         greatest(1, CAST(ceil(count(*) * 1.0 /
+        |           greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))) AS BIGINT)) AS stride2
+        |  FROM fines),
+        |coarse AS (
+        |  SELECT cid AS ccid, vc AS vcc FROM fines, p3 WHERE (r - 1) % stride2 = 0),
+        |f2c AS (
+        |  SELECT cid, vc, ccid FROM (
+        |    SELECT f.cid, f.vc, c.ccid,
+        |           row_number() OVER (PARTITION BY f.cid
+        |                              ORDER BY list_cosine_similarity(f.vc, c.vcc) DESC, c.ccid) AS rn
+        |    FROM fines f CROSS JOIN coarse c) t WHERE rn = 1),
+        |vass1 AS (
+        |  SELECT vec_id, embedding, ccid FROM (
+        |    SELECT e.vec_id, e.embedding, c.ccid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY list_cosine_similarity(e.embedding, c.vcc) DESC, c.ccid) AS rn
+        |    FROM embeddings e CROSS JOIN coarse c) t WHERE rn = 1),
         |assign AS (
         |  SELECT vec_id AS xi, embedding AS vx, cid FROM (
-        |    SELECT e.vec_id, e.embedding, c.cid,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |                              ORDER BY list_cosine_similarity(e.embedding, c.vc) DESC, c.cid) AS crn
-        |    FROM embeddings e CROSS JOIN cents c) t
-        |  WHERE crn = 1),
+        |    SELECT a.vec_id, a.embedding, f.cid,
+        |           row_number() OVER (PARTITION BY a.vec_id
+        |                              ORDER BY list_cosine_similarity(a.embedding, f.vc) DESC, f.cid) AS rn
+        |    FROM vass1 a JOIN f2c f ON f.ccid = a.ccid) t WHERE rn = 1),
         |probes AS (
         |  SELECT vec_id AS qi, embedding AS vq, cid FROM (
-        |    SELECT e.vec_id, e.embedding, c.cid,
+        |    SELECT e.vec_id, e.embedding, f.cid,
         |           row_number() OVER (PARTITION BY e.vec_id
-        |                              ORDER BY list_cosine_similarity(e.embedding, c.vc) DESC, c.cid) AS crn
-        |    FROM embeddings e CROSS JOIN cents c
+        |                              ORDER BY list_cosine_similarity(e.embedding, f.vc) DESC, f.cid) AS rn
+        |    FROM embeddings e CROSS JOIN fines f
         |    WHERE e.vec_id < 10) t
-        |  WHERE crn <= 10),
+        |  WHERE rn <= 10),
         |scored AS (
         |  SELECT p.qi, a.xi, list_cosine_similarity(p.vq, a.vx) AS sim
         |  FROM probes p JOIN assign a ON p.cid = a.cid AND p.qi <> a.xi)
