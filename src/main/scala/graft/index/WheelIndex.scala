@@ -234,6 +234,13 @@ object WheelRegistry {
     * dropped tables, so a scheduled [[UWheelIndex.refreshAll]] stops
     * reporting them as failed forever. */
   def deregister(rootPath: String): Unit = tables.remove(normalizePath(rootPath))
+  /** Atomic read-modify-write of one key (ConcurrentHashMap.compute): the
+    * streaming publishers use it to LAYER their wheel families over
+    * whatever another publisher already registered for the same path,
+    * instead of last-writer-wins clobbering (round-6 advice). `f` returns
+    * None to remove the key. `key` must already be normalized. */
+  def update(key: String, f: Option[TableIndex] => Option[TableIndex]): Unit =
+    tables.compute(key, (_, cur) => f(Option(cur)).orNull)
   def registeredPaths: Seq[String] = tables.keySet().asScala.toSeq.sorted
   def lookup(rootPath: String): Option[TableIndex] =
     Option(tables.get(normalizePath(rootPath)))
@@ -400,7 +407,7 @@ object UWheelIndex {
   /** Structured `column = literal` form of a wheel filter, when it has one
     * (the multi-column GROUP BY arm routes on it). Matched on the ANALYZED
     * predicate so folding/cast normalization has already run. */
-  private def keyEqOf(df: DataFrame, cond: Column): Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = {
+  private[graft] def keyEqOf(df: DataFrame, cond: Column): Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
     df.filter(cond).queryExecution.analyzed.collectFirst {
       case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c

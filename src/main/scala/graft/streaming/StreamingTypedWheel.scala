@@ -78,19 +78,57 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       s"only HllDistinct wheels can register for SQL rewrites, got ${other.getClass.getSimpleName}")
   }
 
-  /** Withdraws the published index; batch SQL falls back to scans. */
+  /** The batch-built index the first publish displaced (if any); restored
+    * by [[deregister]] — see [[StreamingWheelIndex.register]]'s layering
+    * contract. */
+  @volatile private var displaced: Option[TableIndex] = None
+
+  /** Withdraws the published sketch: another stream publisher's numeric
+    * families stay registered, and a displaced batch-built index is
+    * restored. */
   def deregister(): Unit = {
-    publishTo.foreach { case (key, _, _) => WheelRegistry.deregister(key) }
+    publishTo.foreach { case (key, column, _) =>
+      WheelRegistry.update(key, {
+        case _ if displaced.isDefined => displaced
+        case Some(cur) if cur.fingerprint == 0L &&
+            (cur.allWheels.nonEmpty ||
+              cur.allDistinctWheels.exists(_.column != column)) =>
+          val t = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
+          cur.allWheels.foreach(t.put)
+          cur.allDistinctWheels.filter(_.column != column).foreach(t.putDistinct)
+          Some(t)
+        case _ => None
+      })
+    }
     publishTo = None
+    displaced = None
   }
 
   private def publishLocked(): Unit = publishTo.foreach { case (key, column, h) =>
     // P/Out are fixed to Array[Byte]/Long by the HllDistinct agg the wheel
     // was constructed with, so this cast is sound by construction
     val hw = snapshot().asInstanceOf[TypedHawWheel[Array[Byte], Long]]
-    val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
-    t.putDistinct(DistinctIndexedWheel(hw, column, h))
-    WheelRegistry.register(t)
+    WheelRegistry.update(key, { existing =>
+      val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
+      existing match {
+        case Some(cur) if cur.fingerprint != 0L =>
+          // batch-built: different consistency domain — displace loudly,
+          // restore on deregister (round-6 advice)
+          if (displaced.isEmpty) {
+            displaced = Some(cur)
+            System.err.println(s"[graft] streaming register displaces the " +
+              s"batch-built index for $key; it will be restored on deregister()")
+          }
+        case Some(cur) =>
+          // a numeric stream publisher's families ride along, as do other
+          // columns' sketches
+          cur.allWheels.foreach(t.put)
+          cur.allDistinctWheels.filter(_.column != column).foreach(t.putDistinct)
+        case None => ()
+      }
+      t.putDistinct(DistinctIndexedWheel(hw, column, h))
+      Some(t)
+    })
   }
 
   /** Starts the maintenance query on a streaming DataFrame. */

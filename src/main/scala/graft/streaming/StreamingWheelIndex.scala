@@ -7,20 +7,51 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{functions => F}
 
-import graft.index.{IndexedWheel, TableIndex, WheelRegistry}
+import graft.index.{IndexedWheel, TableIndex, UWheelIndex, WheelRegistry}
 import graft.wheel.{HawWheel, RwWheel}
 
-/** Per-batch accumulator: a partial wheel plus the value-quality counters
-  * the fused batch build tracks in [[graft.index.WheelBuildAcc]].
-  * Top-level (no outer pointer) so executors serialize only slot payloads
-  * as it tree-merges. */
-private[streaming] final class BatchAcc(val wheel: RwWheel) extends Serializable {
-  var nullV = 0L
-  var nanV = 0L
-  var badRep = 0L
+/** Per-batch accumulator: one partial wheel PER SPEC (the unfiltered wheel
+  * plus any residual-keyed wheels) with the value-quality counters the
+  * fused batch build tracks in [[graft.index.WheelBuildAcc]]. Top-level
+  * (no outer pointer) so executors serialize only slot payloads as it
+  * tree-merges. Row layout: col 0 = epoch second; per spec `i` at offset
+  * `1 + 7·i`: keptCount, sum(DECIMAL), min, max, nullValueCount, nanCount,
+  * nonRepresentableCount. */
+private[streaming] final class BatchAcc(scale: Int, hasVals: Array[Boolean])
+  extends Serializable {
+  val wheels: Array[RwWheel] = hasVals.map(new RwWheel(scale, _))
+  val nullV: Array[Long] = new Array[Long](hasVals.length)
+  val nanV: Array[Long] = new Array[Long](hasVals.length)
+  val badRep: Array[Long] = new Array[Long](hasVals.length)
+
+  def add(r: org.apache.spark.sql.Row, scale: Int): Unit = {
+    val sec = r.getLong(0)
+    var i = 0
+    while (i < wheels.length) {
+      val o = 1 + i * 7
+      val c = r.getLong(o)
+      if (c > 0) { // a spec with zero matching rows must not create a slot
+        val sumScaled =
+          if (r.isNullAt(o + 1)) 0L
+          else r.getDecimal(o + 1).movePointRight(scale).longValueExact()
+        val mn = if (r.isNullAt(o + 2)) Double.PositiveInfinity else r.getDouble(o + 2)
+        val mx = if (r.isNullAt(o + 3)) Double.NegativeInfinity else r.getDouble(o + 3)
+        wheels(i).mergePartial(sec, c, sumScaled, mn, mx)
+        nullV(i) += r.getLong(o + 4)
+        nanV(i) += r.getLong(o + 5)
+        badRep(i) += r.getLong(o + 6)
+      }
+      i += 1
+    }
+  }
+
   def merge(o: BatchAcc): BatchAcc = {
-    wheel.merge(o.wheel)
-    nullV += o.nullV; nanV += o.nanV; badRep += o.badRep
+    var i = 0
+    while (i < wheels.length) {
+      wheels(i).merge(o.wheels(i))
+      nullV(i) += o.nullV(i); nanV(i) += o.nanV(i); badRep(i) += o.badRep(i)
+      i += 1
+    }
     this
   }
 }
@@ -32,20 +63,25 @@ private[streaming] final class BatchAcc(val wheel: RwWheel) extends Serializable
   * datafusion-uwheel only ever builds indices once from a static table).
   *
   * Spark-first design: each micro-batch reduces to *per-second partial
-  * aggregates* by a distributed map-side-combining groupBy, which fold into
-  * per-partition [[RwWheel]]s and tree-merge ON THE EXECUTORS — the driver
-  * receives ONE wheel per batch (the same no-driver-collect shape as the
-  * batch build and [[StreamingTypedWheel]]), so ingest cost at the driver is
-  * bounded by the batch's distinct active seconds in ONE compact payload,
-  * never a Row per second: a single batch replaying months of history is a
-  * handful of serialized slot maps, not millions of collected rows. Late
-  * data is governed by the upstream watermark (`withWatermark` on the
-  * source); whatever the watermark admits, the wheel merges exactly.
+  * aggregates* by a distributed map-side-combining groupBy — ONE fused scan
+  * per batch regardless of how many wheels are maintained, exactly like the
+  * batch build — which fold into per-partition [[RwWheel]]s and tree-merge
+  * ON THE EXECUTORS: the driver receives ONE accumulator per batch (the
+  * same no-driver-collect shape as the batch build and
+  * [[StreamingTypedWheel]]), so ingest cost at the driver is bounded by the
+  * batch's distinct active seconds in ONE compact payload, never a Row per
+  * second. Late data is governed by the upstream watermark (`withWatermark`
+  * on the source); whatever the watermark admits, the wheel merges exactly.
+  *
+  * Residual-KEYED wheels (`keyedWheels`, same semantics as the batch
+  * build's `withKeyedWheel`) maintain conditional aggregates in the same
+  * fused scan, so a streamed table serves `uw_keyed_sum`-shaped rewrites
+  * (`WHERE range AND event_type = 'click'`) too.
   *
   * Readers call [[snapshot]] for an immutable [[HawWheel]] (freeze-on-read,
   * the reference's `ReaderWheel` conversion) and query `range`/`groupBy`/
-  * `landmark` on it — or [[register]] the wheel under a table path so batch
-  * SQL rewrites answer from it at plan time.
+  * `landmark` on it — or [[register]] the wheels under a table path so
+  * batch SQL rewrites answer from them at plan time.
   */
 final class StreamingWheelIndex(
     timeColumn: String,
@@ -55,20 +91,38 @@ final class StreamingWheelIndex(
       * ingest over months of event time can coarsen its read-side wheels
       * the same way batch builds do (`UWheelBuilder.withSlotSpan`) — the
       * per-second ingest state is unchanged; only [[snapshot]] compacts. */
-    slotSpanSec: Long = 1L) {
+    slotSpanSec: Long = 1L,
+    /** Residual-keyed conditional wheels: (value column, filter SQL), e.g.
+      * `("value", "event_type = 'click'")`. Maintained in the same fused
+      * per-batch scan; published with the canonical filter key so the
+      * optimizer routes matching residual queries to them. */
+    keyedWheels: Seq[(String, String)] = Nil) {
   require(graft.wheel.HawWheel.AllowedSlotSpans.contains(slotSpanSec),
     s"slot span must be one of ${graft.wheel.HawWheel.AllowedSlotSpans.mkString(", ")} s")
 
+  // spec 0 = the unfiltered wheel; 1..k = keyedWheels
+  private val nSpecs = 1 + keyedWheels.length
+  private val hasVals: Array[Boolean] =
+    (valueColumn.isDefined +: keyedWheels.map(_ => true)).toArray
   private val rw = new RwWheel(scale, valueColumn.isDefined)
+  private val keyedRw: Array[RwWheel] = keyedWheels.map(_ => new RwWheel(scale, true)).toArray
   private val cached = new AtomicReference[(Long, HawWheel)]((0L, null))
   private var version = 0L
   // value-quality flags accumulated across batches — the streaming analogue
   // of the batch build's exactness/NaN/NULL probes, gating which rewrite
   // kinds a REGISTERED wheel may serve (all false until data says otherwise)
-  private var sawNullValue = false
-  private var sawNaN = false
-  private var sawBadRep = false
+  private val sawNullValue = new Array[Boolean](nSpecs)
+  private val sawNaN = new Array[Boolean](nSpecs)
+  private val sawBadRep = new Array[Boolean](nSpecs)
   @volatile private var publishKey: Option[String] = None
+  /** (filterKey, keyEq) per keyed spec — computed against the attached
+    * stream's schema (canonicalization needs a resolved plan); keyed
+    * wheels publish once this is known. */
+  @volatile private var keyedMeta: Option[Seq[(String, Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)])]] = None
+  /** The batch-built index this stream's first publish displaced (if any):
+    * restored by [[deregister]] so withdrawing the stream does not leave
+    * the table index-less (round-6 advice). */
+  @volatile private var displaced: Option[TableIndex] = None
 
   def watermarkMs: Long = rw.synchronized(rw.watermark)
 
@@ -81,8 +135,8 @@ final class StreamingWheelIndex(
     * where it bounds memory instead of failing the stream. */
   def droppedBeyondHorizon: Long = rw.synchronized(rw.droppedBeyondHorizon)
 
-  /** Immutable point-in-time view; cheap when no batch arrived since the
-    * last call. */
+  /** Immutable point-in-time view of the unfiltered wheel; cheap when no
+    * batch arrived since the last call. */
   def snapshot(): HawWheel = {
     val (v, hw) = cached.get()
     val cur = rw.synchronized(version)
@@ -101,13 +155,22 @@ final class StreamingWheelIndex(
     }
   }
 
-  /** Publishes freeze-on-read snapshots of this wheel into the optimizer's
-    * [[WheelRegistry]] under `path`'s key, re-published after every batch
-    * (swap-on-version: the registry always holds a consistent immutable
-    * snapshot; staleness is the stream's version, not a file listing — the
-    * published index carries fingerprint 0, which skips the batch-build
-    * listing gate). From then on BATCH SQL over the parquet table at
-    * `path` rewrites at plan time from the stream-maintained wheel.
+  /** Publishes freeze-on-read snapshots of this stream's wheels into the
+    * optimizer's [[WheelRegistry]] under `path`'s key, re-published after
+    * every batch (swap-on-version: the registry always holds a consistent
+    * immutable snapshot; staleness is the stream's version, not a file
+    * listing — the published index carries fingerprint 0, which skips the
+    * batch-build listing gate). From then on BATCH SQL over the parquet
+    * table at `path` rewrites at plan time from the stream-maintained
+    * wheels.
+    *
+    * Publishing LAYERS, never clobbers: wheel families another STREAM
+    * publisher registered for the same path (e.g. a
+    * [[StreamingTypedWheel]]'s HLL sketch) are carried over into each
+    * republish. A BATCH-built index (file fingerprint ≠ 0) answers from a
+    * different row set than the stream's watermark-consistent state, so
+    * the two must not mix: it is displaced with a warning and restored by
+    * [[deregister]].
     *
     * Contract: the caller asserts this stream IS the feed of the table at
     * `path` — the rewrite answers with the wheel's watermark-consistent
@@ -121,24 +184,65 @@ final class StreamingWheelIndex(
     rw.synchronized(publishLocked())
   }
 
-  /** Withdraws the published index; batch SQL falls back to scans. */
+  /** Withdraws the published wheels: other stream publishers' families
+    * stay registered, and a displaced batch-built index is restored. */
   def deregister(): Unit = {
-    publishKey.foreach(WheelRegistry.deregister)
+    publishKey.foreach { key =>
+      WheelRegistry.update(key, {
+        case _ if displaced.isDefined => displaced
+        case Some(cur) if cur.fingerprint == 0L &&
+            cur.allDistinctWheels.nonEmpty =>
+          // keep the other publisher's sketch family
+          val t = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
+          cur.allDistinctWheels.foreach(t.putDistinct)
+          Some(t)
+        case _ => None
+      })
+    }
     publishKey = None
+    displaced = None
   }
 
   /** Must hold `rw`'s lock. snapshot() re-enters it (reentrant). */
   private def publishLocked(): Unit = publishKey.foreach { key =>
     val hw = snapshot()
-    val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
-    valueColumn.foreach { vc =>
-      t.put(IndexedWheel(hw, Some(vc), "",
-        valueAllNonNull = !sawNullValue,
-        valuesExactAtScale = !sawBadRep,
-        valuesNaNFree = !sawNaN))
-    }
-    t.put(IndexedWheel(hw, None, "", valueAllNonNull = true)) // count wheel shares hw
-    WheelRegistry.register(t)
+    val keyedFrozen = keyedRw.map(_.freeze(slotSpanSec))
+    WheelRegistry.update(key, { existing =>
+      val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
+      existing match {
+        case Some(cur) if cur.fingerprint != 0L =>
+          // batch-built: different consistency domain — displace loudly,
+          // restore on deregister
+          if (displaced.isEmpty) {
+            displaced = Some(cur)
+            System.err.println(s"[graft] streaming register displaces the " +
+              s"batch-built index for $key; it will be restored on deregister()")
+          }
+        case Some(cur) =>
+          // another stream publisher's families ride along (the typed HLL
+          // publisher carries ours the same way)
+          cur.allDistinctWheels.foreach(t.putDistinct)
+        case None => ()
+      }
+      valueColumn.foreach { vc =>
+        t.put(IndexedWheel(hw, Some(vc), "",
+          valueAllNonNull = !sawNullValue(0),
+          valuesExactAtScale = !sawBadRep(0),
+          valuesNaNFree = !sawNaN(0)))
+      }
+      t.put(IndexedWheel(hw, None, "", valueAllNonNull = true)) // count wheel shares hw
+      keyedMeta.foreach { metas =>
+        keyedWheels.zipWithIndex.foreach { case ((vc, sql), i) =>
+          val (fk, keyEq) = metas(i)
+          t.put(IndexedWheel(keyedFrozen(i), Some(vc), fk,
+            valueAllNonNull = !sawNullValue(i + 1),
+            valuesExactAtScale = !sawBadRep(i + 1),
+            valuesNaNFree = !sawNaN(i + 1),
+            filterSql = Some(sql), keyEq = keyEq))
+        }
+      }
+      Some(t)
+    })
   }
 
   /** Starts the maintenance query on a streaming DataFrame. The time column
@@ -147,46 +251,52 @@ final class StreamingWheelIndex(
     * DATE (days × 86400 s, zone-free), and TIMESTAMP_NTZ. */
   def attach(stream: DataFrame, queryName: String): StreamingQuery = {
     val secExpr = graft.index.UWheelIndex.secExprOf(stream, timeColumn)
+    // canonical residual keys for the keyed specs, resolved against this
+    // stream's schema — identical names/types to the batch table, so they
+    // match the canonical keys the optimizer computes on batch queries
+    keyedMeta = Some(keyedWheels.map { case (_, sql) =>
+      val fc = F.expr(sql)
+      (graft.expr.Canon.canonFilterKey(stream.filter(fc)),
+        UWheelIndex.keyEqOf(stream, fc))
+    })
+    // per-spec conditional aggregate columns, one fused scan per batch
+    // (spec 0 = unfiltered)
+    val specCols = (0 until nSpecs).flatMap { i =>
+      val (vcol, keep) =
+        if (i == 0) (valueColumn, F.lit(true))
+        else (Some(keyedWheels(i - 1)._1), F.expr(keyedWheels(i - 1)._2))
+      val v = vcol match {
+        case Some(c) => F.when(keep, F.col(c).cast("double"))
+        case None    => F.lit(null).cast("double")
+      }
+      // same exactness probe as the batch build: does the value survive a
+      // DECIMAL(38,scale) round-trip? (try_cast keeps ANSI mode non-fatal)
+      val roundTrip = v.try_cast(s"decimal(38,$scale)").cast("double")
+      Seq(
+        F.sum(F.when(keep, F.lit(1L)).otherwise(F.lit(0L))).as(s"c$i"),
+        F.sum(v.cast(DecimalType(38, scale))).as(s"s$i"),
+        F.min(v).as(s"mn$i"),
+        F.max(v).as(s"mx$i"),
+        F.sum(F.when(keep && v.isNull, F.lit(1L)).otherwise(F.lit(0L))).as(s"nullv$i"),
+        F.sum(F.when(F.isnan(v), F.lit(1L)).otherwise(F.lit(0L))).as(s"nanv$i"),
+        F.sum(F.when(v.isNotNull && (roundTrip.isNull || roundTrip =!= v), F.lit(1L))
+          .otherwise(F.lit(0L))).as(s"bad$i"))
+    }
     stream.writeStream
       .queryName(queryName)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val projected = valueColumn match {
-          case Some(vc) => batch.select(secExpr.as("__sec"), F.col(vc).cast("double").as("__v"))
-          case None     => batch.select(secExpr.as("__sec"), F.lit(null).cast("double").as("__v"))
-        }
-        val v = F.col("__v")
-        // same exactness probe as the batch build: does the value survive a
-        // DECIMAL(38,scale) round-trip? (try_cast keeps ANSI mode non-fatal)
-        val roundTrip = v.try_cast(s"decimal(38,$scale)").cast("double")
-        val partials = projected
-          .where(F.col("__sec").isNotNull)
-          .groupBy("__sec")
-          .agg(
-            F.count(F.lit(1)).as("c"),
-            F.sum(v.cast(DecimalType(38, scale))).as("s"),
-            F.min(v).as("mn"),
-            F.max(v).as("mx"),
-            F.sum(F.when(v.isNull, F.lit(1L)).otherwise(F.lit(0L))).as("nullv"),
-            F.sum(F.when(F.isnan(v), F.lit(1L)).otherwise(F.lit(0L))).as("nanv"),
-            F.sum(F.when(v.isNotNull && (roundTrip.isNull || roundTrip =!= v), F.lit(1L))
-              .otherwise(F.lit(0L))).as("bad"))
+        val partials = batch
+          .where(secExpr.isNotNull)
+          .groupBy(secExpr.as("__sec"))
+          .agg(specCols.head, specCols.tail: _*)
         val rdd = partials.rdd
-        val hasVals = valueColumn.isDefined
         val localScale = scale // closure must not capture `this`
+        val localHasVals = hasVals
         val acc =
-          if (rdd.getNumPartitions == 0) new BatchAcc(new RwWheel(localScale, hasVals))
-          else rdd.treeAggregate(new BatchAcc(new RwWheel(localScale, hasVals)))(
-            (a, r) => {
-              val sumScaled =
-                if (r.isNullAt(2)) 0L
-                else r.getDecimal(2).movePointRight(localScale).longValueExact()
-              val mn = if (r.isNullAt(3)) Double.PositiveInfinity else r.getDouble(3)
-              val mx = if (r.isNullAt(4)) Double.NegativeInfinity else r.getDouble(4)
-              a.wheel.mergePartial(r.getLong(0), r.getLong(1), sumScaled, mn, mx)
-              a.nullV += r.getLong(5); a.nanV += r.getLong(6); a.badRep += r.getLong(7)
-              a
-            },
+          if (rdd.getNumPartitions == 0) new BatchAcc(localScale, localHasVals)
+          else rdd.treeAggregate(new BatchAcc(localScale, localHasVals))(
+            (a, r) => { a.add(r, localScale); a },
             (a, b) => a.merge(b),
             depth = 2)
         rw.synchronized {
@@ -195,12 +305,19 @@ final class StreamingWheelIndex(
           // in-order replay merges whole; afterwards the wheel watermark
           // advances past the batch's newest slot, exactly as the previous
           // per-partial ascending merge ended up
-          rw.merge(acc.wheel)
-          if (acc.wheel.newestSlotSec != Long.MinValue)
-            rw.advanceTo((acc.wheel.newestSlotSec + 1) * 1000L)
-          if (acc.nullV > 0) sawNullValue = true
-          if (acc.nanV > 0) sawNaN = true
-          if (acc.badRep > 0) sawBadRep = true
+          rw.merge(acc.wheels(0))
+          var i = 0
+          while (i < keyedRw.length) {
+            keyedRw(i).merge(acc.wheels(i + 1))
+            i += 1
+          }
+          if (acc.wheels(0).newestSlotSec != Long.MinValue)
+            rw.advanceTo((acc.wheels(0).newestSlotSec + 1) * 1000L)
+          (0 until nSpecs).foreach { j =>
+            if (acc.nullV(j) > 0) sawNullValue(j) = true
+            if (acc.nanV(j) > 0) sawNaN(j) = true
+            if (acc.badRep(j) > 0) sawBadRep(j) = true
+          }
           version += 1
           publishLocked()
         }

@@ -355,4 +355,124 @@ class StreamingWheelSpec extends AnyFunSuite {
       idx.deregister()
     }
   }
+
+  test("streaming keyed wheels: residual-filtered batch SQL rewrites from the stream") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-keyed").toString
+    val path = s"$dir/t.parquet"
+    val rows = Seq(
+      (ts("2024-03-01 00:00:00"), 1.0, "click"),
+      (ts("2024-03-01 00:00:30"), 2.5, "view"),
+      (ts("2024-03-01 00:01:30"), 4.0, "click"),
+      (ts("2024-03-01 00:02:10"), 8.0, "click"),
+      (ts("2024-03-01 00:02:40"), 16.0, "view"))
+    rows.toDF("ts", "value", "event_type").write.parquet(path)
+    val input = MemoryStream[(Timestamp, Double, String)]
+    val idx = new StreamingWheelIndex("ts", Some("value"),
+      keyedWheels = Seq(("value", "event_type = 'click'")))
+    val q = idx.attach(input.toDF().toDF("ts", "value", "event_type"), "wheel-keyed")
+    try {
+      idx.register(path)
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val sql =
+        s"""SELECT count(*) AS cnt,
+           |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+           |FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+           |  AND ts < TIMESTAMP '2024-03-01 00:02:30'
+           |  AND event_type = 'click'""".stripMargin
+      val df = spark.sql(sql)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+      assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+      val got = df.collect()(0)
+      assert(got.getLong(0) === 3L)
+      assert(got.getDouble(1) === 13.0)
+      // the unkeyed wheel still serves unfiltered ranges from the same scan
+      val plain = spark.sql(
+        s"""SELECT count(*) AS cnt FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+           |  AND ts < TIMESTAMP '2024-03-01 00:02:30'""".stripMargin)
+      assert(plain.queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty)
+      assert(plain.collect()(0).getLong(0) === 4L)
+      // a residual no keyed wheel covers falls through to the scan
+      assert(spark.sql(sql.replace("'click'", "'view'"))
+        .queryExecution.optimizedPlan
+        .collect { case r: LogicalRelation => r }.nonEmpty)
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
+  }
+
+  test("streaming publishers layer per path; a displaced batch index is restored") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-layer").toString
+    val path = s"$dir/t.parquet"
+    val rows = Seq(
+      (ts("2024-03-01 00:00:00"), 1.0, 11L),
+      (ts("2024-03-01 00:00:30"), 2.5, 12L),
+      (ts("2024-03-01 00:01:30"), 4.0, 11L))
+    rows.toDF("ts", "value", "uid").write.parquet(path)
+    // a batch-built index exists first
+    graft.index.UWheelBuilder("ts", Seq("value")).build(spark, path)
+    val rangeSql =
+      s"""SELECT count(*) AS cnt FROM parquet.`$path`
+         |WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-03-01 00:02:00'""".stripMargin
+    val hllSql =
+      s"""SELECT hll_distinct(uid) AS du FROM parquet.`$path`
+         |WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-03-01 00:02:00'""".stripMargin
+    def rewrites(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty
+    assert(rewrites(rangeSql), "batch index should serve the range")
+
+    val numIn = MemoryStream[(Timestamp, Double)]
+    val numIdx = new StreamingWheelIndex("ts", Some("value"))
+    val numQ = numIdx.attach(numIn.toDF().toDF("ts", "value"), "layer-num")
+    val hllIn = MemoryStream[(Timestamp, Long)]
+    val hllIdx = new StreamingTypedWheel[Long, Array[Byte], Long](
+      "ts", col("uid"), new graft.wheel.WheelAggregators.HllDistinct(11), _.getLong(1))
+    val hllQ = hllIdx.attach(hllIn.toDF().toDF("ts", "uid"), "layer-hll")
+    try {
+      // numeric stream displaces the batch index (warned, restorable)
+      numIdx.register(path)
+      numIn.addData(rows.map(r => (r._1, r._2)): _*)
+      numQ.processAllAvailable()
+      assert(rewrites(rangeSql), "stream wheel should serve the range")
+      // typed publisher LAYERS its sketch over the numeric families:
+      // both query shapes answer at plan time afterwards
+      hllIdx.register(path, "uid")
+      hllIn.addData(rows.map(r => (r._1, r._3)): _*)
+      hllQ.processAllAvailable()
+      assert(rewrites(rangeSql), "numeric family must survive the sketch publish")
+      assert(rewrites(hllSql), "sketch family must be served")
+      assert(spark.sql(hllSql).collect()(0).getLong(0) === 2L)
+      // LIFO withdrawal: sketch off → numeric family remains
+      hllIdx.deregister()
+      assert(rewrites(rangeSql), "numeric family must survive sketch deregister")
+      assert(!rewrites(hllSql), "sketch must be withdrawn")
+      // numeric off → the displaced BATCH index is restored
+      numIdx.deregister()
+      assert(rewrites(rangeSql), "batch index must be restored")
+    } finally {
+      numQ.stop(); hllQ.stop()
+      numIdx.deregister(); hllIdx.deregister()
+      graft.index.WheelRegistry.deregister(path)
+    }
+  }
 }
