@@ -666,14 +666,18 @@ object UWheelRule extends Rule[LogicalPlan] {
           }
         (fn, gs => Literal(gs * 1000000L, ge.dataType), bspan, endOf)
       // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
-      // DateType key (days since epoch); date truncation of TIMESTAMP
-      // follows the session zone, so UTC-gated like the coarse units
-      // above — NTZ casts are wall-clock and exempt.
-      case Cast(t, DateType, tzId, _)
-          if isTime(t, table.timeColumn) &&
-            (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) =>
-        ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
-          (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY,
+      // DateType key; date truncation of TIMESTAMP follows the session
+      // zone — NTZ casts are wall-clock (offset 0), UTC matches slots
+      // directly, and a constant-offset zone composes as shifted day
+      // buckets keyed by the LOCAL day, like the date_trunc arm above.
+      case Cast(t, DateType, tzId, _) if isTime(t, table.timeColumn) =>
+        val o: Long =
+          if (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) 0L
+          else tzId.flatMap(z => constantZoneOffset(z, table)).getOrElse(return None)
+        val shift = Math.floorMod(o, HawWheel.DAY)
+        ((hw: HawWheel, s: Long, e: Long) => hw.groupByShifted(s, e, 3, shift),
+          (gs: Long) => Literal(Math.floorDiv(gs + o, HawWheel.DAY).toInt, DateType),
+          fineSpanFor(HawWheel.DAY, shift),
           (gs: Long) => gs + HawWheel.DAY)
       // GROUP BY a DateType time column directly: day buckets, DATE keys.
       // Purely calendar arithmetic on epoch days — no session zone

@@ -378,9 +378,10 @@ class UWheelRuleSpec extends AnyFunSuite {
           val exp = groundTruth(q.collect().map(_.toString).toSeq)
           assert(got === exp, s"$tz / $unit")
         }
-        // to_date keeps its UTC gate (the Cast-to-DATE arm) in every zone
+        // to_date composes the same way: local-day buckets under a
+        // constant offset, scan under DST
         val qd = ranged.groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
-        assertNotRewritten(qd)
+        if (rewrites) assertRewritten(qd) else assertNotRewritten(qd)
         assert(qd.collect().map(_.toString).sorted.toSeq ===
           groundTruth(qd.collect().map(_.toString).sorted.toSeq), s"$tz / to_date")
         // 'second' truncation is timezone-invariant: stays rewritten + exact
