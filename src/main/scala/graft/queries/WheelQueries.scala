@@ -202,6 +202,15 @@ object WheelQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // decimal AVG: Spark divides the exact decimal sum by the count at
+    // result scale s+4 with HALF_UP; the wheel reproduces that division
+    // digit-for-digit from its scaled-long sums (the oracle mirrors it in
+    // exact integer arithmetic)
+    "uw_dec_avg" -> Q.sql(
+      """SELECT count(*) AS cnt, CAST(avg(l_quantity) AS DOUBLE) AS avg_qty
+        |FROM lineitem_dec
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin),
     // a wheel-answerable SCALAR SUBQUERY: the rewrite fires inside the
     // subquery plan (Catalyst optimizes subqueries with the full rule set),
     // so the outer aggregation's threshold is a plan-time constant
@@ -344,6 +353,16 @@ object WheelQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Spark's decimal AVG = round-half-up(sum / count) at scale s+4;
+    // reproduced in exact integer micro-units: cents × 10^4 / count,
+    // half-up via (2a + b) // (2b) — positive sums, so half-up = floor form
+    "uw_dec_avg" ->
+      """SELECT count(*) AS cnt,
+        |       CAST((2 * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS HUGEINT) * 10000
+        |              + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
     "uw_subquery" ->
       s"""SELECT user_id, count(*) AS n FROM events
          |GROUP BY user_id

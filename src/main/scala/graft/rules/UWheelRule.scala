@@ -177,7 +177,11 @@ object UWheelRule extends Rule[LogicalPlan] {
     * `hllP` is only meaningful for kind == "hll" (register precision the
     * query's aggregate was invoked with — must match the wheel's). */
   private final case class Need(column: Option[String], kind: String,
-                                decScale: Option[Int], hllP: Int = 0) {
+                                decScale: Option[Int], hllP: Int = 0,
+                                /** Result scale for "avgdec" (the aggregate's
+                                  * own DecimalType scale, column scale + 4
+                                  * under Spark's bounding rules). */
+                                resScale: Int = 0) {
     def value(ra: RangeAgg): Any = kind match {
       case "count" | "countcol" => ra.count
       case "sum"    => ra.sum.map(Double.box).orNull
@@ -192,6 +196,13 @@ object UWheelRule extends Rule[LogicalPlan] {
       // cast performs) is the true column value
       case "mindec" => ra.minOpt.map(decOf).orNull
       case "maxdec" => ra.maxOpt.map(decOf).orNull
+      // AVG over a decimal column: exact scaled sum ÷ count at the result
+      // scale, HALF_UP — digit-identical to Spark's decimal Average
+      // (single-rounding equivalence holds: an exact quotient can only sit
+      // on a result-scale half-boundary when the division is exact there)
+      case "avgdec" => ra.sumDecimal.map(sd => Decimal(
+        sd.divide(java.math.BigDecimal.valueOf(ra.count), resScale,
+          java.math.RoundingMode.HALF_UP))).orNull
     }
     private def decOf(d: Double): Decimal =
       Decimal(BigDecimal(java.math.BigDecimal.valueOf(d))
@@ -214,9 +225,9 @@ object UWheelRule extends Rule[LogicalPlan] {
       // the scaled-long slot sums ARE the column's exact arithmetic
       // (generalizing the reference's accept-all-numerics guard,
       // `lib.rs:1161-1176`, which lowers everything to f64). AVG over
-      // decimal is declined: Spark computes it at widened scale s+4 with
-      // its own decimal-division rounding, which the wheel's double
-      // division does not reproduce digit-for-digit.
+      // decimal divides the exact scaled sum by the count at the result
+      // scale (s+4) with HALF_UP — digit-identical to Spark's decimal
+      // Average (probed and spec-asserted vs the unrewritten plan).
       case s: Sum => s.child match {
         case a: AttributeReference if a.dataType == DoubleType =>
           Some(Need(Some(a.name), "sum", None))
@@ -230,6 +241,13 @@ object UWheelRule extends Rule[LogicalPlan] {
       case av: Average => av.child match {
         case a: AttributeReference if a.dataType == DoubleType =>
           Some(Need(Some(a.name), "avg", None))
+        case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+          ae.dataType match {
+            case rt: DecimalType =>
+              Some(Need(Some(a.name), "avgdec",
+                Some(a.dataType.asInstanceOf[DecimalType].scale), resScale = rt.scale))
+            case _ => None
+          }
         case _ => None
       }
       case Min(a: AttributeReference) if a.dataType == DoubleType =>
@@ -323,8 +341,8 @@ object UWheelRule extends Rule[LogicalPlan] {
           // decimal-built wheel, valuesExactAtScale records that every
           // value's DOUBLE image round-trips back to the original decimal
           // exactly — required because the wheel stores extrema as doubles.
-          .filter(w => n.kind == "sumdec" || n.kind == "min" || n.kind == "max" ||
-                       n.kind == "countcol" || w.valuesExactAtScale)
+          .filter(w => n.kind == "sumdec" || n.kind == "avgdec" || n.kind == "min" ||
+                       n.kind == "max" || n.kind == "countcol" || w.valuesExactAtScale)
           // MIN/MAX are NaN-blind in the wheel (Java ordering) but Spark
           // orders NaN above everything — only rewrite from NaN-free wheels.
           .filter(w => (n.kind != "min" && n.kind != "max") || w.valuesNaNFree)
@@ -531,8 +549,8 @@ object UWheelRule extends Rule[LogicalPlan] {
         def qualityOk(n: Need, w: IndexedWheel): Boolean =
           w.valueAllNonNull &&
             n.decScale.forall(_ == w.wheel.scale) &&
-            (n.kind == "sumdec" || n.kind == "min" || n.kind == "max" ||
-              n.kind == "countcol" || w.valuesExactAtScale) &&
+            (n.kind == "sumdec" || n.kind == "avgdec" || n.kind == "min" ||
+              n.kind == "max" || n.kind == "countcol" || w.valuesExactAtScale) &&
             ((n.kind != "min" && n.kind != "max") || w.valuesNaNFree)
         def wheelForValue(n: Need, v: Literal): Option[IndexedWheel] = {
           val cands = keyed.filter(_.keyEqOpt.exists(_._2 == v))

@@ -65,7 +65,7 @@ class DecimalWheelSpec extends AnyFunSuite {
     val q = spark.read.parquet(p)
       .filter(col("ts") >= lit("2024-04-01 06:00:00").cast("timestamp") &&
         col("ts") < lit("2024-04-02 18:00:00").cast("timestamp"))
-      .agg(count(lit(1)).as("cnt"), sum("amount").as("s"),
+      .agg(count(lit(1)).as("cnt"), sum("amount").as("s"), avg("amount").as("a"),
         min("amount").as("mn"), max("amount").as("mx"), count("amount").as("cv"))
     assertRewritten(q)
     val got = q.collect().map(_.toString).toSeq
@@ -76,15 +76,43 @@ class DecimalWheelSpec extends AnyFunSuite {
     // group-by arm over the same wheel
     val g = spark.read.parquet(p)
       .groupBy(date_trunc("day", col("ts")).as("d"))
-      .agg(sum("amount").as("s"), max("amount").as("mx"))
+      .agg(sum("amount").as("s"), avg("amount").as("a"), max("amount").as("mx"))
       .orderBy("d")
     assertRewritten(g)
     assert(g.collect().map(_.toString).toSeq ===
       groundTruth(g.collect().map(_.toString).toSeq))
+  }
 
-    // AVG over decimal is declined (Spark's widened-scale decimal division
-    // is not reproduced) — correct via the scan
-    assertNotRewritten(spark.read.parquet(p).agg(avg("amount").as("a")))
+  test("decimal AVG: exact quotient ties and negative sums round like Spark") {
+    graft.Graft.enable(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dec-avg").toString
+    val p = s"$dir/t.parquet"
+    val base = java.sql.Timestamp.valueOf("2024-04-01 00:00:00").getTime
+    // 32 rows summing to 0.05: avg = 0.0015625 exactly — a half-tie at the
+    // result scale (6), where HALF_UP and HALF_EVEN diverge; plus a
+    // negative twin in a second bucket (HALF_UP rounds away from zero)
+    val rows =
+      (0 until 32).map { i =>
+        (new java.sql.Timestamp(base + i.toLong * 1000),
+          BigDecimal(if (i == 0) "0.05" else "0.00"))
+      } ++ (0 until 32).map { i =>
+        (new java.sql.Timestamp(base + 86400000L + i.toLong * 1000),
+          BigDecimal(if (i == 0) "-0.05" else "0.00"))
+      }
+    rows.toDF("ts", "amount")
+      .select(col("ts"), col("amount").cast("decimal(12,2)").as("amount"))
+      .write.mode("overwrite").parquet(p)
+    UWheelBuilder("ts", Seq("amount")).build(spark, p)
+    val g = spark.read.parquet(p)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(avg("amount").as("a"), count(lit(1)).as("c"))
+      .orderBy("d")
+    assertRewritten(g)
+    val got = g.collect()
+    assert(got.map(_.toString).toSeq === groundTruth(g.collect().map(_.toString).toSeq))
+    assert(got(0).getDecimal(1).toPlainString === "0.001563", "positive half-tie HALF_UP")
+    assert(got(1).getDecimal(1).toPlainString === "-0.001563", "negative half-tie away from zero")
   }
 
   test("high-precision decimal: double image inexact ⇒ MIN/MAX decline, SUM still exact") {
