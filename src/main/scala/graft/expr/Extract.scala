@@ -197,7 +197,8 @@ object Extract {
     * `IsNotNull(c)` implied by another null-intolerant residual conjunct on
     * `c` is dropped, since Spark's InferFiltersFromConstraints adds those
     * after the index was keyed on the user's original filter. */
-  def splitTimeRange(conjuncts: Seq[Expression], timeCol: String): (SecRange, Seq[Expression]) = {
+  def splitTimeRange(conjuncts: Seq[Expression], timeCol: String,
+      zoneOffsetSec: String => Option[Long] = _ => None): (SecRange, Seq[Expression]) = {
     var lo: Option[Long] = None // micros, inclusive
     var hi: Option[Long] = None // micros, exclusive
     var exact = true
@@ -240,6 +241,29 @@ object Extract {
       case _ => None
     }}
 
+    // Offset (in MICROS) under which a session-zone calendar view of the
+    // time column composes with the instant-keyed wheel: 0 when the view is
+    // zone-free (NTZ wall clock, 'second' truncation, bare DATE columns) or
+    // the zone is UTC; the zone's constant offset when the caller proved
+    // its rules never transition across the indexed span (fixed-offset
+    // zones — the rule passes constantZoneOffset); None declines the arm.
+    // A local-calendar bound b then corresponds to the instant b − offset.
+    def offUs(tzId: Option[String], zoneFree: Boolean): Option[Long] =
+      if (zoneFree) Some(0L)
+      else tzId.flatMap(z =>
+        if (isUtcZone(z)) Some(0L)
+        else zoneOffsetSec(z).map(_ * MicrosPerSec))
+    // year()'s / to_date()'s date-typed child: bare DATE columns are
+    // zone-free; a session-zone TIMESTAMP→DATE cast composes under the
+    // same constant-offset rule
+    def yearArmOffset(t: Expression): Option[Long] = t match {
+      case a: AttributeReference if a.name == timeCol && a.dataType == DateType =>
+        Some(0L)
+      case Cast(inner, DateType, tzId, _) if isTime(inner, timeCol) =>
+        offUs(tzId, inner.dataType == TimestampNTZType)
+      case _ => None
+    }
+
     // `time = literal` equality family → a half-open micros range. The
     // reference has no equality arm at all (`expr.rs:209-241` handles only
     // >,>=,<,<=); these are the patterns real dashboards emit ("this exact
@@ -248,22 +272,34 @@ object Extract {
     // collapses to the empty range [0, 0), which downstream merging
     // (max-lo / min-hi) can never widen back open.
     def eqRangeUs(x: Expression, l: Expression): Option[(Long, Long)] = x match {
-      // dateCol = DATE 'd' / to_date(ts) = DATE 'd': the whole day, exact
+      // dateCol = DATE 'd' / to_date(ts) = DATE 'd' (zone-free/UTC forms):
+      // the whole day, exact
       case _ if isTimeAsDate(x, timeCol) && litDateMicros(l).isDefined =>
         val d = litDateMicros(l).get
         Some((d, d + MicrosPerDay))
+      // to_date(ts) = DATE 'd' under a constant-offset zone: the LOCAL day,
+      // i.e. the instant range shifted by the offset
+      case Cast(t, DateType, tzId, _)
+          if isTime(t, timeCol) && litDateMicros(l).isDefined =>
+        offUs(tzId, t.dataType == TimestampNTZType).map { o =>
+          val d = litDateMicros(l).get
+          (d - o, d + MicrosPerDay - o)
+        }
       // date_trunc(unit, ts) = TIMESTAMP 't': unit range when aligned.
       // Coarse units truncate in the expression's zone (NTZ: wall clock) —
-      // same UTC gating as the GROUP BY date_trunc rewrite arm.
+      // same constant-offset composition as the GROUP BY date_trunc arm:
+      // alignment is tested on the LOCAL value and the range shifts back.
       case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
           if isTime(t, timeCol) =>
         for {
           unit <- truncUnitOf(fmt.toString)
-          if unit == "second" || t.dataType == TimestampNTZType || tzId.exists(isUtcZone)
+          o <- offUs(tzId, unit == "second" || t.dataType == TimestampNTZType)
           v <- litMicros(l)
-        } yield
-          if (truncUtcMicros(v, unit) == v) (v, nextBoundaryMicros(v, unit))
+        } yield {
+          val vL = v + o
+          if (truncUtcMicros(vL, unit) == vL) (v, nextBoundaryMicros(vL, unit) - o)
           else (0L, 0L)
+        }
       // trunc(dateCol, unit) = DATE 'd': DATE in, DATE out, zone-free
       // (TruncDate never consults the session zone). Spark's trunc() yields
       // NULL for units finer than week, so those stay residual.
@@ -277,15 +313,20 @@ object Extract {
           if (truncUtcMicros(d, unit) == d) (d, nextBoundaryMicros(d, unit))
           else (0L, 0L)
       // year(ts) = N: the calendar year as a range (month/day-of-year
-      // equalities are recurring, not contiguous, so only year extracts)
-      case Year(t) if isTimeAsDate(t, timeCol) =>
-        l match {
-          case Literal(y: Int, IntegerType) if y >= 1 && y <= 9998 =>
-            val lo = java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay
-            val hi = java.time.LocalDate.of(y + 1, 1, 1).toEpochDay * MicrosPerDay
-            Some((lo, hi))
-          case _ => None
-        }
+      // equalities are recurring, not contiguous, so only year extracts);
+      // the year is read off the LOCAL date, so constant-offset zones
+      // shift the instant range like the other calendar views
+      case Year(t) =>
+        for {
+          o <- yearArmOffset(t)
+          r <- l match {
+            case Literal(y: Int, IntegerType) if y >= 1 && y <= 9998 =>
+              val lo = java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay
+              val hi = java.time.LocalDate.of(y + 1, 1, 1).toEpochDay * MicrosPerDay
+              Some((lo - o, hi - o))
+            case _ => None
+          }
+        } yield r
       // ts = TIMESTAMP 't': a single microsecond — the final
       // seconds-rounding marks it inexact (a one-second superset), which
       // still powers R6/R7 pruning
@@ -312,31 +353,38 @@ object Extract {
     //   view >  lit ⇔ ts >= next                          [calNext]
     //   view <  lit ⇔ ts <  (lit aligned ? lit : next)   [calCeil]
     //   view <= lit ⇔ ts <  next                          [calNext]
-    def calBounds(x: Expression, l: Expression): Option[(String, Long)] = x match {
+    // (unit, literal value in LOCAL micros, offset): bound arithmetic runs
+    // on the local calendar value and the final bound shifts back by the
+    // offset (0 for zone-free/UTC views).
+    def calBounds(x: Expression, l: Expression): Option[(String, Long, Long)] = x match {
       case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
           if isTime(t, timeCol) =>
         for {
           unit <- truncUnitOf(fmt.toString)
-          if unit == "second" || t.dataType == TimestampNTZType || tzId.exists(isUtcZone)
-          v <- litMicros(l)
-        } yield (unit, v)
+          o <- offUs(tzId, unit == "second" || t.dataType == TimestampNTZType)
+          v <- litMicros(l) // an instant: local value = v + o
+        } yield (unit, v + o, o)
       case TruncDate(t, Literal(fmt: UTF8String, StringType))
           if isDateAttr(t, timeCol) =>
         for {
           unit <- truncUnitOf(fmt.toString)
           if unit == "week" || unit == "month" || unit == "quarter" || unit == "year"
           d <- litDateMicros(l)
-        } yield (unit, d)
-      case Cast(t, DateType, tzId, _)
-          if (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) &&
-            isTime(t, timeCol) =>
-        litDateMicros(l).map(("day", _))
-      case Year(t) if isTimeAsDate(t, timeCol) =>
-        l match {
-          case Literal(y: Int, IntegerType) if y >= 1 && y <= 9998 =>
-            Some(("year", java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay))
-          case _ => None
-        }
+        } yield (unit, d, 0L)
+      case Cast(t, DateType, tzId, _) if isTime(t, timeCol) =>
+        for {
+          o <- offUs(tzId, t.dataType == TimestampNTZType)
+          d <- litDateMicros(l) // a DATE literal IS a local calendar value
+        } yield ("day", d, o)
+      case Year(t) =>
+        for {
+          o <- yearArmOffset(t)
+          v <- l match {
+            case Literal(y: Int, IntegerType) if y >= 1 && y <= 9998 =>
+              Some(java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay)
+            case _ => None
+          }
+        } yield ("year", v, o)
       case _ => None
     }
     def calCeil(u: String, v: Long): Long = {
@@ -349,17 +397,17 @@ object Extract {
         * orientations flip the operator. */
       def unapply(e: Expression): Option[scala.Either[Long, Long]] = e match {
         case GreaterThanOrEqual(a, b) =>
-          calBounds(a, b).map { case (u, v) => scala.Left(calCeil(u, v)) }
-            .orElse(calBounds(b, a).map { case (u, v) => scala.Right(calNext(u, v)) })
+          calBounds(a, b).map { case (u, v, o) => scala.Left(calCeil(u, v) - o) }
+            .orElse(calBounds(b, a).map { case (u, v, o) => scala.Right(calNext(u, v) - o) })
         case GreaterThan(a, b) =>
-          calBounds(a, b).map { case (u, v) => scala.Left(calNext(u, v)) }
-            .orElse(calBounds(b, a).map { case (u, v) => scala.Right(calCeil(u, v)) })
+          calBounds(a, b).map { case (u, v, o) => scala.Left(calNext(u, v) - o) }
+            .orElse(calBounds(b, a).map { case (u, v, o) => scala.Right(calCeil(u, v) - o) })
         case LessThan(a, b) =>
-          calBounds(a, b).map { case (u, v) => scala.Right(calCeil(u, v)) }
-            .orElse(calBounds(b, a).map { case (u, v) => scala.Left(calNext(u, v)) })
+          calBounds(a, b).map { case (u, v, o) => scala.Right(calCeil(u, v) - o) }
+            .orElse(calBounds(b, a).map { case (u, v, o) => scala.Left(calNext(u, v) - o) })
         case LessThanOrEqual(a, b) =>
-          calBounds(a, b).map { case (u, v) => scala.Right(calNext(u, v)) }
-            .orElse(calBounds(b, a).map { case (u, v) => scala.Left(calCeil(u, v)) })
+          calBounds(a, b).map { case (u, v, o) => scala.Right(calNext(u, v) - o) }
+            .orElse(calBounds(b, a).map { case (u, v, o) => scala.Left(calCeil(u, v) - o) })
         case _ => None
       }
     }
@@ -476,9 +524,10 @@ object Extract {
     * Returns (ranges, residual). An EMPTY ranges list is a proof of
     * emptiness (every disjunct contradicted the conjunctive bounds); a
     * lone unbounded range means no time constraint, as before. */
-  def splitTimeRangeSet(conjuncts: Seq[Expression], timeCol: String): (Seq[SecRange], Seq[Expression]) = {
+  def splitTimeRangeSet(conjuncts: Seq[Expression], timeCol: String,
+      zoneOffsetSec: String => Option[Long] = _ => None): (Seq[SecRange], Seq[Expression]) = {
     def rangeOfPureTime(conjs: Seq[Expression]): Option[SecRange] = {
-      val (r, resid) = splitTimeRange(conjs, timeCol)
+      val (r, resid) = splitTimeRange(conjs, timeCol, zoneOffsetSec)
       if (resid.isEmpty && r.isBounded) Some(r) else None
     }
     def disjunctRanges(e: Expression): Option[Seq[SecRange]] = e match {
@@ -503,7 +552,7 @@ object Extract {
         case None           => rest += c
       } else rest += c
     }
-    val (base, residual) = splitTimeRange(rest.result(), timeCol)
+    val (base, residual) = splitTimeRange(rest.result(), timeCol, zoneOffsetSec)
     union match {
       case None     => (Seq(base), residual)
       case Some(rs) => (normalizeRanges(rs.flatMap(intersectRanges(_, base))), residual)

@@ -293,7 +293,8 @@ object UWheelRule extends Rule[LogicalPlan] {
     // disjoint ranges; per-range wheel answers merge additively. An EMPTY
     // set is a plan-time proof of contradiction — every aggregate sees zero
     // rows.
-    val (ranges, residualRaw) = Extract.splitTimeRangeSet(uw.conjuncts, table.timeColumn)
+    val (ranges, residualRaw) = Extract.splitTimeRangeSet(uw.conjuncts, table.timeColumn,
+      z => constantZoneOffset(z, table))
     if (ranges.exists(!_.exact)) return None
     if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
     val residual = Extract.dropImpliedNotNull(residualRaw)
@@ -707,15 +708,26 @@ object UWheelRule extends Rule[LogicalPlan] {
           (gs: Long) => gs + HawWheel.DAY)
       // GROUP BY year(ts): 12-month calendar buckets keyed by the year
       // NUMBER (IntegerType) — the only single-field extraction that is
-      // contiguous in time (month/day-of-year recur). Same zone gating
-      // as the to_date arm, via isTimeAsDate on Year's date-typed child.
-      case Year(t) if Extract.isTimeAsDate(t, table.timeColumn) =>
-        ((hw: HawWheel, s: Long, e: Long) => hw.groupByCalendar(s, e, 12),
+      // contiguous in time (month/day-of-year recur). The year is read off
+      // the LOCAL date, so the same constant-offset composition as
+      // to_date/date_trunc applies (DATE columns and UTC take offset 0).
+      case Year(t) =>
+        val o: Long = t match {
+          case a: AttributeReference
+              if a.name == table.timeColumn && a.dataType == DateType => 0L
+          case Cast(inner, DateType, tzId, _) if isTime(inner, table.timeColumn) =>
+            if (inner.dataType == TimestampNTZType || tzId.exists(isUtcZone)) 0L
+            else tzId.flatMap(z => constantZoneOffset(z, table)).getOrElse(return None)
+          case _ => return None
+        }
+        ((hw: HawWheel, s: Long, e: Long) => hw.groupByCalendar(s, e, 12, o),
           (gs: Long) => Literal(
-            java.time.LocalDate.ofEpochDay(Math.floorDiv(gs, HawWheel.DAY)).getYear,
+            java.time.LocalDate.ofEpochDay(Math.floorDiv(gs + o, HawWheel.DAY)).getYear,
             IntegerType),
-          HawWheel.DAY,
-          (gs: Long) => plusMonthsSec(gs, 12))
+          fineSpanFor(HawWheel.DAY, Math.floorMod(o, HawWheel.DAY)),
+          (gs: Long) => java.time.LocalDate
+            .ofEpochDay(Math.floorDiv(gs + o, HawWheel.DAY))
+            .plusMonths(12L).toEpochDay * HawWheel.DAY - o)
       // GROUP BY trunc(dateCol, 'week'|'month'|'quarter'|'year'): DATE in,
       // DATE out, zone-free (TruncDate never consults the session zone).
       case TruncDate(t: AttributeReference, Literal(fmt: UTF8String, StringType))
@@ -782,7 +794,8 @@ object UWheelRule extends Rule[LogicalPlan] {
   private def tryPrune(f: Filter): Option[LogicalPlan] = {
     val uw = unwrap(f).getOrElse(return None)
     val table = uw.table
-    val (ranges, residual) = Extract.splitTimeRangeSet(uw.conjuncts, table.timeColumn)
+    val (ranges, residual) = Extract.splitTimeRangeSet(uw.conjuncts, table.timeColumn,
+      z => constantZoneOffset(z, table))
     // every disjunct contradicted the conjunctive bounds: empty by algebra,
     // no wheel consulted
     if (ranges.isEmpty) return Some(LocalRelation(f.output, Nil))

@@ -378,12 +378,33 @@ class UWheelRuleSpec extends AnyFunSuite {
           val exp = groundTruth(q.collect().map(_.toString).toSeq)
           assert(got === exp, s"$tz / $unit")
         }
-        // to_date composes the same way: local-day buckets under a
-        // constant offset, scan under DST
+        // to_date and year() compose the same way: local-day/local-year
+        // buckets under a constant offset, scan under DST
         val qd = ranged.groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
         if (rewrites) assertRewritten(qd) else assertNotRewritten(qd)
         assert(qd.collect().map(_.toString).sorted.toSeq ===
           groundTruth(qd.collect().map(_.toString).sorted.toSeq), s"$tz / to_date")
+        val qy = events.groupBy(year(col("ts")).as("y")).agg(count(lit(1)).as("c"))
+        if (rewrites) assertRewritten(qy) else assertNotRewritten(qy)
+        assert(qy.collect().map(_.toString).sorted.toSeq ===
+          groundTruth(qy.collect().map(_.toString).sorted.toSeq), s"$tz / year")
+        // WHERE-side calendar predicates compose under the same offset
+        // rule. to_date comparisons rewrite in EVERY zone — Spark's own
+        // optimizer unwraps the date cast into session-zone instant
+        // ranges before our rule, which then extracts zone-free bounds;
+        // date_trunc equality and year() reach our arms unnormalized and
+        // are offset-gated like the group-bys.
+        for ((pred, gated) <- Seq(
+            "date_trunc('day', ts) = TIMESTAMP '2024-01-08 00:00:00'" -> true,
+            "to_date(ts) = DATE '2024-01-08'" -> false,
+            "to_date(ts) BETWEEN DATE '2024-01-06' AND DATE '2024-01-09'" -> false,
+            "year(ts) = 2024" -> true)) {
+          val qw = events.filter(expr(pred))
+            .agg(count(lit(1)).as("c"), min("value").as("mn"))
+          if (rewrites || !gated) assertRewritten(qw) else assertNotRewritten(qw)
+          assert(qw.collect().map(_.toString).toSeq ===
+            groundTruth(qw.collect().map(_.toString).toSeq), s"$tz / WHERE $pred")
+        }
         // 'second' truncation is timezone-invariant: stays rewritten + exact
         val qs = ranged.groupBy(date_trunc("second", col("ts")).as("b"))
           .agg(count(lit(1)).as("c")).orderBy("b")
