@@ -662,6 +662,44 @@ class UWheelRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized fixed-offset-zone parity: group-bys and calendar filters match the scan") {
+    setup
+    val rnd = new scala.util.Random(70082026L)
+    // whole-hour, half-hour, and :45 offsets — every shifted-slot
+    // composition granularity (hour / minute fine levels)
+    val zones = Seq("Asia/Kolkata", "Asia/Kathmandu", "Australia/Eucla", "Asia/Tokyo")
+    val units = Seq("minute", "hour", "day", "week", "month", "year")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    def fmt(sec: Long) = new java.sql.Timestamp(sec * 1000).toString
+    for (i <- 0 until 30) {
+      val tz = zones(i % zones.length)
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try {
+        val s = base + rnd.nextInt(20 * 86400)
+        val e = s + 3600 + rnd.nextInt(12 * 86400)
+        val unit = units(rnd.nextInt(units.length))
+        def q = events.filter(
+            col("ts") >= lit(fmt(s)).cast("timestamp") &&
+              col("ts") < lit(fmt(e)).cast("timestamp"))
+          .groupBy(date_trunc(unit, col("ts")).as("b"))
+          .agg(count(lit(1)).as("c"), min("value").as("mn"))
+          .orderBy("b")
+        assertRewritten(q)
+        val got = q.collect().map(_.toString).toSeq
+        assert(got === groundTruth(q.collect().map(_.toString).toSeq),
+          s"$tz / $unit / [${fmt(s)}, ${fmt(e)})")
+        // a day-equality filter in the same zone (literal parsed locally:
+        // always day-aligned in the session zone, so it must rewrite)
+        val day = fmt(base + 86400L * rnd.nextInt(25)).take(10)
+        def qe = events.filter(expr(s"date_trunc('day', ts) = TIMESTAMP '$day 00:00:00'"))
+          .agg(count(lit(1)).as("c"))
+        assertRewritten(qe)
+        assert(qe.collect()(0).getLong(0) ===
+          groundTruth(qe.collect()(0).getLong(0)), s"$tz / eq $day")
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+  }
+
   test("randomized OR-range parity: unions of 2-3 random windows match the scan") {
     setup
     val rnd = new scala.util.Random(51072026L)
