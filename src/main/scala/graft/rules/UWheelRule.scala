@@ -60,10 +60,10 @@ object UWheelRule extends Rule[LogicalPlan] {
       // never abort the query from inside the optimizer
       case agg: Aggregate =>
         try tryAggRewrite(agg).getOrElse(agg)
-        catch { case _: ArithmeticException => agg }
+        catch { case _: ArithmeticException | _: DeclineRewrite => agg }
       case f: Filter =>
         try tryPrune(f).getOrElse(f)
-        catch { case _: ArithmeticException => f }
+        catch { case _: ArithmeticException | _: DeclineRewrite => f }
     }
     if (rewritten.fastEquals(plan)) plan else cleanupLocal(rewritten)
   }
@@ -460,8 +460,13 @@ object UWheelRule extends Rule[LogicalPlan] {
       case Seq(ge0) =>
         val nds = needs.getOrElse(return None)
         val ge = resolve(ge0, uw.aliases)
-        val (groupFn, keyLit, bucketSpan, bucketEndOf) =
-          timeBucketArm(ge, table).getOrElse(return None)
+        val arm = timeBucketArm(ge, table).getOrElse(return None)
+        val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
+        // hll_distinct needs an instant bucket end to clip register reads —
+        // arms without one (piecewise DST) decline the rewrite
+        if (nds.values.exists(_._2.isInstanceOf[HllSrc]) && arm.hllEndOf.isEmpty)
+          return None
+        val bucketEndOf = arm.hllEndOf.getOrElse((gs: Long) => gs)
         // Need at least one NUMERIC wheel to enumerate the groups (HLL
         // wheels can't: they skip NULL-value rows, so their active seconds
         // may under-enumerate the groups COUNT(*) would produce).
@@ -541,7 +546,11 @@ object UWheelRule extends Rule[LogicalPlan] {
         }
         val (arm, timeGe, keyAttr) =
           orient(g1, g2).orElse(orient(g2, g1)).getOrElse(return None)
-        val (groupFn, keyLit, bucketSpan, bucketEndOf) = arm
+        val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
+        // hll needs require an instant bucket end (see the 1-column arm)
+        if (needList.values.exists(_.kind == "hll") && arm.hllEndOf.isEmpty)
+          return None
+        val bucketEndOf = arm.hllEndOf.getOrElse((gs: Long) => gs)
         val keyed = table.allWheels.filter(_.keyEqOpt.exists(_._1 == keyAttr.name))
         val values: Seq[Literal] = keyed.flatMap(_.keyEqOpt).map(_._2)
           .filter(_.dataType == keyAttr.dataType).distinct
@@ -641,13 +650,32 @@ object UWheelRule extends Rule[LogicalPlan] {
 
   private def dataTypeOf(canonicalAe: Expression): DataType = canonicalAe.dataType
 
+  /** A recognized time-bucketing grouping expression's wheel reading plan.
+    * @param groupFn   per-bucket aggregates over an instant range
+    * @param keyLit    group key -> the grouping expression's output literal
+    * @param fineSpan  the slot granularity bucket edges need — coarsened
+    *                  wheels must satisfy slotSpan | fineSpan (1 for the
+    *                  piecewise DST path: transition edges are unaligned)
+    * @param hllEndOf  bucket key -> exclusive bucket END INSTANT, for
+    *                  clipping per-bucket HLL register reads; None when
+    *                  bucket keys are not instants (piecewise DST path),
+    *                  which declines hll_distinct needs */
+  private final case class BucketArm(
+      groupFn: (HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)],
+      keyLit: Long => Literal,
+      fineSpan: Long,
+      hllEndOf: Option[Long => Long])
+
+  /** Thrown from inside a piecewise group read when the zone's transition
+    * list is pathological or a key evaluation fails — caught at the rule's
+    * entry points, degrading to the scan (never wrong, never aborting). */
+  private final class DeclineRewrite extends RuntimeException
+      with scala.util.control.NoStackTrace
+
   /** Recognizes a time-bucketing grouping expression and returns its wheel
-    * reading plan: (bucketing function, group-slot-seconds -> key literal,
-    * bucket span in seconds — coarsened wheels require slotSpan |
-    * bucketSpan —, bucket start -> exclusive bucket end, for per-bucket HLL
-    * reads: fixed-span levels add the span, calendar buckets add months). */
-  private def timeBucketArm(ge: Expression, table: TableIndex)
-      : Option[((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Literal, Long, Long => Long)] =
+    * reading plan. Fixed-span levels add the span for the HLL bucket end,
+    * calendar buckets add months. */
+  private def timeBucketArm(ge: Expression, table: TableIndex): Option[BucketArm] =
     Some(ge match {
       case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
           if isTime(t, table.timeColumn) =>
@@ -662,72 +690,110 @@ object UWheelRule extends Rule[LogicalPlan] {
         // the indexed span: fixed-offset zones like Asia/Kolkata rewrite,
         // DST zones decline (falling through, never wrong).
         val ntz = t.dataType == TimestampNTZType
-        val o: Long =
-          if (unit == "second" || ntz || tzId.exists(isUtcZone)) 0L
-          else tzId.flatMap(z => constantZoneOffset(z, table)).getOrElse(return None)
-        val (fn, bspan, endOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long, Long => Long) =
-          HawWheel.levelIndexOf(unit) match {
-            case Some(idx) =>
-              val span = HawWheel.Spans(idx)
-              val shift = Math.floorMod(o, span)
-              ((hw, s, e) => hw.groupByShifted(s, e, idx, shift),
-                fineSpanFor(span, shift), (gs: Long) => gs + span)
-            case None =>
-              // month/quarter/year: calendar spans composed from day
-              // slots (the reference rejects these, lib.rs:357), at the
-              // zone's local month boundaries when shifted
-              val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-              ((hw, s, e) => hw.groupByCalendar(s, e, stride, o),
-                fineSpanFor(HawWheel.DAY, Math.floorMod(o, HawWheel.DAY)),
-                (gs: Long) => java.time.LocalDate
-                  .ofEpochDay(Math.floorDiv(gs + o, HawWheel.DAY))
-                  .plusMonths(stride.toLong).toEpochDay * HawWheel.DAY - o)
-          }
-        (fn, gs => Literal(gs * 1000000L, ge.dataType), bspan, endOf)
+        val oOpt: Option[Long] =
+          if (unit == "second" || ntz || tzId.exists(isUtcZone)) Some(0L)
+          else tzId.flatMap(z => constantZoneOffset(z, table))
+        oOpt match {
+          case Some(o) =>
+            val (fn, bspan, endOf): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long, Long => Long) =
+              HawWheel.levelIndexOf(unit) match {
+                case Some(idx) =>
+                  val span = HawWheel.Spans(idx)
+                  val shift = Math.floorMod(o, span)
+                  ((hw, s, e) => hw.groupByShifted(s, e, idx, shift),
+                    fineSpanFor(span, shift), (gs: Long) => gs + span)
+                case None =>
+                  // month/quarter/year: calendar spans composed from day
+                  // slots (the reference rejects these, lib.rs:357), at the
+                  // zone's local month boundaries when shifted
+                  val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+                  ((hw, s, e) => hw.groupByCalendar(s, e, stride, o),
+                    fineSpanFor(HawWheel.DAY, Math.floorMod(o, HawWheel.DAY)),
+                    (gs: Long) => java.time.LocalDate
+                      .ofEpochDay(Math.floorDiv(gs + o, HawWheel.DAY))
+                      .plusMonths(stride.toLong).toEpochDay * HawWheel.DAY - o)
+              }
+            BucketArm(fn, gs => Literal(gs * 1000000L, ge.dataType), bspan, Some(endOf))
+          case None =>
+            // DST / rule-varying zone: compose piecewise (see piecewiseArm)
+            val base: (HawWheel, Long, Long, Long) => IndexedSeq[(Long, RangeAgg)] =
+              HawWheel.levelIndexOf(unit) match {
+                case Some(idx) =>
+                  val span = HawWheel.Spans(idx)
+                  (hw, ps, pe, o) => hw.groupByShifted(ps, pe, idx, Math.floorMod(o, span))
+                case None =>
+                  val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+                  (hw, ps, pe, o) => hw.groupByCalendar(ps, pe, stride, o)
+              }
+            piecewiseArm(tzId.getOrElse(return None), ge, t, table, base)
+              .getOrElse(return None)
+        }
       // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
       // DateType key; date truncation of TIMESTAMP follows the session
       // zone — NTZ casts are wall-clock (offset 0), UTC matches slots
       // directly, and a constant-offset zone composes as shifted day
       // buckets keyed by the LOCAL day, like the date_trunc arm above.
       case Cast(t, DateType, tzId, _) if isTime(t, table.timeColumn) =>
-        val o: Long =
-          if (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) 0L
-          else tzId.flatMap(z => constantZoneOffset(z, table)).getOrElse(return None)
-        val shift = Math.floorMod(o, HawWheel.DAY)
-        ((hw: HawWheel, s: Long, e: Long) => hw.groupByShifted(s, e, 3, shift),
-          (gs: Long) => Literal(Math.floorDiv(gs + o, HawWheel.DAY).toInt, DateType),
-          fineSpanFor(HawWheel.DAY, shift),
-          (gs: Long) => gs + HawWheel.DAY)
+        val oOpt: Option[Long] =
+          if (t.dataType == TimestampNTZType || tzId.exists(isUtcZone)) Some(0L)
+          else tzId.flatMap(z => constantZoneOffset(z, table))
+        oOpt match {
+          case Some(o) =>
+            val shift = Math.floorMod(o, HawWheel.DAY)
+            BucketArm(
+              (hw: HawWheel, s: Long, e: Long) => hw.groupByShifted(s, e, 3, shift),
+              (gs: Long) => Literal(Math.floorDiv(gs + o, HawWheel.DAY).toInt, DateType),
+              fineSpanFor(HawWheel.DAY, shift),
+              Some((gs: Long) => gs + HawWheel.DAY))
+          case None =>
+            piecewiseArm(tzId.getOrElse(return None), ge, t, table,
+              (hw, ps, pe, o) =>
+                hw.groupByShifted(ps, pe, 3, Math.floorMod(o, HawWheel.DAY)))
+              .getOrElse(return None)
+        }
       // GROUP BY a DateType time column directly: day buckets, DATE keys.
       // Purely calendar arithmetic on epoch days — no session zone
       // involved, so no UTC gate.
       case a: AttributeReference
           if a.name == table.timeColumn && a.dataType == DateType =>
-        ((hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
+        BucketArm(
+          (hw: HawWheel, s: Long, e: Long) => hw.groupBy(s, e, 3),
           (gs: Long) => Literal((gs / HawWheel.DAY).toInt, DateType), HawWheel.DAY,
-          (gs: Long) => gs + HawWheel.DAY)
+          Some((gs: Long) => gs + HawWheel.DAY))
       // GROUP BY year(ts): 12-month calendar buckets keyed by the year
       // NUMBER (IntegerType) — the only single-field extraction that is
       // contiguous in time (month/day-of-year recur). The year is read off
       // the LOCAL date, so the same constant-offset composition as
       // to_date/date_trunc applies (DATE columns and UTC take offset 0).
       case Year(t) =>
-        val o: Long = t match {
+        val oOpt: Option[Long] = t match {
           case a: AttributeReference
-              if a.name == table.timeColumn && a.dataType == DateType => 0L
+              if a.name == table.timeColumn && a.dataType == DateType => Some(0L)
           case Cast(inner, DateType, tzId, _) if isTime(inner, table.timeColumn) =>
-            if (inner.dataType == TimestampNTZType || tzId.exists(isUtcZone)) 0L
-            else tzId.flatMap(z => constantZoneOffset(z, table)).getOrElse(return None)
+            if (inner.dataType == TimestampNTZType || tzId.exists(isUtcZone)) Some(0L)
+            else tzId.flatMap(z => constantZoneOffset(z, table))
           case _ => return None
         }
-        ((hw: HawWheel, s: Long, e: Long) => hw.groupByCalendar(s, e, 12, o),
-          (gs: Long) => Literal(
-            java.time.LocalDate.ofEpochDay(Math.floorDiv(gs + o, HawWheel.DAY)).getYear,
-            IntegerType),
-          fineSpanFor(HawWheel.DAY, Math.floorMod(o, HawWheel.DAY)),
-          (gs: Long) => java.time.LocalDate
-            .ofEpochDay(Math.floorDiv(gs + o, HawWheel.DAY))
-            .plusMonths(12L).toEpochDay * HawWheel.DAY - o)
+        oOpt match {
+          case Some(o) =>
+            BucketArm(
+              (hw: HawWheel, s: Long, e: Long) => hw.groupByCalendar(s, e, 12, o),
+              (gs: Long) => Literal(
+                java.time.LocalDate.ofEpochDay(Math.floorDiv(gs + o, HawWheel.DAY)).getYear,
+                IntegerType),
+              fineSpanFor(HawWheel.DAY, Math.floorMod(o, HawWheel.DAY)),
+              Some((gs: Long) => java.time.LocalDate
+                .ofEpochDay(Math.floorDiv(gs + o, HawWheel.DAY))
+                .plusMonths(12L).toEpochDay * HawWheel.DAY - o))
+          case None =>
+            val (tz, inner) = t match {
+              case Cast(in, DateType, tzId, _) => (tzId.getOrElse(return None), in)
+              case _ => return None
+            }
+            piecewiseArm(tz, ge, inner, table,
+              (hw, ps, pe, o) => hw.groupByCalendar(ps, pe, 12, o))
+              .getOrElse(return None)
+        }
       // GROUP BY trunc(dateCol, 'week'|'month'|'quarter'|'year'): DATE in,
       // DATE out, zone-free (TruncDate never consults the session zone).
       case TruncDate(t: AttributeReference, Literal(fmt: UTF8String, StringType))
@@ -742,9 +808,83 @@ object UWheelRule extends Rule[LogicalPlan] {
             ((hw, s, e) => hw.groupByCalendar(s, e, stride), HawWheel.DAY,
               (gs: Long) => plusMonthsSec(gs, stride))
           }
-        (fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType), bspan, endOf)
+        BucketArm(fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType), bspan, Some(endOf))
       case _ => return None
     })
+
+  /** The rule-varying (DST) zone composition: split the queried instant
+    * range at the zone's rule transitions into constant-offset pieces, run
+    * `base` (the existing shifted/calendar grouper) per piece with that
+    * piece's offset, and key every piece-bucket by EVALUATING the original
+    * grouping expression at an instant inside it. Catalyst's own eval
+    * supplies the zone semantics — offset retention through fall-back
+    * overlaps (`ZonedDateTime.truncatedTo`), gap-shifted midnights
+    * (`LocalDate.atStartOfDay(zone)`) — so the rewritten keys are the
+    * values the scan would produce, bit-for-bit, and a bucket straddling a
+    * transition merges across pieces exactly when Spark gives its instants
+    * one common value (the arms merge duplicate keys additively; the
+    * piece-clipped instant sets are disjoint). Soundness of the
+    * constant-value claim: within one piece the offset is constant, so
+    * instants of one local bucket share a truncated LOCAL time, and every
+    * Spark truncation path maps (local, currentOffset) deterministically.
+    * Coarsened wheels decline (fineSpan 1: transition edges are not
+    * slot-aligned) and hll_distinct declines (bucket keys are expression
+    * values, not instants — no sound register clip range). */
+  private def piecewiseArm(tz: String, ge: Expression, timeExpr: Expression,
+      table: TableIndex,
+      base: (HawWheel, Long, Long, Long) => IndexedSeq[(Long, RangeAgg)])
+      : Option[BucketArm] = {
+    val rules =
+      try java.time.ZoneId.of(tz).getRules catch { case _: Throwable => return None }
+    if (timeExpr.dataType != TimestampType) return None
+    val keyLit: Long => Literal = ge.dataType match {
+      case TimestampType            => k => Literal(k, TimestampType)
+      case DateType                 => k => Literal(k.toInt, DateType)
+      case IntegerType              => k => Literal(k.toInt, IntegerType)
+      case _                        => return None
+    }
+    def evalKey(repSec: Long): Long = {
+      // Substitute the TIMESTAMP-typed time subexpression the arm matched
+      // (not the leaf attribute: the time column may be DERIVED, e.g.
+      // `timestamp_micros(rawNanos div 1000)`, whose leaf is a raw Long in
+      // a different unit) and constant-fold the grouping expression.
+      val sub = ge.transform {
+        case e if e.semanticEquals(timeExpr) =>
+          Literal(repSec * 1000000L, TimestampType)
+      }
+      Try(sub.eval(InternalRow.empty)).getOrElse(throw new DeclineRewrite) match {
+        case l: Long => l
+        case i: Int  => i.toLong
+        case _       => throw new DeclineRewrite
+      }
+    }
+    val fn = (hw: HawWheel, s: Long, e: Long) => {
+      val lo = math.max(s, hw.startSec)
+      val hi = math.min(e, hw.endSec)
+      if (lo >= hi) Vector.empty[(Long, RangeAgg)]
+      else {
+        val out = Vector.newBuilder[(Long, RangeAgg)]
+        var cur = lo
+        var n = 0
+        while (cur < hi) {
+          if (n > 512) throw new DeclineRewrite // pathological transition list
+          val off = rules.getOffset(java.time.Instant.ofEpochSecond(cur))
+            .getTotalSeconds.toLong
+          val t = rules.nextTransition(java.time.Instant.ofEpochSecond(cur))
+          val pe =
+            if (t == null) hi
+            else math.min(hi, math.max(cur + 1, t.getInstant.getEpochSecond))
+          out ++= base(hw, cur, pe, off).map { case (gs, ra) =>
+            (evalKey(math.max(gs, cur)), ra)
+          }
+          cur = pe
+          n += 1
+        }
+        out.result()
+      }
+    }
+    Some(BucketArm(fn, keyLit, 1L, None))
+  }
 
   /** Exclusive end of a calendar bucket: `months` months after its start.
     * Bucket starts are UTC month boundaries (day-aligned), so the LocalDate

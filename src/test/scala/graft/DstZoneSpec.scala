@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.UWheelBuilder
+
+/** DST-zone group-by rewrites: the piecewise transition-split composition
+  * (`UWheelRule.piecewiseArm`) must reproduce Spark's own calendar
+  * semantics bit-for-bit ON the hard instants —
+  *
+  *  - America/New_York: whole-hour DST, spring-forward gap 2024-03-10
+  *    02:00→03:00, fall-back overlap 2024-11-03 (the 01:xx hour occurs
+  *    twice; `date_trunc('hour')` keeps each pass's own offset, so the
+  *    repeated local hour yields TWO output rows);
+  *  - Australia/Lord_Howe: THIRTY-MINUTE DST shift (+10:30↔+11:00,
+  *    transitions 2024-04-07 and 2024-10-06) — bucket shifts change at
+  *    minute granularity;
+  *  - America/Santiago: transitions at local MIDNIGHT (2024-04-07
+  *    fall-back, 2024-09-08 spring-forward) — the spring-forward day has
+  *    no local 00:00, so its `date_trunc('day')` value is the gap-shifted
+  *    01:00.
+  *
+  * Ground truth is the rule-disabled scan on the same session — the exact
+  * semantics the rewrite must match. Data is engineered dense (20 s grid)
+  * through every transition's surrounding hours, so gap and overlap
+  * buckets are populated on both sides.
+  */
+class DstZoneSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val dir =
+    java.nio.file.Files.createTempDirectory("graft-dst").toString
+  private lazy val path = s"$dir/t.parquet"
+
+  // 2024 transition instants (UTC seconds) of the three zones under test.
+  private val transitions: Seq[Long] = Seq(
+    "America/New_York", "Australia/Lord_Howe", "America/Santiago").flatMap { z =>
+    val rules = java.time.ZoneId.of(z).getRules
+    Iterator.iterate(rules.nextTransition(
+        java.time.Instant.parse("2024-01-01T00:00:00Z")))(t =>
+        rules.nextTransition(t.getInstant))
+      .takeWhile(t => t != null && t.getInstant.isBefore(
+        java.time.Instant.parse("2025-01-01T00:00:00Z")))
+      .map(_.getInstant.getEpochSecond).toSeq
+  }
+
+  lazy val setup: Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.enable(spark)
+    import spark.implicits._
+    // sparse 6-hour backbone across 2024 + dense 20 s grid for ±2 h around
+    // every transition (covers both passes of fall-back overlaps and the
+    // approaches to every gap)
+    val backbone = {
+      val start = java.time.Instant.parse("2024-01-01T00:11:07Z").getEpochSecond
+      (0 until 1464).map(i => start + i.toLong * 21600)
+    }
+    val dense = transitions.flatMap(t => (-360 to 359).map(i => t + i * 20L))
+    val secs = (backbone ++ dense).distinct.sorted
+    secs.zipWithIndex.map { case (s, i) =>
+      (new java.sql.Timestamp(s * 1000), (i % 89) / 4.0, (i % 53).toLong)
+    }.toDF("ts", "value", "uid").write.mode("overwrite").parquet(path)
+    UWheelBuilder("ts", Seq("value")).withDistinctWheel("uid").build(spark, path)
+  }
+
+  def df: DataFrame = spark.read.parquet(path)
+
+  def assertRewritten(q: DataFrame): Unit = {
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+    assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+  }
+
+  /** Runs `q` with the rule disabled to get the ground-truth answer. */
+  def groundTruth[T](q: => T): T = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cs.experimental.extraOptimizations
+    cs.experimental.extraOptimizations = Nil
+    try q finally cs.experimental.extraOptimizations = saved
+  }
+
+  private def inZone[T](tz: String)(body: => T): T = {
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try body finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  private def checkParity(q: => DataFrame, label: String): Unit = {
+    assertRewritten(q)
+    val got = q.collect().map(_.toString).toSeq
+    val exp = groundTruth(q.collect().map(_.toString).toSeq)
+    assert(got === exp, label)
+    assert(got.nonEmpty, s"$label produced no rows — vacuous parity")
+  }
+
+  private val zones = Seq("America/New_York", "Australia/Lord_Howe", "America/Santiago")
+
+  test("every unit's group-by matches the scan across all 2024 transitions") {
+    setup
+    for (tz <- zones; unit <- Seq("minute", "hour", "day", "week", "month", "quarter", "year"))
+      inZone(tz) {
+        checkParity(
+          df.groupBy(date_trunc(unit, col("ts")).as("b"))
+            .agg(count(lit(1)).as("c"),
+              sum(col("value").cast("decimal(18,2)")).as("s"),
+              min("value").as("mn"), max("value").as("mx"))
+            .orderBy("b"),
+          s"$tz / $unit")
+      }
+  }
+
+  test("to_date and year() group-bys match the scan") {
+    setup
+    for (tz <- zones) inZone(tz) {
+      checkParity(
+        df.groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c")).orderBy("d"),
+        s"$tz / to_date")
+      checkParity(
+        df.groupBy(year(col("ts")).as("y")).agg(count(lit(1)).as("c")).orderBy("y"),
+        s"$tz / year")
+    }
+  }
+
+  test("fall-back overlap: the repeated local hour yields two rows, matching the scan") {
+    setup
+    // New York 2024-11-03: instants 05:00Z..07:00Z both render local 01:xx;
+    // date_trunc('hour') retains each pass's own offset (EDT then EST)
+    inZone("America/New_York") {
+      def q = df.filter(
+          col("ts") >= lit("2024-11-03 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-11-03 04:00:00").cast("timestamp"))
+        .groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg(count(lit(1)).as("c")).orderBy("b")
+      checkParity(q, "NY fall-back hours")
+      // the local-01:00 hour must appear twice — as the two pass instants
+      // 05:00Z (01:00 EDT) and 06:00Z (01:00 EST)
+      val keys = q.collect().map(_.getTimestamp(0).toInstant.toString).toSeq
+      assert(keys.contains("2024-11-03T05:00:00Z") &&
+        keys.contains("2024-11-03T06:00:00Z"),
+        s"expected both 01:00 passes, got $keys")
+    }
+  }
+
+  test("spring-forward gap: the gap day truncates to the shifted first instant") {
+    setup
+    // Santiago 2024-09-08: local midnight does not exist; the day's
+    // date_trunc value is 01:00 local — delegated to Catalyst eval, so
+    // parity with the scan proves the shifted key
+    inZone("America/Santiago") {
+      def q = df.filter(
+          col("ts") >= lit("2024-09-06 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-09-10 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("day", col("ts")).as("b"))
+        .agg(count(lit(1)).as("c"), min("value").as("mn")).orderBy("b")
+      checkParity(q, "Santiago gap days")
+      // 2024-09-08's local midnight is in the gap: its day key is the
+      // shifted first instant 01:00(-3) = 04:00Z, while the -4 days before
+      // start at 04:00Z and the -3 day after starts at 03:00Z
+      val keys = q.collect().map(_.getTimestamp(0).toInstant.toString).toSeq
+      assert(keys.contains("2024-09-08T04:00:00Z"),
+        s"gap day should truncate to 01:00 local (04:00Z), got $keys")
+      assert(keys.contains("2024-09-09T03:00:00Z"), s"post-DST day start, got $keys")
+    }
+  }
+
+  test("range-restricted group-bys crossing a transition match the scan") {
+    setup
+    val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+    for (tz <- zones; t <- transitions.take(6)) inZone(tz) {
+      val lo = java.time.Instant.ofEpochSecond(t - 7200)
+      val hi = java.time.Instant.ofEpochSecond(t + 7200)
+      checkParity(
+        df.filter(col("ts") >= lit(fmt.format(lo)).cast("timestamp") &&
+            col("ts") < lit(fmt.format(hi)).cast("timestamp"))
+          .groupBy(date_trunc("hour", col("ts")).as("b"))
+          .agg(count(lit(1)).as("c"), max("value").as("mx")).orderBy("b"),
+        s"$tz / window@$t")
+    }
+  }
+
+  test("hll_distinct declines under a DST zone (no sound register clip)") {
+    setup
+    // sanity: the distinct wheel DOES serve this shape under UTC…
+    val utcq = df.groupBy(date_trunc("day", col("ts")).as("b"))
+      .agg(expr("hll_distinct(uid)").as("d"))
+    assertRewritten(utcq)
+    // …and declines under a DST zone, where bucket keys are expression
+    // values rather than instants (no sound register clip range)
+    inZone("America/New_York") {
+      val q = df.groupBy(date_trunc("day", col("ts")).as("b"))
+        .agg(expr("hll_distinct(uid)").as("d"))
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.collect { case r: LogicalRelation => r }.nonEmpty,
+        s"hll under DST must fall back to the scan:\n$opt")
+    }
+  }
+}

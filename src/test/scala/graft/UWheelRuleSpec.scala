@@ -283,11 +283,15 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertRewritten(q)
     assert(q.collect().map(_.toString).toSeq ===
       groundTruth(q.collect().map(_.toString).toSeq))
-    // year() of a TIMESTAMP goes through a session-zone date cast: gated
+    // year() of a TIMESTAMP goes through a session-zone date cast: under a
+    // DST zone the piecewise composition still rewrites it, exactly
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-    try assertNotRewritten(
-      events.groupBy(year(col("ts")).as("y")).agg(count(lit(1)).as("c")))
-    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try {
+      def qz = events.groupBy(year(col("ts")).as("y")).agg(count(lit(1)).as("c"))
+      assertRewritten(qz)
+      assert(qz.collect().map(_.toString).sorted.toSeq ===
+        groundTruth(qz.collect().map(_.toString).sorted.toSeq))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   test("multi-range: OR of time windows and IN lists rewrite additively") {
@@ -345,55 +349,59 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertNotRewritten(s.agg(count(lit(1))))
   }
 
-  test("non-UTC session time zone blocks date_trunc rewrites coarser than second") {
+  test("DST session zone: coarse date_trunc group-bys rewrite piecewise, exactly") {
     setup
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try {
       val q = ranged.groupBy(date_trunc("hour", col("ts")).as("b"))
-        .agg(count(lit(1)).as("c"))
-      assertNotRewritten(q)
+        .agg(count(lit(1)).as("c")).orderBy("b")
+      assertRewritten(q)
+      assert(q.collect().map(_.toString).toSeq ===
+        groundTruth(q.collect().map(_.toString).toSeq))
       val q2 = ranged.groupBy(date_trunc("second", col("ts")).as("b"))
         .agg(count(lit(1)).as("c"))
       assertRewritten(q2)
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
-  test("non-UTC sessions: fixed-offset zones rewrite coarse truncs exactly, DST zones decline") {
+  test("non-UTC sessions: every zone rewrites coarse group-bys exactly; WHERE-side calendar predicates stay offset-gated") {
     setup
     // a half-hour fixed-offset zone (constant +05:30 across the data span:
-    // the shifted-slot composition rewrites) and a DST zone (offset varies
-    // within the rule's one-year margin: must decline — falling through,
-    // never wrong). Asia/Kathmandu exercises a :45 offset (minute-level
-    // composition for day buckets).
-    for ((tz, rewrites) <- Seq("Asia/Kolkata" -> true, "Asia/Kathmandu" -> true,
-                               "America/New_York" -> false)) {
+    // the shifted-slot composition), a :45 offset (Asia/Kathmandu:
+    // minute-level composition for day buckets), and a DST zone
+    // (America/New_York: the piecewise transition-split composition).
+    // Group-bys rewrite in ALL of them now; `fixed` only gates the
+    // WHERE-side calendar predicates, which still require a constant
+    // offset (declining under DST — falling through, never wrong).
+    for ((tz, fixed) <- Seq("Asia/Kolkata" -> true, "Asia/Kathmandu" -> true,
+                            "America/New_York" -> false)) {
       spark.conf.set("spark.sql.session.timeZone", tz)
       try {
         for (unit <- Seq("minute", "hour", "day", "week", "month", "quarter", "year")) {
           val q = ranged.groupBy(date_trunc(unit, col("ts")).as("b"))
             .agg(count(lit(1)).as("c"), min("value").as("mn")).orderBy("b")
-          if (rewrites) assertRewritten(q) else assertNotRewritten(q)
-          // either way the answer must equal the rule-disabled scan's
+          assertRewritten(q)
           val got = q.collect().map(_.toString).toSeq
           val exp = groundTruth(q.collect().map(_.toString).toSeq)
           assert(got === exp, s"$tz / $unit")
         }
         // to_date and year() compose the same way: local-day/local-year
-        // buckets under a constant offset, scan under DST
+        // buckets (shifted slots under a constant offset, piecewise under
+        // DST)
         val qd = ranged.groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
-        if (rewrites) assertRewritten(qd) else assertNotRewritten(qd)
+        assertRewritten(qd)
         assert(qd.collect().map(_.toString).sorted.toSeq ===
           groundTruth(qd.collect().map(_.toString).sorted.toSeq), s"$tz / to_date")
         val qy = events.groupBy(year(col("ts")).as("y")).agg(count(lit(1)).as("c"))
-        if (rewrites) assertRewritten(qy) else assertNotRewritten(qy)
+        assertRewritten(qy)
         assert(qy.collect().map(_.toString).sorted.toSeq ===
           groundTruth(qy.collect().map(_.toString).sorted.toSeq), s"$tz / year")
-        // WHERE-side calendar predicates compose under the same offset
-        // rule. to_date comparisons rewrite in EVERY zone — Spark's own
+        // WHERE-side calendar predicates compose under a constant offset
+        // only. to_date comparisons rewrite in EVERY zone — Spark's own
         // optimizer unwraps the date cast into session-zone instant
         // ranges before our rule, which then extracts zone-free bounds;
         // date_trunc equality and year() reach our arms unnormalized and
-        // are offset-gated like the group-bys.
+        // are offset-gated, so they decline under DST.
         for ((pred, gated) <- Seq(
             "date_trunc('day', ts) = TIMESTAMP '2024-01-08 00:00:00'" -> true,
             "to_date(ts) = DATE '2024-01-08'" -> false,
@@ -401,7 +409,7 @@ class UWheelRuleSpec extends AnyFunSuite {
             "year(ts) = 2024" -> true)) {
           val qw = events.filter(expr(pred))
             .agg(count(lit(1)).as("c"), min("value").as("mn"))
-          if (rewrites || !gated) assertRewritten(qw) else assertNotRewritten(qw)
+          if (fixed || !gated) assertRewritten(qw) else assertNotRewritten(qw)
           assert(qw.collect().map(_.toString).toSeq ===
             groundTruth(qw.collect().map(_.toString).toSeq), s"$tz / WHERE $pred")
         }
