@@ -94,6 +94,54 @@ object Extract {
     case _ => false
   }
 
+  /** How a session zone's calendar views compose with instant-keyed wheels;
+    * resolved per zone id by the caller (the rule knows the indexed span). */
+  sealed trait ZoneSpec
+  /** The offset is CONSTANT across the indexed span (UTC, fixed-offset
+    * zones, or region zones with no transition over span + margin): every
+    * local calendar bound is the same constant shift of an instant. */
+  final case class FixedZone(offsetSec: Long) extends ZoneSpec
+  /** Rule-varying (DST) zone. Only DATE-PATH calendar views — `to_date`,
+    * `year()`, `date_trunc` of day and coarser — compose: their value
+    * depends on the LOCAL DATE alone, so each local boundary resolves to
+    * one instant through the zone rules ([[Extract.boundaryInstantUs]]).
+    * Sub-day truncations (minute/hour) keep each offset pass's own value
+    * (`ZonedDateTime.truncatedTo` offset retention) and decline here. */
+  final case class RuleZone(rules: java.time.zone.ZoneRules) extends ZoneSpec
+
+  /** The instant (epoch micros) at which the local calendar reaches
+    * `localUs` (a day-aligned local value, micros since local epoch):
+    *  - unique local time → `localUs − offset`;
+    *  - inside a spring-forward GAP → the transition instant (the calendar
+    *    jumps over the boundary there — the instant set with local date ≥
+    *    the boundary still starts exactly at the transition);
+    *  - inside a fall-back OVERLAP → None (the local boundary occurs
+    *    twice, so "local ≥ boundary" can be a non-contiguous instant set —
+    *    decline rather than guess). */
+  private[graft] def boundaryInstantUs(rules: java.time.zone.ZoneRules,
+      localUs: Long): Option[Long] = {
+    val sec = Math.floorDiv(localUs, MicrosPerSec)
+    val subUs = localUs - sec * MicrosPerSec
+    val ldt = java.time.LocalDateTime.ofEpochSecond(sec, subUs.toInt * 1000,
+      java.time.ZoneOffset.UTC)
+    val offs = rules.getValidOffsets(ldt)
+    if (offs.size == 1) Some(localUs - offs.get(0).getTotalSeconds * MicrosPerSec)
+    else if (offs.isEmpty) {
+      val t = rules.getTransition(ldt)
+      if (t == null) None
+      else Some(t.getInstant.getEpochSecond * MicrosPerSec)
+    } else None
+  }
+
+  /** The zone's offset (micros) at an instant (micros). */
+  private[graft] def offsetAtUs(rules: java.time.zone.ZoneRules, us: Long): Long =
+    rules.getOffset(java.time.Instant.ofEpochSecond(Math.floorDiv(us, MicrosPerSec)))
+      .getTotalSeconds * MicrosPerSec
+
+  private[graft] def isDayOrCoarser(unit: String): Boolean =
+    unit == "day" || unit == "week" || unit == "month" ||
+      unit == "quarter" || unit == "year"
+
   /** Canonical calendar unit of a `date_trunc`/`trunc` format string, or
     * None for unsupported (sub-second, millennium, …) units. */
   private[graft] def truncUnitOf(fmt: String): Option[String] = {
@@ -198,7 +246,7 @@ object Extract {
     * `c` is dropped, since Spark's InferFiltersFromConstraints adds those
     * after the index was keyed on the user's original filter. */
   def splitTimeRange(conjuncts: Seq[Expression], timeCol: String,
-      zoneOffsetSec: String => Option[Long] = _ => None): (SecRange, Seq[Expression]) = {
+      zoneSpec: String => Option[ZoneSpec] = _ => None): (SecRange, Seq[Expression]) = {
     var lo: Option[Long] = None // micros, inclusive
     var hi: Option[Long] = None // micros, exclusive
     var exact = true
@@ -241,26 +289,32 @@ object Extract {
       case _ => None
     }}
 
-    // Offset (in MICROS) under which a session-zone calendar view of the
-    // time column composes with the instant-keyed wheel: 0 when the view is
-    // zone-free (NTZ wall clock, 'second' truncation, bare DATE columns) or
-    // the zone is UTC; the zone's constant offset when the caller proved
-    // its rules never transition across the indexed span (fixed-offset
-    // zones — the rule passes constantZoneOffset); None declines the arm.
-    // A local-calendar bound b then corresponds to the instant b − offset.
-    def offUs(tzId: Option[String], zoneFree: Boolean): Option[Long] =
-      if (zoneFree) Some(0L)
+    // Zone composition of a session-zone calendar view of the time column:
+    // FixedZone(0) when the view is zone-free (NTZ wall clock, 'second'
+    // truncation, bare DATE columns) or the zone is UTC; the caller's
+    // ZoneSpec otherwise (FixedZone for constant-offset spans, RuleZone
+    // for DST zones — accepted only by the DATE-PATH arms); None declines.
+    def zoneOf(tzId: Option[String], zoneFree: Boolean): Option[ZoneSpec] =
+      if (zoneFree) Some(FixedZone(0L))
       else tzId.flatMap(z =>
-        if (isUtcZone(z)) Some(0L)
-        else zoneOffsetSec(z).map(_ * MicrosPerSec))
+        if (isUtcZone(z)) Some(FixedZone(0L)) else zoneSpec(z))
+    // Constant offset in MICROS; declines rule-varying zones. Used by the
+    // sub-day truncation arms, whose values are offset-retaining instants.
+    def offUs(tzId: Option[String], zoneFree: Boolean): Option[Long] =
+      zoneOf(tzId, zoneFree).collect { case FixedZone(o) => o * MicrosPerSec }
+    // A DAY-ALIGNED local calendar bound -> the instant where the local
+    // calendar reaches it (constant shift, or rule-resolved for DST).
+    def localBoundToInstant(zs: ZoneSpec, localUs: Long): Option[Long] = zs match {
+      case FixedZone(o)    => Some(localUs - o * MicrosPerSec)
+      case RuleZone(rules) => boundaryInstantUs(rules, localUs)
+    }
     // year()'s / to_date()'s date-typed child: bare DATE columns are
-    // zone-free; a session-zone TIMESTAMP→DATE cast composes under the
-    // same constant-offset rule
-    def yearArmOffset(t: Expression): Option[Long] = t match {
+    // zone-free; a session-zone TIMESTAMP→DATE cast composes per ZoneSpec
+    def yearArmZone(t: Expression): Option[ZoneSpec] = t match {
       case a: AttributeReference if a.name == timeCol && a.dataType == DateType =>
-        Some(0L)
+        Some(FixedZone(0L))
       case Cast(inner, DateType, tzId, _) if isTime(inner, timeCol) =>
-        offUs(tzId, inner.dataType == TimestampNTZType)
+        zoneOf(tzId, inner.dataType == TimestampNTZType)
       case _ => None
     }
 
@@ -277,29 +331,54 @@ object Extract {
       case _ if isTimeAsDate(x, timeCol) && litDateMicros(l).isDefined =>
         val d = litDateMicros(l).get
         Some((d, d + MicrosPerDay))
-      // to_date(ts) = DATE 'd' under a constant-offset zone: the LOCAL day,
-      // i.e. the instant range shifted by the offset
+      // to_date(ts) = DATE 'd': the LOCAL day as an instant range —
+      // constant shift under a fixed offset, rule-resolved boundaries
+      // under DST (to_date depends only on the local date, so both local
+      // midnights resolve through localBoundToInstant; an ambiguous
+      // midnight declines)
       case Cast(t, DateType, tzId, _)
           if isTime(t, timeCol) && litDateMicros(l).isDefined =>
-        offUs(tzId, t.dataType == TimestampNTZType).map { o =>
-          val d = litDateMicros(l).get
-          (d - o, d + MicrosPerDay - o)
-        }
-      // date_trunc(unit, ts) = TIMESTAMP 't': unit range when aligned.
-      // Coarse units truncate in the expression's zone (NTZ: wall clock) —
-      // same constant-offset composition as the GROUP BY date_trunc arm:
-      // alignment is tested on the LOCAL value and the range shifts back.
+        for {
+          zs <- zoneOf(tzId, t.dataType == TimestampNTZType)
+          d = litDateMicros(l).get
+          lo <- localBoundToInstant(zs, d)
+          hi <- localBoundToInstant(zs, d + MicrosPerDay)
+        } yield (lo, hi)
+      // date_trunc(unit, ts) = TIMESTAMP 't': unit range when the literal
+      // is a truncation fixed point. Coarse units truncate in the
+      // expression's zone (NTZ: wall clock) — alignment is tested on the
+      // LOCAL value and the range shifts back. Under DST, day-and-coarser
+      // units compose via the date path: the bucket's value is the
+      // instant at which the local calendar reaches the unit start (the
+      // spring-forward day's value is the gap-shifted transition instant,
+      // which localBoundToInstant reproduces), so `v` matches exactly
+      // when it IS that instant, and the qualifying rows are the instants
+      // between the two boundary resolutions. Sub-day units decline under
+      // DST (offset-retaining values). A non-fixed-point literal is
+      // UNSATISFIABLE → the empty range.
       case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
           if isTime(t, timeCol) =>
         for {
           unit <- truncUnitOf(fmt.toString)
-          o <- offUs(tzId, unit == "second" || t.dataType == TimestampNTZType)
+          zs <- zoneOf(tzId, unit == "second" || t.dataType == TimestampNTZType)
           v <- litMicros(l)
-        } yield {
-          val vL = v + o
-          if (truncUtcMicros(vL, unit) == vL) (v, nextBoundaryMicros(vL, unit) - o)
-          else (0L, 0L)
-        }
+          r <- zs match {
+            case FixedZone(oSec) =>
+              val o = oSec * MicrosPerSec
+              val vL = v + o
+              Some(
+                if (truncUtcMicros(vL, unit) == vL) (v, nextBoundaryMicros(vL, unit) - o)
+                else (0L, 0L))
+            case RuleZone(rules) if isDayOrCoarser(unit) =>
+              val a = truncUtcMicros(v + offsetAtUs(rules, v), unit)
+              boundaryInstantUs(rules, a).flatMap { start =>
+                if (start != v) Some((0L, 0L))
+                else boundaryInstantUs(rules, nextBoundaryMicros(a, unit))
+                  .map(end => (v, end))
+              }
+            case _ => None
+          }
+        } yield r
       // trunc(dateCol, unit) = DATE 'd': DATE in, DATE out, zone-free
       // (TruncDate never consults the session zone). Spark's trunc() yields
       // NULL for units finer than week, so those stay residual.
@@ -314,16 +393,20 @@ object Extract {
           else (0L, 0L)
       // year(ts) = N: the calendar year as a range (month/day-of-year
       // equalities are recurring, not contiguous, so only year extracts);
-      // the year is read off the LOCAL date, so constant-offset zones
-      // shift the instant range like the other calendar views
+      // the year is read off the LOCAL date, so the two local New Year
+      // midnights resolve through the ZoneSpec like the other date-path
+      // views (rule-resolved under DST)
       case Year(t) =>
         for {
-          o <- yearArmOffset(t)
+          zs <- yearArmZone(t)
           r <- l match {
             case Literal(y: Int, IntegerType) if y >= 1 && y <= 9998 =>
-              val lo = java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay
-              val hi = java.time.LocalDate.of(y + 1, 1, 1).toEpochDay * MicrosPerDay
-              Some((lo - o, hi - o))
+              val loL = java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay
+              val hiL = java.time.LocalDate.of(y + 1, 1, 1).toEpochDay * MicrosPerDay
+              for {
+                lo <- localBoundToInstant(zs, loL)
+                hi <- localBoundToInstant(zs, hiL)
+              } yield (lo, hi)
             case _ => None
           }
         } yield r
@@ -347,67 +430,91 @@ object Extract {
     // Comparisons on CALENDAR-VALUED views of the time column —
     // `date_trunc(u, ts) OP lit`, `trunc(dateCol, u) OP lit`,
     // `to_date(ts) OP lit`, `year(ts) OP n` — are all EXACT for every
-    // operator, because the view only takes unit-aligned values: with
+    // operator, because the view only takes unit-start values: with
     // a = trunc(lit) and next = the boundary after a,
-    //   view >= lit ⇔ ts >= (lit aligned ? lit : next)   [calCeil]
-    //   view >  lit ⇔ ts >= next                          [calNext]
-    //   view <  lit ⇔ ts <  (lit aligned ? lit : next)   [calCeil]
-    //   view <= lit ⇔ ts <  next                          [calNext]
-    // (unit, literal value in LOCAL micros, offset): bound arithmetic runs
-    // on the local calendar value and the final bound shifts back by the
-    // offset (0 for zone-free/UTC views).
-    def calBounds(x: Expression, l: Expression): Option[(String, Long, Long)] = x match {
+    //   view >= lit ⇔ ts >= (lit aligned ? lit : next)   [ceilInstant]
+    //   view >  lit ⇔ ts >= next                          [nextInstant]
+    //   view <  lit ⇔ ts <  (lit aligned ? lit : next)   [ceilInstant]
+    //   view <= lit ⇔ ts <  next                          [nextInstant]
+    // Bound arithmetic runs on the LOCAL calendar value; `toInstant`
+    // resolves the final local bound to an instant — a constant shift
+    // under FixedZone, rule-resolved per bound under DST (date-path units
+    // only; an ambiguous boundary declines the arm, leaving the conjunct
+    // residual). For instant-valued views (date_trunc of a TIMESTAMP) the
+    // alignment test compares resolved instants, so a DST gap day's
+    // shifted value still counts as aligned.
+    final case class CalView(unit: String, litLocalUs: Long,
+        toInstant: Long => Option[Long], litInstant: Option[Long])
+    def calBounds(x: Expression, l: Expression): Option[CalView] = x match {
       case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
           if isTime(t, timeCol) =>
         for {
           unit <- truncUnitOf(fmt.toString)
-          o <- offUs(tzId, unit == "second" || t.dataType == TimestampNTZType)
-          v <- litMicros(l) // an instant: local value = v + o
-        } yield (unit, v + o, o)
+          zs <- zoneOf(tzId, unit == "second" || t.dataType == TimestampNTZType)
+          v <- litMicros(l) // an instant
+          cv <- zs match {
+            case FixedZone(oSec) =>
+              val o = oSec * MicrosPerSec
+              Some(CalView(unit, v + o, b => Some(b - o), Some(v)))
+            case RuleZone(rules) if isDayOrCoarser(unit) =>
+              Some(CalView(unit, v + offsetAtUs(rules, v),
+                b => boundaryInstantUs(rules, b), Some(v)))
+            case _ => None
+          }
+        } yield cv
       case TruncDate(t, Literal(fmt: UTF8String, StringType))
           if isDateAttr(t, timeCol) =>
         for {
           unit <- truncUnitOf(fmt.toString)
           if unit == "week" || unit == "month" || unit == "quarter" || unit == "year"
           d <- litDateMicros(l)
-        } yield (unit, d, 0L)
+        } yield CalView(unit, d, b => Some(b), None)
       case Cast(t, DateType, tzId, _) if isTime(t, timeCol) =>
         for {
-          o <- offUs(tzId, t.dataType == TimestampNTZType)
+          zs <- zoneOf(tzId, t.dataType == TimestampNTZType)
           d <- litDateMicros(l) // a DATE literal IS a local calendar value
-        } yield ("day", d, o)
+        } yield CalView("day", d, b => localBoundToInstant(zs, b), None)
       case Year(t) =>
         for {
-          o <- yearArmOffset(t)
+          zs <- yearArmZone(t)
           v <- l match {
             case Literal(y: Int, IntegerType) if y >= 1 && y <= 9998 =>
               Some(java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay)
             case _ => None
           }
-        } yield ("year", v, o)
+        } yield CalView("year", v, b => localBoundToInstant(zs, b), None)
       case _ => None
     }
-    def calCeil(u: String, v: Long): Long = {
-      val a = truncUtcMicros(v, u)
-      if (a == v) v else nextBoundaryMicros(a, u)
+    def ceilInstant(cv: CalView): Option[Long] = {
+      val a = truncUtcMicros(cv.litLocalUs, cv.unit)
+      val alignedOpt: Option[Boolean] = cv.litInstant match {
+        // instant-valued view: aligned iff the literal IS the bucket's
+        // resolved start; an unresolvable (ambiguous) start must DECLINE —
+        // guessing "unaligned" could drop the literal's own bucket
+        case Some(v) => cv.toInstant(a).map(_ == v)
+        case None    => Some(a == cv.litLocalUs) // local-valued literal
+      }
+      alignedOpt.flatMap(al =>
+        cv.toInstant(if (al) a else nextBoundaryMicros(a, cv.unit)))
     }
-    def calNext(u: String, v: Long): Long = nextBoundaryMicros(truncUtcMicros(v, u), u)
+    def nextInstant(cv: CalView): Option[Long] =
+      cv.toInstant(nextBoundaryMicros(truncUtcMicros(cv.litLocalUs, cv.unit), cv.unit))
     object CalCmp {
       /** Left(lo) / Right(hi) contribution in micros; literal-first
         * orientations flip the operator. */
       def unapply(e: Expression): Option[scala.Either[Long, Long]] = e match {
         case GreaterThanOrEqual(a, b) =>
-          calBounds(a, b).map { case (u, v, o) => scala.Left(calCeil(u, v) - o) }
-            .orElse(calBounds(b, a).map { case (u, v, o) => scala.Right(calNext(u, v) - o) })
+          calBounds(a, b).flatMap(cv => ceilInstant(cv).map(scala.Left(_)))
+            .orElse(calBounds(b, a).flatMap(cv => nextInstant(cv).map(scala.Right(_))))
         case GreaterThan(a, b) =>
-          calBounds(a, b).map { case (u, v, o) => scala.Left(calNext(u, v) - o) }
-            .orElse(calBounds(b, a).map { case (u, v, o) => scala.Right(calCeil(u, v) - o) })
+          calBounds(a, b).flatMap(cv => nextInstant(cv).map(scala.Left(_)))
+            .orElse(calBounds(b, a).flatMap(cv => ceilInstant(cv).map(scala.Right(_))))
         case LessThan(a, b) =>
-          calBounds(a, b).map { case (u, v, o) => scala.Right(calCeil(u, v) - o) }
-            .orElse(calBounds(b, a).map { case (u, v, o) => scala.Left(calNext(u, v) - o) })
+          calBounds(a, b).flatMap(cv => ceilInstant(cv).map(scala.Right(_)))
+            .orElse(calBounds(b, a).flatMap(cv => nextInstant(cv).map(scala.Left(_))))
         case LessThanOrEqual(a, b) =>
-          calBounds(a, b).map { case (u, v, o) => scala.Right(calNext(u, v) - o) }
-            .orElse(calBounds(b, a).map { case (u, v, o) => scala.Left(calCeil(u, v) - o) })
+          calBounds(a, b).flatMap(cv => nextInstant(cv).map(scala.Right(_)))
+            .orElse(calBounds(b, a).flatMap(cv => ceilInstant(cv).map(scala.Left(_))))
         case _ => None
       }
     }
@@ -525,9 +632,9 @@ object Extract {
     * emptiness (every disjunct contradicted the conjunctive bounds); a
     * lone unbounded range means no time constraint, as before. */
   def splitTimeRangeSet(conjuncts: Seq[Expression], timeCol: String,
-      zoneOffsetSec: String => Option[Long] = _ => None): (Seq[SecRange], Seq[Expression]) = {
+      zoneSpec: String => Option[ZoneSpec] = _ => None): (Seq[SecRange], Seq[Expression]) = {
     def rangeOfPureTime(conjs: Seq[Expression]): Option[SecRange] = {
-      val (r, resid) = splitTimeRange(conjs, timeCol, zoneOffsetSec)
+      val (r, resid) = splitTimeRange(conjs, timeCol, zoneSpec)
       if (resid.isEmpty && r.isBounded) Some(r) else None
     }
     def disjunctRanges(e: Expression): Option[Seq[SecRange]] = e match {
@@ -552,7 +659,7 @@ object Extract {
         case None           => rest += c
       } else rest += c
     }
-    val (base, residual) = splitTimeRange(rest.result(), timeCol, zoneOffsetSec)
+    val (base, residual) = splitTimeRange(rest.result(), timeCol, zoneSpec)
     union match {
       case None     => (Seq(base), residual)
       case Some(rs) => (normalizeRanges(rs.flatMap(intersectRanges(_, base))), residual)

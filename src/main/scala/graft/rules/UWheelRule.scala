@@ -294,7 +294,7 @@ object UWheelRule extends Rule[LogicalPlan] {
     // set is a plan-time proof of contradiction — every aggregate sees zero
     // rows.
     val (ranges, residualRaw) = Extract.splitTimeRangeSet(uw.conjuncts, table.timeColumn,
-      z => constantZoneOffset(z, table))
+      zoneSpecOf(table))
     if (ranges.exists(!_.exact)) return None
     if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
     val residual = Extract.dropImpliedNotNull(residualRaw)
@@ -901,6 +901,15 @@ object UWheelRule extends Rule[LogicalPlan] {
   private def fineSpanFor(span: Long, shift: Long): Long =
     HawWheel.Spans.reverse.find(sp => span % sp == 0 && shift % sp == 0).get
 
+  /** Zone resolution for [[Extract]]'s calendar-view arms: a constant
+    * offset when provable across the indexed span (fixed-offset zones —
+    * every view composes), else the raw zone rules (DST zones — only
+    * date-path views compose, resolving each local boundary per
+    * [[Extract.boundaryInstantUs]]). */
+  private def zoneSpecOf(table: TableIndex)(z: String): Option[Extract.ZoneSpec] =
+    constantZoneOffset(z, table).map(Extract.FixedZone)
+      .orElse(Try(java.time.ZoneId.of(z).getRules).toOption.map(Extract.RuleZone))
+
   /** The zone's UTC offset in seconds IF its rules are constant (no DST or
     * historical transition) across the table's indexed span plus a
     * one-year margin (covering every bucket boundary any calendar unit can
@@ -935,7 +944,7 @@ object UWheelRule extends Rule[LogicalPlan] {
     val uw = unwrap(f).getOrElse(return None)
     val table = uw.table
     val (ranges, residual) = Extract.splitTimeRangeSet(uw.conjuncts, table.timeColumn,
-      z => constantZoneOffset(z, table))
+      zoneSpecOf(table))
     // every disjunct contradicted the conjunctive bounds: empty by algebra,
     // no wheel consulted
     if (ranges.isEmpty) return Some(LocalRelation(f.output, Nil))

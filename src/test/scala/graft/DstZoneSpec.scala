@@ -187,6 +187,49 @@ class DstZoneSpec extends AnyFunSuite {
     }
   }
 
+  test("WHERE-side date-path calendar predicates compose under DST") {
+    setup
+    // the 25-hour fall-back day, the 23-hour gap day, plain days, a
+    // BETWEEN spanning a transition, and year equality — each must
+    // rewrite AND match the rule-disabled scan
+    val cases = Seq(
+      "America/New_York"  -> "to_date(ts) = DATE '2024-11-03'",
+      "America/New_York"  -> "to_date(ts) BETWEEN DATE '2024-11-01' AND DATE '2024-11-05'",
+      "America/New_York"  -> "date_trunc('day', ts) = TIMESTAMP '2024-03-10 00:00:00'",
+      "America/New_York"  -> "year(ts) = 2024",
+      "America/Santiago"  -> "to_date(ts) = DATE '2024-09-08'",
+      "America/Santiago"  -> "date_trunc('day', ts) = TIMESTAMP '2024-09-08 00:00:00'",
+      "America/Santiago"  -> "to_date(ts) >= DATE '2024-09-08' AND to_date(ts) < DATE '2024-09-10'",
+      "Australia/Lord_Howe" -> "to_date(ts) = DATE '2024-10-06'",
+      "Australia/Lord_Howe" -> "date_trunc('month', ts) = TIMESTAMP '2024-10-01 00:00:00'")
+    for ((tz, pred) <- cases) inZone(tz) {
+      def q = df.filter(expr(pred))
+        .agg(count(lit(1)).as("c"), min("value").as("mn"), max("value").as("mx"))
+      assertRewritten(q)
+      val got = q.collect().map(_.toString).toSeq
+      val exp = groundTruth(q.collect().map(_.toString).toSeq)
+      assert(got === exp, s"$tz / WHERE $pred")
+      assert(q.collect()(0).getLong(0) > 0, s"$tz / WHERE $pred matched no rows — vacuous")
+    }
+    // the gap-day literal parsed in-session resolves to the SHIFTED first
+    // instant, which IS the day's date_trunc value — so the equality above
+    // matched the whole 23-hour day; sanity-check the count equals to_date's
+    inZone("America/Santiago") {
+      val a = df.filter(expr("date_trunc('day', ts) = TIMESTAMP '2024-09-08 00:00:00'")).count()
+      val b = df.filter(expr("to_date(ts) = DATE '2024-09-08'")).count()
+      assert(a === b && a > 0)
+    }
+    // sub-day truncation comparisons stay offset-gated under DST
+    inZone("America/New_York") {
+      val q = df.filter(expr("date_trunc('hour', ts) = TIMESTAMP '2024-11-03 01:00:00'"))
+        .agg(count(lit(1)).as("c"))
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.collect { case r: LogicalRelation => r }.nonEmpty,
+        s"hour-trunc equality under DST must fall back:\n$opt")
+      assert(q.collect()(0).getLong(0) === groundTruth(q.collect()(0).getLong(0)))
+    }
+  }
+
   test("hll_distinct declines under a DST zone (no sound register clip)") {
     setup
     // sanity: the distinct wheel DOES serve this shape under UTC…

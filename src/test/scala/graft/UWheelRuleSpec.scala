@@ -396,23 +396,28 @@ class UWheelRuleSpec extends AnyFunSuite {
         assertRewritten(qy)
         assert(qy.collect().map(_.toString).sorted.toSeq ===
           groundTruth(qy.collect().map(_.toString).sorted.toSeq), s"$tz / year")
-        // WHERE-side calendar predicates compose under a constant offset
-        // only. to_date comparisons rewrite in EVERY zone — Spark's own
-        // optimizer unwraps the date cast into session-zone instant
-        // ranges before our rule, which then extracts zone-free bounds;
-        // date_trunc equality and year() reach our arms unnormalized and
-        // are offset-gated, so they decline under DST.
-        for ((pred, gated) <- Seq(
-            "date_trunc('day', ts) = TIMESTAMP '2024-01-08 00:00:00'" -> true,
-            "to_date(ts) = DATE '2024-01-08'" -> false,
-            "to_date(ts) BETWEEN DATE '2024-01-06' AND DATE '2024-01-09'" -> false,
-            "year(ts) = 2024" -> true)) {
+        // WHERE-side calendar predicates: date-path views (to_date, year,
+        // date_trunc of day and coarser) compose in EVERY zone — constant
+        // shift under a fixed offset, per-boundary rule resolution under
+        // DST. Sub-day truncations still require a constant offset (their
+        // values retain each pass's own offset), so they decline under DST.
+        for (pred <- Seq(
+            "date_trunc('day', ts) = TIMESTAMP '2024-01-08 00:00:00'",
+            "to_date(ts) = DATE '2024-01-08'",
+            "to_date(ts) BETWEEN DATE '2024-01-06' AND DATE '2024-01-09'",
+            "year(ts) = 2024")) {
           val qw = events.filter(expr(pred))
             .agg(count(lit(1)).as("c"), min("value").as("mn"))
-          if (fixed || !gated) assertRewritten(qw) else assertNotRewritten(qw)
+          assertRewritten(qw)
           assert(qw.collect().map(_.toString).toSeq ===
             groundTruth(qw.collect().map(_.toString).toSeq), s"$tz / WHERE $pred")
         }
+        val qh = events.filter(
+            expr("date_trunc('hour', ts) = TIMESTAMP '2024-01-08 05:00:00'"))
+          .agg(count(lit(1)).as("c"))
+        if (fixed) assertRewritten(qh) else assertNotRewritten(qh)
+        assert(qh.collect().map(_.toString).toSeq ===
+          groundTruth(qh.collect().map(_.toString).toSeq), s"$tz / WHERE hour-eq")
         // 'second' truncation is timezone-invariant: stays rewritten + exact
         val qs = ranged.groupBy(date_trunc("second", col("ts")).as("b"))
           .agg(count(lit(1)).as("c")).orderBy("b")
