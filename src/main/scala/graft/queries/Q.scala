@@ -19,12 +19,14 @@ import graft.index.{IndexBuilder, UWheelBuilder, UWheelIndex}
 object Q {
 
   private val prepared = ConcurrentHashMap.newKeySet[String]()
-  private val registeredDir = new ConcurrentHashMap[Integer, String]()
+  private val registeredDir = new ConcurrentHashMap[String, String]()
 
   def ctx(spark: SparkSession, sfDir: String): SparkSession = {
     // Re-register the corpus views only when this session switches sfDir —
     // doing it per query would put 10 parquet schema reads on every call.
-    val sid = Integer.valueOf(System.identityHashCode(spark))
+    // sessionUUID, not identityHashCode: identity hashes can collide across
+    // GC'd sessions, aliasing one session's registration state to another.
+    val sid = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)
     if (registeredDir.put(sid, sfDir) != sfDir) {
       Tables.registerAll(spark, sfDir)
       // orders_dated must track the dir too: on a switch BACK to an already-

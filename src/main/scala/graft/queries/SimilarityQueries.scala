@@ -361,7 +361,7 @@ object SimilarityQueries {
     val files = java.util.Arrays.hashCode(
       spark.table(table).inputFiles.sorted.asInstanceOf[Array[AnyRef]])
     corpusN.compute(
-      s"${System.identityHashCode(spark)}#$sfDir#$table",
+      s"${org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)}#$sfDir#$table",
       (_, old) =>
         if (old != null && old._1 == files) old
         else (files, spark.table(table).count()))._2
