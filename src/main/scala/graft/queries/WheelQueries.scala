@@ -211,6 +211,21 @@ object WheelQueries {
         |FROM lineitem_dec
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin),
+    // EXACT COUNT(DISTINCT key): answered from the complete per-value keyed
+    // wheel set — the count of values with a nonzero range count — under
+    // the same plan-time counting proof as the multi-column arm (per-value
+    // counts must sum to the unfiltered count, so NULL keys or uncovered
+    // values decline). Unlike hll_distinct this is the exact value and gets
+    // a full DuckDB oracle.
+    "uw_exact_distinct" -> Q.sql(
+      s"""SELECT count(*) AS cnt, count(DISTINCT event_type) AS dtypes
+         |FROM events WHERE $range""".stripMargin),
+    // per-day exact distinct: per-bucket nonzero-count enumeration over the
+    // same wheel set, composed with ordinary wheel aggregates
+    "uw_exact_distinct_daily" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, count(DISTINCT event_type) AS dtypes,
+         |       count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
     // a wheel-answerable SCALAR SUBQUERY: the rewrite fires inside the
     // subquery plan (Catalyst optimizes subqueries with the full rule set),
     // so the outer aggregation's threshold is a plan-time constant
@@ -372,5 +387,12 @@ object WheelQueries {
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type AS et,
          |       count(*) AS cnt, $sumDec AS sum_val
          |FROM events WHERE $range GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "uw_exact_distinct" ->
+      s"""SELECT count(*) AS cnt, count(DISTINCT event_type) AS dtypes
+         |FROM events WHERE $range""".stripMargin,
+    "uw_exact_distinct_daily" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         |       count(DISTINCT event_type) AS dtypes, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -172,6 +172,18 @@ object UWheelRule extends Rule[LogicalPlan] {
   private final case class HllSrc(d: DistinctIndexedWheel) extends Src {
     def numeric: Option[IndexedWheel] = None
   }
+  /** Exact COUNT(DISTINCT key): answered from the COMPLETE per-value keyed
+    * wheel set (one `k = v` wheel per live value) anchored by the unfiltered
+    * wheel — the same plan-time counting proof as the multi-column GROUP BY
+    * arm (sum of per-value counts must equal the unfiltered count) certifies
+    * no value and no NULL-keyed row escaped the enumeration, so the count of
+    * values with a nonzero range count IS the exact distinct count.
+    * `numeric` exposes the anchor so the grouped arm's shared
+    * bucket-enumeration and identical-keyset checks cover it. */
+  private final case class DistinctSetSrc(base: IndexedWheel,
+      perValue: Seq[IndexedWheel]) extends Src {
+    def numeric: Option[IndexedWheel] = Some(base)
+  }
 
   /** What one AggregateExpression needs from the index.
     * `hllP` is only meaningful for kind == "hll" (register precision the
@@ -210,7 +222,18 @@ object UWheelRule extends Rule[LogicalPlan] {
   }
 
   private def classify(ae: AggregateExpression): Option[Need] = {
-    if (ae.isDistinct || ae.filter.isDefined) return None
+    if (ae.filter.isDefined) return None
+    if (ae.isDistinct) return ae.aggregateFunction match {
+      // exact COUNT(DISTINCT key): served by the complete per-value keyed
+      // wheel set under a counting proof (srcFor "cntdist"). Any other
+      // distinct aggregate declines. Single-distinct aggregates reach the
+      // rule un-expanded at both injection points: the operator-optimization
+      // batch runs before RewriteDistinctAggregates, and that rule leaves
+      // single-group distincts for physical planning.
+      case Count(Seq(a: AttributeReference)) =>
+        Some(Need(Some(a.name), "cntdist", None))
+      case _ => None
+    }
     ae.aggregateFunction match {
       case Count(Seq(Literal(v, _))) if v != null => Some(Need(None, "count", None))
       case Count(Nil) => Some(Need(None, "count", None))
@@ -368,6 +391,27 @@ object UWheelRule extends Rule[LogicalPlan] {
               r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
               r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
           .map(HllSrc)
+      // exact COUNT(DISTINCT k): the complete per-value `k = v` wheel set.
+      // A residual filter declines — per-value wheels are keyed on the
+      // value equality alone, so a residual would need per-(value ×
+      // residual) wheels nobody builds. Completeness is not assumed: the
+      // answer-time counting proof rejects any range (or bucket) whose
+      // per-value counts don't sum to the unfiltered count, which is
+      // exactly the condition under which a NULL key or an uncovered value
+      // would make the enumeration-based count wrong.
+      case "cntdist" =>
+        if (filterKey.nonEmpty) None
+        else for {
+          c <- n.column
+          keyed = table.allWheels.filter(_.keyEqOpt.exists(_._1 == c))
+          values = keyed.flatMap(_.keyEqOpt).map(_._2).distinct
+          if values.nonEmpty
+          pv = values.flatMap(v =>
+            keyed.filter(_.keyEqOpt.exists(_._2 == v))
+              .filter(coverageOk).filter(spanOk).headOption)
+          if pv.length == values.length
+          base <- table.anyForFilter("").filter(coverageOk).filter(spanOk)
+        } yield DistinctSetSrc(base, pv)
       case _ => wheelFor(n).map(NumSrc)
     }
 
@@ -452,6 +496,12 @@ object UWheelRule extends Rule[LogicalPlan] {
           val v = src match {
             case NumSrc(w) => n.value(rangeAggOf(w.wheel))
             case HllSrc(d) => hllOver(d, bounds)
+            case DistinctSetSrc(base, pv) =>
+              // counting proof over the whole range set, then the exact
+              // distinct count is the number of values present in it
+              val counts = pv.map(w => rangeAggOf(w.wheel).count)
+              if (counts.sum != rangeAggOf(base.wheel).count) return None
+              Long.box(counts.count(_ > 0L))
           }
           k -> (v, dataTypeOf(k))
         }.toMap
@@ -477,9 +527,11 @@ object UWheelRule extends Rule[LogicalPlan] {
         // coarsened wheels can only serve buckets their slots tile exactly
         // (incl. coarsened HLL wheels — bucket boundaries must be
         // span-aligned for their register slots too)
-        val slotSpans = nds.values.map {
-          case (_, NumSrc(w)) => w.wheel.slotSpan
-          case (_, HllSrc(d)) => d.span
+        val slotSpans = nds.values.flatMap {
+          case (_, NumSrc(w)) => Seq(w.wheel.slotSpan)
+          case (_, HllSrc(d)) => Seq(d.span)
+          case (_, DistinctSetSrc(b, pv)) =>
+            b.wheel.slotSpan +: pv.map(_.wheel.slotSpan)
         }.toSet + enumWheel.wheel.slotSpan
         if (slotSpans.exists(sp => bucketSpan % sp != 0)) return None
         // Bucket map per wheel over the (disjoint) range set: a bucket
@@ -503,6 +555,21 @@ object UWheelRule extends Rule[LogicalPlan] {
             hw -> groupsOf(hw)
           }.toMap
         if (wheelGroups.values.exists(_.keySet != groupKeys)) return None
+        // exact-distinct needs: per-value bucket counts + the counting proof
+        // anchored on the unfiltered wheel's buckets (its key set already
+        // passed the identical-keyset check above, via Src.numeric)
+        val distinctCounts: Map[Expression, Seq[Map[Long, Long]]] =
+          nds.toSeq.collect { case (k, (_, DistinctSetSrc(base, pv))) =>
+            val pvGroups = pv.map(w =>
+              groupsOf(w.wheel).view.mapValues(_.count).toMap)
+            if (pvGroups.exists(!_.keySet.subsetOf(groupKeys))) return None
+            val baseGroups = wheelGroups(base.wheel)
+            val complete = groupKeys.forall { b =>
+              pvGroups.map(_.getOrElse(b, 0L)).sum == baseGroups(b).count
+            }
+            if (!complete) return None
+            k -> pvGroups
+          }.toMap
         val rows = groups.map { case (gs, _) =>
           val gEnd = bucketEndOf(gs)
           val aggValues = nds.map { case (k, (n, src)) =>
@@ -516,6 +583,8 @@ object UWheelRule extends Rule[LogicalPlan] {
                 hllOver(d, bounds.map { case (s, e) =>
                   (math.max(s, gs), math.min(e, gEnd))
                 })
+              case DistinctSetSrc(_, _) =>
+                Long.box(distinctCounts(k).count(_.getOrElse(gs, 0L) > 0L))
             }
             k -> (v, dataTypeOf(k))
           }.toMap
@@ -537,6 +606,10 @@ object UWheelRule extends Rule[LogicalPlan] {
       // residuals would need per-(value × residual) wheels nobody builds.
       case Seq(g1raw, g2raw) =>
         if (filterKey.nonEmpty) return None // residuals don't compose with per-value routing
+        // COUNT(DISTINCT) per (bucket, value) group would need per-(value ×
+        // value) wheels; within its own key's group the count is trivially
+        // 0/1 but never worth a rewrite — decline
+        if (needList.values.exists(_.kind == "cntdist")) return None
         val g1 = resolve(g1raw, uw.aliases)
         val g2 = resolve(g2raw, uw.aliases)
         def orient(t: Expression, k: Expression) = (timeBucketArm(t, table), k) match {
@@ -595,6 +668,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         val spans2 = perValue.values.map {
           case NumSrc(w) => w.wheel.slotSpan
           case HllSrc(d) => d.span
+          case _: DistinctSetSrc => return None // declined above (cntdist)
         }.toSet + baseW.wheel.slotSpan
         if (spans2.exists(sp => bucketSpan % sp != 0)) return None
         def groupsOf2(hw: HawWheel): Map[Long, RangeAgg] =
@@ -634,6 +708,7 @@ object UWheelRule extends Rule[LogicalPlan] {
                     hllOver(d, bounds.map { case (s, e) =>
                       (math.max(s, b), math.min(e, bEnd))
                     })
+                  case _: DistinctSetSrc => return None // declined above
                 }
                 k -> (value, dataTypeOf(k))
               }.toMap

@@ -801,6 +801,84 @@ class UWheelRuleSpec extends AnyFunSuite {
     assert(df.collect().length === 3)
   }
 
+  test("exact COUNT(DISTINCT key): complete keyed set rewrites, scalar and bucketed") {
+    setup
+    Seq("error", "purchase", "signup", "view").foreach { et =>
+      UWheelIndex.buildIndex(spark, path,
+        IndexBuilder("value", Some(s"event_type = '$et'")))
+    }
+    // scalar, mixed with plain wheel aggregates
+    def q = ranged.agg(countDistinct(col("event_type")).as("dt"),
+      count(lit(1)).as("cnt"), min("value").as("mn"))
+    assertRewritten(q)
+    assert(q.collect()(0).toString === groundTruth(q.collect()(0).toString))
+    assert(q.collect()(0).getLong(0) === 5L)
+    // per-day buckets: per-bucket nonzero-count enumeration
+    def qd = ranged.groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(countDistinct("event_type").as("dt"), count(lit(1)).as("cnt"))
+      .orderBy("d")
+    assertRewritten(qd)
+    assert(qd.collect().map(_.toString).toSeq ===
+      groundTruth(qd.collect().map(_.toString).toSeq))
+    // residual filters don't compose with per-value routing
+    assertNotRewritten(ranged.filter(col("user_id") > 10)
+      .agg(countDistinct("event_type").as("dt")))
+    // distinct over a column with no keyed wheels falls back
+    val qu = ranged.agg(countDistinct("user_id").as("du"))
+    assertNotRewritten(qu)
+    assert(qu.collect()(0).getLong(0) === groundTruth(qu.collect()(0).getLong(0)))
+  }
+
+  test("exact COUNT(DISTINCT): NULL keys and uncovered values fail the counting proof") {
+    setup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cntdist").toString
+    def row(s: String, v: Double, k: String) = (java.sql.Timestamp.valueOf(s), v, k)
+    def win(df: DataFrame) = df.filter(
+      col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-02-04 00:00:00").cast("timestamp"))
+
+    // per-bucket variation: day 1 has both values, days 2 and 3 one each
+    val p1 = s"$dir/t1.parquet"
+    Seq(row("2024-02-01 00:00:00", 1.0, "a"), row("2024-02-01 00:10:00", 2.0, "b"),
+      row("2024-02-02 00:00:00", 3.0, "a"),
+      row("2024-02-03 00:00:00", 4.0, "b"), row("2024-02-03 00:00:02", 5.0, "b"))
+      .toDF("ts", "value", "k").write.mode("overwrite").parquet(p1)
+    UWheelBuilder("ts", Seq("value"))
+      .withKeyedWheel(IndexBuilder("value", Some("k = 'a'")))
+      .withKeyedWheel(IndexBuilder("value", Some("k = 'b'")))
+      .build(spark, p1)
+    val q1 = win(spark.read.parquet(p1))
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(countDistinct("k").as("dk")).orderBy("d")
+    assertRewritten(q1)
+    assert(q1.collect().map(_.getLong(1)).toSeq === Seq(2L, 1L, 1L))
+
+    // NULL keys: COUNT(DISTINCT) ignores them but the base count includes
+    // them — per-value sums come up short and the proof declines
+    val p2 = s"$dir/t2.parquet"
+    Seq((java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0, Some("a")),
+      (java.sql.Timestamp.valueOf("2024-02-01 00:00:01"), 2.0, Option.empty[String]))
+      .toDF("ts", "value", "k").write.mode("overwrite").parquet(p2)
+    UWheelBuilder("ts", Seq("value"))
+      .withKeyedWheel(IndexBuilder("value", Some("k = 'a'")))
+      .build(spark, p2)
+    val q2 = win(spark.read.parquet(p2)).agg(countDistinct("k").as("dk"))
+    assertNotRewritten(q2)
+    assert(q2.collect()(0).getLong(0) === 1L)
+
+    // a live value with no wheel: sums come up short, proof declines
+    val p3 = s"$dir/t3.parquet"
+    Seq(row("2024-02-01 00:00:00", 1.0, "a"), row("2024-02-01 00:00:01", 2.0, "b"))
+      .toDF("ts", "value", "k").write.mode("overwrite").parquet(p3)
+    UWheelBuilder("ts", Seq("value"))
+      .withKeyedWheel(IndexBuilder("value", Some("k = 'a'")))
+      .build(spark, p3)
+    val q3 = win(spark.read.parquet(p3)).agg(countDistinct("k").as("dk"))
+    assertNotRewritten(q3)
+    assert(q3.collect()(0).getLong(0) === 2L)
+  }
+
   test("multi-range sum overflow degrades to the scan, never aborts or wraps") {
     // two disjoint ranges whose individual scaled sums fit in a Long but
     // whose union does not: RangeAgg.merge's addExact throws, the rule's
