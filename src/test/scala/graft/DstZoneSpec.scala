@@ -230,6 +230,76 @@ class DstZoneSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized DST parity: group-bys and date-path filters match the scan") {
+    setup
+    // seeded sweep over (zone × window × shape): windows anchored half on
+    // transition instants, half uniform over 2024; every case must equal
+    // the rule-disabled scan bit-for-bit. Group-bys must rewrite (the
+    // piecewise arm covers every unit); WHERE-side date-path predicates may
+    // legitimately decline (ambiguous boundary), so they are parity-checked
+    // unconditionally and the rewrite RATE is asserted instead.
+    val rnd = new scala.util.Random(0x6f7a2024L)
+    val t0 = java.time.Instant.parse("2024-01-10T00:00:00Z").getEpochSecond
+    val t1 = java.time.Instant.parse("2024-12-20T00:00:00Z").getEpochSecond
+    var whereCases = 0
+    var whereRewrites = 0
+    var populated = 0
+    for (i <- 0 until 36) {
+      val tz = zones(rnd.nextInt(zones.length))
+      inZone(tz) {
+        val anchor =
+          if (rnd.nextBoolean()) transitions(rnd.nextInt(transitions.length))
+          else t0 + (rnd.nextDouble() * (t1 - t0)).toLong
+        val s = anchor - 43200 - rnd.nextInt(8 * 86400)
+        val e = anchor + 43200 + rnd.nextInt(8 * 86400)
+        def win = df.filter(
+          col("ts") >= lit(new java.sql.Timestamp(s * 1000L)) &&
+            col("ts") < lit(new java.sql.Timestamp(e * 1000L)))
+        val localDate = java.time.Instant.ofEpochSecond(anchor)
+          .atZone(java.time.ZoneId.of(tz)).toLocalDate
+        rnd.nextInt(5) match {
+          case 0 =>
+            val unit = Seq("minute", "hour", "day", "week", "month")(rnd.nextInt(5))
+            def q = win.groupBy(date_trunc(unit, col("ts")).as("b"))
+              .agg(count(lit(1)).as("c"), min("value").as("mn"), max("value").as("mx"))
+              .orderBy("b")
+            assertRewritten(q)
+            val got = q.collect().map(_.toString).toSeq
+            assert(got === groundTruth(q.collect().map(_.toString).toSeq),
+              s"#$i $tz group-by $unit [$s,$e)")
+            if (got.nonEmpty) populated += 1
+          case 1 =>
+            def q = win.groupBy(to_date(col("ts")).as("d"))
+              .agg(count(lit(1)).as("c")).orderBy("d")
+            assertRewritten(q)
+            val got = q.collect().map(_.toString).toSeq
+            assert(got === groundTruth(q.collect().map(_.toString).toSeq),
+              s"#$i $tz group-by to_date [$s,$e)")
+            if (got.nonEmpty) populated += 1
+          case n =>
+            val pred = n match {
+              case 2 => s"to_date(ts) = DATE '$localDate'"
+              case 3 =>
+                val d2 = localDate.plusDays(1L + rnd.nextInt(4))
+                s"to_date(ts) >= DATE '$localDate' AND to_date(ts) < DATE '$d2'"
+              case _ => s"date_trunc('day', ts) = TIMESTAMP '$localDate 00:00:00'"
+            }
+            whereCases += 1
+            def q = win.filter(expr(pred))
+              .agg(count(lit(1)).as("c"), max("value").as("mx"))
+            if (q.queryExecution.optimizedPlan
+                .collect { case r: LogicalRelation => r }.isEmpty) whereRewrites += 1
+            val got = q.collect().map(_.toString).toSeq
+            assert(got === groundTruth(q.collect().map(_.toString).toSeq),
+              s"#$i $tz WHERE $pred [$s,$e)")
+        }
+      }
+    }
+    assert(populated > 5, s"group-by cases mostly empty ($populated) — vacuous sweep")
+    assert(whereCases == 0 || whereRewrites * 3 >= whereCases * 2,
+      s"date-path WHERE rewrites fired only $whereRewrites/$whereCases")
+  }
+
   test("hll_distinct declines under a DST zone (no sound register clip)") {
     setup
     // sanity: the distinct wheel DOES serve this shape under UTC…
