@@ -555,8 +555,14 @@ object Extract {
       case GreaterThanOrEqual(l, t) if isTime(t, timeCol) && litMicros(l).isDefined =>
         mergeHi(litMicros(l).get + 1); exact = false
       case IsNotNull(a: AttributeReference) if a.name == timeCol =>
-        () // implied by any time bound; harmless to drop even without bounds
-           // only when bounds exist — caller checks
+        () // the time column itself (incl. its raw underlying column in
+           // derived-time tables) — implied by any time bound; harmless to
+           // drop even without bounds (the wheel indexes non-null times)
+      case IsNotNull(e) if isTime(e, timeCol) =>
+        () // not-null on a DERIVED time expression — e.g. the window()
+           // lowering's own isnotnull(ts) filter. The wheel only indexes
+           // rows whose time value is non-null, so every arm already
+           // answers over exactly the rows this conjunct retains.
       // Raw-nanosecond bounds on a Long time column (as injected by
       // NanosTimePushdown, or written directly by a user): `c >= L` in ns is
       // the µs bound L/1000 — exact when L is µs-aligned, else outward.

@@ -226,6 +226,23 @@ object WheelQueries {
       s"""SELECT date_trunc('day', ts) AS d, count(DISTINCT event_type) AS dtypes,
          |       count(*) AS cnt
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
+    // GROUP BY window(ts, len): Spark's canonical time-bucket idiom. The
+    // analyzer lowers it to a named_struct projection; the rewrite answers
+    // each bucket with one O(1) wheel range read. '6 hours' is a stride no
+    // date_trunc unit can express.
+    "uw_window_tumbling" -> Q.sql(
+      s"""SELECT window.start AS ws, window.end AS we, count(*) AS cnt,
+         |       min(value) AS mn, max(value) AS mx
+         |FROM events WHERE $range
+         |GROUP BY window(ts, '6 hours') ORDER BY 1""".stripMargin),
+    // sliding windows — the wheel's signature win: one O(1) range read per
+    // bucket, where the scan pays an Expand that multiplies every input row
+    // by the overlap factor (len/slide = 2x here, 24x for hourly-sliding
+    // days at 100 TB)
+    "uw_window_sliding" -> Q.sql(
+      s"""SELECT window.start AS ws, count(*) AS cnt, $sumDec AS sum_val
+         |FROM events WHERE $range
+         |GROUP BY window(ts, '2 days', '1 day') ORDER BY 1""".stripMargin),
     // a wheel-answerable SCALAR SUBQUERY: the rewrite fires inside the
     // subquery plan (Catalyst optimizes subqueries with the full rule set),
     // so the outer aggregation's threshold is a plan-time constant
@@ -394,5 +411,25 @@ object WheelQueries {
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
          |       count(DISTINCT event_type) AS dtypes, count(*) AS cnt
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Spark's window() buckets are pure epoch arithmetic (aligned to
+    // 1970-01-01 UTC): reproduce them with integer epoch math
+    "uw_window_tumbling" ->
+      s"""SELECT make_timestamp(b * 1000000) AS ws,
+         |       make_timestamp((b + 21600) * 1000000) AS we,
+         |       count(*) AS cnt, min(value) AS mn, max(value) AS mx
+         |FROM (
+         |  SELECT CAST(floor(epoch(ts) / 21600.0) AS BIGINT) * 21600 AS b, value
+         |  FROM events WHERE $range
+         |) GROUP BY b ORDER BY 1""".stripMargin,
+    // sliding = each row contributes to len/slide = 2 shifted buckets
+    "uw_window_sliding" ->
+      s"""SELECT make_timestamp(b * 1000000) AS ws, count(*) AS cnt,
+         |       $sumDec AS sum_val
+         |FROM (
+         |  SELECT (CAST(floor(epoch(ts) / 86400.0) AS BIGINT) - g.k) * 86400 AS b,
+         |         value
+         |  FROM events, (SELECT unnest([0, 1]) AS k) g
+         |  WHERE $range
+         |) GROUP BY b ORDER BY 1""".stripMargin,
   )
 }

@@ -310,7 +310,10 @@ object UWheelRule extends Rule[LogicalPlan] {
   private def tryAggRewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (agg.groupingExpressions.length > 2) return None
     if (agg.aggregateExpressions.exists(!_.deterministic)) return None
-    val uw = unwrap(agg.child).getOrElse(return None)
+    // sliding window(ts, len, slide): strip the analyzer's Expand and treat
+    // as a bucket arm whose member span is the full window length
+    val sliding = slidingWindowOf(agg)
+    val uw = unwrap(sliding.map(_._1).getOrElse(agg.child)).getOrElse(return None)
     val table = uw.table
     // Multi-range extraction: a pure-time OR / IN conjunct becomes a set of
     // disjoint ranges; per-range wheel answers merge additively. An EMPTY
@@ -510,7 +513,11 @@ object UWheelRule extends Rule[LogicalPlan] {
       case Seq(ge0) =>
         val nds = needs.getOrElse(return None)
         val ge = resolve(ge0, uw.aliases)
-        val arm = timeBucketArm(ge, table).getOrElse(return None)
+        val arm = (sliding match {
+          case Some((_, strideUs, offUs, lenUs)) =>
+            windowBucketArm(ge.dataType, strideUs, offUs, lenUs, lenUs)
+          case None => timeBucketArm(ge, table)
+        }).getOrElse(return None)
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
         // hll_distinct needs an instant bucket end to clip register reads —
         // arms without one (piecewise DST) decline the rewrite
@@ -747,6 +754,183 @@ object UWheelRule extends Rule[LogicalPlan] {
   private final class DeclineRewrite extends RuntimeException
       with scala.util.control.NoStackTrace
 
+  /** Matches the analyzer's TimeWindowing lowering of `window(ts, len,
+    * slide, start)`: `named_struct('start', ptc(lastStart − k·slide, L→TS),
+    * 'end', start + len)` where `lastStart = ptc(ts, TS→L) −
+    * floorMod(ptc(ts) − off, slide)` (the floor-mod spelled as the
+    * CASE WHEN the analyzer emits; `− off` / `− 0` terms may already be
+    * constant-folded). Returns (time expr, slideUs, offUs, k·slideUs,
+    * lenUs). The lowering is pure epoch-microsecond arithmetic — zone-free
+    * by construction — so no session-zone gate applies. */
+  private[rules] object WindowStruct {
+    private def stripK(e: Expression): Expression = e match {
+      case KnownNullable(x) => stripK(x)
+      case KnownNotNull(x)  => stripK(x)
+      case _                => e
+    }
+    private def longLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType)                         => Some(v)
+      case Cast(Literal(v: Int, IntegerType), LongType, _, _) => Some(v.toLong)
+      case _                                                  => None
+    }
+    private def ptcToLong(e: Expression): Option[Expression] = e match {
+      case PreciseTimestampConversion(t, TimestampType | TimestampNTZType, LongType) =>
+        Some(t)
+      case _ => None
+    }
+    private def ptcToTs(e: Expression): Option[Expression] = stripK(e) match {
+      case PreciseTimestampConversion(x, LongType, TimestampType | TimestampNTZType) =>
+        Some(x)
+      case _ => None
+    }
+    /** floorMod(ptc(ts) − off, slide) → (ts, slide, off). */
+    private def floorModOf(e: Expression): Option[(Expression, Long, Long)] = e match {
+      case CaseWhen(Seq((LessThan(m1, z), Add(m2, s2, _))), Some(m3))
+          if longLit(z).contains(0L) && m1.semanticEquals(m3) && m2.semanticEquals(m3) =>
+        m3 match {
+          case Remainder(base, sL, _) =>
+            for {
+              s   <- longLit(sL)
+              s2v <- longLit(s2)
+              if s == s2v && s > 0
+              r <- base match {
+                case Subtract(b, oL, _) =>
+                  longLit(oL).flatMap(o => ptcToLong(b).map((_, s, o)))
+                case b => ptcToLong(b).map((_, s, 0L))
+              }
+            } yield r
+          case _ => None
+        }
+      case _ => None
+    }
+    /** lastStart [− c] → (ts, slide, off, c). */
+    private def startOf(e: Expression): Option[(Expression, Long, Long, Long)] = e match {
+      case Subtract(l, r, _) =>
+        floorModOf(r) match {
+          case Some((t2, s, o)) =>
+            ptcToLong(l).filter(_.semanticEquals(t2)).map(t => (t, s, o, 0L))
+          case None =>
+            longLit(r).flatMap(c =>
+              startOf(l).map { case (t, s, o, c0) => (t, s, o, c0 + c) })
+        }
+      case _ => None
+    }
+    def unapply(ge: Expression): Option[(Expression, Long, Long, Long, Long)] = ge match {
+      case CreateNamedStruct(Seq(Literal(n1, StringType), sRaw, Literal(n2, StringType), eRaw))
+          if n1 != null && n1.toString == "start" &&
+            n2 != null && n2.toString == "end" =>
+        for {
+          si           <- ptcToTs(sRaw)
+          ei           <- ptcToTs(eRaw)
+          (t, s, o, c) <- startOf(si)
+          l <- ei match {
+            case Add(x, lL, _) if x.semanticEquals(si) => longLit(lL)
+            case _                                     => None
+          }
+          if l > 0
+        } yield (t, s, o, c, l)
+      case _ => None
+    }
+  }
+
+  /** Bucket arm for `window(ts, …)` group-bys: buckets every `strideUs`
+    * seconds (aligned to `offUs`), each read over `[b, b+memberUs)` —
+    * tumbling when member == stride, sliding (overlapping reads, one per
+    * Expand-emitted copy) when member = n·stride. The struct key is
+    * `(b, b+lenUs)`. Reads are O(1) prefix/directory lookups per bucket,
+    * so a sliding window costs one range read per bucket regardless of
+    * the overlap factor — the wheel's signature win over the scan, which
+    * pays an Expand row-multiplication of the whole input. */
+  private def windowBucketArm(dt: DataType, strideUs: Long, offUs: Long,
+      memberUs: Long, lenUs: Long): Option[BucketArm] = {
+    if (strideUs <= 0 || memberUs <= 0 || lenUs <= 0) return None
+    // wheel slots are second-granular: sub-second strides/offsets decline
+    if (strideUs % 1000000L != 0 || offUs % 1000000L != 0 ||
+        memberUs % 1000000L != 0) return None
+    val ss = strideUs / 1000000L
+    val ms = memberUs / 1000000L
+    val os = Math.floorMod(offUs / 1000000L, ss)
+    val fn = (hw: HawWheel, qs: Long, qe: Long) => {
+      // enumerate buckets whose member range intersects the wheel-clamped
+      // query range; clip each read to the QUERY bounds (disjoint per
+      // range-set member, so the grouped arm's additive merge stays exact)
+      val lo = math.max(qs, hw.startSec)
+      val hi = math.min(qe, hw.endSec)
+      if (lo >= hi) Vector.empty[(Long, RangeAgg)]
+      else {
+        var b = HawWheel.alignDown(lo - ms + 1 - os, ss) + os
+        while (b + ms <= lo) b += ss
+        if ((hi - b) / ss > 2000000L) throw new DeclineRewrite // plan-size guard
+        val out = Vector.newBuilder[(Long, RangeAgg)]
+        while (b < hi) {
+          val s0 = math.max(b, qs)
+          val e0 = math.min(b + ms, qe)
+          if (e0 > s0 && hw.countRange(s0, e0) > 0L) out += ((b, hw.range(s0, e0)))
+          b += ss
+        }
+        out.result()
+      }
+    }
+    val keyLit = (b: Long) => Literal(
+      new GenericInternalRow(Array[Any](b * 1000000L, b * 1000000L + lenUs)), dt)
+    Some(BucketArm(fn, keyLit, fineSpanFor(ss, os), Some((b: Long) => b + ms)))
+  }
+
+  /** Recognizes the analyzer's SLIDING window lowering: Aggregate grouping
+    * on an Expand-produced window-struct attribute, every projection
+    * emitting the same struct shifted by k·slide. Returns the plan below
+    * the Expand (pass-through Filters re-attached, so unwrap collects
+    * their conjuncts) plus (slideUs, offUs, lenUs). Only the exact-cover
+    * case (len = n·slide — the analyzer emits no trimming filter) is
+    * accepted; anything else stays on the scan. */
+  private def slidingWindowOf(agg: Aggregate): Option[(LogicalPlan, Long, Long, Long)] = {
+    val gAttr = agg.groupingExpressions match {
+      case Seq(a: AttributeReference) => a
+      case _                          => return None
+    }
+    var cur = agg.child
+    val conds = Vector.newBuilder[Expression]
+    var cont = true
+    while (cont) cur match {
+      case Filter(c, ch) => conds ++= Canon.splitConjuncts(c); cur = ch
+      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        cur = ch
+      case _ => cont = false
+    }
+    cur match {
+      case ex: Expand if ex.output.exists(_.exprId == gAttr.exprId) &&
+          ex.projections.nonEmpty =>
+        val pos = ex.output.indexWhere(_.exprId == gAttr.exprId)
+        val parsed = ex.projections.map(p =>
+          if (pos < p.length) WindowStruct.unapply(p(pos)) else None)
+        if (parsed.exists(_.isEmpty)) return None
+        val ps = parsed.map(_.get)
+        val (t0, s0, o0, _, l0) = ps.head
+        if (!ps.forall { case (t, s, o, _, l) =>
+              t.semanticEquals(t0) && s == s0 && o == o0 && l == l0 }) return None
+        val n = ps.length
+        if (ps.map(_._4).sorted != (0 until n).map(_.toLong * s0)) return None
+        if (l0 != n.toLong * s0) return None // exact cover — no trim filter
+        // non-window outputs must be uniform pass-through attributes (same
+        // exprIds as the child): every expanded copy then carries identical
+        // values, so per-group aggregates equal aggregates over the
+        // underlying rows of the bucket's member range
+        for (j <- ex.output.indices if j != pos) {
+          val e0 = ex.projections.head(j)
+          if (!e0.isInstanceOf[AttributeReference]) return None
+          if (!ex.projections.forall(p => j < p.length && p(j).semanticEquals(e0)))
+            return None
+        }
+        // Filters above the Expand must not touch the window struct; they
+        // reference pass-through columns only, so they commute below it
+        val cs = conds.result()
+        if (cs.exists(_.references.exists(_.exprId == gAttr.exprId))) return None
+        val child = if (cs.isEmpty) ex.child else Filter(cs.reduce(And(_, _)), ex.child)
+        Some((child, s0, o0, l0))
+      case _ => None
+    }
+  }
+
   /** Recognizes a time-bucketing grouping expression and returns its wheel
     * reading plan. Fixed-span levels add the span for the HLL bucket end,
     * calendar buckets add months. */
@@ -884,6 +1068,17 @@ object UWheelRule extends Rule[LogicalPlan] {
               (gs: Long) => plusMonthsSec(gs, stride))
           }
         BucketArm(fn, gs => Literal((gs / HawWheel.DAY).toInt, DateType), bspan, Some(endOf))
+      // GROUP BY window(ts, len [, slide, start]) — the analyzer lowers the
+      // tumbling form (slide == len) to a named_struct projection; each row
+      // belongs to the single bucket [lastStart, lastStart + slide), keyed
+      // by the struct (start, start + len). Pure epoch arithmetic: no
+      // session-zone gate. (The sliding form arrives through an Expand and
+      // is handled by slidingWindowOf, not here; k·slide shifts — c != 0 —
+      // only occur in Expand projections, so require c == 0.)
+      case WindowStruct(t, slideUs, offUs, 0L, lenUs)
+          if isTime(t, table.timeColumn) =>
+        windowBucketArm(ge.dataType, slideUs, offUs, slideUs, lenUs)
+          .getOrElse(return None)
       case _ => return None
     })
 

@@ -879,6 +879,55 @@ class UWheelRuleSpec extends AnyFunSuite {
     assert(q3.collect()(0).getLong(0) === 2L)
   }
 
+  test("GROUP BY window(): tumbling and sliding rewrite from wheel range reads") {
+    setup
+    // tumbling: day-aligned, sub-day, and a stride no date_trunc can express
+    for (len <- Seq("1 day", "6 hours", "90 seconds")) {
+      def q = ranged.groupBy(window(col("ts"), len))
+        .agg(count(lit(1)).as("c"), min("value").as("mn"), max("value").as("mx"))
+        .orderBy("window")
+      assertRewritten(q)
+      assert(q.collect().map(_.toString).toSeq ===
+        groundTruth(q.collect().map(_.toString).toSeq), s"tumbling $len")
+    }
+    // tumbling with a startTime offset
+    def qo = ranged.groupBy(window(col("ts"), "1 day", "1 day", "6 hours"))
+      .agg(count(lit(1)).as("c")).orderBy("window")
+    assertRewritten(qo)
+    assert(qo.collect().map(_.toString).toSeq ===
+      groundTruth(qo.collect().map(_.toString).toSeq), "offset tumbling")
+    // sliding: 2-day windows every day — one O(1) range read per bucket
+    // where the scan pays a 2x Expand row multiplication
+    def qs = ranged.groupBy(window(col("ts"), "2 days", "1 day"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .orderBy("window")
+    assertRewritten(qs)
+    assert(qs.collect().map(_.toString).toSeq ===
+      groundTruth(qs.collect().map(_.toString).toSeq), "sliding 2d/1d")
+    // non-exact cover (len not a multiple of slide): the analyzer adds a
+    // trimming filter — stays on the scan, still correct
+    def qn = ranged.groupBy(window(col("ts"), "36 hours", "1 day"))
+      .agg(count(lit(1)).as("c")).orderBy("window")
+    assertNotRewritten(qn)
+    assert(qn.collect().map(_.toString).toSeq ===
+      groundTruth(qn.collect().map(_.toString).toSeq), "36h/1d")
+    // sub-second slide: wheel slots are second-granular — declines
+    assertNotRewritten(
+      ranged.groupBy(window(col("ts"), "1 second", "500 milliseconds"))
+        .agg(count(lit(1)).as("c")))
+    // tumbling window x key column through the per-value counting proof
+    Seq("error", "purchase", "signup", "view").foreach { et =>
+      UWheelIndex.buildIndex(spark, path,
+        IndexBuilder("value", Some(s"event_type = '$et'")))
+    }
+    def q2 = ranged.groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).orderBy(col("window"), col("event_type"))
+    assertRewritten(q2)
+    assert(q2.collect().map(_.toString).toSeq ===
+      groundTruth(q2.collect().map(_.toString).toSeq), "window x key")
+  }
+
   test("multi-range sum overflow degrades to the scan, never aborts or wraps") {
     // two disjoint ranges whose individual scaled sums fit in a Long but
     // whose union does not: RangeAgg.merge's addExact throws, the rule's
