@@ -858,7 +858,10 @@ object UWheelRule extends Rule[LogicalPlan] {
       val hi = math.min(qe, hw.endSec)
       if (lo >= hi) Vector.empty[(Long, RangeAgg)]
       else {
-        var b = HawWheel.alignDown(lo - ms + 1 - os, ss) + os
+        // epoch-floor alignment, NOT HawWheel.alignDown: the wheel's week
+        // span is Monday-anchored while window() strides anchor to the
+        // epoch (1970-01-01), so a '7 days' stride must not inherit it
+        var b = Math.floorDiv(lo - ms + 1 - os, ss) * ss + os
         while (b + ms <= lo) b += ss
         if ((hi - b) / ss > 2000000L) throw new DeclineRewrite // plan-size guard
         val out = Vector.newBuilder[(Long, RangeAgg)]
@@ -873,7 +876,11 @@ object UWheelRule extends Rule[LogicalPlan] {
     }
     val keyLit = (b: Long) => Literal(
       new GenericInternalRow(Array[Any](b * 1000000L, b * 1000000L + lenUs)), dt)
-    Some(BucketArm(fn, keyLit, fineSpanFor(ss, os), Some((b: Long) => b + ms)))
+    // fine span from the epoch-anchored levels only: the WEEK level is
+    // Monday-anchored, so its slots never tile epoch-anchored windows
+    val fineSpan = Seq(HawWheel.DAY, 3600L, 60L, 1L)
+      .find(sp => ss % sp == 0 && os % sp == 0).get
+    Some(BucketArm(fn, keyLit, fineSpan, Some((b: Long) => b + ms)))
   }
 
   /** Recognizes the analyzer's SLIDING window lowering: Aggregate grouping

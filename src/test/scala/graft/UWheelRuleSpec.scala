@@ -890,6 +890,14 @@ class UWheelRuleSpec extends AnyFunSuite {
       assert(q.collect().map(_.toString).toSeq ===
         groundTruth(q.collect().map(_.toString).toSeq), s"tumbling $len")
     }
+    // 7-day stride: window() anchors to the epoch (1970-01-01, a Thursday),
+    // NOT the wheel's Monday-anchored week slots — regression for the
+    // alignDown anchor mismatch
+    def q7 = events.groupBy(window(col("ts"), "7 days"))
+      .agg(count(lit(1)).as("c"), min("value").as("mn")).orderBy("window")
+    assertRewritten(q7)
+    assert(q7.collect().map(_.toString).toSeq ===
+      groundTruth(q7.collect().map(_.toString).toSeq), "tumbling 7 days")
     // tumbling with a startTime offset
     def qo = ranged.groupBy(window(col("ts"), "1 day", "1 day", "6 hours"))
       .agg(count(lit(1)).as("c")).orderBy("window")
@@ -926,6 +934,14 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertRewritten(q2)
     assert(q2.collect().map(_.toString).toSeq ===
       groundTruth(q2.collect().map(_.toString).toSeq), "window x key")
+    // exact COUNT(DISTINCT key) per sliding window — per-bucket counting
+    // proof over the overlapping member ranges
+    def q3 = ranged.groupBy(window(col("ts"), "2 days", "1 day"))
+      .agg(countDistinct("event_type").as("dt"), count(lit(1)).as("c"))
+      .orderBy("window")
+    assertRewritten(q3)
+    assert(q3.collect().map(_.toString).toSeq ===
+      groundTruth(q3.collect().map(_.toString).toSeq), "sliding x countDistinct")
   }
 
   test("multi-range sum overflow degrades to the scan, never aborts or wraps") {
