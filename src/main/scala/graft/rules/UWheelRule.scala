@@ -917,7 +917,6 @@ object UWheelRule extends Rule[LogicalPlan] {
               t.semanticEquals(t0) && s == s0 && o == o0 && l == l0 }) return None
         val n = ps.length
         if (ps.map(_._4).sorted != (0 until n).map(_.toLong * s0)) return None
-        if (l0 != n.toLong * s0) return None // exact cover — no trim filter
         // non-window outputs must be uniform pass-through attributes (same
         // exprIds as the child): every expanded copy then carries identical
         // values, so per-group aggregates equal aggregates over the
@@ -928,9 +927,44 @@ object UWheelRule extends Rule[LogicalPlan] {
           if (!ex.projections.forall(p => j < p.length && p(j).semanticEquals(e0)))
             return None
         }
-        // Filters above the Expand must not touch the window struct; they
+        // When len is not an exact multiple of slide the analyzer emits
+        // ceil(len/slide) copies plus a trimming filter `ts >= window.start
+        // AND ts < window.end`; with it, bucket membership is exactly
+        // [start, start + len) — the same member span the arm reads — so
+        // the trim conjuncts are CONSUMED here. Exact cover needs no trim.
+        def isTrimLo(c: Expression) = c match {
+          case GreaterThanOrEqual(t, GetStructField(a: AttributeReference, 0, _))
+              if a.exprId == gAttr.exprId && t.semanticEquals(t0) => true
+          case LessThanOrEqual(GetStructField(a: AttributeReference, 0, _), t)
+              if a.exprId == gAttr.exprId && t.semanticEquals(t0) => true
+          case _ => false
+        }
+        def isTrimHi(c: Expression) = c match {
+          case LessThan(t, GetStructField(a: AttributeReference, 1, _))
+              if a.exprId == gAttr.exprId && t.semanticEquals(t0) => true
+          case GreaterThan(GetStructField(a: AttributeReference, 1, _), t)
+              if a.exprId == gAttr.exprId && t.semanticEquals(t0) => true
+          case _ => false
+        }
+        // inferred isnotnull(window[.start|.end]) constraints are implied:
+        // the struct (and both fields) is null exactly when ts is null, and
+        // null-ts rows are excluded by the wheel and the trim alike
+        def isWindowNotNull(c: Expression) = c match {
+          case IsNotNull(a: AttributeReference) => a.exprId == gAttr.exprId
+          case IsNotNull(GetStructField(a: AttributeReference, _, _)) =>
+            a.exprId == gAttr.exprId
+          case _ => false
+        }
+        val cs0 = conds.result()
+        val (trimCs, cs) = cs0.partition(c =>
+          isTrimLo(c) || isTrimHi(c) || isWindowNotNull(c))
+        val covered =
+          if (l0 == n.toLong * s0) true
+          else (n.toLong - 1) * s0 < l0 && l0 < n.toLong * s0 &&
+            trimCs.exists(isTrimLo) && trimCs.exists(isTrimHi)
+        if (!covered) return None
+        // remaining filters must not touch the window struct; they
         // reference pass-through columns only, so they commute below it
-        val cs = conds.result()
         if (cs.exists(_.references.exists(_.exprId == gAttr.exprId))) return None
         val child = if (cs.isEmpty) ex.child else Filter(cs.reduce(And(_, _)), ex.child)
         Some((child, s0, o0, l0))

@@ -913,11 +913,13 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertRewritten(qs)
     assert(qs.collect().map(_.toString).toSeq ===
       groundTruth(qs.collect().map(_.toString).toSeq), "sliding 2d/1d")
-    // non-exact cover (len not a multiple of slide): the analyzer adds a
-    // trimming filter — stays on the scan, still correct
+    // non-exact cover (len not a multiple of slide): the analyzer emits
+    // ceil(len/slide) copies plus a trimming filter — consumed, because
+    // trimmed membership is exactly [start, start+len), the member span
+    // the arm reads anyway
     def qn = ranged.groupBy(window(col("ts"), "36 hours", "1 day"))
-      .agg(count(lit(1)).as("c")).orderBy("window")
-    assertNotRewritten(qn)
+      .agg(count(lit(1)).as("c"), min("value").as("mn")).orderBy("window")
+    assertRewritten(qn)
     assert(qn.collect().map(_.toString).toSeq ===
       groundTruth(qn.collect().map(_.toString).toSeq), "36h/1d")
     // sub-second slide: wheel slots are second-granular — declines

@@ -100,6 +100,28 @@ class HllSqlSpec extends AnyFunSuite {
     assert(on.toSeq === off.toSeq)
   }
 
+  test("sliding window x hll_distinct: trailing-window distinct users bit-equal the scan") {
+    setup
+    // THE dashboard shape: distinct users over a trailing 2-day window,
+    // daily — per-bucket register merges clipped to the window's member
+    // span, where the scan pays the Expand row multiplication
+    val sql =
+      s"""SELECT window.start AS ws, hll_distinct(user_id) AS du, count(*) AS cnt
+         |FROM events WHERE $range
+         |GROUP BY window(ts, '2 days', '1 day') ORDER BY 1""".stripMargin
+    assertRewritten(spark.sql(sql))
+    val (on, off) = onOff(sql)
+    assert(on.toSeq === off.toSeq)
+    // tumbling 6-hour buckets, same bit-equality
+    val sql2 =
+      s"""SELECT window.start AS ws, hll_distinct(user_id) AS du
+         |FROM events WHERE $range
+         |GROUP BY window(ts, '6 hours') ORDER BY 1""".stripMargin
+    assertRewritten(spark.sql(sql2))
+    val (on2, off2) = onOff(sql2)
+    assert(on2.toSeq === off2.toSeq)
+  }
+
   test("OR of disjoint windows merges registers exactly") {
     setup
     val sql =
