@@ -167,6 +167,21 @@ class StreamingWheelSpec extends AnyFunSuite {
       assert(landmark.queryExecution.optimizedPlan
         .collect { case r: LogicalRelation => r }.nonEmpty)
 
+      // GROUP BY window() rewrites from the streamed wheel too — the rule
+      // is source-agnostic once the index is registered
+      val win = spark.sql(
+        s"""SELECT window.start AS ws, count(*) AS cnt
+           |FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+           |  AND ts < TIMESTAMP '2024-03-01 00:03:00'
+           |GROUP BY window(ts, '1 minute') ORDER BY 1""".stripMargin)
+      assert(win.queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty,
+        s"window group-by not rewritten:\n${win.queryExecution.optimizedPlan}")
+      assert(win.collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+        === Seq(("2024-03-01 00:00:00.0", 2L), ("2024-03-01 00:01:00.0", 2L),
+          ("2024-03-01 00:02:00.0", 1L)))
+
       // deregistration withdraws the index: back to scans
       idx.deregister()
       assert(spark.sql(sql).queryExecution.optimizedPlan
