@@ -298,10 +298,6 @@ object Extract {
       if (zoneFree) Some(FixedZone(0L))
       else tzId.flatMap(z =>
         if (isUtcZone(z)) Some(FixedZone(0L)) else zoneSpec(z))
-    // Constant offset in MICROS; declines rule-varying zones. Used by the
-    // sub-day truncation arms, whose values are offset-retaining instants.
-    def offUs(tzId: Option[String], zoneFree: Boolean): Option[Long] =
-      zoneOf(tzId, zoneFree).collect { case FixedZone(o) => o * MicrosPerSec }
     // A DAY-ALIGNED local calendar bound -> the instant where the local
     // calendar reaches it (constant shift, or rule-resolved for DST).
     def localBoundToInstant(zs: ZoneSpec, localUs: Long): Option[Long] = zs match {

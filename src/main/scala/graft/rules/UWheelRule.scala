@@ -550,17 +550,17 @@ object UWheelRule extends Rule[LogicalPlan] {
               m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
             }
           }
-        val groups = groupsOf(enumWheel.wheel).toIndexedSeq.sortBy(_._1)
-        // Per-wheel group maps. All wheels must cover the identical key set
-        // (same rows seen at build time); wheels built at different times
-        // over changed data could have equal sizes but different keys, so
-        // compare the sets and skip the rewrite on any mismatch rather than
-        // failing the query inside the optimizer.
-        val groupKeys = groups.map(_._1).toSet
+        // Per-wheel group maps, enumWheel included once (it may also back a
+        // need — one enumeration, not two). All wheels must cover the
+        // identical key set (same rows seen at build time); wheels built at
+        // different times over changed data could have equal sizes but
+        // different keys, so compare the sets and skip the rewrite on any
+        // mismatch rather than failing the query inside the optimizer.
         val wheelGroups: Map[HawWheel, Map[Long, RangeAgg]] =
-          nds.values.flatMap(_._2.numeric).map(_.wheel).toSet.map { (hw: HawWheel) =>
-            hw -> groupsOf(hw)
-          }.toMap
+          (nds.values.flatMap(_._2.numeric).map(_.wheel).toSet + enumWheel.wheel)
+            .map { (hw: HawWheel) => hw -> groupsOf(hw) }.toMap
+        val groups = wheelGroups(enumWheel.wheel).toIndexedSeq.sortBy(_._1)
+        val groupKeys = groups.map(_._1).toSet
         if (wheelGroups.values.exists(_.keySet != groupKeys)) return None
         // exact-distinct needs: per-value bucket counts + the counting proof
         // anchored on the unfiltered wheel's buckets (its key set already
@@ -868,7 +868,10 @@ object UWheelRule extends Rule[LogicalPlan] {
         while (b < hi) {
           val s0 = math.max(b, qs)
           val e0 = math.min(b + ms, qe)
-          if (e0 > s0 && hw.countRange(s0, e0) > 0L) out += ((b, hw.range(s0, e0)))
+          if (e0 > s0) {
+            val ra = hw.range(s0, e0) // returns the empty agg on count 0
+            if (ra.count > 0L) out += ((b, ra))
+          }
           b += ss
         }
         out.result()
@@ -877,9 +880,13 @@ object UWheelRule extends Rule[LogicalPlan] {
     val keyLit = (b: Long) => Literal(
       new GenericInternalRow(Array[Any](b * 1000000L, b * 1000000L + lenUs)), dt)
     // fine span from the epoch-anchored levels only: the WEEK level is
-    // Monday-anchored, so its slots never tile epoch-anchored windows
+    // Monday-anchored, so its slots never tile epoch-anchored windows.
+    // The MEMBER length divides too: a non-exact cover (ms not a multiple
+    // of the stride) puts bucket END edges at b+ms, and a coarsened wheel
+    // whose slots straddle that edge would attribute the whole slot to the
+    // bucket (review finding — counts silently doubled across buckets).
     val fineSpan = Seq(HawWheel.DAY, 3600L, 60L, 1L)
-      .find(sp => ss % sp == 0 && os % sp == 0).get
+      .find(sp => ss % sp == 0 && os % sp == 0 && ms % sp == 0).get
     Some(BucketArm(fn, keyLit, fineSpan, Some((b: Long) => b + ms)))
   }
 

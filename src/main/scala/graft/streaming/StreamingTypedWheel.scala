@@ -83,21 +83,30 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     * contract. */
   @volatile private var displaced: Option[TableIndex] = None
 
-  /** Withdraws the published sketch: another stream publisher's numeric
-    * families stay registered, and a displaced batch-built index is
-    * restored. */
+  /** Withdraws THIS publisher's sketch (its (column, "") entry): other
+    * publishers' families stay registered, and a displaced batch-built
+    * index is restored only when no live stream family would be lost by
+    * the swap (review finding: an unconditional restore wiped families
+    * layered after the displacement). A batch index that re-registered
+    * over us is left untouched. */
   def deregister(): Unit = {
     publishTo.foreach { case (key, column, _) =>
       WheelRegistry.update(key, {
-        case _ if displaced.isDefined => displaced
-        case Some(cur) if cur.fingerprint == 0L &&
-            (cur.allWheels.nonEmpty ||
-              cur.allDistinctWheels.exists(_.column != column)) =>
-          val t = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
-          cur.allWheels.foreach(t.put)
-          cur.allDistinctWheels.filter(_.column != column).foreach(t.putDistinct)
-          Some(t)
-        case _ => None
+        case Some(cur) if cur.fingerprint == 0L =>
+          val rest = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
+          cur.allWheels.foreach(rest.put)
+          cur.allDistinctWheels
+            .filterNot(d => d.column == column && d.filterKey == "")
+            .foreach(rest.putDistinct)
+          if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty) displaced
+          else {
+            displaced.foreach(_ => System.err.println(
+              s"[graft] deregister keeps live stream families for $key; the " +
+                "displaced batch-built index is NOT restored (re-build to re-register)"))
+            Some(rest)
+          }
+        case Some(cur) => Some(cur) // a batch index re-registered over us
+        case None      => displaced
       })
     }
     publishTo = None
@@ -120,10 +129,11 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
               s"batch-built index for $key; it will be restored on deregister()")
           }
         case Some(cur) =>
-          // a numeric stream publisher's families ride along, as do other
-          // columns' sketches
+          // every other publisher's family rides along — numeric wheels and
+          // other sketches alike; putDistinct is keyed by (column,
+          // filterKey), so only OUR (column, "") entry is replaced below
           cur.allWheels.foreach(t.put)
-          cur.allDistinctWheels.filter(_.column != column).foreach(t.putDistinct)
+          cur.allDistinctWheels.foreach(t.putDistinct)
         case None => ()
       }
       t.putDistinct(DistinctIndexedWheel(hw, column, h))

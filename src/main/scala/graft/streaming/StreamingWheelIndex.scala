@@ -184,19 +184,35 @@ final class StreamingWheelIndex(
     rw.synchronized(publishLocked())
   }
 
-  /** Withdraws the published wheels: other stream publishers' families
-    * stay registered, and a displaced batch-built index is restored. */
+  /** Withdraws THIS publisher's families (matched by signature): other
+    * stream publishers' families stay registered, and a displaced
+    * batch-built index is restored only when no live stream family would
+    * be lost by the swap (review finding: an unconditional restore wiped
+    * families layered after the displacement). A batch index that
+    * re-registered over us is left untouched. */
   def deregister(): Unit = {
     publishKey.foreach { key =>
+      val ownKeyed: Set[(Option[String], String)] =
+        keyedMeta.map(_.zip(keyedWheels).map { case ((fk, _), (vc, _)) =>
+          (Option(vc), fk)
+        }.toSet).getOrElse(Set.empty)
+      val own: Set[(Option[String], String)] =
+        ownKeyed ++ valueColumn.map(vc => (Option(vc), "")) + ((None, ""))
       WheelRegistry.update(key, {
-        case _ if displaced.isDefined => displaced
-        case Some(cur) if cur.fingerprint == 0L &&
-            cur.allDistinctWheels.nonEmpty =>
-          // keep the other publisher's sketch family
-          val t = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
-          cur.allDistinctWheels.foreach(t.putDistinct)
-          Some(t)
-        case _ => None
+        case Some(cur) if cur.fingerprint == 0L =>
+          val rest = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
+          cur.allWheels.filterNot(w => own((w.valueColumn, w.filterKey)))
+            .foreach(rest.put)
+          cur.allDistinctWheels.foreach(rest.putDistinct)
+          if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty) displaced
+          else {
+            displaced.foreach(_ => System.err.println(
+              s"[graft] deregister keeps live stream families for $key; the " +
+                "displaced batch-built index is NOT restored (re-build to re-register)"))
+            Some(rest)
+          }
+        case Some(cur) => Some(cur) // a batch index re-registered over us
+        case None      => displaced
       })
     }
     publishKey = None
@@ -219,8 +235,12 @@ final class StreamingWheelIndex(
               s"batch-built index for $key; it will be restored on deregister()")
           }
         case Some(cur) =>
-          // another stream publisher's families ride along (the typed HLL
-          // publisher carries ours the same way)
+          // every other stream publisher's family rides along (the typed
+          // HLL publisher carries ours the same way): put/putDistinct are
+          // keyed by (column, filterKey), so OUR stale families are
+          // replaced by the fresh ones below while foreign families —
+          // sketches AND another numeric publisher's wheels — survive
+          cur.allWheels.foreach(t.put)
           cur.allDistinctWheels.foreach(t.putDistinct)
         case None => ()
       }

@@ -946,6 +946,35 @@ class UWheelRuleSpec extends AnyFunSuite {
       groundTruth(q3.collect().map(_.toString).toSeq), "sliding x countDistinct")
   }
 
+  test("coarsened wheels only serve window() buckets their slots tile") {
+    // day-coarsened slots: '2 days'/'1 day' bucket edges are day-aligned
+    // and rewrite; '36 hours'/'1 day' member ENDS fall mid-slot — a
+    // straddled slot would be attributed whole (counts silently doubled),
+    // so the arm must decline (review finding on the fineSpan gate)
+    setup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-winspan").toString
+    val p = s"$dir/t.parquet"
+    (0 until 96).map(h =>
+      (java.sql.Timestamp.valueOf(f"2024-02-0${1 + h / 24} ${h % 24}%02d:00:00"),
+        (h % 11).toDouble))
+      .toDF("ts", "value").write.mode("overwrite").parquet(p)
+    UWheelBuilder("ts", Seq("value")).withSlotSpan(86400L).build(spark, p)
+    def win(len: String, slide: String) = spark.read.parquet(p)
+      .filter(col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-02-05 00:00:00").cast("timestamp"))
+      .groupBy(window(col("ts"), len, slide))
+      .agg(count(lit(1)).as("c"), min("value").as("mn")).orderBy("window")
+    val ok = win("2 days", "1 day")
+    assertRewritten(ok)
+    assert(ok.collect().map(_.toString).toSeq ===
+      groundTruth(ok.collect().map(_.toString).toSeq), "2d/1d on day slots")
+    val bad = win("36 hours", "1 day")
+    assertNotRewritten(bad)
+    assert(bad.collect().map(_.toString).toSeq ===
+      groundTruth(bad.collect().map(_.toString).toSeq), "36h/1d on day slots")
+  }
+
   test("multi-range sum overflow degrades to the scan, never aborts or wraps") {
     // two disjoint ranges whose individual scaled sums fit in a Long but
     // whose union does not: RangeAgg.merge's addExact throws, the rule's

@@ -490,4 +490,64 @@ class StreamingWheelSpec extends AnyFunSuite {
       graft.index.WheelRegistry.deregister(path)
     }
   }
+
+  test("deregister keeps later-layered stream families over restoring a displaced batch index") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-layer2").toString
+    val path = s"$dir/t.parquet"
+    val rows = Seq(
+      (ts("2024-03-01 00:00:00"), 1.0, 11L),
+      (ts("2024-03-01 00:00:30"), 2.5, 12L),
+      (ts("2024-03-01 00:01:30"), 4.0, 11L))
+    rows.toDF("ts", "value", "uid").write.parquet(path)
+    graft.index.UWheelBuilder("ts", Seq("value")).build(spark, path)
+    val rangeSql =
+      s"""SELECT count(*) AS cnt FROM parquet.`$path`
+         |WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-03-01 00:02:00'""".stripMargin
+    val hllSql =
+      s"""SELECT hll_distinct(uid) AS du FROM parquet.`$path`
+         |WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+         |  AND ts < TIMESTAMP '2024-03-01 00:02:00'""".stripMargin
+    def rewrites(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty
+
+    // REVERSED displacement order vs the test above: the TYPED publisher
+    // displaces the batch index; the numeric publisher layers after it.
+    // The typed deregister must keep the LIVE numeric families — restoring
+    // the stale batch index over them would serve wrong (frozen) answers
+    // for the stream-fed table (review finding).
+    val hllIn = MemoryStream[(Timestamp, Long)]
+    val hllIdx = new StreamingTypedWheel[Long, Array[Byte], Long](
+      "ts", col("uid"), new graft.wheel.WheelAggregators.HllDistinct(11), _.getLong(1))
+    val hllQ = hllIdx.attach(hllIn.toDF().toDF("ts", "uid"), "layer2-hll")
+    val numIn = MemoryStream[(Timestamp, Double)]
+    val numIdx = new StreamingWheelIndex("ts", Some("value"))
+    val numQ = numIdx.attach(numIn.toDF().toDF("ts", "value"), "layer2-num")
+    try {
+      hllIdx.register(path, "uid") // displaces the batch index
+      hllIn.addData(rows.map(r => (r._1, r._3)): _*)
+      hllQ.processAllAvailable()
+      numIdx.register(path) // layers onto the stream entry
+      numIn.addData(rows.map(r => (r._1, r._2)): _*)
+      numQ.processAllAvailable()
+      assert(rewrites(rangeSql) && rewrites(hllSql), "both families live")
+      hllIdx.deregister()
+      assert(rewrites(rangeSql),
+        "numeric stream family must survive the typed deregister (not be " +
+          "overwritten by the restored batch index)")
+      assert(!rewrites(hllSql), "sketch must be withdrawn")
+      numIdx.deregister()
+      assert(!rewrites(rangeSql), "nothing should remain registered")
+    } finally {
+      numQ.stop(); hllQ.stop()
+      numIdx.deregister(); hllIdx.deregister()
+      graft.index.WheelRegistry.deregister(path)
+    }
+  }
 }
