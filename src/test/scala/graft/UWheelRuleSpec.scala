@@ -944,6 +944,17 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertRewritten(q3)
     assert(q3.collect().map(_.toString).toSeq ===
       groundTruth(q3.collect().map(_.toString).toSeq), "sliding x countDistinct")
+    // keyed residual routes to the keyed wheel, buckets from ITS slots —
+    // tumbling and sliding alike
+    for ((len, slide) <- Seq(("1 day", "1 day"), ("2 days", "1 day"))) {
+      def qk = ranged.filter(col("event_type") === "click")
+        .groupBy(window(col("ts"), len, slide))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"),
+          count(lit(1)).as("c")).orderBy("window")
+      assertRewritten(qk)
+      assert(qk.collect().map(_.toString).toSeq ===
+        groundTruth(qk.collect().map(_.toString).toSeq), s"keyed x window $len/$slide")
+    }
   }
 
   test("coarsened wheels only serve window() buckets their slots tile") {
