@@ -138,6 +138,49 @@ object Extract {
     rules.getOffset(java.time.Instant.ofEpochSecond(Math.floorDiv(us, MicrosPerSec)))
       .getTotalSeconds * MicrosPerSec
 
+  /** The instant Spark's own local→instant resolution produces for a local
+    * time (`ZonedDateTime.ofLocal`, which backs `date_trunc`'s coarse
+    * units): unique → `local − offset`; inside a spring-forward GAP →
+    * shifted forward by the gap length (`transition + (local − gapStart)`),
+    * which DIFFERS from [[boundaryInstantUs]] whenever a gap strictly
+    * straddles the unit start (e.g. America/Toronto 1919-03-31, gap
+    * 23:30→00:30: the day's `date_trunc` VALUE is 05:00Z while its rows
+    * begin at the 04:30Z transition); fall-back OVERLAP → None (the value
+    * depends on which pass the row is in — no single bucket value). */
+  private[graft] def valueInstantUs(rules: java.time.zone.ZoneRules,
+      localUs: Long): Option[Long] = {
+    val sec = Math.floorDiv(localUs, MicrosPerSec)
+    val subUs = localUs - sec * MicrosPerSec
+    val ldt = java.time.LocalDateTime.ofEpochSecond(sec, subUs.toInt * 1000,
+      java.time.ZoneOffset.UTC)
+    val offs = rules.getValidOffsets(ldt)
+    if (offs.size == 1) Some(localUs - offs.get(0).getTotalSeconds * MicrosPerSec)
+    else if (offs.isEmpty) {
+      val t = rules.getTransition(ldt)
+      if (t == null) None
+      else {
+        val gapStartLocalUs = t.getDateTimeBefore.toEpochSecond(
+          java.time.ZoneOffset.UTC) * MicrosPerSec +
+          t.getDateTimeBefore.getNano / 1000L
+        Some(t.getInstant.getEpochSecond * MicrosPerSec +
+          (localUs - gapStartLocalUs))
+      }
+    } else None
+  }
+
+  /** The instant a coarse `date_trunc(unit)` VALUE resolves to for a local
+    * unit start, per Spark's own per-unit lowering: 'day' truncates the
+    * ZonedDateTime (`ofLocal` — a straddling gap shifts the value PAST the
+    * gap, offset-retained), while week/month/quarter/year go through
+    * `daysToMicros`/`LocalDate.atStartOfDay` (a straddling gap resolves to
+    * the gap END = the transition instant). Empirically split: Toronto
+    * 1919-03-31 (gap 23:30→00:30) has day-value 05:00Z but week-value
+    * 04:30Z. Overlapped local starts decline (None). */
+  private[graft] def truncValueInstantUs(rules: java.time.zone.ZoneRules,
+      unit: String, localUs: Long): Option[Long] =
+    if (unit == "day") valueInstantUs(rules, localUs)
+    else boundaryInstantUs(rules, localUs)
+
   private[graft] def isDayOrCoarser(unit: String): Boolean =
     unit == "day" || unit == "week" || unit == "month" ||
       unit == "quarter" || unit == "year"
@@ -366,11 +409,22 @@ object Extract {
                 if (truncUtcMicros(vL, unit) == vL) (v, nextBoundaryMicros(vL, unit) - o)
                 else (0L, 0L))
             case RuleZone(rules) if isDayOrCoarser(unit) =>
+              // the bucket's VALUE follows Spark's ofLocal resolution
+              // (gap-shifted past a straddling gap), while its ROW RANGE
+              // begins where the local calendar reaches the unit start —
+              // the transition instant. The two differ whenever a gap
+              // strictly straddles the unit start (review finding,
+              // America/Toronto 1919-03-31), so they are computed
+              // separately: a literal that is not the value is
+              // unsatisfiable; a matching literal's rows span the full
+              // boundary-to-boundary instant range.
               val a = truncUtcMicros(v + offsetAtUs(rules, v), unit)
-              boundaryInstantUs(rules, a).flatMap { start =>
-                if (start != v) Some((0L, 0L))
-                else boundaryInstantUs(rules, nextBoundaryMicros(a, unit))
-                  .map(end => (v, end))
+              truncValueInstantUs(rules, unit, a).flatMap { value =>
+                if (value != v) Some((0L, 0L))
+                else for {
+                  start <- boundaryInstantUs(rules, a)
+                  end <- boundaryInstantUs(rules, nextBoundaryMicros(a, unit))
+                } yield (start, end)
               }
             case _ => None
           }
@@ -440,7 +494,8 @@ object Extract {
     // alignment test compares resolved instants, so a DST gap day's
     // shifted value still counts as aligned.
     final case class CalView(unit: String, litLocalUs: Long,
-        toInstant: Long => Option[Long], litInstant: Option[Long])
+        toInstant: Long => Option[Long], toValue: Long => Option[Long],
+        litInstant: Option[Long])
     def calBounds(x: Expression, l: Expression): Option[CalView] = x match {
       case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, tzId)
           if isTime(t, timeCol) =>
@@ -451,10 +506,14 @@ object Extract {
           cv <- zs match {
             case FixedZone(oSec) =>
               val o = oSec * MicrosPerSec
-              Some(CalView(unit, v + o, b => Some(b - o), Some(v)))
+              Some(CalView(unit, v + o, b => Some(b - o), b => Some(b - o), Some(v)))
             case RuleZone(rules) if isDayOrCoarser(unit) =>
+              // bounds resolve to the boundary (transition) instant; the
+              // bucket VALUE follows Spark's ofLocal resolution — they
+              // differ under a gap straddling the unit start
               Some(CalView(unit, v + offsetAtUs(rules, v),
-                b => boundaryInstantUs(rules, b), Some(v)))
+                b => boundaryInstantUs(rules, b),
+                b => truncValueInstantUs(rules, unit, b), Some(v)))
             case _ => None
           }
         } yield cv
@@ -464,12 +523,13 @@ object Extract {
           unit <- truncUnitOf(fmt.toString)
           if unit == "week" || unit == "month" || unit == "quarter" || unit == "year"
           d <- litDateMicros(l)
-        } yield CalView(unit, d, b => Some(b), None)
+        } yield CalView(unit, d, b => Some(b), b => Some(b), None)
       case Cast(t, DateType, tzId, _) if isTime(t, timeCol) =>
         for {
           zs <- zoneOf(tzId, t.dataType == TimestampNTZType)
           d <- litDateMicros(l) // a DATE literal IS a local calendar value
-        } yield CalView("day", d, b => localBoundToInstant(zs, b), None)
+        } yield CalView("day", d, b => localBoundToInstant(zs, b),
+          b => Some(b), None)
       case Year(t) =>
         for {
           zs <- yearArmZone(t)
@@ -478,23 +538,39 @@ object Extract {
               Some(java.time.LocalDate.of(y, 1, 1).toEpochDay * MicrosPerDay)
             case _ => None
           }
-        } yield CalView("year", v, b => localBoundToInstant(zs, b), None)
+        } yield CalView("year", v, b => localBoundToInstant(zs, b),
+          b => Some(b), None)
       case _ => None
     }
+    // view >= lit ⇔ ts >= rows-start of the FIRST bucket whose VALUE >= lit
+    // (bucket values are strictly increasing in bucket order, each lying
+    // inside its own boundary-to-boundary instant span, so the qualifying
+    // buckets form a suffix). For an instant-valued view this is a genuine
+    // comparison, not an alignment test: under a gap straddling the unit
+    // start, the bucket lit's local falls in can have a VALUE exceeding an
+    // unaligned literal (review finding, America/Toronto 1919-03-31) — the
+    // old aligned/unaligned dichotomy would skip that bucket. An
+    // unresolvable (ambiguous-overlap) value declines the arm.
     def ceilInstant(cv: CalView): Option[Long] = {
       val a = truncUtcMicros(cv.litLocalUs, cv.unit)
-      val alignedOpt: Option[Boolean] = cv.litInstant match {
-        // instant-valued view: aligned iff the literal IS the bucket's
-        // resolved start; an unresolvable (ambiguous) start must DECLINE —
-        // guessing "unaligned" could drop the literal's own bucket
-        case Some(v) => cv.toInstant(a).map(_ == v)
-        case None    => Some(a == cv.litLocalUs) // local-valued literal
+      cv.litInstant match {
+        case Some(vLit) =>
+          cv.toValue(a).flatMap(va =>
+            cv.toInstant(if (va >= vLit) a else nextBoundaryMicros(a, cv.unit)))
+        case None => // local-valued literal: value(a) == a <= lit always
+          cv.toInstant(if (a == cv.litLocalUs) a else nextBoundaryMicros(a, cv.unit))
       }
-      alignedOpt.flatMap(al =>
-        cv.toInstant(if (al) a else nextBoundaryMicros(a, cv.unit)))
     }
-    def nextInstant(cv: CalView): Option[Long] =
-      cv.toInstant(nextBoundaryMicros(truncUtcMicros(cv.litLocalUs, cv.unit), cv.unit))
+    // view > lit ⇔ ts >= rows-start of the FIRST bucket whose VALUE > lit
+    def nextInstant(cv: CalView): Option[Long] = {
+      val a = truncUtcMicros(cv.litLocalUs, cv.unit)
+      cv.litInstant match {
+        case Some(vLit) =>
+          cv.toValue(a).flatMap(va =>
+            cv.toInstant(if (va > vLit) a else nextBoundaryMicros(a, cv.unit)))
+        case None => cv.toInstant(nextBoundaryMicros(a, cv.unit))
+      }
+    }
     object CalCmp {
       /** Left(lo) / Right(hi) contribution in micros; literal-first
         * orientations flip the operator. */

@@ -243,6 +243,14 @@ object WheelQueries {
       s"""SELECT window.start AS ws, count(*) AS cnt, $sumDec AS sum_val
          |FROM events WHERE $range
          |GROUP BY window(ts, '2 days', '1 day') ORDER BY 1""".stripMargin),
+    // distinct users over a TRAILING window, daily — the canonical
+    // retention dashboard shape: per-bucket register merges clipped to the
+    // sliding member span. Rows-only (our sketch); HllSqlSpec proves the
+    // rewritten answer bit-equals running the aggregate over the Expand.
+    "uw_distinct_sliding" -> Q.sql(
+      s"""SELECT window.start AS ws, hll_distinct(user_id) AS du, count(*) AS cnt
+         |FROM events WHERE $range
+         |GROUP BY window(ts, '2 days', '1 day') ORDER BY 1""".stripMargin),
     // a wheel-answerable SCALAR SUBQUERY: the rewrite fires inside the
     // subquery plan (Catalyst optimizes subqueries with the full rule set),
     // so the outer aggregation's threshold is a plan-time constant

@@ -514,8 +514,13 @@ object UWheelRule extends Rule[LogicalPlan] {
         val nds = needs.getOrElse(return None)
         val ge = resolve(ge0, uw.aliases)
         val arm = (sliding match {
-          case Some((_, strideUs, offUs, lenUs)) =>
-            windowBucketArm(ge.dataType, strideUs, offUs, lenUs, lenUs)
+          case Some((_, t0, strideUs, offUs, lenUs)) =>
+            // the windowed expression must BE the indexed time column —
+            // the same gate the tumbling arm carries (review finding: a
+            // window over a different timestamp column would be answered
+            // from wheels keyed on the indexed one)
+            if (!isTime(t0, table.timeColumn)) None
+            else windowBucketArm(ge.dataType, strideUs, offUs, lenUs, lenUs)
           case None => timeBucketArm(ge, table)
         }).getOrElse(return None)
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
@@ -897,7 +902,8 @@ object UWheelRule extends Rule[LogicalPlan] {
     * their conjuncts) plus (slideUs, offUs, lenUs). Only the exact-cover
     * case (len = n·slide — the analyzer emits no trimming filter) is
     * accepted; anything else stays on the scan. */
-  private def slidingWindowOf(agg: Aggregate): Option[(LogicalPlan, Long, Long, Long)] = {
+  private def slidingWindowOf(agg: Aggregate)
+      : Option[(LogicalPlan, Expression, Long, Long, Long)] = {
     val gAttr = agg.groupingExpressions match {
       case Seq(a: AttributeReference) => a
       case _                          => return None
@@ -974,7 +980,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         // reference pass-through columns only, so they commute below it
         if (cs.exists(_.references.exists(_.exprId == gAttr.exprId))) return None
         val child = if (cs.isEmpty) ex.child else Filter(cs.reduce(And(_, _)), ex.child)
-        Some((child, s0, o0, l0))
+        Some((child, t0, s0, o0, l0))
       case _ => None
     }
   }

@@ -300,6 +300,46 @@ class DstZoneSpec extends AnyFunSuite {
       s"date-path WHERE rewrites fired only $whereRewrites/$whereCases")
   }
 
+  test("gap straddling the unit start: bucket VALUE differs from its row-range start (Toronto 1919)") {
+    setup
+    // America/Toronto 1919-03-31: the DST gap runs 23:30→00:30 LOCAL,
+    // strictly straddling midnight. Spark resolves the day's date_trunc
+    // VALUE via ofLocal (gap-shifted to 05:00Z) while the day's ROWS begin
+    // at the 04:30Z transition — the two must be computed separately
+    // (review finding: conflating them returned empty for the true value
+    // and mis-bounded every comparison).
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-1919").toString
+    val p = s"$dir2/t.parquet"
+    val s0 = java.time.Instant.parse("1919-03-29T00:00:00Z").getEpochSecond
+    val e0 = java.time.Instant.parse("1919-04-02T00:00:00Z").getEpochSecond
+    (s0 until e0 by 600L).map(s =>
+      (new java.sql.Timestamp(s * 1000), (s % 97).toDouble))
+      .toDF("ts", "value").write.mode("overwrite").parquet(p)
+    UWheelBuilder("ts", Seq("value")).build(spark, p)
+    val t = spark.read.parquet(p)
+    inZone("America/Toronto") {
+      for (pred <- Seq(
+          "date_trunc('day', ts) = TIMESTAMP '1919-03-31 00:00:00'",
+          "date_trunc('day', ts) >= TIMESTAMP '1919-03-31 00:00:00'",
+          "date_trunc('day', ts) <= TIMESTAMP '1919-03-31 00:00:00'",
+          "date_trunc('day', ts) > TIMESTAMP '1919-03-30 12:00:00'",
+          "to_date(ts) = DATE '1919-03-31'",
+          "date_trunc('week', ts) = TIMESTAMP '1919-03-31 00:00:00'")) {
+        def q = t.filter(expr(pred))
+          .agg(count(lit(1)).as("c"), min("value").as("mn"))
+        assert(q.collect()(0).toString === groundTruth(q.collect()(0).toString),
+          s"Toronto 1919 / $pred")
+      }
+      // the in-session literal parses to the gap-shifted TRUE value, so the
+      // equality is non-vacuous and agrees with the local-date row set
+      val dayEq = t.filter(
+        expr("date_trunc('day', ts) = TIMESTAMP '1919-03-31 00:00:00'")).count()
+      val dateEq = t.filter(expr("to_date(ts) = DATE '1919-03-31'")).count()
+      assert(dayEq > 0 && dayEq === dateEq, s"dayEq=$dayEq dateEq=$dateEq")
+    }
+  }
+
   test("hll_distinct declines under a DST zone (no sound register clip)") {
     setup
     // sanity: the distinct wheel DOES serve this shape under UTC…

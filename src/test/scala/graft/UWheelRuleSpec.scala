@@ -944,6 +944,15 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertRewritten(q3)
     assert(q3.collect().map(_.toString).toSeq ===
       groundTruth(q3.collect().map(_.toString).toSeq), "sliding x countDistinct")
+    // a window over a DIFFERENT timestamp expression must not be answered
+    // from the ts-keyed wheels (review finding: the sliding path lacked
+    // the tumbling arm's time-column gate)
+    def qx = ranged.withColumn("ts2", col("ts") + expr("INTERVAL 37 MINUTES"))
+      .groupBy(window(col("ts2"), "2 days", "1 day"))
+      .agg(count(lit(1)).as("c")).orderBy("window")
+    assertNotRewritten(qx)
+    assert(qx.collect().map(_.toString).toSeq ===
+      groundTruth(qx.collect().map(_.toString).toSeq), "sliding window over ts2")
     // keyed residual routes to the keyed wheel, buckets from ITS slots —
     // tumbling and sliding alike
     for ((len, slide) <- Seq(("1 day", "1 day"), ("2 days", "1 day"))) {
