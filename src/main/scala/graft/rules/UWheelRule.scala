@@ -307,6 +307,19 @@ object UWheelRule extends Rule[LogicalPlan] {
   private val LoSentinel = Long.MinValue / 4
   private val HiSentinel = Long.MaxValue / 4
 
+
+  /** The per-value equality wheel set on `col`: every wheel keyed `col = v`
+    * plus the distinct key values. BOTH completeness-proof arms — the exact
+    * COUNT(DISTINCT) source and the two-column GROUP BY arm — enumerate
+    * through here, so a change to the enumeration (dedup, routing) reaches
+    * both proofs; soundness rests on the answer-time counting proof over
+    * exactly this set. */
+  private def keyedWheelSet(table: TableIndex, col: String)
+      : (Seq[IndexedWheel], Seq[Literal]) = {
+    val keyed = table.allWheels.filter(_.keyEqOpt.exists(_._1 == col))
+    (keyed, keyed.flatMap(_.keyEqOpt).map(_._2).distinct)
+  }
+
   private def tryAggRewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (agg.groupingExpressions.length > 2) return None
     if (agg.aggregateExpressions.exists(!_.deterministic)) return None
@@ -406,8 +419,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         if (filterKey.nonEmpty) None
         else for {
           c <- n.column
-          keyed = table.allWheels.filter(_.keyEqOpt.exists(_._1 == c))
-          values = keyed.flatMap(_.keyEqOpt).map(_._2).distinct
+          (keyed, values) = keyedWheelSet(table, c)
           if values.nonEmpty
           pv = values.flatMap(v =>
             keyed.filter(_.keyEqOpt.exists(_._2 == v))
@@ -636,9 +648,8 @@ object UWheelRule extends Rule[LogicalPlan] {
         if (needList.values.exists(_.kind == "hll") && arm.hllEndOf.isEmpty)
           return None
         val bucketEndOf = arm.hllEndOf.getOrElse((gs: Long) => gs)
-        val keyed = table.allWheels.filter(_.keyEqOpt.exists(_._1 == keyAttr.name))
-        val values: Seq[Literal] = keyed.flatMap(_.keyEqOpt).map(_._2)
-          .filter(_.dataType == keyAttr.dataType).distinct
+        val (keyed, allValues) = keyedWheelSet(table, keyAttr.name)
+        val values: Seq[Literal] = allValues.filter(_.dataType == keyAttr.dataType)
         if (values.isEmpty) return None
 
         def qualityOk(n: Need, w: IndexedWheel): Boolean =

@@ -966,6 +966,43 @@ class UWheelRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized window() parity: random len/slide/offset windows match the scan") {
+    setup
+    // seeded sweep over stride geometry: random second-aligned lengths,
+    // slides (exact covers, trimmed non-exact covers, tumbling), and
+    // startTime offsets, over random sub-ranges — every rewritten plan
+    // must equal the rule-disabled scan bit-for-bit
+    val rnd = new scala.util.Random(0x57171217L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    var rewritten = 0
+    for (i <- 0 until 25) {
+      val slide = Seq(60L, 300L, 3600L, 7200L, 21600L, 86400L)(rnd.nextInt(6))
+      val mult = 1 + rnd.nextInt(4)
+      val len = // exact cover, trimmed cover, or tumbling
+        rnd.nextInt(3) match {
+          case 0 => slide * mult
+          case 1 => slide * mult + (slide / 2 / 60 * 60).max(60L).min(slide - 60)
+          case _ => slide
+        }
+      val off = Seq(0L, 60L, 1800L, 3600L)(rnd.nextInt(4)) % slide
+      val qs = base + rnd.nextInt(14 * 86400)
+      val qe = qs + 86400 + rnd.nextInt(7 * 86400)
+      def q = events.filter(
+          col("ts") >= lit(new java.sql.Timestamp(qs * 1000L)) &&
+            col("ts") < lit(new java.sql.Timestamp(qe * 1000L)))
+        .groupBy(window(col("ts"), s"$len seconds", s"$slide seconds",
+          s"$off seconds"))
+        .agg(count(lit(1)).as("c"), min("value").as("mn"), max("value").as("mx"))
+        .orderBy("window")
+      val opt = q.queryExecution.optimizedPlan
+      if (opt.collect { case r: LogicalRelation => r }.isEmpty) rewritten += 1
+      assert(q.collect().map(_.toString).toSeq ===
+        groundTruth(q.collect().map(_.toString).toSeq),
+        s"#$i window($len s, $slide s, $off s) over [$qs,$qe)")
+    }
+    assert(rewritten >= 20, s"only $rewritten/25 window shapes rewrote")
+  }
+
   test("coarsened wheels only serve window() buckets their slots tile") {
     // day-coarsened slots: '2 days'/'1 day' bucket edges are day-aligned
     // and rewrite; '36 hours'/'1 day' member ENDS fall mid-slot — a
