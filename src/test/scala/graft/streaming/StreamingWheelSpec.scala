@@ -427,6 +427,63 @@ class StreamingWheelSpec extends AnyFunSuite {
     }
   }
 
+  test("signature-based deregister withdraws keyed families, keeps layered sketches") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sig").toString
+    val path = s"$dir/t.parquet"
+    val rows = Seq(
+      (ts("2024-03-01 00:00:00"), 1.0, "click", 11L),
+      (ts("2024-03-01 00:00:30"), 2.5, "view", 12L),
+      (ts("2024-03-01 00:01:30"), 4.0, "click", 11L))
+    rows.toDF("ts", "value", "event_type", "uid").write.parquet(path)
+    val numIn = MemoryStream[(Timestamp, Double, String)]
+    val numIdx = new StreamingWheelIndex("ts", Some("value"),
+      keyedWheels = Seq(("value", "event_type = 'click'")))
+    val numQ = numIdx.attach(numIn.toDF().toDF("ts", "value", "event_type"), "sig-num")
+    val hllIn = MemoryStream[(Timestamp, Long)]
+    val hllIdx = new StreamingTypedWheel[Long, Array[Byte], Long](
+      "ts", col("uid"), new graft.wheel.WheelAggregators.HllDistinct(11), _.getLong(1))
+    val hllQ = hllIdx.attach(hllIn.toDF().toDF("ts", "uid"), "sig-hll")
+    val range =
+      """WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+        |  AND ts < TIMESTAMP '2024-03-01 00:02:00'""".stripMargin
+    val keyedSql =
+      s"SELECT count(*) AS cnt FROM parquet.`$path` $range AND event_type = 'click'"
+    val plainSql = s"SELECT count(*) AS cnt FROM parquet.`$path` $range"
+    val hllSql = s"SELECT hll_distinct(uid) AS du FROM parquet.`$path` $range"
+    def rewrites(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty
+    try {
+      numIdx.register(path)
+      numIn.addData(rows.map(r => (r._1, r._2, r._3)): _*)
+      numQ.processAllAvailable()
+      hllIdx.register(path, "uid")
+      hllIn.addData(rows.map(r => (r._1, r._4)): _*)
+      hllQ.processAllAvailable()
+      assert(rewrites(keyedSql) && rewrites(plainSql) && rewrites(hllSql),
+        "all three families live")
+      // withdrawing the numeric publisher removes BOTH its signatures
+      // (unfiltered + keyed) and nothing else
+      numIdx.deregister()
+      assert(!rewrites(keyedSql), "keyed family must be withdrawn")
+      assert(!rewrites(plainSql), "unfiltered family must be withdrawn")
+      assert(rewrites(hllSql), "layered sketch family must survive")
+      assert(spark.sql(hllSql).collect()(0).getLong(0) === 2L)
+      hllIdx.deregister()
+      assert(!rewrites(hllSql), "nothing should remain registered")
+    } finally {
+      numQ.stop(); hllQ.stop()
+      numIdx.deregister(); hllIdx.deregister()
+      graft.index.WheelRegistry.deregister(path)
+    }
+  }
+
   test("streaming publishers layer per path; a displaced batch index is restored") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     import org.apache.spark.sql.execution.datasources.LogicalRelation
