@@ -242,6 +242,13 @@ object WheelRegistry {
   def update(key: String, f: Option[TableIndex] => Option[TableIndex]): Unit =
     tables.compute(key, (_, cur) => f(Option(cur)).orNull)
   def registeredPaths: Seq[String] = tables.keySet().asScala.toSeq.sorted
+  /** O(1) membership probes for the optimizer's top-level pre-check
+    * ([[graft.rules.UWheelRule]]): can a leaf POSSIBLY resolve to a
+    * registered index? Over-approximate by design — the rewrite itself
+    * still runs the full fingerprint/sameResult lookup. */
+  def mayMatchPath(rootPath: String): Boolean =
+    tables.containsKey(normalizePath(rootPath))
+  def mayMatchExprId(id: Long): Boolean = byExprId.containsKey(id)
   def lookup(rootPath: String): Option[TableIndex] =
     Option(tables.get(normalizePath(rootPath)))
   def isEmpty: Boolean = tables.isEmpty

@@ -54,6 +54,13 @@ object UWheelRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!graft.Graft.rewritesEnabled || WheelRegistry.isEmpty || plan.isStreaming) return plan
+    // Cheap pre-check (round-7 verdict): every rewrite arm bottoms out in
+    // unwrap() resolving a LEAF to a registered index, so a plan containing
+    // no such leaf cannot be rewritten — skip the Aggregate/Filter traversal
+    // (and all its per-node classify/extract work) with one O(plan) probe
+    // that does only hash-map membership tests. The full lookup (fingerprint
+    // staleness, sameResult) still gates the actual rewrite inside unwrap.
+    if (!touchesIndexedLeaf(plan)) return plan
     val rewritten = plan.transformDown {
       // an ArithmeticException (multi-range sum overflow in RangeAgg.merge,
       // addExact on pathological mixed-sign data) must degrade to the scan,
@@ -66,6 +73,24 @@ object UWheelRule extends Rule[LogicalPlan] {
         catch { case _: ArithmeticException | _: DeclineRewrite => f }
     }
     if (rewritten.fastEquals(plan)) plan else cleanupLocal(rewritten)
+  }
+
+  /** True iff some leaf of the plan COULD resolve to a registered index:
+    * file scans by registry path key, in-memory leaves by registered ExprId
+    * presence. Deliberately over-approximate (no fingerprint or sameResult
+    * checks) — a false positive only costs the normal per-node matching,
+    * while a false negative would silently disable rewrites. */
+  private def touchesIndexedLeaf(plan: LogicalPlan): Boolean = plan.exists {
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption
+            .exists(p => WheelRegistry.mayMatchPath(p.toString))
+        case _ => false
+      }
+    case leaf if leaf.children.isEmpty =>
+      leaf.output.exists(a => WheelRegistry.mayMatchExprId(a.exprId.id))
+    case _ => false
   }
 
   /** Post-rewrite cleanup: our rule runs after Spark's main optimizer
