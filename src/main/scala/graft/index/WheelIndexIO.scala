@@ -46,6 +46,21 @@ object WheelIndexIO {
   def load(spark: org.apache.spark.sql.SparkSession, file: String): (TableIndex, Boolean) = {
     val t = Using.resource(new ObjectInputStream(Files.newInputStream(Paths.get(file))))(
       _.readObject().asInstanceOf[TableIndex])
+    // Canonical-form restore (round-7 advice): a file written by a
+    // pre-sparse-HLL build holds dense register slots whose content may now
+    // be canonically sparse, and combine() preserves density — mixing such
+    // a wheel with fresh ones would break the bit-for-bit register
+    // equality the rewrite specs assert. Any distinct wheel carrying a
+    // non-canonical per-second partial is rebuilt from canonicalized
+    // partials (every level re-derives from them, so all stored partials
+    // come out canonical). Current-format files pass the probe untouched.
+    t.allDistinctWheels.foreach { d =>
+      if (d.wheel.slotPartials.exists { case (_, p) => d.agg.canonicalize(p) ne p }) {
+        val rebuilt = graft.wheel.TypedHawWheel.fromSecondPartials(
+          d.wheel.slotPartials.map { case (s, p) => (s, d.agg.canonicalize(p)) }, d.agg)
+        t.putDistinct(d.copy(wheel = rebuilt))
+      }
+    }
     WheelRegistry.register(t)
     val fresh = scala.util.Try {
       graft.Tables.ensureNanosConf(spark)

@@ -1165,8 +1165,13 @@ object UWheelRule extends Rule[LogicalPlan] {
       // session-zone gate. (The sliding form arrives through an Expand and
       // is handled by slidingWindowOf, not here; k·slide shifts — c != 0 —
       // only occur in Expand projections, so require c == 0.)
+      // slideUs == lenUs is asserted EXPLICITLY (round-7 advice): today
+      // Spark's TimeWindowing only emits this bare-Project lowering for
+      // tumbling windows, but that is an undocumented invariant — if a
+      // future version projected a len < slide window, reading each bucket
+      // over the slide span would silently include out-of-window rows.
       case WindowStruct(t, slideUs, offUs, 0L, lenUs)
-          if isTime(t, table.timeColumn) =>
+          if isTime(t, table.timeColumn) && slideUs == lenUs =>
         windowBucketArm(ge.dataType, slideUs, offUs, slideUs, lenUs)
           .getOrElse(return None)
       case _ => return None

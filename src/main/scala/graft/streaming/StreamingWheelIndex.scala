@@ -108,6 +108,12 @@ final class StreamingWheelIndex(
   private val keyedRw: Array[RwWheel] = keyedWheels.map(_ => new RwWheel(scale, true)).toArray
   private val cached = new AtomicReference[(Long, HawWheel)]((0L, null))
   private var version = 0L
+  // per-keyed-wheel change counters + freeze cache (guarded by rw's lock):
+  // a keyed wheel re-freezes on publish only when a batch actually merged
+  // slots into it, mirroring snapshot()'s version-gated cache for spec 0
+  private val keyedVer: Array[Long] = new Array[Long](keyedWheels.length)
+  private val keyedFrozenAt: Array[Long] = Array.fill(keyedWheels.length)(-1L)
+  private val keyedFrozen: Array[HawWheel] = new Array[HawWheel](keyedWheels.length)
   // value-quality flags accumulated across batches — the streaming analogue
   // of the batch build's exactness/NaN/NULL probes, gating which rewrite
   // kinds a REGISTERED wheel may serve (all false until data says otherwise)
@@ -196,12 +202,26 @@ final class StreamingWheelIndex(
         keyedMeta.map(_.zip(keyedWheels).map { case ((fk, _), (vc, _)) =>
           (Option(vc), fk)
         }.toSet).getOrElse(Set.empty)
-      val own: Set[(Option[String], String)] =
-        ownKeyed ++ valueColumn.map(vc => (Option(vc), "")) + ((None, ""))
+      // families EXCLUSIVELY ours: the keyed specs and our value column.
+      // The (None, "") count family is shared — every numeric stream
+      // publisher on this path maintains it each batch — so it is handled
+      // by liveness below, not claimed blindly (round-7 advice: blind
+      // withdrawal blinded another publisher's COUNT rewrites until its
+      // next batch republished).
+      val ownExcl: Set[(Option[String], String)] =
+        ownKeyed ++ valueColumn.map(vc => (Option(vc), ""))
+      val countFam: (Option[String], String) = (None, "")
       WheelRegistry.update(key, {
         case Some(cur) if cur.fingerprint == 0L =>
+          val kept = cur.allWheels.filterNot(w => ownExcl((w.valueColumn, w.filterKey)))
+          // keep the shared count family only while a FOREIGN numeric
+          // family survives (its owner refreshes the count wheel every
+          // batch); when only sketch families remain, nobody would ever
+          // refresh it and a frozen count would serve growing data wrong —
+          // withdraw it with us.
+          val othersNumeric = kept.exists(w => (w.valueColumn, w.filterKey) != countFam)
           val rest = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
-          cur.allWheels.filterNot(w => own((w.valueColumn, w.filterKey)))
+          kept.filter(w => othersNumeric || (w.valueColumn, w.filterKey) != countFam)
             .foreach(rest.put)
           cur.allDistinctWheels.foreach(rest.putDistinct)
           if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty) displaced
@@ -222,7 +242,13 @@ final class StreamingWheelIndex(
   /** Must hold `rw`'s lock. snapshot() re-enters it (reentrant). */
   private def publishLocked(): Unit = publishKey.foreach { key =>
     val hw = snapshot()
-    val keyedFrozen = keyedRw.map(_.freeze(slotSpanSec))
+    val keyedHw: Array[HawWheel] = keyedRw.indices.map { i =>
+      if (keyedFrozen(i) == null || keyedFrozenAt(i) != keyedVer(i)) {
+        keyedFrozen(i) = keyedRw(i).freeze(slotSpanSec)
+        keyedFrozenAt(i) = keyedVer(i)
+      }
+      keyedFrozen(i)
+    }.toArray
     WheelRegistry.update(key, { existing =>
       val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
       existing match {
@@ -254,7 +280,7 @@ final class StreamingWheelIndex(
       keyedMeta.foreach { metas =>
         keyedWheels.zipWithIndex.foreach { case ((vc, sql), i) =>
           val (fk, keyEq) = metas(i)
-          t.put(IndexedWheel(keyedFrozen(i), Some(vc), fk,
+          t.put(IndexedWheel(keyedHw(i), Some(vc), fk,
             valueAllNonNull = !sawNullValue(i + 1),
             valuesExactAtScale = !sawBadRep(i + 1),
             valuesNaNFree = !sawNaN(i + 1),
@@ -328,11 +354,26 @@ final class StreamingWheelIndex(
           rw.merge(acc.wheels(0))
           var i = 0
           while (i < keyedRw.length) {
-            keyedRw(i).merge(acc.wheels(i + 1))
+            if (acc.wheels(i + 1).newestSlotSec != Long.MinValue) {
+              keyedRw(i).merge(acc.wheels(i + 1))
+              // per-wheel change counter: publishLocked re-freezes a keyed
+              // wheel only when its counter moved (round-7 advice — freeze
+              // is O(total slots), so unconditional per-batch re-freezing
+              // grew publish cost linearly with event-time history)
+              keyedVer(i) += 1
+            }
             i += 1
           }
-          if (acc.wheels(0).newestSlotSec != Long.MinValue)
-            rw.advanceTo((acc.wheels(0).newestSlotSec + 1) * 1000L)
+          if (acc.wheels(0).newestSlotSec != Long.MinValue) {
+            val wmMs = (acc.wheels(0).newestSlotSec + 1) * 1000L
+            rw.advanceTo(wmMs)
+            // keyed wheels advance in lockstep (round-7 advice): they are
+            // merge-only today, but keeping their watermark truthful means
+            // any future insert/tryMergePartial path is horizon-gated the
+            // same way as spec 0 (spec 0's newest slot bounds every keyed
+            // spec's — its rows are a superset)
+            keyedRw.foreach(_.advanceTo(wmMs))
+          }
           (0 until nSpecs).foreach { j =>
             if (acc.nullV(j) > 0) sawNullValue(j) = true
             if (acc.nanV(j) > 0) sawNaN(j) = true

@@ -98,4 +98,58 @@ class WheelIndexIOSpec extends AnyFunSuite {
     val scan = try q.collect()(0) finally graft.Graft.rewritesEnabled = true
     assert(q.collect()(0) === scan)
   }
+
+  test("load re-canonicalizes pre-sparse-format HLL slots: bytes match a fresh build") {
+    graft.Graft.enable(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-canon").toString
+    val p = s"$dir/t.parquet"
+    val base = java.sql.Timestamp.valueOf("2024-09-01 00:00:00").getTime
+    (0 until 800).map(i => (new java.sql.Timestamp(base + (i % 200) * 7000L), i % 57L))
+      .toDF("ts", "uid").write.mode("overwrite").parquet(p)
+    val built = UWheelBuilder("ts", Nil).withDistinctWheel("uid").build(spark, p)
+    val fresh = built.allDistinctWheels.head
+    val m = 1 << fresh.p
+
+    // Rebuild the wheel the way a PRE-sparse-format build persisted it:
+    // every register slot as the dense m-byte array (documented layout;
+    // sparse = [n_lo, n_hi] ++ n x [idx_lo, idx_hi, rank]).
+    def densify(a: Array[Byte]): Array[Byte] =
+      if (a.length == m) a
+      else {
+        val out = new Array[Byte](m)
+        val n = (a(0) & 0xff) | ((a(1) & 0xff) << 8)
+        (0 until n).foreach { k =>
+          out((a(2 + 3 * k) & 0xff) | ((a(3 + 3 * k) & 0xff) << 8)) = a(4 + 3 * k)
+        }
+        out
+      }
+    val oldWheel = graft.wheel.TypedHawWheel.fromSecondPartials(
+      fresh.wheel.slotPartials.map { case (s, part) => (s, densify(part)) }, fresh.agg)
+    // densified content survived: same estimates, different (dense) bytes
+    val lo = base / 1000L
+    val hi = lo + 200L * 7L + 1L
+    assert(oldWheel.range(lo, hi) === fresh.wheel.range(lo, hi))
+    assert(oldWheel.slotPartials.exists { case (_, part) => part.length == m })
+
+    val oldT = new TableIndex(p, "ts", tsAllNonNull = true, built.fingerprint)
+    built.allWheels.foreach(oldT.put)
+    oldT.putDistinct(fresh.copy(wheel = oldWheel))
+    val file = s"$dir/index-old.bin"
+    WheelIndexIO.save(oldT, file)
+
+    WheelRegistry.clear()
+    val (loaded, _) = WheelIndexIO.load(spark, file)
+    val d = loaded.allDistinctWheels.head
+    // every persisted slot is canonical again (canonicalize is identity)...
+    assert(d.wheel.slotPartials.forall { case (_, part) => d.agg.canonicalize(part) eq part })
+    // ...and the whole wheel is byte-identical to the fresh build at every
+    // level read, so mixed old/new register equality assertions hold
+    val probes = Seq((lo, hi), (lo, lo + 60L), (lo + 60L, lo + 3600L), (lo, lo + 86400L))
+    probes.foreach { case (s, e) =>
+      assert(java.util.Arrays.equals(d.wheel.combineRange(s, e), fresh.wheel.combineRange(s, e)),
+        s"register bytes must match the fresh build over [$s, $e)")
+    }
+    WheelRegistry.clear()
+  }
 }

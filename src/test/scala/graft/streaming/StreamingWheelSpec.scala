@@ -607,4 +607,60 @@ class StreamingWheelSpec extends AnyFunSuite {
       graft.index.WheelRegistry.deregister(path)
     }
   }
+
+  test("deregister keeps the shared count family while another numeric publisher is live") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cnt").toString
+    val path = s"$dir/t.parquet"
+    val rows = Seq(
+      (ts("2024-03-01 00:00:00"), 1.0, 10.0),
+      (ts("2024-03-01 00:00:30"), 2.5, 20.0),
+      (ts("2024-03-01 00:01:30"), 4.0, 40.0))
+    rows.toDF("ts", "value", "score").write.parquet(path)
+    val range =
+      """WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+        |  AND ts < TIMESTAMP '2024-03-01 00:02:00'""".stripMargin
+    val cntSql = s"SELECT count(*) AS cnt FROM parquet.`$path` $range"
+    val aSql = s"SELECT sum(value) AS sv FROM parquet.`$path` $range"
+    val bSql = s"SELECT sum(score) AS ss FROM parquet.`$path` $range"
+    def rewrites(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty
+
+    // TWO numeric publishers on one path (different value columns) — both
+    // maintain the shared (None, "") count family. Withdrawing one must
+    // not blind COUNT(*) rewrites while the other still republishes the
+    // count wheel every batch (round-7 advice).
+    val aIn = MemoryStream[(Timestamp, Double)]
+    val aIdx = new StreamingWheelIndex("ts", Some("value"))
+    val aQ = aIdx.attach(aIn.toDF().toDF("ts", "value"), "cnt-a")
+    val bIn = MemoryStream[(Timestamp, Double)]
+    val bIdx = new StreamingWheelIndex("ts", Some("score"))
+    val bQ = bIdx.attach(bIn.toDF().toDF("ts", "score"), "cnt-b")
+    try {
+      aIdx.register(path)
+      aIn.addData(rows.map(r => (r._1, r._2)): _*)
+      aQ.processAllAvailable()
+      bIdx.register(path)
+      bIn.addData(rows.map(r => (r._1, r._3)): _*)
+      bQ.processAllAvailable()
+      assert(rewrites(cntSql) && rewrites(aSql) && rewrites(bSql), "all families live")
+      aIdx.deregister()
+      assert(!rewrites(aSql), "a's value family must be withdrawn")
+      assert(rewrites(bSql), "b's value family must survive")
+      assert(rewrites(cntSql),
+        "the shared count family must survive while b (a numeric publisher) is live")
+      assert(spark.sql(cntSql).collect()(0).getLong(0) === 3L)
+      bIdx.deregister()
+      assert(!rewrites(cntSql) && !rewrites(bSql), "nothing should remain registered")
+    } finally {
+      aQ.stop(); bQ.stop()
+      aIdx.deregister(); bIdx.deregister()
+      graft.index.WheelRegistry.deregister(path)
+    }
+  }
 }
