@@ -142,6 +142,61 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
   }
 
   /** Starts the maintenance query on a streaming DataFrame. */
+  // ------------------------------------------------------------ checkpoint
+
+  /** Checkpoint config signature: the aggregator kind (and precision for
+    * HLL — different p ⇒ incompatible registers) plus the wheel's columns.
+    * [[restoreState]] refuses a mismatched file instead of merging
+    * incompatible partials. */
+  private def configSig: String = {
+    val aggSig = agg match {
+      case h: WheelAggregators.HllDistinct => s"hll(p=${h.p})"
+      case other                           => other.getClass.getName
+    }
+    s"stw-v1|$timeColumn|$valueCol|$aggSig"
+  }
+
+  /** Checkpoints the live typed wheel to `file`, atomically, under the
+    * ingest lock — the [[StreamingWheelIndex.saveState]] counterpart for
+    * custom-aggregator (sketch) wheels. */
+  def saveState(file: String): Unit = live.synchronized {
+    val target = java.nio.file.Paths.get(file)
+    val tmp = java.nio.file.Files.createTempFile(
+      Option(target.getParent).getOrElse(java.nio.file.Paths.get(".")),
+      ".wheelstream", ".tmp")
+    try {
+      scala.util.Using.resource(
+        new java.io.ObjectOutputStream(java.nio.file.Files.newOutputStream(tmp))) { o =>
+        o.writeObject(configSig)
+        o.writeObject(live)
+      }
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Restores a checkpoint into this (fresh, pre-attach) wheel; returns the
+    * saved watermark (ms) the source must resume after. Register-max
+    * merging is idempotent for sketches, so even an overlap between the
+    * restored state and replayed batches cannot double-count — the
+    * emptiness guard still holds the restore to the fresh-instance
+    * contract for non-idempotent aggregators. */
+  def restoreState(file: String): Long = live.synchronized {
+    require(version == 0L,
+      "restoreState must run on a fresh wheel, before any batch")
+    scala.util.Using.resource(
+      new java.io.ObjectInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)))) { in =>
+      val sig = in.readObject().asInstanceOf[String]
+      require(sig == configSig,
+        s"checkpoint was written by a differently-configured wheel ($sig != $configSig)")
+      live.merge(in.readObject().asInstanceOf[TypedRwWheel[In, P, Out]])
+    }
+    version += 1
+    live.watermark
+  }
+
   def attach(stream: DataFrame, queryName: String): StreamingQuery =
     stream.writeStream
       .queryName(queryName)

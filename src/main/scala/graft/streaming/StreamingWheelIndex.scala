@@ -291,6 +291,80 @@ final class StreamingWheelIndex(
     })
   }
 
+  // ------------------------------------------------------------ checkpoint
+
+  /** Configuration signature stamped into checkpoints: restoring into a
+    * differently-shaped index (other keyed specs, scale, span, columns)
+    * would mis-route or mis-scale wheels, so [[restoreState]] fails loudly
+    * on mismatch instead. */
+  private def configSig: String =
+    s"swi-v1|$timeColumn|${valueColumn.getOrElse("")}|$scale|$slotSpanSec|" +
+      keyedWheels.map { case (c, f) => s"$c=$f" }.mkString(";")
+
+  /** Checkpoints the ingest state — every wheel's slots, the value-quality
+    * flags, the watermark — to `file`, atomically (temp file + move, the
+    * [[graft.index.WheelIndexIO]] pattern). Safe while the stream runs:
+    * serialization happens under the ingest lock, so the file is a
+    * consistent point-in-time cut between two batches. With the source's
+    * own checkpoint trimmed to batches past [[watermarkMs]], a restarted
+    * process recovers in O(new batches) instead of replaying the whole
+    * event-time history through [[attach]] (round-7 verdict task). */
+  def saveState(file: String): Unit = rw.synchronized {
+    val target = java.nio.file.Paths.get(file)
+    val tmp = java.nio.file.Files.createTempFile(
+      Option(target.getParent).getOrElse(java.nio.file.Paths.get(".")),
+      ".wheelstream", ".tmp")
+    try {
+      scala.util.Using.resource(
+        new java.io.ObjectOutputStream(java.nio.file.Files.newOutputStream(tmp))) { o =>
+        o.writeObject(configSig)
+        o.writeObject(rw)
+        o.writeObject(keyedRw)
+        o.writeObject(sawNullValue)
+        o.writeObject(sawNaN)
+        o.writeObject(sawBadRep)
+      }
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Restores a checkpoint into this index and returns the saved watermark
+    * (ms) — the event-time point the re-attached source must resume AFTER.
+    * Must run before any batch arrives: restored slots merge additively,
+    * so restoring over already-ingested data would double-count (guarded).
+    * After restore, [[register]]/[[attach]] behave exactly as on the
+    * never-restarted instance — the restored state is indistinguishable
+    * from having replayed the full history ([[graft.StreamingWheelSpec]]
+    * asserts bit-for-bit slot equality with a twin). */
+  def restoreState(file: String): Long = rw.synchronized {
+    require(version == 0L && rw.newestSlotSec == Long.MinValue,
+      "restoreState must run on a fresh index, before any batch (restore merges additively)")
+    scala.util.Using.resource(
+      new java.io.ObjectInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)))) { in =>
+      val sig = in.readObject().asInstanceOf[String]
+      require(sig == configSig,
+        s"checkpoint was written by a differently-configured index ($sig != $configSig)")
+      rw.merge(in.readObject().asInstanceOf[RwWheel])
+      val skeyed = in.readObject().asInstanceOf[Array[RwWheel]]
+      keyedRw.indices.foreach { i =>
+        if (skeyed(i).newestSlotSec != Long.MinValue) {
+          keyedRw(i).merge(skeyed(i))
+          keyedVer(i) += 1
+        }
+      }
+      def orInto(dst: Array[Boolean], src: Array[Boolean]): Unit =
+        dst.indices.foreach(j => dst(j) = dst(j) || src(j))
+      orInto(sawNullValue, in.readObject().asInstanceOf[Array[Boolean]])
+      orInto(sawNaN, in.readObject().asInstanceOf[Array[Boolean]])
+      orInto(sawBadRep, in.readObject().asInstanceOf[Array[Boolean]])
+    }
+    version += 1
+    rw.watermark
+  }
+
   /** Starts the maintenance query on a streaming DataFrame. The time column
     * takes every type the batch build takes, via the same conversion
     * ([[graft.index.UWheelIndex.secExprOf]]): TIMESTAMP, raw-nanos LONG,

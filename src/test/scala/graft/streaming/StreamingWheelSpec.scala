@@ -663,4 +663,132 @@ class StreamingWheelSpec extends AnyFunSuite {
       graft.index.WheelRegistry.deregister(path)
     }
   }
+
+  test("checkpoint/restore: restored index + next batch matches a never-restarted twin bit-for-bit") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val path = s"$dir/t.parquet"
+    val batch1 = Seq(
+      (ts("2024-03-01 00:00:00"), 1.0, "click"),
+      (ts("2024-03-01 00:00:30"), 2.5, "view"),
+      (ts("2024-03-01 00:01:30"), 4.0, "click"))
+    val batch2 = Seq(
+      (ts("2024-03-01 00:02:00"), 8.0, "view"),
+      (ts("2024-03-01 00:02:45"), 0.5, "click"))
+    (batch1 ++ batch2).toDF("ts", "value", "event_type").write.parquet(path)
+    def newIdx() = new StreamingWheelIndex("ts", Some("value"),
+      keyedWheels = Seq(("value", "event_type = 'click'")))
+    val range =
+      """WHERE ts >= TIMESTAMP '2024-03-01 00:00:00'
+        |  AND ts < TIMESTAMP '2024-03-01 00:03:00'""".stripMargin
+    val sqls = Seq(
+      s"SELECT count(*) AS cnt FROM parquet.`$path` $range",
+      s"SELECT sum(value) AS sv FROM parquet.`$path` $range",
+      s"SELECT count(*) AS cc FROM parquet.`$path` $range AND event_type = 'click'")
+    def rewrittenRows(sql: String): Seq[org.apache.spark.sql.Row] = {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty, s"must rewrite: $sql")
+      df.collect().toSeq
+    }
+
+    // twin: never restarted, sees both batches
+    val twinIn = MemoryStream[(Timestamp, Double, String)]
+    val twin = newIdx()
+    val twinQ = twin.attach(twinIn.toDF().toDF("ts", "value", "event_type"), "ckpt-twin")
+    // original: sees batch1, checkpoints, process "dies"
+    val aIn = MemoryStream[(Timestamp, Double, String)]
+    val a = newIdx()
+    val aQ = a.attach(aIn.toDF().toDF("ts", "value", "event_type"), "ckpt-a")
+    val ckpt = s"$dir/wheel.ckpt"
+    var restoredQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    val restored = newIdx()
+    try {
+      twinIn.addData(batch1: _*); twinIn.addData(batch2: _*)
+      twinQ.processAllAvailable()
+      aIn.addData(batch1: _*)
+      aQ.processAllAvailable()
+      a.saveState(ckpt)
+      val savedWm = a.watermarkMs
+      aQ.stop() // the "crash"
+
+      // restart: fresh instance restores, source replays only batch2
+      val wm = restored.restoreState(ckpt)
+      assert(wm === savedWm, "restore must hand back the checkpoint watermark")
+      assert(batch2.forall(_._1.getTime >= wm),
+        "test wiring: batch2 must lie past the saved watermark")
+      val rIn = MemoryStream[(Timestamp, Double, String)]
+      restoredQ = restored.attach(rIn.toDF().toDF("ts", "value", "event_type"), "ckpt-r")
+      rIn.addData(batch2: _*)
+      restoredQ.processAllAvailable()
+
+      // bit-for-bit: identical slot partials on the unfiltered wheel...
+      assert(restored.snapshot().slotPartials.toList === twin.snapshot().slotPartials.toList)
+      // ...and identical registered-SQL answers for every family
+      twin.register(path)
+      val expect = sqls.map(rewrittenRows)
+      twin.deregister()
+      restored.register(path)
+      val got = sqls.map(rewrittenRows)
+      assert(got === expect)
+      // config mismatch refuses loudly
+      val other = new StreamingWheelIndex("ts", Some("value")) // no keyed specs
+      assertThrows[IllegalArgumentException](other.restoreState(ckpt))
+      // restore into a non-fresh index refuses (would double-count)
+      assertThrows[IllegalArgumentException](restored.restoreState(ckpt))
+    } finally {
+      if (restoredQ != null) restoredQ.stop()
+      twinQ.stop()
+      twin.deregister(); restored.deregister()
+      graft.index.WheelRegistry.deregister(path)
+    }
+  }
+
+  test("typed wheel checkpoint/restore: restored sketch answers bit-for-bit") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ckpt2").toString
+    val agg = new graft.wheel.WheelAggregators.HllDistinct(11)
+    def newWheel() = new StreamingTypedWheel[Long, Array[Byte], Long](
+      "ts", col("uid"), agg, _.getLong(1))
+    val batch1 = Seq((ts("2024-03-01 00:00:00"), 11L), (ts("2024-03-01 00:00:30"), 12L))
+    val batch2 = Seq((ts("2024-03-01 00:01:30"), 11L), (ts("2024-03-01 00:02:00"), 13L))
+    val twinIn = MemoryStream[(Timestamp, Long)]
+    val twin = newWheel()
+    val twinQ = twin.attach(twinIn.toDF().toDF("ts", "uid"), "ckpt2-twin")
+    val aIn = MemoryStream[(Timestamp, Long)]
+    val a = newWheel()
+    val aQ = a.attach(aIn.toDF().toDF("ts", "uid"), "ckpt2-a")
+    val ckpt = s"$dir/typed.ckpt"
+    var rQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      twinIn.addData(batch1: _*); twinIn.addData(batch2: _*)
+      twinQ.processAllAvailable()
+      aIn.addData(batch1: _*)
+      aQ.processAllAvailable()
+      a.saveState(ckpt)
+      aQ.stop()
+      val restored = newWheel()
+      restored.restoreState(ckpt)
+      val rIn = MemoryStream[(Timestamp, Long)]
+      rQ = restored.attach(rIn.toDF().toDF("ts", "uid"), "ckpt2-r")
+      rIn.addData(batch2: _*)
+      rQ.processAllAvailable()
+      val lo = ts("2024-03-01 00:00:00").getTime / 1000
+      val hi = ts("2024-03-01 00:03:00").getTime / 1000
+      assert(java.util.Arrays.equals(
+        restored.snapshot().combineRange(lo, hi).asInstanceOf[Array[Byte]],
+        twin.snapshot().combineRange(lo, hi).asInstanceOf[Array[Byte]]),
+        "restored registers must be bit-identical to the twin's")
+      assert(restored.snapshot().range(lo, hi) === 3L)
+    } finally {
+      if (rQ != null) rQ.stop()
+      twinQ.stop()
+    }
+  }
 }
