@@ -185,6 +185,116 @@ object Extract {
     unit == "day" || unit == "week" || unit == "month" ||
       unit == "quarter" || unit == "year"
 
+  /** Total `ZonedDateTime.ofLocal` resolution of a local time: unique →
+    * `local − offset`; fall-back overlap → the EARLIER valid offset
+    * (`getValidOffsets` lists it first); spring-forward gap → shifted
+    * forward by the gap length. Unlike [[valueInstantUs]] this never
+    * declines — callers that must distinguish retention-dependent values
+    * (day buckets whose midnight sits inside an overlap) must gate before
+    * calling. */
+  private[graft] def ofLocalInstantUs(rules: java.time.zone.ZoneRules,
+      localUs: Long): Long = {
+    val sec = Math.floorDiv(localUs, MicrosPerSec)
+    val subUs = localUs - sec * MicrosPerSec
+    val ldt = java.time.LocalDateTime.ofEpochSecond(sec, subUs.toInt * 1000,
+      java.time.ZoneOffset.UTC)
+    val offs = rules.getValidOffsets(ldt)
+    if (offs.size >= 1) localUs - offs.get(0).getTotalSeconds * MicrosPerSec
+    else {
+      val t = rules.getTransition(ldt)
+      val gapStartLocalUs = t.getDateTimeBefore.toEpochSecond(
+        java.time.ZoneOffset.UTC) * MicrosPerSec + t.getDateTimeBefore.getNano / 1000L
+      t.getInstant.getEpochSecond * MicrosPerSec + (localUs - gapStartLocalUs)
+    }
+  }
+
+  /** Constant-offset pieces `(startUs, endUs, offsetUs)` covering the
+    * instant window `[s, e)`, split at the zone's rule transitions. */
+  private[graft] def constantOffsetPieces(rules: java.time.zone.ZoneRules,
+      s: Long, e: Long): Seq[(Long, Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long, Long)]
+    var cur = s
+    var guard = 0
+    while (cur < e && guard < 1000) {
+      val off = offsetAtUs(rules, cur)
+      val next = Option(rules.nextTransition(
+        java.time.Instant.ofEpochSecond(Math.floorDiv(cur, MicrosPerSec))))
+        .map(_.getInstant.getEpochSecond * MicrosPerSec)
+        .filter(t => t > cur && t < e)
+        .getOrElse(e)
+      out += ((cur, next, off))
+      cur = next
+      guard += 1
+    }
+    out.result()
+  }
+
+  /** Matching instant range of `date_trunc(unit ∈ {minute, hour}, ts) = v`
+    * under a rule-varying (DST) zone — the round-7 verdict's fall-back
+    * resolution. Catalyst truncates on the LOCAL clock and converts back
+    * RETAINING the row's offset when it is still valid at the truncated
+    * local time (`ZonedDateTime.truncatedTo`), else resolving like
+    * `ofLocal` (earlier offset in overlaps, forward-shift in gaps). The
+    * matching set is therefore assembled per constant-offset piece: rows
+    * of a piece with offset `o` in local bucket `[b, b+u)` take value
+    * `b − o` when `o` is valid at `b`, else `ofLocal(b)`. Returns the
+    * union when it merges to ONE contiguous range (every whole-unit
+    * transition does), the empty range `(0, 0)` when unsatisfiable, and
+    * None when genuinely non-contiguous (stays residual — scan answers). */
+  private[graft] def subDayTruncEqRangeUs(rules: java.time.zone.ZoneRules,
+      unitUs: Long, v: Long): Option[(Long, Long)] = {
+    val pieces = constantOffsetPieces(rules, v - MicrosPerDay, v + unitUs + MicrosPerDay)
+    // candidate local buckets that could take value v: one per piece offset
+    // (retained / earlier-offset resolutions have b = v + o), plus the
+    // gap-shifted solution per spring-forward transition in the window
+    val gapB = pieces.iterator.flatMap { case (ps, _, _) =>
+      val t = rules.nextTransition(
+        java.time.Instant.ofEpochSecond(Math.floorDiv(ps, MicrosPerSec) - 1))
+      if (t != null && t.isGap) {
+        val transUs = t.getInstant.getEpochSecond * MicrosPerSec
+        val gapStartLocalUs = t.getDateTimeBefore.toEpochSecond(
+          java.time.ZoneOffset.UTC) * MicrosPerSec
+        val gapEndLocalUs = t.getDateTimeAfter.toEpochSecond(
+          java.time.ZoneOffset.UTC) * MicrosPerSec
+        val b = gapStartLocalUs + (v - transUs)
+        if (b >= gapStartLocalUs && b < gapEndLocalUs) Some(b) else None
+      } else None
+    }.toSeq
+    val candB = (pieces.map(_._3).distinct.map(o => v + o) ++ gapB)
+      .filter(b => Math.floorMod(b, unitUs) == 0L).distinct
+    def validOffsUs(b: Long): Seq[Long] = {
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(b, MicrosPerSec), ((b - Math.floorDiv(b, MicrosPerSec) *
+          MicrosPerSec).toInt * 1000), java.time.ZoneOffset.UTC)
+      import scala.jdk.CollectionConverters._
+      rules.getValidOffsets(ldt).asScala.toSeq.map(_.getTotalSeconds * MicrosPerSec)
+    }
+    val hits = Vector.newBuilder[(Long, Long)]
+    pieces.foreach { case (ps, pe, off) =>
+      candB.foreach { b =>
+        val valueHere =
+          if (validOffsUs(b).contains(off)) b - off // retained
+          else ofLocalInstantUs(rules, b)           // earlier / gap-shifted
+        if (valueHere == v) {
+          val lo = math.max(ps, b - off)
+          val hi = math.min(pe, b + unitUs - off)
+          if (lo < hi) hits += ((lo, hi))
+        }
+      }
+    }
+    val merged = hits.result().sortBy(_._1)
+      .foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc :+ ((s0, e0)), (s1, e1)) if s1 <= e0 =>
+          acc :+ ((s0, math.max(e0, e1)))
+        case (acc, r) => acc :+ r
+      }
+    merged match {
+      case Vector()  => Some((0L, 0L)) // unsatisfiable literal → empty range
+      case Vector(r) => Some(r)
+      case _         => None // non-contiguous: decline, the scan answers
+    }
+  }
+
   /** Canonical calendar unit of a `date_trunc`/`trunc` format string, or
     * None for unsupported (sub-second, millennium, …) units. */
   private[graft] def truncUnitOf(fmt: String): Option[String] = {
@@ -426,6 +536,14 @@ object Extract {
                   end <- boundaryInstantUs(rules, nextBoundaryMicros(a, unit))
                 } yield (start, end)
               }
+            // sub-day truncation under DST (minute/hour — second composes
+            // as fixed): offset-retaining values, resolved per
+            // constant-offset piece incl. fall-back overlaps (round-7
+            // verdict; previously declined as ambiguous)
+            case RuleZone(rules) if unit == "minute" || unit == "hour" =>
+              val unitUs = if (unit == "minute") 60L * MicrosPerSec
+                           else 3600L * MicrosPerSec
+              subDayTruncEqRangeUs(rules, unitUs, v)
             case _ => None
           }
         } yield r

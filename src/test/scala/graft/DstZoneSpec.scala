@@ -219,14 +219,48 @@ class DstZoneSpec extends AnyFunSuite {
       val b = df.filter(expr("to_date(ts) = DATE '2024-09-08'")).count()
       assert(a === b && a > 0)
     }
-    // sub-day truncation comparisons stay offset-gated under DST
+    // sub-day truncation EQUALITY now resolves under DST (round-7 verdict,
+    // previously a decline): the literal parses to the EARLIER-offset
+    // instant of the repeated 01:xx hour (ofLocal), and the matching rows
+    // are exactly the FIRST pass (rows of the second pass retain their EST
+    // offset at the still-valid 01:00 local and truncate to a different
+    // instant). Must rewrite AND equal the scan, and must be non-vacuous —
+    // the dense ±2 h grid around the transition populates both passes.
     inZone("America/New_York") {
-      val q = df.filter(expr("date_trunc('hour', ts) = TIMESTAMP '2024-11-03 01:00:00'"))
+      def q = df.filter(expr("date_trunc('hour', ts) = TIMESTAMP '2024-11-03 01:00:00'"))
+        .agg(count(lit(1)).as("c"), min("value").as("mn"), max("value").as("mx"))
+      assertRewritten(q)
+      val got = q.collect().map(_.toString).toSeq
+      val exp = groundTruth(q.collect().map(_.toString).toSeq)
+      assert(got === exp, "NY fall-back hour-trunc equality")
+      val firstPass = q.collect()(0).getLong(0)
+      assert(firstPass > 0, "fall-back hour equality matched no rows — vacuous")
+      // the repeated hour's SECOND pass is a different bucket: its rows are
+      // the 01:xx EST instants (06:00Z–07:00Z), disjoint from the first
+      // pass (05:00Z–06:00Z); instants written as epoch seconds so the
+      // session zone cannot reinterpret them
+      def q2 = df.filter(
+        expr("date_trunc('hour', ts) = timestamp_seconds(1730613600)")) // 06:00Z
         .agg(count(lit(1)).as("c"))
-      val opt = q.queryExecution.optimizedPlan
-      assert(opt.collect { case r: LogicalRelation => r }.nonEmpty,
-        s"hour-trunc equality under DST must fall back:\n$opt")
+      val both = df.filter(
+        expr("ts >= timestamp_seconds(1730610000) AND ts < timestamp_seconds(1730617200)"))
+        .count()
+      assert(q2.collect()(0).getLong(0) === groundTruth(q2.collect()(0).getLong(0)))
+      assert(firstPass + q2.collect()(0).getLong(0) === both,
+        "first + second pass must tile the two repeated wall-clock hours")
+    }
+    // minute-trunc equality inside the Lord Howe 30-minute fall-back
+    // overlap (offsets +11 / +10:30): both passes of the repeated half
+    // hour truncate to DIFFERENT instants; each equality must resolve to
+    // its own pass and match the scan
+    inZone("Australia/Lord_Howe") {
+      // 2024-04-07 02:00 +11 → 01:30 +10:30; repeated local [01:30, 02:00)
+      def q = df.filter(expr(
+        "date_trunc('minute', ts) = TIMESTAMP '2024-04-07 01:45:00'"))
+        .agg(count(lit(1)).as("c"))
+      assertRewritten(q)
       assert(q.collect()(0).getLong(0) === groundTruth(q.collect()(0).getLong(0)))
+      assert(q.collect()(0).getLong(0) > 0, "LH overlap minute equality vacuous")
     }
   }
 
@@ -257,7 +291,7 @@ class DstZoneSpec extends AnyFunSuite {
             col("ts") < lit(new java.sql.Timestamp(e * 1000L)))
         val localDate = java.time.Instant.ofEpochSecond(anchor)
           .atZone(java.time.ZoneId.of(tz)).toLocalDate
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 =>
             val unit = Seq("minute", "hour", "day", "week", "month")(rnd.nextInt(5))
             def q = win.groupBy(date_trunc(unit, col("ts")).as("b"))
@@ -282,7 +316,16 @@ class DstZoneSpec extends AnyFunSuite {
               case 3 =>
                 val d2 = localDate.plusDays(1L + rnd.nextInt(4))
                 s"to_date(ts) >= DATE '$localDate' AND to_date(ts) < DATE '$d2'"
-              case _ => s"date_trunc('day', ts) = TIMESTAMP '$localDate 00:00:00'"
+              case 4 => s"date_trunc('day', ts) = TIMESTAMP '$localDate 00:00:00'"
+              case _ =>
+                // sub-day trunc equality at an hour near the anchor — when
+                // anchored on a transition this lands in/next to the
+                // repeated or skipped hour (round-7 verdict: resolved
+                // per-pass now, no longer a blanket decline)
+                val lh = java.time.Instant.ofEpochSecond(anchor)
+                  .atZone(java.time.ZoneId.of(tz)).toLocalDateTime
+                  .truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+                s"date_trunc('hour', ts) = TIMESTAMP '${lh.toLocalDate} ${lh.toLocalTime}:00'"
             }
             whereCases += 1
             def q = win.filter(expr(pred))

@@ -399,8 +399,9 @@ class UWheelRuleSpec extends AnyFunSuite {
         // WHERE-side calendar predicates: date-path views (to_date, year,
         // date_trunc of day and coarser) compose in EVERY zone — constant
         // shift under a fixed offset, per-boundary rule resolution under
-        // DST. Sub-day truncations still require a constant offset (their
-        // values retain each pass's own offset), so they decline under DST.
+        // DST. Sub-day trunc EQUALITY resolves per constant-offset piece
+        // under DST (inequality comparisons on sub-day views still
+        // decline there — offset-retaining values order non-monotonically).
         for (pred <- Seq(
             "date_trunc('day', ts) = TIMESTAMP '2024-01-08 00:00:00'",
             "to_date(ts) = DATE '2024-01-08'",
@@ -412,10 +413,14 @@ class UWheelRuleSpec extends AnyFunSuite {
           assert(qw.collect().map(_.toString).toSeq ===
             groundTruth(qw.collect().map(_.toString).toSeq), s"$tz / WHERE $pred")
         }
+        // sub-day trunc EQUALITY now rewrites under DST too (round-7
+        // verdict): away from transitions it is a plain hour range; at
+        // transitions the per-piece resolution takes over (DstZoneSpec
+        // covers the repeated/skipped hours)
         val qh = events.filter(
             expr("date_trunc('hour', ts) = TIMESTAMP '2024-01-08 05:00:00'"))
           .agg(count(lit(1)).as("c"))
-        if (fixed) assertRewritten(qh) else assertNotRewritten(qh)
+        assertRewritten(qh)
         assert(qh.collect().map(_.toString).toSeq ===
           groundTruth(qh.collect().map(_.toString).toSeq), s"$tz / WHERE hour-eq")
         // 'second' truncation is timezone-invariant: stays rewritten + exact
