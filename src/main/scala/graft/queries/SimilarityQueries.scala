@@ -397,7 +397,9 @@ object SimilarityQueries {
     * IVF trade); the oracle mirrors the same hierarchy, so contract
     * results stay exactly checkable.
     *
-    * Returns (fine centroids (cid, vc, nc), assignment (xi, vx, nx, cid)). */
+    * Returns (fine centroids (cid, vc, nc, ccid) — ccid is the coarse cell
+    * the fine belongs to, consumed by [[ivfSearchAdaptive]]'s
+    * assignment-aligned probing — and assignment (xi, vx, nx, cid)). */
   private[queries] def ivfIndex(e: DataFrame, n: Long): (DataFrame, DataFrame) = {
     val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
     val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)

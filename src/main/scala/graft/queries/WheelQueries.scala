@@ -153,6 +153,24 @@ object WheelQueries {
          |WHERE ((ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00')
          |    OR (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'))
          |  AND event_type = 'click'""".stripMargin),
+    // keyed IN union (beyond the reference): `key IN (v1..vk)` answers from
+    // the UNION of per-value keyed wheels — per-value row sets are disjoint
+    // (a row has one key), so merging their range aggregates is exact
+    "uw_keyed_in" -> Q.sql(
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx
+         |FROM events
+         |WHERE $range AND event_type IN ('click', 'purchase', 'signup')""".stripMargin),
+    // plan-time dim-join folding (round-7 verdict task 5): an aggregate over
+    // an INNER equi-join whose dim side is a small plan-time relation folds
+    // to `key IN (dim keys)` and answers from the same per-value union — the
+    // single most common dashboard shape (fact × tiny dimension) with no
+    // join, no shuffle, no scan
+    "uw_keyed_dimjoin" -> Q.sql(
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
+         |FROM events
+         |JOIN (SELECT * FROM VALUES ('click'), ('purchase') AS t(et)) dim
+         |  ON events.event_type = dim.et
+         |WHERE $range""".stripMargin),
     // multi-column GROUP BY: time bucket × key column, answered from the
     // per-value keyed wheel set; sound only under the plan-time counting
     // proof (per-bucket value counts must sum to the unfiltered count)
@@ -428,6 +446,16 @@ object WheelQueries {
       s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type AS et,
          |       count(*) AS cnt, $sumDec AS sum_val
          |FROM events WHERE $range GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "uw_keyed_in" ->
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx
+         |FROM events
+         |WHERE $range AND event_type IN ('click', 'purchase', 'signup')""".stripMargin,
+    "uw_keyed_dimjoin" ->
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
+         |FROM events
+         |JOIN (VALUES ('click'), ('purchase')) dim(et)
+         |  ON events.event_type = dim.et
+         |WHERE $range""".stripMargin,
     "uw_exact_distinct" ->
       s"""SELECT count(*) AS cnt, count(DISTINCT event_type) AS dtypes
          |FROM events WHERE $range""".stripMargin,

@@ -66,7 +66,7 @@ object UWheelRule extends Rule[LogicalPlan] {
       // addExact on pathological mixed-sign data) must degrade to the scan,
       // never abort the query from inside the optimizer
       case agg: Aggregate =>
-        try tryAggRewrite(agg).getOrElse(agg)
+        try tryAggRewrite(agg).orElse(tryDimJoinRewrite(agg)).getOrElse(agg)
         catch { case _: ArithmeticException | _: DeclineRewrite => agg }
       case f: Filter =>
         try tryPrune(f).getOrElse(f)
@@ -209,6 +209,16 @@ object UWheelRule extends Rule[LogicalPlan] {
       perValue: Seq[IndexedWheel]) extends Src {
     def numeric: Option[IndexedWheel] = Some(base)
   }
+  /** Residual `key IN (v₁…vₖ)` answered by the UNION of per-value keyed
+    * wheels: a row has exactly one key value, so the per-value row sets are
+    * disjoint and merging their [[RangeAgg]]s is additive-exact — the keyed
+    * analogue of the multi-range OR union. Plan-time dim-join folding
+    * (round-7 verdict task 5) lowers a small-dim equi-join to exactly this
+    * residual. 0-grouping arm only (`numeric` = None keeps it out of the
+    * grouped arms' shared-enumeration machinery, which declines it). */
+  private final case class UnionSrc(ws: Seq[IndexedWheel]) extends Src {
+    def numeric: Option[IndexedWheel] = None
+  }
 
   /** What one AggregateExpression needs from the index.
     * `hllP` is only meaningful for kind == "hll" (register precision the
@@ -345,6 +355,66 @@ object UWheelRule extends Rule[LogicalPlan] {
     (keyed, keyed.flatMap(_.keyEqOpt).map(_._2).distinct)
   }
 
+  /** Plan-time dim-join folding (round-7 verdict task 5): a group-less
+    * aggregate over an INNER equi-join whose dim side is a SMALL
+    * plan-time-known relation (a [[LocalRelation]] — a VALUES list, or a
+    * dimension Catalyst already constant-folded) lowers to the same
+    * aggregate over `factKey IN (dim keys)`, which the per-value
+    * keyed-wheel union ([[UnionSrc]]) answers. Gates:
+    *  - single bare-attribute equi-condition, INNER join;
+    *  - aggregates reference only fact-side columns (the fold drops dim);
+    *  - ≤ 64 dim rows, DISTINCT non-NULL atomic keys (a duplicate key
+    *    would multiply its matched fact rows — decline rather than scale);
+    *    NULL dim keys never equi-join and are dropped;
+    *  - the fold is only a CANDIDATE: it stands when [[tryAggRewrite]]
+    *    proves the folded aggregate wheel-answerable, else the original
+    *    join plan is left untouched (never a plan regression).
+    * Non-LocalRelation dim sides (scans, streams, non-deterministic
+    * sources) decline — their rows are not knowable at plan time. */
+  private def tryDimJoinRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.nonEmpty) return None
+    if (agg.aggregateExpressions.exists(!_.deterministic)) return None
+    @scala.annotation.tailrec
+    def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        stripProjects(child)
+      case other => other
+    }
+    stripProjects(agg.child) match {
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(EqualTo(x: AttributeReference, y: AttributeReference)), _) =>
+        val sides = (l, r) match {
+          case (lr: LocalRelation, f) => Some((lr, f))
+          case (f, lr: LocalRelation) => Some((lr, f))
+          case _                      => None
+        }
+        sides.flatMap { case (dim, fact) =>
+          val (dimKey, factKey) =
+            if (dim.output.exists(_.exprId == x.exprId) && fact.outputSet.contains(y))
+              (x, y)
+            else if (dim.output.exists(_.exprId == y.exprId) && fact.outputSet.contains(x))
+              (y, x)
+            else return None
+          if (dim.data.length > 64) return None
+          dimKey.dataType match { // only scalar keys: complex types never have per-value wheels
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType => return None
+            case _ =>
+          }
+          if (agg.aggregateExpressions.exists(_.references.exists(dim.outputSet.contains)))
+            return None
+          val idx = dim.output.indexWhere(_.exprId == dimKey.exprId)
+          val vals = dim.data.map(_.get(idx, dimKey.dataType)).filter(_ != null)
+          if (vals.isEmpty || vals.distinct.length != vals.length) return None
+          val folded = Aggregate(Nil, agg.aggregateExpressions,
+            Filter(In(factKey, vals.map(v => Literal(v, dimKey.dataType))), fact))
+          tryAggRewrite(folded)
+        }
+      case _ => None
+    }
+  }
+
   private def tryAggRewrite(agg: Aggregate): Option[LogicalPlan] = {
     if (agg.groupingExpressions.length > 2) return None
     if (agg.aggregateExpressions.exists(!_.deterministic)) return None
@@ -452,8 +522,71 @@ object UWheelRule extends Rule[LogicalPlan] {
           if pv.length == values.length
           base <- table.anyForFilter("").filter(coverageOk).filter(spanOk)
         } yield DistinctSetSrc(base, pv)
-      case _ => wheelFor(n).map(NumSrc)
+      case _ => wheelFor(n).map(NumSrc).orElse(unionWheelsFor(n).map(UnionSrc))
     }
+
+    // Residual decomposition for UnionSrc: a SINGLE conjunct of the form
+    // `key IN (lits)` / `key = l1 OR key = l2 …` over one column. NULL
+    // literals are dropped — a NULL element never contributes rows (the
+    // membership test yields NULL, filtered) — and values are deduped
+    // (IN is set membership).
+    lazy val residualInVals: Option[(String, Seq[Literal])] = residual match {
+      case Seq(one) =>
+        def orEqs(e: Expression): Option[Seq[(String, Literal)]] = e match {
+          case Or(l, r) => for { a <- orEqs(l); b <- orEqs(r) } yield a ++ b
+          case EqualTo(a: AttributeReference, l: Literal) => Some(Seq((a.name, l)))
+          case EqualTo(l: Literal, a: AttributeReference) => Some(Seq((a.name, l)))
+          case _ => None
+        }
+        (one match {
+          case In(a: AttributeReference, vs)
+              if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+            Some((a.name, vs.map(_.asInstanceOf[Literal])))
+          case InSet(a: AttributeReference, hs) if hs.nonEmpty =>
+            Some((a.name, hs.toSeq.map(v => Literal(v, a.dataType))))
+          case o: Or =>
+            orEqs(o).flatMap { eqs =>
+              val cols = eqs.map(_._1).distinct
+              if (cols.length == 1) Some((cols.head, eqs.map(_._2))) else None
+            }
+          case _ => None
+        }).map { case (c, ls) => (c, ls.filter(_.value != null)) }
+          .filter(_._2.nonEmpty)
+      case _ => None
+    }
+
+    /** One per-value keyed wheel per distinct IN value — ALL values must
+      * have one (a missing value could hold rows no wheel sees), and every
+      * wheel must pass the same value-quality/coverage/span gates as
+      * [[wheelFor]]. Bounded at 64 values (oversized lists decline). */
+    def unionWheelsFor(n: Need): Option[Seq[IndexedWheel]] =
+      residualInVals.flatMap { case (col, lits) =>
+        val dedup = lits.map(l => (l.dataType, l.value)).distinct
+        if (dedup.isEmpty || dedup.size > 64) None
+        else {
+          val (keyed, _) = keyedWheelSet(table, col)
+          val ws = dedup.flatMap { case (dt, v) =>
+            keyed.find(_.keyEqOpt.exists { case (c, kl) =>
+              c == col && kl.dataType == dt && kl.value == v
+            })
+          }
+          if (ws.length != dedup.size) None
+          else {
+            val ok = ws.forall { w =>
+              (n.column match {
+                case None => true // any per-value wheel's count is the rows with key = v
+                case Some(c) =>
+                  w.valueColumn.contains(c) && w.valueAllNonNull &&
+                    n.decScale.forall(_ == w.wheel.scale) &&
+                    (n.kind == "sumdec" || n.kind == "avgdec" || n.kind == "min" ||
+                      n.kind == "max" || n.kind == "countcol" || w.valuesExactAtScale) &&
+                    ((n.kind != "min" && n.kind != "max") || w.valuesNaNFree)
+              }) && coverageOk(w) && spanOk(w)
+            }
+            if (ok) Some(ws) else None
+          }
+        }
+      }
 
     /** `hll_distinct` over a union of disjoint clipped ranges: combine the
       * per-range register partials (register max — exact for any union) and
@@ -535,6 +668,8 @@ object UWheelRule extends Rule[LogicalPlan] {
         val aggValues = nds.map { case (k, (n, src)) =>
           val v = src match {
             case NumSrc(w) => n.value(rangeAggOf(w.wheel))
+            // disjoint per-value row sets: additive merge is exact
+            case UnionSrc(ws) => n.value(ws.map(w => rangeAggOf(w.wheel)).reduce(_.merge(_)))
             case HllSrc(d) => hllOver(d, bounds)
             case DistinctSetSrc(base, pv) =>
               // counting proof over the whole range set, then the exact
@@ -549,6 +684,9 @@ object UWheelRule extends Rule[LogicalPlan] {
 
       case Seq(ge0) =>
         val nds = needs.getOrElse(return None)
+        // IN-union sources stay out of the grouped arm: its shared bucket
+        // enumeration and identical-keyset checks run per single wheel
+        if (nds.values.exists(_._2.isInstanceOf[UnionSrc])) return None
         val ge = resolve(ge0, uw.aliases)
         val arm = (sliding match {
           case Some((_, t0, strideUs, offUs, lenUs)) =>

@@ -884,6 +884,86 @@ class UWheelRuleSpec extends AnyFunSuite {
     assert(q3.collect()(0).getLong(0) === 2L)
   }
 
+  test("keyed IN union: key IN (v1..vk) answers from the per-value wheel union") {
+    setup
+    Seq("error", "purchase", "signup", "view").foreach { et =>
+      UWheelIndex.buildIndex(spark, path,
+        IndexBuilder("value", Some(s"event_type = '$et'")))
+    }
+    def agged(df: DataFrame) = df.agg(count(lit(1)).as("cnt"),
+      sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"),
+      min("value").as("mn"), max("value").as("mx"))
+    // IN over indexed values
+    def q = agged(ranged.filter(col("event_type").isin("click", "purchase", "signup")))
+    assertRewritten(q)
+    assert(q.collect()(0).toString === groundTruth(q.collect()(0).toString))
+    // plain double AVG: exact up to the scan's float accumulation order
+    def qa = ranged.filter(col("event_type").isin("click", "purchase", "signup"))
+      .agg(avg("value").as("av"))
+    assertRewritten(qa)
+    assert(math.abs(qa.collect()(0).getDouble(0) -
+      groundTruth(qa.collect()(0).getDouble(0))) < 1e-9)
+    // the equivalent OR-of-equalities normalizes to the same union
+    def qor = agged(ranged.filter(
+      col("event_type") === "click" || col("event_type") === "purchase"))
+    assertRewritten(qor)
+    assert(qor.collect()(0).toString === groundTruth(qor.collect()(0).toString))
+    // a value with NO wheel could hold rows no wheel sees: decline
+    assertNotRewritten(
+      agged(ranged.filter(col("event_type").isin("click", "bogus"))))
+    // grouped arms keep their single-wheel routing: decline, stay correct
+    def qg = ranged.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")).orderBy("d")
+    assertNotRewritten(qg)
+    assert(qg.collect().map(_.toString).toSeq ===
+      groundTruth(qg.collect().map(_.toString).toSeq))
+  }
+
+  test("dim-join folding: aggregate over a small plan-time dim join rewrites") {
+    setup
+    import spark.implicits._
+    Seq("error", "purchase", "signup", "view").foreach { et =>
+      UWheelIndex.buildIndex(spark, path,
+        IndexBuilder("value", Some(s"event_type = '$et'")))
+    }
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue")).toDF("et", "family")
+    def q = ranged.join(dim, col("event_type") === col("et"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"),
+        min("value").as("mn"))
+    assertRewritten(q)
+    assert(q.collect()(0).toString === groundTruth(q.collect()(0).toString))
+    assert(q.collect()(0).getLong(0) > 0)
+    // SQL inline-table form (the shape a dashboard generates)
+    Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("ev_dimjoin")
+    def qsql = spark.sql(
+      """SELECT count(*) AS cnt FROM ev_dimjoin
+        |JOIN (SELECT * FROM VALUES ('click'), ('purchase') AS t(et)) dim
+        |  ON ev_dimjoin.event_type = dim.et
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'""".stripMargin)
+    assertRewritten(qsql)
+    assert(qsql.collect()(0).getLong(0) === groundTruth(qsql.collect()(0).getLong(0)))
+    // duplicate dim keys multiply matched fact rows: decline, stay correct
+    val dup = Seq("click", "click").toDF("et")
+    def qdup = ranged.join(dup, col("event_type") === col("et"))
+      .agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(qdup)
+    assert(qdup.collect()(0).getLong(0) === groundTruth(qdup.collect()(0).getLong(0)))
+    // aggregates referencing the dim side need real join output: decline
+    val dim2 = Seq(("click", 2.0), ("purchase", 3.0)).toDF("et", "w")
+    assertNotRewritten(ranged.join(dim2, col("event_type") === col("et"))
+      .agg(sum(col("w")).as("sw")))
+    // oversized dim relations decline (> 64 keys)
+    val big = (0 until 80).map(i => s"t$i").toDF("et")
+    assertNotRewritten(ranged.join(big, col("event_type") === col("et"))
+      .agg(count(lit(1)).as("cnt")))
+    // non-inner joins are untouched
+    assertNotRewritten(ranged.join(dim, col("event_type") === col("et"), "left")
+      .agg(count(lit(1)).as("cnt")))
+  }
+
   test("GROUP BY window(): tumbling and sliding rewrite from wheel range reads") {
     setup
     // tumbling: day-aligned, sub-day, and a stride no date_trunc can express
