@@ -427,7 +427,7 @@ object SimilarityQueries {
         col("v"), col("nrm"))).as("_a"))
       .select(col("vec_id").as("xi"), col("_a.v").as("vx"),
         col("_a.nrm").as("nx"), col("_a.cid").as("cid"))
-    (fines.select(col("cid"), col("vc"), col("nc")), assigned)
+    (f2c.select(col("cid"), col("vc"), col("nc"), col("ccid")), assigned)
   }
 
   /** Probe + scan: each query ranks ALL fine centroids (√n comparisons per
@@ -442,6 +442,57 @@ object SimilarityQueries {
       .where(col("crn") <= nprobe)
       .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"), col("cid"))
     val scored = probes.join(assigned, probes("cid") === assigned("cid") && col("qi") =!= col("xi"))
+      .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy("qi").orderBy(col("sim").desc, col("xi"))))
+      .where(col("rn") <= topK)
+      .select(col("qi"), col("xi"))
+      .orderBy("qi", "xi")
+  }
+
+  /** Assignment-ALIGNED adaptive probing — the recall knob for clustered
+    * (non-uniform) corpora (round-7 verdict task 6). [[ivfSearch]]'s global
+    * fine ranking can sag on clustered data: a big cluster holds many
+    * near-equal fine centroids split across several coarse cells, and the
+    * corpus vector's ASSIGNED fine — best within its coarse cell only — can
+    * rank below `nprobe` in the query's global fine order, so its bucket is
+    * never scanned. The fix is to probe in the same order vectors assign:
+    * rank COARSE cells per query, take the `ncoarse` best, and within each
+    * probed cell take its `nfinePerCoarse` best fines. A vector's bucket is
+    * BY CONSTRUCTION the rank-1 fine within its rank-1 coarse, so a
+    * near-duplicate query recovers it at any knob setting ≥ 1 — ncoarse/
+    * nfinePerCoarse only need to absorb argmax flips from the query/corpus
+    * displacement, not the cluster's centroid density. Scan cost stays
+    * ncoarse × nfinePerCoarse buckets ≈ (ncoarse · nfinePerCoarse)/√n of
+    * the corpus; `IvfScaleSpec` measures both halves on a clustered 1M
+    * probe (recall ≥ 0.95, scanned fraction ≪ 10 %) next to the global
+    * ranking's sag. */
+  private[queries] def adaptiveProbes(finesC: DataFrame, queries: DataFrame,
+      ncoarse: Int, nfinePerCoarse: Int): DataFrame = {
+    // the coarse cells in use: distinct ccid values, each of which is
+    // itself a fine row (coarse centroids are stride-picked from the fines)
+    val coarse = finesC.select(col("ccid").as("pcc")).distinct()
+      .join(finesC.select(col("cid").as("pcc"), col("vc").as("vcc"), col("nc").as("ncc")),
+        "pcc")
+    val probesC = queries.join(broadcast(coarse), lit(true))
+      .withColumn("ccs", dot("v", "vcc") / (col("nrm") * col("ncc")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccs").desc, col("pcc"))))
+      .where(col("crn") <= ncoarse)
+      .select(col("vec_id"), col("v"), col("nrm"), col("pcc"))
+    probesC.join(broadcast(finesC), col("pcc") === col("ccid"))
+      .withColumn("fs", dot("v", "vc") / (col("nrm") * col("nc")))
+      .withColumn("frn", row_number().over(
+        Window.partitionBy("vec_id", "pcc").orderBy(col("fs").desc, col("cid"))))
+      .where(col("frn") <= nfinePerCoarse)
+      .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"), col("cid"))
+  }
+
+  private[queries] def ivfSearchAdaptive(finesC: DataFrame, assigned: DataFrame,
+      queries: DataFrame, ncoarse: Int, nfinePerCoarse: Int, topK: Int): DataFrame = {
+    val probesF = adaptiveProbes(finesC, queries, ncoarse, nfinePerCoarse)
+    val scored = probesF.join(assigned,
+        probesF("cid") === assigned("cid") && col("qi") =!= col("xi"))
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
     scored.withColumn("rn", row_number().over(
         Window.partitionBy("qi").orderBy(col("sim").desc, col("xi"))))
