@@ -5,18 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Test-corpus table loaders (TESTDATA.md).
   *
-  * `events.ts` is stored as parquet INT64 TIMESTAMP(NANOS); Spark 4 has no
-  * nanosecond timestamp type and refuses the file unless
-  * `spark.sql.legacy.parquet.nanosAsLong` is set, in which case the column
-  * surfaces as a raw nanosecond Long. We derive the microsecond-precision
-  * `ts` with `timestamp_micros(ts div 1000)` — the same ns→µs truncation
-  * DuckDB (the correctness oracle) applies when it reads the file, so both
-  * engines see identical timestamps.
+  * `events.ts` has shipped in two physical layouts across corpus
+  * generations, and [[events]] adapts to whichever the file carries:
   *
-  * The wheel optimizer sees through the conversion: `graft.expr.Extract`
-  * matches `timestamp_micros(<nanosCol> div 1000)` as the indexed time
-  * column, so predicates written against the derived `ts` still hit the
-  * wheel index built over the raw nanos column.
+  *  - parquet TIMESTAMP(MICROS), `isAdjustedToUTC = false` — Spark reads it
+  *    as `TIMESTAMP_NTZ`, the same type `lineitem.l_shipdate` uses, and the
+  *    column is served as-is (DuckDB, the correctness oracle, sees the
+  *    identical naive micros values).
+  *  - parquet INT64 TIMESTAMP(NANOS) — Spark 4 has no nanosecond timestamp
+  *    type and refuses the file unless
+  *    `spark.sql.legacy.parquet.nanosAsLong` is set, in which case the
+  *    column surfaces as a raw nanosecond Long and we derive the
+  *    microsecond-precision `ts` with `timestamp_micros(ts div 1000)` — the
+  *    same ns→µs truncation DuckDB applies, so both engines see identical
+  *    timestamps. The wheel optimizer sees through the conversion:
+  *    `graft.expr.Extract` matches `timestamp_micros(<nanosCol> div 1000)`
+  *    as the indexed time column, so predicates written against the derived
+  *    `ts` still hit the wheel index built over the raw nanos column.
   */
 object Tables {
 
@@ -29,8 +34,12 @@ object Tables {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     ensureNanosConf(spark)
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw // TIMESTAMP_NTZ (or TIMESTAMP): wheel-indexable as-is
+    }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

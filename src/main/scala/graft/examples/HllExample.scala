@@ -42,7 +42,8 @@ object HllExample {
     for ((name, s, e) <- ranges) {
       val est = w.range(s, e)
       val exact = ev
-        .where(expr(s"unix_micros(ts) div 1000000 >= $s AND unix_micros(ts) div 1000000 < $e"))
+        .where(expr(s"unix_micros(cast(ts as timestamp)) div 1000000 >= $s" +
+          s" AND unix_micros(cast(ts as timestamp)) div 1000000 < $e"))
         .agg(countDistinct("user_id")).head().getLong(0)
       val err = if (exact == 0) 0.0 else math.abs(est - exact).toDouble / exact
       println(f"$name%-12s distinct users: est=$est%5d exact=$exact%5d relErr=${err * 100}%.2f%%")

@@ -308,7 +308,7 @@ object RelationalQueries {
     // quadratic formulation. Pair canonicalization: earlier event first,
     // id-ordered at equal timestamps.
     ("q_time_band_join",
-      """WITH e AS (SELECT user_id, event_id, unix_micros(ts) AS us FROM events),
+      """WITH e AS (SELECT user_id, event_id, unix_micros(cast(ts AS timestamp)) AS us FROM events),
         |a AS (SELECT user_id, event_id, us,
         |             explode(array(us div 120000000, us div 120000000 + 1)) AS bk FROM e),
         |b AS (SELECT user_id, event_id AS id_b, us AS us_b, us div 120000000 AS bk FROM e)

@@ -28,6 +28,26 @@ class UWheelRuleSpec extends AnyFunSuite {
 
   def events: DataFrame = Tables.events(spark, "/root/testdata/sf0.001")
 
+  /** Instant-typed (TimestampType) twin of the events table. The corpus
+    * ships `ts` as TIMESTAMP_NTZ (wall clock, zone-free), but the
+    * session-zone composition arms — shifted slots under a fixed offset,
+    * piecewise transition-split under DST — exist for instant columns,
+    * where `date_trunc` is genuinely zone-dependent. The twin is written
+    * under this suite's UTC session, so wall values equal instants and the
+    * data is bit-identical to the corpus. */
+  lazy val instantsPath: String = {
+    setup
+    val dir = java.nio.file.Files.createTempDirectory("graft-instants").toString
+    val p = s"$dir/events_instants.parquet"
+    events.withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(p)
+    UWheelBuilder("ts", Seq("value")).build(spark, p)
+    p
+  }
+  def ievents: DataFrame = spark.read.parquet(instantsPath)
+  def iranged: DataFrame =
+    ievents.filter(col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp"))
+
   def assertRewritten(df: DataFrame): Unit = {
     val opt = df.queryExecution.optimizedPlan
     assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
@@ -351,14 +371,15 @@ class UWheelRuleSpec extends AnyFunSuite {
 
   test("DST session zone: coarse date_trunc group-bys rewrite piecewise, exactly") {
     setup
+    instantsPath // force the twin build while the session is still UTC
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try {
-      val q = ranged.groupBy(date_trunc("hour", col("ts")).as("b"))
+      val q = iranged.groupBy(date_trunc("hour", col("ts")).as("b"))
         .agg(count(lit(1)).as("c")).orderBy("b")
       assertRewritten(q)
       assert(q.collect().map(_.toString).toSeq ===
         groundTruth(q.collect().map(_.toString).toSeq))
-      val q2 = ranged.groupBy(date_trunc("second", col("ts")).as("b"))
+      val q2 = iranged.groupBy(date_trunc("second", col("ts")).as("b"))
         .agg(count(lit(1)).as("c"))
       assertRewritten(q2)
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -366,6 +387,7 @@ class UWheelRuleSpec extends AnyFunSuite {
 
   test("non-UTC sessions: every zone rewrites coarse group-bys exactly; WHERE-side calendar predicates stay offset-gated") {
     setup
+    instantsPath // force the twin build while the session is still UTC
     // a half-hour fixed-offset zone (constant +05:30 across the data span:
     // the shifted-slot composition), a :45 offset (Asia/Kathmandu:
     // minute-level composition for day buckets), and a DST zone
@@ -378,7 +400,7 @@ class UWheelRuleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.session.timeZone", tz)
       try {
         for (unit <- Seq("minute", "hour", "day", "week", "month", "quarter", "year")) {
-          val q = ranged.groupBy(date_trunc(unit, col("ts")).as("b"))
+          val q = iranged.groupBy(date_trunc(unit, col("ts")).as("b"))
             .agg(count(lit(1)).as("c"), min("value").as("mn")).orderBy("b")
           assertRewritten(q)
           val got = q.collect().map(_.toString).toSeq
@@ -388,11 +410,11 @@ class UWheelRuleSpec extends AnyFunSuite {
         // to_date and year() compose the same way: local-day/local-year
         // buckets (shifted slots under a constant offset, piecewise under
         // DST)
-        val qd = ranged.groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+        val qd = iranged.groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
         assertRewritten(qd)
         assert(qd.collect().map(_.toString).sorted.toSeq ===
           groundTruth(qd.collect().map(_.toString).sorted.toSeq), s"$tz / to_date")
-        val qy = events.groupBy(year(col("ts")).as("y")).agg(count(lit(1)).as("c"))
+        val qy = ievents.groupBy(year(col("ts")).as("y")).agg(count(lit(1)).as("c"))
         assertRewritten(qy)
         assert(qy.collect().map(_.toString).sorted.toSeq ===
           groundTruth(qy.collect().map(_.toString).sorted.toSeq), s"$tz / year")
@@ -407,7 +429,7 @@ class UWheelRuleSpec extends AnyFunSuite {
             "to_date(ts) = DATE '2024-01-08'",
             "to_date(ts) BETWEEN DATE '2024-01-06' AND DATE '2024-01-09'",
             "year(ts) = 2024")) {
-          val qw = events.filter(expr(pred))
+          val qw = ievents.filter(expr(pred))
             .agg(count(lit(1)).as("c"), min("value").as("mn"))
           assertRewritten(qw)
           assert(qw.collect().map(_.toString).toSeq ===
@@ -417,14 +439,14 @@ class UWheelRuleSpec extends AnyFunSuite {
         // verdict): away from transitions it is a plain hour range; at
         // transitions the per-piece resolution takes over (DstZoneSpec
         // covers the repeated/skipped hours)
-        val qh = events.filter(
+        val qh = ievents.filter(
             expr("date_trunc('hour', ts) = TIMESTAMP '2024-01-08 05:00:00'"))
           .agg(count(lit(1)).as("c"))
         assertRewritten(qh)
         assert(qh.collect().map(_.toString).toSeq ===
           groundTruth(qh.collect().map(_.toString).toSeq), s"$tz / WHERE hour-eq")
         // 'second' truncation is timezone-invariant: stays rewritten + exact
-        val qs = ranged.groupBy(date_trunc("second", col("ts")).as("b"))
+        val qs = iranged.groupBy(date_trunc("second", col("ts")).as("b"))
           .agg(count(lit(1)).as("c")).orderBy("b")
         assertRewritten(qs)
         assert(qs.collect().map(_.toString).toSeq ===
@@ -682,6 +704,7 @@ class UWheelRuleSpec extends AnyFunSuite {
 
   test("randomized fixed-offset-zone parity: group-bys and calendar filters match the scan") {
     setup
+    instantsPath // force the twin build while the session is still UTC
     val rnd = new scala.util.Random(70082026L)
     // whole-hour, half-hour, and :45 offsets — every shifted-slot
     // composition granularity (hour / minute fine levels)
@@ -696,7 +719,7 @@ class UWheelRuleSpec extends AnyFunSuite {
         val s = base + rnd.nextInt(20 * 86400)
         val e = s + 3600 + rnd.nextInt(12 * 86400)
         val unit = units(rnd.nextInt(units.length))
-        def q = events.filter(
+        def q = ievents.filter(
             col("ts") >= lit(fmt(s)).cast("timestamp") &&
               col("ts") < lit(fmt(e)).cast("timestamp"))
           .groupBy(date_trunc(unit, col("ts")).as("b"))
@@ -709,7 +732,7 @@ class UWheelRuleSpec extends AnyFunSuite {
         // a day-equality filter in the same zone (literal parsed locally:
         // always day-aligned in the session zone, so it must rewrite)
         val day = fmt(base + 86400L * rnd.nextInt(25)).take(10)
-        def qe = events.filter(expr(s"date_trunc('day', ts) = TIMESTAMP '$day 00:00:00'"))
+        def qe = ievents.filter(expr(s"date_trunc('day', ts) = TIMESTAMP '$day 00:00:00'"))
           .agg(count(lit(1)).as("c"))
         assertRewritten(qe)
         assert(qe.collect()(0).getLong(0) ===

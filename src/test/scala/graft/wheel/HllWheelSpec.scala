@@ -98,7 +98,9 @@ class HllWheelSpec extends AnyFunSuite {
     val w = graft.index.TypedWheelBuild.build(
       ev.repartition(7), "ts", col("user_id"), hll,
       (r: org.apache.spark.sql.Row) => r.getLong(1))
-    val pairs = ev.select(expr("unix_micros(ts) div 1000000").as("sec"), col("user_id"))
+    // cast first: works for TIMESTAMP and (under the UTC session above,
+    // where wall == instant) TIMESTAMP_NTZ corpus layouts alike
+    val pairs = ev.select(expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"), col("user_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val lo = pairs.map(_._1).min
     val hi = pairs.map(_._1).max + 1
