@@ -1222,6 +1222,31 @@ object UWheelRule extends Rule[LogicalPlan] {
             piecewiseArm(tzId.getOrElse(return None), ge, t, table, base)
               .getOrElse(return None)
         }
+      // GROUP BY date_trunc(unit, ntzCol) under a NON-UTC session: the
+      // analyzer wraps the NTZ column in CAST(… AS TIMESTAMP) carrying the
+      // session zone (so the first arm's isTime gate — which requires a
+      // UTC cast — rejects it). The wheel indexes WALL seconds for NTZ
+      // columns, and the composed key trunc_Z(cast_Z(w)) is a
+      // non-decreasing step function of the wall clock, so it composes as
+      // wall-aligned blocks (offset 0 — the wheel's native domain) split
+      // at each zone transition's wall images, one O(1) read per piece
+      // (see [[ntzPiecewiseArm]]).
+      case TruncTimestamp(Literal(fmt: UTF8String, StringType),
+          Cast(nt, TimestampType, Some(ctz), _), _)
+          if nt.dataType == TimestampNTZType && isTime(nt, table.timeColumn) &&
+            !isUtcZone(ctz) =>
+        val unit = fmt.toString.toLowerCase
+        val (base, bEnd): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Long) =
+          HawWheel.levelIndexOf(unit) match {
+            case Some(idx) =>
+              ((hw, ps, pe) => hw.groupByShifted(ps, pe, idx, 0L),
+                gs => gs + HawWheel.Spans(idx))
+            case None =>
+              val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+              ((hw, ps, pe) => hw.groupByCalendar(ps, pe, stride),
+                gs => plusMonthsSec(gs, stride))
+          }
+        ntzPiecewiseArm(ctz, ge, nt, table, base, bEnd).getOrElse(return None)
       // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
       // DateType key; date truncation of TIMESTAMP follows the session
       // zone — NTZ casts are wall-clock (offset 0), UTC matches slots
@@ -1389,6 +1414,85 @@ object UWheelRule extends Rule[LogicalPlan] {
           }
           cur = pe
           n += 1
+        }
+        out.result()
+      }
+    }
+    Some(BucketArm(fn, keyLit, 1L, None))
+  }
+
+  /** The NTZ-column sibling of [[piecewiseArm]]: composes
+    * `trunc_Z(CAST(ntzCol AS TIMESTAMP))` group-bys for ANY session zone Z
+    * from wall-second wheel slots.
+    *
+    * Soundness. Write K(w) = trunc_Z(cast_Z(w)) for a wall second w.
+    * cast_Z resolves spring-forward gaps by shifting forward and fall-back
+    * overlaps to the earlier offset (java.time `ZonedDateTime.of`, which
+    * Catalyst delegates to), so the instant image of the wall axis is
+    * continuous and non-decreasing, and BETWEEN the wall images of a
+    * transition (T + offsetBefore, T + offsetAfter) it is a constant-offset
+    * stretch. On a constant-offset stretch every Spark truncation path —
+    * offset-retaining sub-day `truncatedTo`, local-date `atStartOfDay`
+    * for day and coarser — is non-decreasing in w. Therefore, on any piece
+    * cut at those images (and at bucket-block boundaries), K is monotone,
+    * and EVALUATING K at both piece ends (Catalyst's own eval on an NTZ
+    * literal, so gap/overlap conventions are bit-identical to the scan)
+    * proves it constant when they agree; any disagreement declines to the
+    * scan, so exactness never rests on the transition algebra above.
+    * Blocks are enumerated at offset 0 — for NTZ the wheel's slot domain
+    * IS the wall clock — and pieces sharing an evaluated key merge
+    * additively downstream, exactly as in [[piecewiseArm]]. */
+  private def ntzPiecewiseArm(tz: String, ge: Expression, ntzExpr: Expression,
+      table: TableIndex,
+      base: (HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)],
+      blockEnd: Long => Long): Option[BucketArm] = {
+    val rules =
+      try java.time.ZoneId.of(tz).getRules catch { case _: Throwable => return None }
+    if (ntzExpr.dataType != TimestampNTZType) return None
+    val keyLit: Long => Literal = ge.dataType match {
+      case TimestampType => k => Literal(k, TimestampType)
+      case _             => return None
+    }
+    def evalKey(wallSec: Long): Long = {
+      val sub = ge.transform {
+        case e if e.semanticEquals(ntzExpr) =>
+          Literal(wallSec * 1000000L, TimestampNTZType)
+      }
+      Try(sub.eval(InternalRow.empty)).getOrElse(throw new DeclineRewrite) match {
+        case l: Long => l
+        case _       => throw new DeclineRewrite
+      }
+    }
+    val fn = (hw: HawWheel, s: Long, e: Long) => {
+      val lo = math.max(s, hw.startSec)
+      val hi = math.min(e, hw.endSec)
+      if (lo >= hi) Vector.empty[(Long, RangeAgg)]
+      else {
+        val cuts = scala.collection.mutable.TreeSet.empty[Long]
+        var t = rules.nextTransition(
+          java.time.Instant.ofEpochSecond(lo - 2 * HawWheel.DAY))
+        var guard = 0
+        while (t != null && t.getInstant.getEpochSecond < hi + 2 * HawWheel.DAY) {
+          if (guard > 512) throw new DeclineRewrite // pathological transition list
+          val ts = t.getInstant.getEpochSecond
+          val a = ts + t.getOffsetBefore.getTotalSeconds
+          val b = ts + t.getOffsetAfter.getTotalSeconds
+          if (a > lo && a < hi) cuts += a
+          if (b > lo && b < hi) cuts += b
+          t = rules.nextTransition(t.getInstant)
+          guard += 1
+        }
+        val bounds = Vector(lo) ++ cuts.iterator :+ hi
+        val out = Vector.newBuilder[(Long, RangeAgg)]
+        for (i <- 0 until bounds.length - 1) {
+          val (ps, pe) = (bounds(i), bounds(i + 1))
+          out ++= base(hw, ps, pe).map { case (gs, ra) =>
+            val s0 = math.max(gs, ps)
+            val e0 = math.min(blockEnd(gs), pe)
+            val k = evalKey(s0)
+            if (e0 - 1 > s0 && evalKey(e0 - 1) != k) throw new DeclineRewrite
+            (k, ra)
+          }
         }
         out.result()
       }

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.UWheelBuilder
+
+/** NTZ-column group-bys under NON-UTC sessions
+  * (`UWheelRule.ntzPiecewiseArm`): `date_trunc(unit, ntzCol)` analyzes to
+  * `trunc_Z(CAST(ntz AS TIMESTAMP))` with the session zone Z, a
+  * composition the wheel serves from WALL-second slots split at each
+  * transition's wall images. Unlike the instant-column DST suite
+  * ([[DstZoneSpec]]), the hard cases here live on the WALL axis:
+  *
+  *  - wall times inside a spring-forward gap EXIST as NTZ data (no instant
+  *    carries them) — the cast shifts them forward by the gap, so a gap
+  *    hour's rows land in the NEXT hour's bucket, merging with its rows;
+  *  - a fall-back's repeated local hour is a SINGLE wall value in NTZ —
+  *    the cast resolves it to the earlier offset, so (unlike the instant
+  *    column) there is ONE bucket row, not two;
+  *  - Australia/Lord_Howe moves by 30 minutes, so hour buckets are cut
+  *    mid-block; America/Santiago transitions at local midnight, so the
+  *    gap day's `date_trunc('day')` bucket start is itself a nonexistent
+  *    wall time.
+  *
+  * Ground truth is the rule-disabled scan on the same session — Spark's
+  * own semantics for every one of those conventions. Data is dense (20 s
+  * wall grid) through ±2 h around every transition's wall images, plus a
+  * 6-hour backbone across 2024.
+  */
+class NtzZoneSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val dir =
+    java.nio.file.Files.createTempDirectory("graft-ntzdst").toString
+  private lazy val path = s"$dir/t.parquet"
+
+  private val zones = Seq("America/New_York", "Australia/Lord_Howe", "America/Santiago")
+
+  // 2024 transition WALL images (T + offsetBefore, T + offsetAfter) of the
+  // zones under test: the wall-axis neighborhoods where cast_Z is nontrivial.
+  private val wallImages: Seq[Long] = zones.flatMap { z =>
+    val rules = java.time.ZoneId.of(z).getRules
+    Iterator.iterate(rules.nextTransition(
+        java.time.Instant.parse("2024-01-01T00:00:00Z")))(t =>
+        rules.nextTransition(t.getInstant))
+      .takeWhile(t => t != null && t.getInstant.isBefore(
+        java.time.Instant.parse("2025-01-01T00:00:00Z")))
+      .flatMap(t => Seq(
+        t.getInstant.getEpochSecond + t.getOffsetBefore.getTotalSeconds,
+        t.getInstant.getEpochSecond + t.getOffsetAfter.getTotalSeconds))
+      .toSeq
+  }
+
+  lazy val setup: Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.enable(spark)
+    import spark.implicits._
+    val backbone = {
+      val start = java.time.Instant.parse("2024-01-01T00:11:07Z").getEpochSecond
+      (0 until 1464).map(i => start + i.toLong * 21600)
+    }
+    // dense 20 s WALL grid ±2 h around every image: populates gap interiors
+    // (wall values no instant carries) and both approaches to each cut
+    val dense = wallImages.flatMap(w => (-360 to 359).map(i => w + i * 20L))
+    val secs = (backbone ++ dense).distinct.sorted
+    secs.zipWithIndex.map { case (s, i) =>
+      (java.time.LocalDateTime.ofEpochSecond(s, 0, java.time.ZoneOffset.UTC),
+        (i % 89) / 4.0, (i % 53).toLong)
+    }.toDF("ts", "value", "uid").write.mode("overwrite").parquet(path)
+    assert(spark.read.parquet(path).schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    UWheelBuilder("ts", Seq("value")).build(spark, path)
+  }
+
+  def df: DataFrame = spark.read.parquet(path)
+
+  def assertRewritten(q: DataFrame): Unit = {
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+    assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+  }
+
+  /** Runs `q` with the rule disabled to get the ground-truth answer. */
+  def groundTruth[T](q: => T): T = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val saved = cs.experimental.extraOptimizations
+    cs.experimental.extraOptimizations = Nil
+    try q finally cs.experimental.extraOptimizations = saved
+  }
+
+  private def inZone[T](tz: String)(body: => T): T = {
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try body finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  private def checkParity(q: => DataFrame, label: String): Unit = {
+    assertRewritten(q)
+    val got = q.collect().map(_.toString).toSeq
+    val exp = groundTruth(q.collect().map(_.toString).toSeq)
+    assert(got === exp, label)
+    assert(got.nonEmpty, s"$label produced no rows — vacuous parity")
+  }
+
+  test("every unit's group-by matches the scan across all 2024 transitions") {
+    setup
+    for (tz <- zones ++ Seq("Asia/Kolkata", "Asia/Kathmandu");
+         unit <- Seq("minute", "hour", "day", "week", "month", "quarter", "year"))
+      inZone(tz) {
+        checkParity(
+          df.groupBy(date_trunc(unit, col("ts")).as("b"))
+            .agg(count(lit(1)).as("c"),
+              sum(col("value").cast("decimal(18,2)")).as("s"),
+              min("value").as("mn"), max("value").as("mx"))
+            .orderBy("b"),
+          s"$tz / $unit")
+      }
+  }
+
+  test("WHERE-bounded group-bys crossing a transition match the scan") {
+    setup
+    // NTZ range filters are wall-clock and zone-free; each window brackets
+    // one transition's wall neighborhood in its zone
+    val windows = Seq(
+      ("America/New_York", "2024-03-09 12:00:00", "2024-03-11 12:00:00"),
+      ("America/New_York", "2024-11-02 12:00:00", "2024-11-04 12:00:00"),
+      ("Australia/Lord_Howe", "2024-10-05 12:00:00", "2024-10-07 12:00:00"),
+      ("America/Santiago", "2024-09-07 12:00:00", "2024-09-09 12:00:00"))
+    for ((tz, s, e) <- windows; unit <- Seq("minute", "hour", "day"))
+      inZone(tz) {
+        checkParity(
+          df.filter(col("ts") >= lit(s).cast("timestamp_ntz") &&
+              col("ts") < lit(e).cast("timestamp_ntz"))
+            .groupBy(date_trunc(unit, col("ts")).as("b"))
+            .agg(count(lit(1)).as("c"), min("value").as("mn"))
+            .orderBy("b"),
+          s"$tz / $unit / [$s, $e)")
+      }
+  }
+
+  test("gap wall-times merge into the post-gap bucket, as the cast dictates") {
+    setup
+    // New York 2024-03-10: wall 02:00–03:00 does not exist locally; NTZ rows
+    // carrying those wall values cast to 03:00-offset instants, so the hour
+    // group-by has NO 02:00 bucket and the 03:00 bucket absorbs both hours'
+    // rows. Assert against the scan AND structurally.
+    inZone("America/New_York") {
+      def q = df.filter(col("ts") >= lit("2024-03-10 00:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-03-10 05:00:00").cast("timestamp_ntz"))
+        .groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg(count(lit(1)).as("c")).orderBy("b")
+      checkParity(q, "NY spring-forward hours")
+      // date_format renders in the SESSION zone (getTimestamp.toString would
+      // use the JVM default zone and misread the local bucket labels)
+      val rows = q.select(date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("b"), col("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(!rows.keySet.exists(_.startsWith("2024-03-10 02:")), rows.toString)
+      // dense grid puts 180 rows in each of the 02:xx and 03:xx wall hours
+      assert(rows("2024-03-10 03:00:00") >= 360L, rows.toString)
+    }
+  }
+
+  test("fall-back repeated hour is a single wall value: one bucket, earlier offset") {
+    setup
+    // Instant columns yield TWO 01:xx rows here (DstZoneSpec); the NTZ cast
+    // collapses the ambiguity to the earlier offset, so exactly ONE row
+    inZone("America/New_York") {
+      def q = df.filter(col("ts") >= lit("2024-11-03 00:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-11-03 04:00:00").cast("timestamp_ntz"))
+        .groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg(count(lit(1)).as("c")).orderBy("b")
+      checkParity(q, "NY fall-back hours")
+      val hours = q.select(date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("b"))
+        .collect().map(_.getString(0)).filter(_.startsWith("2024-11-03 01:"))
+      assert(hours.length === 1, hours.toSeq.toString)
+    }
+  }
+}
