@@ -427,7 +427,8 @@ object UWheelRule extends Rule[LogicalPlan] {
     // disjoint ranges; per-range wheel answers merge additively. An EMPTY
     // set is a plan-time proof of contradiction — every aggregate sees zero
     // rows.
-    val (ranges, residualRaw) = Extract.splitTimeRangeSet(uw.conjuncts, table.timeColumn,
+    val (ranges, residualRaw) = Extract.splitTimeRangeSet(
+      normalizeNtzZoneCalendar(uw.conjuncts, table), table.timeColumn,
       zoneSpecOf(table))
     if (ranges.exists(!_.exact)) return None
     if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
@@ -1500,6 +1501,104 @@ object UWheelRule extends Rule[LogicalPlan] {
     Some(BucketArm(fn, keyLit, 1L, None))
   }
 
+  /** WHERE-side companion of [[ntzPiecewiseArm]]: rewrites calendar
+    * predicates over an NTZ time column under a NON-UTC session —
+    * `trunc_Z(CAST(ntz AS TIMESTAMP)) OP instant-literal` — into
+    * equivalent wall-clock range conjuncts on the raw NTZ column, BEFORE
+    * range extraction, so the existing machinery (ranges, group-bys,
+    * pruning) consumes them natively.
+    *
+    * The composed view K(w) is non-decreasing in the wall clock (the
+    * [[ntzPiecewiseArm]] soundness argument, globally: cast_Z is monotone,
+    * and every truncation path is monotone on each constant-offset
+    * stretch and steps upward across transition images), so each
+    * comparison's row set is a wall interval. Its boundaries are found by
+    * binary search over the wheel's span with Catalyst's own eval —
+    * gap-merged buckets (a spring-forward gap's wall hour truncating into
+    * the post-gap bucket) fall out of the search instead of needing block
+    * arithmetic. Replacements are equivalent ON TABLE ROWS (every row's
+    * wall second lies inside the wheel span; a NULL ts fails both forms),
+    * which is the contract both callers — aggregate rewrite and emptiness
+    * pruning over this table's scan — need. Conjuncts that don't match,
+    * or whose key eval fails, pass through untouched. */
+  private def normalizeNtzZoneCalendar(conjuncts: Seq[Expression],
+      table: TableIndex): Seq[Expression] = {
+    val hw = table.countWheel.map(_.wheel).getOrElse(return conjuncts)
+    if (hw.numSecs == 0) return conjuncts
+
+    def viewOf(x: Expression): Option[Expression] = x match {
+      case TruncTimestamp(Literal(_: UTF8String, StringType),
+          Cast(nt, TimestampType, Some(ctz), _), _)
+          if nt.dataType == TimestampNTZType &&
+            isTime(nt, table.timeColumn) && !isUtcZone(ctz) =>
+        Some(nt)
+      case _ => None
+    }
+    def instLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType) => Some(v)
+      case _ if e.foldable && e.dataType == TimestampType =>
+        Try(e.eval(InternalRow.empty)).toOption.flatMap(v =>
+          Option(v).map(_.asInstanceOf[Long]))
+      case _ => None
+    }
+    def ntzLit(sec: Long) = Literal(sec * 1000000L, TimestampNTZType)
+
+    def tryCmp(x: Expression, l: Expression, kind: String): Option[Seq[Expression]] =
+      for {
+        nt <- viewOf(x)
+        lUs <- instLit(l)
+        r <- {
+          def k(wallSec: Long): Long = {
+            val sub = x.transform {
+              case e if e.semanticEquals(nt) =>
+                Literal(wallSec * 1000000L, TimestampNTZType)
+            }
+            Try(sub.eval(InternalRow.empty)).getOrElse(throw new DeclineRewrite) match {
+              case v: Long => v
+              case _       => throw new DeclineRewrite
+            }
+          }
+          // least wall second in [startSec, endSec] satisfying the monotone
+          // predicate; endSec (exclusive of all data) is the "none" sentinel
+          def firstWhere(pred: Long => Boolean): Long =
+            if (pred(hw.startSec)) hw.startSec
+            else {
+              var lo = hw.startSec
+              var hi = hw.endSec
+              while (hi - lo > 1) {
+                val m = lo + (hi - lo) / 2
+                if (m >= hw.endSec || pred(m)) hi = m else lo = m
+              }
+              hi
+            }
+          def ge() = firstWhere(k(_) >= lUs)
+          def gt() = firstWhere(k(_) > lUs)
+          Try[Seq[Expression]](kind match {
+            case "eq" => Seq(GreaterThanOrEqual(nt, ntzLit(ge())),
+                             LessThan(nt, ntzLit(gt())))
+            case "ge" => Seq(GreaterThanOrEqual(nt, ntzLit(ge())))
+            case "gt" => Seq(GreaterThanOrEqual(nt, ntzLit(gt())))
+            case "lt" => Seq(LessThan(nt, ntzLit(ge())))
+            case "le" => Seq(LessThan(nt, ntzLit(gt())))
+          }).toOption
+        }
+      } yield r
+
+    conjuncts.flatMap { c =>
+      val mapped = c match {
+        // <=> with a non-null instant literal matches exactly the = rows
+        case EqualTo(a, b)       => tryCmp(a, b, "eq").orElse(tryCmp(b, a, "eq"))
+        case EqualNullSafe(a, b) => tryCmp(a, b, "eq").orElse(tryCmp(b, a, "eq"))
+        case GreaterThanOrEqual(a, b) => tryCmp(a, b, "ge").orElse(tryCmp(b, a, "le"))
+        case GreaterThan(a, b)        => tryCmp(a, b, "gt").orElse(tryCmp(b, a, "lt"))
+        case LessThan(a, b)           => tryCmp(a, b, "lt").orElse(tryCmp(b, a, "gt"))
+        case LessThanOrEqual(a, b)    => tryCmp(a, b, "le").orElse(tryCmp(b, a, "ge"))
+        case _ => None
+      }
+      mapped.getOrElse(Seq(c))
+    }
+  }
+
   /** Exclusive end of a calendar bucket: `months` months after its start.
     * Bucket starts are UTC month boundaries (day-aligned), so the LocalDate
     * round-trip is exact. */
@@ -1557,7 +1656,8 @@ object UWheelRule extends Rule[LogicalPlan] {
   private def tryPrune(f: Filter): Option[LogicalPlan] = {
     val uw = unwrap(f).getOrElse(return None)
     val table = uw.table
-    val (ranges, residual) = Extract.splitTimeRangeSet(uw.conjuncts, table.timeColumn,
+    val (ranges, residual) = Extract.splitTimeRangeSet(
+      normalizeNtzZoneCalendar(uw.conjuncts, table), table.timeColumn,
       zoneSpecOf(table))
     // every disjunct contradicted the conjunctive bounds: empty by algebra,
     // no wheel consulted

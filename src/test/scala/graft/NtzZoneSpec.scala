@@ -147,6 +147,57 @@ class NtzZoneSpec extends AnyFunSuite {
       }
   }
 
+  test("WHERE-side calendar predicates over the NTZ column compose in every zone") {
+    setup
+    // trunc_Z(CAST(ntz)) OP literal → wall-range preimage via binary search
+    // (normalizeNtzZoneCalendar); aggregate-only queries so a rewrite is a
+    // LocalRelation. Literals parse in the session zone.
+    for (tz <- zones) inZone(tz) {
+      for (pred <- Seq(
+          "date_trunc('day', ts) = TIMESTAMP '2024-03-10 00:00:00'",
+          "date_trunc('hour', ts) = TIMESTAMP '2024-03-10 03:00:00'",
+          "date_trunc('day', ts) >= TIMESTAMP '2024-03-01 00:00:00' AND " +
+            "date_trunc('day', ts) < TIMESTAMP '2024-04-01 00:00:00'",
+          "date_trunc('month', ts) = TIMESTAMP '2024-11-01 00:00:00'",
+          "date_trunc('minute', ts) <= TIMESTAMP '2024-06-01 12:34:00'",
+          "TIMESTAMP '2024-09-01 00:00:00' > date_trunc('week', ts)")) {
+        checkParity(
+          df.filter(expr(pred)).agg(count(lit(1)).as("c"), min("value").as("mn")),
+          s"$tz / WHERE $pred")
+      }
+      // a gap-straddling equality: New York's 2024-03-10 has no 02:xx hour,
+      // so this literal (parsed locally) can only be a bucket value in
+      // zones where it exists — either way the scan is the ground truth
+      checkParity(
+        df.filter(expr("date_trunc('hour', ts) = TIMESTAMP '2024-03-10 02:00:00'"))
+          .agg(count(lit(1)).as("c")),
+        s"$tz / WHERE gap-hour equality")
+    }
+  }
+
+  test("randomized WHERE inequalities match the scan across zones and units") {
+    setup
+    val rnd = new scala.util.Random(90082026L)
+    val units = Seq("minute", "hour", "day", "week", "month", "quarter", "year")
+    val ops = Seq(">=", ">", "<", "<=")
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    for (i <- 0 until 30) {
+      val tz = (zones ++ Seq("Asia/Kolkata"))(i % 4)
+      inZone(tz) {
+        val unit = units(rnd.nextInt(units.length))
+        val op = ops(rnd.nextInt(ops.length))
+        // arbitrary (mostly unaligned) local literal anywhere in 2024
+        val sec = base + rnd.nextLong(365L * 86400)
+        val s = java.time.LocalDateTime
+          .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+        val pred = s"date_trunc('$unit', ts) $op TIMESTAMP '$s'"
+        checkParity(
+          df.filter(expr(pred)).agg(count(lit(1)).as("c"), min("value").as("mn")),
+          s"$tz / WHERE $pred")
+      }
+    }
+  }
+
   test("gap wall-times merge into the post-gap bucket, as the cast dictates") {
     setup
     // New York 2024-03-10: wall 02:00–03:00 does not exist locally; NTZ rows
