@@ -293,7 +293,37 @@ object WheelQueries {
          |GROUP BY user_id
          |HAVING count(*) > CAST((SELECT count(*) FROM events WHERE $range) AS DOUBLE) / 20.0
          |ORDER BY user_id""".stripMargin),
+    // NTZ × non-UTC session composition (ntzPiecewiseArm): the analyzer
+    // wraps the NTZ ts in a session-zone cast and the wheel serves the
+    // LOCAL calendar buckets from wall slots. The zone is baked into the
+    // plan at analysis, so the try/finally restore cannot leak into other
+    // entries. The corpus spans January 2024 only, so America/New_York is
+    // constant EST (UTC−5) across it — which is what makes a DuckDB
+    // oracle expressible: the local-midnight day instant is wall-day + 5 h.
+    "uw_tz_groupby_day" -> inTz("America/New_York")(
+      """SELECT date_trunc('day', ts) AS d, count(*) AS cnt, min(value) AS mn
+        |FROM events
+        |WHERE ts >= TIMESTAMP_NTZ '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP_NTZ '2024-01-12 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // WHERE-side twin (normalizeNtzZoneCalendar): the local day's rows ARE
+    // the wall day's rows, so the zone cancels in the oracle entirely
+    "uw_tz_trunc_eq" -> inTz("America/New_York")(
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
+         |FROM events WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-08 00:00:00'""".stripMargin),
   )
+
+  /** Like [[Q.sql]] but analyzed under session zone `tz` (restored after):
+    * the zone is captured into the analyzed plan's expressions, so later
+    * optimization/execution under the suite's UTC session keeps it. */
+  private def inTz(tz: String)(text: String): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => {
+      Q.ctx(spark, sfDir)
+      val saved = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try spark.sql(text)
+      finally spark.conf.set("spark.sql.session.timeZone", saved)
+    }
 
   val oracles: Map[String, String] = Map(
     "uw_count_range" -> s"SELECT count(*) AS cnt FROM events WHERE $range",
@@ -363,6 +393,16 @@ object WheelQueries {
     "uw_trunc_eq" ->
       s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
          |FROM events WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+    // New York is constant EST (UTC−5) over the January-only corpus, so the
+    // session-zone day bucket is wall-day + 5 h (documented at the query)
+    "uw_tz_groupby_day" ->
+      """SELECT date_trunc('day', ts) + INTERVAL 5 HOUR AS d, count(*) AS cnt, min(value) AS mn
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_tz_trunc_eq" ->
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
+         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-08'""".stripMargin,
     "uw_trunc_eq_empty" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE date_trunc('month', ts) = TIMESTAMP '2024-01-15 00:00:00'
