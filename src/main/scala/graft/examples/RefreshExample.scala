@@ -31,7 +31,11 @@ object RefreshExample {
     // a writable copy of events (µs-timestamp projection), split in two:
     // the "historical" table and a "new day" of data to append later
     graft.Tables.ensureNanosConf(spark)
+    // instant-typed ts regardless of corpus layout (NTZ cannot cast to
+    // DOUBLE, and this walkthrough splits on an epoch-seconds percentile);
+    // identical values under this UTC session
     val all = graft.Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
     val cut = all.agg(expr("percentile(CAST(ts AS DOUBLE), 0.9)")).head().getDouble(0)
     val dir = java.nio.file.Files.createTempDirectory("graft-refresh-ex").toString
     val path = s"$dir/events.parquet"
@@ -95,7 +99,11 @@ object ScheduledRefreshExample {
 
     // the table under ingest: seeded with the oldest 60% of events, indexed
     graft.Tables.ensureNanosConf(spark)
+    // instant-typed ts regardless of corpus layout (getTimestamp below
+    // would see a LocalDateTime for an NTZ column); identical values
+    // under this UTC session
     val all = graft.Tables.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
       .select(col("ts"), col("value")).orderBy("ts").collect()
       .map(r => (r.getTimestamp(0), r.getDouble(1)))
     val seedN = (all.length * 6) / 10

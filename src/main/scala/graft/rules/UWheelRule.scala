@@ -1422,6 +1422,47 @@ object UWheelRule extends Rule[LogicalPlan] {
     Some(BucketArm(fn, keyLit, 1L, None))
   }
 
+  /** Catalyst-eval of a composed expression over the NTZ time column at
+    * one wall second: substitutes an NTZ literal for the time subexpression
+    * and constant-folds, so gap-shift and earlier-offset conventions are
+    * bit-identical to the scan. Shared by [[ntzPiecewiseArm]] and
+    * [[normalizeNtzZoneCalendar]]; any eval failure declines the rewrite. */
+  private def evalNtzKey(ge: Expression, ntzExpr: Expression, wallSec: Long): Long = {
+    val sub = ge.transform {
+      case e if e.semanticEquals(ntzExpr) =>
+        Literal(wallSec * 1000000L, TimestampNTZType)
+    }
+    Try(sub.eval(InternalRow.empty)).getOrElse(throw new DeclineRewrite) match {
+      case l: Long => l
+      case _       => throw new DeclineRewrite
+    }
+  }
+
+  /** Wall images (T + offsetBefore, T + offsetAfter) of every zone
+    * transition near [lo, hi), clipped to its interior — the wall-axis cut
+    * points BETWEEN which the NTZ->TIMESTAMP cast's instant image is one
+    * constant-offset stretch (a gap's skipped wall interval maps forward
+    * onto the same instants as the wall interval after it, so the image is
+    * NOT globally monotone — every consumer must work per piece). */
+  private def transitionWallCuts(rules: java.time.zone.ZoneRules,
+      lo: Long, hi: Long): Vector[Long] = {
+    val cuts = scala.collection.mutable.TreeSet.empty[Long]
+    var t = rules.nextTransition(
+      java.time.Instant.ofEpochSecond(lo - 2 * HawWheel.DAY))
+    var guard = 0
+    while (t != null && t.getInstant.getEpochSecond < hi + 2 * HawWheel.DAY) {
+      if (guard > 512) throw new DeclineRewrite // pathological transition list
+      val ts = t.getInstant.getEpochSecond
+      val a = ts + t.getOffsetBefore.getTotalSeconds
+      val b = ts + t.getOffsetAfter.getTotalSeconds
+      if (a > lo && a < hi) cuts += a
+      if (b > lo && b < hi) cuts += b
+      t = rules.nextTransition(t.getInstant)
+      guard += 1
+    }
+    cuts.toVector
+  }
+
   /** The NTZ-column sibling of [[piecewiseArm]]: composes
     * `trunc_Z(CAST(ntzCol AS TIMESTAMP))` group-bys for ANY session zone Z
     * from wall-second wheel slots.
@@ -1429,20 +1470,21 @@ object UWheelRule extends Rule[LogicalPlan] {
     * Soundness. Write K(w) = trunc_Z(cast_Z(w)) for a wall second w.
     * cast_Z resolves spring-forward gaps by shifting forward and fall-back
     * overlaps to the earlier offset (java.time `ZonedDateTime.of`, which
-    * Catalyst delegates to), so the instant image of the wall axis is
-    * continuous and non-decreasing, and BETWEEN the wall images of a
-    * transition (T + offsetBefore, T + offsetAfter) it is a constant-offset
-    * stretch. On a constant-offset stretch every Spark truncation path —
+    * Catalyst delegates to), so BETWEEN the wall images of a transition
+    * (T + offsetBefore, T + offsetAfter) the instant image is a
+    * constant-offset stretch, on which every Spark truncation path —
     * offset-retaining sub-day `truncatedTo`, local-date `atStartOfDay`
     * for day and coarser — is non-decreasing in w. Therefore, on any piece
     * cut at those images (and at bucket-block boundaries), K is monotone,
-    * and EVALUATING K at both piece ends (Catalyst's own eval on an NTZ
-    * literal, so gap/overlap conventions are bit-identical to the scan)
-    * proves it constant when they agree; any disagreement declines to the
-    * scan, so exactness never rests on the transition algebra above.
-    * Blocks are enumerated at offset 0 — for NTZ the wheel's slot domain
-    * IS the wall clock — and pieces sharing an evaluated key merge
-    * additively downstream, exactly as in [[piecewiseArm]]. */
+    * and EVALUATING K at both piece ends (Catalyst's own eval via
+    * [[evalNtzKey]]) proves it constant when they agree; any disagreement
+    * declines to the scan, so exactness never rests on the transition
+    * algebra above. (K is NOT globally monotone: a gap's skipped wall
+    * interval truncates into post-gap buckets, dipping back at the gap
+    * end — which per-piece constancy handles and a global view must not
+    * assume.) Blocks are enumerated at offset 0 — for NTZ the wheel's
+    * slot domain IS the wall clock — and pieces sharing an evaluated key
+    * merge additively downstream, exactly as in [[piecewiseArm]]. */
   private def ntzPiecewiseArm(tz: String, ge: Expression, ntzExpr: Expression,
       table: TableIndex,
       base: (HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)],
@@ -1454,44 +1496,21 @@ object UWheelRule extends Rule[LogicalPlan] {
       case TimestampType => k => Literal(k, TimestampType)
       case _             => return None
     }
-    def evalKey(wallSec: Long): Long = {
-      val sub = ge.transform {
-        case e if e.semanticEquals(ntzExpr) =>
-          Literal(wallSec * 1000000L, TimestampNTZType)
-      }
-      Try(sub.eval(InternalRow.empty)).getOrElse(throw new DeclineRewrite) match {
-        case l: Long => l
-        case _       => throw new DeclineRewrite
-      }
-    }
     val fn = (hw: HawWheel, s: Long, e: Long) => {
       val lo = math.max(s, hw.startSec)
       val hi = math.min(e, hw.endSec)
       if (lo >= hi) Vector.empty[(Long, RangeAgg)]
       else {
-        val cuts = scala.collection.mutable.TreeSet.empty[Long]
-        var t = rules.nextTransition(
-          java.time.Instant.ofEpochSecond(lo - 2 * HawWheel.DAY))
-        var guard = 0
-        while (t != null && t.getInstant.getEpochSecond < hi + 2 * HawWheel.DAY) {
-          if (guard > 512) throw new DeclineRewrite // pathological transition list
-          val ts = t.getInstant.getEpochSecond
-          val a = ts + t.getOffsetBefore.getTotalSeconds
-          val b = ts + t.getOffsetAfter.getTotalSeconds
-          if (a > lo && a < hi) cuts += a
-          if (b > lo && b < hi) cuts += b
-          t = rules.nextTransition(t.getInstant)
-          guard += 1
-        }
-        val bounds = Vector(lo) ++ cuts.iterator :+ hi
+        val bounds = Vector(lo) ++ transitionWallCuts(rules, lo, hi) :+ hi
         val out = Vector.newBuilder[(Long, RangeAgg)]
         for (i <- 0 until bounds.length - 1) {
           val (ps, pe) = (bounds(i), bounds(i + 1))
           out ++= base(hw, ps, pe).map { case (gs, ra) =>
             val s0 = math.max(gs, ps)
             val e0 = math.min(blockEnd(gs), pe)
-            val k = evalKey(s0)
-            if (e0 - 1 > s0 && evalKey(e0 - 1) != k) throw new DeclineRewrite
+            val k = evalNtzKey(ge, ntzExpr, s0)
+            if (e0 - 1 > s0 && evalNtzKey(ge, ntzExpr, e0 - 1) != k)
+              throw new DeclineRewrite
             (k, ra)
           }
         }
@@ -1505,33 +1524,42 @@ object UWheelRule extends Rule[LogicalPlan] {
     * predicates over an NTZ time column under a NON-UTC session —
     * `trunc_Z(CAST(ntz AS TIMESTAMP)) OP instant-literal` — into
     * equivalent wall-clock range conjuncts on the raw NTZ column, BEFORE
-    * range extraction, so the existing machinery (ranges, group-bys,
+    * range extraction, so the existing machinery (range sets, group-bys,
     * pruning) consumes them natively.
     *
-    * The composed view K(w) is non-decreasing in the wall clock (the
-    * [[ntzPiecewiseArm]] soundness argument, globally: cast_Z is monotone,
-    * and every truncation path is monotone on each constant-offset
-    * stretch and steps upward across transition images), so each
-    * comparison's row set is a wall interval. Its boundaries are found by
-    * binary search over the wheel's span with Catalyst's own eval —
-    * gap-merged buckets (a spring-forward gap's wall hour truncating into
-    * the post-gap bucket) fall out of the search instead of needing block
-    * arithmetic. Replacements are equivalent ON TABLE ROWS (every row's
-    * wall second lies inside the wheel span; a NULL ts fails both forms),
-    * which is the contract both callers — aggregate rewrite and emptiness
-    * pruning over this table's scan — need. Conjuncts that don't match,
-    * or whose key eval fails, pass through untouched. */
+    * K(w) = trunc_Z(cast_Z(w)) is monotone only WITHIN each piece cut at a
+    * transition's wall images ([[transitionWallCuts]]): a spring-forward
+    * gap's skipped wall interval maps forward onto the same instants as
+    * the wall interval after it, so for sub-day units K dips back at the
+    * gap end and a predicate's row set can be a UNION of wall intervals
+    * (review finding — a global binary search returned one interval and
+    * silently mis-answered around gaps). The preimage is therefore built
+    * per piece — monotone there, so a bisection with Catalyst's own eval
+    * ([[evalNtzKey]]) finds each piece's qualifying sub-interval — and
+    * emitted as one range conjunct pair, or an OR of pairs when pieces
+    * disagree, which the multi-range extraction unions additively.
+    *
+    * Gates: the truncation unit must parse to second..year
+    * ([[Extract.truncUnitOf]]) so K is constant per wall second — finer
+    * units (millisecond/microsecond) would misclassify the corpus's
+    * sub-second rows against whole-second probes and decline instead.
+    * Replacements are equivalent ON TABLE ROWS (every row's wall second
+    * lies inside the wheel span; a NULL ts fails both forms), the
+    * contract both callers — aggregate rewrite and emptiness pruning over
+    * this table's scan — need. Conjuncts that don't match, or whose key
+    * eval fails, pass through untouched. */
   private def normalizeNtzZoneCalendar(conjuncts: Seq[Expression],
       table: TableIndex): Seq[Expression] = {
     val hw = table.countWheel.map(_.wheel).getOrElse(return conjuncts)
     if (hw.numSecs == 0) return conjuncts
 
-    def viewOf(x: Expression): Option[Expression] = x match {
-      case TruncTimestamp(Literal(_: UTF8String, StringType),
+    def viewOf(x: Expression): Option[(Expression, java.time.zone.ZoneRules)] = x match {
+      case TruncTimestamp(Literal(fmt: UTF8String, StringType),
           Cast(nt, TimestampType, Some(ctz), _), _)
-          if nt.dataType == TimestampNTZType &&
+          if Extract.truncUnitOf(fmt.toString).isDefined &&
+            nt.dataType == TimestampNTZType &&
             isTime(nt, table.timeColumn) && !isUtcZone(ctz) =>
-        Some(nt)
+        Try(java.time.ZoneId.of(ctz).getRules).toOption.map((nt, _))
       case _ => None
     }
     def instLit(e: Expression): Option[Long] = e match {
@@ -1545,43 +1573,65 @@ object UWheelRule extends Rule[LogicalPlan] {
 
     def tryCmp(x: Expression, l: Expression, kind: String): Option[Seq[Expression]] =
       for {
-        nt <- viewOf(x)
+        (nt, rules) <- viewOf(x)
         lUs <- instLit(l)
-        r <- {
-          def k(wallSec: Long): Long = {
-            val sub = x.transform {
-              case e if e.semanticEquals(nt) =>
-                Literal(wallSec * 1000000L, TimestampNTZType)
-            }
-            Try(sub.eval(InternalRow.empty)).getOrElse(throw new DeclineRewrite) match {
-              case v: Long => v
-              case _       => throw new DeclineRewrite
-            }
-          }
-          // least wall second in [startSec, endSec] satisfying the monotone
-          // predicate; endSec (exclusive of all data) is the "none" sentinel
-          def firstWhere(pred: Long => Boolean): Long =
-            if (pred(hw.startSec)) hw.startSec
+        r <- Try[Seq[Expression]] {
+          def k(s: Long): Long = evalNtzKey(x, nt, s)
+          val lo = hw.startSec
+          val hi = hw.endSec
+          val bounds = lo +: transitionWallCuts(rules, lo, hi) :+ hi
+          // least wall second in [ps, pe) satisfying a pred that is
+          // monotone WITHIN the piece, else pe
+          def firstIn(ps: Long, pe: Long, pred: Long => Boolean): Long =
+            if (pred(ps)) ps
+            else if (!pred(pe - 1)) pe
             else {
-              var lo = hw.startSec
-              var hi = hw.endSec
-              while (hi - lo > 1) {
-                val m = lo + (hi - lo) / 2
-                if (m >= hw.endSec || pred(m)) hi = m else lo = m
+              var a = ps
+              var b = pe - 1
+              while (b - a > 1) {
+                val m = a + (b - a) / 2
+                if (pred(m)) b = m else a = m
               }
-              hi
+              b
             }
-          def ge() = firstWhere(k(_) >= lUs)
-          def gt() = firstWhere(k(_) > lUs)
-          Try[Seq[Expression]](kind match {
-            case "eq" => Seq(GreaterThanOrEqual(nt, ntzLit(ge())),
-                             LessThan(nt, ntzLit(gt())))
-            case "ge" => Seq(GreaterThanOrEqual(nt, ntzLit(ge())))
-            case "gt" => Seq(GreaterThanOrEqual(nt, ntzLit(gt())))
-            case "lt" => Seq(LessThan(nt, ntzLit(ge())))
-            case "le" => Seq(LessThan(nt, ntzLit(gt())))
-          }).toOption
-        }
+          def merged(raw: Vector[(Long, Long)]): Vector[(Long, Long)] =
+            raw.foldLeft(Vector.empty[(Long, Long)]) {
+              case (acc :+ ((s0, e0)), (s1, e1)) if e0 == s1 => acc :+ ((s0, e1))
+              case (acc, iv)                                 => acc :+ iv
+            }
+          def pieces = (0 until bounds.length - 1).iterator
+            .map(i => (bounds(i), bounds(i + 1)))
+          // qualifying sub-interval per piece: the pred-true SUFFIX
+          // (positive) or its complement prefix (negative)
+          def intervalsOf(pred: Long => Boolean, positive: Boolean): Vector[(Long, Long)] =
+            merged(pieces.flatMap { case (ps, pe) =>
+              val f = firstIn(ps, pe, pred)
+              if (positive) { if (f < pe) Some((f, pe)) else None }
+              else { if (f > ps) Some((ps, f)) else None }
+            }.toVector)
+          val intervals: Vector[(Long, Long)] = kind match {
+            case "ge" => intervalsOf(k(_) >= lUs, positive = true)
+            case "gt" => intervalsOf(k(_) > lUs, positive = true)
+            case "lt" => intervalsOf(k(_) >= lUs, positive = false)
+            case "le" => intervalsOf(k(_) > lUs, positive = false)
+            case "eq" =>
+              merged(pieces.flatMap { case (ps, pe) =>
+                val f = firstIn(ps, pe, k(_) >= lUs)
+                val g = firstIn(ps, pe, k(_) > lUs)
+                if (f < g) Some((f, g)) else None
+              }.toVector)
+          }
+          def rng(iv: (Long, Long)): Expression =
+            And(GreaterThanOrEqual(nt, ntzLit(iv._1)), LessThan(nt, ntzLit(iv._2)))
+          intervals match {
+            // no qualifying rows: an empty range (merging can never widen it)
+            case Vector() => Seq(GreaterThanOrEqual(nt, ntzLit(hi)),
+                                 LessThan(nt, ntzLit(hi)))
+            case Vector((s0, e0)) => Seq(GreaterThanOrEqual(nt, ntzLit(s0)),
+                                         LessThan(nt, ntzLit(e0)))
+            case many => Seq(many.map(rng).reduce(Or(_, _)))
+          }
+        }.toOption
       } yield r
 
     conjuncts.flatMap { c =>

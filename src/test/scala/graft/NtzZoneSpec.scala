@@ -175,6 +175,65 @@ class NtzZoneSpec extends AnyFunSuite {
     }
   }
 
+  test("WHERE preimages split by a spring-forward gap: union-of-intervals, not one range") {
+    setup
+    // Review finding: K(w) = trunc_Z(cast_Z(w)) is NOT globally monotone —
+    // New York's skipped wall hour [02:00, 03:00) on 2024-03-10 truncates
+    // into the 03:xx buckets, so these predicates' row sets are UNIONS of
+    // two disjoint wall intervals (e.g. >= 03:30 local also holds for wall
+    // [02:30, 03:00)). A single binary-searched range silently mis-answers;
+    // the per-piece preimage must match the scan exactly.
+    inZone("America/New_York") {
+      val win = df.filter(
+        col("ts") >= lit("2024-03-10 00:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-03-10 06:00:00").cast("timestamp_ntz"))
+      for (pred <- Seq(
+          "date_trunc('minute', ts) >= TIMESTAMP '2024-03-10 03:30:00'",
+          "date_trunc('minute', ts) = TIMESTAMP '2024-03-10 03:45:00'",
+          "date_trunc('hour', ts) = TIMESTAMP '2024-03-10 03:00:00'",
+          "date_trunc('minute', ts) < TIMESTAMP '2024-03-10 03:30:00'")) {
+        checkParity(
+          win.filter(expr(pred)).agg(count(lit(1)).as("c"), min("value").as("mn")),
+          s"NY gap / WHERE $pred")
+      }
+      // the equality preimage is genuinely two intervals: wall 02:45 (gap,
+      // shifted forward) and wall 03:45 both truncate to local 03:45
+      val q = win.filter(expr("date_trunc('minute', ts) = TIMESTAMP '2024-03-10 03:45:00'"))
+        .agg(count(lit(1)).as("c"))
+      val scanC = groundTruth(q.collect()(0).getLong(0))
+      assert(q.collect()(0).getLong(0) === scanC)
+      assert(scanC >= 6L, s"expected both 02:45 and 03:45 wall minutes populated, got $scanC")
+    }
+    // Lord Howe's 30-minute gap (2024-10-06, 02:00→02:30): same shape at
+    // half-hour granularity
+    inZone("Australia/Lord_Howe") {
+      val win = df.filter(
+        col("ts") >= lit("2024-10-06 00:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-10-06 05:00:00").cast("timestamp_ntz"))
+      for (pred <- Seq(
+          "date_trunc('minute', ts) >= TIMESTAMP '2024-10-06 02:40:00'",
+          "date_trunc('hour', ts) = TIMESTAMP '2024-10-06 02:00:00'")) {
+        checkParity(
+          win.filter(expr(pred)).agg(count(lit(1)).as("c"), min("value").as("mn")),
+          s"LH gap / WHERE $pred")
+      }
+    }
+  }
+
+  test("sub-second truncation units decline the WHERE normalization") {
+    setup
+    // millisecond/microsecond views are finer than the wheel's wall-second
+    // probes; the conjunct must stay residual and the query stay a scan
+    inZone("America/New_York") {
+      def q = df.filter(expr(
+          "date_trunc('millisecond', ts) >= TIMESTAMP '2024-01-10 00:00:00'"))
+        .agg(count(lit(1)).as("c"))
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.collect { case r: LogicalRelation => r }.nonEmpty, s"expected scan in:\n$opt")
+      assert(q.collect()(0).getLong(0) === groundTruth(q.collect()(0).getLong(0)))
+    }
+  }
+
   test("randomized WHERE inequalities match the scan across zones and units") {
     setup
     val rnd = new scala.util.Random(90082026L)
