@@ -428,7 +428,7 @@ object UWheelRule extends Rule[LogicalPlan] {
     // set is a plan-time proof of contradiction — every aggregate sees zero
     // rows.
     val (ranges, residualRaw) = Extract.splitTimeRangeSet(
-      normalizeNtzZoneCalendar(uw.conjuncts, table), table.timeColumn,
+      normalizeZoneCalendar(uw.conjuncts, table), table.timeColumn,
       zoneSpecOf(table))
     if (ranges.exists(!_.exact)) return None
     if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
@@ -1422,20 +1422,41 @@ object UWheelRule extends Rule[LogicalPlan] {
     Some(BucketArm(fn, keyLit, 1L, None))
   }
 
-  /** Catalyst-eval of a composed expression over the NTZ time column at
-    * one wall second: substitutes an NTZ literal for the time subexpression
-    * and constant-folds, so gap-shift and earlier-offset conventions are
-    * bit-identical to the scan. Shared by [[ntzPiecewiseArm]] and
-    * [[normalizeNtzZoneCalendar]]; any eval failure declines the rewrite. */
-  private def evalNtzKey(ge: Expression, ntzExpr: Expression, wallSec: Long): Long = {
+  /** Catalyst-eval of a composed expression over the time column at one
+    * wheel-domain second (wall for NTZ columns, instant for TIMESTAMP):
+    * substitutes a literal of `dt` for the time subexpression and
+    * constant-folds, so gap-shift, earlier-offset, and offset-retention
+    * conventions are bit-identical to the scan. Shared by
+    * [[ntzPiecewiseArm]] and [[normalizeZoneCalendar]]; any eval failure
+    * declines the rewrite. */
+  private def evalKeyAt(ge: Expression, timeExpr: Expression, sec: Long,
+      dt: DataType): Long = {
     val sub = ge.transform {
-      case e if e.semanticEquals(ntzExpr) =>
-        Literal(wallSec * 1000000L, TimestampNTZType)
+      case e if e.semanticEquals(timeExpr) => Literal(sec * 1000000L, dt)
     }
     Try(sub.eval(InternalRow.empty)).getOrElse(throw new DeclineRewrite) match {
       case l: Long => l
       case _       => throw new DeclineRewrite
     }
+  }
+  private def evalNtzKey(ge: Expression, ntzExpr: Expression, wallSec: Long): Long =
+    evalKeyAt(ge, ntzExpr, wallSec, TimestampNTZType)
+
+  /** Transition INSTANTS of the zone within (lo, hi) — the cut points for
+    * instant-domain wheels, between which the offset is constant. */
+  private def transitionInstantCuts(rules: java.time.zone.ZoneRules,
+      lo: Long, hi: Long): Vector[Long] = {
+    val cuts = scala.collection.mutable.TreeSet.empty[Long]
+    var t = rules.nextTransition(java.time.Instant.ofEpochSecond(lo))
+    var guard = 0
+    while (t != null && t.getInstant.getEpochSecond < hi) {
+      if (guard > 512) throw new DeclineRewrite
+      val ts = t.getInstant.getEpochSecond
+      if (ts > lo && ts < hi) cuts += ts
+      t = rules.nextTransition(t.getInstant)
+      guard += 1
+    }
+    cuts.toVector
   }
 
   /** Wall images (T + offsetBefore, T + offsetAfter) of every zone
@@ -1520,46 +1541,69 @@ object UWheelRule extends Rule[LogicalPlan] {
     Some(BucketArm(fn, keyLit, 1L, None))
   }
 
-  /** WHERE-side companion of [[ntzPiecewiseArm]]: rewrites calendar
-    * predicates over an NTZ time column under a NON-UTC session —
-    * `trunc_Z(CAST(ntz AS TIMESTAMP)) OP instant-literal` — into
-    * equivalent wall-clock range conjuncts on the raw NTZ column, BEFORE
-    * range extraction, so the existing machinery (range sets, group-bys,
-    * pruning) consumes them natively.
+  /** WHERE-side per-piece preimage normalization for session-zone calendar
+    * predicates the plain extraction cannot compose:
     *
-    * K(w) = trunc_Z(cast_Z(w)) is monotone only WITHIN each piece cut at a
-    * transition's wall images ([[transitionWallCuts]]): a spring-forward
-    * gap's skipped wall interval maps forward onto the same instants as
-    * the wall interval after it, so for sub-day units K dips back at the
-    * gap end and a predicate's row set can be a UNION of wall intervals
-    * (review finding — a global binary search returned one interval and
-    * silently mis-answered around gaps). The preimage is therefore built
-    * per piece — monotone there, so a bisection with Catalyst's own eval
-    * ([[evalNtzKey]]) finds each piece's qualifying sub-interval — and
-    * emitted as one range conjunct pair, or an OR of pairs when pieces
-    * disagree, which the multi-range extraction unions additively.
+    *  - NTZ columns under ANY non-UTC session:
+    *    `trunc_Z(CAST(ntz AS TIMESTAMP)) OP instant-literal` (companion of
+    *    [[ntzPiecewiseArm]]). K(w) = trunc_Z(cast_Z(w)) is monotone only
+    *    WITHIN each piece cut at a transition's wall images
+    *    ([[transitionWallCuts]]): a spring-forward gap's skipped wall
+    *    interval maps forward onto the same instants as the wall interval
+    *    after it, so for sub-day units K dips back at the gap end and a
+    *    predicate's row set can be a UNION of wall intervals (review
+    *    finding — a global binary search returned one interval and
+    *    silently mis-answered around gaps).
+    *  - TIMESTAMP (instant) columns under a RULE-VARYING (DST) zone:
+    *    sub-day `date_trunc('minute'|'hour', ts) INEQUALITY literal`,
+    *    which the offset-retaining values kept residual before. K(t) is
+    *    monotone within each constant-offset stretch cut at the
+    *    transition instants ([[transitionInstantCuts]]); equalities keep
+    *    the existing specialized resolution (`subDayTruncEqRangeUs`), and
+    *    fixed-offset zones keep the cheaper closed-form arms.
+    *
+    * The preimage is built per piece — monotone there, so a bisection with
+    * Catalyst's own eval ([[evalKeyAt]]) finds each piece's qualifying
+    * sub-interval — and emitted as one range conjunct pair on the raw time
+    * expression, or an OR of pairs when pieces disagree, which the
+    * multi-range extraction unions additively.
     *
     * Gates: the truncation unit must parse to second..year
-    * ([[Extract.truncUnitOf]]) so K is constant per wall second — finer
-    * units (millisecond/microsecond) would misclassify the corpus's
-    * sub-second rows against whole-second probes and decline instead.
-    * Replacements are equivalent ON TABLE ROWS (every row's wall second
-    * lies inside the wheel span; a NULL ts fails both forms), the
-    * contract both callers — aggregate rewrite and emptiness pruning over
-    * this table's scan — need. Conjuncts that don't match, or whose key
-    * eval fails, pass through untouched. */
-  private def normalizeNtzZoneCalendar(conjuncts: Seq[Expression],
+    * ([[Extract.truncUnitOf]]) so K is constant per wheel-domain second —
+    * finer units (millisecond/microsecond) would misclassify sub-second
+    * rows against whole-second probes and decline instead. Replacements
+    * are equivalent ON TABLE ROWS (every row lies inside the wheel span; a
+    * NULL ts fails both forms), the contract both callers — aggregate
+    * rewrite and emptiness pruning over this table's scan — need.
+    * Conjuncts that don't match, or whose key eval fails, pass through
+    * untouched. */
+  private def normalizeZoneCalendar(conjuncts: Seq[Expression],
       table: TableIndex): Seq[Expression] = {
     val hw = table.countWheel.map(_.wheel).getOrElse(return conjuncts)
     if (hw.numSecs == 0) return conjuncts
 
-    def viewOf(x: Expression): Option[(Expression, java.time.zone.ZoneRules)] = x match {
+    /** One normalizable calendar view: comparisons emit on `target` with
+      * `litDt` literals; `cuts` are the wheel-domain piece boundaries. */
+    final case class View(target: Expression, litDt: DataType,
+        rules: java.time.zone.ZoneRules, wallCuts: Boolean, eqOk: Boolean)
+
+    def viewOf(x: Expression): Option[View] = x match {
       case TruncTimestamp(Literal(fmt: UTF8String, StringType),
           Cast(nt, TimestampType, Some(ctz), _), _)
           if Extract.truncUnitOf(fmt.toString).isDefined &&
             nt.dataType == TimestampNTZType &&
             isTime(nt, table.timeColumn) && !isUtcZone(ctz) =>
-        Try(java.time.ZoneId.of(ctz).getRules).toOption.map((nt, _))
+        Try(java.time.ZoneId.of(ctz).getRules).toOption
+          .map(View(nt, TimestampNTZType, _, wallCuts = true, eqOk = true))
+      // instant column, rule-varying zone, sub-day unit: inequalities only
+      // (equality already resolves per piece in Extract, and fixed-offset
+      // zones have closed-form arms there)
+      case TruncTimestamp(Literal(fmt: UTF8String, StringType), t, Some(tz))
+          if Extract.truncUnitOf(fmt.toString).exists(u => u == "minute" || u == "hour") &&
+            t.dataType == TimestampType && isTime(t, table.timeColumn) &&
+            !isUtcZone(tz) && constantZoneOffset(tz, table).isEmpty =>
+        Try(java.time.ZoneId.of(tz).getRules).toOption
+          .map(View(t, TimestampType, _, wallCuts = false, eqOk = false))
       case _ => None
     }
     def instLit(e: Expression): Option[Long] = e match {
@@ -1569,18 +1613,22 @@ object UWheelRule extends Rule[LogicalPlan] {
           Option(v).map(_.asInstanceOf[Long]))
       case _ => None
     }
-    def ntzLit(sec: Long) = Literal(sec * 1000000L, TimestampNTZType)
 
     def tryCmp(x: Expression, l: Expression, kind: String): Option[Seq[Expression]] =
       for {
-        (nt, rules) <- viewOf(x)
+        v <- viewOf(x)
+        if v.eqOk || kind != "eq"
         lUs <- instLit(l)
         r <- Try[Seq[Expression]] {
-          def k(s: Long): Long = evalNtzKey(x, nt, s)
+          def k(s: Long): Long = evalKeyAt(x, v.target, s, v.litDt)
+          def secLit(sec: Long) = Literal(sec * 1000000L, v.litDt)
           val lo = hw.startSec
           val hi = hw.endSec
-          val bounds = lo +: transitionWallCuts(rules, lo, hi) :+ hi
-          // least wall second in [ps, pe) satisfying a pred that is
+          val cuts =
+            if (v.wallCuts) transitionWallCuts(v.rules, lo, hi)
+            else transitionInstantCuts(v.rules, lo, hi)
+          val bounds = lo +: cuts :+ hi
+          // least wheel-domain second in [ps, pe) satisfying a pred that is
           // monotone WITHIN the piece, else pe
           def firstIn(ps: Long, pe: Long, pred: Long => Boolean): Long =
             if (pred(ps)) ps
@@ -1622,13 +1670,14 @@ object UWheelRule extends Rule[LogicalPlan] {
               }.toVector)
           }
           def rng(iv: (Long, Long)): Expression =
-            And(GreaterThanOrEqual(nt, ntzLit(iv._1)), LessThan(nt, ntzLit(iv._2)))
+            And(GreaterThanOrEqual(v.target, secLit(iv._1)),
+                LessThan(v.target, secLit(iv._2)))
           intervals match {
             // no qualifying rows: an empty range (merging can never widen it)
-            case Vector() => Seq(GreaterThanOrEqual(nt, ntzLit(hi)),
-                                 LessThan(nt, ntzLit(hi)))
-            case Vector((s0, e0)) => Seq(GreaterThanOrEqual(nt, ntzLit(s0)),
-                                         LessThan(nt, ntzLit(e0)))
+            case Vector() => Seq(GreaterThanOrEqual(v.target, secLit(hi)),
+                                 LessThan(v.target, secLit(hi)))
+            case Vector((s0, e0)) => Seq(GreaterThanOrEqual(v.target, secLit(s0)),
+                                         LessThan(v.target, secLit(e0)))
             case many => Seq(many.map(rng).reduce(Or(_, _)))
           }
         }.toOption
@@ -1707,7 +1756,7 @@ object UWheelRule extends Rule[LogicalPlan] {
     val uw = unwrap(f).getOrElse(return None)
     val table = uw.table
     val (ranges, residual) = Extract.splitTimeRangeSet(
-      normalizeNtzZoneCalendar(uw.conjuncts, table), table.timeColumn,
+      normalizeZoneCalendar(uw.conjuncts, table), table.timeColumn,
       zoneSpecOf(table))
     // every disjunct contradicted the conjunctive bounds: empty by algebra,
     // no wheel consulted

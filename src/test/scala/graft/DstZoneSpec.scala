@@ -264,6 +264,39 @@ class DstZoneSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-day WHERE inequalities under DST compose per piece (previously declined)") {
+    setup
+    // normalizeZoneCalendar: K(t) = trunc_Z(t) is monotone within each
+    // constant-offset stretch, so inequality preimages are per-piece
+    // bisected instant intervals (an OR union across a transition). Every
+    // case must rewrite AND equal the rule-disabled scan, through the
+    // offset-retention subtleties: across a fall-back the same local
+    // threshold is reached twice (both passes' buckets order by instant),
+    // across a gap the 02:xx buckets never exist.
+    val cases = Seq(
+      ("America/New_York", "date_trunc('minute', ts) >= TIMESTAMP '2024-11-03 01:30:00'",
+        "2024-11-03 00:00:00", "2024-11-03 04:00:00"),
+      ("America/New_York", "date_trunc('hour', ts) < TIMESTAMP '2024-03-10 03:00:00'",
+        "2024-03-09 22:00:00", "2024-03-10 06:00:00"),
+      ("America/New_York", "date_trunc('minute', ts) > TIMESTAMP '2024-03-10 01:59:00'",
+        "2024-03-09 22:00:00", "2024-03-10 06:00:00"),
+      ("Australia/Lord_Howe", "date_trunc('minute', ts) >= TIMESTAMP '2024-04-07 01:40:00'",
+        "2024-04-07 00:00:00", "2024-04-07 04:00:00"),
+      ("America/Santiago", "date_trunc('hour', ts) <= TIMESTAMP '2024-09-08 01:00:00'",
+        "2024-09-07 20:00:00", "2024-09-08 04:00:00"))
+    for ((tz, pred, s, e) <- cases) inZone(tz) {
+      def q = df.filter(
+          col("ts") >= lit(s).cast("timestamp") && col("ts") < lit(e).cast("timestamp"))
+        .filter(expr(pred))
+        .agg(count(lit(1)).as("c"), min("value").as("mn"), max("value").as("mx"))
+      assertRewritten(q)
+      val got = q.collect().map(_.toString).toSeq
+      val exp = groundTruth(q.collect().map(_.toString).toSeq)
+      assert(got === exp, s"$tz / WHERE $pred")
+      assert(q.collect()(0).getLong(0) > 0, s"$tz / WHERE $pred vacuous")
+    }
+  }
+
   test("randomized DST parity: group-bys and date-path filters match the scan") {
     setup
     // seeded sweep over (zone × window × shape): windows anchored half on

@@ -257,6 +257,32 @@ class NtzZoneSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized WHERE equalities on real bucket values match the scan") {
+    setup
+    // literals are the SCAN's own date_trunc values at data seconds biased
+    // toward transition wall neighborhoods — every equality is non-vacuous
+    // and lands on genuine (possibly gap-merged) buckets
+    val rnd = new scala.util.Random(91082026L)
+    val units = Seq("minute", "hour", "day")
+    for (i <- 0 until 18) {
+      val tz = zones(i % zones.length)
+      inZone(tz) {
+        val unit = units(rnd.nextInt(units.length))
+        // a wall second near a random transition image (±90 min)
+        val w = wallImages(rnd.nextInt(wallImages.length)) + rnd.nextInt(10800) - 5400
+        val litRow = spark.sql(
+          s"""SELECT CAST(date_trunc('$unit',
+             |  CAST(TIMESTAMP_NTZ '${java.time.LocalDateTime
+                  .ofEpochSecond(w, 0, java.time.ZoneOffset.UTC).toString.replace('T', ' ')}'
+             |    AS TIMESTAMP)) AS STRING)""".stripMargin).first.getString(0)
+        def q = df.filter(expr(s"date_trunc('$unit', ts) = TIMESTAMP '$litRow'"))
+          .agg(count(lit(1)).as("c"), min("value").as("mn"))
+        checkParity(q, s"$tz / $unit = $litRow (wall $w)")
+        assert(q.collect()(0).getLong(0) > 0, s"$tz / $unit = $litRow vacuous")
+      }
+    }
+  }
+
   test("gap wall-times merge into the post-gap bucket, as the cast dictates") {
     setup
     // New York 2024-03-10: wall 02:00–03:00 does not exist locally; NTZ rows
