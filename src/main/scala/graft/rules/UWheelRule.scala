@@ -1237,17 +1237,47 @@ object UWheelRule extends Rule[LogicalPlan] {
           if nt.dataType == TimestampNTZType && isTime(nt, table.timeColumn) &&
             !isUtcZone(ctz) =>
         val unit = fmt.toString.toLowerCase
-        val (base, bEnd): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Long) =
-          HawWheel.levelIndexOf(unit) match {
-            case Some(idx) =>
-              ((hw, ps, pe) => hw.groupByShifted(ps, pe, idx, 0L),
-                gs => gs + HawWheel.Spans(idx))
-            case None =>
-              val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-              ((hw, ps, pe) => hw.groupByCalendar(ps, pe, stride),
-                gs => plusMonthsSec(gs, stride))
-          }
-        ntzPiecewiseArm(ctz, ge, nt, table, base, bEnd).getOrElse(return None)
+        ntzWallConstantOffset(ctz, unit, table) match {
+          // No transition across [coarsest reachable bucket start, span
+          // end] (a UNIT-scaled window, so DST zones qualify whenever the
+          // data sits between transitions — unlike the instant arms'
+          // year-margin gate, NTZ needs constancy only where bucket starts
+          // and data actually live): cast_Z is the pure shift w − o, so
+          // every bucket is a WALL block (the wheel's native NTZ domain —
+          // block edges are epoch-aligned regardless of o, unlike the
+          // instant column's shifted-slot arm) and its value is
+          // blockStart − o. Keys are instants again, so hll register
+          // reads clip to wall blocks and coarsened wheels serve
+          // span-aligned blocks — both of which the transition-crossing
+          // piecewise path below must decline.
+          case Some(o) =>
+            HawWheel.levelIndexOf(unit) match {
+              case Some(idx) =>
+                val span = HawWheel.Spans(idx)
+                BucketArm(
+                  (hw: HawWheel, s: Long, e: Long) => hw.groupByShifted(s, e, idx, 0L),
+                  gs => Literal((gs - o) * 1000000L, ge.dataType),
+                  span, Some((gs: Long) => gs + span))
+              case None =>
+                val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+                BucketArm(
+                  (hw: HawWheel, s: Long, e: Long) => hw.groupByCalendar(s, e, stride),
+                  gs => Literal((gs - o) * 1000000L, ge.dataType),
+                  HawWheel.DAY, Some((gs: Long) => plusMonthsSec(gs, stride)))
+            }
+          case None =>
+            val (base, bEnd): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Long) =
+              HawWheel.levelIndexOf(unit) match {
+                case Some(idx) =>
+                  ((hw, ps, pe) => hw.groupByShifted(ps, pe, idx, 0L),
+                    gs => gs + HawWheel.Spans(idx))
+                case None =>
+                  val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+                  ((hw, ps, pe) => hw.groupByCalendar(ps, pe, stride),
+                    gs => plusMonthsSec(gs, stride))
+              }
+            ntzPiecewiseArm(ctz, ge, nt, table, base, bEnd).getOrElse(return None)
+        }
       // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
       // DateType key; date truncation of TIMESTAMP follows the session
       // zone — NTZ casts are wall-clock (offset 0), UTC matches slots
@@ -1721,6 +1751,43 @@ object UWheelRule extends Rule[LogicalPlan] {
   private def zoneSpecOf(table: TableIndex)(z: String): Option[Extract.ZoneSpec] =
     constantZoneOffset(z, table).map(Extract.FixedZone)
       .orElse(Try(java.time.ZoneId.of(z).getRules).toOption.map(Extract.RuleZone))
+
+  /** The zone's UTC offset in seconds IF its rules are constant over the
+    * window every NTZ wall bucket of `unit` can touch: from the coarsest
+    * bucket start reachable from the span's first data second (its
+    * unit-floor — one hour back for 'hour', up to a year back for 'year')
+    * through the span end, padded a day each side (wall↔instant skew is
+    * bounded by ±18 h of offset). Within that window cast_Z is the pure
+    * shift w − o and every truncation path's value is blockStart − o; a
+    * transition inside it returns None and the caller composes piecewise
+    * instead. Unit-scaled on purpose: [[constantZoneOffset]]'s year margin
+    * serves instant-side calendar arms and would disqualify every DST zone
+    * outright, while January data under America/New_York is months from
+    * either 2024 transition and composes as a constant shift. */
+  private def ntzWallConstantOffset(tz: String, unit: String,
+      table: TableIndex): Option[Long] =
+    try {
+      val rules = java.time.ZoneId.of(tz).getRules
+      if (rules.isFixedOffset)
+        return Some(rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds.toLong)
+      val hw = table.countWheel.map(_.wheel).getOrElse(return None)
+      if (hw.numSecs == 0) return None
+      val reach = HawWheel.levelIndexOf(unit) match {
+        case Some(idx) => HawWheel.alignDown(hw.startSec, HawWheel.Spans(idx))
+        case None =>
+          val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+          val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(hw.startSec, HawWheel.DAY))
+          val m0 = ((d.getMonthValue - 1) / stride) * stride + 1
+          java.time.LocalDate.of(d.getYear, m0, 1).toEpochDay * HawWheel.DAY
+      }
+      val lo = java.time.Instant.ofEpochSecond(reach - HawWheel.DAY)
+      val hi = java.time.Instant.ofEpochSecond(hw.endSec + HawWheel.DAY)
+      val off = rules.getOffset(lo)
+      val next = rules.nextTransition(lo)
+      if (rules.getOffset(hi) == off && (next == null || !next.getInstant.isBefore(hi)))
+        Some(off.getTotalSeconds.toLong)
+      else None
+    } catch { case _: Throwable => None }
 
   /** The zone's UTC offset in seconds IF its rules are constant (no DST or
     * historical transition) across the table's indexed span plus a

@@ -283,6 +283,41 @@ class NtzZoneSpec extends AnyFunSuite {
     }
   }
 
+  test("constant-offset spans: hll_distinct and every unit compose under a DST zone") {
+    setup
+    // January-only NTZ data under America/New_York: months from either
+    // 2024 transition, so the unit-scaled constant-offset gate
+    // (ntzWallConstantOffset) qualifies and buckets are plain wall blocks
+    // with instant keys — which restores hll_distinct (register reads need
+    // an instant bucket end the piecewise path cannot supply)
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ntzjan").toString
+    val p = s"$d2/jan.parquet"
+    val start = java.time.Instant.parse("2024-01-03T00:00:00Z").getEpochSecond
+    (0 until 20000).map { i =>
+      (java.time.LocalDateTime.ofEpochSecond(start + i * 97L, 0, java.time.ZoneOffset.UTC),
+        (i % 89) / 4.0, (i % 53).toLong)
+    }.toDF("ts", "value", "uid").write.mode("overwrite").parquet(p)
+    assert(spark.read.parquet(p).schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    graft.index.UWheelBuilder("ts", Seq("value")).withDistinctWheel("uid")
+      .build(spark, p)
+    def t = spark.read.parquet(p)
+    inZone("America/New_York") {
+      // hll bucket group-by: bit-equal to running the aggregate (groundTruth)
+      checkParity(
+        t.groupBy(date_trunc("day", col("ts")).as("d"))
+          .agg(expr("hll_distinct(uid)").as("du"), count(lit(1)).as("c"))
+          .orderBy("d"),
+        "NY Jan hll day group-by")
+      for (unit <- Seq("minute", "hour", "day", "week", "month", "quarter", "year"))
+        checkParity(
+          t.groupBy(date_trunc(unit, col("ts")).as("b"))
+            .agg(count(lit(1)).as("c"), min("value").as("mn")).orderBy("b"),
+          s"NY Jan $unit")
+    }
+  }
+
   test("gap wall-times merge into the post-gap bucket, as the cast dictates") {
     setup
     // New York 2024-03-10: wall 02:00–03:00 does not exist locally; NTZ rows
