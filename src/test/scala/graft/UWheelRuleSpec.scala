@@ -806,6 +806,30 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertNotRewritten(neg2)
   }
 
+  test("multi-column GROUP BY composes with a non-UTC session over the NTZ column") {
+    setup
+    // per-value wheels from the multi-column test above (suite order);
+    // under a session zone the bucket arm is the NTZ constant-offset fast
+    // path (January corpus, New York: months from either transition) and
+    // the per-value routing must compose with its instant keys
+    Seq("click", "error", "purchase", "signup", "view").foreach { et =>
+      UWheelIndex.buildIndex(spark, path,
+        IndexBuilder("value", Some(s"event_type = '$et'")))
+    }
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      def q = ranged
+        .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+        .orderBy("d", "event_type")
+      assertRewritten(q)
+      assert(q.collect().map(_.toString).toSeq ===
+        groundTruth(q.collect().map(_.toString).toSeq))
+      assert(q.collect().nonEmpty)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("multi-column GROUP BY declines on an INCOMPLETE keyed-wheel set") {
     // a table of its own: wheels for only one of two key values — the
     // plan-time counting proof must reject the rewrite (missing value rows
