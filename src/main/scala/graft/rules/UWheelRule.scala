@@ -918,9 +918,12 @@ object UWheelRule extends Rule[LogicalPlan] {
     * @param fineSpan  the slot granularity bucket edges need — coarsened
     *                  wheels must satisfy slotSpan | fineSpan (1 for the
     *                  piecewise DST path: transition edges are unaligned)
-    * @param hllEndOf  bucket key -> exclusive bucket END INSTANT, for
-    *                  clipping per-bucket HLL register reads; None when
-    *                  bucket keys are not instants (piecewise DST path),
+    * @param hllEndOf  groupFn-emitted bucket handle -> exclusive bucket
+    *                  end IN THE WHEEL'S OWN DOMAIN (instant seconds for
+    *                  instant columns, wall seconds for NTZ — reads clip
+    *                  against wheel slots, so a true instant here for an
+    *                  NTZ wheel would be off by the zone offset); None
+    *                  when no such end exists (piecewise zone paths),
     *                  which declines hll_distinct needs */
   private final case class BucketArm(
       groupFn: (HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)],
@@ -1237,45 +1240,35 @@ object UWheelRule extends Rule[LogicalPlan] {
           if nt.dataType == TimestampNTZType && isTime(nt, table.timeColumn) &&
             !isUtcZone(ctz) =>
         val unit = fmt.toString.toLowerCase
+        // shared wall-block dispatch (offset 0 — the wheel's native NTZ
+        // domain): block enumerator, exclusive block end, edge granularity
+        val (base, bEnd, fspan): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Long, Long) =
+          HawWheel.levelIndexOf(unit) match {
+            case Some(idx) =>
+              val span = HawWheel.Spans(idx)
+              ((hw, ps, pe) => hw.groupByShifted(ps, pe, idx, 0L),
+                (gs: Long) => gs + span, span)
+            case None =>
+              val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
+              ((hw, ps, pe) => hw.groupByCalendar(ps, pe, stride),
+                (gs: Long) => plusMonthsSec(gs, stride), HawWheel.DAY)
+          }
         ntzWallConstantOffset(ctz, unit, table) match {
           // No transition across [coarsest reachable bucket start, span
           // end] (a UNIT-scaled window, so DST zones qualify whenever the
           // data sits between transitions — unlike the instant arms'
           // year-margin gate, NTZ needs constancy only where bucket starts
           // and data actually live): cast_Z is the pure shift w − o, so
-          // every bucket is a WALL block (the wheel's native NTZ domain —
-          // block edges are epoch-aligned regardless of o, unlike the
-          // instant column's shifted-slot arm) and its value is
-          // blockStart − o. Keys are instants again, so hll register
-          // reads clip to wall blocks and coarsened wheels serve
+          // every bucket is one WALL block (edges epoch-aligned regardless
+          // of o, unlike the instant column's shifted-slot arm) and its
+          // value is blockStart − o. Keys are instants again, so hll
+          // register reads clip to wall blocks and coarsened wheels serve
           // span-aligned blocks — both of which the transition-crossing
           // piecewise path below must decline.
           case Some(o) =>
-            HawWheel.levelIndexOf(unit) match {
-              case Some(idx) =>
-                val span = HawWheel.Spans(idx)
-                BucketArm(
-                  (hw: HawWheel, s: Long, e: Long) => hw.groupByShifted(s, e, idx, 0L),
-                  gs => Literal((gs - o) * 1000000L, ge.dataType),
-                  span, Some((gs: Long) => gs + span))
-              case None =>
-                val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                BucketArm(
-                  (hw: HawWheel, s: Long, e: Long) => hw.groupByCalendar(s, e, stride),
-                  gs => Literal((gs - o) * 1000000L, ge.dataType),
-                  HawWheel.DAY, Some((gs: Long) => plusMonthsSec(gs, stride)))
-            }
+            BucketArm(base, gs => Literal((gs - o) * 1000000L, ge.dataType),
+              fspan, Some(bEnd))
           case None =>
-            val (base, bEnd): ((HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)], Long => Long) =
-              HawWheel.levelIndexOf(unit) match {
-                case Some(idx) =>
-                  ((hw, ps, pe) => hw.groupByShifted(ps, pe, idx, 0L),
-                    gs => gs + HawWheel.Spans(idx))
-                case None =>
-                  val stride = HawWheel.monthStrideOf(unit).getOrElse(return None)
-                  ((hw, ps, pe) => hw.groupByCalendar(ps, pe, stride),
-                    gs => plusMonthsSec(gs, stride))
-              }
             ntzPiecewiseArm(ctz, ge, nt, table, base, bEnd).getOrElse(return None)
         }
       // GROUP BY to_date(ts) / CAST(ts AS DATE): day buckets with a
@@ -1644,6 +1637,10 @@ object UWheelRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+    // the cut list depends only on (rules, domain, span) — computed once
+    // per view kind, not per comparison conjunct
+    val cutsCache = mutable.Map.empty[(Boolean, java.time.zone.ZoneRules), Vector[Long]]
+
     def tryCmp(x: Expression, l: Expression, kind: String): Option[Seq[Expression]] =
       for {
         v <- viewOf(x)
@@ -1654,9 +1651,9 @@ object UWheelRule extends Rule[LogicalPlan] {
           def secLit(sec: Long) = Literal(sec * 1000000L, v.litDt)
           val lo = hw.startSec
           val hi = hw.endSec
-          val cuts =
+          val cuts = cutsCache.getOrElseUpdate((v.wallCuts, v.rules),
             if (v.wallCuts) transitionWallCuts(v.rules, lo, hi)
-            else transitionInstantCuts(v.rules, lo, hi)
+            else transitionInstantCuts(v.rules, lo, hi))
           val bounds = lo +: cuts :+ hi
           // least wheel-domain second in [ps, pe) satisfying a pred that is
           // monotone WITHIN the piece, else pe
