@@ -1641,73 +1641,89 @@ object UWheelRule extends Rule[LogicalPlan] {
     // per view kind, not per comparison conjunct
     val cutsCache = mutable.Map.empty[(Boolean, java.time.zone.ZoneRules), Vector[Long]]
 
+    /** The qualifying wall/instant intervals for `x <kind> lits` and their
+      * range-conjunct emission; throws DeclineRewrite on eval failure. */
+    def preimages(x: Expression, v: View, kind: String, lits: Seq[Long]): Seq[Expression] = {
+      def k(s: Long): Long = evalKeyAt(x, v.target, s, v.litDt)
+      def secLit(sec: Long) = Literal(sec * 1000000L, v.litDt)
+      val lo = hw.startSec
+      val hi = hw.endSec
+      val cuts = cutsCache.getOrElseUpdate((v.wallCuts, v.rules),
+        if (v.wallCuts) transitionWallCuts(v.rules, lo, hi)
+        else transitionInstantCuts(v.rules, lo, hi))
+      val bounds = lo +: cuts :+ hi
+      // least wheel-domain second in [ps, pe) satisfying a pred that is
+      // monotone WITHIN the piece, else pe
+      def firstIn(ps: Long, pe: Long, pred: Long => Boolean): Long =
+        if (pred(ps)) ps
+        else if (!pred(pe - 1)) pe
+        else {
+          var a = ps
+          var b = pe - 1
+          while (b - a > 1) {
+            val m = a + (b - a) / 2
+            if (pred(m)) b = m else a = m
+          }
+          b
+        }
+      def merged(raw: Vector[(Long, Long)]): Vector[(Long, Long)] =
+        raw.foldLeft(Vector.empty[(Long, Long)]) {
+          case (acc :+ ((s0, e0)), (s1, e1)) if e0 == s1 => acc :+ ((s0, e1))
+          case (acc, iv)                                 => acc :+ iv
+        }
+      def pieces = (0 until bounds.length - 1).iterator
+        .map(i => (bounds(i), bounds(i + 1)))
+      // qualifying sub-interval per piece: the pred-true SUFFIX (positive)
+      // or its complement prefix (negative)
+      def intervalsOf(pred: Long => Boolean, positive: Boolean): Vector[(Long, Long)] =
+        merged(pieces.flatMap { case (ps, pe) =>
+          val f = firstIn(ps, pe, pred)
+          if (positive) { if (f < pe) Some((f, pe)) else None }
+          else { if (f > ps) Some((ps, f)) else None }
+        }.toVector)
+      def eqIntervals(lUs: Long): Vector[(Long, Long)] =
+        merged(pieces.flatMap { case (ps, pe) =>
+          val f = firstIn(ps, pe, k(_) >= lUs)
+          val g = firstIn(ps, pe, k(_) > lUs)
+          if (f < g) Some((f, g)) else None
+        }.toVector)
+      val intervals: Vector[(Long, Long)] = kind match {
+        case "ge" => intervalsOf(k(_) >= lits.head, positive = true)
+        case "gt" => intervalsOf(k(_) > lits.head, positive = true)
+        case "lt" => intervalsOf(k(_) >= lits.head, positive = false)
+        case "le" => intervalsOf(k(_) > lits.head, positive = false)
+        case "eq" => eqIntervals(lits.head)
+        // IN: union of per-element equality preimages (disjoint across
+        // distinct literals — K is single-valued — so a sort + adjacency
+        // merge is the union)
+        case "in" => merged(lits.distinct.toVector.flatMap(eqIntervals).sortBy(_._1))
+      }
+      def rng(iv: (Long, Long)): Expression =
+        And(GreaterThanOrEqual(v.target, secLit(iv._1)),
+            LessThan(v.target, secLit(iv._2)))
+      intervals match {
+        // no qualifying rows: an empty range (merging can never widen it)
+        case Vector() => Seq(GreaterThanOrEqual(v.target, secLit(hi)),
+                             LessThan(v.target, secLit(hi)))
+        case Vector((s0, e0)) => Seq(GreaterThanOrEqual(v.target, secLit(s0)),
+                                     LessThan(v.target, secLit(e0)))
+        case many => Seq(many.map(rng).reduce(Or(_, _)))
+      }
+    }
+
     def tryCmp(x: Expression, l: Expression, kind: String): Option[Seq[Expression]] =
       for {
         v <- viewOf(x)
         if v.eqOk || kind != "eq"
         lUs <- instLit(l)
-        r <- Try[Seq[Expression]] {
-          def k(s: Long): Long = evalKeyAt(x, v.target, s, v.litDt)
-          def secLit(sec: Long) = Literal(sec * 1000000L, v.litDt)
-          val lo = hw.startSec
-          val hi = hw.endSec
-          val cuts = cutsCache.getOrElseUpdate((v.wallCuts, v.rules),
-            if (v.wallCuts) transitionWallCuts(v.rules, lo, hi)
-            else transitionInstantCuts(v.rules, lo, hi))
-          val bounds = lo +: cuts :+ hi
-          // least wheel-domain second in [ps, pe) satisfying a pred that is
-          // monotone WITHIN the piece, else pe
-          def firstIn(ps: Long, pe: Long, pred: Long => Boolean): Long =
-            if (pred(ps)) ps
-            else if (!pred(pe - 1)) pe
-            else {
-              var a = ps
-              var b = pe - 1
-              while (b - a > 1) {
-                val m = a + (b - a) / 2
-                if (pred(m)) b = m else a = m
-              }
-              b
-            }
-          def merged(raw: Vector[(Long, Long)]): Vector[(Long, Long)] =
-            raw.foldLeft(Vector.empty[(Long, Long)]) {
-              case (acc :+ ((s0, e0)), (s1, e1)) if e0 == s1 => acc :+ ((s0, e1))
-              case (acc, iv)                                 => acc :+ iv
-            }
-          def pieces = (0 until bounds.length - 1).iterator
-            .map(i => (bounds(i), bounds(i + 1)))
-          // qualifying sub-interval per piece: the pred-true SUFFIX
-          // (positive) or its complement prefix (negative)
-          def intervalsOf(pred: Long => Boolean, positive: Boolean): Vector[(Long, Long)] =
-            merged(pieces.flatMap { case (ps, pe) =>
-              val f = firstIn(ps, pe, pred)
-              if (positive) { if (f < pe) Some((f, pe)) else None }
-              else { if (f > ps) Some((ps, f)) else None }
-            }.toVector)
-          val intervals: Vector[(Long, Long)] = kind match {
-            case "ge" => intervalsOf(k(_) >= lUs, positive = true)
-            case "gt" => intervalsOf(k(_) > lUs, positive = true)
-            case "lt" => intervalsOf(k(_) >= lUs, positive = false)
-            case "le" => intervalsOf(k(_) > lUs, positive = false)
-            case "eq" =>
-              merged(pieces.flatMap { case (ps, pe) =>
-                val f = firstIn(ps, pe, k(_) >= lUs)
-                val g = firstIn(ps, pe, k(_) > lUs)
-                if (f < g) Some((f, g)) else None
-              }.toVector)
-          }
-          def rng(iv: (Long, Long)): Expression =
-            And(GreaterThanOrEqual(v.target, secLit(iv._1)),
-                LessThan(v.target, secLit(iv._2)))
-          intervals match {
-            // no qualifying rows: an empty range (merging can never widen it)
-            case Vector() => Seq(GreaterThanOrEqual(v.target, secLit(hi)),
-                                 LessThan(v.target, secLit(hi)))
-            case Vector((s0, e0)) => Seq(GreaterThanOrEqual(v.target, secLit(s0)),
-                                         LessThan(v.target, secLit(e0)))
-            case many => Seq(many.map(rng).reduce(Or(_, _)))
-          }
-        }.toOption
+        r <- Try(preimages(x, v, kind, Seq(lUs))).toOption
+      } yield r
+
+    def tryIn(x: Expression, lits: Seq[Long]): Option[Seq[Expression]] =
+      for {
+        v <- viewOf(x)
+        if v.eqOk
+        r <- Try(preimages(x, v, "in", lits)).toOption
       } yield r
 
     conjuncts.flatMap { c =>
@@ -1719,6 +1735,16 @@ object UWheelRule extends Rule[LogicalPlan] {
         case GreaterThan(a, b)        => tryCmp(a, b, "gt").orElse(tryCmp(b, a, "lt"))
         case LessThan(a, b)           => tryCmp(a, b, "lt").orElse(tryCmp(b, a, "gt"))
         case LessThanOrEqual(a, b)    => tryCmp(a, b, "le").orElse(tryCmp(b, a, "ge"))
+        // IN lists (and the optimizer's InSet form): union of equality
+        // preimages. A NULL member declines (instLit is None), which is
+        // safe — the conjunct just stays residual.
+        case In(x, elems) if elems.nonEmpty =>
+          val lits = elems.map(instLit)
+          if (lits.forall(_.isDefined)) tryIn(x, lits.flatten) else None
+        case InSet(x, hset)
+            if x.dataType == TimestampType && hset.nonEmpty &&
+              hset.forall(_.isInstanceOf[Long]) =>
+          tryIn(x, hset.toSeq.map(_.asInstanceOf[Long]))
         case _ => None
       }
       mapped.getOrElse(Seq(c))

@@ -220,6 +220,29 @@ class NtzZoneSpec extends AnyFunSuite {
     }
   }
 
+  test("calendar IN lists compose under non-UTC sessions, gap buckets included") {
+    setup
+    inZone("America/New_York") {
+      // spans the spring-forward day: the 03:00 member's preimage is the
+      // two-hour wall union (gap hour + real hour); the 02:00 member is a
+      // bucket that does not exist (no rows) — both exact vs the scan
+      for (pred <- Seq(
+          "date_trunc('hour', ts) IN (TIMESTAMP '2024-03-10 03:00:00', TIMESTAMP '2024-03-10 05:00:00')",
+          "date_trunc('hour', ts) IN (TIMESTAMP '2024-03-10 02:00:00', TIMESTAMP '2024-03-10 01:00:00')",
+          "date_trunc('day', ts) IN (TIMESTAMP '2024-03-10 00:00:00', TIMESTAMP '2024-11-03 00:00:00')")) {
+        checkParity(
+          df.filter(expr(pred)).agg(count(lit(1)).as("c"), min("value").as("mn")),
+          s"NY / WHERE $pred")
+      }
+      // > 10 members: the optimizer converts In to InSet — must still compose
+      val manyDays = (1 to 12).map(d => f"TIMESTAMP '2024-03-$d%02d 00:00:00'").mkString(", ")
+      checkParity(
+        df.filter(expr(s"date_trunc('day', ts) IN ($manyDays)"))
+          .agg(count(lit(1)).as("c"), min("value").as("mn")),
+        "NY / WHERE 12-member day IN (InSet)")
+    }
+  }
+
   test("sub-second truncation units decline the WHERE normalization") {
     setup
     // millisecond/microsecond views are finer than the wheel's wall-second
