@@ -341,6 +341,44 @@ class NtzZoneSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized NTZ group-by parity: zone x window x unit across transitions") {
+    setup
+    // seeded sweep mirroring DstZoneSpec's: windows anchored half on
+    // transition wall images, half uniform over 2024; group-bys must
+    // rewrite in every case (the NTZ arm covers every unit in every zone)
+    // and equal the rule-disabled scan bit-for-bit
+    val rnd = new scala.util.Random(0x9e7a2026L)
+    val units = Seq("minute", "hour", "day", "week", "month", "quarter", "year")
+    val t0 = java.time.Instant.parse("2024-01-10T00:00:00Z").getEpochSecond
+    val t1 = java.time.Instant.parse("2024-12-20T00:00:00Z").getEpochSecond
+    var populated = 0
+    for (i <- 0 until 24) {
+      val tz = (zones ++ Seq("Asia/Kathmandu"))(i % 4)
+      inZone(tz) {
+        val anchor =
+          if (rnd.nextBoolean()) wallImages(rnd.nextInt(wallImages.length))
+          else t0 + (rnd.nextDouble() * (t1 - t0)).toLong
+        val s = anchor - 43200 - rnd.nextInt(8 * 86400)
+        val e = anchor + 43200 + rnd.nextInt(8 * 86400)
+        val unit = units(rnd.nextInt(units.length))
+        def fmt(sec: Long) = java.time.LocalDateTime
+          .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+        def q = df.filter(
+            col("ts") >= lit(fmt(s)).cast("timestamp_ntz") &&
+              col("ts") < lit(fmt(e)).cast("timestamp_ntz"))
+          .groupBy(date_trunc(unit, col("ts")).as("b"))
+          .agg(count(lit(1)).as("c"), min("value").as("mn"), max("value").as("mx"))
+          .orderBy("b")
+        assertRewritten(q)
+        val got = q.collect().map(_.toString).toSeq
+        assert(got === groundTruth(q.collect().map(_.toString).toSeq),
+          s"$tz / $unit / [${fmt(s)}, ${fmt(e)})")
+        if (got.nonEmpty) populated += 1
+      }
+    }
+    assert(populated >= 20, s"only $populated/24 sweep cases had rows — data too sparse")
+  }
+
   test("gap wall-times merge into the post-gap bucket, as the cast dictates") {
     setup
     // New York 2024-03-10: wall 02:00–03:00 does not exist locally; NTZ rows
