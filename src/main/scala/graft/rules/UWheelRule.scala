@@ -700,9 +700,11 @@ object UWheelRule extends Rule[LogicalPlan] {
           case None => timeBucketArm(ge, table)
         }).getOrElse(return None)
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
-        // hll_distinct needs an instant bucket end to clip register reads —
-        // arms without one (piecewise DST) decline the rewrite
-        if (nds.values.exists(_._2.isInstanceOf[HllSrc]) && arm.hllEndOf.isEmpty)
+        // hll_distinct register reads clip per bucket: either a single
+        // wheel-domain end (hllEndOf) or the piecewise arms' per-key
+        // interval enumeration (hllReads); with neither, decline
+        val needHll = nds.values.exists(_._2.isInstanceOf[HllSrc])
+        if (needHll && arm.hllEndOf.isEmpty && arm.hllReads.isEmpty)
           return None
         val bucketEndOf = arm.hllEndOf.getOrElse((gs: Long) => gs)
         // Need at least one NUMERIC wheel to enumerate the groups (HLL
@@ -722,6 +724,15 @@ object UWheelRule extends Rule[LogicalPlan] {
             b.wheel.slotSpan +: pv.map(_.wheel.slotSpan)
         }.toSet + enumWheel.wheel.slotSpan
         if (slotSpans.exists(sp => bucketSpan % sp != 0)) return None
+        // piecewise arms: per-key register intervals enumerated from the
+        // same wheel + bounds as the groups, so the key sets coincide; an
+        // HLL wheel's active seconds are a subset of the enum wheel's (it
+        // skips NULL-value rows), so interval gaps hold only identity
+        val hllReadMap: Map[Long, Seq[(Long, Long)]] =
+          if (needHll && arm.hllEndOf.isEmpty)
+            bounds.flatMap { case (s, e) => arm.hllReads.get(enumWheel.wheel, s, e) }
+              .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          else Map.empty
         // Bucket map per wheel over the (disjoint) range set: a bucket
         // straddling two ranges (OR of two windows of one day, day buckets)
         // merges its per-range partials additively.
@@ -768,9 +779,11 @@ object UWheelRule extends Rule[LogicalPlan] {
               // of the union — disjoint clips, so register-max merging is
               // exactly the distinct over the bucket's qualifying rows
               case HllSrc(d) =>
-                hllOver(d, bounds.map { case (s, e) =>
-                  (math.max(s, gs), math.min(e, gEnd))
-                })
+                if (arm.hllEndOf.isDefined)
+                  hllOver(d, bounds.map { case (s, e) =>
+                    (math.max(s, gs), math.min(e, gEnd))
+                  })
+                else hllOver(d, hllReadMap.getOrElse(gs, Nil))
               case DistinctSetSrc(_, _) =>
                 Long.box(distinctCounts(k).count(_.getOrElse(gs, 0L) > 0L))
             }
@@ -808,8 +821,9 @@ object UWheelRule extends Rule[LogicalPlan] {
         val (arm, timeGe, keyAttr) =
           orient(g1, g2).orElse(orient(g2, g1)).getOrElse(return None)
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
-        // hll needs require an instant bucket end (see the 1-column arm)
-        if (needList.values.exists(_.kind == "hll") && arm.hllEndOf.isEmpty)
+        // hll needs clip per bucket via hllEndOf or hllReads (1-column arm)
+        val needHll2 = needList.values.exists(_.kind == "hll")
+        if (needHll2 && arm.hllEndOf.isEmpty && arm.hllReads.isEmpty)
           return None
         val bucketEndOf = arm.hllEndOf.getOrElse((gs: Long) => gs)
         val (keyed, allValues) = keyedWheelSet(table, keyAttr.name)
@@ -881,6 +895,13 @@ object UWheelRule extends Rule[LogicalPlan] {
           valueCount.values.map(_.get(b).map(_.count).getOrElse(0L)).sum == ra.count
         }
         if (!complete) return None
+        // piecewise register intervals, enumerated from the base wheel
+        // (whose bucket set anchors the counting proof above)
+        val hllReadMap2: Map[Long, Seq[(Long, Long)]] =
+          if (needHll2 && arm.hllEndOf.isEmpty)
+            bounds.flatMap { case (s, e) => arm.hllReads.get(baseW.wheel, s, e) }
+              .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          else Map.empty
 
         val rows = allBuckets.keys.toSeq.sorted.flatMap { b =>
           val bEnd = bucketEndOf(b)
@@ -892,9 +913,11 @@ object UWheelRule extends Rule[LogicalPlan] {
                   case NumSrc(w) =>
                     n.value(groupsCached(w.wheel).getOrElse(b, return None))
                   case HllSrc(d) =>
-                    hllOver(d, bounds.map { case (s, e) =>
-                      (math.max(s, b), math.min(e, bEnd))
-                    })
+                    if (arm.hllEndOf.isDefined)
+                      hllOver(d, bounds.map { case (s, e) =>
+                        (math.max(s, b), math.min(e, bEnd))
+                      })
+                    else hllOver(d, hllReadMap2.getOrElse(b, Nil))
                   case _: DistinctSetSrc => return None // declined above
                 }
                 k -> (value, dataTypeOf(k))
@@ -923,13 +946,19 @@ object UWheelRule extends Rule[LogicalPlan] {
     *                  instant columns, wall seconds for NTZ — reads clip
     *                  against wheel slots, so a true instant here for an
     *                  NTZ wheel would be off by the zone offset); None
-    *                  when no such end exists (piecewise zone paths),
-    *                  which declines hll_distinct needs */
+    *                  when buckets are not single wheel-domain ranges
+    *                  (piecewise zone paths)
+    * @param hllReads  piecewise substitute for hllEndOf: enumerates, per
+    *                  query range, (final key, wheel-domain interval)
+    *                  contributions — a bucket's register read is the
+    *                  merge over its (disjoint) intervals. When BOTH are
+    *                  None, hll_distinct needs decline */
   private final case class BucketArm(
       groupFn: (HawWheel, Long, Long) => IndexedSeq[(Long, RangeAgg)],
       keyLit: Long => Literal,
       fineSpan: Long,
-      hllEndOf: Option[Long => Long])
+      hllEndOf: Option[Long => Long],
+      hllReads: Option[(HawWheel, Long, Long) => IndexedSeq[(Long, (Long, Long))]] = None)
 
   /** Thrown from inside a piecewise group read when the zone's transition
     * list is pathological or a key evaluation fails — caught at the rule's
@@ -1442,7 +1471,42 @@ object UWheelRule extends Rule[LogicalPlan] {
         out.result()
       }
     }
-    Some(BucketArm(fn, keyLit, 1L, None))
+    // hll register reads: the same piece walk, emitting each block's
+    // instant interval under its evaluated key. `base` does not expose
+    // block ends, so each block extends to the NEXT block's start (or the
+    // piece end) — the uncovered stretch has no active slots on this wheel
+    // (it would otherwise be a block), and an HLL wheel's active seconds
+    // are a subset of the enum wheel's, so the extension merges identity.
+    val reads = (hw: HawWheel, s: Long, e: Long) => {
+      val lo = math.max(s, hw.startSec)
+      val hi = math.min(e, hw.endSec)
+      if (lo >= hi) Vector.empty[(Long, (Long, Long))]
+      else {
+        val out = Vector.newBuilder[(Long, (Long, Long))]
+        var cur = lo
+        var n = 0
+        while (cur < hi) {
+          if (n > 512) throw new DeclineRewrite
+          val off = rules.getOffset(java.time.Instant.ofEpochSecond(cur))
+            .getTotalSeconds.toLong
+          val t = rules.nextTransition(java.time.Instant.ofEpochSecond(cur))
+          val pe =
+            if (t == null) hi
+            else math.min(hi, math.max(cur + 1, t.getInstant.getEpochSecond))
+          val blocks = base(hw, cur, pe, off)
+          for (j <- blocks.indices) {
+            val gs = blocks(j)._1
+            val s0 = math.max(gs, cur)
+            val e0 = if (j + 1 < blocks.length) math.min(blocks(j + 1)._1, pe) else pe
+            out += ((evalKey(s0), (s0, e0)))
+          }
+          cur = pe
+          n += 1
+        }
+        out.result()
+      }
+    }
+    Some(BucketArm(fn, keyLit, 1L, None, Some(reads)))
   }
 
   /** Catalyst-eval of a composed expression over the time column at one
@@ -1561,7 +1625,28 @@ object UWheelRule extends Rule[LogicalPlan] {
         out.result()
       }
     }
-    Some(BucketArm(fn, keyLit, 1L, None))
+    // hll register reads: the same piece walk, emitting each block-piece's
+    // wall interval under its evaluated key (keys deterministic, so they
+    // coincide with fn's verified enumeration on the same wheel)
+    val reads = (hw: HawWheel, s: Long, e: Long) => {
+      val lo = math.max(s, hw.startSec)
+      val hi = math.min(e, hw.endSec)
+      if (lo >= hi) Vector.empty[(Long, (Long, Long))]
+      else {
+        val bounds = Vector(lo) ++ transitionWallCuts(rules, lo, hi) :+ hi
+        val out = Vector.newBuilder[(Long, (Long, Long))]
+        for (i <- 0 until bounds.length - 1) {
+          val (ps, pe) = (bounds(i), bounds(i + 1))
+          out ++= base(hw, ps, pe).map { case (gs, _) =>
+            val s0 = math.max(gs, ps)
+            val e0 = math.min(blockEnd(gs), pe)
+            (evalNtzKey(ge, ntzExpr, s0), (s0, e0))
+          }
+        }
+        out.result()
+      }
+    }
+    Some(BucketArm(fn, keyLit, 1L, None, Some(reads)))
   }
 
   /** WHERE-side per-piece preimage normalization for session-zone calendar

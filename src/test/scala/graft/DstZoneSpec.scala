@@ -416,20 +416,27 @@ class DstZoneSpec extends AnyFunSuite {
     }
   }
 
-  test("hll_distinct declines under a DST zone (no sound register clip)") {
+  test("hll_distinct composes under DST zones via per-key register intervals") {
     setup
-    // sanity: the distinct wheel DOES serve this shape under UTC…
+    // sanity: the distinct wheel serves this shape under UTC…
     val utcq = df.groupBy(date_trunc("day", col("ts")).as("b"))
       .agg(expr("hll_distinct(uid)").as("d"))
     assertRewritten(utcq)
-    // …and declines under a DST zone, where bucket keys are expression
-    // values rather than instants (no sound register clip range)
-    inZone("America/New_York") {
-      val q = df.groupBy(date_trunc("day", col("ts")).as("b"))
-        .agg(expr("hll_distinct(uid)").as("d"))
-      val opt = q.queryExecution.optimizedPlan
-      assert(opt.collect { case r: LogicalRelation => r }.nonEmpty,
-        s"hll under DST must fall back to the scan:\n$opt")
+    // …and now under DST zones too (previously a decline): the piecewise
+    // arm's hllReads enumeration supplies each evaluated bucket key's
+    // instant intervals, so register merges clip exactly — bit-equal to
+    // running the aggregate over the scan, transition days included
+    for (tz <- zones) inZone(tz) {
+      checkParity(
+        df.groupBy(date_trunc("day", col("ts")).as("b"))
+          .agg(expr("hll_distinct(uid)").as("d"), count(lit(1)).as("c"))
+          .orderBy("b"),
+        s"$tz / hll day group-by")
+      checkParity(
+        df.groupBy(date_trunc("hour", col("ts")).as("b"))
+          .agg(expr("hll_distinct(uid)").as("d"))
+          .orderBy("b"),
+        s"$tz / hll hour group-by")
     }
   }
 }

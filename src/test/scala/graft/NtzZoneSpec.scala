@@ -79,7 +79,7 @@ class NtzZoneSpec extends AnyFunSuite {
     }.toDF("ts", "value", "uid").write.mode("overwrite").parquet(path)
     assert(spark.read.parquet(path).schema("ts").dataType ===
       org.apache.spark.sql.types.TimestampNTZType)
-    UWheelBuilder("ts", Seq("value")).build(spark, path)
+    UWheelBuilder("ts", Seq("value")).withDistinctWheel("uid").build(spark, path)
   }
 
   def df: DataFrame = spark.read.parquet(path)
@@ -377,6 +377,26 @@ class NtzZoneSpec extends AnyFunSuite {
       }
     }
     assert(populated >= 20, s"only $populated/24 sweep cases had rows — data too sparse")
+  }
+
+  test("hll_distinct composes across transitions via per-key wall intervals") {
+    setup
+    // windows straddling a spring-forward: the gap hour's wall rows merge
+    // into the post-gap bucket, so that bucket's register read is a UNION
+    // of two wall intervals — must bit-equal running the aggregate
+    val wins = Seq(
+      ("America/New_York", "2024-03-09 12:00:00", "2024-03-10 12:00:00"),
+      ("Australia/Lord_Howe", "2024-10-05 12:00:00", "2024-10-06 12:00:00"),
+      ("America/Santiago", "2024-09-07 12:00:00", "2024-09-08 12:00:00"))
+    for ((tz, s, e) <- wins) inZone(tz) {
+      checkParity(
+        df.filter(col("ts") >= lit(s).cast("timestamp_ntz") &&
+            col("ts") < lit(e).cast("timestamp_ntz"))
+          .groupBy(date_trunc("hour", col("ts")).as("b"))
+          .agg(expr("hll_distinct(uid)").as("d"), count(lit(1)).as("c"))
+          .orderBy("b"),
+        s"$tz / hll hour across transition")
+    }
   }
 
   test("gap wall-times merge into the post-gap bucket, as the cast dictates") {
