@@ -724,15 +724,6 @@ object UWheelRule extends Rule[LogicalPlan] {
             b.wheel.slotSpan +: pv.map(_.wheel.slotSpan)
         }.toSet + enumWheel.wheel.slotSpan
         if (slotSpans.exists(sp => bucketSpan % sp != 0)) return None
-        // piecewise arms: per-key register intervals enumerated from the
-        // same wheel + bounds as the groups, so the key sets coincide; an
-        // HLL wheel's active seconds are a subset of the enum wheel's (it
-        // skips NULL-value rows), so interval gaps hold only identity
-        val hllReadMap: Map[Long, Seq[(Long, Long)]] =
-          if (needHll && arm.hllEndOf.isEmpty)
-            bounds.flatMap { case (s, e) => arm.hllReads.get(enumWheel.wheel, s, e) }
-              .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-          else Map.empty
         // Bucket map per wheel over the (disjoint) range set: a bucket
         // straddling two ranges (OR of two windows of one day, day buckets)
         // merges its per-range partials additively.
@@ -754,6 +745,17 @@ object UWheelRule extends Rule[LogicalPlan] {
         val groups = wheelGroups(enumWheel.wheel).toIndexedSeq.sortBy(_._1)
         val groupKeys = groups.map(_._1).toSet
         if (wheelGroups.values.exists(_.keySet != groupKeys)) return None
+        // piecewise arms: per-key register intervals enumerated from the
+        // same wheel + bounds as the groups (same walk, so the key sets
+        // coincide); an HLL wheel's active seconds are a subset of the
+        // enum wheel's (it skips NULL-value rows), so interval gaps hold
+        // only identity. Built AFTER the decline gates above — a declined
+        // rewrite must not pay the walk twice.
+        val hllReadMap: Map[Long, Seq[(Long, Long)]] =
+          if (needHll && arm.hllEndOf.isEmpty)
+            bounds.flatMap { case (s, e) => arm.hllReads.get(enumWheel.wheel, s, e) }
+              .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          else Map.empty
         // exact-distinct needs: per-value bucket counts + the counting proof
         // anchored on the unfiltered wheel's buckets (its key set already
         // passed the identical-keyset check above, via Src.numeric)
@@ -1416,8 +1418,9 @@ object UWheelRule extends Rule[LogicalPlan] {
     * instants of one local bucket share a truncated LOCAL time, and every
     * Spark truncation path maps (local, currentOffset) deterministically.
     * Coarsened wheels decline (fineSpan 1: transition edges are not
-    * slot-aligned) and hll_distinct declines (bucket keys are expression
-    * values, not instants — no sound register clip range). */
+    * slot-aligned); hll_distinct is served through [[BucketArm.hllReads]] —
+    * the same piece walk emits each block's (evaluated key, instant
+    * interval) so register merges clip per bucket without instant keys. */
   private def piecewiseArm(tz: String, ge: Expression, timeExpr: Expression,
       table: TableIndex,
       base: (HawWheel, Long, Long, Long) => IndexedSeq[(Long, RangeAgg)])
@@ -1446,12 +1449,18 @@ object UWheelRule extends Rule[LogicalPlan] {
         case _       => throw new DeclineRewrite
       }
     }
-    val fn = (hw: HawWheel, s: Long, e: Long) => {
+    // ONE piece walk feeds both the aggregate grouping and the hll
+    // register intervals. `base` does not expose block ends, so each
+    // block's interval extends to the NEXT block's start (or the piece
+    // end) — the uncovered stretch has no active slots on this wheel (it
+    // would otherwise be a block), and an HLL wheel's active seconds are a
+    // subset of the enum wheel's, so the extension merges only identity.
+    def walk(hw: HawWheel, s: Long, e: Long): Vector[(Long, RangeAgg, Long, Long)] = {
       val lo = math.max(s, hw.startSec)
       val hi = math.min(e, hw.endSec)
-      if (lo >= hi) Vector.empty[(Long, RangeAgg)]
+      if (lo >= hi) Vector.empty
       else {
-        val out = Vector.newBuilder[(Long, RangeAgg)]
+        val out = Vector.newBuilder[(Long, RangeAgg, Long, Long)]
         var cur = lo
         var n = 0
         while (cur < hi) {
@@ -1462,43 +1471,12 @@ object UWheelRule extends Rule[LogicalPlan] {
           val pe =
             if (t == null) hi
             else math.min(hi, math.max(cur + 1, t.getInstant.getEpochSecond))
-          out ++= base(hw, cur, pe, off).map { case (gs, ra) =>
-            (evalKey(math.max(gs, cur)), ra)
-          }
-          cur = pe
-          n += 1
-        }
-        out.result()
-      }
-    }
-    // hll register reads: the same piece walk, emitting each block's
-    // instant interval under its evaluated key. `base` does not expose
-    // block ends, so each block extends to the NEXT block's start (or the
-    // piece end) — the uncovered stretch has no active slots on this wheel
-    // (it would otherwise be a block), and an HLL wheel's active seconds
-    // are a subset of the enum wheel's, so the extension merges identity.
-    val reads = (hw: HawWheel, s: Long, e: Long) => {
-      val lo = math.max(s, hw.startSec)
-      val hi = math.min(e, hw.endSec)
-      if (lo >= hi) Vector.empty[(Long, (Long, Long))]
-      else {
-        val out = Vector.newBuilder[(Long, (Long, Long))]
-        var cur = lo
-        var n = 0
-        while (cur < hi) {
-          if (n > 512) throw new DeclineRewrite
-          val off = rules.getOffset(java.time.Instant.ofEpochSecond(cur))
-            .getTotalSeconds.toLong
-          val t = rules.nextTransition(java.time.Instant.ofEpochSecond(cur))
-          val pe =
-            if (t == null) hi
-            else math.min(hi, math.max(cur + 1, t.getInstant.getEpochSecond))
           val blocks = base(hw, cur, pe, off)
           for (j <- blocks.indices) {
-            val gs = blocks(j)._1
+            val (gs, ra) = blocks(j)
             val s0 = math.max(gs, cur)
             val e0 = if (j + 1 < blocks.length) math.min(blocks(j + 1)._1, pe) else pe
-            out += ((evalKey(s0), (s0, e0)))
+            out += ((evalKey(s0), ra, s0, e0))
           }
           cur = pe
           n += 1
@@ -1506,6 +1484,10 @@ object UWheelRule extends Rule[LogicalPlan] {
         out.result()
       }
     }
+    val fn = (hw: HawWheel, s: Long, e: Long) =>
+      walk(hw, s, e).map { case (k, ra, _, _) => (k, ra) }
+    val reads = (hw: HawWheel, s: Long, e: Long) =>
+      walk(hw, s, e).map { case (k, _, s0, e0) => (k, (s0, e0)) }
     Some(BucketArm(fn, keyLit, 1L, None, Some(reads)))
   }
 
@@ -1604,13 +1586,16 @@ object UWheelRule extends Rule[LogicalPlan] {
       case TimestampType => k => Literal(k, TimestampType)
       case _             => return None
     }
-    val fn = (hw: HawWheel, s: Long, e: Long) => {
+    // ONE piece walk feeds both the aggregate grouping and the hll
+    // register intervals (emitting key, agg, and the block-piece's wall
+    // interval together), so the two can never drift apart
+    def walk(hw: HawWheel, s: Long, e: Long): Vector[(Long, RangeAgg, Long, Long)] = {
       val lo = math.max(s, hw.startSec)
       val hi = math.min(e, hw.endSec)
-      if (lo >= hi) Vector.empty[(Long, RangeAgg)]
+      if (lo >= hi) Vector.empty
       else {
         val bounds = Vector(lo) ++ transitionWallCuts(rules, lo, hi) :+ hi
-        val out = Vector.newBuilder[(Long, RangeAgg)]
+        val out = Vector.newBuilder[(Long, RangeAgg, Long, Long)]
         for (i <- 0 until bounds.length - 1) {
           val (ps, pe) = (bounds(i), bounds(i + 1))
           out ++= base(hw, ps, pe).map { case (gs, ra) =>
@@ -1619,33 +1604,16 @@ object UWheelRule extends Rule[LogicalPlan] {
             val k = evalNtzKey(ge, ntzExpr, s0)
             if (e0 - 1 > s0 && evalNtzKey(ge, ntzExpr, e0 - 1) != k)
               throw new DeclineRewrite
-            (k, ra)
+            (k, ra, s0, e0)
           }
         }
         out.result()
       }
     }
-    // hll register reads: the same piece walk, emitting each block-piece's
-    // wall interval under its evaluated key (keys deterministic, so they
-    // coincide with fn's verified enumeration on the same wheel)
-    val reads = (hw: HawWheel, s: Long, e: Long) => {
-      val lo = math.max(s, hw.startSec)
-      val hi = math.min(e, hw.endSec)
-      if (lo >= hi) Vector.empty[(Long, (Long, Long))]
-      else {
-        val bounds = Vector(lo) ++ transitionWallCuts(rules, lo, hi) :+ hi
-        val out = Vector.newBuilder[(Long, (Long, Long))]
-        for (i <- 0 until bounds.length - 1) {
-          val (ps, pe) = (bounds(i), bounds(i + 1))
-          out ++= base(hw, ps, pe).map { case (gs, _) =>
-            val s0 = math.max(gs, ps)
-            val e0 = math.min(blockEnd(gs), pe)
-            (evalNtzKey(ge, ntzExpr, s0), (s0, e0))
-          }
-        }
-        out.result()
-      }
-    }
+    val fn = (hw: HawWheel, s: Long, e: Long) =>
+      walk(hw, s, e).map { case (k, ra, _, _) => (k, ra) }
+    val reads = (hw: HawWheel, s: Long, e: Long) =>
+      walk(hw, s, e).map { case (k, _, s0, e0) => (k, (s0, e0)) }
     Some(BucketArm(fn, keyLit, 1L, None, Some(reads)))
   }
 
@@ -1823,11 +1791,14 @@ object UWheelRule extends Rule[LogicalPlan] {
         // IN lists (and the optimizer's InSet form): union of equality
         // preimages. A NULL member declines (instLit is None), which is
         // safe — the conjunct just stays residual.
-        case In(x, elems) if elems.nonEmpty =>
+        // capped at 64 members like the sibling union paths: each member
+        // costs per-piece bisection evals, and an unbounded list would let
+        // one query stall the optimizer
+        case In(x, elems) if elems.nonEmpty && elems.length <= 64 =>
           val lits = elems.map(instLit)
           if (lits.forall(_.isDefined)) tryIn(x, lits.flatten) else None
         case InSet(x, hset)
-            if x.dataType == TimestampType && hset.nonEmpty &&
+            if x.dataType == TimestampType && hset.nonEmpty && hset.size <= 64 &&
               hset.forall(_.isInstanceOf[Long]) =>
           tryIn(x, hset.toSeq.map(_.asInstanceOf[Long]))
         case _ => None

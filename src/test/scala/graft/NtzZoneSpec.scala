@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.index.UWheelBuilder
+import graft.index.{IndexBuilder, UWheelBuilder}
 
 /** NTZ-column group-bys under NON-UTC sessions
   * (`UWheelRule.ntzPiecewiseArm`): `date_trunc(unit, ntzCol)` analyzes to
@@ -75,11 +75,17 @@ class NtzZoneSpec extends AnyFunSuite {
     val secs = (backbone ++ dense).distinct.sorted
     secs.zipWithIndex.map { case (s, i) =>
       (java.time.LocalDateTime.ofEpochSecond(s, 0, java.time.ZoneOffset.UTC),
-        (i % 89) / 4.0, (i % 53).toLong)
-    }.toDF("ts", "value", "uid").write.mode("overwrite").parquet(path)
+        (i % 89) / 4.0, (i % 53).toLong, Seq("a", "b", "c")(i % 3))
+    }.toDF("ts", "value", "uid", "etype").write.mode("overwrite").parquet(path)
     assert(spark.read.parquet(path).schema("ts").dataType ===
       org.apache.spark.sql.types.TimestampNTZType)
-    UWheelBuilder("ts", Seq("value")).withDistinctWheel("uid").build(spark, path)
+    // per-value keyed wheels (numeric + distinct) for the COMPLETE etype
+    // set: the bucket x key arm and its hll routing need them
+    Seq("a", "b", "c").foldLeft(
+        UWheelBuilder("ts", Seq("value")).withDistinctWheel("uid")) { (b, et) =>
+      b.withKeyedWheel(IndexBuilder("value", Some(s"etype = '$et'")))
+        .withKeyedDistinctWheel("uid", s"etype = '$et'")
+    }.build(spark, path)
   }
 
   def df: DataFrame = spark.read.parquet(path)
@@ -396,6 +402,26 @@ class NtzZoneSpec extends AnyFunSuite {
           .agg(expr("hll_distinct(uid)").as("d"), count(lit(1)).as("c"))
           .orderBy("b"),
         s"$tz / hll hour across transition")
+    }
+  }
+
+  test("bucket x key hll_distinct composes across transitions") {
+    setup
+    // the 2-column arm routes hll to per-value KEYED distinct wheels; its
+    // piecewise register intervals come from the base wheel's walk, so a
+    // gap-merged bucket's per-value distincts must also bit-equal the scan
+    val wins = Seq(
+      ("America/New_York", "2024-03-09 12:00:00", "2024-03-10 12:00:00", "hour"),
+      ("Australia/Lord_Howe", "2024-10-05 12:00:00", "2024-10-06 12:00:00", "hour"),
+      ("America/Santiago", "2024-09-07 00:00:00", "2024-09-09 00:00:00", "day"))
+    for ((tz, s, e, unit) <- wins) inZone(tz) {
+      checkParity(
+        df.filter(col("ts") >= lit(s).cast("timestamp_ntz") &&
+            col("ts") < lit(e).cast("timestamp_ntz"))
+          .groupBy(date_trunc(unit, col("ts")).as("b"), col("etype"))
+          .agg(expr("hll_distinct(uid)").as("d"), count(lit(1)).as("c"))
+          .orderBy("b", "etype"),
+        s"$tz / hll $unit x etype across transition")
     }
   }
 
