@@ -156,6 +156,10 @@ object Bench {
       try { b; probes(name) = (System.nanoTime() - t) / 1e9 }
       catch { case _: Throwable => probes(name) = -1.0 }
     }
+    // (numeric − numeric_nomillis) prices the ms bottom-level scan;
+    // (events − numeric) prices the fused HLL register columns
+    probe("index_build_events_numeric_nomillis")(
+      Q.buildEvents(spark, sfDir, withDistinct = false, withMillis = false))
     probe("index_build_events_numeric")(Q.buildEvents(spark, sfDir, withDistinct = false))
     probe("index_build_events")(Q.buildEvents(spark, sfDir))
     probe("index_build_lineitem")(Q.buildLineitem(spark, sfDir))

@@ -144,8 +144,26 @@ final class TableIndex(
   // serialization default) — reads guard on that; such an index simply has
   // no distinct wheels.
   private val distinct = new ConcurrentHashMap[(String, String), DistinctIndexedWheel]()
+  // MILLISECOND-domain wheels by measure column (None = row count): their
+  // HawWheel ticks are epoch MILLISECONDS, not seconds — only the
+  // sub-second window arm may read them, with ms-scaled bounds. Unfiltered
+  // and never coarsened, so no filterKey/span dimension. Null after
+  // deserializing an index persisted before the field existed (Java
+  // default) — reads guard on that; such an index simply has no ms wheels.
+  private val millis = new ConcurrentHashMap[Option[String], IndexedWheel]()
 
   def put(w: IndexedWheel): Unit = wheels.put((w.valueColumn, w.filterKey), w)
+  def putMs(w: IndexedWheel): Unit = millis.put(w.valueColumn, w)
+  /** Millisecond bottom-level wheel for a measure column (None = the count
+    * wheel). Remember: the returned wheel's tick unit is the MILLISECOND. */
+  def msWheel(col: Option[String]): Option[IndexedWheel] =
+    Option(millis).flatMap(m => Option(m.get(col)))
+  /** Any ms wheel (every one covers the same unfiltered rows, so any one's
+    * count enumerates buckets). */
+  def anyMsWheel: Option[IndexedWheel] =
+    msWheel(None).orElse(allMsWheels.headOption)
+  def allMsWheels: Seq[IndexedWheel] =
+    Option(millis).map(_.asScala.values.toSeq).getOrElse(Nil)
   def putDistinct(d0: DistinctIndexedWheel): Unit = {
     // normalize fields a pre-keyed-era serialized wheel defaults to null
     val d = if (d0.filterKey == null)
@@ -174,7 +192,8 @@ final class TableIndex(
     * (≈ 10 B per low-traffic second), with 2^p bytes per slot only once a
     * slot's distinct count earns a dense representation. */
   def indexUsageBytes: Long =
-    wheels.asScala.values.map(_.wheel).toList.distinct.map(_.sizeBytes).sum +
+    (wheels.asScala.values.map(_.wheel).toList ++ allMsWheels.map(_.wheel))
+      .distinct.map(_.sizeBytes).sum +
       allDistinctWheels.map(_.wheel.measuredBytes).sum
 }
 
@@ -283,7 +302,8 @@ final case class UWheelBuilder(
     packLevels: Boolean = false,
     distinctColumns: Seq[String] = Nil,
     hllPrecision: Int = 11,
-    keyedDistinctWheels: Seq[(String, String)] = Nil) {
+    keyedDistinctWheels: Seq[(String, String)] = Nil,
+    millisColumns: Option[Seq[String]] = None) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
@@ -339,6 +359,21 @@ final case class UWheelBuilder(
       "all distinct wheels of one build share a precision")
   }
 
+  /** Adds MILLISECOND bottom-level wheels (count + one per listed measure
+    * column), so sub-second `GROUP BY window(ts, …)` shapes — `window(ts,
+    * '1 second', '500 milliseconds')` on an ops dashboard — rewrite to O(1)
+    * per-bucket reads instead of paying the scan's Expand multiplication.
+    * The wheels are ordinary [[graft.wheel.HawWheel]]s whose tick unit is
+    * the epoch millisecond (the wheel's integer arithmetic is unit-blind),
+    * unfiltered and never slot-coarsened. Costs ONE extra build scan
+    * grouped by millisecond — deliberately not fused into the per-second
+    * scan, whose shuffle cardinality (∝ active seconds) is the 100 TB
+    * design point; opting in bounds the extra shuffle by active
+    * MILLISECONDS instead (≤ row count), which is the honest price of
+    * sub-second slots and the reason they are opt-in. */
+  def withMillisWheels(cols: String*): UWheelBuilder =
+    copy(millisColumns = Some(cols.toSeq))
+
   /** Stores every value wheel's min/max hierarchy as codec-compressed
     * blocks — the remaining memory lever AFTER slot-span coarsening for
     * always-active multi-year tables. Lossless: rewritten answers stay
@@ -388,6 +423,28 @@ object UWheelIndex {
           s"""CAST(datediff(CAST(`$timeColumn` AS DATE), DATE '1970-01-01') AS BIGINT) * 86400
              | + hour(`$timeColumn`) * 3600 + minute(`$timeColumn`) * 60 + second(`$timeColumn`)""".stripMargin)
       case _ => F.col(timeColumn).cast("long")
+    }
+
+  /** Epoch-MILLISECOND slot of the time column — the sub-second twin of
+    * [[secExprOf]] for the optional millisecond bottom-level wheels
+    * ([[UWheelBuilder.withMillisWheels]]). Floors toward −∞ everywhere
+    * (pmod-subtract before `div`, since Spark's `div` truncates toward
+    * zero and would misalign pre-1970 instants). NTZ stays zone-free:
+    * `extract(SECOND)` carries the fractional seconds as DECIMAL(8,6), so
+    * `sec*1000 + msOfSecond` never consults the session zone. */
+  private[graft] def msExprOf(df: DataFrame, timeColumn: String): Column =
+    df.schema(timeColumn).dataType match {
+      case org.apache.spark.sql.types.LongType => // raw nanoseconds
+        F.expr(s"(`$timeColumn` - pmod(`$timeColumn`, 1000000)) div 1000000")
+      case org.apache.spark.sql.types.DateType =>
+        F.expr(s"CAST(unix_date(`$timeColumn`) AS BIGINT) * 86400000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        F.expr(
+          s"""CAST(datediff(CAST(`$timeColumn` AS DATE), DATE '1970-01-01') AS BIGINT) * 86400000
+             | + hour(`$timeColumn`) * 3600000 + minute(`$timeColumn`) * 60000
+             | + CAST(extract(SECOND FROM `$timeColumn`) * 1000 AS BIGINT)""".stripMargin)
+      case _ =>
+        F.expr(s"(unix_micros(`$timeColumn`) - pmod(unix_micros(`$timeColumn`), 1000)) div 1000")
     }
 
   /** One wheel to build: which column (None = row count), under which
@@ -441,8 +498,15 @@ object UWheelIndex {
       /** HLL distinct-sketch wheels — fused into the SAME scan as
         * register-array aggregate columns, so requesting distinct wheels
         * costs zero extra passes over the table. */
-      distinctSpecs: Seq[DistinctSpec] = Nil): (Seq[BuiltWheel], Seq[DistinctIndexedWheel]) = {
+      distinctSpecs: Seq[DistinctSpec] = Nil,
+      /** Overrides the group key (the wheel's tick domain): the millisecond
+        * wheel build passes [[msExprOf]] here so the same fused-aggregate
+        * machinery produces per-MILLISECOND partials. Specs must then carry
+        * no timeRangeSec (coverage filters are second-domain). */
+      slotExprOverride: Option[Column] = None): (Seq[BuiltWheel], Seq[DistinctIndexedWheel]) = {
     require(specs.nonEmpty)
+    require(slotExprOverride.isEmpty || specs.forall(_.timeRangeSec.isEmpty),
+      "coverage-restricted specs are second-domain and cannot ride an overridden slot expression")
     val secExpr = secExprOf(df, timeColumn)
     // Per-ROW work is projected ONCE per distinct (valueColumn, scale) pair
     // and shared across specs: six keyed wheels over the same measure
@@ -541,9 +605,9 @@ object UWheelIndex {
     // Coarse builds align the shuffle key itself, so the per-second → per-slot
     // reduction happens map-side too (pmod keeps pre-1970 seconds aligned
     // down, where `div` would truncate toward zero).
-    val slotExpr =
+    val slotExpr = slotExprOverride.getOrElse(
       if (slotSpan == 1L) secExpr
-      else secExpr - F.pmod(secExpr, F.lit(slotSpan))
+      else secExpr - F.pmod(secExpr, F.lit(slotSpan)))
     val hllPs = distinctSpecs.map(_.p).toArray
     // widen, don't replace: filters/secExpr/distinct columns still resolve
     // by name against the original schema
@@ -680,8 +744,26 @@ object UWheelIndex {
     t.put(countBuilt.wheel)
     (colBuilt ++ rest.take(keyedSpecs.length)).foreach(bw => t.put(bw.wheel))
     builtDistinct.foreach(t.putDistinct)
+    conf.millisColumns.foreach(cols => buildMsWheels(df, t, cols.map(c => (c, scaleFor(c)))))
     WheelRegistry.register(t)
     t
+  }
+
+  /** Millisecond bottom-level wheels: ONE extra scan grouped by
+    * [[msExprOf]], reusing the fused-aggregate machinery. The count wheel
+    * shares the first measure wheel's HawWheel (unfiltered — identical
+    * per-ms counts) or gets its own spec when no measures are listed.
+    * Shared by the fresh build and [[refresh]]. */
+  private def buildMsWheels(df: DataFrame, t: TableIndex,
+      cols: Seq[(String, Int)]): Unit = {
+    val msSpecs =
+      if (cols.isEmpty) Seq(WheelSpec(None, None, "", None, 2))
+      else cols.map { case (c, sc) => WheelSpec(Some(c), None, "", None, sc) }
+    val (msBuilt, _) = buildWheels(df, t.timeColumn, msSpecs,
+      slotExprOverride = Some(msExprOf(df, t.timeColumn)))
+    msBuilt.foreach(bw => t.putMs(bw.wheel))
+    if (cols.nonEmpty)
+      t.putMs(IndexedWheel(msBuilt.head.wheel.wheel, None, "", valueAllNonNull = true))
   }
 
   /** Finest allowed span ≥ `floor` (an explicit span is a floor — a budget
@@ -920,6 +1002,32 @@ object UWheelIndex {
       // bounds are also fine-aligned along the AllowedSlotSpans chain)
       nt.putDistinct(d.copy(wheel = merged,
         slotSpan = if (appendOnly) math.max(d.span, span) else f.span))
+    }
+    // Millisecond bottom-level wheels ride the same delta-vs-rebuild
+    // decision through one extra scan grouped by millisecond (their tick
+    // domain — the per-second delta scan cannot produce ms partials).
+    // Always reconstructible: ms wheels are unfiltered by construction.
+    // Slot budgets never apply to them (slots stay 1 ms), so the merge is
+    // a plain slot-wise fold, bit-identical to a rebuild on append-only
+    // growth like every other wheel family here.
+    val oldMs = t.allMsWheels
+    if (oldMs.nonEmpty) {
+      val ordered = oldMs.sortBy(_.valueColumn)
+      val msSpecs = ordered.map(w => WheelSpec(w.valueColumn, None, "", None, w.wheel.scale))
+      val (msBuilt, _) = buildWheels(scanDf, t.timeColumn, msSpecs,
+        slotExprOverride = Some(msExprOf(scanDf, t.timeColumn)))
+      ordered.zip(msBuilt).foreach { case (o, f) =>
+        val merged =
+          if (!appendOnly) f.wheel
+          else o.copy(
+            wheel = HawWheel.fromSecondPartials(
+              o.wheel.slotPartials ++ f.wheel.wheel.slotPartials,
+              o.wheel.scale, o.wheel.hasValues, 1L, packLevels = false),
+            valueAllNonNull = o.valueAllNonNull && f.wheel.valueAllNonNull,
+            valuesExactAtScale = o.valuesExactAtScale && f.wheel.valuesExactAtScale,
+            valuesNaNFree = o.valuesNaNFree && f.wheel.valuesNaNFree)
+        nt.putMs(merged)
+      }
     }
     WheelRegistry.register(nt)
     if (appendOnly) RefreshOutcome.Appended(newPaths.length) else RefreshOutcome.Rebuilt

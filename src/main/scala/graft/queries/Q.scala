@@ -73,7 +73,8 @@ object Q {
     * `withDistinct = false` is the bench's attribution probe: the same
     * build minus the sketch wheels, so (full − numeric) prices the HLL
     * register columns line-item. */
-  def buildEvents(spark: SparkSession, sfDir: String, withDistinct: Boolean = true): Unit = {
+  def buildEvents(spark: SparkSession, sfDir: String, withDistinct: Boolean = true,
+      withMillis: Boolean = true): Unit = {
     val eventTypes = Seq("click", "error", "purchase", "signup", "view")
     val numeric = eventTypes
       .foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
@@ -88,7 +89,12 @@ object Q {
           b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
         }
       else numeric
-    conf.build(spark, s"$sfDir/events.parquet")
+    // millisecond bottom level: sub-second window() group-bys
+    // (uw_window_subsec/uw_window_ms) rewrite instead of paying the
+    // scan's Expand — one extra build scan grouped by ms, opt-in.
+    // `withMillis = false` is the bench's attribution probe for that scan.
+    val conf2 = if (withMillis) conf.withMillisWheels("value") else conf
+    conf2.build(spark, s"$sfDir/events.parquet")
   }
 
   /** lineitem: second indexed table (multi-year NTZ time span, so calendar

@@ -434,8 +434,37 @@ object UWheelRule extends Rule[LogicalPlan] {
     if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
     val residual = Extract.dropImpliedNotNull(residualRaw)
     val filterKey = Canon.canonFilterKey(residual)
+    // Sub-second `window(ts, …)` group-bys switch the WHOLE rewrite into
+    // the MILLISECOND domain: sources resolve from the table's ms
+    // bottom-level wheels (HawWheel ticks = epoch ms,
+    // UWheelBuilder.withMillisWheels), range bounds scale by 1000, and the
+    // window arm divides µs by 1000 instead of 1e6. Shapes with no ms twin
+    // — hll sketches, per-value keyed wheels (exact distinct, IN-unions),
+    // residual-filtered wheels — decline inside the arms/sources below.
+    // Sub-MILLISECOND strides still decline (the arm's usPerTick gate):
+    // the ms level is the bottom.
+    val msMode: Boolean = {
+      def subsec(stride: Long, off: Long, member: Long): Boolean =
+        (stride % 1000000L != 0 || off % 1000000L != 0 || member % 1000000L != 0) &&
+          stride % 1000L == 0 && off % 1000L == 0 && member % 1000L == 0
+      sliding match {
+        case Some((_, t0, strideUs, offUs, lenUs)) =>
+          isTime(t0, table.timeColumn) && subsec(strideUs, offUs, lenUs)
+        case None => agg.groupingExpressions match {
+          case Seq(g0) => resolve(g0, uw.aliases) match {
+            case WindowStruct(t, slideUs, offUs, 0L, lenUs) if slideUs == lenUs =>
+              isTime(t, table.timeColumn) && subsec(slideUs, offUs, slideUs)
+            case _ => false
+          }
+          case _ => false
+        }
+      }
+    }
+    val usPerTick = if (msMode) 1000L else 1000000L
+    val tickPerSec = if (msMode) 1000L else 1L
     val bounds: Seq[(Long, Long)] = ranges.map(r =>
-      (r.startSec.getOrElse(LoSentinel), r.endSec.getOrElse(HiSentinel)))
+      (r.startSec.map(_ * tickPerSec).getOrElse(LoSentinel),
+        r.endSec.map(_ * tickPerSec).getOrElse(HiSentinel)))
 
     def coverageOk(w: IndexedWheel): Boolean = w.coverage match {
       case None => true
@@ -461,10 +490,19 @@ object UWheelRule extends Rule[LogicalPlan] {
         RangeAgg(0L, 0L, Double.PositiveInfinity, Double.NegativeInfinity, hw.scale)
       else bounds.map { case (s, e) => hw.range(s, e) }.reduce(_.merge(_))
 
+    // msMode source lookup: ms wheels are unfiltered by construction, so a
+    // residual filter key has no ms twin and declines here.
+    def msBase(col: Option[String]): Option[IndexedWheel] =
+      if (filterKey.nonEmpty) None
+      else col match {
+        case None => table.anyMsWheel
+        case c    => table.msWheel(c)
+      }
+
     def wheelFor(n: Need): Option[IndexedWheel] = (n.column match {
-      case None => table.anyForFilter(filterKey)
+      case None => if (msMode) msBase(None) else table.anyForFilter(filterKey)
       case Some(c) =>
-        table.get(Some(c), filterKey)
+        (if (msMode) msBase(Some(c)) else table.get(Some(c), filterKey))
           .filter(_.valueAllNonNull)
           .filter(w => n.decScale.forall(_ == w.wheel.scale))
           // Plain SUM/AVG over doubles are only exact when every value is
@@ -493,6 +531,9 @@ object UWheelRule extends Rule[LogicalPlan] {
       // different registers ⇒ a different estimate than running the query
       // would give).
       case "hll" =>
+        // ms domain has no register wheels — second-domain registers read
+        // with ms bounds would be garbage, so the gate is structural
+        if (msMode) return None
         n.column.flatMap(c => table.distinctWheel(c, filterKey))
           .filter(_.p == n.hllP)
           // span-coarsened builds produce span-aligned register slots: an
@@ -512,7 +553,7 @@ object UWheelRule extends Rule[LogicalPlan] {
       // exactly the condition under which a NULL key or an uncovered value
       // would make the enumeration-based count wrong.
       case "cntdist" =>
-        if (filterKey.nonEmpty) None
+        if (filterKey.nonEmpty || msMode) None // per-value wheels are second-domain
         else for {
           c <- n.column
           (keyed, values) = keyedWheelSet(table, c)
@@ -561,7 +602,8 @@ object UWheelRule extends Rule[LogicalPlan] {
       * wheel must pass the same value-quality/coverage/span gates as
       * [[wheelFor]]. Bounded at 64 values (oversized lists decline). */
     def unionWheelsFor(n: Need): Option[Seq[IndexedWheel]] =
-      residualInVals.flatMap { case (col, lits) =>
+      if (msMode) None // per-value keyed wheels are second-domain
+      else residualInVals.flatMap { case (col, lits) =>
         val dedup = lits.map(l => (l.dataType, l.value)).distinct
         if (dedup.isEmpty || dedup.size > 64) None
         else {
@@ -696,7 +738,16 @@ object UWheelRule extends Rule[LogicalPlan] {
             // window over a different timestamp column would be answered
             // from wheels keyed on the indexed one)
             if (!isTime(t0, table.timeColumn)) None
-            else windowBucketArm(ge.dataType, strideUs, offUs, lenUs, lenUs)
+            else windowBucketArm(ge.dataType, strideUs, offUs, lenUs, lenUs, usPerTick)
+          case None if msMode => ge match {
+            // sub-second TUMBLING window: served straight from the ms arm
+            // (timeBucketArm is second-domain by construction and would
+            // decline; msMode already verified this exact shape)
+            case WindowStruct(t, slideUs, offUs, 0L, lenUs)
+                if isTime(t, table.timeColumn) && slideUs == lenUs =>
+              windowBucketArm(ge.dataType, slideUs, offUs, slideUs, lenUs, usPerTick)
+            case _ => None
+          }
           case None => timeBucketArm(ge, table)
         }).getOrElse(return None)
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
@@ -712,7 +763,8 @@ object UWheelRule extends Rule[LogicalPlan] {
         // may under-enumerate the groups COUNT(*) would produce).
         val enumWheel: IndexedWheel =
           nds.values.collectFirst { case (_, NumSrc(w)) => w }
-            .orElse(table.anyForFilter(filterKey).filter(coverageOk).filter(spanOk))
+            .orElse((if (msMode) msBase(None) else table.anyForFilter(filterKey))
+              .filter(coverageOk).filter(spanOk))
             .getOrElse(return None)
         // coarsened wheels can only serve buckets their slots tile exactly
         // (incl. coarsened HLL wheels — bucket boundaries must be
@@ -1056,21 +1108,25 @@ object UWheelRule extends Rule[LogicalPlan] {
     * the overlap factor — the wheel's signature win over the scan, which
     * pays an Expand row-multiplication of the whole input. */
   private def windowBucketArm(dt: DataType, strideUs: Long, offUs: Long,
-      memberUs: Long, lenUs: Long): Option[BucketArm] = {
+      memberUs: Long, lenUs: Long,
+      /** µs per wheel tick: 1e6 for the second-domain wheels, 1000 when the
+        * caller is in msMode and every read goes to a MILLISECOND
+        * bottom-level wheel ([[graft.index.UWheelBuilder.withMillisWheels]]).
+        * Bounds and bucket handles below are then epoch ms throughout; only
+        * `keyLit` converts back to the struct's µs fields. */
+      usPerTick: Long = 1000000L): Option[BucketArm] = {
     if (strideUs <= 0 || memberUs <= 0 || lenUs <= 0) return None
-    // Wheel slots are second-granular (like the reference's,
-    // `datafusion-uwheel/src/lib.rs` builds per-second), so sub-second
-    // strides/offsets decline — a DOCUMENTED refusal (round-7 verdict
-    // task 4, benched as `uw_window_subsec`): an ms bottom level would
-    // re-plumb every seconds-based span/alignment/coverage gate in this
-    // rule (and the build's fused per-second scan) for a grouping shape
-    // rarely used at the 100 TB scale the wheel targets; the scan pays
-    // the Expand multiplication instead, correctness unchanged.
-    if (strideUs % 1000000L != 0 || offUs % 1000000L != 0 ||
-        memberUs % 1000000L != 0) return None
-    val ss = strideUs / 1000000L
-    val ms = memberUs / 1000000L
-    val os = Math.floorMod(offUs / 1000000L, ss)
+    // Parameters finer than the wheel's tick decline: seconds are the
+    // default bottom level (like the reference's — `datafusion-uwheel/src/
+    // lib.rs` builds per-second); tables built withMillisWheels serve
+    // whole-ms parameters through usPerTick = 1000, and sub-MILLISECOND
+    // strides still decline to the scan (the ms level is the bottom —
+    // µs slots would cost a slot per row at any realistic event rate).
+    if (strideUs % usPerTick != 0 || offUs % usPerTick != 0 ||
+        memberUs % usPerTick != 0) return None
+    val ss = strideUs / usPerTick
+    val ms = memberUs / usPerTick
+    val os = Math.floorMod(offUs / usPerTick, ss)
     val fn = (hw: HawWheel, qs: Long, qe: Long) => {
       // enumerate buckets whose member range intersects the wheel-clamped
       // query range; clip each read to the QUERY bounds (disjoint per
@@ -1099,7 +1155,7 @@ object UWheelRule extends Rule[LogicalPlan] {
       }
     }
     val keyLit = (b: Long) => Literal(
-      new GenericInternalRow(Array[Any](b * 1000000L, b * 1000000L + lenUs)), dt)
+      new GenericInternalRow(Array[Any](b * usPerTick, b * usPerTick + lenUs)), dt)
     // fine span from the epoch-anchored levels only: the WEEK level is
     // Monday-anchored, so its slots never tile epoch-anchored windows.
     // The MEMBER length divides too: a non-exact cover (ms not a multiple
