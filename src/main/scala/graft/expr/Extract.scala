@@ -42,10 +42,12 @@ object Canon {
 }
 
 /** Extracted second-aligned time range (reference `WheelRange`,
-  * `expr.rs:37-57`). `startSec`/`endSec` are epoch seconds; None = unbounded
+  * `expr.rs:37-57`). `startSec`/`endSec` are epoch TICKS — seconds under
+  * the default extraction tick, epoch MILLISECONDS when extracted for the
+  * ms bottom-level wheels (`splitTimeRange`'s `tickUs`); None = unbounded
   * on that side. `exact` is false when a bound had to be rounded outward
-  * (sub-second literal or `>`/`<=` operator) — exact rewrites require
-  * `exact`; emptiness pruning (R6/R7) only needs the conservative superset. */
+  * (a sub-tick literal) — exact rewrites require `exact`; emptiness
+  * pruning (R6/R7) only needs the conservative superset. */
 final case class SecRange(startSec: Option[Long], endSec: Option[Long], exact: Boolean) {
   def isBounded: Boolean = startSec.isDefined || endSec.isDefined
 }
@@ -399,7 +401,12 @@ object Extract {
     * `c` is dropped, since Spark's InferFiltersFromConstraints adds those
     * after the index was keyed on the user's original filter. */
   def splitTimeRange(conjuncts: Seq[Expression], timeCol: String,
-      zoneSpec: String => Option[ZoneSpec] = _ => None): (SecRange, Seq[Expression]) = {
+      zoneSpec: String => Option[ZoneSpec] = _ => None,
+      /** µs per output tick: 1e6 (default) yields epoch-second ranges; 1000
+        * yields epoch-MILLISECOND ranges for the ms bottom-level wheels —
+        * bounds are accumulated in µs regardless, only the final outward
+        * rounding (and its exactness marking) changes. */
+      tickUs: Long = MicrosPerSec): (SecRange, Seq[Expression]) = {
     var lo: Option[Long] = None // micros, inclusive
     var hi: Option[Long] = None // micros, exclusive
     var exact = true
@@ -734,16 +741,27 @@ object Extract {
         mergeHi(litMicros(l).get)
       case GreaterThan(l, t) if isTime(t, timeCol) && litMicros(l).isDefined =>
         mergeHi(litMicros(l).get)
+      // Strict / closed-upper operators are EXACT at µs granularity: every
+      // time expression here evaluates to integral epoch MICROSECONDS
+      // (Spark's timestamp precision), so `ts > a` ⇔ `ts >= a + 1µs` and
+      // `ts <= b` ⇔ `ts < b + 1µs` over exactly the same row set. The
+      // final tick rounding below still marks the RANGE inexact unless the
+      // shifted bound lands tick-aligned — e.g. `ts > '…23:59:59.999999'`
+      // is now the exact second-aligned range [next-second, ∞). (The +1
+      // guard only degrades the pathological Long.MaxValue-µs literal to
+      // the old outward-rounded superset.)
       case GreaterThan(t, l) if isTime(t, timeCol) && litMicros(l).isDefined =>
-        // ts > a: rows in (a, ∞) — not slot-exact; superset [a, ∞)
-        mergeLo(litMicros(l).get); exact = false
+        val us = litMicros(l).get
+        if (us < Long.MaxValue) mergeLo(us + 1) else { mergeLo(us); exact = false }
       case LessThan(l, t) if isTime(t, timeCol) && litMicros(l).isDefined =>
-        mergeLo(litMicros(l).get); exact = false
+        val us = litMicros(l).get
+        if (us < Long.MaxValue) mergeLo(us + 1) else { mergeLo(us); exact = false }
       case LessThanOrEqual(t, l) if isTime(t, timeCol) && litMicros(l).isDefined =>
-        // ts <= b: superset [-∞, b + 1µs)
-        mergeHi(litMicros(l).get + 1); exact = false
+        val us = litMicros(l).get
+        if (us < Long.MaxValue) mergeHi(us + 1) else exact = false
       case GreaterThanOrEqual(l, t) if isTime(t, timeCol) && litMicros(l).isDefined =>
-        mergeHi(litMicros(l).get + 1); exact = false
+        val us = litMicros(l).get
+        if (us < Long.MaxValue) mergeHi(us + 1) else exact = false
       case IsNotNull(a: AttributeReference) if a.name == timeCol =>
         () // the time column itself (incl. its raw underlying column in
            // derived-time tables) — implied by any time bound; harmless to
@@ -761,14 +779,15 @@ object Extract {
       case other => residual += other
     }
 
-    // seconds, rounding outward; track whether rounding changed anything
+    // ticks (seconds by default, ms for the ms-wheel path), rounding
+    // outward; track whether rounding changed anything
     val loSec = lo.map { us =>
-      if (us % MicrosPerSec != 0) exact = false
-      Math.floorDiv(us, MicrosPerSec)
+      if (us % tickUs != 0) exact = false
+      Math.floorDiv(us, tickUs)
     }
     val hiSec = hi.map { us =>
-      if (us % MicrosPerSec != 0) { exact = false; Math.floorDiv(us, MicrosPerSec) + 1 }
-      else Math.floorDiv(us, MicrosPerSec)
+      if (us % tickUs != 0) { exact = false; Math.floorDiv(us, tickUs) + 1 }
+      else Math.floorDiv(us, tickUs)
     }
     (SecRange(loSec, hiSec, exact), residual.result())
   }
@@ -828,9 +847,10 @@ object Extract {
     * emptiness (every disjunct contradicted the conjunctive bounds); a
     * lone unbounded range means no time constraint, as before. */
   def splitTimeRangeSet(conjuncts: Seq[Expression], timeCol: String,
-      zoneSpec: String => Option[ZoneSpec] = _ => None): (Seq[SecRange], Seq[Expression]) = {
+      zoneSpec: String => Option[ZoneSpec] = _ => None,
+      tickUs: Long = MicrosPerSec): (Seq[SecRange], Seq[Expression]) = {
     def rangeOfPureTime(conjs: Seq[Expression]): Option[SecRange] = {
-      val (r, resid) = splitTimeRange(conjs, timeCol, zoneSpec)
+      val (r, resid) = splitTimeRange(conjs, timeCol, zoneSpec, tickUs)
       if (resid.isEmpty && r.isBounded) Some(r) else None
     }
     def disjunctRanges(e: Expression): Option[Seq[SecRange]] = e match {
@@ -855,7 +875,7 @@ object Extract {
         case None           => rest += c
       } else rest += c
     }
-    val (base, residual) = splitTimeRange(rest.result(), timeCol, zoneSpec)
+    val (base, residual) = splitTimeRange(rest.result(), timeCol, zoneSpec, tickUs)
     union match {
       case None     => (Seq(base), residual)
       case Some(rs) => (normalizeRanges(rs.flatMap(intersectRanges(_, base))), residual)

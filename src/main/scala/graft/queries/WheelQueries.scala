@@ -276,6 +276,16 @@ object WheelQueries {
          |       min(value) AS mn, max(value) AS mx
          |FROM events WHERE $range
          |GROUP BY window(ts, '1 second', '500 milliseconds') ORDER BY 1""".stripMargin),
+    // SCALAR aggregates over ms-aligned WHERE bounds — the reference
+    // silently truncates sub-second bounds to wheel slots and answers a
+    // DIFFERENT row set (expr.rs:219-222); here the rule retries
+    // extraction at the ms tick and serves the EXACT range from the ms
+    // wheel (strict `>` is µs-exact: ts > a ⇔ ts >= a+1µs)
+    "uw_subsec_range" -> Q.sql(
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00.25'
+         |  AND ts < TIMESTAMP '2024-01-12 00:00:00.75'""".stripMargin),
     // sub-second TUMBLING window with an unaligned stride (250 ms) and a
     // SUM — the ms wheel's scaled-long sums keep decimal exactness at ms
     // granularity too
@@ -539,6 +549,11 @@ object WheelQueries {
          |FROM events, (SELECT unnest([0, 1]) AS k) g
          |WHERE $range
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_subsec_range" ->
+      s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00.25'
+         |  AND ts < TIMESTAMP '2024-01-12 00:00:00.75'""".stripMargin,
     "uw_window_ms" ->
       s"""SELECT make_timestamp(CAST(floor(epoch_us(ts) / 250000.0) AS BIGINT) * 250000) AS ws,
          |       count(*) AS cnt, $sumDec AS sum_val

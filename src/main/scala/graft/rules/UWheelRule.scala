@@ -423,27 +423,18 @@ object UWheelRule extends Rule[LogicalPlan] {
     val sliding = slidingWindowOf(agg)
     val uw = unwrap(sliding.map(_._1).getOrElse(agg.child)).getOrElse(return None)
     val table = uw.table
-    // Multi-range extraction: a pure-time OR / IN conjunct becomes a set of
-    // disjoint ranges; per-range wheel answers merge additively. An EMPTY
-    // set is a plan-time proof of contradiction — every aggregate sees zero
-    // rows.
-    val (ranges, residualRaw) = Extract.splitTimeRangeSet(
-      normalizeZoneCalendar(uw.conjuncts, table), table.timeColumn,
-      zoneSpecOf(table))
-    if (ranges.exists(!_.exact)) return None
-    if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
-    val residual = Extract.dropImpliedNotNull(residualRaw)
-    val filterKey = Canon.canonFilterKey(residual)
-    // Sub-second `window(ts, …)` group-bys switch the WHOLE rewrite into
-    // the MILLISECOND domain: sources resolve from the table's ms
-    // bottom-level wheels (HawWheel ticks = epoch ms,
-    // UWheelBuilder.withMillisWheels), range bounds scale by 1000, and the
-    // window arm divides µs by 1000 instead of 1e6. Shapes with no ms twin
-    // — hll sketches, per-value keyed wheels (exact distinct, IN-unions),
+    // Sub-second `window(ts, …)` group-bys — and scalar range aggregates
+    // whose WHERE bounds are sub-second but whole-ms (retry below) —
+    // switch the WHOLE rewrite into the MILLISECOND domain: predicate
+    // extraction rounds to ms ticks instead of seconds, sources resolve
+    // from the table's ms bottom-level wheels (HawWheel ticks = epoch ms,
+    // UWheelBuilder.withMillisWheels), and the window arm divides µs by
+    // 1000 instead of 1e6. Shapes with no ms twin — hll sketches,
+    // per-value keyed wheels (exact distinct, IN-unions),
     // residual-filtered wheels — decline inside the arms/sources below.
-    // Sub-MILLISECOND strides still decline (the arm's usPerTick gate):
-    // the ms level is the bottom.
-    val msMode: Boolean = {
+    // Sub-MILLISECOND strides/bounds still decline: the ms level is the
+    // bottom.
+    val msWindow: Boolean = {
       def subsec(stride: Long, off: Long, member: Long): Boolean =
         (stride % 1000000L != 0 || off % 1000000L != 0 || member % 1000000L != 0) &&
           stride % 1000L == 0 && off % 1000L == 0 && member % 1000L == 0
@@ -460,11 +451,35 @@ object UWheelRule extends Rule[LogicalPlan] {
         }
       }
     }
-    val usPerTick = if (msMode) 1000L else 1000000L
-    val tickPerSec = if (msMode) 1000L else 1L
+    // Multi-range extraction: a pure-time OR / IN conjunct becomes a set of
+    // disjoint ranges; per-range wheel answers merge additively. An EMPTY
+    // set is a plan-time proof of contradiction — every aggregate sees zero
+    // rows. Ranges are in the rewrite's TICK domain (seconds by default,
+    // ms in msMode).
+    val normalized = normalizeZoneCalendar(uw.conjuncts, table)
+    def extractAt(tick: Long) = Extract.splitTimeRangeSet(
+      normalized, table.timeColumn, zoneSpecOf(table), tick)
+    var usPerTick = if (msWindow) 1000L else 1000000L
+    var (ranges, residualRaw) = extractAt(usPerTick)
+    var msMode = msWindow
+    // scalar (ungrouped) aggregates over bounds that are inexact at second
+    // granularity but exact at ms: serve them from the ms wheels — e.g.
+    // `WHERE ts >= '…00.250' AND ts < '…05.750'`, which the reference
+    // silently truncates to wheel slots (expr.rs:219-222) and the
+    // second-domain gate here would hand back to the scan
+    if (!msMode && agg.groupingExpressions.isEmpty &&
+        ranges.exists(!_.exact) && table.anyMsWheel.isDefined) {
+      val (r2, res2) = extractAt(1000L)
+      if (r2.forall(_.exact)) {
+        ranges = r2; residualRaw = res2; msMode = true; usPerTick = 1000L
+      }
+    }
+    if (ranges.exists(!_.exact)) return None
+    if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
+    val residual = Extract.dropImpliedNotNull(residualRaw)
+    val filterKey = Canon.canonFilterKey(residual)
     val bounds: Seq[(Long, Long)] = ranges.map(r =>
-      (r.startSec.map(_ * tickPerSec).getOrElse(LoSentinel),
-        r.endSec.map(_ * tickPerSec).getOrElse(HiSentinel)))
+      (r.startSec.getOrElse(LoSentinel), r.endSec.getOrElse(HiSentinel)))
 
     def coverageOk(w: IndexedWheel): Boolean = w.coverage match {
       case None => true

@@ -189,6 +189,60 @@ class MsWheelSpec extends AnyFunSuite {
     assert(rows(q) === groundTruth(rows(wq(df, "500 milliseconds", "500 milliseconds"))))
   }
 
+  test("scalar aggregates over ms-aligned WHERE bounds rewrite from the ms wheel") {
+    basePath
+    def q(df: DataFrame): DataFrame = df.filter(
+      col("ts") >= lit("2024-01-08 10:10:00.25").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-08 10:40:00.75").cast("timestamp_ntz"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("s"),
+        min("value").as("mn"), max("value").as("mx"))
+    assertRewritten(q(ev))
+    assert(rows(q(ev)) === groundTruth(rows(q(ev))))
+  }
+
+  test("strict operators are µs-exact: ts > '…499999' lands ms-aligned and rewrites") {
+    basePath
+    // ts > a ⇔ ts >= a+1µs; .499999 + 1µs = .5 — exact at the ms tick
+    def q(df: DataFrame): DataFrame = df.filter(
+      col("ts") > lit("2024-01-08 10:10:00.499999").cast("timestamp_ntz") &&
+        col("ts") <= lit("2024-01-08 10:40:00.249999").cast("timestamp_ntz"))
+      .agg(count(lit(1)).as("cnt"), min("value").as("mn"))
+    assertRewritten(q(ev))
+    assert(rows(q(ev)) === groundTruth(rows(q(ev))))
+  }
+
+  test("OR of ms-aligned windows merges additively in the ms domain") {
+    basePath
+    def q(df: DataFrame): DataFrame = df.filter(
+      (col("ts") >= lit("2024-01-08 10:05:00.5").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-08 10:15:00.5").cast("timestamp_ntz")) ||
+        (col("ts") >= lit("2024-01-08 10:30:00.25").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-08 10:45:00").cast("timestamp_ntz")))
+      .agg(count(lit(1)).as("cnt"), max("value").as("mx"))
+    assertRewritten(q(ev))
+    assert(rows(q(ev)) === groundTruth(rows(q(ev))))
+  }
+
+  test("the ms scalar retry is scalar-only: grouped queries with ms bounds decline") {
+    basePath
+    val q = ev.filter(
+      col("ts") >= lit("2024-01-08 10:10:00.25").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-08 10:40:00").cast("timestamp_ntz"))
+      .groupBy(date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(q)
+  }
+
+  test("sub-ms (µs) WHERE bounds decline even with ms wheels present") {
+    basePath
+    val q = ev.filter(
+      col("ts") >= lit("2024-01-08 10:10:00.0005").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-08 10:40:00").cast("timestamp_ntz"))
+      .agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(q)
+  }
+
   test("indexUsageBytes counts the ms family once despite the shared count alias") {
     basePath
     val t = graft.index.WheelRegistry.lookup(basePath).get

@@ -210,10 +210,14 @@ class UWheelRuleSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
-  test("sub-second bound does not rewrite aggregates (exactness gate)") {
+  test("sub-slot bound does not rewrite aggregates (exactness gate)") {
     setup
+    // 500 µs: finer than ANY wheel level — the second wheels decline it and
+    // so does the ms bottom level (another suite sharing this JVM may have
+    // registered ms wheels for this path via the contract build, and a
+    // 500 MILLISECOND literal would then legitimately rewrite)
     val q = events.filter(
-      col("ts") >= lit("2024-01-05 00:00:00.5").cast("timestamp") &&
+      col("ts") >= lit("2024-01-05 00:00:00.0005").cast("timestamp") &&
       col("ts") < lit(hi).cast("timestamp")).agg(count(lit(1)).as("cnt"))
     assertNotRewritten(q)
   }
