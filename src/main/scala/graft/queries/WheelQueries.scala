@@ -195,6 +195,13 @@ object WheelQueries {
     "uw_distinct_keyed" -> Q.sql(
       s"""SELECT hll_distinct(user_id) AS du FROM events
          |WHERE $range AND event_type = 'purchase'""".stripMargin),
+    // distinct users PER event type over a range (keyed-only grouping):
+    // per-value keyed distinct wheels under the keyed-only arm's counting
+    // proof — "distinct purchasers vs clickers last week" in one plan-time
+    // answer. Rows-only (our sketch), HllSqlSpec proves bit-equality.
+    "uw_distinct_bytype" -> Q.sql(
+      s"""SELECT event_type, hll_distinct(user_id) AS du, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY event_type ORDER BY 1""".stripMargin),
     // the canonical dashboard shape: distinct users per (day, event_type),
     // answered from the per-value keyed distinct wheels under the same
     // counting proof as the numeric multi-column arm
@@ -276,6 +283,19 @@ object WheelQueries {
          |       min(value) AS mn, max(value) AS mx
          |FROM events WHERE $range
          |GROUP BY window(ts, '1 second', '500 milliseconds') ORDER BY 1""".stripMargin),
+    // GROUP BY key ONLY (no time bucket) over a range — the everyday
+    // "top event types last week" dashboard shape, answered from the
+    // complete per-value wheel set under the same counting proof as the
+    // multi-column arm; ORDER BY cnt LIMIT k composes over the plan-time
+    // LocalRelation, so the top-k never scans
+    "uw_bytype_groupby" -> Q.sql(
+      s"""SELECT event_type, count(*) AS cnt, $sumDec AS sum_val,
+         |       min(value) AS mn, max(value) AS mx
+         |FROM events WHERE $range GROUP BY event_type ORDER BY 1""".stripMargin),
+    "uw_bytype_topk" -> Q.sql(
+      s"""SELECT event_type, count(*) AS cnt
+         |FROM events WHERE $range
+         |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin),
     // SCALAR aggregates over ms-aligned WHERE bounds — the reference
     // silently truncates sub-second bounds to wheel slots and answers a
     // DIFFERENT row set (expr.rs:219-222); here the rule retries
@@ -549,6 +569,14 @@ object WheelQueries {
          |FROM events, (SELECT unnest([0, 1]) AS k) g
          |WHERE $range
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_bytype_groupby" ->
+      s"""SELECT event_type, count(*) AS cnt, $sumDec AS sum_val,
+         |       min(value) AS mn, max(value) AS mx
+         |FROM events WHERE $range GROUP BY event_type ORDER BY 1""".stripMargin,
+    "uw_bytype_topk" ->
+      s"""SELECT event_type, count(*) AS cnt
+         |FROM events WHERE $range
+         |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
     "uw_subsec_range" ->
       s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
          |FROM events

@@ -720,6 +720,74 @@ object UWheelRule extends Rule[LogicalPlan] {
       Some(new GenericInternalRow(vals))
     }
 
+    /** `GROUP BY key` (no time bucket) over a time range — the everyday
+      * "top event types last week" dashboard shape — answered from the
+      * COMPLETE per-value equality wheel set: one result row per key value
+      * whose wheel counts rows in the range, aggregates read per value,
+      * under the same plan-time counting proof as the multi-column arm
+      * (per-value range counts must sum to the unfiltered count, so NULL
+      * keys and uncovered values decline rather than mis-answer).
+      * `hll_distinct` routes to the per-value KEYED distinct wheels
+      * ("distinct purchasers per event type"). Residuals, msMode, and
+      * COUNT(DISTINCT key)-grouped-by-key decline. */
+    def keyedOnlyGroupBy(keyAttr: AttributeReference): Option[LogicalPlan] = {
+      if (filterKey.nonEmpty || msMode) return None
+      if (needList.values.exists(_.kind == "cntdist")) return None
+      val (keyed, allValues) = keyedWheelSet(table, keyAttr.name)
+      val values: Seq[Literal] = allValues.filter(_.dataType == keyAttr.dataType)
+      if (values.isEmpty) return None
+      def qualityOk(n: Need, w: IndexedWheel): Boolean =
+        w.valueAllNonNull &&
+          n.decScale.forall(_ == w.wheel.scale) &&
+          (n.kind == "sumdec" || n.kind == "avgdec" || n.kind == "min" ||
+            n.kind == "max" || n.kind == "countcol" || w.valuesExactAtScale) &&
+          ((n.kind != "min" && n.kind != "max") || w.valuesNaNFree)
+      def wheelForValue(n: Need, v: Literal): Option[IndexedWheel] = {
+        val cands = keyed.filter(_.keyEqOpt.exists(_._2 == v))
+          .filter(coverageOk).filter(spanOk)
+        n.column match {
+          case None    => cands.headOption
+          case Some(c) => cands.filter(_.valueColumn.contains(c)).find(qualityOk(n, _))
+        }
+      }
+      def distinctForValue(n: Need): Literal => Option[DistinctIndexedWheel] = v =>
+        n.column.flatMap(c => table.allDistinctWheels.find(d =>
+          d.column == c && d.p == n.hllP &&
+            d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
+          .filter(d => d.span == 1L ||
+            ranges.forall(r =>
+              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+      val perValue: Map[(Expression, Literal), Src] =
+        (for { (k, n) <- needList.toSeq; v <- values } yield (k, v) -> (n.kind match {
+          case "hll" => distinctForValue(n)(v).map(HllSrc).getOrElse(return None)
+          case _     => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
+        })).toMap
+      // counting proof over the whole range set, anchored on the
+      // unfiltered wheel: the per-value partition must be complete
+      val baseW = table.anyForFilter("").filter(coverageOk).filter(spanOk)
+        .getOrElse(return None)
+      val countNeed = Need(None, "count", None)
+      val perValueCount: Map[Literal, Long] = values.map(v =>
+        v -> rangeAggOf(wheelForValue(countNeed, v).getOrElse(return None).wheel).count).toMap
+      if (perValueCount.values.sum != rangeAggOf(baseW.wheel).count) return None
+      val rows = values.sortBy(_.toString).flatMap { v =>
+        if (perValueCount(v) == 0L) None
+        else {
+          val aggValues = needList.map { case (k, n) =>
+            val value = perValue((k, v)) match {
+              case NumSrc(w) => n.value(rangeAggOf(w.wheel))
+              case HllSrc(d) => hllOver(d, bounds)
+              case _         => return None
+            }
+            k -> (value, dataTypeOf(k))
+          }.toMap
+          Some(buildRow(aggValues, Seq((keyAttr, v))).getOrElse(return None))
+        }
+      }
+      Some(LocalRelation(agg.output, rows))
+    }
+
     agg.groupingExpressions match {
       case Nil =>
         val nds = needs.getOrElse(return None)
@@ -741,6 +809,14 @@ object UWheelRule extends Rule[LogicalPlan] {
         buildRow(aggValues, Nil).map(r => LocalRelation(agg.output, Seq(r)))
 
       case Seq(ge0) =>
+        // bare non-time attribute grouping → the per-value keyed-only arm
+        // (time-bucket arms can never match it; sliding is window-shaped)
+        resolve(ge0, uw.aliases) match {
+          case ka: AttributeReference
+              if sliding.isEmpty && ka.name != table.timeColumn =>
+            return keyedOnlyGroupBy(ka)
+          case _ => ()
+        }
         val nds = needs.getOrElse(return None)
         // IN-union sources stay out of the grouped arm: its shared bucket
         // enumeration and identical-keyset checks run per single wheel

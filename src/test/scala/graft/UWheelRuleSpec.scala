@@ -834,6 +834,76 @@ class UWheelRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("GROUP BY key only (no time bucket) rewrites from the per-value set") {
+    setup
+    Seq("error", "purchase", "signup", "view").foreach { et =>
+      UWheelIndex.buildIndex(spark, path,
+        IndexBuilder("value", Some(s"event_type = '$et'")))
+    }
+    // the everyday "top event types last week" shape: range filter, key
+    // grouping, multiple aggregates — one row per value, no bucket arm
+    def q = ranged
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"),
+        min("value").as("mn"), max("value").as("mx"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    assertRewritten(q)
+    val got = q.collect().map(_.toString).toSeq
+    val exp = groundTruth {
+      assertNotRewritten(q)
+      q.collect().map(_.toString).toSeq
+    }
+    assert(got === exp)
+    assert(got.nonEmpty)
+    // ... and composes downstream: ORDER BY cnt LIMIT k over the
+    // LocalRelation is the top-k over the range, still scan-free
+    val topk = q.limit(2)
+    assertRewritten(topk)
+    assert(topk.collect().map(_.toString).toSeq ===
+      groundTruth(topk.collect().map(_.toString).toSeq))
+    // landmark form (no WHERE): the proof runs over the wheel extent
+    def ql = events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+    assertRewritten(ql)
+    assert(ql.collect().map(_.toString).toSeq ===
+      groundTruth(ql.collect().map(_.toString).toSeq))
+    // no per-value wheels for this column: scan
+    assertNotRewritten(ranged.groupBy(col("user_id")).agg(count(lit(1)).as("cnt")))
+    // residuals do not compose with per-value routing
+    assertNotRewritten(ranged.filter(col("user_id") > 10)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt")))
+  }
+
+  test("GROUP BY key only declines on an INCOMPLETE set or NULL keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-keyonly").toString
+    val p = s"$dir/t.parquet"
+    def row(s: String, v: Double, k: String) = (java.sql.Timestamp.valueOf(s), v, k)
+    Seq(row("2024-02-01 00:00:00", 1.0, "a"), row("2024-02-01 00:00:01", 2.0, "b"),
+      row("2024-02-02 00:00:00", 4.0, "a")).toDF("ts", "value", "k")
+      .write.mode("overwrite").parquet(p)
+    UWheelBuilder("ts", Seq("value"))
+      .withKeyedWheel(IndexBuilder("value", Some("k = 'a'"))) // no 'b' wheel
+      .build(spark, p)
+    val q = spark.read.parquet(p)
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(q) // counting proof fails: 'b' rows are uncovered
+    assert(q.collect().length === 2)
+
+    // NULL keys: complete value wheels but null rows break the proof
+    val p2 = s"$dir/t2.parquet"
+    Seq((java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0, "a"),
+      (java.sql.Timestamp.valueOf("2024-02-01 00:00:01"), 2.0, null))
+      .toDF("ts", "value", "k").write.mode("overwrite").parquet(p2)
+    UWheelBuilder("ts", Seq("value"))
+      .withKeyedWheel(IndexBuilder("value", Some("k = 'a'")))
+      .build(spark, p2)
+    val q2 = spark.read.parquet(p2).groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(q2)
+    assert(q2.collect().length === 2) // 'a' and the NULL group
+  }
+
   test("multi-column GROUP BY declines on an INCOMPLETE keyed-wheel set") {
     // a table of its own: wheels for only one of two key values — the
     // plan-time counting proof must reject the rewrite (missing value rows

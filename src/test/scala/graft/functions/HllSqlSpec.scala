@@ -251,4 +251,24 @@ class HllSqlSpec extends AnyFunSuite {
     assert(on.toSeq === off.toSeq)
     assert(on.length > 5, "expected multiple (day, event_type) groups")
   }
+
+  test("GROUP BY key only: hll_distinct per value bit-equals the scan") {
+    setup
+    // same complete per-value fixture as the bucket × key test (suite
+    // order guarantees it exists; rebuilding is idempotent)
+    val ets = Seq("click", "error", "purchase", "signup", "view")
+    ets.foldLeft(
+      ets.foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
+        b.withKeyedWheel(graft.index.IndexBuilder("value", Some(s"event_type = '$et'")))
+      }.withDistinctWheel("user_id")) { (b, et) =>
+        b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
+      }.build(spark, path)
+    val sql =
+      s"""SELECT event_type, hll_distinct(user_id) AS du, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin
+    assertRewritten(spark.sql(sql))
+    val (on, off) = onOff(sql)
+    assert(on.toSeq === off.toSeq)
+    assert(on.length === 5)
+  }
 }
