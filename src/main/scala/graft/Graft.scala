@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.HllDistinctAgg].getName, "hll_distinct"),
       Graft.hllBuilder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hdr_quantile"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.HdrQuantileAgg].getName, "hdr_quantile"),
+      Graft.hdrBuilder))
   }
 }
 
@@ -63,6 +68,8 @@ object Graft {
       "srp_band_keys", srpBuilder, "scala_udf")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_distinct", hllBuilder, "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hdr_quantile", hdrBuilder, "scala_udf")
   }
 
   private def intOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -95,5 +102,27 @@ object Graft {
       s"hll_distinct takes (col) or (col, p), got ${exprs.length} arguments")
     val p = if (exprs.length == 2) intOf(exprs(1), "hll_distinct") else 11
     graft.functions.HllDistinctAgg(exprs(0), p)
+  }
+
+  /** `hdr_quantile(col, q[, s])` — `q` a numeric literal in [0, 1], `s`
+    * an integer literal (it fixes the bucketing resolution, which must
+    * match a registered sketch wheel's for the rewrite to fire). */
+  private[graft] def hdrBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2 || exprs.length == 3,
+      s"hdr_quantile takes (col, q) or (col, q, s), got ${exprs.length} arguments")
+    val qe = exprs(1)
+    require(qe.foldable, s"hdr_quantile q must be a literal, got $qe")
+    val q = qe.eval(null) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(s"not a number: $other")
+    }
+    val s = if (exprs.length == 3) intOf(exprs(2), "hdr_quantile") else 7
+    graft.functions.HdrQuantileAgg(exprs(0), q, s)
   }
 }

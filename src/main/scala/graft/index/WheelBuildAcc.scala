@@ -26,7 +26,8 @@ import graft.wheel.{RwWheel, TypedRwWheel, WheelAggregators}
 private[index] final class WheelBuildAcc(
     scales: Array[Int],
     hasVals: Array[Boolean],
-    hllPs: Array[Int] = Array.emptyIntArray) extends Serializable {
+    hllPs: Array[Int] = Array.emptyIntArray,
+    hdrSs: Array[Int] = Array.emptyIntArray) extends Serializable {
 
   private val n = scales.length
   val wheels: Array[RwWheel] =
@@ -38,6 +39,12 @@ private[index] final class WheelBuildAcc(
   val distinct: Array[TypedRwWheel[Long, Array[Byte], Long]] =
     hllPs.map(p => new TypedRwWheel[Long, Array[Byte], Long](
       new WheelAggregators.HllDistinct(p)))
+  // HDR quantile-sketch wheels: per-second bin partials (BinaryType, from
+  // the bins form of HdrQuantileAgg in the SAME scan), at row offset
+  // 1 + 7n + |hll| + j
+  val sketch: Array[TypedRwWheel[Double, Array[Byte], Array[Byte]]] =
+    hdrSs.map(s => new TypedRwWheel[Double, Array[Byte], Array[Byte]](
+      new WheelAggregators.HdrQuantile(s)))
 
   def add(r: Row): Unit = {
     val nullSec = r.isNullAt(0)
@@ -73,6 +80,15 @@ private[index] final class WheelBuildAcc(
       }
       j += 1
     }
+    var q = 0
+    while (q < sketch.length) {
+      // empty bins = the second saw no non-null (post-filter) values: skip
+      if (!nullSec) {
+        val bins = r.getAs[Array[Byte]](1 + n * 7 + distinct.length + q)
+        if (bins != null && bins.length > 0) sketch(q).mergePartial(sec, bins)
+      }
+      q += 1
+    }
   }
 
   private def hllAggs(j: Int): WheelAggregators.HllDistinct =
@@ -92,6 +108,11 @@ private[index] final class WheelBuildAcc(
     while (j < distinct.length) {
       distinct(j).merge(o.distinct(j))
       j += 1
+    }
+    var q = 0
+    while (q < sketch.length) {
+      sketch(q).merge(o.sketch(q))
+      q += 1
     }
     this
   }

@@ -108,6 +108,34 @@ final case class DistinctIndexedWheel(
     Option(keyEq).flatten
 }
 
+/** HDR log-bucketed quantile-sketch wheel for one column — the second
+  * typed-sketch family after [[DistinctIndexedWheel]], answering
+  * `hdr_quantile(column, q[, s])` over any time range ("p99 latency last
+  * week") at plan time. Partials are canonical sorted (bucket, count)
+  * arrays merged ADDITIVELY — sound on the wheel's disjoint range
+  * decompositions exactly like count/sum — and the aggregator instance
+  * rides along so the rule can combine per-range partials and lower them
+  * with the same arithmetic the SQL aggregate uses. A non-empty
+  * `filterKey` marks a KEYED variant (bins over only matching rows),
+  * routed like keyed numeric wheels; `keyEq` is its structured form for
+  * the per-value GROUP BY arms. */
+@SerialVersionUID(1L)
+final case class QuantileIndexedWheel(
+    wheel: TypedHawWheel[Array[Byte], Array[Byte]],
+    column: String,
+    agg: WheelAggregators.HdrQuantile,
+    filterKey: String = "",
+    filterSql: Option[String] = None,
+    /** Seconds per sketch slot — span-coarsened builds produce span-aligned
+      * slots, gated by the rule exactly like the other families. */
+    slotSpan: Long = 1L,
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+  def s: Int = agg.s
+  def span: Long = if (slotSpan <= 0L) 1L else slotSpan
+  def keyEqOpt: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] =
+    Option(keyEq).flatten
+}
+
 /** All wheels for one table (identified by its parquet root path).
   *
   * @param fingerprint hash of the table's file listing (path, length,
@@ -174,6 +202,15 @@ final class TableIndex(
     Option(distinct).flatMap(m => Option(m.get((col, filterKey))))
   def allDistinctWheels: Seq[DistinctIndexedWheel] =
     Option(distinct).map(_.asScala.values.toSeq).getOrElse(Nil)
+  // HDR quantile-sketch wheels by (column, residual filter key); same
+  // null-after-old-deserialization guard as `distinct`
+  private val quantiles = new ConcurrentHashMap[(String, String), QuantileIndexedWheel]()
+  def putQuantile(qw: QuantileIndexedWheel): Unit =
+    quantiles.put((qw.column, qw.filterKey), qw)
+  def quantileWheel(col: String, filterKey: String = ""): Option[QuantileIndexedWheel] =
+    Option(quantiles).flatMap(m => Option(m.get((col, filterKey))))
+  def allQuantileWheels: Seq[QuantileIndexedWheel] =
+    Option(quantiles).map(_.asScala.values.toSeq).getOrElse(Nil)
   def get(col: Option[String], filterKey: String): Option[IndexedWheel] =
     Option(wheels.get((col, filterKey)))
   def allWheels: Seq[IndexedWheel] = wheels.asScala.values.toSeq
@@ -194,7 +231,8 @@ final class TableIndex(
   def indexUsageBytes: Long =
     (wheels.asScala.values.map(_.wheel).toList ++ allMsWheels.map(_.wheel))
       .distinct.map(_.sizeBytes).sum +
-      allDistinctWheels.map(_.wheel.measuredBytes).sum
+      allDistinctWheels.map(_.wheel.measuredBytes).sum +
+      allQuantileWheels.map(_.wheel.measuredBytes).sum
 }
 
 /** Driver-side registry of wheel indices, consulted by the optimizer rule at
@@ -303,7 +341,9 @@ final case class UWheelBuilder(
     distinctColumns: Seq[String] = Nil,
     hllPrecision: Int = 11,
     keyedDistinctWheels: Seq[(String, String)] = Nil,
-    millisColumns: Option[Seq[String]] = None) {
+    millisColumns: Option[Seq[String]] = None,
+    quantileColumns: Seq[(String, Int)] = Nil,
+    keyedQuantileWheels: Seq[(String, String, Int)] = Nil) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
@@ -352,6 +392,24 @@ final case class UWheelBuilder(
     requireHllP(p)
     copy(keyedDistinctWheels = keyedDistinctWheels :+ ((col, filterSql)), hllPrecision = p)
   }
+
+  /** Adds an HDR log-bucketed quantile-sketch wheel over a numeric column,
+    * so `hdr_quantile(col, q[, s])` over any time range ("p99 latency last
+    * week") answers from the index at plan time
+    * ([[graft.functions.HdrQuantileAgg]]). Fused into the SAME single
+    * build scan like the HLL wheels — the bins form of the native
+    * aggregate is one more column of the per-second aggregation, zero
+    * extra passes. `s` fixes the bucketing resolution: relative bucket
+    * width ≤ 2^−s (default 7 → 0.79 %), memory ∝ distinct (exponent,
+    * s-bit-mantissa) buckets per active second. */
+  def withQuantileWheel(col: String, s: Int = 7): UWheelBuilder =
+    copy(quantileColumns = quantileColumns :+ ((col, s)))
+
+  /** A KEYED quantile-sketch wheel: bins over only rows matching
+    * `filterSql` ("p99 checkout latency"), routed by the same canonical
+    * filter key as keyed numeric wheels; fused into the same scan. */
+  def withKeyedQuantileWheel(col: String, filterSql: String, s: Int = 7): UWheelBuilder =
+    copy(keyedQuantileWheels = keyedQuantileWheels :+ ((col, filterSql, s)))
 
   private def requireHllP(p: Int): Unit = {
     require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
@@ -468,6 +526,16 @@ object UWheelIndex {
       filterSql: Option[String] = None,
       keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
 
+  /** One quantile-sketch wheel to build: which column, at which bucketing
+    * resolution, under which residual filter (""/None = unfiltered). */
+  final case class QuantileSpec(
+      column: String,
+      s: Int,
+      filter: Option[Column] = None,
+      filterKey: String = "",
+      filterSql: Option[String] = None,
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+
   /** Structured `column = literal` form of a wheel filter, when it has one
     * (the multi-column GROUP BY arm routes on it). Matched on the ANALYZED
     * predicate so folding/cast normalization has already run. */
@@ -503,7 +571,11 @@ object UWheelIndex {
         * wheel build passes [[msExprOf]] here so the same fused-aggregate
         * machinery produces per-MILLISECOND partials. Specs must then carry
         * no timeRangeSec (coverage filters are second-domain). */
-      slotExprOverride: Option[Column] = None): (Seq[BuiltWheel], Seq[DistinctIndexedWheel]) = {
+      slotExprOverride: Option[Column] = None,
+      /** HDR quantile-sketch wheels — fused into the same scan as bin-array
+        * aggregate columns, zero extra passes, like the HLL registers. */
+      quantileSpecs: Seq[QuantileSpec] = Nil)
+      : (Seq[BuiltWheel], Seq[DistinctIndexedWheel], Seq[QuantileIndexedWheel]) = {
     require(specs.nonEmpty)
     require(slotExprOverride.isEmpty || specs.forall(_.timeRangeSec.isEmpty),
       "coverage-restricted specs are second-domain and cannot ride an overridden slot expression")
@@ -592,6 +664,20 @@ object UWheelIndex {
         graft.functions.HllDistinctAgg(
           org.apache.spark.sql.graft.ColumnBridge.expression(in.cast("long")),
           ds.p, returnRegisters = true).toAggregateExpression()).as(s"h$j")
+    } ++ quantileSpecs.zipWithIndex.map { case (qs, j) =>
+      // per-second bin partials from the bins form of the native quantile
+      // aggregate — identical content semantics to the wheel aggregator
+      // (they share bucketing and canonical encoding). The double cast is
+      // the same image the numeric wheels project, so buckets agree with
+      // what the SQL aggregate over the raw column computes.
+      val in = qs.filter match {
+        case Some(f) => F.when(f, F.col(qs.column))
+        case None    => F.col(qs.column)
+      }
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.HdrQuantileAgg(
+          org.apache.spark.sql.graft.ColumnBridge.expression(in.cast("double")),
+          q = 0.0, s = qs.s, returnBins = true).toAggregateExpression()).as(s"qt$j")
     }
     // Executor-side merge: each shuffle partition folds its per-second rows
     // into compact RwWheels, and partials meet in a depth-2 aggregation tree
@@ -609,13 +695,14 @@ object UWheelIndex {
       if (slotSpan == 1L) secExpr
       else secExpr - F.pmod(secExpr, F.lit(slotSpan)))
     val hllPs = distinctSpecs.map(_.p).toArray
+    val hdrSs = quantileSpecs.map(_.s).toArray
     // widen, don't replace: filters/secExpr/distinct columns still resolve
     // by name against the original schema
     val projected =
       if (valKeys.isEmpty) df else df.select(F.col("*") +: projCols: _*)
     val acc = projected.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
       .rdd
-      .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs))(
+      .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs, hdrSs))(
         (a, row) => { a.add(row); a },
         (a, b) => a.merge(b),
         depth = 2)
@@ -634,7 +721,12 @@ object UWheelIndex {
         rw.agg.asInstanceOf[WheelAggregators.HllDistinct], ds.filterKey, ds.filterSql,
         slotSpan, ds.keyEq)
     }
-    (built, builtDistinct)
+    val builtQuantile = quantileSpecs.zip(acc.sketch).map { case (qs, rw) =>
+      QuantileIndexedWheel(rw.freeze(), qs.column,
+        rw.agg.asInstanceOf[WheelAggregators.HdrQuantile], qs.filterKey, qs.filterSql,
+        slotSpan, qs.keyEq)
+    }
+    (built, builtDistinct, builtQuantile)
   }
 
   /** Optimizer-construction build (reference `try_new` + `build`,
@@ -725,8 +817,16 @@ object UWheelIndex {
           graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
           keyEqOf(df, fc))
       }
-    val (built, builtDistinct) = buildWheels(df, conf.timeColumn,
-      colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels, dSpecs)
+    val qSpecs = conf.quantileColumns.map { case (c, s) => QuantileSpec(c, s) } ++
+      conf.keyedQuantileWheels.map { case (c, sql, s) =>
+        val fc = F.expr(sql)
+        QuantileSpec(c, s, Some(fc),
+          graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
+          keyEqOf(df, fc))
+      }
+    val (built, builtDistinct, builtQuantile) = buildWheels(df, conf.timeColumn,
+      colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels, dSpecs,
+      quantileSpecs = qSpecs)
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val countBuilt = colBuilt.headOption match {
       case Some(bw) =>
@@ -744,6 +844,7 @@ object UWheelIndex {
     t.put(countBuilt.wheel)
     (colBuilt ++ rest.take(keyedSpecs.length)).foreach(bw => t.put(bw.wheel))
     builtDistinct.foreach(t.putDistinct)
+    builtQuantile.foreach(t.putQuantile)
     conf.millisColumns.foreach(cols => buildMsWheels(df, t, cols.map(c => (c, scaleFor(c)))))
     WheelRegistry.register(t)
     t
@@ -759,7 +860,7 @@ object UWheelIndex {
     val msSpecs =
       if (cols.isEmpty) Seq(WheelSpec(None, None, "", None, 2))
       else cols.map { case (c, sc) => WheelSpec(Some(c), None, "", None, sc) }
-    val (msBuilt, _) = buildWheels(df, t.timeColumn, msSpecs,
+    val (msBuilt, _, _) = buildWheels(df, t.timeColumn, msSpecs,
       slotExprOverride = Some(msExprOf(df, t.timeColumn)))
     msBuilt.foreach(bw => t.putMs(bw.wheel))
     if (cols.nonEmpty)
@@ -903,6 +1004,8 @@ object UWheelIndex {
     val appendOnly = fab.nonEmpty && keyedWheels.forall(_.filterSql.isDefined) &&
       t.allDistinctWheels.forall(d =>
         Option(d.filterKey).getOrElse("").isEmpty || Option(d.filterSql).flatten.isDefined) &&
+      t.allQuantileWheels.forall(qw =>
+        Option(qw.filterKey).getOrElse("").isEmpty || Option(qw.filterSql).flatten.isDefined) &&
       fab.forall { case (p, lm) => now.get(p).contains(lm) }
 
     // One spec per REGISTERED wheel, carrying that wheel's own scale,
@@ -954,11 +1057,16 @@ object UWheelIndex {
     // mirroring the keyed numeric wheel policy above.
     val oldDistinct = t.allDistinctWheels.filter(d =>
       Option(d.filterKey).getOrElse("").isEmpty || Option(d.filterSql).flatten.isDefined)
-    val (built, freshDistinct) = buildWheels(scanDf, t.timeColumn,
+    val oldQuantile = t.allQuantileWheels.filter(qw =>
+      Option(qw.filterKey).getOrElse("").isEmpty || Option(qw.filterSql).flatten.isDefined)
+    val (built, freshDistinct, freshQuantile) = buildWheels(scanDf, t.timeColumn,
       colSpecs ++ keyedSpecs ++ countSpec, span, t.packLevels,
       oldDistinct.map(d => DistinctSpec(d.column, d.p,
         Option(d.filterSql).flatten.map(F.expr), Option(d.filterKey).getOrElse(""),
-        Option(d.filterSql).flatten)))
+        Option(d.filterSql).flatten)),
+      quantileSpecs = oldQuantile.map(qw => QuantileSpec(qw.column, qw.s,
+        Option(qw.filterSql).flatten.map(F.expr), Option(qw.filterKey).getOrElse(""),
+        Option(qw.filterSql).flatten)))
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val keyedBuilt = rest.take(keyedSpecs.length)
 
@@ -1003,6 +1111,18 @@ object UWheelIndex {
       nt.putDistinct(d.copy(wheel = merged,
         slotSpan = if (appendOnly) math.max(d.span, span) else f.span))
     }
+    // Quantile-sketch wheels ride the same single delta scan: bin counts
+    // are ADDITIVE, so merging old + delta partials slot-wise is
+    // bit-identical to a full rebuild when the delta rows are exactly the
+    // appended ones (same argument as the numeric count/sum wheels).
+    oldQuantile.zip(freshQuantile).foreach { case (qw, f) =>
+      val merged =
+        if (appendOnly)
+          TypedHawWheel.fromSecondPartials(qw.wheel.slotPartials ++ f.wheel.slotPartials, qw.agg)
+        else f.wheel
+      nt.putQuantile(qw.copy(wheel = merged,
+        slotSpan = if (appendOnly) math.max(qw.span, span) else f.span))
+    }
     // Millisecond bottom-level wheels ride the same delta-vs-rebuild
     // decision through one extra scan grouped by millisecond (their tick
     // domain — the per-second delta scan cannot produce ms partials).
@@ -1014,7 +1134,7 @@ object UWheelIndex {
     if (oldMs.nonEmpty) {
       val ordered = oldMs.sortBy(_.valueColumn)
       val msSpecs = ordered.map(w => WheelSpec(w.valueColumn, None, "", None, w.wheel.scale))
-      val (msBuilt, _) = buildWheels(scanDf, t.timeColumn, msSpecs,
+      val (msBuilt, _, _) = buildWheels(scanDf, t.timeColumn, msSpecs,
         slotExprOverride = Some(msExprOf(scanDf, t.timeColumn)))
       ordered.zip(msBuilt).foreach { case (o, f) =>
         val merged =

@@ -82,11 +82,17 @@ object Q {
       }
     val conf =
       if (withDistinct)
-        // the COMPLETE per-value keyed distinct set: the multi-column
-        // GROUP BY bucket, event_type arm routes hll_distinct per value
-        // (sparse registers make the extra aggregate columns cheap)
-        eventTypes.foldLeft(numeric.withDistinctWheel("user_id")) { (b, et) =>
-          b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
+        // the COMPLETE per-value keyed sketch sets: the GROUP BY bucket ×
+        // event_type and key-only arms route hll_distinct / hdr_quantile
+        // per value (sparse registers / bins keep the extra aggregate
+        // columns cheap); (full − numeric) in the bench prices ALL sketch
+        // columns (HLL registers + HDR bins) line-item
+        eventTypes.foldLeft(
+          eventTypes.foldLeft(
+            numeric.withDistinctWheel("user_id").withQuantileWheel("value")) { (b, et) =>
+            b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
+          }) { (b, et) =>
+          b.withKeyedQuantileWheel("value", s"event_type = '$et'")
         }
       else numeric
     // millisecond bottom level: sub-second window() group-bys

@@ -283,6 +283,28 @@ object WheelQueries {
          |       min(value) AS mn, max(value) AS mx
          |FROM events WHERE $range
          |GROUP BY window(ts, '1 second', '500 milliseconds') ORDER BY 1""".stripMargin),
+    // hdr_quantile(value, q[, s]) — the second sketch wheel family (HDR
+    // log-bucketed quantiles, beyond the reference): "p99 latency last
+    // week" answered at plan time from per-second bin partials fused into
+    // the same single build scan. Rows-only entries (DuckDB cannot
+    // evaluate our sketch); HdrSqlSpec proves the rewrite returns exactly
+    // what running the aggregate would, and HdrWheelSpec proves the
+    // aggregate's answer is bucketFloor(nearest-rank quantile) with
+    // relative error ≤ 2^-s.
+    "uw_quantile_range" -> Q.sql(
+      s"""SELECT hdr_quantile(value, 0.95) AS p95, hdr_quantile(value, 0.5) AS p50,
+         |       count(*) AS cnt
+         |FROM events WHERE $range""".stripMargin),
+    "uw_quantile_daily" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, hdr_quantile(value, 0.9) AS p90,
+         |       count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
+    "uw_quantile_keyed" -> Q.sql(
+      s"""SELECT hdr_quantile(value, 0.95) AS p95 FROM events
+         |WHERE $range AND event_type = 'purchase'""".stripMargin),
+    "uw_quantile_bytype" -> Q.sql(
+      s"""SELECT event_type, hdr_quantile(value, 0.95) AS p95, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY event_type ORDER BY 1""".stripMargin),
     // GROUP BY key ONLY (no time bucket) over a range — the everyday
     // "top event types last week" dashboard shape, answered from the
     // complete per-value wheel set under the same counting proof as the

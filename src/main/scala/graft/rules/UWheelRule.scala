@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.expr.{Canon, Extract}
-import graft.index.{DistinctIndexedWheel, IndexedWheel, TableIndex, WheelRegistry}
+import graft.index.{DistinctIndexedWheel, IndexedWheel, QuantileIndexedWheel, TableIndex, WheelRegistry}
 import graft.wheel.{HawWheel, RangeAgg}
 
 /** Plan-time rewrite of temporal aggregation queries against wheel-indexed
@@ -194,6 +194,9 @@ object UWheelRule extends Rule[LogicalPlan] {
   private final case class NumSrc(w: IndexedWheel) extends Src {
     def numeric: Option[IndexedWheel] = Some(w)
   }
+  private final case class QuantileSrc(d: QuantileIndexedWheel) extends Src {
+    def numeric: Option[IndexedWheel] = None
+  }
   private final case class HllSrc(d: DistinctIndexedWheel) extends Src {
     def numeric: Option[IndexedWheel] = None
   }
@@ -228,7 +231,10 @@ object UWheelRule extends Rule[LogicalPlan] {
                                 /** Result scale for "avgdec" (the aggregate's
                                   * own DecimalType scale, column scale + 4
                                   * under Spark's bounding rules). */
-                                resScale: Int = 0) {
+                                resScale: Int = 0,
+                                /** The "hdrq" quantile argument (q ∈ [0,1]);
+                                  * `hllP` doubles as its resolution `s`. */
+                                qArg: Double = 0.0) {
     def value(ra: RangeAgg): Any = kind match {
       case "count" | "countcol" => ra.count
       case "sum"    => ra.sum.map(Double.box).orNull
@@ -330,6 +336,23 @@ object UWheelRule extends Rule[LogicalPlan] {
           case Cast(a: AttributeReference, LongType, _, _)
               if integral.contains(a.dataType) =>
             Some(Need(Some(a.name), "hll", None, h.p))
+          case _ => None
+        }
+      // hdr_quantile(col, q[, s]): answered from a quantile-sketch wheel
+      // with the same resolution. The wheel buckets the column's DOUBLE
+      // image (cast(col as double) in the build projection), which is
+      // exactly the image the aggregate's own toDouble produces — so both
+      // sides bucket identical doubles and content equality holds.
+      case h: graft.functions.HdrQuantileAgg if !h.returnBins =>
+        val numeric = Seq(DoubleType, org.apache.spark.sql.types.FloatType,
+          ByteType, ShortType, IntegerType, LongType)
+        h.child match {
+          case a: AttributeReference
+              if numeric.contains(a.dataType) || a.dataType.isInstanceOf[DecimalType] =>
+            Some(Need(Some(a.name), "hdrq", None, h.s, qArg = h.q))
+          case Cast(a: AttributeReference, DoubleType, _, _)
+              if numeric.contains(a.dataType) || a.dataType.isInstanceOf[DecimalType] =>
+            Some(Need(Some(a.name), "hdrq", None, h.s, qArg = h.q))
           case _ => None
         }
       case _ => None
@@ -567,6 +590,18 @@ object UWheelRule extends Rule[LogicalPlan] {
       // per-value counts don't sum to the unfiltered count, which is
       // exactly the condition under which a NULL key or an uncovered value
       // would make the enumeration-based count wrong.
+      // hdr_quantile: the quantile-sketch wheel twin of the hll path —
+      // same residual routing (keyed variants by canonical filter key),
+      // same span-alignment gate, same ms-domain refusal
+      case "hdrq" =>
+        if (msMode) return None
+        table.quantileWheel(n.column.getOrElse(return None), filterKey)
+          .filter(_.s == n.hllP)
+          .filter(d => d.span == 1L ||
+            ranges.forall(r =>
+              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .map(QuantileSrc)
       case "cntdist" =>
         if (filterKey.nonEmpty || msMode) None // per-value wheels are second-domain
         else for {
@@ -654,6 +689,16 @@ object UWheelRule extends Rule[LogicalPlan] {
       val parts = bs.map { case (s, e) => d.wheel.combineRange(s, e) }
       val merged = if (parts.isEmpty) d.agg.identity else parts.reduce(d.agg.combine)
       Long.box(d.agg.lower(merged))
+    }
+
+    /** `hdr_quantile` over a union of disjoint clipped ranges: bin counts
+      * merge additively across the ranges (disjoint ⇒ exact) and lower
+      * once via the aggregate's own arithmetic. Zero rows lower to null,
+      * matching the SQL aggregate over empty input. */
+    def quantileOver(d: QuantileIndexedWheel, bs: Seq[(Long, Long)], q: Double): Any = {
+      val parts = bs.map { case (s, e) => d.wheel.combineRange(s, e) }
+      val merged = if (parts.isEmpty) d.agg.identity else parts.reduce(d.agg.combine)
+      d.agg.quantileOf(merged, q).map(Double.box).orNull
     }
 
     // Collect and classify every aggregate sub-expression in the output.
@@ -758,10 +803,19 @@ object UWheelRule extends Rule[LogicalPlan] {
             ranges.forall(r =>
               r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
               r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+      def quantileForValue(n: Need): Literal => Option[QuantileIndexedWheel] = v =>
+        n.column.flatMap(c => table.allQuantileWheels.find(d =>
+          d.column == c && d.s == n.hllP &&
+            d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
+          .filter(d => d.span == 1L ||
+            ranges.forall(r =>
+              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
       val perValue: Map[(Expression, Literal), Src] =
         (for { (k, n) <- needList.toSeq; v <- values } yield (k, v) -> (n.kind match {
-          case "hll" => distinctForValue(n)(v).map(HllSrc).getOrElse(return None)
-          case _     => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
+          case "hll"  => distinctForValue(n)(v).map(HllSrc).getOrElse(return None)
+          case "hdrq" => quantileForValue(n)(v).map(QuantileSrc).getOrElse(return None)
+          case _      => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
         })).toMap
       // counting proof over the whole range set, anchored on the
       // unfiltered wheel: the per-value partition must be complete
@@ -778,6 +832,7 @@ object UWheelRule extends Rule[LogicalPlan] {
             val value = perValue((k, v)) match {
               case NumSrc(w) => n.value(rangeAggOf(w.wheel))
               case HllSrc(d) => hllOver(d, bounds)
+              case QuantileSrc(d) => quantileOver(d, bounds, n.qArg)
               case _         => return None
             }
             k -> (value, dataTypeOf(k))
@@ -797,6 +852,7 @@ object UWheelRule extends Rule[LogicalPlan] {
             // disjoint per-value row sets: additive merge is exact
             case UnionSrc(ws) => n.value(ws.map(w => rangeAggOf(w.wheel)).reduce(_.merge(_)))
             case HllSrc(d) => hllOver(d, bounds)
+            case QuantileSrc(d) => quantileOver(d, bounds, n.qArg)
             case DistinctSetSrc(base, pv) =>
               // counting proof over the whole range set, then the exact
               // distinct count is the number of values present in it
@@ -842,10 +898,12 @@ object UWheelRule extends Rule[LogicalPlan] {
           case None => timeBucketArm(ge, table)
         }).getOrElse(return None)
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
-        // hll_distinct register reads clip per bucket: either a single
-        // wheel-domain end (hllEndOf) or the piecewise arms' per-key
-        // interval enumeration (hllReads); with neither, decline
-        val needHll = nds.values.exists(_._2.isInstanceOf[HllSrc])
+        // sketch reads (hll registers / quantile bins) clip per bucket:
+        // either a single wheel-domain end (hllEndOf) or the piecewise
+        // arms' per-key interval enumeration (hllReads); with neither,
+        // decline
+        val needHll = nds.values.exists(s =>
+          s._2.isInstanceOf[HllSrc] || s._2.isInstanceOf[QuantileSrc])
         if (needHll && arm.hllEndOf.isEmpty && arm.hllReads.isEmpty)
           return None
         val bucketEndOf = arm.hllEndOf.getOrElse((gs: Long) => gs)
@@ -863,6 +921,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         val slotSpans = nds.values.flatMap {
           case (_, NumSrc(w)) => Seq(w.wheel.slotSpan)
           case (_, HllSrc(d)) => Seq(d.span)
+          case (_, QuantileSrc(d)) => Seq(d.span)
           case (_, DistinctSetSrc(b, pv)) =>
             b.wheel.slotSpan +: pv.map(_.wheel.slotSpan)
         }.toSet + enumWheel.wheel.slotSpan
@@ -929,6 +988,12 @@ object UWheelRule extends Rule[LogicalPlan] {
                     (math.max(s, gs), math.min(e, gEnd))
                   })
                 else hllOver(d, hllReadMap.getOrElse(gs, Nil))
+              case QuantileSrc(d) =>
+                if (arm.hllEndOf.isDefined)
+                  quantileOver(d, bounds.map { case (s, e) =>
+                    (math.max(s, gs), math.min(e, gEnd))
+                  }, n.qArg)
+                else quantileOver(d, hllReadMap.getOrElse(gs, Nil), n.qArg)
               case DistinctSetSrc(_, _) =>
                 Long.box(distinctCounts(k).count(_.getOrElse(gs, 0L) > 0L))
             }
@@ -966,8 +1031,8 @@ object UWheelRule extends Rule[LogicalPlan] {
         val (arm, timeGe, keyAttr) =
           orient(g1, g2).orElse(orient(g2, g1)).getOrElse(return None)
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
-        // hll needs clip per bucket via hllEndOf or hllReads (1-column arm)
-        val needHll2 = needList.values.exists(_.kind == "hll")
+        // sketch needs clip per bucket via hllEndOf or hllReads (1-column arm)
+        val needHll2 = needList.values.exists(n => n.kind == "hll" || n.kind == "hdrq")
         if (needHll2 && arm.hllEndOf.isEmpty && arm.hllReads.isEmpty)
           return None
         val bucketEndOf = arm.hllEndOf.getOrElse((gs: Long) => gs)
@@ -1002,10 +1067,21 @@ object UWheelRule extends Rule[LogicalPlan] {
               ranges.forall(r =>
                 r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
                 r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+        // per-value KEYED quantile wheel, routed by keyEq like the distinct
+        // wheels ("p99 per event type")
+        def quantileForValue(n: Need, v: Literal): Option[QuantileIndexedWheel] =
+          n.column.flatMap(c => table.allQuantileWheels.find(d =>
+            d.column == c && d.s == n.hllP &&
+              d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
+            .filter(d => d.span == 1L ||
+              ranges.forall(r =>
+                r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+                r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
         val perValue: Map[(Expression, Literal), Src] =
           (for { (k, n) <- needList.toSeq; v <- values } yield (k, v) -> (n.kind match {
-            case "hll" => distinctForValue(n, v).map(HllSrc).getOrElse(return None)
-            case _     => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
+            case "hll"  => distinctForValue(n, v).map(HllSrc).getOrElse(return None)
+            case "hdrq" => quantileForValue(n, v).map(QuantileSrc).getOrElse(return None)
+            case _      => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
           })).toMap
 
         // unfiltered wheel: enumerates ALL buckets and anchors the proof
@@ -1014,7 +1090,8 @@ object UWheelRule extends Rule[LogicalPlan] {
         val spans2 = perValue.values.map {
           case NumSrc(w) => w.wheel.slotSpan
           case HllSrc(d) => d.span
-          case _: DistinctSetSrc => return None // declined above (cntdist)
+          case QuantileSrc(d) => d.span
+          case _: DistinctSetSrc | _: UnionSrc => return None // declined above
         }.toSet + baseW.wheel.slotSpan
         if (spans2.exists(sp => bucketSpan % sp != 0)) return None
         def groupsOf2(hw: HawWheel): Map[Long, RangeAgg] =
@@ -1063,7 +1140,13 @@ object UWheelRule extends Rule[LogicalPlan] {
                         (math.max(s, b), math.min(e, bEnd))
                       })
                     else hllOver(d, hllReadMap2.getOrElse(b, Nil))
-                  case _: DistinctSetSrc => return None // declined above
+                  case QuantileSrc(d) =>
+                    if (arm.hllEndOf.isDefined)
+                      quantileOver(d, bounds.map { case (s, e) =>
+                        (math.max(s, b), math.min(e, bEnd))
+                      }, n.qArg)
+                    else quantileOver(d, hllReadMap2.getOrElse(b, Nil), n.qArg)
+                  case _ => return None // declined above
                 }
                 k -> (value, dataTypeOf(k))
               }.toMap

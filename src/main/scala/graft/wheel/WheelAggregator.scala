@@ -463,6 +463,175 @@ object WheelAggregators {
       math.round(corrected)
     }
   }
+
+  /** HDR-style log-bucketed quantile sketch as a wheel partial — the
+    * temporal "p99 latency over any time range" aggregate, the second
+    * sketch instance of the custom-aggregator surface (after
+    * [[HllDistinct]]). A value buckets by its IEEE-754 bit pattern
+    * truncated to `s` mantissa bits (positive doubles order exactly as
+    * their bit patterns, so `(bits >>> (52−s))` is a monotone bucketing;
+    * negatives mirror to negative bucket indices, −0 normalizes to 0, NaN
+    * sits in a topmost sentinel bucket matching Spark's NaN-greatest sort
+    * order). Bucket width is ≤ 2^−s RELATIVE to magnitude (s=7 → 0.79 %),
+    * constant in value space across all magnitudes — the HdrHistogram
+    * trick, with no configuration of the value range.
+    *
+    * The partial is a canonical sorted array of (bucket, count) pairs —
+    * equal content always has equal bytes, so the rewritten-vs-scan
+    * bit-equality specs survive the encoding — and `combine` is a sorted
+    * merge with ADDITIVE counts: commutative and associative but NOT
+    * idempotent, which is sound precisely because every wheel read path
+    * ([[TypedHawWheel.combineRange]], the rule's disjoint range-set /
+    * bucket clips) combines DISJOINT slot sets, exactly like count/sum.
+    * Deterministic: no RNG, no data-order dependence (counts are
+    * order-free), so any partitioning, shuffle, or wheel decomposition
+    * yields the identical sketch.
+    *
+    * Quantile rule (deterministic, documented): rank `r = clamp(⌈q·N⌉, 1,
+    * N)` over ascending buckets; the answer is the containing BUCKET'S
+    * LOWER EDGE in value order — a value ≤ the true q-quantile with
+    * relative error < 2^−s. Empty input lowers to null upstream.
+    *
+    * `lower` is the identity (the partial itself): the q parameter lives
+    * in the query, so consumers call [[quantileOf]] with it. */
+  final class HdrQuantile(val s: Int = 7) extends WheelAggregator[Double, Array[Byte], Array[Byte]] {
+    require(s >= 1 && s <= 20, s"hdr_quantile resolution must be in [1, 20], got $s")
+    private val shift = 52 - s
+    /** NaN sentinel: sorts after every real bucket (Spark orders NaN
+      * greatest). Int.MaxValue is unreachable as a real bucket for s ≤ 20
+      * (max real bucket ≈ 2^(11+s) − 1 < 2^31 − 1). */
+    val NanBucket: Int = Int.MaxValue
+
+    def bucketOf(v: Double): Int =
+      if (java.lang.Double.isNaN(v)) NanBucket
+      else {
+        // -0.0 normalizes to 0.0 (SQL equality treats them as one value)
+        val vv = if (v == 0.0) 0.0 else v
+        val bits = java.lang.Double.doubleToLongBits(vv)
+        if (bits >= 0L) (bits >>> shift).toInt
+        else -(((bits & Long.MaxValue) >>> shift).toInt) - 1
+      }
+
+    /** The bucket's lower edge in VALUE order (the quantile's deterministic
+      * representative). */
+    def valueOf(idx: Int): Double =
+      if (idx == NanBucket) Double.NaN
+      else if (idx >= 0) java.lang.Double.longBitsToDouble(idx.toLong << shift)
+      else -java.lang.Double.longBitsToDouble(((-idx).toLong) << shift)
+
+    // ---- canonical partial: n × [bucket: Int, count: Long], sorted by
+    // bucket ascending, counts > 0, big-endian; the EMPTY array is the
+    // (only) encoding of zero content
+    val identity: Array[Byte] = Array.emptyByteArray
+
+    @inline private def pairs(a: Array[Byte]): Int = a.length / 12
+    @inline private def idxAt(a: Array[Byte], k: Int): Int = {
+      val o = k * 12
+      ((a(o) & 0xff) << 24) | ((a(o + 1) & 0xff) << 16) |
+        ((a(o + 2) & 0xff) << 8) | (a(o + 3) & 0xff)
+    }
+    @inline private def cntAt(a: Array[Byte], k: Int): Long = {
+      val o = k * 12 + 4
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (a(o + i) & 0xffL); i += 1 }
+      v
+    }
+    @inline private def write(a: Array[Byte], k: Int, idx: Int, cnt: Long): Unit = {
+      val o = k * 12
+      a(o) = (idx >>> 24).toByte; a(o + 1) = (idx >>> 16).toByte
+      a(o + 2) = (idx >>> 8).toByte; a(o + 3) = idx.toByte
+      var i = 0
+      while (i < 8) { a(o + 4 + i) = (cnt >>> (56 - 8 * i)).toByte; i += 1 }
+    }
+
+    def lift(in: Double): Array[Byte] = {
+      val out = new Array[Byte](12)
+      write(out, 0, bucketOf(in), 1L)
+      out
+    }
+
+    /** Canonical encoding of sorted (bucket, count) content — the one
+      * byte form equal content always maps to. Shared with the SQL
+      * aggregate's map-buffer serialization so the two can never drift. */
+    def encodeSorted(idxs: Array[Int], cnts: Array[Long]): Array[Byte] = {
+      val out = new Array[Byte](idxs.length * 12)
+      var k = 0
+      while (k < idxs.length) { write(out, k, idxs(k), cnts(k)); k += 1 }
+      out
+    }
+
+    /** Decoded (buckets, counts) of a canonical partial, sorted ascending. */
+    def decode(p: Array[Byte]): (Array[Int], Array[Long]) = {
+      val n = pairs(p)
+      val idxs = new Array[Int](n)
+      val cnts = new Array[Long](n)
+      var k = 0
+      while (k < n) { idxs(k) = idxAt(p, k); cnts(k) = cntAt(p, k); k += 1 }
+      (idxs, cnts)
+    }
+
+    /** Sorted merge with additive counts (addExact: a silently wrapped
+      * count would become a wrong plan-time quantile; the optimizer
+      * degrades to the scan on the exception). Never mutates arguments. */
+    def combine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      if (a.length == 0) return b
+      if (b.length == 0) return a
+      val na = pairs(a); val nb = pairs(b)
+      val out = new Array[Byte](a.length + b.length)
+      var ia = 0; var ib = 0; var k = 0
+      while (ia < na && ib < nb) {
+        val xa = idxAt(a, ia); val xb = idxAt(b, ib)
+        if (xa < xb) { write(out, k, xa, cntAt(a, ia)); ia += 1 }
+        else if (xb < xa) { write(out, k, xb, cntAt(b, ib)); ib += 1 }
+        else {
+          write(out, k, xa, Math.addExact(cntAt(a, ia), cntAt(b, ib)))
+          ia += 1; ib += 1
+        }
+        k += 1
+      }
+      while (ia < na) { write(out, k, idxAt(a, ia), cntAt(a, ia)); ia += 1; k += 1 }
+      while (ib < nb) { write(out, k, idxAt(b, ib), cntAt(b, ib)); ib += 1; k += 1 }
+      if (k * 12 == out.length) out else java.util.Arrays.copyOf(out, k * 12)
+    }
+
+    def lower(p: Array[Byte]): Array[Byte] = p
+
+    def totalCount(p: Array[Byte]): Long = {
+      var t = 0L
+      var k = 0
+      val n = pairs(p)
+      while (k < n) { t = Math.addExact(t, cntAt(p, k)); k += 1 }
+      t
+    }
+
+    /** The deterministic q-quantile of a partial; null (None) on empty. */
+    def quantileOf(p: Array[Byte], q: Double): Option[Double] = {
+      if (p.length == 0) return None
+      val (idxs, cnts) = decode(p)
+      Some(quantileOfSorted(idxs, cnts, q))
+    }
+
+    /** Shared lowering arithmetic — the SQL aggregate's map buffer and the
+      * wheel's decoded partial both come through here, so their answers
+      * are identical whenever their CONTENT is. Buckets must be sorted
+      * ascending with positive counts. */
+    def quantileOfSorted(idxs: Array[Int], cnts: Array[Long], q: Double): Double = {
+      var total = 0L
+      var k = 0
+      while (k < idxs.length) { total = Math.addExact(total, cnts(k)); k += 1 }
+      val r0 = math.ceil(q * total).toLong
+      val r = math.max(1L, math.min(total, r0))
+      var cum = 0L
+      k = 0
+      while (k < idxs.length) {
+        cum += cnts(k)
+        if (cum >= r) return valueOf(idxs(k))
+        k += 1
+      }
+      valueOf(idxs(idxs.length - 1)) // unreachable (cum == total >= r)
+    }
+  }
 }
 
 /** Block storage for level partials: raw array, or codec-encoded 128-slot
