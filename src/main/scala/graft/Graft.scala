@@ -39,6 +39,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.HdrQuantileAgg].getName, "hdr_quantile"),
       Graft.hdrBuilder))
+    graft.functions.MomentStatsAgg.Stats.foreach { stat =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(s"wheel_$stat"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.MomentStatsAgg].getName, s"wheel_$stat"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          Graft.momentBuilder(stat, exprs)))
+    }
+    graft.functions.CoMomentStatsAgg.Stats.foreach { stat =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(s"wheel_$stat"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.CoMomentStatsAgg].getName, s"wheel_$stat"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          Graft.coMomentBuilder(stat, exprs)))
+    }
   }
 }
 
@@ -70,6 +86,32 @@ object Graft {
       "hll_distinct", hllBuilder, "scala_udf")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hdr_quantile", hdrBuilder, "scala_udf")
+    graft.functions.MomentStatsAgg.Stats.foreach { stat =>
+      cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"wheel_$stat", exprs => momentBuilder(stat, exprs), "scala_udf")
+    }
+    graft.functions.CoMomentStatsAgg.Stats.foreach { stat =>
+      cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"wheel_$stat", exprs => coMomentBuilder(stat, exprs), "scala_udf")
+    }
+  }
+
+  /** `wheel_covar_samp(x, y)` etc. — exact co-moment covariance/correlation
+    * aggregates ([[graft.functions.CoMomentStatsAgg]]). */
+  private[graft] def coMomentBuilder(stat: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2, s"wheel_$stat takes (x, y), got ${exprs.length} arguments")
+    graft.functions.CoMomentStatsAgg(exprs(0), exprs(1), stat)
+  }
+
+  /** `wheel_var_samp(col)` etc. — exact-moment variance/stddev aggregates
+    * ([[graft.functions.MomentStatsAgg]]). */
+  private[graft] def momentBuilder(stat: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 1, s"wheel_$stat takes (col), got ${exprs.length} arguments")
+    graft.functions.MomentStatsAgg(exprs.head, stat)
   }
 
   private def intOf(e: org.apache.spark.sql.catalyst.expressions.Expression,

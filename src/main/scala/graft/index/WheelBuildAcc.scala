@@ -27,7 +27,9 @@ private[index] final class WheelBuildAcc(
     scales: Array[Int],
     hasVals: Array[Boolean],
     hllPs: Array[Int] = Array.emptyIntArray,
-    hdrSs: Array[Int] = Array.emptyIntArray) extends Serializable {
+    hdrSs: Array[Int] = Array.emptyIntArray,
+    momScales: Array[Int] = Array.emptyIntArray,
+    coScales: Array[(Int, Int)] = Array.empty) extends Serializable {
 
   private val n = scales.length
   val wheels: Array[RwWheel] =
@@ -45,6 +47,23 @@ private[index] final class WheelBuildAcc(
   val sketch: Array[TypedRwWheel[Double, Array[Byte], Array[Byte]]] =
     hdrSs.map(s => new TypedRwWheel[Double, Array[Byte], Array[Byte]](
       new WheelAggregators.HdrQuantile(s)))
+  // exact-moment wheels: per-second (n, Σx, Σx²) partials from five plain
+  // aggregate columns per spec, at row offset 1 + 7n + |hll| + |hdr| + 5j
+  val moment: Array[TypedRwWheel[Long, WheelAggregators.Moments, WheelAggregators.Moments]] =
+    momScales.map(s => new TypedRwWheel[Long, WheelAggregators.Moments, WheelAggregators.Moments](
+      new WheelAggregators.MomentStats(s)))
+  val momCastFail: Array[Long] = new Array[Long](momScales.length)
+  val momAbsMax: Array[Double] = new Array[Double](momScales.length)
+  // exact co-moment wheels: per-second (n, Σx, Σy, Σx², Σy², Σxy) partials
+  // from nine plain aggregate columns per spec, after the moment columns
+  val coMoment: Array[TypedRwWheel[(Long, Long), WheelAggregators.CoMoments, WheelAggregators.CoMoments]] =
+    coScales.map { case (sx, sy) =>
+      new TypedRwWheel[(Long, Long), WheelAggregators.CoMoments, WheelAggregators.CoMoments](
+        new WheelAggregators.CoMomentStats(sx, sy))
+    }
+  val coCastFail: Array[Long] = new Array[Long](coScales.length)
+  val coAbsMaxX: Array[Double] = new Array[Double](coScales.length)
+  val coAbsMaxY: Array[Double] = new Array[Double](coScales.length)
 
   def add(r: Row): Unit = {
     val nullSec = r.isNullAt(0)
@@ -89,6 +108,40 @@ private[index] final class WheelBuildAcc(
       }
       q += 1
     }
+    var m = 0
+    while (m < moment.length) {
+      val o = 1 + n * 7 + distinct.length + sketch.length + m * 5
+      val mc = r.getLong(o)
+      if (!nullSec) {
+        if (mc > 0L) {
+          val sx = BigInt(r.getDecimal(o + 1).toBigIntegerExact)
+          val sxx = BigInt(r.getDecimal(o + 2).toBigIntegerExact)
+          moment(m).mergePartial(sec, WheelAggregators.Moments(mc, sx, sxx))
+        }
+        momCastFail(m) += r.getLong(o + 3)
+        if (!r.isNullAt(o + 4))
+          momAbsMax(m) = math.max(momAbsMax(m), r.getDouble(o + 4))
+      }
+      m += 1
+    }
+    var c = 0
+    while (c < coMoment.length) {
+      val o = 1 + n * 7 + distinct.length + sketch.length + moment.length * 5 + c * 9
+      val cn = r.getLong(o)
+      if (!nullSec) {
+        if (cn > 0L) {
+          def big(i: Int) = BigInt(r.getDecimal(o + i).toBigIntegerExact)
+          coMoment(c).mergePartial(sec,
+            WheelAggregators.CoMoments(cn, big(1), big(2), big(3), big(4), big(5)))
+        }
+        coCastFail(c) += r.getLong(o + 6)
+        if (!r.isNullAt(o + 7))
+          coAbsMaxX(c) = math.max(coAbsMaxX(c), r.getDouble(o + 7))
+        if (!r.isNullAt(o + 8))
+          coAbsMaxY(c) = math.max(coAbsMaxY(c), r.getDouble(o + 8))
+      }
+      c += 1
+    }
   }
 
   private def hllAggs(j: Int): WheelAggregators.HllDistinct =
@@ -113,6 +166,21 @@ private[index] final class WheelBuildAcc(
     while (q < sketch.length) {
       sketch(q).merge(o.sketch(q))
       q += 1
+    }
+    var m = 0
+    while (m < moment.length) {
+      moment(m).merge(o.moment(m))
+      momCastFail(m) += o.momCastFail(m)
+      momAbsMax(m) = math.max(momAbsMax(m), o.momAbsMax(m))
+      m += 1
+    }
+    var c = 0
+    while (c < coMoment.length) {
+      coMoment(c).merge(o.coMoment(c))
+      coCastFail(c) += o.coCastFail(c)
+      coAbsMaxX(c) = math.max(coAbsMaxX(c), o.coAbsMaxX(c))
+      coAbsMaxY(c) = math.max(coAbsMaxY(c), o.coAbsMaxY(c))
+      c += 1
     }
     this
   }

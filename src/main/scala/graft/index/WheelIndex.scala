@@ -136,6 +136,70 @@ final case class QuantileIndexedWheel(
     Option(keyEq).flatten
 }
 
+/** Exact-moment wheel (n, Σx, Σx² as exact integers at a fixed decimal
+  * scale) for one column — the third typed family after
+  * [[DistinctIndexedWheel]] and [[QuantileIndexedWheel]], answering
+  * `wheel_var_samp` / `wheel_var_pop` / `wheel_stddev_samp` /
+  * `wheel_stddev_pop` ([[graft.functions.MomentStatsAgg]]) over any time
+  * range at plan time. Moments are ADDITIVE and INVERTIBLE, so the frozen
+  * wheel keeps a prefix array and serves any range in O(1) like count/sum.
+  *
+  * Serving is gated on build-recorded facts, not hope: `castFail` counts
+  * rows whose value did NOT survive the exact (18, scale) fixed-point
+  * probe (NaN/Infinity/overflow) — any nonzero count declines every
+  * rewrite, because the wheel skipped rows the scan would aggregate (or
+  * throw on, under ANSI). `absMax` is the largest |value| seen; a query
+  * casting to DECIMAL(p, s) is served only when absMax proves the cast can
+  * never overflow (ANSI would throw mid-scan where the wheel would answer).
+  */
+@SerialVersionUID(1L)
+final case class MomentIndexedWheel(
+    wheel: TypedHawWheel[WheelAggregators.Moments, WheelAggregators.Moments],
+    column: String,
+    agg: WheelAggregators.MomentStats,
+    /** Rows whose value failed the exact fixed-point probe at build time. */
+    castFail: Long,
+    /** Max |value| over all ingested rows (double image; 0 when empty). */
+    absMax: Double,
+    filterKey: String = "",
+    filterSql: Option[String] = None,
+    /** Seconds per slot — span-coarsened builds produce span-aligned
+      * slots, gated by the rule exactly like the other families. */
+    slotSpan: Long = 1L,
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+  def scale: Int = agg.scale
+  def span: Long = if (slotSpan <= 0L) 1L else slotSpan
+  def keyEqOpt: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] =
+    Option(keyEq).flatten
+}
+
+/** Exact CO-moment wheel for a column PAIR — (n, Σx, Σy, Σx², Σy², Σxy) as
+  * exact integers — answering `wheel_covar_samp` / `wheel_covar_pop` /
+  * `wheel_corr` ([[graft.functions.CoMomentStatsAgg]]) over any time range
+  * at plan time, O(1) via the prefix array like [[MomentIndexedWheel]].
+  * Same decline gates: `castFail` ≠ 0 (a row escaped either column's exact
+  * fixed-point probe) refuses every rewrite; `absMaxX`/`absMaxY` prove a
+  * query's explicit casts can never overflow under ANSI. */
+@SerialVersionUID(1L)
+final case class CoMomentIndexedWheel(
+    wheel: TypedHawWheel[WheelAggregators.CoMoments, WheelAggregators.CoMoments],
+    columnX: String,
+    columnY: String,
+    agg: WheelAggregators.CoMomentStats,
+    castFail: Long,
+    absMaxX: Double,
+    absMaxY: Double,
+    filterKey: String = "",
+    filterSql: Option[String] = None,
+    slotSpan: Long = 1L,
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+  def scaleX: Int = agg.scaleX
+  def scaleY: Int = agg.scaleY
+  def span: Long = if (slotSpan <= 0L) 1L else slotSpan
+  def keyEqOpt: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] =
+    Option(keyEq).flatten
+}
+
 /** All wheels for one table (identified by its parquet root path).
   *
   * @param fingerprint hash of the table's file listing (path, length,
@@ -211,6 +275,23 @@ final class TableIndex(
     Option(quantiles).flatMap(m => Option(m.get((col, filterKey))))
   def allQuantileWheels: Seq[QuantileIndexedWheel] =
     Option(quantiles).map(_.asScala.values.toSeq).getOrElse(Nil)
+  // exact-moment wheels by (column, residual filter key); same
+  // null-after-old-deserialization guard as the other typed families
+  private val moments = new ConcurrentHashMap[(String, String), MomentIndexedWheel]()
+  def putMoment(mw: MomentIndexedWheel): Unit =
+    moments.put((mw.column, mw.filterKey), mw)
+  def momentWheel(col: String, filterKey: String = ""): Option[MomentIndexedWheel] =
+    Option(moments).flatMap(m => Option(m.get((col, filterKey))))
+  def allMomentWheels: Seq[MomentIndexedWheel] =
+    Option(moments).map(_.asScala.values.toSeq).getOrElse(Nil)
+  // exact co-moment wheels by (columnX, columnY, residual filter key)
+  private val coMoments = new ConcurrentHashMap[(String, String, String), CoMomentIndexedWheel]()
+  def putCoMoment(cw: CoMomentIndexedWheel): Unit =
+    coMoments.put((cw.columnX, cw.columnY, cw.filterKey), cw)
+  def coMomentWheel(colX: String, colY: String, filterKey: String = ""): Option[CoMomentIndexedWheel] =
+    Option(coMoments).flatMap(m => Option(m.get((colX, colY, filterKey))))
+  def allCoMomentWheels: Seq[CoMomentIndexedWheel] =
+    Option(coMoments).map(_.asScala.values.toSeq).getOrElse(Nil)
   def get(col: Option[String], filterKey: String): Option[IndexedWheel] =
     Option(wheels.get((col, filterKey)))
   def allWheels: Seq[IndexedWheel] = wheels.asScala.values.toSeq
@@ -232,7 +313,11 @@ final class TableIndex(
     (wheels.asScala.values.map(_.wheel).toList ++ allMsWheels.map(_.wheel))
       .distinct.map(_.sizeBytes).sum +
       allDistinctWheels.map(_.wheel.measuredBytes).sum +
-      allQuantileWheels.map(_.wheel.measuredBytes).sum
+      allQuantileWheels.map(_.wheel.measuredBytes).sum +
+      // moment partials: ~3 numbers per slot; the 8-byte-per-partial
+      // estimate understates BigInt headers, so count a measured 48 B each
+      allMomentWheels.map(_.wheel.numSecs.toLong * 48L).sum +
+      allCoMomentWheels.map(_.wheel.numSecs.toLong * 112L).sum
 }
 
 /** Driver-side registry of wheel indices, consulted by the optimizer rule at
@@ -343,7 +428,11 @@ final case class UWheelBuilder(
     keyedDistinctWheels: Seq[(String, String)] = Nil,
     millisColumns: Option[Seq[String]] = None,
     quantileColumns: Seq[(String, Int)] = Nil,
-    keyedQuantileWheels: Seq[(String, String, Int)] = Nil) {
+    keyedQuantileWheels: Seq[(String, String, Int)] = Nil,
+    momentColumns: Seq[String] = Nil,
+    keyedMomentWheels: Seq[(String, String)] = Nil,
+    coMomentColumns: Seq[(String, String)] = Nil,
+    keyedCoMomentWheels: Seq[(String, String, String)] = Nil) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
@@ -410,6 +499,40 @@ final case class UWheelBuilder(
     * filter key as keyed numeric wheels; fused into the same scan. */
   def withKeyedQuantileWheel(col: String, filterSql: String, s: Int = 7): UWheelBuilder =
     copy(keyedQuantileWheels = keyedQuantileWheels :+ ((col, filterSql, s)))
+
+  /** Adds an EXACT-moment wheel (n, Σx, Σx² as exact integers) over a
+    * numeric column, so `wheel_var_samp` / `wheel_var_pop` /
+    * `wheel_stddev_samp` / `wheel_stddev_pop`
+    * ([[graft.functions.MomentStatsAgg]]) over any time range ("value
+    * volatility last week") answers from the index at plan time — exactly,
+    * not as a sketch. Fixed-point scale: the column's own scale for a
+    * DECIMAL column, the builder's [[scale]] otherwise. Moments are
+    * invertible, so the frozen wheel serves any range in O(1) via its
+    * prefix array. Fused into the SAME single build scan (five plain
+    * codegen'd aggregate columns), zero extra passes. */
+  def withMomentWheel(col: String): UWheelBuilder =
+    copy(momentColumns = momentColumns :+ col)
+
+  /** A KEYED exact-moment wheel: moments over only rows matching
+    * `filterSql` ("checkout-value variance"), routed by the same canonical
+    * filter key as keyed numeric wheels; fused into the same scan. */
+  def withKeyedMomentWheel(col: String, filterSql: String): UWheelBuilder =
+    copy(keyedMomentWheels = keyedMomentWheels :+ ((col, filterSql)))
+
+  /** Adds an exact CO-moment wheel over a column PAIR, so
+    * `wheel_covar_samp(x, y)` / `wheel_covar_pop(x, y)` / `wheel_corr(x, y)`
+    * ([[graft.functions.CoMomentStatsAgg]]) over any time range ("did
+    * quantity and price move together last quarter?") answers from the
+    * index at plan time — exactly. Same scale policy as
+    * [[withMomentWheel]], per column; fused into the same single scan
+    * (nine plain codegen'd aggregate columns). */
+  def withCoMomentWheel(colX: String, colY: String): UWheelBuilder =
+    copy(coMomentColumns = coMomentColumns :+ ((colX, colY)))
+
+  /** A KEYED co-moment wheel: co-moments over only rows matching
+    * `filterSql`, routed by the canonical filter key. */
+  def withKeyedCoMomentWheel(colX: String, colY: String, filterSql: String): UWheelBuilder =
+    copy(keyedCoMomentWheels = keyedCoMomentWheels :+ ((colX, colY, filterSql)))
 
   private def requireHllP(p: Int): Unit = {
     require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
@@ -536,6 +659,28 @@ object UWheelIndex {
       filterSql: Option[String] = None,
       keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
 
+  /** One exact CO-moment wheel to build: which column pair, at which
+    * fixed-point scales, under which residual filter. */
+  final case class CoMomentSpec(
+      columnX: String,
+      columnY: String,
+      scaleX: Int,
+      scaleY: Int,
+      filter: Option[Column] = None,
+      filterKey: String = "",
+      filterSql: Option[String] = None,
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+
+  /** One exact-moment wheel to build: which column, at which fixed-point
+    * scale, under which residual filter (""/None = unfiltered). */
+  final case class MomentSpec(
+      column: String,
+      scale: Int,
+      filter: Option[Column] = None,
+      filterKey: String = "",
+      filterSql: Option[String] = None,
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+
   /** Structured `column = literal` form of a wheel filter, when it has one
     * (the multi-column GROUP BY arm routes on it). Matched on the ANALYZED
     * predicate so folding/cast normalization has already run. */
@@ -574,8 +719,14 @@ object UWheelIndex {
       slotExprOverride: Option[Column] = None,
       /** HDR quantile-sketch wheels — fused into the same scan as bin-array
         * aggregate columns, zero extra passes, like the HLL registers. */
-      quantileSpecs: Seq[QuantileSpec] = Nil)
-      : (Seq[BuiltWheel], Seq[DistinctIndexedWheel], Seq[QuantileIndexedWheel]) = {
+      quantileSpecs: Seq[QuantileSpec] = Nil,
+      /** Exact-moment wheels — fused into the same scan as five plain
+        * (codegen'd) aggregate columns per spec, zero extra passes. */
+      momentSpecs: Seq[MomentSpec] = Nil,
+      /** Exact co-moment wheels — nine plain aggregate columns per spec. */
+      coMomentSpecs: Seq[CoMomentSpec] = Nil)
+      : (Seq[BuiltWheel], Seq[DistinctIndexedWheel], Seq[QuantileIndexedWheel],
+         Seq[MomentIndexedWheel], Seq[CoMomentIndexedWheel]) = {
     require(specs.nonEmpty)
     require(slotExprOverride.isEmpty || specs.forall(_.timeRangeSec.isEmpty),
       "coverage-restricted specs are second-domain and cannot ride an overridden slot expression")
@@ -678,6 +829,57 @@ object UWheelIndex {
         graft.functions.HdrQuantileAgg(
           org.apache.spark.sql.graft.ColumnBridge.expression(in.cast("double")),
           q = 0.0, s = qs.s, returnBins = true).toAggregateExpression()).as(s"qt$j")
+    } ++ momentSpecs.zipWithIndex.flatMap { case (ms, j) =>
+      // Exact moments, all in native codegen'd arithmetic: the value is
+      // probed through an exact DECIMAL(18, scale) fixed-point image `f`
+      // (rows that don't survive — NaN/Infinity/overflow — are COUNTED,
+      // and any nonzero count makes the wheel decline every rewrite), the
+      // unscaled integer u = f·10^s is exact in a BIGINT (|u| < 10^18),
+      // and Σu / Σu² accumulate in DECIMAL(38,0) — u² < 10^36 always fits
+      // a tight (19,0)×(19,0) product, so no precision loss anywhere.
+      val s = ms.scale
+      val src = F.col(ms.column)
+      val vd = src.cast("double")
+      val f = src.try_cast(s"decimal(18,$s)")
+      val fail = src.isNotNull && f.isNull
+      val u = (f * F.lit(math.pow(10, s).toLong).cast("decimal(10,0)")).cast("long")
+      val u19 = u.cast("decimal(19,0)")
+      val keepM = ms.filter.getOrElse(F.lit(true))
+      Seq(
+        F.count(F.when(keepM, u)).as(s"mn$j"),
+        F.sum(F.when(keepM, u.cast("decimal(38,0)"))).as(s"ms$j"),
+        F.sum(F.when(keepM, u19 * u19)).as(s"mq$j"),
+        F.sum(F.when(keepM && fail, F.lit(1L)).otherwise(F.lit(0L))).as(s"mf$j"),
+        F.max(F.when(keepM, F.abs(vd))).as(s"ma$j"))
+    } ++ coMomentSpecs.zipWithIndex.flatMap { case (cs, j) =>
+      // Exact co-moments: both columns go through the same fixed-point
+      // probe as the unary moments; a row contributes only when BOTH
+      // values are non-NULL (SQL binary-aggregate discipline), and a probe
+      // failure in EITHER column (NaN/Infinity/overflow — which would make
+      // the scan's explicit cast throw under ANSI) is counted to decline.
+      def probe(c: String, s: Int) = {
+        val src = F.col(c)
+        val f = src.try_cast(s"decimal(18,$s)")
+        val u = (f * F.lit(math.pow(10, s).toLong).cast("decimal(10,0)")).cast("long")
+        (src, f, u, src.cast("double"))
+      }
+      val (sx0, fx, ux, xd) = probe(cs.columnX, cs.scaleX)
+      val (sy0, fy, uy, yd) = probe(cs.columnY, cs.scaleY)
+      val fail = (sx0.isNotNull && fx.isNull) || (sy0.isNotNull && fy.isNull)
+      val keepC = cs.filter.getOrElse(F.lit(true))
+      val both = keepC && ux.isNotNull && uy.isNotNull
+      val ux19 = ux.cast("decimal(19,0)")
+      val uy19 = uy.cast("decimal(19,0)")
+      Seq(
+        F.sum(F.when(both, F.lit(1L)).otherwise(F.lit(0L))).as(s"cn$j"),
+        F.sum(F.when(both, ux.cast("decimal(38,0)"))).as(s"cx$j"),
+        F.sum(F.when(both, uy.cast("decimal(38,0)"))).as(s"cy$j"),
+        F.sum(F.when(both, ux19 * ux19)).as(s"cxx$j"),
+        F.sum(F.when(both, uy19 * uy19)).as(s"cyy$j"),
+        F.sum(F.when(both, ux19 * uy19)).as(s"cxy$j"),
+        F.sum(F.when(keepC && fail, F.lit(1L)).otherwise(F.lit(0L))).as(s"cf$j"),
+        F.max(F.when(keepC, F.abs(xd))).as(s"cax$j"),
+        F.max(F.when(keepC, F.abs(yd))).as(s"cay$j"))
     }
     // Executor-side merge: each shuffle partition folds its per-second rows
     // into compact RwWheels, and partials meet in a depth-2 aggregation tree
@@ -696,13 +898,15 @@ object UWheelIndex {
       else secExpr - F.pmod(secExpr, F.lit(slotSpan)))
     val hllPs = distinctSpecs.map(_.p).toArray
     val hdrSs = quantileSpecs.map(_.s).toArray
+    val momScales = momentSpecs.map(_.scale).toArray
+    val coScales = coMomentSpecs.map(cs => (cs.scaleX, cs.scaleY)).toArray
     // widen, don't replace: filters/secExpr/distinct columns still resolve
     // by name against the original schema
     val projected =
       if (valKeys.isEmpty) df else df.select(F.col("*") +: projCols: _*)
     val acc = projected.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
       .rdd
-      .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs, hdrSs))(
+      .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs, hdrSs, momScales, coScales))(
         (a, row) => { a.add(row); a },
         (a, b) => a.merge(b),
         depth = 2)
@@ -726,7 +930,19 @@ object UWheelIndex {
         rw.agg.asInstanceOf[WheelAggregators.HdrQuantile], qs.filterKey, qs.filterSql,
         slotSpan, qs.keyEq)
     }
-    (built, builtDistinct, builtQuantile)
+    val builtMoment = momentSpecs.zipWithIndex.map { case (ms, j) =>
+      MomentIndexedWheel(acc.moment(j).freeze(), ms.column,
+        acc.moment(j).agg.asInstanceOf[WheelAggregators.MomentStats],
+        acc.momCastFail(j), acc.momAbsMax(j), ms.filterKey, ms.filterSql,
+        slotSpan, ms.keyEq)
+    }
+    val builtCoMoment = coMomentSpecs.zipWithIndex.map { case (cs, j) =>
+      CoMomentIndexedWheel(acc.coMoment(j).freeze(), cs.columnX, cs.columnY,
+        acc.coMoment(j).agg.asInstanceOf[WheelAggregators.CoMomentStats],
+        acc.coCastFail(j), acc.coAbsMaxX(j), acc.coAbsMaxY(j), cs.filterKey, cs.filterSql,
+        slotSpan, cs.keyEq)
+    }
+    (built, builtDistinct, builtQuantile, builtMoment, builtCoMoment)
   }
 
   /** Optimizer-construction build (reference `try_new` + `build`,
@@ -824,9 +1040,34 @@ object UWheelIndex {
           graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
           keyEqOf(df, fc))
       }
-    val (built, builtDistinct, builtQuantile) = buildWheels(df, conf.timeColumn,
-      colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels, dSpecs,
-      quantileSpecs = qSpecs)
+    // moment wheels fix their scale from the source: a DECIMAL column's own
+    // scale, 0 for integral columns (so bare-column `wheel_var_samp(int_col)`
+    // matches), the builder's scale for DOUBLE (queries cast explicitly)
+    def momentScaleFor(c: String): Int = df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(d: org.apache.spark.sql.types.DecimalType) => d.scale
+      case Some(org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType) => 0
+      case _ => conf.scale
+    }
+    val mSpecs = conf.momentColumns.map(c => MomentSpec(c, momentScaleFor(c))) ++
+      conf.keyedMomentWheels.map { case (c, sql) =>
+        val fc = F.expr(sql)
+        MomentSpec(c, momentScaleFor(c), Some(fc),
+          graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
+          keyEqOf(df, fc))
+      }
+    val cSpecs = conf.coMomentColumns.map { case (x, y) =>
+      CoMomentSpec(x, y, momentScaleFor(x), momentScaleFor(y))
+    } ++ conf.keyedCoMomentWheels.map { case (x, y, sql) =>
+      val fc = F.expr(sql)
+      CoMomentSpec(x, y, momentScaleFor(x), momentScaleFor(y), Some(fc),
+        graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
+        keyEqOf(df, fc))
+    }
+    val (built, builtDistinct, builtQuantile, builtMoment, builtCoMoment) =
+      buildWheels(df, conf.timeColumn,
+        colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels, dSpecs,
+        quantileSpecs = qSpecs, momentSpecs = mSpecs, coMomentSpecs = cSpecs)
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val countBuilt = colBuilt.headOption match {
       case Some(bw) =>
@@ -845,6 +1086,8 @@ object UWheelIndex {
     (colBuilt ++ rest.take(keyedSpecs.length)).foreach(bw => t.put(bw.wheel))
     builtDistinct.foreach(t.putDistinct)
     builtQuantile.foreach(t.putQuantile)
+    builtMoment.foreach(t.putMoment)
+    builtCoMoment.foreach(t.putCoMoment)
     conf.millisColumns.foreach(cols => buildMsWheels(df, t, cols.map(c => (c, scaleFor(c)))))
     WheelRegistry.register(t)
     t
@@ -860,7 +1103,7 @@ object UWheelIndex {
     val msSpecs =
       if (cols.isEmpty) Seq(WheelSpec(None, None, "", None, 2))
       else cols.map { case (c, sc) => WheelSpec(Some(c), None, "", None, sc) }
-    val (msBuilt, _, _) = buildWheels(df, t.timeColumn, msSpecs,
+    val (msBuilt, _, _, _, _) = buildWheels(df, t.timeColumn, msSpecs,
       slotExprOverride = Some(msExprOf(df, t.timeColumn)))
     msBuilt.foreach(bw => t.putMs(bw.wheel))
     if (cols.nonEmpty)
@@ -1059,14 +1302,25 @@ object UWheelIndex {
       Option(d.filterKey).getOrElse("").isEmpty || Option(d.filterSql).flatten.isDefined)
     val oldQuantile = t.allQuantileWheels.filter(qw =>
       Option(qw.filterKey).getOrElse("").isEmpty || Option(qw.filterSql).flatten.isDefined)
-    val (built, freshDistinct, freshQuantile) = buildWheels(scanDf, t.timeColumn,
+    val oldMoment = t.allMomentWheels.filter(mw =>
+      Option(mw.filterKey).getOrElse("").isEmpty || Option(mw.filterSql).flatten.isDefined)
+    val oldCoMoment = t.allCoMomentWheels.filter(cw =>
+      Option(cw.filterKey).getOrElse("").isEmpty || Option(cw.filterSql).flatten.isDefined)
+    val (built, freshDistinct, freshQuantile, freshMoment, freshCoMoment) = buildWheels(scanDf, t.timeColumn,
       colSpecs ++ keyedSpecs ++ countSpec, span, t.packLevels,
       oldDistinct.map(d => DistinctSpec(d.column, d.p,
         Option(d.filterSql).flatten.map(F.expr), Option(d.filterKey).getOrElse(""),
         Option(d.filterSql).flatten)),
       quantileSpecs = oldQuantile.map(qw => QuantileSpec(qw.column, qw.s,
         Option(qw.filterSql).flatten.map(F.expr), Option(qw.filterKey).getOrElse(""),
-        Option(qw.filterSql).flatten)))
+        Option(qw.filterSql).flatten)),
+      momentSpecs = oldMoment.map(mw => MomentSpec(mw.column, mw.scale,
+        Option(mw.filterSql).flatten.map(F.expr), Option(mw.filterKey).getOrElse(""),
+        Option(mw.filterSql).flatten)),
+      coMomentSpecs = oldCoMoment.map(cw => CoMomentSpec(cw.columnX, cw.columnY,
+        cw.scaleX, cw.scaleY,
+        Option(cw.filterSql).flatten.map(F.expr), Option(cw.filterKey).getOrElse(""),
+        Option(cw.filterSql).flatten)))
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val keyedBuilt = rest.take(keyedSpecs.length)
 
@@ -1123,6 +1377,31 @@ object UWheelIndex {
       nt.putQuantile(qw.copy(wheel = merged,
         slotSpan = if (appendOnly) math.max(qw.span, span) else f.span))
     }
+    // Exact-moment wheels: moments are additive, so old + delta partials
+    // merge slot-wise bit-identical to a rebuild; the decline gates
+    // (castFail, absMax) accumulate across the refresh like the numeric
+    // exactness flags.
+    oldMoment.zip(freshMoment).foreach { case (mw, f) =>
+      val merged =
+        if (appendOnly)
+          TypedHawWheel.fromSecondPartials(mw.wheel.slotPartials ++ f.wheel.slotPartials, mw.agg)
+        else f.wheel
+      nt.putMoment(mw.copy(wheel = merged,
+        castFail = (if (appendOnly) mw.castFail else 0L) + f.castFail,
+        absMax = if (appendOnly) math.max(mw.absMax, f.absMax) else f.absMax,
+        slotSpan = if (appendOnly) math.max(mw.span, span) else f.span))
+    }
+    oldCoMoment.zip(freshCoMoment).foreach { case (cw, f) =>
+      val merged =
+        if (appendOnly)
+          TypedHawWheel.fromSecondPartials(cw.wheel.slotPartials ++ f.wheel.slotPartials, cw.agg)
+        else f.wheel
+      nt.putCoMoment(cw.copy(wheel = merged,
+        castFail = (if (appendOnly) cw.castFail else 0L) + f.castFail,
+        absMaxX = if (appendOnly) math.max(cw.absMaxX, f.absMaxX) else f.absMaxX,
+        absMaxY = if (appendOnly) math.max(cw.absMaxY, f.absMaxY) else f.absMaxY,
+        slotSpan = if (appendOnly) math.max(cw.span, span) else f.span))
+    }
     // Millisecond bottom-level wheels ride the same delta-vs-rebuild
     // decision through one extra scan grouped by millisecond (their tick
     // domain — the per-second delta scan cannot produce ms partials).
@@ -1134,7 +1413,7 @@ object UWheelIndex {
     if (oldMs.nonEmpty) {
       val ordered = oldMs.sortBy(_.valueColumn)
       val msSpecs = ordered.map(w => WheelSpec(w.valueColumn, None, "", None, w.wheel.scale))
-      val (msBuilt, _, _) = buildWheels(scanDf, t.timeColumn, msSpecs,
+      val (msBuilt, _, _, _, _) = buildWheels(scanDf, t.timeColumn, msSpecs,
         slotExprOverride = Some(msExprOf(scanDf, t.timeColumn)))
       ordered.zip(msBuilt).foreach { case (o, f) =>
         val merged =

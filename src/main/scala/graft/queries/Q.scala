@@ -89,8 +89,10 @@ object Q {
         // columns (HLL registers + HDR bins) line-item
         eventTypes.foldLeft(
           eventTypes.foldLeft(
-            numeric.withDistinctWheel("user_id").withQuantileWheel("value")) { (b, et) =>
+            numeric.withDistinctWheel("user_id").withQuantileWheel("value")
+              .withMomentWheel("value")) { (b, et) =>
             b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
+              .withKeyedMomentWheel("value", s"event_type = '$et'")
           }) { (b, et) =>
           b.withKeyedQuantileWheel("value", s"event_type = '$et'")
         }
@@ -149,7 +151,8 @@ object Q {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_shipdate"),
-          col("l_quantity").cast("decimal(12,2)").as("l_quantity"))
+          col("l_quantity").cast("decimal(12,2)").as("l_quantity"),
+          col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"))
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -159,7 +162,10 @@ object Q {
   def buildDecLineitem(spark: SparkSession, sfDir: String): Unit = {
     val path = derivedLineitemDecPath(spark, sfDir)
     spark.read.parquet(path).createOrReplaceTempView("lineitem_dec")
-    UWheelBuilder("l_shipdate", Seq("l_quantity")).build(spark, path)
+    UWheelBuilder("l_shipdate", Seq("l_quantity"))
+      .withMomentWheel("l_quantity")
+      .withCoMomentWheel("l_quantity", "l_extendedprice")
+      .build(spark, path)
   }
 
   /** A query whose Spark side is a plain SQL string over the corpus views. */

@@ -17,6 +17,40 @@ object WheelQueries {
   private val hi = "TIMESTAMP '2024-01-12 00:00:00'"
   private val range = s"ts >= $lo AND ts < $hi"
   private val sumDec = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+  private val valDec = "CAST(value AS DECIMAL(18,2))"
+
+  /** DuckDB mirror of [[graft.wheel.WheelAggregators.MomentStats.statOf]]:
+    * exact integer moments (unscaled cents, HUGEINT sums), integer
+    * numerator/denominator each CAST to DOUBLE once, two IEEE divisions
+    * (and an IEEE sqrt for the stddev forms) — digit-identical to the
+    * aggregate and to the wheel. `m` must provide columns n, sx, sxx. */
+  private def mStat(stat: String): String = {
+    val num = "CAST(n*sxx - sx*sx AS DOUBLE)"
+    stat match {
+      case "vs" => s"CASE WHEN n >= 2 THEN $num / CAST(n*(n-1) AS DOUBLE) / 10000.0 END"
+      case "vp" => s"CASE WHEN n >= 1 THEN $num / CAST(n*n AS DOUBLE) / 10000.0 END"
+      case "ss" => s"CASE WHEN n >= 2 THEN sqrt($num / CAST(n*(n-1) AS DOUBLE) / 10000.0) END"
+      case "sp" => s"CASE WHEN n >= 1 THEN sqrt($num / CAST(n*n AS DOUBLE) / 10000.0) END"
+    }
+  }
+  private val centsOf = s"CAST($valDec * 100 AS BIGINT)"
+
+  /** Co-moment oracle pieces, mirroring
+    * [[graft.wheel.WheelAggregators.CoMomentStats.statOf]]: for `corr` the
+    * fixed-point scales cancel, so no scale factor appears; covariance
+    * divides by 10^(sx+sy) = 10^4 at scale (2, 2). `m` must provide
+    * columns n, sx, sy, sxx, syy, sxy. */
+  private val liCents =
+    """CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS cx,
+      |                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cy""".stripMargin
+  private val coCorr =
+    "CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0 " +
+      "THEN CAST(n*sxy - sx*sy AS DOUBLE) / " +
+      "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) END"
+  private val coCovS =
+    "CASE WHEN n >= 2 THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 END"
+  private val coCovP =
+    "CASE WHEN n >= 1 THEN CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) / 10000.0 END"
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "uw_count_range" -> Q.sql(
@@ -305,6 +339,52 @@ object WheelQueries {
     "uw_quantile_bytype" -> Q.sql(
       s"""SELECT event_type, hdr_quantile(value, 0.95) AS p95, count(*) AS cnt
          |FROM events WHERE $range GROUP BY event_type ORDER BY 1""".stripMargin),
+    // EXACT-moment variance/stddev over a time range, answered from the
+    // moment wheel (n, Σx, Σx² as exact integers — O(1) via its prefix
+    // array). Unlike the sketch families these carry EXACT DuckDB oracles:
+    // the deterministic finalization (integer numerator/denominator, one
+    // correctly-rounded double conversion each, two IEEE divisions) is
+    // expressible verbatim in SQL. Beyond the reference, whose aggregates
+    // stop at SUM/AVG/MIN/MAX (`lib.rs:826-835`).
+    "uw_var_range" -> Q.sql(
+      s"""SELECT wheel_var_samp($valDec) AS vs, wheel_var_pop($valDec) AS vp,
+         |       wheel_stddev_samp($valDec) AS ss, wheel_stddev_pop($valDec) AS sp,
+         |       count(*) AS cnt
+         |FROM events WHERE $range""".stripMargin),
+    "uw_std_daily" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, wheel_stddev_samp($valDec) AS sd,
+         |       count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
+    "uw_var_keyed" -> Q.sql(
+      s"""SELECT wheel_var_samp($valDec) AS vs FROM events
+         |WHERE $range AND event_type = 'purchase'""".stripMargin),
+    "uw_var_bytype" -> Q.sql(
+      s"""SELECT event_type, wheel_var_samp($valDec) AS vs, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY event_type ORDER BY 1""".stripMargin),
+    // bare DECIMAL column: the wheel carries the column's own scale
+    "uw_var_dec" -> Q.sql(
+      """SELECT wheel_var_samp(l_quantity) AS vs, wheel_stddev_pop(l_quantity) AS sp
+        |FROM lineitem_dec
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin),
+    // EXACT co-moments over a column pair: covariance/correlation of
+    // quantity and price over a ship-date range, from ONE O(1) wheel read
+    // (q_corr's dashboard shape, answered at plan time)
+    "uw_corr_range" -> Q.sql(
+      """SELECT wheel_corr(l_quantity, l_extendedprice) AS r,
+        |       wheel_covar_samp(l_quantity, l_extendedprice) AS cs,
+        |       wheel_covar_pop(l_quantity, l_extendedprice) AS cp,
+        |       count(*) AS cnt
+        |FROM lineitem_dec
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin),
+    "uw_corr_monthly" -> Q.sql(
+      """SELECT date_trunc('month', l_shipdate) AS m,
+        |       wheel_corr(l_quantity, l_extendedprice) AS r, count(*) AS cnt
+        |FROM lineitem_dec
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // GROUP BY key ONLY (no time bucket) over a range — the everyday
     // "top event types last week" dashboard shape, answered from the
     // complete per-value wheel set under the same counting proof as the
@@ -599,6 +679,57 @@ object WheelQueries {
       s"""SELECT event_type, count(*) AS cnt
          |FROM events WHERE $range
          |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
+    "uw_var_range" ->
+      s"""WITH m AS (SELECT count(c) AS n, sum(c) AS sx, sum(c*c) AS sxx, count(*) AS rows_
+         |           FROM (SELECT $centsOf AS c FROM events WHERE $range))
+         |SELECT ${mStat("vs")} AS vs, ${mStat("vp")} AS vp,
+         |       ${mStat("ss")} AS ss, ${mStat("sp")} AS sp,
+         |       rows_ AS cnt
+         |FROM m""".stripMargin,
+    "uw_std_daily" ->
+      s"""WITH m AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(c) AS n,
+         |                  sum(c) AS sx, sum(c*c) AS sxx, count(*) AS rows_
+         |           FROM (SELECT ts, $centsOf AS c FROM events WHERE $range)
+         |           GROUP BY 1)
+         |SELECT d, ${mStat("ss")} AS sd, rows_ AS cnt
+         |FROM m ORDER BY 1""".stripMargin,
+    "uw_var_keyed" ->
+      s"""WITH m AS (SELECT count(c) AS n, sum(c) AS sx, sum(c*c) AS sxx
+         |           FROM (SELECT $centsOf AS c FROM events
+         |                 WHERE $range AND event_type = 'purchase'))
+         |SELECT ${mStat("vs")} AS vs FROM m""".stripMargin,
+    "uw_var_bytype" ->
+      s"""WITH m AS (SELECT event_type, count(c) AS n,
+         |                  sum(c) AS sx, sum(c*c) AS sxx, count(*) AS rows_
+         |           FROM (SELECT event_type, $centsOf AS c FROM events WHERE $range)
+         |           GROUP BY 1)
+         |SELECT event_type, ${mStat("vs")} AS vs, rows_ AS cnt
+         |FROM m ORDER BY 1""".stripMargin,
+    "uw_var_dec" ->
+      s"""WITH m AS (SELECT count(c) AS n, sum(c) AS sx, sum(c*c) AS sxx
+         |           FROM (SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+         |                 FROM lineitem
+         |                 WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+         |                   AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'))
+         |SELECT ${mStat("vs")} AS vs, ${mStat("sp")} AS sp FROM m""".stripMargin,
+    "uw_corr_range" ->
+      s"""WITH m AS (SELECT count(*) AS n, sum(cx) AS sx, sum(cy) AS sy,
+         |                  sum(cx*cx) AS sxx, sum(cy*cy) AS syy, sum(cx*cy) AS sxy
+         |           FROM (SELECT $liCents
+         |                 FROM lineitem
+         |                 WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+         |                   AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'))
+         |SELECT $coCorr AS r, $coCovS AS cs, $coCovP AS cp, n AS cnt FROM m""".stripMargin,
+    "uw_corr_monthly" ->
+      s"""WITH m AS (SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mth,
+         |                  count(*) AS n, sum(cx) AS sx, sum(cy) AS sy,
+         |                  sum(cx*cx) AS sxx, sum(cy*cy) AS syy, sum(cx*cy) AS sxy
+         |           FROM (SELECT l_shipdate, $liCents
+         |                 FROM lineitem
+         |                 WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |                   AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
+         |           GROUP BY 1)
+         |SELECT mth AS m, $coCorr AS r, n AS cnt FROM m ORDER BY 1""".stripMargin,
     "uw_subsec_range" ->
       s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
          |FROM events

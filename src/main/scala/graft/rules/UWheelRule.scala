@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.expr.{Canon, Extract}
-import graft.index.{DistinctIndexedWheel, IndexedWheel, QuantileIndexedWheel, TableIndex, WheelRegistry}
+import graft.index.{CoMomentIndexedWheel, DistinctIndexedWheel, IndexedWheel, MomentIndexedWheel, QuantileIndexedWheel, TableIndex, WheelRegistry}
 import graft.wheel.{HawWheel, RangeAgg}
 
 /** Plan-time rewrite of temporal aggregation queries against wheel-indexed
@@ -197,6 +197,12 @@ object UWheelRule extends Rule[LogicalPlan] {
   private final case class QuantileSrc(d: QuantileIndexedWheel) extends Src {
     def numeric: Option[IndexedWheel] = None
   }
+  private final case class MomentSrc(d: MomentIndexedWheel) extends Src {
+    def numeric: Option[IndexedWheel] = None
+  }
+  private final case class CoMomentSrc(d: CoMomentIndexedWheel) extends Src {
+    def numeric: Option[IndexedWheel] = None
+  }
   private final case class HllSrc(d: DistinctIndexedWheel) extends Src {
     def numeric: Option[IndexedWheel] = None
   }
@@ -234,7 +240,22 @@ object UWheelRule extends Rule[LogicalPlan] {
                                 resScale: Int = 0,
                                 /** The "hdrq" quantile argument (q ∈ [0,1]);
                                   * `hllP` doubles as its resolution `s`. */
-                                qArg: Double = 0.0) {
+                                qArg: Double = 0.0,
+                                /** The "moment" stat name (var_samp …);
+                                  * `decScale` carries its fixed-point scale. */
+                                stat: String = "",
+                                /** For "moment" under an explicit
+                                  * Cast(col AS DECIMAL(p, s)): the target
+                                  * precision p — the wheel's absMax must
+                                  * prove the cast can never overflow (ANSI
+                                  * would throw mid-scan). None for a bare
+                                  * column reference. */
+                                castP: Option[Int] = None,
+                                /** "comoment" second column + its scale and
+                                  * cast-precision gates. */
+                                column2: Option[String] = None,
+                                decScale2: Option[Int] = None,
+                                castP2: Option[Int] = None) {
     def value(ra: RangeAgg): Any = kind match {
       case "count" | "countcol" => ra.count
       case "sum"    => ra.sum.map(Double.box).orNull
@@ -355,6 +376,42 @@ object UWheelRule extends Rule[LogicalPlan] {
             Some(Need(Some(a.name), "hdrq", None, h.s, qArg = h.q))
           case _ => None
         }
+      // wheel_var_samp / wheel_var_pop / wheel_stddev_samp / wheel_stddev_pop:
+      // answered from an exact-moment wheel at the SAME fixed-point scale.
+      // A bare column reference (DECIMAL at its own scale, integral at 0)
+      // matches directly; an explicit Cast(col AS DECIMAL(p, s)) matches a
+      // scale-s wheel — both sides round identically (HALF_UP at s), and
+      // the recorded precision gates the ANSI overflow proof in srcFor.
+      case m: graft.functions.MomentStatsAgg =>
+        momentChild(m.child).map { case (c, s, p) =>
+          Need(Some(c), "moment", Some(s), stat = m.stat, castP = p)
+        }
+      // wheel_covar_samp / wheel_covar_pop / wheel_corr: the co-moment
+      // wheel over the column PAIR, same child forms and gates per side
+      case cm: graft.functions.CoMomentStatsAgg =>
+        for {
+          (cx, sx, px) <- momentChild(cm.left)
+          (cy, sy, py) <- momentChild(cm.right)
+        } yield Need(Some(cx), "comoment", Some(sx), stat = cm.stat, castP = px,
+          column2 = Some(cy), decScale2 = Some(sy), castP2 = py)
+      case _ => None
+    }
+  }
+
+  /** A moment-family child form: bare DECIMAL attr (its own scale), bare
+    * integral attr (scale 0), or an explicit Cast to DECIMAL(p, s) —
+    * returns (column, fixed-point scale, cast precision if explicit). */
+  private def momentChild(e: Expression): Option[(String, Int, Option[Int])] = {
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+    e match {
+      case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+        Some((a.name, a.dataType.asInstanceOf[DecimalType].scale, None))
+      case a: AttributeReference if integral.contains(a.dataType) =>
+        Some((a.name, 0, None))
+      case Cast(a: AttributeReference, dt: DecimalType, _, _)
+          if a.dataType == DoubleType || integral.contains(a.dataType) ||
+            a.dataType.isInstanceOf[DecimalType] =>
+        Some((a.name, dt.scale, Some(dt.precision)))
       case _ => None
     }
   }
@@ -602,6 +659,28 @@ object UWheelRule extends Rule[LogicalPlan] {
               r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
               r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
           .map(QuantileSrc)
+      // wheel_var/stddev: the exact-moment wheel at the query's fixed-point
+      // scale — same residual routing and span gate as the other typed
+      // families, plus the moment-specific exactness gates ([[momentOk]])
+      case "moment" =>
+        if (msMode) return None
+        table.momentWheel(n.column.getOrElse(return None), filterKey)
+          .filter(momentOk(n, _))
+          .filter(d => d.span == 1L ||
+            ranges.forall(r =>
+              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .map(MomentSrc)
+      case "comoment" =>
+        if (msMode) return None
+        table.coMomentWheel(n.column.getOrElse(return None),
+            n.column2.getOrElse(return None), filterKey)
+          .filter(coMomentOk(n, _))
+          .filter(d => d.span == 1L ||
+            ranges.forall(r =>
+              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .map(CoMomentSrc)
       case "cntdist" =>
         if (filterKey.nonEmpty || msMode) None // per-value wheels are second-domain
         else for {
@@ -699,6 +778,46 @@ object UWheelRule extends Rule[LogicalPlan] {
       val parts = bs.map { case (s, e) => d.wheel.combineRange(s, e) }
       val merged = if (parts.isEmpty) d.agg.identity else parts.reduce(d.agg.combine)
       d.agg.quantileOf(merged, q).map(Double.box).orNull
+    }
+
+    /** Moment-wheel serving gates: the wheel must cover every row the scan
+      * would aggregate with the exact value the aggregate would see —
+      * castFail ≠ 0 means rows escaped the fixed-point probe (or would
+      * make the scan throw under ANSI); the scale must equal the query's;
+      * an explicit Cast(… AS DECIMAL(p, s)) additionally needs the absMax
+      * proof that the cast can never overflow (margin 1.0 absorbs the
+      * double image's ulp). */
+    def momentOk(n: Need, d: MomentIndexedWheel): Boolean =
+      d.castFail == 0L &&
+        n.decScale.contains(d.scale) &&
+        n.castP.forall(p =>
+          // p − s ≥ 19 digits always hold |v| < 10^18 (the castFail probe)
+          p - d.scale >= 19 || d.absMax < math.pow(10d, p - d.scale) - 1.0)
+
+    /** wheel_var/stddev over a union of disjoint clipped ranges: moments
+      * merge additively (disjoint ⇒ exact) and lower once via the
+      * aggregator's shared statOf. Zero rows lower to null, matching the
+      * SQL aggregate over empty input. */
+    def momentOver(d: MomentIndexedWheel, bs: Seq[(Long, Long)], stat: String): Any = {
+      val parts = bs.map { case (s, e) => d.wheel.combineRange(s, e) }
+      val merged = if (parts.isEmpty) d.agg.identity else parts.reduce(d.agg.combine)
+      d.agg.statOf(merged, stat).map(Double.box).orNull
+    }
+
+    /** Co-moment serving gates: [[momentOk]]'s contract, per column. */
+    def coMomentOk(n: Need, d: CoMomentIndexedWheel): Boolean = {
+      def castOk(p: Int, scale: Int, absMax: Double): Boolean =
+        p - scale >= 19 || absMax < math.pow(10d, p - scale) - 1.0
+      d.castFail == 0L &&
+        n.decScale.contains(d.scaleX) && n.decScale2.contains(d.scaleY) &&
+        n.castP.forall(castOk(_, d.scaleX, d.absMaxX)) &&
+        n.castP2.forall(castOk(_, d.scaleY, d.absMaxY))
+    }
+
+    def coMomentOver(d: CoMomentIndexedWheel, bs: Seq[(Long, Long)], stat: String): Any = {
+      val parts = bs.map { case (s, e) => d.wheel.combineRange(s, e) }
+      val merged = if (parts.isEmpty) d.agg.identity else parts.reduce(d.agg.combine)
+      d.agg.statOf(merged, stat).map(Double.box).orNull
     }
 
     // Collect and classify every aggregate sub-expression in the output.
@@ -811,10 +930,29 @@ object UWheelRule extends Rule[LogicalPlan] {
             ranges.forall(r =>
               r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
               r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+      def momentForValue(n: Need): Literal => Option[MomentIndexedWheel] = v =>
+        n.column.flatMap(c => table.allMomentWheels.find(d =>
+          d.column == c && momentOk(n, d) &&
+            d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
+          .filter(d => d.span == 1L ||
+            ranges.forall(r =>
+              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+      def coMomentForValue(n: Need): Literal => Option[CoMomentIndexedWheel] = v =>
+        (for { cx <- n.column; cy <- n.column2 } yield
+          table.allCoMomentWheels.find(d =>
+            d.columnX == cx && d.columnY == cy && coMomentOk(n, d) &&
+              d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v))).flatten
+          .filter(d => d.span == 1L ||
+            ranges.forall(r =>
+              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
       val perValue: Map[(Expression, Literal), Src] =
         (for { (k, n) <- needList.toSeq; v <- values } yield (k, v) -> (n.kind match {
           case "hll"  => distinctForValue(n)(v).map(HllSrc).getOrElse(return None)
           case "hdrq" => quantileForValue(n)(v).map(QuantileSrc).getOrElse(return None)
+          case "moment" => momentForValue(n)(v).map(MomentSrc).getOrElse(return None)
+          case "comoment" => coMomentForValue(n)(v).map(CoMomentSrc).getOrElse(return None)
           case _      => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
         })).toMap
       // counting proof over the whole range set, anchored on the
@@ -833,6 +971,8 @@ object UWheelRule extends Rule[LogicalPlan] {
               case NumSrc(w) => n.value(rangeAggOf(w.wheel))
               case HllSrc(d) => hllOver(d, bounds)
               case QuantileSrc(d) => quantileOver(d, bounds, n.qArg)
+              case MomentSrc(d) => momentOver(d, bounds, n.stat)
+              case CoMomentSrc(d) => coMomentOver(d, bounds, n.stat)
               case _         => return None
             }
             k -> (value, dataTypeOf(k))
@@ -853,6 +993,8 @@ object UWheelRule extends Rule[LogicalPlan] {
             case UnionSrc(ws) => n.value(ws.map(w => rangeAggOf(w.wheel)).reduce(_.merge(_)))
             case HllSrc(d) => hllOver(d, bounds)
             case QuantileSrc(d) => quantileOver(d, bounds, n.qArg)
+            case MomentSrc(d) => momentOver(d, bounds, n.stat)
+            case CoMomentSrc(d) => coMomentOver(d, bounds, n.stat)
             case DistinctSetSrc(base, pv) =>
               // counting proof over the whole range set, then the exact
               // distinct count is the number of values present in it
@@ -903,7 +1045,8 @@ object UWheelRule extends Rule[LogicalPlan] {
         // arms' per-key interval enumeration (hllReads); with neither,
         // decline
         val needHll = nds.values.exists(s =>
-          s._2.isInstanceOf[HllSrc] || s._2.isInstanceOf[QuantileSrc])
+          s._2.isInstanceOf[HllSrc] || s._2.isInstanceOf[QuantileSrc] ||
+            s._2.isInstanceOf[MomentSrc] || s._2.isInstanceOf[CoMomentSrc])
         if (needHll && arm.hllEndOf.isEmpty && arm.hllReads.isEmpty)
           return None
         val bucketEndOf = arm.hllEndOf.getOrElse((gs: Long) => gs)
@@ -922,6 +1065,8 @@ object UWheelRule extends Rule[LogicalPlan] {
           case (_, NumSrc(w)) => Seq(w.wheel.slotSpan)
           case (_, HllSrc(d)) => Seq(d.span)
           case (_, QuantileSrc(d)) => Seq(d.span)
+          case (_, MomentSrc(d)) => Seq(d.span)
+          case (_, CoMomentSrc(d)) => Seq(d.span)
           case (_, DistinctSetSrc(b, pv)) =>
             b.wheel.slotSpan +: pv.map(_.wheel.slotSpan)
         }.toSet + enumWheel.wheel.slotSpan
@@ -994,6 +1139,18 @@ object UWheelRule extends Rule[LogicalPlan] {
                     (math.max(s, gs), math.min(e, gEnd))
                   }, n.qArg)
                 else quantileOver(d, hllReadMap.getOrElse(gs, Nil), n.qArg)
+              case MomentSrc(d) =>
+                if (arm.hllEndOf.isDefined)
+                  momentOver(d, bounds.map { case (s, e) =>
+                    (math.max(s, gs), math.min(e, gEnd))
+                  }, n.stat)
+                else momentOver(d, hllReadMap.getOrElse(gs, Nil), n.stat)
+              case CoMomentSrc(d) =>
+                if (arm.hllEndOf.isDefined)
+                  coMomentOver(d, bounds.map { case (s, e) =>
+                    (math.max(s, gs), math.min(e, gEnd))
+                  }, n.stat)
+                else coMomentOver(d, hllReadMap.getOrElse(gs, Nil), n.stat)
               case DistinctSetSrc(_, _) =>
                 Long.box(distinctCounts(k).count(_.getOrElse(gs, 0L) > 0L))
             }
@@ -1032,7 +1189,9 @@ object UWheelRule extends Rule[LogicalPlan] {
           orient(g1, g2).orElse(orient(g2, g1)).getOrElse(return None)
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
         // sketch needs clip per bucket via hllEndOf or hllReads (1-column arm)
-        val needHll2 = needList.values.exists(n => n.kind == "hll" || n.kind == "hdrq")
+        val needHll2 = needList.values.exists(n =>
+          n.kind == "hll" || n.kind == "hdrq" || n.kind == "moment" ||
+            n.kind == "comoment")
         if (needHll2 && arm.hllEndOf.isEmpty && arm.hllReads.isEmpty)
           return None
         val bucketEndOf = arm.hllEndOf.getOrElse((gs: Long) => gs)
@@ -1077,10 +1236,31 @@ object UWheelRule extends Rule[LogicalPlan] {
               ranges.forall(r =>
                 r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
                 r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+        // per-value KEYED moment wheel, routed by keyEq like the other
+        // typed families ("value variance per event type")
+        def momentForValue(n: Need, v: Literal): Option[MomentIndexedWheel] =
+          n.column.flatMap(c => table.allMomentWheels.find(d =>
+            d.column == c && momentOk(n, d) &&
+              d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
+            .filter(d => d.span == 1L ||
+              ranges.forall(r =>
+                r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+                r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+        def coMomentForValue(n: Need, v: Literal): Option[CoMomentIndexedWheel] =
+          (for { cx <- n.column; cy <- n.column2 } yield
+            table.allCoMomentWheels.find(d =>
+              d.columnX == cx && d.columnY == cy && coMomentOk(n, d) &&
+                d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v))).flatten
+            .filter(d => d.span == 1L ||
+              ranges.forall(r =>
+                r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+                r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
         val perValue: Map[(Expression, Literal), Src] =
           (for { (k, n) <- needList.toSeq; v <- values } yield (k, v) -> (n.kind match {
             case "hll"  => distinctForValue(n, v).map(HllSrc).getOrElse(return None)
             case "hdrq" => quantileForValue(n, v).map(QuantileSrc).getOrElse(return None)
+            case "moment" => momentForValue(n, v).map(MomentSrc).getOrElse(return None)
+            case "comoment" => coMomentForValue(n, v).map(CoMomentSrc).getOrElse(return None)
             case _      => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
           })).toMap
 
@@ -1091,6 +1271,8 @@ object UWheelRule extends Rule[LogicalPlan] {
           case NumSrc(w) => w.wheel.slotSpan
           case HllSrc(d) => d.span
           case QuantileSrc(d) => d.span
+          case MomentSrc(d) => d.span
+          case CoMomentSrc(d) => d.span
           case _: DistinctSetSrc | _: UnionSrc => return None // declined above
         }.toSet + baseW.wheel.slotSpan
         if (spans2.exists(sp => bucketSpan % sp != 0)) return None
@@ -1146,6 +1328,18 @@ object UWheelRule extends Rule[LogicalPlan] {
                         (math.max(s, b), math.min(e, bEnd))
                       }, n.qArg)
                     else quantileOver(d, hllReadMap2.getOrElse(b, Nil), n.qArg)
+                  case MomentSrc(d) =>
+                    if (arm.hllEndOf.isDefined)
+                      momentOver(d, bounds.map { case (s, e) =>
+                        (math.max(s, b), math.min(e, bEnd))
+                      }, n.stat)
+                    else momentOver(d, hllReadMap2.getOrElse(b, Nil), n.stat)
+                  case CoMomentSrc(d) =>
+                    if (arm.hllEndOf.isDefined)
+                      coMomentOver(d, bounds.map { case (s, e) =>
+                        (math.max(s, b), math.min(e, bEnd))
+                      }, n.stat)
+                    else coMomentOver(d, hllReadMap2.getOrElse(b, Nil), n.stat)
                   case _ => return None // declined above
                 }
                 k -> (value, dataTypeOf(k))

@@ -632,6 +632,166 @@ object WheelAggregators {
       valueOf(idxs(idxs.length - 1)) // unreachable (cum == total >= r)
     }
   }
+
+  /** Exact raw moments (n, Σx, Σx²) of a DECIMAL-valued column at a fixed
+    * scale — the wheel behind `wheel_var_samp` / `wheel_var_pop` /
+    * `wheel_stddev_samp` / `wheel_stddev_pop`
+    * ([[graft.functions.MomentStatsAgg]]): temporal variance ("value
+    * volatility last week") answered at plan time. The input is the
+    * UNSCALED integer of the value at `scale` (6.55 at scale 2 → 655), so
+    * Σx and Σx² are exact integers — `BigInt`, because Σx² over 100 TB
+    * (10¹² rows × ~10⁹ per-row square at scale 2) exceeds a Long —
+    * making the partial order-free: any partitioning, shuffle, tree
+    * merge, or wheel decomposition produces the SAME moments, and
+    * therefore the same variance, bit for bit. Third sketch-family
+    * instance of the custom-aggregator surface (reference trait:
+    * `/root/reference/datafusion-uwheel/src/aggregator/mod.rs:8-34`),
+    * and the first INVERTIBLE one — component-wise subtraction gives the
+    * frozen wheel its O(1) prefix path, like count/sum.
+    *
+    * Finalization ([[statOf]]) is shared between the SQL aggregate and
+    * the rewrite rule: integer numerator `n·Σx² − (Σx)²` and denominator,
+    * each correctly-rounded to double ONCE, then two IEEE divisions —
+    * deterministic, and expressible verbatim in an oracle SQL
+    * (`CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 10^(2·scale)`). */
+  final case class Moments(n: Long, sx: BigInt, sxx: BigInt)
+
+  final class MomentStats(val scale: Int) extends WheelAggregator[Long, Moments, Moments] {
+    require(scale >= 0 && scale <= 9, s"moment scale must be in [0, 9], got $scale")
+
+    val identity: Moments = Moments(0L, BigInt(0), BigInt(0))
+    def lift(u: Long): Moments = { val b = BigInt(u); Moments(1L, b, b * b) }
+    def combine(a: Moments, b: Moments): Moments =
+      Moments(Math.addExact(a.n, b.n), a.sx + b.sx, a.sxx + b.sxx)
+    override def inverse: Option[(Moments, Moments) => Moments] =
+      Some((ab, a) => Moments(ab.n - a.n, ab.sx - a.sx, ab.sxx - a.sxx))
+    def lower(p: Moments): Moments = p
+
+    /** 10^(2·scale), exact as a double (10^k is exactly representable up
+      * to 10^22; 2·scale ≤ 18). */
+    private val scaleSq: Double = math.pow(10d, 2 * scale)
+
+    /** The deterministic stat of a partial; None on the SQL-null cases
+      * (n = 0 for every stat; n = 1 for the sample forms, matching
+      * `var_samp`'s NULL convention). */
+    def statOf(p: Moments, stat: String): Option[Double] = {
+      if (p.n == 0L) return None
+      val num = BigInt(p.n) * p.sxx - p.sx * p.sx
+      def of(den: Long): Double =
+        num.doubleValue / den.toDouble / scaleSq // two IEEE divisions, fixed order
+      stat match {
+        case "var_pop"     => Some(of(Math.multiplyExact(p.n, p.n)))
+        case "stddev_pop"  => Some(math.sqrt(of(Math.multiplyExact(p.n, p.n))))
+        case "var_samp"    =>
+          if (p.n < 2L) None else Some(of(Math.multiplyExact(p.n, p.n - 1L)))
+        case "stddev_samp" =>
+          if (p.n < 2L) None else Some(math.sqrt(of(Math.multiplyExact(p.n, p.n - 1L))))
+        case other => throw new IllegalArgumentException(s"unknown moment stat: $other")
+      }
+    }
+
+    // ---- canonical encoding: [n: 8B BE] [len sx: 4B BE] [sx bytes]
+    // [len sxx: 4B BE] [sxx bytes], each BigInt as java.math.BigInteger's
+    // minimal two's-complement form (canonical: equal values → equal bytes)
+    def encode(p: Moments): Array[Byte] = {
+      val a = p.sx.bigInteger.toByteArray
+      val b = p.sxx.bigInteger.toByteArray
+      val out = java.nio.ByteBuffer.allocate(8 + 4 + a.length + 4 + b.length)
+      out.putLong(p.n).putInt(a.length).put(a).putInt(b.length).put(b)
+      out.array()
+    }
+
+    def decode(bytes: Array[Byte]): Moments = {
+      val in = java.nio.ByteBuffer.wrap(bytes)
+      val n = in.getLong()
+      val a = new Array[Byte](in.getInt()); in.get(a)
+      val b = new Array[Byte](in.getInt()); in.get(b)
+      Moments(n, BigInt(new java.math.BigInteger(a)), BigInt(new java.math.BigInteger(b)))
+    }
+  }
+
+  /** Exact CO-moments of a column PAIR — (n, Σx, Σy, Σx², Σy², Σxy) as
+    * exact integers at per-column fixed-point scales — the wheel behind
+    * `wheel_covar_samp` / `wheel_covar_pop` / `wheel_corr`
+    * ([[graft.functions.CoMomentStatsAgg]]): temporal covariance and
+    * correlation ("did quantity and price move together last quarter?")
+    * answered at plan time. Row discipline matches SQL binary aggregates:
+    * a row contributes only when BOTH values are non-NULL. Additive and
+    * invertible like [[MomentStats]], so the frozen wheel is O(1) via its
+    * prefix array.
+    *
+    * `corr` needs no scale factor at all: Σxy carries scale sx+sy and the
+    * sqrt-product denominator carries the same, so the fixed-point scales
+    * cancel identically — finalization is one correctly-rounded double per
+    * integer term and a fixed IEEE expression, expressible verbatim in
+    * oracle SQL. */
+  final case class CoMoments(n: Long, sx: BigInt, sy: BigInt,
+                             sxx: BigInt, syy: BigInt, sxy: BigInt)
+
+  final class CoMomentStats(val scaleX: Int, val scaleY: Int)
+    extends WheelAggregator[(Long, Long), CoMoments, CoMoments] {
+    require(scaleX >= 0 && scaleX <= 9, s"co-moment scaleX must be in [0, 9], got $scaleX")
+    require(scaleY >= 0 && scaleY <= 9, s"co-moment scaleY must be in [0, 9], got $scaleY")
+
+    val identity: CoMoments =
+      CoMoments(0L, BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    def lift(in: (Long, Long)): CoMoments = {
+      val x = BigInt(in._1); val y = BigInt(in._2)
+      CoMoments(1L, x, y, x * x, y * y, x * y)
+    }
+    def combine(a: CoMoments, b: CoMoments): CoMoments =
+      CoMoments(Math.addExact(a.n, b.n), a.sx + b.sx, a.sy + b.sy,
+        a.sxx + b.sxx, a.syy + b.syy, a.sxy + b.sxy)
+    override def inverse: Option[(CoMoments, CoMoments) => CoMoments] =
+      Some((ab, a) => CoMoments(ab.n - a.n, ab.sx - a.sx, ab.sy - a.sy,
+        ab.sxx - a.sxx, ab.syy - a.syy, ab.sxy - a.sxy))
+    def lower(p: CoMoments): CoMoments = p
+
+    /** 10^(scaleX+scaleY), exact as a double (≤ 10^18). */
+    private val scaleXY: Double = math.pow(10d, scaleX + scaleY)
+
+    /** The deterministic stat; None on the SQL-null cases (n = 0; n = 1
+      * for the sample form; zero variance in either column for corr). */
+    def statOf(p: CoMoments, stat: String): Option[Double] = {
+      if (p.n == 0L) return None
+      val nB = BigInt(p.n)
+      val numXY = nB * p.sxy - p.sx * p.sy
+      stat match {
+        case "covar_pop" =>
+          Some(numXY.doubleValue / Math.multiplyExact(p.n, p.n).toDouble / scaleXY)
+        case "covar_samp" =>
+          if (p.n < 2L) None
+          else Some(numXY.doubleValue / Math.multiplyExact(p.n, p.n - 1L).toDouble / scaleXY)
+        case "corr" =>
+          val numXX = nB * p.sxx - p.sx * p.sx
+          val numYY = nB * p.syy - p.sy * p.sy
+          if (p.n < 2L || numXX.signum == 0 || numYY.signum == 0) None
+          else Some(numXY.doubleValue /
+            math.sqrt(numXX.doubleValue * numYY.doubleValue)) // scales cancel
+        case other => throw new IllegalArgumentException(s"unknown co-moment stat: $other")
+      }
+    }
+
+    // canonical encoding: [n: 8B BE] then 5 length-prefixed BigInts in
+    // field order (minimal two's-complement — equal values, equal bytes)
+    def encode(p: CoMoments): Array[Byte] = {
+      val parts = Seq(p.sx, p.sy, p.sxx, p.syy, p.sxy).map(_.bigInteger.toByteArray)
+      val out = java.nio.ByteBuffer.allocate(8 + parts.map(4 + _.length).sum)
+      out.putLong(p.n)
+      parts.foreach(b => { out.putInt(b.length); out.put(b) })
+      out.array()
+    }
+
+    def decode(bytes: Array[Byte]): CoMoments = {
+      val in = java.nio.ByteBuffer.wrap(bytes)
+      val n = in.getLong()
+      def big(): BigInt = {
+        val b = new Array[Byte](in.getInt()); in.get(b)
+        BigInt(new java.math.BigInteger(b))
+      }
+      CoMoments(n, big(), big(), big(), big(), big())
+    }
+  }
 }
 
 /** Block storage for level partials: raw array, or codec-encoded 128-slot
