@@ -1,0 +1,177 @@
+package graft.rules
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Graft, Tables}
+import graft.index.{IndexBuilder, UWheelBuilder}
+
+/** Cross-arm differential fuzzer: random query shapes — every combination
+  * of predicate form × aggregate set × grouping the rule has arms for —
+  * must return EXACTLY the same rows with the rewrite on and off. The
+  * per-arm specs pin each arm's semantics in isolation; this suite is the
+  * composition net: a random walk over the whole surface (including shapes
+  * that must DECLINE — unaligned bounds, unindexed residuals — where
+  * equality via the scan is the assertion). Seeded, so failures replay.
+  *
+  * Every aggregate used is engine-order-independent by construction
+  * (counts, DECIMAL sums, min/max, the graft sketch/moment aggregates),
+  * so strict Row equality is the right check — any mismatch is a real
+  * rewrite bug, never float noise.
+  */
+class RewriteFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+  val path = s"$dir/events.parquet"
+  val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  lazy val setup: Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.enable(spark)
+    Tables.registerAll(spark, dir)
+    // the full index surface the contract events table carries, plus ms
+    // wheels — so the fuzz can hit every family
+    val numeric = eventTypes.foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
+      b.withKeyedWheel(IndexBuilder("value", Some(s"event_type = '$et'")))
+    }
+    eventTypes.foldLeft(
+      eventTypes.foldLeft(
+        numeric.withDistinctWheel("user_id").withQuantileWheel("value")
+          .withMomentWheel("value")) { (b, et) =>
+        b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
+          .withKeyedMomentWheel("value", s"event_type = '$et'")
+      }) { (b, et) =>
+      b.withKeyedQuantileWheel("value", s"event_type = '$et'")
+    }.withMillisWheels("value").build(spark, path)
+  }
+
+  // ---- generators (data spans 2024-01-01 .. 2024-01-28-ish)
+
+  private def ts(rnd: scala.util.Random): String = {
+    val day = 1 + rnd.nextInt(30)
+    val h = rnd.nextInt(24); val m = rnd.nextInt(60); val s = rnd.nextInt(60)
+    val frac = rnd.nextInt(4) match {
+      case 0 => ""                                  // second-aligned
+      case 1 => f".${rnd.nextInt(1000)}%03d"        // ms-aligned
+      case _ => f".${rnd.nextInt(1000000)}%06d"     // µs (usually declines)
+    }
+    f"2024-01-$day%02d $h%02d:$m%02d:$s%02d$frac"
+  }
+
+  private def predicate(rnd: scala.util.Random): String = {
+    def orderedPair(): (String, String) = {
+      val (a, b) = (ts(rnd), ts(rnd))
+      if (a <= b) (a, b) else (b, a)
+    }
+    rnd.nextInt(10) match {
+      case 0 =>
+        val (a, b) = orderedPair()
+        s"ts >= TIMESTAMP '$a' AND ts < TIMESTAMP '$b'"
+      case 1 => s"ts >= TIMESTAMP '${ts(rnd)}'"
+      case 2 => s"ts < TIMESTAMP '${ts(rnd)}'"
+      case 3 =>
+        val (a, b) = orderedPair()
+        s"ts BETWEEN TIMESTAMP '$a' AND TIMESTAMP '$b'"
+      case 4 =>
+        val d = 1 + rnd.nextInt(30)
+        f"date_trunc('day', ts) = TIMESTAMP '2024-01-$d%02d 00:00:00'"
+      case 5 =>
+        val ds = Seq.fill(1 + rnd.nextInt(3))(1 + rnd.nextInt(30)).distinct
+        s"to_date(ts) IN (${ds.map(d => f"DATE '2024-01-$d%02d'").mkString(", ")})"
+      case 6 =>
+        val (a, b) = orderedPair(); val (c, d) = orderedPair()
+        s"(ts >= TIMESTAMP '$a' AND ts < TIMESTAMP '$b') OR " +
+          s"(ts >= TIMESTAMP '$c' AND ts < TIMESTAMP '$d')"
+      case 7 =>
+        val (a, b) = orderedPair()
+        val et = eventTypes(rnd.nextInt(eventTypes.length))
+        s"ts >= TIMESTAMP '$a' AND ts < TIMESTAMP '$b' AND event_type = '$et'"
+      case 8 =>
+        val (a, b) = orderedPair()
+        val ets = rnd.shuffle(eventTypes).take(1 + rnd.nextInt(3))
+        s"ts >= TIMESTAMP '$a' AND ts < TIMESTAMP '$b' AND " +
+          s"event_type IN (${ets.map(e => s"'$e'").mkString(", ")})"
+      case _ =>
+        // far-future range: the count-pruning arm (empty result)
+        "ts >= TIMESTAMP '2031-01-01 00:00:00' AND ts < TIMESTAMP '2031-06-01 00:00:00'"
+    }
+  }
+
+  private val aggPool = Seq(
+    "count(*) AS cnt",
+    "count(value) AS cnt_val",
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val",
+    "min(value) AS mn",
+    "max(value) AS mx",
+    "hll_distinct(user_id) AS du",
+    "hdr_quantile(value, 0.9) AS p90",
+    "wheel_var_samp(CAST(value AS DECIMAL(18,2))) AS vs",
+    "wheel_stddev_pop(CAST(value AS DECIMAL(18,2))) AS sp",
+    "count(DISTINCT user_id) AS xdu")
+
+  private def aggs(rnd: scala.util.Random): Seq[String] =
+    rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+
+  private def grouping(rnd: scala.util.Random): Option[String] = rnd.nextInt(9) match {
+    case 0 => None
+    case 1 => Some("date_trunc('hour', ts)")
+    case 2 => Some("date_trunc('day', ts)")
+    case 3 => Some("date_trunc('week', ts)")
+    case 4 => Some("to_date(ts)")
+    case 5 => Some("window(ts, '6 hours')")
+    case 6 => Some("window(ts, '1 day', '12 hours')")
+    case 7 => Some("event_type")
+    case _ => Some("date_trunc('day', ts); event_type")
+  }
+
+  private def render(pred: String, as: Seq[String], grp: Option[String]): String =
+    grp match {
+      case None => s"SELECT ${as.mkString(", ")} FROM events WHERE $pred"
+      case Some(g) if g.startsWith("window") =>
+        // window group-bys name the window expression in GROUP BY (the
+        // analyzer's TimeWindowing lowering), projecting window.start
+        s"SELECT window.start AS ws, ${as.mkString(", ")} FROM events WHERE $pred " +
+          s"GROUP BY $g ORDER BY 1"
+      case Some(g) =>
+        val keys = g.split("; ").zipWithIndex.map { case (k, i) => s"$k AS k$i" }.mkString(", ")
+        val n = g.split("; ").length
+        s"SELECT $keys, ${as.mkString(", ")} FROM events WHERE $pred " +
+          s"GROUP BY ${(1 to n).map(i => s"$i").mkString(", ")} ORDER BY ${(1 to n).map(i => s"$i").mkString(", ")}"
+    }
+
+  private def sortedRows(rows: Array[Row]): Seq[String] =
+    rows.map(_.toString).sorted.toSeq
+
+  test("400 random query shapes: rewrite on == rewrite off, exactly") {
+    setup
+    val rnd = new scala.util.Random(0x9A0814L)
+    var rewritten = 0
+    (1 to 400).foreach { i =>
+      val sql = render(predicate(rnd), aggs(rnd), grouping(rnd))
+      val dfOn = spark.sql(sql)
+      val wasLocal = dfOn.queryExecution.optimizedPlan.collectFirst {
+        case l: LocalRelation => l
+      }.isDefined
+      if (wasLocal) rewritten += 1
+      val on = try dfOn.collect() catch {
+        case e: Throwable => fail(s"case $i threw with rewrites ON: $sql\n$e")
+      }
+      Graft.rewritesEnabled = false
+      val off = try spark.sql(sql).collect() catch {
+        case e: Throwable => fail(s"case $i threw with rewrites OFF: $sql\n$e")
+      } finally Graft.rewritesEnabled = true
+      assert(sortedRows(on) === sortedRows(off), s"case $i mismatch: $sql")
+    }
+    info(s"rewritten at plan time: $rewritten / 400")
+    // the fuzz must actually exercise the index, not just the scan
+    assert(rewritten >= 80, s"only $rewritten/400 shapes rewrote — generator drifted off the arms")
+  }
+}
