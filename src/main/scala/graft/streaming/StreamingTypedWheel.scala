@@ -7,7 +7,7 @@ import scala.reflect.ClassTag
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.index.{DistinctIndexedWheel, TableIndex, TypedWheelBuild, WheelRegistry}
+import graft.index.{DistinctIndexedWheel, MomentIndexedWheel, TableIndex, TypedWheelBuild, WheelRegistry}
 import graft.wheel.{TypedHawWheel, TypedRwWheel, WheelAggregator, WheelAggregators}
 
 /** Continuously-maintained TYPED wheel over a Structured Streaming source —
@@ -32,7 +32,14 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     timeColumn: String,
     valueCol: Column,
     agg: WheelAggregator[In, P, Out],
-    readIn: Row => In) {
+    readIn: Row => In,
+    /** For MOMENT wheels ([[StreamingTypedWheel.moments]]): (failCond,
+      * absExpr) — per batch, rows where failCond holds are counted into
+      * the publish-gating castFail (a row whose value escaped the exact
+      * fixed-point probe was silently dropped from the wheel, so serving
+      * would be wrong), and max(absExpr) feeds the ANSI-overflow proof.
+      * The counters ride the checkpoint. */
+    momProbe: Option[(Column, Column)] = None) {
 
   private val live = new TypedRwWheel(agg)
   private val cached = new AtomicReference[(Long, TypedHawWheel[P, Out])]((0L, null))
@@ -59,6 +66,10 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
   }
 
   @volatile private var publishTo: Option[(String, String, WheelAggregators.HllDistinct)] = None
+  @volatile private var publishMoment: Option[(String, String, WheelAggregators.MomentStats)] = None
+  // moment publish gates, accumulated per batch under the ingest lock
+  private var momCastFail: Long = 0L
+  private var momAbsMax: Double = 0.0
 
   /** Publishes freeze-on-read snapshots of this wheel into the optimizer's
     * [[WheelRegistry]] as the HLL distinct index for `column` of the table
@@ -74,8 +85,11 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     case h: WheelAggregators.HllDistinct =>
       publishTo = Some((WheelRegistry.normalizePath(path), column, h))
       live.synchronized(publishLocked())
+    case m: WheelAggregators.MomentStats =>
+      publishMoment = Some((WheelRegistry.normalizePath(path), column, m))
+      live.synchronized(publishLocked())
     case other => throw new IllegalArgumentException(
-      s"only HllDistinct wheels can register for SQL rewrites, got ${other.getClass.getSimpleName}")
+      s"only HllDistinct or MomentStats wheels can register for SQL rewrites, got ${other.getClass.getSimpleName}")
   }
 
   /** The batch-built index the first publish displaced (if any); restored
@@ -90,15 +104,24 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     * layered after the displacement). A batch index that re-registered
     * over us is left untouched. */
   def deregister(): Unit = {
-    publishTo.foreach { case (key, column, _) =>
+    val target = publishTo.map(t => (t._1, t._2, true))
+      .orElse(publishMoment.map(t => (t._1, t._2, false)))
+    target.foreach { case (key, column, isHll) =>
       WheelRegistry.update(key, {
         case Some(cur) if cur.fingerprint == 0L =>
           val rest = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
           cur.allWheels.foreach(rest.put)
           cur.allDistinctWheels
-            .filterNot(d => d.column == column && d.filterKey == "")
+            .filterNot(d => isHll && d.column == column && d.filterKey == "")
             .foreach(rest.putDistinct)
-          if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty) displaced
+          cur.allQuantileWheels.foreach(rest.putQuantile)
+          cur.allMomentWheels
+            .filterNot(m => !isHll && m.column == column && m.filterKey == "")
+            .foreach(rest.putMoment)
+          cur.allCoMomentWheels.foreach(rest.putCoMoment)
+          if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty &&
+              rest.allQuantileWheels.isEmpty && rest.allMomentWheels.isEmpty &&
+              rest.allCoMomentWheels.isEmpty) displaced
           else {
             displaced.foreach(_ => System.err.println(
               s"[graft] deregister keeps live stream families for $key; the " +
@@ -110,35 +133,51 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       })
     }
     publishTo = None
+    publishMoment = None
     displaced = None
   }
 
-  private def publishLocked(): Unit = publishTo.foreach { case (key, column, h) =>
-    // P/Out are fixed to Array[Byte]/Long by the HllDistinct agg the wheel
-    // was constructed with, so this cast is sound by construction
-    val hw = snapshot().asInstanceOf[TypedHawWheel[Array[Byte], Long]]
-    WheelRegistry.update(key, { existing =>
-      val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
-      existing match {
-        case Some(cur) if cur.fingerprint != 0L =>
-          // batch-built: different consistency domain — displace loudly,
-          // restore on deregister (round-6 advice)
-          if (displaced.isEmpty) {
-            displaced = Some(cur)
-            System.err.println(s"[graft] streaming register displaces the " +
-              s"batch-built index for $key; it will be restored on deregister()")
-          }
-        case Some(cur) =>
-          // every other publisher's family rides along — numeric wheels and
-          // other sketches alike; putDistinct is keyed by (column,
-          // filterKey), so only OUR (column, "") entry is replaced below
-          cur.allWheels.foreach(t.put)
-          cur.allDistinctWheels.foreach(t.putDistinct)
-        case None => ()
-      }
-      t.putDistinct(DistinctIndexedWheel(hw, column, h))
-      Some(t)
-    })
+  private def publishLocked(): Unit = {
+    val target = publishTo.map(t => (t._1, Left(t._2, t._3): Either[(String, WheelAggregators.HllDistinct), (String, WheelAggregators.MomentStats)]))
+      .orElse(publishMoment.map(t => (t._1, Right(t._2, t._3))))
+    target.foreach { case (key, fam) =>
+      val snap = snapshot()
+      WheelRegistry.update(key, { existing =>
+        val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
+        existing match {
+          case Some(cur) if cur.fingerprint != 0L =>
+            // batch-built: different consistency domain — displace loudly,
+            // restore on deregister (round-6 advice)
+            if (displaced.isEmpty) {
+              displaced = Some(cur)
+              System.err.println(s"[graft] streaming register displaces the " +
+                s"batch-built index for $key; it will be restored on deregister()")
+            }
+          case Some(cur) =>
+            // every other publisher's family rides along — numeric wheels
+            // and other sketches alike; each put* is keyed by (column,
+            // filterKey), so only OUR entry is replaced below
+            cur.allWheels.foreach(t.put)
+            cur.allDistinctWheels.foreach(t.putDistinct)
+            cur.allQuantileWheels.foreach(t.putQuantile)
+            cur.allMomentWheels.foreach(t.putMoment)
+            cur.allCoMomentWheels.foreach(t.putCoMoment)
+          case None => ()
+        }
+        fam match {
+          case Left((column, h)) =>
+            // P/Out are fixed by the agg the wheel was constructed with,
+            // so these casts are sound by construction
+            t.putDistinct(DistinctIndexedWheel(
+              snap.asInstanceOf[TypedHawWheel[Array[Byte], Long]], column, h))
+          case Right((column, m)) =>
+            t.putMoment(MomentIndexedWheel(
+              snap.asInstanceOf[TypedHawWheel[WheelAggregators.Moments, WheelAggregators.Moments]],
+              column, m, momCastFail, momAbsMax))
+        }
+        Some(t)
+      })
+    }
   }
 
   /** Starts the maintenance query on a streaming DataFrame. */
@@ -151,6 +190,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
   private def configSig: String = {
     val aggSig = agg match {
       case h: WheelAggregators.HllDistinct => s"hll(p=${h.p})"
+      case m: WheelAggregators.MomentStats => s"moments(scale=${m.scale})"
       case other                           => other.getClass.getName
     }
     s"stw-v1|$timeColumn|$valueCol|$aggSig"
@@ -169,6 +209,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
         new java.io.ObjectOutputStream(java.nio.file.Files.newOutputStream(tmp))) { o =>
         o.writeObject(configSig)
         o.writeObject(live)
+        if (momProbe.isDefined) { o.writeLong(momCastFail); o.writeDouble(momAbsMax) }
       }
       java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -192,6 +233,10 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       require(sig == configSig,
         s"checkpoint was written by a differently-configured wheel ($sig != $configSig)")
       live.merge(in.readObject().asInstanceOf[TypedRwWheel[In, P, Out]])
+      if (momProbe.isDefined) {
+        momCastFail += in.readLong()
+        momAbsMax = math.max(momAbsMax, in.readDouble())
+      }
     }
     version += 1
     live.watermark
@@ -203,7 +248,20 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val bw = TypedWheelBuild.buildRw(batch, timeColumn, valueCol, agg, readIn)
+        // moment gates: one cheap extra aggregate over the (already
+        // materialized) micro-batch — the publish is unsound without them
+        val probe = momProbe.map { case (failCond, absExpr) =>
+          import org.apache.spark.sql.functions.{lit, max, sum, when}
+          val r = batch.agg(
+            sum(when(failCond, lit(1L)).otherwise(lit(0L))), max(absExpr)).head()
+          (if (r.isNullAt(0)) 0L else r.getLong(0),
+            if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+        }
         live.synchronized {
+          probe.foreach { case (fails, am) =>
+            momCastFail += fails
+            momAbsMax = math.max(momAbsMax, am)
+          }
           live.merge(bw)
           version += 1
           publishLocked()
@@ -211,4 +269,24 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
         ()
       }
       .start()
+}
+
+object StreamingTypedWheel {
+  /** A continuously-maintained EXACT-moment wheel over `column` — the live
+    * "variance over any time range" service: once registered, batch SQL
+    * `wheel_var_samp(CAST(column AS DECIMAL(18, scale)))` (and the other
+    * three stats) over a time range of the table answers at plan time from
+    * the stream's moments. The value rides the same exact fixed-point
+    * probe as the batch build ([[graft.index.UWheelIndex]]): rows that
+    * fail it are counted and poison the publish gate rather than silently
+    * skewing the moments. */
+  def moments(timeColumn: String, column: String, scale: Int = 2)
+      : StreamingTypedWheel[Long, WheelAggregators.Moments, WheelAggregators.Moments] = {
+    import org.apache.spark.sql.functions.{abs, col, lit}
+    val f = col(column).try_cast(s"decimal(18,$scale)")
+    val u = (f * lit(math.pow(10, scale).toLong).cast("decimal(10,0)")).cast("long")
+    new StreamingTypedWheel(timeColumn, u,
+      new WheelAggregators.MomentStats(scale), (r: Row) => r.getLong(1),
+      momProbe = Some((col(column).isNotNull && f.isNull, abs(col(column).cast("double")))))
+  }
 }

@@ -791,4 +791,132 @@ class StreamingWheelSpec extends AnyFunSuite {
       twinQ.stop()
     }
   }
+
+  test("registered streaming moment wheel serves wheel_var SQL at plan time") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mom-reg").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-04-01 00:00:00").getTime
+    val rows = (0 until 300).map(i => (new Timestamp(base + i * 1000L), (i % 37) + 0.25))
+    rows.toDF("ts", "v").write.parquet(path)
+    val input = MemoryStream[(Timestamp, Double)]
+    val idx = StreamingTypedWheel.moments("ts", "v", scale = 2)
+    val q = idx.attach(input.toDF().toDF("ts", "v"), "moment-wheel-reg")
+    try {
+      idx.register(path, "v")
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val sql =
+        s"""SELECT wheel_var_samp(CAST(v AS DECIMAL(18,2))) AS vs,
+           |       wheel_stddev_pop(CAST(v AS DECIMAL(18,2))) AS sp
+           |FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-04-01 00:01:00'
+           |  AND ts < TIMESTAMP '2024-04-01 00:04:00'""".stripMargin
+      val df = spark.sql(sql)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+      assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+      graft.Graft.rewritesEnabled = false
+      val flat = try spark.sql(sql).collect()(0)
+        finally graft.Graft.rewritesEnabled = true
+      assert(df.collect()(0) === flat)
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
+  }
+
+  test("streaming moment wheel: a NaN row poisons the publish gate (castFail)") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mom-nan").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-04-02 00:00:00").getTime
+    val rows = (0 until 50).map(i =>
+      (new Timestamp(base + i * 1000L), if (i == 13) Double.NaN else i.toDouble))
+    rows.toDF("ts", "v").write.parquet(path)
+    val input = MemoryStream[(Timestamp, Double)]
+    val idx = StreamingTypedWheel.moments("ts", "v", scale = 2)
+    val q = idx.attach(input.toDF().toDF("ts", "v"), "moment-wheel-nan")
+    try {
+      idx.register(path, "v")
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val df = spark.sql(
+        s"""SELECT wheel_var_samp(CAST(v AS DECIMAL(18,2))) AS vs FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-04-02 00:00:00'
+           |  AND ts < TIMESTAMP '2024-04-02 00:00:10'""".stripMargin)
+      assert(df.queryExecution.optimizedPlan
+        .collect { case r: LogicalRelation => r }.nonEmpty, "castFail must decline the rewrite")
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
+  }
+
+  test("streaming moment checkpoint: save/restore equals a never-restarted twin") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mom-ckpt").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-04-03 00:00:00").getTime
+    val first = (0 until 100).map(i => (new Timestamp(base + i * 1000L), (i % 11) + 0.5))
+    val second = (100 until 200).map(i => (new Timestamp(base + i * 1000L), (i % 13) + 0.75))
+    (first ++ second).toDF("ts", "v").write.parquet(path)
+
+    // twin: sees everything in one life
+    val twinIn = MemoryStream[(Timestamp, Double)]
+    val twin = StreamingTypedWheel.moments("ts", "v", scale = 2)
+    val twinQ = twin.attach(twinIn.toDF().toDF("ts", "v"), "mom-ckpt-twin")
+    // first life: first half, then checkpoint
+    val in1 = MemoryStream[(Timestamp, Double)]
+    val w1 = StreamingTypedWheel.moments("ts", "v", scale = 2)
+    val q1 = w1.attach(in1.toDF().toDF("ts", "v"), "mom-ckpt-1")
+    var q2: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      twinIn.addData(first ++ second: _*)
+      twinQ.processAllAvailable()
+      in1.addData(first: _*)
+      q1.processAllAvailable()
+      val ckpt = s"$dir/moments.ckpt"
+      w1.saveState(ckpt)
+      q1.stop()
+      // second life: restore, replay only the second half
+      val in2 = MemoryStream[(Timestamp, Double)]
+      val w2 = StreamingTypedWheel.moments("ts", "v", scale = 2)
+      w2.restoreState(ckpt)
+      q2 = w2.attach(in2.toDF().toDF("ts", "v"), "mom-ckpt-2")
+      in2.addData(second: _*)
+      q2.processAllAvailable()
+      w2.register(path, "v")
+      val sql =
+        s"""SELECT wheel_var_samp(CAST(v AS DECIMAL(18,2))) AS vs FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-04-03 00:00:30'
+           |  AND ts < TIMESTAMP '2024-04-03 00:03:00'""".stripMargin
+      val restored = spark.sql(sql)
+      assert(restored.queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty)
+      val fromRestored = restored.collect()(0)
+      w2.deregister()
+      twin.register(path, "v")
+      val fromTwin = spark.sql(sql).collect()(0)
+      twin.deregister()
+      assert(fromRestored === fromTwin)
+    } finally {
+      if (q2 != null) q2.stop()
+      if (q1.isActive) q1.stop()
+      twinQ.stop()
+    }
+  }
 }
