@@ -121,6 +121,40 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, term, score FROM ranked WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
 
+    // vocabulary OOV-rate filter: vocabulary = the corpus's top-50 terms by
+    // document frequency (total order: df DESC, term — deterministic), each
+    // document scored by its out-of-vocabulary token fraction. The standard
+    // "unusual vocabulary" pre-training gate. Distributed shape: one
+    // explode → df hash-agg, a 50-row vocab Spark auto-BROADCASTs into the
+    // token join, one final hash-agg per doc — no driver work, scales with
+    // executors at 100 TB.
+    "txt_oov" ->
+      """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+        |vocab AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 50),
+        |j AS (SELECT w.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM w LEFT JOIN vocab v ON w.term = v.term)
+        |SELECT doc_id, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       CAST(count(*) AS BIGINT) AS n_tok,
+        |       CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate,
+        |       CASE WHEN sum(oov) * 4 <= count(*) THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // token-commonness score: mean corpus document-frequency of a doc's
+    // tokens — the RATIONAL stand-in for unigram-LM log-prob scoring
+    // (mean df is monotone in mean unigram probability for a df-weighted
+    // model; sums and one division keep both engines bit-identical where
+    // a log-prob's transcendental eval would not). Low mean_df = unusual
+    // vocabulary, the same documents a perplexity filter flags.
+    "txt_commonness" ->
+      """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term)
+        |SELECT w.doc_id, CAST(sum(df.df) AS BIGINT) AS df_sum,
+        |       CAST(count(*) AS BIGINT) AS n_tok,
+        |       CAST(sum(df.df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
+        |FROM w JOIN df ON w.term = df.term
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
     // exact dedup: hash-groupBy on a normalized key, keep-min representative
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_sz
@@ -271,6 +305,27 @@ object TextQueries {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
         |  FROM scored)
         |SELECT doc_id, term, score FROM ranked WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    "txt_oov" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+        |vocab AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 50),
+        |j AS (SELECT w.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM w LEFT JOIN vocab v ON w.term = v.term)
+        |SELECT doc_id, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       CAST(count(*) AS BIGINT) AS n_tok,
+        |       CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate,
+        |       CASE WHEN sum(oov) * 4 <= count(*) THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "txt_commonness" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term)
+        |SELECT w.doc_id, CAST(sum(df.df) AS BIGINT) AS df_sum,
+        |       CAST(count(*) AS BIGINT) AS n_tok,
+        |       CAST(sum(df.df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
+        |FROM w JOIN df ON w.term = df.term
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
 
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_sz
