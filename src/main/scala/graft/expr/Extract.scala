@@ -24,7 +24,18 @@ object Canon {
     }.sql
 
   def canonFilterKey(conjuncts: Seq[Expression]): String =
-    conjuncts.map(canonExpr).distinct.sorted.mkString(" AND ")
+    joinParts(canonParts(conjuncts))
+
+  /** Per-conjunct canonical forms — kept as a LIST so callers can merge
+    * key parts from different predicate sites (the WHERE residual and an
+    * aggregate's FILTER clause) before joining; joining first and
+    * re-splitting on " AND " would corrupt conjuncts whose canonical SQL
+    * contains that substring (nested boolean expressions). */
+  def canonParts(conjuncts: Seq[Expression]): Seq[String] =
+    conjuncts.map(canonExpr)
+
+  def joinParts(parts: Seq[String]): String =
+    parts.distinct.sorted.mkString(" AND ")
 
   /** Canonical key from an analyzed `df.filter(...)` — used at index-build
     * time so build-side and query-side keys agree. */

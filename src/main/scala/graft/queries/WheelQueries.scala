@@ -339,6 +339,23 @@ object WheelQueries {
     "uw_quantile_bytype" -> Q.sql(
       s"""SELECT event_type, hdr_quantile(value, 0.95) AS p95, count(*) AS cnt
          |FROM events WHERE $range GROUP BY event_type ORDER BY 1""".stripMargin),
+    // FILTER (WHERE p) aggregates: the multi-metric dashboard row — one
+    // query, one keyed-wheel read per predicate, answered at plan time.
+    // (The reference has no FILTER handling at all; its keyed wheels serve
+    // only whole-query residuals, `lib.rs:310-320`.)
+    "uw_filter_metrics" -> Q.sql(
+      s"""SELECT count(*) FILTER (WHERE event_type = 'click') AS clicks,
+         |       count(*) FILTER (WHERE event_type = 'view') AS views,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+         |            FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_val,
+         |       count(*) AS total
+         |FROM events WHERE $range""".stripMargin),
+    "uw_filter_daily" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d,
+         |       count(*) FILTER (WHERE event_type = 'error') AS errors,
+         |       count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+         |       count(*) AS total
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
     // EXACT-moment variance/stddev over a time range, answered from the
     // moment wheel (n, Σx, Σx² as exact integers — O(1) via its prefix
     // array). Unlike the sketch families these carry EXACT DuckDB oracles:
@@ -679,6 +696,19 @@ object WheelQueries {
       s"""SELECT event_type, count(*) AS cnt
          |FROM events WHERE $range
          |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
+    "uw_filter_metrics" ->
+      s"""SELECT count(*) FILTER (WHERE event_type = 'click') AS clicks,
+         |       count(*) FILTER (WHERE event_type = 'view') AS views,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+         |            FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_val,
+         |       count(*) AS total
+         |FROM events WHERE $range""".stripMargin,
+    "uw_filter_daily" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         |       count(*) FILTER (WHERE event_type = 'error') AS errors,
+         |       count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+         |       count(*) AS total
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_var_range" ->
       s"""WITH m AS (SELECT count(c) AS n, sum(c) AS sx, sum(c*c) AS sxx, count(*) AS rows_
          |           FROM (SELECT $centsOf AS c FROM events WHERE $range))

@@ -255,7 +255,16 @@ object UWheelRule extends Rule[LogicalPlan] {
                                   * cast-precision gates. */
                                 column2: Option[String] = None,
                                 decScale2: Option[Int] = None,
-                                castP2: Option[Int] = None) {
+                                castP2: Option[Int] = None,
+                                /** Per-NEED residual key parts from the
+                                  * aggregate's own predicate — a FILTER
+                                  * (WHERE p) clause or a CASE WHEN p THEN x
+                                  * [ELSE NULL] child. Merged with the
+                                  * query's WHERE residual, this routes the
+                                  * need to the KEYED wheel built with the
+                                  * combined canonical key ("clicks and
+                                  * views in one dashboard row"). */
+                                ownParts: Seq[String] = Nil) {
     def value(ra: RangeAgg): Any = kind match {
       case "count" | "countcol" => ra.count
       case "sum"    => ra.sum.map(Double.box).orNull
@@ -284,7 +293,36 @@ object UWheelRule extends Rule[LogicalPlan] {
   }
 
   private def classify(ae: AggregateExpression): Option[Need] = {
-    if (ae.filter.isDefined) return None
+    // FILTER (WHERE p): a deterministic predicate becomes per-need key
+    // parts, routing the need to the KEYED wheel whose canonical key is
+    // the WHERE residual merged with p (srcFor computes the merge). A
+    // non-deterministic predicate — or FILTER on a distinct aggregate,
+    // whose per-value wheel sets have no (value × p) members — declines.
+    val filterParts: Seq[String] = ae.filter match {
+      case None => Nil
+      case Some(p) if p.deterministic => Canon.canonParts(Canon.splitConjuncts(p))
+      case _ => return None
+    }
+    if (ae.filter.isDefined && ae.isDistinct) return None
+    classifyFn(ae).map(n => n.copy(ownParts = n.ownParts ++ filterParts))
+  }
+
+  /** `CASE WHEN p THEN x [ELSE NULL]` inside an aggregate ≡ the aggregate
+    * over x FILTER (WHERE p) — every SQL aggregate skips NULLs, and the
+    * absent/NULL else branch makes non-matching rows NULL. Returns the
+    * unwrapped child and p's canonical key parts. An ELSE with any other
+    * value (e.g. 0) changes zero-match semantics and stays unmatched. */
+  private def caseFilterOf(e: Expression): (Expression, Seq[String]) = e match {
+    case CaseWhen(Seq((p, branch)), elseOpt)
+        if p.deterministic && elseOpt.forall {
+          case Literal(null, _) => true
+          case _ => false
+        } =>
+      (branch, Canon.canonParts(Canon.splitConjuncts(p)))
+    case other => (other, Nil)
+  }
+
+  private def classifyFn(ae: AggregateExpression): Option[Need] = {
     if (ae.isDistinct) return ae.aggregateFunction match {
       // exact COUNT(DISTINCT key): served by the complete per-value keyed
       // wheel set under a counting proof (srcFor "cntdist"). Any other
@@ -304,6 +342,17 @@ object UWheelRule extends Rule[LogicalPlan] {
       case Count(Seq(a: AttributeReference))
           if a.dataType == DoubleType || a.dataType.isInstanceOf[DecimalType] =>
         Some(Need(Some(a.name), "countcol", None))
+      // COUNT(CASE WHEN p THEN lit END): rows matching p — the keyed count
+      case Count(Seq(cw: CaseWhen)) =>
+        caseFilterOf(cw) match {
+          case (Literal(v, _), parts) if v != null && parts.nonEmpty =>
+            Some(Need(None, "count", None, ownParts = parts))
+          case (a: AttributeReference, parts)
+              if parts.nonEmpty &&
+                (a.dataType == DoubleType || a.dataType.isInstanceOf[DecimalType]) =>
+            Some(Need(Some(a.name), "countcol", None, ownParts = parts))
+          case _ => None
+        }
       // DecimalType measure columns (real TPC-H dumps store quantities and
       // prices as DECIMAL): the wheel is built AT THE COLUMN'S OWN SCALE and
       // sums the decimal directly, so SUM needs no exactness gate at all —
@@ -313,38 +362,52 @@ object UWheelRule extends Rule[LogicalPlan] {
       // decimal divides the exact scaled sum by the count at the result
       // scale (s+4) with HALF_UP — digit-identical to Spark's decimal
       // Average (probed and spec-asserted vs the unrewritten plan).
-      case s: Sum => s.child match {
-        case a: AttributeReference if a.dataType == DoubleType =>
-          Some(Need(Some(a.name), "sum", None))
-        case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
-          Some(Need(Some(a.name), "sumdec",
-            Some(a.dataType.asInstanceOf[DecimalType].scale)))
-        case Cast(a: AttributeReference, dt: DecimalType, _, _) if a.dataType == DoubleType =>
-          Some(Need(Some(a.name), "sumdec", Some(dt.scale)))
-        case _ => None
-      }
-      case av: Average => av.child match {
-        case a: AttributeReference if a.dataType == DoubleType =>
-          Some(Need(Some(a.name), "avg", None))
-        case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
-          ae.dataType match {
-            case rt: DecimalType =>
-              Some(Need(Some(a.name), "avgdec",
-                Some(a.dataType.asInstanceOf[DecimalType].scale), resScale = rt.scale))
-            case _ => None
-          }
-        case _ => None
-      }
-      case Min(a: AttributeReference) if a.dataType == DoubleType =>
-        Some(Need(Some(a.name), "min", None))
-      case Max(a: AttributeReference) if a.dataType == DoubleType =>
-        Some(Need(Some(a.name), "max", None))
-      case Min(a: AttributeReference) if a.dataType.isInstanceOf[DecimalType] =>
-        Some(Need(Some(a.name), "mindec",
-          Some(a.dataType.asInstanceOf[DecimalType].scale)))
-      case Max(a: AttributeReference) if a.dataType.isInstanceOf[DecimalType] =>
-        Some(Need(Some(a.name), "maxdec",
-          Some(a.dataType.asInstanceOf[DecimalType].scale)))
+      case s: Sum =>
+        val (ch, parts) = caseFilterOf(s.child)
+        (ch match {
+          case a: AttributeReference if a.dataType == DoubleType =>
+            Some(Need(Some(a.name), "sum", None))
+          case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+            Some(Need(Some(a.name), "sumdec",
+              Some(a.dataType.asInstanceOf[DecimalType].scale)))
+          case Cast(a: AttributeReference, dt: DecimalType, _, _) if a.dataType == DoubleType =>
+            Some(Need(Some(a.name), "sumdec", Some(dt.scale)))
+          case _ => None
+        }).map(_.copy(ownParts = parts))
+      case av: Average =>
+        val (ch, parts) = caseFilterOf(av.child)
+        (ch match {
+          case a: AttributeReference if a.dataType == DoubleType =>
+            Some(Need(Some(a.name), "avg", None))
+          case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+            ae.dataType match {
+              case rt: DecimalType =>
+                Some(Need(Some(a.name), "avgdec",
+                  Some(a.dataType.asInstanceOf[DecimalType].scale), resScale = rt.scale))
+              case _ => None
+            }
+          case _ => None
+        }).map(_.copy(ownParts = parts))
+      case Min(ch0) =>
+        val (ch, parts) = caseFilterOf(ch0)
+        (ch match {
+          case a: AttributeReference if a.dataType == DoubleType =>
+            Some(Need(Some(a.name), "min", None))
+          case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+            Some(Need(Some(a.name), "mindec",
+              Some(a.dataType.asInstanceOf[DecimalType].scale)))
+          case _ => None
+        }).map(_.copy(ownParts = parts))
+      case Max(ch0) =>
+        val (ch, parts) = caseFilterOf(ch0)
+        (ch match {
+          case a: AttributeReference if a.dataType == DoubleType =>
+            Some(Need(Some(a.name), "max", None))
+          case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+            Some(Need(Some(a.name), "maxdec",
+              Some(a.dataType.asInstanceOf[DecimalType].scale)))
+          case _ => None
+        }).map(_.copy(ownParts = parts))
       // hll_distinct(col): answered from an HLL sketch wheel with the same
       // precision. Integral columns are exact through long widening — the
       // wheel build's cast-to-long produces the same values, so both sides
@@ -557,7 +620,14 @@ object UWheelRule extends Rule[LogicalPlan] {
     if (ranges.exists(!_.exact)) return None
     if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
     val residual = Extract.dropImpliedNotNull(residualRaw)
-    val filterKey = Canon.canonFilterKey(residual)
+    val residualParts = Canon.canonParts(residual)
+    val filterKey = Canon.joinParts(residualParts)
+    /** Effective wheel-routing key for one need: the WHERE residual merged
+      * with the need's own FILTER/CASE predicate parts (canonical,
+      * deduplicated, sorted — the same form the build side registers). */
+    def keyFor(n: Need): String =
+      if (n.ownParts.isEmpty) filterKey
+      else Canon.joinParts(residualParts ++ n.ownParts)
     val bounds: Seq[(Long, Long)] = ranges.map(r =>
       (r.startSec.getOrElse(LoSentinel), r.endSec.getOrElse(HiSentinel)))
 
@@ -594,10 +664,15 @@ object UWheelRule extends Rule[LogicalPlan] {
         case c    => table.msWheel(c)
       }
 
-    def wheelFor(n: Need): Option[IndexedWheel] = (n.column match {
-      case None => if (msMode) msBase(None) else table.anyForFilter(filterKey)
+    def wheelFor(n: Need): Option[IndexedWheel] = {
+      // ms wheels are unfiltered by construction: a per-need predicate has
+      // no ms twin
+      if (msMode && n.ownParts.nonEmpty) return None
+      val key = keyFor(n)
+      (n.column match {
+      case None => if (msMode) msBase(None) else table.anyForFilter(key)
       case Some(c) =>
-        (if (msMode) msBase(Some(c)) else table.get(Some(c), filterKey))
+        (if (msMode) msBase(Some(c)) else table.get(Some(c), key))
           .filter(_.valueAllNonNull)
           .filter(w => n.decScale.forall(_ == w.wheel.scale))
           // Plain SUM/AVG over doubles are only exact when every value is
@@ -615,7 +690,8 @@ object UWheelRule extends Rule[LogicalPlan] {
           // MIN/MAX are NaN-blind in the wheel (Java ordering) but Spark
           // orders NaN above everything — only rewrite from NaN-free wheels.
           .filter(w => (n.kind != "min" && n.kind != "max") || w.valuesNaNFree)
-    }).filter(coverageOk).filter(spanOk)
+      }).filter(coverageOk).filter(spanOk)
+    }
 
     def srcFor(n: Need): Option[Src] = n.kind match {
       // HLL wheels are full-table in time and per-second by construction
@@ -629,7 +705,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         // ms domain has no register wheels — second-domain registers read
         // with ms bounds would be garbage, so the gate is structural
         if (msMode) return None
-        n.column.flatMap(c => table.distinctWheel(c, filterKey))
+        n.column.flatMap(c => table.distinctWheel(c, keyFor(n)))
           .filter(_.p == n.hllP)
           // span-coarsened builds produce span-aligned register slots: an
           // unaligned bound would silently include/exclude whole slots of
@@ -652,7 +728,7 @@ object UWheelRule extends Rule[LogicalPlan] {
       // same span-alignment gate, same ms-domain refusal
       case "hdrq" =>
         if (msMode) return None
-        table.quantileWheel(n.column.getOrElse(return None), filterKey)
+        table.quantileWheel(n.column.getOrElse(return None), keyFor(n))
           .filter(_.s == n.hllP)
           .filter(d => d.span == 1L ||
             ranges.forall(r =>
@@ -664,7 +740,7 @@ object UWheelRule extends Rule[LogicalPlan] {
       // families, plus the moment-specific exactness gates ([[momentOk]])
       case "moment" =>
         if (msMode) return None
-        table.momentWheel(n.column.getOrElse(return None), filterKey)
+        table.momentWheel(n.column.getOrElse(return None), keyFor(n))
           .filter(momentOk(n, _))
           .filter(d => d.span == 1L ||
             ranges.forall(r =>
@@ -674,7 +750,7 @@ object UWheelRule extends Rule[LogicalPlan] {
       case "comoment" =>
         if (msMode) return None
         table.coMomentWheel(n.column.getOrElse(return None),
-            n.column2.getOrElse(return None), filterKey)
+            n.column2.getOrElse(return None), keyFor(n))
           .filter(coMomentOk(n, _))
           .filter(d => d.span == 1L ||
             ranges.forall(r =>
@@ -731,7 +807,7 @@ object UWheelRule extends Rule[LogicalPlan] {
       * wheel must pass the same value-quality/coverage/span gates as
       * [[wheelFor]]. Bounded at 64 values (oversized lists decline). */
     def unionWheelsFor(n: Need): Option[Seq[IndexedWheel]] =
-      if (msMode) None // per-value keyed wheels are second-domain
+      if (msMode || n.ownParts.nonEmpty) None // per-value keyed wheels are second-domain, residual-only
       else residualInVals.flatMap { case (col, lits) =>
         val dedup = lits.map(l => (l.dataType, l.value)).distinct
         if (dedup.isEmpty || dedup.size > 64) None
@@ -896,6 +972,8 @@ object UWheelRule extends Rule[LogicalPlan] {
       * COUNT(DISTINCT key)-grouped-by-key decline. */
     def keyedOnlyGroupBy(keyAttr: AttributeReference): Option[LogicalPlan] = {
       if (filterKey.nonEmpty || msMode) return None
+      // per-need predicates would need (value × p) wheels nobody builds
+      if (needList.values.exists(_.ownParts.nonEmpty)) return None
       if (needList.values.exists(_.kind == "cntdist")) return None
       val (keyed, allValues) = keyedWheelSet(table, keyAttr.name)
       val values: Seq[Literal] = allValues.filter(_.dataType == keyAttr.dataType)
@@ -1053,8 +1131,10 @@ object UWheelRule extends Rule[LogicalPlan] {
         // Need at least one NUMERIC wheel to enumerate the groups (HLL
         // wheels can't: they skip NULL-value rows, so their active seconds
         // may under-enumerate the groups COUNT(*) would produce).
+        // enumerate buckets from a RESIDUAL-ONLY wheel: a FILTER-keyed
+        // wheel covers a row subset and would under-enumerate the groups
         val enumWheel: IndexedWheel =
-          nds.values.collectFirst { case (_, NumSrc(w)) => w }
+          nds.values.collectFirst { case (n, NumSrc(w)) if n.ownParts.isEmpty => w }
             .orElse((if (msMode) msBase(None) else table.anyForFilter(filterKey))
               .filter(coverageOk).filter(spanOk))
             .getOrElse(return None)
@@ -1091,7 +1171,17 @@ object UWheelRule extends Rule[LogicalPlan] {
             .map { (hw: HawWheel) => hw -> groupsOf(hw) }.toMap
         val groups = wheelGroups(enumWheel.wheel).toIndexedSeq.sortBy(_._1)
         val groupKeys = groups.map(_._1).toSet
-        if (wheelGroups.values.exists(_.keySet != groupKeys)) return None
+        // residual-only wheels must cover the IDENTICAL key set (same rows
+        // at build time); a per-need FILTER wheel covers a row SUBSET, so
+        // its buckets must be contained — absent buckets read as the
+        // aggregate over zero rows below
+        val subsetWheels: Set[HawWheel] = nds.values.collect {
+          case (n, NumSrc(w)) if n.ownParts.nonEmpty => w.wheel
+        }.toSet
+        val strictBad = wheelGroups.exists { case (hw, m) =>
+          if (subsetWheels(hw)) !m.keySet.subsetOf(groupKeys) else m.keySet != groupKeys
+        }
+        if (strictBad) return None
         // piecewise arms: per-key register intervals enumerated from the
         // same wheel + bounds as the groups (same walk, so the key sets
         // coincide); an HLL wheel's active seconds are a subset of the
@@ -1123,7 +1213,13 @@ object UWheelRule extends Rule[LogicalPlan] {
           val aggValues = nds.map { case (k, (n, src)) =>
             val v = src match {
               case NumSrc(w) =>
-                n.value(wheelGroups(w.wheel).getOrElse(gs, return None))
+                n.value(wheelGroups(w.wheel).getOrElse(gs,
+                  // FILTER-keyed wheels: a bucket with no matching rows is
+                  // the aggregate over zero rows, not a decline
+                  if (n.ownParts.nonEmpty)
+                    RangeAgg(0L, 0L, Double.PositiveInfinity, Double.NegativeInfinity,
+                      w.wheel.scale)
+                  else return None))
               // per-bucket distinct: the bucket clipped against every range
               // of the union — disjoint clips, so register-max merging is
               // exactly the distinct over the bucket's qualifying rows
@@ -1174,6 +1270,7 @@ object UWheelRule extends Rule[LogicalPlan] {
       // residuals would need per-(value × residual) wheels nobody builds.
       case Seq(g1raw, g2raw) =>
         if (filterKey.nonEmpty) return None // residuals don't compose with per-value routing
+        if (needList.values.exists(_.ownParts.nonEmpty)) return None // (value × p) wheels don't exist
         // COUNT(DISTINCT) per (bucket, value) group would need per-(value ×
         // value) wheels; within its own key's group the count is trivially
         // 0/1 but never worth a rewrite — decline

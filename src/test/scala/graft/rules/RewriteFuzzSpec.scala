@@ -115,7 +115,14 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "hdr_quantile(value, 0.9) AS p90",
     "wheel_var_samp(CAST(value AS DECIMAL(18,2))) AS vs",
     "wheel_stddev_pop(CAST(value AS DECIMAL(18,2))) AS sp",
-    "count(DISTINCT user_id) AS xdu")
+    "count(DISTINCT user_id) AS xdu",
+    // per-need predicates: FILTER clauses and CASE WHEN children route to
+    // keyed wheels (or decline composably with the other shapes)
+    "count(*) FILTER (WHERE event_type = 'click') AS f_clicks",
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS f_sum",
+    "hll_distinct(user_id) FILTER (WHERE event_type = 'purchase') AS f_du",
+    "count(CASE WHEN event_type = 'error' THEN 1 END) AS c_errs",
+    "min(value) FILTER (WHERE event_type = 'signup') AS f_mn")
 
   private def aggs(rnd: scala.util.Random): Seq[String] =
     rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
