@@ -49,6 +49,15 @@ import graft.wheel.{HawWheel, TypedHawWheel, WheelAggregators}
   *                        row per (bucket, value). None for every other
   *                        filter shape (those wheels still serve their
   *                        residual-predicate rewrites via `filterKey`).
+  * @param exprSql         Some(sql) when the wheel's measure is a derived
+  *                        EXPRESSION over the table's columns rather than a
+  *                        bare column (`l_extendedprice * (1 - l_discount)`).
+  *                        `valueColumn` then holds the expression's CANONICAL
+  *                        Catalyst form ([[graft.expr.Canon.canonExpr]]) — the
+  *                        key the rewrite rule computes from a query's
+  *                        aggregate child — and this field keeps the raw SQL
+  *                        so incremental refresh can re-project the same
+  *                        expression over appended data.
   */
 @SerialVersionUID(1L)
 final case class IndexedWheel(
@@ -60,11 +69,14 @@ final case class IndexedWheel(
     valuesNaNFree: Boolean = true,
     coverage: Option[(Long, Long)] = None,
     filterSql: Option[String] = None,
-    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+    exprSql: Option[String] = None) {
   /** Null-safe [[keyEq]]: an index persisted before the field existed
     * deserializes it as null (Java default), not None. */
   def keyEqOpt: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] =
     Option(keyEq).flatten
+  /** Null-safe [[exprSql]] (same pre-field deserialization contract). */
+  def exprSqlOpt: Option[String] = Option(exprSql).flatten
 }
 
 /** HLL distinct-count sketch wheel for one column — the typed-wheel twin of
@@ -432,7 +444,9 @@ final case class UWheelBuilder(
     momentColumns: Seq[String] = Nil,
     keyedMomentWheels: Seq[(String, String)] = Nil,
     coMomentColumns: Seq[(String, String)] = Nil,
-    keyedCoMomentWheels: Seq[(String, String, String)] = Nil) {
+    keyedCoMomentWheels: Seq[(String, String, String)] = Nil,
+    exprWheels: Seq[(String, Int)] = Nil,
+    keyedExprWheels: Seq[(String, String, Int)] = Nil) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
@@ -533,6 +547,33 @@ final case class UWheelBuilder(
     * `filterSql`, routed by the canonical filter key. */
   def withKeyedCoMomentWheel(colX: String, colY: String, filterSql: String): UWheelBuilder =
     copy(keyedCoMomentWheels = keyedCoMomentWheels :+ ((colX, colY, filterSql)))
+
+  /** Adds a wheel over a derived EXPRESSION of the table's columns — the
+    * revenue shape: `sum(l_extendedprice * (1 - l_discount))` over any
+    * ship-date range answers from one O(1) read instead of a scan. The
+    * wheel is registered under the expression's CANONICAL Catalyst form
+    * ([[graft.expr.Canon.canonExpr]] of the analyzed, constant-folded
+    * expression — the same key the rewrite rule computes from a query's
+    * aggregate child), so `SUM/AVG/MIN/MAX/COUNT(<expr>)` route to it
+    * through the exact same machinery as bare-column wheels, including
+    * every bucket arm (date_trunc / window() group-bys), OR-range unions,
+    * HAVING, and emptiness pruning. The same exactness discipline applies:
+    * plain `sum(<expr>)` over doubles only rewrites when every expression
+    * value is representable at `scale` ([[IndexedWheel.valuesExactAtScale]]);
+    * the `sum(cast(<expr> as decimal(p, scale)))` form matches the wheel's
+    * decimal arithmetic by construction (both sides round HALF_UP at
+    * `scale`), which is the recommended form for products of decimals
+    * stored as doubles (a 2-dec price × 2-dec rate product needs scale 4).
+    * Must be deterministic and aggregate-free; fused into the same single
+    * build scan (the expression is one more projected column). */
+  def withExprWheel(sql: String, scale: Int = 4): UWheelBuilder =
+    copy(exprWheels = exprWheels :+ ((sql, scale)))
+
+  /** A KEYED expression wheel: the derived measure over only rows matching
+    * `filterSql` ("returned-line revenue"), routed by the same canonical
+    * filter key as every keyed wheel family; fused into the same scan. */
+  def withKeyedExprWheel(sql: String, filterSql: String, scale: Int = 4): UWheelBuilder =
+    copy(keyedExprWheels = keyedExprWheels :+ ((sql, filterSql, scale)))
 
   private def requireHllP(p: Int): Unit = {
     require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
@@ -637,7 +678,11 @@ object UWheelIndex {
       timeRangeSec: Option[(Long, Long)],
       scale: Int,
       filterSql: Option[String] = None,
-      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+      /** For derived-EXPRESSION measures: the raw SQL to project (the
+        * `valueColumn` is then the expression's canonical key, not a schema
+        * column — see [[IndexedWheel.exprSql]]). */
+      exprSql: Option[String] = None)
 
   /** One distinct-sketch wheel to build: which column, at which precision,
     * under which residual filter (None/"" = unfiltered). */
@@ -695,6 +740,35 @@ object UWheelIndex {
     }
   }
 
+  /** Canonical registry key for a derived-expression measure: the
+    * expression analyzed against `df` and passed through the session's own
+    * optimizer (constant folding, implicit-cast normalization), then
+    * canonicalized by [[graft.expr.Canon.canonExpr]] — exactly the
+    * transformation pipeline a QUERY's aggregate child has been through
+    * when the rewrite rule canonicalizes it, so build-side and query-side
+    * keys agree structurally (`1 - l_discount` and `CAST(1 AS DOUBLE) -
+    * l_discount` both key as `(1.0 - l_discount)`). */
+  private[graft] def exprKeyOf(df: DataFrame, sql: String): String = {
+    val sel = df.select(F.expr(sql).as("_graft_expr"))
+    val resolved = sel.queryExecution.optimizedPlan.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.collectFirst {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias
+              if a.name == "_graft_expr" => a.child
+        }
+    }.flatten.getOrElse(
+      // a bare-column "expression" optimizes the Project away; fall back to
+      // the analyzed form (canonExpr folds foldable subtrees itself)
+      sel.queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        .projectList.head.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child)
+    require(resolved.deterministic, s"expression wheel must be deterministic: $sql")
+    require(!resolved.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]),
+      s"expression wheel must be aggregate-free: $sql")
+    require(resolved.references.nonEmpty, s"expression wheel must reference a column: $sql")
+    graft.expr.Canon.canonExpr(resolved)
+  }
+
   /** Builds ANY number of wheels in ONE distributed scan: each spec becomes
     * six conditional aggregate columns of a single map-side-combining
     * `groupBy(second)`, so index construction over 100 TB is one pass
@@ -745,25 +819,36 @@ object UWheelIndex {
     // equality + optional range test).
     val valKeys = specs.flatMap(sp => sp.valueColumn.map(c => (c, sp.scale))).distinct
     val valIdx = valKeys.zipWithIndex.toMap
+    // Derived-expression measures: the spec's valueColumn is a canonical
+    // key, not a schema column — the per-row source is the re-projected SQL.
+    val exprSrc: Map[(String, Int), String] = specs.collect {
+      case sp if sp.valueColumn.isDefined && sp.exprSql.isDefined =>
+        (sp.valueColumn.get, sp.scale) -> sp.exprSql.get
+    }.toMap
     val projCols = valKeys.zipWithIndex.flatMap { case ((c, scale), k) =>
-      val isDec = df.schema.find(_.name == c)
-        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      val srcCol = exprSrc.get((c, scale)).map(F.expr).getOrElse(F.col(c))
+      val isDec = exprSrc.get((c, scale)) match {
+        case Some(sql) => df.select(F.expr(sql)).schema.head.dataType
+          .isInstanceOf[org.apache.spark.sql.types.DecimalType]
+        case None => df.schema.find(_.name == c)
+          .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      }
       if (isDec) {
         // Decimal source column at its own scale: the sum path widens the
         // decimal directly (exact — no double anywhere), and the exactness
         // probe flips direction: it asks whether the DOUBLE image converts
         // back to the original decimal exactly, which is what gates the
         // double-stored MIN/MAX rewrite. Decimals cannot be NaN.
-        val d = F.col(c).cast(s"decimal(38,$scale)")
-        val v = F.col(c).cast("double")
+        val d = srcCol.cast(s"decimal(38,$scale)")
+        val v = srcCol.cast("double")
         val rt = v.try_cast(s"decimal(38,$scale)")
         Seq(
           v.as(s"_v$k"),
           d.as(s"_d$k"),
-          (F.col(c).isNotNull && (rt.isNull || rt =!= d)).as(s"_b$k"),
+          (srcCol.isNotNull && (rt.isNull || rt =!= d)).as(s"_b$k"),
           F.lit(false).as(s"_n$k"))
       } else {
-        val v = F.col(c).cast("double")
+        val v = srcCol.cast("double")
         // Exactness probe: does v survive a round-trip through
         // DECIMAL(38,scale)? NaN/Infinity/overflow become NULL and count as
         // non-representable. try_* casts keep that contract under ANSI mode
@@ -917,7 +1002,7 @@ object UWheelIndex {
           valueAllNonNull = !hasValues || acc.allNonNull(i),
           valuesExactAtScale = !hasValues || acc.badRep(i) == 0L,
           valuesNaNFree = !hasValues || acc.nanCount(i) == 0L,
-          sp.timeRangeSec, sp.filterSql, sp.keyEq),
+          sp.timeRangeSec, sp.filterSql, sp.keyEq, sp.exprSql),
         acc.sawNullTs(i))
     }
     val builtDistinct = distinctSpecs.zip(acc.distinct).map { case (ds, rw) =>
@@ -1013,7 +1098,11 @@ object UWheelIndex {
       case _ => conf.scale
     }
     val colSpecs = conf.minMaxColumns.map(c =>
-      WheelSpec(Some(c), None, "", conf.timeRangeSec, scaleFor(c)))
+      WheelSpec(Some(c), None, "", conf.timeRangeSec, scaleFor(c))) ++
+      conf.exprWheels.map { case (sql, sc) =>
+        WheelSpec(Some(exprKeyOf(df, sql)), None, "", conf.timeRangeSec, sc,
+          exprSql = Some(sql))
+      }
     val keyedSpecs = conf.keyedWheels.map { ib =>
       val fc = F.expr(ib.filterSql.getOrElse(
         throw new IllegalArgumentException("keyed wheel requires a filter")))
@@ -1021,6 +1110,11 @@ object UWheelIndex {
         graft.expr.Canon.canonFilterKey(df.filter(fc)),
         ib.timeRangeSec.orElse(conf.timeRangeSec), scaleFor(ib.column), ib.filterSql,
         keyEqOf(df, fc))
+    } ++ conf.keyedExprWheels.map { case (sql, fsql, sc) =>
+      val fc = F.expr(fsql)
+      WheelSpec(Some(exprKeyOf(df, sql)), Some(fc),
+        graft.expr.Canon.canonFilterKey(df.filter(fc)),
+        conf.timeRangeSec, sc, Some(fsql), keyEqOf(df, fc), Some(sql))
     }
     val countSpec =
       if (colSpecs.isEmpty) Seq(WheelSpec(None, None, "", conf.timeRangeSec, conf.scale))
@@ -1262,10 +1356,11 @@ object UWheelIndex {
     // otherwise it gets its own spec.
     val keyedKept = keyedWheels.filter(_.filterSql.isDefined)
     val colSpecs = colWheels.map(w =>
-      WheelSpec(w.valueColumn, None, "", w.coverage, w.wheel.scale))
+      WheelSpec(w.valueColumn, None, "", w.coverage, w.wheel.scale,
+        exprSql = w.exprSqlOpt))
     val keyedSpecs = keyedKept.map(w => WheelSpec(w.valueColumn,
       w.filterSql.map(F.expr), w.filterKey, w.coverage, w.wheel.scale, w.filterSql,
-      w.keyEqOpt))
+      w.keyEqOpt, w.exprSqlOpt))
     val shareIdx = countWheel.map(cw => colWheels.indexWhere(_.coverage == cw.coverage))
       .getOrElse(-1)
     val needOwnCount = countWheel.isDefined && shareIdx < 0

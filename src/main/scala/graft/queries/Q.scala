@@ -106,9 +106,16 @@ object Q {
   }
 
   /** lineitem: second indexed table (multi-year NTZ time span, so calendar
-    * group-bys produce real multi-bucket results). */
+    * group-bys produce real multi-bucket results). Also carries
+    * derived-EXPRESSION wheels for the TPC-H revenue measure
+    * `l_extendedprice * (1 - l_discount)` — a 2-dec × 2-dec product needs
+    * scale 4 for the decimal-cast sum form to match digit-for-digit —
+    * unfiltered plus one keyed variant (returned lines). */
+  val revenueExpr = "l_extendedprice * (1 - l_discount)"
   def buildLineitem(spark: SparkSession, sfDir: String): Unit =
     UWheelBuilder("l_shipdate", Seq("l_quantity"))
+      .withExprWheel(revenueExpr, scale = 4)
+      .withKeyedExprWheel(revenueExpr, "l_returnflag = 'R'", scale = 4)
       .build(spark, s"$sfDir/lineitem.parquet")
 
   private val datedDirs = new ConcurrentHashMap[String, String]()

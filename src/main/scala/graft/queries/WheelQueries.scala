@@ -18,6 +18,8 @@ object WheelQueries {
   private val range = s"ts >= $lo AND ts < $hi"
   private val sumDec = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
   private val valDec = "CAST(value AS DECIMAL(18,2))"
+  private val revExpr = Q.revenueExpr
+  private val revDec = s"CAST(sum(CAST($revExpr AS DECIMAL(18,4))) AS DOUBLE)"
 
   /** DuckDB mirror of [[graft.wheel.WheelAggregators.MomentStats.statOf]]:
     * exact integer moments (unscaled cents, HUGEINT sums), integer
@@ -467,6 +469,32 @@ object WheelQueries {
     "uw_tz_trunc_eq" -> inTz("America/New_York")(
       s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
          |FROM events WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-08 00:00:00'""".stripMargin),
+    // Derived-EXPRESSION wheels (UWheelBuilder.withExprWheel): the TPC-H
+    // revenue measure l_extendedprice * (1 - l_discount) indexed as one
+    // wheel keyed by its canonical Catalyst form. The decimal-cast sum
+    // matches the wheel's HALF_UP scale-4 arithmetic digit-for-digit (a
+    // 2-dec price × 2-dec rate product has 4 decimals); MIN/MAX serve the
+    // raw double image directly.
+    "uw_revenue_range" -> Q.sql(
+      s"""SELECT $revDec AS revenue, count(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin),
+    "uw_revenue_monthly" -> Q.sql(
+      s"""SELECT date_trunc('month', l_shipdate) AS m, $revDec AS revenue,
+         |       min($revExpr) AS mn, max($revExpr) AS mx
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // keyed expression wheel: the residual routes to the wheel whose rows
+    // matched l_returnflag = 'R' at build time
+    "uw_revenue_keyed" -> Q.sql(
+      s"""SELECT $revDec AS revenue_returned
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_returnflag = 'R'""".stripMargin),
   )
 
   /** Like [[Q.sql]] but analyzed under session zone `tz` (restored after):
@@ -771,5 +799,25 @@ object WheelQueries {
          |FROM events
          |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB casts double → decimal with round-half-away-from-zero, which
+    // agrees with Spark's HALF_UP on these all-positive products.
+    "uw_revenue_range" ->
+      s"""SELECT $revDec AS revenue, count(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+    "uw_revenue_monthly" ->
+      s"""SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m, $revDec AS revenue,
+         |       min($revExpr) AS mn, max($revExpr) AS mx
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_revenue_keyed" ->
+      s"""SELECT $revDec AS revenue_returned
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_returnflag = 'R'""".stripMargin,
   )
 }

@@ -307,6 +307,21 @@ object UWheelRule extends Rule[LogicalPlan] {
     classifyFn(ae).map(n => n.copy(ownParts = n.ownParts ++ filterParts))
   }
 
+  /** Canonical key of a derived-EXPRESSION measure — the query-side twin of
+    * the build's `UWheelIndex.exprKeyOf` registration key: a deterministic,
+    * aggregate-free, non-trivial scalar composition over the table's
+    * columns (`l_extendedprice * (1 - l_discount)`). [[Canon.canonExpr]]
+    * strips qualifiers/ExprIds and folds foldable subtrees, so the
+    * optimized query child and the build-side analyzed expression agree.
+    * Bare attributes return None (they route through the named-column
+    * arms); so do foldable constants (no rows to index). */
+  private def exprMeasureKey(e: Expression): Option[String] = e match {
+    case _: AttributeReference => None
+    case _ if !e.deterministic || e.references.isEmpty => None
+    case _ if e.exists(_.isInstanceOf[AggregateExpression]) => None
+    case _ => Some(Canon.canonExpr(e))
+  }
+
   /** `CASE WHEN p THEN x [ELSE NULL]` inside an aggregate ≡ the aggregate
     * over x FILTER (WHERE p) — every SQL aggregate skips NULLs, and the
     * absent/NULL else branch makes non-matching rows NULL. Returns the
@@ -353,6 +368,12 @@ object UWheelRule extends Rule[LogicalPlan] {
             Some(Need(Some(a.name), "countcol", None, ownParts = parts))
           case _ => None
         }
+      // COUNT(<expr>) over a derived-expression wheel: countcol's
+      // valueAllNonNull gate proves the expression never evaluated to NULL,
+      // making it COUNT(*)
+      case Count(Seq(e))
+          if e.dataType == DoubleType || e.dataType.isInstanceOf[DecimalType] =>
+        exprMeasureKey(e).map(k => Need(Some(k), "countcol", None))
       // DecimalType measure columns (real TPC-H dumps store quantities and
       // prices as DECIMAL): the wheel is built AT THE COLUMN'S OWN SCALE and
       // sums the decimal directly, so SUM needs no exactness gate at all —
@@ -372,6 +393,18 @@ object UWheelRule extends Rule[LogicalPlan] {
               Some(a.dataType.asInstanceOf[DecimalType].scale)))
           case Cast(a: AttributeReference, dt: DecimalType, _, _) if a.dataType == DoubleType =>
             Some(Need(Some(a.name), "sumdec", Some(dt.scale)))
+          // derived-expression measures ("revenue"): route by canonical key
+          // to a wheel built with UWheelBuilder.withExprWheel. The decimal-
+          // cast form matches the wheel's HALF_UP arithmetic by
+          // construction; the plain double form is exactness-gated like any
+          // double-column sum (wheelFor's valuesExactAtScale filter).
+          case Cast(e, dt: DecimalType, _, _) if e.dataType == DoubleType =>
+            exprMeasureKey(e).map(k => Need(Some(k), "sumdec", Some(dt.scale)))
+          case e if e.dataType == DoubleType =>
+            exprMeasureKey(e).map(k => Need(Some(k), "sum", None))
+          case e if e.dataType.isInstanceOf[DecimalType] =>
+            exprMeasureKey(e).map(k => Need(Some(k), "sumdec",
+              Some(e.dataType.asInstanceOf[DecimalType].scale)))
           case _ => None
         }).map(_.copy(ownParts = parts))
       case av: Average =>
@@ -386,6 +419,18 @@ object UWheelRule extends Rule[LogicalPlan] {
                   Some(a.dataType.asInstanceOf[DecimalType].scale), resScale = rt.scale))
               case _ => None
             }
+          // derived-expression AVG: the decimal-cast form divides the exact
+          // scaled sum at the result scale; the plain double form is
+          // exactness-gated like a double column
+          case Cast(e, dt: DecimalType, _, _) if e.dataType == DoubleType =>
+            ae.dataType match {
+              case rt: DecimalType =>
+                exprMeasureKey(e).map(k =>
+                  Need(Some(k), "avgdec", Some(dt.scale), resScale = rt.scale))
+              case _ => None
+            }
+          case e if e.dataType == DoubleType =>
+            exprMeasureKey(e).map(k => Need(Some(k), "avg", None))
           case _ => None
         }).map(_.copy(ownParts = parts))
       case Min(ch0) =>
@@ -396,6 +441,8 @@ object UWheelRule extends Rule[LogicalPlan] {
           case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
             Some(Need(Some(a.name), "mindec",
               Some(a.dataType.asInstanceOf[DecimalType].scale)))
+          case e if e.dataType == DoubleType =>
+            exprMeasureKey(e).map(k => Need(Some(k), "min", None))
           case _ => None
         }).map(_.copy(ownParts = parts))
       case Max(ch0) =>
@@ -406,6 +453,8 @@ object UWheelRule extends Rule[LogicalPlan] {
           case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
             Some(Need(Some(a.name), "maxdec",
               Some(a.dataType.asInstanceOf[DecimalType].scale)))
+          case e if e.dataType == DoubleType =>
+            exprMeasureKey(e).map(k => Need(Some(k), "max", None))
           case _ => None
         }).map(_.copy(ownParts = parts))
       // hll_distinct(col): answered from an HLL sketch wheel with the same
