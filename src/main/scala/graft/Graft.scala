@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.HdrQuantileAgg].getName, "hdr_quantile"),
       Graft.hdrBuilder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cms_freq"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CmsFreqAgg].getName, "cms_freq"),
+      Graft.cmsBuilder))
     graft.functions.MomentStatsAgg.Stats.foreach { stat =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(s"wheel_$stat"),
@@ -86,6 +91,8 @@ object Graft {
       "hll_distinct", hllBuilder, "scala_udf")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hdr_quantile", hdrBuilder, "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_freq", cmsBuilder, "scala_udf")
     graft.functions.MomentStatsAgg.Stats.foreach { stat =>
       cs.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"wheel_$stat", exprs => momentBuilder(stat, exprs), "scala_udf")
@@ -166,5 +173,28 @@ object Graft {
     }
     val s = if (exprs.length == 3) intOf(exprs(2), "hdr_quantile") else 7
     graft.functions.HdrQuantileAgg(exprs(0), q, s)
+  }
+
+  /** `cms_freq(key, target[, logW, d])` — `target` an integer literal (the
+    * value whose frequency is estimated), `logW`/`d` integer literals (they
+    * size the counter matrix, which must match a registered frequency-sketch
+    * wheel's for the rewrite to fire). */
+  private[graft] def cmsBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length >= 2 && exprs.length <= 4,
+      s"cms_freq takes (key, target[, logW[, d]]), got ${exprs.length} arguments")
+    val te = exprs(1)
+    require(te.foldable, s"cms_freq target must be a literal, got $te")
+    val target = te.eval(null) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(s"not an integer: $other")
+    }
+    val logW = if (exprs.length >= 3) intOf(exprs(2), "cms_freq") else 12
+    val d = if (exprs.length == 4) intOf(exprs(3), "cms_freq") else 4
+    graft.functions.CmsFreqAgg(exprs(0), target, logW, d)
   }
 }

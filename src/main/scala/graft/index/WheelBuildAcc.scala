@@ -29,7 +29,8 @@ private[index] final class WheelBuildAcc(
     hllPs: Array[Int] = Array.emptyIntArray,
     hdrSs: Array[Int] = Array.emptyIntArray,
     momScales: Array[Int] = Array.emptyIntArray,
-    coScales: Array[(Int, Int)] = Array.empty) extends Serializable {
+    coScales: Array[(Int, Int)] = Array.empty,
+    cmsParams: Array[(Int, Int)] = Array.empty) extends Serializable {
 
   private val n = scales.length
   val wheels: Array[RwWheel] =
@@ -64,6 +65,14 @@ private[index] final class WheelBuildAcc(
   val coCastFail: Array[Long] = new Array[Long](coScales.length)
   val coAbsMaxX: Array[Double] = new Array[Double](coScales.length)
   val coAbsMaxY: Array[Double] = new Array[Double](coScales.length)
+  // Count-Min frequency-sketch wheels: per-second counter partials
+  // (BinaryType, from the sketch form of CmsFreqAgg in the SAME scan),
+  // at row offset 1 + 7n + |hll| + |hdr| + 5·|mom| + 9·|co| + j
+  val freq: Array[TypedRwWheel[Long, Array[Byte], Array[Byte]]] =
+    cmsParams.map { case (d, lw) =>
+      new TypedRwWheel[Long, Array[Byte], Array[Byte]](
+        new WheelAggregators.CmsFreq(d, lw))
+    }
 
   def add(r: Row): Unit = {
     val nullSec = r.isNullAt(0)
@@ -142,6 +151,17 @@ private[index] final class WheelBuildAcc(
       }
       c += 1
     }
+    var f = 0
+    while (f < freq.length) {
+      // empty sketch = the second saw no non-null (post-filter) keys: skip
+      if (!nullSec) {
+        val base = 1 + n * 7 + distinct.length + sketch.length +
+          moment.length * 5 + coMoment.length * 9
+        val p = r.getAs[Array[Byte]](base + f)
+        if (p != null && p.length > 0) freq(f).mergePartial(sec, p)
+      }
+      f += 1
+    }
   }
 
   private def hllAggs(j: Int): WheelAggregators.HllDistinct =
@@ -181,6 +201,11 @@ private[index] final class WheelBuildAcc(
       coAbsMaxX(c) = math.max(coAbsMaxX(c), o.coAbsMaxX(c))
       coAbsMaxY(c) = math.max(coAbsMaxY(c), o.coAbsMaxY(c))
       c += 1
+    }
+    var f = 0
+    while (f < freq.length) {
+      freq(f).merge(o.freq(f))
+      f += 1
     }
     this
   }

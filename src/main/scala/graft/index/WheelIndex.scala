@@ -148,6 +148,36 @@ final case class QuantileIndexedWheel(
     Option(keyEq).flatten
 }
 
+/** Count-Min frequency-sketch wheel for one integral key column — the
+  * typed family answering `cms_freq(key, target)` over any time range
+  * ("how many times did user 12345 appear last week") at plan time, for
+  * ANY target value: the high-cardinality complement to exact per-value
+  * keyed wheels, which need one wheel per key value. Counter partials are
+  * canonical sorted (slot, count) arrays merged ADDITIVELY — sound on the
+  * wheel's disjoint range decompositions exactly like count/sum — and the
+  * aggregator instance rides along so the rule can combine per-range
+  * partials and lower them with the same arithmetic the SQL aggregate
+  * uses. A non-empty `filterKey` marks a KEYED variant (counters over
+  * only matching rows), routed like keyed numeric wheels; `keyEq` is its
+  * structured form for the per-value GROUP BY arms. */
+@SerialVersionUID(1L)
+final case class FreqIndexedWheel(
+    wheel: TypedHawWheel[Array[Byte], Array[Byte]],
+    column: String,
+    agg: WheelAggregators.CmsFreq,
+    filterKey: String = "",
+    filterSql: Option[String] = None,
+    /** Seconds per sketch slot — span-coarsened builds produce span-aligned
+      * slots, gated by the rule exactly like the other families. */
+    slotSpan: Long = 1L,
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+  def d: Int = agg.d
+  def logW: Int = agg.logW
+  def span: Long = if (slotSpan <= 0L) 1L else slotSpan
+  def keyEqOpt: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] =
+    Option(keyEq).flatten
+}
+
 /** Exact-moment wheel (n, Σx, Σx² as exact integers at a fixed decimal
   * scale) for one column — the third typed family after
   * [[DistinctIndexedWheel]] and [[QuantileIndexedWheel]], answering
@@ -287,6 +317,15 @@ final class TableIndex(
     Option(quantiles).flatMap(m => Option(m.get((col, filterKey))))
   def allQuantileWheels: Seq[QuantileIndexedWheel] =
     Option(quantiles).map(_.asScala.values.toSeq).getOrElse(Nil)
+  // Count-Min frequency-sketch wheels by (column, residual filter key);
+  // same null-after-old-deserialization guard as `distinct`
+  private val freqs = new ConcurrentHashMap[(String, String), FreqIndexedWheel]()
+  def putFreq(fw: FreqIndexedWheel): Unit =
+    freqs.put((fw.column, fw.filterKey), fw)
+  def freqWheel(col: String, filterKey: String = ""): Option[FreqIndexedWheel] =
+    Option(freqs).flatMap(m => Option(m.get((col, filterKey))))
+  def allFreqWheels: Seq[FreqIndexedWheel] =
+    Option(freqs).map(_.asScala.values.toSeq).getOrElse(Nil)
   // exact-moment wheels by (column, residual filter key); same
   // null-after-old-deserialization guard as the other typed families
   private val moments = new ConcurrentHashMap[(String, String), MomentIndexedWheel]()
@@ -326,6 +365,7 @@ final class TableIndex(
       .distinct.map(_.sizeBytes).sum +
       allDistinctWheels.map(_.wheel.measuredBytes).sum +
       allQuantileWheels.map(_.wheel.measuredBytes).sum +
+      allFreqWheels.map(_.wheel.measuredBytes).sum +
       // moment partials: ~3 numbers per slot; the 8-byte-per-partial
       // estimate understates BigInt headers, so count a measured 48 B each
       allMomentWheels.map(_.wheel.numSecs.toLong * 48L).sum +
@@ -446,7 +486,9 @@ final case class UWheelBuilder(
     coMomentColumns: Seq[(String, String)] = Nil,
     keyedCoMomentWheels: Seq[(String, String, String)] = Nil,
     exprWheels: Seq[(String, Int)] = Nil,
-    keyedExprWheels: Seq[(String, String, Int)] = Nil) {
+    keyedExprWheels: Seq[(String, String, Int)] = Nil,
+    freqColumns: Seq[(String, Int, Int)] = Nil,
+    keyedFreqWheels: Seq[(String, String, Int, Int)] = Nil) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
@@ -547,6 +589,25 @@ final case class UWheelBuilder(
     * `filterSql`, routed by the canonical filter key. */
   def withKeyedCoMomentWheel(colX: String, colY: String, filterSql: String): UWheelBuilder =
     copy(keyedCoMomentWheels = keyedCoMomentWheels :+ ((colX, colY, filterSql)))
+
+  /** Adds a Count-Min frequency-sketch wheel over an integral key column,
+    * so `cms_freq(col, target)` over any time range ("how many times did
+    * user 12345 appear last week") answers from the index at plan time —
+    * for ANY target value, where exact per-value keyed wheels would need
+    * one wheel per key ([[graft.functions.CmsFreqAgg]]). Fused into the
+    * SAME single build scan like the HLL/HDR wheels (the sketch form of
+    * the native aggregate is one more column of the per-second
+    * aggregation, zero extra passes). `logW`/`d` size the counter matrix:
+    * estimates overshoot by ≤ 2n/2^logW with probability ≥ 1 − 2^−d. */
+  def withFreqWheel(col: String, logW: Int = 12, d: Int = 4): UWheelBuilder =
+    copy(freqColumns = freqColumns :+ ((col, logW, d)))
+
+  /** A KEYED frequency-sketch wheel: counters over only rows matching
+    * `filterSql` ("purchase frequency per user"), routed by the same
+    * canonical filter key as keyed numeric wheels; fused into the same
+    * scan. */
+  def withKeyedFreqWheel(col: String, filterSql: String, logW: Int = 12, d: Int = 4): UWheelBuilder =
+    copy(keyedFreqWheels = keyedFreqWheels :+ ((col, filterSql, logW, d)))
 
   /** Adds a wheel over a derived EXPRESSION of the table's columns — the
     * revenue shape: `sum(l_extendedprice * (1 - l_discount))` over any
@@ -704,6 +765,17 @@ object UWheelIndex {
       filterSql: Option[String] = None,
       keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
 
+  /** One Count-Min frequency-sketch wheel to build: which key column, at
+    * which counter-matrix size, under which residual filter. */
+  final case class CmsSpec(
+      column: String,
+      logW: Int,
+      d: Int,
+      filter: Option[Column] = None,
+      filterKey: String = "",
+      filterSql: Option[String] = None,
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+
   /** One exact CO-moment wheel to build: which column pair, at which
     * fixed-point scales, under which residual filter. */
   final case class CoMomentSpec(
@@ -798,9 +870,12 @@ object UWheelIndex {
         * (codegen'd) aggregate columns per spec, zero extra passes. */
       momentSpecs: Seq[MomentSpec] = Nil,
       /** Exact co-moment wheels — nine plain aggregate columns per spec. */
-      coMomentSpecs: Seq[CoMomentSpec] = Nil)
+      coMomentSpecs: Seq[CoMomentSpec] = Nil,
+      /** Count-Min frequency-sketch wheels — fused like the HLL/HDR
+        * families, one sketch-array aggregate column per spec. */
+      freqSpecs: Seq[CmsSpec] = Nil)
       : (Seq[BuiltWheel], Seq[DistinctIndexedWheel], Seq[QuantileIndexedWheel],
-         Seq[MomentIndexedWheel], Seq[CoMomentIndexedWheel]) = {
+         Seq[MomentIndexedWheel], Seq[CoMomentIndexedWheel], Seq[FreqIndexedWheel]) = {
     require(specs.nonEmpty)
     require(slotExprOverride.isEmpty || specs.forall(_.timeRangeSec.isEmpty),
       "coverage-restricted specs are second-domain and cannot ride an overridden slot expression")
@@ -965,6 +1040,20 @@ object UWheelIndex {
         F.sum(F.when(keepC && fail, F.lit(1L)).otherwise(F.lit(0L))).as(s"cf$j"),
         F.max(F.when(keepC, F.abs(xd))).as(s"cax$j"),
         F.max(F.when(keepC, F.abs(yd))).as(s"cay$j"))
+    } ++ freqSpecs.zipWithIndex.map { case (fs, j) =>
+      // per-second counter partials from the sketch form of the native
+      // cms_freq aggregate — identical hash/content semantics to the wheel
+      // aggregator (they are the same code). A keyed spec folds its
+      // residual filter into the aggregate's child like the HLL column.
+      val in = fs.filter match {
+        case Some(f) => F.when(f, F.col(fs.column))
+        case None    => F.col(fs.column)
+      }
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.CmsFreqAgg(
+          org.apache.spark.sql.graft.ColumnBridge.expression(in.cast("long")),
+          target = 0L, logW = fs.logW, d = fs.d, returnSketch = true)
+          .toAggregateExpression()).as(s"fq$j")
     }
     // Executor-side merge: each shuffle partition folds its per-second rows
     // into compact RwWheels, and partials meet in a depth-2 aggregation tree
@@ -985,13 +1074,15 @@ object UWheelIndex {
     val hdrSs = quantileSpecs.map(_.s).toArray
     val momScales = momentSpecs.map(_.scale).toArray
     val coScales = coMomentSpecs.map(cs => (cs.scaleX, cs.scaleY)).toArray
+    val cmsParams = freqSpecs.map(fs => (fs.d, fs.logW)).toArray
     // widen, don't replace: filters/secExpr/distinct columns still resolve
     // by name against the original schema
     val projected =
       if (valKeys.isEmpty) df else df.select(F.col("*") +: projCols: _*)
     val acc = projected.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
       .rdd
-      .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs, hdrSs, momScales, coScales))(
+      .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs, hdrSs, momScales, coScales,
+        cmsParams))(
         (a, row) => { a.add(row); a },
         (a, b) => a.merge(b),
         depth = 2)
@@ -1027,7 +1118,12 @@ object UWheelIndex {
         acc.coCastFail(j), acc.coAbsMaxX(j), acc.coAbsMaxY(j), cs.filterKey, cs.filterSql,
         slotSpan, cs.keyEq)
     }
-    (built, builtDistinct, builtQuantile, builtMoment, builtCoMoment)
+    val builtFreq = freqSpecs.zip(acc.freq).map { case (fs, rw) =>
+      FreqIndexedWheel(rw.freeze(), fs.column,
+        rw.agg.asInstanceOf[WheelAggregators.CmsFreq], fs.filterKey, fs.filterSql,
+        slotSpan, fs.keyEq)
+    }
+    (built, builtDistinct, builtQuantile, builtMoment, builtCoMoment, builtFreq)
   }
 
   /** Optimizer-construction build (reference `try_new` + `build`,
@@ -1158,10 +1254,18 @@ object UWheelIndex {
         graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
         keyEqOf(df, fc))
     }
-    val (built, builtDistinct, builtQuantile, builtMoment, builtCoMoment) =
+    val fSpecs = conf.freqColumns.map { case (c, lw, dd) => CmsSpec(c, lw, dd) } ++
+      conf.keyedFreqWheels.map { case (c, sql, lw, dd) =>
+        val fc = F.expr(sql)
+        CmsSpec(c, lw, dd, Some(fc),
+          graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
+          keyEqOf(df, fc))
+      }
+    val (built, builtDistinct, builtQuantile, builtMoment, builtCoMoment, builtFreq) =
       buildWheels(df, conf.timeColumn,
         colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels, dSpecs,
-        quantileSpecs = qSpecs, momentSpecs = mSpecs, coMomentSpecs = cSpecs)
+        quantileSpecs = qSpecs, momentSpecs = mSpecs, coMomentSpecs = cSpecs,
+        freqSpecs = fSpecs)
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val countBuilt = colBuilt.headOption match {
       case Some(bw) =>
@@ -1182,6 +1286,7 @@ object UWheelIndex {
     builtQuantile.foreach(t.putQuantile)
     builtMoment.foreach(t.putMoment)
     builtCoMoment.foreach(t.putCoMoment)
+    builtFreq.foreach(t.putFreq)
     conf.millisColumns.foreach(cols => buildMsWheels(df, t, cols.map(c => (c, scaleFor(c)))))
     WheelRegistry.register(t)
     t
@@ -1197,7 +1302,7 @@ object UWheelIndex {
     val msSpecs =
       if (cols.isEmpty) Seq(WheelSpec(None, None, "", None, 2))
       else cols.map { case (c, sc) => WheelSpec(Some(c), None, "", None, sc) }
-    val (msBuilt, _, _, _, _) = buildWheels(df, t.timeColumn, msSpecs,
+    val (msBuilt, _, _, _, _, _) = buildWheels(df, t.timeColumn, msSpecs,
       slotExprOverride = Some(msExprOf(df, t.timeColumn)))
     msBuilt.foreach(bw => t.putMs(bw.wheel))
     if (cols.nonEmpty)
@@ -1343,6 +1448,8 @@ object UWheelIndex {
         Option(d.filterKey).getOrElse("").isEmpty || Option(d.filterSql).flatten.isDefined) &&
       t.allQuantileWheels.forall(qw =>
         Option(qw.filterKey).getOrElse("").isEmpty || Option(qw.filterSql).flatten.isDefined) &&
+      t.allFreqWheels.forall(fw =>
+        Option(fw.filterKey).getOrElse("").isEmpty || Option(fw.filterSql).flatten.isDefined) &&
       fab.forall { case (p, lm) => now.get(p).contains(lm) }
 
     // One spec per REGISTERED wheel, carrying that wheel's own scale,
@@ -1401,7 +1508,9 @@ object UWheelIndex {
       Option(mw.filterKey).getOrElse("").isEmpty || Option(mw.filterSql).flatten.isDefined)
     val oldCoMoment = t.allCoMomentWheels.filter(cw =>
       Option(cw.filterKey).getOrElse("").isEmpty || Option(cw.filterSql).flatten.isDefined)
-    val (built, freshDistinct, freshQuantile, freshMoment, freshCoMoment) = buildWheels(scanDf, t.timeColumn,
+    val oldFreq = t.allFreqWheels.filter(fw =>
+      Option(fw.filterKey).getOrElse("").isEmpty || Option(fw.filterSql).flatten.isDefined)
+    val (built, freshDistinct, freshQuantile, freshMoment, freshCoMoment, freshFreq) = buildWheels(scanDf, t.timeColumn,
       colSpecs ++ keyedSpecs ++ countSpec, span, t.packLevels,
       oldDistinct.map(d => DistinctSpec(d.column, d.p,
         Option(d.filterSql).flatten.map(F.expr), Option(d.filterKey).getOrElse(""),
@@ -1415,7 +1524,10 @@ object UWheelIndex {
       coMomentSpecs = oldCoMoment.map(cw => CoMomentSpec(cw.columnX, cw.columnY,
         cw.scaleX, cw.scaleY,
         Option(cw.filterSql).flatten.map(F.expr), Option(cw.filterKey).getOrElse(""),
-        Option(cw.filterSql).flatten)))
+        Option(cw.filterSql).flatten)),
+      freqSpecs = oldFreq.map(fw => CmsSpec(fw.column, fw.logW, fw.d,
+        Option(fw.filterSql).flatten.map(F.expr), Option(fw.filterKey).getOrElse(""),
+        Option(fw.filterSql).flatten)))
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val keyedBuilt = rest.take(keyedSpecs.length)
 
@@ -1472,6 +1584,17 @@ object UWheelIndex {
       nt.putQuantile(qw.copy(wheel = merged,
         slotSpan = if (appendOnly) math.max(qw.span, span) else f.span))
     }
+    // Count-Min frequency wheels: counters are ADDITIVE, so old + delta
+    // partials merge slot-wise bit-identical to a rebuild on append-only
+    // growth (same argument as the quantile bins).
+    oldFreq.zip(freshFreq).foreach { case (fw, f) =>
+      val merged =
+        if (appendOnly)
+          TypedHawWheel.fromSecondPartials(fw.wheel.slotPartials ++ f.wheel.slotPartials, fw.agg)
+        else f.wheel
+      nt.putFreq(fw.copy(wheel = merged,
+        slotSpan = if (appendOnly) math.max(fw.span, span) else f.span))
+    }
     // Exact-moment wheels: moments are additive, so old + delta partials
     // merge slot-wise bit-identical to a rebuild; the decline gates
     // (castFail, absMax) accumulate across the refresh like the numeric
@@ -1508,7 +1631,7 @@ object UWheelIndex {
     if (oldMs.nonEmpty) {
       val ordered = oldMs.sortBy(_.valueColumn)
       val msSpecs = ordered.map(w => WheelSpec(w.valueColumn, None, "", None, w.wheel.scale))
-      val (msBuilt, _, _, _, _) = buildWheels(scanDf, t.timeColumn, msSpecs,
+      val (msBuilt, _, _, _, _, _) = buildWheels(scanDf, t.timeColumn, msSpecs,
         slotExprOverride = Some(msExprOf(scanDf, t.timeColumn)))
       ordered.zip(msBuilt).foreach { case (o, f) =>
         val merged =

@@ -90,7 +90,12 @@ object Q {
         eventTypes.foldLeft(
           eventTypes.foldLeft(
             numeric.withDistinctWheel("user_id").withQuantileWheel("value")
-              .withMomentWheel("value")) { (b, et) =>
+              .withMomentWheel("value")
+              // Count-Min frequency wheel: per-user activity counts over
+              // any range from ONE wheel (user_id is too high-cardinality
+              // for per-value keyed wheels), + a purchase-keyed variant
+              .withFreqWheel("user_id")
+              .withKeyedFreqWheel("user_id", "event_type = 'purchase'")) { (b, et) =>
             b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
               .withKeyedMomentWheel("value", s"event_type = '$et'")
           }) { (b, et) =>

@@ -487,6 +487,18 @@ object WheelQueries {
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // Count-Min frequency-sketch wheels (withFreqWheel): per-user activity
+    // counts over any range from ONE wheel — the high-cardinality
+    // complement to per-value keyed wheels. Rows-only (DuckDB cannot
+    // evaluate our sketch); CmsSqlSpec proves the rewritten answer
+    // bit-equals running the aggregate, and that it never under-counts.
+    "uw_freq_user" -> Q.sql(
+      s"SELECT cms_freq(user_id, 42) AS f42, cms_freq(user_id, 7) AS f7 FROM events WHERE $range"),
+    "uw_freq_daily" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, cms_freq(user_id, 42) AS f, count(*) AS cnt
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
+    "uw_freq_keyed" -> Q.sql(
+      s"SELECT cms_freq(user_id, 42) AS purchases_42 FROM events WHERE $range AND event_type = 'purchase'"),
     // keyed expression wheel: the residual routes to the wheel whose rows
     // matched l_returnflag = 'R' at build time
     "uw_revenue_keyed" -> Q.sql(

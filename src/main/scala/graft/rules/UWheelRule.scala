@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.expr.{Canon, Extract}
-import graft.index.{CoMomentIndexedWheel, DistinctIndexedWheel, IndexedWheel, MomentIndexedWheel, QuantileIndexedWheel, TableIndex, WheelRegistry}
+import graft.index.{CoMomentIndexedWheel, DistinctIndexedWheel, FreqIndexedWheel, IndexedWheel, MomentIndexedWheel, QuantileIndexedWheel, TableIndex, WheelRegistry}
 import graft.wheel.{HawWheel, RangeAgg}
 
 /** Plan-time rewrite of temporal aggregation queries against wheel-indexed
@@ -203,6 +203,9 @@ object UWheelRule extends Rule[LogicalPlan] {
   private final case class CoMomentSrc(d: CoMomentIndexedWheel) extends Src {
     def numeric: Option[IndexedWheel] = None
   }
+  private final case class FreqSrc(d: FreqIndexedWheel) extends Src {
+    def numeric: Option[IndexedWheel] = None
+  }
   private final case class HllSrc(d: DistinctIndexedWheel) extends Src {
     def numeric: Option[IndexedWheel] = None
   }
@@ -264,7 +267,11 @@ object UWheelRule extends Rule[LogicalPlan] {
                                   * need to the KEYED wheel built with the
                                   * combined canonical key ("clicks and
                                   * views in one dashboard row"). */
-                                ownParts: Seq[String] = Nil) {
+                                ownParts: Seq[String] = Nil,
+                                /** The "cms" target value and depth
+                                  * (`hllP` doubles as its logW). */
+                                cmsTarget: Long = 0L,
+                                cmsD: Int = 0) {
     def value(ra: RangeAgg): Any = kind match {
       case "count" | "countcol" => ra.count
       case "sum"    => ra.sum.map(Double.box).orNull
@@ -486,6 +493,22 @@ object UWheelRule extends Rule[LogicalPlan] {
           case Cast(a: AttributeReference, DoubleType, _, _)
               if numeric.contains(a.dataType) || a.dataType.isInstanceOf[DecimalType] =>
             Some(Need(Some(a.name), "hdrq", None, h.s, qArg = h.q))
+          case _ => None
+        }
+      // cms_freq(key, target): answered from a Count-Min frequency-sketch
+      // wheel with the same (logW, d) counter matrix. Integral keys are
+      // exact through long widening — the wheel build's cast-to-long
+      // produces the same values, so both sides hash identically.
+      case c: graft.functions.CmsFreqAgg if !c.returnSketch =>
+        val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+        c.child match {
+          case a: AttributeReference if integral.contains(a.dataType) =>
+            Some(Need(Some(a.name), "cms", None, c.logW,
+              cmsTarget = c.target, cmsD = c.d))
+          case Cast(a: AttributeReference, LongType, _, _)
+              if integral.contains(a.dataType) =>
+            Some(Need(Some(a.name), "cms", None, c.logW,
+              cmsTarget = c.target, cmsD = c.d))
           case _ => None
         }
       // wheel_var_samp / wheel_var_pop / wheel_stddev_samp / wheel_stddev_pop:
@@ -784,6 +807,20 @@ object UWheelRule extends Rule[LogicalPlan] {
               r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
               r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
           .map(QuantileSrc)
+      // cms_freq: the frequency-sketch wheel twin of the hll/hdrq paths —
+      // same residual routing (keyed variants by canonical filter key),
+      // same span-alignment gate, same ms-domain refusal. The counter
+      // matrix must match (different (logW, d) ⇒ different slots ⇒ a
+      // different estimate than running the query would give).
+      case "cms" =>
+        if (msMode) return None
+        table.freqWheel(n.column.getOrElse(return None), keyFor(n))
+          .filter(d => d.logW == n.hllP && d.d == n.cmsD)
+          .filter(d => d.span == 1L ||
+            ranges.forall(r =>
+              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .map(FreqSrc)
       // wheel_var/stddev: the exact-moment wheel at the query's fixed-point
       // scale — same residual routing and span gate as the other typed
       // families, plus the moment-specific exactness gates ([[momentOk]])
@@ -903,6 +940,15 @@ object UWheelRule extends Rule[LogicalPlan] {
       val parts = bs.map { case (s, e) => d.wheel.combineRange(s, e) }
       val merged = if (parts.isEmpty) d.agg.identity else parts.reduce(d.agg.combine)
       d.agg.quantileOf(merged, q).map(Double.box).orNull
+    }
+
+    /** Point-frequency estimate over the (disjoint) range set: additive
+      * counter merges, then min over the target's d slots — the same
+      * arithmetic the SQL aggregate's flat fold lowers with. */
+    def cmsOver(d: FreqIndexedWheel, bs: Seq[(Long, Long)], target: Long): Any = {
+      val parts = bs.map { case (s, e) => d.wheel.combineRange(s, e) }
+      val merged = if (parts.isEmpty) d.agg.identity else parts.reduce(d.agg.combine)
+      Long.box(d.agg.freqOf(merged, target))
     }
 
     /** Moment-wheel serving gates: the wheel must cover every row the scan
@@ -1065,6 +1111,14 @@ object UWheelRule extends Rule[LogicalPlan] {
             ranges.forall(r =>
               r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
               r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+      def freqForValue(n: Need): Literal => Option[FreqIndexedWheel] = v =>
+        n.column.flatMap(c => table.allFreqWheels.find(d =>
+          d.column == c && d.logW == n.hllP && d.d == n.cmsD &&
+            d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
+          .filter(d => d.span == 1L ||
+            ranges.forall(r =>
+              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
       def coMomentForValue(n: Need): Literal => Option[CoMomentIndexedWheel] = v =>
         (for { cx <- n.column; cy <- n.column2 } yield
           table.allCoMomentWheels.find(d =>
@@ -1078,6 +1132,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         (for { (k, n) <- needList.toSeq; v <- values } yield (k, v) -> (n.kind match {
           case "hll"  => distinctForValue(n)(v).map(HllSrc).getOrElse(return None)
           case "hdrq" => quantileForValue(n)(v).map(QuantileSrc).getOrElse(return None)
+          case "cms"  => freqForValue(n)(v).map(FreqSrc).getOrElse(return None)
           case "moment" => momentForValue(n)(v).map(MomentSrc).getOrElse(return None)
           case "comoment" => coMomentForValue(n)(v).map(CoMomentSrc).getOrElse(return None)
           case _      => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
@@ -1098,6 +1153,7 @@ object UWheelRule extends Rule[LogicalPlan] {
               case NumSrc(w) => n.value(rangeAggOf(w.wheel))
               case HllSrc(d) => hllOver(d, bounds)
               case QuantileSrc(d) => quantileOver(d, bounds, n.qArg)
+              case FreqSrc(d) => cmsOver(d, bounds, n.cmsTarget)
               case MomentSrc(d) => momentOver(d, bounds, n.stat)
               case CoMomentSrc(d) => coMomentOver(d, bounds, n.stat)
               case _         => return None
@@ -1120,6 +1176,7 @@ object UWheelRule extends Rule[LogicalPlan] {
             case UnionSrc(ws) => n.value(ws.map(w => rangeAggOf(w.wheel)).reduce(_.merge(_)))
             case HllSrc(d) => hllOver(d, bounds)
             case QuantileSrc(d) => quantileOver(d, bounds, n.qArg)
+            case FreqSrc(d) => cmsOver(d, bounds, n.cmsTarget)
             case MomentSrc(d) => momentOver(d, bounds, n.stat)
             case CoMomentSrc(d) => coMomentOver(d, bounds, n.stat)
             case DistinctSetSrc(base, pv) =>
@@ -1173,6 +1230,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         // decline
         val needHll = nds.values.exists(s =>
           s._2.isInstanceOf[HllSrc] || s._2.isInstanceOf[QuantileSrc] ||
+            s._2.isInstanceOf[FreqSrc] ||
             s._2.isInstanceOf[MomentSrc] || s._2.isInstanceOf[CoMomentSrc])
         if (needHll && arm.hllEndOf.isEmpty && arm.hllReads.isEmpty)
           return None
@@ -1194,6 +1252,7 @@ object UWheelRule extends Rule[LogicalPlan] {
           case (_, NumSrc(w)) => Seq(w.wheel.slotSpan)
           case (_, HllSrc(d)) => Seq(d.span)
           case (_, QuantileSrc(d)) => Seq(d.span)
+          case (_, FreqSrc(d)) => Seq(d.span)
           case (_, MomentSrc(d)) => Seq(d.span)
           case (_, CoMomentSrc(d)) => Seq(d.span)
           case (_, DistinctSetSrc(b, pv)) =>
@@ -1284,6 +1343,12 @@ object UWheelRule extends Rule[LogicalPlan] {
                     (math.max(s, gs), math.min(e, gEnd))
                   }, n.qArg)
                 else quantileOver(d, hllReadMap.getOrElse(gs, Nil), n.qArg)
+              case FreqSrc(d) =>
+                if (arm.hllEndOf.isDefined)
+                  cmsOver(d, bounds.map { case (s, e) =>
+                    (math.max(s, gs), math.min(e, gEnd))
+                  }, n.cmsTarget)
+                else cmsOver(d, hllReadMap.getOrElse(gs, Nil), n.cmsTarget)
               case MomentSrc(d) =>
                 if (arm.hllEndOf.isDefined)
                   momentOver(d, bounds.map { case (s, e) =>
@@ -1336,8 +1401,8 @@ object UWheelRule extends Rule[LogicalPlan] {
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
         // sketch needs clip per bucket via hllEndOf or hllReads (1-column arm)
         val needHll2 = needList.values.exists(n =>
-          n.kind == "hll" || n.kind == "hdrq" || n.kind == "moment" ||
-            n.kind == "comoment")
+          n.kind == "hll" || n.kind == "hdrq" || n.kind == "cms" ||
+            n.kind == "moment" || n.kind == "comoment")
         if (needHll2 && arm.hllEndOf.isEmpty && arm.hllReads.isEmpty)
           return None
         val bucketEndOf = arm.hllEndOf.getOrElse((gs: Long) => gs)
@@ -1401,10 +1466,20 @@ object UWheelRule extends Rule[LogicalPlan] {
               ranges.forall(r =>
                 r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
                 r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+        // per-value KEYED frequency wheel ("user 42's clicks per day")
+        def freqForValue(n: Need, v: Literal): Option[FreqIndexedWheel] =
+          n.column.flatMap(c => table.allFreqWheels.find(d =>
+            d.column == c && d.logW == n.hllP && d.d == n.cmsD &&
+              d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
+            .filter(d => d.span == 1L ||
+              ranges.forall(r =>
+                r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
+                r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
         val perValue: Map[(Expression, Literal), Src] =
           (for { (k, n) <- needList.toSeq; v <- values } yield (k, v) -> (n.kind match {
             case "hll"  => distinctForValue(n, v).map(HllSrc).getOrElse(return None)
             case "hdrq" => quantileForValue(n, v).map(QuantileSrc).getOrElse(return None)
+            case "cms"  => freqForValue(n, v).map(FreqSrc).getOrElse(return None)
             case "moment" => momentForValue(n, v).map(MomentSrc).getOrElse(return None)
             case "comoment" => coMomentForValue(n, v).map(CoMomentSrc).getOrElse(return None)
             case _      => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
@@ -1417,6 +1492,7 @@ object UWheelRule extends Rule[LogicalPlan] {
           case NumSrc(w) => w.wheel.slotSpan
           case HllSrc(d) => d.span
           case QuantileSrc(d) => d.span
+          case FreqSrc(d) => d.span
           case MomentSrc(d) => d.span
           case CoMomentSrc(d) => d.span
           case _: DistinctSetSrc | _: UnionSrc => return None // declined above
@@ -1474,6 +1550,12 @@ object UWheelRule extends Rule[LogicalPlan] {
                         (math.max(s, b), math.min(e, bEnd))
                       }, n.qArg)
                     else quantileOver(d, hllReadMap2.getOrElse(b, Nil), n.qArg)
+                  case FreqSrc(d) =>
+                    if (arm.hllEndOf.isDefined)
+                      cmsOver(d, bounds.map { case (s, e) =>
+                        (math.max(s, b), math.min(e, bEnd))
+                      }, n.cmsTarget)
+                    else cmsOver(d, hllReadMap2.getOrElse(b, Nil), n.cmsTarget)
                   case MomentSrc(d) =>
                     if (arm.hllEndOf.isDefined)
                       momentOver(d, bounds.map { case (s, e) =>

@@ -7,7 +7,7 @@ import scala.reflect.ClassTag
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.index.{DistinctIndexedWheel, MomentIndexedWheel, TableIndex, TypedWheelBuild, WheelRegistry}
+import graft.index.{DistinctIndexedWheel, FreqIndexedWheel, MomentIndexedWheel, TableIndex, TypedWheelBuild, WheelRegistry}
 import graft.wheel.{TypedHawWheel, TypedRwWheel, WheelAggregator, WheelAggregators}
 
 /** Continuously-maintained TYPED wheel over a Structured Streaming source —
@@ -67,6 +67,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
 
   @volatile private var publishTo: Option[(String, String, WheelAggregators.HllDistinct)] = None
   @volatile private var publishMoment: Option[(String, String, WheelAggregators.MomentStats)] = None
+  @volatile private var publishFreq: Option[(String, String, WheelAggregators.CmsFreq)] = None
   // moment publish gates, accumulated per batch under the ingest lock
   private var momCastFail: Long = 0L
   private var momAbsMax: Double = 0.0
@@ -88,8 +89,11 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     case m: WheelAggregators.MomentStats =>
       publishMoment = Some((WheelRegistry.normalizePath(path), column, m))
       live.synchronized(publishLocked())
+    case c: WheelAggregators.CmsFreq =>
+      publishFreq = Some((WheelRegistry.normalizePath(path), column, c))
+      live.synchronized(publishLocked())
     case other => throw new IllegalArgumentException(
-      s"only HllDistinct or MomentStats wheels can register for SQL rewrites, got ${other.getClass.getSimpleName}")
+      s"only HllDistinct, MomentStats or CmsFreq wheels can register for SQL rewrites, got ${other.getClass.getSimpleName}")
   }
 
   /** The batch-built index the first publish displaced (if any); restored
@@ -104,24 +108,30 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     * layered after the displacement). A batch index that re-registered
     * over us is left untouched. */
   def deregister(): Unit = {
-    val target = publishTo.map(t => (t._1, t._2, true))
-      .orElse(publishMoment.map(t => (t._1, t._2, false)))
-    target.foreach { case (key, column, isHll) =>
+    // family tag: 0 = hll, 1 = moments, 2 = cms — which (column, "") entry
+    // of which map is EXCLUSIVELY ours to withdraw
+    val target = publishTo.map(t => (t._1, t._2, 0))
+      .orElse(publishMoment.map(t => (t._1, t._2, 1)))
+      .orElse(publishFreq.map(t => (t._1, t._2, 2)))
+    target.foreach { case (key, column, fam) =>
       WheelRegistry.update(key, {
         case Some(cur) if cur.fingerprint == 0L =>
           val rest = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
           cur.allWheels.foreach(rest.put)
           cur.allDistinctWheels
-            .filterNot(d => isHll && d.column == column && d.filterKey == "")
+            .filterNot(d => fam == 0 && d.column == column && d.filterKey == "")
             .foreach(rest.putDistinct)
           cur.allQuantileWheels.foreach(rest.putQuantile)
           cur.allMomentWheels
-            .filterNot(m => !isHll && m.column == column && m.filterKey == "")
+            .filterNot(m => fam == 1 && m.column == column && m.filterKey == "")
             .foreach(rest.putMoment)
           cur.allCoMomentWheels.foreach(rest.putCoMoment)
+          cur.allFreqWheels
+            .filterNot(f => fam == 2 && f.column == column && f.filterKey == "")
+            .foreach(rest.putFreq)
           if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty &&
               rest.allQuantileWheels.isEmpty && rest.allMomentWheels.isEmpty &&
-              rest.allCoMomentWheels.isEmpty) displaced
+              rest.allCoMomentWheels.isEmpty && rest.allFreqWheels.isEmpty) displaced
           else {
             displaced.foreach(_ => System.err.println(
               s"[graft] deregister keeps live stream families for $key; the " +
@@ -134,13 +144,15 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     }
     publishTo = None
     publishMoment = None
+    publishFreq = None
     displaced = None
   }
 
   private def publishLocked(): Unit = {
-    val target = publishTo.map(t => (t._1, Left(t._2, t._3): Either[(String, WheelAggregators.HllDistinct), (String, WheelAggregators.MomentStats)]))
-      .orElse(publishMoment.map(t => (t._1, Right(t._2, t._3))))
-    target.foreach { case (key, fam) =>
+    val target = publishTo.map(t => (t._1, t._2, 0))
+      .orElse(publishMoment.map(t => (t._1, t._2, 1)))
+      .orElse(publishFreq.map(t => (t._1, t._2, 2)))
+    target.foreach { case (key, column, fam) =>
       val snap = snapshot()
       WheelRegistry.update(key, { existing =>
         val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
@@ -162,18 +174,25 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
             cur.allQuantileWheels.foreach(t.putQuantile)
             cur.allMomentWheels.foreach(t.putMoment)
             cur.allCoMomentWheels.foreach(t.putCoMoment)
+            cur.allFreqWheels.foreach(t.putFreq)
           case None => ()
         }
+        // P/Out are fixed by the agg the wheel was constructed with, so
+        // these casts are sound by construction
         fam match {
-          case Left((column, h)) =>
-            // P/Out are fixed by the agg the wheel was constructed with,
-            // so these casts are sound by construction
+          case 0 =>
             t.putDistinct(DistinctIndexedWheel(
-              snap.asInstanceOf[TypedHawWheel[Array[Byte], Long]], column, h))
-          case Right((column, m)) =>
+              snap.asInstanceOf[TypedHawWheel[Array[Byte], Long]], column,
+              agg.asInstanceOf[WheelAggregators.HllDistinct]))
+          case 1 =>
             t.putMoment(MomentIndexedWheel(
               snap.asInstanceOf[TypedHawWheel[WheelAggregators.Moments, WheelAggregators.Moments]],
-              column, m, momCastFail, momAbsMax))
+              column, agg.asInstanceOf[WheelAggregators.MomentStats],
+              momCastFail, momAbsMax))
+          case _ =>
+            t.putFreq(FreqIndexedWheel(
+              snap.asInstanceOf[TypedHawWheel[Array[Byte], Array[Byte]]], column,
+              agg.asInstanceOf[WheelAggregators.CmsFreq]))
         }
         Some(t)
       })
@@ -191,6 +210,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     val aggSig = agg match {
       case h: WheelAggregators.HllDistinct => s"hll(p=${h.p})"
       case m: WheelAggregators.MomentStats => s"moments(scale=${m.scale})"
+      case c: WheelAggregators.CmsFreq     => s"cms(d=${c.d},logW=${c.logW})"
       case other                           => other.getClass.getName
     }
     s"stw-v1|$timeColumn|$valueCol|$aggSig"

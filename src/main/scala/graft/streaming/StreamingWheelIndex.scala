@@ -223,8 +223,17 @@ final class StreamingWheelIndex(
           val rest = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
           kept.filter(w => othersNumeric || (w.valueColumn, w.filterKey) != countFam)
             .foreach(rest.put)
+          // EVERY foreign family survives our withdrawal — sketches and
+          // exact-moment wheels alike (a missing family here would vanish
+          // from the registry the moment we deregister)
           cur.allDistinctWheels.foreach(rest.putDistinct)
-          if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty) displaced
+          cur.allQuantileWheels.foreach(rest.putQuantile)
+          cur.allMomentWheels.foreach(rest.putMoment)
+          cur.allCoMomentWheels.foreach(rest.putCoMoment)
+          cur.allFreqWheels.foreach(rest.putFreq)
+          if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty &&
+              rest.allQuantileWheels.isEmpty && rest.allMomentWheels.isEmpty &&
+              rest.allCoMomentWheels.isEmpty && rest.allFreqWheels.isEmpty) displaced
           else {
             displaced.foreach(_ => System.err.println(
               s"[graft] deregister keeps live stream families for $key; the " +
@@ -265,9 +274,14 @@ final class StreamingWheelIndex(
           // HLL publisher carries ours the same way): put/putDistinct are
           // keyed by (column, filterKey), so OUR stale families are
           // replaced by the fresh ones below while foreign families —
-          // sketches AND another numeric publisher's wheels — survive
+          // ALL sketch/moment kinds AND another numeric publisher's
+          // wheels — survive
           cur.allWheels.foreach(t.put)
           cur.allDistinctWheels.foreach(t.putDistinct)
+          cur.allQuantileWheels.foreach(t.putQuantile)
+          cur.allMomentWheels.foreach(t.putMoment)
+          cur.allCoMomentWheels.foreach(t.putCoMoment)
+          cur.allFreqWheels.foreach(t.putFreq)
         case None => ()
       }
       valueColumn.foreach { vc =>

@@ -654,6 +654,168 @@ object WheelAggregators {
     * each correctly-rounded to double ONCE, then two IEEE divisions —
     * deterministic, and expressible verbatim in an oracle SQL
     * (`CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 10^(2·scale)`). */
+  /** Count-Min frequency sketch — the fourth sketch-family instance of the
+    * custom-aggregator surface (after [[HllDistinct]], [[HdrQuantile]],
+    * [[MomentStats]]): `cms_freq(key, target)` over any time range ("how
+    * many times did user 12345 appear last week") answers from one wheel,
+    * for ANY target value, where exact per-value keyed wheels would need
+    * one wheel per key — the high-cardinality point-frequency complement
+    * to the per-value enumeration arms.
+    *
+    * `d` hash rows × `w = 2^logW` counters; a value increments one counter
+    * per row (Kirsch–Mitzenmacher double hashing: slot_i = h1 + i·h2 mod
+    * w), and the point estimate is the MINIMUM of its `d` counters — an
+    * OVERestimate, never an under-estimate (counters only ever add), with
+    * `P[err > 2n/w] < 2^−d` for n ingested rows. Plain additive update
+    * (deliberately NOT conservative update, which is not mergeable):
+    * counters are sums, so partials merge additively and a wheel's
+    * disjoint range decomposition folds to exactly the flat fold's
+    * content — the bit-for-bit equality the rewrite relies on.
+    *
+    * Canonical partial: sorted (slot: Int, count: Long) pairs, 12 bytes
+    * each, big-endian — the same sparse layout as [[HdrQuantile]] bins
+    * (slot = row·w + offset, strictly row-major so per-value lifts are
+    * pre-sorted); the empty array is the only encoding of zero content,
+    * so equal content is always equal bytes. */
+  final class CmsFreq(val d: Int = 4, val logW: Int = 12)
+      extends WheelAggregator[Long, Array[Byte], Array[Byte]] {
+    require(d >= 1 && d <= 8, s"cms depth must be in [1, 8], got $d")
+    require(logW >= 4 && logW <= 20, s"cms logW must be in [4, 20], got $logW")
+    private val w = 1 << logW
+    private val mask = w - 1
+
+    private def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    /** The value's `d` counter slots, strictly ascending (row-major). */
+    def slotsOf(x: Long): Array[Int] = {
+      val h1 = mix64(x)
+      val h2 = mix64(h1 ^ 0x9e3779b97f4a7c15L) | 1L // odd ⇒ full-period row stride
+      val out = new Array[Int](d)
+      var i = 0
+      while (i < d) {
+        out(i) = i * w + ((h1 + i.toLong * h2).toInt & mask)
+        i += 1
+      }
+      out
+    }
+
+    val identity: Array[Byte] = Array.emptyByteArray
+
+    @inline private def pairs(a: Array[Byte]): Int = a.length / 12
+    @inline private def idxAt(a: Array[Byte], k: Int): Int = {
+      val o = k * 12
+      ((a(o) & 0xff) << 24) | ((a(o + 1) & 0xff) << 16) |
+        ((a(o + 2) & 0xff) << 8) | (a(o + 3) & 0xff)
+    }
+    @inline private def cntAt(a: Array[Byte], k: Int): Long = {
+      val o = k * 12 + 4
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (a(o + i) & 0xffL); i += 1 }
+      v
+    }
+    @inline private def write(a: Array[Byte], k: Int, idx: Int, cnt: Long): Unit = {
+      val o = k * 12
+      a(o) = (idx >>> 24).toByte; a(o + 1) = (idx >>> 16).toByte
+      a(o + 2) = (idx >>> 8).toByte; a(o + 3) = idx.toByte
+      var i = 0
+      while (i < 8) { a(o + 4 + i) = (cnt >>> (56 - 8 * i)).toByte; i += 1 }
+    }
+
+    def lift(in: Long): Array[Byte] = {
+      val slots = slotsOf(in)
+      val out = new Array[Byte](d * 12)
+      var i = 0
+      while (i < d) { write(out, i, slots(i), 1L); i += 1 }
+      out
+    }
+
+    /** Canonical encoding of sorted (slot, count) content — shared with the
+      * SQL aggregate's map-buffer serialization. */
+    def encodeSorted(idxs: Array[Int], cnts: Array[Long]): Array[Byte] = {
+      val out = new Array[Byte](idxs.length * 12)
+      var k = 0
+      while (k < idxs.length) { write(out, k, idxs(k), cnts(k)); k += 1 }
+      out
+    }
+
+    /** Decoded (slots, counts) of a canonical partial, sorted ascending. */
+    def decode(p: Array[Byte]): (Array[Int], Array[Long]) = {
+      val n = pairs(p)
+      val idxs = new Array[Int](n)
+      val cnts = new Array[Long](n)
+      var k = 0
+      while (k < n) { idxs(k) = idxAt(p, k); cnts(k) = cntAt(p, k); k += 1 }
+      (idxs, cnts)
+    }
+
+    /** Sorted merge with additive counts (addExact — a wrapped counter
+      * would under-report; the optimizer degrades to the scan on the
+      * exception). Never mutates arguments. */
+    def combine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      if (a.length == 0) return b
+      if (b.length == 0) return a
+      val na = pairs(a); val nb = pairs(b)
+      val out = new Array[Byte](a.length + b.length)
+      var ia = 0; var ib = 0; var k = 0
+      while (ia < na && ib < nb) {
+        val xa = idxAt(a, ia); val xb = idxAt(b, ib)
+        if (xa < xb) { write(out, k, xa, cntAt(a, ia)); ia += 1 }
+        else if (xb < xa) { write(out, k, xb, cntAt(b, ib)); ib += 1 }
+        else {
+          write(out, k, xa, Math.addExact(cntAt(a, ia), cntAt(b, ib)))
+          ia += 1; ib += 1
+        }
+        k += 1
+      }
+      while (ia < na) { write(out, k, idxAt(a, ia), cntAt(a, ia)); ia += 1; k += 1 }
+      while (ib < nb) { write(out, k, idxAt(b, ib), cntAt(b, ib)); ib += 1; k += 1 }
+      if (k * 12 == out.length) out else java.util.Arrays.copyOf(out, k * 12)
+    }
+
+    def lower(p: Array[Byte]): Array[Byte] = p
+
+    /** Counter at one slot (0 when absent) by binary search. */
+    private def countAt(p: Array[Byte], slot: Int): Long = {
+      var lo = 0; var hi = pairs(p) - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = idxAt(p, mid)
+        if (v < slot) lo = mid + 1 else if (v > slot) hi = mid - 1
+        else return cntAt(p, mid)
+      }
+      0L
+    }
+
+    /** Point-frequency estimate of `x`: min over its `d` counters. Always
+      * ≥ the true count of x in the ingested rows; 0 ⟺ provably absent. */
+    def freqOf(p: Array[Byte], x: Long): Long = {
+      val slots = slotsOf(x)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < d) {
+        val c = countAt(p, slots(i))
+        if (c < m) m = c
+        i += 1
+      }
+      if (m == Long.MaxValue) 0L else m
+    }
+
+    /** Rows ingested: row 0's counters each saw every row exactly once. */
+    def totalCount(p: Array[Byte]): Long = {
+      var t = 0L
+      var k = 0
+      val n = pairs(p)
+      while (k < n && idxAt(p, k) < w) { t = Math.addExact(t, cntAt(p, k)); k += 1 }
+      t
+    }
+  }
+
   final case class Moments(n: Long, sx: BigInt, sxx: BigInt)
 
   final class MomentStats(val scale: Int) extends WheelAggregator[Long, Moments, Moments] {

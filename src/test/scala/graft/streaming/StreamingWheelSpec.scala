@@ -919,4 +919,108 @@ class StreamingWheelSpec extends AnyFunSuite {
       twinQ.stop()
     }
   }
+
+  test("registered streaming cms wheel serves cms_freq SQL at plan time") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-reg").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-05-01 00:00:00").getTime
+    val rows = (0 until 400).map(i => (new Timestamp(base + i * 1000L), (i % 23).toLong))
+    rows.toDF("ts", "uid").write.parquet(path)
+    val input = MemoryStream[(Timestamp, Long)]
+    val cms = new graft.wheel.WheelAggregators.CmsFreq(4, 12)
+    val idx = new StreamingTypedWheel[Long, Array[Byte], Array[Byte]](
+      "ts", col("uid"), cms, _.getLong(1))
+    val q = idx.attach(input.toDF().toDF("ts", "uid"), "cms-wheel-reg")
+    try {
+      idx.register(path, "uid")
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val sql =
+        s"""SELECT cms_freq(uid, 7) AS f FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-05-01 00:01:00'
+           |  AND ts < TIMESTAMP '2024-05-01 00:05:00'""".stripMargin
+      val df = spark.sql(sql)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+      assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+      graft.Graft.rewritesEnabled = false
+      val flat = try spark.sql(sql).collect()(0).getLong(0)
+        finally graft.Graft.rewritesEnabled = true
+      assert(df.collect()(0).getLong(0) === flat)
+      // wrong counter matrix still falls back to the scan
+      val other = spark.sql(sql.replace("cms_freq(uid, 7)", "cms_freq(uid, 7, 10)"))
+      assert(other.queryExecution.optimizedPlan
+        .collect { case r: LogicalRelation => r }.nonEmpty)
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
+  }
+
+  test("numeric re-publish carries a co-publisher's moment and cms families") {
+    // regression: publishLocked carried only numeric + HLL families, so a
+    // numeric publisher's NEXT batch silently dropped a co-publishing
+    // moment/quantile/cms family from the registry
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-carry").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-05-02 00:00:00").getTime
+    val rows = (0 until 200).map(i =>
+      (new Timestamp(base + i * 1000L), (i % 13) + 0.5, (i % 9).toLong))
+    rows.toDF("ts", "v", "uid").write.parquet(path)
+    def rewrites(sql: String): Boolean =
+      spark.sql(sql).queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty
+    val range = "ts >= TIMESTAMP '2024-05-02 00:00:30' AND ts < TIMESTAMP '2024-05-02 00:03:00'"
+    val momSql = s"SELECT wheel_var_samp(CAST(v AS DECIMAL(18,2))) AS vs FROM parquet.`$path` WHERE $range"
+    val cmsSql = s"SELECT cms_freq(uid, 3) AS f FROM parquet.`$path` WHERE $range"
+    val cntSql = s"SELECT count(*) AS c FROM parquet.`$path` WHERE $range"
+
+    val momIdx = StreamingTypedWheel.moments("ts", "v", scale = 2)
+    val momIn = MemoryStream[(Timestamp, Double)]
+    val momQ = momIdx.attach(momIn.toDF().toDF("ts", "v"), "carry-mom")
+    val cmsIdx = new StreamingTypedWheel[Long, Array[Byte], Array[Byte]](
+      "ts", col("uid"), new graft.wheel.WheelAggregators.CmsFreq(4, 12), _.getLong(1))
+    val cmsIn = MemoryStream[(Timestamp, Long)]
+    val cmsQ = cmsIdx.attach(cmsIn.toDF().toDF("ts", "uid"), "carry-cms")
+    val numIdx = new StreamingWheelIndex("ts", Some("v"))
+    val numIn = MemoryStream[(Timestamp, Double)]
+    val numQ = numIdx.attach(numIn.toDF().toDF("ts", "v"), "carry-num")
+    try {
+      momIdx.register(path, "v")
+      momIn.addData(rows.map(r => (r._1, r._2)): _*)
+      momQ.processAllAvailable()
+      cmsIdx.register(path, "uid")
+      cmsIn.addData(rows.map(r => (r._1, r._3)): _*)
+      cmsQ.processAllAvailable()
+      assert(rewrites(momSql) && rewrites(cmsSql))
+      // the numeric publisher arrives LAST and keeps publishing batches:
+      // both foreign families must ride every re-publish
+      numIdx.register(path)
+      numIn.addData(rows.take(100).map(r => (r._1, r._2)): _*)
+      numQ.processAllAvailable()
+      numIn.addData(rows.drop(100).map(r => (r._1, r._2)): _*)
+      numQ.processAllAvailable()
+      assert(rewrites(cntSql), "numeric family must serve")
+      assert(rewrites(momSql), "moment family must survive numeric re-publishes")
+      assert(rewrites(cmsSql), "cms family must survive numeric re-publishes")
+      // and the numeric deregister keeps them too
+      numIdx.deregister()
+      assert(rewrites(momSql) && rewrites(cmsSql))
+    } finally {
+      momQ.stop(); cmsQ.stop(); numQ.stop()
+      momIdx.deregister(); cmsIdx.deregister(); numIdx.deregister()
+      graft.index.WheelRegistry.deregister(path)
+    }
+  }
 }
