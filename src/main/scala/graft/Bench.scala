@@ -161,6 +161,7 @@ object Bench {
     probe("index_build_events_numeric_nomillis")(
       Q.buildEvents(spark, sfDir, withDistinct = false, withMillis = false))
     probe("index_build_events_numeric")(Q.buildEvents(spark, sfDir, withDistinct = false))
+    probe("index_build_events_nofreq")(Q.buildEvents(spark, sfDir, withFreq = false))
     probe("index_build_events")(Q.buildEvents(spark, sfDir))
     probe("index_build_lineitem")(Q.buildLineitem(spark, sfDir))
     probe("index_build_orders_dated")(Q.buildDatedOrders(spark, sfDir))

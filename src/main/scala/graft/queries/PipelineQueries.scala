@@ -218,6 +218,89 @@ object PipelineQueries {
       spark)
   }
 
+  /** The END-TO-END curation decision — the composition every filtering
+    * pipeline ships: a document survives into the curated corpus iff it
+    * (a) passes the quality funnel (length, repetition, language allowlist
+    * — [[Q.sql ds_funnel]]'s exact gates), (b) is not part of the eval
+    * slice and shares no word 4-gram with it (txt_decontaminate's overlap
+    * join), and (c) is not a dropped duplicate (a near-dup cluster member
+    * that is NOT the cluster's keeper — dd_cluster_keep's selection).
+    * Reported as a per-language census of survivors, so the result is
+    * small and deterministic. Each stage reuses the exact building blocks
+    * of its standalone contract entry, so the oracle composes the same
+    * pieces in DuckDB (including the recursive-CTE transitive closure). */
+  def dsCurated(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val members = connectedComponentsMembers(
+      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf))))
+    val keeps = keepsFrom(members, spark)
+    members.join(keeps, "cluster_id")
+      .where(col("id") =!= col("keep_id"))
+      .select(col("id").cast("bigint").as("doc_id"))
+      .createOrReplaceTempView("graft_dup_drops")
+    spark.sql(
+      s"""WITH d AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, lang, size(w) AS n_words, size(w) - 1 AS n_bi,
+         |             CASE WHEN size(w) >= 2 THEN
+         |               size(array_distinct(transform(sequence(0, size(w) - 2),
+         |                    i -> concat_ws(' ', slice(w, i + 1, 2)))))
+         |             ELSE 0 END AS n_uniq
+         |      FROM d),
+         |keptv AS (SELECT doc_id, lang, n_words FROM s
+         |          WHERE n_words >= 30 AND (n_bi - n_uniq) * 5 < n_bi
+         |            AND lang IN ('en', 'de', 'fr')),
+         |g AS (SELECT doc_id, explode(array_distinct(
+         |        transform(sequence(0, size(w) - $ContamN),
+         |                  i -> concat_ws(' ', slice(w, i + 1, $ContamN))))) AS gram
+         |      FROM d WHERE size(w) >= $ContamN),
+         |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % $EvalMod = 0),
+         |contam AS (SELECT DISTINCT t.doc_id FROM g t JOIN e ON t.gram = e.gram
+         |           WHERE t.doc_id % $EvalMod <> 0),
+         |cur AS (SELECT k.doc_id, k.lang, k.n_words FROM keptv k
+         |        WHERE k.doc_id % $EvalMod <> 0
+         |          AND k.doc_id NOT IN (SELECT doc_id FROM contam)
+         |          AND k.doc_id NOT IN (SELECT doc_id FROM graft_dup_drops))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS n_words
+         |FROM cur GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  // lazy: composes ddClusterOraclePrelude, declared further down the object
+  // (a strict val would capture null during initialization)
+  private lazy val dsCuratedOracle =
+    s"""$ddClusterOraclePrelude,
+       |selk AS (SELECT l.cluster_id, l.node,
+       |                row_number() OVER (PARTITION BY l.cluster_id
+       |                                   ORDER BY w2.n_words DESC, l.node) AS rn
+       |         FROM lab l
+       |         JOIN (SELECT doc_id, len(string_split(text, ' ')) AS n_words
+       |               FROM documents) w2 ON w2.doc_id = l.node),
+       |dupdrop AS (SELECT node AS doc_id FROM selk WHERE rn > 1),
+       |d2 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |s2 AS (SELECT doc_id, lang, len(w) AS n_words, len(w) - 1 AS n_bi,
+       |              CASE WHEN len(w) >= 2 THEN
+       |                len(list_distinct([array_to_string(w[i:i+1], ' ')
+       |                                   for i in range(1, len(w))]))
+       |              ELSE 0 END AS n_uniq
+       |       FROM d2),
+       |keptv AS (SELECT doc_id, lang, n_words FROM s2
+       |          WHERE n_words >= 30 AND (n_bi - n_uniq) * 5 < n_bi
+       |            AND lang IN ('en', 'de', 'fr')),
+       |g2 AS (SELECT doc_id, unnest(list_distinct(
+       |         [array_to_string(w[i:i+${ContamN - 1}], ' ')
+       |          for i in range(1, len(w) - ${ContamN - 2})])) AS gram
+       |       FROM d2 WHERE len(w) >= $ContamN),
+       |e2 AS (SELECT DISTINCT gram FROM g2 WHERE doc_id % $EvalMod = 0),
+       |contam AS (SELECT DISTINCT t.doc_id FROM g2 t JOIN e2 ON t.gram = e2.gram
+       |           WHERE t.doc_id % $EvalMod <> 0),
+       |cur AS (SELECT k.doc_id, k.lang, k.n_words FROM keptv k
+       |        WHERE k.doc_id % $EvalMod <> 0
+       |          AND k.doc_id NOT IN (SELECT doc_id FROM contam)
+       |          AND k.doc_id NOT IN (SELECT doc_id FROM dupdrop))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_words
+       |FROM cur GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Representative selection over an `(id, cluster_id)` membership frame —
     * the derivation [[ddClusterKeep]] and the shared composition path both
     * run: one windowed pass over the (small) membership frame joined with
@@ -700,10 +783,12 @@ object PipelineQueries {
 
     "dd_cluster" -> ddClusterOracle,
     "dd_cluster_keep" -> ddClusterKeepOracle,
+    "ds_curated" -> dsCuratedOracle,
   )
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
     sparkSql.map { case (n, s) => n -> Q.sql(s) } :+
       ("dd_cluster" -> (ddCluster _)) :+
-      ("dd_cluster_keep" -> (ddClusterKeep _))
+      ("dd_cluster_keep" -> (ddClusterKeep _)) :+
+      ("ds_curated" -> (dsCurated _))
 }

@@ -74,34 +74,38 @@ object Q {
     * build minus the sketch wheels, so (full − numeric) prices the HLL
     * register columns line-item. */
   def buildEvents(spark: SparkSession, sfDir: String, withDistinct: Boolean = true,
-      withMillis: Boolean = true): Unit = {
+      withMillis: Boolean = true, withFreq: Boolean = true): Unit = {
     val eventTypes = Seq("click", "error", "purchase", "signup", "view")
     val numeric = eventTypes
       .foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
         b.withKeyedWheel(IndexBuilder("value", Some(s"event_type = '$et'")))
       }
     val conf =
-      if (withDistinct)
+      if (withDistinct) {
         // the COMPLETE per-value keyed sketch sets: the GROUP BY bucket ×
         // event_type and key-only arms route hll_distinct / hdr_quantile
         // per value (sparse registers / bins keep the extra aggregate
         // columns cheap); (full − numeric) in the bench prices ALL sketch
-        // columns (HLL registers + HDR bins) line-item
+        // columns (HLL registers + HDR bins + CMS counters) line-item,
+        // and (full − nofreq) prices the CMS counter columns alone
+        val sketch0 = numeric.withDistinctWheel("user_id").withQuantileWheel("value")
+          .withMomentWheel("value")
+        val sketch =
+          if (withFreq)
+            // Count-Min frequency wheel: per-user activity counts over
+            // any range from ONE wheel (user_id is too high-cardinality
+            // for per-value keyed wheels), + a purchase-keyed variant
+            sketch0.withFreqWheel("user_id")
+              .withKeyedFreqWheel("user_id", "event_type = 'purchase'")
+          else sketch0
         eventTypes.foldLeft(
-          eventTypes.foldLeft(
-            numeric.withDistinctWheel("user_id").withQuantileWheel("value")
-              .withMomentWheel("value")
-              // Count-Min frequency wheel: per-user activity counts over
-              // any range from ONE wheel (user_id is too high-cardinality
-              // for per-value keyed wheels), + a purchase-keyed variant
-              .withFreqWheel("user_id")
-              .withKeyedFreqWheel("user_id", "event_type = 'purchase'")) { (b, et) =>
+          eventTypes.foldLeft(sketch) { (b, et) =>
             b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
               .withKeyedMomentWheel("value", s"event_type = '$et'")
           }) { (b, et) =>
           b.withKeyedQuantileWheel("value", s"event_type = '$et'")
         }
-      else numeric
+      } else numeric
     // millisecond bottom level: sub-second window() group-bys
     // (uw_window_subsec/uw_window_ms) rewrite instead of paying the
     // scan's Expand — one extra build scan grouped by ms, opt-in.

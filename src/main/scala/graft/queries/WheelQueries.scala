@@ -196,6 +196,14 @@ object WheelQueries {
       s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx
          |FROM events
          |WHERE $range AND event_type IN ('click', 'purchase', 'signup')""".stripMargin),
+    // the GROUPED twin: per-bucket aggregates under the IN residual merge
+    // the per-value wheels' bucket partials additively, and the buckets
+    // enumerate from the union itself (no single wheel covers the residual)
+    "uw_keyed_in_groupby" -> Q.sql(
+      s"""SELECT date_trunc('day', ts) AS d, count(*) AS cnt, $sumDec AS sum_val
+         |FROM events
+         |WHERE $range AND event_type IN ('click', 'view')
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     // plan-time dim-join folding (round-7 verdict task 5): an aggregate over
     // an INNER equi-join whose dim side is a small plan-time relation folds
     // to `key IN (dim keys)` and answers from the same per-value union — the
@@ -686,6 +694,11 @@ object WheelQueries {
       s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn, max(value) AS mx
          |FROM events
          |WHERE $range AND event_type IN ('click', 'purchase', 'signup')""".stripMargin,
+    "uw_keyed_in_groupby" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS cnt, $sumDec AS sum_val
+         |FROM events
+         |WHERE $range AND event_type IN ('click', 'view')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_keyed_dimjoin" ->
       s"""SELECT count(*) AS cnt, $sumDec AS sum_val, min(value) AS mn
          |FROM events

@@ -1200,9 +1200,6 @@ object UWheelRule extends Rule[LogicalPlan] {
           case _ => ()
         }
         val nds = needs.getOrElse(return None)
-        // IN-union sources stay out of the grouped arm: its shared bucket
-        // enumeration and identical-keyset checks run per single wheel
-        if (nds.values.exists(_._2.isInstanceOf[UnionSrc])) return None
         val ge = resolve(ge0, uw.aliases)
         val arm = (sliding match {
           case Some((_, t0, strideUs, offUs, lenUs)) =>
@@ -1224,6 +1221,81 @@ object UWheelRule extends Rule[LogicalPlan] {
           case None => timeBucketArm(ge, table)
         }).getOrElse(return None)
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
+
+        // `key IN (v₁…vₖ)` residuals over TIME BUCKETS: each need reads the
+        // union of its per-value equality wheels, and a bucket's aggregate
+        // merges the per-value partials additively (a row has exactly one
+        // key value, so the per-value row sets are disjoint — the grouped
+        // twin of the 0-grouping UnionSrc). Buckets enumerate from a
+        // residual-matched wheel when one exists, else from the union's own
+        // merged bucket map (the per-value wheels partition exactly the
+        // residual's rows). Sketch/moment needs never reach here (their
+        // srcFor lookups have no IN-keyed wheels, so `needs` already
+        // declined), and union needs carry no ownParts (unionWheelsFor
+        // refuses per-need predicates).
+        def unionGrouped(): Option[LogicalPlan] = {
+          if (!nds.values.forall(s =>
+            s._2.isInstanceOf[NumSrc] || s._2.isInstanceOf[UnionSrc])) return None
+          val uSpans = nds.values.flatMap {
+            case (_, NumSrc(w))    => Seq(w.wheel.slotSpan)
+            case (_, UnionSrc(ws)) => ws.map(_.wheel.slotSpan)
+            case _                 => Nil
+          }.toSet
+          if (uSpans.exists(sp => bucketSpan % sp != 0)) return None
+          val cache = mutable.HashMap.empty[HawWheel, Map[Long, RangeAgg]]
+          def groupsOfC(hw: HawWheel): Map[Long, RangeAgg] =
+            cache.getOrElseUpdate(hw,
+              bounds.foldLeft(Map.empty[Long, RangeAgg]) { case (acc, (s, e)) =>
+                groupFn(hw, s, e).foldLeft(acc) { case (m, (k, ra)) =>
+                  m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
+                }
+              })
+          def mapOf(src: Src): Map[Long, RangeAgg] = src match {
+            case NumSrc(w) => groupsOfC(w.wheel)
+            case UnionSrc(ws) =>
+              ws.map(w => groupsOfC(w.wheel)).reduce { (a, b) =>
+                b.foldLeft(a) { case (m, (k, ra)) =>
+                  m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
+                }
+              }
+            case _ => Map.empty // unreachable (gated above)
+          }
+          val needMaps: Seq[(Expression, Need, Src, Map[Long, RangeAgg])] =
+            nds.toSeq.map { case (k, (n, s)) => (k, n, s, mapOf(s)) }
+          val enumMap: Map[Long, RangeAgg] =
+            needMaps.collectFirst {
+              case (_, n, _: NumSrc, m) if n.ownParts.isEmpty => m
+            }.orElse(table.anyForFilter(filterKey)
+              .filter(coverageOk).filter(spanOk)
+              .filter(w => bucketSpan % w.wheel.slotSpan == 0)
+              .map(w => groupsOfC(w.wheel)))
+            .orElse(needMaps.collectFirst { case (_, _, _: UnionSrc, m) => m })
+            .getOrElse(return None)
+          val enumKeys = enumMap.keySet
+          // identical-keyset discipline of the single-wheel path: full-
+          // residual sources must cover exactly the enumerated buckets;
+          // FILTER-keyed NumSrc wheels (row subsets) must be contained
+          val bad = needMaps.exists { case (_, n, s, m) =>
+            if (s.isInstanceOf[NumSrc] && n.ownParts.nonEmpty)
+              !m.keySet.subsetOf(enumKeys)
+            else m.keySet != enumKeys
+          }
+          if (bad) return None
+          val rows = enumKeys.toSeq.sorted.map { gs =>
+            val aggValues = needMaps.map { case (k, n, s, m) =>
+              val ra = m.getOrElse(gs,
+                if (s.isInstanceOf[NumSrc] && n.ownParts.nonEmpty)
+                  RangeAgg(0L, 0L, Double.PositiveInfinity, Double.NegativeInfinity,
+                    s.asInstanceOf[NumSrc].w.wheel.scale)
+                else return None)
+              k -> (n.value(ra), dataTypeOf(k))
+            }.toMap
+            buildRow(aggValues, Seq((ge, keyLit(gs)))).getOrElse(return None)
+          }
+          Some(LocalRelation(agg.output, rows))
+        }
+        if (nds.values.exists(_._2.isInstanceOf[UnionSrc])) return unionGrouped()
+
         // sketch reads (hll registers / quantile bins) clip per bucket:
         // either a single wheel-domain end (hllEndOf) or the piecewise
         // arms' per-key interval enumeration (hllReads); with neither,

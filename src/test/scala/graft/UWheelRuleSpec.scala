@@ -1032,13 +1032,32 @@ class UWheelRuleSpec extends AnyFunSuite {
     // a value with NO wheel could hold rows no wheel sees: decline
     assertNotRewritten(
       agged(ranged.filter(col("event_type").isin("click", "bogus"))))
-    // grouped arms keep their single-wheel routing: decline, stay correct
+    // the GROUPED twin: per-bucket aggregates under the IN residual merge
+    // the per-value wheels' bucket partials additively, and the buckets
+    // enumerate from the union itself (no single wheel covers the residual)
     def qg = ranged.filter(col("event_type").isin("click", "purchase"))
       .groupBy(date_trunc("day", col("ts")).as("d"))
-      .agg(count(lit(1)).as("cnt")).orderBy("d")
-    assertNotRewritten(qg)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"),
+        min("value").as("mn")).orderBy("d")
+    assertRewritten(qg)
     assert(qg.collect().map(_.toString).toSeq ===
       groundTruth(qg.collect().map(_.toString).toSeq))
+    // window() buckets compose with the union the same way
+    def qw = ranged.filter(col("event_type").isin("view", "signup"))
+      .groupBy(window(col("ts"), "12 hours"))
+      .agg(count(lit(1)).as("cnt"), max("value").as("mx"))
+      .select(col("window.start").as("ws"), col("cnt"), col("mx")).orderBy("ws")
+    assertRewritten(qw)
+    assert(qw.collect().map(_.toString).toSeq ===
+      groundTruth(qw.collect().map(_.toString).toSeq))
+    // grouped decline: a value with NO wheel could hold rows no wheel sees
+    def qbad = ranged.filter(col("event_type").isin("click", "bogus"))
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt")).orderBy("d")
+    assertNotRewritten(qbad)
+    assert(qbad.collect().map(_.toString).toSeq ===
+      groundTruth(qbad.collect().map(_.toString).toSeq))
   }
 
   test("dim-join folding: aggregate over a small plan-time dim join rewrites") {

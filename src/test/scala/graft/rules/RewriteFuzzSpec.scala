@@ -45,7 +45,11 @@ class RewriteFuzzSpec extends AnyFunSuite {
     eventTypes.foldLeft(
       eventTypes.foldLeft(
         numeric.withDistinctWheel("user_id").withQuantileWheel("value")
-          .withMomentWheel("value")) { (b, et) =>
+          .withMomentWheel("value")
+          .withFreqWheel("user_id")
+          .withKeyedFreqWheel("user_id", "event_type = 'purchase'")
+          .withExprWheel("value * 2", scale = 4)
+          .withKeyedExprWheel("value * 2", "event_type = 'view'", scale = 4)) { (b, et) =>
         b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
           .withKeyedMomentWheel("value", s"event_type = '$et'")
       }) { (b, et) =>
@@ -122,7 +126,23 @@ class RewriteFuzzSpec extends AnyFunSuite {
     "CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS f_sum",
     "hll_distinct(user_id) FILTER (WHERE event_type = 'purchase') AS f_du",
     "count(CASE WHEN event_type = 'error' THEN 1 END) AS c_errs",
-    "min(value) FILTER (WHERE event_type = 'signup') AS f_mn")
+    "min(value) FILTER (WHERE event_type = 'signup') AS f_mn",
+    // Count-Min point frequencies: present key, provably-absent key, and a
+    // FILTER routing to the keyed counter wheel
+    "cms_freq(user_id, 42) AS fq42",
+    "cms_freq(user_id, 424242) AS fq_absent",
+    "cms_freq(user_id, 7) FILTER (WHERE event_type = 'purchase') AS fq_purch",
+    // derived-expression measures: the decimal-cast sum and min/max serve
+    // from the expr wheel (plain double sums are EXCLUDED from the pool on
+    // purpose — when the gate admits one, the wheel returns the correctly
+    // rounded TRUE sum, which may differ from the scan's float accumulation
+    // order by an ulp; that documented asymmetry would trip the strict
+    // bit-equality this fuzzer asserts). An UNINDEXED expression declines
+    // to the scan on both sides.
+    "CAST(sum(CAST(value * 2 AS DECIMAL(18,4))) AS DOUBLE) AS rev2",
+    "min(value * 2) AS mn2",
+    "max(value * 2) FILTER (WHERE event_type = 'view') AS mx2v",
+    "CAST(sum(CAST(value / 3 AS DECIMAL(18,4))) AS DOUBLE) AS s_declines")
 
   private def aggs(rnd: scala.util.Random): Seq[String] =
     rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
