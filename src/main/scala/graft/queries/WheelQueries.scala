@@ -425,6 +425,14 @@ object WheelQueries {
       s"""SELECT event_type, count(*) AS cnt
          |FROM events WHERE $range
          |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin),
+    // GROUP BY the key itself under a `k IN (…)` residual: the IN list
+    // restricts the per-value enumeration, and the residual itself proves
+    // row coverage — no completeness proof needed (a value outside the
+    // list cannot contribute to any group)
+    "uw_bytype_in" -> Q.sql(
+      s"""SELECT event_type, count(*) AS cnt, $sumDec AS sum_val
+         |FROM events WHERE $range AND event_type IN ('click', 'error')
+         |GROUP BY event_type ORDER BY 1""".stripMargin),
     // SCALAR aggregates over ms-aligned WHERE bounds — the reference
     // silently truncates sub-second bounds to wheel slots and answers a
     // DIFFERENT row set (expr.rs:219-222); here the rule retries
@@ -749,6 +757,10 @@ object WheelQueries {
       s"""SELECT event_type, count(*) AS cnt
          |FROM events WHERE $range
          |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""".stripMargin,
+    "uw_bytype_in" ->
+      s"""SELECT event_type, count(*) AS cnt, $sumDec AS sum_val
+         |FROM events WHERE $range AND event_type IN ('click', 'error')
+         |GROUP BY event_type ORDER BY 1""".stripMargin,
     "uw_filter_metrics" ->
       s"""SELECT count(*) FILTER (WHERE event_type = 'click') AS clicks,
          |       count(*) FILTER (WHERE event_type = 'view') AS views,

@@ -1063,15 +1063,41 @@ object UWheelRule extends Rule[LogicalPlan] {
       * (per-value range counts must sum to the unfiltered count, so NULL
       * keys and uncovered values decline rather than mis-answer).
       * `hll_distinct` routes to the per-value KEYED distinct wheels
-      * ("distinct purchasers per event type"). Residuals, msMode, and
-      * COUNT(DISTINCT key)-grouped-by-key decline. */
+      * ("distinct purchasers per event type"). A `k IN (…)` residual ON
+      * THE GROUP KEY restricts the enumeration instead of declining (the
+      * residual itself proves coverage — see inRestrict below); other
+      * residuals, msMode, and COUNT(DISTINCT key)-grouped-by-key
+      * decline. */
     def keyedOnlyGroupBy(keyAttr: AttributeReference): Option[LogicalPlan] = {
-      if (filterKey.nonEmpty || msMode) return None
+      if (msMode) return None
       // per-need predicates would need (value × p) wheels nobody builds
       if (needList.values.exists(_.ownParts.nonEmpty)) return None
       if (needList.values.exists(_.kind == "cntdist")) return None
+      // `k IN (v₁…vₖ)` residual ON THE GROUP KEY: each output group is one
+      // IN value and its rows are exactly that value's rows, so the
+      // per-value wheels cover the residual BY CONSTRUCTION and the
+      // completeness counting proof is unnecessary (it would also wrongly
+      // fail — values outside the IN list exist). Every IN value must
+      // still have a wheel (a missing one could hold unseen rows). Any
+      // other residual declines as before.
+      val inRestrict: Option[Seq[(DataType, Any)]] =
+        if (filterKey.isEmpty) None
+        else residualInVals match {
+          case Some((c, lits)) if c == keyAttr.name =>
+            Some(lits.map(l => (l.dataType, l.value)).distinct)
+          case _ => return None
+        }
       val (keyed, allValues) = keyedWheelSet(table, keyAttr.name)
-      val values: Seq[Literal] = allValues.filter(_.dataType == keyAttr.dataType)
+      val values0: Seq[Literal] = allValues.filter(_.dataType == keyAttr.dataType)
+      val values: Seq[Literal] = inRestrict match {
+        case None => values0
+        case Some(keys) =>
+          val found = keys.flatMap { case (dt, v) =>
+            values0.find(l => l.dataType == dt && l.value == v)
+          }
+          if (found.length != keys.length) return None
+          found
+      }
       if (values.isEmpty) return None
       def qualityOk(n: Need, w: IndexedWheel): Boolean =
         w.valueAllNonNull &&
@@ -1137,14 +1163,18 @@ object UWheelRule extends Rule[LogicalPlan] {
           case "comoment" => coMomentForValue(n)(v).map(CoMomentSrc).getOrElse(return None)
           case _      => wheelForValue(n, v).map(NumSrc).getOrElse(return None)
         })).toMap
-      // counting proof over the whole range set, anchored on the
-      // unfiltered wheel: the per-value partition must be complete
-      val baseW = table.anyForFilter("").filter(coverageOk).filter(spanOk)
-        .getOrElse(return None)
       val countNeed = Need(None, "count", None)
       val perValueCount: Map[Literal, Long] = values.map(v =>
         v -> rangeAggOf(wheelForValue(countNeed, v).getOrElse(return None).wheel).count).toMap
-      if (perValueCount.values.sum != rangeAggOf(baseW.wheel).count) return None
+      // counting proof over the whole range set, anchored on the
+      // unfiltered wheel: the per-value partition must be complete.
+      // IN-restricted groupings skip it — the residual itself proves the
+      // groups' row coverage (each group IS one covered value's rows).
+      if (inRestrict.isEmpty) {
+        val baseW = table.anyForFilter("").filter(coverageOk).filter(spanOk)
+          .getOrElse(return None)
+        if (perValueCount.values.sum != rangeAggOf(baseW.wheel).count) return None
+      }
       val rows = values.sortBy(_.toString).flatMap { v =>
         if (perValueCount(v) == 0L) None
         else {

@@ -1058,6 +1058,27 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertNotRewritten(qbad)
     assert(qbad.collect().map(_.toString).toSeq ===
       groundTruth(qbad.collect().map(_.toString).toSeq))
+    // GROUP BY the key itself under the IN residual: the per-value wheels
+    // cover the residual by construction, so no completeness proof is
+    // needed — one row per IN value with rows in range
+    def qk = ranged.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .orderBy("event_type")
+    assertRewritten(qk)
+    assert(qk.collect().map(_.toString).toSeq ===
+      groundTruth(qk.collect().map(_.toString).toSeq))
+    // ...but an IN value with no wheel, or a residual on another column,
+    // still declines
+    def qkbad = ranged.filter(col("event_type").isin("click", "bogus"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(qkbad)
+    assert(qkbad.collect().map(_.toString).toSeq ===
+      groundTruth(qkbad.collect().map(_.toString).toSeq))
+    def qother = ranged.filter(col("user_id") === 3L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    assertNotRewritten(qother)
   }
 
   test("dim-join folding: aggregate over a small plan-time dim join rewrites") {
