@@ -111,7 +111,11 @@ final case class DistinctIndexedWheel(
     /** Structured `column = literal` form of the residual filter when it
       * has one — the multi-column GROUP BY arm routes per key value on it,
       * exactly like [[IndexedWheel.keyEq]]. */
-    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+    /** Raw SQL when the measure is a derived expression (see [[IndexedWheel.exprSql]]). */
+    exprSql: Option[String] = None) {
+  /** Null-safe [[exprSql]] (pre-field persisted indexes deserialize null). */
+  def exprSqlOpt: Option[String] = Option(exprSql).flatten
   def p: Int = agg.p
   /** Null/zero-safe span (an old serialized wheel defaults the field to 0). */
   def span: Long = if (slotSpan <= 0L) 1L else slotSpan
@@ -141,7 +145,11 @@ final case class QuantileIndexedWheel(
     /** Seconds per sketch slot — span-coarsened builds produce span-aligned
       * slots, gated by the rule exactly like the other families. */
     slotSpan: Long = 1L,
-    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+    /** Raw SQL when the measure is a derived expression (see [[IndexedWheel.exprSql]]). */
+    exprSql: Option[String] = None) {
+  /** Null-safe [[exprSql]] (pre-field persisted indexes deserialize null). */
+  def exprSqlOpt: Option[String] = Option(exprSql).flatten
   def s: Int = agg.s
   def span: Long = if (slotSpan <= 0L) 1L else slotSpan
   def keyEqOpt: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] =
@@ -170,7 +178,11 @@ final case class FreqIndexedWheel(
     /** Seconds per sketch slot — span-coarsened builds produce span-aligned
       * slots, gated by the rule exactly like the other families. */
     slotSpan: Long = 1L,
-    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+    /** Raw SQL when the measure is a derived expression (see [[IndexedWheel.exprSql]]). */
+    exprSql: Option[String] = None) {
+  /** Null-safe [[exprSql]] (pre-field persisted indexes deserialize null). */
+  def exprSqlOpt: Option[String] = Option(exprSql).flatten
   def d: Int = agg.d
   def logW: Int = agg.logW
   def span: Long = if (slotSpan <= 0L) 1L else slotSpan
@@ -208,11 +220,15 @@ final case class MomentIndexedWheel(
     /** Seconds per slot — span-coarsened builds produce span-aligned
       * slots, gated by the rule exactly like the other families. */
     slotSpan: Long = 1L,
-    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+    /** Raw SQL when the measure is a derived expression (see [[IndexedWheel.exprSql]]). */
+    exprSql: Option[String] = None) {
   def scale: Int = agg.scale
   def span: Long = if (slotSpan <= 0L) 1L else slotSpan
   def keyEqOpt: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] =
     Option(keyEq).flatten
+  /** Null-safe [[exprSql]] (pre-field persisted indexes deserialize null). */
+  def exprSqlOpt: Option[String] = Option(exprSql).flatten
 }
 
 /** Exact CO-moment wheel for a column PAIR — (n, Σx, Σy, Σx², Σy², Σxy) as
@@ -234,12 +250,16 @@ final case class CoMomentIndexedWheel(
     filterKey: String = "",
     filterSql: Option[String] = None,
     slotSpan: Long = 1L,
-    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None) {
+    keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+    exprSqlX: Option[String] = None,
+    exprSqlY: Option[String] = None) {
   def scaleX: Int = agg.scaleX
   def scaleY: Int = agg.scaleY
   def span: Long = if (slotSpan <= 0L) 1L else slotSpan
   def keyEqOpt: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] =
     Option(keyEq).flatten
+  def exprSqlXOpt: Option[String] = Option(exprSqlX).flatten
+  def exprSqlYOpt: Option[String] = Option(exprSqlY).flatten
 }
 
 /** All wheels for one table (identified by its parquet root path).
@@ -753,7 +773,8 @@ object UWheelIndex {
       filter: Option[Column] = None,
       filterKey: String = "",
       filterSql: Option[String] = None,
-      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+      exprSql: Option[String] = None)
 
   /** One quantile-sketch wheel to build: which column, at which bucketing
     * resolution, under which residual filter (""/None = unfiltered). */
@@ -763,7 +784,8 @@ object UWheelIndex {
       filter: Option[Column] = None,
       filterKey: String = "",
       filterSql: Option[String] = None,
-      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+      exprSql: Option[String] = None)
 
   /** One Count-Min frequency-sketch wheel to build: which key column, at
     * which counter-matrix size, under which residual filter. */
@@ -774,7 +796,8 @@ object UWheelIndex {
       filter: Option[Column] = None,
       filterKey: String = "",
       filterSql: Option[String] = None,
-      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+      exprSql: Option[String] = None)
 
   /** One exact CO-moment wheel to build: which column pair, at which
     * fixed-point scales, under which residual filter. */
@@ -786,7 +809,9 @@ object UWheelIndex {
       filter: Option[Column] = None,
       filterKey: String = "",
       filterSql: Option[String] = None,
-      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+      exprSqlX: Option[String] = None,
+      exprSqlY: Option[String] = None)
 
   /** One exact-moment wheel to build: which column, at which fixed-point
     * scale, under which residual filter (""/None = unfiltered). */
@@ -796,7 +821,8 @@ object UWheelIndex {
       filter: Option[Column] = None,
       filterKey: String = "",
       filterSql: Option[String] = None,
-      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None)
+      keyEq: Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)] = None,
+      exprSql: Option[String] = None)
 
   /** Structured `column = literal` form of a wheel filter, when it has one
     * (the multi-column GROUP BY arm routes on it). Matched on the ANALYZED
@@ -966,10 +992,12 @@ object UWheelIndex {
       // and the wheel's own aggregator (they are the same code). A keyed
       // spec folds its residual filter into the aggregate's child: rows
       // not matching become NULL and are skipped, exactly like the SQL
-      // aggregate over the filtered query would skip them.
+      // aggregate over the filtered query would skip them. A derived-
+      // expression measure re-projects its SQL (column = canonical key).
+      val srcD = ds.exprSql.map(F.expr).getOrElse(F.col(ds.column))
       val in = ds.filter match {
-        case Some(f) => F.when(f, F.col(ds.column))
-        case None    => F.col(ds.column)
+        case Some(f) => F.when(f, srcD)
+        case None    => srcD
       }
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.functions.HllDistinctAgg(
@@ -981,9 +1009,10 @@ object UWheelIndex {
       // (they share bucketing and canonical encoding). The double cast is
       // the same image the numeric wheels project, so buckets agree with
       // what the SQL aggregate over the raw column computes.
+      val srcQ = qs.exprSql.map(F.expr).getOrElse(F.col(qs.column))
       val in = qs.filter match {
-        case Some(f) => F.when(f, F.col(qs.column))
-        case None    => F.col(qs.column)
+        case Some(f) => F.when(f, srcQ)
+        case None    => srcQ
       }
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.functions.HdrQuantileAgg(
@@ -998,7 +1027,7 @@ object UWheelIndex {
       // and Σu / Σu² accumulate in DECIMAL(38,0) — u² < 10^36 always fits
       // a tight (19,0)×(19,0) product, so no precision loss anywhere.
       val s = ms.scale
-      val src = F.col(ms.column)
+      val src = ms.exprSql.map(F.expr).getOrElse(F.col(ms.column))
       val vd = src.cast("double")
       val f = src.try_cast(s"decimal(18,$s)")
       val fail = src.isNotNull && f.isNull
@@ -1017,14 +1046,15 @@ object UWheelIndex {
       // values are non-NULL (SQL binary-aggregate discipline), and a probe
       // failure in EITHER column (NaN/Infinity/overflow — which would make
       // the scan's explicit cast throw under ANSI) is counted to decline.
-      def probe(c: String, s: Int) = {
-        val src = F.col(c)
+      def probe(src: Column, s: Int) = {
         val f = src.try_cast(s"decimal(18,$s)")
         val u = (f * F.lit(math.pow(10, s).toLong).cast("decimal(10,0)")).cast("long")
         (src, f, u, src.cast("double"))
       }
-      val (sx0, fx, ux, xd) = probe(cs.columnX, cs.scaleX)
-      val (sy0, fy, uy, yd) = probe(cs.columnY, cs.scaleY)
+      val (sx0, fx, ux, xd) = probe(
+        cs.exprSqlX.map(F.expr).getOrElse(F.col(cs.columnX)), cs.scaleX)
+      val (sy0, fy, uy, yd) = probe(
+        cs.exprSqlY.map(F.expr).getOrElse(F.col(cs.columnY)), cs.scaleY)
       val fail = (sx0.isNotNull && fx.isNull) || (sy0.isNotNull && fy.isNull)
       val keepC = cs.filter.getOrElse(F.lit(true))
       val both = keepC && ux.isNotNull && uy.isNotNull
@@ -1045,9 +1075,10 @@ object UWheelIndex {
       // cms_freq aggregate — identical hash/content semantics to the wheel
       // aggregator (they are the same code). A keyed spec folds its
       // residual filter into the aggregate's child like the HLL column.
+      val srcF = fs.exprSql.map(F.expr).getOrElse(F.col(fs.column))
       val in = fs.filter match {
-        case Some(f) => F.when(f, F.col(fs.column))
-        case None    => F.col(fs.column)
+        case Some(f) => F.when(f, srcF)
+        case None    => srcF
       }
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.functions.CmsFreqAgg(
@@ -1099,29 +1130,29 @@ object UWheelIndex {
     val builtDistinct = distinctSpecs.zip(acc.distinct).map { case (ds, rw) =>
       DistinctIndexedWheel(rw.freeze(), ds.column,
         rw.agg.asInstanceOf[WheelAggregators.HllDistinct], ds.filterKey, ds.filterSql,
-        slotSpan, ds.keyEq)
+        slotSpan, ds.keyEq, ds.exprSql)
     }
     val builtQuantile = quantileSpecs.zip(acc.sketch).map { case (qs, rw) =>
       QuantileIndexedWheel(rw.freeze(), qs.column,
         rw.agg.asInstanceOf[WheelAggregators.HdrQuantile], qs.filterKey, qs.filterSql,
-        slotSpan, qs.keyEq)
+        slotSpan, qs.keyEq, qs.exprSql)
     }
     val builtMoment = momentSpecs.zipWithIndex.map { case (ms, j) =>
       MomentIndexedWheel(acc.moment(j).freeze(), ms.column,
         acc.moment(j).agg.asInstanceOf[WheelAggregators.MomentStats],
         acc.momCastFail(j), acc.momAbsMax(j), ms.filterKey, ms.filterSql,
-        slotSpan, ms.keyEq)
+        slotSpan, ms.keyEq, ms.exprSql)
     }
     val builtCoMoment = coMomentSpecs.zipWithIndex.map { case (cs, j) =>
       CoMomentIndexedWheel(acc.coMoment(j).freeze(), cs.columnX, cs.columnY,
         acc.coMoment(j).agg.asInstanceOf[WheelAggregators.CoMomentStats],
         acc.coCastFail(j), acc.coAbsMaxX(j), acc.coAbsMaxY(j), cs.filterKey, cs.filterSql,
-        slotSpan, cs.keyEq)
+        slotSpan, cs.keyEq, cs.exprSqlX, cs.exprSqlY)
     }
     val builtFreq = freqSpecs.zip(acc.freq).map { case (fs, rw) =>
       FreqIndexedWheel(rw.freeze(), fs.column,
         rw.agg.asInstanceOf[WheelAggregators.CmsFreq], fs.filterKey, fs.filterSql,
-        slotSpan, fs.keyEq)
+        slotSpan, fs.keyEq, fs.exprSql)
     }
     (built, builtDistinct, builtQuantile, builtMoment, builtCoMoment, builtFreq)
   }
@@ -1216,50 +1247,80 @@ object UWheelIndex {
       if (colSpecs.isEmpty) Seq(WheelSpec(None, None, "", conf.timeRangeSec, conf.scale))
       else Nil
     val slotSpan = effectiveSlotSpan(df, conf)
-    val dSpecs = conf.distinctColumns.map(c => DistinctSpec(c, conf.hllPrecision)) ++
-      conf.keyedDistinctWheels.map { case (c, sql) =>
+    // Column-or-EXPRESSION measure: every typed family accepts a derived
+    // expression wherever it accepts a column — a schema column keys by
+    // its own name, anything else by its canonical Catalyst form (the same
+    // registration contract as withExprWheel), with the raw SQL retained
+    // for refresh re-projection. `wheel_var_samp(cast(price*(1-disc) as
+    // decimal(18,4)))`, `hdr_quantile(price*(1-disc), 0.99)`, and
+    // `cms_freq(user_id % 50, 7)` all answer from their wheels.
+    def colOrExpr(s: String): (String, Option[String]) =
+      if (df.schema.exists(_.name == s)) (s, None)
+      else (exprKeyOf(df, s), Some(s))
+    val dSpecs = conf.distinctColumns.map { c0 =>
+      val (c, ex) = colOrExpr(c0)
+      DistinctSpec(c, conf.hllPrecision, exprSql = ex)
+    } ++
+      conf.keyedDistinctWheels.map { case (c0, sql) =>
+        val (c, ex) = colOrExpr(c0)
         val fc = F.expr(sql)
         DistinctSpec(c, conf.hllPrecision, Some(fc),
           graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
-          keyEqOf(df, fc))
+          keyEqOf(df, fc), ex)
       }
-    val qSpecs = conf.quantileColumns.map { case (c, s) => QuantileSpec(c, s) } ++
-      conf.keyedQuantileWheels.map { case (c, sql, s) =>
+    val qSpecs = conf.quantileColumns.map { case (c0, s) =>
+      val (c, ex) = colOrExpr(c0)
+      QuantileSpec(c, s, exprSql = ex)
+    } ++
+      conf.keyedQuantileWheels.map { case (c0, sql, s) =>
+        val (c, ex) = colOrExpr(c0)
         val fc = F.expr(sql)
         QuantileSpec(c, s, Some(fc),
           graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
-          keyEqOf(df, fc))
+          keyEqOf(df, fc), ex)
       }
     // moment wheels fix their scale from the source: a DECIMAL column's own
     // scale, 0 for integral columns (so bare-column `wheel_var_samp(int_col)`
-    // matches), the builder's scale for DOUBLE (queries cast explicitly)
+    // matches), the builder's scale otherwise — including derived
+    // expressions, whose queries cast explicitly at that scale
     def momentScaleFor(c: String): Int = df.schema.find(_.name == c).map(_.dataType) match {
       case Some(d: org.apache.spark.sql.types.DecimalType) => d.scale
       case Some(org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
                 org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType) => 0
       case _ => conf.scale
     }
-    val mSpecs = conf.momentColumns.map(c => MomentSpec(c, momentScaleFor(c))) ++
-      conf.keyedMomentWheels.map { case (c, sql) =>
+    val mSpecs = conf.momentColumns.map { c0 =>
+      val (c, ex) = colOrExpr(c0)
+      MomentSpec(c, momentScaleFor(c0), exprSql = ex)
+    } ++
+      conf.keyedMomentWheels.map { case (c0, sql) =>
+        val (c, ex) = colOrExpr(c0)
         val fc = F.expr(sql)
-        MomentSpec(c, momentScaleFor(c), Some(fc),
+        MomentSpec(c, momentScaleFor(c0), Some(fc),
           graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
-          keyEqOf(df, fc))
+          keyEqOf(df, fc), ex)
       }
-    val cSpecs = conf.coMomentColumns.map { case (x, y) =>
-      CoMomentSpec(x, y, momentScaleFor(x), momentScaleFor(y))
-    } ++ conf.keyedCoMomentWheels.map { case (x, y, sql) =>
+    val cSpecs = conf.coMomentColumns.map { case (x0, y0) =>
+      val (x, ex) = colOrExpr(x0); val (y, ey) = colOrExpr(y0)
+      CoMomentSpec(x, y, momentScaleFor(x0), momentScaleFor(y0),
+        exprSqlX = ex, exprSqlY = ey)
+    } ++ conf.keyedCoMomentWheels.map { case (x0, y0, sql) =>
+      val (x, ex) = colOrExpr(x0); val (y, ey) = colOrExpr(y0)
       val fc = F.expr(sql)
-      CoMomentSpec(x, y, momentScaleFor(x), momentScaleFor(y), Some(fc),
+      CoMomentSpec(x, y, momentScaleFor(x0), momentScaleFor(y0), Some(fc),
         graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
-        keyEqOf(df, fc))
+        keyEqOf(df, fc), ex, ey)
     }
-    val fSpecs = conf.freqColumns.map { case (c, lw, dd) => CmsSpec(c, lw, dd) } ++
-      conf.keyedFreqWheels.map { case (c, sql, lw, dd) =>
+    val fSpecs = conf.freqColumns.map { case (c0, lw, dd) =>
+      val (c, ex) = colOrExpr(c0)
+      CmsSpec(c, lw, dd, exprSql = ex)
+    } ++
+      conf.keyedFreqWheels.map { case (c0, sql, lw, dd) =>
+        val (c, ex) = colOrExpr(c0)
         val fc = F.expr(sql)
         CmsSpec(c, lw, dd, Some(fc),
           graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
-          keyEqOf(df, fc))
+          keyEqOf(df, fc), ex)
       }
     val (built, builtDistinct, builtQuantile, builtMoment, builtCoMoment, builtFreq) =
       buildWheels(df, conf.timeColumn,
@@ -1514,20 +1575,21 @@ object UWheelIndex {
       colSpecs ++ keyedSpecs ++ countSpec, span, t.packLevels,
       oldDistinct.map(d => DistinctSpec(d.column, d.p,
         Option(d.filterSql).flatten.map(F.expr), Option(d.filterKey).getOrElse(""),
-        Option(d.filterSql).flatten)),
+        Option(d.filterSql).flatten, exprSql = d.exprSqlOpt)),
       quantileSpecs = oldQuantile.map(qw => QuantileSpec(qw.column, qw.s,
         Option(qw.filterSql).flatten.map(F.expr), Option(qw.filterKey).getOrElse(""),
-        Option(qw.filterSql).flatten)),
+        Option(qw.filterSql).flatten, exprSql = qw.exprSqlOpt)),
       momentSpecs = oldMoment.map(mw => MomentSpec(mw.column, mw.scale,
         Option(mw.filterSql).flatten.map(F.expr), Option(mw.filterKey).getOrElse(""),
-        Option(mw.filterSql).flatten)),
+        Option(mw.filterSql).flatten, exprSql = mw.exprSqlOpt)),
       coMomentSpecs = oldCoMoment.map(cw => CoMomentSpec(cw.columnX, cw.columnY,
         cw.scaleX, cw.scaleY,
         Option(cw.filterSql).flatten.map(F.expr), Option(cw.filterKey).getOrElse(""),
-        Option(cw.filterSql).flatten)),
+        Option(cw.filterSql).flatten,
+        exprSqlX = cw.exprSqlXOpt, exprSqlY = cw.exprSqlYOpt)),
       freqSpecs = oldFreq.map(fw => CmsSpec(fw.column, fw.logW, fw.d,
         Option(fw.filterSql).flatten.map(F.expr), Option(fw.filterKey).getOrElse(""),
-        Option(fw.filterSql).flatten)))
+        Option(fw.filterSql).flatten, exprSql = fw.exprSqlOpt)))
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val keyedBuilt = rest.take(keyedSpecs.length)
 

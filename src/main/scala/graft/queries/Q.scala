@@ -125,6 +125,10 @@ object Q {
     UWheelBuilder("l_shipdate", Seq("l_quantity"))
       .withExprWheel(revenueExpr, scale = 4)
       .withKeyedExprWheel(revenueExpr, "l_returnflag = 'R'", scale = 4)
+      // the typed families take the expression too (column-or-expression
+      // contract): exact revenue variance + revenue p90 over any range
+      .withMomentWheel(revenueExpr)
+      .withQuantileWheel(revenueExpr)
       .build(spark, s"$sfDir/lineitem.parquet")
 
   private val datedDirs = new ConcurrentHashMap[String, String]()

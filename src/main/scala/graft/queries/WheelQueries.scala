@@ -515,6 +515,25 @@ object WheelQueries {
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
     "uw_freq_keyed" -> Q.sql(
       s"SELECT cms_freq(user_id, 42) AS purchases_42 FROM events WHERE $range AND event_type = 'purchase'"),
+    // typed families over the SAME derived expression (column-or-expression
+    // contract): EXACT revenue variance from the moment wheel — the moments
+    // are over the HALF_UP scale-2 image of the product on both sides, so
+    // the integer-arithmetic DuckDB oracle reproduces it digit-for-digit
+    "uw_revenue_var" -> Q.sql(
+      s"""SELECT wheel_var_samp(CAST($revExpr AS DECIMAL(18,2))) AS vs,
+         |       wheel_stddev_pop(CAST($revExpr AS DECIMAL(18,2))) AS sp,
+         |       count(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin),
+    // revenue p90 from the quantile wheel over the expression (rows-only:
+    // DuckDB cannot evaluate our sketch; ExprWheelSpec proves rewritten ≡
+    // running the aggregate)
+    "uw_revenue_p90" -> Q.sql(
+      s"""SELECT hdr_quantile($revExpr, 0.9) AS p90, count(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin),
     // keyed expression wheel: the residual routes to the wheel whose rows
     // matched l_returnflag = 'R' at build time
     "uw_revenue_keyed" -> Q.sql(
@@ -856,5 +875,20 @@ object WheelQueries {
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_returnflag = 'R'""".stripMargin,
+    // integer moments of the expression's HALF_UP scale-2 image (cents),
+    // mirroring MomentStats.statOf. The product genuinely ROUNDS at scale 2
+    // (unlike the exactly-representable column casts elsewhere), and the
+    // engines disagree on near-half doubles: Spark rounds the double's
+    // SHORTEST DECIMAL representation (BigDecimal.decimal → HALF_UP) while
+    // DuckDB's double→decimal cast rounds the binary value. Routing the
+    // double through VARCHAR first makes DuckDB round the same shortest
+    // representation — verified digit-identical to Spark's cents sum.
+    "uw_revenue_var" ->
+      s"""WITH m AS (SELECT count(*) AS n, sum(c) AS sx, sum(c*c) AS sxx
+         |           FROM (SELECT CAST(CAST(CAST($revExpr AS VARCHAR) AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |                 FROM lineitem
+         |                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |                   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+         |SELECT ${mStat("vs")} AS vs, ${mStat("sp")} AS sp, n AS cnt FROM m""".stripMargin,
   )
 }

@@ -476,6 +476,11 @@ object UWheelRule extends Rule[LogicalPlan] {
           case Cast(a: AttributeReference, LongType, _, _)
               if integral.contains(a.dataType) =>
             Some(Need(Some(a.name), "hll", None, h.p))
+          // derived-expression measure: routed by canonical key to a wheel
+          // built with withDistinctWheel("<expr>") — integral image, so the
+          // build's cast-to-long hashes the same values the aggregate does
+          case e if integral.contains(e.dataType) =>
+            exprMeasureKey(e).map(k => Need(Some(k), "hll", None, h.p))
           case _ => None
         }
       // hdr_quantile(col, q[, s]): answered from a quantile-sketch wheel
@@ -493,6 +498,10 @@ object UWheelRule extends Rule[LogicalPlan] {
           case Cast(a: AttributeReference, DoubleType, _, _)
               if numeric.contains(a.dataType) || a.dataType.isInstanceOf[DecimalType] =>
             Some(Need(Some(a.name), "hdrq", None, h.s, qArg = h.q))
+          // derived-expression measure: the wheel bucketed cast(expr as
+          // double) — the same image the aggregate's toDouble produces
+          case e if numeric.contains(e.dataType) || e.dataType.isInstanceOf[DecimalType] =>
+            exprMeasureKey(e).map(k => Need(Some(k), "hdrq", None, h.s, qArg = h.q))
           case _ => None
         }
       // cms_freq(key, target): answered from a Count-Min frequency-sketch
@@ -508,6 +517,10 @@ object UWheelRule extends Rule[LogicalPlan] {
           case Cast(a: AttributeReference, LongType, _, _)
               if integral.contains(a.dataType) =>
             Some(Need(Some(a.name), "cms", None, c.logW,
+              cmsTarget = c.target, cmsD = c.d))
+          // derived-expression key (`cms_freq(user_id % 50, 7)`)
+          case e if integral.contains(e.dataType) =>
+            exprMeasureKey(e).map(k => Need(Some(k), "cms", None, c.logW,
               cmsTarget = c.target, cmsD = c.d))
           case _ => None
         }
@@ -547,6 +560,14 @@ object UWheelRule extends Rule[LogicalPlan] {
           if a.dataType == DoubleType || integral.contains(a.dataType) ||
             a.dataType.isInstanceOf[DecimalType] =>
         Some((a.name, dt.scale, Some(dt.precision)))
+      // derived-expression measure under an explicit decimal cast — the
+      // wheel's fixed-point probe ran over the same expression, so the
+      // scale/castP gates compose identically (`wheel_var_samp(cast(
+      // price * (1 - disc) as decimal(18, 2)))`)
+      case Cast(e, dt: DecimalType, _, _)
+          if e.dataType == DoubleType || integral.contains(e.dataType) ||
+            e.dataType.isInstanceOf[DecimalType] =>
+        exprMeasureKey(e).map(k => (k, dt.scale, Some(dt.precision)))
       case _ => None
     }
   }

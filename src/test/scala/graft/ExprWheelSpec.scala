@@ -37,15 +37,17 @@ class ExprWheelSpec extends AnyFunSuite {
       if (i % 4 == 0) "R" else "N",
       (i % 50).toDouble,                     // qty: integer-valued
       1.0,                                   // value: 1/3 is non-terminating
+      (i % 37).toLong,                       // uid: integral key
       sec)
   }
 
-  private def write(p: String, rows: Seq[(Double, Double, String, Double, Double, Long)],
+  private def write(p: String,
+      rows: Seq[(Double, Double, String, Double, Double, Long, Long)],
       append: Boolean = false): Unit = {
     import spark.implicits._
-    rows.toDF("price", "disc", "flag", "qty", "value", "sec")
+    rows.toDF("price", "disc", "flag", "qty", "value", "uid", "sec")
       .select(timestamp_seconds(col("sec")).as("ts"),
-        col("price"), col("disc"), col("flag"), col("qty"), col("value"))
+        col("price"), col("disc"), col("flag"), col("qty"), col("value"), col("uid"))
       .repartition(2)
       .write.mode(if (append) "append" else "overwrite").parquet(p)
   }
@@ -63,6 +65,12 @@ class ExprWheelSpec extends AnyFunSuite {
       .withExprWheel("qty * 2", scale = 4)
       .withExprWheel("value / 3", scale = 4)
       .withKeyedExprWheel(rev, "flag = 'R'", scale = 4)
+      // every typed family accepts derived expressions too (column-or-
+      // expression contract): sketch/moment wheels keyed by canonical form
+      .withDistinctWheel("uid % 10")
+      .withFreqWheel("uid % 10")
+      .withQuantileWheel(rev)
+      .withMomentWheel(rev)
       .build(spark, p)
     p
   }
@@ -183,6 +191,38 @@ class ExprWheelSpec extends AnyFunSuite {
       .agg(sum(expr(rev).cast("decimal(18,4)")).as("revenue"))
     assertRewritten(q(t))
     assert(rows(q(t)) === groundTruth(rows(q(t))))
+  }
+
+  test("sketch and moment families serve derived expressions too") {
+    path
+    spark.read.parquet(path).createOrReplaceTempView("sales_expr")
+    def onOff(sql: String): Unit = {
+      val df = spark.sql(sql)
+      assertRewritten(df)
+      val on = rows(df)
+      Graft.rewritesEnabled = false
+      val off = try rows(spark.sql(sql)) finally Graft.rewritesEnabled = true
+      assert(on === off, sql)
+    }
+    val range = "ts >= TIMESTAMP '2024-02-01' AND ts < TIMESTAMP '2024-04-01'"
+    // hll over an integral expression — bit-equal registers by construction
+    onOff(s"SELECT hll_distinct(uid % 10) AS du FROM sales_expr WHERE $range")
+    // cms point frequency over the same derived key
+    onOff(s"SELECT cms_freq(uid % 10, 3) AS f FROM sales_expr WHERE $range")
+    // hdr quantile over the revenue expression (same double image)
+    onOff(s"SELECT hdr_quantile($rev, 0.9) AS p90 FROM sales_expr WHERE $range")
+    // exact moments over the revenue expression at the builder scale (2)
+    onOff(s"SELECT wheel_var_samp(CAST($rev AS DECIMAL(18,2))) AS vs FROM sales_expr WHERE $range")
+    // bucketed composition: one LocalRelation with sketch + numeric needs
+    onOff(
+      s"""SELECT date_trunc('month', ts) AS m, hll_distinct(uid % 10) AS du,
+         |       hdr_quantile($rev, 0.5) AS p50, count(*) AS cnt
+         |FROM sales_expr WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin)
+    // a different expression (or different params) has no wheel: scan
+    assertNotRewritten(spark.sql(
+      s"SELECT hll_distinct(uid % 7) AS du FROM sales_expr WHERE $range"))
+    assertNotRewritten(spark.sql(
+      s"SELECT hdr_quantile($rev, 0.9, 9) AS p FROM sales_expr WHERE $range"))
   }
 
   test("an UNREGISTERED expression stays on the scan") {
