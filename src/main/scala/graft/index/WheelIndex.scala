@@ -848,6 +848,12 @@ object UWheelIndex {
     * l_discount` both key as `(1.0 - l_discount)`). */
   private[graft] def exprKeyOf(df: DataFrame, sql: String): String = {
     val sel = df.select(F.expr(sql).as("_graft_expr"))
+    // an aggregate "expression" analyzes to an Aggregate node, not a
+    // Project — refuse it here, before any plan-shape assumption below
+    // could turn the contract violation into an opaque ClassCastException
+    require(sel.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project],
+      s"expression wheel must be aggregate-free: $sql")
     val resolved = sel.queryExecution.optimizedPlan.collectFirst {
       case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
         p.projectList.collectFirst {

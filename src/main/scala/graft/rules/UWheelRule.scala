@@ -742,6 +742,16 @@ object UWheelRule extends Rule[LogicalPlan] {
           r.endSec.forall(e => HawWheel.alignDown(e, span) == e))
     }
 
+    /** Span-alignment gate for TYPED-family wheels (sketches, moments,
+      * counters): a span-coarsened build produced span-aligned slots, so a
+      * bound that is not slot-aligned would silently include/exclude whole
+      * slots of content — decline instead. One definition for all ~15 use
+      * sites (srcFor arms + the per-value helpers of both grouped arms). */
+    def sketchSpanOk(span: Long): Boolean =
+      span == 1L || ranges.forall(r =>
+        r.startSec.forall(s => HawWheel.alignDown(s, span) == s) &&
+        r.endSec.forall(e => HawWheel.alignDown(e, span) == e))
+
     /** Merged aggregate over the (disjoint) range set on one wheel. */
     def rangeAggOf(hw: HawWheel): RangeAgg =
       if (bounds.isEmpty)
@@ -803,10 +813,7 @@ object UWheelRule extends Rule[LogicalPlan] {
           // span-coarsened builds produce span-aligned register slots: an
           // unaligned bound would silently include/exclude whole slots of
           // users, so gate exactly like the numeric wheels
-          .filter(d => d.span == 1L ||
-            ranges.forall(r =>
-              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .filter(d => sketchSpanOk(d.span))
           .map(HllSrc)
       // exact COUNT(DISTINCT k): the complete per-value `k = v` wheel set.
       // A residual filter declines — per-value wheels are keyed on the
@@ -823,10 +830,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         if (msMode) return None
         table.quantileWheel(n.column.getOrElse(return None), keyFor(n))
           .filter(_.s == n.hllP)
-          .filter(d => d.span == 1L ||
-            ranges.forall(r =>
-              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .filter(d => sketchSpanOk(d.span))
           .map(QuantileSrc)
       // cms_freq: the frequency-sketch wheel twin of the hll/hdrq paths —
       // same residual routing (keyed variants by canonical filter key),
@@ -837,10 +841,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         if (msMode) return None
         table.freqWheel(n.column.getOrElse(return None), keyFor(n))
           .filter(d => d.logW == n.hllP && d.d == n.cmsD)
-          .filter(d => d.span == 1L ||
-            ranges.forall(r =>
-              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .filter(d => sketchSpanOk(d.span))
           .map(FreqSrc)
       // wheel_var/stddev: the exact-moment wheel at the query's fixed-point
       // scale — same residual routing and span gate as the other typed
@@ -849,20 +850,14 @@ object UWheelRule extends Rule[LogicalPlan] {
         if (msMode) return None
         table.momentWheel(n.column.getOrElse(return None), keyFor(n))
           .filter(momentOk(n, _))
-          .filter(d => d.span == 1L ||
-            ranges.forall(r =>
-              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .filter(d => sketchSpanOk(d.span))
           .map(MomentSrc)
       case "comoment" =>
         if (msMode) return None
         table.coMomentWheel(n.column.getOrElse(return None),
             n.column2.getOrElse(return None), keyFor(n))
           .filter(coMomentOk(n, _))
-          .filter(d => d.span == 1L ||
-            ranges.forall(r =>
-              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .filter(d => sketchSpanOk(d.span))
           .map(CoMomentSrc)
       case "cntdist" =>
         if (filterKey.nonEmpty || msMode) None // per-value wheels are second-domain
@@ -1138,43 +1133,28 @@ object UWheelRule extends Rule[LogicalPlan] {
         n.column.flatMap(c => table.allDistinctWheels.find(d =>
           d.column == c && d.p == n.hllP &&
             d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
-          .filter(d => d.span == 1L ||
-            ranges.forall(r =>
-              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .filter(d => sketchSpanOk(d.span))
       def quantileForValue(n: Need): Literal => Option[QuantileIndexedWheel] = v =>
         n.column.flatMap(c => table.allQuantileWheels.find(d =>
           d.column == c && d.s == n.hllP &&
             d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
-          .filter(d => d.span == 1L ||
-            ranges.forall(r =>
-              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .filter(d => sketchSpanOk(d.span))
       def momentForValue(n: Need): Literal => Option[MomentIndexedWheel] = v =>
         n.column.flatMap(c => table.allMomentWheels.find(d =>
           d.column == c && momentOk(n, d) &&
             d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
-          .filter(d => d.span == 1L ||
-            ranges.forall(r =>
-              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .filter(d => sketchSpanOk(d.span))
       def freqForValue(n: Need): Literal => Option[FreqIndexedWheel] = v =>
         n.column.flatMap(c => table.allFreqWheels.find(d =>
           d.column == c && d.logW == n.hllP && d.d == n.cmsD &&
             d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
-          .filter(d => d.span == 1L ||
-            ranges.forall(r =>
-              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .filter(d => sketchSpanOk(d.span))
       def coMomentForValue(n: Need): Literal => Option[CoMomentIndexedWheel] = v =>
         (for { cx <- n.column; cy <- n.column2 } yield
           table.allCoMomentWheels.find(d =>
             d.columnX == cx && d.columnY == cy && coMomentOk(n, d) &&
               d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v))).flatten
-          .filter(d => d.span == 1L ||
-            ranges.forall(r =>
-              r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-              r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+          .filter(d => sketchSpanOk(d.span))
       val perValue: Map[(Expression, Literal), Src] =
         (for { (k, n) <- needList.toSeq; v <- values } yield (k, v) -> (n.kind match {
           case "hll"  => distinctForValue(n)(v).map(HllSrc).getOrElse(return None)
@@ -1272,6 +1252,19 @@ object UWheelRule extends Rule[LogicalPlan] {
           case None => timeBucketArm(ge, table)
         }).getOrElse(return None)
         val (groupFn, keyLit, bucketSpan) = (arm.groupFn, arm.keyLit, arm.fineSpan)
+        // Bucket map per wheel over the (disjoint) range set: a bucket
+        // straddling two ranges (OR of two windows of one day, day buckets)
+        // merges its per-range partials additively. Memoized and SHARED by
+        // the single-wheel path and the IN-union path below, so the two can
+        // never diverge in how buckets merge.
+        val bucketCache = mutable.HashMap.empty[HawWheel, Map[Long, RangeAgg]]
+        def groupsOf(hw: HawWheel): Map[Long, RangeAgg] =
+          bucketCache.getOrElseUpdate(hw,
+            bounds.foldLeft(Map.empty[Long, RangeAgg]) { case (acc, (s, e)) =>
+              groupFn(hw, s, e).foldLeft(acc) { case (m, (k, ra)) =>
+                m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
+              }
+            })
 
         // `key IN (v₁…vₖ)` residuals over TIME BUCKETS: each need reads the
         // union of its per-value equality wheels, and a bucket's aggregate
@@ -1293,18 +1286,10 @@ object UWheelRule extends Rule[LogicalPlan] {
             case _                 => Nil
           }.toSet
           if (uSpans.exists(sp => bucketSpan % sp != 0)) return None
-          val cache = mutable.HashMap.empty[HawWheel, Map[Long, RangeAgg]]
-          def groupsOfC(hw: HawWheel): Map[Long, RangeAgg] =
-            cache.getOrElseUpdate(hw,
-              bounds.foldLeft(Map.empty[Long, RangeAgg]) { case (acc, (s, e)) =>
-                groupFn(hw, s, e).foldLeft(acc) { case (m, (k, ra)) =>
-                  m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
-                }
-              })
           def mapOf(src: Src): Map[Long, RangeAgg] = src match {
-            case NumSrc(w) => groupsOfC(w.wheel)
+            case NumSrc(w) => groupsOf(w.wheel)
             case UnionSrc(ws) =>
-              ws.map(w => groupsOfC(w.wheel)).reduce { (a, b) =>
+              ws.map(w => groupsOf(w.wheel)).reduce { (a, b) =>
                 b.foldLeft(a) { case (m, (k, ra)) =>
                   m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
                 }
@@ -1319,7 +1304,7 @@ object UWheelRule extends Rule[LogicalPlan] {
             }.orElse(table.anyForFilter(filterKey)
               .filter(coverageOk).filter(spanOk)
               .filter(w => bucketSpan % w.wheel.slotSpan == 0)
-              .map(w => groupsOfC(w.wheel)))
+              .map(w => groupsOf(w.wheel)))
             .orElse(needMaps.collectFirst { case (_, _, _: UnionSrc, m) => m })
             .getOrElse(return None)
           val enumKeys = enumMap.keySet
@@ -1382,15 +1367,6 @@ object UWheelRule extends Rule[LogicalPlan] {
             b.wheel.slotSpan +: pv.map(_.wheel.slotSpan)
         }.toSet + enumWheel.wheel.slotSpan
         if (slotSpans.exists(sp => bucketSpan % sp != 0)) return None
-        // Bucket map per wheel over the (disjoint) range set: a bucket
-        // straddling two ranges (OR of two windows of one day, day buckets)
-        // merges its per-range partials additively.
-        def groupsOf(hw: HawWheel): Map[Long, RangeAgg] =
-          bounds.foldLeft(Map.empty[Long, RangeAgg]) { case (acc, (s, e)) =>
-            groupFn(hw, s, e).foldLeft(acc) { case (m, (k, ra)) =>
-              m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
-            }
-          }
         // Per-wheel group maps, enumWheel included once (it may also back a
         // need — one enumeration, not two). All wheels must cover the
         // identical key set (same rows seen at build time); wheels built at
@@ -1556,48 +1532,33 @@ object UWheelRule extends Rule[LogicalPlan] {
           n.column.flatMap(c => table.allDistinctWheels.find(d =>
             d.column == c && d.p == n.hllP &&
               d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
-            .filter(d => d.span == 1L ||
-              ranges.forall(r =>
-                r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-                r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+            .filter(d => sketchSpanOk(d.span))
         // per-value KEYED quantile wheel, routed by keyEq like the distinct
         // wheels ("p99 per event type")
         def quantileForValue(n: Need, v: Literal): Option[QuantileIndexedWheel] =
           n.column.flatMap(c => table.allQuantileWheels.find(d =>
             d.column == c && d.s == n.hllP &&
               d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
-            .filter(d => d.span == 1L ||
-              ranges.forall(r =>
-                r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-                r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+            .filter(d => sketchSpanOk(d.span))
         // per-value KEYED moment wheel, routed by keyEq like the other
         // typed families ("value variance per event type")
         def momentForValue(n: Need, v: Literal): Option[MomentIndexedWheel] =
           n.column.flatMap(c => table.allMomentWheels.find(d =>
             d.column == c && momentOk(n, d) &&
               d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
-            .filter(d => d.span == 1L ||
-              ranges.forall(r =>
-                r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-                r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+            .filter(d => sketchSpanOk(d.span))
         def coMomentForValue(n: Need, v: Literal): Option[CoMomentIndexedWheel] =
           (for { cx <- n.column; cy <- n.column2 } yield
             table.allCoMomentWheels.find(d =>
               d.columnX == cx && d.columnY == cy && coMomentOk(n, d) &&
                 d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v))).flatten
-            .filter(d => d.span == 1L ||
-              ranges.forall(r =>
-                r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-                r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+            .filter(d => sketchSpanOk(d.span))
         // per-value KEYED frequency wheel ("user 42's clicks per day")
         def freqForValue(n: Need, v: Literal): Option[FreqIndexedWheel] =
           n.column.flatMap(c => table.allFreqWheels.find(d =>
             d.column == c && d.logW == n.hllP && d.d == n.cmsD &&
               d.keyEqOpt.exists(ke => ke._1 == keyAttr.name && ke._2 == v)))
-            .filter(d => d.span == 1L ||
-              ranges.forall(r =>
-                r.startSec.forall(s => HawWheel.alignDown(s, d.span) == s) &&
-                r.endSec.forall(e => HawWheel.alignDown(e, d.span) == e)))
+            .filter(d => sketchSpanOk(d.span))
         val perValue: Map[(Expression, Literal), Src] =
           (for { (k, n) <- needList.toSeq; v <- values } yield (k, v) -> (n.kind match {
             case "hll"  => distinctForValue(n, v).map(HllSrc).getOrElse(return None)
