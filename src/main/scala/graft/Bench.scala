@@ -151,10 +151,18 @@ object Bench {
     // BENCH_full record.
     val probes = mutable.LinkedHashMap.empty[String, Double]
     def probe(name: String)(b: => Unit): Unit = if (selected(name)) {
-      System.gc(); Thread.sleep(200)
-      val t = System.nanoTime()
-      try { b; probes(name) = (System.nanoTime() - t) / 1e9 }
-      catch { case _: Throwable => probes(name) = -1.0 }
+      // MIN of 2 runs: one-shot build timings swing ~2× on suite-position
+      // GC debt (measured: the same full events build reads 6–18 s
+      // depending on what ran before), and every probe does identical full
+      // work, so min is the honest cost estimator — same rationale as the
+      // 1–10 s query tier.
+      val ts = (1 to 2).map { _ =>
+        System.gc(); Thread.sleep(200)
+        val t = System.nanoTime()
+        try { b; (System.nanoTime() - t) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      probes(name) = if (ts.exists(_ < 0)) -1.0 else ts.min
     }
     // (numeric − numeric_nomillis) prices the ms bottom-level scan;
     // (events − numeric) prices the fused HLL register columns
