@@ -854,13 +854,18 @@ object UWheelIndex {
     require(sel.queryExecution.analyzed
       .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project],
       s"expression wheel must be aggregate-free: $sql")
-    val resolved = sel.queryExecution.optimizedPlan.collectFirst {
+    // STREAMING frames cannot be optimized as batch plans (the analyzer's
+    // UnsupportedOperationChecker throws); the analyzed fallback suffices
+    // there — Canon.canonExpr folds foldable subtrees itself, which is the
+    // normalization the optimizer pass provides for these scalar shapes
+    val resolved = (if (sel.isStreaming) None
+    else sel.queryExecution.optimizedPlan.collectFirst {
       case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
         p.projectList.collectFirst {
           case a: org.apache.spark.sql.catalyst.expressions.Alias
               if a.name == "_graft_expr" => a.child
         }
-    }.flatten.getOrElse(
+    }.flatten).getOrElse(
       // a bare-column "expression" optimizes the Project away; fall back to
       // the analyzed form (canonExpr folds foldable subtrees itself)
       sel.queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
@@ -872,6 +877,14 @@ object UWheelIndex {
     require(resolved.references.nonEmpty, s"expression wheel must reference a column: $sql")
     graft.expr.Canon.canonExpr(resolved)
   }
+
+  /** Column-or-EXPRESSION registry key: a schema column keys by its own
+    * name; anything else is a derived expression keyed by its canonical
+    * Catalyst form, with the raw SQL returned for re-projection. Shared by
+    * the batch builder and the streaming publishers so both register under
+    * the key the rewrite rule computes. */
+  private[graft] def colOrExprKeyOf(df: DataFrame, s: String): (String, Option[String]) =
+    if (df.schema.exists(_.name == s)) (s, None) else (exprKeyOf(df, s), Some(s))
 
   /** Builds ANY number of wheels in ONE distributed scan: each spec becomes
     * six conditional aggregate columns of a single map-side-combining
@@ -1260,9 +1273,7 @@ object UWheelIndex {
     // for refresh re-projection. `wheel_var_samp(cast(price*(1-disc) as
     // decimal(18,4)))`, `hdr_quantile(price*(1-disc), 0.99)`, and
     // `cms_freq(user_id % 50, 7)` all answer from their wheels.
-    def colOrExpr(s: String): (String, Option[String]) =
-      if (df.schema.exists(_.name == s)) (s, None)
-      else (exprKeyOf(df, s), Some(s))
+    def colOrExpr(s: String): (String, Option[String]) = colOrExprKeyOf(df, s)
     val dSpecs = conf.distinctColumns.map { c0 =>
       val (c, ex) = colOrExpr(c0)
       DistinctSpec(c, conf.hllPrecision, exprSql = ex)

@@ -121,10 +121,16 @@ final class StreamingWheelIndex(
   private val sawNaN = new Array[Boolean](nSpecs)
   private val sawBadRep = new Array[Boolean](nSpecs)
   @volatile private var publishKey: Option[String] = None
-  /** (filterKey, keyEq) per keyed spec — computed against the attached
-    * stream's schema (canonicalization needs a resolved plan); keyed
-    * wheels publish once this is known. */
-  @volatile private var keyedMeta: Option[Seq[(String, Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)])]] = None
+  /** (filterKey, keyEq, measure registry key, measure exprSql) per keyed
+    * spec — computed against the attached stream's schema (canonicalization
+    * needs a resolved plan); keyed wheels publish once this is known. The
+    * measure key honors the batch builder's column-or-expression contract:
+    * a schema column keys by name, anything else by its canonical Catalyst
+    * form, so a streamed `("price * (1 - disc)", "et = 'sale'")` spec
+    * serves the same rewrites a batch expression wheel would. */
+  @volatile private var keyedMeta: Option[Seq[(String, Option[(String, org.apache.spark.sql.catalyst.expressions.Literal)], String, Option[String])]] = None
+  /** Spec-0's (measure registry key, exprSql) — same contract, same timing. */
+  @volatile private var valueMeta: Option[(String, Option[String])] = None
   /** The batch-built index this stream's first publish displaced (if any):
     * restored by [[deregister]] so withdrawing the stream does not leave
     * the table index-less (round-6 advice). */
@@ -199,17 +205,19 @@ final class StreamingWheelIndex(
   def deregister(): Unit = {
     publishKey.foreach { key =>
       val ownKeyed: Set[(Option[String], String)] =
-        keyedMeta.map(_.zip(keyedWheels).map { case ((fk, _), (vc, _)) =>
-          (Option(vc), fk)
+        keyedMeta.map(_.map { case (fk, _, mk, _) =>
+          (Option(mk), fk)
         }.toSet).getOrElse(Set.empty)
-      // families EXCLUSIVELY ours: the keyed specs and our value column.
-      // The (None, "") count family is shared — every numeric stream
-      // publisher on this path maintains it each batch — so it is handled
-      // by liveness below, not claimed blindly (round-7 advice: blind
-      // withdrawal blinded another publisher's COUNT rewrites until its
-      // next batch republished).
+      // families EXCLUSIVELY ours: the keyed specs and our value measure
+      // (by its published registry key — the canonical form for derived
+      // expressions). The (None, "") count family is shared — every
+      // numeric stream publisher on this path maintains it each batch —
+      // so it is handled by liveness below, not claimed blindly (round-7
+      // advice: blind withdrawal blinded another publisher's COUNT
+      // rewrites until its next batch republished).
       val ownExcl: Set[(Option[String], String)] =
-        ownKeyed ++ valueColumn.map(vc => (Option(vc), ""))
+        ownKeyed ++ valueMeta.orElse(valueColumn.map((_, None)))
+          .map { case (k, _) => (Option(k), "") }
       val countFam: (Option[String], String) = (None, "")
       WheelRegistry.update(key, {
         case Some(cur) if cur.fingerprint == 0L =>
@@ -284,21 +292,25 @@ final class StreamingWheelIndex(
           cur.allFreqWheels.foreach(t.putFreq)
         case None => ()
       }
-      valueColumn.foreach { vc =>
-        t.put(IndexedWheel(hw, Some(vc), "",
+      // the measure wheel publishes once attach resolved its registry key
+      // (a derived-expression measure has no meaningful key before the
+      // stream's schema is known; the count wheel below serves meanwhile)
+      valueMeta.foreach { case (key, ex) =>
+        t.put(IndexedWheel(hw, Some(key), "",
           valueAllNonNull = !sawNullValue(0),
           valuesExactAtScale = !sawBadRep(0),
-          valuesNaNFree = !sawNaN(0)))
+          valuesNaNFree = !sawNaN(0),
+          exprSql = ex))
       }
       t.put(IndexedWheel(hw, None, "", valueAllNonNull = true)) // count wheel shares hw
       keyedMeta.foreach { metas =>
-        keyedWheels.zipWithIndex.foreach { case ((vc, sql), i) =>
-          val (fk, keyEq) = metas(i)
-          t.put(IndexedWheel(keyedHw(i), Some(vc), fk,
+        keyedWheels.zipWithIndex.foreach { case ((_, sql), i) =>
+          val (fk, keyEq, mk, ex) = metas(i)
+          t.put(IndexedWheel(keyedHw(i), Some(mk), fk,
             valueAllNonNull = !sawNullValue(i + 1),
             valuesExactAtScale = !sawBadRep(i + 1),
             valuesNaNFree = !sawNaN(i + 1),
-            filterSql = Some(sql), keyEq = keyEq))
+            filterSql = Some(sql), keyEq = keyEq, exprSql = ex))
         }
       }
       Some(t)
@@ -387,12 +399,18 @@ final class StreamingWheelIndex(
     val secExpr = graft.index.UWheelIndex.secExprOf(stream, timeColumn)
     // canonical residual keys for the keyed specs, resolved against this
     // stream's schema — identical names/types to the batch table, so they
-    // match the canonical keys the optimizer computes on batch queries
-    keyedMeta = Some(keyedWheels.map { case (_, sql) =>
+    // match the canonical keys the optimizer computes on batch queries.
+    // Measures honor column-or-expression: the per-row source re-projects
+    // the SQL, and the registry key is the canonical form.
+    keyedMeta = Some(keyedWheels.map { case (m, sql) =>
       val fc = F.expr(sql)
+      val (mk, ex) = UWheelIndex.colOrExprKeyOf(stream, m)
       (graft.expr.Canon.canonFilterKey(stream.filter(fc)),
-        UWheelIndex.keyEqOf(stream, fc))
+        UWheelIndex.keyEqOf(stream, fc), mk, ex)
     })
+    valueMeta = valueColumn.map(s => UWheelIndex.colOrExprKeyOf(stream, s))
+    def msrc(s: String) =
+      if (stream.schema.exists(_.name == s)) F.col(s) else F.expr(s)
     // per-spec conditional aggregate columns, one fused scan per batch
     // (spec 0 = unfiltered)
     val specCols = (0 until nSpecs).flatMap { i =>
@@ -400,7 +418,7 @@ final class StreamingWheelIndex(
         if (i == 0) (valueColumn, F.lit(true))
         else (Some(keyedWheels(i - 1)._1), F.expr(keyedWheels(i - 1)._2))
       val v = vcol match {
-        case Some(c) => F.when(keep, F.col(c).cast("double"))
+        case Some(c) => F.when(keep, msrc(c).cast("double"))
         case None    => F.lit(null).cast("double")
       }
       // same exactness probe as the batch build: does the value survive a

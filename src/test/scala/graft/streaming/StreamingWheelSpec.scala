@@ -920,6 +920,57 @@ class StreamingWheelSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming expression measures serve batch SQL at plan time") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sexpr").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-06-01 00:00:00").getTime
+    val rows = (0 until 300).map(i =>
+      (new Timestamp(base + i * 1000L), (i % 13) + (i % 100) / 100.0,
+        if (i % 3 == 0) "sale" else "view"))
+    rows.toDF("ts", "v", "et").write.parquet(path)
+    // the measure is a DERIVED EXPRESSION, unfiltered + one keyed spec
+    val idx = new StreamingWheelIndex("ts", Some("v * 2"),
+      keyedWheels = Seq(("v * 2", "et = 'sale'")))
+    val input = MemoryStream[(Timestamp, Double, String)]
+    val q = idx.attach(input.toDF().toDF("ts", "v", "et"), "sexpr-wheel")
+    try {
+      idx.register(path)
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val range = "ts >= TIMESTAMP '2024-06-01 00:00:30' AND ts < TIMESTAMP '2024-06-01 00:04:00'"
+      def check(sql: String): Unit = {
+        val df = spark.sql(sql)
+        val opt = df.queryExecution.optimizedPlan
+        assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+        assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+        graft.Graft.rewritesEnabled = false
+        val flat = try spark.sql(sql).collect().toSeq
+          finally graft.Graft.rewritesEnabled = true
+        assert(df.collect().toSeq === flat, sql)
+      }
+      check(s"""SELECT CAST(sum(CAST(v * 2 AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+               |       count(*) AS cnt FROM parquet.`$path` WHERE $range""".stripMargin)
+      check(s"""SELECT min(v * 2) AS mn, max(v * 2) AS mx
+               |FROM parquet.`$path` WHERE $range""".stripMargin)
+      check(s"""SELECT CAST(sum(CAST(v * 2 AS DECIMAL(18,2))) AS DOUBLE) AS s2
+               |FROM parquet.`$path` WHERE $range AND et = 'sale'""".stripMargin)
+      // a DIFFERENT expression has no wheel: scan
+      val other = spark.sql(s"SELECT sum(v * 3) AS s FROM parquet.`$path` WHERE $range")
+      assert(other.queryExecution.optimizedPlan
+        .collect { case r: LogicalRelation => r }.nonEmpty)
+    } finally {
+      q.stop()
+      idx.deregister()
+      graft.index.WheelRegistry.deregister(path)
+    }
+  }
+
   test("registered streaming cms wheel serves cms_freq SQL at plan time") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     import org.apache.spark.sql.execution.datasources.LogicalRelation
