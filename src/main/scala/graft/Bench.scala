@@ -156,13 +156,19 @@ object Bench {
       // depending on what ran before), and every probe does identical full
       // work, so min is the honest cost estimator — same rationale as the
       // 1–10 s query tier.
-      val ts = (1 to 2).map { _ =>
+      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var rep = 0
+      while (rep < 2 && !failed) { // a failed run aborts: rerunning a doomed build only doubles the loss
         System.gc(); Thread.sleep(200)
         val t = System.nanoTime()
-        try { b; (System.nanoTime() - t) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        try ts += { b; (System.nanoTime() - t) / 1e9 }
+        catch { case _: Throwable => failed = true }
+        rep += 1
       }
-      probes(name) = if (ts.exists(_ < 0)) -1.0 else ts.min
+      // min over the SUCCESSFUL runs: a valid first measurement survives a
+      // second-run failure instead of being discarded
+      probes(name) = if (ts.isEmpty) -1.0 else ts.min
     }
     // (numeric − numeric_nomillis) prices the ms bottom-level scan;
     // (events − numeric) prices the fused HLL register columns

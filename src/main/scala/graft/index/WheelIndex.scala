@@ -847,6 +847,15 @@ object UWheelIndex {
     * keys agree structurally (`1 - l_discount` and `CAST(1 AS DOUBLE) -
     * l_discount` both key as `(1.0 - l_discount)`). */
   private[graft] def exprKeyOf(df: DataFrame, sql: String): String = {
+    // STREAMING frames cannot run the batch optimizer (the analyzer's
+    // UnsupportedOperationChecker throws), but skipping optimization would
+    // key the wheel by a less-normalized form than the rewrite rule
+    // computes (e.g. a no-op CAST the optimizer strips) — so resolve the
+    // expression against an empty LOCAL twin with the same schema instead:
+    // identical attributes, full optimizer, identical key to a batch build.
+    if (df.isStreaming)
+      return exprKeyOf(df.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema), sql)
     val sel = df.select(F.expr(sql).as("_graft_expr"))
     // an aggregate "expression" analyzes to an Aggregate node, not a
     // Project — refuse it here, before any plan-shape assumption below
@@ -854,18 +863,13 @@ object UWheelIndex {
     require(sel.queryExecution.analyzed
       .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project],
       s"expression wheel must be aggregate-free: $sql")
-    // STREAMING frames cannot be optimized as batch plans (the analyzer's
-    // UnsupportedOperationChecker throws); the analyzed fallback suffices
-    // there — Canon.canonExpr folds foldable subtrees itself, which is the
-    // normalization the optimizer pass provides for these scalar shapes
-    val resolved = (if (sel.isStreaming) None
-    else sel.queryExecution.optimizedPlan.collectFirst {
+    val resolved = sel.queryExecution.optimizedPlan.collectFirst {
       case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
         p.projectList.collectFirst {
           case a: org.apache.spark.sql.catalyst.expressions.Alias
               if a.name == "_graft_expr" => a.child
         }
-    }.flatten).getOrElse(
+    }.flatten.getOrElse(
       // a bare-column "expression" optimizes the Project away; fall back to
       // the analyzed form (canonExpr folds foldable subtrees itself)
       sel.queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]

@@ -734,23 +734,17 @@ object UWheelRule extends Rule[LogicalPlan] {
     // exactly; unbounded sides are clamped to the (aligned) wheel extent.
     // Alignment goes through HawWheel.alignDown so the rule can never
     // disagree with the wheel's own slotting convention.
-    def spanOk(w: IndexedWheel): Boolean = {
-      val span = w.wheel.slotSpan
-      span == 1L ||
-        ranges.forall(r =>
-          r.startSec.forall(s => HawWheel.alignDown(s, span) == s) &&
-          r.endSec.forall(e => HawWheel.alignDown(e, span) == e))
-    }
-
-    /** Span-alignment gate for TYPED-family wheels (sketches, moments,
-      * counters): a span-coarsened build produced span-aligned slots, so a
+    /** Span-alignment gate, ONE definition for every wheel kind: numeric
+      * wheels (via [[spanOk]]) and the typed families (sketches, moments,
+      * counters — srcFor arms + the per-value helpers of both grouped
+      * arms). A span-coarsened build produced span-aligned slots, so a
       * bound that is not slot-aligned would silently include/exclude whole
-      * slots of content — decline instead. One definition for all ~15 use
-      * sites (srcFor arms + the per-value helpers of both grouped arms). */
+      * slots of content — decline instead. */
     def sketchSpanOk(span: Long): Boolean =
       span == 1L || ranges.forall(r =>
         r.startSec.forall(s => HawWheel.alignDown(s, span) == s) &&
         r.endSec.forall(e => HawWheel.alignDown(e, span) == e))
+    def spanOk(w: IndexedWheel): Boolean = sketchSpanOk(w.wheel.slotSpan)
 
     /** Merged aggregate over the (disjoint) range set on one wheel. */
     def rangeAggOf(hw: HawWheel): RangeAgg =

@@ -215,9 +215,12 @@ final class StreamingWheelIndex(
       // so it is handled by liveness below, not claimed blindly (round-7
       // advice: blind withdrawal blinded another publisher's COUNT
       // rewrites until its next batch republished).
+      // both the resolved key AND the raw name: a pre-attach publish may
+      // have registered the raw-name entry, and withdrawal must cover it
       val ownExcl: Set[(Option[String], String)] =
-        ownKeyed ++ valueMeta.orElse(valueColumn.map((_, None)))
-          .map { case (k, _) => (Option(k), "") }
+        ownKeyed ++
+          (valueMeta.map(_._1).toSeq ++ valueColumn.toSeq)
+            .map(k => (Option(k), "")).toSet
       val countFam: (Option[String], String) = (None, "")
       WheelRegistry.update(key, {
         case Some(cur) if cur.fingerprint == 0L =>
@@ -266,6 +269,12 @@ final class StreamingWheelIndex(
       }
       keyedFrozen(i)
     }.toArray
+    // an EXPRESSION measure published before attach used its raw-SQL key
+    // (inert — no query computes it); once attach resolves the canonical
+    // key, that stale carried entry must be dropped, not ridden forever
+    val staleValueKey: Option[(Option[String], String)] =
+      for { (k, _) <- valueMeta; vc <- valueColumn if vc != k }
+        yield (Option(vc), "")
     WheelRegistry.update(key, { existing =>
       val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
       existing match {
@@ -284,7 +293,9 @@ final class StreamingWheelIndex(
           // replaced by the fresh ones below while foreign families —
           // ALL sketch/moment kinds AND another numeric publisher's
           // wheels — survive
-          cur.allWheels.foreach(t.put)
+          cur.allWheels
+            .filterNot(w => staleValueKey.contains((w.valueColumn, w.filterKey)))
+            .foreach(t.put)
           cur.allDistinctWheels.foreach(t.putDistinct)
           cur.allQuantileWheels.foreach(t.putQuantile)
           cur.allMomentWheels.foreach(t.putMoment)
@@ -292,15 +303,18 @@ final class StreamingWheelIndex(
           cur.allFreqWheels.foreach(t.putFreq)
         case None => ()
       }
-      // the measure wheel publishes once attach resolved its registry key
-      // (a derived-expression measure has no meaningful key before the
-      // stream's schema is known; the count wheel below serves meanwhile)
-      valueMeta.foreach { case (key, ex) =>
-        t.put(IndexedWheel(hw, Some(key), "",
-          valueAllNonNull = !sawNullValue(0),
-          valuesExactAtScale = !sawBadRep(0),
-          valuesNaNFree = !sawNaN(0),
-          exprSql = ex))
+      // the measure wheel's registry key: attach's resolved meta once
+      // known, else the raw name — so a restoreState + register BEFORE
+      // attach still serves plain-column SUM/MIN/MAX over the restored
+      // history (review finding: gating on valueMeta alone published only
+      // the count wheel until the first batch).
+      valueMeta.orElse(valueColumn.map((_, None: Option[String]))).foreach {
+        case (mk, ex) =>
+          t.put(IndexedWheel(hw, Some(mk), "",
+            valueAllNonNull = !sawNullValue(0),
+            valuesExactAtScale = !sawBadRep(0),
+            valuesNaNFree = !sawNaN(0),
+            exprSql = ex))
       }
       t.put(IndexedWheel(hw, None, "", valueAllNonNull = true)) // count wheel shares hw
       keyedMeta.foreach { metas =>

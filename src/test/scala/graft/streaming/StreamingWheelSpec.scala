@@ -920,6 +920,53 @@ class StreamingWheelSpec extends AnyFunSuite {
     }
   }
 
+  test("restoreState + register serves measure rewrites BEFORE any new batch") {
+    // regression: publishing the measure wheel was gated on attach()'s
+    // resolved metadata, so a restored-then-registered index answered only
+    // COUNT until the first batch arrived — the restored history must
+    // serve SUM/MIN/MAX immediately
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-restorepub").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-07-01 00:00:00").getTime
+    val rows = (0 until 200).map(i => (new Timestamp(base + i * 1000L), (i % 7).toDouble))
+    rows.toDF("ts", "v").write.parquet(path)
+    val w1 = new StreamingWheelIndex("ts", Some("v"))
+    val in1 = MemoryStream[(Timestamp, Double)]
+    val q1 = w1.attach(in1.toDF().toDF("ts", "v"), "restorepub-src")
+    val ckpt = s"$dir/state.wheel"
+    try {
+      in1.addData(rows: _*)
+      q1.processAllAvailable()
+      w1.saveState(ckpt)
+    } finally q1.stop()
+    val w2 = new StreamingWheelIndex("ts", Some("v"))
+    w2.restoreState(ckpt)
+    w2.register(path) // NO attach, NO batch — history must already serve
+    try {
+      val sql =
+        s"""SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sv, min(v) AS mn,
+           |       count(*) AS cnt FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-07-01 00:00:30'
+           |  AND ts < TIMESTAMP '2024-07-01 00:02:30'""".stripMargin
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty,
+        s"restored measure wheel must serve:\n${df.queryExecution.optimizedPlan}")
+      graft.Graft.rewritesEnabled = false
+      val flat = try spark.sql(sql).collect().toSeq
+        finally graft.Graft.rewritesEnabled = true
+      assert(df.collect().toSeq === flat)
+    } finally {
+      w2.deregister()
+      graft.index.WheelRegistry.deregister(path)
+    }
+  }
+
   test("streaming expression measures serve batch SQL at plan time") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     import org.apache.spark.sql.execution.datasources.LogicalRelation
