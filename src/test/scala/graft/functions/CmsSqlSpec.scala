@@ -159,6 +159,34 @@ class CmsSqlSpec extends AnyFunSuite {
     assert(on === off)
   }
 
+  test("per-value routing: bucket x key and key-only group-bys read keyed counter wheels") {
+    // the multi-column arms route cms_freq per key value when EVERY value
+    // has a keyed counter wheel (keyEq-matched), under the same counting
+    // proof as the numeric per-value sets — so build per-value numeric
+    // wheels (proof anchors + bucket enumeration) AND per-value cms wheels
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-pv").toString
+    val p = s"$dir/clicks.parquet"
+    write(p, mkRows(4000))
+    Seq("click", "view").foldLeft(
+      graft.index.UWheelBuilder("ts").withFreqWheel("user_id")) { (b, et) =>
+      b.withKeyedWheel(graft.index.IndexBuilder("user_id", Some(s"event_type = '$et'")))
+        .withKeyedFreqWheel("user_id", s"event_type = '$et'")
+    }.build(spark, p)
+    spark.read.parquet(p).createOrReplaceTempView("clicks_pv")
+    def check(sql: String): Unit = {
+      assertRewritten(spark.sql(sql))
+      val (on, off) = onOff(sql)
+      assert(on === off, sql)
+    }
+    check(
+      s"""SELECT date_trunc('day', ts) AS d, event_type AS et,
+         |       cms_freq(user_id, 42) AS f, count(*) AS cnt
+         |FROM clicks_pv WHERE $range GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    check(
+      s"""SELECT event_type AS et, cms_freq(user_id, 42) AS f, count(*) AS cnt
+         |FROM clicks_pv WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   test("incremental refresh append-merges the counter wheels, bit-identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cms-ref").toString
     val p = s"$dir/clicks.parquet"
