@@ -176,10 +176,37 @@ object Bench {
       Q.buildEvents(spark, sfDir, withDistinct = false, withMillis = false))
     probe("index_build_events_numeric")(Q.buildEvents(spark, sfDir, withDistinct = false))
     probe("index_build_events_nofreq")(Q.buildEvents(spark, sfDir, withFreq = false))
+    // round-9 verdict task 3: per-family attribution — the same build minus
+    // one sketch/moment family each, so (full − no<f>) prices family <f>
+    probe("index_build_events_nomoment")(Q.buildEvents(spark, sfDir, withMoments = false))
+    probe("index_build_events_nohdr")(Q.buildEvents(spark, sfDir, withQuantiles = false))
+    probe("index_build_events_nohll")(Q.buildEvents(spark, sfDir, withHll = false))
     probe("index_build_events")(Q.buildEvents(spark, sfDir))
+    probe("index_build_lineitem_noexpr")(Q.buildLineitem(spark, sfDir, withExpr = false))
+    probe("index_build_lineitem_nomoment")(Q.buildLineitem(spark, sfDir, withMoments = false))
+    probe("index_build_lineitem_nohdr")(Q.buildLineitem(spark, sfDir, withQuantiles = false))
     probe("index_build_lineitem")(Q.buildLineitem(spark, sfDir))
     probe("index_build_orders_dated")(Q.buildDatedOrders(spark, sfDir))
     probe("index_build_lineitem_dec")(Q.buildDecLineitem(spark, sfDir))
+
+    // Per-bucket read microbench (round-9 task 1: the record must carry the
+    // per-bucket cost, not leave it inferred from query medians): one
+    // sparse bucketized sweep of the full ms wheel at the uw_window_subsec
+    // shape (1 s member / 500 ms stride), reported as µs per NON-EMPTY
+    // bucket. Target ≤ 5 µs/bucket; measured ~0.03 µs (the sweep is
+    // O(active slots + non-empty buckets), not O(grid positions)).
+    if (only.isEmpty) try {
+      graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+        .flatMap(_.msWheel(Some("value"))).foreach { iw =>
+          val hw = iw.wheel
+          hw.bucketize(hw.startSec, hw.endSec, 500, 0, 1000) // warm-up
+          val t0 = System.nanoTime()
+          val res = hw.bucketize(hw.startSec, hw.endSec, 500, 0, 1000)
+          val dt = System.nanoTime() - t0
+          probes("bucket_read_us") = dt / 1e3 / math.max(1, res.length)
+          probes("bucket_read_nonempty") = res.length.toDouble
+        }
+    } catch { case _: Throwable => () }
 
     // Isolation pins (round-7 verdict: suite-position effects — GC/shuffle
     // debt of whatever ran alphabetically before an entry — were

@@ -96,8 +96,16 @@ case class CmsFreqAgg(
 
   /** Sorted (slot, count) content of the buffer. */
   private def sorted(buffer: mutable.LongMap[Long]): (Array[Int], Array[Long]) = {
-    val ks = buffer.keys.toArray.sorted
-    (ks.map(_.toInt), ks.map(buffer.apply))
+    val n = buffer.size
+    val ks = new Array[Long](n)
+    var i = 0
+    buffer.foreachKey { k => ks(i) = k; i += 1 }
+    java.util.Arrays.sort(ks)
+    val idxs = new Array[Int](n)
+    val cnts = new Array[Long](n)
+    i = 0
+    while (i < n) { idxs(i) = ks(i).toInt; cnts(i) = buffer(ks(i)); i += 1 }
+    (idxs, cnts)
   }
 
   override def eval(buffer: mutable.LongMap[Long]): Any = {

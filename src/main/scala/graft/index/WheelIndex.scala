@@ -1131,8 +1131,21 @@ object UWheelIndex {
     val cmsParams = freqSpecs.map(fs => (fs.d, fs.logW)).toArray
     // widen, don't replace: filters/secExpr/distinct columns still resolve
     // by name against the original schema
-    val projected =
+    val projected0 =
       if (valKeys.isEmpty) df else df.select(F.col("*") +: projCols: _*)
+    // Tiny-input parallelism: one small parquet file plans ONE scan split,
+    // which serializes the whole map-side partial aggregation (measured:
+    // the 11 MB bench lineitem build ran its 600k-row × 40-column fold on
+    // a single core). Spread rows across the session's cores first when
+    // the scan is far below them — a no-op on genuinely large tables,
+    // whose split count exceeds any executor's core count by construction.
+    // Eight ways is enough to amortize the fold while keeping the extra
+    // shuffle's file fan-out (n_map × n_reduce) small on local mode.
+    val parallelism = math.min(8, df.sparkSession.sparkContext.defaultParallelism)
+    val projected =
+      if (projected0.rdd.getNumPartitions * 4 < parallelism * 4)
+        projected0.repartition(parallelism)
+      else projected0
     val acc = projected.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
       .rdd
       .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs, hdrSs, momScales, coScales,

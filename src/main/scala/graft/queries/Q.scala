@@ -74,7 +74,9 @@ object Q {
     * build minus the sketch wheels, so (full − numeric) prices the HLL
     * register columns line-item. */
   def buildEvents(spark: SparkSession, sfDir: String, withDistinct: Boolean = true,
-      withMillis: Boolean = true, withFreq: Boolean = true): Unit = {
+      withMillis: Boolean = true, withFreq: Boolean = true,
+      withMoments: Boolean = true, withQuantiles: Boolean = true,
+      withHll: Boolean = true): Unit = {
     val eventTypes = Seq("click", "error", "purchase", "signup", "view")
     val numeric = eventTypes
       .foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
@@ -87,24 +89,25 @@ object Q {
         // per value (sparse registers / bins keep the extra aggregate
         // columns cheap); (full − numeric) in the bench prices ALL sketch
         // columns (HLL registers + HDR bins + CMS counters) line-item,
-        // and (full − nofreq) prices the CMS counter columns alone
-        val sketch0 = numeric.withDistinctWheel("user_id").withQuantileWheel("value")
-          .withMomentWheel("value")
-        val sketch =
-          if (withFreq)
-            // Count-Min frequency wheel: per-user activity counts over
-            // any range from ONE wheel (user_id is too high-cardinality
-            // for per-value keyed wheels), + a purchase-keyed variant
-            sketch0.withFreqWheel("user_id")
-              .withKeyedFreqWheel("user_id", "event_type = 'purchase'")
-          else sketch0
-        eventTypes.foldLeft(
-          eventTypes.foldLeft(sketch) { (b, et) =>
-            b.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
-              .withKeyedMomentWheel("value", s"event_type = '$et'")
-          }) { (b, et) =>
-          b.withKeyedQuantileWheel("value", s"event_type = '$et'")
+        // (full − nofreq) the CMS counter columns alone, and the no<f>
+        // variants (nomoment/nohdr/nohll) each drop ONE family so the
+        // bench attributes the build per family (round-9 task 3)
+        var sketch = numeric
+        if (withHll) sketch = sketch.withDistinctWheel("user_id")
+        if (withQuantiles) sketch = sketch.withQuantileWheel("value")
+        if (withMoments) sketch = sketch.withMomentWheel("value")
+        if (withFreq)
+          // Count-Min frequency wheel: per-user activity counts over
+          // any range from ONE wheel (user_id is too high-cardinality
+          // for per-value keyed wheels), + a purchase-keyed variant
+          sketch = sketch.withFreqWheel("user_id")
+            .withKeyedFreqWheel("user_id", "event_type = 'purchase'")
+        eventTypes.foreach { et =>
+          if (withHll) sketch = sketch.withKeyedDistinctWheel("user_id", s"event_type = '$et'")
+          if (withMoments) sketch = sketch.withKeyedMomentWheel("value", s"event_type = '$et'")
+          if (withQuantiles) sketch = sketch.withKeyedQuantileWheel("value", s"event_type = '$et'")
         }
+        sketch
       } else numeric
     // millisecond bottom level: sub-second window() group-bys
     // (uw_window_subsec/uw_window_ms) rewrite instead of paying the
@@ -121,15 +124,19 @@ object Q {
     * scale 4 for the decimal-cast sum form to match digit-for-digit —
     * unfiltered plus one keyed variant (returned lines). */
   val revenueExpr = "l_extendedprice * (1 - l_discount)"
-  def buildLineitem(spark: SparkSession, sfDir: String): Unit =
-    UWheelBuilder("l_shipdate", Seq("l_quantity"))
-      .withExprWheel(revenueExpr, scale = 4)
-      .withKeyedExprWheel(revenueExpr, "l_returnflag = 'R'", scale = 4)
-      // the typed families take the expression too (column-or-expression
-      // contract): exact revenue variance + revenue p90 over any range
-      .withMomentWheel(revenueExpr)
-      .withQuantileWheel(revenueExpr)
-      .build(spark, s"$sfDir/lineitem.parquet")
+  def buildLineitem(spark: SparkSession, sfDir: String, withExpr: Boolean = true,
+      withMoments: Boolean = true, withQuantiles: Boolean = true): Unit = {
+    var b = UWheelBuilder("l_shipdate", Seq("l_quantity"))
+    if (withExpr)
+      b = b.withExprWheel(revenueExpr, scale = 4)
+        .withKeyedExprWheel(revenueExpr, "l_returnflag = 'R'", scale = 4)
+    // the typed families take the expression too (column-or-expression
+    // contract): exact revenue variance + revenue p90 over any range.
+    // The no<f> flags are the bench's per-family attribution probes.
+    if (withMoments) b = b.withMomentWheel(revenueExpr)
+    if (withQuantiles) b = b.withQuantileWheel(revenueExpr)
+    b.build(spark, s"$sfDir/lineitem.parquet")
+  }
 
   private val datedDirs = new ConcurrentHashMap[String, String]()
 

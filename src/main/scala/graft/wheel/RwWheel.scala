@@ -39,11 +39,40 @@ final class RwWheel(
     val maxFutureSkewSec: Option[Long] = None) extends Serializable {
   import RwWheel.Slot
 
-  private val slots = mutable.LongMap.empty[Slot] // epoch second -> partials
+  @transient private var slots = mutable.LongMap.empty[Slot] // epoch second -> partials
   private var watermarkMs: Long = Long.MinValue
   private var newestSec: Long = Long.MinValue
   private var dropped: Long = 0L
   private val scaleFactor = math.pow(10, scale)
+
+  // Compact serialization: slots as raw primitive runs — one Java object
+  // per wheel, not one Slot object per active second. The distributed
+  // build tree-merges these wheels (11 numeric specs × 100k active
+  // seconds on the bench's events table); per-slot handle-table work in
+  // ObjectOutputStream was a top executor cost (round-9 task 3).
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    out.writeInt(slots.size)
+    slots.foreach { case (sec, s) =>
+      out.writeLong(sec); out.writeLong(s.count); out.writeLong(s.sumScaled)
+      out.writeDouble(s.min); out.writeDouble(s.max)
+    }
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    slots = mutable.LongMap.empty[Slot]
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val sec = in.readLong()
+      val s = new Slot
+      s.count = in.readLong(); s.sumScaled = in.readLong()
+      s.min = in.readDouble(); s.max = in.readDouble()
+      slots.update(sec, s)
+      i += 1
+    }
+  }
 
   def watermark: Long = watermarkMs
 
@@ -143,9 +172,31 @@ final class RwWheel(
     * `packLevels` stores the frozen min/max hierarchy codec-compressed
     * ([[HawWheel.fromSecondPartials]]). */
   def freeze(slotSpan: Long, packLevels: Boolean = false): HawWheel =
-    HawWheel.fromSecondPartials(
-      slots.iterator.map { case (sec, s) => (sec, s.count, s.sumScaled, s.min, s.max) },
-      scale, hasValues, slotSpan, packLevels)
+    if (slotSpan == 1L) {
+      // fast path: LongMap keys are unique — primitive key sort + ordered
+      // lookups, no boxed-tuple sort, no dedupe pass
+      val ks = new Array[Long](slots.size)
+      var i = 0
+      slots.foreachKey { k => ks(i) = k; i += 1 }
+      java.util.Arrays.sort(ks)
+      val n = ks.length
+      val counts = new Array[Long](n)
+      val sums = if (hasValues) new Array[Long](n) else Array.emptyLongArray
+      val mins = if (hasValues) new Array[Double](n) else Array.emptyDoubleArray
+      val maxs = if (hasValues) new Array[Double](n) else Array.emptyDoubleArray
+      i = 0
+      while (i < n) {
+        val s = slots(ks(i))
+        counts(i) = s.count
+        if (hasValues) { sums(i) = s.sumScaled; mins(i) = s.min; maxs(i) = s.max }
+        i += 1
+      }
+      HawWheel.fromSortedUnique(ks, counts, sums, mins, maxs, scale, hasValues,
+        slotSpan, packLevels)
+    } else
+      HawWheel.fromSecondPartials(
+        slots.iterator.map { case (sec, s) => (sec, s.count, s.sumScaled, s.min, s.max) },
+        scale, hasValues, slotSpan, packLevels)
 }
 
 object RwWheel {

@@ -42,6 +42,14 @@ trait WheelAggregator[In, P, Out] extends Serializable {
     * Invertible aggregators keep their prefix arrays raw (O(1) random
     * access is the whole point of the prefix path). */
   def slotCodec: Option[SlotCodec[P]] = None
+  /** Optional per-partial byte serde (`dec(enc(p))` ≡ `p`), used by the
+    * ingest wheels' custom Java serialization: a shuffled/tree-merged
+    * [[TypedRwWheel]] then writes one length-prefixed byte run per slot
+    * into the raw stream instead of one object graph per slot — at 100k
+    * active seconds × a dozen sketch wheels, per-object
+    * ObjectOutputStream handle-table work was the events build's single
+    * largest executor cost (round-9 task 3). */
+  def partialSerde: Option[(P => Array[Byte], Array[Byte] => P)] = None
 }
 
 /** Lossless block codec for slot partials. `decode(encode(a))` must equal
@@ -227,6 +235,10 @@ object WheelAggregators {
     * structures); each merge allocates a fresh register array. */
   final class HllDistinct(val p: Int = 11) extends WheelAggregator[Long, Array[Byte], Long] {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    // partials are already canonical byte arrays — the compact-serialization
+    // serde is the identity
+    override val partialSerde: Option[(Array[Byte] => Array[Byte], Array[Byte] => Array[Byte])] =
+      Some((p => p, b => b))
     private val m = 1 << p
     private val alpha = m match {
       case 16 => 0.673
@@ -496,6 +508,8 @@ object WheelAggregators {
     * in the query, so consumers call [[quantileOf]] with it. */
   final class HdrQuantile(val s: Int = 7) extends WheelAggregator[Double, Array[Byte], Array[Byte]] {
     require(s >= 1 && s <= 20, s"hdr_quantile resolution must be in [1, 20], got $s")
+    override val partialSerde: Option[(Array[Byte] => Array[Byte], Array[Byte] => Array[Byte])] =
+      Some((p => p, b => b)) // partials are already canonical byte arrays
     private val shift = 52 - s
     /** NaN sentinel: sorts after every real bucket (Spark orders NaN
       * greatest). Int.MaxValue is unreachable as a real bucket for s ≤ 20
@@ -681,6 +695,8 @@ object WheelAggregators {
       extends WheelAggregator[Long, Array[Byte], Array[Byte]] {
     require(d >= 1 && d <= 8, s"cms depth must be in [1, 8], got $d")
     require(logW >= 4 && logW <= 20, s"cms logW must be in [4, 20], got $logW")
+    override val partialSerde: Option[(Array[Byte] => Array[Byte], Array[Byte] => Array[Byte])] =
+      Some((p => p, b => b)) // partials are already canonical byte arrays
     private val w = 1 << logW
     private val mask = w - 1
 
@@ -820,6 +836,8 @@ object WheelAggregators {
 
   final class MomentStats(val scale: Int) extends WheelAggregator[Long, Moments, Moments] {
     require(scale >= 0 && scale <= 9, s"moment scale must be in [0, 9], got $scale")
+    override val partialSerde: Option[(Moments => Array[Byte], Array[Byte] => Moments)] =
+      Some((encode _, decode _))
 
     val identity: Moments = Moments(0L, BigInt(0), BigInt(0))
     def lift(u: Long): Moments = { val b = BigInt(u); Moments(1L, b, b * b) }
@@ -894,6 +912,8 @@ object WheelAggregators {
     extends WheelAggregator[(Long, Long), CoMoments, CoMoments] {
     require(scaleX >= 0 && scaleX <= 9, s"co-moment scaleX must be in [0, 9], got $scaleX")
     require(scaleY >= 0 && scaleY <= 9, s"co-moment scaleY must be in [0, 9], got $scaleY")
+    override val partialSerde: Option[(CoMoments => Array[Byte], Array[Byte] => CoMoments)] =
+      Some((encode _, decode _))
 
     val identity: CoMoments =
       CoMoments(0L, BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
@@ -1002,10 +1022,56 @@ private[wheel] final class SlotStore[P: ClassTag](
     else blocks.iterator.map(_.length.toLong).sum
 }
 
-/** Typed ingest wheel for a custom [[WheelAggregator]]. */
+/** Typed ingest wheel for a custom [[WheelAggregator]].
+  *
+  * Serialization is COMPACT when the aggregator provides a
+  * [[WheelAggregator.partialSerde]]: slots are written as raw
+  * (long, length-prefixed bytes) runs into the stream — one Java object
+  * per WHEEL, not one per slot. The distributed build tree-merges these
+  * wheels across executors; at 100k active seconds × a dozen sketch
+  * wheels, per-slot ObjectOutputStream handle-table work was the events
+  * build's largest executor cost (round-9 task 3). */
 final class TypedRwWheel[In, P, Out](val agg: WheelAggregator[In, P, Out]) extends Serializable {
-  private val slots = mutable.LongMap.empty[P]
+  @transient private var slots = mutable.LongMap.empty[P]
   private var watermarkMs: Long = Long.MinValue
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    out.writeInt(slots.size)
+    agg.partialSerde match {
+      case Some((enc, _)) =>
+        out.writeBoolean(true)
+        slots.foreach { case (s, p) =>
+          out.writeLong(s)
+          val b = enc(p)
+          out.writeInt(b.length)
+          out.write(b)
+        }
+      case None =>
+        out.writeBoolean(false)
+        slots.foreach { case (s, p) => out.writeLong(s); out.writeObject(p) }
+    }
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    slots = mutable.LongMap.empty[P]
+    val n = in.readInt()
+    val compact = in.readBoolean()
+    val dec = agg.partialSerde.map(_._2)
+    var i = 0
+    while (i < n) {
+      val s = in.readLong()
+      val p =
+        if (compact) {
+          val b = new Array[Byte](in.readInt())
+          in.readFully(b)
+          dec.get(b)
+        } else in.readObject().asInstanceOf[P]
+      slots.update(s, p)
+      i += 1
+    }
+  }
 
   def watermark: Long = watermarkMs
 
@@ -1054,12 +1120,38 @@ final class TypedRwWheel[In, P, Out](val agg: WheelAggregator[In, P, Out]) exten
     * (a no-op by the identity law, but a FRESH value), so the frozen wheel
     * never aliases this wheel's live accumulation state — ingest may
     * continue, and mutating `accumulate` implementations stay safe. */
-  def freeze()(implicit ct: ClassTag[P]): TypedHawWheel[P, Out] =
-    TypedHawWheel.fromSecondPartials(
-      slots.iterator.map { case (s, p) => (s, agg.combine(agg.identity, p)) }, agg)
+  def freeze()(implicit ct: ClassTag[P]): TypedHawWheel[P, Out] = {
+    // LongMap keys are unique: sort them primitively and look partials up
+    // in key order — no boxed-tuple sort, no dedupe pass (the generic
+    // fromSecondPartials path paid both, ~0.7 s across the bench's 14
+    // typed wheels at freeze time)
+    val ks = new Array[Long](slots.size)
+    var i = 0
+    slots.foreachKey { k => ks(i) = k; i += 1 }
+    java.util.Arrays.sort(ks)
+    val parts = new Array[P](ks.length)
+    i = 0
+    while (i < ks.length) {
+      parts(i) = agg.combine(agg.identity, slots(ks(i)))
+      i += 1
+    }
+    TypedHawWheel.fromSortedUnique(ks, parts, agg)
+  }
 }
 
 object TypedHawWheel {
+  /** Freeze fast path: `secs` sorted ascending with unique keys, `parts`
+    * aligned — adopted by reference (callers pass freshly built arrays). */
+  private[wheel] def fromSortedUnique[In, P: ClassTag, Out](
+      secs: Array[Long], parts: Array[P],
+      agg: WheelAggregator[In, P, Out]): TypedHawWheel[P, Out] =
+    if (secs.isEmpty)
+      new TypedHawWheel[P, Out](agg.asInstanceOf[WheelAggregator[_, P, Out]],
+        0L, 0L, Array.emptyLongArray, Array.empty[P])
+    else
+      new TypedHawWheel[P, Out](agg.asInstanceOf[WheelAggregator[_, P, Out]],
+        secs(0), secs(secs.length - 1) + 1, secs, parts)
+
   def fromSecondPartials[In, P: ClassTag, Out](
       partials: Iterator[(Long, P)],
       agg: WheelAggregator[In, P, Out]): TypedHawWheel[P, Out] = {
@@ -1106,7 +1198,13 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
     if (r >= 0) r else -(r + 1)
   }
 
-  private val prefix: Option[Array[P]] = agg.inverse.map { _ =>
+  // Prefix/levels are LAZY and transient (round-9 task 3): freezing a
+  // dozen sketch wheels per table eagerly rolled up 5 granularity levels
+  // each — millions of combine() allocations on the driver before any
+  // query asked for them. First use pays the one-time rollup instead;
+  // persisted/shipped wheels carry only the per-second partials and
+  // rebuild on access, exactly like HawWheel's transient prefixes.
+  @transient private lazy val prefix: Option[Array[P]] = agg.inverse.map { _ =>
     val p = new Array[P](numSecs + 1)
     p(0) = agg.identity
     var i = 0
@@ -1118,7 +1216,7 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
   // aligned slot starts + combined partials (only slots containing data),
   // partials behind a SlotStore — codec-compressed blocks when the
   // aggregator provides a SlotCodec, raw arrays otherwise
-  private val levels: Array[(Long, Array[Long], SlotStore[P])] =
+  @transient private lazy val levels: Array[(Long, Array[Long], SlotStore[P])] =
     if (numSecs == 0 || prefix.isDefined) Array.empty
     else {
       val out = Array.newBuilder[(Long, Array[Long], SlotStore[P])]

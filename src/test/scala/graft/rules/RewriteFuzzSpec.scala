@@ -147,7 +147,7 @@ class RewriteFuzzSpec extends AnyFunSuite {
   private def aggs(rnd: scala.util.Random): Seq[String] =
     rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
 
-  private def grouping(rnd: scala.util.Random): Option[String] = rnd.nextInt(9) match {
+  private def grouping(rnd: scala.util.Random): Option[String] = rnd.nextInt(11) match {
     case 0 => None
     case 1 => Some("date_trunc('hour', ts)")
     case 2 => Some("date_trunc('day', ts)")
@@ -156,6 +156,11 @@ class RewriteFuzzSpec extends AnyFunSuite {
     case 5 => Some("window(ts, '6 hours')")
     case 6 => Some("window(ts, '1 day', '12 hours')")
     case 7 => Some("event_type")
+    // GAP windows (member not a stride multiple): the per-position sweep
+    // plus its cost guard — wide predicates push the sub-second form past
+    // the positions-vs-rows decline threshold, narrow ones rewrite
+    case 8 => Some("window(ts, '90 seconds', '1 minute')")
+    case 9 => Some("window(ts, '1500 milliseconds', '1 second')")
     case _ => Some("date_trunc('day', ts); event_type")
   }
 
