@@ -80,7 +80,9 @@ case class CmsFreqAgg(
       var i = 0
       while (i < slots.length) {
         val s = slots(i).toLong
-        buffer.update(s, buffer.getOrElse(s, 0L) + 1L)
+        // addExact for the same overflow-degrade discipline as merge()/
+        // combine(); unreachable in practice (2^63 rows per counter)
+        buffer.update(s, Math.addExact(buffer.getOrElse(s, 0L), 1L))
         i += 1
       }
     }

@@ -228,17 +228,24 @@ object PipelineQueries {
     * Reported as a per-language census of survivors, so the result is
     * small and deterministic. Each stage reuses the exact building blocks
     * of its standalone contract entry, so the oracle composes the same
-    * pieces in DuckDB (including the recursive-CTE transitive closure). */
+    * pieces in DuckDB (including the recursive-CTE transitive closure).
+    *
+    * Duplicate memberships come from [[clusterMembersShared]] — the
+    * MEMOIZED star fixpoint (round-9 verdict task 4: re-running the
+    * contraction at composition time cost 3.1 s of redundant plan work
+    * that `dd_cluster_keep_shared` proved avoidable). The drops set is a
+    * plain anti-join on the composed frame, not a session temp view (a
+    * view name would leak into the user's catalog and race across
+    * concurrent invocations). doc_id is never NULL, so the anti-join is
+    * exactly the oracle's NOT IN. */
   def dsCurated(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
-    val members = connectedComponentsMembers(
-      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf))))
+    val members = clusterMembersShared(spark, sfDir)
     val keeps = keepsFrom(members, spark)
-    members.join(keeps, "cluster_id")
+    val drops = members.join(keeps, "cluster_id")
       .where(col("id") =!= col("keep_id"))
       .select(col("id").cast("bigint").as("doc_id"))
-      .createOrReplaceTempView("graft_dup_drops")
-    spark.sql(
+    val survivors = spark.sql(
       s"""WITH d AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, lang, size(w) AS n_words, size(w) - 1 AS n_bi,
          |             CASE WHEN size(w) >= 2 THEN
@@ -258,11 +265,13 @@ object PipelineQueries {
          |           WHERE t.doc_id % $EvalMod <> 0),
          |cur AS (SELECT k.doc_id, k.lang, k.n_words FROM keptv k
          |        WHERE k.doc_id % $EvalMod <> 0
-         |          AND k.doc_id NOT IN (SELECT doc_id FROM contam)
-         |          AND k.doc_id NOT IN (SELECT doc_id FROM graft_dup_drops))
-         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-         |       CAST(sum(n_words) AS BIGINT) AS n_words
-         |FROM cur GROUP BY lang ORDER BY lang""".stripMargin)
+         |          AND k.doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT doc_id, lang, n_words FROM cur""".stripMargin)
+    survivors.join(drops, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_words").cast("bigint").as("n_words"))
+      .orderBy("lang")
   }
 
   // lazy: composes ddClusterOraclePrelude, declared further down the object

@@ -450,6 +450,14 @@ object UWheelRule extends Rule[LogicalPlan] {
               Some(a.dataType.asInstanceOf[DecimalType].scale)))
           case e if e.dataType == DoubleType =>
             exprMeasureKey(e).map(k => Need(Some(k), "min", None))
+          // DecimalType-valued derived expression (min(dec_price * dec_qty)):
+          // routes to its expr wheel at the expression's own scale, served
+          // through the same valuesExactAtScale double-image gate as a
+          // decimal column (round-9 advice: the Sum/Avg arms accepted these
+          // while Min/Max silently declined)
+          case e if e.dataType.isInstanceOf[DecimalType] =>
+            exprMeasureKey(e).map(k => Need(Some(k), "mindec",
+              Some(e.dataType.asInstanceOf[DecimalType].scale)))
           case _ => None
         }).map(_.copy(ownParts = parts))
       case Max(ch0) =>
@@ -462,6 +470,11 @@ object UWheelRule extends Rule[LogicalPlan] {
               Some(a.dataType.asInstanceOf[DecimalType].scale)))
           case e if e.dataType == DoubleType =>
             exprMeasureKey(e).map(k => Need(Some(k), "max", None))
+          // see the Min arm: decimal-valued derived expressions route to
+          // their expr wheel through the maxdec gate
+          case e if e.dataType.isInstanceOf[DecimalType] =>
+            exprMeasureKey(e).map(k => Need(Some(k), "maxdec",
+              Some(e.dataType.asInstanceOf[DecimalType].scale)))
           case _ => None
         }).map(_.copy(ownParts = parts))
       // hll_distinct(col): answered from an HLL sketch wheel with the same

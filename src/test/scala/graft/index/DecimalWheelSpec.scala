@@ -149,4 +149,37 @@ class DecimalWheelSpec extends AnyFunSuite {
     assertNotRewritten(base_(min("amount").as("mn")))
     assertNotRewritten(base_(max("amount").as("mx")))
   }
+
+  test("decimal-valued derived expression: MIN/MAX route to the expr wheel") {
+    // round-9 advice: min(dec_price * dec_qty) silently declined while the
+    // Sum/Avg arms accepted decimal expressions — the mindec/maxdec arms
+    // must serve it under the same valuesExactAtScale gate
+    graft.Graft.enable(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dec-expr").toString
+    val p = s"$dir/t.parquet"
+    val base = java.sql.Timestamp.valueOf("2024-04-01 00:00:00").getTime
+    (0 until 20000).map { i =>
+      (new java.sql.Timestamp(base + i.toLong * 13 * 1000),
+        BigDecimal((i % 977) * 7 + i % 100, 2), BigDecimal(1 + i % 50, 2))
+    }.toDF("ts", "price", "qty")
+      .select(col("ts"), col("price").cast("decimal(12,2)").as("price"),
+        col("qty").cast("decimal(12,2)").as("qty"))
+      .write.mode("overwrite").parquet(p)
+
+    // price * qty : decimal(25,4) — the wheel must carry scale 4 to match
+    UWheelBuilder("ts", Seq("price")).withExprWheel("price * qty", scale = 4)
+      .build(spark, p)
+
+    def q(cols: org.apache.spark.sql.Column*): DataFrame = spark.read.parquet(p)
+      .filter(col("ts") >= lit("2024-04-01 01:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-04-02 00:00:00").cast("timestamp"))
+      .agg(cols.head, cols.tail: _*)
+
+    val mm = q(min(expr("price * qty")).as("mn"), max(expr("price * qty")).as("mx"),
+      sum(expr("price * qty")).as("s"))
+    assertRewritten(mm)
+    assert(mm.collect().map(_.toString).toSeq ===
+      groundTruth(mm.collect().map(_.toString).toSeq))
+  }
 }
