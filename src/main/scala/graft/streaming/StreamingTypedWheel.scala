@@ -7,7 +7,7 @@ import scala.reflect.ClassTag
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.index.{DistinctIndexedWheel, FreqIndexedWheel, MomentIndexedWheel, TableIndex, TypedWheelBuild, WheelRegistry}
+import graft.index.{DistinctIndexedWheel, FreqIndexedWheel, MomentIndexedWheel, QuantileIndexedWheel, TableIndex, TypedWheelBuild, WheelRegistry}
 import graft.wheel.{TypedHawWheel, TypedRwWheel, WheelAggregator, WheelAggregators}
 
 /** Continuously-maintained TYPED wheel over a Structured Streaming source —
@@ -68,6 +68,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
   @volatile private var publishTo: Option[(String, String, WheelAggregators.HllDistinct)] = None
   @volatile private var publishMoment: Option[(String, String, WheelAggregators.MomentStats)] = None
   @volatile private var publishFreq: Option[(String, String, WheelAggregators.CmsFreq)] = None
+  @volatile private var publishQuantile: Option[(String, String, WheelAggregators.HdrQuantile)] = None
   // moment publish gates, accumulated per batch under the ingest lock
   private var momCastFail: Long = 0L
   private var momAbsMax: Double = 0.0
@@ -92,8 +93,11 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     case c: WheelAggregators.CmsFreq =>
       publishFreq = Some((WheelRegistry.normalizePath(path), column, c))
       live.synchronized(publishLocked())
+    case q: WheelAggregators.HdrQuantile =>
+      publishQuantile = Some((WheelRegistry.normalizePath(path), column, q))
+      live.synchronized(publishLocked())
     case other => throw new IllegalArgumentException(
-      s"only HllDistinct, MomentStats or CmsFreq wheels can register for SQL rewrites, got ${other.getClass.getSimpleName}")
+      s"only HllDistinct, MomentStats, CmsFreq or HdrQuantile wheels can register for SQL rewrites, got ${other.getClass.getSimpleName}")
   }
 
   /** The batch-built index the first publish displaced (if any); restored
@@ -108,11 +112,12 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     * layered after the displacement). A batch index that re-registered
     * over us is left untouched. */
   def deregister(): Unit = {
-    // family tag: 0 = hll, 1 = moments, 2 = cms — which (column, "") entry
-    // of which map is EXCLUSIVELY ours to withdraw
+    // family tag: 0 = hll, 1 = moments, 2 = cms, 3 = hdr — which
+    // (column, "") entry of which map is EXCLUSIVELY ours to withdraw
     val target = publishTo.map(t => (t._1, t._2, 0))
       .orElse(publishMoment.map(t => (t._1, t._2, 1)))
       .orElse(publishFreq.map(t => (t._1, t._2, 2)))
+      .orElse(publishQuantile.map(t => (t._1, t._2, 3)))
     target.foreach { case (key, column, fam) =>
       WheelRegistry.update(key, {
         case Some(cur) if cur.fingerprint == 0L =>
@@ -121,7 +126,9 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
           cur.allDistinctWheels
             .filterNot(d => fam == 0 && d.column == column && d.filterKey == "")
             .foreach(rest.putDistinct)
-          cur.allQuantileWheels.foreach(rest.putQuantile)
+          cur.allQuantileWheels
+            .filterNot(q => fam == 3 && q.column == column && q.filterKey == "")
+            .foreach(rest.putQuantile)
           cur.allMomentWheels
             .filterNot(m => fam == 1 && m.column == column && m.filterKey == "")
             .foreach(rest.putMoment)
@@ -152,6 +159,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     val target = publishTo.map(t => (t._1, t._2, 0))
       .orElse(publishMoment.map(t => (t._1, t._2, 1)))
       .orElse(publishFreq.map(t => (t._1, t._2, 2)))
+      .orElse(publishQuantile.map(t => (t._1, t._2, 3)))
     target.foreach { case (key, column, fam) =>
       val snap = snapshot()
       WheelRegistry.update(key, { existing =>
@@ -189,10 +197,14 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
               snap.asInstanceOf[TypedHawWheel[WheelAggregators.Moments, WheelAggregators.Moments]],
               column, agg.asInstanceOf[WheelAggregators.MomentStats],
               momCastFail, momAbsMax))
-          case _ =>
+          case 2 =>
             t.putFreq(FreqIndexedWheel(
               snap.asInstanceOf[TypedHawWheel[Array[Byte], Array[Byte]]], column,
               agg.asInstanceOf[WheelAggregators.CmsFreq]))
+          case _ =>
+            t.putQuantile(QuantileIndexedWheel(
+              snap.asInstanceOf[TypedHawWheel[Array[Byte], Array[Byte]]], column,
+              agg.asInstanceOf[WheelAggregators.HdrQuantile]))
         }
         Some(t)
       })
@@ -211,6 +223,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       case h: WheelAggregators.HllDistinct => s"hll(p=${h.p})"
       case m: WheelAggregators.MomentStats => s"moments(scale=${m.scale})"
       case c: WheelAggregators.CmsFreq     => s"cms(d=${c.d},logW=${c.logW})"
+      case q: WheelAggregators.HdrQuantile => s"hdr(s=${q.s})"
       case other                           => other.getClass.getName
     }
     s"stw-v1|$timeColumn|$valueCol|$aggSig"
@@ -308,5 +321,34 @@ object StreamingTypedWheel {
     new StreamingTypedWheel(timeColumn, u,
       new WheelAggregators.MomentStats(scale), (r: Row) => r.getLong(1),
       momProbe = Some((col(column).isNotNull && f.isNull, abs(col(column).cast("double")))))
+  }
+
+  /** A continuously-maintained HDR-quantile wheel over `column` — the live
+    * "p99 over any time range" service: once registered, batch SQL
+    * `hdr_quantile(column, q[, s])` over a time range of the table answers
+    * at plan time from the stream's per-second bin partials. The double
+    * cast is the same value image the batch build projects
+    * ([[graft.index.UWheelIndex]]'s quantile columns), so bins agree
+    * bit-for-bit with what the SQL aggregate over the raw rows computes. */
+  def quantiles(timeColumn: String, column: String, s: Int = 7)
+      : StreamingTypedWheel[Double, Array[Byte], Array[Byte]] = {
+    import org.apache.spark.sql.functions.col
+    new StreamingTypedWheel(timeColumn, col(column).cast("double"),
+      new WheelAggregators.HdrQuantile(s), (r: Row) => r.getDouble(1))
+  }
+
+  /** A continuously-maintained Count-Min frequency wheel over `key` — the
+    * live "how often did key k occur in any time range" service: once
+    * registered, batch SQL `cms_freq(key, k[, d, logW])` answers at plan
+    * time from the stream's per-second counter partials. Counter addition
+    * is NOT idempotent — an at-least-once source that re-delivers a batch
+    * overcounts, consistent with the CMS upper-bound contract but worth
+    * knowing; use exactly-once sinks/sources when the estimate must match
+    * a batch build. */
+  def freq(timeColumn: String, key: String, d: Int = 4, logW: Int = 12)
+      : StreamingTypedWheel[Long, Array[Byte], Array[Byte]] = {
+    import org.apache.spark.sql.functions.col
+    new StreamingTypedWheel(timeColumn, col(key).cast("long"),
+      new WheelAggregators.CmsFreq(d, logW), (r: Row) => r.getLong(1))
   }
 }

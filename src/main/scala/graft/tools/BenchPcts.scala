@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Q
+
+/** Randomized-latency bench families, mirroring the reference bench's
+  * 1,000-random-range HdrHistogram runs
+  * (`benchmarks/nyc_taxi_bench/src/main.rs:232-305,504-518`): COUNT(*),
+  * keyed SUM, and min/max-pruned SELECT * over random second- or
+  * minute-aligned ranges of the events table, rule-ON vs rule-OFF,
+  * reported as p50/p99/p99.9 — so BASELINE.md's latency rows compare to a
+  * distribution, not a single-query median.
+  *
+  * Rule-ON runs N ranges; rule-OFF runs N/5 (each off-range pays a full
+  * scan — at sf0.1 that is ~100-300 ms per query, and 1,000 of them would
+  * dominate the round's wall-clock without changing the distribution
+  * shape; p99.9 for the off side is therefore labeled `max`).
+  *
+  * Two extra families time the RAW wheel reads (no Spark session in the
+  * loop): the reference's µs numbers measure exactly this layer, while
+  * end-to-end SQL latency sits on the JVM's ~4-6 ms plan/session floor
+  * regardless of how fast the wheel answers.
+  *
+  * Writes one JSON object to BENCH_pcts_r10.json (args(0) overrides) and
+  * prints it.
+  */
+object BenchPcts {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = args.headOption.getOrElse("/root/repo/BENCH_pcts_r10.json")
+    val n = sys.env.get("SPARK_GRAFT_PCTS_N").map(_.toInt).getOrElse(1000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Q.ctx(spark, sfDir)
+
+    val hw = graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+      .flatMap(_.countWheel).getOrElse(sys.error("no count wheel")).wheel
+    val startSec = hw.startSec
+    val endSec = hw.endSec
+    val span = endSec - startSec
+
+    val rnd = new scala.util.Random(0x20260814L)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    def tsOf(sec: Long): String = fmt.format(java.time.Instant.ofEpochSecond(sec))
+
+    /** Random [a, b) seconds inside the data span; start second- or
+      * minute-aligned with equal probability (the reference's two
+      * alignment families), width uniform in [1 min, full span]. */
+    def randRange(): (Long, Long) = {
+      val align = if (rnd.nextBoolean()) 60L else 1L
+      val w = 60L + (rnd.nextDouble() * (span - 60L)).toLong
+      val s0 = startSec + (rnd.nextDouble() * (span - w)).toLong
+      val s = s0 / align * align
+      (s, math.min(s + w, endSec))
+    }
+
+    def pcts(xs: Array[Double]): Map[String, Double] = {
+      val a = xs.sorted
+      def at(q: Double) = a(math.min(a.length - 1, (q * a.length).toInt))
+      Map("n" -> a.length.toDouble, "p50_ms" -> at(0.50), "p99_ms" -> at(0.99),
+        "p999_ms" -> at(0.999), "max_ms" -> a.last,
+        "mean_ms" -> a.sum / a.length)
+    }
+
+    def sqlOf(fam: String, a: Long, b: Long): String = fam match {
+      case "count" =>
+        s"SELECT count(*) AS cnt FROM events WHERE ts >= TIMESTAMP '${tsOf(a)}' AND ts < TIMESTAMP '${tsOf(b)}'"
+      case "keyed_sum" =>
+        "SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s FROM events " +
+          s"WHERE ts >= TIMESTAMP '${tsOf(a)}' AND ts < TIMESTAMP '${tsOf(b)}' AND event_type = 'purchase'"
+      case "minmax_prune" =>
+        // value's domain tops out far below 100000: the min/max wheel must
+        // prove emptiness and prune the scan entirely
+        s"SELECT event_id FROM events WHERE ts >= TIMESTAMP '${tsOf(a)}' AND ts < TIMESTAMP '${tsOf(b)}' AND value > 100000.0"
+    }
+
+    def runFam(fam: String, ranges: Int): Array[Double] = {
+      (1 to 20).foreach { _ => val (a, b) = randRange(); spark.sql(sqlOf(fam, a, b)).collect() }
+      Array.fill(ranges) {
+        val (a, b) = randRange()
+        val q = sqlOf(fam, a, b)
+        val t = System.nanoTime()
+        spark.sql(q).collect()
+        (System.nanoTime() - t) / 1e6
+      }
+    }
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
+    Seq("count", "keyed_sum", "minmax_prune").foreach { fam =>
+      graft.Graft.rewritesEnabled = true
+      out(s"${fam}_on") = pcts(runFam(fam, n))
+      graft.Graft.rewritesEnabled = false
+      out(s"${fam}_off") = pcts(runFam(fam, math.max(50, n / 5)))
+      graft.Graft.rewritesEnabled = true
+    }
+
+    // raw wheel reads (the layer the reference's µs numbers measure):
+    // COUNT via the prefix/directory path, full multi-agg (count+sum+
+    // min/max via the block tree)
+    val rawN = n
+    def rawPcts(f: (Long, Long) => Unit): Map[String, Double] = {
+      (1 to 100).foreach { _ => val (a, b) = randRange(); f(a, b) }
+      val xs = Array.fill(rawN) {
+        val (a, b) = randRange()
+        val t = System.nanoTime()
+        f(a, b)
+        (System.nanoTime() - t) / 1e3 // µs
+      }
+      val a = xs.sorted
+      def at(q: Double) = a(math.min(a.length - 1, (q * a.length).toInt))
+      Map("n" -> a.length.toDouble, "p50_us" -> at(0.50), "p99_us" -> at(0.99),
+        "p999_us" -> at(0.999), "max_us" -> a.last, "mean_us" -> a.sum / a.length)
+    }
+    out("wheel_count_raw") = rawPcts((a, b) => { hw.countRange(a, b); () })
+    val vw = graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+      .flatMap(_.minMaxWheel("value")).map(_.wheel)
+    vw.foreach { w => out("wheel_multiagg_raw") = rawPcts((a, b) => { w.range(a, b); () }) }
+
+    def j(m: Map[String, Double]): String =
+      m.map { case (k, v) => s""""$k":${f"$v%.4f"}""" }.mkString("{", ",", "}")
+    val json = out.map { case (k, v) => s""""$k":${j(v)}""" }
+      .mkString(s"""{"sf":"$sfDir","ranges":$n,""", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath), json.getBytes)
+    println(json)
+    spark.stop()
+  }
+}

@@ -1121,4 +1121,149 @@ class StreamingWheelSpec extends AnyFunSuite {
       graft.index.WheelRegistry.deregister(path)
     }
   }
+
+  test("registered streaming quantile wheel serves hdr_quantile SQL at plan time") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hdr-reg").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-05-01 00:00:00").getTime
+    val rows = (0 until 400).map(i => (new Timestamp(base + i * 1000L), (i % 53) + 0.125))
+    rows.toDF("ts", "v").write.parquet(path)
+    val input = MemoryStream[(Timestamp, Double)]
+    val idx = StreamingTypedWheel.quantiles("ts", "v")
+    val q = idx.attach(input.toDF().toDF("ts", "v"), "hdr-wheel-reg")
+    try {
+      idx.register(path, "v")
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val sql =
+        s"""SELECT hdr_quantile(v, 0.9) AS p90, hdr_quantile(v, 0.5) AS p50
+           |FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-05-01 00:01:00'
+           |  AND ts < TIMESTAMP '2024-05-01 00:05:00'""".stripMargin
+      val df = spark.sql(sql)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case l: LocalRelation => l }.nonEmpty, s"no LocalRelation in:\n$opt")
+      assert(opt.collect { case r: LogicalRelation => r }.isEmpty, s"scan survived in:\n$opt")
+      graft.Graft.rewritesEnabled = false
+      val flat = try spark.sql(sql).collect()(0)
+        finally graft.Graft.rewritesEnabled = true
+      assert(df.collect()(0) === flat)
+      // a different resolution must NOT serve from this wheel (s mismatch)
+      val other = spark.sql(sql.replace("hdr_quantile(v, 0.9)", "hdr_quantile(v, 0.9, 5)"))
+      assert(other.queryExecution.optimizedPlan
+        .collect { case r: LogicalRelation => r }.nonEmpty,
+        "a different s must decline the streamed wheel")
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
+  }
+
+  test("streaming quantile checkpoint: save/restore equals a never-restarted twin") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hdr-ckpt").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-05-02 00:00:00").getTime
+    val first = (0 until 100).map(i => (new Timestamp(base + i * 1000L), (i % 17) + 0.5))
+    val second = (100 until 200).map(i => (new Timestamp(base + i * 1000L), (i % 19) + 0.25))
+    (first ++ second).toDF("ts", "v").write.parquet(path)
+
+    val twinIn = MemoryStream[(Timestamp, Double)]
+    val twin = StreamingTypedWheel.quantiles("ts", "v")
+    val twinQ = twin.attach(twinIn.toDF().toDF("ts", "v"), "hdr-ckpt-twin")
+    val in1 = MemoryStream[(Timestamp, Double)]
+    val w1 = StreamingTypedWheel.quantiles("ts", "v")
+    val q1 = w1.attach(in1.toDF().toDF("ts", "v"), "hdr-ckpt-1")
+    var q2: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      twinIn.addData(first ++ second: _*)
+      twinQ.processAllAvailable()
+      in1.addData(first: _*)
+      q1.processAllAvailable()
+      val ckpt = s"$dir/hdr.ckpt"
+      w1.saveState(ckpt)
+      q1.stop()
+      val in2 = MemoryStream[(Timestamp, Double)]
+      val w2 = StreamingTypedWheel.quantiles("ts", "v")
+      w2.restoreState(ckpt)
+      q2 = w2.attach(in2.toDF().toDF("ts", "v"), "hdr-ckpt-2")
+      in2.addData(second: _*)
+      q2.processAllAvailable()
+      w2.register(path, "v")
+      val sql =
+        s"""SELECT hdr_quantile(v, 0.99) AS p99 FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-05-02 00:00:30'
+           |  AND ts < TIMESTAMP '2024-05-02 00:03:00'""".stripMargin
+      val restored = spark.sql(sql)
+      assert(restored.queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty)
+      val fromRestored = restored.collect()(0)
+      w2.deregister()
+      twin.register(path, "v")
+      val fromTwin = spark.sql(sql).collect()(0)
+      twin.deregister()
+      assert(fromRestored === fromTwin)
+    } finally {
+      if (q2 != null) q2.stop()
+      if (q1.isActive) q1.stop()
+      twinQ.stop()
+    }
+  }
+
+  test("StreamingTypedWheel.freq helper serves cms_freq and checkpoints") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-freq-helper").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-05-03 00:00:00").getTime
+    val rows = (0 until 300).map(i => (new Timestamp(base + i * 1000L), (i % 23).toLong))
+    rows.toDF("ts", "uid").write.parquet(path)
+    val input = MemoryStream[(Timestamp, Long)]
+    val idx = StreamingTypedWheel.freq("ts", "uid")
+    val q = idx.attach(input.toDF().toDF("ts", "uid"), "freq-helper")
+    try {
+      idx.register(path, "uid")
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val sql =
+        s"""SELECT cms_freq(uid, 7) AS f FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-05-03 00:01:00'
+           |  AND ts < TIMESTAMP '2024-05-03 00:04:00'""".stripMargin
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty)
+      graft.Graft.rewritesEnabled = false
+      val flat = try spark.sql(sql).collect()(0)
+        finally graft.Graft.rewritesEnabled = true
+      assert(df.collect()(0) === flat)
+      // checkpoint round-trip preserves the counters
+      val ckpt = s"$dir/freq.ckpt"
+      idx.saveState(ckpt)
+      val w2 = StreamingTypedWheel.freq("ts", "uid")
+      w2.restoreState(ckpt)
+      idx.deregister()
+      w2.register(path, "uid")
+      val df2 = spark.sql(sql)
+      assert(df2.queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty)
+      assert(df2.collect()(0) === flat)
+      w2.deregister()
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
+  }
 }
