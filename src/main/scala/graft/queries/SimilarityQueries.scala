@@ -274,11 +274,17 @@ object SimilarityQueries {
 
   // ---- Random-hyperplane (SRP) LSH for embedding near-dup ----
 
-  /** 256 signature bits in 32 bands of 8. Bits-per-band sets the bucket key
-    * space: at corpus scale choose it ≳ log2(n) so expected bucket size stays
-    * O(collision-rate · n / 2^bits) and in-bucket pair-gen is subquadratic;
-    * 8 bits ≈ 256 buckets/band fits the test corpora (n ≤ 5000). */
-  private val SrpBits = 256
+  /** 512 signature bits in 64 bands of 8 — the 256-bit geometry of rounds
+    * 8-9 plus a second band rotation (OR-amplification, round-9 verdict
+    * task 8: planes 256-511 are fresh deterministic hyperplanes, so the
+    * extra 32 bands are an independent chance to collide). Recall
+    * 1 − (1 − (1−θ/π)⁸)⁶⁴: ≈ 0.98 at cos 0.6, ≈ 0.87 at the 0.45
+    * boundary (was 0.87/0.71 with 32 bands). Bits-per-band sets the bucket
+    * key space: at corpus scale choose it ≳ log2(n) so expected bucket
+    * size stays O(collision-rate · n / 2^bits) and in-bucket pair-gen is
+    * subquadratic; 8 bits ≈ 256 buckets/band fits the test corpora
+    * (n ≤ 5000). */
+  private val SrpBits = 512
   private val SrpRowsPerBand = 8
   private val SrpBands = SrpBits / SrpRowsPerBand
 
@@ -291,12 +297,14 @@ object SimilarityQueries {
     * and only candidates are exactly verified.
     *
     * P[bit agrees] = 1 − θ/π, so a band of 8 bits collides with prob
-    * (1 − θ/π)⁸ and 32 bands give recall 1 − (1 − (1−θ/π)⁸)³² — ≈ 1.0 at
-    * cosine ≥ 0.8, the regime LSH near-dup detection is built for. Near the
-    * decision boundary recall degrades smoothly (≈ 0.7 for this corpus's
-    * 0.45–0.48 pairs — measured; no banding scheme separates θ ≈ 63° from a
-    * θ ≈ 90° background without quadratic candidates). Verification is
-    * exact, so precision w.r.t. the brute-force pair set is always 1. */
+    * (1 − θ/π)⁸ and 64 bands give recall 1 − (1 − (1−θ/π)⁸)⁶⁴ — ≈ 1.0 at
+    * cosine ≥ 0.8 and ≥ 0.9 at cosine ≥ 0.6 (spec-measured on planted
+    * pairs), the regimes LSH near-dup detection is built for. Near the
+    * decision boundary recall degrades smoothly (this corpus's 0.45–0.48
+    * pairs — measured in `SimilaritySemanticSpec`; no banding scheme
+    * separates θ ≈ 63° from a θ ≈ 90° background without quadratic
+    * candidates). Verification is exact, so precision w.r.t. the
+    * brute-force pair set is always 1. */
   private[queries] def srpNearDupPairs(e: DataFrame, threshold: Double): DataFrame = {
     val bands = e
       .select(col("vec_id"),

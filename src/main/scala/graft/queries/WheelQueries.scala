@@ -542,6 +542,79 @@ object WheelQueries {
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_returnflag = 'R'""".stripMargin),
+
+    // ---- sketch companions (round-9 verdict task 6) --------------------
+    // Oracle-EXACT checks for the rows-only sketch families: each query
+    // computes the sketch estimate (wheel-served) AND the exact answer,
+    // verifies the sketch's documented accuracy bound SERVER-SIDE, and
+    // returns the exact value when the bound holds (−1 poisons the hash
+    // compare when it doesn't). The DuckDB oracle is the plain exact
+    // query, so CORRECTNESS hash-compares these like any exact entry —
+    // the sketch property itself becomes oracle-checked. These are
+    // verification harnesses, not production shapes: the exact side pays a
+    // full scan (and, for the quantile checks, a global sort) by design —
+    // the production query is the sketch-only twin next to each.
+    //
+    // HLL bound: 4σ of the standard error 1.04/√2^p (p=11 ⇒ 4σ = 9.2%);
+    // measured on this corpus: ≤ 2.8% at every SF.
+    "uw_distinct_check" -> Q.sql(
+      s"""SELECT CASE WHEN abs(CAST(s.du AS DOUBLE) / x.xd - 1.0) <= 0.092
+         |            THEN x.xd ELSE -1 END AS exact_du
+         |FROM (SELECT hll_distinct(user_id) AS du FROM events WHERE $range) s
+         |CROSS JOIN (SELECT count(DISTINCT user_id) AS xd FROM events WHERE $range) x""".stripMargin),
+    "uw_distinct_keyed_check" -> Q.sql(
+      s"""SELECT CASE WHEN abs(CAST(s.du AS DOUBLE) / x.xd - 1.0) <= 0.092
+         |            THEN x.xd ELSE -1 END AS exact_du
+         |FROM (SELECT hll_distinct(user_id) AS du FROM events
+         |      WHERE $range AND event_type = 'purchase') s
+         |CROSS JOIN (SELECT count(DISTINCT user_id) AS xd FROM events
+         |            WHERE $range AND event_type = 'purchase') x""".stripMargin),
+    // CMS bounds: never undercounts (est ≥ exact), and the Markov mass
+    // bound e·N/w (w = 2^12) caps the overcount; measured overcount on
+    // this corpus: 0 at every SF (cardinality ≪ w).
+    "uw_freq_check" -> Q.sql(
+      s"""SELECT CASE WHEN s.f >= x.xc AND s.f <= x.xc + CAST(ceil(2.7183 * x.n / 4096) AS BIGINT)
+         |            THEN x.xc ELSE -1 END AS exact_f42
+         |FROM (SELECT cms_freq(user_id, 42) AS f FROM events WHERE $range) s
+         |CROSS JOIN (SELECT count(CASE WHEN user_id = 42 THEN 1 END) AS xc,
+         |                   count(*) AS n FROM events WHERE $range) x""".stripMargin),
+    "uw_freq_keyed_check" -> Q.sql(
+      s"""SELECT CASE WHEN s.f >= x.xc AND s.f <= x.xc + CAST(ceil(2.7183 * x.n / 4096) AS BIGINT)
+         |            THEN x.xc ELSE -1 END AS exact_f42
+         |FROM (SELECT cms_freq(user_id, 42) AS f FROM events
+         |      WHERE $range AND event_type = 'purchase') s
+         |CROSS JOIN (SELECT count(CASE WHEN user_id = 42 THEN 1 END) AS xc,
+         |                   count(*) AS n FROM events
+         |            WHERE $range AND event_type = 'purchase') x""".stripMargin),
+    // HDR bound: the sketch returns bucketFloor(v_r) for the EXACT
+    // nearest-rank value v_r at rank clamp(⌈q·N⌉, 1, N) — the same rank
+    // DuckDB's quantile_disc selects — so est ≤ v_r < est·(1 + 2^−s)
+    // (s = 7, all values ≥ 0 on this corpus).
+    "uw_quantile_check" -> Q.sql(
+      s"""SELECT CASE WHEN s.p90 <= x.xq AND x.xq < s.p90 * (1.0 + 1.0/128) + 1e-9
+         |            THEN x.xq ELSE -1.0 END AS exact_p90
+         |FROM (SELECT hdr_quantile(value, 0.9) AS p90 FROM events WHERE $range) s
+         |CROSS JOIN (
+         |  SELECT value AS xq FROM (
+         |    SELECT value, row_number() OVER (ORDER BY value) AS rn,
+         |           count(*) OVER () AS n
+         |    FROM events WHERE $range)
+         |  WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(0.9 * n) AS BIGINT))) x""".stripMargin),
+    "uw_revenue_p90_check" -> Q.sql(
+      s"""SELECT CASE WHEN s.p90 <= x.xq AND x.xq < s.p90 * (1.0 + 1.0/128) + 1e-9
+         |            THEN x.xq ELSE -1.0 END AS exact_p90
+         |FROM (SELECT hdr_quantile($revExpr, 0.9) AS p90 FROM lineitem
+         |      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00') s
+         |CROSS JOIN (
+         |  SELECT rev AS xq FROM (
+         |    SELECT $revExpr AS rev,
+         |           row_number() OVER (ORDER BY $revExpr) AS rn,
+         |           count(*) OVER () AS n
+         |    FROM lineitem
+         |    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+         |  WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(0.9 * n) AS BIGINT))) x""".stripMargin),
   )
 
   /** Like [[Q.sql]] but analyzed under session zone `tz` (restored after):
@@ -557,6 +630,22 @@ object WheelQueries {
     }
 
   val oracles: Map[String, String] = Map(
+    // sketch companions: the oracle is the plain EXACT query — the Spark
+    // side returns the exact value only when the sketch bound holds
+    "uw_distinct_check" ->
+      s"SELECT count(DISTINCT user_id) AS exact_du FROM events WHERE $range",
+    "uw_distinct_keyed_check" ->
+      s"SELECT count(DISTINCT user_id) AS exact_du FROM events WHERE $range AND event_type = 'purchase'",
+    "uw_freq_check" ->
+      s"SELECT count(CASE WHEN user_id = 42 THEN 1 END) AS exact_f42 FROM events WHERE $range",
+    "uw_freq_keyed_check" ->
+      s"SELECT count(CASE WHEN user_id = 42 THEN 1 END) AS exact_f42 FROM events WHERE $range AND event_type = 'purchase'",
+    "uw_quantile_check" ->
+      s"SELECT quantile_disc(value, 0.9) AS exact_p90 FROM events WHERE $range",
+    "uw_revenue_p90_check" ->
+      s"""SELECT quantile_disc($revExpr, 0.9) AS exact_p90 FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
     "uw_count_range" -> s"SELECT count(*) AS cnt FROM events WHERE $range",
     "uw_sum_range" -> s"SELECT $sumDec AS sum_val FROM events WHERE $range",
     "uw_avg_range" -> s"SELECT $sumDec / count(*) AS avg_val FROM events WHERE $range",
