@@ -1143,7 +1143,7 @@ object UWheelIndex {
     // shuffle's file fan-out (n_map × n_reduce) small on local mode.
     val parallelism = math.min(8, df.sparkSession.sparkContext.defaultParallelism)
     val projected =
-      if (projected0.rdd.getNumPartitions * 4 < parallelism * 4)
+      if (projected0.rdd.getNumPartitions < parallelism)
         projected0.repartition(parallelism)
       else projected0
     val acc = projected.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
