@@ -532,12 +532,61 @@ object SimilarityQueries {
       |FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, val
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Recall-gated pair-set check: full-outer joins the LSH pair set
+    * against the exact pair set and returns count(exact) only when
+    * (a) the LSH emits NO pair outside the exact set (precision 1 — its
+    * verification step applies the identical exact predicate, so any
+    * extra pair is a bug, not sketch noise) and (b) recall ≥
+    * `recallBound`. −1 otherwise, poisoning the oracle hash-compare.
+    * Turns the hash-constant-dependent LSH entries into oracle-exact
+    * companions: DuckDB checks the exact count, the bound check runs
+    * server-side. */
+  private def pairRecallCheck(exact: DataFrame, lsh: DataFrame,
+      recallBound: Double): DataFrame = {
+    val e = exact.select(col("i"), col("j")).withColumn("in_e", lit(1))
+    val l = lsh.select(col("i"), col("j")).withColumn("in_l", lit(1))
+    e.join(l, Seq("i", "j"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_e"), lit(0))).as("total"),
+        sum(when(col("in_e").isNotNull && col("in_l").isNotNull, 1L).otherwise(0L)).as("recalled"),
+        sum(when(col("in_e").isNull, 1L).otherwise(0L)).as("lsh_only"))
+      .select(when(col("lsh_only") === 0L &&
+          col("recalled").cast("double") >= col("total").cast("double") * recallBound,
+        col("total")).otherwise(lit(-1L)).cast("bigint").as("n_pairs"))
+  }
+
+  /** MinHash+LSH vs the exact Jaccard pair set. Per-pair miss probability
+    * at J ≥ 0.9 is ~10⁻³ (16 bands × 4 rows), so 0.95 is a conservative
+    * deterministic gate for this corpus's dozens of planted pairs. */
+  def minhashCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    pairRecallCheck(
+      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = None)),
+      minhashLsh(spark, sfDir), recallBound = 0.95)
+  }
+
+  /** SRP-LSH vs the exact cosine pair set. This corpus's pairs sit at the
+    * 0.45–0.48 decision boundary — the hardest regime for any banding
+    * scheme: P[8-bit band collides] = (1−θ/π)⁸ ≈ 0.031 there, so 64 bands
+    * give expected recall 1−(1−0.031)⁶⁴ ≈ 0.87 (measured: 0.889 at sf0.1,
+    * 1.0 at sf0.01). The gate is 0.8 — the theory floor with margin; the
+    * ≥ 0.9 mid-regime claim (cos ≥ 0.6) is pinned separately by
+    * `SimilaritySemanticSpec`'s planted-pair sweep, where band collision
+    * probability is double and recall measures 1.0. */
+  def embedLshCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    pairRecallCheck(embedDup(spark, sfDir), embedLshDup(spark, sfDir),
+      recallBound = 0.8)
+  }
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_minhash_lsh" -> (minhashLsh _),
+    "dd_minhash_check" -> (minhashCheck _),
     "dd_simhash" -> (simhash _),
     "dd_simhash_pairs" -> (simhashPairs _),
     "dd_embed_dup" -> (embedDup _),
     "dd_embed_lsh" -> (embedLshDup _),
+    "dd_embed_lsh_check" -> (embedLshCheck _),
     "ann_topk" -> (annTopK _),
     "ann_ivf" -> (annIvf _),
     "emb_centroid" -> Q.sql(embCentroidSpark),
@@ -551,6 +600,15 @@ object SimilarityQueries {
     * centroid choice, assignment, and probing are deterministic with
     * explicit tie-breaks. */
   val oracles: Map[String, String] = Map(
+    // LSH recall-gated companions: the Spark side returns the exact pair
+    // COUNT only when precision is 1 and recall clears the spec-pinned
+    // bound, so the plain exact count is the oracle
+    "dd_minhash_check" ->
+      s"SELECT count(*) AS n_pairs FROM (${TextQueries.shingleJaccardDuckSql(capDf = None)})",
+    "dd_embed_lsh_check" ->
+      """SELECT count(*) AS n_pairs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45""".stripMargin,
     // mirrors the TWO-LEVEL hierarchy of ivfIndex/ivfSearch exactly:
     // ~√n stride-picked fine centroids, ~√k of them coarse, vectors
     // assigned coarse-first, queries probing the 10 nearest fines

@@ -214,7 +214,7 @@ object TextQueries {
 
   /** DuckDB twin of [[shingleJaccardSparkSql]] (join-based co-occurrence —
     * the oracle only needs to be correct, not skew-proof). */
-  private def shingleJaccardDuckSql(capDf: Option[Int]): String = {
+  private[graft] def shingleJaccardDuckSql(capDf: Option[Int]): String = {
     val capJoin = capDf.map(n =>
       s"""
          |          JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND $n) ok
