@@ -304,6 +304,14 @@ object WheelQueries {
          |       min(value) AS mn, max(value) AS mx
          |FROM events WHERE $range
          |GROUP BY window(ts, '6 hours') ORDER BY 1""".stripMargin),
+    // startTime-offset windows (the 4-arg window() form — "days that roll
+    // at 06:00"): WindowStruct extracts the offset and the grid anchors to
+    // epoch+offset; the same sparse bucketized read serves it
+    "uw_window_offset" -> Q.sql(
+      s"""SELECT window.start AS ws, count(*) AS cnt,
+         |       min(value) AS mn, max(value) AS mx
+         |FROM events WHERE $range
+         |GROUP BY window(ts, '1 day', '1 day', '6 hours') ORDER BY 1""".stripMargin),
     // sliding windows — the wheel's signature win: one O(1) range read per
     // bucket, where the scan pays an Expand that multiplies every input row
     // by the overlap factor (len/slide = 2x here, 24x for hourly-sliding
@@ -836,6 +844,15 @@ object WheelQueries {
          |       count(*) AS cnt, min(value) AS mn, max(value) AS mx
          |FROM (
          |  SELECT CAST(floor(epoch(ts) / 21600.0) AS BIGINT) * 21600 AS b, value
+         |  FROM events WHERE $range
+         |) GROUP BY b ORDER BY 1""".stripMargin,
+    // offset windows: bucket start = floor((epoch − off)/len)·len + off
+    "uw_window_offset" ->
+      s"""SELECT make_timestamp(b * 1000000) AS ws, count(*) AS cnt,
+         |       min(value) AS mn, max(value) AS mx
+         |FROM (
+         |  SELECT CAST(floor((epoch(ts) - 21600) / 86400.0) AS BIGINT) * 86400 + 21600 AS b,
+         |         value
          |  FROM events WHERE $range
          |) GROUP BY b ORDER BY 1""".stripMargin,
     // sliding = each row contributes to len/slide = 2 shifted buckets

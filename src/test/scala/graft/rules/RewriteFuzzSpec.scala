@@ -147,7 +147,7 @@ class RewriteFuzzSpec extends AnyFunSuite {
   private def aggs(rnd: scala.util.Random): Seq[String] =
     rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
 
-  private def grouping(rnd: scala.util.Random): Option[String] = rnd.nextInt(11) match {
+  private def grouping(rnd: scala.util.Random): Option[String] = rnd.nextInt(12) match {
     case 0 => None
     case 1 => Some("date_trunc('hour', ts)")
     case 2 => Some("date_trunc('day', ts)")
@@ -161,6 +161,7 @@ class RewriteFuzzSpec extends AnyFunSuite {
     // the positions-vs-rows decline threshold, narrow ones rewrite
     case 8 => Some("window(ts, '90 seconds', '1 minute')")
     case 9 => Some("window(ts, '1500 milliseconds', '1 second')")
+    case 10 => Some("window(ts, '1 day', '1 day', '6 hours')") // startTime offset
     case _ => Some("date_trunc('day', ts); event_type")
   }
 
