@@ -547,9 +547,13 @@ object SimilarityQueries {
     val l = lsh.select(col("i"), col("j")).withColumn("in_l", lit(1))
     e.join(l, Seq("i", "j"), "full_outer")
       .agg(
-        sum(coalesce(col("in_e"), lit(0))).as("total"),
-        sum(when(col("in_e").isNotNull && col("in_l").isNotNull, 1L).otherwise(0L)).as("recalled"),
-        sum(when(col("in_e").isNull, 1L).otherwise(0L)).as("lsh_only"))
+        // coalesce AFTER the sums: a global aggregate over zero rows (both
+        // pair sets empty) yields NULL sums, which would poison the CASE
+        // to −1 even though 0 pairs recalled of 0 is trivially correct
+        coalesce(sum(coalesce(col("in_e"), lit(0))), lit(0L)).as("total"),
+        coalesce(sum(when(col("in_e").isNotNull && col("in_l").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("recalled"),
+        coalesce(sum(when(col("in_e").isNull, 1L).otherwise(0L)), lit(0L)).as("lsh_only"))
       .select(when(col("lsh_only") === 0L &&
           col("recalled").cast("double") >= col("total").cast("double") * recallBound,
         col("total")).otherwise(lit(-1L)).cast("bigint").as("n_pairs"))

@@ -25,53 +25,116 @@ import scala.collection.mutable
   * Two wheels built from the same rows merge associatively ([[merge]]), which
   * is what makes a distributed per-partition build correct.
   */
-final class RwWheel(
-    val scale: Int,
-    val hasValues: Boolean,
-    val writeAheadSlots: Long = RwWheel.DefaultWriteAheadSlots,
-    /** Opt-in sanity bound on event-time PROGRESS: an insert more than this
-      * many seconds ahead of the newest write so far throws instead of
-      * rotating the window (None = trust the source, the reference ring's
-      * behavior). Without it, one corrupt far-future timestamp is silently
-      * indexed and — worse — rotates the window so every subsequent good
-      * row is rejected as late; with it, the corrupt row is the one that
-      * fails. Choose ≫ the source's real replay gaps. */
-    val maxFutureSkewSec: Option[Long] = None) extends Serializable {
+final class RwWheel private ()
+    extends Serializable with com.esotericsoftware.kryo.KryoSerializable {
   import RwWheel.Slot
+
+  // Config lives in private vars behind accessors (not constructor vals):
+  // Kryo instantiates WITHOUT running a constructor, so
+  // KryoSerializable.read must be able to restore EVERY field — final
+  // fields can't be assigned there. The public auxiliary constructor
+  // keeps the original parameter names, so named-argument call sites
+  // (`new RwWheel(scale = 2, hasValues = true)`) are unaffected.
+  private var scaleF: Int = 0
+  private var hasValuesF: Boolean = false
+  private var writeAheadSlotsF: Long = RwWheel.DefaultWriteAheadSlots
+  private var maxFutureSkewSecF: Option[Long] = None
+
+  /** @param maxFutureSkewSec Opt-in sanity bound on event-time PROGRESS: an
+    * insert more than this many seconds ahead of the newest write so far
+    * throws instead of rotating the window (None = trust the source, the
+    * reference ring's behavior). Without it, one corrupt far-future
+    * timestamp is silently indexed and — worse — rotates the window so
+    * every subsequent good row is rejected as late; with it, the corrupt
+    * row is the one that fails. Choose ≫ the source's real replay gaps. */
+  def this(scale: Int, hasValues: Boolean,
+      writeAheadSlots: Long = RwWheel.DefaultWriteAheadSlots,
+      maxFutureSkewSec: Option[Long] = None) = {
+    this()
+    scaleF = scale
+    hasValuesF = hasValues
+    writeAheadSlotsF = writeAheadSlots
+    maxFutureSkewSecF = maxFutureSkewSec
+    scaleFactor = math.pow(10, scale)
+  }
+
+  def scale: Int = scaleF
+  def hasValues: Boolean = hasValuesF
+  def writeAheadSlots: Long = writeAheadSlotsF
+  def maxFutureSkewSec: Option[Long] = maxFutureSkewSecF
 
   @transient private var slots = mutable.LongMap.empty[Slot] // epoch second -> partials
   private var watermarkMs: Long = Long.MinValue
   private var newestSec: Long = Long.MinValue
   private var dropped: Long = 0L
-  private val scaleFactor = math.pow(10, scale)
+  private var scaleFactor: Double = 1.0
 
   // Compact serialization: slots as raw primitive runs — one Java object
   // per wheel, not one Slot object per active second. The distributed
   // build tree-merges these wheels (11 numeric specs × 100k active
   // seconds on the bench's events table); per-slot handle-table work in
   // ObjectOutputStream was a top executor cost (round-9 task 3).
+  // BOTH serializer families are covered: Java via writeObject/readObject
+  // (defaultWriteObject carries the non-transient fields), Kryo via
+  // KryoSerializable (Kryo's FieldSerializer would neither call the Java
+  // hooks nor ship transient fields, silently emptying every wheel under
+  // spark.serializer=KryoSerializer — round-10 review finding).
+  private def writeSlots(writeLong: Long => Unit, writeDouble: Double => Unit): Unit = {
+    writeLong(slots.size.toLong)
+    slots.foreach { case (sec, s) =>
+      writeLong(sec); writeLong(s.count); writeLong(s.sumScaled)
+      writeDouble(s.min); writeDouble(s.max)
+    }
+  }
+
+  private def readSlots(readLong: () => Long, readDouble: () => Double): Unit = {
+    slots = mutable.LongMap.empty[Slot]
+    val n = readLong().toInt
+    var i = 0
+    while (i < n) {
+      val sec = readLong()
+      val s = new Slot
+      s.count = readLong(); s.sumScaled = readLong()
+      s.min = readDouble(); s.max = readDouble()
+      slots.update(sec, s)
+      i += 1
+    }
+  }
+
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()
-    out.writeInt(slots.size)
-    slots.foreach { case (sec, s) =>
-      out.writeLong(sec); out.writeLong(s.count); out.writeLong(s.sumScaled)
-      out.writeDouble(s.min); out.writeDouble(s.max)
-    }
+    writeSlots(out.writeLong, out.writeDouble)
   }
 
   private def readObject(in: java.io.ObjectInputStream): Unit = {
     in.defaultReadObject()
-    slots = mutable.LongMap.empty[Slot]
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      val sec = in.readLong()
-      val s = new Slot
-      s.count = in.readLong(); s.sumScaled = in.readLong()
-      s.min = in.readDouble(); s.max = in.readDouble()
-      slots.update(sec, s)
-      i += 1
-    }
+    readSlots(() => in.readLong(), () => in.readDouble())
+  }
+
+  override def write(kryo: com.esotericsoftware.kryo.Kryo,
+      out: com.esotericsoftware.kryo.io.Output): Unit = {
+    out.writeInt(scaleF)
+    out.writeBoolean(hasValuesF)
+    out.writeLong(writeAheadSlotsF)
+    out.writeBoolean(maxFutureSkewSecF.isDefined)
+    maxFutureSkewSecF.foreach(out.writeLong)
+    out.writeLong(watermarkMs)
+    out.writeLong(newestSec)
+    out.writeLong(dropped)
+    writeSlots(out.writeLong, out.writeDouble)
+  }
+
+  override def read(kryo: com.esotericsoftware.kryo.Kryo,
+      in: com.esotericsoftware.kryo.io.Input): Unit = {
+    scaleF = in.readInt()
+    hasValuesF = in.readBoolean()
+    writeAheadSlotsF = in.readLong()
+    maxFutureSkewSecF = if (in.readBoolean()) Some(in.readLong()) else None
+    scaleFactor = math.pow(10, scaleF)
+    watermarkMs = in.readLong()
+    newestSec = in.readLong()
+    dropped = in.readLong()
+    readSlots(() => in.readLong(), () => in.readDouble())
   }
 
   def watermark: Long = watermarkMs

@@ -1031,7 +1031,21 @@ private[wheel] final class SlotStore[P: ClassTag](
   * wheels across executors; at 100k active seconds × a dozen sketch
   * wheels, per-slot ObjectOutputStream handle-table work was the events
   * build's largest executor cost (round-9 task 3). */
-final class TypedRwWheel[In, P, Out](val agg: WheelAggregator[In, P, Out]) extends Serializable {
+final class TypedRwWheel[In, P, Out] private ()
+    extends Serializable with com.esotericsoftware.kryo.KryoSerializable {
+
+  // `agg` is a private var behind an accessor (not a constructor val):
+  // Kryo instantiates WITHOUT a constructor, so KryoSerializable.read
+  // must restore every field — a final field can't be assigned there.
+  private var aggF: WheelAggregator[In, P, Out] = null
+
+  def this(agg: WheelAggregator[In, P, Out]) = {
+    this()
+    aggF = agg
+  }
+
+  def agg: WheelAggregator[In, P, Out] = aggF
+
   @transient private var slots = mutable.LongMap.empty[P]
   private var watermarkMs: Long = Long.MinValue
 
@@ -1068,6 +1082,55 @@ final class TypedRwWheel[In, P, Out](val agg: WheelAggregator[In, P, Out]) exten
           in.readFully(b)
           dec.get(b)
         } else in.readObject().asInstanceOf[P]
+      slots.update(s, p)
+      i += 1
+    }
+  }
+
+  // Kryo twin of the Java hooks (Kryo's FieldSerializer would neither call
+  // them nor ship @transient fields, silently emptying every wheel under
+  // spark.serializer=KryoSerializer — round-10 review finding). The
+  // aggregator itself round-trips through writeClassAndObject; partials go
+  // through the same compact byte serde when the aggregator provides one.
+  override def write(kryo: com.esotericsoftware.kryo.Kryo,
+      out: com.esotericsoftware.kryo.io.Output): Unit = {
+    kryo.writeClassAndObject(out, aggF)
+    out.writeLong(watermarkMs)
+    out.writeInt(slots.size)
+    agg.partialSerde match {
+      case Some((enc, _)) =>
+        out.writeBoolean(true)
+        slots.foreach { case (s, p) =>
+          out.writeLong(s)
+          val b = enc(p)
+          out.writeInt(b.length)
+          out.write(b, 0, b.length)
+        }
+      case None =>
+        out.writeBoolean(false)
+        slots.foreach { case (s, p) =>
+          out.writeLong(s)
+          kryo.writeClassAndObject(out, p)
+        }
+    }
+  }
+
+  override def read(kryo: com.esotericsoftware.kryo.Kryo,
+      in: com.esotericsoftware.kryo.io.Input): Unit = {
+    aggF = kryo.readClassAndObject(in).asInstanceOf[WheelAggregator[In, P, Out]]
+    watermarkMs = in.readLong()
+    slots = mutable.LongMap.empty[P]
+    val n = in.readInt()
+    val compact = in.readBoolean()
+    val dec = aggF.partialSerde.map(_._2)
+    var i = 0
+    while (i < n) {
+      val s = in.readLong()
+      val p =
+        if (compact) {
+          val b = in.readBytes(in.readInt())
+          dec.get(b)
+        } else kryo.readClassAndObject(in).asInstanceOf[P]
       slots.update(s, p)
       i += 1
     }

@@ -19,6 +19,17 @@ class WheelSerdeSpec extends AnyFunSuite {
     ois.readObject().asInstanceOf[T]
   }
 
+  /** Kryo round-trip through Spark's OWN KryoSerializer (the exact path a
+    * session with spark.serializer=KryoSerializer ships shuffle records
+    * through) — the wheels' @transient slots + Java-only hooks would
+    * silently deserialize EMPTY under Kryo's FieldSerializer, so both
+    * classes implement KryoSerializable (round-10 review finding). */
+  private def kryoTrip[T <: AnyRef: scala.reflect.ClassTag](t: T): T = {
+    val conf = new org.apache.spark.SparkConf(false)
+    val ser = new org.apache.spark.serializer.KryoSerializer(conf).newInstance()
+    ser.deserialize[T](ser.serialize(t))
+  }
+
   private val t0 = 1715299200L
 
   test("RwWheel round-trips: frozen wheel equal before and after") {
@@ -83,6 +94,35 @@ class WheelSerdeSpec extends AnyFunSuite {
     (0 until 50).foreach { i => tw.mergeLift(t0 + i % 7, i.toLong) }
     val back = roundTrip(tw)
     assert(tw.freeze().range(t0, t0 + 7) == back.freeze().range(t0, t0 + 7))
+  }
+
+  test("RwWheel round-trips through Spark's KryoSerializer") {
+    val rw = new RwWheel(scale = 2, hasValues = true, maxFutureSkewSec = Some(86400L))
+    (0 until 2000).map(i => (t0 + (i * 37) % 5000, (i % 997) / 100.0))
+      .sortBy(_._1).foreach { case (sec, v) =>
+        rw.advanceTo(sec * 1000L); rw.insert(sec * 1000L, v)
+      }
+    val back = kryoTrip(rw)
+    assert(back.scale == 2 && back.hasValues && back.maxFutureSkewSec.contains(86400L))
+    assert(back.watermark == rw.watermark)
+    assert(back.freeze().range(t0 - 10, t0 + 6000) == rw.freeze().range(t0 - 10, t0 + 6000))
+    // and it stays usable: further ingest + merge after deserialization
+    back.insert((t0 + 6000) * 1000L, 3.5)
+    assert(back.freeze().range(t0, t0 + 7000).count == rw.freeze().range(t0, t0 + 7000).count + 1)
+  }
+
+  test("TypedRwWheel round-trips through Spark's KryoSerializer (serde + fallback)") {
+    val hll = new WheelAggregators.HllDistinct(p = 9)
+    val tw = new TypedRwWheel(hll)
+    (0 until 5000).foreach { i => tw.mergeLift(t0 + i % 300, (i % 777).toLong) }
+    val back = kryoTrip(tw)
+    assert(back.agg.isInstanceOf[WheelAggregators.HllDistinct])
+    assert(back.freeze().range(t0, t0 + 300) == tw.freeze().range(t0, t0 + 300))
+
+    val bag = new TypedRwWheel(WheelSerdeSpec.BagAgg)
+    (0 until 50).foreach { i => bag.mergeLift(t0 + i % 7, i.toLong) }
+    val bagBack = kryoTrip(bag)
+    assert(bagBack.freeze().range(t0, t0 + 7) == bag.freeze().range(t0, t0 + 7))
   }
 
   test("merge of a deserialized TypedRwWheel equals merge of the original") {
