@@ -208,6 +208,17 @@ object Bench {
         }
     } catch { case _: Throwable => () }
 
+    // Index memory per table (MiB) — keeps the "sparse wheels stay within
+    // the reference's order" claim (BASELINE gate 3) measurable
+    // round-over-round instead of asserted once in the README
+    if (only.isEmpty) try {
+      Seq("events", "lineitem", "orders", "lineitem_dec").foreach { t =>
+        graft.index.WheelRegistry.lookup(s"$sfDir/$t.parquet").foreach { ti =>
+          probes(s"index_mib_$t") = ti.indexUsageBytes / 1048576.0
+        }
+      }
+    } catch { case _: Throwable => () }
+
     // Isolation pins (round-7 verdict: suite-position effects — GC/shuffle
     // debt of whatever ran alphabetically before an entry — were
     // indistinguishable from real drift in the record). Five headline

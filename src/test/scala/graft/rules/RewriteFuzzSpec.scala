@@ -217,4 +217,14 @@ class RewriteFuzzSpec extends AnyFunSuite {
   test("a second seed's 200 shapes: rewrite on == rewrite off, exactly") {
     fuzz(0xBEEFCAFEL, 200)
   }
+
+  // opt-in deep blast (SPARK_GRAFT_FUZZ_N=2000 sbt "testOnly *RewriteFuzzSpec"):
+  // same generator, third seed, operator-chosen depth — for long-soak
+  // confidence runs without growing the default suite's wall-clock
+  test("extended fuzz blast (opt-in via SPARK_GRAFT_FUZZ_N)") {
+    sys.env.get("SPARK_GRAFT_FUZZ_N").map(_.toInt) match {
+      case Some(n) if n > 0 => fuzz(0x5EEDF00DL, n)
+      case _ => cancel("set SPARK_GRAFT_FUZZ_N to run the deep blast")
+    }
+  }
 }
