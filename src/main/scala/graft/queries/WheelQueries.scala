@@ -594,6 +594,33 @@ object WheelQueries {
          |CROSS JOIN (SELECT count(CASE WHEN user_id = 42 THEN 1 END) AS xc,
          |                   count(*) AS n FROM events
          |            WHERE $range AND event_type = 'purchase') x""".stripMargin),
+    // GROUP BY twins: the same bounds checked PER BUCKET (per-day HLL
+    // registers / per-day nearest-rank), every bucket must pass for any
+    // row to survive; the exact sides use day-partitioned aggregation and
+    // windows, so even the check queries have no global bottleneck
+    "uw_distinct_daily_check" -> Q.sql(
+      s"""SELECT s.d, CASE WHEN abs(CAST(s.du AS DOUBLE) / x.xd - 1.0) <= 0.092
+         |              THEN x.xd ELSE -1 END AS exact_du
+         |FROM (SELECT date_trunc('day', ts) AS d, hll_distinct(user_id) AS du
+         |      FROM events WHERE $range GROUP BY 1) s
+         |JOIN (SELECT date_trunc('day', ts) AS d, count(DISTINCT user_id) AS xd
+         |      FROM events WHERE $range GROUP BY 1) x ON s.d = x.d
+         |ORDER BY 1""".stripMargin),
+    "uw_quantile_daily_check" -> Q.sql(
+      s"""SELECT s.d, CASE WHEN s.p90 <= x.xq AND x.xq < s.p90 * (1.0 + 1.0/128) + 1e-9
+         |              THEN x.xq ELSE -1.0 END AS exact_p90
+         |FROM (SELECT date_trunc('day', ts) AS d, hdr_quantile(value, 0.9) AS p90
+         |      FROM events WHERE $range GROUP BY 1) s
+         |JOIN (
+         |  SELECT d, value AS xq FROM (
+         |    SELECT date_trunc('day', ts) AS d, value,
+         |           row_number() OVER (PARTITION BY date_trunc('day', ts)
+         |                              ORDER BY value) AS rn,
+         |           count(*) OVER (PARTITION BY date_trunc('day', ts)) AS n
+         |    FROM events WHERE $range)
+         |  WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(0.9 * n) AS BIGINT))) x
+         |  ON s.d = x.d
+         |ORDER BY 1""".stripMargin),
     // HDR bound: the sketch returns bucketFloor(v_r) for the EXACT
     // nearest-rank value v_r at rank clamp(⌈q·N⌉, 1, N) — the same rank
     // DuckDB's quantile_disc selects — so est ≤ v_r < est·(1 + 2^−s)
@@ -650,6 +677,12 @@ object WheelQueries {
       s"SELECT count(CASE WHEN user_id = 42 THEN 1 END) AS exact_f42 FROM events WHERE $range AND event_type = 'purchase'",
     "uw_quantile_check" ->
       s"SELECT quantile_disc(value, 0.9) AS exact_p90 FROM events WHERE $range",
+    "uw_distinct_daily_check" ->
+      s"""SELECT date_trunc('day', ts) AS d, count(DISTINCT user_id) AS exact_du
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_quantile_daily_check" ->
+      s"""SELECT date_trunc('day', ts) AS d, quantile_disc(value, 0.9) AS exact_p90
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_revenue_p90_check" ->
       s"""SELECT quantile_disc($revExpr, 0.9) AS exact_p90 FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
