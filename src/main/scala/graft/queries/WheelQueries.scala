@@ -621,6 +621,35 @@ object WheelQueries {
          |  WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(0.9 * n) AS BIGINT))) x
          |  ON s.d = x.d
          |ORDER BY 1""".stripMargin),
+    "uw_freq_daily_check" -> Q.sql(
+      s"""SELECT s.d, CASE WHEN s.f >= x.xc AND s.f <= x.xc + CAST(ceil(2.7183 * x.n / 4096) AS BIGINT)
+         |              THEN x.xc ELSE -1 END AS exact_f42
+         |FROM (SELECT date_trunc('day', ts) AS d, cms_freq(user_id, 42) AS f
+         |      FROM events WHERE $range GROUP BY 1) s
+         |JOIN (SELECT date_trunc('day', ts) AS d,
+         |             count(CASE WHEN user_id = 42 THEN 1 END) AS xc,
+         |             count(*) AS n
+         |      FROM events WHERE $range GROUP BY 1) x ON s.d = x.d
+         |ORDER BY 1""".stripMargin),
+    "uw_distinct_bytype_check" -> Q.sql(
+      s"""SELECT s.event_type, CASE WHEN abs(CAST(s.du AS DOUBLE) / x.xd - 1.0) <= 0.092
+         |              THEN x.xd ELSE -1 END AS exact_du
+         |FROM (SELECT event_type, hll_distinct(user_id) AS du
+         |      FROM events WHERE $range GROUP BY 1) s
+         |JOIN (SELECT event_type, count(DISTINCT user_id) AS xd
+         |      FROM events WHERE $range GROUP BY 1) x ON s.event_type = x.event_type
+         |ORDER BY 1""".stripMargin),
+    "uw_quantile_keyed_check" -> Q.sql(
+      s"""SELECT CASE WHEN s.p95 <= x.xq AND x.xq < s.p95 * (1.0 + 1.0/128) + 1e-9
+         |            THEN x.xq ELSE -1.0 END AS exact_p95
+         |FROM (SELECT hdr_quantile(value, 0.95) AS p95 FROM events
+         |      WHERE $range AND event_type = 'purchase') s
+         |CROSS JOIN (
+         |  SELECT value AS xq FROM (
+         |    SELECT value, row_number() OVER (ORDER BY value) AS rn,
+         |           count(*) OVER () AS n
+         |    FROM events WHERE $range AND event_type = 'purchase')
+         |  WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(0.95 * n) AS BIGINT))) x""".stripMargin),
     // HDR bound: the sketch returns bucketFloor(v_r) for the EXACT
     // nearest-rank value v_r at rank clamp(⌈q·N⌉, 1, N) — the same rank
     // DuckDB's quantile_disc selects — so est ≤ v_r < est·(1 + 2^−s)
@@ -683,6 +712,16 @@ object WheelQueries {
     "uw_quantile_daily_check" ->
       s"""SELECT date_trunc('day', ts) AS d, quantile_disc(value, 0.9) AS exact_p90
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_freq_daily_check" ->
+      s"""SELECT date_trunc('day', ts) AS d,
+         |       count(CASE WHEN user_id = 42 THEN 1 END) AS exact_f42
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_distinct_bytype_check" ->
+      s"""SELECT event_type, count(DISTINCT user_id) AS exact_du
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_quantile_keyed_check" ->
+      s"""SELECT quantile_disc(value, 0.95) AS exact_p95 FROM events
+         |WHERE $range AND event_type = 'purchase'""".stripMargin,
     "uw_revenue_p90_check" ->
       s"""SELECT quantile_disc($revExpr, 0.9) AS exact_p90 FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
