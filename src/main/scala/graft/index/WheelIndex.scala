@@ -190,6 +190,31 @@ final case class FreqIndexedWheel(
     Option(keyEq).flatten
 }
 
+/** Temporal heavy-hitter wheel for one key column — "top-k users by
+  * activity in ANY time range" answered from per-slot candidate summaries
+  * ([[WheelAggregators.TopTalkers]]). [[topK]] CERTIFIES the exact top-k
+  * (keys and counts) whenever the range read's slack bound is zero (every
+  * slot in range held ≤ cap distinct keys — the common sparse-slot case);
+  * otherwise [[topKBounds]] serves candidates with [lower, upper] count
+  * intervals and the caller decides whether bounds suffice or the scan
+  * runs. Always unfiltered and per-second (slot coarsening would widen
+  * the slack for no memory win at typical caps). */
+final case class TopKIndexedWheel(
+    wheel: TypedHawWheel[WheelAggregators.TopKSummary, WheelAggregators.TopKSummary],
+    column: String,
+    agg: WheelAggregators.TopTalkers) {
+  def cap: Int = agg.cap
+  /** Certified EXACT top-k over [s, e) seconds (count desc, key asc), or
+    * None when the slack bound cannot prove exactness. Reads the finest
+    * level — every rollup compacts again and widens the slack, so the
+    * per-second fold carries the tightest bound. */
+  def topK(s: Long, e: Long, k: Int): Option[Seq[(Long, Long)]] =
+    agg.topK(wheel.combineRangeSlots(s, e), k)
+  /** Approximate reading: top candidates with [lower, upper] bounds. */
+  def topKBounds(s: Long, e: Long, k: Int): Seq[(Long, Long, Long)] =
+    agg.topKBounds(wheel.combineRangeSlots(s, e), k)
+}
+
 /** Exact-moment wheel (n, Σx, Σx² as exact integers at a fixed decimal
   * scale) for one column — the third typed family after
   * [[DistinctIndexedWheel]] and [[QuantileIndexedWheel]], answering
@@ -346,6 +371,14 @@ final class TableIndex(
     Option(freqs).flatMap(m => Option(m.get((col, filterKey))))
   def allFreqWheels: Seq[FreqIndexedWheel] =
     Option(freqs).map(_.asScala.values.toSeq).getOrElse(Nil)
+  // temporal heavy-hitter wheels by key column (always unfiltered); same
+  // null-after-old-deserialization guard as `distinct`
+  private val topKs = new ConcurrentHashMap[String, TopKIndexedWheel]()
+  def putTopK(tw: TopKIndexedWheel): Unit = topKs.put(tw.column, tw)
+  def topKWheel(col: String): Option[TopKIndexedWheel] =
+    Option(topKs).flatMap(m => Option(m.get(col)))
+  def allTopKWheels: Seq[TopKIndexedWheel] =
+    Option(topKs).map(_.asScala.values.toSeq).getOrElse(Nil)
   // exact-moment wheels by (column, residual filter key); same
   // null-after-old-deserialization guard as the other typed families
   private val moments = new ConcurrentHashMap[(String, String), MomentIndexedWheel]()
@@ -386,6 +419,11 @@ final class TableIndex(
       allDistinctWheels.map(_.wheel.measuredBytes).sum +
       allQuantileWheels.map(_.wheel.measuredBytes).sum +
       allFreqWheels.map(_.wheel.measuredBytes).sum +
+      // top-k summaries: measured — 16 B per stored (key, lower) pair plus
+      // per-slot object headers; the cap bounds every slot
+      allTopKWheels.map(w => w.wheel.slotPartials.map {
+        case (_, p) => 48L + 16L * p.keys.length
+      }.sum).sum +
       // moment partials: ~3 numbers per slot; the 8-byte-per-partial
       // estimate understates BigInt headers, so count a measured 48 B each
       allMomentWheels.map(_.wheel.numSecs.toLong * 48L).sum +
@@ -508,7 +546,8 @@ final case class UWheelBuilder(
     exprWheels: Seq[(String, Int)] = Nil,
     keyedExprWheels: Seq[(String, String, Int)] = Nil,
     freqColumns: Seq[(String, Int, Int)] = Nil,
-    keyedFreqWheels: Seq[(String, String, Int, Int)] = Nil) {
+    keyedFreqWheels: Seq[(String, String, Int, Int)] = Nil,
+    topKColumns: Seq[(String, Int)] = Nil) {
   def withMinMaxWheels(cols: Seq[String]): UWheelBuilder = copy(minMaxColumns = cols)
   def withTimeRange(startSec: Long, endSec: Long): UWheelBuilder =
     copy(timeRangeSec = Some((startSec, endSec)))
@@ -628,6 +667,21 @@ final case class UWheelBuilder(
     * scan. */
   def withKeyedFreqWheel(col: String, filterSql: String, logW: Int = 12, d: Int = 4): UWheelBuilder =
     copy(keyedFreqWheels = keyedFreqWheels :+ ((col, filterSql, logW, d)))
+
+  /** Adds a temporal HEAVY-HITTER wheel over an integral key column, so
+    * "top-k keys by occurrence count in ANY time range" answers from the
+    * index ([[TopKIndexedWheel.topK]]) — certified EXACT (keys and counts)
+    * whenever the range's slack bound is zero, which holds exactly when
+    * every second in range saw ≤ `cap` distinct keys; denser slots keep
+    * their top-`cap` candidates and serve [lower, upper] bounds instead
+    * ([[TopKIndexedWheel.topKBounds]], the mergeable-summaries ε = slack
+    * guarantee). Complements [[withFreqWheel]]: CMS answers "how often did
+    * key X occur", this answers "WHICH keys occurred most". Built in one
+    * extra distributed typed pass (per-partition wheels tree-merge;
+    * per-slot summaries stay exact until the deterministic freeze-time
+    * compaction, so the build is partition-count-independent). */
+  def withTopKWheel(col: String, cap: Int = 64): UWheelBuilder =
+    copy(topKColumns = topKColumns :+ ((col, cap)))
 
   /** Adds a wheel over a derived EXPRESSION of the table's columns — the
     * revenue shape: `sum(l_extendedprice * (1 - l_discount))` over any
@@ -1383,6 +1437,16 @@ object UWheelIndex {
     builtCoMoment.foreach(t.putCoMoment)
     builtFreq.foreach(t.putFreq)
     conf.millisColumns.foreach(cols => buildMsWheels(df, t, cols.map(c => (c, scaleFor(c)))))
+    // heavy-hitter wheels: one extra distributed typed pass each (the
+    // per-slot exact-until-freeze summaries don't fit the fused SQL
+    // aggregation's fixed-width columns); per-second always — coarser
+    // slots would only widen the slack
+    conf.topKColumns.foreach { case (c, cap) =>
+      val agg = new graft.wheel.WheelAggregators.TopTalkers(cap)
+      val w = TypedWheelBuild.build(df, conf.timeColumn, F.col(c).cast("long"), agg,
+        (r: org.apache.spark.sql.Row) => r.getLong(1))
+      t.putTopK(TopKIndexedWheel(w, c, agg))
+    }
     WheelRegistry.register(t)
     t
   }
@@ -1741,6 +1805,23 @@ object UWheelIndex {
             valuesNaNFree = o.valuesNaNFree && f.wheel.valuesNaNFree)
         nt.putMs(merged)
       }
+    }
+    // Heavy-hitter wheels: one extra typed pass over the delta (or the
+    // full table on rebuild). Append merges old + delta slot summaries
+    // and re-compacts — BOUND-SOUND (the slack semantics compose) but
+    // not necessarily bit-identical to a from-scratch rebuild on slots
+    // dense enough to have compacted (a rebuild compacts the union once;
+    // the merge compacts twice). Certified topK answers are unaffected:
+    // certification requires slack 0, where compaction never engaged.
+    t.allTopKWheels.foreach { tw =>
+      val fresh = TypedWheelBuild.build(scanDf, t.timeColumn,
+        F.col(tw.column).cast("long"), tw.agg,
+        (r: org.apache.spark.sql.Row) => r.getLong(1))
+      val merged =
+        if (!appendOnly) fresh
+        else TypedHawWheel.fromSecondPartials(
+          tw.wheel.slotPartials ++ fresh.slotPartials, tw.agg)
+      nt.putTopK(tw.copy(wheel = merged))
     }
     WheelRegistry.register(nt)
     if (appendOnly) RefreshOutcome.Appended(newPaths.length) else RefreshOutcome.Rebuilt

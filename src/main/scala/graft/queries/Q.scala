@@ -76,7 +76,7 @@ object Q {
   def buildEvents(spark: SparkSession, sfDir: String, withDistinct: Boolean = true,
       withMillis: Boolean = true, withFreq: Boolean = true,
       withMoments: Boolean = true, withQuantiles: Boolean = true,
-      withHll: Boolean = true): Unit = {
+      withHll: Boolean = true, withTopK: Boolean = true): Unit = {
     val eventTypes = Seq("click", "error", "purchase", "signup", "view")
     val numeric = eventTypes
       .foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
@@ -114,7 +114,10 @@ object Q {
     // scan's Expand — one extra build scan grouped by ms, opt-in.
     // `withMillis = false` is the bench's attribution probe for that scan.
     val conf2 = if (withMillis) conf.withMillisWheels("value") else conf
-    conf2.build(spark, s"$sfDir/events.parquet")
+    // heavy-hitter wheel: "top-k users by activity over any range",
+    // certified-exact on this corpus's sparse slots (uw_topk_users)
+    val conf3 = if (withTopK) conf2.withTopKWheel("user_id") else conf2
+    conf3.build(spark, s"$sfDir/events.parquet")
   }
 
   /** lineitem: second indexed table (multi-year NTZ time span, so calendar

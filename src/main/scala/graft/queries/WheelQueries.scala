@@ -523,6 +523,28 @@ object WheelQueries {
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
     "uw_freq_keyed" -> Q.sql(
       s"SELECT cms_freq(user_id, 42) AS purchases_42 FROM events WHERE $range AND event_type = 'purchase'"),
+    // Temporal heavy hitters (withTopKWheel): "top-5 users by activity over
+    // the range" from the index's per-slot candidate summaries. The index
+    // answer is CERTIFIED exact (keys and counts) when the range's slack
+    // bound is zero — always true on this corpus's sparse slots, asserted
+    // by TopKWheelSpec — and the entry falls back to the scan when a
+    // denser corpus ever voids the certificate, so it can never be wrong.
+    // Exact either way ⇒ plain exact DuckDB oracle.
+    "uw_topk_users" -> ((spark: SparkSession, sfDir: String) => {
+      Q.ctx(spark, sfDir)
+      val served = graft.index.WheelRegistry
+        .lookup(s"$sfDir/events.parquet")
+        .flatMap(_.topKWheel("user_id"))
+        .flatMap(_.topK(1704412800L, 1705017600L, 5)) // the contract range
+      served match {
+        case Some(res) =>
+          import spark.implicits._
+          res.toDF("user_id", "cnt")
+        case None => spark.sql(
+          s"""SELECT user_id, count(*) AS cnt FROM events WHERE $range
+             |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin)
+      }
+    }),
     // typed families over the SAME derived expression (column-or-expression
     // contract): EXACT revenue variance from the moment wheel — the moments
     // are over the HALF_UP scale-2 image of the product on both sides, so
@@ -722,6 +744,9 @@ object WheelQueries {
     "uw_quantile_keyed_check" ->
       s"""SELECT quantile_disc(value, 0.95) AS exact_p95 FROM events
          |WHERE $range AND event_type = 'purchase'""".stripMargin,
+    "uw_topk_users" ->
+      s"""SELECT user_id, count(*) AS cnt FROM events WHERE $range
+         |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin,
     "uw_revenue_p90_check" ->
       s"""SELECT quantile_disc($revExpr, 0.9) AS exact_p90 FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -50,6 +50,18 @@ trait WheelAggregator[In, P, Out] extends Serializable {
     * ObjectOutputStream handle-table work was the events build's single
     * largest executor cost (round-9 task 3). */
   def partialSerde: Option[(P => Array[Byte], Array[Byte] => P)] = None
+  /** Freeze-time bound on a partial's SIZE, applied at deterministic
+    * points only — per slot when a wheel freezes, and per level slot when
+    * the granularity hierarchy rolls up — never during the order-free
+    * ingest combine, so distributed builds stay partition-count-
+    * independent: ingest accumulates the exact (unbounded) partial, and
+    * every run compacts the identical slot content in the identical
+    * single-threaded order. Must preserve the aggregator's documented
+    * error contract ([[WheelAggregators.TopTalkers]]: dropping a key
+    * folds its count into the summary's slack bound). Identity by
+    * default — exact/sketch families whose partials are already
+    * size-bounded don't compact. */
+  def compact(p: P): P = p
 }
 
 /** Lossless block codec for slot partials. `decode(encode(a))` must equal
@@ -832,6 +844,121 @@ object WheelAggregators {
     }
   }
 
+  /** Mergeable heavy-hitter summary: candidate keys with LOWER-bound
+    * counts, plus one `slack` upper-bound term — any key's true count in
+    * the covered rows lies in [lowerOf(key), lowerOf(key) + slack], where
+    * lowerOf(absent) = 0. Arrays sorted by key (canonical form; combine
+    * is a sorted merge). */
+  final case class TopKSummary(keys: Array[Long], lowers: Array[Long], slack: Long) {
+    def lowerOf(key: Long): Long = {
+      val i = java.util.Arrays.binarySearch(keys, key)
+      if (i >= 0) lowers(i) else 0L
+    }
+    /** Structural equality (case classes compare arrays by reference). */
+    override def equals(o: Any): Boolean = o match {
+      case t: TopKSummary => slack == t.slack &&
+        java.util.Arrays.equals(keys, t.keys) && java.util.Arrays.equals(lowers, t.lowers)
+      case _ => false
+    }
+    override def hashCode: Int =
+      (java.util.Arrays.hashCode(keys) * 31 + java.util.Arrays.hashCode(lowers)) * 31 +
+        slack.hashCode
+  }
+
+  /** Temporal heavy hitters ("top-k users by activity in ANY time range"):
+    * per-slot candidate summaries whose ingest combine is an EXACT
+    * order-free pointwise sum — the size bound applies only at the
+    * deterministic [[WheelAggregator.compact]] points (slot freeze, level
+    * rollup), where the summary keeps its top-`cap` keys by count and
+    * folds the largest dropped count into `slack` (the classic mergeable-
+    * summaries bound, Agarwal et al.: dropping key k with lower L proves
+    * every absent key's true count ≤ L + previous slack). A range read
+    * sums slot summaries; [[topK]] then CERTIFIES the exact top-k — keys
+    * AND counts — whenever the accumulated slack is zero (every slot in
+    * range held ≤ cap distinct keys, the common sparse-slot case) and
+    * returns bounds otherwise. Memory ∝ min(cap, distinct keys) per
+    * active slot. */
+  final class TopTalkers(val cap: Int = 64) extends WheelAggregator[Long, TopKSummary, TopKSummary] {
+    require(cap >= 1 && cap <= 4096, s"top-k cap must be in [1, 4096], got $cap")
+
+    val identity: TopKSummary = TopKSummary(Array.emptyLongArray, Array.emptyLongArray, 0L)
+    def lift(k: Long): TopKSummary = TopKSummary(Array(k), Array(1L), 0L)
+
+    /** Sorted-by-key merge; counts add exactly, slack adds exactly. */
+    def combine(a: TopKSummary, b: TopKSummary): TopKSummary = {
+      if (a.keys.isEmpty && a.slack == 0L) return b
+      if (b.keys.isEmpty && b.slack == 0L) return a
+      val ks = new Array[Long](a.keys.length + b.keys.length)
+      val ls = new Array[Long](ks.length)
+      var i = 0; var j = 0; var n = 0
+      while (i < a.keys.length || j < b.keys.length) {
+        if (j >= b.keys.length || (i < a.keys.length && a.keys(i) < b.keys(j))) {
+          ks(n) = a.keys(i); ls(n) = a.lowers(i); i += 1
+        } else if (i >= a.keys.length || b.keys(j) < a.keys(i)) {
+          ks(n) = b.keys(j); ls(n) = b.lowers(j); j += 1
+        } else {
+          ks(n) = a.keys(i); ls(n) = Math.addExact(a.lowers(i), b.lowers(j)); i += 1; j += 1
+        }
+        n += 1
+      }
+      TopKSummary(java.util.Arrays.copyOf(ks, n), java.util.Arrays.copyOf(ls, n),
+        Math.addExact(a.slack, b.slack))
+    }
+
+    /** Keep the top-`cap` keys by (count desc, key asc); the largest
+      * dropped count extends the slack. Deterministic — called only at
+      * freeze/rollup points. */
+    override def compact(p: TopKSummary): TopKSummary = {
+      if (p.keys.length <= cap) return p
+      val idx = Array.range(0, p.keys.length)
+        .sortBy(i => (-p.lowers(i), p.keys(i)))
+      val maxDropped = p.lowers(idx(cap)) // largest dropped (sorted desc)
+      // indices sorted ascending = original array order = key order
+      val kept = idx.take(cap).sorted
+      val ks = kept.map(p.keys)
+      val ls = kept.map(p.lowers)
+      TopKSummary(ks, ls, Math.addExact(p.slack, maxDropped))
+    }
+
+    def lower(p: TopKSummary): TopKSummary = p
+
+    /** Exact top-k CERTIFICATION: Some(keys with exact counts, count desc /
+      * key asc, up to k entries) iff the summary's slack is zero — then
+      * every stored count is exact and absent keys are provably zero.
+      * None = not certifiable from this summary (fall back to the scan). */
+    def topK(p: TopKSummary, k: Int): Option[Seq[(Long, Long)]] =
+      if (p.slack != 0L) None
+      else Some(
+        p.keys.indices.sortBy(i => (-p.lowers(i), p.keys(i))).take(k)
+          .map(i => (p.keys(i), p.lowers(i))))
+
+    /** Approximate reading: top candidates with [lower, upper] bounds,
+      * upper = lower + slack; always available. */
+    def topKBounds(p: TopKSummary, k: Int): Seq[(Long, Long, Long)] =
+      p.keys.indices.sortBy(i => (-p.lowers(i), p.keys(i))).take(k)
+        .map(i => (p.keys(i), p.lowers(i), Math.addExact(p.lowers(i), p.slack)))
+
+    override val partialSerde: Option[(TopKSummary => Array[Byte], Array[Byte] => TopKSummary)] =
+      Some((
+        (p: TopKSummary) => {
+          val bb = java.nio.ByteBuffer.allocate(4 + 8 + 16 * p.keys.length)
+          bb.putInt(p.keys.length).putLong(p.slack)
+          var i = 0
+          while (i < p.keys.length) { bb.putLong(p.keys(i)).putLong(p.lowers(i)); i += 1 }
+          bb.array()
+        },
+        (b: Array[Byte]) => {
+          val bb = java.nio.ByteBuffer.wrap(b)
+          val n = bb.getInt
+          val slack = bb.getLong
+          val ks = new Array[Long](n)
+          val ls = new Array[Long](n)
+          var i = 0
+          while (i < n) { ks(i) = bb.getLong; ls(i) = bb.getLong; i += 1 }
+          TopKSummary(ks, ls, slack)
+        }))
+  }
+
   final case class Moments(n: Long, sx: BigInt, sxx: BigInt)
 
   final class MomentStats(val scale: Int) extends WheelAggregator[Long, Moments, Moments] {
@@ -1195,7 +1322,7 @@ final class TypedRwWheel[In, P, Out] private ()
     val parts = new Array[P](ks.length)
     i = 0
     while (i < ks.length) {
-      parts(i) = agg.combine(agg.identity, slots(ks(i)))
+      parts(i) = agg.compact(agg.combine(agg.identity, slots(ks(i))))
       i += 1
     }
     TypedHawWheel.fromSortedUnique(ks, parts, agg)
@@ -1234,7 +1361,7 @@ object TypedHawWheel {
     val secs = new Array[Long](n)
     val parts = new Array[P](n)
     i = 0
-    while (i < n) { secs(i) = buf(i)._1; parts(i) = buf(i)._2; i += 1 }
+    while (i < n) { secs(i) = buf(i)._1; parts(i) = agg.compact(buf(i)._2); i += 1 }
     new TypedHawWheel[P, Out](agg.asInstanceOf[WheelAggregator[_, P, Out]],
       secs(0), secs(n - 1) + 1, secs, parts)
   }
@@ -1298,12 +1425,12 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
         while (ci < cStarts.length) {
           val slot = alignDown(cStarts(ci), span)
           if (slot != curStart) {
-            if (curStart != Long.MinValue) { starts += curStart; slots += cur }
+            if (curStart != Long.MinValue) { starts += curStart; slots += agg.compact(cur) }
             curStart = slot; cur = cParts(ci)
           } else cur = agg.combine(cur, cParts(ci))
           ci += 1
         }
-        if (curStart != Long.MinValue) { starts += curStart; slots += cur }
+        if (curStart != Long.MinValue) { starts += curStart; slots += agg.compact(cur) }
         child = (span, starts.result(), slots.result())
         out += ((span, child._2, store(child._3)))
         li += 1
@@ -1370,4 +1497,22 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
 
   def range(s: Long, e: Long): Out = agg.lower(combineRange(s, e))
   def landmark: Out = agg.lower(combineRange(startSec, endSec))
+
+  /** Combined partial over [s, e) reading the FINEST level only — a
+    * left-to-right fold of the raw per-second slot partials, skipping the
+    * rolled-up hierarchy. O(slots in range) instead of O(log), but for
+    * error-accumulating aggregators ([[WheelAggregators.TopTalkers]]) the
+    * per-second partials carry the TIGHTEST bound: every level rollup
+    * compacts again and widens the slack, so a wide range read through
+    * coarse levels could fail a certification the fine read passes. */
+  def combineRangeSlots(s: Long, e: Long): P = {
+    val lo = math.max(s, startSec)
+    val hi = math.min(e, endSec)
+    if (numSecs == 0 || lo >= hi) return agg.identity
+    var i = lowerBound(secs, lo)
+    val j = lowerBound(secs, hi)
+    var acc = agg.identity
+    while (i < j) { acc = agg.combine(acc, parts(i)); i += 1 }
+    acc
+  }
 }
