@@ -181,6 +181,8 @@ object Bench {
     probe("index_build_events_nomoment")(Q.buildEvents(spark, sfDir, withMoments = false))
     probe("index_build_events_nohdr")(Q.buildEvents(spark, sfDir, withQuantiles = false))
     probe("index_build_events_nohll")(Q.buildEvents(spark, sfDir, withHll = false))
+    // (full − notopk) prices the heavy-hitter family's extra typed pass
+    probe("index_build_events_notopk")(Q.buildEvents(spark, sfDir, withTopK = false))
     probe("index_build_events")(Q.buildEvents(spark, sfDir))
     probe("index_build_lineitem_noexpr")(Q.buildLineitem(spark, sfDir, withExpr = false))
     probe("index_build_lineitem_nomoment")(Q.buildLineitem(spark, sfDir, withMoments = false))

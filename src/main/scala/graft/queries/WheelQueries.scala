@@ -728,14 +728,16 @@ object WheelQueries {
       s"SELECT count(CASE WHEN user_id = 42 THEN 1 END) AS exact_f42 FROM events WHERE $range AND event_type = 'purchase'",
     "uw_quantile_check" ->
       s"SELECT quantile_disc(value, 0.9) AS exact_p90 FROM events WHERE $range",
+    // CAST(... AS TIMESTAMP): DuckDB's date_trunc('day') yields DATE while
+    // Spark's yields TIMESTAMP — same fix as uw_groupby_day
     "uw_distinct_daily_check" ->
-      s"""SELECT date_trunc('day', ts) AS d, count(DISTINCT user_id) AS exact_du
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(DISTINCT user_id) AS exact_du
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_quantile_daily_check" ->
-      s"""SELECT date_trunc('day', ts) AS d, quantile_disc(value, 0.9) AS exact_p90
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, quantile_disc(value, 0.9) AS exact_p90
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_freq_daily_check" ->
-      s"""SELECT date_trunc('day', ts) AS d,
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
          |       count(CASE WHEN user_id = 42 THEN 1 END) AS exact_f42
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_distinct_bytype_check" ->
