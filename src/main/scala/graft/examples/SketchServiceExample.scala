@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 import graft.streaming.StreamingTypedWheel
 
-/** Live sketch service walkthrough: three continuously-maintained typed
+/** Live sketch service walkthrough: four continuously-maintained typed
   * wheels — HLL distinct users, HDR value quantiles, Count-Min per-user
-  * frequencies — ingest the events table replayed as a file stream and
+  * frequencies, heavy-hitter top-k users — ingest the events table replayed as a file stream and
   * PUBLISH freeze-on-read snapshots into the optimizer registry after
   * every micro-batch. Batch SQL (`hll_distinct`, `hdr_quantile`,
   * `cms_freq`) over time ranges of the same table then answers AT PLAN
@@ -45,14 +45,17 @@ object SketchServiceExample {
       new graft.wheel.WheelAggregators.HllDistinct(), _.getLong(1))
     val hdr = StreamingTypedWheel.quantiles("ts", "value")
     val cms = StreamingTypedWheel.freq("ts", "user_id")
+    val hot = StreamingTypedWheel.topTalkers("ts", "user_id")
     val qs = Seq(
       hll.attach(stream.select("ts", "user_id"), "sketch-ex-hll"),
       hdr.attach(stream.select("ts", "value"), "sketch-ex-hdr"),
-      cms.attach(stream.select("ts", "user_id"), "sketch-ex-cms"))
+      cms.attach(stream.select("ts", "user_id"), "sketch-ex-cms"),
+      hot.attach(stream.select("ts", "user_id"), "sketch-ex-topk"))
     try {
       hll.register(path, "user_id")
       hdr.register(path, "value")
       cms.register(path, "user_id")
+      hot.register(path, "user_id")
       qs.foreach(_.processAllAvailable())
 
       graft.Tables.registerAll(spark, sfDir)
@@ -78,9 +81,25 @@ object SketchServiceExample {
       assert(planTime, "expected the sketch service to answer at plan time")
       assert(live == scan, "live sketch answers must bit-equal the scan aggregates")
       println("live sketch service ≡ scan aggregates")
+
+      // the fourth family has no SQL aggregate — its live service is the
+      // index API: certified-exact top-k users over the same range
+      val s0 = java.time.Instant.parse("2024-01-05T00:00:00Z").getEpochSecond
+      val e0 = java.time.Instant.parse("2024-01-12T00:00:00Z").getEpochSecond
+      val topk = graft.index.WheelRegistry.lookup(path).get
+        .topKWheel("user_id").get.topK(s0, e0, 5)
+      val gt = spark.sql(
+        """SELECT user_id, count(*) AS cnt FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+          |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      println(s"live top-5 users: $topk")
+      assert(topk.contains(gt), "certified top-k must equal the scan's top-5")
+      println("live top-k service ≡ scan top-5")
     } finally {
       qs.foreach(_.stop())
-      hll.deregister(); hdr.deregister(); cms.deregister()
+      hll.deregister(); hdr.deregister(); cms.deregister(); hot.deregister()
     }
     spark.stop()
   }

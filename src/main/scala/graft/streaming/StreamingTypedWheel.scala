@@ -7,7 +7,7 @@ import scala.reflect.ClassTag
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.index.{DistinctIndexedWheel, FreqIndexedWheel, MomentIndexedWheel, QuantileIndexedWheel, TableIndex, TypedWheelBuild, WheelRegistry}
+import graft.index.{DistinctIndexedWheel, FreqIndexedWheel, MomentIndexedWheel, QuantileIndexedWheel, TableIndex, TopKIndexedWheel, TypedWheelBuild, WheelRegistry}
 import graft.wheel.{TypedHawWheel, TypedRwWheel, WheelAggregator, WheelAggregators}
 
 /** Continuously-maintained TYPED wheel over a Structured Streaming source —
@@ -69,6 +69,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
   @volatile private var publishMoment: Option[(String, String, WheelAggregators.MomentStats)] = None
   @volatile private var publishFreq: Option[(String, String, WheelAggregators.CmsFreq)] = None
   @volatile private var publishQuantile: Option[(String, String, WheelAggregators.HdrQuantile)] = None
+  @volatile private var publishTopK: Option[(String, String, WheelAggregators.TopTalkers)] = None
   // moment publish gates, accumulated per batch under the ingest lock
   private var momCastFail: Long = 0L
   private var momAbsMax: Double = 0.0
@@ -96,8 +97,11 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     case q: WheelAggregators.HdrQuantile =>
       publishQuantile = Some((WheelRegistry.normalizePath(path), column, q))
       live.synchronized(publishLocked())
+    case k: WheelAggregators.TopTalkers =>
+      publishTopK = Some((WheelRegistry.normalizePath(path), column, k))
+      live.synchronized(publishLocked())
     case other => throw new IllegalArgumentException(
-      s"only HllDistinct, MomentStats, CmsFreq or HdrQuantile wheels can register for SQL rewrites, got ${other.getClass.getSimpleName}")
+      s"only HllDistinct, MomentStats, CmsFreq, HdrQuantile or TopTalkers wheels can register, got ${other.getClass.getSimpleName}")
   }
 
   /** The batch-built index the first publish displaced (if any); restored
@@ -112,12 +116,13 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     * layered after the displacement). A batch index that re-registered
     * over us is left untouched. */
   def deregister(): Unit = {
-    // family tag: 0 = hll, 1 = moments, 2 = cms, 3 = hdr — which
-    // (column, "") entry of which map is EXCLUSIVELY ours to withdraw
+    // family tag: 0 = hll, 1 = moments, 2 = cms, 3 = hdr, 4 = topk —
+    // which (column, "") entry of which map is EXCLUSIVELY ours to withdraw
     val target = publishTo.map(t => (t._1, t._2, 0))
       .orElse(publishMoment.map(t => (t._1, t._2, 1)))
       .orElse(publishFreq.map(t => (t._1, t._2, 2)))
       .orElse(publishQuantile.map(t => (t._1, t._2, 3)))
+      .orElse(publishTopK.map(t => (t._1, t._2, 4)))
     target.foreach { case (key, column, fam) =>
       WheelRegistry.update(key, {
         case Some(cur) if cur.fingerprint == 0L =>
@@ -136,9 +141,13 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
           cur.allFreqWheels
             .filterNot(f => fam == 2 && f.column == column && f.filterKey == "")
             .foreach(rest.putFreq)
+          cur.allTopKWheels
+            .filterNot(tk => fam == 4 && tk.column == column)
+            .foreach(rest.putTopK)
           if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty &&
               rest.allQuantileWheels.isEmpty && rest.allMomentWheels.isEmpty &&
-              rest.allCoMomentWheels.isEmpty && rest.allFreqWheels.isEmpty) displaced
+              rest.allCoMomentWheels.isEmpty && rest.allFreqWheels.isEmpty &&
+              rest.allTopKWheels.isEmpty) displaced
           else {
             displaced.foreach(_ => System.err.println(
               s"[graft] deregister keeps live stream families for $key; the " +
@@ -152,6 +161,8 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     publishTo = None
     publishMoment = None
     publishFreq = None
+    publishQuantile = None
+    publishTopK = None
     displaced = None
   }
 
@@ -160,6 +171,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       .orElse(publishMoment.map(t => (t._1, t._2, 1)))
       .orElse(publishFreq.map(t => (t._1, t._2, 2)))
       .orElse(publishQuantile.map(t => (t._1, t._2, 3)))
+      .orElse(publishTopK.map(t => (t._1, t._2, 4)))
     target.foreach { case (key, column, fam) =>
       val snap = snapshot()
       WheelRegistry.update(key, { existing =>
@@ -183,6 +195,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
             cur.allMomentWheels.foreach(t.putMoment)
             cur.allCoMomentWheels.foreach(t.putCoMoment)
             cur.allFreqWheels.foreach(t.putFreq)
+            cur.allTopKWheels.foreach(t.putTopK)
           case None => ()
         }
         // P/Out are fixed by the agg the wheel was constructed with, so
@@ -201,6 +214,10 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
             t.putFreq(FreqIndexedWheel(
               snap.asInstanceOf[TypedHawWheel[Array[Byte], Array[Byte]]], column,
               agg.asInstanceOf[WheelAggregators.CmsFreq]))
+          case 4 =>
+            t.putTopK(TopKIndexedWheel(
+              snap.asInstanceOf[TypedHawWheel[WheelAggregators.TopKSummary, WheelAggregators.TopKSummary]],
+              column, agg.asInstanceOf[WheelAggregators.TopTalkers]))
           case _ =>
             t.putQuantile(QuantileIndexedWheel(
               snap.asInstanceOf[TypedHawWheel[Array[Byte], Array[Byte]]], column,
@@ -224,6 +241,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       case m: WheelAggregators.MomentStats => s"moments(scale=${m.scale})"
       case c: WheelAggregators.CmsFreq     => s"cms(d=${c.d},logW=${c.logW})"
       case q: WheelAggregators.HdrQuantile => s"hdr(s=${q.s})"
+      case k: WheelAggregators.TopTalkers  => s"topk(cap=${k.cap})"
       case other                           => other.getClass.getName
     }
     s"stw-v1|$timeColumn|$valueCol|$aggSig"
@@ -350,5 +368,23 @@ object StreamingTypedWheel {
     import org.apache.spark.sql.functions.col
     new StreamingTypedWheel(timeColumn, col(key).cast("long"),
       new WheelAggregators.CmsFreq(d, logW), (r: Row) => r.getLong(1))
+  }
+
+  /** A continuously-maintained temporal heavy-hitter wheel over `key` —
+    * the live "WHICH keys dominated any time range" service
+    * ([[graft.index.TopKIndexedWheel]]'s streaming twin): [[register]]
+    * publishes freeze-on-read snapshots so
+    * `TableIndex.topKWheel(key).topK(s, e, k)` serves certified-exact
+    * top-k from the stream's summaries. The live state keeps EXACT
+    * per-second summaries (ingest combine is a pointwise sum), so
+    * at-least-once re-delivery overcounts like any counting family —
+    * use exactly-once sources when the certificate must match a batch
+    * build. Compaction to `cap` candidates happens only at the
+    * deterministic freeze, identical to the batch build. */
+  def topTalkers(timeColumn: String, key: String, cap: Int = 64)
+      : StreamingTypedWheel[Long, WheelAggregators.TopKSummary, WheelAggregators.TopKSummary] = {
+    import org.apache.spark.sql.functions.col
+    new StreamingTypedWheel(timeColumn, col(key).cast("long"),
+      new WheelAggregators.TopTalkers(cap), (r: Row) => r.getLong(1))
   }
 }

@@ -242,9 +242,11 @@ final class StreamingWheelIndex(
           cur.allMomentWheels.foreach(rest.putMoment)
           cur.allCoMomentWheels.foreach(rest.putCoMoment)
           cur.allFreqWheels.foreach(rest.putFreq)
+          cur.allTopKWheels.foreach(rest.putTopK)
           if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty &&
               rest.allQuantileWheels.isEmpty && rest.allMomentWheels.isEmpty &&
-              rest.allCoMomentWheels.isEmpty && rest.allFreqWheels.isEmpty) displaced
+              rest.allCoMomentWheels.isEmpty && rest.allFreqWheels.isEmpty &&
+              rest.allTopKWheels.isEmpty) displaced
           else {
             displaced.foreach(_ => System.err.println(
               s"[graft] deregister keeps live stream families for $key; the " +
@@ -301,6 +303,7 @@ final class StreamingWheelIndex(
           cur.allMomentWheels.foreach(t.putMoment)
           cur.allCoMomentWheels.foreach(t.putCoMoment)
           cur.allFreqWheels.foreach(t.putFreq)
+          cur.allTopKWheels.foreach(t.putTopK)
         case None => ()
       }
       // the measure wheel's registry key: attach's resolved meta once

@@ -1266,4 +1266,74 @@ class StreamingWheelSpec extends AnyFunSuite {
       idx.deregister()
     }
   }
+
+  test("StreamingTypedWheel.topTalkers serves certified top-k; co-publishers carry it") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk-stream").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-05-03 00:00:00").getTime
+    // ≤1 key per second (sparse): every range certifies
+    val rows = (0 until 300).map(i => (new Timestamp(base + i * 1000L), (i % 23).toLong))
+    rows.toDF("ts", "uid").write.parquet(path)
+    val input = MemoryStream[(Timestamp, Long)]
+    val idx = StreamingTypedWheel.topTalkers("ts", "uid", cap = 16)
+    val q = idx.attach(input.toDF().toDF("ts", "uid"), "topk-helper")
+    try {
+      idx.register(path, "uid")
+      // live service BEFORE any batch: empty wheel certifies the empty answer
+      input.addData(rows.take(150): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(150): _*)
+      q.processAllAvailable()
+      val s0 = base / 1000L + 60L
+      val e0 = base / 1000L + 240L
+      def groundTruth(k: Int): Seq[(Long, Long)] =
+        rows.filter(r => r._1.getTime / 1000L >= s0 && r._1.getTime / 1000L < e0)
+          .groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+          .sortBy { case (key, c) => (-c, key) }.take(k)
+      val tw = graft.index.WheelRegistry.lookup(path).get.topKWheel("uid").get
+      val served = tw.topK(s0, e0, 5)
+      assert(served.isDefined, "sparse stream slots must certify")
+      assert(served.get == groundTruth(5))
+      // a co-publisher's re-publish must CARRY the top-k family (the
+      // family-clone sites in publishLocked)
+      val input2 = MemoryStream[(Timestamp, Long)]
+      val fidx = StreamingTypedWheel.freq("ts", "uid")
+      val q2 = fidx.attach(input2.toDF().toDF("ts", "uid"), "topk-co")
+      try {
+        fidx.register(path, "uid")
+        input2.addData(rows.take(10): _*)
+        q2.processAllAvailable()
+        val after = graft.index.WheelRegistry.lookup(path).get
+        assert(after.freqWheel("uid", "").isDefined)
+        val tw2 = after.topKWheel("uid")
+        assert(tw2.isDefined, "freq re-publish dropped the top-k family")
+        assert(tw2.get.topK(s0, e0, 5).contains(groundTruth(5)))
+        // withdrawing the co-publisher keeps us registered
+        fidx.deregister()
+        assert(graft.index.WheelRegistry.lookup(path).get.topKWheel("uid").isDefined)
+        assert(graft.index.WheelRegistry.lookup(path).get.freqWheel("uid", "").isEmpty)
+      } finally q2.stop()
+      // checkpoint round-trip: restored wheel serves the identical answer
+      val ckpt = s"$dir/topk.ckpt"
+      idx.saveState(ckpt)
+      val w2 = StreamingTypedWheel.topTalkers("ts", "uid", cap = 16)
+      w2.restoreState(ckpt)
+      idx.deregister()
+      assert(graft.index.WheelRegistry.lookup(path).forall(_.topKWheel("uid").isEmpty))
+      w2.register(path, "uid")
+      val tw3 = graft.index.WheelRegistry.lookup(path).get.topKWheel("uid").get
+      assert(tw3.topK(s0, e0, 5).contains(groundTruth(5)))
+      // cap mismatch is refused, not merged
+      val bad = StreamingTypedWheel.topTalkers("ts", "uid", cap = 8)
+      assertThrows[IllegalArgumentException](bad.restoreState(ckpt))
+      w2.deregister()
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
+  }
 }
