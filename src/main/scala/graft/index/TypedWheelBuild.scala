@@ -40,6 +40,39 @@ object TypedWheelBuild {
       readIn: Row => In): TypedHawWheel[P, Out] =
     buildRw(df, timeColumn, valueCol, agg, readIn).freeze()
 
+  /** [[build]] plus a count of the rows it SKIPPED for a NULL aggregate
+    * value (time non-NULL, value NULL) — the fact the heavy-hitter
+    * optimizer rewrite needs: a `GROUP BY key` query has a NULL group the
+    * wheel cannot represent, so the rule serves only when this count is 0.
+    * Counted by an accumulator inside the same pass (no extra scan);
+    * accumulator updates in transformations may double-count under task
+    * retries, which can only OVERstate the count — the consumer then
+    * declines a rewrite it could have served, never serves a wrong one. */
+  def buildCounted[In, P: ClassTag, Out](
+      df: DataFrame,
+      timeColumn: String,
+      valueCol: Column,
+      agg: WheelAggregator[In, P, Out],
+      readIn: Row => In): (TypedHawWheel[P, Out], Long) = {
+    val sec = UWheelIndex.secExprOf(df, timeColumn)
+    val rows = df.select(sec.as("__sec"), valueCol.as("__v"))
+      .where(col("__sec").isNotNull)
+    val nullValues = df.sparkSession.sparkContext.longAccumulator("graft.nullAggValues")
+    val rdd = rows.rdd
+    if (rdd.getNumPartitions == 0) return (new TypedRwWheel(agg).freeze(), 0L)
+    val w = rdd
+      .mapPartitions { it =>
+        val w = new TypedRwWheel(agg)
+        it.foreach { r =>
+          if (r.isNullAt(1)) nullValues.add(1L)
+          else w.mergeLift(r.getLong(0), readIn(r))
+        }
+        Iterator.single(w)
+      }
+      .treeReduce((a, b) => a.merge(b), depth = 2)
+    (w.freeze(), nullValues.value)
+  }
+
   /** The pre-freeze ingest wheel — for callers that keep merging (the
     * streaming maintenance path merges one of these per micro-batch into
     * its live wheel). */

@@ -524,27 +524,18 @@ object WheelQueries {
     "uw_freq_keyed" -> Q.sql(
       s"SELECT cms_freq(user_id, 42) AS purchases_42 FROM events WHERE $range AND event_type = 'purchase'"),
     // Temporal heavy hitters (withTopKWheel): "top-5 users by activity over
-    // the range" from the index's per-slot candidate summaries. The index
-    // answer is CERTIFIED exact (keys and counts) when the range's slack
-    // bound is zero — always true on this corpus's sparse slots, asserted
-    // by TopKWheelSpec — and the entry falls back to the scan when a
-    // denser corpus ever voids the certificate, so it can never be wrong.
-    // Exact either way ⇒ plain exact DuckDB oracle.
-    "uw_topk_users" -> ((spark: SparkSession, sfDir: String) => {
-      Q.ctx(spark, sfDir)
-      val served = graft.index.WheelRegistry
-        .lookup(s"$sfDir/events.parquet")
-        .flatMap(_.topKWheel("user_id"))
-        .flatMap(_.topK(1704412800L, 1705017600L, 5)) // the contract range
-      served match {
-        case Some(res) =>
-          import spark.implicits._
-          res.toDF("user_id", "cnt")
-        case None => spark.sql(
-          s"""SELECT user_id, count(*) AS cnt FROM events WHERE $range
-             |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin)
-      }
-    }),
+    // the range", now served through PLAIN SQL — the optimizer's top-k arm
+    // ([[graft.rules.UWheelRule]]) recognizes the GROUP BY key ORDER BY cnt
+    // DESC LIMIT n shape and answers from the index's per-slot candidate
+    // summaries whenever the range read CERTIFIES exactness (slack 0 —
+    // always true on this corpus's sparse slots, asserted by TopKRuleSpec's
+    // plan checks), falling back to the scan otherwise, so it can never be
+    // wrong. Exact either way ⇒ plain exact DuckDB oracle. (Round-10: this
+    // entry called the index API with re-literalized epoch seconds; the
+    // rule arm removes both the API bypass and the duplicated constants.)
+    "uw_topk_users" -> Q.sql(
+      s"""SELECT user_id, count(*) AS cnt FROM events WHERE $range
+         |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin),
     // typed families over the SAME derived expression (column-or-expression
     // contract): EXACT revenue variance from the moment wheel — the moments
     // are over the HALF_UP scale-2 image of the product on both sides, so

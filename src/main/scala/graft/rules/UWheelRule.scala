@@ -71,6 +71,12 @@ object UWheelRule extends Rule[LogicalPlan] {
       case f: Filter =>
         try tryPrune(f).getOrElse(f)
         catch { case _: ArithmeticException | _: DeclineRewrite => f }
+      // heavy-hitter shape: ORDER BY count DESC LIMIT n over GROUP BY key
+      // (matched ABOVE the Aggregate — transformDown visits the limit
+      // first, so on decline the Aggregate still gets the other arms)
+      case gl: GlobalLimit =>
+        try tryTopKRewrite(gl).getOrElse(gl)
+        catch { case _: ArithmeticException | _: DeclineRewrite => gl }
     }
     if (rewritten.fastEquals(plan)) plan else cleanupLocal(rewritten)
   }
@@ -2829,5 +2835,124 @@ object UWheelRule extends Rule[LogicalPlan] {
         }
     }
     if (provenEmpty) Some(LocalRelation(f.output, Nil)) else None
+  }
+
+  // --------------------------------------------------- heavy-hitter top-k
+
+  /** `SELECT key, count(*) AS c FROM t WHERE <time range> GROUP BY key
+    * ORDER BY c DESC [, key ASC] LIMIT n` over a column with a temporal
+    * heavy-hitter wheel ([[graft.index.TopKIndexedWheel]]): serves the
+    * CERTIFIED exact top-n — keys AND counts — from the per-slot candidate
+    * summaries when the range read's slack bound is zero, and declines (the
+    * scan runs) otherwise, so the rewrite can never be wrong. This is the
+    * high-cardinality complement of the per-value keyed GROUP BY arm:
+    * low-cardinality keys (event_type) route through complete per-value
+    * wheel sets; keys with too many values to enumerate wheels for
+    * (user_id) route here. Ties at the cut come back (count desc, key asc)
+    * — a valid answer under the `c DESC`-only sort and exactly the
+    * required order when the query pins the key as tiebreaker.
+    *
+    * Decline gates: residual predicates (the wheel is unfiltered) other
+    * than `key IS NOT NULL`; a NULL key seen at build
+    * ([[graft.index.TopKIndexedWheel.keyNullCount]] — SQL has a NULL group
+    * the summary cannot represent) unless the query filters them; inexact
+    * or sub-second bounds; an unbounded range without the NULL-free time
+    * proof; and the certificate itself — nonzero accumulated slack (some
+    * compacted slot may have dropped a key that belongs in the answer). */
+  private def tryTopKRewrite(gl: GlobalLimit): Option[LogicalPlan] = {
+    val (n, order, below) = gl match {
+      case GlobalLimit(IntegerLiteral(n0),
+          LocalLimit(IntegerLiteral(n1), Sort(so, true, child, _)))
+          if n0 == n1 && n0 >= 1 => (n0, so, child)
+      case _ => return None
+    }
+    val agg = below match {
+      case a: Aggregate => a
+      case _            => return None
+    }
+    if (agg.groupingExpressions.length != 1) return None
+    if (agg.aggregateExpressions.length != 2) return None
+    val uw = unwrap(agg.child).getOrElse(return None)
+    val table = uw.table
+    val g = resolve(agg.groupingExpressions.head, uw.aliases) match {
+      case a: AttributeReference => a
+      case _                     => return None
+    }
+    if (g.dataType != LongType && g.dataType != IntegerType) return None
+    val tw = table.topKWheel(g.name).getOrElse(return None)
+
+    // output shape: one side the grouping key, the other a plain COUNT —
+    // count(*) / count(1) / count(key) (the last is per-group equal to
+    // count(*) once the NULL-key gate below holds: group members carry the
+    // group's own non-NULL key)
+    def keyLike(ne: NamedExpression): Boolean = ne match {
+      case a: AttributeReference => a.exprId == g.exprId ||
+        a.semanticEquals(agg.groupingExpressions.head)
+      case Alias(a: AttributeReference, _) => a.exprId == g.exprId
+      case _ => false
+    }
+    def countLike(ne: NamedExpression): Boolean = ne match {
+      case Alias(AggregateExpression(Count(args), _, false, None, _), _) =>
+        args.nonEmpty && args.forall {
+          case l: Literal            => l.value != null
+          case a: AttributeReference => resolve(a, uw.aliases) match {
+            case r: AttributeReference => r.exprId == g.exprId
+            case _                     => false
+          }
+          case _ => false
+        }
+      case _ => false
+    }
+    val aes = agg.aggregateExpressions
+    val (keyPos, cntPos) =
+      if (keyLike(aes(0)) && countLike(aes(1))) (0, 1)
+      else if (keyLike(aes(1)) && countLike(aes(0))) (1, 0)
+      else return None
+
+    // the sort must be (count desc) or (count desc, key asc) on the
+    // aggregate's own outputs
+    val keyId = aes(keyPos).exprId
+    val cntId = aes(cntPos).exprId
+    order match {
+      case Seq(SortOrder(c: AttributeReference, Descending, _, _))
+          if c.exprId == cntId => ()
+      case Seq(SortOrder(c: AttributeReference, Descending, _, _),
+               SortOrder(k: AttributeReference, Ascending, _, _))
+          if c.exprId == cntId && k.exprId == keyId => ()
+      case _ => return None
+    }
+
+    val (ranges, residualRaw) = Extract.splitTimeRangeSet(
+      normalizeZoneCalendar(uw.conjuncts, table), table.timeColumn,
+      zoneSpecOf(table))
+    // every disjunct contradicted the bounds: zero rows, empty top-k
+    if (ranges.isEmpty) return Some(LocalRelation(gl.output, Nil))
+    if (ranges.exists(!_.exact)) return None
+    if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
+    val residual = Extract.dropImpliedNotNull(residualRaw)
+    val nullsFiltered = residual.nonEmpty && residual.forall {
+      case IsNotNull(a: AttributeReference) => resolve(a, uw.aliases) match {
+        case r: AttributeReference => r.exprId == g.exprId
+        case _                     => false
+      }
+      case _ => false
+    }
+    if (residual.nonEmpty && !nullsFiltered) return None
+    if (tw.keyNullCount != 0L && !nullsFiltered) return None
+
+    // certified read: disjoint ranges combine additively; slack 0 proves
+    // the merged summary is the EXACT full histogram of the range
+    val summary = ranges.map { r =>
+      tw.read(r.startSec.getOrElse(LoSentinel), r.endSec.getOrElse(HiSentinel))
+    }.reduceLeft(tw.agg.combine)
+    val topq = tw.agg.topK(summary, n).getOrElse(return None)
+
+    val rows: Seq[InternalRow] = topq.map { case (k, c) =>
+      val vals = new Array[Any](2)
+      vals(keyPos) = if (g.dataType == LongType) k else k.toInt
+      vals(cntPos) = c
+      new GenericInternalRow(vals): InternalRow
+    }
+    Some(LocalRelation(gl.output, rows))
   }
 }

@@ -73,6 +73,10 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
   // moment publish gates, accumulated per batch under the ingest lock
   private var momCastFail: Long = 0L
   private var momAbsMax: Double = 0.0
+  // heavy-hitter publish gate: rows with a live time but a NULL key,
+  // skipped by the wheel — the optimizer's topK arm serves only when 0
+  // (a GROUP BY key query has a NULL group the summary cannot see)
+  private var topkNullKeys: Long = 0L
 
   /** Publishes freeze-on-read snapshots of this wheel into the optimizer's
     * [[WheelRegistry]] as the HLL distinct index for `column` of the table
@@ -217,7 +221,8 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
           case 4 =>
             t.putTopK(TopKIndexedWheel(
               snap.asInstanceOf[TypedHawWheel[WheelAggregators.TopKSummary, WheelAggregators.TopKSummary]],
-              column, agg.asInstanceOf[WheelAggregators.TopTalkers]))
+              column, agg.asInstanceOf[WheelAggregators.TopTalkers],
+              keyNullCount = topkNullKeys))
           case _ =>
             t.putQuantile(QuantileIndexedWheel(
               snap.asInstanceOf[TypedHawWheel[Array[Byte], Array[Byte]]], column,
@@ -261,6 +266,9 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
         o.writeObject(configSig)
         o.writeObject(live)
         if (momProbe.isDefined) { o.writeLong(momCastFail); o.writeDouble(momAbsMax) }
+        // topk checkpoints carry the NULL-key publish gate (sig says topk,
+        // so read/write stay paired)
+        if (agg.isInstanceOf[WheelAggregators.TopTalkers]) o.writeLong(topkNullKeys)
       }
       java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -288,6 +296,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
         momCastFail += in.readLong()
         momAbsMax = math.max(momAbsMax, in.readDouble())
       }
+      if (agg.isInstanceOf[WheelAggregators.TopTalkers]) topkNullKeys += in.readLong()
     }
     version += 1
     live.watermark
@@ -308,11 +317,20 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
           (if (r.isNullAt(0)) 0L else r.getLong(0),
             if (r.isNullAt(1)) 0.0 else r.getDouble(1))
         }
+        // heavy-hitter NULL-key gate: same shape — the published wheel's
+        // keyNullCount must cover every batch the wheel ingested
+        val nullKeys = agg match {
+          case _: WheelAggregators.TopTalkers =>
+            import org.apache.spark.sql.functions.col
+            batch.where(col(timeColumn).isNotNull && valueCol.isNull).count()
+          case _ => 0L
+        }
         live.synchronized {
           probe.foreach { case (fails, am) =>
             momCastFail += fails
             momAbsMax = math.max(momAbsMax, am)
           }
+          topkNullKeys += nullKeys
           live.merge(bw)
           version += 1
           publishLocked()

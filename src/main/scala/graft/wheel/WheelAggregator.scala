@@ -62,6 +62,17 @@ trait WheelAggregator[In, P, Out] extends Serializable {
     * default — exact/sketch families whose partials are already
     * size-bounded don't compact. */
   def compact(p: P): P = p
+  /** [[compact]] as applied when the granularity hierarchy rolls a level
+    * up to slots of `span` seconds. Defaults to `compact`; an error-
+    * accumulating aggregator may keep COARSE slots exact under a larger
+    * budget than its per-second cap so wide-range reads stay sublinear —
+    * [[WheelAggregators.TopTalkers]] keeps a coarse summary uncompacted
+    * (slack unchanged) while it fits [[WheelAggregators.TopTalkers!.coarseBudget]]
+    * entries, and [[TypedHawWheel.combineRangeDescend]] then reads
+    * coarse-first, descending only into slots whose rollup engaged
+    * compaction. Must, like `compact`, preserve the aggregator's
+    * documented error contract. */
+  def compactAtSpan(span: Long, p: P): P = compact(p)
 }
 
 /** Lossless block codec for slot partials. `decode(encode(a))` must equal
@@ -884,10 +895,16 @@ object WheelAggregators {
     val identity: TopKSummary = TopKSummary(Array.emptyLongArray, Array.emptyLongArray, 0L)
     def lift(k: Long): TopKSummary = TopKSummary(Array(k), Array(1L), 0L)
 
-    /** Sorted-by-key merge; counts add exactly, slack adds exactly. */
+    /** Sorted-by-key merge; counts add exactly, slack adds exactly. The
+      * identity short-circuits return a COPY, not the argument: the
+      * snapshot idiom `combine(identity, p)` ([[TypedRwWheel]] freeze) is
+      * documented as yielding a FRESH value that never aliases live state
+      * regardless of what `accumulate` does, and returning `b` by
+      * reference would silently break that contract for any future
+      * mutating `accumulate` (round-10 advice). */
     def combine(a: TopKSummary, b: TopKSummary): TopKSummary = {
-      if (a.keys.isEmpty && a.slack == 0L) return b
-      if (b.keys.isEmpty && b.slack == 0L) return a
+      if (a.keys.isEmpty && a.slack == 0L) return TopKSummary(b.keys.clone(), b.lowers.clone(), b.slack)
+      if (b.keys.isEmpty && b.slack == 0L) return TopKSummary(a.keys.clone(), a.lowers.clone(), a.slack)
       val ks = new Array[Long](a.keys.length + b.keys.length)
       val ls = new Array[Long](ks.length)
       var i = 0; var j = 0; var n = 0
@@ -919,6 +936,21 @@ object WheelAggregators {
       val ls = kept.map(p.lowers)
       TopKSummary(ks, ls, Math.addExact(p.slack, maxDropped))
     }
+
+    /** Coarse rollup slots stay EXACT — uncompacted, slack unchanged —
+      * while they fit this many candidate entries; beyond it they compact
+      * to `cap` like a frozen second slot. This is what makes the
+      * certified range read SUBLINEAR: [[TypedHawWheel.combineRangeDescend]]
+      * reads a week range as a handful of exact day/hour slots instead of
+      * folding every active second, descending only where a slot
+      * overflowed. Memory stays bounded: level L's total entries never
+      * exceed the finest level's (a rollup key appears once where its
+      * children appeared ≥ once), so the whole hierarchy costs at most
+      * `Spans.length ×` the per-second summaries — and any single slot at
+      * most 16 B × coarseBudget ≈ 512 KiB before compaction engages. */
+    val coarseBudget: Int = math.max(cap, 1 << 15)
+    override def compactAtSpan(span: Long, p: TopKSummary): TopKSummary =
+      if (p.keys.length <= coarseBudget) p else compact(p)
 
     def lower(p: TopKSummary): TopKSummary = p
 
@@ -1425,12 +1457,16 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
         while (ci < cStarts.length) {
           val slot = alignDown(cStarts(ci), span)
           if (slot != curStart) {
-            if (curStart != Long.MinValue) { starts += curStart; slots += agg.compact(cur) }
+            if (curStart != Long.MinValue) {
+              starts += curStart; slots += agg.compactAtSpan(span, cur)
+            }
             curStart = slot; cur = cParts(ci)
           } else cur = agg.combine(cur, cParts(ci))
           ci += 1
         }
-        if (curStart != Long.MinValue) { starts += curStart; slots += agg.compact(cur) }
+        if (curStart != Long.MinValue) {
+          starts += curStart; slots += agg.compactAtSpan(span, cur)
+        }
         child = (span, starts.result(), slots.result())
         out += ((span, child._2, store(child._3)))
         li += 1
@@ -1455,6 +1491,7 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
   def measuredBytes: Long = {
     def sz(x: Any): Long = x match {
       case a: Array[Byte] => a.length.toLong + 16 // array object header
+      case t: WheelAggregators.TopKSummary => 48L + 16L * t.keys.length
       case _              => 8L
     }
     prefix.map(pre => numSecs * 8L + pre.iterator.map(sz).sum)
@@ -1513,6 +1550,46 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
     val j = lowerBound(secs, hi)
     var acc = agg.identity
     while (i < j) { acc = agg.combine(acc, parts(i)); i += 1 }
+    acc
+  }
+
+  /** Combined partial over [s, e) reading COARSE-FIRST with per-slot
+    * descent: the greedy span decomposition of [[combineRange]], except a
+    * selected coarse slot is accepted only when `usable(partial)` holds —
+    * otherwise its SPAN is re-decomposed one level finer, recursively down
+    * to the per-second slots (always accepted; there is nothing finer).
+    *
+    * For error-accumulating aggregators with `usable = (slack == 0)` this
+    * returns a partial EQUAL to [[combineRangeSlots]]'s fine fold: a
+    * rollup slot with zero slack is the exact pointwise sum of its
+    * children (compaction never engaged), and a nonzero-slack slot is
+    * replaced by its children's fold. Cost is O(usable coarse slots +
+    * seconds under unusable ones) instead of O(active seconds in range) —
+    * the sublinear certified read of [[WheelAggregators.TopTalkers]]
+    * (round-10 verdict: the fine fold's 0.29 s linear sweep converged with
+    * the scan at scale). */
+  def combineRangeDescend(s: Long, e: Long)(usable: P => Boolean): P = {
+    val lo = math.max(s, startSec)
+    val hi = math.min(e, endSec)
+    if (numSecs == 0 || lo >= hi) return agg.identity
+    if (prefix.isDefined) return combineRange(lo, hi) // invertible: exact O(1)
+    var acc = agg.identity
+    def add(lo: Long, hi: Long, maxLi: Int): Unit = {
+      var cur = lo
+      while (cur < hi) {
+        var li = maxLi
+        while (li > 0 && !(alignDown(cur, Spans(li)) == cur && cur + Spans(li) <= hi)) li -= 1
+        val (span, starts, store) = levels(li)
+        val idx = java.util.Arrays.binarySearch(starts, cur)
+        if (idx >= 0) { // a miss proves the whole span holds no data
+          val p = store(idx)
+          if (li == 0 || usable(p)) acc = agg.combine(acc, p)
+          else add(cur, cur + span, li - 1)
+        }
+        cur += Spans(li)
+      }
+    }
+    add(lo, hi, Spans.length - 1)
     acc
   }
 }
