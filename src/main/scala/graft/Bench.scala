@@ -208,7 +208,33 @@ object Bench {
           probes("bucket_read_us") = dt / 1e3 / math.max(1, res.length)
           probes("bucket_read_nonempty") = res.length.toDouble
         }
-    } catch { case _: Throwable => () }
+    } catch {
+      // NonFatal only, with a sentinel + stderr line: a broken probe must
+      // be visible in the record, not indistinguishable from a deliberately
+      // absent measurement (round-10 advice). OOM/LinkageError propagate.
+      case scala.util.control.NonFatal(e) =>
+        probes("bucket_read_us") = -1.0
+        System.err.println(s"[graft] bucket_read probe failed: $e")
+    }
+
+    // Certified heavy-hitter read (round-10 task 3): µs per topK() over the
+    // contract week via the coarse-first descend path — the per-second
+    // linear fold this replaced read ~290 ms at sf0.1. Reported per READ
+    // (the read touches O(active coarse slots), here ~7 day slots).
+    if (only.isEmpty) try {
+      graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+        .flatMap(_.topKWheel("user_id")).foreach { tw =>
+          tw.topK(1704412800L, 1705017600L, 5) // warm: lazy level rollup
+          val t0 = System.nanoTime()
+          var j = 0
+          while (j < 200) { tw.topK(1704412800L, 1705017600L, 5); j += 1 }
+          probes("topk_read_us") = (System.nanoTime() - t0) / 1e3 / 200
+        }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        probes("topk_read_us") = -1.0
+        System.err.println(s"[graft] topk_read probe failed: $e")
+    }
 
     // Index memory per table (MiB) — keeps the "sparse wheels stay within
     // the reference's order" claim (BASELINE gate 3) measurable
@@ -219,7 +245,11 @@ object Bench {
           probes(s"index_mib_$t") = ti.indexUsageBytes / 1048576.0
         }
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        probes("index_mib_failed") = -1.0
+        System.err.println(s"[graft] index_mib probe failed: $e")
+    }
 
     // Isolation pins (round-7 verdict: suite-position effects — GC/shuffle
     // debt of whatever ran alphabetically before an entry — were
@@ -228,7 +258,10 @@ object Bench {
     // no heavy neighbor has run for minutes: the in-record equivalent of a
     // SPARK_GRAFT_ONLY probe. `iso_x / x` ≫ or ≪ 1 attributes suite noise;
     // ≈ 1 says the in-suite number was the query's own cost.
-    val isoPins = Seq("uw_count_range", "uw_window_sliding", "q3_topk", "q_pivot", "dd_cluster")
+    // ann_topk + dd_embed_lsh joined round 11: their r9→r10 deltas had no
+    // pin to attribute (verdict task 4), so suite noise was unfalsifiable
+    val isoPins = Seq("uw_count_range", "uw_window_sliding", "q3_topk", "q_pivot",
+      "dd_cluster", "ann_topk", "dd_embed_lsh")
     if (only.isEmpty) {
       System.gc(); Thread.sleep(1000); System.gc(); Thread.sleep(500)
       isoPins.foreach { name =>

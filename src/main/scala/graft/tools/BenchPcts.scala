@@ -7,7 +7,8 @@ import graft.queries.Q
 /** Randomized-latency bench families, mirroring the reference bench's
   * 1,000-random-range HdrHistogram runs
   * (`benchmarks/nyc_taxi_bench/src/main.rs:232-305,504-518`): COUNT(*),
-  * keyed SUM, and min/max-pruned SELECT * over random second- or
+  * keyed SUM, min/max-pruned SELECT *, GROUP BY date_trunc, sliding window(),
+  * and certified heavy-hitter top-k over random second- or
   * minute-aligned ranges of the events table, rule-ON vs rule-OFF,
   * reported as p50/p99/p99.9 — so BASELINE.md's latency rows compare to a
   * distribution, not a single-query median.
@@ -22,13 +23,13 @@ import graft.queries.Q
   * end-to-end SQL latency sits on the JVM's ~4-6 ms plan/session floor
   * regardless of how fast the wheel answers.
   *
-  * Writes one JSON object to BENCH_pcts_r10.json (args(0) overrides) and
+  * Writes one JSON object to BENCH_pcts_r11.json (args(0) overrides) and
   * prints it.
   */
 object BenchPcts {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = args.headOption.getOrElse("/root/repo/BENCH_pcts_r10.json")
+    val outPath = args.headOption.getOrElse("/root/repo/BENCH_pcts_r11.json")
     val n = sys.env.get("SPARK_GRAFT_PCTS_N").map(_.toInt).getOrElse(1000)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -79,6 +80,21 @@ object BenchPcts {
         // value's domain tops out far below 100000: the min/max wheel must
         // prove emptiness and prune the scan entirely
         s"SELECT event_id FROM events WHERE ts >= TIMESTAMP '${tsOf(a)}' AND ts < TIMESTAMP '${tsOf(b)}' AND value > 100000.0"
+      // the multi-row rewrite families (round-10 task 7: the reference
+      // bench has no analogue — GROUP BY date_trunc and window() live only
+      // here), same contract shapes as uw_groupby_hour / uw_window_sliding
+      case "groupby_hour" =>
+        "SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt, min(value) AS mn, max(value) AS mx " +
+          s"FROM events WHERE ts >= TIMESTAMP '${tsOf(a)}' AND ts < TIMESTAMP '${tsOf(b)}' GROUP BY 1 ORDER BY 1"
+      case "window_sliding" =>
+        "SELECT window.start AS ws, count(*) AS cnt FROM events " +
+          s"WHERE ts >= TIMESTAMP '${tsOf(a)}' AND ts < TIMESTAMP '${tsOf(b)}' " +
+          "GROUP BY window(ts, '2 days', '1 day') ORDER BY 1"
+      // this round's heavy-hitter arm: certified exact top-5 keys
+      case "topk" =>
+        "SELECT user_id, count(*) AS cnt FROM events " +
+          s"WHERE ts >= TIMESTAMP '${tsOf(a)}' AND ts < TIMESTAMP '${tsOf(b)}' " +
+          "GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5"
     }
 
     def runFam(fam: String, ranges: Int): Array[Double] = {
@@ -93,11 +109,16 @@ object BenchPcts {
     }
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
-    Seq("count", "keyed_sum", "minmax_prune").foreach { fam =>
+    // multi-row families run n/2 ON ranges (each rewrite materializes up to
+    // hundreds of buckets — the distribution converges well before 1,000)
+    val famRanges = Map("groupby_hour" -> n / 2, "window_sliding" -> n / 2)
+    Seq("count", "keyed_sum", "minmax_prune", "groupby_hour", "window_sliding",
+        "topk").foreach { fam =>
+      val fn = famRanges.getOrElse(fam, n)
       graft.Graft.rewritesEnabled = true
-      out(s"${fam}_on") = pcts(runFam(fam, n))
+      out(s"${fam}_on") = pcts(runFam(fam, fn))
       graft.Graft.rewritesEnabled = false
-      out(s"${fam}_off") = pcts(runFam(fam, math.max(50, n / 5)))
+      out(s"${fam}_off") = pcts(runFam(fam, math.max(50, fn / 5)))
       graft.Graft.rewritesEnabled = true
     }
 
@@ -122,6 +143,13 @@ object BenchPcts {
     val vw = graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
       .flatMap(_.minMaxWheel("value")).map(_.wheel)
     vw.foreach { w => out("wheel_multiagg_raw") = rawPcts((a, b) => { w.range(a, b); () }) }
+    // certified heavy-hitter read via the coarse-first descend path (this
+    // round's sublinear rework; the per-second fold it replaced was linear
+    // in active slots — ~290 ms for the contract week at sf0.1)
+    graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+      .flatMap(_.topKWheel("user_id")).foreach { tw =>
+        out("wheel_topk_raw") = rawPcts((a, b) => { tw.topK(a, b, 5); () })
+      }
 
     def j(m: Map[String, Double]): String =
       m.map { case (k, v) => s""""$k":${f"$v%.4f"}""" }.mkString("{", ",", "}")

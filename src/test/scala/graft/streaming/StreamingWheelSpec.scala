@@ -1336,4 +1336,62 @@ class StreamingWheelSpec extends AnyFunSuite {
       idx.deregister()
     }
   }
+
+  test("top-k restore gate: a displaced batch-built top-k index returns whole on deregister") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk-displace").toString
+    val path = s"$dir/t.parquet"
+    val base = ts("2024-06-01 00:00:00").getTime
+    // ≤1 key per second: every range certifies, batch and stream alike
+    val rows = (0 until 200).map(i => (new Timestamp(base + i * 1000L), (i % 9).toLong))
+    rows.toDF("ts", "uid").write.parquet(path)
+    graft.index.UWheelBuilder("ts").withTopKWheel("uid", cap = 16).build(spark, path)
+    val s0 = base / 1000L
+    val e0 = s0 + 200L
+    def gt(of: Seq[(Timestamp, Long)], k: Int): Seq[(Long, Long)] =
+      of.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (key, c) => (-c, key) }.take(k)
+    assert(graft.index.WheelRegistry.lookup(path).get.topKWheel("uid").get
+      .topK(s0, e0, 5).contains(gt(rows, 5)))
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val sIdx = StreamingTypedWheel.topTalkers("ts", "uid", cap = 16)
+    val q = sIdx.attach(input.toDF().toDF("ts", "uid"), "topk-displace")
+    try {
+      // the stream publisher displaces the batch index (warned, restorable)
+      sIdx.register(path, "uid")
+      input.addData(rows.take(50): _*)
+      q.processAllAvailable()
+      val live = graft.index.WheelRegistry.lookup(path).get
+      assert(live.fingerprint == 0L, "stream registration must be live")
+      assert(live.topKWheel("uid").get.topK(s0, e0, 3)
+        .contains(gt(rows.take(50), 3)), "live wheel serves the stream's content")
+      // deregister: the untested top-k path of the restore gate — the
+      // displaced BATCH index must come back with its top-k family intact
+      sIdx.deregister()
+      val restored = graft.index.WheelRegistry.lookup(path).get
+      assert(restored.fingerprint != 0L, "batch index must be restored")
+      val tw = restored.topKWheel("uid")
+      assert(tw.isDefined, "restore dropped the batch top-k family")
+      assert(tw.get.topK(s0, e0, 5).contains(gt(rows, 5)))
+      // and the optimizer's top-k arm serves from the restored family
+      val sql =
+        s"""SELECT uid, count(*) AS cnt FROM parquet.`$path`
+           |WHERE ts >= TIMESTAMP '2024-06-01 00:00:00' AND ts < TIMESTAMP '2024-06-01 00:03:20'
+           |GROUP BY 1 ORDER BY cnt DESC, uid LIMIT 5""".stripMargin
+      val opt = spark.sql(sql).queryExecution.optimizedPlan
+      assert(opt.collect { case l: LocalRelation => l }.nonEmpty,
+        s"restored top-k family must serve plain SQL:\n$opt")
+      assert(spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == gt(rows, 5))
+    } finally {
+      q.stop()
+      sIdx.deregister()
+      graft.index.WheelRegistry.deregister(path)
+    }
+  }
 }
