@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** `try_cast(double AS decimal(precision, scale))` with a scaled-long fast
+  * path — the index build's exactness probe and sum-image cast, minus the
+  * `Decimal.set(double)` → `Double.toString` → `BigDecimal` parse that
+  * dominated the lineitem build's executor samples (~40%, round-10
+  * verdict task 6).
+  *
+  * Fast path: the candidate unscaled long `u = rint(v·10^s)` is accepted
+  * when `|u| ≤ 2^50` and `(double) u / 10^s == v` — i.e. the s-digit
+  * decimal `u·10^-s` round-trips to exactly this double. Under the 2^50
+  * bound, `ulp(v) ≤ 10^-s/4`, so (a) `u·10^-s` is the UNIQUE s-digit
+  * decimal in v's rounding interval, and (b) it lies strictly nearer than
+  * `10^-s/2` to EVERY decimal representation of v — in particular to the
+  * shortest one `Double.toString` produces — so `HALF_UP` rounding of that
+  * representation to s digits must yield `u` (no tie is reachable: a tie
+  * needs distance exactly `10^-s/2 > ulp-interval width`). Half-even vs
+  * half-up cannot diverge here either: a true .5 tie fails the round-trip
+  * check and falls through. Everything else — NaN/Infinity (→ NULL like
+  * `try_cast`), subnormals, magnitudes past 2^50, genuine > s-digit
+  * doubles — takes Spark's own conversion, bit-for-bit the `try_cast`
+  * result (`FastDecimalImageSpec` fuzzes the equivalence).
+  */
+case class FastDecimalImage(child: Expression, precision: Int, scale: Int)
+    extends UnaryExpression {
+  require(precision >= 1 && precision <= 38 && scale >= 0 && scale <= precision,
+    s"invalid decimal($precision, $scale)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fast_decimal_image requires a DOUBLE child, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = DecimalType(precision, scale)
+  override def nullable: Boolean = true
+
+  private val pow: Double = math.pow(10d, scale) // exact for scale ≤ 22
+
+  override def nullSafeEval(input: Any): Any =
+    FastDecimalImages.convert(input.asInstanceOf[Double], precision, scale, pow)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.functions.FastDecimalImages.convert($v, $precision, $scale, ${pow}D);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FastDecimalImage =
+    copy(child = newChild)
+
+  override def prettyName: String = "fast_decimal_image"
+}
+
+object FastDecimalImages {
+  /** |unscaled| bound of the fast path — see [[FastDecimalImage]]'s
+    * uniqueness argument. 2^50 at scale 2 still covers ±11.2 trillion. */
+  private val MaxFastUnscaled: Double = (1L << 50).toDouble
+
+  /** NULL (like `try_cast`) on NaN/Infinity/precision overflow; otherwise
+    * the HALF_UP s-digit decimal of v's shortest decimal representation —
+    * Spark's exact double→decimal semantics, via the long fast path when
+    * the round-trip proves it sound. */
+  def convert(v: Double, precision: Int, scale: Int, pow: Double): Decimal = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return null
+    val r = Math.rint(v * pow)
+    if (Math.abs(r) <= MaxFastUnscaled) {
+      val u = r.toLong
+      if (u.toDouble / pow == v) return Decimal(u, precision, scale)
+    }
+    val d = Decimal(v) // shortest-repr parse — the exact slow path
+    if (d.changePrecision(precision, scale)) d else null
+  }
+}

@@ -224,13 +224,26 @@ final case class TopKIndexedWheel(
     * to its children. Result — certified or not — is therefore EXACTLY the
     * per-second fold's, at sublinear cost (round-10 verdict, task 3). */
   def topK(s: Long, e: Long, k: Int): Option[Seq[(Long, Long)]] =
-    agg.topK(read(s, e), k)
-  /** Approximate reading: top candidates with [lower, upper] bounds. */
+    read(s, e).flatMap(agg.topK(_, k))
+  /** Approximate reading: top candidates with [lower, upper] bounds (empty
+    * when the read overran the fold budget — callers scan). */
   def topKBounds(s: Long, e: Long, k: Int): Seq[(Long, Long, Long)] =
-    agg.topKBounds(read(s, e), k)
-  /** The combined range summary both readers certify from. */
-  private[graft] def read(s: Long, e: Long): WheelAggregators.TopKSummary =
-    wheel.combineRangeDescend(s, e)(_.slack == 0L)
+    read(s, e).map(agg.topKBounds(_, k)).getOrElse(Nil)
+  /** The combined range summary both readers certify from; None when the
+    * accumulated candidate set overruns [[TopKIndexedWheel.ReadKeyBudget]]
+    * — a slack-0 summary over a wide range is the FULL key histogram, and
+    * an unbounded driver-side merge over 100 TB cardinalities would stall
+    * the planner; past the budget the caller falls back to the scan. */
+  private[graft] def read(s: Long, e: Long): Option[WheelAggregators.TopKSummary] =
+    wheel.combineRangeDescendBounded(s, e)(_.slack == 0L)(
+      _.keys.length <= TopKIndexedWheel.ReadKeyBudget)
+}
+
+object TopKIndexedWheel {
+  /** Max accumulated candidate keys a single certified read may fold
+    * (~32 MiB of (key, lower) pairs): plan-time protection, not a
+    * correctness bound — overruns decline to the scan. */
+  val ReadKeyBudget: Int = 1 << 21
 }
 
 /** Exact-moment wheel (n, Σx, Σx² as exact integers at a fixed decimal
@@ -961,6 +974,24 @@ object UWheelIndex {
   private[graft] def colOrExprKeyOf(df: DataFrame, s: String): (String, Option[String]) =
     if (df.schema.exists(_.name == s)) (s, None) else (exprKeyOf(df, s), Some(s))
 
+  /** `try_cast(v AS decimal(p, s))` of a DOUBLE column via the scaled-long
+    * fast path ([[graft.functions.FastDecimalImage]] — identical result,
+    * minus the `Double.toString` parse that priced the lineitem build). */
+  private def fastDecCol(v: Column, precision: Int, scale: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.FastDecimalImage(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v), precision, scale))
+
+  /** The fixed-point probe image for a moment/co-moment source: the fast
+    * double path when the source IS a double, Spark's own `try_cast` for
+    * every other input type (DECIMAL sources stay in exact decimal
+    * arithmetic end-to-end; int/long casts are already cheap). */
+  private def fastDecIfDouble(df: DataFrame, src: Column, precision: Int,
+      scale: Int): Column =
+    if (df.select(src).schema.head.dataType == org.apache.spark.sql.types.DoubleType)
+      fastDecCol(src, precision, scale)
+    else src.try_cast(s"decimal($precision,$scale)")
+
   /** Builds ANY number of wheels in ONE distributed scan: each spec becomes
     * six conditional aggregate columns of a single map-side-combining
     * `groupBy(second)`, so index construction over 100 TB is one pass
@@ -1046,10 +1077,12 @@ object UWheelIndex {
         val v = srcCol.cast("double")
         // Exactness probe: does v survive a round-trip through
         // DECIMAL(38,scale)? NaN/Infinity/overflow become NULL and count as
-        // non-representable. try_* casts keep that contract under ANSI mode
-        // (Spark 4 default), where a plain cast would throw and kill the
-        // whole build instead of marking the wheel inexact.
-        val asDec = v.try_cast(s"decimal(38,$scale)")
+        // non-representable — `try_cast` semantics, via the scaled-long
+        // fast path ([[graft.functions.FastDecimalImage]]): the
+        // Decimal.set(double) → Double.toString parse behind the plain
+        // cast was ~40% of the lineitem build's executor samples
+        // (round-10 verdict task 6).
+        val asDec = fastDecCol(v, 38, scale)
         val roundTrip = asDec.cast("double") // decimal→double never errors
         Seq(
           v.as(s"_v$k"),
@@ -1123,7 +1156,7 @@ object UWheelIndex {
       val s = ms.scale
       val src = ms.exprSql.map(F.expr).getOrElse(F.col(ms.column))
       val vd = src.cast("double")
-      val f = src.try_cast(s"decimal(18,$s)")
+      val f = fastDecIfDouble(df, src, 18, s)
       val fail = src.isNotNull && f.isNull
       val u = (f * F.lit(math.pow(10, s).toLong).cast("decimal(10,0)")).cast("long")
       val u19 = u.cast("decimal(19,0)")
@@ -1141,7 +1174,7 @@ object UWheelIndex {
       // failure in EITHER column (NaN/Infinity/overflow — which would make
       // the scan's explicit cast throw under ANSI) is counted to decline.
       def probe(src: Column, s: Int) = {
-        val f = src.try_cast(s"decimal(18,$s)")
+        val f = fastDecIfDouble(df, src, 18, s)
         val u = (f * F.lit(math.pow(10, s).toLong).cast("decimal(10,0)")).cast("long")
         (src, f, u, src.cast("double"))
       }
@@ -1210,20 +1243,32 @@ object UWheelIndex {
     // a single core). Spread rows across the session's cores first when
     // the scan is far below them — a no-op on genuinely large tables,
     // whose split count exceeds any executor's core count by construction.
-    // Eight ways is enough to amortize the fold while keeping the extra
-    // shuffle's file fan-out (n_map × n_reduce) small on local mode.
+    // HASH-partitioned BY THE SLOT, not round-robin (round-10 task 6:
+    // round-robin was ~0.6 s of the 2.2 s lineitem build — it pays
+    // sort-before-repartition for determinism AND leaves the aggregate
+    // needing its own exchange; hashing by the group key costs neither,
+    // since the exchange it introduces IS the aggregate's distribution).
+    // Slot-hash skew equals the aggregate's own reduce skew — no new
+    // hotspot. Eight ways amortizes the fold while keeping the shuffle's
+    // file fan-out small on local mode.
     val parallelism = math.min(8, df.sparkSession.sparkContext.defaultParallelism)
     val projected =
       if (projected0.rdd.getNumPartitions < parallelism)
-        projected0.repartition(parallelism)
+        projected0.repartition(parallelism, slotExpr)
       else projected0
-    val acc = projected.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
-      .rdd
+    val aggDf = projected.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
+    val aggRdd = aggDf.rdd
+    // Post-agg rows are hash-partitioned DISJOINT by slot, so executor-side
+    // pre-merge (depth 2) reduces the number of serialized accumulators the
+    // driver sees, never the bytes — pure latency at local partition counts
+    // (one extra stage), essential at cluster counts (10k reduce partitions
+    // → ~100 accs at the driver instead of 10k open connections' worth).
+    val acc = aggRdd
       .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs, hdrSs, momScales, coScales,
         cmsParams))(
         (a, row) => { a.add(row); a },
         (a, b) => a.merge(b),
-        depth = 2)
+        depth = if (aggRdd.getNumPartitions <= 64) 1 else 2)
     val built = specs.zipWithIndex.map { case (sp, i) =>
       val hasValues = sp.valueColumn.isDefined
       BuiltWheel(

@@ -39,7 +39,18 @@ object Q {
         spark.read.parquet(p).createOrReplaceTempView("lineitem_dec"))
     }
     val key = s"$sid#$sfDir"
-    if (prepared.add(key)) {
+    // "Prepared" is a claim about the REGISTRY, not just this memo: a
+    // caller may have deregistered/cleared registrations since we built
+    // (operationally: an admin reset; in the test suite: WheelRegistry
+    // .clear() in another spec). Re-validate against the registry's state
+    // and rebuild when our indexes are gone — builds are idempotent and
+    // layering-safe, so the worst case of a race is duplicate work, never
+    // a lost family.
+    val stillRegistered =
+      graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+        .exists(_.topKWheel("user_id").isDefined) &&
+        graft.index.WheelRegistry.lookup(s"$sfDir/lineitem.parquet").isDefined
+    if (prepared.add(key) || !stillRegistered) {
       Graft.enable(spark)
       // A failed build must not poison the session: queries stay correct
       // through the scan path, so log and continue without that index.

@@ -2941,10 +2941,13 @@ object UWheelRule extends Rule[LogicalPlan] {
     if (tw.keyNullCount != 0L && !nullsFiltered) return None
 
     // certified read: disjoint ranges combine additively; slack 0 proves
-    // the merged summary is the EXACT full histogram of the range
-    val summary = ranges.map { r =>
+    // the merged summary is the EXACT full histogram of the range. A read
+    // that overruns the fold's key budget comes back None — decline.
+    val parts = ranges.map { r =>
       tw.read(r.startSec.getOrElse(LoSentinel), r.endSec.getOrElse(HiSentinel))
-    }.reduceLeft(tw.agg.combine)
+    }
+    if (parts.exists(_.isEmpty)) return None
+    val summary = parts.map(_.get).reduceLeft(tw.agg.combine)
     val topq = tw.agg.topK(summary, n).getOrElse(return None)
 
     val rows: Seq[InternalRow] = topq.map { case (k, c) =>

@@ -1568,13 +1568,23 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
     * the sublinear certified read of [[WheelAggregators.TopTalkers]]
     * (round-10 verdict: the fine fold's 0.29 s linear sweep converged with
     * the scan at scale). */
-  def combineRangeDescend(s: Long, e: Long)(usable: P => Boolean): P = {
+  def combineRangeDescend(s: Long, e: Long)(usable: P => Boolean): P =
+    combineRangeDescendBounded(s, e)(usable)(_ => true).get
+
+  /** [[combineRangeDescend]] with a driver-latency guard: returns None the
+    * moment the ACCUMULATED partial fails `accOk`. The heavy-hitter
+    * optimizer arm bounds its plan-time fold with this — a slack-0 summary
+    * over a wide range is the range's FULL key histogram, and at 100 TB
+    * cardinalities an unbounded driver-side merge would stall planning for
+    * seconds; past the budget the arm declines to the scan instead. */
+  def combineRangeDescendBounded(s: Long, e: Long)(usable: P => Boolean)(
+      accOk: P => Boolean): Option[P] = {
     val lo = math.max(s, startSec)
     val hi = math.min(e, endSec)
-    if (numSecs == 0 || lo >= hi) return agg.identity
-    if (prefix.isDefined) return combineRange(lo, hi) // invertible: exact O(1)
+    if (numSecs == 0 || lo >= hi) return Some(agg.identity)
+    if (prefix.isDefined) return Some(combineRange(lo, hi)) // invertible: exact O(1)
     var acc = agg.identity
-    def add(lo: Long, hi: Long, maxLi: Int): Unit = {
+    def add(lo: Long, hi: Long, maxLi: Int): Boolean = {
       var cur = lo
       while (cur < hi) {
         var li = maxLi
@@ -1583,13 +1593,15 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
         val idx = java.util.Arrays.binarySearch(starts, cur)
         if (idx >= 0) { // a miss proves the whole span holds no data
           val p = store(idx)
-          if (li == 0 || usable(p)) acc = agg.combine(acc, p)
-          else add(cur, cur + span, li - 1)
+          if (li == 0 || usable(p)) {
+            acc = agg.combine(acc, p)
+            if (!accOk(acc)) return false
+          } else if (!add(cur, cur + span, li - 1)) return false
         }
         cur += Spans(li)
       }
+      true
     }
-    add(lo, hi, Spans.length - 1)
-    acc
+    if (add(lo, hi, Spans.length - 1)) Some(acc) else None
   }
 }
