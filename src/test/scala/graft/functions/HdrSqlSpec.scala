@@ -31,6 +31,12 @@ class HdrSqlSpec extends AnyFunSuite {
     spark.sparkContext.setLogLevel("WARN")
     Graft.enable(spark)
     Tables.registerAll(spark, dir)
+    // this suite's decline tests assume a MINIMAL registration (only the
+    // 'purchase'-keyed family); batch builds LAYER over a same-fingerprint
+    // entry since round 11, so explicitly withdraw whatever a richer suite
+    // registered first — deregister + rebuild is the documented way to
+    // narrow a registration
+    graft.index.WheelRegistry.deregister(path)
     UWheelBuilder("ts", Seq("value"))
       .withQuantileWheel("value")
       .withKeyedQuantileWheel("value", "event_type = 'purchase'")

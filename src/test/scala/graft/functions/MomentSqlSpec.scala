@@ -34,6 +34,12 @@ class MomentSqlSpec extends AnyFunSuite {
     spark.sparkContext.setLogLevel("WARN")
     Graft.enable(spark)
     Tables.registerAll(spark, dir)
+    // this suite's decline tests assume a MINIMAL registration (only the
+    // 'purchase'-keyed family); batch builds LAYER over a same-fingerprint
+    // entry since round 11, so explicitly withdraw whatever a richer suite
+    // registered first — deregister + rebuild is the documented way to
+    // narrow a registration
+    graft.index.WheelRegistry.deregister(path)
     UWheelBuilder("ts", Seq("value"))
       .withMomentWheel("value")
       .withKeyedMomentWheel("value", "event_type = 'purchase'")
