@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.CmsFreqAgg].getName, "cms_freq"),
       Graft.cmsBuilder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.WordNGrams].getName, "word_ngrams"),
+      Graft.wordNGramsBuilder))
     graft.functions.MomentStatsAgg.Stats.foreach { stat =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(s"wheel_$stat"),
@@ -93,6 +98,8 @@ object Graft {
       "hdr_quantile", hdrBuilder, "scala_udf")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_freq", cmsBuilder, "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", wordNGramsBuilder, "scala_udf")
     graft.functions.MomentStatsAgg.Stats.foreach { stat =>
       cs.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"wheel_$stat", exprs => momentBuilder(stat, exprs), "scala_udf")
@@ -110,6 +117,15 @@ object Graft {
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     require(exprs.length == 2, s"wheel_$stat takes (x, y), got ${exprs.length} arguments")
     graft.functions.CoMomentStatsAgg(exprs(0), exprs(1), stat)
+  }
+
+  /** `word_ngrams(tokens, n)` — distinct word n-grams, one native pass
+    * ([[graft.functions.WordNGrams]]). */
+  private[graft] def wordNGramsBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2, s"word_ngrams takes (tokens, n), got ${exprs.length} arguments")
+    graft.functions.WordNGrams(exprs(0), intOf(exprs(1), "word_ngrams n"))
   }
 
   /** `wheel_var_samp(col)` etc. — exact-moment variance/stddev aggregates

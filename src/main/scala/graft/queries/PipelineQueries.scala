@@ -70,9 +70,7 @@ object PipelineQueries {
     "txt_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
          |           WHERE size(split(text, ' ')) >= $ContamN),
-         |g AS (SELECT doc_id, explode(array_distinct(
-         |        transform(sequence(0, size(w) - $ContamN),
-         |                  i -> concat_ws(' ', slice(w, i + 1, $ContamN))))) AS s
+         |g AS (SELECT doc_id, explode(word_ngrams(w, $ContamN)) AS s
          |      FROM d),
          |e AS (SELECT DISTINCT s FROM g WHERE doc_id % $EvalMod = 0),
          |t AS (SELECT doc_id, s FROM g WHERE doc_id % $EvalMod <> 0)
@@ -87,8 +85,7 @@ object PipelineQueries {
       """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
         |           WHERE size(split(text, ' ')) >= 2),
         |b AS (SELECT doc_id, size(w) - 1 AS n_bi,
-        |             size(array_distinct(transform(sequence(0, size(w) - 2),
-        |                  i -> concat_ws(' ', slice(w, i + 1, 2))))) AS n_uniq
+        |             size(word_ngrams(w, 2)) AS n_uniq
         |      FROM d)
         |SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bigrams,
         |       CAST(n_bi - n_uniq AS DOUBLE) / n_bi AS dup_frac,
@@ -156,15 +153,14 @@ object PipelineQueries {
     // fixed precedence (length → repetition → language allowlist → kept),
     // reported as a per-verdict census — the drop-reason bookkeeping every
     // filtering pipeline publishes alongside its output. One map pass + one
-    // tiny hash-agg; the CASE guard keeps the bigram computation off the
-    // sub-2-word rows (where slice() would fault) in both engines.
+    // tiny hash-agg. Spark side counts unique bigrams with the native
+    // word_ngrams (empty array below 2 words, so no guard needed); the
+    // oracle keeps the HOF chain under a CASE guard (slice() would fault
+    // on sub-2-word rows there).
     "ds_funnel" ->
       """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, lang, size(w) AS n_words, size(w) - 1 AS n_bi,
-        |             CASE WHEN size(w) >= 2 THEN
-        |               size(array_distinct(transform(sequence(0, size(w) - 2),
-        |                    i -> concat_ws(' ', slice(w, i + 1, 2)))))
-        |             ELSE 0 END AS n_uniq
+        |             size(word_ngrams(w, 2)) AS n_uniq
         |      FROM d),
         |v AS (SELECT CASE WHEN n_words < 30 THEN 'too_short'
         |                  WHEN (n_bi - n_uniq) * 5 >= n_bi THEN 'repetitive'
@@ -248,17 +244,12 @@ object PipelineQueries {
     val survivors = spark.sql(
       s"""WITH d AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, lang, size(w) AS n_words, size(w) - 1 AS n_bi,
-         |             CASE WHEN size(w) >= 2 THEN
-         |               size(array_distinct(transform(sequence(0, size(w) - 2),
-         |                    i -> concat_ws(' ', slice(w, i + 1, 2)))))
-         |             ELSE 0 END AS n_uniq
+         |             size(word_ngrams(w, 2)) AS n_uniq
          |      FROM d),
          |keptv AS (SELECT doc_id, lang, n_words FROM s
          |          WHERE n_words >= 30 AND (n_bi - n_uniq) * 5 < n_bi
          |            AND lang IN ('en', 'de', 'fr')),
-         |g AS (SELECT doc_id, explode(array_distinct(
-         |        transform(sequence(0, size(w) - $ContamN),
-         |                  i -> concat_ws(' ', slice(w, i + 1, $ContamN))))) AS gram
+         |g AS (SELECT doc_id, explode(word_ngrams(w, $ContamN)) AS gram
          |      FROM d WHERE size(w) >= $ContamN),
          |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % $EvalMod = 0),
          |contam AS (SELECT DISTINCT t.doc_id FROM g t JOIN e ON t.gram = e.gram

@@ -60,8 +60,8 @@ object SimilarityQueries {
     spark.table("documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))).as("s"))
+      .select(col("doc_id"),
+        explode(expr("word_ngrams(w, 3)")).as("s"))
 
   /** MinHash signatures + banded LSH candidates + exact-Jaccard verification.
     * Output = pairs with true shingle-Jaccard >= 0.5 among LSH candidates.

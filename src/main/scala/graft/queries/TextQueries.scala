@@ -194,8 +194,7 @@ object TextQueries {
   private[graft] def shingleJaccardSparkSql(capDf: Option[Int]): String = {
     val cap = capDf.map(n => s" AND count(*) <= $n").getOrElse("")
     s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 3),
-       |sh AS (SELECT doc_id, explode(array_distinct(
-       |         transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3))))) AS s
+       |sh AS (SELECT doc_id, explode(word_ngrams(w, 3)) AS s
        |       FROM d),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |lists AS (SELECT sort_array(collect_list(doc_id)) AS ds
