@@ -155,6 +155,18 @@ object TextQueries {
         |FROM w JOIN df ON w.term = df.term
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
 
+    // document n-gram census through the NATIVE one-pass word_ngrams
+    // expression (the building block behind decontamination and
+    // shingle-Jaccard): distinct vs total 3-gram counts per doc. The
+    // oracle recomputes the grams with DuckDB's list HOFs, so this entry
+    // contract-checks the expression itself, not just its consumers.
+    "txt_ngrams" ->
+      """SELECT doc_id,
+        |  CAST(size(word_ngrams(split(text, ' '), 3)) AS BIGINT) AS n_distinct,
+        |  CAST(size(split(text, ' ')) - 2 AS BIGINT) AS n_total
+        |FROM documents WHERE size(split(text, ' ')) >= 3
+        |ORDER BY doc_id""".stripMargin,
+
     // exact dedup: hash-groupBy on a normalized key, keep-min representative
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_sz
@@ -336,6 +348,15 @@ object TextQueries {
     "dd_shingle_jaccard" -> shingleJaccardDuckSql(capDf = None),
 
     "dd_shingle_capped" -> shingleJaccardDuckSql(capDf = Some(ShingleCapDf)),
+
+    "txt_ngrams" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |       i -> array_to_string(w[i:i+2], ' ')))) AS BIGINT) AS n_distinct,
+        |  CAST(len(w) - 2 AS BIGINT) AS n_total
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
