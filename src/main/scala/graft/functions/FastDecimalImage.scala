@@ -63,16 +63,30 @@ object FastDecimalImages {
     * uniqueness argument. 2^50 at scale 2 still covers ±11.2 trillion. */
   private val MaxFastUnscaled: Double = (1L << 50).toDouble
 
+  private val Pow10: Array[Double] =
+    (0 to 15).map(i => math.pow(10d, i)).toArray
+
   /** NULL (like `try_cast`) on NaN/Infinity/precision overflow; otherwise
     * the HALF_UP s-digit decimal of v's shortest decimal representation —
     * Spark's exact double→decimal semantics, via the long fast path when
-    * the round-trip proves it sound. */
+    * the round-trip proves it sound. The fast path additionally requires
+    * (a) the candidate to FIT the target precision — `Decimal(u, p, s)`
+    * would otherwise throw where `try_cast` returns NULL (review finding:
+    * precision ≤ 15 with an in-2^50-range value) — and (b) `scale ≤ 15`,
+    * keeping `pow = 10^s` trivially exact; larger scales take the slow
+    * path wholesale (no call site uses them, but the expression's
+    * contract covers [0, 38]). */
   def convert(v: Double, precision: Int, scale: Int, pow: Double): Decimal = {
     if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return null
-    val r = Math.rint(v * pow)
-    if (Math.abs(r) <= MaxFastUnscaled) {
-      val u = r.toLong
-      if (u.toDouble / pow == v) return Decimal(u, precision, scale)
+    if (scale <= 15) {
+      val bound =
+        if (precision > 15) MaxFastUnscaled
+        else math.min(MaxFastUnscaled, Pow10(precision) - 1d)
+      val r = Math.rint(v * pow)
+      if (Math.abs(r) <= bound) {
+        val u = r.toLong
+        if (u.toDouble / pow == v) return Decimal(u, precision, scale)
+      }
     }
     val d = Decimal(v) // shortest-repr parse — the exact slow path
     if (d.changePrecision(precision, scale)) d else null

@@ -54,12 +54,26 @@ object TypedWheelBuild {
       valueCol: Column,
       agg: WheelAggregator[In, P, Out],
       readIn: Row => In): (TypedHawWheel[P, Out], Long) = {
+    val (w, nulls) = buildRwCounted(df, timeColumn, valueCol, agg, readIn)
+    (w.freeze(), nulls)
+  }
+
+  /** [[buildRw]] plus the skipped-NULL-value count — same single pass, for
+    * callers that keep merging (the streaming top-talkers publisher folds
+    * one of these per micro-batch and accumulates the NULL-key gate,
+    * instead of paying a second count() action over the batch). */
+  def buildRwCounted[In, P: ClassTag, Out](
+      df: DataFrame,
+      timeColumn: String,
+      valueCol: Column,
+      agg: WheelAggregator[In, P, Out],
+      readIn: Row => In): (TypedRwWheel[In, P, Out], Long) = {
     val sec = UWheelIndex.secExprOf(df, timeColumn)
     val rows = df.select(sec.as("__sec"), valueCol.as("__v"))
       .where(col("__sec").isNotNull)
     val nullValues = df.sparkSession.sparkContext.longAccumulator("graft.nullAggValues")
     val rdd = rows.rdd
-    if (rdd.getNumPartitions == 0) return (new TypedRwWheel(agg).freeze(), 0L)
+    if (rdd.getNumPartitions == 0) return (new TypedRwWheel(agg), 0L)
     val w = rdd
       .mapPartitions { it =>
         val w = new TypedRwWheel(agg)
@@ -70,7 +84,7 @@ object TypedWheelBuild {
         Iterator.single(w)
       }
       .treeReduce((a, b) => a.merge(b), depth = 2)
-    (w.freeze(), nullValues.value)
+    (w, nullValues.value)
   }
 
   /** The pre-freeze ingest wheel — for callers that keep merging (the

@@ -210,9 +210,12 @@ final case class TopKIndexedWheel(
       * rewrite therefore requires this to be 0 (or an explicit
       * `key IS NOT NULL` residual). Counted via an accumulator inside the
       * build pass; task retries can only OVERcount, which declines — never
-      * mis-serves — the rewrite. 0 for pre-field persisted indexes (Java
-      * deserialization default) is accepted: such an index was built when
-      * only the certification API consumed it. */
+      * mis-serves — the rewrite. Persistence note: adding this field (and
+      * pinning the UID) breaks Java-deserialization of indexes SAVED
+      * before the field existed — such a file fails to load with
+      * InvalidClassException and must be rebuilt; from here on the pinned
+      * UID keeps future evolution load-compatible (absent new fields
+      * default to 0/null). */
     keyNullCount: Long = 0L) {
   def cap: Int = agg.cap
   /** Certified EXACT top-k over [s, e) seconds (count desc, key asc), or

@@ -18,8 +18,34 @@ import graft.index.{IndexBuilder, UWheelBuilder, UWheelIndex}
   */
 object Q {
 
-  private val prepared = ConcurrentHashMap.newKeySet[String]()
+  /** (session#sfDir) → registry MARKERS present right after that key's
+    * build completed. "Prepared" is a claim about the registry, not just a
+    * memo: a later `deregister`/`clear()` silently withdraws what we
+    * built, and queries would stay scan-only forever if ctx never
+    * re-checked. Comparing against the RECORDED snapshot (rather than a
+    * fixed expectation) keeps the heal targeted: only a marker that WAS
+    * present and vanished triggers a rebuild — a build that permanently
+    * fails for one table records its absence once and is not retried on
+    * every query (review finding: the fixed-expectation check turned one
+    * broken table into a 4-way rebuild per query). */
+  private val prepared = new ConcurrentHashMap[String, Set[String]]()
   private val registeredDir = new ConcurrentHashMap[String, String]()
+
+  /** The registry-presence snapshot the heal logic compares. */
+  private def registryMarkers(sfDir: String): Set[String] = {
+    val b = Set.newBuilder[String]
+    if (graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+        .exists(_.topKWheel("user_id").isDefined)) b += "events"
+    if (graft.index.WheelRegistry.lookup(s"$sfDir/lineitem.parquet").isDefined)
+      b += "lineitem"
+    Option(datedDirs.get(sfDir))
+      .filter(p => graft.index.WheelRegistry.lookup(p).isDefined)
+      .foreach(_ => b += "orders_dated")
+    Option(decDirs.get(sfDir))
+      .filter(p => graft.index.WheelRegistry.lookup(p).isDefined)
+      .foreach(_ => b += "lineitem_dec")
+    b.result()
+  }
 
   def ctx(spark: SparkSession, sfDir: String): SparkSession = {
     // Re-register the corpus views only when this session switches sfDir —
@@ -39,18 +65,17 @@ object Q {
         spark.read.parquet(p).createOrReplaceTempView("lineitem_dec"))
     }
     val key = s"$sid#$sfDir"
-    // "Prepared" is a claim about the REGISTRY, not just this memo: a
-    // caller may have deregistered/cleared registrations since we built
-    // (operationally: an admin reset; in the test suite: WheelRegistry
-    // .clear() in another spec). Re-validate against the registry's state
-    // and rebuild when our indexes are gone — builds are idempotent and
-    // layering-safe, so the worst case of a race is duplicate work, never
-    // a lost family.
-    val stillRegistered =
-      graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
-        .exists(_.topKWheel("user_id").isDefined) &&
-        graft.index.WheelRegistry.lookup(s"$sfDir/lineitem.parquet").isDefined
-    if (prepared.add(key) || !stillRegistered) {
+    // Heal check: rebuild iff never built for this (session, dir), or a
+    // marker that was present at build time has since vanished from the
+    // registry (deregister/clear by another actor). Builds are idempotent
+    // and layering-safe, so the worst case of a race is duplicate work,
+    // never a lost family.
+    val recorded = Option(prepared.get(key))
+    val needBuild = recorded match {
+      case None          => true
+      case Some(markers) => !markers.subsetOf(registryMarkers(sfDir))
+    }
+    if (needBuild) {
       Graft.enable(spark)
       // A failed build must not poison the session: queries stay correct
       // through the scan path, so log and continue without that index.
@@ -72,6 +97,9 @@ object Q {
         tryBuild("orders_dated")(buildDatedOrders(spark, sfDir)),
         tryBuild("lineitem_dec")(buildDecLineitem(spark, sfDir)),
       )), Duration.Inf)
+      // record what actually made it into the registry — the baseline the
+      // next call's heal check compares against
+      prepared.put(key, registryMarkers(sfDir))
     }
     spark
   }

@@ -246,7 +246,12 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       case m: WheelAggregators.MomentStats => s"moments(scale=${m.scale})"
       case c: WheelAggregators.CmsFreq     => s"cms(d=${c.d},logW=${c.logW})"
       case q: WheelAggregators.HdrQuantile => s"hdr(s=${q.s})"
-      case k: WheelAggregators.TopTalkers  => s"topk(cap=${k.cap})"
+      // `,nk`: the checkpoint carries the trailing NULL-key gate long.
+      // Pre-gate checkpoints (bare `topk(cap=…)`) then REFUSE with a clear
+      // signature mismatch instead of hitting EOF mid-read (review
+      // finding) — the documented recovery is the same as any sig change:
+      // rebuild the stream state.
+      case k: WheelAggregators.TopTalkers  => s"topk(cap=${k.cap},nk)"
       case other                           => other.getClass.getName
     }
     s"stw-v1|$timeColumn|$valueCol|$aggSig"
@@ -307,7 +312,15 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       .queryName(queryName)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bw = TypedWheelBuild.buildRw(batch, timeColumn, valueCol, agg, readIn)
+        // heavy-hitter wheels ride the counted build: the NULL-key publish
+        // gate is accumulated INSIDE the same pass (a separate count()
+        // action would double per-batch ingest work — review finding)
+        val (bw, nullKeys) = agg match {
+          case _: WheelAggregators.TopTalkers =>
+            TypedWheelBuild.buildRwCounted(batch, timeColumn, valueCol, agg, readIn)
+          case _ =>
+            (TypedWheelBuild.buildRw(batch, timeColumn, valueCol, agg, readIn), 0L)
+        }
         // moment gates: one cheap extra aggregate over the (already
         // materialized) micro-batch — the publish is unsound without them
         val probe = momProbe.map { case (failCond, absExpr) =>
@@ -316,14 +329,6 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
             sum(when(failCond, lit(1L)).otherwise(lit(0L))), max(absExpr)).head()
           (if (r.isNullAt(0)) 0L else r.getLong(0),
             if (r.isNullAt(1)) 0.0 else r.getDouble(1))
-        }
-        // heavy-hitter NULL-key gate: same shape — the published wheel's
-        // keyNullCount must cover every batch the wheel ingested
-        val nullKeys = agg match {
-          case _: WheelAggregators.TopTalkers =>
-            import org.apache.spark.sql.functions.col
-            batch.where(col(timeColumn).isNotNull && valueCol.isNull).count()
-          case _ => 0L
         }
         live.synchronized {
           probe.foreach { case (fails, am) =>

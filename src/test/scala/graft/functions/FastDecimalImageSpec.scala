@@ -50,8 +50,20 @@ class FastDecimalImageSpec extends AnyFunSuite {
       }
       checkOne(v, 38, s)
       checkOne(v, 18, s)
+      checkOne(v, 10, s) // small precision: fast path must NULL, never throw
       i += 1
     }
+  }
+
+  test("small precisions return NULL on overflow like try_cast (never throw)") {
+    // review finding: 1e12 fits 2^50 and round-trips at scale 0, but has
+    // 13 digits — Decimal(u, 10, 0) would throw; try_cast yields NULL
+    checkOne(1e12, 10, 0)
+    checkOne(-1e12, 10, 0)
+    checkOne(9999999999.0, 10, 0)  // exactly 10 digits: fast path serves
+    checkOne(10000000000.0, 10, 0) // 11 digits: NULL
+    checkOne(99999999.99, 10, 2)
+    checkOne(123456789.01, 10, 2)  // 11 digits at scale 2: NULL
   }
 
   test("edge values") {
