@@ -153,9 +153,15 @@ object Q {
     // scan's Expand — one extra build scan grouped by ms, opt-in.
     // `withMillis = false` is the bench's attribution probe for that scan.
     val conf2 = if (withMillis) conf.withMillisWheels("value") else conf
-    // heavy-hitter wheel: "top-k users by activity over any range",
-    // certified-exact on this corpus's sparse slots (uw_topk_users)
-    val conf3 = if (withTopK) conf2.withTopKWheel("user_id") else conf2
+    // heavy-hitter wheels: "top-k users by activity over any range",
+    // certified-exact on this corpus's sparse slots (uw_topk_users), plus
+    // the purchase-keyed variant (uw_topk_purchasers — residual routing
+    // through the optimizer arm, like every other family's keyed twin)
+    val conf3 =
+      if (withTopK)
+        conf2.withTopKWheel("user_id")
+          .withKeyedTopKWheel("user_id", "event_type = 'purchase'")
+      else conf2
     conf3.build(spark, s"$sfDir/events.parquet")
   }
 

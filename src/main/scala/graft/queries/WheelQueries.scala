@@ -536,6 +536,12 @@ object WheelQueries {
     "uw_topk_users" -> Q.sql(
       s"""SELECT user_id, count(*) AS cnt FROM events WHERE $range
          |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin),
+    // keyed heavy hitters: the residual routes to the purchase-keyed top-k
+    // wheel by canonical filter key — "top purchasers over the range"
+    "uw_topk_purchasers" -> Q.sql(
+      s"""SELECT user_id, count(*) AS cnt FROM events
+         |WHERE $range AND event_type = 'purchase'
+         |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin),
     // typed families over the SAME derived expression (column-or-expression
     // contract): EXACT revenue variance from the moment wheel — the moments
     // are over the HALF_UP scale-2 image of the product on both sides, so
@@ -739,6 +745,10 @@ object WheelQueries {
          |WHERE $range AND event_type = 'purchase'""".stripMargin,
     "uw_topk_users" ->
       s"""SELECT user_id, count(*) AS cnt FROM events WHERE $range
+         |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin,
+    "uw_topk_purchasers" ->
+      s"""SELECT user_id, count(*) AS cnt FROM events
+         |WHERE $range AND event_type = 'purchase'
          |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin,
     "uw_revenue_p90_check" ->
       s"""SELECT quantile_disc($revExpr, 0.9) AS exact_p90 FROM lineitem

@@ -2852,8 +2852,13 @@ object UWheelRule extends Rule[LogicalPlan] {
     * — a valid answer under the `c DESC`-only sort and exactly the
     * required order when the query pins the key as tiebreaker.
     *
-    * Decline gates: residual predicates (the wheel is unfiltered) other
-    * than `key IS NOT NULL`; a NULL key seen at build
+    * Residual predicates route to KEYED top-k wheels by canonical filter
+    * key (`withKeyedTopKWheel("user_id", "event_type = 'purchase'")`
+    * serves "top purchasers"); `key IS NOT NULL` conjuncts are the
+    * NULL-group waiver rather than part of the routing key.
+    *
+    * Decline gates: a residual with no keyed wheel under its canonical
+    * key; a NULL key seen at build
     * ([[graft.index.TopKIndexedWheel.keyNullCount]] — SQL has a NULL group
     * the summary cannot represent) unless the query filters them; inexact
     * or sub-second bounds; an unbounded range without the NULL-free time
@@ -2879,7 +2884,7 @@ object UWheelRule extends Rule[LogicalPlan] {
       case _                     => return None
     }
     if (g.dataType != LongType && g.dataType != IntegerType) return None
-    val tw = table.topKWheel(g.name).getOrElse(return None)
+    if (table.allTopKWheels.forall(_.column != g.name)) return None
 
     // output shape: one side the grouping key, the other a plain COUNT —
     // count(*) / count(1) / count(key) (the last is per-group equal to
@@ -2930,14 +2935,23 @@ object UWheelRule extends Rule[LogicalPlan] {
     if (ranges.exists(!_.exact)) return None
     if (ranges.exists(!_.isBounded) && !table.tsAllNonNull) return None
     val residual = Extract.dropImpliedNotNull(residualRaw)
-    val nullsFiltered = residual.nonEmpty && residual.forall {
+    // `key IS NOT NULL` conjuncts are the NULL-group waiver, not part of
+    // the wheel-routing key (the wheel never holds NULL keys anyway);
+    // everything else must match a registered keyed wheel's canonical
+    // filter — the same form the build side registers
+    def isKeyNotNull(e: Expression): Boolean = e match {
       case IsNotNull(a: AttributeReference) => resolve(a, uw.aliases) match {
         case r: AttributeReference => r.exprId == g.exprId
         case _                     => false
       }
       case _ => false
     }
-    if (residual.nonEmpty && !nullsFiltered) return None
+    val (nnParts, residualRest) = residual.partition(isKeyNotNull)
+    val nullsFiltered = nnParts.nonEmpty
+    val twFilterKey =
+      if (residualRest.isEmpty) ""
+      else Canon.joinParts(Canon.canonParts(residualRest))
+    val tw = table.topKWheel(g.name, twFilterKey).getOrElse(return None)
     if (tw.keyNullCount != 0L && !nullsFiltered) return None
 
     // certified read: disjoint ranges combine additively; slack 0 proves

@@ -146,7 +146,8 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
             .filterNot(f => fam == 2 && f.column == column && f.filterKey == "")
             .foreach(rest.putFreq)
           cur.allTopKWheels
-            .filterNot(tk => fam == 4 && tk.column == column)
+            .filterNot(tk => fam == 4 && tk.column == column &&
+              Option(tk.filterKey).getOrElse("") == "")
             .foreach(rest.putTopK)
           if (rest.allWheels.isEmpty && rest.allDistinctWheels.isEmpty &&
               rest.allQuantileWheels.isEmpty && rest.allMomentWheels.isEmpty &&

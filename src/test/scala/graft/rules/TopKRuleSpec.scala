@@ -175,6 +175,41 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("keyed residual routes to the keyed top-k wheel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-topkrule-keyed").toString
+    val p = s"$dir/t.parquet"
+    spark.range(20000)
+      .select(timestamp_seconds(col("id") % 15000 + base).as("ts"),
+        (when(col("id") % 3 === 0, col("id") % 5)
+          .otherwise(col("id") % 41)).cast("long").as("uid"),
+        when(col("id") % 4 === 0, lit("purchase")).otherwise(lit("view")).as("etype"))
+      .write.mode("overwrite").parquet(p)
+    UWheelBuilder("ts").withTopKWheel("uid")
+      .withKeyedTopKWheel("uid", "etype = 'purchase'").build(spark, p)
+    spark.read.parquet(p).createOrReplaceTempView("topk_keyed")
+    val sql =
+      s"""SELECT uid, count(*) AS cnt FROM topk_keyed
+         |WHERE ${rangeSql(base, base + 15000)} AND etype = 'purchase'
+         |GROUP BY uid ORDER BY cnt DESC, uid LIMIT 5""".stripMargin
+    val q = spark.sql(sql)
+    assertRewritten(q)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = groundTruth {
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(got == want)
+    // a residual with no keyed wheel still declines
+    assertNotRewritten(spark.sql(
+      s"""SELECT uid, count(*) AS cnt FROM topk_keyed
+         |WHERE ${rangeSql(base, base + 15000)} AND etype = 'view'
+         |GROUP BY uid ORDER BY cnt DESC, uid LIMIT 5""".stripMargin))
+    // and the unfiltered shape still routes to the unfiltered wheel
+    assertRewritten(spark.sql(
+      s"""SELECT uid, count(*) AS cnt FROM topk_keyed
+         |WHERE ${rangeSql(base, base + 15000)}
+         |GROUP BY uid ORDER BY cnt DESC, uid LIMIT 5""".stripMargin))
+  }
+
   test("foreign residual and wrong sort shapes decline") {
     sparsePath
     assertNotRewritten(spark.sql(
