@@ -40,24 +40,6 @@ object TypedWheelBuild {
       readIn: Row => In): TypedHawWheel[P, Out] =
     buildRw(df, timeColumn, valueCol, agg, readIn).freeze()
 
-  /** [[build]] plus a count of the rows it SKIPPED for a NULL aggregate
-    * value (time non-NULL, value NULL) — the fact the heavy-hitter
-    * optimizer rewrite needs: a `GROUP BY key` query has a NULL group the
-    * wheel cannot represent, so the rule serves only when this count is 0.
-    * Counted by an accumulator inside the same pass (no extra scan);
-    * accumulator updates in transformations may double-count under task
-    * retries, which can only OVERstate the count — the consumer then
-    * declines a rewrite it could have served, never serves a wrong one. */
-  def buildCounted[In, P: ClassTag, Out](
-      df: DataFrame,
-      timeColumn: String,
-      valueCol: Column,
-      agg: WheelAggregator[In, P, Out],
-      readIn: Row => In): (TypedHawWheel[P, Out], Long) = {
-    val (w, nulls) = buildRwCounted(df, timeColumn, valueCol, agg, readIn)
-    (w.freeze(), nulls)
-  }
-
   /** [[buildRw]] plus the skipped-NULL-value count — same single pass, for
     * callers that keep merging (the streaming top-talkers publisher folds
     * one of these per micro-batch and accumulates the NULL-key gate,
@@ -85,6 +67,63 @@ object TypedWheelBuild {
       }
       .treeReduce((a, b) => a.merge(b), depth = 2)
     (w, nullValues.value)
+  }
+
+  /** ONE distributed pass building a whole heavy-hitter FAMILY SET —
+    * the unfiltered wheel plus every keyed (residual-filtered) variant —
+    * instead of one scan per wheel: each spec is (key column, optional
+    * filter, aggregator), the projection carries one (key, filterBool)
+    * pair per spec, and every partition folds all wheels side by side.
+    * At 100 TB each avoided pass is a full table scan, so family count
+    * must not multiply I/O (the fused SQL build already holds that
+    * discipline for every other family). Returns, per spec, the frozen
+    * wheel and its skipped-NULL-key count (accumulator semantics as in
+    * [[buildRwCounted]]: retries can only OVERcount — the consumer declines,
+    * never mis-serves). Filter NULLs behave like WHERE: the row is
+    * excluded from that spec. */
+  def buildTopKSet[In, P: ClassTag, Out](
+      df: DataFrame,
+      timeColumn: String,
+      specs: Seq[(Column, Option[Column], WheelAggregator[In, P, Out])],
+      readKey: (Row, Int) => In): Seq[(TypedHawWheel[P, Out], Long)] = {
+    if (specs.isEmpty) return Nil
+    val sec = UWheelIndex.secExprOf(df, timeColumn)
+    val cols = sec.as("__sec") +: specs.zipWithIndex.flatMap { case ((k, f, _), i) =>
+      Seq(k.as(s"__k$i"), f.getOrElse(org.apache.spark.sql.functions.lit(true)).as(s"__f$i"))
+    }
+    val rows = df.select(cols: _*).where(col("__sec").isNotNull)
+    val sc = df.sparkSession.sparkContext
+    val nulls = specs.indices.map(i => sc.longAccumulator(s"graft.nullKeys$i"))
+    val aggs = specs.map(_._3)
+    val n = specs.length
+    val rdd = rows.rdd
+    if (rdd.getNumPartitions == 0)
+      return aggs.map(a => (new TypedRwWheel(a).freeze(), 0L))
+    val merged = rdd
+      .mapPartitions { it =>
+        val ws = aggs.map(a => new TypedRwWheel(a)).toArray
+        it.foreach { r =>
+          val s = r.getLong(0)
+          var i = 0
+          while (i < n) {
+            val kOrd = 1 + 2 * i
+            val fOrd = 2 + 2 * i
+            // NULL filter ≡ false (WHERE semantics)
+            if (!r.isNullAt(fOrd) && r.getBoolean(fOrd)) {
+              if (r.isNullAt(kOrd)) nulls(i).add(1L)
+              else ws(i).mergeLift(s, readKey(r, kOrd))
+            }
+            i += 1
+          }
+        }
+        Iterator.single(ws)
+      }
+      .treeReduce((a, b) => {
+        var i = 0
+        while (i < n) { a(i).merge(b(i)); i += 1 }
+        a
+      }, depth = 2)
+    specs.indices.map(i => (merged(i).freeze(), nulls(i).value))
   }
 
   /** The pre-freeze ingest wheel — for callers that keep merging (the

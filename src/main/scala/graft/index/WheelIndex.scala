@@ -1529,26 +1529,29 @@ object UWheelIndex {
     // per-slot exact-until-freeze summaries don't fit the fused SQL
     // aggregation's fixed-width columns); per-second always — coarser
     // slots would only widen the slack
-    conf.topKColumns.foreach { case (c, cap) =>
-      val agg = new graft.wheel.WheelAggregators.TopTalkers(cap)
-      val (w, nullKeys) = TypedWheelBuild.buildCounted(df, conf.timeColumn,
-        F.col(c).cast("long"), agg,
-        (r: org.apache.spark.sql.Row) => r.getLong(1))
-      t.putTopK(TopKIndexedWheel(w, c, agg, keyNullCount = nullKeys))
-    }
-    // keyed heavy-hitter wheels: the same typed pass over the FILTERED
-    // rows, registered under the residual's canonical key — "top
-    // purchasers over any range" routes through the optimizer arm exactly
-    // like every other family's keyed variant
-    conf.keyedTopKWheels.foreach { case (c, sql, cap) =>
-      val agg = new graft.wheel.WheelAggregators.TopTalkers(cap)
-      val fc = F.expr(sql)
-      val (w, nullKeys) = TypedWheelBuild.buildCounted(df.filter(fc), conf.timeColumn,
-        F.col(c).cast("long"), agg,
-        (r: org.apache.spark.sql.Row) => r.getLong(1))
-      t.putTopK(TopKIndexedWheel(w, c, agg,
-        filterKey = graft.expr.Canon.canonFilterKey(df.filter(fc)),
-        filterSql = Some(sql), keyNullCount = nullKeys))
+    // the whole family set — unfiltered + every keyed (residual-filtered)
+    // variant — builds in ONE extra pass (TypedWheelBuild.buildTopKSet):
+    // family count must not multiply table scans at 100 TB. Keyed wheels
+    // register under the residual's canonical key so the optimizer arm
+    // routes "top purchasers over any range" like every other keyed family.
+    val topKSpecs: Seq[(String, Option[String], graft.wheel.WheelAggregators.TopTalkers)] =
+      conf.topKColumns.map { case (c, cap) =>
+        (c, None, new graft.wheel.WheelAggregators.TopTalkers(cap))
+      } ++ conf.keyedTopKWheels.map { case (c, sql, cap) =>
+        (c, Some(sql), new graft.wheel.WheelAggregators.TopTalkers(cap))
+      }
+    if (topKSpecs.nonEmpty) {
+      val built = TypedWheelBuild.buildTopKSet(df, conf.timeColumn,
+        topKSpecs.map { case (c, sql, agg) =>
+          (F.col(c).cast("long"), sql.map(F.expr), agg)
+        },
+        (r: org.apache.spark.sql.Row, ord: Int) => r.getLong(ord))
+      topKSpecs.zip(built).foreach { case ((c, sql, agg), (w, nullKeys)) =>
+        t.putTopK(TopKIndexedWheel(w, c, agg,
+          filterKey = sql.map(s => graft.expr.Canon.canonFilterKey(df.filter(F.expr(s))))
+            .getOrElse(""),
+          filterSql = sql, keyNullCount = nullKeys))
+      }
     }
     // Registration is an atomic read-modify-write, NOT last-writer-wins
     // (round-10 verdict, task 1): a rebuild over a path whose registered
@@ -1975,23 +1978,23 @@ object UWheelIndex {
     // dense enough to have compacted (a rebuild compacts the union once;
     // the merge compacts twice). Certified topK answers are unaffected:
     // certification requires slack 0, where compaction never engaged.
-    t.allTopKWheels.foreach { tw =>
-      // keyed wheels refresh over the FILTERED delta (their coverage is the
-      // filter's rows; unfiltered wheels pass the scan through)
-      val src = tw.filterSql match {
-        case Some(sql) => scanDf.filter(F.expr(sql))
-        case None      => scanDf
+    val oldTopK = t.allTopKWheels
+    if (oldTopK.nonEmpty) {
+      // the whole family set refreshes in ONE pass over the delta (or the
+      // full table on rebuild), keyed wheels behind their filter booleans
+      val fresh = TypedWheelBuild.buildTopKSet(scanDf, t.timeColumn,
+        oldTopK.map(tw =>
+          (F.col(tw.column).cast("long"), tw.filterSql.map(F.expr), tw.agg)),
+        (r: org.apache.spark.sql.Row, ord: Int) => r.getLong(ord))
+      oldTopK.zip(fresh).foreach { case (tw, (fw, freshNulls)) =>
+        val merged =
+          if (!appendOnly) fw
+          else TypedHawWheel.fromSecondPartials(
+            tw.wheel.slotPartials ++ fw.slotPartials, tw.agg)
+        // the NULL-key decline gate accumulates across appends, like castFail
+        nt.putTopK(tw.copy(wheel = merged,
+          keyNullCount = (if (appendOnly) tw.keyNullCount else 0L) + freshNulls))
       }
-      val (fresh, freshNulls) = TypedWheelBuild.buildCounted(src, t.timeColumn,
-        F.col(tw.column).cast("long"), tw.agg,
-        (r: org.apache.spark.sql.Row) => r.getLong(1))
-      val merged =
-        if (!appendOnly) fresh
-        else TypedHawWheel.fromSecondPartials(
-          tw.wheel.slotPartials ++ fresh.slotPartials, tw.agg)
-      // the NULL-key decline gate accumulates across appends, like castFail
-      nt.putTopK(tw.copy(wheel = merged,
-        keyNullCount = (if (appendOnly) tw.keyNullCount else 0L) + freshNulls))
     }
     WheelRegistry.register(nt)
     if (appendOnly) RefreshOutcome.Appended(newPaths.length) else RefreshOutcome.Rebuilt
