@@ -61,6 +61,42 @@ class TopTalkersSpec extends AnyFunSuite {
     })
   }
 
+  test("coarse-first descend read ≡ per-second fold, wide spans, any density") {
+    // rows spread over ~3 days so the greedy decomposition actually uses
+    // minute/hour/day rollup slots; mixed density so some coarse slots
+    // carry slack (cap 4) and force descent while others serve exact
+    val genWide: Gen[List[(Long, Long)]] = Gen.listOf(for {
+      sec <- Gen.oneOf(Gen.chooseNum(0L, 260000L),            // sparse spread
+        Gen.chooseNum(7200L, 7260L), Gen.chooseNum(90000L, 90060L)) // dense pockets
+      key <- Gen.frequency((3, Gen.chooseNum(0L, 2L)), (2, Gen.chooseNum(3L, 40L)))
+    } yield (t0 + sec, key))
+    val genWideRange: Gen[(Long, Long)] = for {
+      s <- Gen.chooseNum(t0 - 100L, t0 + 261000L)
+      len <- Gen.chooseNum(0L, 262000L)
+    } yield (s, s + len)
+    val agg = new TopTalkers(cap = 4)
+    check(Prop.forAll(genWide, genWideRange) { (rows, r) =>
+      val hw = feed(agg, rows)
+      val fine = hw.combineRangeSlots(r._1, r._2)
+      val descend = hw.combineRangeDescend(r._1, r._2)(_.slack == 0L)
+      descend == fine
+    })
+    // the budget-bounded variant: a tiny acc budget must abort to None,
+    // a generous one must return exactly the fold
+    check(Prop.forAll(genWide, genWideRange) { (rows, r) =>
+      val hw = feed(agg, rows)
+      val fine = hw.combineRangeSlots(r._1, r._2)
+      val generous = hw.combineRangeDescendBounded(r._1, r._2)(_.slack == 0L)(
+        _.keys.length <= 1000000)
+      val tiny = hw.combineRangeDescendBounded(r._1, r._2)(_.slack == 0L)(
+        _.keys.length <= 1)
+      generous.contains(fine) &&
+        // candidate sets only grow during the fold, so the tiny budget
+        // aborts exactly when the final set exceeds it
+        (if (fine.keys.length <= 1) tiny.contains(fine) else tiny.isEmpty)
+    })
+  }
+
   test("dense slots: bounds are sound for EVERY key after compaction") {
     val agg = new TopTalkers(cap = 4) // tiny cap: compaction engages hard
     check(Prop.forAll(genDense, genRange) { (rows, r) =>
