@@ -41,8 +41,9 @@ object CurationPipelineExample {
       .withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= 30 && col("lang").isin("en", "de", "fr"))
       .withColumn("nbi", size(col("w")) - 1)
-      .withColumn("nuniq", size(array_distinct(
-        expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"))))
+      // native one-pass distinct bigrams (graft.functions.WordNGrams) —
+      // element-identical to the array_distinct/transform/slice HOF chain
+      .withColumn("nuniq", size(expr("word_ngrams(w, 2)")))
       .where((col("nbi") - col("nuniq")) * 5 < col("nbi"))
       .select("doc_id", "lang", "text")
     println(s"funnel: $total docs -> ${kept.count()} kept")
