@@ -54,7 +54,10 @@ class RewriteFuzzSpec extends AnyFunSuite {
           .withKeyedMomentWheel("value", s"event_type = '$et'")
       }) { (b, et) =>
       b.withKeyedQuantileWheel("value", s"event_type = '$et'")
-    }.withMillisWheels("value").build(spark, path)
+    }.withMillisWheels("value")
+      .withTopKWheel("user_id")
+      .withKeyedTopKWheel("user_id", "event_type = 'purchase'")
+      .build(spark, path)
   }
 
   // ---- generators (data spans 2024-01-01 .. 2024-01-28-ish)
@@ -180,6 +183,19 @@ class RewriteFuzzSpec extends AnyFunSuite {
           s"GROUP BY ${(1 to n).map(i => s"$i").mkString(", ")} ORDER BY ${(1 to n).map(i => s"$i").mkString(", ")}"
     }
 
+  /** The heavy-hitter arm's shape: GROUP BY key ORDER BY cnt DESC LIMIT n.
+    * The key tiebreak is ALWAYS pinned — without it a tie at the cut lets
+    * the scan return a different (equally valid) subset than the wheel,
+    * and this fuzzer asserts strict equality. `user_id` serves (keyed for
+    * the 'purchase' residual, declining other residuals); `event_id` has
+    * no wheel, so both sides scan. */
+  private def topkSql(rnd: scala.util.Random): String = {
+    val key = if (rnd.nextInt(4) == 0) "event_id" else "user_id"
+    val k = 1 + rnd.nextInt(8)
+    s"SELECT $key, count(*) AS cnt FROM events WHERE ${predicate(rnd)} " +
+      s"GROUP BY $key ORDER BY cnt DESC, $key LIMIT $k"
+  }
+
   private def sortedRows(rows: Array[Row]): Seq[String] =
     rows.map(_.toString).sorted.toSeq
 
@@ -188,7 +204,9 @@ class RewriteFuzzSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(seed)
     var rewritten = 0
     (1 to n).foreach { i =>
-      val sql = render(predicate(rnd), aggs(rnd), grouping(rnd))
+      val sql =
+        if (rnd.nextInt(8) == 0) topkSql(rnd)
+        else render(predicate(rnd), aggs(rnd), grouping(rnd))
       val dfOn = spark.sql(sql)
       val wasLocal = dfOn.queryExecution.optimizedPlan.collectFirst {
         case l: LocalRelation => l
