@@ -197,8 +197,9 @@ final case class FreqIndexedWheel(
   * slot in range held ≤ cap distinct keys — the common sparse-slot case);
   * otherwise [[topKBounds]] serves candidates with [lower, upper] count
   * intervals and the caller decides whether bounds suffice or the scan
-  * runs. Always unfiltered and per-second (slot coarsening would widen
-  * the slack for no memory win at typical caps). */
+  * runs. Unfiltered by default, with keyed (residual-filtered) variants
+  * via [[UWheelBuilder.withKeyedTopKWheel]]; always per-second (slot
+  * coarsening would widen the slack for no memory win at typical caps). */
 @SerialVersionUID(1L)
 final case class TopKIndexedWheel(
     wheel: TypedHawWheel[WheelAggregators.TopKSummary, WheelAggregators.TopKSummary],
@@ -428,6 +429,20 @@ final class TableIndex(
     Option(topKs).flatMap(m => Option(m.get((col, filterKey))))
   def allTopKWheels: Seq[TopKIndexedWheel] =
     Option(topKs).map(_.asScala.values.toSeq).getOrElse(Nil)
+  /** Load-time re-key for indexes persisted before the top-k map was
+    * (column, filterKey)-keyed: type erasure lets the old String-keyed map
+    * deserialize into the tuple-typed field, where every tuple lookup then
+    * silently misses — the heavy-hitter arm would stop rewriting and API
+    * callers would find no family at all (review finding). Raw-keyed
+    * entries re-put through [[putTopK]], which also normalizes the null
+    * filter fields such files carry. Called by [[WheelIndexIO.load]]. */
+  private[index] def renormalizeTopKs(): Unit = Option(topKs).foreach { m =>
+    val raw = m.asInstanceOf[ConcurrentHashMap[Any, TopKIndexedWheel]]
+    val stale = raw.asScala.collect {
+      case (k, v) if !k.isInstanceOf[Tuple2[_, _]] => (k, v)
+    }.toList
+    stale.foreach { case (k, v) => raw.remove(k); putTopK(v) }
+  }
   // exact-moment wheels by (column, residual filter key); same
   // null-after-old-deserialization guard as the other typed families
   private val moments = new ConcurrentHashMap[(String, String), MomentIndexedWheel]()
@@ -1984,7 +1999,10 @@ object UWheelIndex {
       // full table on rebuild), keyed wheels behind their filter booleans
       val fresh = TypedWheelBuild.buildTopKSet(scanDf, t.timeColumn,
         oldTopK.map(tw =>
-          (F.col(tw.column).cast("long"), tw.filterSql.map(F.expr), tw.agg)),
+          // Option(...) guard: a pre-keyed-era deserialized wheel carries
+          // Java-default null here (like every other family's old files)
+          (F.col(tw.column).cast("long"), Option(tw.filterSql).flatten.map(F.expr),
+            tw.agg)),
         (r: org.apache.spark.sql.Row, ord: Int) => r.getLong(ord))
       oldTopK.zip(fresh).foreach { case (tw, (fw, freshNulls)) =>
         val merged =

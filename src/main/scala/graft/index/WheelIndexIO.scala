@@ -61,6 +61,11 @@ object WheelIndexIO {
         t.putDistinct(d.copy(wheel = rebuilt))
       }
     }
+    // Pre-keyed-era files hold a String-keyed top-k map (type erasure lets
+    // it deserialize into the tuple-keyed field); re-key so lookups work
+    // and the null filter fields normalize — same restore discipline as
+    // the HLL canonical-form loop above.
+    t.renormalizeTopKs()
     WheelRegistry.register(t)
     val fresh = scala.util.Try {
       graft.Tables.ensureNanosConf(spark)

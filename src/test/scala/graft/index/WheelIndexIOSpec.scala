@@ -152,4 +152,46 @@ class WheelIndexIOSpec extends AnyFunSuite {
     }
     WheelRegistry.clear()
   }
+  test("pre-keyed-era top-k map (String keys, null filter fields) re-keys on load") {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.enable(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-oldtopk").toString
+    val p = s"$dir/t.parquet"
+    val base = 1704067200L
+    (0 until 2000).map(i => (new java.sql.Timestamp((base + i % 1500) * 1000L), (i % 11).toLong))
+      .toDF("ts", "uid").write.mode("overwrite").parquet(p)
+    val t = UWheelBuilder("ts").withTopKWheel("uid").build(spark, p)
+    val want = t.topKWheel("uid").get.topK(base, base + 1500L, 3)
+    assert(want.isDefined)
+    // simulate the file shape the pre-keyed era persisted: a String-keyed
+    // map whose values carry Java-default null filter fields (type erasure
+    // lets exactly this deserialize into today's tuple-keyed field)
+    val f = classOf[TableIndex].getDeclaredField("topKs")
+    f.setAccessible(true)
+    val m = f.get(t).asInstanceOf[java.util.concurrent.ConcurrentHashMap[Any, TopKIndexedWheel]]
+    val old = scala.jdk.CollectionConverters.CollectionHasAsScala(m.values).asScala.toList
+    m.clear()
+    old.foreach(w => m.put(w.column,
+      w.copy(filterKey = null, filterSql = null.asInstanceOf[Option[String]])))
+    val file = s"$dir/index.bin"
+    WheelIndexIO.save(t, file)
+    WheelRegistry.clear()
+    val (loaded, freshF) = WheelIndexIO.load(spark, file)
+    assert(freshF)
+    val tw = loaded.topKWheel("uid")
+    assert(tw.isDefined, "old String-keyed entry must re-key to the tuple map")
+    assert(tw.get.filterKey == "" && tw.get.filterSql.isEmpty)
+    assert(tw.get.topK(base, base + 1500L, 3) == want)
+    // and refresh survives the normalized (previously null) filter fields
+    (0 until 300).map(i => (new java.sql.Timestamp((base + 2000 + i % 200) * 1000L), (i % 5).toLong))
+      .toDF("ts", "uid").write.mode("append").parquet(p)
+    UWheelIndex.refresh(spark, p) match {
+      case UWheelIndex.RefreshOutcome.Failed(e) => fail(s"refresh failed: $e")
+      case _ => ()
+    }
+    assert(WheelRegistry.lookup(p).get.topKWheel("uid").isDefined)
+    WheelRegistry.clear()
+  }
+
 }
