@@ -31,11 +31,16 @@ object Q {
   private val prepared = new ConcurrentHashMap[String, Set[String]]()
   private val registeredDir = new ConcurrentHashMap[String, String]()
 
-  /** The registry-presence snapshot the heal logic compares. */
+  /** The registry-presence snapshot the heal logic compares. A LIVE
+    * streaming registration (fingerprint 0) counts as present regardless
+    * of its families: a stream publisher that displaced our batch index
+    * owns the path, and a heal rebuild would clobber it (the publisher
+    * would displace right back — a registration ping-pong). */
   private def registryMarkers(sfDir: String): Set[String] = {
     val b = Set.newBuilder[String]
     if (graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
-        .exists(_.topKWheel("user_id").isDefined)) b += "events"
+        .exists(t => t.fingerprint == 0L || t.topKWheel("user_id").isDefined))
+      b += "events"
     if (graft.index.WheelRegistry.lookup(s"$sfDir/lineitem.parquet").isDefined)
       b += "lineitem"
     Option(datedDirs.get(sfDir))
