@@ -86,6 +86,11 @@ object SimilarityQueries {
     // number of near-dup pairs in the corpus — unbounded at 100 TB — so a
     // forced broadcast is a driver OOM at exactly the scale this operator
     // exists for. AQE broadcasts small candidate sets on its own.
+    // sz stays an AGGREGATE of the exploded grams rather than a map-side
+    // size(word_ngrams(...)) projection: the aggregate's post-shuffle
+    // stats let AQE broadcast it into the verification joins at runtime,
+    // where a scan-side projection carries the parquet's static size and
+    // falls back to sort-merge (measured: the "optimization" cost ~0.3 s)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("x"), col("x.doc_id") === col("i"))
