@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.WordNGrams].getName, "word_ngrams"),
       Graft.wordNGramsBuilder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("array_pairs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.ArrayPairs].getName, "array_pairs"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ArrayPairs(exprs.head)))
     graft.functions.MomentStatsAgg.Stats.foreach { stat =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(s"wheel_$stat"),
@@ -100,6 +106,10 @@ object Graft {
       "cms_freq", cmsBuilder, "scala_udf")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", wordNGramsBuilder, "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_pairs",
+      exprs => graft.functions.ArrayPairs(exprs.head),
+      "scala_udf")
     graft.functions.MomentStatsAgg.Stats.foreach { stat =>
       cs.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"wheel_$stat", exprs => momentBuilder(stat, exprs), "scala_udf")

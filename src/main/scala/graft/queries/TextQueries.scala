@@ -212,9 +212,7 @@ object TextQueries {
        |lists AS (SELECT sort_array(collect_list(doc_id)) AS ds
        |          FROM sh GROUP BY s HAVING count(*) > 1$cap),
        |pairs AS (SELECT p.i AS i, p.j AS j FROM lists
-       |          LATERAL VIEW explode(flatten(transform(ds, (x, xi) ->
-       |            transform(slice(ds, xi + 2, size(ds)),
-       |                      y -> named_struct('i', x, 'j', y))))) t AS p),
+       |          LATERAL VIEW explode(array_pairs(ds)) t AS p),
        |inter AS (SELECT i, j, count(*) AS c FROM pairs GROUP BY i, j)
        |SELECT i, j FROM inter
        |JOIN sz sa ON sa.doc_id = i
