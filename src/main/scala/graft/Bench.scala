@@ -45,8 +45,18 @@ object Bench {
     try { Q.derivedOrdersPath(spark, sfDir); Q.derivedLineitemDecPath(spark, sfDir) }
     catch { case e: Throwable => System.err.println(s"[graft] derive failed: ${e.getMessage}") }
     val t0 = System.nanoTime()
+    graft.index.BuildPhases.clear()
     Q.ctx(spark, sfDir)
     val indexBuildSec = (System.nanoTime() - t0) / 1e9
+    // Cold-build attribution (round-11 verdict task 1): the headline above
+    // is a cold-JVM concurrent build the end-of-run sequential probes can't
+    // decompose (they run warm — r11's +7.5 s was invisible to all of
+    // them). Snapshot the per-table/per-phase wall-clock recorded INSIDE
+    // this first build, then clear so later probe rebuilds don't
+    // contaminate the cold numbers. Emitted as index_build_ctx_* in the
+    // full record.
+    val ctxPhases = graft.index.BuildPhases.snapshot()
+    graft.index.BuildPhases.clear()
 
     // Steady-state timing, mirroring the reference's repeated-query p50
     // (`benchmarks/nyc_taxi_bench/src/main.rs:504-518`). Returns
@@ -242,7 +252,14 @@ object Bench {
     if (only.isEmpty) try {
       Seq("events", "lineitem", "orders", "lineitem_dec").foreach { t =>
         graft.index.WheelRegistry.lookup(s"$sfDir/$t.parquet").foreach { ti =>
-          probes(s"index_mib_$t") = ti.indexUsageBytes / 1048576.0
+          val byFam = ti.indexUsageBytesByFamily
+          probes(s"index_mib_$t") = byFam.values.sum / 1048576.0
+          // per-family attribution (round-11 task 4): names which family
+          // grew when the total drifts; events only — the one table that
+          // carries every family
+          if (t == "events") byFam.toSeq.sortBy(_._1).foreach { case (fam, b) =>
+            probes(s"index_mib_${t}_$fam") = b / 1048576.0
+          }
         }
       }
     } catch {
@@ -260,8 +277,12 @@ object Bench {
     // ≈ 1 says the in-suite number was the query's own cost.
     // ann_topk + dd_embed_lsh joined round 11: their r9→r10 deltas had no
     // pin to attribute (verdict task 4), so suite noise was unfalsifiable
+    // round-12: + the six unpinned r11 scan-side drifts (verdict task 3) —
+    // q_cube/q_time_band_join/q_sessionize/q1_pricing/txt_lang_id and the
+    // rule-off twin uw_groupby_hour_scan, timed with rewrites disabled
     val isoPins = Seq("uw_count_range", "uw_window_sliding", "q3_topk", "q_pivot",
-      "dd_cluster", "ann_topk", "dd_embed_lsh")
+      "dd_cluster", "ann_topk", "dd_embed_lsh",
+      "q_cube", "q_time_band_join", "q_sessionize", "q1_pricing", "txt_lang_id")
     if (only.isEmpty) {
       System.gc(); Thread.sleep(1000); System.gc(); Thread.sleep(500)
       isoPins.foreach { name =>
@@ -272,6 +293,15 @@ object Bench {
             probes("iso_plan_" + name) = pl
           } catch { case _: Throwable => probes("iso_" + name) = -1.0 }
         }
+      }
+      WheelQueries.defs.toMap.get("uw_groupby_hour").foreach { fn =>
+        Graft.rewritesEnabled = false
+        try {
+          val (tot, pl) = timeOne(fn)
+          probes("iso_uw_groupby_hour_scan") = tot
+          probes("iso_plan_uw_groupby_hour_scan") = pl
+        } catch { case _: Throwable => probes("iso_uw_groupby_hour_scan") = -1.0 }
+        finally Graft.rewritesEnabled = true
       }
     }
 
@@ -296,6 +326,9 @@ object Bench {
     // Full detail for humans/logs — prefixed so the driver's `^{` JSON-line
     // match never picks it up. Includes the attribution probes; `total`
     // deliberately does not.
+    ctxPhases.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      probes(s"index_build_ctx_$k") = v
+    }
     val fullLine = line((results ++ planTimes ++ probes).toSeq.map { case (k, v) => k -> num(v) }, total)
     println("BENCH_FULL " + fullLine)
     // ... and persisted to the repo so every entry stays comparable

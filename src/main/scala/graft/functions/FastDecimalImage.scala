@@ -14,14 +14,20 @@ import org.apache.spark.sql.types._
   * Fast path: the candidate unscaled long `u = rint(v·10^s)` is accepted
   * when `|u| ≤ 2^50` and `(double) u / 10^s == v` — i.e. the s-digit
   * decimal `u·10^-s` round-trips to exactly this double. Under the 2^50
-  * bound, `ulp(v) ≤ 10^-s/4`, so (a) `u·10^-s` is the UNIQUE s-digit
-  * decimal in v's rounding interval, and (b) it lies strictly nearer than
-  * `10^-s/2` to EVERY decimal representation of v — in particular to the
-  * shortest one `Double.toString` produces — so `HALF_UP` rounding of that
-  * representation to s digits must yield `u` (no tie is reachable: a tie
-  * needs distance exactly `10^-s/2 > ulp-interval width`). Half-even vs
-  * half-up cannot diverge here either: a true .5 tie fails the round-trip
-  * check and falls through. Everything else — NaN/Infinity (→ NULL like
+  * bound, `|v| ≤ 2^50/10^s` gives `ulp(v) ≤ |v|·2^-51 ≤ 10^-s/2`, so only
+  * half-ulp distances (`≤ 10^-s/4`) separate v from both `u·10^-s` and
+  * from any decimal representation of v: (a) `u·10^-s` is the UNIQUE
+  * s-digit decimal in v's rounding interval (interval width `ulp ≤
+  * 10^-s/2` < the `10^-s` grid spacing), and (b) every decimal
+  * representation of v — in particular the shortest one `Double.toString`
+  * produces — lies within `2·(10^-s/4) = 10^-s/2` of `u·10^-s`, with
+  * equality only if both half-ulp distances are exactly `10^-s/4`, i.e.
+  * `ulp(v) = 10^-s/2` — excluded by the bound: for s ≥ 1 that is not a
+  * power of two (every ulp is), and for s = 0 it needs `|v| ≥ 2^51 > 2^50`.
+  * `HALF_UP`
+  * rounding of the representation to s digits therefore yields `u`.
+  * Half-even vs half-up cannot diverge either: a true .5 tie fails the
+  * round-trip check and falls through. Everything else — NaN/Infinity (→ NULL like
   * `try_cast`), subnormals, magnitudes past 2^50, genuine > s-digit
   * doubles — takes Spark's own conversion, bit-for-bit the `try_cast`
   * result (`FastDecimalImageSpec` fuzzes the equivalence).

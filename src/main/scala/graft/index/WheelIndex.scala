@@ -429,13 +429,15 @@ final class TableIndex(
     Option(topKs).flatMap(m => Option(m.get((col, filterKey))))
   def allTopKWheels: Seq[TopKIndexedWheel] =
     Option(topKs).map(_.asScala.values.toSeq).getOrElse(Nil)
-  /** Load-time re-key for indexes persisted before the top-k map was
-    * (column, filterKey)-keyed: type erasure lets the old String-keyed map
-    * deserialize into the tuple-typed field, where every tuple lookup then
-    * silently misses — the heavy-hitter arm would stop rewriting and API
-    * callers would find no family at all (review finding). Raw-keyed
-    * entries re-put through [[putTopK]], which also normalizes the null
-    * filter fields such files carry. Called by [[WheelIndexIO.load]]. */
+  /** Load-time re-key guard for SAME-UID evolution of the top-k map: under
+    * the pinned SerialVersionUID, a future re-keying would deserialize old
+    * entries raw via type erasure (every tuple lookup silently missing —
+    * the heavy-hitter arm would stop rewriting), and fields added after a
+    * save deserialize null. Raw-keyed entries re-put through [[putTopK]],
+    * which also normalizes null filter fields. NOT a pre-round-11 compat
+    * path: files from before the UID was pinned fail readObject wholesale
+    * ([[WheelIndexIO.load]] reports stale-format; rebuild required).
+    * Called by [[WheelIndexIO.load]]. */
   private[index] def renormalizeTopKs(): Unit = Option(topKs).foreach { m =>
     val raw = m.asInstanceOf[ConcurrentHashMap[Any, TopKIndexedWheel]]
     val stale = raw.asScala.collect {
@@ -477,20 +479,34 @@ final class TableIndex(
     * levels — canonical sparse partials make this ∝ values seen per slot
     * (≈ 10 B per low-traffic second), with 2^p bytes per slot only once a
     * slot's distinct count earns a dense representation. */
-  def indexUsageBytes: Long =
-    (wheels.asScala.values.map(_.wheel).toList ++ allMsWheels.map(_.wheel))
-      .distinct.map(_.sizeBytes).sum +
-      allDistinctWheels.map(_.wheel.measuredBytes).sum +
-      allQuantileWheels.map(_.wheel.measuredBytes).sum +
-      allFreqWheels.map(_.wheel.measuredBytes).sum +
+  def indexUsageBytes: Long = indexUsageBytesByFamily.values.sum
+
+  /** [[indexUsageBytes]] attributed per wheel family (round-11 verdict
+    * task 4: the single MiB number grew every round without naming which
+    * family grew). Keys: numeric (count/min-max/keyed sum wheels), ms
+    * (millisecond bottom levels), hll, hdr, cms, topk, moment, comoment.
+    * A HawWheel shared between the numeric and ms sets (the count wheel
+    * aliasing the first min/max wheel) counts once, under numeric. */
+  def indexUsageBytesByFamily: Map[String, Long] = {
+    val numericWheels = wheels.asScala.values.map(_.wheel).toList.distinct
+    val msOnly = allMsWheels.map(_.wheel).distinct
+      .filterNot(w => numericWheels.exists(_ eq w))
+    Map(
+      "numeric" -> numericWheels.map(_.sizeBytes).sum,
+      "ms" -> msOnly.map(_.sizeBytes).sum,
+      "hll" -> allDistinctWheels.map(_.wheel.measuredBytes).sum,
+      "hdr" -> allQuantileWheels.map(_.wheel.measuredBytes).sum,
+      "cms" -> allFreqWheels.map(_.wheel.measuredBytes).sum,
       // top-k summaries: measured across ALL granularity levels (the
       // hierarchy keeps coarse slots exact under TopTalkers.coarseBudget,
       // so it is real memory, not an 8-byte-per-slot estimate)
-      allTopKWheels.map(_.wheel.measuredBytes).sum +
+      "topk" -> allTopKWheels.map(_.wheel.measuredBytes).sum,
       // moment partials: ~3 numbers per slot; the 8-byte-per-partial
       // estimate understates BigInt headers, so count a measured 48 B each
-      allMomentWheels.map(_.wheel.numSecs.toLong * 48L).sum +
-      allCoMomentWheels.map(_.wheel.numSecs.toLong * 112L).sum
+      "moment" -> allMomentWheels.map(_.wheel.numSecs.toLong * 48L).sum,
+      "comoment" -> allCoMomentWheels.map(_.wheel.numSecs.toLong * 112L).sum,
+    )
+  }
 }
 
 /** Driver-side registry of wheel indices, consulted by the optimizer rule at
@@ -1404,6 +1420,9 @@ object UWheelIndex {
 
   private def buildFrom(df: DataFrame, pathKey: String, fingerprint: Long,
       conf: UWheelBuilder): TableIndex = {
+    // phase-attribution key: the table's basename (BuildPhases doc)
+    val tbl = pathKey.split('/').last.stripSuffix(".parquet")
+    val tSpec0 = System.nanoTime()
     // ONE distributed scan builds everything: per-column min/max wheels,
     // keyed wheels, and the count wheel (derived from the first min/max
     // wheel's partials — same per-second counts — or built as its own spec
@@ -1513,11 +1532,53 @@ object UWheelIndex {
           graft.expr.Canon.canonFilterKey(df.filter(fc)), Some(sql),
           keyEqOf(df, fc), ex)
       }
+    // spec prep is ~25 Catalyst analyses for the events build (one
+    // df.filter canonicalization per keyed spec) — real cold-JVM cost,
+    // attributed separately from the scan
+    BuildPhases.add(s"spec_$tbl", (System.nanoTime() - tSpec0) / 1e9)
+    // The ms-wheel scan and the typed top-k pass read the SAME immutable
+    // df and depend on nothing the fused scan produces — launch them
+    // concurrently so the build's wall-clock is max(fused, ms, topk) +
+    // assembly rather than their sum (the cold-JVM fused scan alone is
+    // multi-second: codegen compile dominates, and the other two passes
+    // compile their stages in parallel with it). Puts into the TableIndex
+    // happen after the fused results construct it, on this thread.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val msFut: Option[(Seq[(String, Int)], Future[Seq[BuiltWheel]])] =
+      conf.millisColumns.map { cols0 =>
+        val cols = cols0.map(c => (c, scaleFor(c)))
+        (cols, Future(BuildPhases.timed(s"ms_$tbl")(computeMsWheels(df, conf.timeColumn, cols))))
+      }
+    // heavy-hitter wheels: one extra distributed typed pass (the per-slot
+    // exact-until-freeze summaries don't fit the fused SQL aggregation's
+    // fixed-width columns); per-second always — coarser slots would only
+    // widen the slack. The whole family set — unfiltered + every keyed
+    // (residual-filtered) variant — builds in ONE pass
+    // (TypedWheelBuild.buildTopKSet): family count must not multiply table
+    // scans at 100 TB. Keyed wheels register under the residual's
+    // canonical key so the optimizer arm routes "top purchasers over any
+    // range" like every other keyed family.
+    val topKSpecs: Seq[(String, Option[String], graft.wheel.WheelAggregators.TopTalkers)] =
+      conf.topKColumns.map { case (c, cap) =>
+        (c, None, new graft.wheel.WheelAggregators.TopTalkers(cap))
+      } ++ conf.keyedTopKWheels.map { case (c, sql, cap) =>
+        (c, Some(sql), new graft.wheel.WheelAggregators.TopTalkers(cap))
+      }
+    val topKFut =
+      if (topKSpecs.isEmpty) None
+      else Some(Future(BuildPhases.timed(s"topk_$tbl")(
+        TypedWheelBuild.buildTopKSet(df, conf.timeColumn,
+          topKSpecs.map { case (c, sql, agg) =>
+            (F.col(c).cast("long"), sql.map(F.expr), agg)
+          },
+          (r: org.apache.spark.sql.Row, ord: Int) => r.getLong(ord)))))
     val (built, builtDistinct, builtQuantile, builtMoment, builtCoMoment, builtFreq) =
-      buildWheels(df, conf.timeColumn,
+      BuildPhases.timed(s"fused_$tbl")(buildWheels(df, conf.timeColumn,
         colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels, dSpecs,
         quantileSpecs = qSpecs, momentSpecs = mSpecs, coMomentSpecs = cSpecs,
-        freqSpecs = fSpecs)
+        freqSpecs = fSpecs))
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val countBuilt = colBuilt.headOption match {
       case Some(bw) =>
@@ -1539,29 +1600,12 @@ object UWheelIndex {
     builtMoment.foreach(t.putMoment)
     builtCoMoment.foreach(t.putCoMoment)
     builtFreq.foreach(t.putFreq)
-    conf.millisColumns.foreach(cols => buildMsWheels(df, t, cols.map(c => (c, scaleFor(c)))))
-    // heavy-hitter wheels: one extra distributed typed pass each (the
-    // per-slot exact-until-freeze summaries don't fit the fused SQL
-    // aggregation's fixed-width columns); per-second always — coarser
-    // slots would only widen the slack
-    // the whole family set — unfiltered + every keyed (residual-filtered)
-    // variant — builds in ONE extra pass (TypedWheelBuild.buildTopKSet):
-    // family count must not multiply table scans at 100 TB. Keyed wheels
-    // register under the residual's canonical key so the optimizer arm
-    // routes "top purchasers over any range" like every other keyed family.
-    val topKSpecs: Seq[(String, Option[String], graft.wheel.WheelAggregators.TopTalkers)] =
-      conf.topKColumns.map { case (c, cap) =>
-        (c, None, new graft.wheel.WheelAggregators.TopTalkers(cap))
-      } ++ conf.keyedTopKWheels.map { case (c, sql, cap) =>
-        (c, Some(sql), new graft.wheel.WheelAggregators.TopTalkers(cap))
-      }
-    if (topKSpecs.nonEmpty) {
-      val built = TypedWheelBuild.buildTopKSet(df, conf.timeColumn,
-        topKSpecs.map { case (c, sql, agg) =>
-          (F.col(c).cast("long"), sql.map(F.expr), agg)
-        },
-        (r: org.apache.spark.sql.Row, ord: Int) => r.getLong(ord))
-      topKSpecs.zip(built).foreach { case ((c, sql, agg), (w, nullKeys)) =>
+    msFut.foreach { case (cols, fut) =>
+      putMsWheels(t, cols.nonEmpty, Await.result(fut, Duration.Inf))
+    }
+    topKFut.foreach { fut =>
+      val builtTopK = Await.result(fut, Duration.Inf)
+      topKSpecs.zip(builtTopK).foreach { case ((c, sql, agg), (w, nullKeys)) =>
         t.putTopK(TopKIndexedWheel(w, c, agg,
           filterKey = sql.map(s => graft.expr.Canon.canonFilterKey(df.filter(F.expr(s))))
             .getOrElse(""),
@@ -1637,14 +1681,23 @@ object UWheelIndex {
     * per-ms counts) or gets its own spec when no measures are listed.
     * Shared by the fresh build and [[refresh]]. */
   private def buildMsWheels(df: DataFrame, t: TableIndex,
-      cols: Seq[(String, Int)]): Unit = {
+      cols: Seq[(String, Int)]): Unit =
+    putMsWheels(t, cols.nonEmpty, computeMsWheels(df, t.timeColumn, cols))
+
+  /** Compute half of [[buildMsWheels]] — pure scan, no TableIndex needed,
+    * so `buildFrom` can run it concurrently with the fused scan. */
+  private def computeMsWheels(df: DataFrame, timeColumn: String,
+      cols: Seq[(String, Int)]): Seq[BuiltWheel] = {
     val msSpecs =
       if (cols.isEmpty) Seq(WheelSpec(None, None, "", None, 2))
       else cols.map { case (c, sc) => WheelSpec(Some(c), None, "", None, sc) }
-    val (msBuilt, _, _, _, _, _) = buildWheels(df, t.timeColumn, msSpecs,
-      slotExprOverride = Some(msExprOf(df, t.timeColumn)))
+    buildWheels(df, timeColumn, msSpecs,
+      slotExprOverride = Some(msExprOf(df, timeColumn)))._1
+  }
+
+  private def putMsWheels(t: TableIndex, hasCols: Boolean, msBuilt: Seq[BuiltWheel]): Unit = {
     msBuilt.foreach(bw => t.putMs(bw.wheel))
-    if (cols.nonEmpty)
+    if (hasCols)
       t.putMs(IndexedWheel(msBuilt.head.wheel.wheel, None, "", valueAllNonNull = true))
   }
 

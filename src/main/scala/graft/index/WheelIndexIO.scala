@@ -44,8 +44,20 @@ object WheelIndexIO {
     * atomic saves that indicates external damage, and the caller's recovery
     * is the same as for a stale index: rebuild. */
   def load(spark: org.apache.spark.sql.SparkSession, file: String): (TableIndex, Boolean) = {
-    val t = Using.resource(new ObjectInputStream(Files.newInputStream(Paths.get(file))))(
-      _.readObject().asInstanceOf[TableIndex])
+    val t =
+      try Using.resource(new ObjectInputStream(Files.newInputStream(Paths.get(file))))(
+        _.readObject().asInstanceOf[TableIndex])
+      catch {
+        // Class-shape mismatch = a file saved by an INCOMPATIBLE graft
+        // version (e.g. pre-round-11 files with top-k wheels predate the
+        // pinned @SerialVersionUID and the filter fields). There is no
+        // byte-level compat path back to those files; fail with the
+        // operational answer instead of a bare serialization stack trace.
+        case e: java.io.InvalidClassException =>
+          throw new java.io.InvalidObjectException(
+            s"$file was saved by an incompatible graft version (stale index " +
+              s"format): rebuild the index and re-save — ${e.getMessage}")
+      }
     // Canonical-form restore (round-7 advice): a file written by a
     // pre-sparse-HLL build holds dense register slots whose content may now
     // be canonically sparse, and combine() preserves density — mixing such
@@ -61,10 +73,13 @@ object WheelIndexIO {
         t.putDistinct(d.copy(wheel = rebuilt))
       }
     }
-    // Pre-keyed-era files hold a String-keyed top-k map (type erasure lets
-    // it deserialize into the tuple-keyed field); re-key so lookups work
-    // and the null filter fields normalize — same restore discipline as
-    // the HLL canonical-form loop above.
+    // Same-UID evolution guard: under the pinned SerialVersionUID, fields
+    // added AFTER a file was saved deserialize as null/0, and a future
+    // re-keying of the top-k map would deserialize raw via type erasure —
+    // re-put entries through putTopK so lookups work and null filter
+    // fields normalize. NOTE this cannot resurrect pre-round-11 top-k
+    // files: those predate the pinned UID entirely and fail readObject
+    // above with the stale-format error (rebuild is the only path).
     t.renormalizeTopKs()
     WheelRegistry.register(t)
     val fresh = scala.util.Try {

@@ -2956,12 +2956,18 @@ object UWheelRule extends Rule[LogicalPlan] {
 
     // certified read: disjoint ranges combine additively; slack 0 proves
     // the merged summary is the EXACT full histogram of the range. A read
-    // that overruns the fold's key budget comes back None — decline.
-    val parts = ranges.map { r =>
-      tw.read(r.startSec.getOrElse(LoSentinel), r.endSec.getOrElse(HiSentinel))
+    // that overruns the fold's key budget comes back None — decline. The
+    // CROSS-range fold enforces the same budget incrementally (round-11
+    // advice): m disjunct ranges could otherwise accumulate up to
+    // m × ReadKeyBudget keys on the planner thread, defeating the guard
+    // each per-range read honors.
+    var summary: graft.wheel.WheelAggregators.TopKSummary = null
+    for (r <- ranges) {
+      val part = tw.read(r.startSec.getOrElse(LoSentinel), r.endSec.getOrElse(HiSentinel))
+        .getOrElse(return None)
+      summary = if (summary == null) part else tw.agg.combine(summary, part)
+      if (summary.keys.length > graft.index.TopKIndexedWheel.ReadKeyBudget) return None
     }
-    if (parts.exists(_.isEmpty)) return None
-    val summary = parts.map(_.get).reduceLeft(tw.agg.combine)
     val topq = tw.agg.topK(summary, n).getOrElse(return None)
 
     val rows: Seq[InternalRow] = topq.map { case (k, c) =>

@@ -27,10 +27,43 @@ import graft.queries.Q
   * prints it.
   */
 object BenchPcts {
+
+  /** Derives an events corpus `xf`× the source's rows (same time span, so
+    * random ranges are comparable) by unioning `xf` copies with remapped
+    * event ids; the other tables symlink to the source. This is the
+    * second-scale-factor datapoint of BASELINE.md target #1: at `xf`× the
+    * data the rule-OFF scan must grow ~`xf`× while the rule-ON latency
+    * stays flat (the wheel read is row-count-independent). */
+  private def deriveScaled(spark: SparkSession, sfDir: String, xf: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-sfx$xf").toString
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val n = ev.count()
+    val copies = (0 until xf).map(i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * n)))
+    copies.reduce(_ unionAll _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // the other corpus tables symlink through — Q.ctx registers all views
+    val src = java.nio.file.Paths.get(sfDir)
+    java.nio.file.Files.list(src).forEach { p =>
+      val name = p.getFileName.toString
+      if (name != "events.parquet")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(dir, name), p.toAbsolutePath)
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = args.headOption.getOrElse("/root/repo/BENCH_pcts_r11.json")
     val n = sys.env.get("SPARK_GRAFT_PCTS_N").map(_.toInt).getOrElse(1000)
+    // SPARK_GRAFT_PCTS_FAMS=count,groupby_hour restricts the SQL families
+    // (the off-side of a scaled corpus pays a full scan per range — all six
+    // families at 10× would cost ~an hour without changing the conclusion)
+    val famFilter = sys.env.get("SPARK_GRAFT_PCTS_FAMS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -38,6 +71,11 @@ object BenchPcts {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SCALE_X=10 derives and measures a 10× events corpus
+    val sfDir = sys.env.get("SPARK_GRAFT_SCALE_X").map(_.toInt) match {
+      case Some(xf) if xf > 1 => deriveScaled(spark, baseDir, xf)
+      case _ => baseDir
+    }
     Q.ctx(spark, sfDir)
 
     val hw = graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
@@ -113,7 +151,7 @@ object BenchPcts {
     // hundreds of buckets — the distribution converges well before 1,000)
     val famRanges = Map("groupby_hour" -> n / 2, "window_sliding" -> n / 2)
     Seq("count", "keyed_sum", "minmax_prune", "groupby_hour", "window_sliding",
-        "topk").foreach { fam =>
+        "topk").filter(f => famFilter.forall(_.contains(f))).foreach { fam =>
       val fn = famRanges.getOrElse(fam, n)
       graft.Graft.rewritesEnabled = true
       out(s"${fam}_on") = pcts(runFam(fam, fn))
@@ -153,8 +191,9 @@ object BenchPcts {
 
     def j(m: Map[String, Double]): String =
       m.map { case (k, v) => s""""$k":${f"$v%.4f"}""" }.mkString("{", ",", "}")
+    val scaleX = sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "1")
     val json = out.map { case (k, v) => s""""$k":${j(v)}""" }
-      .mkString(s"""{"sf":"$sfDir","ranges":$n,""", ",", "}")
+      .mkString(s"""{"sf":"$baseDir","scale_x":$scaleX,"ranges":$n,""", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath), json.getBytes)
     println(json)
     spark.stop()

@@ -19,4 +19,29 @@ object ColumnBridge {
     * sessions (identity hashes are reusable after GC). */
   def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
+  /** Constructs a session over an EXISTING SparkContext with the named
+    * `spark.sql.extensions` class applied — the loader semantics of
+    * `builder().config("spark.sql.extensions", name).getOrCreate()`
+    * (0-arg instantiate, apply to a fresh SparkSessionExtensions) without
+    * the global default/active-session swap getOrCreate needs to construct
+    * a fresh session, which races concurrently-running code that calls
+    * getOrCreate itself. Used by the production-wiring spec; the
+    * constructor is `private[sql]`, hence this bridge. */
+  def sessionWithExtensions(
+      sc: org.apache.spark.SparkContext,
+      extensionsClassName: String,
+      options: Map[String, String]): org.apache.spark.sql.SparkSession = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    Class.forName(extensionsClassName).getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit](ext)
+    // the full constructor is class-private (getOrCreate is the only
+    // in-tree caller); reflection on our own classpath, no module opens
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
+      .getDeclaredConstructors.find(_.getParameterCount == 6)
+      .getOrElse(sys.error("classic.SparkSession 6-arg constructor not found"))
+    ctor.setAccessible(true)
+    ctor.newInstance(sc, None, None, ext, options, Map.empty[String, String])
+      .asInstanceOf[org.apache.spark.sql.SparkSession]
+  }
 }

@@ -152,7 +152,7 @@ class WheelIndexIOSpec extends AnyFunSuite {
     }
     WheelRegistry.clear()
   }
-  test("pre-keyed-era top-k map (String keys, null filter fields) re-keys on load") {
+  test("same-UID top-k map evolution (raw keys, null filter fields) re-keys on load") {
     spark.sparkContext.setLogLevel("WARN")
     graft.Graft.enable(spark)
     import spark.implicits._
@@ -164,9 +164,11 @@ class WheelIndexIOSpec extends AnyFunSuite {
     val t = UWheelBuilder("ts").withTopKWheel("uid").build(spark, p)
     val want = t.topKWheel("uid").get.topK(base, base + 1500L, 3)
     assert(want.isDefined)
-    // simulate the file shape the pre-keyed era persisted: a String-keyed
-    // map whose values carry Java-default null filter fields (type erasure
-    // lets exactly this deserialize into today's tuple-keyed field)
+    // simulate SAME-UID map evolution (renormalizeTopKs doc): a raw
+    // String-keyed map whose values carry null filter fields — the shape a
+    // FUTURE re-keying under the pinned UID would deserialize into. (This
+    // is NOT the genuine pre-round-11 file path: those predate the pinned
+    // UID and fail readObject — covered by the stale-format test below.)
     val f = classOf[TableIndex].getDeclaredField("topKs")
     f.setAccessible(true)
     val m = f.get(t).asInstanceOf[java.util.concurrent.ConcurrentHashMap[Any, TopKIndexedWheel]]
@@ -191,6 +193,39 @@ class WheelIndexIOSpec extends AnyFunSuite {
       case _ => ()
     }
     assert(WheelRegistry.lookup(p).get.topKWheel("uid").isDefined)
+    WheelRegistry.clear()
+  }
+
+  test("incompatible-version file (UID mismatch) fails load with the stale-format error") {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.enable(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-staleuid").toString
+    val p = s"$dir/t.parquet"
+    val base = 1704067200L
+    (0 until 500).map(i => (new java.sql.Timestamp((base + i) * 1000L), (i % 7).toLong))
+      .toDF("ts", "uid").write.mode("overwrite").parquet(p)
+    val t = UWheelBuilder("ts").withTopKWheel("uid").build(spark, p)
+    val file = s"$dir/index.bin"
+    WheelIndexIO.save(t, file)
+    WheelRegistry.clear()
+    // binary-patch the stream: flip a byte of TopKIndexedWheel's
+    // serialVersionUID in its class descriptor, producing exactly what a
+    // file saved by a different class shape presents at readObject — the
+    // genuine pre-round-11 failure mode (those files had an unpinned,
+    // shape-computed UID)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    val name = "graft.index.TopKIndexedWheel".getBytes("UTF-8")
+    val at = bytes.indexOfSlice(name)
+    assert(at > 0, "class descriptor not found in stream")
+    // descriptor layout: 2-byte name length, name, 8-byte serialVersionUID
+    bytes(at + name.length) = (bytes(at + name.length) ^ 0x5a).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(file), bytes)
+    val e = intercept[java.io.InvalidObjectException] {
+      WheelIndexIO.load(spark, file)
+    }
+    assert(e.getMessage.contains("stale index format"), e.getMessage)
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
     WheelRegistry.clear()
   }
 
