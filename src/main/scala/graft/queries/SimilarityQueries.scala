@@ -37,23 +37,26 @@ object SimilarityQueries {
   private val MaxBucket = 4096
 
   /** (band, bk)-bucketed candidate pairs over `(id, band, bk)` rows, with
-    * the hot-bucket guard applied. Bucket sizes come from a window count
-    * over the same (band, bk) key the self-join shuffles on — the band
-    * pipeline (often an expensive signature computation) is not evaluated
-    * an extra time for the filter, and the join reuses the window's
-    * partitioning. */
+    * the hot-bucket guard applied. ONE shuffle to the (band, bk) buckets
+    * (groupBy + collect_list) and a native `array_pairs` explode over each
+    * sorted bucket, then the cross-band distinct — replacing the earlier
+    * window-count + self-join form, which shuffled the band rows twice and
+    * sorted them once (r11 bench: the extra stages, not the signature
+    * math, dominated `dd_embed_lsh` after the second rotation doubled the
+    * band rows). Size guard and pair set are UNCHANGED: each band row is
+    * one distinct id per bucket in every caller, so `size(ids)` equals the
+    * window's row count, and `array_pairs` over the sorted list is exactly
+    * the `a.id < b.id` self-join's pair set. Buckets of one produce no
+    * pairs and are dropped by the BETWEEN. */
   private[queries] def bandedCandidates(
-      bands: DataFrame, idCol: String, maxBucket: Int = MaxBucket): DataFrame = {
-    val kept = bands
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bk")))
-      .where(col("bsz") <= maxBucket)
-      .drop("bsz")
-    kept.as("a").join(kept.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
+      bands: DataFrame, idCol: String, maxBucket: Int = MaxBucket): DataFrame =
+    bands.groupBy("band", "bk")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr("array_pairs(ids)")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .where(col("i") < col("j"))
       .distinct()
-  }
 
   /** doc_id → distinct 3-word shingles, as in TextQueries.dd_shingle_jaccard. */
   private def shingles(spark: SparkSession): DataFrame =

@@ -1579,11 +1579,29 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
     * seconds; past the budget the arm declines to the scan instead. */
   def combineRangeDescendBounded(s: Long, e: Long)(usable: P => Boolean)(
       accOk: P => Boolean): Option[P] = {
+    var acc = agg.identity
+    val ok = visitRangeDescend(s, e)(usable) { p =>
+      acc = agg.combine(acc, p)
+      accOk(acc)
+    }
+    if (ok) Some(acc) else None
+  }
+
+  /** The slot VISITOR underneath [[combineRangeDescendBounded]]: walks the
+    * same coarse-first decomposition but hands each accepted partial to
+    * `visit` instead of folding, so a caller with a cheaper bulk
+    * accumulator than repeated `agg.combine` (e.g. the heavy-hitter read's
+    * hash merge — the left fold re-copies the whole accumulated summary
+    * per slot, O(slots × keys), and that copying was the raw-read p99.9
+    * tail) can supply it. `visit` returns false to abort (budget overrun);
+    * the walk then returns false. An empty/disjoint range visits nothing
+    * and returns true. */
+  def visitRangeDescend(s: Long, e: Long)(usable: P => Boolean)(
+      visit: P => Boolean): Boolean = {
     val lo = math.max(s, startSec)
     val hi = math.min(e, endSec)
-    if (numSecs == 0 || lo >= hi) return Some(agg.identity)
-    if (prefix.isDefined) return Some(combineRange(lo, hi)) // invertible: exact O(1)
-    var acc = agg.identity
+    if (numSecs == 0 || lo >= hi) return true
+    if (prefix.isDefined) return visit(combineRange(lo, hi)) // invertible: exact O(1)
     def add(lo: Long, hi: Long, maxLi: Int): Boolean = {
       var cur = lo
       while (cur < hi) {
@@ -1594,14 +1612,13 @@ final class TypedHawWheel[P: ClassTag, Out] private[wheel] (
         if (idx >= 0) { // a miss proves the whole span holds no data
           val p = store(idx)
           if (li == 0 || usable(p)) {
-            acc = agg.combine(acc, p)
-            if (!accOk(acc)) return false
+            if (!visit(p)) return false
           } else if (!add(cur, cur + span, li - 1)) return false
         }
         cur += Spans(li)
       }
       true
     }
-    if (add(lo, hi, Spans.length - 1)) Some(acc) else None
+    add(lo, hi, Spans.length - 1)
   }
 }

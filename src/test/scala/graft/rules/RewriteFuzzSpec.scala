@@ -188,11 +188,24 @@ class RewriteFuzzSpec extends AnyFunSuite {
     * the scan return a different (equally valid) subset than the wheel,
     * and this fuzzer asserts strict equality. `user_id` serves (keyed for
     * the 'purchase' residual, declining other residuals); `event_id` has
-    * no wheel, so both sides scan. */
+    * no wheel, so both sides scan. Round-12 (verdict task 8): the decline
+    * lattice is hammered explicitly — random `key IS NOT NULL` waivers
+    * (consumed by the arm, never routed), explicit keyed residuals (the
+    * registered 'purchase' one and an unregistered one that must decline),
+    * composed on top of `predicate`'s own residual/IN forms, and small
+    * LIMITs that cut at count ties (the pinned tiebreak keeps both sides
+    * deterministic). */
   private def topkSql(rnd: scala.util.Random): String = {
     val key = if (rnd.nextInt(4) == 0) "event_id" else "user_id"
     val k = 1 + rnd.nextInt(8)
-    s"SELECT $key, count(*) AS cnt FROM events WHERE ${predicate(rnd)} " +
+    val residual = rnd.nextInt(4) match {
+      case 0 => Seq("event_type = 'purchase'") // the registered keyed top-k wheel
+      case 1 => Seq("event_type = 'click'")    // unregistered residual — must decline
+      case _ => Nil
+    }
+    val waiver = if (rnd.nextBoolean()) Seq(s"$key IS NOT NULL") else Nil
+    val preds = (Seq(predicate(rnd)) ++ residual ++ waiver).mkString(" AND ")
+    s"SELECT $key, count(*) AS cnt FROM events WHERE $preds " +
       s"GROUP BY $key ORDER BY cnt DESC, $key LIMIT $k"
   }
 
@@ -203,15 +216,20 @@ class RewriteFuzzSpec extends AnyFunSuite {
     setup
     val rnd = new scala.util.Random(seed)
     var rewritten = 0
+    var topkShapes = 0
+    var topkRewritten = 0
     (1 to n).foreach { i =>
+      val isTopk = rnd.nextInt(8) == 0
       val sql =
-        if (rnd.nextInt(8) == 0) topkSql(rnd)
+        if (isTopk) topkSql(rnd)
         else render(predicate(rnd), aggs(rnd), grouping(rnd))
+      if (isTopk) topkShapes += 1
       val dfOn = spark.sql(sql)
       val wasLocal = dfOn.queryExecution.optimizedPlan.collectFirst {
         case l: LocalRelation => l
       }.isDefined
       if (wasLocal) rewritten += 1
+      if (wasLocal && isTopk) topkRewritten += 1
       val on = try dfOn.collect() catch {
         case e: Throwable => fail(s"case $i threw with rewrites ON: $sql\n$e")
       }
@@ -221,9 +239,14 @@ class RewriteFuzzSpec extends AnyFunSuite {
       } finally Graft.rewritesEnabled = true
       assert(sortedRows(on) === sortedRows(off), s"case $i mismatch: $sql")
     }
-    info(s"rewritten at plan time: $rewritten / $n")
+    info(s"rewritten at plan time: $rewritten / $n " +
+      s"(top-k arm: $topkRewritten / $topkShapes shapes)")
     // the fuzz must actually exercise the index, not just the scan
     assert(rewritten >= n / 5, s"only $rewritten/$n shapes rewrote — generator drifted off the arms")
+    // ... and the heavy-hitter arm specifically must FIRE, not just decline
+    // its way through the lattice (round-12 verdict task 8)
+    if (topkShapes >= 20)
+      assert(topkRewritten > 0, s"0/$topkShapes top-k shapes rewrote — arm never exercised")
   }
 
   test("400 random query shapes: rewrite on == rewrite off, exactly") {
