@@ -37,6 +37,13 @@ object PipelineQueries {
     * corpus). Width is a single constant in both SQL texts. */
   private val ContamN = 4
 
+  /** Duplicate-span width for the corpus-level duplicate-mass signal
+    * (dd_span_frac). 4 words: at sf0.01 the per-doc duplicated-gram
+    * fraction then separates cleanly (median 0.03, a near-dup tail at 1.0,
+    * 47/500 past the one-half gate) where 3-grams would mark 93% of this
+    * small-vocabulary synthetic corpus duplicated. */
+  private val SpanN = 4
+
   // --- Spark SQL ----------------------------------------------------------
 
   private val sparkSql: Seq[(String, String)] = Seq(
@@ -169,6 +176,34 @@ object PipelineQueries {
         |      FROM s)
         |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs
         |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
+
+    // corpus-level duplicate-span mass (the exact-substring-dedup signal of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better", arXiv:2107.06499, at word-n-gram granularity): per document,
+    // the fraction of its distinct word 4-grams that occur in at least one
+    // OTHER document. Complements txt_repetition (INTRA-doc duplication)
+    // and the pairwise dedup family (whole-doc similarity): a doc can be
+    // pairwise-unique yet assembled from corpus-duplicated spans — the
+    // boilerplate/template signal. Dataflow is linear in corpus size: one
+    // distinct-gram explode, one hash-agg to find corpus-duplicated grams
+    // (count(*) counts DOCS per gram — word_ngrams is distinct-per-doc),
+    // one gram-keyed join back (output ≤ the explode, never pairs), one
+    // per-doc count. Integer counts + one double division, engine-exact.
+    "dd_span_frac" ->
+      s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+         |           WHERE size(split(text, ' ')) >= $SpanN),
+         |g AS (SELECT doc_id, explode(word_ngrams(w, $SpanN)) AS s FROM d),
+         |dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2),
+         |c AS (SELECT g.doc_id, count(*) AS n_dup
+         |      FROM g JOIN dup ON g.s = dup.s GROUP BY g.doc_id),
+         |t AS (SELECT doc_id, size(word_ngrams(w, $SpanN)) AS n_grams FROM d)
+         |SELECT t.doc_id AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+         |       CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams AS dup_frac,
+         |       CASE WHEN coalesce(n_dup, 0) * 2 >= n_grams
+         |            THEN 'dup_heavy' ELSE 'ok' END AS verdict
+         |FROM t LEFT JOIN c ON c.doc_id = t.doc_id
+         |ORDER BY doc_id""".stripMargin,
   )
 
   /** Duplicate clustering: connected components over the exact near-dup
@@ -782,6 +817,27 @@ object PipelineQueries {
         |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
 
     "dd_cluster" -> ddClusterOracle,
+    "dd_span_frac" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE len(string_split(text, ' ')) >= $SpanN),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |        [array_to_string(w[i:i+${SpanN - 1}], ' ')
+         |         for i in range(1, len(w) - ${SpanN - 2})])) AS s
+         |      FROM d),
+         |dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2),
+         |c AS (SELECT g.doc_id, count(*) AS n_dup
+         |      FROM g JOIN dup ON g.s = dup.s GROUP BY g.doc_id),
+         |t AS (SELECT doc_id, len(list_distinct(
+         |        [array_to_string(w[i:i+${SpanN - 1}], ' ')
+         |         for i in range(1, len(w) - ${SpanN - 2})])) AS n_grams FROM d)
+         |SELECT t.doc_id AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+         |       CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams AS dup_frac,
+         |       CASE WHEN coalesce(n_dup, 0) * 2 >= n_grams
+         |            THEN 'dup_heavy' ELSE 'ok' END AS verdict
+         |FROM t LEFT JOIN c ON c.doc_id = t.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     "dd_cluster_keep" -> ddClusterKeepOracle,
     "ds_curated" -> dsCuratedOracle,
   )

@@ -183,4 +183,30 @@ class PipelineSemanticSpec extends AnyFunSuite {
     assert(rounds <= 20,
       s"star contraction took $rounds rounds on a diameter-$n path; expected O(log n)")
   }
+
+  test("dd_span_frac equals an independent brute-force over the corpus") {
+    // independent implementation: per-doc DISTINCT word-4-gram sets built
+    // in plain Scala, corpus-duplicated = gram present in ≥ 2 docs; the
+    // division is the same Double op, so equality is exact
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val grams: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      id -> w.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    }.toMap
+    val docCount = mutable.Map.empty[String, Int]
+    grams.values.foreach(_.foreach(g => docCount(g) = docCount.getOrElse(g, 0) + 1))
+    val expected = grams.toSeq.filter(_._2.nonEmpty).map { case (id, gs) =>
+      val nDup = gs.count(g => docCount(g) >= 2)
+      val frac = nDup.toDouble / gs.size
+      (id, gs.size.toLong, nDup.toLong, frac,
+        if (nDup * 2 >= gs.size) "dup_heavy" else "ok")
+    }.sortBy(_._1)
+    val got = PipelineQueries.defs.toMap.apply("dd_span_frac")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._3 > 0), "corpus has no cross-document duplicated spans?")
+  }
 }
