@@ -960,15 +960,45 @@ object WheelAggregators {
       * None = not certifiable from this summary (fall back to the scan). */
     def topK(p: TopKSummary, k: Int): Option[Seq[(Long, Long)]] =
       if (p.slack != 0L) None
-      else Some(
-        p.keys.indices.sortBy(i => (-p.lowers(i), p.keys(i))).take(k)
-          .map(i => (p.keys(i), p.lowers(i))))
+      else Some(topIndices(p, k).map(i => (p.keys(i), p.lowers(i))).toSeq)
 
     /** Approximate reading: top candidates with [lower, upper] bounds,
       * upper = lower + slack; always available. */
     def topKBounds(p: TopKSummary, k: Int): Seq[(Long, Long, Long)] =
-      p.keys.indices.sortBy(i => (-p.lowers(i), p.keys(i))).take(k)
+      topIndices(p, k)
         .map(i => (p.keys(i), p.lowers(i), Math.addExact(p.lowers(i), p.slack)))
+        .toSeq
+
+    /** Indices of the k largest entries by (count desc, key asc) — a
+      * primitive bounded-insertion selection, O(n·k) with tiny constants.
+      * The boxed `indices.sortBy(tuple)` it replaces allocated a tuple per
+      * SUMMARY entry to pick a handful of winners: at 1.5k keys / k=5 that
+      * full sort was ~2/3 of the whole plan-time topK() latency. Falls back
+      * to the full sort once k stops being small relative to n (LIMITs in
+      * the hundreds against small summaries), where O(n·k) loses. */
+    private def topIndices(p: TopKSummary, k: Int): Array[Int] = {
+      val n = p.keys.length
+      val kk = math.min(math.max(k, 0), n)
+      if (kk == 0) return Array.emptyIntArray
+      if (kk.toLong * 16 >= n) // selection degenerates toward O(n²); sort instead
+        return p.keys.indices.sortBy(i => (-p.lowers(i), p.keys(i))).take(kk).toArray
+      // beats(a, b): entry a ranks strictly above entry b
+      @inline def beats(a: Int, b: Int): Boolean =
+        p.lowers(a) > p.lowers(b) || (p.lowers(a) == p.lowers(b) && p.keys(a) < p.keys(b))
+      val top = new Array[Int](kk) // sorted best-first
+      var size = 0
+      var i = 0
+      while (i < n) {
+        if (size < kk || beats(i, top(size - 1))) {
+          var j = math.min(size, kk - 1)
+          while (j > 0 && beats(i, top(j - 1))) { top(j) = top(j - 1); j -= 1 }
+          top(j) = i
+          if (size < kk) size += 1
+        }
+        i += 1
+      }
+      top
+    }
 
     override val partialSerde: Option[(TopKSummary => Array[Byte], Array[Byte] => TopKSummary)] =
       Some((

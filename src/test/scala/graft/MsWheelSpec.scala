@@ -252,4 +252,25 @@ class MsWheelSpec extends AnyFunSuite {
     assert(msBytes > 0)
     assert(t.indexUsageBytes >= msBytes)
   }
+
+  test("per-family byte attribution partitions the total, shared wheels under numeric") {
+    basePath
+    val t = graft.index.WheelRegistry.lookup(basePath).get
+    val byFam = t.indexUsageBytesByFamily
+    // the split is a PARTITION of the measured total (no double counting,
+    // nothing dropped) — the property the bench's index_mib_events_<family>
+    // rows rely on to attribute round-over-round growth
+    assert(byFam.values.sum === t.indexUsageBytes)
+    assert(byFam.values.forall(_ >= 0L))
+    assert(byFam("numeric") > 0L)
+    // a HawWheel serving both a numeric wheel and an ms registration counts
+    // once, under numeric: the ms entry prices only ms-ONLY wheels
+    val numericSet = t.allWheels.map(_.wheel).toSet
+    val msShared = t.allMsWheels.map(_.wheel).filter(numericSet.contains)
+    if (msShared.nonEmpty) {
+      val msOnlyBytes = t.allMsWheels.map(_.wheel).distinct
+        .filterNot(numericSet.contains).map(_.sizeBytes).sum
+      assert(byFam("ms") === msOnlyBytes)
+    }
+  }
 }
