@@ -168,4 +168,26 @@ class TopTalkersSpec extends AnyFunSuite {
     assert(c.slack == 1L + 5L)
     assert(agg.compact(c) eq c) // at or under cap: untouched
   }
+
+  test("topK/topKBounds selection ≡ full (count desc, key asc) sort, any k") {
+    // pins the bounded-insertion selection (and its k-large sort fallback)
+    // against the reference ranking it replaced, incl. tie-heavy counts
+    val genSummary = for {
+      n <- Gen.chooseNum(0, 60)
+      keys <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L)).map(_.distinct)
+      lowers <- Gen.listOfN(keys.length, Gen.chooseNum(0L, 5L)) // dense ties
+      slack <- Gen.oneOf(0L, 3L)
+    } yield TopKSummary(keys.sorted.toArray, lowers.toArray, slack)
+    val agg = new TopTalkers(cap = 1024)
+    val prop = Prop.forAll(genSummary, Gen.chooseNum(0, 70)) { (p, k) =>
+      val ref = p.keys.indices.sortBy(i => (-p.lowers(i), p.keys(i))).take(k)
+        .map(i => (p.keys(i), p.lowers(i)))
+      val bounds = agg.topKBounds(p, k).map(t => (t._1, t._2))
+      val exact = agg.topK(p, k)
+      bounds == ref &&
+        (if (p.slack == 0L) exact.contains(ref) else exact.isEmpty) &&
+        agg.topKBounds(p, k).forall(t => t._3 == t._2 + p.slack)
+    }
+    check(prop)
+  }
 }
