@@ -39,9 +39,13 @@ object BenchPcts {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val n = ev.count()
-    val copies = (0 until xf).map(i =>
-      ev.withColumn("event_id", col("event_id") + lit(i * n)))
-    copies.reduce(_ unionAll _)
+    // one explode per row instead of an xf-way union: a reduce(unionAll)
+    // tree is xf nodes deep (Catalyst recursion breaks around ~2000) and
+    // re-scans the source xf times; the generator shape scans once and
+    // scales to any xf
+    ev.withColumn("copy", explode(sequence(lit(0), lit(xf - 1))))
+      .withColumn("event_id", col("event_id") + col("copy") * lit(n))
+      .drop("copy")
       .repartition(64)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     // the other corpus tables symlink through — Q.ctx registers all views
