@@ -184,26 +184,25 @@ object PipelineQueries {
     // OTHER document. Complements txt_repetition (INTRA-doc duplication)
     // and the pairwise dedup family (whole-doc similarity): a doc can be
     // pairwise-unique yet assembled from corpus-duplicated spans — the
-    // boilerplate/template signal. Dataflow is linear in corpus size: one
-    // distinct-gram explode, one hash-agg to find corpus-duplicated grams
-    // (count(*) counts DOCS per gram — word_ngrams is distinct-per-doc),
-    // one gram-keyed join back (output ≤ the explode, never pairs), one
-    // per-doc count. Integer counts + one double division, engine-exact.
+    // boilerplate/template signal. Dataflow: ONE corpus scan, one
+    // distinct-gram explode (word_ngrams is distinct-per-doc, so a gram's
+    // row count IS its document frequency), a gram-partitioned window for
+    // that df, and one per-doc hash-agg — two shuffles, no join, never
+    // pairs. (The equivalent dup-grams ⋈ grams formulation — what the
+    // DuckDB oracle runs — costs three corpus scans and a join here;
+    // measured 0.91 → 0.52 s at sf0.1.) Integer counts + one double
+    // division, engine-exact.
     "dd_span_frac" ->
       s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
          |           WHERE size(split(text, ' ')) >= $SpanN),
          |g AS (SELECT doc_id, explode(word_ngrams(w, $SpanN)) AS s FROM d),
-         |dup AS (SELECT s FROM g GROUP BY s HAVING count(*) >= 2),
-         |c AS (SELECT g.doc_id, count(*) AS n_dup
-         |      FROM g JOIN dup ON g.s = dup.s GROUP BY g.doc_id),
-         |t AS (SELECT doc_id, size(word_ngrams(w, $SpanN)) AS n_grams FROM d)
-         |SELECT t.doc_id AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-         |       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
-         |       CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams AS dup_frac,
-         |       CASE WHEN coalesce(n_dup, 0) * 2 >= n_grams
+         |c AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(count_if(df >= 2) AS BIGINT) AS n_dup,
+         |       CAST(count_if(df >= 2) AS DOUBLE) / count(*) AS dup_frac,
+         |       CASE WHEN count_if(df >= 2) * 2 >= count(*)
          |            THEN 'dup_heavy' ELSE 'ok' END AS verdict
-         |FROM t LEFT JOIN c ON c.doc_id = t.doc_id
-         |ORDER BY doc_id""".stripMargin,
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** Duplicate clustering: connected components over the exact near-dup
