@@ -201,5 +201,13 @@ object BenchPcts {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath), json.getBytes)
     println(json)
     spark.stop()
+    // a derived corpus is gigabytes at large xf — don't leak it into /tmp
+    if (sfDir != baseDir) {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(sfDir)
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
   }
 }
