@@ -79,6 +79,28 @@ object Graft {
     * same queries with and without the index). */
   @volatile var rewritesEnabled: Boolean = true
 
+  /** Plan-time rewrite observability — the "is my query actually serving
+    * from the index?" question, answerable in production without reading
+    * `explain` output. Counters increment when an optimizer arm REWRITES
+    * (not when it merely matches): `agg` = temporal aggregate / GROUP BY /
+    * window shapes (incl. sketch functions), `prune` = zero-proof empty
+    * relations, `topk` = certified heavy-hitter limits, `plans` = queries
+    * with at least one rewrite applied. A fixed-point optimizer batch
+    * cannot double-count: a rewritten node is replaced by its
+    * LocalRelation answer, so no arm matches it again. JVM-global like
+    * [[rewritesEnabled]] (the registry the arms consult is too). */
+  object rewriteStats {
+    import java.util.concurrent.atomic.AtomicLong
+    private[graft] val agg = new AtomicLong
+    private[graft] val prune = new AtomicLong
+    private[graft] val topk = new AtomicLong
+    private[graft] val plans = new AtomicLong
+    def snapshot: Map[String, Long] = Map(
+      "agg" -> agg.get, "prune" -> prune.get, "topk" -> topk.get,
+      "plans" -> plans.get)
+    def reset(): Unit = { agg.set(0); prune.set(0); topk.set(0); plans.set(0) }
+  }
+
   /** Idempotently installs the wheel rewrite + nanos pushdown rules and the
     * native vector functions on a live session (UWheelRule first: plans it
     * answers never reach the scan-path pushdown). */

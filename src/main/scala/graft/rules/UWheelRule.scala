@@ -61,24 +61,35 @@ object UWheelRule extends Rule[LogicalPlan] {
     // that does only hash-map membership tests. The full lookup (fingerprint
     // staleness, sameResult) still gates the actual rewrite inside unwrap.
     if (!touchesIndexedLeaf(plan)) return plan
+    val stats = graft.Graft.rewriteStats
     val rewritten = plan.transformDown {
       // an ArithmeticException (multi-range sum overflow in RangeAgg.merge,
       // addExact on pathological mixed-sign data) must degrade to the scan,
       // never abort the query from inside the optimizer
       case agg: Aggregate =>
-        try tryAggRewrite(agg).orElse(tryDimJoinRewrite(agg)).getOrElse(agg)
+        try tryAggRewrite(agg).orElse(tryDimJoinRewrite(agg)) match {
+          case Some(r) => stats.agg.incrementAndGet(); r
+          case None => agg
+        }
         catch { case _: ArithmeticException | _: DeclineRewrite => agg }
       case f: Filter =>
-        try tryPrune(f).getOrElse(f)
+        try tryPrune(f) match {
+          case Some(r) => stats.prune.incrementAndGet(); r
+          case None => f
+        }
         catch { case _: ArithmeticException | _: DeclineRewrite => f }
       // heavy-hitter shape: ORDER BY count DESC LIMIT n over GROUP BY key
       // (matched ABOVE the Aggregate — transformDown visits the limit
       // first, so on decline the Aggregate still gets the other arms)
       case gl: GlobalLimit =>
-        try tryTopKRewrite(gl).getOrElse(gl)
+        try tryTopKRewrite(gl) match {
+          case Some(r) => stats.topk.incrementAndGet(); r
+          case None => gl
+        }
         catch { case _: ArithmeticException | _: DeclineRewrite => gl }
     }
-    if (rewritten.fastEquals(plan)) plan else cleanupLocal(rewritten)
+    if (rewritten.fastEquals(plan)) plan
+    else { stats.plans.incrementAndGet(); cleanupLocal(rewritten) }
   }
 
   /** True iff some leaf of the plan COULD resolve to a registered index:

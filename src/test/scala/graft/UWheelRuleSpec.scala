@@ -1332,4 +1332,25 @@ class UWheelRuleSpec extends AnyFunSuite {
     assertNotRewritten(q)
     assert(q.collect()(0).getLong(0) === 2L)
   }
+
+  test("rewriteStats counts served agg and prune arms") {
+    // counters are JVM-global and other suites may rewrite concurrently, so
+    // assertions are strict-growth on the arm each query exercises — the
+    // declines-count-nothing property is structural (increment only on a
+    // Some from the arm) and plan-asserted by every assertNotRewritten test
+    setup
+    val stats = Graft.rewriteStats
+    val a0 = stats.snapshot
+    ranged.agg(count(lit(1)).as("c")).collect()
+    assert(stats.snapshot("agg") > a0("agg"), s"$a0 -> ${stats.snapshot}")
+    val p0 = stats.snapshot
+    events.filter(col("ts") >= lit("2030-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("ts") < lit("2030-02-01 00:00:00").cast("timestamp_ntz"))
+      .select(col("event_id")).collect()
+    val after = stats.snapshot
+    assert(after("prune") > p0("prune"), s"$p0 -> $after")
+    assert(after("plans") > a0("plans"))
+    stats.reset() // reset surface exercised; a racing increment is harmless
+    assert(stats.snapshot.values.forall(_ >= 0L))
+  }
 }
