@@ -311,6 +311,14 @@ object Bench {
       }
     }
 
+    // how much of the suite actually served from the index, from the
+    // production observability counters — a rewrite-arm regression (a gate
+    // accidentally tightened) would show here as a falling serve count
+    // before any latency drifts enough to notice
+    graft.Graft.rewriteStats.snapshot.foreach { case (k, v) =>
+      probes(s"rewrites_$k") = v.toDouble
+    }
+
     // machine-parsed output: format under Locale.ROOT so a comma-decimal
     // default locale can't produce invalid JSON
     def num(v: Double): String =
