@@ -48,7 +48,7 @@ object SimilarityQueries {
     * window's row count, and `array_pairs` over the sorted list is exactly
     * the `a.id < b.id` self-join's pair set. Buckets of one produce no
     * pairs and are dropped by the BETWEEN. */
-  private[queries] def bandedCandidates(
+  private[graft] def bandedCandidates(
       bands: DataFrame, idCol: String, maxBucket: Int = MaxBucket): DataFrame =
     bands.groupBy("band", "bk")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))

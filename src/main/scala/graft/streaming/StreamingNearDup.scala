@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate GATE: the MinHash banded-LSH candidate stage of
+  * [[graft.queries.SimilarityQueries.minhashLsh]] as a Structured Streaming
+  * operator — flag an arriving document the moment any of its band keys
+  * collides with an already-ingested document's, the shape an ingest
+  * pipeline needs ("is this page a near-dup of anything seen so far?")
+  * where the batch operator asks the retrospective all-pairs question.
+  *
+  * Same geometry as the batch path (64 perms, 16 bands × 4 rows, identical
+  * `xxhash64`/`hash` arithmetic), so the candidate-pair semantics coincide:
+  * over the same corpus the streaming gate's emitted pair set equals the
+  * batch `bandedCandidates` set (pinned by `StreamingNearDupSpec`).
+  * Differences forced by streaming:
+  *
+  *  - Signatures are computed MAP-SIDE per row (`array_min` over a
+  *    `transform` of the row's distinct shingles) instead of the batch
+  *    explode + `groupBy(doc).agg(min…)` — a streaming aggregation would
+  *    buffer rows behind a watermark, while the per-row form emits a
+  *    document's band keys in the micro-batch it arrives in. `word_ngrams`
+  *    returns DISTINCT shingles, so `array_min` over it is bit-identical
+  *    to `min` over the exploded set.
+  *  - Bucket state is capped like the batch `maxBucket` guard, but
+  *    prospectively: a bucket that GROWS past the cap stops emitting new
+  *    pairs from then on (already-emitted pairs cannot be retracted from a
+  *    stream), where batch drops the whole oversize bucket. A hot band
+  *    bucket (the stop-shingle pathology) therefore costs O(cap) state and
+  *    O(cap²) emitted pairs, then goes quiet — state per bucket is bounded
+  *    no matter how adversarial the stream.
+  *
+  * At scale the state store shards by (band, bucket-hash) across
+  * executors — each group holds ≤ cap doc ids — and the gate emits only
+  * CANDIDATES: exact-Jaccard verification (which needs both documents'
+  * shingle sets) belongs to a downstream batch join against the corpus,
+  * exactly like the batch operator's verify stage.
+  */
+object StreamingNearDup {
+
+  private val NumPerm = 64
+  private val Bands = 16
+  private val RowsPerBand = NumPerm / Bands
+
+  /** (id, band, bk) rows for every input document of ≥ 3 words — map-side
+    * only (no aggregation), so it works identically on batch and streaming
+    * frames. Band-key arithmetic is bit-identical to the batch MinHash
+    * path: `m_i = min over distinct 3-shingles of xxhash64(i, s)`,
+    * `bk = hash(m_{4b}, …, m_{4b+3})`. */
+  def bandKeys(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withShingles = df
+      .where(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"word_ngrams(split($textCol, ' '), 3)").as("sh"))
+    val sigCols = (0 until NumPerm).map { i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"m$i")
+    }
+    val sigs = withShingles.select(col("id") +: sigCols: _*)
+    val bandCols = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), hash(cols: _*).as("bk"))
+    }
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+  }
+
+  /** Candidate near-dup pairs (i, j), i < j, emitted as documents arrive —
+    * j is always from the current micro-batch, i from state (or an earlier
+    * row of the same batch). Pairs may repeat when two documents collide
+    * on several bands (the batch path's `.distinct()`); deduplicate
+    * downstream if exact-once matters. State: per (band, bk) bucket, the
+    * sorted first-`maxBucket` doc ids; a bucket past the cap is frozen. */
+  def candidates(df: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 4096): Dataset[(Long, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bandKeys(df, idCol, textCol)
+      .as[(Long, Int, Int)]
+      .groupByKey { case (_, band, bk) => (band, bk) }
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Int), rows: Iterator[(Long, Int, Int)],
+            state: GroupState[Array[Long]]) => {
+          var seen = state.getOption.getOrElse(Array.emptyLongArray)
+          val out = Seq.newBuilder[(Long, Long)]
+          rows.foreach { case (id, _, _) =>
+            // frozen bucket (cap reached) emits nothing more; a re-arriving
+            // id (stream replay) pairs with nobody new
+            if (seen.length <= maxBucket && !seen.contains(id)) {
+              if (seen.length < maxBucket) {
+                seen.foreach { s =>
+                  out += (if (s < id) (s, id) else (id, s))
+                }
+                seen = seen :+ id
+              } else {
+                // cap hit NOW: freeze with a sentinel length so later
+                // arrivals skip the pair scan entirely
+                seen = seen :+ id
+              }
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
+}

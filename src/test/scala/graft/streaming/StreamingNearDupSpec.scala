@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming LSH gate must be the batch candidate stage, incrementally:
+  * same signatures, same band keys, and — over the same corpus — the same
+  * emitted pair set, regardless of how the stream is chopped into
+  * micro-batches. */
+class StreamingNearDupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("map-side signatures equal the batch explode+groupBy+min form") {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.registerFunctions(spark)
+    // batch form: explode distinct shingles, min per doc (minhashLsh's)
+    val sh = docs.where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(expr("word_ngrams(split(text, ' '), 3)")).as("s"))
+    val batchSig = sh.groupBy("doc_id")
+      .agg(min(xxhash64(lit(0), col("s"))).as("m0"), min(xxhash64(lit(63), col("s"))).as("m63"))
+    // map-side form: array_min over the row's distinct shingle array
+    val rowSig = docs.where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        array_min(transform(expr("word_ngrams(split(text, ' '), 3)"),
+          s => xxhash64(lit(0), s))).as("m0"),
+        array_min(transform(expr("word_ngrams(split(text, ' '), 3)"),
+          s => xxhash64(lit(63), s))).as("m63"))
+    val diff = batchSig.as("a").join(rowSig.as("b"), "doc_id")
+      .where(col("a.m0") =!= col("b.m0") || col("a.m63") =!= col("b.m63"))
+    assert(diff.count() === 0L)
+  }
+
+  test("streamed candidates equal the batch banded candidate set") {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.registerFunctions(spark)
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = docs.as[(Long, String)].collect().toSeq
+    assert(all.size >= 100)
+    // batch truth: the same band keys through the batch bucket-pair stage
+    val expected = graft.queries.SimilarityQueries.bandedCandidates(
+        StreamingNearDup.bandKeys(docs, "doc_id", "text"), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "corpus has no LSH candidate pairs?")
+
+    val input = MemoryStream[(Long, String)]
+    val pairs = StreamingNearDup.candidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = pairs.toDF("i", "j").writeStream
+      .format("memory").queryName("near_dup_gate").outputMode("update").start()
+    try {
+      // three uneven micro-batches: pairs must not depend on the chop
+      input.addData(all.take(100))
+      q.processAllAvailable()
+      input.addData(all.slice(100, 150))
+      q.processAllAvailable()
+      input.addData(all.drop(150))
+      q.processAllAvailable()
+      val got = spark.table("near_dup_gate")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("a frozen bucket stops emitting past the cap") {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.registerFunctions(spark)
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 8 identical docs → every band bucket holds all 8; cap 3 freezes after
+    // the third member: C(3,2)=3 pairs per band, and ids 4..8 add nothing
+    val same = (1L to 8L).map(i => (i, "alpha beta gamma delta"))
+    val input = MemoryStream[(Long, String)]
+    val pairs = StreamingNearDup.candidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = 3)
+    val q = pairs.toDF("i", "j").writeStream
+      .format("memory").queryName("near_dup_frozen").outputMode("update").start()
+    try {
+      input.addData(same)
+      q.processAllAvailable()
+      val got = spark.table("near_dup_frozen")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // only the first 3 arrivals pair up; identical docs collide on all
+      // 16 bands but the SET is the 3 distinct pairs
+      assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally q.stop()
+  }
+}
