@@ -292,8 +292,8 @@ object SimilarityQueries {
     * size stays O(collision-rate · n / 2^bits) and in-bucket pair-gen is
     * subquadratic; 8 bits ≈ 256 buckets/band fits the test corpora
     * (n ≤ 5000). */
-  private val SrpBits = 512
-  private val SrpRowsPerBand = 8
+  private[graft] val SrpBits = 512
+  private[graft] val SrpRowsPerBand = 8
   private val SrpBands = SrpBits / SrpRowsPerBand
 
   /** SRP-banded near-duplicate pairs with exact-cosine verification over an

@@ -66,21 +66,46 @@ object StreamingNearDup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
   }
 
-  /** Candidate near-dup pairs (i, j), i < j, emitted as documents arrive —
-    * j is always from the current micro-batch, i from state (or an earlier
-    * row of the same batch). Pairs may repeat when two documents collide
-    * on several bands (the batch path's `.distinct()`); deduplicate
-    * downstream if exact-once matters. State: per (band, bk) bucket, the
-    * sorted first-`maxBucket` doc ids; a bucket past the cap is frozen. */
+  /** Candidate near-dup pairs (i, j), i < j, for arriving DOCUMENTS (the
+    * MinHash text gate). See [[candidatesFromBandKeys]] for semantics. */
   def candidates(df: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int = 4096): Dataset[(Long, Long)] =
+    candidatesFromBandKeys(bandKeys(df, idCol, textCol), maxBucket)
+
+  /** Candidate near-dup pairs for arriving EMBEDDINGS — the SRP-LSH gate,
+    * same plane geometry as the batch `dd_embed_lsh`
+    * ([[graft.queries.SimilarityQueries.srpNearDupPairs]]): `srp_band_keys`
+    * is already one map-side codegen'd expression, so the streaming form
+    * is just its explode through the shared stateful bucket gate. */
+  def embeddingCandidates(df: DataFrame, idCol: String, vecCol: String,
       maxBucket: Int = 4096): Dataset[(Long, Long)] = {
-    val spark = df.sparkSession
+    import graft.queries.SimilarityQueries.{SrpBits, SrpRowsPerBand}
+    candidatesFromBandKeys(
+      df.select(col(idCol).cast("long").as("id"),
+        posexplode(expr(s"srp_band_keys($vecCol, $SrpBits, $SrpRowsPerBand)"))
+          .as(Seq("band", "bk"))),
+      maxBucket)
+  }
+
+  /** The shared stateful gate: candidate pairs (i, j), i < j, from any
+    * `(id, band, bk)` band-key frame (MinHash text bands, SRP embedding
+    * bands, SimHash Hamming bands…) — j is always from the current
+    * micro-batch, i from state (or an earlier row of the same batch).
+    * Pairs may repeat when two items collide on several bands (the batch
+    * path's `.distinct()`); deduplicate downstream if exact-once matters.
+    * State: per (band, bk) bucket, the first-`maxBucket` ids in arrival
+    * order; a bucket past the cap is frozen. */
+  def candidatesFromBandKeys(bands: DataFrame,
+      maxBucket: Int = 4096): Dataset[(Long, Long)] = {
+    val spark = bands.sparkSession
     import spark.implicits._
-    bandKeys(df, idCol, textCol)
-      .as[(Long, Int, Int)]
+    bands
+      .select(col("id").cast("long"), col("band").cast("int"),
+        col("bk").cast("long"))
+      .as[(Long, Int, Long)]
       .groupByKey { case (_, band, bk) => (band, bk) }
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (_: (Int, Int), rows: Iterator[(Long, Int, Int)],
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
             state: GroupState[Array[Long]]) => {
           var seen = state.getOption.getOrElse(Array.emptyLongArray)
           val out = Seq.newBuilder[(Long, Long)]

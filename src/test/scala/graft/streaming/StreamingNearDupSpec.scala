@@ -76,6 +76,39 @@ class StreamingNearDupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed EMBEDDING candidates equal the batch SRP candidate set") {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.registerFunctions(spark)
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // batch truth through the same band keys and the batch bucket stage
+    import graft.queries.SimilarityQueries.{SrpBits, SrpRowsPerBand}
+    val bands = emb.select(col("vec_id").cast("long").as("id"),
+      posexplode(expr(s"srp_band_keys(embedding, $SrpBits, $SrpRowsPerBand)"))
+        .as(Seq("band", "bk")))
+    val expected = graft.queries.SimilarityQueries.bandedCandidates(bands, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "corpus has no SRP candidate pairs?")
+    val all = emb.as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val pairs = StreamingNearDup.embeddingCandidates(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val q = pairs.toDF("i", "j").writeStream
+      .format("memory").queryName("near_dup_emb").outputMode("update").start()
+    try {
+      input.addData(all.take(all.size / 2))
+      q.processAllAvailable()
+      input.addData(all.drop(all.size / 2))
+      q.processAllAvailable()
+      val got = spark.table("near_dup_emb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("a frozen bucket stops emitting past the cap") {
     spark.sparkContext.setLogLevel("WARN")
     graft.Graft.registerFunctions(spark)
