@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.ArrayPairs].getName, "array_pairs"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ArrayPairs(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("collect_capped_long"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CollectCappedLong].getName, "collect_capped_long"),
+      Graft.collectCappedBuilder))
     graft.functions.MomentStatsAgg.Stats.foreach { stat =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(s"wheel_$stat"),
@@ -132,6 +137,8 @@ object Graft {
       "array_pairs",
       exprs => graft.functions.ArrayPairs(exprs.head),
       "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_capped_long", collectCappedBuilder, "scala_udf")
     graft.functions.MomentStatsAgg.Stats.foreach { stat =>
       cs.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"wheel_$stat", exprs => momentBuilder(stat, exprs), "scala_udf")
@@ -158,6 +165,17 @@ object Graft {
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     require(exprs.length == 2, s"word_ngrams takes (tokens, n), got ${exprs.length} arguments")
     graft.functions.WordNGrams(exprs(0), intOf(exprs(1), "word_ngrams n"))
+  }
+
+  /** `collect_capped_long(col, cap)` — buffer-bounded sorted collect
+    * ([[graft.functions.CollectCappedLong]]); `cap` must be an integer
+    * literal (it bounds the aggregation buffer). */
+  private[graft] def collectCappedBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2,
+      s"collect_capped_long takes (col, cap), got ${exprs.length} arguments")
+    graft.functions.CollectCappedLong(exprs.head, intOf(exprs(1), "collect_capped_long cap"))
   }
 
   /** `wheel_var_samp(col)` etc. — exact-moment variance/stddev aggregates

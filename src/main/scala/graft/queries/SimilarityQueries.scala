@@ -38,20 +38,32 @@ object SimilarityQueries {
 
   /** (band, bk)-bucketed candidate pairs over `(id, band, bk)` rows, with
     * the hot-bucket guard applied. ONE shuffle to the (band, bk) buckets
-    * (groupBy + collect_list) and a native `array_pairs` explode over each
-    * sorted bucket, then the cross-band distinct — replacing the earlier
-    * window-count + self-join form, which shuffled the band rows twice and
-    * sorted them once (r11 bench: the extra stages, not the signature
-    * math, dominated `dd_embed_lsh` after the second rotation doubled the
-    * band rows). Size guard and pair set are UNCHANGED: each band row is
-    * one distinct id per bucket in every caller, so `size(ids)` equals the
-    * window's row count, and `array_pairs` over the sorted list is exactly
+    * (groupBy + a buffer-bounded collect) and a native `array_pairs`
+    * explode over each sorted bucket, then the cross-band distinct —
+    * replacing the earlier window-count + self-join form, which shuffled
+    * the band rows twice and sorted them once (r11 bench: the extra
+    * stages, not the signature math, dominated `dd_embed_lsh` after the
+    * second rotation doubled the band rows).
+    *
+    * The hot-bucket guard engages BEFORE materialization:
+    * `collect_capped_long` ([[graft.functions.CollectCappedLong]]) stops
+    * appending at `maxBucket + 1` elements, so a degenerate bucket (a
+    * boilerplate band hash shared by 10⁸ rows at 100 TB) holds at most
+    * `maxBucket + 1` longs in its aggregation buffer instead of the full
+    * id list a plain `collect_list` would build and then discard — the
+    * round-12 executor-OOM finding. The filter decision is provably
+    * unchanged: the capped array's size is `min(n, maxBucket + 1)`, so
+    * `size BETWEEN 2 AND maxBucket` keeps/drops exactly the buckets the
+    * uncapped form did, and kept buckets are collected COMPLETELY (the cap
+    * only truncates buckets the filter then drops). Each band row is one
+    * distinct id per bucket in every caller, so `size(ids)` equals the
+    * bucket's row count, and `array_pairs` over the sorted list is exactly
     * the `a.id < b.id` self-join's pair set. Buckets of one produce no
     * pairs and are dropped by the BETWEEN. */
   private[graft] def bandedCandidates(
       bands: DataFrame, idCol: String, maxBucket: Int = MaxBucket): DataFrame =
     bands.groupBy("band", "bk")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(expr(s"collect_capped_long($idCol, $maxBucket)").as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
       .select(explode(expr("array_pairs(ids)")).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))

@@ -14,8 +14,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Same geometry as the batch path (64 perms, 16 bands × 4 rows, identical
   * `xxhash64`/`hash` arithmetic), so the candidate-pair semantics coincide:
   * over the same corpus the streaming gate's emitted pair set equals the
-  * batch `bandedCandidates` set (pinned by `StreamingNearDupSpec`).
-  * Differences forced by streaming:
+  * batch `bandedCandidates` set — PROVIDED every (band, bucket) stays at or
+  * under `maxBucket` (pinned by `StreamingNearDupSpec`; true of the test
+  * corpora and of any corpus where the batch guard never fires). Past the
+  * cap the two DIVERGE by design: streaming has already emitted the first
+  * C(cap, 2) pairs and freezes (a stream cannot retract), while batch drops
+  * the oversize bucket wholesale — so on hot-bucket corpora the streaming
+  * set is a superset of batch on the frozen buckets and identical
+  * elsewhere (also spec-pinned). Differences forced by streaming:
   *
   *  - Signatures are computed MAP-SIDE per row (`array_min` over a
   *    `transform` of the row's distinct shingles) instead of the batch
@@ -67,7 +73,8 @@ object StreamingNearDup {
   }
 
   /** Candidate near-dup pairs (i, j), i < j, for arriving DOCUMENTS (the
-    * MinHash text gate). See [[candidatesFromBandKeys]] for semantics. */
+    * MinHash text gate). Equals the batch candidate set only while every
+    * bucket stays ≤ `maxBucket` — see [[candidatesFromBandKeys]]. */
   def candidates(df: DataFrame, idCol: String, textCol: String,
       maxBucket: Int = 4096): Dataset[(Long, Long)] =
     candidatesFromBandKeys(bandKeys(df, idCol, textCol), maxBucket)
@@ -94,7 +101,15 @@ object StreamingNearDup {
     * Pairs may repeat when two items collide on several bands (the batch
     * path's `.distinct()`); deduplicate downstream if exact-once matters.
     * State: per (band, bk) bucket, the first-`maxBucket` ids in arrival
-    * order; a bucket past the cap is frozen. */
+    * order; a bucket past the cap is frozen (≤ `maxBucket + 1` longs per
+    * bucket, the +1 being the freeze sentinel).
+    *
+    * Batch-equality precondition: the emitted pair set equals the batch
+    * [[graft.queries.SimilarityQueries.bandedCandidates]] set iff every
+    * (band, bk) bucket's true size is ≤ `maxBucket`. An over-cap bucket
+    * diverges BY DESIGN — streaming keeps the C(maxBucket, 2) pairs it
+    * emitted before the freeze, batch drops the whole bucket — and buckets
+    * at-or-under the cap are unaffected either way. */
   def candidatesFromBandKeys(bands: DataFrame,
       maxBucket: Int = 4096): Dataset[(Long, Long)] = {
     val spark = bands.sparkSession

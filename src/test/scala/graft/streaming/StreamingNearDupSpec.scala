@@ -128,9 +128,62 @@ class StreamingNearDupSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("near_dup_frozen")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      // only the first 3 arrivals pair up; identical docs collide on all
-      // 16 bands but the SET is the 3 distinct pairs
-      assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      // only the first 3 ids to REACH the state group pair up; groupByKey
+      // gives no intra-group arrival-order guarantee, so assert the
+      // structural property, not literal ids: exactly C(3,2)=3 distinct
+      // pairs forming a triangle over exactly 3 distinct member ids
+      val members = got.flatMap { case (i, j) => Set(i, j) }
+      assert(members.size === 3, s"expected 3 gated ids, got $members")
+      assert(members.subsetOf((1L to 8L).toSet))
+      assert(got === (for { a <- members; b <- members if a < b } yield (a, b)))
+    } finally q.stop()
+  }
+
+  test("over-cap divergence is exactly as designed: frozen buckets keep their pre-freeze pairs, batch drops them; the non-frozen mass matches") {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.registerFunctions(spark)
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cap = 3
+    // 8 identical docs → every bucket they land in grows PAST cap=3 and
+    // freezes (frozen-bucket count is nonzero); two healthy duplicate
+    // groups of sizes 2 and 3 (= cap, never frozen) in disjoint buckets
+    val hotIds = (1L to 8L)
+    val corpus =
+      hotIds.map(i => (i, "alpha beta gamma delta")) ++
+      Seq(101L, 102L).map(i => (i, "one two three four five")) ++
+      Seq(201L, 202L, 203L).map(i => (i, "zeta eta theta iota kappa"))
+    val docsDf = corpus.toDF("doc_id", "text")
+    // batch truth at the same cap: hot buckets are dropped wholesale
+    val batch = graft.queries.SimilarityQueries.bandedCandidates(
+        StreamingNearDup.bandKeys(docsDf, "doc_id", "text"), "id", maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!batch.exists { case (i, j) => hotIds.contains(i) || hotIds.contains(j) },
+      "batch must drop the over-cap buckets entirely")
+    assert(batch === Set((101L, 102L), (201L, 202L), (201L, 203L), (202L, 203L)))
+
+    val input = MemoryStream[(Long, String)]
+    val pairs = StreamingNearDup.candidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = cap)
+    val q = pairs.toDF("i", "j").writeStream
+      .format("memory").queryName("near_dup_divergence").outputMode("update").start()
+    try {
+      input.addData(corpus)
+      q.processAllAvailable()
+      val got = spark.table("near_dup_divergence")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (hotPairs, healthyPairs) =
+        got.partition { case (i, j) => hotIds.contains(i) || hotIds.contains(j) }
+      // non-frozen mass: identical to batch
+      assert(healthyPairs === batch)
+      // frozen buckets: the documented divergence — the C(cap,2) pre-freeze
+      // triangle survives (arrival order within the group is not guaranteed,
+      // so assert the shape, not the ids)
+      val hotMembers = hotPairs.flatMap { case (i, j) => Set(i, j) }
+      assert(hotMembers.size === cap)
+      assert(hotMembers.subsetOf(hotIds.toSet))
+      assert(hotPairs === (for { a <- hotMembers; b <- hotMembers if a < b } yield (a, b)))
     } finally q.stop()
   }
 }
