@@ -137,6 +137,11 @@ object Bench {
         results(name) = tot
         planTimes("plan_" + name) = pl
       } catch { case _: Throwable => results(name) = -1.0 }
+    // Counters start at the timed loop, not JVM start: the index build's
+    // own SQL and the corpus derivation above would otherwise inflate the
+    // "how much of the suite served from the index" numbers (each per-entry
+    // warm-up run still counts — it IS the same query).
+    graft.Graft.rewriteStats.reset()
     benchFns.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (selected(name)) record(name, fn)
     }
@@ -201,6 +206,24 @@ object Bench {
     probe("index_build_orders_dated")(Q.buildDatedOrders(spark, sfDir))
     probe("index_build_lineitem_dec")(Q.buildDecLineitem(spark, sfDir))
 
+    // Differential probes AS recorded quantities (round-12 task 8): the raw
+    // complement builds swing ~2x on suite position, so a complement-probe
+    // move (r12: lineitem_noexpr 1.11 -> 2.03 with the full build flat) can
+    // read as a regression. Recording full - without under a `_cost_` name
+    // labels what each differential prices; the complements stay in the
+    // record for provenance.
+    def diffProbe(name: String, full: String, without: String): Unit =
+      for (a <- probes.get(full); b <- probes.get(without) if a >= 0 && b >= 0)
+        probes(name) = a - b
+    diffProbe("index_build_cost_millis",
+      "index_build_events_numeric", "index_build_events_numeric_nomillis")
+    diffProbe("index_build_cost_hll", "index_build_events", "index_build_events_nohll")
+    diffProbe("index_build_cost_freq", "index_build_events", "index_build_events_nofreq")
+    diffProbe("index_build_cost_moment", "index_build_events", "index_build_events_nomoment")
+    diffProbe("index_build_cost_hdr", "index_build_events", "index_build_events_nohdr")
+    diffProbe("index_build_cost_topk", "index_build_events", "index_build_events_notopk")
+    diffProbe("index_build_cost_expr", "index_build_lineitem", "index_build_lineitem_noexpr")
+
     // Per-bucket read microbench (round-9 task 1: the record must carry the
     // per-bucket cost, not leave it inferred from query medians): one
     // sparse bucketized sweep of the full ms wheel at the uw_window_subsec
@@ -248,6 +271,52 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         probes("topk_read_us") = -1.0
         System.err.println(s"[graft] topk_read probe failed: $e")
+    }
+
+    // Streaming gate state bound (round-12 task 6): replay an adversarial
+    // band-key stream — ONE bucket fed 50,000 ids (>6000x the cap) next to
+    // 100 healthy buckets of 2 — through the ingest gate and record the
+    // state store's row count and bytes from the query progress. The gate
+    // keeps one state row per (band, bk) bucket holding <= cap+1 longs
+    // (prospective freeze), so rows <= buckets and bytes stay O(buckets *
+    // cap) no matter how hot the hot bucket runs; an unbounded collect
+    // would hold 50k longs (~400 KB) in the hot row alone and blow the
+    // asserted ceiling. gate_state_ok = 1 iff both bounds hold.
+    if (only.isEmpty) try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val cap = 8
+      val healthyBuckets = 100
+      val hot = (0 until 50000).map(i => (100000L + i, 0, -1L))
+      val healthy = (0 until healthyBuckets).flatMap(b =>
+        Seq((b * 2L, 1, b.toLong), (b * 2L + 1, 1, b.toLong)))
+      val input = MemoryStream[(Long, Int, Long)]
+      val gated = graft.streaming.StreamingNearDup.candidatesFromBandKeys(
+        input.toDF().toDF("id", "band", "bk"), maxBucket = cap)
+      val q = gated.toDF("i", "j").writeStream
+        .format("noop").outputMode("update").start()
+      try {
+        input.addData(hot ++ healthy)
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators
+        val rows = so.map(_.numRowsTotal).sum.toDouble
+        val bytes = so.map(_.memoryUsedBytes).sum.toDouble
+        val bucketCount = healthyBuckets + 1
+        probes("gate_state_rows") = rows
+        probes("gate_state_bytes") = bytes
+        probes("gate_state_rows_bound") = bucketCount.toDouble
+        probes("gate_state_ok") =
+          if (rows <= bucketCount && bytes <= bucketCount * ((cap + 1) * 8 + 2048).toDouble)
+            1.0 else -1.0
+        if (probes("gate_state_ok") < 0)
+          System.err.println(
+            s"[graft] GATE STATE BOUND BROKEN: rows=$rows bytes=$bytes (buckets=$bucketCount cap=$cap)")
+      } finally q.stop()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        probes("gate_state_ok") = -1.0
+        System.err.println(s"[graft] gate_state probe failed: $e")
     }
 
     // Index memory per table (MiB) — keeps the "sparse wheels stay within
@@ -315,8 +384,37 @@ object Bench {
     // production observability counters — a rewrite-arm regression (a gate
     // accidentally tightened) would show here as a falling serve count
     // before any latency drifts enough to notice
-    graft.Graft.rewriteStats.snapshot.foreach { case (k, v) =>
-      probes(s"rewrites_$k") = v.toDouble
+    val rwSnap = graft.Graft.rewriteStats.snapshot
+    rwSnap.foreach { case (k, v) => probes(s"rewrites_$k") = v.toDouble }
+    // ledger reconciliation (round-12 task 8): every counted pass rewrote
+    // >= 1 arm, so arms - plans must be >= 0; a NEGATIVE value is the
+    // signature of a future arm that rewrites without incrementing its
+    // counter, and is loudly flagged rather than silently recorded
+    val armsMinusPlans =
+      rwSnap("agg") + rwSnap("prune") + rwSnap("topk") - rwSnap("plans")
+    probes("rewrites_arms_minus_plans") = armsMinusPlans.toDouble
+    if (armsMinusPlans < 0)
+      System.err.println(s"[graft] REWRITE LEDGER BROKEN: arms - plans = $armsMinusPlans < 0")
+
+    // The optimizer's no-match tax (round-12 task 4): what does UWheelRule
+    // itself cost on a plan it cannot rewrite, measured at the END of the
+    // suite when the registry is at its largest? Timed by applying the rule
+    // directly to a wheel-less query's optimized plan (ann_ivf — the query
+    // whose in-suite planning drifted in r12). Per-query planning medians
+    // include all of Catalyst; this isolates OUR rule's share of it.
+    if (only.isEmpty) try {
+      val df = SparkEntry.queries("ann_ivf")(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan
+      var k = 0
+      while (k < 50) { graft.rules.UWheelRule(plan); k += 1 } // warm
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 500) { graft.rules.UWheelRule(plan); i += 1 }
+      probes("plan_nomatch_us") = (System.nanoTime() - t0) / 1e3 / 500
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        probes("plan_nomatch_us") = -1.0
+        System.err.println(s"[graft] plan_nomatch probe failed: $e")
     }
 
     // machine-parsed output: format under Locale.ROOT so a comma-decimal

@@ -89,10 +89,17 @@ object Graft {
     * `explain` output. Counters increment when an optimizer arm REWRITES
     * (not when it merely matches): `agg` = temporal aggregate / GROUP BY /
     * window shapes (incl. sketch functions), `prune` = zero-proof empty
-    * relations, `topk` = certified heavy-hitter limits, `plans` = queries
-    * with at least one rewrite applied. A fixed-point optimizer batch
-    * cannot double-count: a rewritten node is replaced by its
-    * LocalRelation answer, so no arm matches it again. JVM-global like
+    * relations, `topk` = certified heavy-hitter limits, `plans` =
+    * OPTIMIZER PASSES with at least one rewrite applied — NOT distinct
+    * user queries: a single query can be optimized more than once (explain
+    * then execute, cached-plan re-optimization, subquery and AQE passes),
+    * and each rewriting pass counts. Within one pass a fixed-point
+    * optimizer batch cannot double-count: a rewritten node is replaced by
+    * its LocalRelation answer, so no arm matches it again — which also
+    * gives the cross-arm invariant `agg + prune + topk >= plans` (each
+    * counted pass rewrote at least one arm; the bench emits the difference
+    * as `rewrites_arms_minus_plans` and flags a negative value, the
+    * signature of an arm that rewrote without counting). JVM-global like
     * [[rewritesEnabled]] (the registry the arms consult is too). */
   object rewriteStats {
     import java.util.concurrent.atomic.AtomicLong

@@ -603,11 +603,81 @@ object SimilarityQueries {
       recallBound = 0.8)
   }
 
+  /** Oracle-exact companion for `dd_simhash` (round-12 task 3). SimHash
+    * signatures are xxhash64-dependent, so DuckDB cannot recompute them —
+    * what IS oracle-checkable is that the signature is a well-defined
+    * function of the document (partition-order-independent, formulation-
+    * independent). Server-side, every document's signature is recomputed
+    * through an INDEPENDENT single-level aggregation — votes summed
+    * directly over word OCCURRENCES (`Σ ±1` per occurrence) instead of
+    * [[simhashSig]]'s two-level word-count form (`Σ cnt·±1` per distinct
+    * word); the two only agree if both folds are exact under any
+    * partitioning. Returns the corpus document count (the DuckDB-exact
+    * value) when every signature matches, −1 otherwise. */
+  def simhashCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val sigA = simhashSig(spark, sigWords = 1)
+      .select(col("doc_id"), col("s0").as("sa"))
+    // independent formulation: one explode, votes straight off occurrences
+    val occ = spark.table("documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$i"))
+    val sigB = occ.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("sb"))
+    sigA.join(sigB, Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("sa") === col("sb"), 0L).otherwise(1L)), lit(0L))
+          .as("mismatches"),
+        count(lit(1)).as("n"))
+      .select(when(col("mismatches") === 0L, col("n"))
+        .otherwise(lit(-1L)).cast("bigint").as("n_docs"))
+  }
+
+  /** Oracle-exact companion for `dd_simhash_pairs` (round-12 task 3), the
+    * `dd_minhash_check` shape adapted to the pigeonhole guarantee: banded
+    * pair-gen must EQUAL the brute-force all-pairs Hamming ≤ 3 join over
+    * the same signatures — full-outer join with zero rows unmatched on
+    * EITHER side (unlike MinHash this is exact set equality, not a recall
+    * bound). Returns the corpus document count (the DuckDB-exact value)
+    * when the sets coincide, −1 otherwise. The brute side is O(n²) by
+    * construction (it IS the ground truth), bounded by the same guard as
+    * [[embedDup]]. */
+  def simhashPairsCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val n = cachedCount(spark, sfDir, "documents")
+    require(n <= EmbedDupMaxVectors,
+      s"simhashPairsCheck's brute-force side is the O(n²) oracle tier (n=$n)")
+    val cfg = simhashAutoConfig(n)
+    val sig = simhashSig(spark, cfg.sigWords)
+    val banded = simhashBandedPairsN(sig, cfg.sigWords, cfg.bands, maxHam = 3)
+    val ks = 0 until cfg.sigWords
+    val ai = sig.select(col("doc_id").as("i") +: ks.map(k => col(s"s$k").as(s"si$k")): _*)
+    val bj = sig.select(col("doc_id").as("j") +: ks.map(k => col(s"s$k").as(s"sj$k")): _*)
+    val ham = ks.map(k => s"bit_count(si$k ^ sj$k)").mkString(" + ")
+    val brute = ai.join(bj, col("i") < col("j"))
+      .where(expr(s"($ham) <= 3")).select(col("i"), col("j"))
+    val docCnt = spark.table("documents").agg(count(lit(1)).as("n_total"))
+    brute.withColumn("in_b", lit(1))
+      .join(banded.withColumn("in_l", lit(1)), Seq("i", "j"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("in_b").isNull, 1L).otherwise(0L)), lit(0L)).as("banded_only"),
+        coalesce(sum(when(col("in_l").isNull, 1L).otherwise(0L)), lit(0L)).as("brute_only"))
+      .crossJoin(docCnt)
+      .select(when(col("banded_only") === 0L && col("brute_only") === 0L,
+          col("n_total")).otherwise(lit(-1L)).cast("bigint").as("n_docs"))
+  }
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_minhash_lsh" -> (minhashLsh _),
     "dd_minhash_check" -> (minhashCheck _),
     "dd_simhash" -> (simhash _),
+    "dd_simhash_check" -> (simhashCheck _),
     "dd_simhash_pairs" -> (simhashPairs _),
+    "dd_simhash_pairs_check" -> (simhashPairsCheck _),
     "dd_embed_dup" -> (embedDup _),
     "dd_embed_lsh" -> (embedLshDup _),
     "dd_embed_lsh_check" -> (embedLshCheck _),
@@ -629,6 +699,15 @@ object SimilarityQueries {
     // bound, so the plain exact count is the oracle
     "dd_minhash_check" ->
       s"SELECT count(*) AS n_pairs FROM (${TextQueries.shingleJaccardDuckSql(capDf = None)})",
+    // SimHash companions: the hash-dependent properties (signature
+    // formulation-independence; banded ≡ brute-force all-pairs Hamming,
+    // the pigeonhole guarantee) are verified server-side; the returned
+    // value is the corpus doc count, which DuckDB computes directly and
+    // any failed property poisons to −1
+    "dd_simhash_check" ->
+      "SELECT count(*) AS n_docs FROM documents",
+    "dd_simhash_pairs_check" ->
+      "SELECT count(*) AS n_docs FROM documents",
     "dd_embed_lsh_check" ->
       """SELECT count(*) AS n_pairs
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -669,6 +669,43 @@ object WheelQueries {
          |           count(*) OVER () AS n
          |    FROM events WHERE $range AND event_type = 'purchase')
          |  WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(0.95 * n) AS BIGINT))) x""".stripMargin),
+    // round-12 task 3: the last three sketch shapes get the same
+    // oracle-exact treatment — the bound checked per (day, type) bucket /
+    // per sliding window / per type, every bucket must pass for any row
+    // to survive the CASE
+    "uw_distinct_multigroupby_check" -> Q.sql(
+      s"""SELECT s.d, s.et, CASE WHEN abs(CAST(s.du AS DOUBLE) / x.xd - 1.0) <= 0.092
+         |              THEN x.xd ELSE -1 END AS exact_du
+         |FROM (SELECT date_trunc('day', ts) AS d, event_type AS et,
+         |             hll_distinct(user_id) AS du
+         |      FROM events WHERE $range GROUP BY 1, 2) s
+         |JOIN (SELECT date_trunc('day', ts) AS d, event_type AS et,
+         |             count(DISTINCT user_id) AS xd
+         |      FROM events WHERE $range GROUP BY 1, 2) x ON s.d = x.d AND s.et = x.et
+         |ORDER BY 1, 2""".stripMargin),
+    "uw_distinct_sliding_check" -> Q.sql(
+      s"""SELECT s.ws, CASE WHEN abs(CAST(s.du AS DOUBLE) / x.xd - 1.0) <= 0.092
+         |              THEN x.xd ELSE -1 END AS exact_du
+         |FROM (SELECT window.start AS ws, hll_distinct(user_id) AS du
+         |      FROM events WHERE $range GROUP BY window(ts, '2 days', '1 day')) s
+         |JOIN (SELECT window.start AS ws, count(DISTINCT user_id) AS xd
+         |      FROM events WHERE $range GROUP BY window(ts, '2 days', '1 day')) x
+         |  ON s.ws = x.ws
+         |ORDER BY 1""".stripMargin),
+    "uw_quantile_bytype_check" -> Q.sql(
+      s"""SELECT s.event_type, CASE WHEN s.p95 <= x.xq AND x.xq < s.p95 * (1.0 + 1.0/128) + 1e-9
+         |              THEN x.xq ELSE -1.0 END AS exact_p95
+         |FROM (SELECT event_type, hdr_quantile(value, 0.95) AS p95
+         |      FROM events WHERE $range GROUP BY 1) s
+         |JOIN (
+         |  SELECT event_type, value AS xq FROM (
+         |    SELECT event_type, value,
+         |           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |           count(*) OVER (PARTITION BY event_type) AS n
+         |    FROM events WHERE $range)
+         |  WHERE rn = greatest(CAST(1 AS BIGINT), CAST(ceil(0.95 * n) AS BIGINT))) x
+         |  ON s.event_type = x.event_type
+         |ORDER BY 1""".stripMargin),
     // HDR bound: the sketch returns bucketFloor(v_r) for the EXACT
     // nearest-rank value v_r at rank clamp(⌈q·N⌉, 1, N) — the same rank
     // DuckDB's quantile_disc selects — so est ≤ v_r < est·(1 + 2^−s)
@@ -743,6 +780,23 @@ object WheelQueries {
     "uw_quantile_keyed_check" ->
       s"""SELECT quantile_disc(value, 0.95) AS exact_p95 FROM events
          |WHERE $range AND event_type = 'purchase'""".stripMargin,
+    "uw_distinct_multigroupby_check" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type AS et,
+         |       count(DISTINCT user_id) AS exact_du
+         |FROM events WHERE $range GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sliding = each row contributes to len/slide = 2 shifted buckets
+    // (same epoch arithmetic as the uw_window_sliding oracle)
+    "uw_distinct_sliding_check" ->
+      s"""SELECT make_timestamp(b * 1000000) AS ws, count(DISTINCT user_id) AS exact_du
+         |FROM (
+         |  SELECT (CAST(floor(epoch(ts) / 86400.0) AS BIGINT) - g.k) * 86400 AS b,
+         |         user_id
+         |  FROM events, (SELECT unnest([0, 1]) AS k) g
+         |  WHERE $range
+         |) GROUP BY b ORDER BY 1""".stripMargin,
+    "uw_quantile_bytype_check" ->
+      s"""SELECT event_type, quantile_disc(value, 0.95) AS exact_p95
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
     "uw_topk_users" ->
       s"""SELECT user_id, count(*) AS cnt FROM events WHERE $range
          |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin,
