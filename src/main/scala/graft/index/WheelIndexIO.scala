@@ -82,7 +82,14 @@ object WheelIndexIO {
     // above with the stale-format error (rebuild is the only path).
     t.renormalizeTopKs()
     WheelRegistry.register(t)
-    val fresh = scala.util.Try {
+    // Stream-published snapshots (StreamingWheelIndex/StreamingTypedWheel
+    // .saveSnapshot) carry fingerprint 0: their consistency domain is the
+    // stream's WATERMARK, not a file listing, and the rule serves
+    // fingerprint-0 indexes unconditionally — so no listing staleness
+    // probe applies and the load reports them fresh. The answer is the
+    // saved watermark's row set; re-attaching the stream republishes over
+    // this snapshot as batches arrive.
+    val fresh = t.fingerprint == 0L || scala.util.Try {
       graft.Tables.ensureNanosConf(spark)
       UWheelIndex.fingerprintOfDf(spark.read.parquet(t.pathKey)) == t.fingerprint
     }.getOrElse(false)

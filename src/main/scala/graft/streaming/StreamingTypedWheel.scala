@@ -203,35 +203,59 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
             cur.allTopKWheels.foreach(t.putTopK)
           case None => ()
         }
-        // P/Out are fixed by the agg the wheel was constructed with, so
-        // these casts are sound by construction
-        fam match {
-          case 0 =>
-            t.putDistinct(DistinctIndexedWheel(
-              snap.asInstanceOf[TypedHawWheel[Array[Byte], Long]], column,
-              agg.asInstanceOf[WheelAggregators.HllDistinct]))
-          case 1 =>
-            t.putMoment(MomentIndexedWheel(
-              snap.asInstanceOf[TypedHawWheel[WheelAggregators.Moments, WheelAggregators.Moments]],
-              column, agg.asInstanceOf[WheelAggregators.MomentStats],
-              momCastFail, momAbsMax))
-          case 2 =>
-            t.putFreq(FreqIndexedWheel(
-              snap.asInstanceOf[TypedHawWheel[Array[Byte], Array[Byte]]], column,
-              agg.asInstanceOf[WheelAggregators.CmsFreq]))
-          case 4 =>
-            t.putTopK(TopKIndexedWheel(
-              snap.asInstanceOf[TypedHawWheel[WheelAggregators.TopKSummary, WheelAggregators.TopKSummary]],
-              column, agg.asInstanceOf[WheelAggregators.TopTalkers],
-              keyNullCount = topkNullKeys))
-          case _ =>
-            t.putQuantile(QuantileIndexedWheel(
-              snap.asInstanceOf[TypedHawWheel[Array[Byte], Array[Byte]]], column,
-              agg.asInstanceOf[WheelAggregators.HdrQuantile]))
-        }
+        ownFamilyInto(t, snap, column, fam)
         Some(t)
       })
     }
+  }
+
+  /** Adds THIS publisher's sketch family to `t`. P/Out are fixed by the agg
+    * the wheel was constructed with, so these casts are sound by
+    * construction. Shared by [[publishLocked]] and [[saveSnapshot]]. */
+  private def ownFamilyInto(t: TableIndex, snap: TypedHawWheel[P, Out],
+      column: String, fam: Int): Unit = fam match {
+    case 0 =>
+      t.putDistinct(DistinctIndexedWheel(
+        snap.asInstanceOf[TypedHawWheel[Array[Byte], Long]], column,
+        agg.asInstanceOf[WheelAggregators.HllDistinct]))
+    case 1 =>
+      t.putMoment(MomentIndexedWheel(
+        snap.asInstanceOf[TypedHawWheel[WheelAggregators.Moments, WheelAggregators.Moments]],
+        column, agg.asInstanceOf[WheelAggregators.MomentStats],
+        momCastFail, momAbsMax))
+    case 2 =>
+      t.putFreq(FreqIndexedWheel(
+        snap.asInstanceOf[TypedHawWheel[Array[Byte], Array[Byte]]], column,
+        agg.asInstanceOf[WheelAggregators.CmsFreq]))
+    case 4 =>
+      t.putTopK(TopKIndexedWheel(
+        snap.asInstanceOf[TypedHawWheel[WheelAggregators.TopKSummary, WheelAggregators.TopKSummary]],
+        column, agg.asInstanceOf[WheelAggregators.TopTalkers],
+        keyNullCount = topkNullKeys))
+    case _ =>
+      t.putQuantile(QuantileIndexedWheel(
+        snap.asInstanceOf[TypedHawWheel[Array[Byte], Array[Byte]]], column,
+        agg.asInstanceOf[WheelAggregators.HdrQuantile]))
+  }
+
+  /** Persists the PUBLISHED sketch index (this publisher's family only,
+    * fingerprint 0) in [[graft.index.WheelIndexIO]]'s atomic format — the
+    * [[StreamingWheelIndex.saveSnapshot]] counterpart for typed wheels
+    * (round-12 task 7). A restarted service loads it at start and serves
+    * sketch rewrites at the saved watermark before any stream publisher is
+    * reconstructed. Requires [[register]] (the snapshot carries the table
+    * key and column). */
+  def saveSnapshot(file: String): Unit = live.synchronized {
+    val target = publishTo.map(t => (t._1, t._2, 0))
+      .orElse(publishMoment.map(t => (t._1, t._2, 1)))
+      .orElse(publishFreq.map(t => (t._1, t._2, 2)))
+      .orElse(publishQuantile.map(t => (t._1, t._2, 3)))
+      .orElse(publishTopK.map(t => (t._1, t._2, 4)))
+    val (key, column, fam) = target.getOrElse(throw new IllegalStateException(
+      "saveSnapshot requires register(path, column) first: the snapshot carries the table key"))
+    val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
+    ownFamilyInto(t, snapshot(), column, fam)
+    graft.index.WheelIndexIO.save(t, file)
   }
 
   /** Starts the maintenance query on a streaming DataFrame. */

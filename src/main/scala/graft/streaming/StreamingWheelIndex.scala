@@ -263,14 +263,6 @@ final class StreamingWheelIndex(
 
   /** Must hold `rw`'s lock. snapshot() re-enters it (reentrant). */
   private def publishLocked(): Unit = publishKey.foreach { key =>
-    val hw = snapshot()
-    val keyedHw: Array[HawWheel] = keyedRw.indices.map { i =>
-      if (keyedFrozen(i) == null || keyedFrozenAt(i) != keyedVer(i)) {
-        keyedFrozen(i) = keyedRw(i).freeze(slotSpanSec)
-        keyedFrozenAt(i) = keyedVer(i)
-      }
-      keyedFrozen(i)
-    }.toArray
     // an EXPRESSION measure published before attach used its raw-SQL key
     // (inert — no query computes it); once attach resolves the canonical
     // key, that stale carried entry must be dropped, not ridden forever
@@ -306,32 +298,71 @@ final class StreamingWheelIndex(
           cur.allTopKWheels.foreach(t.putTopK)
         case None => ()
       }
-      // the measure wheel's registry key: attach's resolved meta once
-      // known, else the raw name — so a restoreState + register BEFORE
-      // attach still serves plain-column SUM/MIN/MAX over the restored
-      // history (review finding: gating on valueMeta alone published only
-      // the count wheel until the first batch).
-      valueMeta.orElse(valueColumn.map((_, None: Option[String]))).foreach {
-        case (mk, ex) =>
-          t.put(IndexedWheel(hw, Some(mk), "",
-            valueAllNonNull = !sawNullValue(0),
-            valuesExactAtScale = !sawBadRep(0),
-            valuesNaNFree = !sawNaN(0),
-            exprSql = ex))
-      }
-      t.put(IndexedWheel(hw, None, "", valueAllNonNull = true)) // count wheel shares hw
-      keyedMeta.foreach { metas =>
-        keyedWheels.zipWithIndex.foreach { case ((_, sql), i) =>
-          val (fk, keyEq, mk, ex) = metas(i)
-          t.put(IndexedWheel(keyedHw(i), Some(mk), fk,
-            valueAllNonNull = !sawNullValue(i + 1),
-            valuesExactAtScale = !sawBadRep(i + 1),
-            valuesNaNFree = !sawNaN(i + 1),
-            filterSql = Some(sql), keyEq = keyEq, exprSql = ex))
-        }
-      }
+      ownFamiliesInto(t)
       Some(t)
     })
+  }
+
+  /** Must hold `rw`'s lock: adds THIS publisher's current families (count
+    * wheel, measure wheel, keyed wheels — freeze-on-read snapshots) to `t`.
+    * Shared by [[publishLocked]] (registry publish with foreign-family
+    * carryover) and [[saveSnapshot]] (persisted publish, own families
+    * only). */
+  private def ownFamiliesInto(t: TableIndex): Unit = {
+    val hw = snapshot()
+    val keyedHw: Array[HawWheel] = keyedRw.indices.map { i =>
+      if (keyedFrozen(i) == null || keyedFrozenAt(i) != keyedVer(i)) {
+        keyedFrozen(i) = keyedRw(i).freeze(slotSpanSec)
+        keyedFrozenAt(i) = keyedVer(i)
+      }
+      keyedFrozen(i)
+    }.toArray
+    // the measure wheel's registry key: attach's resolved meta once
+    // known, else the raw name — so a restoreState + register BEFORE
+    // attach still serves plain-column SUM/MIN/MAX over the restored
+    // history (review finding: gating on valueMeta alone published only
+    // the count wheel until the first batch).
+    valueMeta.orElse(valueColumn.map((_, None: Option[String]))).foreach {
+      case (mk, ex) =>
+        t.put(IndexedWheel(hw, Some(mk), "",
+          valueAllNonNull = !sawNullValue(0),
+          valuesExactAtScale = !sawBadRep(0),
+          valuesNaNFree = !sawNaN(0),
+          exprSql = ex))
+    }
+    t.put(IndexedWheel(hw, None, "", valueAllNonNull = true)) // count wheel shares hw
+    keyedMeta.foreach { metas =>
+      keyedWheels.zipWithIndex.foreach { case ((_, sql), i) =>
+        val (fk, keyEq, mk, ex) = metas(i)
+        t.put(IndexedWheel(keyedHw(i), Some(mk), fk,
+          valueAllNonNull = !sawNullValue(i + 1),
+          valuesExactAtScale = !sawBadRep(i + 1),
+          valuesNaNFree = !sawNaN(i + 1),
+          filterSql = Some(sql), keyEq = keyEq, exprSql = ex))
+      }
+    }
+  }
+
+  /** Persists the PUBLISHED index — the same families [[register]] keeps in
+    * the registry (fingerprint 0, this publisher's wheels only) — in
+    * [[graft.index.WheelIndexIO]]'s atomic format (round-12 task 7). A
+    * restarted service `WheelIndexIO.load`s the file at start and serves
+    * plan-time rewrites at the SAVED watermark before any stream is
+    * reconstructed — where previously a lost source checkpoint silently
+    * dropped plan-time service until re-ingest. Complements [[saveState]]:
+    * state files restore the INGEST side (mutable wheels; requires an
+    * identically-configured index, enforced by the config signature),
+    * snapshots restore the SERVING side (read-only, self-describing — any
+    * process can load one). A re-created publisher that later
+    * [[register]]s the same path simply republishes over the loaded
+    * snapshot, family by family. Safe while the stream runs (consistent
+    * point-in-time cut under the ingest lock). */
+  def saveSnapshot(file: String): Unit = rw.synchronized {
+    val key = publishKey.getOrElse(throw new IllegalStateException(
+      "saveSnapshot requires register(path) first: the snapshot carries the table key"))
+    val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
+    ownFamiliesInto(t)
+    graft.index.WheelIndexIO.save(t, file)
   }
 
   // ------------------------------------------------------------ checkpoint

@@ -1394,4 +1394,136 @@ class StreamingWheelSpec extends AnyFunSuite {
       graft.index.WheelRegistry.deregister(path)
     }
   }
+
+  test("saveSnapshot round-trip: load serves pre-restart rewrites; stream resume append-merges") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val path = s"$dir/t.parquet"
+    val snapFile = s"$dir/idx.snapshot"
+    val stateFile = s"$dir/idx.state"
+    val rows = Seq(
+      (ts("2024-03-01 00:00:00"), 1.0),
+      (ts("2024-03-01 00:00:30"), 2.5),
+      (ts("2024-03-01 00:01:30"), 4.0),
+      (ts("2024-03-01 00:02:10"), 8.0))
+    rows.toDF("ts", "value").write.parquet(path)
+    val sql =
+      s"""SELECT count(*) AS cnt,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+         |       min(value) AS mn
+         |FROM parquet.`$path`
+         |WHERE ts >= TIMESTAMP '2024-03-01 00:00:30'
+         |  AND ts < TIMESTAMP '2024-03-01 00:02:00'""".stripMargin
+    def rewrites(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val opt = df.queryExecution.optimizedPlan
+      opt.collect { case l: LocalRelation => l }.nonEmpty &&
+        opt.collect { case r: LogicalRelation => r }.isEmpty
+    }
+    // session 1: ingest, register, snapshot + state, then "crash"
+    val input = MemoryStream[(Timestamp, Double)]
+    val idx = new StreamingWheelIndex("ts", Some("value"))
+    val q = idx.attach(input.toDF().toDF("ts", "value"), "wheel-snap-1")
+    try {
+      idx.register(path)
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      assert(rewrites(spark.sql(sql)))
+      idx.saveSnapshot(snapFile)
+      idx.saveState(stateFile)
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
+    // restart boundary: the registry lost the publisher — queries scan again
+    assert(!rewrites(spark.sql(sql)))
+
+    // session 2 phase A: load the snapshot AT START — plan-time service is
+    // back at the saved watermark before any stream exists
+    val (loaded, fresh) = graft.index.WheelIndexIO.load(spark, snapFile)
+    assert(loaded.fingerprint === 0L)
+    assert(fresh, "a stream snapshot is watermark-consistent, not listing-stale")
+    try {
+      val df = spark.sql(sql)
+      assert(rewrites(df), s"loaded snapshot must serve:\n${df.queryExecution.optimizedPlan}")
+      val got = df.collect()(0)
+      assert(got.getLong(0) === 2L)
+      assert(got.getDouble(1) === 6.5)
+      assert(got.getDouble(2) === 2.5)
+
+      // phase B: reconstruct the publisher from the state file and resume —
+      // new batches append-merge and republish over the loaded snapshot
+      val idx2 = new StreamingWheelIndex("ts", Some("value"))
+      val wm = idx2.restoreState(stateFile)
+      assert(wm >= ts("2024-03-01 00:02:10").getTime)
+      val input2 = MemoryStream[(Timestamp, Double)]
+      val q2 = idx2.attach(input2.toDF().toDF("ts", "value"), "wheel-snap-2")
+      try {
+        idx2.register(path)
+        val more = Seq((ts("2024-03-01 00:01:45"), 16.0))
+        more.toDF("ts", "value").write.mode("append").parquet(path)
+        input2.addData(more: _*)
+        q2.processAllAvailable()
+        val df2 = spark.sql(sql)
+        assert(rewrites(df2))
+        val got2 = df2.collect()(0)
+        assert(got2.getLong(0) === 3L) // pre-restart rows + the resumed batch
+        assert(got2.getDouble(1) === 22.5)
+      } finally {
+        q2.stop()
+        idx2.deregister()
+      }
+    } finally graft.index.WheelRegistry.deregister(path)
+  }
+
+  test("typed-wheel saveSnapshot round-trip: loaded HLL family serves hll_distinct at the saved watermark") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-typed-snap").toString
+    val path = s"$dir/t.parquet"
+    val snapFile = s"$dir/hll.snapshot"
+    val base = ts("2024-03-05 00:00:00").getTime
+    val rows = (0 until 400).map(i => (new Timestamp(base + i * 1000L), (i % 55).toLong))
+    rows.toDF("ts", "uid").write.parquet(path)
+    val sql =
+      s"""SELECT hll_distinct(uid) AS du FROM parquet.`$path`
+         |WHERE ts >= TIMESTAMP '2024-03-05 00:01:00'
+         |  AND ts < TIMESTAMP '2024-03-05 00:05:00'""".stripMargin
+    val input = MemoryStream[(Timestamp, Long)]
+    val hll = new graft.wheel.WheelAggregators.HllDistinct(11)
+    val idx = new StreamingTypedWheel("ts", col("uid"), hll,
+      (r: org.apache.spark.sql.Row) => r.getLong(1))
+    val q = idx.attach(input.toDF().toDF("ts", "uid"), "typed-snap")
+    val expected = try {
+      idx.register(path, "uid")
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val v = spark.sql(sql).collect()(0).getLong(0)
+      idx.saveSnapshot(snapFile)
+      v
+    } finally {
+      q.stop()
+      idx.deregister()
+    }
+    // restart boundary, then load-at-start
+    assert(spark.sql(sql).queryExecution.optimizedPlan
+      .collect { case r: LogicalRelation => r }.nonEmpty)
+    val (loaded, fresh) = graft.index.WheelIndexIO.load(spark, snapFile)
+    try {
+      assert(loaded.fingerprint === 0L && fresh)
+      val df = spark.sql(sql)
+      assert(df.queryExecution.optimizedPlan
+        .collect { case l: LocalRelation => l }.nonEmpty,
+        s"loaded sketch snapshot must serve:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect()(0).getLong(0) === expected)
+    } finally graft.index.WheelRegistry.deregister(path)
+  }
 }
