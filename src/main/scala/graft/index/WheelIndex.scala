@@ -1114,7 +1114,14 @@ object UWheelIndex {
       coMomentSpecs: Seq[CoMomentSpec] = Nil,
       /** Count-Min frequency-sketch wheels — fused like the HLL/HDR
         * families, one sketch-array aggregate column per spec. */
-      freqSpecs: Seq[CmsSpec] = Nil)
+      freqSpecs: Seq[CmsSpec] = Nil,
+      /** When set, [[BuildPhases]] sub-attributes this build's fused scan:
+        * `fusedplan_<tag>` = Catalyst analysis + optimization + physical
+        * planning of the ~40-aggregate scan, `fusedexec_<tag>` = the scan +
+        * fold itself (including first-run codegen compilation on a cold
+        * JVM) — so the cold `index_build` headline names its cost instead
+        * of reporting one opaque number (round-12 task 2). */
+      phaseTag: Option[String] = None)
       : (Seq[BuiltWheel], Seq[DistinctIndexedWheel], Seq[QuantileIndexedWheel],
          Seq[MomentIndexedWheel], Seq[CoMomentIndexedWheel], Seq[FreqIndexedWheel]) = {
     require(specs.nonEmpty)
@@ -1347,18 +1354,24 @@ object UWheelIndex {
         projected0.repartition(parallelism, slotExpr)
       else projected0
     val aggDf = projected.groupBy(slotExpr.as("sec")).agg(aggCols.head, aggCols.tail: _*)
-    val aggRdd = aggDf.rdd
+    def phased[T](kind: String)(body: => T): T = phaseTag match {
+      case Some(tag) => BuildPhases.timed(s"$kind$tag")(body)
+      case None      => body
+    }
+    // .rdd forces analysis/optimization/physical planning of the fused
+    // aggregate — the driver-side share of the cold build
+    val aggRdd = phased("fusedplan_")(aggDf.rdd)
     // Post-agg rows are hash-partitioned DISJOINT by slot, so executor-side
     // pre-merge (depth 2) reduces the number of serialized accumulators the
     // driver sees, never the bytes — pure latency at local partition counts
     // (one extra stage), essential at cluster counts (10k reduce partitions
     // → ~100 accs at the driver instead of 10k open connections' worth).
-    val acc = aggRdd
+    val acc = phased("fusedexec_")(aggRdd
       .treeAggregate(new WheelBuildAcc(scales, hasVals, hllPs, hdrSs, momScales, coScales,
         cmsParams))(
         (a, row) => { a.add(row); a },
         (a, b) => a.merge(b),
-        depth = if (aggRdd.getNumPartitions <= 64) 1 else 2)
+        depth = if (aggRdd.getNumPartitions <= 64) 1 else 2))
     val built = specs.zipWithIndex.map { case (sp, i) =>
       val hasValues = sp.valueColumn.isDefined
       BuiltWheel(
@@ -1611,7 +1624,7 @@ object UWheelIndex {
       BuildPhases.timed(s"fused_$tbl")(buildWheels(df, conf.timeColumn,
         colSpecs ++ keyedSpecs ++ countSpec, slotSpan, conf.packLevels, dSpecs,
         quantileSpecs = qSpecs, momentSpecs = mSpecs, coMomentSpecs = cSpecs,
-        freqSpecs = fSpecs))
+        freqSpecs = fSpecs, phaseTag = Some(tbl)))
     val (colBuilt, rest) = built.splitAt(colSpecs.length)
     val countBuilt = colBuilt.headOption match {
       case Some(bw) =>

@@ -81,10 +81,13 @@ object SimilarityQueries {
   /** MinHash signatures + banded LSH candidates + exact-Jaccard verification.
     * Output = pairs with true shingle-Jaccard >= 0.5 among LSH candidates.
     * (16 bands × 4 rows: P[candidate | J=0.9] ≈ 1 - (1 - 0.9⁴)¹⁶ ≈ 0.999.) */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The banded CANDIDATE stage of [[minhashLsh]] alone (signatures → band
+    * keys → bucketed pairs, no verification) — the scale record
+    * ([[graft.tools.BenchDedupScale]]) times it separately because at
+    * 100 TB the candidate stage is the shuffle-bound half while
+    * verification cost tracks the (much smaller) candidate count. */
+  private[graft] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
-    // not cached: the explode is cheap to recompute and a session-lifetime
-    // cache of the largest intermediate would squat on storage memory
     val sh = shingles(spark)
     val minCols = (0 until NumPerm).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
     val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
@@ -95,7 +98,15 @@ object SimilarityQueries {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bk"))
-    val cand = bandedCandidates(bands, "doc_id")
+    bandedCandidates(bands, "doc_id")
+  }
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    // not cached: the explode is cheap to recompute and a session-lifetime
+    // cache of the largest intermediate would squat on storage memory
+    val sh = shingles(spark)
+    val cand = minhashCandidates(spark, sfDir)
     // Verify candidates with the exact Jaccard, joins restricted to the
     // candidate set. Deliberately NO broadcast hint: |cand| scales with the
     // number of near-dup pairs in the corpus — unbounded at 100 TB — so a
