@@ -102,4 +102,33 @@ class CollectCappedLongSpec extends AnyFunSuite {
     // the hot bucket contributed nothing
     assert(!got.exists { case (i, j) => i >= 90000L || j >= 90000L })
   }
+
+  test("one-shuffle shape retained: capped collect plans like collect_list (r11 win kept)") {
+    setup
+    val session = spark
+    import session.implicits._
+    val bands = (0 until 100).map(i => (i.toLong, i % 7, i % 13)).toDF("id", "band", "bk")
+    // AQE's wrapper node hides the physical tree from collect(); plan the
+    // candidate stage with adaptive off — the static plan is what shapes
+    // the stage count either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (plan, exchanges) =
+      try {
+        val cand = graft.queries.SimilarityQueries.bandedCandidates(bands, "id")
+        val p = cand.queryExecution.executedPlan // physical planning reads the conf HERE
+        (p, p.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        })
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // one shuffle to the (band, bk) buckets + one for the cross-band
+    // distinct — the pre-r12 window-count + self-join form planned three.
+    // The buffer-bounding rewrite must not have re-introduced a stage.
+    assert(exchanges.nonEmpty && exchanges.length <= 2,
+      s"candidate stage grew to ${exchanges.length} shuffles:\n$plan")
+    // and the aggregation is the same object-hash shape collect_list uses
+    val objAggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(objAggs.nonEmpty, s"capped collect should plan as ObjectHashAggregate:\n$plan")
+  }
 }
