@@ -76,8 +76,9 @@ object StreamingNearDup {
     * MinHash text gate). Equals the batch candidate set only while every
     * bucket stays ≤ `maxBucket` — see [[candidatesFromBandKeys]]. */
   def candidates(df: DataFrame, idCol: String, textCol: String,
-      maxBucket: Int = 4096): Dataset[(Long, Long)] =
-    candidatesFromBandKeys(bandKeys(df, idCol, textCol), maxBucket)
+      maxBucket: Int = 4096,
+      idleEvict: Option[java.time.Duration] = None): Dataset[(Long, Long)] =
+    candidatesFromBandKeys(bandKeys(df, idCol, textCol), maxBucket, idleEvict)
 
   /** Candidate near-dup pairs for arriving EMBEDDINGS — the SRP-LSH gate,
     * same plane geometry as the batch `dd_embed_lsh`
@@ -106,42 +107,73 @@ object StreamingNearDup {
     *
     * Batch-equality precondition: the emitted pair set equals the batch
     * [[graft.queries.SimilarityQueries.bandedCandidates]] set iff every
-    * (band, bk) bucket's true size is ≤ `maxBucket`. An over-cap bucket
-    * diverges BY DESIGN — streaming keeps the C(maxBucket, 2) pairs it
-    * emitted before the freeze, batch drops the whole bucket — and buckets
-    * at-or-under the cap are unaffected either way. */
+    * (band, bk) bucket's true size is ≤ `maxBucket` (and, with
+    * `idleEvict` set, no true pair's members arrive more than the idle
+    * window apart). An over-cap bucket diverges BY DESIGN — streaming
+    * keeps the C(maxBucket, 2) pairs it emitted before the freeze, batch
+    * drops the whole bucket — and buckets at-or-under the cap are
+    * unaffected either way.
+    *
+    * TOTAL-state bound: `maxBucket` caps each bucket at ≤ cap+1 longs,
+    * but distinct (band, bk) buckets accrete for the stream's lifetime —
+    * at 100 TB-scale ingest the bucket COUNT is the state bound that
+    * matters. `idleEvict = Some(d)` evicts any bucket that has received
+    * no member for processing-time `d` (near-duplicates in real ingest
+    * overwhelmingly arrive close together — re-crawls, re-uploads,
+    * mirror bursts), making total state O(buckets active within d × cap)
+    * instead of O(all buckets ever). The trade is explicit and one-sided:
+    * a pair whose members arrive more than `d` of bucket inactivity
+    * apart is missed (the gate becomes idleness-windowed); pairs within
+    * the window are unaffected, and an evicted bucket that re-fills
+    * simply starts a fresh window (it can re-freeze, re-emit — replay
+    * dedup downstream is unchanged). */
   def candidatesFromBandKeys(bands: DataFrame,
-      maxBucket: Int = 4096): Dataset[(Long, Long)] = {
+      maxBucket: Int = 4096,
+      idleEvict: Option[java.time.Duration] = None): Dataset[(Long, Long)] = {
     val spark = bands.sparkSession
     import spark.implicits._
+    val timeoutKind = idleEvict match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None    => GroupStateTimeout.NoTimeout
+    }
     bands
       .select(col("id").cast("long"), col("band").cast("int"),
         col("bk").cast("long"))
       .as[(Long, Int, Long)]
       .groupByKey { case (_, band, bk) => (band, bk) }
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeoutKind)(
         (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
             state: GroupState[Array[Long]]) => {
-          var seen = state.getOption.getOrElse(Array.emptyLongArray)
-          val out = Seq.newBuilder[(Long, Long)]
-          rows.foreach { case (id, _, _) =>
-            // frozen bucket (cap reached) emits nothing more; a re-arriving
-            // id (stream replay) pairs with nobody new
-            if (seen.length <= maxBucket && !seen.contains(id)) {
-              if (seen.length < maxBucket) {
-                seen.foreach { s =>
-                  out += (if (s < id) (s, id) else (id, s))
+          if (state.hasTimedOut) {
+            // idle bucket: drop the members, emit nothing — the state row
+            // disappears until (if ever) the bucket fills again
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Array.emptyLongArray)
+            val out = Seq.newBuilder[(Long, Long)]
+            rows.foreach { case (id, _, _) =>
+              // frozen bucket (cap reached) emits nothing more; a re-arriving
+              // id (stream replay) pairs with nobody new
+              if (seen.length <= maxBucket && !seen.contains(id)) {
+                if (seen.length < maxBucket) {
+                  seen.foreach { s =>
+                    out += (if (s < id) (s, id) else (id, s))
+                  }
+                  seen = seen :+ id
+                } else {
+                  // cap hit NOW: freeze with a sentinel length so later
+                  // arrivals skip the pair scan entirely
+                  seen = seen :+ id
                 }
-                seen = seen :+ id
-              } else {
-                // cap hit NOW: freeze with a sentinel length so later
-                // arrivals skip the pair scan entirely
-                seen = seen :+ id
               }
             }
+            state.update(seen)
+            // re-arm on every batch that touches the bucket: "idle" means
+            // no member for d, not "alive for at most d"
+            idleEvict.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
         })
   }
 }

@@ -186,4 +186,53 @@ class StreamingNearDupSpec extends AnyFunSuite {
       assert(hotPairs === (for { a <- hotMembers; b <- hotMembers if a < b } yield (a, b)))
     } finally q.stop()
   }
+
+  test("idleEvict bounds total state: idle buckets drop, pairs within the window still emit") {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.registerFunctions(spark)
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val pairs = StreamingNearDup.candidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      idleEvict = Some(java.time.Duration.ofMillis(1000)))
+    // NOTE: with ProcessingTimeTimeout the micro-batch engine's
+    // shouldRunAnotherBatch is permanently true (any batch could expire a
+    // timeout), so q.processAllAvailable() LIVELOCKS — synchronize on the
+    // sink's contents instead, with a bounded poll.
+    val q = pairs.toDF("i", "j").writeStream
+      .format("memory").queryName("near_dup_ttl").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    def gotPairs() = spark.table("near_dup_ttl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def awaitPairs(want: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val deadline = System.currentTimeMillis + 30000
+      while (gotPairs() != want && System.currentTimeMillis < deadline) Thread.sleep(100)
+      gotPairs()
+    }
+    try {
+      // batch 1: doc 1 seeds its buckets; doc 2 (same text) inside the
+      // idle window pairs with it
+      input.addData((1L, "alpha beta gamma delta"))
+      Thread.sleep(100)
+      input.addData((2L, "alpha beta gamma delta"))
+      assert(awaitPairs(Set((1L, 2L))) === Set((1L, 2L)))
+      // let the buckets go idle well past the TTL (eviction batches fire on
+      // the processing-time trigger), then re-send the SAME text: its
+      // buckets restarted empty, so doc 3 pairs with nobody — the
+      // documented idleness-window semantics — while doc 4 right after
+      // doc 3 pairs with it in the fresh window. Once (3,4) is visible,
+      // doc 3's batch has committed, so any illegal (1,3)/(2,3) pair
+      // would already be in the table — the final set equality is a
+      // race-free negative assertion.
+      Thread.sleep(5000)
+      input.addData((3L, "alpha beta gamma delta"))
+      Thread.sleep(100)
+      input.addData((4L, "alpha beta gamma delta"))
+      assert(awaitPairs(Set((1L, 2L), (3L, 4L))) === Set((1L, 2L), (3L, 4L)),
+        "evicted buckets must not pair across the idle window")
+    } finally q.stop()
+  }
 }
