@@ -150,6 +150,11 @@ object Bench {
     try WheelQueries.defs.foreach { case (name, fn) =>
       if (selected(name + "_scan")) record(name + "_scan", fn)
     } finally Graft.rewritesEnabled = true
+    // Snapshot the serve counters HERE — right after the timed suite, before
+    // the probe/iso section re-runs rewritable pin-list queries (whose
+    // membership changes round-over-round and would read as serve-count
+    // drift; review finding) — and emit the values later with the probes.
+    val rwSnap = graft.Graft.rewriteStats.snapshot
     results("index_build") = indexBuildSec
 
     // Attribution probes (round-6 verdict: the single index_build number
@@ -381,10 +386,10 @@ object Bench {
     }
 
     // how much of the suite actually served from the index, from the
-    // production observability counters — a rewrite-arm regression (a gate
-    // accidentally tightened) would show here as a falling serve count
-    // before any latency drifts enough to notice
-    val rwSnap = graft.Graft.rewriteStats.snapshot
+    // production observability counters (snapshotted right after the timed
+    // suite, above) — a rewrite-arm regression (a gate accidentally
+    // tightened) would show here as a falling serve count before any
+    // latency drifts enough to notice
     rwSnap.foreach { case (k, v) => probes(s"rewrites_$k") = v.toDouble }
     // ledger reconciliation (round-12 task 8): every counted pass rewrote
     // >= 1 arm, so arms - plans must be >= 0; a NEGATIVE value is the

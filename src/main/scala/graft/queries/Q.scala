@@ -59,6 +59,22 @@ object Q {
     b.result()
   }
 
+  /** View-registration-only ctx for tools that measure NON-wheel operators
+    * over derived corpora ([[graft.tools.BenchDedupScale]]): registers the
+    * same corpus views [[ctx]] does and marks the (session, dir) prepared
+    * with an empty marker set — the heal check's `∅ ⊆ markers` is always
+    * true, so later `Q.ctx` calls from inside query functions skip the
+    * wheel builds the tool never exercises (several seconds of fused
+    * scans per derived scale point, pure setup waste there). Do NOT use
+    * where any `uw_*` query may run: those would silently stay scan-only
+    * for the session. */
+  def ctxViewsOnly(spark: SparkSession, sfDir: String): Unit = {
+    val sid = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)
+    if (registeredDir.put(sid, sfDir) != sfDir) Tables.registerAll(spark, sfDir)
+    Graft.enable(spark)
+    prepared.put(s"$sid#$sfDir", Set.empty)
+  }
+
   def ctx(spark: SparkSession, sfDir: String): SparkSession = {
     // Re-register the corpus views only when this session switches sfDir —
     // doing it per query would put 10 parquet schema reads on every call.

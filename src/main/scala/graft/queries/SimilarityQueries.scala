@@ -78,9 +78,6 @@ object SimilarityQueries {
       .select(col("doc_id"),
         explode(expr("word_ngrams(w, 3)")).as("s"))
 
-  /** MinHash signatures + banded LSH candidates + exact-Jaccard verification.
-    * Output = pairs with true shingle-Jaccard >= 0.5 among LSH candidates.
-    * (16 bands × 4 rows: P[candidate | J=0.9] ≈ 1 - (1 - 0.9⁴)¹⁶ ≈ 0.999.) */
   /** The banded CANDIDATE stage of [[minhashLsh]] alone (signatures → band
     * keys → bucketed pairs, no verification) — the scale record
     * ([[graft.tools.BenchDedupScale]]) times it separately because at
@@ -101,6 +98,9 @@ object SimilarityQueries {
     bandedCandidates(bands, "doc_id")
   }
 
+  /** MinHash signatures + banded LSH candidates + exact-Jaccard verification.
+    * Output = pairs with true shingle-Jaccard >= 0.5 among LSH candidates.
+    * (16 bands × 4 rows: P[candidate | J=0.9] ≈ 1 - (1 - 0.9⁴)¹⁶ ≈ 0.999.) */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     // not cached: the explode is cheap to recompute and a session-lifetime

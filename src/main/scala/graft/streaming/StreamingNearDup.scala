@@ -86,13 +86,14 @@ object StreamingNearDup {
     * is already one map-side codegen'd expression, so the streaming form
     * is just its explode through the shared stateful bucket gate. */
   def embeddingCandidates(df: DataFrame, idCol: String, vecCol: String,
-      maxBucket: Int = 4096): Dataset[(Long, Long)] = {
+      maxBucket: Int = 4096,
+      idleEvict: Option[java.time.Duration] = None): Dataset[(Long, Long)] = {
     import graft.queries.SimilarityQueries.{SrpBits, SrpRowsPerBand}
     candidatesFromBandKeys(
       df.select(col(idCol).cast("long").as("id"),
         posexplode(expr(s"srp_band_keys($vecCol, $SrpBits, $SrpRowsPerBand)"))
           .as(Seq("band", "bk"))),
-      maxBucket)
+      maxBucket, idleEvict)
   }
 
   /** The shared stateful gate: candidate pairs (i, j), i < j, from any

@@ -113,6 +113,18 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     * contract. */
   @volatile private var displaced: Option[TableIndex] = None
 
+  /** This publisher's registration target, if registered: (path key,
+    * column, family tag 0=hll 1=moments 2=cms 3=hdr 4=topk) — the single
+    * resolution [[publishLocked]], [[deregister]], and [[saveSnapshot]]
+    * share (a future family added to one copy but not another would
+    * silently publish/withdraw the wrong map entry). */
+  private def publishTarget: Option[(String, String, Int)] =
+    publishTo.map(t => (t._1, t._2, 0))
+      .orElse(publishMoment.map(t => (t._1, t._2, 1)))
+      .orElse(publishFreq.map(t => (t._1, t._2, 2)))
+      .orElse(publishQuantile.map(t => (t._1, t._2, 3)))
+      .orElse(publishTopK.map(t => (t._1, t._2, 4)))
+
   /** Withdraws THIS publisher's sketch (its (column, "") entry): other
     * publishers' families stay registered, and a displaced batch-built
     * index is restored only when no live stream family would be lost by
@@ -120,14 +132,8 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     * layered after the displacement). A batch index that re-registered
     * over us is left untouched. */
   def deregister(): Unit = {
-    // family tag: 0 = hll, 1 = moments, 2 = cms, 3 = hdr, 4 = topk —
     // which (column, "") entry of which map is EXCLUSIVELY ours to withdraw
-    val target = publishTo.map(t => (t._1, t._2, 0))
-      .orElse(publishMoment.map(t => (t._1, t._2, 1)))
-      .orElse(publishFreq.map(t => (t._1, t._2, 2)))
-      .orElse(publishQuantile.map(t => (t._1, t._2, 3)))
-      .orElse(publishTopK.map(t => (t._1, t._2, 4)))
-    target.foreach { case (key, column, fam) =>
+    publishTarget.foreach { case (key, column, fam) =>
       WheelRegistry.update(key, {
         case Some(cur) if cur.fingerprint == 0L =>
           val rest = new TableIndex(key, cur.timeColumn, tsAllNonNull = false, 0L)
@@ -172,12 +178,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
   }
 
   private def publishLocked(): Unit = {
-    val target = publishTo.map(t => (t._1, t._2, 0))
-      .orElse(publishMoment.map(t => (t._1, t._2, 1)))
-      .orElse(publishFreq.map(t => (t._1, t._2, 2)))
-      .orElse(publishQuantile.map(t => (t._1, t._2, 3)))
-      .orElse(publishTopK.map(t => (t._1, t._2, 4)))
-    target.foreach { case (key, column, fam) =>
+    publishTarget.foreach { case (key, column, fam) =>
       val snap = snapshot()
       WheelRegistry.update(key, { existing =>
         val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
@@ -246,12 +247,7 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
     * reconstructed. Requires [[register]] (the snapshot carries the table
     * key and column). */
   def saveSnapshot(file: String): Unit = live.synchronized {
-    val target = publishTo.map(t => (t._1, t._2, 0))
-      .orElse(publishMoment.map(t => (t._1, t._2, 1)))
-      .orElse(publishFreq.map(t => (t._1, t._2, 2)))
-      .orElse(publishQuantile.map(t => (t._1, t._2, 3)))
-      .orElse(publishTopK.map(t => (t._1, t._2, 4)))
-    val (key, column, fam) = target.getOrElse(throw new IllegalStateException(
+    val (key, column, fam) = publishTarget.getOrElse(throw new IllegalStateException(
       "saveSnapshot requires register(path, column) first: the snapshot carries the table key"))
     val t = new TableIndex(key, timeColumn, tsAllNonNull = false, 0L)
     ownFamilyInto(t, snapshot(), column, fam)

@@ -55,13 +55,18 @@ object BenchDedupScale {
   private def deriveScaledDocs(spark: SparkSession, sfDir: String, xf: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-docsx$xf").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // copy stride ABOVE the corpus's own id range (a fixed stride would
+    // silently collide copies on corpora with doc_id >= stride, merging
+    // unrelated documents in the published record; review finding), and a
+    // multiple of 100 so the remapped id keeps the original's residue for
+    // the verbatim-1% trick below
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val stride = math.max(1000000L, (maxId / 100L + 1L) * 100L)
     docs
       .withColumn("copy", explode(sequence(lit(0), lit(xf - 1))))
-      .withColumn("doc_id", col("doc_id") + col("copy") * lit(1000000L))
+      .withColumn("doc_id", col("doc_id") + col("copy") * lit(stride))
       .withColumn("text",
-        // copy 0 verbatim; ~1% of ORIGINAL ids verbatim in EVERY copy (the
-        // 1000000 id offset is a multiple of 100, so the remapped id keeps
-        // the original's residue)
+        // copy 0 verbatim; ~1% of ORIGINAL ids verbatim in EVERY copy
         when(col("copy") === 0 || col("doc_id") % 100 === 0, col("text"))
           .otherwise(array_join(
             transform(split(col("text"), " "), w => concat(w, lit("_"), col("copy"))),
@@ -84,6 +89,9 @@ object BenchDedupScale {
     val outPath = args.headOption.getOrElse("/root/repo/BENCH_dedup_scale_r13.json")
     val xfs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_XFS", "1,10,100")
       .split(',').map(_.trim.toInt).filter(_ >= 1)
+    require(xfs.nonEmpty,
+      s"SPARK_GRAFT_DEDUP_XFS must name at least one factor >= 1 " +
+        "(an empty run would emit a record with no scale points)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -104,7 +112,10 @@ object BenchDedupScale {
 
     xfs.foreach { xf =>
       val sfDir = if (xf == 1) baseDir else deriveScaledDocs(spark, baseDir, xf)
-      Q.ctx(spark, sfDir)
+      // views only: this tool measures document-side operators exclusively,
+      // so the wheel builds Q.ctx would run per derived corpus are pure
+      // setup waste (review finding)
+      Q.ctxViewsOnly(spark, sfDir)
       val nDocs = spark.table("documents").count()
       out(s"x${xf}_docs") = nDocs.toString
 
