@@ -682,6 +682,98 @@ object SimilarityQueries {
           col("n_total")).otherwise(lit(-1L)).cast("bigint").as("n_docs"))
   }
 
+  // ---- md5-portable SimHash: the FULL-VALUE-oracle variant --------------
+  // The production entries (dd_simhash*) draw bits from xxhash64 — the
+  // right engine-native choice, but one DuckDB cannot evaluate, so their
+  // checks verify properties rather than values. This variant draws its 60
+  // signature bits from md5 (identical in every engine: both sides turn
+  // the first 15 hex chars into the same BIGINT), so the ENTIRE simhash
+  // computation — word counts → ±cnt bit votes → sign bits — is
+  // value-compared against DuckDB row for row, and the banded pair-gen is
+  // compared against DuckDB's brute-force all-pairs Hamming join: the
+  // pigeonhole equality (banded ≡ all-pairs at Hamming ≤ bands−1) checked
+  // ACROSS ENGINES, the strongest oracle the algorithm admits.
+
+  private val Md5Bits = 60 // 15 hex chars -> fits a signed BIGINT exactly
+  private val Md5Bands = 4 // Hamming <= 3 needs >= 4 bands (pigeonhole)
+  private val Md5BandWidth = Md5Bits / Md5Bands
+  private val Md5BandMask = (1L << Md5BandWidth) - 1
+
+  /** Spark-side 60-bit md5 SimHash signatures as a CTE body. */
+  private def md5SigSparkCte: String = {
+    val votes = (0 until Md5Bits).map(i =>
+      s"sum(cnt * IF((shiftright(h, $i) & 1) = 1, 1, -1)) AS v$i").mkString(",\n      ")
+    val bits = (0 until Md5Bits).map(i =>
+      s"IF(v$i > 0, CAST(${1L << i} AS BIGINT), CAST(0 AS BIGINT))").mkString(" + ")
+    s"""words AS (
+       |  SELECT doc_id, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, explode(split(text, ' ')) AS w FROM documents)
+       |  GROUP BY doc_id, w),
+       |hashed AS (
+       |  SELECT doc_id, cnt,
+       |         CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) AS h
+       |  FROM words),
+       |votes AS (
+       |  SELECT doc_id,
+       |      $votes
+       |  FROM hashed GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS s FROM votes)""".stripMargin
+  }
+
+  /** DuckDB-side twin of [[md5SigSparkCte]] — same arithmetic, DuckDB
+    * dialect (`>>`/`&` on BIGINT, hex-string cast). */
+  private def md5SigDuckCte: String = {
+    val votes = (0 until Md5Bits).map(i =>
+      s"sum(cnt * (CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END)) AS v$i")
+      .mkString(",\n      ")
+    val bits = (0 until Md5Bits).map(i =>
+      s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""words AS (
+       |  SELECT doc_id, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY doc_id, w),
+       |hashed AS (
+       |  SELECT doc_id, cnt, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+       |  FROM words),
+       |votes AS (
+       |  SELECT doc_id,
+       |      $votes
+       |  FROM hashed GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS s FROM votes)""".stripMargin
+  }
+
+  private val md5SimhashSparkSql =
+    s"WITH ${md5SigSparkCte}\nSELECT doc_id, s AS simhash FROM sig ORDER BY doc_id"
+
+  private val md5SimhashDuckSql =
+    s"WITH ${md5SigDuckCte}\nSELECT doc_id, s AS simhash FROM sig ORDER BY doc_id"
+
+  /** Spark side of the pairs entry: BANDED candidate join (4 × 15-bit
+    * bands) + exact Hamming verification — the production pair-gen shape.
+    * The DuckDB oracle is the brute-force all-pairs Hamming join, so the
+    * driver's hash compare IS the cross-engine pigeonhole proof. */
+  private val md5SimhashPairsSparkSql = {
+    val bandRows = (0 until Md5Bands)
+      .map(b => s"SELECT doc_id, s, $b AS band, shiftright(s, ${b * Md5BandWidth}) & $Md5BandMask AS bk FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${md5SigSparkCte},
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, a.s AS si, b.doc_id AS j, b.s AS sj
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT i, j FROM cand WHERE bit_count(si ^ sj) <= 3 ORDER BY i, j""".stripMargin
+  }
+
+  private val md5SimhashPairsDuckSql =
+    s"""WITH ${md5SigDuckCte}
+       |SELECT a.doc_id AS i, b.doc_id AS j
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 3
+       |ORDER BY i, j""".stripMargin
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_minhash_lsh" -> (minhashLsh _),
     "dd_minhash_check" -> (minhashCheck _),
@@ -689,6 +781,8 @@ object SimilarityQueries {
     "dd_simhash_check" -> (simhashCheck _),
     "dd_simhash_pairs" -> (simhashPairs _),
     "dd_simhash_pairs_check" -> (simhashPairsCheck _),
+    "dd_simhash_md5" -> Q.sql(md5SimhashSparkSql),
+    "dd_simhash_md5_pairs" -> Q.sql(md5SimhashPairsSparkSql),
     "dd_embed_dup" -> (embedDup _),
     "dd_embed_lsh" -> (embedLshDup _),
     "dd_embed_lsh_check" -> (embedLshCheck _),
@@ -719,6 +813,11 @@ object SimilarityQueries {
       "SELECT count(*) AS n_docs FROM documents",
     "dd_simhash_pairs_check" ->
       "SELECT count(*) AS n_docs FROM documents",
+    // the md5-portable variant is FULLY value-oracled: DuckDB recomputes
+    // every signature, and the pairs oracle is the brute-force all-pairs
+    // Hamming join the Spark side's BANDED join must equal (pigeonhole)
+    "dd_simhash_md5" -> md5SimhashDuckSql,
+    "dd_simhash_md5_pairs" -> md5SimhashPairsDuckSql,
     "dd_embed_lsh_check" ->
       """SELECT count(*) AS n_pairs
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
