@@ -4,18 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.StreamingNearDup
+import graft.streaming.{StreamingExactDedup, StreamingNearDup}
 
-/** Ingest-time near-duplicate gating — the streaming complement of the
-  * batch dedup operators: documents arrive in micro-batches, and the gate
-  * flags each one the moment any of its MinHash band keys collides with an
-  * already-ingested document's. An ingest pipeline drops (or queues for
-  * verification) flagged arrivals instead of re-sweeping the corpus.
+/** Ingest-time duplicate gating — the streaming complement of the batch
+  * dedup operators, BOTH tiers: the EXACT gate decides hash-key duplicates
+  * per arriving document with zero false positives (`(doc_id, rep_id,
+  * is_dup)` verdicts — the online keep-set is `!is_dup`), and the NEAR-DUP
+  * gate flags a document the moment any of its MinHash band keys collides
+  * with an already-ingested document's. An ingest pipeline drops exact
+  * dups immediately and queues near-dup candidates for verification,
+  * instead of re-sweeping the corpus.
   *
   * The demo streams the synthetic corpus in three uneven chunks and shows
-  * (a) candidate pairs appearing as soon as BOTH members have arrived,
-  * never earlier, and (b) the final pair set matching the batch LSH
-  * operator's candidate stage — the parity `StreamingNearDupSpec` pins.
+  * (a) exact verdicts per chunk (keepers vs dups so far), (b) candidate
+  * pairs appearing as soon as BOTH members have arrived, never earlier,
+  * and (c) the final sets matching the batch operators — the parities
+  * `StreamingExactDedupSpec` / `StreamingNearDupSpec` pin.
   *
   * Run: `sbt "runMain graft.examples.IngestGateExample"`
   */
@@ -41,15 +45,33 @@ object IngestGateExample {
       input.toDF().toDF("doc_id", "text"), "doc_id", "text")
     val q = gate.toDF("i", "j").writeStream
       .format("memory").queryName("ingest_gate").outputMode("update").start()
+    val exactIn = MemoryStream[(Long, String)]
+    val exact = StreamingExactDedup.verdicts(
+      exactIn.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val qe = exact.toDF("doc_id", "rep_id", "is_dup").writeStream
+      .format("memory").queryName("exact_gate").outputMode("update").start()
 
     def flagged(): Long = spark.table("ingest_gate").distinct().count()
+    def exactDups(): Long = spark.table("exact_gate").where(col("is_dup")).count()
     Seq(docs.take(200), docs.slice(200, 350), docs.drop(350)).zipWithIndex
       .foreach { case (chunk, k) =>
         input.addData(chunk)
+        exactIn.addData(chunk)
         q.processAllAvailable()
-        println(s"after micro-batch ${k + 1} (${chunk.size} docs): ${flagged()} flagged pairs")
+        qe.processAllAvailable()
+        println(s"after micro-batch ${k + 1} (${chunk.size} docs): " +
+          s"${exactDups()} exact dups dropped, ${flagged()} near-dup pairs flagged")
       }
     q.stop()
+    qe.stop()
+
+    // the exact gate's keep-set groups match the batch dd_exact key
+    val batchGroups = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .groupBy(md5(substring(col("text"), 1, 30))).count()
+      .where(col("count") > 1).count()
+    val streamedDupGroups = spark.table("exact_gate").where(col("is_dup"))
+      .select("rep_id").distinct().count()
+    println(s"exact-dup groups: streamed $streamedDupGroups vs batch $batchGroups")
 
     val finalPairs = spark.table("ingest_gate").distinct()
       .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
