@@ -774,6 +774,26 @@ object SimilarityQueries {
        |WHERE bit_count(xor(a.s, b.s)) <= 3
        |ORDER BY i, j""".stripMargin
 
+
+  /** Symmetric int8 embedding quantization — the 4× storage cut every
+    * embedding store at 100 TB takes before ANN indexing: per vector,
+    * scale = 127 / max|component| and q_i = floor(x_i · scale) ∈
+    * [−127, 127]. floor over identical IEEE double arithmetic is
+    * bit-deterministic across engines (round() is not: HALF_UP vs
+    * half-away tie rules), so the quantized values carry a full DuckDB
+    * oracle. Output is the exploded scalar form (vec_id, idx, q, scale) —
+    * `scale` rides along because dequantization needs it. One map-side
+    * pass, no shuffle at all until the ORDER BY. */
+  private val embQuantSpark =
+    """SELECT vec_id, pos + 1 AS idx,
+      |       CAST(floor(CAST(val AS DOUBLE) * (127.0D / m)) AS BIGINT) AS q,
+      |       CAST(127.0D / m AS DOUBLE) AS scale
+      |FROM (SELECT vec_id, embedding,
+      |             array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      |      FROM embeddings) LATERAL VIEW posexplode(embedding) t AS pos, val
+      |WHERE m > 0
+      |ORDER BY vec_id, idx""".stripMargin
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dd_minhash_lsh" -> (minhashLsh _),
     "dd_minhash_check" -> (minhashCheck _),
@@ -789,7 +809,9 @@ object SimilarityQueries {
     "ann_topk" -> (annTopK _),
     "ann_ivf" -> (annIvf _),
     "emb_centroid" -> Q.sql(embCentroidSpark),
+    "emb_quant" -> Q.sql(embQuantSpark),
   )
+
 
   /** dd_minhash_lsh / dd_simhash / dd_simhash_pairs (Spark xxhash64/Murmur3-
     * dependent) and dd_embed_lsh (256×dim plane constants) intentionally
@@ -887,6 +909,15 @@ object SimilarityQueries {
         |    ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
         |r AS (SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi) AS rn FROM s)
         |SELECT qi, xi FROM r WHERE rn <= 5 ORDER BY qi, xi""".stripMargin,
+    "emb_quant" ->
+      """SELECT vec_id, g.i AS idx,
+        |       CAST(floor(CAST(embedding[g.i] AS DOUBLE) * (127.0 / m)) AS BIGINT) AS q,
+        |       CAST(127.0 / m AS DOUBLE) AS scale
+        |FROM (SELECT vec_id, embedding,
+        |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |      FROM embeddings), generate_series(1, 64) AS g(i)
+        |WHERE m > 0
+        |ORDER BY vec_id, idx""".stripMargin,
     "emb_centroid" ->
       """SELECT label, g.i AS idx, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
