@@ -87,6 +87,15 @@ class ExtensionsConfigSpec extends AnyFunSuite {
       "SELECT word_ngrams(array('a','b','c'), 2) AS g").collect()(0).getSeq[String](0)
     assert(ng.sorted === Seq("a b", "b c"))
 
+    // (d) the buffer-bounded collect + pair explode resolve too — the
+    // dedup pair-gen hot path must work in a config-only session
+    val ccl = spark.sql(
+      """SELECT collect_capped_long(v, 3) AS c,
+        |       array_pairs(collect_capped_long(v, 3)) AS p
+        |FROM VALUES (10L),(20L),(30L),(40L),(50L) AS t(v)""".stripMargin).collect()(0)
+    assert(ccl.getSeq[Long](0).length === 4) // cap+1: over-cap is detectable
+    assert(ccl.getSeq[org.apache.spark.sql.Row](1).length === 6) // C(4,2)
+
     // the base session must be unaffected: same query there stays a scan
     // (no graft wiring was ever installed on it by this spec)
     graft.index.WheelRegistry.deregister(path)
