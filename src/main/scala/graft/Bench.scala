@@ -324,6 +324,53 @@ object Bench {
         System.err.println(s"[graft] gate_state probe failed: $e")
     }
 
+    // The same adversarial replay under the RocksDB state-store provider —
+    // the recommended PRODUCTION config (round-13 task 5; see the config
+    // block on [[graft.streaming.StreamingNearDup]]): state lives on
+    // executor-local disk instead of the heap, so 100 TB-cardinality key
+    // sets stop being an executor OOM class. The per-bucket ROW bound must
+    // hold identically (one state row per (band, bk)); bytes are recorded
+    // for observability but not ceiling-checked — RocksDB's memory
+    // accounting includes block cache + memtables, a fixed overhead the
+    // heap provider's per-row accounting doesn't carry.
+    if (only.isEmpty) try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rocks = spark.newSession()
+      rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = rocks.sqlContext
+      import rocks.implicits._
+      val cap = 8
+      val healthyBuckets = 100
+      val hot = (0 until 50000).map(i => (100000L + i, 0, -1L))
+      val healthy = (0 until healthyBuckets).flatMap(b =>
+        Seq((b * 2L, 1, b.toLong), (b * 2L + 1, 1, b.toLong)))
+      val input = MemoryStream[(Long, Int, Long)]
+      val gated = graft.streaming.StreamingNearDup.candidatesFromBandKeys(
+        input.toDF().toDF("id", "band", "bk"), maxBucket = cap)
+      val q = gated.toDF("i", "j").writeStream
+        .format("noop").outputMode("update").start()
+      try {
+        input.addData(hot ++ healthy)
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators
+        val rows = so.map(_.numRowsTotal).sum.toDouble
+        val onRocks = so.flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+          .exists(_.toLowerCase.contains("rocksdb"))
+        probes("gate_state_rocksdb_rows") = rows
+        probes("gate_state_rocksdb_bytes") = so.map(_.memoryUsedBytes).sum.toDouble
+        probes("gate_state_rocksdb_ok") =
+          if (onRocks && rows <= (healthyBuckets + 1)) 1.0 else -1.0
+        if (probes("gate_state_rocksdb_ok") < 0)
+          System.err.println(s"[graft] ROCKSDB GATE STATE BOUND BROKEN: " +
+            s"rows=$rows onRocks=$onRocks (buckets=${healthyBuckets + 1} cap=$cap)")
+      } finally q.stop()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        probes("gate_state_rocksdb_ok") = -1.0
+        System.err.println(s"[graft] gate_state_rocksdb probe failed: $e")
+    }
+
     // Index memory per table (MiB) — keeps the "sparse wheels stay within
     // the reference's order" claim (BASELINE gate 3) measurable
     // round-over-round instead of asserted once in the README
@@ -360,9 +407,13 @@ object Bench {
     // rule-off twin uw_groupby_hour_scan, timed with rewrites disabled
     // round-12 second run: + ann_ivf (0.96 → 1.19-1.38 across r12 runs with
     // no code change — the one upward mover without a pin to adjudicate it)
+    // round-13: + the recurring r13 drifters txt_fingerprint and q_mode
+    // (verdict task 4; q_pivot was already pinned) — plus the rule-off
+    // twin uw_li_groupby_month_scan below, next to uw_groupby_hour_scan
     val isoPins = Seq("uw_count_range", "uw_window_sliding", "q3_topk", "q_pivot",
       "dd_cluster", "ann_topk", "dd_embed_lsh", "ann_ivf",
-      "q_cube", "q_time_band_join", "q_sessionize", "q1_pricing", "txt_lang_id")
+      "q_cube", "q_time_band_join", "q_sessionize", "q1_pricing", "txt_lang_id",
+      "txt_fingerprint", "q_mode")
     if (only.isEmpty) {
       System.gc(); Thread.sleep(1000); System.gc(); Thread.sleep(500)
       isoPins.foreach { name =>
@@ -374,14 +425,18 @@ object Bench {
           } catch { case _: Throwable => probes("iso_" + name) = -1.0 }
         }
       }
-      WheelQueries.defs.toMap.get("uw_groupby_hour").foreach { fn =>
-        Graft.rewritesEnabled = false
-        try {
-          val (tot, pl) = timeOne(fn)
-          probes("iso_uw_groupby_hour_scan") = tot
-          probes("iso_plan_uw_groupby_hour_scan") = pl
-        } catch { case _: Throwable => probes("iso_uw_groupby_hour_scan") = -1.0 }
-        finally Graft.rewritesEnabled = true
+      // rule-off twins re-timed in isolation (uw_li_groupby_month_scan
+      // joined round 14: 2.07× drift in r13 with no pin to adjudicate it)
+      Seq("uw_groupby_hour", "uw_li_groupby_month").foreach { base =>
+        WheelQueries.defs.toMap.get(base).foreach { fn =>
+          Graft.rewritesEnabled = false
+          try {
+            val (tot, pl) = timeOne(fn)
+            probes(s"iso_${base}_scan") = tot
+            probes(s"iso_plan_${base}_scan") = pl
+          } catch { case _: Throwable => probes(s"iso_${base}_scan") = -1.0 }
+          finally Graft.rewritesEnabled = true
+        }
       }
     }
 

@@ -84,6 +84,19 @@ object Graft {
     * same queries with and without the index). */
   @volatile var rewritesEnabled: Boolean = true
 
+  /** Plan-size budget (rows) shared by EVERY bucket-serving rewrite arm —
+    * window(), date_trunc fixed-span/shifted, calendar, keyed grouped and
+    * sketch grouped. A grouped rewrite materializes its answer as a
+    * LocalRelation ON THE PLANNER THREAD, so the bucket count must be
+    * bounded BEFORE any row is built: past this budget the arm declines to
+    * the distributed scan, which streams the same answer (e.g. a
+    * `GROUP BY date_trunc('second', ts)` over a multi-year dense corpus is
+    * ~1e8 buckets — a driver stall/OOM as a LocalRelation, a plain shuffle
+    * for the scan). Mutable for tests only; 2M rows ≈ tens of MB of plan,
+    * comfortably under driver budgets while covering every realistic
+    * dashboard grouping. */
+  @volatile var planSizeBudget: Long = 2000000L
+
   /** Plan-time rewrite observability — the "is my query actually serving
     * from the index?" question, answerable in production without reading
     * `explain` output. Counters increment when an optimizer arm REWRITES

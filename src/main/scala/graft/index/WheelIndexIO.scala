@@ -10,13 +10,23 @@ import scala.util.Using
   * in-memory only and rebuilds on every process start,
   * `datafusion-uwheel/src/lib.rs:92-122`).
   *
-  * Safety: the saved [[TableIndex]] carries the build-time file-listing
-  * fingerprint, and the optimizer rule re-fingerprints the table's CURRENT
-  * listing on every lookup — a loaded index over data that changed since
-  * the save is inert (no rewrites, queries fall back to scans), never
-  * silently wrong. [[load]] also reports that staleness eagerly so callers
-  * can schedule a rebuild. Writes are atomic (temp file + move), so a crash
-  * mid-save cannot leave a truncated file behind.
+  * Safety — scoped to FINGERPRINTED BATCH indexes: such a saved
+  * [[TableIndex]] carries the build-time file-listing fingerprint, and the
+  * optimizer rule re-fingerprints the table's CURRENT listing on every
+  * lookup — a loaded index over data that changed since the save is inert
+  * (no rewrites, queries fall back to scans), never silently wrong.
+  * [[load]] also reports that staleness eagerly so callers can schedule a
+  * rebuild. STREAM SNAPSHOTS (fingerprint 0, written by
+  * `StreamingWheelIndex.saveSnapshot` / `StreamingTypedWheel.saveSnapshot`)
+  * are OUTSIDE this guarantee: their consistency domain is the stream's
+  * watermark, not a file listing, so [[load]] reports them fresh
+  * unconditionally and the rule serves them as-is. A snapshot loaded
+  * WITHOUT re-attaching its stream therefore answers at the saved
+  * watermark forever, growing staler as the table grows — use
+  * [[savedWatermarkMs]] after load to decide whether snapshot-only service
+  * is acceptable or a stream re-attach / rebuild is required. Writes are
+  * atomic (temp file + move), so a crash mid-save cannot leave a truncated
+  * file behind.
   */
 object WheelIndexIO {
 
@@ -94,5 +104,31 @@ object WheelIndexIO {
       UWheelIndex.fingerprintOfDf(spark.read.parquet(t.pathKey)) == t.fingerprint
     }.getOrElse(false)
     (t, fresh)
+  }
+
+  /** Upper edge (epoch MILLISECONDS, exclusive) of the loaded index's
+    * answerable time range — the saved-watermark proxy callers use to
+    * decide whether a fingerprint-0 stream snapshot may be served without
+    * re-attaching its stream ("answers at most this stale") or must be
+    * republished first. Derived as the max data edge across every wheel
+    * family (second-domain wheels scaled ×1000, ms wheels taken as-is);
+    * None for an index with no data-bearing wheel (nothing answerable
+    * anyway). Meaningful for batch indexes too: it is the end of the last
+    * indexed slot. */
+  def savedWatermarkMs(t: TableIndex): Option[Long] = {
+    // empty wheels carry the (0, 0) sentinel extent — only data-bearing
+    // wheels (endSec > startSec) vote
+    val secEdges =
+      t.allWheels.map(w => (w.wheel.startSec, w.wheel.endSec)) ++
+        t.allDistinctWheels.map(w => (w.wheel.startSec, w.wheel.endSec)) ++
+        t.allQuantileWheels.map(w => (w.wheel.startSec, w.wheel.endSec)) ++
+        t.allFreqWheels.map(w => (w.wheel.startSec, w.wheel.endSec)) ++
+        t.allMomentWheels.map(w => (w.wheel.startSec, w.wheel.endSec)) ++
+        t.allCoMomentWheels.map(w => (w.wheel.startSec, w.wheel.endSec)) ++
+        t.allTopKWheels.map(w => (w.wheel.startSec, w.wheel.endSec))
+    val msEdges = t.allMsWheels.map(w => (w.wheel.startSec, w.wheel.endSec))
+    val all = secEdges.collect { case (s, e) if e > s => e * 1000L } ++
+      msEdges.collect { case (s, e) if e > s => e }
+    if (all.isEmpty) None else Some(all.max)
   }
 }

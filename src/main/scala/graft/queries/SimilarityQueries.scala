@@ -639,12 +639,17 @@ object SimilarityQueries {
       .select(col("doc_id"),
         (0 until 64).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("sb"))
+    // n comes from the CORPUS count, not the joined signature rows: a
+    // NULL-text document produces no signature on either side, so the join
+    // row count would undercount and read as a mismatch (−1) on a corpus
+    // that is actually fine — the oracle side is count(*) FROM documents.
+    val docCnt = spark.table("documents").agg(count(lit(1)).as("n_total"))
     sigA.join(sigB, Seq("doc_id"), "full_outer")
       .agg(
         coalesce(sum(when(col("sa") === col("sb"), 0L).otherwise(1L)), lit(0L))
-          .as("mismatches"),
-        count(lit(1)).as("n"))
-      .select(when(col("mismatches") === 0L, col("n"))
+          .as("mismatches"))
+      .crossJoin(docCnt)
+      .select(when(col("mismatches") === 0L, col("n_total"))
         .otherwise(lit(-1L)).cast("bigint").as("n_docs"))
   }
 
@@ -749,24 +754,6 @@ object SimilarityQueries {
   private val md5SimhashDuckSql =
     s"WITH ${md5SigDuckCte}\nSELECT doc_id, s AS simhash FROM sig ORDER BY doc_id"
 
-  /** Spark side of the pairs entry: BANDED candidate join (4 × 15-bit
-    * bands) + exact Hamming verification — the production pair-gen shape.
-    * The DuckDB oracle is the brute-force all-pairs Hamming join, so the
-    * driver's hash compare IS the cross-engine pigeonhole proof. */
-  private val md5SimhashPairsSparkSql = {
-    val bandRows = (0 until Md5Bands)
-      .map(b => s"SELECT doc_id, s, $b AS band, shiftright(s, ${b * Md5BandWidth}) & $Md5BandMask AS bk FROM sig")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH ${md5SigSparkCte},
-       |bands AS (
-       |  $bandRows),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS i, a.s AS si, b.doc_id AS j, b.s AS sj
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-       |SELECT i, j FROM cand WHERE bit_count(si ^ sj) <= 3 ORDER BY i, j""".stripMargin
-  }
-
   private val md5SimhashPairsDuckSql =
     s"""WITH ${md5SigDuckCte}
        |SELECT a.doc_id AS i, b.doc_id AS j
@@ -774,11 +761,41 @@ object SimilarityQueries {
        |WHERE bit_count(xor(a.s, b.s)) <= 3
        |ORDER BY i, j""".stripMargin
 
+  /** `dd_simhash_md5_pairs` with the signature frame materialized ONCE
+    * (round-13 task 3): as plain SQL Catalyst inlines the sig CTE into
+    * both sides of the banded self-join and pays the 60-vote aggregation
+    * twice — the suite's most expensive entry. An eager localCheckpoint
+    * truncates the lineage so both join sides read the checkpointed
+    * blocks; the result stays hash-exact vs the brute-force DuckDB oracle
+    * ([[md5SimhashPairsDuckSql]]). Same banded plan as the SQL form:
+    * 4 × 15-bit band keys, one shuffled candidate join, exact Hamming
+    * verification. */
+  def md5SimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val sig = spark.sql(s"WITH ${md5SigSparkCte}\nSELECT doc_id, s FROM sig")
+      .localCheckpoint()
+    val bands = (0 until Md5Bands).map(b =>
+      sig.select(col("doc_id"), col("s"),
+        lit(b).as("band"),
+        expr(s"shiftright(s, ${b * Md5BandWidth}) & $Md5BandMask").as("bk")))
+      .reduce(_ unionAll _)
+    val left = bands.select(col("band"), col("bk"), col("doc_id").as("i"), col("s").as("si"))
+    val right = bands.select(col("band"), col("bk"), col("doc_id").as("j"), col("s").as("sj"))
+    left.join(right, Seq("band", "bk")).where(col("i") < col("j"))
+      .select(col("i"), col("si"), col("j"), col("sj")).distinct()
+      .where(expr("bit_count(si ^ sj) <= 3"))
+      .select(col("i"), col("j"))
+      .orderBy("i", "j")
+  }
+
 
   /** Symmetric int8 embedding quantization — the 4× storage cut every
     * embedding store at 100 TB takes before ANN indexing: per vector,
     * scale = 127 / max|component| and q_i = floor(x_i · scale) ∈
-    * [−127, 127]. floor over identical IEEE double arithmetic is
+    * [−128, 127] — int8-safe; the −128 edge occurs when
+    * fl(m · fl(127/m)) rounds above 127 so the negative extreme floors
+    * one below −127, and both engines floor it identically.
+    * floor over identical IEEE double arithmetic is
     * bit-deterministic across engines (round() is not: HALF_UP vs
     * half-away tie rules), so the quantized values carry a full DuckDB
     * oracle. Output is the exploded scalar form (vec_id, idx, q, scale) —
@@ -802,7 +819,7 @@ object SimilarityQueries {
     "dd_simhash_pairs" -> (simhashPairs _),
     "dd_simhash_pairs_check" -> (simhashPairsCheck _),
     "dd_simhash_md5" -> Q.sql(md5SimhashSparkSql),
-    "dd_simhash_md5_pairs" -> Q.sql(md5SimhashPairsSparkSql),
+    "dd_simhash_md5_pairs" -> (md5SimhashPairs _),
     "dd_embed_dup" -> (embedDup _),
     "dd_embed_lsh" -> (embedLshDup _),
     "dd_embed_lsh_check" -> (embedLshCheck _),

@@ -97,11 +97,15 @@ object UWheelRule extends Rule[LogicalPlan] {
     * presence. Deliberately over-approximate (no fingerprint or sameResult
     * checks) — a false positive only costs the normal per-node matching,
     * while a false negative would silently disable rewrites. */
-  private def touchesIndexedLeaf(plan: LogicalPlan): Boolean = plan.exists {
+  private[rules] def touchesIndexedLeaf(plan: LogicalPlan): Boolean = plan.exists {
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: HadoopFsRelation =>
-          fs.location.rootPaths.headOption
+          // exists over ALL roots: a multi-root relation registered under
+          // any non-head root must still probe positive — a false negative
+          // here silently disables rewrites (the over-approximation
+          // contract above), while a false positive only costs matching
+          fs.location.rootPaths
             .exists(p => WheelRegistry.mayMatchPath(p.toString))
         case _ => false
       }
@@ -1356,6 +1360,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         }
         def groupsSeqOf(hw: HawWheel): IndexedSeq[(Long, RangeAgg)] =
           bucketSeqCache.getOrElseUpdate(hw, {
+            guardPlanSize(hw, bounds, bucketSpan) // decline BEFORE any row
             val parts = bounds.sortBy(_._1)
               .map { case (s, e) => normalized(groupFn(hw, s, e)) }
               .filter(_.nonEmpty)
@@ -1726,12 +1731,14 @@ object UWheelRule extends Rule[LogicalPlan] {
           case _: DistinctSetSrc | _: UnionSrc => return None // declined above
         }.toSet + baseW.wheel.slotSpan
         if (spans2.exists(sp => bucketSpan % sp != 0)) return None
-        def groupsOf2(hw: HawWheel): Map[Long, RangeAgg] =
+        def groupsOf2(hw: HawWheel): Map[Long, RangeAgg] = {
+          guardPlanSize(hw, bounds, bucketSpan) // decline BEFORE any row
           bounds.foldLeft(Map.empty[Long, RangeAgg]) { case (acc, (s, e)) =>
             groupFn(hw, s, e).foldLeft(acc) { case (m, (k, ra)) =>
               m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
             }
           }
+        }
         val cache = mutable.HashMap.empty[HawWheel, Map[Long, RangeAgg]]
         def groupsCached(hw: HawWheel): Map[Long, RangeAgg] =
           cache.getOrElseUpdate(hw, groupsOf2(hw))
@@ -1843,6 +1850,37 @@ object UWheelRule extends Rule[LogicalPlan] {
     * entry points, degrading to the scan (never wrong, never aborting). */
   private final class DeclineRewrite extends RuntimeException
       with scala.util.control.NoStackTrace
+
+  /** Shared plan-size pre-guard for EVERY bucket-serving arm (window,
+    * date_trunc fixed-span/shifted, calendar, to_date, keyed grouped,
+    * sketch grouped): before materializing a single LocalRelation row,
+    * bound the bucket count by the cheap O(ranges) estimate
+    * `min(grid positions at the arm's fine span, active bottom-level
+    * slots)` summed over the disjoint range set, and decline to the
+    * distributed scan past [[graft.Graft.planSizeBudget]]. Both terms are
+    * true upper bounds: buckets are disjoint and each non-empty bucket
+    * contains ≥ 1 active slot (activeSlots term), and there are at most
+    * `span/fineSpan + 2` grid positions per covered span (grid term; the
+    * fine span divides every arm's bucket span, so this only over-counts,
+    * never under). The window arms keep their own tighter internal guards
+    * (sliding covers multiply reads); this guard is the outer ceiling the
+    * plain `GROUP BY date_trunc('second', ts)` arms were missing — a
+    * multi-year dense corpus is ~1e8 active seconds, which must never be
+    * built as a LocalRelation on the planner thread. */
+  private def guardPlanSize(hw: HawWheel, bounds: Seq[(Long, Long)],
+      fineSpan: Long): Unit = {
+    val budget = graft.Graft.planSizeBudget
+    var est = 0L
+    bounds.foreach { case (s, e) =>
+      val lo = math.max(s, hw.startSec)
+      val hi = math.min(e, hw.endSec)
+      if (lo < hi) {
+        val grid = (hi - lo) / math.max(fineSpan, 1L) + 2L
+        est += math.min(grid, hw.activeSlots(lo, hi).toLong)
+        if (est > budget) throw new DeclineRewrite
+      }
+    }
+  }
 
   /** Matches the analyzer's TimeWindowing lowering of `window(ts, len,
     * slide, start)`: `named_struct('start', ptc(lastStart − k·slide, L→TS),
@@ -1966,7 +2004,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         // covers-per-slot × active slots) BEFORE materializing anything.
         val est = math.min((hi - lo) / ss + ms / ss + 1,
           (ms / ss) * hw.activeSlots(qs, qe).toLong)
-        if (est > 2000000L) throw new DeclineRewrite // plan-size guard
+        if (est > graft.Graft.planSizeBudget) throw new DeclineRewrite // plan-size guard
         hw.bucketize(qs, qe, ss, os, ms)
       } else {
         // gap/hopping windows (member not a multiple of the stride — e.g.
@@ -1986,7 +2024,7 @@ object UWheelRule extends Rule[LogicalPlan] {
         // 0.2-0.6 s of plan time vs a 0.25 s scan of 100k rows).
         val positions = (hi - b) / ss + 1
         if (positions > 262144L + 16L * hw.countRange(qs, qe)) throw new DeclineRewrite
-        if (positions > 2000000L) throw new DeclineRewrite // plan-size guard
+        if (positions > graft.Graft.planSizeBudget) throw new DeclineRewrite // plan-size guard
         val out = Vector.newBuilder[(Long, RangeAgg)]
         while (b < hi) {
           val s0 = math.max(b, qs)

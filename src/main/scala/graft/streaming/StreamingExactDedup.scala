@@ -34,6 +34,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state by the active working set exactly as in
   * [[StreamingNearDup.candidatesFromBandKeys]]: an evicted key's next
   * arrival starts a fresh group (it becomes its own representative).
+  *
+  * PRODUCTION STATE STORE: one long per key still means corpus-cardinality
+  * state at 100 TB — run under the RocksDB provider
+  * (`spark.sql.streaming.stateStore.providerClass =
+  * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`)
+  * so state lives on executor-local disk instead of the heap; see the
+  * config block on [[StreamingNearDup]]. Verdicts are provider-agnostic
+  * (`RocksDbStateStoreSpec` pins group-structure equality under RocksDB).
   */
 object StreamingExactDedup {
 
@@ -65,17 +73,22 @@ object StreamingExactDedup {
             state.remove()
             Iterator.empty
           } else {
-            var rep = state.getOption.getOrElse(Long.MinValue)
+            // Option semantics, NOT a sentinel: a group whose stored
+            // representative happens to equal any in-band Long must not
+            // be re-read as empty (that would silently split the group,
+            // each later member becoming its own keeper).
+            var rep: Option[Long] = state.getOption
             val out = Seq.newBuilder[(Long, Long, Boolean)]
             rows.foreach { case (id, _) =>
-              if (rep == Long.MinValue) {
-                rep = id
-                out += ((id, id, false))
-              } else {
-                out += ((id, rep, id != rep))
+              rep match {
+                case None =>
+                  rep = Some(id)
+                  out += ((id, id, false))
+                case Some(r) =>
+                  out += ((id, r, id != r))
               }
             }
-            state.update(rep)
+            rep.foreach(state.update)
             idleEvict.foreach(d => state.setTimeoutDuration(d.toMillis))
             out.result().iterator
           }

@@ -43,6 +43,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * CANDIDATES: exact-Jaccard verification (which needs both documents'
   * shingle sets) belongs to a downstream batch join against the corpus,
   * exactly like the batch operator's verify stage.
+  *
+  * PRODUCTION STATE STORE: the default HDFSBackedStateStoreProvider holds
+  * every state row on the executor heap — bounded per bucket here, but at
+  * 100 TB ingest the number of live (band, bucket) groups is itself
+  * corpus-sized, an executor-heap OOM class even with `idleEvict`. Run
+  * production gates under the RocksDB provider (state on local disk,
+  * bounded block-cache memory, changelog checkpointing for fast recovery):
+  * {{{
+  * spark.sql.streaming.stateStore.providerClass =
+  *   org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+  * spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled = true
+  * }}}
+  * The gate's logic is provider-agnostic; `RocksDbStateStoreSpec` pins
+  * that the emitted pair set is identical under RocksDB, and the bench
+  * records `gate_state_rocksdb_*` alongside the default-provider bounds.
   */
 object StreamingNearDup {
 

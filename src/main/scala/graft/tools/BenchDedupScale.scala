@@ -75,11 +75,15 @@ object BenchDedupScale {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val src = java.nio.file.Paths.get(sfDir)
-    java.nio.file.Files.list(src).forEach { p =>
-      val name = p.getFileName.toString
-      if (name != "documents.parquet")
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(dir, name), p.toAbsolutePath)
+    // Using.resource: Files.list returns a Stream backed by a directory
+    // handle that must be closed (one leak per derived scale point)
+    scala.util.Using.resource(java.nio.file.Files.list(src)) { s =>
+      s.forEach { p =>
+        val name = p.getFileName.toString
+        if (name != "documents.parquet")
+          java.nio.file.Files.createSymbolicLink(
+            java.nio.file.Paths.get(dir, name), p.toAbsolutePath)
+      }
     }
     dir
   }

@@ -259,6 +259,42 @@ class RewriteFuzzSpec extends AnyFunSuite {
     fuzz(0xBEEFCAFEL, 200)
   }
 
+  // The plan-size decline lattice (round-13 task 1): under a starvation
+  // budget EVERY bucket-serving arm must decline before materializing a
+  // row, and the declined query's scan answer must equal the un-starved
+  // rewrite's. Same generator, so the walk hits window()/date_trunc/
+  // to_date/keyed shapes; non-grouped constant-row arms may still rewrite
+  // (they materialize one row, no bucket walk) — the assertion is strict
+  // on/off equality plus zero GROUPED rewrites.
+  test("plan-size starvation budget: every grouped shape declines, equal via scan") {
+    setup
+    val saved = Graft.planSizeBudget
+    Graft.planSizeBudget = 0L
+    try {
+      val rnd = new scala.util.Random(0x14D3C11EL)
+      (1 to 60).foreach { i =>
+        val grp = grouping(rnd)
+        val sql = render(predicate(rnd), aggs(rnd), grp)
+        val dfOn = spark.sql(sql)
+        val grouped = grp.isDefined && !grp.contains("event_type")
+        if (grouped) {
+          // the zero-proof PRUNE arm may legitimately still fire (it
+          // materializes zero rows — exactly what the budget permits);
+          // what must never appear is a bucket-materialized row
+          val localRows = dfOn.queryExecution.optimizedPlan.collect {
+            case l: LocalRelation => l.data.size
+          }.sum
+          assert(localRows == 0,
+            s"case $i materialized $localRows rows at budget 0: $sql")
+        }
+        val on = dfOn.collect()
+        Graft.rewritesEnabled = false
+        val off = try spark.sql(sql).collect() finally Graft.rewritesEnabled = true
+        assert(sortedRows(on) === sortedRows(off), s"case $i mismatch: $sql")
+      }
+    } finally Graft.planSizeBudget = saved
+  }
+
   // opt-in deep blast (SPARK_GRAFT_FUZZ_N=2000 sbt "testOnly *RewriteFuzzSpec"):
   // same generator, third seed, operator-chosen depth — for long-soak
   // confidence runs without growing the default suite's wall-clock
