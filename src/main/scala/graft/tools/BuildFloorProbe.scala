@@ -20,7 +20,16 @@ import org.apache.spark.sql.SparkSession
   * Run with `sbt "runMain graft.tools.BuildFloorProbe"` (run/fork gives a
   * fresh JVM per invocation — required: a warm CodeGenerator cache would
   * hide exactly the cost under test). Prints one JSON line with the total
-  * and the BuildPhases split. */
+  * and the BuildPhases split.
+  *
+  * Measured on this harness (local[32], cold JVM each point, buildEvents):
+  * 2 MB corpus 9.76 s codegen vs 8.11 s interpreted; 60 MB 48.4 vs 33.4;
+  * 277 MB 59.0 vs 55.7 — which set the 256 MiB small-build gate in
+  * [[graft.index.UWheelIndex.build]]. NOTE the gate now routes small
+  * path-based builds interpreted by default, so `mode=on` measures the
+  * production path (gate engaged below 256 MiB); pass
+  * `-Dgraft.build.smallScanBytes=0` to force the codegen path for
+  * comparison. */
 object BuildFloorProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
