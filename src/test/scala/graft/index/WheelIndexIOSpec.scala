@@ -61,6 +61,32 @@ class WheelIndexIOSpec extends AnyFunSuite {
     assert(q.collect()(0).getLong(0) > 0L)
   }
 
+  test("savedWatermarkMs reports the loaded index's answerable upper edge") {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.enable(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wm").toString
+    val p = s"$dir/t.parquet"
+    val base = java.sql.Timestamp.valueOf("2024-09-01 00:00:00").getTime
+    val lastMs = base + 499 * 7000L
+    (0 until 500).map(i => (new java.sql.Timestamp(base + i * 7000L), i / 4.0))
+      .toDF("ts", "value").write.mode("overwrite").parquet(p)
+    val built = UWheelBuilder("ts", Seq("value")).build(spark, p)
+    val file = s"$dir/index.bin"
+    WheelIndexIO.save(built, file)
+    WheelRegistry.clear()
+    val (loaded, _) = WheelIndexIO.load(spark, file)
+    val wm = WheelIndexIO.savedWatermarkMs(loaded)
+    assert(wm.isDefined, "data-bearing index must report a watermark")
+    // the edge covers the last data instant (exclusive) and does not
+    // overshoot by more than one day of slot coarsening
+    assert(wm.get > lastMs, s"watermark ${wm.get} must cover last row $lastMs")
+    assert(wm.get <= lastMs + 86400000L)
+    // an index with no data-bearing wheel reports None (nothing answerable)
+    val empty = new TableIndex(s"$dir/none.parquet", "ts", tsAllNonNull = false, 0L)
+    assert(WheelIndexIO.savedWatermarkMs(empty).isEmpty)
+  }
+
   test("packed index survives save/load: still packed, min/max exact, refresh keeps packing") {
     graft.Graft.enable(spark)
     import spark.implicits._
