@@ -67,6 +67,14 @@ object WheelQueries {
       s"""SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt,
          |       min(value) AS mn, max(value) AS mx
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
+    // finest-grain bucket the wheel serves (one per active SECOND): the
+    // densest legal scale for the round-14 plan-size guard — the estimate
+    // min(grid, activeSlots) stays under the 2M budget on this corpus, so
+    // the arm must SERVE; a multi-year dense corpus would decline to the
+    // scan (PlanSizeGuardSpec pins that side)
+    "uw_groupby_second" -> Q.sql(
+      s"""SELECT date_trunc('second', ts) AS s, count(*) AS cnt, $sumDec AS sum_val
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
     "uw_groupby_day" -> Q.sql(
       s"""SELECT date_trunc('day', ts) AS d, $sumDec AS sum_val, count(*) AS cnt
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -815,6 +823,9 @@ object WheelQueries {
     "uw_groupby_hour" ->
       s"""SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt,
          |       min(value) AS mn, max(value) AS mx
+         |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
+    "uw_groupby_second" ->
+      s"""SELECT date_trunc('second', ts) AS s, count(*) AS cnt, $sumDec AS sum_val
          |FROM events WHERE $range GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB's date_trunc('day'/'week') yields DATE; cast back to TIMESTAMP
     // to match Spark's result type.
