@@ -60,6 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.CollectCappedLong].getName, "collect_capped_long"),
       Graft.collectCappedBuilder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.BloomAgg].getName, "bloom_agg"),
+      Graft.bloomAggBuilder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_contains"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.BloomContains].getName, "bloom_contains"),
+      Graft.bloomContainsBuilder))
     graft.functions.MomentStatsAgg.Stats.foreach { stat =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(s"wheel_$stat"),
@@ -159,6 +169,10 @@ object Graft {
       "scala_udf")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "collect_capped_long", collectCappedBuilder, "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", bloomAggBuilder, "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_contains", bloomContainsBuilder, "scala_udf")
     graft.functions.MomentStatsAgg.Stats.foreach { stat =>
       cs.sessionState.functionRegistry.createOrReplaceTempFunction(
         s"wheel_$stat", exprs => momentBuilder(stat, exprs), "scala_udf")
@@ -196,6 +210,29 @@ object Graft {
     require(exprs.length == 2,
       s"collect_capped_long takes (col, cap), got ${exprs.length} arguments")
     graft.functions.CollectCappedLong(exprs.head, intOf(exprs(1), "collect_capped_long cap"))
+  }
+
+  /** `bloom_agg(hash[, numBits[, k]])` — Bloom-filter build aggregate
+    * ([[graft.functions.BloomAgg]]); `numBits`/`k` must be integer literals
+    * (they size the aggregation buffer). */
+  private[graft] def bloomAggBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.nonEmpty && exprs.length <= 3,
+      s"bloom_agg takes (hash[, numBits[, k]]), got ${exprs.length} arguments")
+    val numBits = if (exprs.length >= 2) intOf(exprs(1), "bloom_agg numBits") else 1 << 20
+    val k = if (exprs.length == 3) intOf(exprs(2), "bloom_agg k") else 5
+    graft.functions.BloomAgg(exprs.head, numBits, k)
+  }
+
+  /** `bloom_contains(blob, hash)` — Bloom membership probe
+    * ([[graft.functions.BloomContains]]). */
+  private[graft] def bloomContainsBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 2,
+      s"bloom_contains takes (blob, hash), got ${exprs.length} arguments")
+    graft.functions.BloomContains(exprs(0), exprs(1))
   }
 
   /** `wheel_var_samp(col)` etc. — exact-moment variance/stddev aggregates

@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** Self-describing Bloom-filter blob shared by [[BloomAgg]] (build) and
+  * [[BloomContains]] (probe). Layout: 4-byte magic `GBF1`, 1 byte `k`
+  * (probe count), 3 reserved zero bytes, then `numBits / 8` bit bytes.
+  *
+  * Probe positions use double hashing over a splitmix64-finalized item:
+  * `pos_i = (h1 + i·h2) mod numBits` with `h2` forced odd — k independent
+  * probes from one 64-bit input, no per-probe rehash. The bit set is
+  * order-free and idempotent, so blobs are DETERMINISTIC under any
+  * partitioning/merge order: the same item set always yields byte-identical
+  * blobs (spec-pinned), and distributed partial merges are plain byte ORs.
+  */
+object BloomBlob {
+  val HeaderBytes = 8
+  private val M0: Byte = 'G'; private val M1: Byte = 'B'
+  private val M2: Byte = 'F'; private val M3: Byte = '1'
+  private val Golden = 0x9e3779b97f4a7c15L
+
+  /** splitmix64 finalizer — decorrelates the caller's hash (usually
+    * `xxhash64`) from the probe-position arithmetic. */
+  def mix(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def alloc(numBits: Int, k: Int): Array[Byte] = {
+    val b = new Array[Byte](HeaderBytes + numBits / 8)
+    b(0) = M0; b(1) = M1; b(2) = M2; b(3) = M3
+    b(4) = k.toByte
+    b
+  }
+
+  private def check(blob: Array[Byte]): Unit =
+    require(blob.length > HeaderBytes &&
+        blob(0) == M0 && blob(1) == M1 && blob(2) == M2 && blob(3) == M3,
+      "not a graft bloom blob (bloom_contains input must come from bloom_agg)")
+
+  def kOf(blob: Array[Byte]): Int = blob(4) & 0xff
+
+  def numBitsOf(blob: Array[Byte]): Long = (blob.length - HeaderBytes).toLong * 8L
+
+  def add(blob: Array[Byte], item: Long): Unit = {
+    val numBits = numBitsOf(blob)
+    val k = kOf(blob)
+    val h1 = mix(item)
+    val h2 = mix(item + Golden) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = ((h1 + i * h2) & Long.MaxValue) % numBits
+      blob(HeaderBytes + (pos >>> 3).toInt) =
+        (blob(HeaderBytes + (pos >>> 3).toInt) | (1 << (pos & 7L).toInt)).toByte
+      i += 1
+    }
+  }
+
+  /** All-k-bits-set membership test; never a false negative for an added
+    * item. Called per corpus row from generated code — keep it branch-light. */
+  def contains(blob: Array[Byte], item: Long): Boolean = {
+    check(blob)
+    val numBits = numBitsOf(blob)
+    val k = kOf(blob)
+    val h1 = mix(item)
+    val h2 = mix(item + Golden) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = ((h1 + i * h2) & Long.MaxValue) % numBits
+      if ((blob(HeaderBytes + (pos >>> 3).toInt) & (1 << (pos & 7L).toInt)) == 0)
+        return false
+      i += 1
+    }
+    true
+  }
+
+  /** Byte-wise OR of `from` into `into` (headers must agree). */
+  def or(into: Array[Byte], from: Array[Byte]): Array[Byte] = {
+    require(into.length == from.length && kOf(into) == kOf(from),
+      s"bloom merge shape mismatch: ${into.length}B/k=${kOf(into)} vs ${from.length}B/k=${kOf(from)}")
+    var i = HeaderBytes
+    while (i < into.length) { into(i) = (into(i) | from(i)).toByte; i += 1 }
+    into
+  }
+}
+
+/** `bloom_agg(hash[, numBits[, k]])` — native Bloom-filter build aggregate:
+  * folds integral keys (callers pass `xxhash64(col)`) into a fixed-size
+  * bit-array blob ([[BloomBlob]] layout, BinaryType result).
+  *
+  * The 100 TB decontamination shape this enables: the EVAL side of a
+  * benchmark-decontamination join is small and fixed (thousands of eval
+  * n-grams) while the training corpus is the 100 TB side. An exact join
+  * ([[graft.queries.PipelineQueries]] `txt_decontaminate`) shuffles the
+  * corpus gram stream on gram; `bloom_agg` collapses the eval side to one
+  * bounded blob (partial merges are byte ORs, so the fold is a tree
+  * aggregation with numBits/8-byte partials), which a 1-row broadcast
+  * cross-join ships to every executor — the corpus side is then a pure
+  * MAP-SIDE `bloom_contains` filter: zero corpus shuffle, and false
+  * positives only (never a miss), the right trade for a flag-then-verify
+  * pipeline. Default 2^20 bits / k=5 holds ~100k items under 1% fpp in a
+  * 128 KiB blob.
+  *
+  * NULL keys are skipped; zero rows lower to the empty blob (contains
+  * nothing). Bit-set content is order-free, so the blob is byte-identical
+  * under any shuffle, partitioning, or replay (spec-pinned).
+  */
+case class BloomAgg(
+    child: Expression,
+    numBits: Int = 1 << 20,
+    k: Int = 5,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  require(numBits >= 64 && numBits <= (1 << 30) && numBits % 8 == 0,
+    s"bloom_agg numBits must be a multiple of 8 in [64, 2^30], got $numBits")
+  require(k >= 1 && k <= 8, s"bloom_agg k must be in [1, 8], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg requires an integral key column (hash first), got ${other.catalogString}")
+  }
+
+  private lazy val toLong: Any => Long = child.dataType match {
+    case LongType    => v => v.asInstanceOf[Long]
+    case IntegerType => v => v.asInstanceOf[Int].toLong
+    case ShortType   => v => v.asInstanceOf[Short].toLong
+    case ByteType    => v => v.asInstanceOf[Byte].toLong
+    case other       => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = BloomBlob.alloc(numBits, k)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) BloomBlob.add(buffer, toLong(v))
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], input: Array[Byte]): Array[Byte] =
+    BloomBlob.or(buffer, input)
+
+  override def eval(buffer: Array[Byte]): Any = buffer.clone()
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+}
+
+/** `bloom_contains(blob, hash)` — membership probe against a [[BloomAgg]]
+  * blob. True may be a false positive (bounded by the blob's sizing); false
+  * is PROOF of absence — so a decontamination filter built on it can only
+  * over-flag, never leak a contaminated document.
+  *
+  * A Catalyst expression with whole-stage codegen (not a UDF): the probe is
+  * k masked reads against a broadcast byte array, inlined into the scan's
+  * codegen span, so the corpus-side filter runs at columnar-scan speed.
+  */
+case class BloomContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ByteType | ShortType | IntegerType | LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains requires (binary, integral), got ${l.catalogString} and ${r.catalogString}")
+  }
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(blob: Any, item: Any): Any = {
+    val x = item match {
+      case l: Long  => l
+      case i: Int   => i.toLong
+      case s: Short => s.toLong
+      case b: Byte  => b.toLong
+    }
+    BloomBlob.contains(blob.asInstanceOf[Array[Byte]], x)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (blob, item) =>
+      s"${ev.value} = graft.functions.BloomBlob.contains($blob, (long) $item);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bloom_contains"
+}

@@ -37,6 +37,24 @@ object PipelineQueries {
     * corpus). Width is a single constant in both SQL texts. */
   private val ContamN = 4
 
+  /** Bloom sizing for the broadcast decontamination path: 2^20 bits / k=5
+    * holds ~100k eval grams under 1% fpp in a 128 KiB blob — one bounded
+    * broadcast regardless of corpus size. */
+  private val BloomBits = 1 << 20
+  private val BloomK = 5
+
+  /** md5-portable Bloom twin sizing: 2^17 bits / k=3 (the probe count is
+    * the VALUES(0,1,2) table in both SQL texts) is deliberately TIGHT so
+    * false positives occur at contract scale and the cross-engine oracle
+    * proves both engines reproduce the same ones, not just the same true
+    * hits. */
+  private val Md5BloomBits = 1 << 17
+
+  /** Shingle width for the source-pair overlap matrix: 8 words — wide
+    * enough that only genuinely shared passages count (4-grams would link
+    * every source pair on this small-vocabulary corpus). */
+  private val OverlapN = 8
+
   /** Duplicate-span width for the corpus-level duplicate-mass signal
     * (dd_span_frac). 4 words: at sf0.01 the per-doc duplicated-gram
     * fraction then separates cleanly (median 0.03, a near-dup tail at 1.0,
@@ -45,6 +63,16 @@ object PipelineQueries {
   private val SpanN = 4
 
   // --- Spark SQL ----------------------------------------------------------
+
+  /** Shared CTE prelude of the Bloom decontamination entries: corpus grams,
+    * the eval-side bloom blob (one row), and the training-side gram stream. */
+  private val bloomPrelude =
+    s"""d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+       |      WHERE size(split(text, ' ')) >= $ContamN),
+       |g AS (SELECT doc_id, explode(word_ngrams(w, $ContamN)) AS s FROM d),
+       |e AS (SELECT bloom_agg(xxhash64(s), $BloomBits, $BloomK) AS bf
+       |      FROM (SELECT DISTINCT s FROM g WHERE doc_id % $EvalMod = 0) ev),
+       |t AS (SELECT doc_id, s FROM g WHERE doc_id % $EvalMod <> 0)""".stripMargin
 
   private val sparkSql: Seq[(String, String)] = Seq(
     // deterministic train/val/test split: 80/10/10 by multiplicative hash
@@ -84,6 +112,80 @@ object PipelineQueries {
          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM t JOIN e ON t.s = e.s
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bloom-filter decontamination — the 100 TB shape of txt_decontaminate:
+    // the eval side collapses to ONE bounded blob (bloom_agg partials merge
+    // as byte ORs, a tree aggregation), shipped to every executor by a
+    // 1-row broadcast cross-join; the corpus side is then a pure MAP-SIDE
+    // bloom_contains filter — zero corpus-gram shuffle, where the exact
+    // join shuffles the full corpus gram stream on gram. False positives
+    // only (never a miss — ds_bloom_decon_check pins that), the right trade
+    // for a flag-then-verify pipeline. Blob content is hash-dependent →
+    // rows-only contract entry; the md5 twin below carries the full value
+    // oracle for the same bloom semantics.
+    "ds_bloom_decon" ->
+      s"""WITH $bloomPrelude
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM t CROSS JOIN e
+         |WHERE bloom_contains(e.bf, xxhash64(t.s))
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the no-false-negative proof: every doc the EXACT decontamination
+    // join flags must be bloom-flagged too (missed = 0 — a bloom miss on an
+    // inserted item is impossible by construction, this pins the wiring);
+    // n_exact is genuinely computed by both engines.
+    "ds_bloom_decon_check" ->
+      s"""WITH $bloomPrelude,
+         |bl AS (SELECT DISTINCT t.doc_id FROM t CROSS JOIN e
+         |       WHERE bloom_contains(e.bf, xxhash64(t.s))),
+         |ex AS (SELECT DISTINCT t.doc_id FROM t
+         |       JOIN (SELECT DISTINCT s FROM g WHERE doc_id % $EvalMod = 0) ev
+         |         ON t.s = ev.s)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(CASE WHEN bl.doc_id IS NULL THEN 1 END) AS BIGINT) AS missed
+         |FROM ex LEFT JOIN bl ON ex.doc_id = bl.doc_id""".stripMargin,
+
+    // md5-portable Bloom twin with a FULL value oracle (the dd_simhash_md5
+    // pattern): probe positions derive from md5 via the same integer
+    // arithmetic in both engines, the bit set is a DISTINCT position set,
+    // and a gram hits iff all 3 probes land on set positions — so DuckDB
+    // reproduces the bloom's false positives bit-for-bit, proving the
+    // membership semantics (not just the true hits) cross-engine. Sized
+    // tight (2^17 bits) so false positives actually occur at contract
+    // scale.
+    "ds_bloom_md5" ->
+      s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+         |           WHERE size(split(text, ' ')) >= $ContamN),
+         |g AS (SELECT doc_id, explode(word_ngrams(w, $ContamN)) AS s FROM d),
+         |h AS (SELECT doc_id, s,
+         |             CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS h1,
+         |             CAST(conv(substring(md5(s), 17, 15), 16, 10) AS BIGINT) AS h2
+         |      FROM g),
+         |ks AS (SELECT i FROM VALUES (0), (1), (2) AS t(i)),
+         |bits AS (SELECT DISTINCT (h1 + i * h2) % $Md5BloomBits AS b
+         |         FROM h CROSS JOIN ks WHERE doc_id % $EvalMod = 0),
+         |probe AS (SELECT doc_id, s, (h1 + i * h2) % $Md5BloomBits AS b
+         |          FROM h CROSS JOIN ks WHERE doc_id % $EvalMod <> 0),
+         |hit AS (SELECT doc_id, s FROM probe JOIN bits ON probe.b = bits.b
+         |        GROUP BY doc_id, s HAVING count(*) = 3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // source-pair contamination matrix: distinct shared 8-word shingles per
+    // source pair — the corpus-curation signal for "which ingest feeds
+    // duplicate each other". Scale shape: the join key is the shingle, and
+    // each shingle's fan-out is bounded by the SOURCE count (distinct
+    // (source, shingle) pairs), never the document count; at larger source
+    // counts the dd_shingle_capped stop-shingle df-cap applies unchanged.
+    "dd_src_overlap" ->
+      s"""WITH d AS (SELECT source, split(text, ' ') AS w FROM documents
+         |           WHERE size(split(text, ' ')) >= $OverlapN),
+         |g AS (SELECT DISTINCT source, s
+         |      FROM (SELECT source, explode(word_ngrams(w, $OverlapN)) AS s FROM d))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
+         |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin,
 
     // intra-document repetition score (the Gopher-style rep signal):
     // duplicate-bigram fraction, integer counts + one division so both
@@ -749,6 +851,54 @@ object PipelineQueries {
          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM t JOIN e ON t.s = e.s
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "ds_bloom_decon_check" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE len(string_split(text, ' ')) >= $ContamN),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |        [array_to_string(w[i:i+${ContamN - 1}], ' ')
+         |         for i in range(1, len(w) - ${ContamN - 2})])) AS s
+         |      FROM d),
+         |e AS (SELECT DISTINCT s FROM g WHERE doc_id % $EvalMod = 0),
+         |t AS (SELECT doc_id, s FROM g WHERE doc_id % $EvalMod <> 0),
+         |ex AS (SELECT DISTINCT t.doc_id FROM t JOIN e ON t.s = e.s)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(0 AS BIGINT) AS missed
+         |FROM ex""".stripMargin,
+
+    "ds_bloom_md5" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE len(string_split(text, ' ')) >= $ContamN),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |        [array_to_string(w[i:i+${ContamN - 1}], ' ')
+         |         for i in range(1, len(w) - ${ContamN - 2})])) AS s
+         |      FROM d),
+         |h AS (SELECT doc_id, s,
+         |             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+         |             ('0x' || substr(md5(s), 17, 15))::BIGINT AS h2
+         |      FROM g),
+         |ks AS (SELECT i FROM (VALUES (0), (1), (2)) t(i)),
+         |bits AS (SELECT DISTINCT (h1 + i * h2) % $Md5BloomBits AS b
+         |         FROM h CROSS JOIN ks WHERE doc_id % $EvalMod = 0),
+         |probe AS (SELECT doc_id, s, (h1 + i * h2) % $Md5BloomBits AS b
+         |          FROM h CROSS JOIN ks WHERE doc_id % $EvalMod <> 0),
+         |hit AS (SELECT doc_id, s FROM probe JOIN bits ON probe.b = bits.b
+         |        GROUP BY doc_id, s HAVING count(*) = 3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd_src_overlap" ->
+      s"""WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents
+         |           WHERE len(string_split(text, ' ')) >= $OverlapN),
+         |g0 AS (SELECT source, unnest(list_distinct(
+         |         [array_to_string(w[i:i+${OverlapN - 1}], ' ')
+         |          for i in range(1, len(w) - ${OverlapN - 2})])) AS s
+         |       FROM d),
+         |g AS (SELECT DISTINCT source, s FROM g0)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
+         |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin,
 
     "txt_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

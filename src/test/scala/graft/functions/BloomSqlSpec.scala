@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `bloom_agg` / `bloom_contains` — the broadcast decontamination membership
+  * filter. The contract this pins:
+  *
+  *  - NO FALSE NEGATIVES: every inserted item probes true, under any
+  *    partitioning (the property ds_bloom_decon_check relies on);
+  *  - DETERMINISM: the blob is byte-identical regardless of partition count
+  *    or row order (bit-set is order-free, merge is byte OR) — so a bloom
+  *    entry re-run over a reshuffled corpus is hash-stable;
+  *  - BOUNDED fpp: absent items probe true at a rate near the sizing
+  *    formula, not wildly above it;
+  *  - NULL discipline: null keys are skipped; a null blob or item probes
+  *    null; zero rows lower to the empty blob (contains nothing).
+  */
+class BloomSqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def setup(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.enable(spark)
+  }
+
+  test("no false negatives end-to-end: every inserted key probes true") {
+    setup()
+    import spark.implicits._
+    (0L until 5000L).map(i => i * 2654435761L).toDF("x").createOrReplaceTempView("bloom_in")
+    val missed = spark.sql(
+      """WITH bf AS (SELECT bloom_agg(x, 65536, 5) AS b FROM bloom_in)
+        |SELECT count(*) AS missed FROM bloom_in CROSS JOIN bf
+        |WHERE NOT bloom_contains(bf.b, x)""".stripMargin).head().getLong(0)
+    assert(missed == 0L, s"bloom lost $missed inserted keys — impossible by construction")
+  }
+
+  test("blob is byte-identical under any partitioning and row order") {
+    setup()
+    import spark.implicits._
+    val keys = (0L until 3000L).map(i => BloomBlob.mix(i))
+    def blobOf(parts: Int, shuffled: Boolean): Array[Byte] = {
+      val data = if (shuffled) scala.util.Random.shuffle(keys) else keys
+      data.toDF("x").repartition(parts)
+        .createOrReplaceTempView("bloom_det")
+      spark.sql("SELECT bloom_agg(x, 131072, 3) AS b FROM bloom_det")
+        .head().getAs[Array[Byte]](0)
+    }
+    val one = blobOf(1, shuffled = false)
+    assert(java.util.Arrays.equals(one, blobOf(13, shuffled = true)))
+    assert(java.util.Arrays.equals(one, blobOf(4, shuffled = true)))
+  }
+
+  test("false-positive rate stays near the sizing formula") {
+    setup()
+    import spark.implicits._
+    val n = 5000
+    (0L until n.toLong).toDF("x").createOrReplaceTempView("bloom_fpp_in")
+    // probe 20k keys disjoint from the inserted range
+    (1000000L until 1020000L).toDF("x").createOrReplaceTempView("bloom_fpp_probe")
+    val m = 65536
+    val k = 5
+    val fp = spark.sql(
+      s"""WITH bf AS (SELECT bloom_agg(x, $m, $k) AS b FROM bloom_fpp_in)
+         |SELECT count(*) AS fp FROM bloom_fpp_probe CROSS JOIN bf
+         |WHERE bloom_contains(bf.b, x)""".stripMargin).head().getLong(0)
+    val expected = math.pow(1 - math.exp(-k.toDouble * n / m), k) // ~1.1%
+    val rate = fp / 20000.0
+    assert(rate < expected * 3 + 0.01, f"fpp $rate%.4f vs theoretical $expected%.4f")
+  }
+
+  test("null keys are skipped; zero rows lower to the empty blob") {
+    setup()
+    spark.sql("SELECT CAST(NULL AS BIGINT) AS x UNION ALL SELECT CAST(NULL AS BIGINT)")
+      .createOrReplaceTempView("bloom_nulls")
+    val blob = spark.sql("SELECT bloom_agg(x, 64, 2) AS b FROM bloom_nulls")
+      .head().getAs[Array[Byte]](0)
+    assert(BloomBlob.kOf(blob) == 2 && BloomBlob.numBitsOf(blob) == 64)
+    assert(blob.drop(BloomBlob.HeaderBytes).forall(_ == 0), "null keys set bits")
+    assert(!BloomBlob.contains(blob, 0L) && !BloomBlob.contains(blob, 42L))
+  }
+
+  test("null blob or null item probes null; malformed blob fails loud") {
+    setup()
+    val r = spark.sql(
+      """SELECT bloom_contains(CAST(NULL AS BINARY), 1L) AS a,
+        |       bloom_contains(x'4742463105000000' || x'00', CAST(NULL AS BIGINT)) AS b""".stripMargin)
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val e = intercept[Exception] {
+      spark.sql("SELECT bloom_contains(x'00112233', 1L)").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("per-group blooms: each group's blob contains exactly its own keys") {
+    setup()
+    import spark.implicits._
+    Seq((0, 10L), (0, 11L), (1, 20L), (1, 21L))
+      .toDF("g", "x").createOrReplaceTempView("bloom_groups")
+    val rows = spark.sql(
+      "SELECT g, bloom_agg(x, 4096, 4) AS b FROM bloom_groups GROUP BY g ORDER BY g")
+      .collect()
+    val b0 = rows(0).getAs[Array[Byte]](1)
+    val b1 = rows(1).getAs[Array[Byte]](1)
+    assert(BloomBlob.contains(b0, 10L) && BloomBlob.contains(b0, 11L))
+    assert(BloomBlob.contains(b1, 20L) && BloomBlob.contains(b1, 21L))
+    // tight blobs with 2 keys / 4096 bits: cross-group keys must miss
+    assert(!BloomBlob.contains(b0, 20L) && !BloomBlob.contains(b1, 10L))
+  }
+}
