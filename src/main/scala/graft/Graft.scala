@@ -220,9 +220,13 @@ object Graft {
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     require(exprs.nonEmpty && exprs.length <= 3,
       s"bloom_agg takes (hash[, numBits[, k]]), got ${exprs.length} arguments")
-    val numBits = if (exprs.length >= 2) intOf(exprs(1), "bloom_agg numBits") else 1 << 20
-    val k = if (exprs.length == 3) intOf(exprs(2), "bloom_agg k") else 5
-    graft.functions.BloomAgg(exprs.head, numBits, k)
+    // omitted parameters use BloomAgg's own case-class defaults — one
+    // source of truth for the default blob shape (review finding)
+    val base = graft.functions.BloomAgg(exprs.head)
+    val withBits = if (exprs.length >= 2)
+      base.copy(numBits = intOf(exprs(1), "bloom_agg numBits")) else base
+    if (exprs.length == 3)
+      withBits.copy(k = intOf(exprs(2), "bloom_agg k")) else withBits
   }
 
   /** `bloom_contains(blob, hash)` — Bloom membership probe

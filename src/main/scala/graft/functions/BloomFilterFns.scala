@@ -42,8 +42,12 @@ object BloomBlob {
   }
 
   private def check(blob: Array[Byte]): Unit =
+    // k is validated too: a corrupted header with k=0 would skip the probe
+    // loop and answer TRUE for everything — a silent flag-the-whole-corpus
+    // failure where the contract is fail-loud (review finding)
     require(blob.length > HeaderBytes &&
-        blob(0) == M0 && blob(1) == M1 && blob(2) == M2 && blob(3) == M3,
+        blob(0) == M0 && blob(1) == M1 && blob(2) == M2 && blob(3) == M3 &&
+        (blob(4) & 0xff) >= 1 && (blob(4) & 0xff) <= 8,
       "not a graft bloom blob (bloom_contains input must come from bloom_agg)")
 
   def kOf(blob: Array[Byte]): Int = blob(4) & 0xff

@@ -1446,9 +1446,14 @@ object UWheelIndex {
   def build(spark: SparkSession, path: String, conf: UWheelBuilder): TableIndex = {
     graft.Tables.ensureNanosConf(spark)
     val df0 = spark.read.parquet(path)
-    val session = buildSessionFor(spark, listingOf(df0).map(_.map(_._2).sum))
+    // ONE listing feeds both the sizing decision and the staleness
+    // fingerprint (review finding: listing per use pays duplicate LIST
+    // round-trips on object-store paths)
+    val listing = listingOf(df0)
+    val session = buildSessionFor(spark, listing.map(_.map(_._2).sum))
     val df = if (session eq spark) df0 else session.read.parquet(path)
-    buildFrom(df, WheelRegistry.normalizePath(path), fingerprintOf(df), conf)
+    buildFrom(df, WheelRegistry.normalizePath(path),
+      listing.map(fingerprintOfListing).getOrElse(0L), conf)
   }
 
   /** SMALL builds run INTERPRETED (round-13 task 2): the fused build scan
@@ -1471,8 +1476,16 @@ object UWheelIndex {
     * entirely — the measurement escape hatch). */
   private def smallBuildScanBytes: Long =
     sys.props.get("graft.build.smallScanBytes")
-      .orElse(sys.env.get("GRAFT_BUILD_SMALL_SCAN_BYTES")).map(_.toLong)
-      .getOrElse(256L * 1024 * 1024)
+      .orElse(sys.env.get("GRAFT_BUILD_SMALL_SCAN_BYTES")) match {
+      case Some(v) => v.trim.toLongOption.getOrElse {
+        // a malformed override must not fail every build (review finding):
+        // warn and keep the default rather than throw before any work
+        System.err.println(
+          s"[graft] ignoring malformed graft.build.smallScanBytes value '$v' (want a byte count)")
+        256L * 1024 * 1024
+      }
+      case None => 256L * 1024 * 1024
+    }
   private def buildSessionFor(spark: SparkSession, scanBytes: Option[Long]): SparkSession =
     if (!scanBytes.exists(b => b <= smallBuildScanBytes && smallBuildScanBytes > 0)) spark
     else {

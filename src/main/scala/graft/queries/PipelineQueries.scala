@@ -991,6 +991,11 @@ object PipelineQueries {
     "ds_curated" -> dsCuratedOracle,
   )
 
+  /** Spark-side SQL text of a named entry — for tools that re-run an entry
+    * over a derived corpus outside the contract harness
+    * ([[graft.tools.BenchDedupScale]]'s decontamination growth probes). */
+  private[graft] def sqlFor(name: String): String = sparkSql.toMap.apply(name)
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
     sparkSql.map { case (n, s) => n -> Q.sql(s) } :+
       ("dd_cluster" -> (ddCluster _)) :+

@@ -1732,7 +1732,8 @@ object UWheelRule extends Rule[LogicalPlan] {
         }.toSet + baseW.wheel.slotSpan
         if (spans2.exists(sp => bucketSpan % sp != 0)) return None
         def groupsOf2(hw: HawWheel): Map[Long, RangeAgg] = {
-          guardPlanSize(hw, bounds, bucketSpan) // decline BEFORE any row
+          // decline BEFORE any row: this arm's output is bucket × value
+          guardPlanSize(hw, bounds, bucketSpan, values.size.toLong)
           bounds.foldLeft(Map.empty[Long, RangeAgg]) { case (acc, (s, e)) =>
             groupFn(hw, s, e).foldLeft(acc) { case (m, (k, ra)) =>
               m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))
@@ -1868,8 +1869,12 @@ object UWheelRule extends Rule[LogicalPlan] {
     * multi-year dense corpus is ~1e8 active seconds, which must never be
     * built as a LocalRelation on the planner thread. */
   private def guardPlanSize(hw: HawWheel, bounds: Seq[(Long, Long)],
-      fineSpan: Long): Unit = {
-    val budget = graft.Graft.planSizeBudget
+      fineSpan: Long, rowsPerBucket: Long = 1L): Unit = {
+    // the keyed grouped arm emits one row per (bucket × key value), so its
+    // guard must bound the PRODUCT — a per-wheel bucket bound alone would
+    // admit values× the budget onto the planner thread (review finding).
+    // Divide the budget instead of multiplying the estimate: no overflow.
+    val budget = graft.Graft.planSizeBudget / math.max(rowsPerBucket, 1L)
     var est = 0L
     bounds.foreach { case (s, e) =>
       val lo = math.max(s, hw.startSec)

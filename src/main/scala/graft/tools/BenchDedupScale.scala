@@ -90,7 +90,16 @@ object BenchDedupScale {
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val outPath = args.headOption.getOrElse("/root/repo/BENCH_dedup_scale_r13.json")
+    // default output is round-aware like graft.Bench: 1 + the highest
+    // driver BENCH_r{N}.json present, so a re-run refreshes the CURRENT
+    // round's record instead of clobbering a committed prior round's
+    val outPath = args.headOption.getOrElse {
+      val repo = new java.io.File("/root/repo")
+      val prev = Option(repo.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      val round = if (prev.isEmpty) 1 else prev.max + 1
+      s"/root/repo/BENCH_dedup_scale_r$round.json"
+    }
     val xfs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_XFS", "1,10,100")
       .split(',').map(_.trim.toInt).filter(_ >= 1)
     require(xfs.nonEmpty,
@@ -148,6 +157,17 @@ object BenchDedupScale {
       // duplicate clustering (log-round star contraction over capped pairs)
       timed("cluster") {
         PipelineQueries.ddCluster(spark, sfDir).count()
+      }
+      // decontamination, exact join vs Bloom broadcast (round 14): the
+      // exact form shuffles the corpus gram stream on gram; the bloom form
+      // collapses the eval side to one broadcast blob and probes map-side,
+      // so its shuffle bytes must stay ~FLAT relative to corpus growth —
+      // the curve, not the argument, goes in the record
+      timed("decon_exact") {
+        spark.sql(PipelineQueries.sqlFor("txt_decontaminate")).count()
+      }
+      timed("decon_bloom") {
+        spark.sql(PipelineQueries.sqlFor("ds_bloom_decon")).count()
       }
 
       // hot-bucket guard evidence at the probe cap: bucket-size stats from

@@ -96,6 +96,12 @@ class BloomSqlSpec extends AnyFunSuite {
       spark.sql("SELECT bloom_contains(x'00112233', 1L)").collect()
     }
     assert(e.getMessage != null)
+    // corrupted header with k=0: valid magic + length, but the probe loop
+    // would never run and everything would read as "contained" — must fail
+    // loud instead of silently flagging the whole corpus
+    val kZero = BloomBlob.alloc(64, 1); kZero(4) = 0
+    val ez = intercept[Exception] { BloomBlob.contains(kZero, 1L) }
+    assert(ez.getMessage != null)
   }
 
   test("per-group blooms: each group's blob contains exactly its own keys") {

@@ -122,6 +122,23 @@ class PlanSizeGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed arm bounds the PRODUCT buckets × values, not buckets per wheel") {
+    // 5000 second-buckets × 2 key values = 10000 LocalRelation rows. At
+    // budget 6000 each wheel's own bucket estimate (≤ 5000) passes, but
+    // the materialized product does not — the guard must divide the budget
+    // by the value count and decline (review finding: a per-wheel bound
+    // admits values× the budget onto the planner thread).
+    val keyed = ("SELECT date_trunc('second', ts) AS s, k, count(*) AS cnt " +
+      "FROM parquet.`%s` GROUP BY 1, 2 ORDER BY 1, 2").format(path)
+    val unkeyed = secondGroupBy.format(path)
+    withBudget(6000L) {
+      assert(isRewritten(unkeyed), "5000 buckets must serve under budget 6000")
+      assert(!isRewritten(keyed),
+        "5000 buckets × 2 values = 10000 rows must decline under budget 6000")
+      assertSameOnOff(keyed)
+    }
+  }
+
   test("to_date grouping shares the guard via the same chokepoint") {
     val sql = ("SELECT to_date(ts) AS d, count(*) AS cnt " +
       "FROM parquet.`%s` GROUP BY 1 ORDER BY 1").format(path)
