@@ -115,19 +115,28 @@ object PipelineQueries {
 
     // Bloom-filter decontamination — the 100 TB shape of txt_decontaminate:
     // the eval side collapses to ONE bounded blob (bloom_agg partials merge
-    // as byte ORs, a tree aggregation), shipped to every executor by a
-    // 1-row broadcast cross-join; the corpus side is then a pure MAP-SIDE
-    // bloom_contains filter — zero corpus-gram shuffle, where the exact
-    // join shuffles the full corpus gram stream on gram. False positives
-    // only (never a miss — ds_bloom_decon_check pins that), the right trade
-    // for a flag-then-verify pipeline. Blob content is hash-dependent →
+    // as byte ORs, a tree aggregation) consumed as an UNCORRELATED SCALAR
+    // SUBQUERY — executed once, its value cached, so the corpus side is a
+    // pure MAP-SIDE bloom_contains filter with no join at all. NOT a
+    // cross-join against the 1-row blob frame: a join row pays an O(blob)
+    // getBinary copy PER CORPUS GRAM (measured 20× slower at 100× corpus
+    // scale — 3M grams × 128 KiB of memcpy), the same reason Spark's own
+    // runtime bloom filter demands a constant/subquery bloom side. vs the
+    // exact join: under ~10 MB of eval grams Spark broadcasts the hash join
+    // anyway, but the hash map holds every gram STRING (tens of bytes
+    // each) where the blob is 128 KiB TOTAL for ≤100k grams — and past the
+    // broadcast threshold the exact join degrades to shuffling the full
+    // corpus gram stream while the blob stays broadcastable for orders of
+    // magnitude longer. False positives only (never a miss —
+    // ds_bloom_decon_check pins that), the right trade for a
+    // flag-then-verify pipeline. Blob content is hash-dependent →
     // rows-only contract entry; the md5 twin below carries the full value
     // oracle for the same bloom semantics.
     "ds_bloom_decon" ->
       s"""WITH $bloomPrelude
          |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-         |FROM t CROSS JOIN e
-         |WHERE bloom_contains(e.bf, xxhash64(t.s))
+         |FROM t
+         |WHERE bloom_contains((SELECT bf FROM e), xxhash64(t.s))
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     // the no-false-negative proof: every doc the EXACT decontamination
@@ -136,8 +145,8 @@ object PipelineQueries {
     // n_exact is genuinely computed by both engines.
     "ds_bloom_decon_check" ->
       s"""WITH $bloomPrelude,
-         |bl AS (SELECT DISTINCT t.doc_id FROM t CROSS JOIN e
-         |       WHERE bloom_contains(e.bf, xxhash64(t.s))),
+         |bl AS (SELECT DISTINCT t.doc_id FROM t
+         |       WHERE bloom_contains((SELECT bf FROM e), xxhash64(t.s))),
          |ex AS (SELECT DISTINCT t.doc_id FROM t
          |       JOIN (SELECT DISTINCT s FROM g WHERE doc_id % $EvalMod = 0) ev
          |         ON t.s = ev.s)

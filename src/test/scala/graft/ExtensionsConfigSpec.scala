@@ -96,6 +96,16 @@ class ExtensionsConfigSpec extends AnyFunSuite {
     assert(ccl.getSeq[Long](0).length === 4) // cap+1: over-cap is detectable
     assert(ccl.getSeq[org.apache.spark.sql.Row](1).length === 6) // C(4,2)
 
+    // (e) the Bloom decontamination pair (round 14) resolves through the
+    // injected registry: build blob + probe in one config-only statement
+    val bloom = spark.sql(
+      """WITH bf AS (SELECT bloom_agg(xxhash64(x), 4096, 4) AS b
+        |            FROM VALUES ('p'),('q'),('r') AS t(x))
+        |SELECT bloom_contains(bf.b, xxhash64('q')) AS hit,
+        |       bloom_contains(bf.b, xxhash64('absent-key')) AS miss
+        |FROM bf""".stripMargin).collect()(0)
+    assert(bloom.getBoolean(0) && !bloom.getBoolean(1))
+
     // the base session must be unaffected: same query there stays a scan
     // (no graft wiring was ever installed on it by this spec)
     graft.index.WheelRegistry.deregister(path)
