@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 /** `bloom_agg` / `bloom_contains` — the broadcast decontamination membership
@@ -102,6 +103,58 @@ class BloomSqlSpec extends AnyFunSuite {
     val kZero = BloomBlob.alloc(64, 1); kZero(4) = 0
     val ez = intercept[Exception] { BloomBlob.contains(kZero, 1L) }
     assert(ez.getMessage != null)
+  }
+
+  test("stateless streaming ingest gate: the blob filters a stream with no state") {
+    setup()
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("text").isNotNull)
+    docs.createOrReplaceTempView("bloom_gate_docs")
+    // offline step (the deployment artifact): eval-slice grams → one blob
+    val blob = spark.sql(
+      """SELECT bloom_agg(xxhash64(s), 1048576, 5) AS b FROM (
+        |  SELECT DISTINCT explode(word_ngrams(split(text, ' '), 4)) AS s
+        |  FROM bloom_gate_docs WHERE doc_id % 97 = 0)""".stripMargin)
+      .head().getAs[Array[Byte]](0)
+    // exact truth: training docs sharing any 4-gram with the eval slice
+    val exact = spark.sql(
+      """WITH g AS (SELECT doc_id, explode(word_ngrams(split(text, ' '), 4)) AS s
+        |           FROM bloom_gate_docs),
+        |e AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0)
+        |SELECT DISTINCT g.doc_id FROM g JOIN e ON g.s = e.s
+        |WHERE g.doc_id % 97 <> 0""".stripMargin).as[Long].collect().toSet
+    assert(exact.nonEmpty, "corpus has no contaminated docs — spec setup drifted")
+
+    // ingest tier: the blob rides the stream as a LITERAL — a stateless
+    // per-row filter (no state store, no watermark), the shape an ingest
+    // pipeline actually deploys after the offline bloom build
+    val grams = expr("word_ngrams(split(text, ' '), 4)")
+    val hit = exists(grams, g => ColumnBridge.column(BloomContains(
+      ColumnBridge.expression(lit(blob)), ColumnBridge.expression(xxhash64(g)))))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .where(col("doc_id") % 97 =!= 0)
+      .withColumn("contaminated", hit)
+      .writeStream.format("memory").queryName("bloom_gate").outputMode("append")
+      .start()
+    try {
+      val all = docs.as[(Long, String)].collect().sortBy(_._1)
+      input.addData(all.take(100)); q.processAllAvailable()
+      input.addData(all.drop(100)); q.processAllAvailable()
+      val flagged = spark.table("bloom_gate")
+        .where(col("contaminated")).select("doc_id").as[Long].collect().toSet
+      assert(exact.subsetOf(flagged),
+        s"gate missed ${exact.diff(flagged)} — a bloom false negative is impossible")
+      // 2^20 bits / k=5 over this tiny eval set: false positives are
+      // theoretically ~1e-8 per gram — any beyond a handful is a bug
+      assert(flagged.size <= exact.size + 3,
+        s"gate over-flagged wildly: ${flagged.size} vs exact ${exact.size}")
+    } finally q.stop()
   }
 
   test("per-group blooms: each group's blob contains exactly its own keys") {
