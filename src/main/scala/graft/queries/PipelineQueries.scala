@@ -1003,7 +1003,10 @@ object PipelineQueries {
   /** Spark-side SQL text of a named entry — for tools that re-run an entry
     * over a derived corpus outside the contract harness
     * ([[graft.tools.BenchDedupScale]]'s decontamination growth probes). */
-  private[graft] def sqlFor(name: String): String = sparkSql.toMap.apply(name)
+  private lazy val sparkSqlMap: Map[String, String] = sparkSql.toMap
+  private[graft] def sqlFor(name: String): String =
+    sparkSqlMap.getOrElse(name, throw new NoSuchElementException(
+      s"no PipelineQueries entry named '$name' — known: ${sparkSqlMap.keys.toSeq.sorted.mkString(", ")}"))
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
     sparkSql.map { case (n, s) => n -> Q.sql(s) } :+
