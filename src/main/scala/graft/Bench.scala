@@ -287,37 +287,47 @@ object Bench {
     // cap) no matter how hot the hot bucket runs; an unbounded collect
     // would hold 50k longs (~400 KB) in the hot row alone and blow the
     // asserted ceiling. gate_state_ok = 1 iff both bounds hold.
-    if (only.isEmpty) try {
+    // ONE replay body for both provider probes (review finding: two
+    // hand-synced copies let the record's "same replay" claim drift):
+    // returns (state rows, state bytes, provider-reported-rocksdb).
+    val gateCap = 8
+    val gateHealthyBuckets = 100
+    val gateBucketCount = gateHealthyBuckets + 1
+    def gateReplay(session: org.apache.spark.sql.SparkSession): (Double, Double, Boolean) = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      import spark.implicits._
-      val cap = 8
-      val healthyBuckets = 100
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+      import session.implicits._
       val hot = (0 until 50000).map(i => (100000L + i, 0, -1L))
-      val healthy = (0 until healthyBuckets).flatMap(b =>
+      val healthy = (0 until gateHealthyBuckets).flatMap(b =>
         Seq((b * 2L, 1, b.toLong), (b * 2L + 1, 1, b.toLong)))
       val input = MemoryStream[(Long, Int, Long)]
       val gated = graft.streaming.StreamingNearDup.candidatesFromBandKeys(
-        input.toDF().toDF("id", "band", "bk"), maxBucket = cap)
+        input.toDF().toDF("id", "band", "bk"), maxBucket = gateCap)
       val q = gated.toDF("i", "j").writeStream
         .format("noop").outputMode("update").start()
       try {
         input.addData(hot ++ healthy)
         q.processAllAvailable()
         val so = q.lastProgress.stateOperators
-        val rows = so.map(_.numRowsTotal).sum.toDouble
-        val bytes = so.map(_.memoryUsedBytes).sum.toDouble
-        val bucketCount = healthyBuckets + 1
-        probes("gate_state_rows") = rows
-        probes("gate_state_bytes") = bytes
-        probes("gate_state_rows_bound") = bucketCount.toDouble
-        probes("gate_state_ok") =
-          if (rows <= bucketCount && bytes <= bucketCount * ((cap + 1) * 8 + 2048).toDouble)
-            1.0 else -1.0
-        if (probes("gate_state_ok") < 0)
-          System.err.println(
-            s"[graft] GATE STATE BOUND BROKEN: rows=$rows bytes=$bytes (buckets=$bucketCount cap=$cap)")
+        (so.map(_.numRowsTotal).sum.toDouble,
+          so.map(_.memoryUsedBytes).sum.toDouble,
+          so.flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+            .exists(_.toLowerCase.contains("rocksdb")))
       } finally q.stop()
+    }
+
+    if (only.isEmpty) try {
+      val (rows, bytes, _) = gateReplay(spark)
+      probes("gate_state_rows") = rows
+      probes("gate_state_bytes") = bytes
+      probes("gate_state_rows_bound") = gateBucketCount.toDouble
+      probes("gate_state_ok") =
+        if (rows <= gateBucketCount &&
+            bytes <= gateBucketCount * ((gateCap + 1) * 8 + 2048).toDouble)
+          1.0 else -1.0
+      if (probes("gate_state_ok") < 0)
+        System.err.println(
+          s"[graft] GATE STATE BOUND BROKEN: rows=$rows bytes=$bytes (buckets=$gateBucketCount cap=$gateCap)")
     } catch {
       case scala.util.control.NonFatal(e) =>
         probes("gate_state_ok") = -1.0
@@ -334,37 +344,17 @@ object Bench {
     // accounting includes block cache + memtables, a fixed overhead the
     // heap provider's per-row accounting doesn't carry.
     if (only.isEmpty) try {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val rocks = spark.newSession()
       rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = rocks.sqlContext
-      import rocks.implicits._
-      val cap = 8
-      val healthyBuckets = 100
-      val hot = (0 until 50000).map(i => (100000L + i, 0, -1L))
-      val healthy = (0 until healthyBuckets).flatMap(b =>
-        Seq((b * 2L, 1, b.toLong), (b * 2L + 1, 1, b.toLong)))
-      val input = MemoryStream[(Long, Int, Long)]
-      val gated = graft.streaming.StreamingNearDup.candidatesFromBandKeys(
-        input.toDF().toDF("id", "band", "bk"), maxBucket = cap)
-      val q = gated.toDF("i", "j").writeStream
-        .format("noop").outputMode("update").start()
-      try {
-        input.addData(hot ++ healthy)
-        q.processAllAvailable()
-        val so = q.lastProgress.stateOperators
-        val rows = so.map(_.numRowsTotal).sum.toDouble
-        val onRocks = so.flatMap(_.customMetrics.keySet().toArray.map(_.toString))
-          .exists(_.toLowerCase.contains("rocksdb"))
-        probes("gate_state_rocksdb_rows") = rows
-        probes("gate_state_rocksdb_bytes") = so.map(_.memoryUsedBytes).sum.toDouble
-        probes("gate_state_rocksdb_ok") =
-          if (onRocks && rows <= (healthyBuckets + 1)) 1.0 else -1.0
-        if (probes("gate_state_rocksdb_ok") < 0)
-          System.err.println(s"[graft] ROCKSDB GATE STATE BOUND BROKEN: " +
-            s"rows=$rows onRocks=$onRocks (buckets=${healthyBuckets + 1} cap=$cap)")
-      } finally q.stop()
+      val (rows, bytes, onRocks) = gateReplay(rocks)
+      probes("gate_state_rocksdb_rows") = rows
+      probes("gate_state_rocksdb_bytes") = bytes
+      probes("gate_state_rocksdb_ok") =
+        if (onRocks && rows <= gateBucketCount) 1.0 else -1.0
+      if (probes("gate_state_rocksdb_ok") < 0)
+        System.err.println(s"[graft] ROCKSDB GATE STATE BOUND BROKEN: " +
+          s"rows=$rows onRocks=$onRocks (buckets=$gateBucketCount cap=$gateCap)")
     } catch {
       case scala.util.control.NonFatal(e) =>
         probes("gate_state_rocksdb_ok") = -1.0

@@ -1447,8 +1447,10 @@ object UWheelIndex {
     graft.Tables.ensureNanosConf(spark)
     val df0 = spark.read.parquet(path)
     // ONE listing feeds both the sizing decision and the staleness
-    // fingerprint (review finding: listing per use pays duplicate LIST
-    // round-trips on object-store paths)
+    // fingerprint. (buildFrom's later listingOf(df) reads the relation's
+    // ALREADY-CONSTRUCTED InMemoryFileIndex — cached leaf files, no second
+    // LIST round-trip; the only unavoidable re-list is the isolated small-
+    // build session's own read.parquet, which must build its own relation.)
     val listing = listingOf(df0)
     val session = buildSessionFor(spark, listing.map(_.map(_._2).sum))
     val df = if (session eq spark) df0 else session.read.parquet(path)
@@ -1474,7 +1476,7 @@ object UWheelIndex {
   /** Tunable via `-Dgraft.build.smallScanBytes=N` or env
     * `GRAFT_BUILD_SMALL_SCAN_BYTES` (0 disables the interpreted-build path
     * entirely — the measurement escape hatch). */
-  private def smallBuildScanBytes: Long =
+  private lazy val smallBuildScanBytes: Long =
     sys.props.get("graft.build.smallScanBytes")
       .orElse(sys.env.get("GRAFT_BUILD_SMALL_SCAN_BYTES")) match {
       case Some(v) => v.trim.toLongOption.getOrElse {

@@ -764,12 +764,12 @@ object SimilarityQueries {
   /** `dd_simhash_md5_pairs` with the signature frame materialized ONCE
     * (round-13 task 3): as plain SQL Catalyst inlines the sig CTE into
     * both sides of the banded self-join and pays the 60-vote aggregation
-    * twice — the suite's most expensive entry. An eager localCheckpoint
-    * truncates the lineage so both join sides read the checkpointed
-    * blocks; the result stays hash-exact vs the brute-force DuckDB oracle
-    * ([[md5SimhashPairsDuckSql]]). Same banded plan as the SQL form:
-    * 4 × 15-bit band keys, one shuffled candidate join, exact Hamming
-    * verification. */
+    * twice — the suite's most expensive entry. The frame is `persist()`ed
+    * and eagerly materialized (see [[md5SigMemo]]) so both join sides
+    * read the cached InMemoryRelation; the result stays hash-exact vs the
+    * brute-force DuckDB oracle ([[md5SimhashPairsDuckSql]]). Same banded
+    * plan as the SQL form: 4 × 15-bit band keys, one shuffled candidate
+    * join, exact Hamming verification. */
   /** ONE cached signature frame: (session#sfDir key, inputFiles hash,
     * persisted frame). Memoized so the bench's ~7 reps of an entry reuse
     * one materialization instead of stacking copies — but SINGLE-slot with

@@ -1410,6 +1410,14 @@ object UWheelRule extends Rule[LogicalPlan] {
           def mapOf(src: Src): Map[Long, RangeAgg] = src match {
             case NumSrc(w) => groupsOf(w.wheel)
             case UnionSrc(ws) =>
+              // the union's merged map can reach |ws| × each wheel's own
+              // bucket bound, and |ws| is the QUERY's IN-list length — so
+              // the per-wheel guard alone admits IN-length × the budget
+              // onto the planner thread (review finding, the sibling of
+              // the keyed arm's product bound). Divide the budget by the
+              // union size BEFORE any per-wheel map materializes.
+              ws.foreach(w =>
+                guardPlanSize(w.wheel, bounds, bucketSpan, ws.size.toLong))
               ws.map(w => groupsOf(w.wheel)).reduce { (a, b) =>
                 b.foldLeft(a) { case (m, (k, ra)) =>
                   m.updated(k, m.get(k).map(_.merge(ra)).getOrElse(ra))

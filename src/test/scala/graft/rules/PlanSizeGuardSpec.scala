@@ -139,6 +139,24 @@ class PlanSizeGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("IN-union grouped path divides the budget by the union size") {
+    // k IN ('a','b') over per-value keyed wheels: each wheel covers ~2500
+    // alternating seconds, the merged union ~5000 buckets. At budget 4500
+    // each wheel passes a per-wheel bound (2500 <= 4500) but the union
+    // merge would put ~5000 rows on the planner thread — the guard must
+    // divide the budget by the union size and decline (review finding:
+    // the IN-list length is query-controlled, so the per-wheel bound
+    // alone admits IN-length × the budget).
+    val sql = ("SELECT date_trunc('second', ts) AS s, sum(value) AS sv " +
+      "FROM parquet.`%s` WHERE k IN ('a', 'b') GROUP BY 1 ORDER BY 1").format(path)
+    assert(isRewritten(sql), "IN-union arm did not fire within budget — setup drifted")
+    withBudget(4500L) {
+      assert(!isRewritten(sql),
+        "union of two ~2500-bucket wheels must decline at budget 4500")
+      assertSameOnOff(sql)
+    }
+  }
+
   test("to_date grouping shares the guard via the same chokepoint") {
     val sql = ("SELECT to_date(ts) AS d, count(*) AS cnt " +
       "FROM parquet.`%s` GROUP BY 1 ORDER BY 1").format(path)
