@@ -69,9 +69,25 @@ object BloomBlob {
   }
 
   /** All-k-bits-set membership test; never a false negative for an added
-    * item. Called per corpus row from generated code — keep it branch-light. */
+    * item. Interpreted/driver entry point: validates the header, then
+    * probes. The codegen path ([[BloomContains.doGenCode]]) instead calls
+    * [[validate]] once per DISTINCT blob reference and [[containsUnchecked]]
+    * per row, so the 100 TB corpus side pays k masked reads and one
+    * reference compare — not the ~8 header branch compares — per row. */
   def contains(blob: Array[Byte], item: Long): Boolean = {
     check(blob)
+    containsUnchecked(blob, item)
+  }
+
+  /** Header validation alone — fail-loud on anything [[BloomAgg]] didn't
+    * produce. Public so generated code can hoist it out of the probe loop
+    * (validate once per blob reference, then [[containsUnchecked]]). */
+  def validate(blob: Array[Byte]): Unit = check(blob)
+
+  /** The probe loop with NO header validation — callers must have run
+    * [[validate]] on this blob first (the codegen hot path does, once per
+    * distinct reference). */
+  def containsUnchecked(blob: Array[Byte], item: Long): Boolean = {
     val numBits = numBitsOf(blob)
     val k = kOf(blob)
     val h1 = mix(item)
@@ -84,6 +100,27 @@ object BloomBlob {
       i += 1
     }
     true
+  }
+
+  /** Sizes a blob for `nItems` keys at `targetFpp`: the standard optima
+    * m = ⌈−n·ln p / ln²2⌉ bits and k = round(m/n · ln 2) probes, with m
+    * rounded up to a multiple of 8 and clamped to [[BloomAgg]]'s accepted
+    * [64, 2^30] bit range and k to its [1, 8]. This is how the
+    * decontamination path should pick its parameters: COUNT the eval
+    * side's distinct grams (the eval side is the SMALL side — one cheap
+    * pass) and size from that, instead of a fixed default that silently
+    * degrades fpp once a real eval suite outgrows it (a 2^20/k=5 blob
+    * holds ~100k grams at 1%; at 1M grams its fpp is ~63%). Returns
+    * (numBits, k). */
+  def sizeFor(nItems: Long, targetFpp: Double): (Int, Int) = {
+    require(targetFpp > 0.0 && targetFpp < 1.0,
+      s"target fpp must be in (0, 1), got $targetFpp")
+    val n = math.max(1L, nItems).toDouble
+    val ln2 = math.log(2.0)
+    val rawBits = math.ceil(-n * math.log(targetFpp) / (ln2 * ln2))
+    val bits = math.min(1L << 30, math.max(64L, (math.ceil(rawBits / 8.0) * 8).toLong)).toInt
+    val k = math.min(8, math.max(1, math.round(bits / n * ln2).toInt))
+    (bits, k)
   }
 
   /** Byte-wise OR of `from` into `into` (headers must agree). */
@@ -208,9 +245,24 @@ case class BloomContains(left: Expression, right: Expression)
     BloomBlob.contains(blob.asInstanceOf[Array[Byte]], x)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Header validation hoisted out of the per-row probe (round-14 verdict
+    // finding 4): the blob is a scalar-subquery/literal constant in the
+    // decontamination shape, so its array REFERENCE is stable across the
+    // task — cache the last-validated reference and re-validate only when
+    // it changes. Correctness is unchanged for per-row blob columns (each
+    // new reference re-validates, and a corrupted blob still fails loud on
+    // its first row); the constant-blob hot path pays ONE pointer compare
+    // per row instead of the ~8 header branch compares.
+    val validated = ctx.addMutableState("byte[]", "bloomValidatedBlob")
     nullSafeCodeGen(ctx, ev, (blob, item) =>
-      s"${ev.value} = graft.functions.BloomBlob.contains($blob, (long) $item);")
+      s"""if ($blob != $validated) {
+         |  graft.functions.BloomBlob.validate($blob);
+         |  $validated = $blob;
+         |}
+         |${ev.value} = graft.functions.BloomBlob.containsUnchecked($blob, (long) $item);
+         |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomContains =

@@ -548,8 +548,25 @@ final class TableIndex(
 object WheelRegistry {
   private val tables = new ConcurrentHashMap[String, TableIndex]()
 
-  def normalizePath(p: String): String =
-    p.stripPrefix("file:").replaceAll("/+$", "")
+  def normalizePath(p: String): String = rootSetKey(p.split('\n').toIndexedSeq)
+
+  /** Canonical registry key for a root SET (round-14 verdict task 4: a
+    * multi-directory relation used to be looked up under
+    * `rootPaths.headOption` only, so an index built over both roots never
+    * served). Each member is scheme/slash-normalized, then the set is
+    * deduped and SORTED before newline-joining — so
+    * `spark.read.parquet(a, b)` and `parquet(b, a)` resolve to the same
+    * key. A single root's key is exactly the old single-path
+    * normalization, so every existing registration and lookup is
+    * unchanged. Newline is the join character because it cannot appear in
+    * a normalized Hadoop path URI. */
+  def rootSetKey(paths: Seq[String]): String =
+    paths.map(_.stripPrefix("file:").replaceAll("/+$", ""))
+      .distinct.sorted.mkString("\n")
+
+  /** Inverse of [[rootSetKey]]: the member root paths of a registry key
+    * (size 1 for ordinary single-root tables). */
+  def rootsOfKey(key: String): Seq[String] = key.split('\n').toIndexedSeq
 
   /** Registry key for an in-memory DataFrame index (display only). */
   def viewKey(name: String): String = "view::" + name.toLowerCase
@@ -612,6 +629,12 @@ object WheelRegistry {
     * still runs the full fingerprint/sameResult lookup. */
   def mayMatchPath(rootPath: String): Boolean =
     tables.containsKey(normalizePath(rootPath))
+  /** Root-set probe: true when any single root OR the canonical root-set
+    * key is registered — the multi-root complement of [[mayMatchPath]],
+    * same over-approximation contract. */
+  def mayMatchRoots(roots: Seq[String]): Boolean =
+    roots.exists(mayMatchPath) ||
+      (roots.lengthCompare(1) > 0 && tables.containsKey(rootSetKey(roots)))
   def mayMatchExprId(id: Long): Boolean = byExprId.containsKey(id)
   def lookup(rootPath: String): Option[TableIndex] =
     Option(tables.get(normalizePath(rootPath)))
@@ -865,9 +888,24 @@ final case class UWheelBuilder(
 
   def build(spark: SparkSession, path: String): TableIndex =
     UWheelIndex.build(spark, path, this)
+
+  /** Multi-root build: index `spark.read.parquet(paths…)` as one table,
+    * registered under the canonical sorted root-set key so the relation
+    * serves at plan time ([[UWheelIndex.build]]). */
+  def build(spark: SparkSession, paths: Seq[String]): TableIndex =
+    UWheelIndex.build(spark, paths, this)
 }
 
 object UWheelIndex {
+
+  /** Serialized byte size of the final merged build accumulator — the
+    * driver's ENTIRE receive for the fused build scan — from the most
+    * recent build run with `-Dgraft.build.measurePayload=true`; −1 when
+    * never measured. One volatile slot (builds under the measurement flag
+    * are sequential bench probes); consumed by the build-scale record
+    * ([[graft.tools.BenchBuildScale]]) to assert the payload tracks active
+    * slots, not row count. */
+  @volatile var lastBuildPayloadBytes: Long = -1L
 
   /** Distributed wheel build. One shuffle: rows are pre-aggregated to
     * per-second partials by a map-side-combining `groupBy`, then folded into
@@ -1372,6 +1410,17 @@ object UWheelIndex {
         (a, row) => { a.add(row); a },
         (a, b) => a.merge(b),
         depth = if (aggRdd.getNumPartitions <= 64) 1 else 2))
+    // Opt-in scale evidence (-Dgraft.build.measurePayload=true): the byte
+    // size of the ONE merged accumulator the treeAggregate hands the
+    // driver, through the same serializer that shipped it. Payload scales
+    // with ACTIVE SLOTS (the time span), not row count — the number the
+    // build-scale record asserts stays flat from 1× to 100× rows. Off by
+    // default: the extra serialization pass is pure measurement cost.
+    if (java.lang.Boolean.getBoolean("graft.build.measurePayload"))
+      lastBuildPayloadBytes =
+        try org.apache.spark.SparkEnv.get.serializer.newInstance()
+          .serialize(acc)(scala.reflect.ClassTag(acc.getClass)).limit().toLong
+        catch { case scala.util.control.NonFatal(_) => -1L }
     val built = specs.zipWithIndex.map { case (sp, i) =>
       val hasValues = sp.valueColumn.isDefined
       BuiltWheel(
@@ -1438,14 +1487,24 @@ object UWheelIndex {
       case _ => None
     }
 
-  private[index] def fingerprintOfDf(df: DataFrame): Long = fingerprintOf(df)
+  private[graft] def fingerprintOfDf(df: DataFrame): Long = fingerprintOf(df)
 
   private def fingerprintOf(df: DataFrame): Long =
     listingOf(df).map(fingerprintOfListing).getOrElse(0L)
 
-  def build(spark: SparkSession, path: String, conf: UWheelBuilder): TableIndex = {
+  def build(spark: SparkSession, path: String, conf: UWheelBuilder): TableIndex =
+    build(spark, Seq(path), conf)
+
+  /** Multi-root build (round-14 verdict task 4): indexes a relation read
+    * from SEVERAL directories — `spark.read.parquet(dirA, dirB)` — in one
+    * fused scan, registered under the canonical sorted root-set key
+    * ([[WheelRegistry.rootSetKey]]) and fingerprinted over the COMBINED
+    * listing, so the optimizer rule serves such relations instead of
+    * soundly declining them. */
+  def build(spark: SparkSession, paths: Seq[String], conf: UWheelBuilder): TableIndex = {
+    require(paths.nonEmpty, "build needs at least one root path")
     graft.Tables.ensureNanosConf(spark)
-    val df0 = spark.read.parquet(path)
+    val df0 = spark.read.parquet(paths: _*)
     // ONE listing feeds both the sizing decision and the staleness
     // fingerprint. (buildFrom's later listingOf(df) reads the relation's
     // ALREADY-CONSTRUCTED InMemoryFileIndex — cached leaf files, no second
@@ -1453,8 +1512,8 @@ object UWheelIndex {
     // build session's own read.parquet, which must build its own relation.)
     val listing = listingOf(df0)
     val session = buildSessionFor(spark, listing.map(_.map(_._2).sum))
-    val df = if (session eq spark) df0 else session.read.parquet(path)
-    buildFrom(df, WheelRegistry.normalizePath(path),
+    val df = if (session eq spark) df0 else session.read.parquet(paths: _*)
+    buildFrom(df, WheelRegistry.rootSetKey(paths),
       listing.map(fingerprintOfListing).getOrElse(0L), conf)
   }
 
@@ -1475,8 +1534,11 @@ object UWheelIndex {
     * the caller's session exactly. */
   /** Tunable via `-Dgraft.build.smallScanBytes=N` or env
     * `GRAFT_BUILD_SMALL_SCAN_BYTES` (0 disables the interpreted-build path
-    * entirely — the measurement escape hatch). */
-  private lazy val smallBuildScanBytes: Long =
+    * entirely — the measurement escape hatch). A `def`, not a `lazy val`:
+    * the prop lookup is cheap and per-build, so a caller that sets the
+    * system property between builds sees the change take effect (a lazy
+    * val would pin the first build's value for the JVM's lifetime). */
+  private def smallBuildScanBytes: Long =
     sys.props.get("graft.build.smallScanBytes")
       .orElse(sys.env.get("GRAFT_BUILD_SMALL_SCAN_BYTES")) match {
       case Some(v) => v.trim.toLongOption.getOrElse {
@@ -1837,7 +1899,7 @@ object UWheelIndex {
     val t = WheelRegistry.lookup(key).getOrElse(
       throw new IllegalStateException(s"no TableIndex registered for $key — call build() first"))
     graft.Tables.ensureNanosConf(spark)
-    val df = spark.read.parquet(path)
+    val df = spark.read.parquet(WheelRegistry.rootsOfKey(key): _*)
     // Invariant every refresh relies on: ALL wheels of a TableIndex are
     // built from the same file-listing snapshot. A keyed wheel built over a
     // GROWN listing would already contain the new files' rows, and the next
@@ -1918,7 +1980,7 @@ object UWheelIndex {
     val t = WheelRegistry.lookup(key).getOrElse(
       throw new IllegalStateException(s"no TableIndex registered for $key — call build() first"))
     graft.Tables.ensureNanosConf(spark)
-    val df = spark.read.parquet(path)
+    val df = spark.read.parquet(WheelRegistry.rootsOfKey(key): _*)
     val listing = listingOf(df).getOrElse(
       throw new IllegalStateException(s"$key is not a file-backed table"))
     val now = listing.map(f => f._1 -> (f._2, f._3)).toMap

@@ -65,14 +65,62 @@ object PipelineQueries {
   // --- Spark SQL ----------------------------------------------------------
 
   /** Shared CTE prelude of the Bloom decontamination entries: corpus grams,
-    * the eval-side bloom blob (one row), and the training-side gram stream. */
-  private val bloomPrelude =
+    * the eval-side bloom blob (one row), and the training-side gram stream.
+    * Parametrized on the blob sizing so [[bloomDeconAuto]] can run the same
+    * shape with counted-eval-side sizing; the CONTRACT entries pin the
+    * fixed defaults so their hashes stay byte-stable across rounds. */
+  private def bloomPreludeWith(bits: Int, k: Int) =
     s"""d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
        |      WHERE size(split(text, ' ')) >= $ContamN),
        |g AS (SELECT doc_id, explode(word_ngrams(w, $ContamN)) AS s FROM d),
-       |e AS (SELECT bloom_agg(xxhash64(s), $BloomBits, $BloomK) AS bf
+       |e AS (SELECT bloom_agg(xxhash64(s), $bits, $k) AS bf
        |      FROM (SELECT DISTINCT s FROM g WHERE doc_id % $EvalMod = 0) ev),
        |t AS (SELECT doc_id, s FROM g WHERE doc_id % $EvalMod <> 0)""".stripMargin
+
+  private val bloomPrelude = bloomPreludeWith(BloomBits, BloomK)
+
+  /** Auto-sized Bloom decontamination (round-14 verdict task 1): ONE cheap
+    * aggregation over the eval side — the SMALL side by construction —
+    * counts its distinct grams, [[graft.functions.BloomBlob.sizeFor]]
+    * turns (count, targetFpp) into (numBits, k), and the same
+    * scalar-subquery plan as `ds_bloom_decon` runs with that sizing. This
+    * is the production entry point: the fixed 2^20/k=5 contract default
+    * silently degrades once a real eval suite outgrows ~100k grams (1M
+    * grams there ⇒ ~63% fpp), while sizing from the counted eval side
+    * holds the target at one extra scan of the suite, never the corpus.
+    *
+    * `targetFpp` is PER GRAM, and a document is flagged when ANY of its
+    * grams probes true — so the per-doc over-flag rate compounds to
+    * ≈ gramsPerDoc × fpp. The 1e-4 default keeps that compounded rate
+    * ~1% for ~100-gram documents (a 1% per-gram target measured 208
+    * flagged vs 8 exact on the contract corpus), and the 1 KiB bit floor
+    * keeps tiny eval slices from compounding through an over-dense
+    * formula-floor blob. Returns (result, numBits, k) so callers can
+    * record the sizing. */
+  def bloomDeconAuto(
+      spark: SparkSession,
+      sfDir: String,
+      targetFpp: Double = 1e-4): (DataFrame, Int, Int) = {
+    // ensureViews, NOT ctxViewsOnly: the latter's empty prepared marker
+    // would make every later Q.ctx on this session skip the wheel builds
+    // (session poison for uw_* service — caught by TopKWheelSpec in-suite)
+    Q.ensureViews(spark, sfDir)
+    val nGrams = spark.sql(
+      s"""SELECT count(DISTINCT s) FROM (
+         |  SELECT explode(word_ngrams(split(text, ' '), $ContamN)) AS s
+         |  FROM documents
+         |  WHERE size(split(text, ' ')) >= $ContamN AND doc_id % $EvalMod = 0)""".stripMargin)
+      .head().getLong(0)
+    val (bits0, k) = graft.functions.BloomBlob.sizeFor(nGrams, targetFpp)
+    val bits = math.max(bits0, 1 << 13)
+    val df = spark.sql(
+      s"""WITH ${bloomPreludeWith(bits, k)}
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM t
+         |WHERE bloom_contains((SELECT bf FROM e), xxhash64(t.s))
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
+    (df, bits, k)
+  }
 
   private val sparkSql: Seq[(String, String)] = Seq(
     // deterministic train/val/test split: 80/10/10 by multiplicative hash
@@ -141,8 +189,11 @@ object PipelineQueries {
 
     // the no-false-negative proof: every doc the EXACT decontamination
     // join flags must be bloom-flagged too (missed = 0 — a bloom miss on an
-    // inserted item is impossible by construction, this pins the wiring);
-    // n_exact is genuinely computed by both engines.
+    // inserted item is impossible by construction, this pins the wiring).
+    // Only n_exact is computed by BOTH engines; the DuckDB twin PINS
+    // missed = 0 by construction (it has no bloom to probe), so the compare
+    // enforces the Spark side's missed count against that fixed expectation
+    // one-sidedly — there is no independent DuckDB bloom check.
     "ds_bloom_decon_check" ->
       s"""WITH $bloomPrelude,
          |bl AS (SELECT DISTINCT t.doc_id FROM t

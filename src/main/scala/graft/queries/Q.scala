@@ -69,10 +69,22 @@ object Q {
     * where any `uw_*` query may run: those would silently stay scan-only
     * for the session. */
   def ctxViewsOnly(spark: SparkSession, sfDir: String): Unit = {
+    ensureViews(spark, sfDir)
+    val sid = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)
+    prepared.put(s"$sid#$sfDir", Set.empty)
+  }
+
+  /** View registration WITHOUT [[ctxViewsOnly]]'s prepared-marker side
+    * effect: the prelude for production helpers that run plain SQL over
+    * the corpus views ([[PipelineQueries.bloomDeconAuto]]). Unlike
+    * ctxViewsOnly — whose empty marker makes every later [[ctx]] on the
+    * session SKIP the wheel builds (fine inside a dedicated tool JVM,
+    * session-poisoning anywhere else: a later `uw_*` query would silently
+    * stay scan-only) — this leaves the build state untouched. */
+  private[graft] def ensureViews(spark: SparkSession, sfDir: String): Unit = {
     val sid = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)
     if (registeredDir.put(sid, sfDir) != sfDir) Tables.registerAll(spark, sfDir)
     Graft.enable(spark)
-    prepared.put(s"$sid#$sfDir", Set.empty)
   }
 
   def ctx(spark: SparkSession, sfDir: String): SparkSession = {

@@ -390,15 +390,14 @@ object SimilarityQueries {
     * table stats / the index catalog); a changed listing recounts AND
     * REPLACES the entry, so centroid selection can't drift from the data
     * and the map stays one entry per live (session, sfDir) rather than
-    * accreting superseded listings. (In-place rewrites that keep identical
-    * file names are not detected — key on a content fingerprint if the
-    * store allows them.) */
-  private val corpusN = new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+    * accreting superseded listings. Keyed on the (path, length,
+    * modificationTime) listing fingerprint, so in-place rewrites that keep
+    * identical file names invalidate too (same upgrade as [[md5SigMemo]]). */
+  private val corpusN = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   /** Cached row count of a registered table (see [[corpusN]] doc above). */
   private def cachedCount(spark: SparkSession, sfDir: String, table: String): Long = {
-    val files = java.util.Arrays.hashCode(
-      spark.table(table).inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+    val files = graft.index.UWheelIndex.fingerprintOfDf(spark.table(table))
     corpusN.compute(
       s"${org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)}#$sfDir#$table",
       (_, old) =>
@@ -770,25 +769,29 @@ object SimilarityQueries {
     * brute-force DuckDB oracle ([[md5SimhashPairsDuckSql]]). Same banded
     * plan as the SQL form: 4 × 15-bit band keys, one shuffled candidate
     * join, exact Hamming verification. */
-  /** ONE cached signature frame: (session#sfDir key, inputFiles hash,
+  /** ONE cached signature frame: (session#sfDir key, listing fingerprint,
     * persisted frame). Memoized so the bench's ~7 reps of an entry reuse
     * one materialization instead of stacking copies — but SINGLE-slot with
     * unpersist-on-replace, so a long-lived JVM holds at most one frame
     * instead of accreting one per (session, corpus), and keyed on the
-    * table's inputFiles hash like [[corpusN]], so an in-session corpus
-    * rewrite rebuilds instead of serving stale signatures (both review
-    * findings). `persist` rather than `localCheckpoint`: the cached
+    * table's (path, length, modificationTime) listing fingerprint
+    * ([[graft.index.UWheelIndex.fingerprintOfDf]]) so an in-session corpus
+    * rewrite — even one that keeps part-file names — rebuilds instead of
+    * serving stale signatures (both review findings). `persist` rather than `localCheckpoint`: the cached
     * InMemoryRelation dedups the banded self-join's two reads the same
     * way, and is cleanly releasable. */
   private val md5SigMemo = new java.util.concurrent.atomic.AtomicReference[
-    (String, Int, DataFrame)]()
+    (String, Long, DataFrame)]()
 
   def md5SimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     val memoKey =
       org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark) + "#" + sfDir
-    val files = java.util.Arrays.hashCode(
-      spark.table("documents").inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+    // staleness key = the SAME (path, length, modificationTime) listing
+    // fingerprint the wheel index uses — an in-place corpus rewrite that
+    // keeps identical part-file names still rebuilds (a paths-only Int
+    // hash served stale persisted signatures; review finding)
+    val files = graft.index.UWheelIndex.fingerprintOfDf(spark.table("documents"))
     // synchronized, not a CAS-retry updateAndGet: the build has side
     // effects (persist + materialize) that must run at most once
     val sig = md5SigMemo.synchronized {

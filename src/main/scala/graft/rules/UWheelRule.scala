@@ -101,12 +101,12 @@ object UWheelRule extends Rule[LogicalPlan] {
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: HadoopFsRelation =>
-          // exists over ALL roots: a multi-root relation registered under
-          // any non-head root must still probe positive — a false negative
-          // here silently disables rewrites (the over-approximation
-          // contract above), while a false positive only costs matching
-          fs.location.rootPaths
-            .exists(p => WheelRegistry.mayMatchPath(p.toString))
+          // all roots AND the canonical root-set key: a multi-root
+          // relation registered under any non-head root — or as a root-SET
+          // index — must still probe positive. A false negative here
+          // silently disables rewrites (the over-approximation contract
+          // above), while a false positive only costs matching
+          WheelRegistry.mayMatchRoots(fs.location.rootPaths.map(_.toString))
         case _ => false
       }
     case leaf if leaf.children.isEmpty =>
@@ -168,8 +168,24 @@ object UWheelRule extends Rule[LogicalPlan] {
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation =>
-            fs.location.rootPaths.headOption.map(_.toString)
-              .flatMap(WheelRegistry.lookup)
+            // Canonical root-SET key first (round-14 verdict task 4: a
+            // multi-directory relation keyed on headOption alone never
+            // served) — for single-root relations this IS the old key —
+            // then per-member-root fallback for indexes registered under
+            // just one member root. The fallback EXCLUDES fingerprint-0
+            // indexes (stream snapshots / in-memory publishes): those
+            // cover only their own root and pass the staleness gate below
+            // unconditionally, so serving a multi-root relation from one
+            // would silently drop every other root's rows (review
+            // finding); fingerprinted member-root indexes decline soundly
+            // at the gate over the combined listing, the pre-round-15
+            // behavior.
+            val roots = fs.location.rootPaths.map(_.toString)
+            WheelRegistry.lookup(WheelRegistry.rootSetKey(roots))
+              .orElse(if (roots.lengthCompare(1) > 0)
+                roots.view.flatMap(WheelRegistry.lookup)
+                  .filter(_.fingerprint != 0L).headOption
+              else None)
               // Staleness gate: only rewrite when the table's current file
               // listing still matches the one the index was built from.
               .filter(t => t.fingerprint == 0L ||

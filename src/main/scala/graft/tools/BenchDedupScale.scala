@@ -90,16 +90,10 @@ object BenchDedupScale {
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    // default output is round-aware like graft.Bench: 1 + the highest
-    // driver BENCH_r{N}.json present, so a re-run refreshes the CURRENT
-    // round's record instead of clobbering a committed prior round's
-    val outPath = args.headOption.getOrElse {
-      val repo = new java.io.File("/root/repo")
-      val prev = Option(repo.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      val round = if (prev.isEmpty) 1 else prev.max + 1
-      s"/root/repo/BENCH_dedup_scale_r$round.json"
-    }
+    // round-aware default output — SPARK_GRAFT_ROUND, else inferred; see
+    // [[BenchRound]] for the required run order behind the inference
+    val outPath = args.headOption.getOrElse(
+      s"/root/repo/BENCH_dedup_scale_r${BenchRound.current}.json")
     val xfs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_XFS", "1,10,100")
       .split(',').map(_.trim.toInt).filter(_ >= 1)
     require(xfs.nonEmpty,
@@ -169,6 +163,46 @@ object BenchDedupScale {
       timed("decon_bloom") {
         spark.sql(PipelineQueries.sqlFor("ds_bloom_decon")).count()
       }
+
+      // FORCED CROSSOVER (round-14 verdict task 1): at contract scale the
+      // eval gram set stays under the broadcast threshold, so the exact
+      // join broadcasts and its recorded shuffle reads misleadingly small
+      // — the condition the bloom tier exists for (an eval suite too big
+      // to broadcast) never triggers, and r14's record even showed exact
+      // "winning" shuffle at x100. Disabling broadcast for this probe pair
+      // measures the at-scale shapes directly: the exact join must shuffle
+      // the FULL corpus gram stream (growing ~linearly with xf) while the
+      // bloom path stays flat — it has NO join node to degrade; its only
+      // shuffles are the eval-side distinct and the flagged-doc partial
+      // aggregation.
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        timed("decon_exact_noborc") {
+          spark.sql(PipelineQueries.sqlFor("txt_decontaminate")).count()
+        }
+        timed("decon_bloom_noborc") {
+          spark.sql(PipelineQueries.sqlFor("ds_bloom_decon")).count()
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+      // auto-sized blob (round-14 task 1, sizing half): counts the eval
+      // side's distinct grams, BloomBlob.sizeFor turns (count, the 1e-4
+      // per-gram default) into (numBits, k), and the same plan runs sized.
+      // The sizing pass runs INSIDE the timed body — it is the auto path's
+      // entire distinguishing cost, and excluding it would publish an
+      // apples-to-oranges curve vs decon_bloom (review finding). The
+      // record carries the chosen parameters so their growth with the
+      // eval slice is visible next to the fixed 2^20 default's.
+      var autoBits = 0
+      var autoK = 0
+      timed("decon_bloom_auto") {
+        val (autoDf, b, k) = PipelineQueries.bloomDeconAuto(spark, sfDir)
+        autoBits = b; autoK = k
+        autoDf.count()
+      }
+      out(s"x${xf}_bloom_auto_bits") = autoBits.toString
+      out(s"x${xf}_bloom_auto_k") = autoK.toString
 
       // hot-bucket guard evidence at the probe cap: bucket-size stats from
       // the same band keys, and the candidate stage re-run with the probe

@@ -34,7 +34,7 @@ object BenchPcts {
     * second-scale-factor datapoint of BASELINE.md target #1: at `xf`× the
     * data the rule-OFF scan must grow ~`xf`× while the rule-ON latency
     * stays flat (the wheel read is row-count-independent). */
-  private def deriveScaled(spark: SparkSession, sfDir: String, xf: Int): String = {
+  private[tools] def deriveScaled(spark: SparkSession, sfDir: String, xf: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft-sfx$xf").toString
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$sfDir/events.parquet")

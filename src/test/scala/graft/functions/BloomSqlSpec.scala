@@ -157,6 +157,64 @@ class BloomSqlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sizeFor: optimal-formula sizing, rounding, and clamps (round-14 task 1)") {
+    // textbook optima at 1%: m/n ≈ 9.585 bits/item, k = 7
+    val (m1, k1) = BloomBlob.sizeFor(100000L, 0.01)
+    assert(m1 % 8 == 0)
+    assert(m1 >= 958000 && m1 <= 959000, s"unexpected bits for 100k @1%: $m1")
+    assert(k1 == 7)
+    // a 10× larger eval suite sizes ~10× larger — the property the fixed
+    // 2^20 default lacks (it would sit at ~63% fpp for 1M items)
+    val (m10, _) = BloomBlob.sizeFor(1000000L, 0.01)
+    assert(m10 > m1 * 9 && m10 < m1 * 11)
+    // clamps: tiny sets floor at 64 bits / k ≤ 8; absurd demands cap at 2^30
+    val (mLo, kLo) = BloomBlob.sizeFor(1L, 0.01)
+    assert(mLo == 64 && kLo <= 8 && kLo >= 1)
+    val (mHi, kHi) = BloomBlob.sizeFor(Long.MaxValue / 4, 0.001)
+    assert(mHi == (1 << 30) && kHi >= 1 && kHi <= 8)
+    assertThrows[IllegalArgumentException](BloomBlob.sizeFor(10L, 0.0))
+    assertThrows[IllegalArgumentException](BloomBlob.sizeFor(10L, 1.0))
+    // the sized blob actually delivers the target: measured fpp over keys
+    // disjoint from the inserted set stays near 1%
+    import spark.implicits._
+    val n = 20000L
+    val (m, k) = BloomBlob.sizeFor(n, 0.01)
+    (0L until n).map(BloomBlob.mix).toDF("x").createOrReplaceTempView("bloom_sized_in")
+    (5000000L until 5040000L).toDF("x").createOrReplaceTempView("bloom_sized_probe")
+    val fp = spark.sql(
+      s"""WITH bf AS (SELECT bloom_agg(x, $m, $k) AS b FROM bloom_sized_in)
+         |SELECT count(*) FROM bloom_sized_probe
+         |WHERE bloom_contains((SELECT b FROM bf), x)""".stripMargin).head().getLong(0)
+    val rate = fp / 40000.0
+    assert(rate < 0.03, f"sized blob missed its 1%% target: measured $rate%.4f")
+  }
+
+  test("bloomDeconAuto: counted-eval sizing, never misses an exact hit") {
+    setup()
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    // ensureViews, not ctxViewsOnly — the suite shares one SparkSession
+    // across specs, and ctxViewsOnly's empty prepared marker would make
+    // later Q.ctx callers (TopKWheelSpec) silently skip the wheel builds
+    graft.queries.Q.ensureViews(spark, sfDir)
+    val exact = spark.sql(graft.queries.PipelineQueries.sqlFor("txt_decontaminate"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.nonEmpty, "corpus has no contaminated docs — spec setup drifted")
+    val (df, bits, k) = graft.queries.PipelineQueries.bloomDeconAuto(spark, sfDir)
+    // sizing responds to the counted gram set: far smaller than the fixed
+    // 2^20 default on this tiny eval slice (floored at 1 KiB, never below),
+    // valid parameters throughout
+    assert(bits >= (1 << 13) && bits % 8 == 0 && k >= 1 && k <= 8)
+    assert(bits < (1 << 20), s"tiny eval slice should size well under 2^20, got $bits")
+    val flagged = df.select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(flagged),
+      s"auto-sized bloom lost exact hits: ${exact.diff(flagged)}")
+    // the per-doc compounded over-flag margin stays small at the 1e-4
+    // per-gram default (a 1% per-gram target measured 208 vs 8 here)
+    assert(flagged.size <= exact.size + math.max(3, exact.size / 10),
+      s"auto-sized blob over-flagged: ${flagged.size} vs exact ${exact.size}")
+  }
+
   test("per-group blooms: each group's blob contains exactly its own keys") {
     setup()
     import spark.implicits._

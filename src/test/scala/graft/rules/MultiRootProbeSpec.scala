@@ -65,4 +65,123 @@ class MultiRootProbeSpec extends AnyFunSuite {
     }.isDefined, "registered single-root table must still serve from the wheel")
     assert(single.collect().head.getLong(0) === 100L)
   }
+
+  test("index built over BOTH roots serves the multi-root relation (round-14 task 4)") {
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.enable(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-mroot2").toString
+    val (pA, pB) = (s"$base/a.parquet", s"$base/b.parquet")
+    def gen(off: Long) = spark.range(100)
+      .select(timestamp_seconds(col("id") * 60 + 1704067200L + off).as("ts"),
+        (col("id") + off / 1000000L).cast("double").as("value"))
+    gen(0L).write.mode("overwrite").parquet(pA)
+    gen(1000000L).write.mode("overwrite").parquet(pB)
+    // the round-15 shape: ONE index over the combined root set, registered
+    // under the canonical sorted root-set key
+    UWheelBuilder("ts", Seq("value")).build(spark, Seq(pA, pB))
+
+    def q(first: String, second: String) = spark.read.parquet(first, second)
+      .where("ts >= TIMESTAMP '2024-01-01 00:00:00'")
+      .groupBy().agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+    val multi = q(pA, pB)
+    assert(multi.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, "a root-set-registered multi-root relation must REWRITE, " +
+      "not soundly decline — plan shows no LocalRelation")
+    // …and the served answer must equal the scan's
+    val scanned = {
+      Graft.rewritesEnabled = false
+      try q(pA, pB).collect().head finally Graft.rewritesEnabled = true
+    }
+    val served = multi.collect().head
+    assert(served.getLong(0) === 200L)
+    assert(served.getLong(0) === scanned.getLong(0))
+    assert(served.getDouble(1) === scanned.getDouble(1))
+
+    // root ORDER must not matter: the key is the sorted root set
+    val flipped = q(pB, pA)
+    assert(flipped.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isDefined, "root order must not affect the root-set key")
+    assert(flipped.collect().head.getLong(0) === 200L)
+
+    // a SINGLE member root is a different (smaller) table: it must NOT
+    // serve from the root-set index (its key differs; nothing registered
+    // under pA alone), and the answer stays the correct 100-row scan
+    val justA = spark.read.parquet(pA)
+      .where("ts >= TIMESTAMP '2024-01-01 00:00:00'")
+      .groupBy().agg(count(lit(1)).as("cnt"))
+    assert(justA.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "a member root alone must not serve from the root-set index")
+    assert(justA.collect().head.getLong(0) === 100L)
+
+    // staleness: appending a file to ONE root must gate the root-set index
+    gen(2000000L).write.mode("append").parquet(pA)
+    val grown = q(pA, pB)
+    assert(grown.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "fingerprint gate must decline after a member root grows")
+    assert(grown.collect().head.getLong(0) === 300L)
+    graft.index.WheelRegistry.deregister(
+      graft.index.WheelRegistry.rootSetKey(Seq(pA, pB)))
+  }
+
+  test("member-root fallback excludes fingerprint-0 indexes (stream snapshots)") {
+    // A streaming publish registers under its path with fingerprint 0 and
+    // passes the staleness gate UNCONDITIONALLY — sound for its own root,
+    // but a multi-root relation served from it would silently drop every
+    // OTHER root's rows. The per-member-root fallback must skip it.
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.enable(spark)
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-mroot0").toString
+    val (pA, pB) = (s"$base/a.parquet", s"$base/b.parquet")
+    def gen(off: Long) = spark.range(100)
+      .select(timestamp_seconds(col("id") * 60 + 1704067200L + off).as("ts"),
+        col("id").cast("double").as("value"))
+    gen(0L).write.mode("overwrite").parquet(pA)
+    gen(1000000L).write.mode("overwrite").parquet(pB)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Double)]
+    val idx = new graft.streaming.StreamingWheelIndex("ts", Some("value"))
+    val q = idx.attach(input.toDF().toDF("ts", "value"), "mroot0-pub")
+    try {
+      // stream the EXACT contents of pB, then publish under pB's path —
+      // the fingerprint-0 service StreamingWheelSpec pins for single-root
+      input.addData(spark.read.parquet(pB)
+        .as[(java.sql.Timestamp, Double)].collect().toIndexedSeq: _*)
+      q.processAllAvailable()
+      idx.register(pB)
+      assert(graft.index.WheelRegistry.lookup(pB).exists(_.fingerprint == 0L),
+        "test wiring: the streaming publish must register fingerprint-0 under pB")
+
+      // single-root pB: the snapshot serves (the sound, intended case)
+      val single = spark.read.parquet(pB)
+        .where("ts >= TIMESTAMP '2024-01-01 00:00:00'")
+        .groupBy().agg(count(lit(1)).as("cnt"))
+      assert(single.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined, "fingerprint-0 snapshot must still serve its own root")
+      assert(single.collect().head.getLong(0) === 100L)
+
+      // multi-root (pA, pB): MUST NOT serve from pB's snapshot — the scan
+      // answer covers both roots
+      val multi = spark.read.parquet(pA, pB)
+        .where("ts >= TIMESTAMP '2024-01-01 00:00:00'")
+        .groupBy().agg(count(lit(1)).as("cnt"))
+      assert(multi.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isEmpty,
+        "a fingerprint-0 member-root index must not serve a multi-root relation")
+      assert(multi.collect().head.getLong(0) === 200L)
+    } finally {
+      q.stop()
+      idx.deregister()
+      graft.index.WheelRegistry.deregister(pB)
+    }
+  }
 }
