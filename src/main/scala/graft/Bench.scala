@@ -241,15 +241,18 @@ object Bench {
     // labels what each differential prices; the complements stay in the
     // record for provenance. A NEGATIVE diff is never published bare
     // (round-14 verdict task 2 — it would claim dropping a family slows
-    // the build): the cost floors at 0 and the raw diff + the larger of
-    // the two rotation spreads land next to it as the noise adjudication.
+    // the build): the cost floors at 0, and the MAGNITUDE of the negative
+    // diff (`_negdiff`, positive — the record's num() collapses negatives
+    // to the failed-probe sentinel) plus the larger of the two rotation
+    // spreads land next to it as the noise adjudication: negdiff ≤ band
+    // says the family's cost is below measurement noise at this corpus.
     def diffProbe(name: String, full: String, without: String): Unit =
       for (a <- probes.get(full); b <- probes.get(without) if a >= 0 && b >= 0) {
         val d = a - b
         if (d >= 0) probes(name) = d
         else {
           probes(name) = 0.0
-          probes(name + "_raw") = d
+          probes(name + "_negdiff") = -d
           probes(name + "_noise_band") =
             buildSpread.getOrElse(full, 0.0).max(buildSpread.getOrElse(without, 0.0))
         }
