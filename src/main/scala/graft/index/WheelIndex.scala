@@ -2030,9 +2030,24 @@ object UWheelIndex {
       else Nil
     val newPaths = listing.collect { case (p, _, _) if !fab.contains(p) => p }
     // basePath keeps Hive-partition columns (dt=.../ directories — the
-    // canonical append layout) in the delta schema when reading leaf files
+    // canonical append layout) in the delta schema when reading leaf
+    // files. ONE basePath cannot describe a multi-root table (and the
+    // joined registry key is not a path at all — it broke the delta read
+    // outright), so the delta files group by their owning member root,
+    // each read against its own base; single-root reduces to one group.
+    // Union order is irrelevant: the wheel fold is order-free.
     val scanDf =
-      if (appendOnly) spark.read.option("basePath", path).parquet(newPaths: _*) else df
+      if (!appendOnly) df
+      else {
+        val roots = WheelRegistry.rootsOfKey(key)
+        def owner(p: String): String = {
+          val n = WheelRegistry.normalizePath(p)
+          roots.find(r => n == r || n.startsWith(r + "/")).getOrElse(roots.head)
+        }
+        newPaths.groupBy(owner).map { case (r, ps) =>
+          spark.read.option("basePath", r).parquet(ps: _*)
+        }.reduce(_ unionByName _)
+      }
 
     // re-apply the slot budget over the grown range (old wheels realign
     // during the merge if this coarsens); the previous span is the floor,

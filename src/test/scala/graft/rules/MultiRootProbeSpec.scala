@@ -127,6 +127,54 @@ class MultiRootProbeSpec extends AnyFunSuite {
       graft.index.WheelRegistry.rootSetKey(Seq(pA, pB)))
   }
 
+  test("multi-root refresh: append to ONE member root, refresh, serve again") {
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.enable(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-mroot-rf").toString
+    val (pA, pB) = (s"$base/a.parquet", s"$base/b.parquet")
+    def gen(off: Long) = spark.range(100)
+      .select(timestamp_seconds(col("id") * 60 + 1704067200L + off).as("ts"),
+        col("id").cast("double").as("value"))
+    gen(0L).write.mode("overwrite").parquet(pA)
+    gen(1000000L).write.mode("overwrite").parquet(pB)
+    UWheelBuilder("ts", Seq("value")).build(spark, Seq(pA, pB))
+    val key = graft.index.WheelRegistry.rootSetKey(Seq(pA, pB))
+    try {
+      def q() = spark.read.parquet(pA, pB)
+        .where("ts >= TIMESTAMP '2024-01-01 00:00:00'")
+        .groupBy().agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      assert(q().collect().head.getLong(0) === 200L)
+
+      // grow ONE member root: the combined listing changes, the index
+      // gates stale (pinned in the serve test above) — refresh through
+      // the root-set key must re-read ALL roots and serve again
+      gen(2000000L).write.mode("append").parquet(pA)
+      graft.index.UWheelIndex.refresh(spark, key) match {
+        case graft.index.UWheelIndex.RefreshOutcome.NoChange =>
+          fail("a grown member root must be detected as a change")
+        case _ => () // Appended or Rebuilt both acceptable; answers decide
+      }
+      val served = q()
+      assert(served.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined, "refreshed root-set index must serve the grown relation")
+      val scanned = {
+        Graft.rewritesEnabled = false
+        try q().collect().head finally Graft.rewritesEnabled = true
+      }
+      val s = served.collect().head
+      assert(s.getLong(0) === 300L)
+      assert(s.getLong(0) === scanned.getLong(0))
+      assert(s.getDouble(1) === scanned.getDouble(1))
+
+      // refreshAll walks the registry — the joined key must round-trip
+      // through registeredPaths -> rootsOfKey without error
+      val outcomes = graft.index.UWheelIndex.refreshAll(spark)
+      assert(outcomes.get(key).contains(graft.index.UWheelIndex.RefreshOutcome.NoChange),
+        s"just-refreshed root set must report NoChange, got ${outcomes.get(key)}")
+    } finally graft.index.WheelRegistry.deregister(key)
+  }
+
   test("member-root fallback excludes fingerprint-0 indexes (stream snapshots)") {
     // A streaming publish registers under its path with fingerprint 0 and
     // passes the staleness gate UNCONDITIONALLY — sound for its own root,
