@@ -568,15 +568,14 @@ object Bench {
     // ... and persisted to the repo so every entry stays comparable
     // round-over-round even though the stdout contract line is capped
     // (round-5 verdict: the cap folded 64 of ~100 entries into other_sec,
-    // blinding the per-query diff). Round number = 1 + the highest driver
-    // BENCH_r{N}.json present; a FULL bench re-run within a round
+    // blinding the per-query diff). Round number from SPARK_GRAFT_ROUND,
+    // else 1 + the highest driver BENCH_r{N}.json present
+    // ([[graft.tools.BenchRound]]); a FULL bench re-run within a round
     // overwrites its own file (freshest numbers), but a SPARK_GRAFT_ONLY
     // probe run must not clobber the full round record with its subset.
     if (only.isEmpty) try {
       val repo = new java.io.File(".").getCanonicalFile
-      val prev = Option(repo.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      val round = if (prev.isEmpty) 1 else prev.max + 1
+      val round = graft.tools.BenchRound.current
       val path = new java.io.File(repo, f"BENCH_full_r$round%02d.json").toPath
       java.nio.file.Files.write(path, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[graft] bench dump failed: ${e.getMessage}") }
