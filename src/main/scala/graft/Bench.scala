@@ -185,53 +185,58 @@ object Bench {
     // full builds run LAST within each family so the registry ends every
     // rotation holding the full indexes the later read probes expect.
     val buildSpread = mutable.Map.empty[String, Double]
+    // diffed = true: name feeds a diffProbe, so it gets all 3 rotations;
+    // standalone provenance builds stop after 2 (the old rep count)
+    val ablations: Seq[(String, Boolean, () => Unit)] = Seq[(String, Boolean, () => Any)](
+      ("index_build_events_numeric_nomillis", true,
+        () => Q.buildEvents(spark, sfDir, withDistinct = false, withMillis = false)),
+      ("index_build_events_numeric", true, () => Q.buildEvents(spark, sfDir, withDistinct = false)),
+      ("index_build_events_nofreq", true, () => Q.buildEvents(spark, sfDir, withFreq = false)),
+      ("index_build_events_nomoment", true, () => Q.buildEvents(spark, sfDir, withMoments = false)),
+      ("index_build_events_nohdr", true, () => Q.buildEvents(spark, sfDir, withQuantiles = false)),
+      ("index_build_events_nohll", true, () => Q.buildEvents(spark, sfDir, withHll = false)),
+      ("index_build_events_notopk", true, () => Q.buildEvents(spark, sfDir, withTopK = false)),
+      ("index_build_events", true, () => Q.buildEvents(spark, sfDir)),
+      ("index_build_lineitem_noexpr", true, () => Q.buildLineitem(spark, sfDir, withExpr = false)),
+      ("index_build_lineitem_nomoment", true, () => Q.buildLineitem(spark, sfDir, withMoments = false)),
+      ("index_build_lineitem_nohdr", true, () => Q.buildLineitem(spark, sfDir, withQuantiles = false)),
+      ("index_build_lineitem", true, () => Q.buildLineitem(spark, sfDir)),
+      ("index_build_orders_dated", false, () => Q.buildDatedOrders(spark, sfDir)),
+      ("index_build_lineitem_dec", false, () => Q.buildDecLineitem(spark, sfDir)),
+    ).collect { case (n, d, b) if selected(n) => (n, d, () => { b(); () }) }
+    val buildThunks: Map[String, () => Unit] =
+      ablations.map { case (n, _, b) => n -> b }.toMap
+    val buildReps = mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    val buildFailed = mutable.Set.empty[String]
+    def runBuildOnce(name: String): Unit =
+      if (!buildFailed(name)) buildThunks.get(name).foreach { b =>
+        System.gc(); Thread.sleep(200)
+        val t = System.nanoTime()
+        // a failed build aborts that name (rerunning a doomed build only
+        // multiplies the loss); valid earlier reps survive
+        try { b(); buildReps(name) = ((System.nanoTime() - t) / 1e9) :: buildReps(name) }
+        catch { case _: Throwable => buildFailed += name }
+      }
+    def publishBuild(name: String): Unit = {
+      val ts = buildReps(name).sorted
+      if (ts.isEmpty) probes(name) = -1.0
+      else {
+        // 3+ reps → median; the 2-rep provenance builds keep the old
+        // min-of-2 estimator so their round-over-round series stays
+        // comparable (an upper median would read as drift)
+        probes(name) = if (ts.size >= 3) ts(ts.size / 2) else ts.head
+        buildSpread(name) = ts.last - ts.head
+      }
+    }
     locally {
-      // diffed = true: name feeds a diffProbe, so it gets all 3 rotations;
-      // standalone provenance builds stop after 2 (the old rep count)
-      val ablations: Seq[(String, Boolean, () => Unit)] = Seq[(String, Boolean, () => Any)](
-        ("index_build_events_numeric_nomillis", true,
-          () => Q.buildEvents(spark, sfDir, withDistinct = false, withMillis = false)),
-        ("index_build_events_numeric", true, () => Q.buildEvents(spark, sfDir, withDistinct = false)),
-        ("index_build_events_nofreq", true, () => Q.buildEvents(spark, sfDir, withFreq = false)),
-        ("index_build_events_nomoment", true, () => Q.buildEvents(spark, sfDir, withMoments = false)),
-        ("index_build_events_nohdr", true, () => Q.buildEvents(spark, sfDir, withQuantiles = false)),
-        ("index_build_events_nohll", true, () => Q.buildEvents(spark, sfDir, withHll = false)),
-        ("index_build_events_notopk", true, () => Q.buildEvents(spark, sfDir, withTopK = false)),
-        ("index_build_events", true, () => Q.buildEvents(spark, sfDir)),
-        ("index_build_lineitem_noexpr", true, () => Q.buildLineitem(spark, sfDir, withExpr = false)),
-        ("index_build_lineitem_nomoment", true, () => Q.buildLineitem(spark, sfDir, withMoments = false)),
-        ("index_build_lineitem_nohdr", true, () => Q.buildLineitem(spark, sfDir, withQuantiles = false)),
-        ("index_build_lineitem", true, () => Q.buildLineitem(spark, sfDir)),
-        ("index_build_orders_dated", false, () => Q.buildDatedOrders(spark, sfDir)),
-        ("index_build_lineitem_dec", false, () => Q.buildDecLineitem(spark, sfDir)),
-      ).collect { case (n, d, b) if selected(n) => (n, d, () => { b(); () }) }
-      val reps = mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
-      val failed = mutable.Set.empty[String]
       var round = 0
       while (round < 3) {
-        ablations.foreach { case (name, diffed, b) =>
-          // a failed build aborts that name (rerunning a doomed build only
-          // multiplies the loss); valid earlier rotations survive
-          if (!failed(name) && (diffed || round < 2)) {
-            System.gc(); Thread.sleep(200)
-            val t = System.nanoTime()
-            try { b(); reps(name) = ((System.nanoTime() - t) / 1e9) :: reps(name) }
-            catch { case _: Throwable => failed += name }
-          }
+        ablations.foreach { case (name, diffed, _) =>
+          if (diffed || round < 2) runBuildOnce(name)
         }
         round += 1
       }
-      ablations.foreach { case (name, _, _) =>
-        val ts = reps(name).sorted
-        if (ts.isEmpty) probes(name) = -1.0
-        else {
-          // 3 rotations → median; the 2-rep provenance builds keep the old
-          // min-of-2 estimator so their round-over-round series stays
-          // comparable (an upper median would read as drift)
-          probes(name) = if (ts.size >= 3) ts(ts.size / 2) else ts.head
-          buildSpread(name) = ts.last - ts.head
-        }
-      }
+      ablations.foreach { case (name, _, _) => publishBuild(name) }
     }
 
     // Differential probes AS recorded quantities (round-12 task 8): the raw
@@ -246,17 +251,34 @@ object Bench {
     // to the failed-probe sentinel) plus the larger of the two rotation
     // spreads land next to it as the noise adjudication: negdiff ≤ band
     // says the family's cost is below measurement noise at this corpus.
-    def diffProbe(name: String, full: String, without: String): Unit =
-      for (a <- probes.get(full); b <- probes.get(without) if a >= 0 && b >= 0) {
-        val d = a - b
-        if (d >= 0) probes(name) = d
+    // A negative diff whose magnitude EXCEEDS the band is unresolved —
+    // neither a cost nor provably noise — so it ESCALATES: up to two extra
+    // adjacent alternations of just that pair widen the rep set until the
+    // cost resolves non-negative or the measured spread covers the diff
+    // (round-15 self-finding: the first records left two such orphans).
+    val escalatedBuilds = mutable.Set.empty[String]
+    def diffProbe(name: String, full: String, without: String): Unit = {
+      def d: Option[Double] =
+        for (a <- probes.get(full); b <- probes.get(without) if a >= 0 && b >= 0)
+          yield a - b
+      def band: Double =
+        buildSpread.getOrElse(full, 0.0).max(buildSpread.getOrElse(without, 0.0))
+      var tries = 0
+      while (tries < 2 && d.exists(x => x < 0 && -x > band)) {
+        runBuildOnce(without); runBuildOnce(full)
+        publishBuild(without); publishBuild(full)
+        escalatedBuilds += without; escalatedBuilds += full
+        tries += 1
+      }
+      d.foreach { x =>
+        if (x >= 0) probes(name) = x
         else {
           probes(name) = 0.0
-          probes(name + "_negdiff") = -d
-          probes(name + "_noise_band") =
-            buildSpread.getOrElse(full, 0.0).max(buildSpread.getOrElse(without, 0.0))
+          probes(name + "_negdiff") = -x
+          probes(name + "_noise_band") = band
         }
       }
+    }
     diffProbe("index_build_cost_millis",
       "index_build_events_numeric", "index_build_events_numeric_nomillis")
     diffProbe("index_build_cost_hll", "index_build_events", "index_build_events_nohll")
@@ -265,6 +287,13 @@ object Bench {
     diffProbe("index_build_cost_hdr", "index_build_events", "index_build_events_nohdr")
     diffProbe("index_build_cost_topk", "index_build_events", "index_build_events_notopk")
     diffProbe("index_build_cost_expr", "index_build_lineitem", "index_build_lineitem_noexpr")
+    // escalations leave whichever VARIANT ran last registered for its
+    // table — restore the FULL indexes the later read probes (bucket_read,
+    // topk) and iso pins expect, untimed so the published stats stay pure
+    if (escalatedBuilds.exists(_.startsWith("index_build_events")))
+      buildThunks.get("index_build_events").foreach(_.apply())
+    if (escalatedBuilds.exists(_.startsWith("index_build_lineitem")))
+      buildThunks.get("index_build_lineitem").foreach(_.apply())
 
     // Per-bucket read microbench (round-9 task 1: the record must carry the
     // per-bucket cost, not leave it inferred from query medians): one
