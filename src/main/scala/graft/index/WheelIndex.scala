@@ -1893,6 +1893,15 @@ object UWheelIndex {
   def buildIndex(spark: SparkSession, path: String, ib: IndexBuilder, scale: Int = 2): Unit =
     maintenanceLock.synchronized { buildIndexLocked(spark, path, ib, scale) }
 
+  /** Multi-root form: adds the ad-hoc wheel to a root-SET index (the
+    * `build(spark, paths, conf)` overload) — the lock/fingerprint
+    * discipline is identical, keyed through the canonical sorted
+    * root-set key. */
+  def buildIndex(spark: SparkSession, paths: Seq[String], ib: IndexBuilder): Unit =
+    maintenanceLock.synchronized {
+      buildIndexLocked(spark, WheelRegistry.rootSetKey(paths), ib, 2)
+    }
+
   private def buildIndexLocked(
       spark: SparkSession, path: String, ib: IndexBuilder, scale: Int): Unit = {
     val key = WheelRegistry.normalizePath(path)
@@ -1961,6 +1970,11 @@ object UWheelIndex {
     * invalidation at all (`lib.rs:154-239` keys wheels forever). */
   def refresh(spark: SparkSession, path: String): RefreshOutcome =
     maintenanceLock.synchronized { refreshLocked(spark, path) }
+
+  /** Multi-root form: refreshes a root-SET index without the caller
+    * hand-assembling the joined registry key. */
+  def refresh(spark: SparkSession, paths: Seq[String]): RefreshOutcome =
+    refresh(spark, WheelRegistry.rootSetKey(paths))
 
   /** Serializes the read-modify-write maintenance ops (refresh, ad-hoc
     * wheel additions) against each other. Without it, a background

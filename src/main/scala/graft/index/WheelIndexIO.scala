@@ -99,9 +99,14 @@ object WheelIndexIO {
     // probe applies and the load reports them fresh. The answer is the
     // saved watermark's row set; re-attaching the stream republishes over
     // this snapshot as batches arrive.
+    // rootsOfKey, not the bare pathKey: a multi-root index's key is the
+    // newline-joined root set — not a readable path — and the swallowed
+    // failure would report every such load permanently stale (inert
+    // forever; same symptom class as the pre-round-15 multi-root decline)
     val fresh = t.fingerprint == 0L || scala.util.Try {
       graft.Tables.ensureNanosConf(spark)
-      UWheelIndex.fingerprintOfDf(spark.read.parquet(t.pathKey)) == t.fingerprint
+      UWheelIndex.fingerprintOfDf(
+        spark.read.parquet(WheelRegistry.rootsOfKey(t.pathKey): _*)) == t.fingerprint
     }.getOrElse(false)
     (t, fresh)
   }

@@ -172,6 +172,31 @@ class MultiRootProbeSpec extends AnyFunSuite {
       val outcomes = graft.index.UWheelIndex.refreshAll(spark)
       assert(outcomes.get(key).contains(graft.index.UWheelIndex.RefreshOutcome.NoChange),
         s"just-refreshed root set must report NoChange, got ${outcomes.get(key)}")
+      // the Seq overload resolves to the same key
+      assert(graft.index.UWheelIndex.refresh(spark, Seq(pB, pA)) ===
+        graft.index.UWheelIndex.RefreshOutcome.NoChange)
+
+      // ad-hoc keyed wheel over the root set: same lock/fingerprint path
+      val before = graft.index.WheelRegistry.lookup(key).get.allWheels.size
+      graft.index.UWheelIndex.buildIndex(spark, Seq(pA, pB),
+        graft.index.IndexBuilder("value", Some("value >= 50")))
+      assert(graft.index.WheelRegistry.lookup(key).get.allWheels.size === before + 1,
+        "multi-root buildIndex must add its keyed wheel to the root-set index")
+
+      // persistence round-trip: the joined key must survive save/load and
+      // the freshness probe must read THROUGH it (a bare read.parquet of
+      // the key is not a path — it would report every load stale/inert)
+      val saved = s"$base/mroot.idx"
+      graft.index.WheelIndexIO.save(graft.index.WheelRegistry.lookup(key).get, saved)
+      graft.index.WheelRegistry.deregister(key)
+      val (loaded, fresh) = graft.index.WheelIndexIO.load(spark, saved)
+      assert(fresh, "unchanged multi-root listing must load FRESH, not inert")
+      graft.index.WheelRegistry.register(loaded)
+      val reloaded = q()
+      assert(reloaded.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      }.isDefined, "a freshly-loaded multi-root index must serve")
+      assert(reloaded.collect().head.getLong(0) === 300L)
     } finally graft.index.WheelRegistry.deregister(key)
   }
 
