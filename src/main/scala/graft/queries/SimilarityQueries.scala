@@ -547,6 +547,126 @@ object SimilarityQueries {
     ivfSearch(fines, assigned, e.where(col("vec_id") < 10), IvfNprobe, 5)
   }
 
+  /** PQ geometry: 8 subspaces × 16 centroids → 8-byte codes for the dim-64
+    * corpus (32× below the raw float column) with 4-bit sub-quantizer
+    * indices stored one per byte for oracle portability. */
+  private[queries] val PqM = 8
+  private[queries] val PqKs = 32
+
+  /** Deterministic PQ codebook: `ks` stride-picked donor vectors (the same
+    * stride discipline as the IVF centroids, so the DuckDB oracle
+    * reproduces the pick), sliced per subspace into the flat
+    * [[graft.functions.Pq]] layout. The collect is BOUNDED BY CONSTRUCTION
+    * at `ks` rows (16 small arrays — the same bounded-gate discipline as
+    * the union-find localness decision); everything downstream consumes
+    * the ≤ 8 KB array as a plan constant, never a join side. Returns
+    * (codebook, effective ks) — a corpus smaller than the stride count
+    * yields fewer donors. */
+  private[queries] def pqCodebook(
+      e: DataFrame, n: Long, m: Int, ks: Int): (Array[Double], Int) = {
+    val stride = math.max(1L, math.ceil(n.toDouble / ks).toLong)
+    val donors = e.where(col("vec_id") % stride === 0)
+      .orderBy("vec_id").limit(ks)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+    require(donors.nonEmpty, "pq codebook needs at least one donor vector")
+    val d = donors.head.length
+    require(donors.forall(_.length == d), "pq codebook donors must share one dim")
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    val sub = d / m
+    val ksEff = donors.length
+    val cents = new Array[Double](m * ksEff * sub)
+    var mi = 0
+    while (mi < m) {
+      var j = 0
+      while (j < ksEff) {
+        var t = 0
+        while (t < sub) {
+          cents((mi * ksEff + j) * sub + t) = donors(j)(mi * sub + t).toDouble
+          t += 1
+        }
+        j += 1
+      }
+      mi += 1
+    }
+    (cents, ksEff)
+  }
+
+  /** ADC shortlist size: the d-wide exact dot product only ever touches
+    * `PqShortlist` candidates per query — the standard PQ deployment shape
+    * (cheap code scan → exact re-rank of a bounded shortlist). */
+  private[queries] val PqShortlist = 100
+
+  /** ANN over PQ codes — the memory tier below [[annIvf]] for 100 TB
+    * corpora, in the shape real systems deploy PQ: the SCAN side carries
+    * 8-byte codes + one stored norm instead of 256-byte float vectors
+    * (32× less scan-tier memory), each query builds ONE m·ks dot-product
+    * table ([[graft.functions.PqLut]]), every corpus row scores in m
+    * table lookups inside whole-stage codegen ([[graft.functions.PqAdc]]),
+    * and only the top-[[PqShortlist]] ADC candidates are re-ranked with
+    * the exact d-wide dot product — so the expensive similarity touches
+    * queries × 50 rows, never the corpus. Approximate by construction
+    * (the quantizer can drop a true neighbor from the shortlist);
+    * `ann_pq_check` pins shortlist recall against the exact top-k
+    * server-side, and the DuckDB oracle reproduces the WHOLE pipeline —
+    * codebook pick, codes, ADC tables, shortlist, re-rank —
+    * value-for-value, the ann_ivf precedent. Composes with [[annIvf]]
+    * (probe buckets, ADC-score inside them) when corpus size demands
+    * both. */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
+    Q.ctx(spark, sfDir)
+    val e = vecs(spark)
+    val n: Long = cachedCount(spark, sfDir, "embeddings")
+    val (cents, ks) = pqCodebook(e, n, PqM, PqKs)
+    val codes = e.select(col("vec_id").as("xi"),
+      cc(graft.functions.PqEncode(ce(col("v")), cents, PqM, ks)).as("codes"),
+      col("nrm").as("nx"))
+    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qi"),
+      cc(graft.functions.PqLut(ce(col("v")), cents, PqM, ks)).as("lut"),
+      col("v").as("vq"), col("nrm").as("nq"))
+    val shortlist = codes.join(broadcast(queries), col("qi") =!= col("xi"))
+      .withColumn("asim",
+        cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))) / (col("nq") * col("nx")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qi").orderBy(col("asim").desc, col("xi"))))
+      .where(col("arn") <= PqShortlist)
+      .select(col("qi"), col("xi"), col("vq"), col("nq"), col("nx"))
+    // exact re-rank of the bounded shortlist: the ONLY d-wide dot products
+    val reranked = shortlist
+      .join(e.select(col("vec_id").as("xi"), col("v").as("vx")), "xi")
+      .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
+    reranked.withColumn("rn", row_number().over(
+        Window.partitionBy("qi").orderBy(col("sim").desc, col("xi"))))
+      .where(col("rn") <= 5)
+      .select(col("qi"), col("xi"))
+      .orderBy("qi", "xi")
+  }
+
+  /** Recall companion for the PQ tier (the dd_embed_lsh_check pattern):
+    * joins the PQ shortlist-reranked top-k against the exact top-k,
+    * asserts recall@5 clears the spec-pinned floor server-side (poisoned
+    * to −1 on violation), and returns the exact pair count — which the
+    * DuckDB oracle computes independently by brute force. */
+  def annPqCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val pq = annPq(spark, sfDir).withColumn("hit", lit(1))
+    val exact = annTopK(spark, sfDir)
+    val joined = exact.join(pq, Seq("qi", "xi"), "left")
+    joined.agg(
+        count(lit(1)).as("n"),
+        sum(coalesce(col("hit"), lit(0))).as("h"))
+      .select(when(col("h") >= col("n") * lit(PqRecallFloor), col("n"))
+        .otherwise(lit(-1L)).cast("long").as("n_exact"))
+  }
+
+  /** Recall@5 floor for ann_pq_check — measured 0.80 at sf0.001 and 0.86
+    * at sf0.01 (shortlist 100, ks 32), pinned at 0.6 with margin. Random
+    * synthetic embeddings are a WORST case for PQ — rank-5 and rank-50
+    * neighbors separate by float dust the quantizer's displacement can
+    * reorder — where real clustered embeddings hold their near-dups far
+    * above the quantization error, the property `PqAnnSpec` pins with
+    * planted duplicates recovering at rank 1. */
+  private[queries] val PqRecallFloor = 0.6
+
   /** Per-label embedding centroids via FIXED-POINT accumulation: each
     * component floor-quantizes to a µ-unit integer (floor over an exact
     * float→double widening is bit-deterministic), so the per-class sums are
@@ -861,6 +981,8 @@ object SimilarityQueries {
     "dd_embed_lsh_check" -> (embedLshCheck _),
     "ann_topk" -> (annTopK _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
+    "ann_pq_check" -> (annPqCheck _),
     "emb_centroid" -> Q.sql(embCentroidSpark),
     "emb_quant" -> Q.sql(embQuantSpark),
   )
@@ -949,6 +1071,83 @@ object SimilarityQueries {
         |SELECT qi, xi FROM (
         |  SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi) AS rn FROM scored) t
         |WHERE rn <= 5 ORDER BY qi, xi""".stripMargin,
+    // FULL-pipeline PQ oracle (the ann_ivf precedent): DuckDB reproduces
+    // the codebook pick (stride donors), every per-subspace L2-argmin
+    // code, the per-query ADC dot tables, the top-100 ADC shortlist, and
+    // the exact re-rank — value-for-value. Sums that feed ORDERING are
+    // built in controlled fold order on both engines (list_sum folds
+    // left-to-right; the ADC sum aggregates an mi-ORDERED list) so the
+    // double arithmetic is bit-identical, the same float-parity
+    // discipline emb_quant and ann_ivf already rely on. Squares are
+    // written x*x, not pow, to match the Spark-side multiplication.
+    "ann_pq" ->
+      s"""WITH p AS (SELECT count(*) AS n FROM embeddings),
+        |ps AS (SELECT greatest(1, CAST(ceil(n * 1.0 / $PqKs) AS BIGINT)) AS stride FROM p),
+        |donors AS (
+        |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |  FROM embeddings, ps WHERE vec_id % stride = 0
+        |  ORDER BY vec_id LIMIT $PqKs),
+        |mi AS (SELECT unnest(range(0, $PqM)) AS mi),
+        |cents AS (
+        |  SELECT mi.mi, d.j, list_slice(d.embedding, mi.mi * 8 + 1, mi.mi * 8 + 8) AS c
+        |  FROM donors d CROSS JOIN mi),
+        |slices AS (
+        |  SELECT e.vec_id, mi.mi, list_slice(e.embedding, mi.mi * 8 + 1, mi.mi * 8 + 8) AS s
+        |  FROM embeddings e CROSS JOIN mi),
+        |norms AS (
+        |  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |enc AS (
+        |  SELECT vec_id, mi, j AS code FROM (
+        |    SELECT s.vec_id, s.mi, c.j,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
+        |             list_sum(list_transform(range(1, 9),
+        |               t -> (CAST(s.s[t] AS DOUBLE) - CAST(c.c[t] AS DOUBLE))
+        |                  * (CAST(s.s[t] AS DOUBLE) - CAST(c.c[t] AS DOUBLE)))) ASC,
+        |             c.j ASC) AS rn
+        |    FROM slices s JOIN cents c ON s.mi = c.mi) t
+        |  WHERE rn = 1),
+        |luts AS (
+        |  SELECT s.vec_id AS qi, c.mi, c.j,
+        |         list_sum(list_transform(range(1, 9),
+        |           t -> CAST(s.s[t] AS DOUBLE) * CAST(c.c[t] AS DOUBLE))) AS d
+        |  FROM slices s JOIN cents c ON s.mi = c.mi
+        |  WHERE s.vec_id < 10),
+        |approx AS (
+        |  SELECT l.qi, e.vec_id AS xi, list_sum(list(l.d ORDER BY l.mi)) AS adot
+        |  FROM enc e JOIN luts l ON e.mi = l.mi AND e.code = l.j
+        |  WHERE l.qi <> e.vec_id
+        |  GROUP BY l.qi, e.vec_id),
+        |shortlist AS (
+        |  SELECT qi, xi FROM (
+        |    SELECT a.qi, a.xi,
+        |           row_number() OVER (PARTITION BY a.qi
+        |             ORDER BY a.adot / (nq.nrm * nx.nrm) DESC, a.xi ASC) AS arn
+        |    FROM approx a JOIN norms nq ON nq.vec_id = a.qi
+        |                  JOIN norms nx ON nx.vec_id = a.xi) t
+        |  WHERE arn <= $PqShortlist),
+        |rerank AS (
+        |  SELECT s.qi, s.xi,
+        |         list_cosine_similarity(q.embedding, x.embedding) AS sim
+        |  FROM shortlist s JOIN embeddings q ON q.vec_id = s.qi
+        |                   JOIN embeddings x ON x.vec_id = s.xi)
+        |SELECT qi, xi FROM (
+        |  SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi ASC) AS rn
+        |  FROM rerank) t
+        |WHERE rn <= 5 ORDER BY qi, xi""".stripMargin,
+    // recall companion: the Spark side returns the exact top-k pair count
+    // only when shortlist-reranked recall@5 clears the pinned floor
+    // (poisoned to -1 otherwise); the plain exact count is the oracle
+    "ann_pq_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact FROM (
+        |  WITH s AS (
+        |    SELECT q.vec_id AS qi, x.vec_id AS xi,
+        |           list_cosine_similarity(q.embedding, x.embedding) AS sim
+        |    FROM embeddings q JOIN embeddings x
+        |      ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
+        |  r AS (SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi) AS rn FROM s)
+        |  SELECT qi, xi FROM r WHERE rn <= 5) t""".stripMargin,
     "dd_embed_dup" ->
       """SELECT a.vec_id AS i, b.vec_id AS j
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
