@@ -110,6 +110,57 @@ class PqAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF x PQ composition: ADC inside probed buckets still recovers planted dups") {
+    graft.Graft.registerFunctions(spark)
+    // the 100 TB shape: IVF bounds WHICH rows are scanned (nprobe/sqrt(n)
+    // of the corpus), PQ bounds WHAT each scanned row costs (8 lookups on
+    // an 8-byte code) — this composes them end to end on the clustered
+    // corpus and asserts planted near-dups survive BOTH approximations
+    val corpus = clustered(20, 10, 0.25, seed = 0x5EEDL)
+    val rnd = new scala.util.Random(0xF00DL)
+    val planted = (0 until 10).map { i =>
+      val (srcId, srcV) = corpus(i * 19 + 3)
+      (1000L + i, srcV.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat), srcId)
+    }
+    val e = toDf(corpus, 4)
+    val n = corpus.size.toLong
+    val (fines, assigned) = SimilarityQueries.ivfIndex(e, n)
+    val (cents, ks) = SimilarityQueries.pqCodebook(e, n, M, Ks)
+    // bucket-restricted candidates via the assignment-aligned prober,
+    // scored by ADC (codes attached to the assignment), then exact rerank
+    val q = toDf(planted.map(p => (p._1, p._2)), 1)
+    val probes = SimilarityQueries.adaptiveProbes(fines, q, ncoarse = 2, nfinePerCoarse = 2)
+      .join(q.select(col("vec_id").as("qi"),
+        cc(PqLut(ce(col("v")), cents, M, ks)).as("lut")), "qi")
+    val codesDf = e.select(col("vec_id").as("xi2"),
+      cc(PqEncode(ce(col("v")), cents, M, ks)).as("codes"))
+    val assignedCodes = assigned.join(codesDf, assigned("xi") === codesDf("xi2"))
+      .select(assigned("xi"), assigned("cid"), assigned("nx"), codesDf("codes"))
+    val scanned = probes.join(assignedCodes, "cid")
+      .withColumn("asim",
+        cc(PqAdc(ce(col("lut")), ce(col("codes")))) / (col("nq") * col("nx")))
+    // scanned fraction: candidates per query bounded by the probed buckets
+    val perQuery = scanned.groupBy("qi").count().collect().map(_.getLong(1))
+    assert(perQuery.forall(_ <= n / 2),
+      s"bucket restriction must scan a fraction of the corpus, saw max ${perQuery.max} of $n")
+    val shortlist = scanned
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qi").orderBy(col("asim").desc, col("xi"))))
+      .where(col("arn") <= 20)
+      .select(col("qi"), col("xi"), col("vq"), col("nq"), col("nx"))
+    val top1 = shortlist
+      .join(e.select(col("vec_id").as("xi"), col("v").as("vx")), "xi")
+      .withColumn("sim", expr("vec_dot(vq, vx)") / (col("nq") * col("nx")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qi").orderBy(col("sim").desc, col("xi"))))
+      .where(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("qi") -> r.getAs[Long]("xi")).toMap
+    planted.foreach { case (qid, _, srcId) =>
+      assert(top1.get(qid).contains(srcId),
+        s"IVFxPQ: planted query $qid must recover source $srcId at rank 1, got ${top1.get(qid)}")
+    }
+  }
+
   test("adc equals the mi-ordered sum of code-indexed lut entries") {
     val rnd = new scala.util.Random(7L)
     val cents = Array.fill(M * Ks * (Dim / M))(rnd.nextGaussian())
