@@ -2054,9 +2054,17 @@ object UWheelIndex {
       if (!appendOnly) df
       else {
         val roots = WheelRegistry.rootsOfKey(key)
+        // a delta file that prefix-matches NO member root signals key/
+        // listing normalization drift (e.g. a scheme/qualification
+        // mismatch) — fail loud rather than read it under an arbitrary
+        // basePath, which could silently misparse Hive partition columns
+        // (round-15 advice)
         def owner(p: String): String = {
           val n = WheelRegistry.normalizePath(p)
-          roots.find(r => n == r || n.startsWith(r + "/")).getOrElse(roots.head)
+          roots.find(r => n == r || n.startsWith(r + "/")).getOrElse(
+            throw new IllegalStateException(
+              s"refresh: delta file $p matches no member root of $key — " +
+                "path normalization drifted between listing and registration; rebuild the index"))
         }
         newPaths.groupBy(owner).map { case (r, ps) =>
           spark.read.option("basePath", r).parquet(ps: _*)

@@ -547,8 +547,8 @@ object SimilarityQueries {
     ivfSearch(fines, assigned, e.where(col("vec_id") < 10), IvfNprobe, 5)
   }
 
-  /** PQ geometry: 8 subspaces × 16 centroids → 8-byte codes for the dim-64
-    * corpus (32× below the raw float column) with 4-bit sub-quantizer
+  /** PQ geometry: 8 subspaces × 32 centroids → 8-byte codes for the dim-64
+    * corpus (32× below the raw float column) with 5-bit sub-quantizer
     * indices stored one per byte for oracle portability. */
   private[queries] val PqM = 8
   private[queries] val PqKs = 32
@@ -557,7 +557,7 @@ object SimilarityQueries {
     * stride discipline as the IVF centroids, so the DuckDB oracle
     * reproduces the pick), sliced per subspace into the flat
     * [[graft.functions.Pq]] layout. The collect is BOUNDED BY CONSTRUCTION
-    * at `ks` rows (16 small arrays — the same bounded-gate discipline as
+    * at `ks` = 32 rows (32 small arrays — the same bounded-gate discipline as
     * the union-find localness decision); everything downstream consumes
     * the ≤ 8 KB array as a plan constant, never a join side. Returns
     * (codebook, effective ks) — a corpus smaller than the stride count
@@ -604,7 +604,7 @@ object SimilarityQueries {
     * table lookups inside whole-stage codegen ([[graft.functions.PqAdc]]),
     * and only the top-[[PqShortlist]] ADC candidates are re-ranked with
     * the exact d-wide dot product — so the expensive similarity touches
-    * queries × 50 rows, never the corpus. Approximate by construction
+    * queries × 100 rows, never the corpus. Approximate by construction
     * (the quantizer can drop a true neighbor from the shortlist);
     * `ann_pq_check` pins shortlist recall against the exact top-k
     * server-side, and the DuckDB oracle reproduces the WHOLE pipeline —
@@ -1083,17 +1083,20 @@ object SimilarityQueries {
     "ann_pq" ->
       s"""WITH p AS (SELECT count(*) AS n FROM embeddings),
         |ps AS (SELECT greatest(1, CAST(ceil(n * 1.0 / $PqKs) AS BIGINT)) AS stride FROM p),
+        |w AS (SELECT CAST(len(embedding) / $PqM AS BIGINT) AS sub FROM embeddings LIMIT 1),
         |donors AS (
         |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS j
         |  FROM embeddings, ps WHERE vec_id % stride = 0
         |  ORDER BY vec_id LIMIT $PqKs),
         |mi AS (SELECT unnest(range(0, $PqM)) AS mi),
         |cents AS (
-        |  SELECT mi.mi, d.j, list_slice(d.embedding, mi.mi * 8 + 1, mi.mi * 8 + 8) AS c
-        |  FROM donors d CROSS JOIN mi),
+        |  SELECT mi.mi, d.j,
+        |         list_slice(d.embedding, mi.mi * w.sub + 1, mi.mi * w.sub + w.sub) AS c
+        |  FROM donors d CROSS JOIN mi CROSS JOIN w),
         |slices AS (
-        |  SELECT e.vec_id, mi.mi, list_slice(e.embedding, mi.mi * 8 + 1, mi.mi * 8 + 8) AS s
-        |  FROM embeddings e CROSS JOIN mi),
+        |  SELECT e.vec_id, mi.mi,
+        |         list_slice(e.embedding, mi.mi * w.sub + 1, mi.mi * w.sub + w.sub) AS s
+        |  FROM embeddings e CROSS JOIN mi CROSS JOIN w),
         |norms AS (
         |  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -1102,7 +1105,7 @@ object SimilarityQueries {
         |  SELECT vec_id, mi, j AS code FROM (
         |    SELECT s.vec_id, s.mi, c.j,
         |           row_number() OVER (PARTITION BY s.vec_id, s.mi ORDER BY
-        |             list_sum(list_transform(range(1, 9),
+        |             list_sum(list_transform(range(1, len(s.s) + 1),
         |               t -> (CAST(s.s[t] AS DOUBLE) - CAST(c.c[t] AS DOUBLE))
         |                  * (CAST(s.s[t] AS DOUBLE) - CAST(c.c[t] AS DOUBLE)))) ASC,
         |             c.j ASC) AS rn
@@ -1110,7 +1113,7 @@ object SimilarityQueries {
         |  WHERE rn = 1),
         |luts AS (
         |  SELECT s.vec_id AS qi, c.mi, c.j,
-        |         list_sum(list_transform(range(1, 9),
+        |         list_sum(list_transform(range(1, len(s.s) + 1),
         |           t -> CAST(s.s[t] AS DOUBLE) * CAST(c.c[t] AS DOUBLE))) AS d
         |  FROM slices s JOIN cents c ON s.mi = c.mi
         |  WHERE s.vec_id < 10),

@@ -196,6 +196,25 @@ final class StreamingWheelIndex(
     rw.synchronized(publishLocked())
   }
 
+  /** Multi-root variant: publishes under the canonical sorted root-SET key
+    * ([[WheelRegistry.rootSetKey]]), so a `spark.read.parquet(a, b)`
+    * relation over the member directories rewrites from this stream's
+    * wheels at plan time (round-15 verdict task 6 — the rule's
+    * per-member-root fallback rightly EXCLUDES fingerprint-0 snapshots,
+    * so a stream registered under ONE member root can never serve a
+    * multi-directory read; the root-set key is the sound channel: it
+    * matches exactly the relation whose row set the caller vouches for).
+    * Same contract as the single-root form, extended to the union: the
+    * caller asserts this stream IS the combined feed of ALL member
+    * directories — the answer is the stream's watermark-consistent state,
+    * which must cover every root's admitted rows. Root order is
+    * irrelevant (the key sorts). */
+  def register(paths: Seq[String]): Unit = {
+    require(paths.nonEmpty, "register needs at least one root path")
+    publishKey = Some(WheelRegistry.rootSetKey(paths))
+    rw.synchronized(publishLocked())
+  }
+
   /** Withdraws THIS publisher's families (matched by signature): other
     * stream publishers' families stay registered, and a displaced
     * batch-built index is restored only when no live stream family would

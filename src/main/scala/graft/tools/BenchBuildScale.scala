@@ -41,8 +41,8 @@ object BenchBuildScale {
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = args.headOption.getOrElse(
-      s"/root/repo/BENCH_build_scale_r${BenchRound.current}.json")
+    val outPath = args.headOption.getOrElse(new java.io.File(
+      BenchRound.repoRoot, s"BENCH_build_scale_r${BenchRound.current}.json").getPath)
     val xfs = sys.env.getOrElse("SPARK_GRAFT_BUILD_XFS", "1,10,100")
       .split(',').map(_.trim.toInt).filter(_ >= 1)
     val countXf = sys.env.getOrElse("SPARK_GRAFT_BUILD_COUNT_XF", "0").trim.toInt
@@ -59,6 +59,13 @@ object BenchBuildScale {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def mib(b: Long): Double = b / 1048576.0
+    // payload keys carry the failed-probe sentinel, not a believable
+    // "-0.000" (round-15 advice); the slot resets before every timed build
+    // so a skipped measurement can't silently report the previous build's
+    def payloadMib: String = {
+      val b = UWheelIndex.lastBuildPayloadBytes
+      if (b < 0) "-1" else num(mib(b))
+    }
 
     def withScaled(xf: Int)(body: String => Unit): Unit = {
       val dir = if (xf == 1) baseDir else BenchPcts.deriveScaled(spark, baseDir, xf)
@@ -80,10 +87,11 @@ object BenchBuildScale {
         // already carries repeated-build medians at 1×; this record is the
         // GROWTH CURVE, where the signal is orders of scale, not ±10%)
         System.gc(); Thread.sleep(300)
+        UWheelIndex.lastBuildPayloadBytes = -1L
         val t0 = System.nanoTime()
         Q.buildEvents(spark, dir)
         out(s"build_sec_x$xf") = num((System.nanoTime() - t0) / 1e9)
-        out(s"build_payload_mib_x$xf") = num(mib(UWheelIndex.lastBuildPayloadBytes))
+        out(s"build_payload_mib_x$xf") = payloadMib
         WheelRegistry.lookup(s"$dir/events.parquet").foreach { t =>
           val fams = t.indexUsageBytesByFamily
           out(s"index_mib_x$xf") = num(mib(fams.values.sum))
@@ -100,11 +108,11 @@ object BenchBuildScale {
         out(s"xcount${countXf}_rows") =
           spark.read.parquet(s"$dir/events.parquet").count().toString
         System.gc(); Thread.sleep(300)
+        UWheelIndex.lastBuildPayloadBytes = -1L
         val t0 = System.nanoTime()
         UWheelBuilder("ts").build(spark, s"$dir/events.parquet")
         out(s"build_count_sec_x$countXf") = num((System.nanoTime() - t0) / 1e9)
-        out(s"build_count_payload_mib_x$countXf") =
-          num(mib(UWheelIndex.lastBuildPayloadBytes))
+        out(s"build_count_payload_mib_x$countXf") = payloadMib
         WheelRegistry.lookup(s"$dir/events.parquet").foreach { t =>
           out(s"index_mib_count_x$countXf") = num(mib(t.indexUsageBytes))
         }

@@ -92,8 +92,8 @@ object BenchDedupScale {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     // round-aware default output — SPARK_GRAFT_ROUND, else inferred; see
     // [[BenchRound]] for the required run order behind the inference
-    val outPath = args.headOption.getOrElse(
-      s"/root/repo/BENCH_dedup_scale_r${BenchRound.current}.json")
+    val outPath = args.headOption.getOrElse(new java.io.File(
+      BenchRound.repoRoot, s"BENCH_dedup_scale_r${BenchRound.current}.json").getPath)
     val xfs = sys.env.getOrElse("SPARK_GRAFT_DEDUP_XFS", "1,10,100")
       .split(',').map(_.trim.toInt).filter(_ >= 1)
     require(xfs.nonEmpty,

@@ -63,8 +63,8 @@ object BenchPcts {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // round-aware default like the other bench tools (SPARK_GRAFT_ROUND
     // pins it; see [[BenchRound]] for the inference's run-order assumption)
-    val outPath = args.headOption.getOrElse(
-      s"/root/repo/BENCH_pcts_r${BenchRound.current}.json")
+    val outPath = args.headOption.getOrElse(new java.io.File(
+      BenchRound.repoRoot, s"BENCH_pcts_r${BenchRound.current}.json").getPath)
     val n = sys.env.get("SPARK_GRAFT_PCTS_N").map(_.toInt).getOrElse(1000)
     // SPARK_GRAFT_PCTS_FAMS=count,groupby_hour restricts the SQL families
     // (the off-side of a scaled corpus pays a full scan per range — all six

@@ -9,10 +9,16 @@ package graft.tools
   * under the NEXT round's filename and mislabels the evidence (review
   * finding). Within a round, re-runs refresh the same file in place. */
 object BenchRound {
+  /** The repo root every bench tool resolves records against: the canonical
+    * working directory — the SAME root `graft.Bench` writes its full record
+    * to, so the round scanned here and the file written there can never
+    * disagree when the tools run from different directories (round-15
+    * advice: this used to hard-code one machine's layout). */
+  def repoRoot: java.io.File = new java.io.File(".").getCanonicalFile
+
   def current: Int =
     sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.trim.toIntOption).getOrElse {
-      val repo = new java.io.File("/root/repo")
-      val prev = Option(repo.listFiles()).getOrElse(Array.empty)
+      val prev = Option(repoRoot.listFiles()).getOrElse(Array.empty)
         .flatMap(f =>
           "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
       if (prev.isEmpty) 1 else prev.max + 1

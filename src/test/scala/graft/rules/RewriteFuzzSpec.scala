@@ -33,12 +33,11 @@ class RewriteFuzzSpec extends AnyFunSuite {
   val path = s"$dir/events.parquet"
   val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
-  lazy val setup: Unit = {
-    spark.sparkContext.setLogLevel("WARN")
-    Graft.enable(spark)
-    Tables.registerAll(spark, dir)
-    // the full index surface the contract events table carries, plus ms
-    // wheels — so the fuzz can hit every family
+  /** The full index surface the contract events table carries, plus ms
+    * wheels — so the fuzz can hit every family. Shared by [[setup]] (the
+    * single-root soak) and the multi-root split fuzz (which builds the
+    * identical surface over a random root set). */
+  private def fullSurface: UWheelBuilder = {
     val numeric = eventTypes.foldLeft(UWheelBuilder("ts", Seq("value"))) { (b, et) =>
       b.withKeyedWheel(IndexBuilder("value", Some(s"event_type = '$et'")))
     }
@@ -57,7 +56,13 @@ class RewriteFuzzSpec extends AnyFunSuite {
     }.withMillisWheels("value")
       .withTopKWheel("user_id")
       .withKeyedTopKWheel("user_id", "event_type = 'purchase'")
-      .build(spark, path)
+  }
+
+  lazy val setup: Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.enable(spark)
+    Tables.registerAll(spark, dir)
+    fullSurface.build(spark, path)
   }
 
   // ---- generators (data spans 2024-01-01 .. 2024-01-28-ish)
@@ -293,6 +298,77 @@ class RewriteFuzzSpec extends AnyFunSuite {
         assert(sortedRows(on) === sortedRows(off), s"case $i mismatch: $sql")
       }
     } finally Graft.planSizeBudget = saved
+  }
+
+  // The multi-root lookup chain (round-15 verdict task 8): the SAME rows
+  // split across 1–3 directories, read as one relation, with the index
+  // registered under a random root-set — the root-SET key when the set is
+  // the full split (must SERVE: rewrites fire and equal the scan) and a
+  // random PROPER subset otherwise (must DECLINE soundly: the root-set key
+  // misses, the per-member fallback's fingerprint gate rejects over the
+  // combined listing, and every shape answers via the scan). Soaks
+  // `unwrap`'s fallback chain under the same differential harness as every
+  // other arm; seeded, so failures replay.
+  test("multi-root split fuzz: random root splits, rewrite on == off, serve/decline as keyed") {
+    setup
+    val rnd = new scala.util.Random(0x300716L)
+    val base = java.nio.file.Files.createTempDirectory("graft-fuzz-mroot").toString
+    val src = spark.read.parquet(path)
+    try {
+      (1 to 3).foreach { nSplit =>
+        val roots = (0 until nSplit).map(i => s"$base/s$nSplit/r$i.parquet")
+        roots.zipWithIndex.foreach { case (r, i) =>
+          // deterministic disjoint split that exactly covers the rows
+          src.where(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.col("event_id"),
+              org.apache.spark.sql.functions.lit(nSplit)) === i)
+            .write.mode("overwrite").parquet(r)
+        }
+        // registration dimension: the full set serves; a random proper
+        // subset (possible only when the relation has >1 root) declines
+        val regSets: Seq[(Seq[String], Boolean)] =
+          Seq((roots, true)) ++ (if (nSplit > 1)
+            Seq((rnd.shuffle(roots.toList).take(1 + rnd.nextInt(nSplit - 1)), false))
+          else Nil)
+        regSets.foreach { case (reg, servable) =>
+          fullSurface.build(spark, reg)
+          try {
+            // random read order — the root-set key must not care
+            spark.read.parquet(rnd.shuffle(roots.toList): _*)
+              .createOrReplaceTempView("events")
+            var rewritten = 0
+            (1 to 20).foreach { i =>
+              val sql = render(predicate(rnd), aggs(rnd), grouping(rnd))
+              val dfOn = spark.sql(sql)
+              if (dfOn.queryExecution.optimizedPlan.collectFirst {
+                    case l: LocalRelation => l
+                  }.isDefined) rewritten += 1
+              val on = dfOn.collect()
+              Graft.rewritesEnabled = false
+              val off = try spark.sql(sql).collect()
+                finally Graft.rewritesEnabled = true
+              assert(sortedRows(on) === sortedRows(off),
+                s"split=$nSplit reg=${reg.size} case $i mismatch: $sql")
+            }
+            if (servable)
+              assert(rewritten >= 4,
+                s"split=$nSplit full-set registration: only $rewritten/20 shapes rewrote")
+            else
+              assert(rewritten === 0,
+                s"split=$nSplit subset registration must decline every shape, $rewritten rewrote")
+          } finally graft.index.WheelRegistry.deregister(
+            graft.index.WheelRegistry.rootSetKey(reg))
+        }
+      }
+    } finally {
+      // restore the shared session's contract view for the later tests
+      Tables.registerAll(spark, dir)
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: Throwable => () })
+    }
   }
 
   // opt-in deep blast (SPARK_GRAFT_FUZZ_N=2000 sbt "testOnly *RewriteFuzzSpec"):

@@ -1526,4 +1526,80 @@ class StreamingWheelSpec extends AnyFunSuite {
       assert(df.collect()(0).getLong(0) === expected)
     } finally graft.index.WheelRegistry.deregister(path)
   }
+
+  test("stream registered under TWO roots serves the two-directory relation (round-15 task 6)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Graft.enable(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-mroot").toString
+    val (pA, pB) = (s"$dir/a.parquet", s"$dir/b.parquet")
+    // the stream is the COMBINED feed: its rows are exactly the union of
+    // what landed in the two directories (the canonical multi-directory
+    // ingest layout: one logical table, several physical roots)
+    val rowsA = Seq(
+      (ts("2024-03-01 00:00:00"), 1.0),
+      (ts("2024-03-01 00:00:30"), 2.5))
+    val rowsB = Seq(
+      (ts("2024-03-01 00:01:30"), 4.0),
+      (ts("2024-03-01 00:02:10"), 8.0))
+    rowsA.toDF("ts", "value").write.parquet(pA)
+    rowsB.toDF("ts", "value").write.parquet(pB)
+    def q(roots: String*) = spark.read.parquet(roots: _*)
+      .where("ts >= TIMESTAMP '2024-03-01 00:00:30' AND ts < TIMESTAMP '2024-03-01 00:02:00'")
+      .groupBy().agg(
+        count(lit(1)).as("cnt"),
+        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sv"))
+    def rewrites(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val opt = df.queryExecution.optimizedPlan
+      opt.collect { case l: LocalRelation => l }.nonEmpty &&
+        opt.collect { case r: LogicalRelation => r }.isEmpty
+    }
+    val input = MemoryStream[(Timestamp, Double)]
+    val idx = new StreamingWheelIndex("ts", Some("value"))
+    val sq = idx.attach(input.toDF().toDF("ts", "value"), "wheel-mroot")
+    try {
+      idx.register(Seq(pA, pB))
+      input.addData(rowsA ++ rowsB: _*)
+      sq.processAllAvailable()
+      // the two-directory relation rewrites from the stream's wheels at
+      // the watermark — plan-asserted, both root orders (the key sorts)
+      val df = q(pA, pB)
+      assert(rewrites(df),
+        s"multi-root relation must serve from the stream:\n${df.queryExecution.optimizedPlan}")
+      val got = df.collect()(0)
+      assert(got.getLong(0) === 2L)
+      assert(got.getDouble(1) === 6.5)
+      val flipped = q(pB, pA)
+      assert(rewrites(flipped), "root order must not affect the root-set key")
+      assert(flipped.collect()(0).getLong(0) === 2L)
+      // a SINGLE member directory is a different (smaller) table: nothing
+      // is registered under its key and the fingerprint-0 fallback
+      // exclusion holds, so it scans — and answers from its own rows only
+      val justA = q(pA)
+      assert(!rewrites(justA), "a member root alone must not serve the root-set stream")
+      assert(justA.collect()(0).getLong(0) === 1L)
+      // swap-on-version across roots: a batch landing in ONE directory is
+      // visible to the next multi-root query
+      val more = Seq((ts("2024-03-01 00:01:45"), 16.0))
+      more.toDF("ts", "value").write.mode("append").parquet(pB)
+      input.addData(more: _*)
+      sq.processAllAvailable()
+      val df2 = q(pA, pB)
+      assert(rewrites(df2))
+      val got2 = df2.collect()(0)
+      assert(got2.getLong(0) === 3L)
+      assert(got2.getDouble(1) === 22.5)
+      // deregister withdraws the root-set key: back to the (correct) scan
+      idx.deregister()
+      val df3 = q(pA, pB)
+      assert(!rewrites(df3))
+      assert(df3.collect()(0).getLong(0) === 3L)
+    } finally {
+      sq.stop()
+      idx.deregister()
+    }
+  }
 }
