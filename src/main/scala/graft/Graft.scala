@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.CollectCappedLong].getName, "collect_capped_long"),
       Graft.collectCappedBuilder))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_pairs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TopKPairsAgg].getName, "topk_pairs"),
+      Graft.topkPairsBuilder))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.BloomAgg].getName, "bloom_agg"),
@@ -170,6 +175,8 @@ object Graft {
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "collect_capped_long", collectCappedBuilder, "scala_udf")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_pairs", topkPairsBuilder, "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", bloomAggBuilder, "scala_udf")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_contains", bloomContainsBuilder, "scala_udf")
@@ -210,6 +217,18 @@ object Graft {
     require(exprs.length == 2,
       s"collect_capped_long takes (col, cap), got ${exprs.length} arguments")
     graft.functions.CollectCappedLong(exprs.head, intOf(exprs(1), "collect_capped_long cap"))
+  }
+
+  /** `topk_pairs(score, id, k)` — bounded-heap top-k-per-group aggregate
+    * ([[graft.functions.TopKPairsAgg]]), the sort-free replacement for the
+    * rank-limit window; `k` must be an integer literal (it bounds the
+    * aggregation buffer). */
+  private[graft] def topkPairsBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(exprs.length == 3,
+      s"topk_pairs takes (score, id, k), got ${exprs.length} arguments")
+    graft.functions.TopKPairsAgg(exprs(0), exprs(1), intOf(exprs(2), "topk_pairs k"))
   }
 
   /** `bloom_agg(hash[, numBits[, k]])` — Bloom-filter build aggregate

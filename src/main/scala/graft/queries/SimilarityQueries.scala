@@ -360,6 +360,22 @@ object SimilarityQueries {
     srpNearDupPairs(vecs(spark), 0.45)
   }
 
+  /** Top-k-per-query via the bounded-heap aggregate
+    * ([[graft.functions.TopKPairsAgg]]) — the sort-free replacement for
+    * `row_number() OVER (... ORDER BY score DESC, id) <= k`, with the
+    * IDENTICAL (score desc, id asc) total order. The rank-limit window
+    * (even with Spark's WindowGroupLimit pushdown) requires its input
+    * locally SORTED, so a 10⁸-candidate scored stream pays a full
+    * per-partition sort before one row drops; this shape is a hash
+    * aggregate with map-side combine — one O(log k) heap offer per row,
+    * one ≤ k-pair buffer per query through the shuffle (PqScaleSpec's 1M
+    * probe measured the window form costing ~10× the scoring scan). */
+  private def topKPerQuery(scored: DataFrame, score: String, k: Int): DataFrame =
+    scored.groupBy("qi")
+      .agg(expr(s"topk_pairs($score, xi, $k)").as("tk"))
+      .select(col("qi"), explode(col("tk")).as("p"))
+      .select(col("qi"), col("p").getField("i").as("xi"))
+
   /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
   def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
@@ -369,11 +385,8 @@ object SimilarityQueries {
     val x = e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx"))
     val scored = broadcast(q).join(x, col("qi") =!= col("xi"))
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
-    val rn = row_number().over(
-      Window.partitionBy("qi").orderBy(col("sim").desc, col("xi")))
-    scored.withColumn("rn", rn).where(col("rn") <= 5)
-      .select(col("qi"), col("xi"))
-      .orderBy("qi", "xi")
+      .select(col("qi"), col("xi"), col("sim"))
+    topKPerQuery(scored, "sim", 5).orderBy("qi", "xi")
   }
 
   private[queries] val IvfNprobe = 10
@@ -481,11 +494,8 @@ object SimilarityQueries {
       .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"), col("cid"))
     val scored = probes.join(assigned, probes("cid") === assigned("cid") && col("qi") =!= col("xi"))
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
-    scored.withColumn("rn", row_number().over(
-        Window.partitionBy("qi").orderBy(col("sim").desc, col("xi"))))
-      .where(col("rn") <= topK)
-      .select(col("qi"), col("xi"))
-      .orderBy("qi", "xi")
+      .select(col("qi"), col("xi"), col("sim"))
+    topKPerQuery(scored, "sim", topK).orderBy("qi", "xi")
   }
 
   /** Assignment-ALIGNED adaptive probing — the recall knob for clustered
@@ -532,11 +542,8 @@ object SimilarityQueries {
     val scored = probesF.join(assigned,
         probesF("cid") === assigned("cid") && col("qi") =!= col("xi"))
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
-    scored.withColumn("rn", row_number().over(
-        Window.partitionBy("qi").orderBy(col("sim").desc, col("xi"))))
-      .where(col("rn") <= topK)
-      .select(col("qi"), col("xi"))
-      .orderBy("qi", "xi")
+      .select(col("qi"), col("xi"), col("sim"))
+    topKPerQuery(scored, "sim", topK).orderBy("qi", "xi")
   }
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
@@ -624,22 +631,23 @@ object SimilarityQueries {
     val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qi"),
       cc(graft.functions.PqLut(ce(col("v")), cents, PqM, ks)).as("lut"),
       col("v").as("vq"), col("nrm").as("nq"))
-    val shortlist = codes.join(broadcast(queries), col("qi") =!= col("xi"))
+    // the corpus-wide top-k consumes ONLY (qi, xi, asim) through the
+    // bounded-heap aggregate — no sort, no wide lut/vector columns riding
+    // the shortlist selection; the 100-row shortlist re-joins the vectors
+    val scanned = codes
+      .join(broadcast(queries.select(col("qi"), col("lut"), col("nq"))),
+        col("qi") =!= col("xi"))
       .withColumn("asim",
         cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))) / (col("nq") * col("nx")))
-      .withColumn("arn", row_number().over(
-        Window.partitionBy("qi").orderBy(col("asim").desc, col("xi"))))
-      .where(col("arn") <= PqShortlist)
-      .select(col("qi"), col("xi"), col("vq"), col("nq"), col("nx"))
+      .select(col("qi"), col("xi"), col("asim"))
+    val shortlist = topKPerQuery(scanned, "asim", PqShortlist)
     // exact re-rank of the bounded shortlist: the ONLY d-wide dot products
     val reranked = shortlist
-      .join(e.select(col("vec_id").as("xi"), col("v").as("vx")), "xi")
+      .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")), "xi")
+      .join(broadcast(queries.select(col("qi"), col("vq"), col("nq"))), "qi")
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
-    reranked.withColumn("rn", row_number().over(
-        Window.partitionBy("qi").orderBy(col("sim").desc, col("xi"))))
-      .where(col("rn") <= 5)
-      .select(col("qi"), col("xi"))
-      .orderBy("qi", "xi")
+      .select(col("qi"), col("xi"), col("sim"))
+    topKPerQuery(reranked, "sim", 5).orderBy("qi", "xi")
   }
 
   /** Recall companion for the PQ tier (the dd_embed_lsh_check pattern):
@@ -703,26 +711,24 @@ object SimilarityQueries {
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
       .where(col("crn") <= IvfNprobe)
-      .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"), col("cid"))
-      .withColumn("lut", cc(graft.functions.PqLut(ce(col("vq")), cents, PqM, ks)))
-    // ADC inside the probed buckets only, shortlist, then exact re-rank
+      .select(col("vec_id").as("qi"), col("nrm").as("nq"), col("cid"),
+        cc(graft.functions.PqLut(ce(col("v")), cents, PqM, ks)).as("lut"))
+    // ADC inside the probed buckets only; the bucket-restricted top-k
+    // consumes ONLY (qi, xi, asim) through the bounded-heap aggregate —
+    // the annPq discipline — and the 100-row shortlist re-joins vectors
     val scanned = probes.join(assignedC, Seq("cid"))
       .where(col("qi") =!= col("xi"))
       .withColumn("asim",
         cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))) / (col("nq") * col("nx")))
-    val shortlist = scanned
-      .withColumn("arn", row_number().over(
-        Window.partitionBy("qi").orderBy(col("asim").desc, col("xi"))))
-      .where(col("arn") <= PqShortlist)
-      .select(col("qi"), col("xi"), col("vq"), col("nq"), col("nx"))
+      .select(col("qi"), col("xi"), col("asim"))
+    val shortlist = topKPerQuery(scanned, "asim", PqShortlist)
     val reranked = shortlist
-      .join(e.select(col("vec_id").as("xi"), col("v").as("vx")), "xi")
+      .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")), "xi")
+      .join(broadcast(queries.select(col("vec_id").as("qi"),
+        col("v").as("vq"), col("nrm").as("nq"))), "qi")
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
-    reranked.withColumn("rn", row_number().over(
-        Window.partitionBy("qi").orderBy(col("sim").desc, col("xi"))))
-      .where(col("rn") <= 5)
-      .select(col("qi"), col("xi"))
-      .orderBy("qi", "xi")
+      .select(col("qi"), col("xi"), col("sim"))
+    topKPerQuery(reranked, "sim", 5).orderBy("qi", "xi")
   }
 
   /** Recall companion for the composed tier (the ann_pq_check pattern):
