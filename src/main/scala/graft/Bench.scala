@@ -481,6 +481,44 @@ object Bench {
         System.err.println(s"[graft] index_mib probe failed: $e")
     }
 
+    // Index save/load lifecycle (round-15 verdict task 7): the restart-to-
+    // first-answer cost a service operator plans around. Serialize the
+    // FULL events index (the ~97 MiB all-families one), drop it from the
+    // registry — the restart boundary — reload through WheelIndexIO.load,
+    // and prove the loaded index SERVES by plan shape (LocalRelation), not
+    // just deserializes. index_load_sec + the per-query indexed floor IS
+    // restart-to-first-answer; a registry re-register leaves later probes
+    // identical to the pre-save state.
+    if (only.isEmpty) try {
+      graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet").foreach { ti =>
+        val f = java.nio.file.Files.createTempFile("graft-bench-idx", ".wheelidx")
+        try {
+          System.gc(); Thread.sleep(200)
+          val t0 = System.nanoTime()
+          graft.index.WheelIndexIO.save(ti, f.toString)
+          probes("index_save_sec") = (System.nanoTime() - t0) / 1e9
+          probes("index_file_mib") = java.nio.file.Files.size(f) / 1048576.0
+          graft.index.WheelRegistry.deregister(s"$sfDir/events.parquet")
+          val t1 = System.nanoTime()
+          val (_, fresh) = graft.index.WheelIndexIO.load(spark, f.toString)
+          probes("index_load_sec") = (System.nanoTime() - t1) / 1e9
+          val df = WheelQueries.defs.toMap.apply("uw_count_range")(spark, sfDir)
+          val serves = df.queryExecution.optimizedPlan.collectFirst {
+            case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+          }.isDefined
+          probes("index_load_serves") = if (fresh && serves) 1.0 else -1.0
+          if (probes("index_load_serves") < 0)
+            System.err.println(
+              s"[graft] LOADED INDEX DOES NOT SERVE (fresh=$fresh serves=$serves)")
+        } finally java.nio.file.Files.deleteIfExists(f)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        probes("index_save_sec") = -1.0
+        probes("index_load_serves") = -1.0
+        System.err.println(s"[graft] index save/load probe failed: $e")
+    }
+
     // Isolation pins (round-7 verdict: suite-position effects — GC/shuffle
     // debt of whatever ran alphabetically before an entry — were
     // indistinguishable from real drift in the record). Five headline
@@ -516,9 +554,11 @@ object Bench {
       // rule-off twins re-timed in isolation (uw_li_groupby_month_scan
       // joined round 14: 2.07× drift in r13 with no pin to adjudicate it;
       // uw_groupby_month + uw_revenue_monthly joined round 15: their r14
-      // scan twins drifted 1.30×/1.20× with no pin — verdict task 7)
+      // scan twins drifted 1.30×/1.20× with no pin — verdict task 7;
+      // uw_year_eq joined round 16: its scan twin moved 1.78× in r15, the
+      // round's only unpinned >1.5× drift — verdict task 4)
       Seq("uw_groupby_hour", "uw_li_groupby_month",
-          "uw_groupby_month", "uw_revenue_monthly").foreach { base =>
+          "uw_groupby_month", "uw_revenue_monthly", "uw_year_eq").foreach { base =>
         WheelQueries.defs.toMap.get(base).foreach { fn =>
           Graft.rewritesEnabled = false
           try {

@@ -95,12 +95,13 @@ object PipelineQueries {
     * ~1% for ~100-gram documents (a 1% per-gram target measured 208
     * flagged vs 8 exact on the contract corpus), and the 1 KiB bit floor
     * keeps tiny eval slices from compounding through an over-dense
-    * formula-floor blob. Returns (result, numBits, k) so callers can
-    * record the sizing. */
+    * formula-floor blob. Returns (result, numBits, k, evalGramCount) so
+    * callers can record the sizing AND derive the realized per-gram fpp
+    * (see [[bloomDeconExpectedOverFlag]]). */
   def bloomDeconAuto(
       spark: SparkSession,
       sfDir: String,
-      targetFpp: Double = 1e-4): (DataFrame, Int, Int) = {
+      targetFpp: Double = 1e-4): (DataFrame, Int, Int, Long) = {
     // ensureViews, NOT ctxViewsOnly: the latter's empty prepared marker
     // would make every later Q.ctx on this session skip the wheel builds
     // (session poison for uw_* service — caught by TopKWheelSpec in-suite)
@@ -119,7 +120,40 @@ object PipelineQueries {
          |FROM t
          |WHERE bloom_contains((SELECT bf FROM e), xxhash64(t.s))
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
-    (df, bits, k)
+    (df, bits, k, nGrams)
+  }
+
+  /** Expected number of CLEAN training documents the sized blob over-flags
+    * (round-15 verdict task 5 — the budget the scale record publishes next
+    * to the measured flagged-minus-exact delta, so a reader can tell
+    * budgeted false positives from a regression). A doc is flagged when
+    * ANY of its grams probes true; a doc with NO gram in the eval set has
+    * every probe be an independent-approximately false-positive trial at
+    * the blob's realized per-gram rate p = (1 − e^(−k·n/m))^k, so its flag
+    * probability is 1 − (1−p)^g for its g distinct grams, and the expected
+    * over-flag count is the sum of that over exactly the docs the EXACT
+    * join leaves unflagged (docs the exact join flags are true positives
+    * on both paths — they never contribute an over-flag). One pass: per-doc
+    * gram counts anti-joined against the exact hit set, then a closed-form
+    * aggregate — no bloom involved, so it prices the blob, not re-runs it. */
+  def bloomDeconExpectedOverFlag(
+      spark: SparkSession, sfDir: String, bits: Int, k: Int, nEvalGrams: Long): Double = {
+    Q.ensureViews(spark, sfDir)
+    val p = math.pow(1.0 - math.exp(-k.toDouble * nEvalGrams.toDouble / bits.toDouble), k.toDouble)
+    val row = spark.sql(
+      s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+         |           WHERE size(split(text, ' ')) >= $ContamN),
+         |g AS (SELECT doc_id, explode(word_ngrams(w, $ContamN)) AS s FROM d),
+         |ev AS (SELECT DISTINCT s FROM g WHERE doc_id % $EvalMod = 0),
+         |t AS (SELECT doc_id, s FROM g WHERE doc_id % $EvalMod <> 0),
+         |flagged AS (SELECT DISTINCT t.doc_id FROM t JOIN ev ON t.s = ev.s),
+         |clean AS (
+         |  SELECT t.doc_id, count(*) AS gcnt FROM t
+         |  LEFT ANTI JOIN flagged ON t.doc_id = flagged.doc_id
+         |  GROUP BY t.doc_id)
+         |SELECT CAST(sum(1.0D - pow(1.0D - $p, gcnt)) AS DOUBLE) FROM clean""".stripMargin)
+      .head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
   private val sparkSql: Seq[(String, String)] = Seq(

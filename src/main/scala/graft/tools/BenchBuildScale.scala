@@ -46,6 +46,8 @@ object BenchBuildScale {
     val xfs = sys.env.getOrElse("SPARK_GRAFT_BUILD_XFS", "1,10,100")
       .split(',').map(_.trim.toInt).filter(_ >= 1)
     val countXf = sys.env.getOrElse("SPARK_GRAFT_BUILD_COUNT_XF", "0").trim.toInt
+    // the scale point where the per-family ablation pairs run (0 = off)
+    val ablateXf = sys.env.getOrElse("SPARK_GRAFT_BUILD_ABLATE_XF", "10").trim.toInt
     require(xfs.nonEmpty, "SPARK_GRAFT_BUILD_XFS must name at least one factor >= 1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -98,6 +100,50 @@ object BenchBuildScale {
           fams.toSeq.sortBy(_._1).foreach { case (f, b) =>
             out(s"index_mib_x${xf}_$f") = num(mib(b))
           }
+        }
+
+        // Per-family build prices at the scale where they resolve (round-15
+        // verdict task 3): at 1× the freq/hdr/topk/millis diffs sit below
+        // the ±0.4–0.8 s measurement noise band, so the per-round record
+        // carries cost 0 with a negdiff adjudication — honest but
+        // uninformative for capacity planning. At 10× rows the signal
+        // clears the band. Two alternated rotations per variant, per-name
+        // MIN (every build does identical full work, so min is the
+        // interference-robust estimator), diffs floored at 0 with the
+        // negdiff magnitude + rotation band published for adjudication —
+        // the graft.Bench diffProbe discipline at one extra scale point.
+        if (xf == ablateXf) {
+          val reps = scala.collection.mutable.Map.empty[String, List[Double]]
+          val builds: Seq[(String, () => Unit)] = Seq(
+            "numeric_nomillis" ->
+              (() => Q.buildEvents(spark, dir, withDistinct = false, withMillis = false)),
+            "numeric" -> (() => Q.buildEvents(spark, dir, withDistinct = false)),
+            "nofreq" -> (() => Q.buildEvents(spark, dir, withFreq = false)),
+            "nohdr" -> (() => Q.buildEvents(spark, dir, withQuantiles = false)),
+            "notopk" -> (() => Q.buildEvents(spark, dir, withTopK = false)),
+            "full" -> (() => Q.buildEvents(spark, dir)))
+          (0 until 2).foreach { _ =>
+            builds.foreach { case (nm, b) =>
+              System.gc(); Thread.sleep(300)
+              val t = System.nanoTime()
+              b()
+              reps(nm) = ((System.nanoTime() - t) / 1e9) :: reps.getOrElse(nm, Nil)
+            }
+          }
+          def est(nm: String): Double = reps(nm).min
+          def band(a: String, b: String): Double =
+            (reps(a).max - reps(a).min).max(reps(b).max - reps(b).min)
+          builds.foreach { case (nm, _) => out(s"build_${nm}_x$xf") = num(est(nm)) }
+          def diff(fam: String, full: String, without: String): Unit = {
+            val d = est(full) - est(without)
+            out(s"index_build_cost_${fam}_x$xf") = num(math.max(0.0, d))
+            if (d < 0) out(s"index_build_cost_${fam}_x${xf}_negdiff") = num(-d)
+            out(s"index_build_cost_${fam}_x${xf}_band") = num(band(full, without))
+          }
+          diff("millis", "numeric", "numeric_nomillis")
+          diff("freq", "full", "nofreq")
+          diff("hdr", "full", "nohdr")
+          diff("topk", "full", "notopk")
         }
         WheelRegistry.deregister(s"$dir/events.parquet")
       }

@@ -196,13 +196,28 @@ object BenchDedupScale {
       // eval slice is visible next to the fixed 2^20 default's.
       var autoBits = 0
       var autoK = 0
+      var autoGrams = 0L
       timed("decon_bloom_auto") {
-        val (autoDf, b, k) = PipelineQueries.bloomDeconAuto(spark, sfDir)
-        autoBits = b; autoK = k
+        val (autoDf, b, k, ng) = PipelineQueries.bloomDeconAuto(spark, sfDir)
+        autoBits = b; autoK = k; autoGrams = ng
         autoDf.count()
       }
       out(s"x${xf}_bloom_auto_bits") = autoBits.toString
       out(s"x${xf}_bloom_auto_k") = autoK.toString
+      out(s"x${xf}_bloom_auto_eval_grams") = autoGrams.toString
+      // over-flag BUDGET next to the measured delta (round-15 verdict task
+      // 5): without the expectation in the record, the auto tier's
+      // flagged-minus-exact gap reads ambiguously — budgeted false
+      // positives and a real regression look the same. expected = Σ over
+      // exactly-clean docs of 1−(1−p)^grams at the sized blob's realized
+      // per-gram p; measured = auto rows − exact rows (every exact hit is
+      // a true positive on both paths — never-miss is pinned by
+      // ds_bloom_decon_check). BloomSqlSpec asserts measured ≤ ~2×expected.
+      out(s"x${xf}_bloom_auto_expected_over") = num(
+        PipelineQueries.bloomDeconExpectedOverFlag(spark, sfDir, autoBits, autoK, autoGrams))
+      out(s"x${xf}_bloom_auto_measured_over") =
+        (out(s"x${xf}_decon_bloom_auto_rows").toLong -
+          out(s"x${xf}_decon_exact_rows").toLong).toString
 
       // hot-bucket guard evidence at the probe cap: bucket-size stats from
       // the same band keys, and the candidate stage re-run with the probe

@@ -200,12 +200,13 @@ class BloomSqlSpec extends AnyFunSuite {
     val exact = spark.sql(graft.queries.PipelineQueries.sqlFor("txt_decontaminate"))
       .select("doc_id").as[Long].collect().toSet
     assert(exact.nonEmpty, "corpus has no contaminated docs — spec setup drifted")
-    val (df, bits, k) = graft.queries.PipelineQueries.bloomDeconAuto(spark, sfDir)
+    val (df, bits, k, nGrams) = graft.queries.PipelineQueries.bloomDeconAuto(spark, sfDir)
     // sizing responds to the counted gram set: far smaller than the fixed
     // 2^20 default on this tiny eval slice (floored at 1 KiB, never below),
     // valid parameters throughout
     assert(bits >= (1 << 13) && bits % 8 == 0 && k >= 1 && k <= 8)
     assert(bits < (1 << 20), s"tiny eval slice should size well under 2^20, got $bits")
+    assert(nGrams > 0, "counted eval gram set must be non-empty")
     val flagged = df.select("doc_id").as[Long].collect().toSet
     assert(exact.subsetOf(flagged),
       s"auto-sized bloom lost exact hits: ${exact.diff(flagged)}")
@@ -213,6 +214,20 @@ class BloomSqlSpec extends AnyFunSuite {
     // per-gram default (a 1% per-gram target measured 208 vs 8 here)
     assert(flagged.size <= exact.size + math.max(3, exact.size / 10),
       s"auto-sized blob over-flagged: ${flagged.size} vs exact ${exact.size}")
+    // over-flag BUDGET (round-15 verdict task 5): the measured
+    // flagged-minus-exact delta must sit within ~2× the closed-form
+    // expectation from the sized blob's realized per-gram fpp and the
+    // clean docs' gram counts — the same budget the dedup scale record
+    // publishes per scale point, pinned here so a sizing or probe
+    // regression that inflates false positives fails a spec, not just
+    // drifts a record. (+3 absorbs Poisson noise at a tiny expectation:
+    // this corpus budgets ~a doc.)
+    val expected = graft.queries.PipelineQueries.bloomDeconExpectedOverFlag(
+      spark, sfDir, bits, k, nGrams)
+    val measured = (flagged.size - exact.size).toDouble
+    info(f"over-flag: measured $measured%.0f vs expected $expected%.2f (bits=$bits k=$k grams=$nGrams)")
+    assert(measured <= 2.0 * expected + 3.0,
+      f"measured over-flag $measured%.0f exceeds ~2x the $expected%.2f budget")
   }
 
   test("per-group blooms: each group's blob contains exactly its own keys") {
