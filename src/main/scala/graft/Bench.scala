@@ -489,8 +489,8 @@ object Bench {
     // just deserializes. index_load_sec + the per-query indexed floor IS
     // restart-to-first-answer; a registry re-register leaves later probes
     // identical to the pre-save state.
-    if (only.isEmpty) try {
-      graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet").foreach { ti =>
+    if (only.isEmpty) graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+      .foreach { ti =>
         val f = java.nio.file.Files.createTempFile("graft-bench-idx", ".wheelidx")
         try {
           System.gc(); Thread.sleep(200)
@@ -510,14 +510,24 @@ object Bench {
           if (probes("index_load_serves") < 0)
             System.err.println(
               s"[graft] LOADED INDEX DOES NOT SERVE (fresh=$fresh serves=$serves)")
-        } finally java.nio.file.Files.deleteIfExists(f)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // sentinel ONLY the stages that did not complete — an already-
+            // recorded save measurement is valid and stays (review finding)
+            Seq("index_save_sec", "index_load_sec", "index_load_serves")
+              .foreach(k => if (!probes.contains(k)) probes(k) = -1.0)
+            System.err.println(s"[graft] index save/load probe failed: $e")
+        } finally {
+          java.nio.file.Files.deleteIfExists(f)
+          // the probe deregistered the live index before loading; if the
+          // load (or anything after) failed, every later probe/iso pin
+          // would silently time UNINDEXED scans recorded as indexed
+          // measurements — restore the original index unconditionally
+          // when the loaded one didn't make it back in (review finding)
+          if (graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet").isEmpty)
+            graft.index.WheelRegistry.register(ti)
+        }
       }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        probes("index_save_sec") = -1.0
-        probes("index_load_serves") = -1.0
-        System.err.println(s"[graft] index save/load probe failed: $e")
-    }
 
     // Isolation pins (round-7 verdict: suite-position effects — GC/shuffle
     // debt of whatever ran alphabetically before an entry — were

@@ -704,15 +704,21 @@ object SimilarityQueries {
     val assignedC = assigned.join(codes, assigned("xi") === codes("xi2"))
       .select(assigned("xi"), assigned("cid"), assigned("nx"), codes("codes"))
     // per-query probe set (the ivfSearch global fine ranking — √n
-    // comparisons per QUERY, not per corpus row) + the query's ADC table
+    // comparisons per QUERY, not per corpus row); the query's ADC table is
+    // built ONCE per query on the 10-row frame and joined onto the probe
+    // set — building it inside the probe projection would redo the
+    // m·ks·sub-multiply table nprobe times per query (review finding)
     val queries = e.where(col("vec_id") < 10)
+    val qluts = queries.select(col("vec_id").as("qi"),
+      cc(graft.functions.PqLut(ce(col("v")), cents, PqM, ks)).as("lut"),
+      col("nrm").as("nq"))
     val probes = queries.join(broadcast(fines), lit(true))
       .withColumn("csim", dot("v", "vc") / (col("nrm") * col("nc")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
       .where(col("crn") <= IvfNprobe)
-      .select(col("vec_id").as("qi"), col("nrm").as("nq"), col("cid"),
-        cc(graft.functions.PqLut(ce(col("v")), cents, PqM, ks)).as("lut"))
+      .select(col("vec_id").as("qi"), col("cid"))
+      .join(broadcast(qluts), "qi")
     // ADC inside the probed buckets only; the bucket-restricted top-k
     // consumes ONLY (qi, xi, asim) through the bounded-heap aggregate —
     // the annPq discipline — and the 100-row shortlist re-joins vectors

@@ -81,6 +81,15 @@ object BenchBuildScale {
       }
     }
 
+    // a verdict-task measurement must not just vanish from the record: if
+    // the ablation point is not among the scale factors, say so loudly and
+    // leave a sentinel where the cost keys would have been (review finding)
+    if (ablateXf > 0 && !xfs.contains(ablateXf)) {
+      out(s"index_build_ablate_skipped_x$ablateXf") = "-1"
+      System.err.println(s"[graft] ablation point x$ablateXf is not in " +
+        s"SPARK_GRAFT_BUILD_XFS=${xfs.mkString(",")} — per-family x$ablateXf costs will be absent")
+    }
+
     xfs.foreach { xf =>
       withScaled(xf) { dir =>
         out(s"x${xf}_rows") =

@@ -89,6 +89,27 @@ class TopKPairsSpec extends AnyFunSuite {
     assert(got(2L) === Seq.empty, "a group of only-NaN rows yields an empty array")
   }
 
+  test("DOCUMENTED divergence vs the window form: null/NaN rows are dropped, not ranked") {
+    // Spark's sort order places NaN above +Infinity and nulls last-but-
+    // emitted, so the rank-limit window RETURNS NaN/null-score rows when a
+    // group holds fewer than k well-scored candidates; topk_pairs skips
+    // them (scaladoc'd). This pins the divergence so the "replaces the
+    // window" claim is scoped honestly: identical on null/NaN-free scores
+    // (graft's similarity scores, where norms are > 0 by construction),
+    // deliberately different on pathological ones.
+    graft.Graft.registerFunctions(spark)
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 1L, 0.5D), (1L, 2L, CAST('NaN' AS DOUBLE)), (1L, 3L, CAST(NULL AS DOUBLE))
+        |AS t(g, id, s)""".stripMargin)
+    val win = viaWindow(df, 3)
+    val agg = viaAgg(df, 3)
+    assert(win === Set((1L, 2L), (1L, 1L), (1L, 3L)),
+      "the window emits NaN first and the null-score row last")
+    assert(agg === Set((1L, 1L)),
+      "the aggregate keeps only well-scored rows")
+  }
+
   test("serialize/deserialize round-trips and merge keeps the global top-k") {
     val agg = TopKPairsAgg(
       org.apache.spark.sql.catalyst.expressions.BoundReference(0,
