@@ -481,54 +481,6 @@ object Bench {
         System.err.println(s"[graft] index_mib probe failed: $e")
     }
 
-    // Index save/load lifecycle (round-15 verdict task 7): the restart-to-
-    // first-answer cost a service operator plans around. Serialize the
-    // FULL events index (the ~97 MiB all-families one), drop it from the
-    // registry — the restart boundary — reload through WheelIndexIO.load,
-    // and prove the loaded index SERVES by plan shape (LocalRelation), not
-    // just deserializes. index_load_sec + the per-query indexed floor IS
-    // restart-to-first-answer; a registry re-register leaves later probes
-    // identical to the pre-save state.
-    if (only.isEmpty) graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
-      .foreach { ti =>
-        val f = java.nio.file.Files.createTempFile("graft-bench-idx", ".wheelidx")
-        try {
-          System.gc(); Thread.sleep(200)
-          val t0 = System.nanoTime()
-          graft.index.WheelIndexIO.save(ti, f.toString)
-          probes("index_save_sec") = (System.nanoTime() - t0) / 1e9
-          probes("index_file_mib") = java.nio.file.Files.size(f) / 1048576.0
-          graft.index.WheelRegistry.deregister(s"$sfDir/events.parquet")
-          val t1 = System.nanoTime()
-          val (_, fresh) = graft.index.WheelIndexIO.load(spark, f.toString)
-          probes("index_load_sec") = (System.nanoTime() - t1) / 1e9
-          val df = WheelQueries.defs.toMap.apply("uw_count_range")(spark, sfDir)
-          val serves = df.queryExecution.optimizedPlan.collectFirst {
-            case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
-          }.isDefined
-          probes("index_load_serves") = if (fresh && serves) 1.0 else -1.0
-          if (probes("index_load_serves") < 0)
-            System.err.println(
-              s"[graft] LOADED INDEX DOES NOT SERVE (fresh=$fresh serves=$serves)")
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            // sentinel ONLY the stages that did not complete — an already-
-            // recorded save measurement is valid and stays (review finding)
-            Seq("index_save_sec", "index_load_sec", "index_load_serves")
-              .foreach(k => if (!probes.contains(k)) probes(k) = -1.0)
-            System.err.println(s"[graft] index save/load probe failed: $e")
-        } finally {
-          java.nio.file.Files.deleteIfExists(f)
-          // the probe deregistered the live index before loading; if the
-          // load (or anything after) failed, every later probe/iso pin
-          // would silently time UNINDEXED scans recorded as indexed
-          // measurements — restore the original index unconditionally
-          // when the loaded one didn't make it back in (review finding)
-          if (graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet").isEmpty)
-            graft.index.WheelRegistry.register(ti)
-        }
-      }
-
     // Isolation pins (round-7 verdict: suite-position effects — GC/shuffle
     // debt of whatever ran alphabetically before an entry — were
     // indistinguishable from real drift in the record). Five headline
@@ -580,6 +532,59 @@ object Bench {
         }
       }
     }
+
+    // Index save/load lifecycle (round-15 verdict task 7): the restart-to-
+    // first-answer cost a service operator plans around. Serialize the
+    // FULL events index (the ~97 MiB all-families one), drop it from the
+    // registry — the restart boundary — reload through WheelIndexIO.load,
+    // and prove the loaded index SERVES by plan shape (LocalRelation), not
+    // just deserializes. index_load_sec + the per-query indexed floor IS
+    // restart-to-first-answer; a registry re-register leaves later probes
+    // identical to the pre-save state. Runs AFTER the isolation pins:
+    // they adjudicate round-over-round drift and must keep timing the
+    // ORIGINAL in-memory index, not a just-deserialized equivalent (the
+    // first r16 runs placed this before the pins, adding a deserialize
+    // variable to the one instrument built to exclude variables).
+    if (only.isEmpty) graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+      .foreach { ti =>
+        val f = java.nio.file.Files.createTempFile("graft-bench-idx", ".wheelidx")
+        try {
+          System.gc(); Thread.sleep(200)
+          val t0 = System.nanoTime()
+          graft.index.WheelIndexIO.save(ti, f.toString)
+          probes("index_save_sec") = (System.nanoTime() - t0) / 1e9
+          probes("index_file_mib") = java.nio.file.Files.size(f) / 1048576.0
+          graft.index.WheelRegistry.deregister(s"$sfDir/events.parquet")
+          val t1 = System.nanoTime()
+          val (_, fresh) = graft.index.WheelIndexIO.load(spark, f.toString)
+          probes("index_load_sec") = (System.nanoTime() - t1) / 1e9
+          val df = WheelQueries.defs.toMap.apply("uw_count_range")(spark, sfDir)
+          val serves = df.queryExecution.optimizedPlan.collectFirst {
+            case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+          }.isDefined
+          probes("index_load_serves") = if (fresh && serves) 1.0 else -1.0
+          if (probes("index_load_serves") < 0)
+            System.err.println(
+              s"[graft] LOADED INDEX DOES NOT SERVE (fresh=$fresh serves=$serves)")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // sentinel ONLY the stages that did not complete — an already-
+            // recorded save measurement is valid and stays (review finding)
+            Seq("index_save_sec", "index_load_sec", "index_load_serves")
+              .foreach(k => if (!probes.contains(k)) probes(k) = -1.0)
+            System.err.println(s"[graft] index save/load probe failed: $e")
+        } finally {
+          java.nio.file.Files.deleteIfExists(f)
+          // the probe deregistered the live index before loading; if the
+          // load (or anything after) failed, every later probe/iso pin
+          // would silently time UNINDEXED scans recorded as indexed
+          // measurements — restore the original index unconditionally
+          // when the loaded one didn't make it back in (review finding)
+          if (graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet").isEmpty)
+            graft.index.WheelRegistry.register(ti)
+        }
+      }
+
 
     // how much of the suite actually served from the index, from the
     // production observability counters (snapshotted right after the timed
