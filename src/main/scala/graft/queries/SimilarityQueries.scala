@@ -751,6 +751,101 @@ object SimilarityQueries {
         .otherwise(lit(-1L)).cast("long").as("n_exact"))
   }
 
+  /** IVF-RESIDUAL PQ — the recall-recovering refinement real systems
+    * (FAISS IVFPQ) deploy: instead of quantizing raw vectors, each vector
+    * encodes its RESIDUAL r = v − c(bucket) against its assigned fine
+    * centroid, and the codebook is built from residuals. Why it matters:
+    * a ks-entry codebook resolves ~ks modes of whatever space it
+    * quantizes — raw corpora have far more modes than ks at scale (the
+    * plain-PQ recall collapse `PqScaleSpec` measures at 20k modes), while
+    * RESIDUALS concentrate around zero with the within-bucket spread, so
+    * the same ks-entry codebook distinguishes bucket MEMBERS from each
+    * other. The exact dot decomposes as dot(q, x) = dot(q, c) + dot(q, r):
+    * the first term is one per-(query, probed-bucket) constant the probe
+    * selection already computes, the second is the standard ADC over the
+    * residual codes — so the scan-tier row stays (cid, codes, nx) and the
+    * per-row cost stays m table lookups. Deterministic end to end (same
+    * stride disciplines over the residual stream, float residual
+    * subtraction identical in both engines), full-pipeline DuckDB oracle,
+    * recall pinned by [[annIvfRpqCheck]] and measured at 1M in
+    * `PqScaleSpec`. */
+  /** Residual-tier geometry: FINER than the raw tier's 8×32 on purpose.
+    * The sub-quantizer's relative error scales ~(1/ks)^(1/sub): at the raw
+    * tier's sub=8/ks=32 it is ~0.65 — acceptable for separating coarse
+    * modes, but comparable to the WITHIN-bucket differences residual
+    * ranking must resolve, so in-bucket ordering washes out
+    * (`PqScaleSpec`'s recovering-regime probe measured 2/40 recovery at a
+    * 40/40 probe ceiling under 8×32). sub=4/ks=256 brings it to ~0.25 —
+    * byte codes, 16-byte rows, still 16× under the raw float column. */
+  private[queries] val RpqM = 16
+  private[queries] val RpqKs = 256
+
+  def annIvfRpq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
+    Q.ctx(spark, sfDir)
+    val e = vecs(spark)
+    val n: Long = cachedCount(spark, sfDir, "embeddings")
+    val (fines, assigned) = ivfIndex(e, n)
+    // residuals against the assigned fine centroid — FLOAT subtraction, so
+    // the oracle's REAL arithmetic reproduces each component bit-for-bit
+    val assignedR = assigned
+      .join(fines.select(col("cid"), col("vc")), "cid")
+      .withColumn("r", expr("zip_with(vx, vc, (a, b) -> a - b)"))
+    val (centsR, ks) = pqCodebook(
+      assignedR.select(col("xi").as("vec_id"), col("r").as("v")), n, RpqM, RpqKs)
+    // scan tier: one (cid, codes, nx) row per vector — residual codes
+    val scanR = assignedR.select(col("xi"), col("cid"), col("nx"),
+      cc(graft.functions.PqEncode(ce(col("r")), centsR, RpqM, ks)).as("codes"))
+    // probe set: global fine ranking per query; keep the RAW dot(q, c) —
+    // the per-bucket constant of the decomposition — alongside the lut
+    val queries = e.where(col("vec_id") < 10)
+    val qluts = queries.select(col("vec_id").as("qi"),
+      cc(graft.functions.PqLut(ce(col("v")), centsR, RpqM, ks)).as("lut"),
+      col("nrm").as("nq"))
+    val probes = queries.join(broadcast(fines), lit(true))
+      .withColumn("qdotc", dot("v", "vc"))
+      .withColumn("csim", col("qdotc") / (col("nrm") * col("nc")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
+      .where(col("crn") <= IvfNprobe)
+      .select(col("vec_id").as("qi"), col("cid"), col("qdotc"))
+      .join(broadcast(qluts), "qi")
+    val scanned = probes.join(scanR, Seq("cid"))
+      .where(col("qi") =!= col("xi"))
+      .withColumn("asim",
+        (col("qdotc") + cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))))
+          / (col("nq") * col("nx")))
+      .select(col("qi"), col("xi"), col("asim"))
+    val shortlist = topKPerQuery(scanned, "asim", PqShortlist)
+    val reranked = shortlist
+      .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")), "xi")
+      .join(broadcast(queries.select(col("vec_id").as("qi"),
+        col("v").as("vq"), col("nrm").as("nq"))), "qi")
+      .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
+      .select(col("qi"), col("xi"), col("sim"))
+    topKPerQuery(reranked, "sim", 5).orderBy("qi", "xi")
+  }
+
+  /** Recall companion for the residual tier (the ann_pq_check pattern). */
+  def annIvfRpqCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val rpq = annIvfRpq(spark, sfDir).withColumn("hit", lit(1))
+    val exact = annTopK(spark, sfDir)
+    val joined = exact.join(rpq, Seq("qi", "xi"), "left")
+    joined.agg(
+        count(lit(1)).as("n"),
+        sum(coalesce(col("hit"), lit(0))).as("h"))
+      .select(when(col("h") >= col("n") * lit(IvfRpqRecallFloor), col("n"))
+        .otherwise(lit(-1L)).cast("long").as("n_exact"))
+  }
+
+  /** Recall@5 floor for ann_ivf_rpq_check — measured before pinning (the
+    * PqRecallFloor discipline): 0.64 / 0.70 / 0.52 at sf0.001/0.01/0.1 —
+    * ABOVE the non-residual composition at every scale (0.60/0.62/0.44),
+    * the first direct measurement of what residual encoding buys at the
+    * same nprobe. Pinned at 0.5 with margin; `PqAnnSpec` asserts the
+    * contract corpus clears it. */
+  private[queries] val IvfRpqRecallFloor = 0.5
+
   /** Recall@5 floor for ann_ivf_pq_check: the composition stacks the IVF
     * probe miss (a true neighbor in an unprobed bucket) on the PQ
     * shortlist miss, so its floor sits below [[PqRecallFloor]]. Measured
@@ -1082,6 +1177,8 @@ object SimilarityQueries {
     "ann_pq_check" -> (annPqCheck _),
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_ivf_pq_check" -> (annIvfPqCheck _),
+    "ann_ivf_rpq" -> (annIvfRpq _),
+    "ann_ivf_rpq_check" -> (annIvfRpqCheck _),
     "emb_centroid" -> Q.sql(embCentroidSpark),
     "emb_quant" -> Q.sql(embQuantSpark),
   )
@@ -1289,6 +1386,105 @@ object SimilarityQueries {
         |  SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi ASC) AS rn
         |  FROM rr) t
         |WHERE rn <= 5 ORDER BY qi, xi""".stripMargin),
+    // IVF-RESIDUAL PQ (round 16): the FAISS-IVFPQ shape — residuals
+    // against the assigned fine centroid (REAL subtraction: a float op
+    // computed exactly in double and rounded once to REAL is bit-equal to
+    // Spark's float minus), residual codebook at the finer RpqM×RpqKs
+    // geometry, ADC = per-(query, bucket) dot(q, c) constant + mi-ordered
+    // residual table sum — value-for-value like the parent oracles
+    "ann_ivf_rpq" ->
+      ("WITH " + ivfOracleCtes + s""",
+        |res AS (
+        |  SELECT a.xi, a.cid,
+        |         list_transform(range(1, len(a.vx) + 1),
+        |           t -> CAST(a.vx[t] - f.vc[t] AS REAL)) AS r
+        |  FROM assign a JOIN fines f ON f.cid = a.cid),
+        |pR AS (SELECT count(*) AS n FROM res),
+        |psR AS (SELECT greatest(1, CAST(ceil(n * 1.0 / $RpqKs) AS BIGINT)) AS stride FROM pR),
+        |wR AS (SELECT CAST(len(r) / $RpqM AS BIGINT) AS sub FROM res LIMIT 1),
+        |donR AS (
+        |  SELECT r, row_number() OVER (ORDER BY xi) - 1 AS j
+        |  FROM res, psR WHERE xi % stride = 0
+        |  ORDER BY xi LIMIT $RpqKs),
+        |miR AS (SELECT unnest(range(0, $RpqM)) AS mi),
+        |-- the width rides as a SCALAR subquery, not a third cross join:
+        |-- DuckDB 1.0.0 silently yields ZERO rows for derived-CTE x dim x
+        |-- dim chains of this shape (count(*) says 8000, any projection
+        |-- says 0 — reproduced and worked around, not guessed)
+        |centsR AS (
+        |  SELECT miR.mi, d.j,
+        |         list_slice(d.r, miR.mi * (SELECT sub FROM wR) + 1,
+        |                    miR.mi * (SELECT sub FROM wR) + (SELECT sub FROM wR)) AS c
+        |  FROM donR d CROSS JOIN miR),
+        |slicesR AS (
+        |  SELECT res.xi, miR.mi,
+        |         list_slice(res.r, miR.mi * (SELECT sub FROM wR) + 1,
+        |                    miR.mi * (SELECT sub FROM wR) + (SELECT sub FROM wR)) AS s
+        |  FROM res CROSS JOIN miR),
+        |encR AS (
+        |  SELECT xi, mi, j AS code FROM (
+        |    SELECT s.xi, s.mi, c.j,
+        |           row_number() OVER (PARTITION BY s.xi, s.mi ORDER BY
+        |             list_sum(list_transform(range(1, len(s.s) + 1),
+        |               t -> (CAST(s.s[t] AS DOUBLE) - CAST(c.c[t] AS DOUBLE))
+        |                  * (CAST(s.s[t] AS DOUBLE) - CAST(c.c[t] AS DOUBLE)))) ASC,
+        |             c.j ASC) AS rn
+        |    FROM slicesR s JOIN centsR c ON s.mi = c.mi) t
+        |  WHERE rn = 1),
+        |qslicesR AS (
+        |  SELECT e.vec_id AS qi, miR.mi,
+        |         list_slice(e.embedding, miR.mi * (SELECT sub FROM wR) + 1,
+        |                    miR.mi * (SELECT sub FROM wR) + (SELECT sub FROM wR)) AS s
+        |  FROM embeddings e CROSS JOIN miR
+        |  WHERE e.vec_id < 10),
+        |lutsR AS (
+        |  SELECT q.qi, c.mi, c.j,
+        |         list_sum(list_transform(range(1, len(q.s) + 1),
+        |           t -> CAST(q.s[t] AS DOUBLE) * CAST(c.c[t] AS DOUBLE))) AS d
+        |  FROM qslicesR q JOIN centsR c ON q.mi = c.mi),
+        |normsR AS (
+        |  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |qdc AS (
+        |  SELECT p.qi, p.cid,
+        |         list_sum(list_transform(range(1, len(p.vq) + 1),
+        |           t -> CAST(p.vq[t] AS DOUBLE) * CAST(f.vc[t] AS DOUBLE))) AS qc
+        |  FROM probes p JOIN fines f ON f.cid = p.cid),
+        |scannedR AS (
+        |  SELECT p.qi, rs.xi, qd.qc + list_sum(list(l.d ORDER BY l.mi)) AS adot
+        |  FROM probes p
+        |  JOIN res rs ON rs.cid = p.cid AND p.qi <> rs.xi
+        |  JOIN qdc qd ON qd.qi = p.qi AND qd.cid = p.cid
+        |  JOIN encR en ON en.xi = rs.xi
+        |  JOIN lutsR l ON l.qi = p.qi AND l.mi = en.mi AND l.j = en.code
+        |  GROUP BY p.qi, rs.xi, qd.qc),
+        |slstR AS (
+        |  SELECT qi, xi FROM (
+        |    SELECT s.qi, s.xi,
+        |           row_number() OVER (PARTITION BY s.qi
+        |             ORDER BY s.adot / (nq.nrm * nx.nrm) DESC, s.xi ASC) AS arn
+        |    FROM scannedR s JOIN normsR nq ON nq.vec_id = s.qi
+        |                    JOIN normsR nx ON nx.vec_id = s.xi) t
+        |  WHERE arn <= $PqShortlist),
+        |rrR AS (
+        |  SELECT s.qi, s.xi,
+        |         list_cosine_similarity(q.embedding, x.embedding) AS sim
+        |  FROM slstR s JOIN embeddings q ON q.vec_id = s.qi
+        |               JOIN embeddings x ON x.vec_id = s.xi)
+        |SELECT qi, xi FROM (
+        |  SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi ASC) AS rn
+        |  FROM rrR) t
+        |WHERE rn <= 5 ORDER BY qi, xi""".stripMargin),
+    "ann_ivf_rpq_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact FROM (
+        |  WITH s AS (
+        |    SELECT q.vec_id AS qi, x.vec_id AS xi,
+        |           list_cosine_similarity(q.embedding, x.embedding) AS sim
+        |    FROM embeddings q JOIN embeddings x
+        |      ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
+        |  r AS (SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi) AS rn FROM s)
+        |  SELECT qi, xi FROM r WHERE rn <= 5) t""".stripMargin,
     // recall companion for the composed tier: exact top-k count, gated
     // server-side on the pinned IVF×PQ recall floor
     "ann_ivf_pq_check" ->

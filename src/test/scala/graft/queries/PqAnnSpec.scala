@@ -197,6 +197,14 @@ class PqAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivf_rpq_check clears its pinned recall floor on the contract corpus") {
+    graft.Graft.registerFunctions(spark)
+    val n = SimilarityQueries.annIvfRpqCheck(spark, "/root/testdata/sf0.001")
+      .collect()(0).getLong(0)
+    assert(n === 50L,
+      s"ann_ivf_rpq_check poisoned (got $n): recall@5 fell below ${SimilarityQueries.IvfRpqRecallFloor}")
+  }
+
   test("ann_ivf_pq_check clears its pinned recall floor on the contract corpus") {
     // the CONTRACT composition (round-15 verdict task 1): the check entry
     // returns the exact pair count only when IVF×PQ recall@5 clears
