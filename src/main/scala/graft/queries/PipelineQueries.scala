@@ -148,7 +148,7 @@ object PipelineQueries {
          |t AS (SELECT doc_id, s FROM g WHERE doc_id % $EvalMod <> 0),
          |flagged AS (SELECT DISTINCT t.doc_id FROM t JOIN ev ON t.s = ev.s),
          |clean AS (
-         |  SELECT t.doc_id, count(*) AS gcnt FROM t
+         |  SELECT t.doc_id, count(DISTINCT t.s) AS gcnt FROM t
          |  LEFT ANTI JOIN flagged ON t.doc_id = flagged.doc_id
          |  GROUP BY t.doc_id)
          |SELECT CAST(sum(1.0D - pow(1.0D - $p, gcnt)) AS DOUBLE) FROM clean""".stripMargin)

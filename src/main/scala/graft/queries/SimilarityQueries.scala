@@ -391,6 +391,37 @@ object SimilarityQueries {
 
   private[queries] val IvfNprobe = 10
 
+  /** Target scanned fraction for IVF probing — nprobe/k, the fraction of
+    * the ~√n fine centroids (equivalently of the corpus) a query scans.
+    * Round-16 verdict task 1: a FIXED nprobe makes that fraction shrink
+    * with √n, so recall on a random corpus sags as it grows (measured
+    * 0.60/0.62/0.44 for the composed tier across sf0.001/0.01/0.1 at
+    * nprobe = 10) — the same failure mode the fixed 2²⁰-bit bloom blob had
+    * before `sizeFor`. The FAISS rule of thumb holds the fraction
+    * constant: nprobe ∝ √n. 0.45 is calibrated to the contract corpora —
+    * at n = 500 (k = 22) it reproduces the long-standing nprobe = 10
+    * EXACTLY (ceil(0.45·22) = 10), so every sf0.001/sf0.01 contract hash
+    * is unchanged by construction, and at n = 2000 (k = 44) it doubles the
+    * probe set to 20, recovering the sf0.1 sag (re-measured in the floor
+    * scaladocs below). Random corpora are the worst case — recall there
+    * COSTS scanned fraction, since neighbors separate by float dust and
+    * spread uniformly over buckets; clustered corpora (the dedup/retrieval
+    * use case) hold near-dups at rank 1 at tiny fractions, which is what
+    * `BenchAnnScale`'s recall-vs-nprobe curve at 1M measures — the dial a
+    * deployment turns DOWN once its corpus is clustered. */
+  private[queries] val IvfProbeFrac = 0.45
+
+  /** Corpus-size-aware probe count: the fewest probes that scan
+    * [[IvfProbeFrac]] of the fine centroids, floored at the legacy
+    * [[IvfNprobe]] so small corpora never probe fewer buckets than the
+    * pinned contract behavior. Both engines evaluate the identical double
+    * expression (0.45·floor(√n), ceil'd), so the DuckDB oracles reproduce
+    * the probe set value-for-value at any n. */
+  private[queries] def nprobeFor(n: Long): Int = {
+    val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    math.max(IvfNprobe, math.ceil(IvfProbeFrac * k.toDouble).toInt)
+  }
+
   /** IVF-bucketed ANN — the 100 TB path: vectors are assigned to their
     * nearest centroid once (an O(n·k) map-side pass); a query probes only
     * the `nprobe` closest centroids' buckets instead of the full corpus.
@@ -551,7 +582,7 @@ object SimilarityQueries {
     val e = vecs(spark)
     val n: Long = cachedCount(spark, sfDir, "embeddings")
     val (fines, assigned) = ivfIndex(e, n)
-    ivfSearch(fines, assigned, e.where(col("vec_id") < 10), IvfNprobe, 5)
+    ivfSearch(fines, assigned, e.where(col("vec_id") < 10), nprobeFor(n), 5)
   }
 
   /** PQ geometry: 8 subspaces × 32 centroids → 8-byte codes for the dim-64
@@ -603,6 +634,33 @@ object SimilarityQueries {
     * (cheap code scan → exact re-rank of a bounded shortlist). */
   private[queries] val PqShortlist = 100
 
+  /** Target shortlist fraction for the RAW-vector PQ tiers (ann_pq,
+    * ann_ivf_pq) — shortlist/n held constant, the same constant-fraction
+    * rule as [[IvfProbeFrac]] and for the same reason: a FIXED shortlist
+    * over a growing corpus is a shrinking fraction, and under the raw
+    * tier's coarse 8×32 quantizer the number of competitors whose ADC
+    * score lands within quantization noise of the true top-5 grows
+    * LINEARLY with n, so rank displacement pushes true neighbors past any
+    * fixed cutoff (measured: ann_pq recall@5 0.80/0.86/0.60 across
+    * sf0.001/0.01/0.1 at the fixed 100). 0.2 is calibrated to the contract
+    * corpora — at n = 500 it reproduces the long-standing shortlist = 100
+    * EXACTLY (ceil(0.2·500) = 100), so sf0.001/sf0.01 hashes are unchanged
+    * by construction. This dial is the honest price of a coarse quantizer
+    * on a random corpus; it is NOT the 100 TB path — there you change the
+    * quantizer, not the shortlist: the RESIDUAL tier (ann_ivf_rpq) keeps
+    * the fixed 100-row shortlist and holds recall at the IVF probe ceiling
+    * (0.84 at 1M vectors, `PqScaleSpec`/`BENCH_ann_scale`), because its
+    * sub-quantizer noise sits below the neighbor gaps the shortlist must
+    * resolve. */
+  private[queries] val PqShortlistFrac = 0.2
+
+  /** Corpus-size-aware ADC shortlist for the raw-quantizer tiers: the
+    * smallest shortlist holding [[PqShortlistFrac]] of the corpus, floored
+    * at the legacy [[PqShortlist]]. Identical double arithmetic in the
+    * DuckDB oracles. */
+  private[queries] def shortlistFor(n: Long): Int =
+    math.max(PqShortlist, math.ceil(PqShortlistFrac * n.toDouble).toInt)
+
   /** ANN over PQ codes — the memory tier below [[annIvf]] for 100 TB
     * corpora, in the shape real systems deploy PQ: the SCAN side carries
     * 8-byte codes + one stored norm instead of 256-byte float vectors
@@ -640,7 +698,7 @@ object SimilarityQueries {
       .withColumn("asim",
         cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))) / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("asim"))
-    val shortlist = topKPerQuery(scanned, "asim", PqShortlist)
+    val shortlist = topKPerQuery(scanned, "asim", shortlistFor(n))
     // exact re-rank of the bounded shortlist: the ONLY d-wide dot products
     val reranked = shortlist
       .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")), "xi")
@@ -666,8 +724,10 @@ object SimilarityQueries {
         .otherwise(lit(-1L)).cast("long").as("n_exact"))
   }
 
-  /** Recall@5 floor for ann_pq_check — measured 0.80 at sf0.001 and 0.86
-    * at sf0.01 (shortlist 100, ks 32), pinned at 0.6 with margin. Random
+  /** Recall@5 floor for ann_pq_check — measured 0.80 / 0.86 / 0.90 at
+    * sf0.001/0.01/0.1 (auto shortlist [[shortlistFor]], ks 32; the fixed
+    * 100-row shortlist measured 0.60 at sf0.1 before round 17's
+    * constant-fraction sizing), pinned at 0.6 with margin. Random
     * synthetic embeddings are a WORST case for PQ — rank-5 and rank-50
     * neighbors separate by float dust the quantizer's displacement can
     * reorder — where real clustered embeddings hold their near-dups far
@@ -716,7 +776,7 @@ object SimilarityQueries {
       .withColumn("csim", dot("v", "vc") / (col("nrm") * col("nc")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
-      .where(col("crn") <= IvfNprobe)
+      .where(col("crn") <= nprobeFor(n))
       .select(col("vec_id").as("qi"), col("cid"))
       .join(broadcast(qluts), "qi")
     // ADC inside the probed buckets only; the bucket-restricted top-k
@@ -727,7 +787,7 @@ object SimilarityQueries {
       .withColumn("asim",
         cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))) / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("asim"))
-    val shortlist = topKPerQuery(scanned, "asim", PqShortlist)
+    val shortlist = topKPerQuery(scanned, "asim", shortlistFor(n))
     val reranked = shortlist
       .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")), "xi")
       .join(broadcast(queries.select(col("vec_id").as("qi"),
@@ -807,7 +867,7 @@ object SimilarityQueries {
       .withColumn("csim", col("qdotc") / (col("nrm") * col("nc")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
-      .where(col("crn") <= IvfNprobe)
+      .where(col("crn") <= nprobeFor(n))
       .select(col("vec_id").as("qi"), col("cid"), col("qdotc"))
       .join(broadcast(qluts), "qi")
     val scanned = probes.join(scanR, Seq("cid"))
@@ -839,23 +899,25 @@ object SimilarityQueries {
   }
 
   /** Recall@5 floor for ann_ivf_rpq_check — measured before pinning (the
-    * PqRecallFloor discipline): 0.64 / 0.70 / 0.52 at sf0.001/0.01/0.1 —
-    * ABOVE the non-residual composition at every scale (0.60/0.62/0.44),
-    * the first direct measurement of what residual encoding buys at the
-    * same nprobe. Pinned at 0.5 with margin; `PqAnnSpec` asserts the
-    * contract corpus clears it. */
+    * PqRecallFloor discipline): 0.64 / 0.70 / 0.72 at sf0.001/0.01/0.1
+    * under the auto [[nprobeFor]] (0.52 at sf0.1 under the old fixed
+    * nprobe = 10) — at the IVF probe ceiling (= ann_ivf's own recall) at
+    * EVERY scale with the FIXED 100-row shortlist: the residual
+    * quantizer's noise sits below the neighbor gaps, so the shortlist
+    * never needs to grow. Pinned at 0.5 with margin; `PqAnnSpec` asserts
+    * the contract corpus clears it. */
   private[queries] val IvfRpqRecallFloor = 0.5
 
   /** Recall@5 floor for ann_ivf_pq_check: the composition stacks the IVF
     * probe miss (a true neighbor in an unprobed bucket) on the PQ
     * shortlist miss, so its floor sits below [[PqRecallFloor]]. Measured
-    * before pinning (the PqRecallFloor discipline): 0.60 at sf0.001, 0.62
-    * at sf0.01 (the contract corpus), 0.44 at sf0.1 — the sag with n is
-    * the FIXED [[IvfNprobe]] scanning a shrinking nprobe/√n fraction of a
-    * random corpus, the standard IVF recall/cost dial (turn nprobe up, or
-    * probe assignment-aligned via [[ivfSearchAdaptive]]), not a defect of
-    * the composition: clustered corpora — the dedup/retrieval use case —
-    * hold their near-dups at rank 1 through BOTH approximations
+    * before pinning (the PqRecallFloor discipline): 0.60 / 0.62 / 0.72 at
+    * sf0.001/0.01/0.1 under the round-17 auto knobs ([[nprobeFor]] +
+    * [[shortlistFor]]; the fixed nprobe = 10 / shortlist = 100 measured
+    * 0.44 at sf0.1 — the round-16 sag both constant-fraction rules exist
+    * to remove). At sf0.1 the composed tier now sits AT its IVF probe
+    * ceiling (ann_ivf's own 0.72). Clustered corpora — the dedup/retrieval
+    * use case — hold their near-dups at rank 1 through BOTH approximations
     * (`PqAnnSpec`). Pinned at 0.5 with margin under the contract corpus. */
   private[queries] val IvfPqRecallFloor = 0.5
 
@@ -1189,7 +1251,7 @@ object SimilarityQueries {
     * first-10-queries probe set — consumed verbatim by the `ann_ivf` and
     * `ann_ivf_pq` oracles so the two can never drift apart. */
   private val ivfOracleCtes: String =
-    """p1 AS (
+    s"""p1 AS (
       |  SELECT count(*) AS n,
       |         greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
       |  FROM embeddings),
@@ -1224,13 +1286,17 @@ object SimilarityQueries {
       |                              ORDER BY list_cosine_similarity(a.embedding, f.vc) DESC, f.cid) AS rn
       |    FROM vass1 a JOIN f2c f ON f.ccid = a.ccid) t WHERE rn = 1),
       |probes AS (
+      |  -- nprobe mirrors nprobeFor(n): max(10, ceil(0.45 * floor(sqrt(n)))),
+      |  -- the constant-scanned-fraction rule; scalar subquery, not a third
+      |  -- join leg (the DuckDB 1.0.0 cross-join-chain workaround)
       |  SELECT vec_id AS qi, embedding AS vq, cid FROM (
       |    SELECT e.vec_id, e.embedding, f.cid,
       |           row_number() OVER (PARTITION BY e.vec_id
       |                              ORDER BY list_cosine_similarity(e.embedding, f.vc) DESC, f.cid) AS rn
       |    FROM embeddings e CROSS JOIN fines f
       |    WHERE e.vec_id < 10) t
-      |  WHERE rn <= 10)""".stripMargin
+      |  WHERE rn <= (SELECT greatest($IvfNprobe,
+      |    CAST(ceil($IvfProbeFrac * k) AS BIGINT)) FROM p2))""".stripMargin
 
   /** Shared DuckDB CTE block: the full PQ pipeline up to the per-query ADC
     * tables — stride-picked codebook donors, per-subspace slices (width
@@ -1345,7 +1411,9 @@ object SimilarityQueries {
         |             ORDER BY a.adot / (nq.nrm * nx.nrm) DESC, a.xi ASC) AS arn
         |    FROM approx a JOIN norms nq ON nq.vec_id = a.qi
         |                  JOIN norms nx ON nx.vec_id = a.xi) t
-        |  WHERE arn <= $PqShortlist),
+        |  -- shortlist mirrors shortlistFor(n): max(100, ceil(0.2 * n))
+        |  WHERE arn <= (SELECT greatest($PqShortlist,
+        |    CAST(ceil($PqShortlistFrac * n) AS BIGINT)) FROM p)),
         |rerank AS (
         |  SELECT s.qi, s.xi,
         |         list_cosine_similarity(q.embedding, x.embedding) AS sim
@@ -1376,7 +1444,9 @@ object SimilarityQueries {
         |             ORDER BY s.adot / (nq.nrm * nx.nrm) DESC, s.xi ASC) AS arn
         |    FROM scanned s JOIN norms nq ON nq.vec_id = s.qi
         |                   JOIN norms nx ON nx.vec_id = s.xi) t
-        |  WHERE arn <= $PqShortlist),
+        |  -- shortlist mirrors shortlistFor(n): max(100, ceil(0.2 * n))
+        |  WHERE arn <= (SELECT greatest($PqShortlist,
+        |    CAST(ceil($PqShortlistFrac * n) AS BIGINT)) FROM p)),
         |rr AS (
         |  SELECT s.qi, s.xi,
         |         list_cosine_similarity(q.embedding, x.embedding) AS sim
