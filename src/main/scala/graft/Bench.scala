@@ -531,6 +531,25 @@ object Bench {
           finally Graft.rewritesEnabled = true
         }
       }
+      // raw top-k read re-pinned after the deep settle (round-16 verdict
+      // task 5: topk_read_us moved 191 → 269 µs with the environment and
+      // — at ~300× the other raw-layer probes — had no isolation twin to
+      // adjudicate the next drift). Identical loop to the in-suite probe.
+      try {
+        graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+          .flatMap(_.topKWheel("user_id")).foreach { tw =>
+            tw.topK(1704412800L, 1705017600L, 5)
+            System.gc(); Thread.sleep(200)
+            val t0 = System.nanoTime()
+            var j = 0
+            while (j < 200) { tw.topK(1704412800L, 1705017600L, 5); j += 1 }
+            probes("iso_topk_read_us") = (System.nanoTime() - t0) / 1e3 / 200
+          }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          probes("iso_topk_read_us") = -1.0
+          System.err.println(s"[graft] iso topk_read probe failed: $e")
+      }
     }
 
     // Index save/load lifecycle (round-15 verdict task 7): the restart-to-
@@ -584,6 +603,96 @@ object Bench {
             graft.index.WheelRegistry.register(ti)
         }
       }
+
+    // Per-family load attribution (round-16 verdict task 7): index_load_sec
+    // is one monolithic readObject, so a drift in it names no family. Here
+    // each family's wheel list is serialized alone to memory and ITS
+    // deserialization timed — disk excluded on purpose (the 45 MiB file
+    // reads at NVMe speed; the ~12 MiB/s effective rate is CPU-bound object
+    // graph reconstruction). The sum approximates the monolithic load minus
+    // registry re-normalization; the dominant key is the optimization
+    // target, per the "measure before optimizing" discipline.
+    if (only.isEmpty) graft.index.WheelRegistry.lookup(s"$sfDir/events.parquet")
+      .foreach { ti =>
+        try {
+          val fams: Seq[(String, Seq[AnyRef])] = Seq(
+            "numeric" -> ti.allWheels,
+            "hll" -> ti.allDistinctWheels,
+            "hdr" -> ti.allQuantileWheels,
+            "cms" -> ti.allFreqWheels,
+            "topk" -> ti.allTopKWheels,
+            "moment" -> ti.allMomentWheels,
+            "comoment" -> ti.allCoMomentWheels)
+          fams.foreach { case (fam, ws) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val oos = new java.io.ObjectOutputStream(bos)
+            oos.writeObject(ws.toList); oos.close()
+            val bytes = bos.toByteArray
+            System.gc(); Thread.sleep(100)
+            val t0 = System.nanoTime()
+            new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+              .readObject()
+            probes(s"index_load_sec_$fam") = (System.nanoTime() - t0) / 1e9
+            probes(s"index_ser_mib_$fam") = bytes.length / 1048576.0
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            probes("index_load_sec_family_failed") = -1.0
+            System.err.println(s"[graft] per-family load attribution failed: $e")
+        }
+      }
+
+    // ANN index lifecycle (round-16 verdict task 3): the residual-PQ
+    // tier's restart-to-first-answer, the WheelIndexIO probe's shape
+    // applied to AnnIndexIO. ann_save_sec = full build (hierarchy +
+    // codebook + corpus encode) + parquet writes; ann_load_sec = meta +
+    // artifact load INCLUDING materializing the codes scan (count);
+    // ann_serve_sec = one top-5 search from the loaded artifacts;
+    // ann_load_serves = 1 only when the loaded index is FRESH and the
+    // served pairs are value-identical to the from-scratch pipeline.
+    if (only.isEmpty) try {
+      val annDir = java.nio.file.Files.createTempDirectory("graft-bench-ann")
+      try {
+        val corpus = s"$sfDir/embeddings.parquet"
+        System.gc(); Thread.sleep(200)
+        val t0 = System.nanoTime()
+        graft.queries.AnnIndexIO.save(spark, annDir.toString, corpus)
+        probes("ann_save_sec") = (System.nanoTime() - t0) / 1e9
+        val duStream = java.nio.file.Files.walk(annDir)
+        val duBytes =
+          try duStream.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally duStream.close()
+        probes("ann_index_mib") = duBytes / 1048576.0
+        val t1 = System.nanoTime()
+        val (art, meta) = graft.queries.AnnIndexIO.load(spark, annDir.toString)
+        art.codes.count()
+        probes("ann_load_sec") = (System.nanoTime() - t1) / 1e9
+        val e = graft.queries.SimilarityQueries.vecsOf(spark.read.parquet(corpus))
+        val t2 = System.nanoTime()
+        val served = graft.queries.SimilarityQueries.rpqSearch(art, e)
+          .collect().map(_.toString).sorted.toSeq
+        probes("ann_serve_sec") = (System.nanoTime() - t2) / 1e9
+        val inline = graft.queries.SimilarityQueries.rpqSearch(
+          graft.queries.SimilarityQueries.rpqArtifactsOf(e, meta.n), e)
+          .collect().map(_.toString).sorted.toSeq
+        probes("ann_load_serves") =
+          if (graft.queries.AnnIndexIO.isFresh(spark, meta) && served == inline) 1.0
+          else -1.0
+        if (probes("ann_load_serves") < 0)
+          System.err.println("[graft] LOADED ANN INDEX DOES NOT SERVE EXACTLY")
+      } finally {
+        val ds = java.nio.file.Files.walk(annDir)
+        try ds.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally ds.close()
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Seq("ann_save_sec", "ann_load_sec", "ann_serve_sec", "ann_load_serves")
+          .foreach(k => if (!probes.contains(k)) probes(k) = -1.0)
+        System.err.println(s"[graft] ann index lifecycle probe failed: $e")
+    }
 
 
     // how much of the suite actually served from the index, from the

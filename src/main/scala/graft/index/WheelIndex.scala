@@ -1469,7 +1469,7 @@ object UWheelIndex {
     fingerprintOfListing(location.listFiles(Nil, Nil).flatMap(_.files)
       .map(f => (f.getPath.toString, f.getLen, f.getModificationTime)))
 
-  private def fingerprintOfListing(files: Seq[(String, Long, Long)]): Long =
+  private[graft] def fingerprintOfListing(files: Seq[(String, Long, Long)]): Long =
     files.sortBy(_._1).foldLeft(1125899906842597L) { case (h, (p, l, m)) =>
       ((h * 31 + p.##) * 31 + l) * 31 + m
     }
@@ -1488,6 +1488,12 @@ object UWheelIndex {
     }
 
   private[graft] def fingerprintOfDf(df: DataFrame): Long = fingerprintOf(df)
+
+  /** Current (path, length, modificationTime) listing of a file-backed
+    * DataFrame, empty for non-file plans — [[graft.queries.AnnIndexIO]]
+    * diffs it against a saved listing to find append-only refresh work. */
+  private[graft] def listingOfDf(df: DataFrame): Seq[(String, Long, Long)] =
+    listingOf(df).getOrElse(Seq.empty)
 
   private def fingerprintOf(df: DataFrame): Long =
     listingOf(df).map(fingerprintOfListing).getOrElse(0L)

@@ -483,6 +483,18 @@ object SimilarityQueries {
     * the fine belongs to, consumed by [[ivfSearchAdaptive]]'s
     * assignment-aligned probing — and assignment (xi, vx, nx, cid)). */
   private[queries] def ivfIndex(e: DataFrame, n: Long): (DataFrame, DataFrame) = {
+    val (fines, _, assigned) = ivfIndexFull(e, n)
+    (fines, assigned)
+  }
+
+  /** [[ivfIndex]] plus the COARSE centroid set (ccid, vcc, ncc) as a third
+    * frame — [[graft.queries.AnnIndexIO]] persists it so a refresh can
+    * assign APPENDED vectors through the identical coarse-first procedure
+    * against the frozen hierarchy ([[assignToFrozen]]); reconstructing the
+    * coarse set from the fines' in-use ccid values (the [[adaptiveProbes]]
+    * shortcut) would silently drop a coarse cell that no fine mapped to. */
+  private[queries] def ivfIndexFull(
+      e: DataFrame, n: Long): (DataFrame, DataFrame, DataFrame) = {
     val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
     val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)
     val fines = e.where(col("vec_id") % stride === 0)
@@ -499,17 +511,31 @@ object SimilarityQueries {
       dot("vc", "vcc") / (col("nc") * col("ncc")), "ccid", Nil)
       .join(fines.select(col("cid"), col("vc"), col("nc")), "cid")
     // vector → nearest coarse → nearest fine within it
+    val finesC = f2c.select(col("cid"), col("vc"), col("nc"), col("ccid"))
+    val assigned = assignToFrozen(finesC, coarse, e)
+    (finesC, coarse, assigned)
+  }
+
+  /** Coarse-first assignment of `(vec_id, v, nrm)` vectors against an
+    * EXISTING hierarchy — the exact `vass1` + fine-argmax tail of
+    * [[ivfIndexFull]], factored out so [[AnnIndexIO.refresh]] assigns
+    * appended vectors through the identical procedure against FROZEN
+    * centroids (standard FAISS append practice: the index never re-trains
+    * on refresh, so refresh ≡ rebuild-with-frozen-codebook by
+    * construction). `fines` is (cid, vc, nc, ccid), `coarse` is
+    * (ccid, vcc, ncc). Returns (xi, vx, nx, cid). */
+  private[queries] def assignToFrozen(
+      fines: DataFrame, coarse: DataFrame, e: DataFrame): DataFrame = {
     val vass1 = argmaxJoin(
       e.select(col("vec_id"), col("v"), col("nrm")), "vec_id", coarse,
       dot("v", "vcc") / (col("nrm") * col("ncc")), "ccid", Seq("v", "nrm"))
-    val assigned = vass1.join(broadcast(f2c), "ccid")
+    vass1.join(broadcast(fines), "ccid")
       .withColumn("_fs", dot("v", "vc") / (col("nrm") * col("nc")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("_fs"), (-col("cid")).as("_n0"), col("cid"),
         col("v"), col("nrm"))).as("_a"))
       .select(col("vec_id").as("xi"), col("_a.v").as("vx"),
         col("_a.nrm").as("nx"), col("_a.cid").as("cid"))
-    (f2c.select(col("cid"), col("vc"), col("nc"), col("ccid")), assigned)
   }
 
   /** Probe + scan: each query ranks ALL fine centroids (√n comparisons per
@@ -840,14 +866,28 @@ object SimilarityQueries {
   private[queries] val RpqM = 16
   private[queries] val RpqKs = 256
 
-  def annIvfRpq(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The residual tier's frozen artifacts — exactly what [[AnnIndexIO]]
+    * persists: the IVF hierarchy (`fines` (cid, vc, nc, ccid), `coarse`
+    * (ccid, vcc, ncc)), the residual codebook (`cents`, effective `ks`),
+    * and the scan tier `codes` (xi, cid, nx, codes) — one 16-byte code +
+    * stored norm per corpus row, the ONLY per-corpus-row state a search
+    * reads. `n` is the corpus row count the artifacts were trained under
+    * (it sizes [[nprobeFor]] at serve time). Everything here is a
+    * deterministic function of the corpus, so save/load/serve is
+    * bit-reproducible. */
+  private[graft] final case class RpqArtifacts(
+      fines: DataFrame, coarse: DataFrame, codes: DataFrame,
+      cents: Array[Double], ks: Int, n: Long)
+
+  /** Builds the residual tier's artifacts over an `(vec_id, v, nrm)`
+    * corpus frame — the BUILD half of [[annIvfRpq]], factored out so
+    * [[AnnIndexIO.save]] persists the same frames the inline query
+    * computes. Residuals are FLOAT subtraction against the assigned fine
+    * centroid, so the DuckDB oracle's REAL arithmetic reproduces each
+    * component bit-for-bit. */
+  private[graft] def rpqArtifactsOf(e: DataFrame, n: Long): RpqArtifacts = {
     import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
-    Q.ctx(spark, sfDir)
-    val e = vecs(spark)
-    val n: Long = cachedCount(spark, sfDir, "embeddings")
-    val (fines, assigned) = ivfIndex(e, n)
-    // residuals against the assigned fine centroid — FLOAT subtraction, so
-    // the oracle's REAL arithmetic reproduces each component bit-for-bit
+    val (fines, coarse, assigned) = ivfIndexFull(e, n)
     val assignedR = assigned
       .join(fines.select(col("cid"), col("vc")), "cid")
       .withColumn("r", expr("zip_with(vx, vc, (a, b) -> a - b)"))
@@ -856,21 +896,48 @@ object SimilarityQueries {
     // scan tier: one (cid, codes, nx) row per vector — residual codes
     val scanR = assignedR.select(col("xi"), col("cid"), col("nx"),
       cc(graft.functions.PqEncode(ce(col("r")), centsR, RpqM, ks)).as("codes"))
+    RpqArtifacts(fines, coarse, scanR, centsR, ks, n)
+  }
+
+  /** Residual-code encoding of an `(vec_id, v, nrm)` frame against FROZEN
+    * artifacts — assignment through the frozen hierarchy, residual against
+    * the frozen fine centroid, codes from the frozen codebook. This is the
+    * refresh path's encode step AND, run over the full corpus, the
+    * "rebuild-modulo-frozen-codebook" reference `AnnIndexIOSpec` compares
+    * a refresh against. */
+  private[graft] def rpqEncodeFrozen(art: RpqArtifacts, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
+    assignToFrozen(art.fines, art.coarse, e)
+      .join(art.fines.select(col("cid"), col("vc")), "cid")
+      .withColumn("r", expr("zip_with(vx, vc, (a, b) -> a - b)"))
+      .select(col("xi"), col("cid"), col("nx"),
+        cc(graft.functions.PqEncode(ce(col("r")), art.cents, RpqM, art.ks)).as("codes"))
+  }
+
+  /** The SEARCH half of [[annIvfRpq]] over (possibly loaded) artifacts:
+    * probe the nprobe best fine buckets per query, ADC-score the residual
+    * codes inside them (dot(q, x) = dot(q, c) + dot(q, r)), re-rank the
+    * bounded shortlist exactly against the corpus frame `e` — which is the
+    * SOURCE table, not index state: the persisted index carries only codes
+    * and norms, and the d-wide re-rank reads raw vectors back from the
+    * corpus by id, the standard deployment split. */
+  private[graft] def rpqSearch(art: RpqArtifacts, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
     // probe set: global fine ranking per query; keep the RAW dot(q, c) —
     // the per-bucket constant of the decomposition — alongside the lut
     val queries = e.where(col("vec_id") < 10)
     val qluts = queries.select(col("vec_id").as("qi"),
-      cc(graft.functions.PqLut(ce(col("v")), centsR, RpqM, ks)).as("lut"),
+      cc(graft.functions.PqLut(ce(col("v")), art.cents, RpqM, art.ks)).as("lut"),
       col("nrm").as("nq"))
-    val probes = queries.join(broadcast(fines), lit(true))
+    val probes = queries.join(broadcast(art.fines), lit(true))
       .withColumn("qdotc", dot("v", "vc"))
       .withColumn("csim", col("qdotc") / (col("nrm") * col("nc")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
-      .where(col("crn") <= nprobeFor(n))
+      .where(col("crn") <= nprobeFor(art.n))
       .select(col("vec_id").as("qi"), col("cid"), col("qdotc"))
       .join(broadcast(qluts), "qi")
-    val scanned = probes.join(scanR, Seq("cid"))
+    val scanned = probes.join(art.codes, Seq("cid"))
       .where(col("qi") =!= col("xi"))
       .withColumn("asim",
         (col("qdotc") + cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))))
@@ -884,6 +951,35 @@ object SimilarityQueries {
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
     topKPerQuery(reranked, "sim", 5).orderBy("qi", "xi")
+  }
+
+  /** The corpus frame [[annIvfRpq]] and the persistence layer share:
+    * (vec_id, v, nrm) with the norm from the same codegen'd dot. */
+  private[graft] def vecsOf(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+
+  def annIvfRpq(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val e = vecs(spark)
+    val n: Long = cachedCount(spark, sfDir, "embeddings")
+    rpqSearch(rpqArtifactsOf(e, n), e)
+  }
+
+  /** `ann_ivf_rpq` SERVED FROM THE PERSISTED INDEX (round-16 verdict task
+    * 3): build-or-load the [[AnnIndexIO]] artifacts for this corpus under
+    * the session-scoped index root, serve the identical search from them.
+    * Fresh load ≡ rebuild bit-for-bit (the artifacts are deterministic and
+    * parquet round-trips floats/doubles exactly), so this entry shares
+    * `ann_ivf_rpq`'s full-pipeline DuckDB oracle — the strongest available
+    * proof that a RESTARTED service answers exactly what the builder
+    * answered. Staleness is inert-never-wrong: a changed corpus listing
+    * fails the fingerprint gate and the entry rebuilds + re-saves. */
+  def annIvfRpqServed(spark: SparkSession, sfDir: String): DataFrame = {
+    Q.ctx(spark, sfDir)
+    val art = AnnIndexIO.loadFreshOrRebuild(
+      spark, AnnIndexIO.defaultDir(spark, sfDir), s"$sfDir/embeddings.parquet")
+    rpqSearch(art, vecs(spark))
   }
 
   /** Recall companion for the residual tier (the ann_pq_check pattern). */
@@ -1241,6 +1337,7 @@ object SimilarityQueries {
     "ann_ivf_pq_check" -> (annIvfPqCheck _),
     "ann_ivf_rpq" -> (annIvfRpq _),
     "ann_ivf_rpq_check" -> (annIvfRpqCheck _),
+    "ann_ivf_rpq_served" -> (annIvfRpqServed _),
     "emb_centroid" -> Q.sql(embCentroidSpark),
     "emb_quant" -> Q.sql(embQuantSpark),
   )
@@ -1353,7 +1450,7 @@ object SimilarityQueries {
     * instead. Everything else is exactly checkable — including IVF, whose
     * centroid choice, assignment, and probing are deterministic with
     * explicit tie-breaks. */
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = withServedOracle(Map(
     // LSH recall-gated companions: the Spark side returns the exact pair
     // COUNT only when precision is 1 and recall clears the spec-pinned
     // bound, so the plain exact count is the oracle
@@ -1607,5 +1704,13 @@ object SimilarityQueries {
         |         / 1000000.0 / count(*) AS centroid
         |FROM embeddings, generate_series(1, 64) AS g(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-  )
+  ))
+
+  /** `ann_ivf_rpq_served` answers from the PERSISTED index, and its
+    * contract is exactly that doing so changes nothing: it shares
+    * `ann_ivf_rpq`'s full-pipeline DuckDB oracle verbatim, so the driver
+    * hash-compares the save → load → serve round trip against the
+    * from-scratch pipeline value-for-value. */
+  private def withServedOracle(base: Map[String, String]): Map[String, String] =
+    base + ("ann_ivf_rpq_served" -> base("ann_ivf_rpq"))
 }
