@@ -417,7 +417,7 @@ object SimilarityQueries {
     * pinned contract behavior. Both engines evaluate the identical double
     * expression (0.45·floor(√n), ceil'd), so the DuckDB oracles reproduce
     * the probe set value-for-value at any n. */
-  private[queries] def nprobeFor(n: Long): Int = {
+  private[graft] def nprobeFor(n: Long): Int = {
     val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
     math.max(IvfNprobe, math.ceil(IvfProbeFrac * k.toDouble).toInt)
   }
@@ -863,8 +863,8 @@ object SimilarityQueries {
     * (`PqScaleSpec`'s recovering-regime probe measured 2/40 recovery at a
     * 40/40 probe ceiling under 8×32). sub=4/ks=256 brings it to ~0.25 —
     * byte codes, 16-byte rows, still 16× under the raw float column. */
-  private[queries] val RpqM = 16
-  private[queries] val RpqKs = 256
+  private[graft] val RpqM = 16
+  private[graft] val RpqKs = 256
 
   /** The residual tier's frozen artifacts — exactly what [[AnnIndexIO]]
     * persists: the IVF hierarchy (`fines` (cid, vc, nc, ccid), `coarse`
