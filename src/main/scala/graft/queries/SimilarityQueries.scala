@@ -389,7 +389,7 @@ object SimilarityQueries {
     topKPerQuery(scored, "sim", 5).orderBy("qi", "xi")
   }
 
-  private[queries] val IvfNprobe = 10
+  private[graft] val IvfNprobe = 10
 
   /** Target scanned fraction for IVF probing — nprobe/k, the fraction of
     * the ~√n fine centroids (equivalently of the corpus) a query scans.
@@ -406,9 +406,12 @@ object SimilarityQueries {
     * scaladocs below). Random corpora are the worst case — recall there
     * COSTS scanned fraction, since neighbors separate by float dust and
     * spread uniformly over buckets; clustered corpora (the dedup/retrieval
-    * use case) hold near-dups at rank 1 at tiny fractions, which is what
-    * `BenchAnnScale`'s recall-vs-nprobe curve at 1M measures — the dial a
-    * deployment turns DOWN once its corpus is clustered. */
+    * use case) hold near-dups at rank 1 at tiny fractions — measured in
+    * `BENCH_ann_scale_r17.json`'s recall-vs-nprobe curve at 1M: the
+    * residual tier saturates at recall 1.0 by nprobe 100 (17.6 % scanned),
+    * recall equals the probe ceiling at EVERY point, and the auto value
+    * (450 there) slightly overshoots (0.99 — extra candidates displace the
+    * fixed shortlist). The dial a clustered deployment turns DOWN. */
   private[queries] val IvfProbeFrac = 0.45
 
   /** Corpus-size-aware probe count: the fewest probes that scan
@@ -482,7 +485,7 @@ object SimilarityQueries {
     * Returns (fine centroids (cid, vc, nc, ccid) — ccid is the coarse cell
     * the fine belongs to, consumed by [[ivfSearchAdaptive]]'s
     * assignment-aligned probing — and assignment (xi, vx, nx, cid)). */
-  private[queries] def ivfIndex(e: DataFrame, n: Long): (DataFrame, DataFrame) = {
+  private[graft] def ivfIndex(e: DataFrame, n: Long): (DataFrame, DataFrame) = {
     val (fines, _, assigned) = ivfIndexFull(e, n)
     (fines, assigned)
   }
@@ -493,7 +496,7 @@ object SimilarityQueries {
     * against the frozen hierarchy ([[assignToFrozen]]); reconstructing the
     * coarse set from the fines' in-use ccid values (the [[adaptiveProbes]]
     * shortcut) would silently drop a coarse cell that no fine mapped to. */
-  private[queries] def ivfIndexFull(
+  private[graft] def ivfIndexFull(
       e: DataFrame, n: Long): (DataFrame, DataFrame, DataFrame) = {
     val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
     val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)
@@ -541,7 +544,7 @@ object SimilarityQueries {
   /** Probe + scan: each query ranks ALL fine centroids (√n comparisons per
     * query — per-query work, not per-corpus-row), scans its `nprobe`
     * buckets, and keeps the top `topK` by cosine. */
-  private[queries] def ivfSearch(fines: DataFrame, assigned: DataFrame,
+  private[graft] def ivfSearch(fines: DataFrame, assigned: DataFrame,
       queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
     val probes = queries.join(broadcast(fines), lit(true))
       .withColumn("csim", dot("v", "vc") / (col("nrm") * col("nc")))
@@ -593,7 +596,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"), col("cid"))
   }
 
-  private[queries] def ivfSearchAdaptive(finesC: DataFrame, assigned: DataFrame,
+  private[graft] def ivfSearchAdaptive(finesC: DataFrame, assigned: DataFrame,
       queries: DataFrame, ncoarse: Int, nfinePerCoarse: Int, topK: Int): DataFrame = {
     val probesF = adaptiveProbes(finesC, queries, ncoarse, nfinePerCoarse)
     val scored = probesF.join(assigned,
@@ -614,8 +617,8 @@ object SimilarityQueries {
   /** PQ geometry: 8 subspaces × 32 centroids → 8-byte codes for the dim-64
     * corpus (32× below the raw float column) with 5-bit sub-quantizer
     * indices stored one per byte for oracle portability. */
-  private[queries] val PqM = 8
-  private[queries] val PqKs = 32
+  private[graft] val PqM = 8
+  private[graft] val PqKs = 32
 
   /** Deterministic PQ codebook: `ks` stride-picked donor vectors (the same
     * stride discipline as the IVF centroids, so the DuckDB oracle
@@ -626,7 +629,7 @@ object SimilarityQueries {
     * the ≤ 8 KB array as a plan constant, never a join side. Returns
     * (codebook, effective ks) — a corpus smaller than the stride count
     * yields fewer donors. */
-  private[queries] def pqCodebook(
+  private[graft] def pqCodebook(
       e: DataFrame, n: Long, m: Int, ks: Int): (Array[Double], Int) = {
     val stride = math.max(1L, math.ceil(n.toDouble / ks).toLong)
     val donors = e.where(col("vec_id") % stride === 0)
@@ -658,7 +661,7 @@ object SimilarityQueries {
   /** ADC shortlist size: the d-wide exact dot product only ever touches
     * `PqShortlist` candidates per query — the standard PQ deployment shape
     * (cheap code scan → exact re-rank of a bounded shortlist). */
-  private[queries] val PqShortlist = 100
+  private[graft] val PqShortlist = 100
 
   /** Target shortlist fraction for the RAW-vector PQ tiers (ann_pq,
     * ann_ivf_pq) — shortlist/n held constant, the same constant-fraction
@@ -678,7 +681,7 @@ object SimilarityQueries {
     * (0.84 at 1M vectors, `PqScaleSpec`/`BENCH_ann_scale`), because its
     * sub-quantizer noise sits below the neighbor gaps the shortlist must
     * resolve. */
-  private[queries] val PqShortlistFrac = 0.2
+  private[graft] val PqShortlistFrac = 0.2
 
   /** Corpus-size-aware ADC shortlist for the raw-quantizer tiers: the
     * smallest shortlist holding [[PqShortlistFrac]] of the corpus, floored

@@ -34,111 +34,23 @@ class PqScaleSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private val N = 1000000L
-  private val Dups = 40
+  // ONE corpus + pipeline implementation, shared with the JSON record tool
+  // (graft.tools.BenchAnnScale, round-16 verdict task 2) so the numbers
+  // this spec ASSERTS and the numbers the record PUBLISHES cannot drift:
+  // both call graft.tools.AnnScaleHarness. Corpus shape: 20k hash-derived
+  // clusters × 50 members + 40 planted near-dup queries — 20k modes
+  // against a ks=32 codebook deliberately EXCEED the plain quantizer's
+  // resolution (the measured scaling limit); the residual tier recovers it.
+  import graft.tools.AnnScaleHarness
+  import graft.tools.AnnScaleHarness.{baseOf, topkOf, N, Dups}
+
   private val M = 8
   private val Ks = 32
 
-  /** Deterministic dim-64 FLOAT corpus of MANY SMALL CLUSTERS — the
-    * near-dup-dedup shape PQ serves: 20k hash-derived cluster centers ×
-    * [[PerCluster]] = 50 members each (noise 10× smaller than the
-    * inter-center spread), plus `Dups` planted near-copies of spread
-    * member vectors (displacement 10× smaller again). 20k modes against a
-    * ks=32 codebook deliberately EXCEEDS the quantizer's resolution — the
-    * recall measured here is the plain-PQ scaling limit going into the
-    * record as a curve (see the in-test comment), while the byte/wall
-    * claims this spec ASSERTS are mode-independent. Float storage so the
-    * byte accounting is real. */
-  private val PerCluster = 50
+  private def corpus: DataFrame = AnnScaleHarness.corpus(spark)
 
-  /** Deterministic clustered corpus: `N / perCluster` hash-derived cluster
-    * centers × perCluster members (noise 10× under the inter-center
-    * spread) + `Dups` planted near-copies of members at stride `bidStride`
-    * (displacement 10× under the noise). */
-  private def corpusOf(perCluster: Int, bidStride: Long): DataFrame = {
-    graft.Graft.enable(spark) // vec_dot registration
-    val member =
-      s"CAST(pmod(hash(CAST(%ID% div $perCluster AS BIGINT) * 64 + j), 1000000) AS DOUBLE) / 1e6" +
-        " + (CAST(pmod(hash(%ID% * 64 + j + 7), 1000000) AS DOUBLE) / 1e6 - 0.5D) * 0.02D"
-    val base = spark.range(0, N).toDF("vec_id")
-      .withColumn("v", expr(
-        s"transform(sequence(0, 63), j -> CAST(${member.replace("%ID%", "vec_id")} AS FLOAT))"))
-    val dups = spark.range(0, Dups).toDF("i")
-      .withColumn("vec_id", col("i") + N)
-      .withColumn("bid", col("i") * bidStride)
-      .withColumn("v", expr(
-        s"transform(sequence(0, 63), j -> CAST(${member.replace("%ID%", "bid")}" +
-          " + (CAST(pmod(hash(i * 64 + j + 13), 1000000) AS DOUBLE) / 1e6 - 0.5D) * 0.002D AS FLOAT))"))
-      .select("vec_id", "v")
-    base.select("vec_id", "v").union(dups)
-      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
-  }
-
-  private def corpus: DataFrame = corpusOf(PerCluster, 25013L)
-
-  /** Top-k per query through the production bounded-heap aggregate. */
-  private def topkOf(scored: DataFrame, score: String, k: Int): DataFrame =
-    scored.groupBy("qi")
-      .agg(expr(s"topk_pairs($score, xi, $k)").as("tk"))
-      .select(col("qi"), posexplode(col("tk")).as(Seq("pos", "p")))
-      .select(col("qi"), col("p").getField("i").as("xi"), (col("pos") + 1).as("rn"))
-
-  /** The full IVF-residual-PQ pipeline over a corpus: returns
-    * (top-5 rows (qi, xi, rn), planted-base probe-ceiling count). */
-  private def residualPipeline(e: DataFrame, n: Long, bidStride: Long)
-      : (Array[(Long, Long, Int)], Long) = {
-    val (fines, assigned0) = SimilarityQueries.ivfIndex(e, n)
-    val assigned = assigned0.persist()
-    val assignedR = assigned
-      .join(fines.select(col("cid"), col("vc")), "cid")
-      .withColumn("r", expr("zip_with(vx, vc, (a, b) -> a - b)"))
-    val (centsR, ksR) = SimilarityQueries.pqCodebook(
-      assignedR.select(col("xi").as("vec_id"), col("r").as("v")), n,
-      SimilarityQueries.RpqM, SimilarityQueries.RpqKs)
-    val scanR = assignedR.select(col("xi"), col("cid"), col("nx"),
-      cc(PqEncode(ce(col("r")), centsR, SimilarityQueries.RpqM, ksR)).as("codes")).persist()
-    scanR.count()
-    val qlutsR = e.where(col("vec_id") >= N).select(col("vec_id").as("qi"),
-      cc(PqLut(ce(col("v")), centsR, SimilarityQueries.RpqM, ksR)).as("lut"),
-      col("nrm").as("nq"))
-    val probesR = e.where(col("vec_id") >= N).join(broadcast(fines), lit(true))
-      .withColumn("qdotc", expr("vec_dot(v, vc)"))
-      .withColumn("csim", col("qdotc") / (col("nrm") * col("nc")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
-      .where(col("crn") <= SimilarityQueries.IvfNprobe)
-      .select(col("vec_id").as("qi"), col("cid"), col("qdotc"))
-      .join(broadcast(qlutsR), "qi")
-    val scannedR = probesR.join(scanR, Seq("cid"))
-      .where(col("qi") =!= col("xi"))
-      .withColumn("asim",
-        (col("qdotc") + cc(PqAdc(ce(col("lut")), ce(col("codes")))))
-          / (col("nq") * col("nx")))
-      .select(col("qi"), col("xi"), col("asim"))
-    val shortR = topkOf(scannedR, "asim", SimilarityQueries.PqShortlist)
-      .select(col("qi"), col("xi"))
-    val queriesV = e.where(col("vec_id") >= N)
-      .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"))
-    val rpq = shortR
-      .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")), "xi")
-      .join(broadcast(queriesV), "qi")
-      .withColumn("sim", expr("vec_dot(vq, vx)") / (col("nq") * col("nx")))
-      .select(col("qi"), col("xi"), col("sim"))
-    val top = topkOf(rpq, "sim", 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    val bases = spark.range(0, Dups).toDF("i")
-      .select((col("i") + N).as("qi"), (col("i") * bidStride).as("bid"))
-    val ceiling = bases
-      .join(assigned.select(col("xi").as("bid"), col("cid").as("bcid")), "bid")
-      .join(probesR.select(col("qi"), col("cid")), Seq("qi"))
-      .where(col("cid") === col("bcid"))
-      .select("qi").distinct().count()
-    assigned.unpersist(); scanR.unpersist()
-    (top, ceiling)
-  }
-
-  /** Planted query `N + i` is a near-copy of base member `i * 25013`. */
-  private def baseOf(i: Int): Long = i.toLong * 25013L
+  private def residualPipeline(e: DataFrame, n: Long): (Array[(Long, Long, Int)], Long) =
+    AnnScaleHarness.residualPipeline(spark, e, n, SimilarityQueries.IvfNprobe)
 
   test("1M vectors: 32x scan-tier bytes measured, ADC beats brute, recall curve recorded") {
     spark.sparkContext.setLogLevel("WARN")
@@ -298,7 +210,7 @@ class PqScaleSpec extends AnyFunSuite {
     // sub=8/ks=32 sits above that line where sub=4/ks=256 sits below it.
     // Asserted: recovery covers ≥ 80 % of the probe ceiling and recall
     // decisively clears the plain tier. ----
-    val (rpqTop, probedCeiling) = residualPipeline(e, n, 25013L)
+    val (rpqTop, probedCeiling) = residualPipeline(e, n)
     val rpqPairs = rpqTop.map(t => (t._1, t._2)).toSet
     val rpqRecall = rpqPairs.intersect(brutePairs).size.toDouble / brutePairs.size
     val rpqTop1 = rpqTop.filter(_._3 == 1).map(t => (t._1, t._2)).toMap
