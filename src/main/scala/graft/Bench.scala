@@ -689,7 +689,8 @@ object Bench {
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
-        Seq("ann_save_sec", "ann_load_sec", "ann_serve_sec", "ann_load_serves")
+        Seq("ann_save_sec", "ann_index_mib", "ann_load_sec", "ann_serve_sec",
+            "ann_load_serves")
           .foreach(k => if (!probes.contains(k)) probes(k) = -1.0)
         System.err.println(s"[graft] ann index lifecycle probe failed: $e")
     }

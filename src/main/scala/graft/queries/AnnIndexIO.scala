@@ -97,16 +97,38 @@ object AnnIndexIO {
       }
     require(m.version == FormatVersion,
       s"ANN index format v${m.version} at $dir; this build reads v$FormatVersion — rebuild")
+    // geometry gate: an index persisted under a different compile-time
+    // sub-quantizer shape would pass the fingerprint check (same corpus)
+    // but decode garbage — PqAdc derives m from the stored code LENGTH, so
+    // a LUT built at the current RpqM against codes of another m indexes
+    // the wrong cells with no error anywhere (review finding)
+    require(m.m == SimilarityQueries.RpqM,
+      s"ANN index at $dir was built at m=${m.m} (this build: " +
+        s"${SimilarityQueries.RpqM}) — geometry changed, rebuild")
+    require(m.ks >= 1 && m.cents.length % (m.m * m.ks) == 0 && m.cents.nonEmpty,
+      s"ANN index at $dir has a malformed codebook " +
+        s"(${m.cents.length} doubles for m=${m.m}, ks=${m.ks}) — rebuild")
     m
   }
 
-  /** Session-scoped default index root for a corpus directory — under the
-    * JVM temp dir so contract entries (`ann_ivf_rpq_served`) have a
-    * deterministic place to build-or-load without configuration; a real
-    * deployment passes its own durable `dir`. */
+  /** SESSION-scoped default index root for a corpus directory: under the
+    * JVM temp dir, keyed by the session UUID so contract entries
+    * (`ann_ivf_rpq_served`) have a deterministic place to build-or-load
+    * without configuration AND concurrent sessions can never race each
+    * other's non-atomic parquet overwrites (save's multi-directory rewrite
+    * is only atomic at the meta file; two writers on one directory could
+    * serve a half-rewritten scan — review finding). A path hash joins the
+    * sanitized name so distinct corpus roots that sanitize identically
+    * ("/a/b" vs "/a_b") cannot share a directory. Within one session the
+    * first entry run builds + saves and every later run loads — the
+    * restart-reuse lifecycle itself is exercised by `AnnIndexIOSpec` and
+    * the bench's ann_save/load/serve probes; a real deployment passes its
+    * own durable single-writer `dir`. */
   def defaultDir(spark: SparkSession, sfDir: String): String = {
-    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    Paths.get(System.getProperty("java.io.tmpdir"), "graft_ann_idx", safe).toString
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + java.lang.Integer.toHexString(sfDir.hashCode)
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft_ann_idx",
+      org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark), safe).toString
   }
 
   /** Builds the residual-tier artifacts from the corpus parquet and
@@ -128,6 +150,23 @@ object AnnIndexIO {
     art.codes.write.mode("overwrite").parquet(s"$dir/codes_base")
     writeMeta(dir, AnnMeta(FormatVersion, corpusPath, fp, listing, n,
       SimilarityQueries.RpqM, art.ks, art.cents, Seq("codes_base")))
+    // best-effort cleanup of delta directories from a previous lifecycle:
+    // the fresh meta references only codes_base, so stale codes_delta_*
+    // dirs (earlier refreshes of a corpus this rebuild replaced, or a
+    // refresh that crashed before its meta commit) are unreachable — but
+    // they'd still occupy disk and over-count any du-style accounting
+    // forever (review finding). Runs AFTER the meta commit: a failure
+    // here leaves harmless orphans, never a broken index.
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("codes_delta_"))
+      .foreach { d =>
+        try {
+          val ds = Files.walk(d.toPath)
+          try ds.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+          finally ds.close()
+        } catch { case _: java.io.IOException => () }
+      }
     load(spark, dir)._1
   }
 

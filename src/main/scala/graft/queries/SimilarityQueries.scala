@@ -269,9 +269,7 @@ object SimilarityQueries {
     * ([[graft.functions.VecDot]]) — same sequential double fold as the
     * `aggregate(zip_with(...))` form, minus the per-element lambda dispatch. */
   private def vecs(spark: SparkSession): DataFrame =
-    spark.table("embeddings")
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    vecsOf(spark.table("embeddings"))
 
   private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
@@ -924,11 +922,22 @@ object SimilarityQueries {
     * SOURCE table, not index state: the persisted index carries only codes
     * and norms, and the d-wide re-rank reads raw vectors back from the
     * corpus by id, the standard deployment split. */
-  private[graft] def rpqSearch(art: RpqArtifacts, e: DataFrame): DataFrame = {
+  private[graft] def rpqSearch(art: RpqArtifacts, e: DataFrame): DataFrame =
+    rpqSearchRanked(art, e, e.where(col("vec_id") < 10), nprobeFor(art.n))
+      .select("qi", "xi").orderBy("qi", "xi")
+
+  /** [[rpqSearch]] parameterized over the query frame and `nprobe`, with
+    * the 1-based result rank — the ONE pipeline the contract entries, the
+    * 1M scale spec, and the JSON record tool all execute
+    * ([[graft.tools.AnnScaleHarness]] calls this; a separate copy there
+    * would let the asserted pipeline drift from the production one —
+    * review finding). `queries` must be a (vec_id, v, nrm) subset of the
+    * corpus frame. */
+  private[graft] def rpqSearchRanked(art: RpqArtifacts, e: DataFrame,
+      queries: DataFrame, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
     // probe set: global fine ranking per query; keep the RAW dot(q, c) —
     // the per-bucket constant of the decomposition — alongside the lut
-    val queries = e.where(col("vec_id") < 10)
     val qluts = queries.select(col("vec_id").as("qi"),
       cc(graft.functions.PqLut(ce(col("v")), art.cents, RpqM, art.ks)).as("lut"),
       col("nrm").as("nq"))
@@ -937,7 +946,7 @@ object SimilarityQueries {
       .withColumn("csim", col("qdotc") / (col("nrm") * col("nc")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
-      .where(col("crn") <= nprobeFor(art.n))
+      .where(col("crn") <= nprobe)
       .select(col("vec_id").as("qi"), col("cid"), col("qdotc"))
       .join(broadcast(qluts), "qi")
     val scanned = probes.join(art.codes, Seq("cid"))
@@ -953,8 +962,17 @@ object SimilarityQueries {
         col("v").as("vq"), col("nrm").as("nq"))), "qi")
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
-    topKPerQuery(reranked, "sim", 5).orderBy("qi", "xi")
+    topKPerQueryRanked(reranked, "sim", 5)
   }
+
+  /** [[topKPerQuery]] with the 1-based rank kept (the scale harness reads
+    * top-1 recovery off it); same bounded-heap aggregate, same total
+    * order. */
+  private def topKPerQueryRanked(scored: DataFrame, score: String, k: Int): DataFrame =
+    scored.groupBy("qi")
+      .agg(expr(s"topk_pairs($score, xi, $k)").as("tk"))
+      .select(col("qi"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("qi"), col("p").getField("i").as("xi"), (col("pos") + 1).as("rn"))
 
   /** The corpus frame [[annIvfRpq]] and the persistence layer share:
     * (vec_id, v, nrm) with the norm from the same codegen'd dot. */

@@ -60,14 +60,18 @@ object AnnScaleHarness {
   /** The residual tier's REUSABLE artifacts over a probe corpus —
     * separated from [[residualSearch]] so the recall-vs-nprobe curve
     * builds the hierarchy + codebook + codes ONCE and re-probes per
-    * point. Frames come back persisted and materialized; the caller
-    * unpersists. */
+    * point. Returns the PRODUCTION artifact bundle (so the search half is
+    * the production pipeline, not a copy — review finding) plus the
+    * assignment frame the probe-ceiling calculation reads. Frames come
+    * back persisted and materialized; the caller unpersists via
+    * [[release]]. */
   final case class ResidualProbe(
-      fines: DataFrame, assigned: DataFrame, scanR: DataFrame,
-      cents: Array[Double], ks: Int)
+      art: SimilarityQueries.RpqArtifacts, assigned: DataFrame) {
+    def release(): Unit = { assigned.unpersist(); art.codes.unpersist() }
+  }
 
   def residualArtifacts(e: DataFrame, n: Long): ResidualProbe = {
-    val (fines, assigned0) = SimilarityQueries.ivfIndex(e, n)
+    val (fines, coarse, assigned0) = SimilarityQueries.ivfIndexFull(e, n)
     val assigned = assigned0.persist()
     val assignedR = assigned
       .join(fines.select(col("cid"), col("vc")), "cid")
@@ -78,48 +82,32 @@ object AnnScaleHarness {
     val scanR = assignedR.select(col("xi"), col("cid"), col("nx"),
       cc(PqEncode(ce(col("r")), centsR, SimilarityQueries.RpqM, ksR)).as("codes")).persist()
     scanR.count()
-    ResidualProbe(fines, assigned, scanR, centsR, ksR)
+    ResidualProbe(
+      SimilarityQueries.RpqArtifacts(fines, coarse, scanR, centsR, ksR, n), assigned)
   }
 
-  /** Full residual search over built artifacts at an explicit `nprobe`:
-    * returns (top-5 rows (qi, xi, rn), planted-base probe-ceiling count —
-    * how many planted queries' base vectors live in a probed bucket, the
-    * recall ceiling probe selection imposes at this nprobe). */
+  /** Full residual search at an explicit `nprobe` — THE production
+    * pipeline ([[SimilarityQueries.rpqSearchRanked]]) over the planted
+    * queries (vec_id ≥ N). Returns (top-5 rows (qi, xi, rn), planted-base
+    * probe-ceiling count — how many planted queries' base vectors live in
+    * a probed bucket, the recall ceiling probe selection imposes at this
+    * nprobe). */
   def residualSearch(spark: SparkSession, e: DataFrame, p: ResidualProbe,
       nprobe: Int): (Array[(Long, Long, Int)], Long) = {
-    val qlutsR = e.where(col("vec_id") >= N).select(col("vec_id").as("qi"),
-      cc(PqLut(ce(col("v")), p.cents, SimilarityQueries.RpqM, p.ks)).as("lut"),
-      col("nrm").as("nq"))
-    val probesR = e.where(col("vec_id") >= N).join(broadcast(p.fines), lit(true))
-      .withColumn("qdotc", expr("vec_dot(v, vc)"))
-      .withColumn("csim", col("qdotc") / (col("nrm") * col("nc")))
+    val queries = e.where(col("vec_id") >= N)
+    val top = SimilarityQueries.rpqSearchRanked(p.art, e, queries, nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val probed = queries.join(broadcast(p.art.fines), lit(true))
+      .withColumn("csim", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
       .where(col("crn") <= nprobe)
-      .select(col("vec_id").as("qi"), col("cid"), col("qdotc"))
-      .join(broadcast(qlutsR), "qi")
-    val scannedR = probesR.join(p.scanR, Seq("cid"))
-      .where(col("qi") =!= col("xi"))
-      .withColumn("asim",
-        (col("qdotc") + cc(PqAdc(ce(col("lut")), ce(col("codes")))))
-          / (col("nq") * col("nx")))
-      .select(col("qi"), col("xi"), col("asim"))
-    val shortR = topkOf(scannedR, "asim", SimilarityQueries.PqShortlist)
-      .select(col("qi"), col("xi"))
-    val queriesV = e.where(col("vec_id") >= N)
-      .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"))
-    val rpq = shortR
-      .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")), "xi")
-      .join(broadcast(queriesV), "qi")
-      .withColumn("sim", expr("vec_dot(vq, vx)") / (col("nq") * col("nx")))
-      .select(col("qi"), col("xi"), col("sim"))
-    val top = topkOf(rpq, "sim", 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .select(col("vec_id").as("qi"), col("cid"))
     val bases = spark.range(0, Dups).toDF("i")
       .select((col("i") + N).as("qi"), (col("i") * BidStride).as("bid"))
     val ceiling = bases
       .join(p.assigned.select(col("xi").as("bid"), col("cid").as("bcid")), "bid")
-      .join(probesR.select(col("qi"), col("cid")), Seq("qi"))
+      .join(probed, Seq("qi"))
       .where(col("cid") === col("bcid"))
       .select("qi").distinct().count()
     (top, ceiling)
@@ -131,6 +119,6 @@ object AnnScaleHarness {
       nprobe: Int): (Array[(Long, Long, Int)], Long) = {
     val p = residualArtifacts(e, n)
     try residualSearch(spark, e, p, nprobe)
-    finally { p.assigned.unpersist(); p.scanR.unpersist() }
+    finally p.release()
   }
 }

@@ -37,8 +37,11 @@ object BenchAnnScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = mutable.LinkedHashMap[String, String]()
+    // Locale.ROOT like graft.Bench: a comma-decimal default locale would
+    // otherwise make the machine-parsed record invalid JSON (review finding)
     def num(d: Double): String =
-      if (d.isNaN || d.isInfinite) "-1" else f"$d%.3f"
+      if (d.isNaN || d.isInfinite) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
     import AnnScaleHarness._
     val e = corpus(spark).persist()
@@ -121,10 +124,10 @@ object BenchAnnScale {
 
     // ---- residual tier + the recall-vs-nprobe curve ----
     val p = residualArtifacts(e, n)
-    val rpqCodeBytes = p.scanR.agg(sum(length(col("codes")))).collect()(0).getLong(0)
+    val rpqCodeBytes = p.art.codes.agg(sum(length(col("codes")))).collect()(0).getLong(0)
     out("rpq_code_mib") = num(rpqCodeBytes / 1048576.0)
     out("rpq_code_ratio") = num(rawBytes.toDouble / rpqCodeBytes)
-    val fineCount = p.fines.count()
+    val fineCount = p.art.fines.count()
     out("fine_centroids") = fineCount.toString
     val bucketSizes = p.assigned.groupBy("cid").agg(count(lit(1)).as("bn")).persist()
     bucketSizes.count()
@@ -141,7 +144,7 @@ object BenchAnnScale {
       val t1m = top.filter(_._3 == 1).map(x => (x._1, x._2)).toMap
       val rec = (0 until Dups).count(i => t1m.get(N + i).contains(baseOf(i)))
       // measured scanned fraction: avg probed-bucket mass per query / n
-      val probed = e.where(col("vec_id") >= N).join(broadcast(p.fines), lit(true))
+      val probed = e.where(col("vec_id") >= N).join(broadcast(p.art.fines), lit(true))
         .withColumn("csim", expr("vec_dot(v, vc)") / (col("nrm") * col("nc")))
         .withColumn("crn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
@@ -158,7 +161,7 @@ object BenchAnnScale {
       println(s"[graft] rpq nprobe=$np recall=${num(recall)} recovered=$rec/" +
         s"$Dups ceiling=$ceiling frac=${num(scannedRows / n)} wall=${num(wall)}s")
     }
-    bucketSizes.unpersist(); p.assigned.unpersist(); p.scanR.unpersist()
+    bucketSizes.unpersist(); p.release()
     e.unpersist(); codes.unpersist(); queries.unpersist()
 
     val json = out.map { case (k, v) => s""""$k":$v""" }
