@@ -42,7 +42,8 @@ object WheelIndexIO {
     val tmp = Files.createTempFile(
       Option(target.getParent).getOrElse(Paths.get(".")), ".wheelidx", ".tmp")
     try {
-      Using.resource(new ObjectOutputStream(Files.newOutputStream(tmp)))(_.writeObject(t))
+      Using.resource(new ObjectOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(tmp), 1 << 20)))(_.writeObject(t))
       Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
@@ -55,7 +56,8 @@ object WheelIndexIO {
     * is the same as for a stale index: rebuild. */
   def load(spark: org.apache.spark.sql.SparkSession, file: String): (TableIndex, Boolean) = {
     val t =
-      try Using.resource(new ObjectInputStream(Files.newInputStream(Paths.get(file))))(
+      try Using.resource(new ObjectInputStream(new java.io.BufferedInputStream(
+        Files.newInputStream(Paths.get(file)), 1 << 20)))(
         _.readObject().asInstanceOf[TableIndex])
       catch {
         // Class-shape mismatch = a file saved by an INCOMPATIBLE graft

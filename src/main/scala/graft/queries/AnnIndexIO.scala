@@ -78,7 +78,8 @@ object AnnIndexIO {
     Files.createDirectories(Paths.get(dir))
     val tmp = Files.createTempFile(Paths.get(dir), ".annmeta", ".tmp")
     try {
-      Using.resource(new ObjectOutputStream(Files.newOutputStream(tmp)))(
+      Using.resource(new ObjectOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(tmp), 1 << 16)))(
         _.writeObject(meta))
       Files.move(tmp, metaPath(dir), StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
@@ -87,7 +88,8 @@ object AnnIndexIO {
 
   private[graft] def readMeta(dir: String): AnnMeta = {
     val m =
-      try Using.resource(new ObjectInputStream(Files.newInputStream(metaPath(dir))))(
+      try Using.resource(new ObjectInputStream(new java.io.BufferedInputStream(
+        Files.newInputStream(metaPath(dir)), 1 << 16)))(
         _.readObject().asInstanceOf[AnnMeta])
       catch {
         case e: java.io.InvalidClassException =>

@@ -288,7 +288,8 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       ".wheelstream", ".tmp")
     try {
       scala.util.Using.resource(
-        new java.io.ObjectOutputStream(java.nio.file.Files.newOutputStream(tmp))) { o =>
+        new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(tmp), 1 << 20))) { o =>
         o.writeObject(configSig)
         o.writeObject(live)
         if (momProbe.isDefined) { o.writeLong(momCastFail); o.writeDouble(momAbsMax) }
@@ -313,7 +314,8 @@ final class StreamingTypedWheel[In, P: ClassTag, Out](
       "restoreState must run on a fresh wheel, before any batch")
     scala.util.Using.resource(
       new java.io.ObjectInputStream(
-        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)))) { in =>
+        new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)), 1 << 20))) { in =>
       val sig = in.readObject().asInstanceOf[String]
       require(sig == configSig,
         s"checkpoint was written by a differently-configured wheel ($sig != $configSig)")

@@ -409,7 +409,8 @@ final class StreamingWheelIndex(
       ".wheelstream", ".tmp")
     try {
       scala.util.Using.resource(
-        new java.io.ObjectOutputStream(java.nio.file.Files.newOutputStream(tmp))) { o =>
+        new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(tmp), 1 << 20))) { o =>
         o.writeObject(configSig)
         o.writeObject(rw)
         o.writeObject(keyedRw)
@@ -436,7 +437,8 @@ final class StreamingWheelIndex(
       "restoreState must run on a fresh index, before any batch (restore merges additively)")
     scala.util.Using.resource(
       new java.io.ObjectInputStream(
-        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)))) { in =>
+        new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)), 1 << 20))) { in =>
       val sig = in.readObject().asInstanceOf[String]
       require(sig == configSig,
         s"checkpoint was written by a differently-configured index ($sig != $configSig)")
