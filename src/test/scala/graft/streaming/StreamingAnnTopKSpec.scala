@@ -66,10 +66,11 @@ class StreamingAnnTopKSpec extends AnyFunSuite {
   }
 
   private def runGate(fz: StreamingAnnTopK.FrozenAnn,
-      rows: Seq[(Long, Array[Float])], chops: Seq[Int]): Set[(Long, Long, Double)] = {
-    val session = spark
+      rows: Seq[(Long, Array[Float])], chops: Seq[Int],
+      on: SparkSession = spark): Set[(Long, Long, Double)] = {
+    val session = on
     import session.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
     val input = MemoryStream[(Long, Array[Float])]
     val name = s"ann_gate_${chops.mkString("_")}"
     val q = StreamingAnnTopK.topKCandidates(
@@ -85,7 +86,7 @@ class StreamingAnnTopKSpec extends AnyFunSuite {
       }
       if (rest.nonEmpty) { input.addData(rest); q.processAllAvailable() }
       // global top-k per query from the per-bucket candidates
-      StreamingAnnTopK.mergeTopK(spark.table(name), K)
+      StreamingAnnTopK.mergeTopK(session.table(name), K)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     } finally q.stop()
   }
@@ -111,6 +112,81 @@ class StreamingAnnTopKSpec extends AnyFunSuite {
     assert(got1 === expected)
     assert(got3 === expected)
     assert(gotN === expected)
+  }
+
+  test("gate == batch under the RocksDB provider (the production config)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val session = spark
+    import session.implicits._
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    rocks.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    graft.Graft.registerFunctions(rocks) // topk_pairs on the NEW session's registry
+    val e = SimilarityQueries.vecsOf(corpus)
+    val art = SimilarityQueries.rpqArtifactsOf(e, corpus.count())
+    val fz = StreamingAnnTopK.freeze(art)
+    val expected = batchPrefixTopK(art, e)
+    val rows = corpus.as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val got = runGate(fz, rows, Seq(rows.size / 2), on = rocks)
+    assert(got === expected)
+  }
+
+  test("gate state survives a kill + restart from the RocksDB checkpoint") {
+    spark.sparkContext.setLogLevel("WARN")
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    rocks.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    graft.Graft.registerFunctions(rocks) // topk_pairs on the NEW session's registry
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = rocks.sqlContext
+    import rocks.implicits._
+
+    val e = SimilarityQueries.vecsOf(corpus)
+    val art = SimilarityQueries.rpqArtifactsOf(e, corpus.count())
+    val fz = StreamingAnnTopK.freeze(art)
+    val expected = batchPrefixTopK(art, e)
+    val rows = corpus.as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val cut = rows.size / 2
+    // a batch-2 query must have batch-1 candidates in its top-k, or the
+    // restart proves nothing (always true here: every prefix neighbor set
+    // of a batch-2 arrival is dominated by batch-1 members)
+    val batch1Ids = rows.take(cut).map(_._1).toSet
+    assert(expected.exists { case (qi, xi, _) => !batch1Ids(qi) && batch1Ids(xi) },
+      "spec setup drifted: no top-k pair crosses the restart boundary")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ckpt").toString
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Double)]()
+    val input = MemoryStream[(Long, Array[Float])]
+    def start() = StreamingAnnTopK.topKCandidates(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", fz, K)
+      .toDF("qi", "xi", "asim").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getDouble(2)))); ()
+      }
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      input.addData(rows.take(cut)); q1.processAllAvailable()
+    } finally q1.stop() // the "crash": bucket state lives only in the checkpoint
+
+    val q2 = start()
+    try {
+      input.addData(rows.drop(cut)); q2.processAllAvailable()
+      val metrics = q2.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray.map(_.toString))
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")))
+    } finally q2.stop()
+    // merge the per-bucket candidates accumulated ACROSS the restart
+    import scala.jdk.CollectionConverters._
+    val merged = StreamingAnnTopK.mergeTopK(
+        got.asScala.toSeq.toDF("qi", "xi", "asim"), K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(merged === expected,
+      s"restart lost bucket state: missing=${(expected -- merged).take(3)}")
   }
 
   test("state is the compressed scan tier: 16-byte codes, replay-safe inserts") {
