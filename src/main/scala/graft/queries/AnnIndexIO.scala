@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.util.Using
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.index.UWheelIndex
 import graft.queries.SimilarityQueries.RpqArtifacts
@@ -149,7 +150,12 @@ object AnnIndexIO {
     val art = SimilarityQueries.rpqArtifactsOf(SimilarityQueries.vecsOf(df), n)
     art.fines.write.mode("overwrite").parquet(s"$dir/fines")
     art.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
-    art.codes.write.mode("overwrite").parquet(s"$dir/codes_base")
+    // codes partitioned by the derived pcell and sorted by cid within each
+    // partition: a served query's probe set prunes unprobed PARTITIONS via
+    // DPP, and the per-file cid min/max stats admit row-group pruning
+    // inside a cell — the probe-bounded scan realized at the storage level
+    art.codes.repartition(col("pcell")).sortWithinPartitions("cid")
+      .write.mode("overwrite").partitionBy("pcell").parquet(s"$dir/codes_base")
     writeMeta(dir, AnnMeta(FormatVersion, corpusPath, fp, listing, n,
       SimilarityQueries.RpqM, art.ks, art.cents, Seq("codes_base")))
     // best-effort cleanup of delta directories from a previous lifecycle:
@@ -179,7 +185,14 @@ object AnnIndexIO {
     val meta = readMeta(dir)
     val fines = spark.read.parquet(s"$dir/fines")
     val coarse = spark.read.parquet(s"$dir/coarse")
-    val codes = spark.read.parquet(meta.codeDirs.map(d => s"$dir/$d"): _*)
+    // each code directory is its own pcell-partitioned table root — read
+    // separately and union (one multi-root read trips Spark's conflicting-
+    // directory-structures guard on partitioned layouts); unionByName
+    // because the partition column's position differs from the in-memory
+    // frame's
+    val codes = meta.codeDirs
+      .map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
     (RpqArtifacts(fines, coarse, codes, meta.cents, meta.ks, meta.n), meta)
   }
 
@@ -233,7 +246,8 @@ object AnnIndexIO {
     // same directory with overwrite semantics — idempotent, no duplicates
     val deltaDir = f"codes_delta_${newFp}%016x"
     SimilarityQueries.rpqEncodeFrozen(art, newVecs)
-      .write.mode("overwrite").parquet(s"$dir/$deltaDir")
+      .repartition(col("pcell")).sortWithinPartitions("cid")
+      .write.mode("overwrite").partitionBy("pcell").parquet(s"$dir/$deltaDir")
     writeMeta(dir, meta.copy(fingerprint = newFp, files = current,
       n = meta.n + added, codeDirs = meta.codeDirs :+ deltaDir))
     added

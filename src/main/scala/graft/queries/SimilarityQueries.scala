@@ -880,6 +880,28 @@ object SimilarityQueries {
       fines: DataFrame, coarse: DataFrame, codes: DataFrame,
       cents: Array[Double], ks: Int, n: Long)
 
+  /** Partition-cell count for the persisted codes scan tier: `pcell =
+    * pmod(cid, AnnPcells)` rides every codes row and [[AnnIndexIO.save]]
+    * writes `partitionBy("pcell")`, so a served query's probe set — which
+    * carries the same derived pcell — lets dynamic partition pruning skip
+    * whole parquet partitions instead of scanning the full code tier and
+    * filtering at the join. 64 cells ≈ the probe fraction's granularity:
+    * with nprobe ~0.45·√n probed buckets hashed over 64 cells, a query
+    * touches the cells its buckets land in and provably skips the rest
+    * once nprobe < 64 stays selective (at 10⁸ vectors: 1.6 GB of codes in
+    * 64 ~25 MB partitions; a 450-bucket probe set still maps to ≤ 64
+    * cells, but bucket-level row-group pruning inside a cell comes free
+    * from the parquet min/max on cid once writes sort by cid). Derived
+    * deterministically from cid, so in-memory and persisted artifacts
+    * carry identical values and result hashes are unchanged. */
+  private[graft] val AnnPcells = 64
+
+  /** The ONE derivation of the codes partition cell — every producer of a
+    * (…, cid, …) codes/probe frame goes through this so the join keys and
+    * the persisted layout can never drift. */
+  private[graft] def withPcell(df: DataFrame): DataFrame =
+    df.withColumn("pcell", pmod(col("cid"), lit(AnnPcells)).cast("int"))
+
   /** Builds the residual tier's artifacts over an `(vec_id, v, nrm)`
     * corpus frame — the BUILD half of [[annIvfRpq]], factored out so
     * [[AnnIndexIO.save]] persists the same frames the inline query
@@ -894,9 +916,10 @@ object SimilarityQueries {
       .withColumn("r", expr("zip_with(vx, vc, (a, b) -> a - b)"))
     val (centsR, ks) = pqCodebook(
       assignedR.select(col("xi").as("vec_id"), col("r").as("v")), n, RpqM, RpqKs)
-    // scan tier: one (cid, codes, nx) row per vector — residual codes
-    val scanR = assignedR.select(col("xi"), col("cid"), col("nx"),
-      cc(graft.functions.PqEncode(ce(col("r")), centsR, RpqM, ks)).as("codes"))
+    // scan tier: one (cid, codes, nx) row per vector — residual codes —
+    // plus the derived partition cell the persisted layout prunes by
+    val scanR = withPcell(assignedR.select(col("xi"), col("cid"), col("nx"),
+      cc(graft.functions.PqEncode(ce(col("r")), centsR, RpqM, ks)).as("codes")))
     RpqArtifacts(fines, coarse, scanR, centsR, ks, n)
   }
 
@@ -913,6 +936,7 @@ object SimilarityQueries {
       .withColumn("r", expr("zip_with(vx, vc, (a, b) -> a - b)"))
       .select(col("xi"), col("cid"), col("nx"),
         cc(graft.functions.PqEncode(ce(col("r")), art.cents, RpqM, art.ks)).as("codes"))
+      .transform(withPcell)
   }
 
   /** The SEARCH half of [[annIvfRpq]] over (possibly loaded) artifacts:
@@ -948,8 +972,14 @@ object SimilarityQueries {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
       .where(col("crn") <= nprobe)
       .select(col("vec_id").as("qi"), col("cid"), col("qdotc"))
+      .transform(withPcell)
       .join(broadcast(qluts), "qi")
-    val scanned = probes.join(art.codes, Seq("cid"))
+    // join on (pcell, cid): pcell is the codes parquet's PARTITION column,
+    // so on a persisted index the broadcast probe side hands dynamic
+    // partition pruning the cell set and unprobed partitions are never
+    // read — the probe-bounded scan holds at the STORAGE level, not just
+    // as a post-scan join filter (AnnIndexIOSpec plan-asserts it)
+    val scanned = probes.join(art.codes, Seq("pcell", "cid"))
       .where(col("qi") =!= col("xi"))
       .withColumn("asim",
         (col("qdotc") + cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))))

@@ -79,8 +79,9 @@ object AnnScaleHarness {
     val (centsR, ksR) = SimilarityQueries.pqCodebook(
       assignedR.select(col("xi").as("vec_id"), col("r").as("v")), n,
       SimilarityQueries.RpqM, SimilarityQueries.RpqKs)
-    val scanR = assignedR.select(col("xi"), col("cid"), col("nx"),
-      cc(PqEncode(ce(col("r")), centsR, SimilarityQueries.RpqM, ksR)).as("codes")).persist()
+    val scanR = SimilarityQueries.withPcell(
+      assignedR.select(col("xi"), col("cid"), col("nx"),
+        cc(PqEncode(ce(col("r")), centsR, SimilarityQueries.RpqM, ksR)).as("codes"))).persist()
     scanR.count()
     ResidualProbe(
       SimilarityQueries.RpqArtifacts(fines, coarse, scanR, centsR, ksR, n), assigned)

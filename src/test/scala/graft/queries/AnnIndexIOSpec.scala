@@ -83,6 +83,27 @@ class AnnIndexIOSpec extends AnyFunSuite {
     assert(collectSorted(served) === collectSorted(inline))
   }
 
+  test("served search prunes codes partitions: DPP on the pcell layout") {
+    val corpus = Files.createTempDirectory("annio-corpus-dpp")
+    val idx = Files.createTempDirectory("annio-idx-dpp")
+    writeFile(corpus, mkVecs(300, seed = 11L), "part-0.parquet")
+    val art = AnnIndexIO.save(spark, idx.toString, corpus.toString)
+    val e = SimilarityQueries.vecsOf(spark.read.parquet(corpus.toString))
+    val served = SimilarityQueries.rpqSearch(art, e)
+    val plan = served.queryExecution.executedPlan.toString
+    // the persisted codes scan must carry a dynamic partition-pruning
+    // filter on pcell — the probe-bounded scan at the STORAGE level, not a
+    // post-scan join filter (a full-scan regression shows here as the
+    // filter vanishing even while results stay correct)
+    assert(plan.contains("dynamicpruning"),
+      s"served plan lost dynamic partition pruning:\n${plan.take(2000)}")
+    assert(plan.contains("PartitionFilters: ["))
+    // and the layout change is invisible to results: served == inline
+    val inline = SimilarityQueries.rpqSearch(
+      SimilarityQueries.rpqArtifactsOf(e, 300L), e)
+    assert(collectSorted(served) === collectSorted(inline))
+  }
+
   test("staleness gate: a grown corpus is detected and never served stale") {
     val corpus = Files.createTempDirectory("annio-corpus2")
     val idx = Files.createTempDirectory("annio-idx2")
