@@ -669,12 +669,19 @@ object Bench {
         art.codes.count()
         probes("ann_load_sec") = (System.nanoTime() - t1) / 1e9
         val e = graft.queries.SimilarityQueries.vecsOf(spark.read.parquet(corpus))
+        probes("ann_nprobe_cal") = meta.nprobeCal.toDouble
+        probes("ann_nprobe_formula") =
+          graft.queries.SimilarityQueries.nprobeFor(meta.n).toDouble
         val t2 = System.nanoTime()
         val served = graft.queries.SimilarityQueries.rpqSearch(art, e)
           .collect().map(_.toString).sorted.toSeq
         probes("ann_serve_sec") = (System.nanoTime() - t2) / 1e9
+        // parity at the index's own operating point: persistence must
+        // change nothing, so the inline pipeline runs at the SAME
+        // calibrated nprobe the loaded index serves at
         val inline = graft.queries.SimilarityQueries.rpqSearch(
-          graft.queries.SimilarityQueries.rpqArtifactsOf(e, meta.n), e)
+          graft.queries.SimilarityQueries.rpqArtifactsOf(e, meta.n)
+            .copy(nprobeCal = Some(meta.nprobeCal)), e)
           .collect().map(_.toString).sorted.toSeq
         probes("ann_load_serves") =
           if (graft.queries.AnnIndexIO.isFresh(spark, meta) && served == inline) 1.0

@@ -19,7 +19,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     WheelQueries.defs.head._2(spark, "/root/testdata/sf0.001")
 
-  val modules: Seq[(Seq[(String, (SparkSession, String) => DataFrame)], Map[String, String])] =
+  // a def: SimilarityQueries.oracles mirrors the served ANN entry's
+  // calibrated operating point, known only after the queries have run
+  def modules: Seq[(Seq[(String, (SparkSession, String) => DataFrame)], Map[String, String])] =
     Seq(
       (WheelQueries.defs, WheelQueries.oracles),
       (RelationalQueries.defs, RelationalQueries.oracles),

@@ -18,14 +18,17 @@ import graft.queries.SimilarityQueries.RpqArtifacts
   * disk, not recomputed per query run (the wheels got save/load + refresh
   * in rounds 13–15; this closes the same lifecycle for ANN).
   *
-  * Layout under an index directory:
+  * Layout under an index directory (artifact dirs are versioned by build
+  * GENERATION and only the atomically-replaced meta points at the live
+  * ones, so a crashed rebuild can never leave a fresh-looking meta over
+  * partially rewritten parquet):
   * {{{
-  *   ann_meta.bin        java-serialized [[AnnMeta]], written atomically
-  *                       (temp + ATOMIC_MOVE) LAST in every mutation
-  *   fines/              parquet (cid, vc, nc, ccid) — ~√n rows
-  *   coarse/             parquet (ccid, vcc, ncc)   — ~∜n rows
-  *   codes_base/         parquet (xi, cid, nx, codes) — ONE row per corpus
-  *   codes_delta_<fp>/   vector: the 16-byte residual code + stored norm
+  *   ann_meta.bin         java-serialized [[AnnMeta]], written atomically
+  *                        (temp + ATOMIC_MOVE) LAST in every mutation
+  *   fines_g<gen>/        parquet (cid, vc, nc, ccid) — ~√n rows
+  *   coarse_g<gen>/       parquet (ccid, vcc, ncc)   — ~∜n rows
+  *   codes_base_g<gen>/   parquet (xi, cid, nx, codes) — ONE row per corpus
+  *   codes_delta_<fp>/    vector: the 16-byte residual code + stored norm
   * }}}
   * The scan tier (codes) is parquet — a DISTRIBUTED dataset read with the
   * stock scan, partition-pruned and column-pruned like any table — because
@@ -55,13 +58,17 @@ import graft.queries.SimilarityQueries.RpqArtifacts
   * same contract FAISS documents for `IndexIVF.add` after `train`. */
 object AnnIndexIO {
 
-  private val FormatVersion = 1
+  private val FormatVersion = 2
 
   /** Everything small enough to belong in one atomically-replaced file:
     * corpus identity (path + listing + fingerprint), trained-corpus size
-    * `n` (sizes `nprobeFor` at serve time), geometry, the residual
-    * codebook, and the ordered list of code directories (base + deltas). */
-  @SerialVersionUID(1L)
+    * `n`, geometry, the residual codebook, the build GENERATION the
+    * artifact directories are versioned by, the ordered list of code
+    * directories (base + deltas), and the CALIBRATED serve-time nprobe
+    * ([[graft.queries.SimilarityQueries.calibrateNprobe]]) — the operating
+    * point is trained state, frozen with the codebook; a rebuild
+    * re-calibrates, a refresh (frozen-artifact contract) does not. */
+  @SerialVersionUID(2L)
   private[graft] final case class AnnMeta(
       version: Int,
       corpusPath: String,
@@ -71,7 +78,11 @@ object AnnIndexIO {
       m: Int,
       ks: Int,
       cents: Array[Double],
-      codeDirs: Seq[String]) extends Serializable
+      gen: Long,
+      fineDir: String,
+      coarseDir: String,
+      codeDirs: Seq[String],
+      nprobeCal: Int) extends Serializable
 
   private def metaPath(dir: String) = Paths.get(dir, "ann_meta.bin")
 
@@ -147,26 +158,58 @@ object AnnIndexIO {
     require(listing.nonEmpty, s"$corpusPath is not a file-backed corpus")
     val fp = UWheelIndex.fingerprintOfListing(listing)
     val n = df.count()
-    val art = SimilarityQueries.rpqArtifactsOf(SimilarityQueries.vecsOf(df), n)
-    art.fines.write.mode("overwrite").parquet(s"$dir/fines")
-    art.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    val e = SimilarityQueries.vecsOf(df)
+    val art = SimilarityQueries.rpqArtifactsOf(e, n)
+    // every rebuild writes into a FRESH generation's directories and the
+    // committed meta is the only pointer to them: a crash mid-write leaves
+    // the previous generation fully intact behind its still-valid meta —
+    // never a fresh-looking meta over partially rewritten parquet (a
+    // re-save over an UNCHANGED corpus used to overwrite codes_base in
+    // place under the old, still-fingerprint-fresh meta — review finding).
+    // The generation counter (not a timestamp) keeps a crashed save's
+    // re-run idempotent: it re-targets the same uncommitted directories.
+    val gen = (try Some(readMeta(dir)) catch { case _: Throwable => None })
+      .map(_.gen + 1).getOrElse(0L)
+    val fineDir = s"fines_g$gen"
+    val coarseDir = s"coarse_g$gen"
+    val codesDir = s"codes_base_g$gen"
+    art.fines.write.mode("overwrite").parquet(s"$dir/$fineDir")
+    art.coarse.write.mode("overwrite").parquet(s"$dir/$coarseDir")
     // codes partitioned by the derived pcell and sorted by cid within each
     // partition: a served query's probe set prunes unprobed PARTITIONS via
     // DPP, and the per-file cid min/max stats admit row-group pruning
     // inside a cell — the probe-bounded scan realized at the storage level
     art.codes.repartition(col("pcell")).sortWithinPartitions("cid")
-      .write.mode("overwrite").partitionBy("pcell").parquet(s"$dir/codes_base")
+      .write.mode("overwrite").partitionBy("pcell").parquet(s"$dir/$codesDir")
+    // calibrate the serve-time nprobe on the artifacts AS SAVED (what a
+    // restarted process serves), with the corpus and codes pinned in
+    // memory across the ladder's production searches
+    val savedArt = readArtifacts(spark, dir, fineDir, coarseDir, Seq(codesDir),
+      art.cents, art.ks, n, nprobeCal = None)
+    val ep = e.persist()
+    val cp = savedArt.codes.persist()
+    val (nprobeCal, ladder) =
+      try SimilarityQueries.calibrateNprobe(savedArt, ep)
+      finally { ep.unpersist(); cp.unpersist() }
+    if (ladder.nonEmpty)
+      println(s"[graft] ann nprobe calibration n=$n: " +
+        ladder.map { case (np, r) => f"np$np=$r%.3f" }.mkString(" ") +
+        s" -> serving nprobe=$nprobeCal (formula floor ${
+          SimilarityQueries.nprobeFor(n)})")
     writeMeta(dir, AnnMeta(FormatVersion, corpusPath, fp, listing, n,
-      SimilarityQueries.RpqM, art.ks, art.cents, Seq("codes_base")))
-    // best-effort cleanup of delta directories from a previous lifecycle:
-    // the fresh meta references only codes_base, so stale codes_delta_*
-    // dirs (earlier refreshes of a corpus this rebuild replaced, or a
-    // refresh that crashed before its meta commit) are unreachable — but
-    // they'd still occupy disk and over-count any du-style accounting
-    // forever (review finding). Runs AFTER the meta commit: a failure
-    // here leaves harmless orphans, never a broken index.
+      SimilarityQueries.RpqM, art.ks, art.cents, gen, fineDir, coarseDir,
+      Seq(codesDir), nprobeCal))
+    // best-effort cleanup of directories no generation references anymore:
+    // superseded generations' artifacts, stale deltas, and v1-layout dirs
+    // are unreachable after the meta commit — but they'd still occupy disk
+    // and over-count any du-style accounting forever (review finding).
+    // Runs AFTER the commit: a failure here leaves harmless orphans,
+    // never a broken index.
+    val live = Set(fineDir, coarseDir, codesDir)
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("codes_delta_"))
+      .filter(f => f.isDirectory && !live(f.getName) &&
+        Seq("fines", "coarse", "codes_base", "codes_delta_")
+          .exists(f.getName.startsWith))
       .foreach { d =>
         try {
           val ds = Files.walk(d.toPath)
@@ -178,22 +221,32 @@ object AnnIndexIO {
     load(spark, dir)._1
   }
 
-  /** Loads the persisted artifacts plus their meta. Freshness is the
-    * CALLER's check ([[isFresh]]) — load itself is pure deserialization so
-    * ops tooling can inspect a stale index without a corpus in reach. */
-  def load(spark: SparkSession, dir: String): (RpqArtifacts, AnnMeta) = {
-    val meta = readMeta(dir)
-    val fines = spark.read.parquet(s"$dir/fines")
-    val coarse = spark.read.parquet(s"$dir/coarse")
+  /** The artifact frames for explicit directory names — the shared read
+    * path of [[load]] and save's post-write calibration. */
+  private def readArtifacts(spark: SparkSession, dir: String,
+      fineDir: String, coarseDir: String, codeDirs: Seq[String],
+      cents: Array[Double], ks: Int, n: Long,
+      nprobeCal: Option[Int]): RpqArtifacts = {
+    val fines = spark.read.parquet(s"$dir/$fineDir")
+    val coarse = spark.read.parquet(s"$dir/$coarseDir")
     // each code directory is its own pcell-partitioned table root — read
     // separately and union (one multi-root read trips Spark's conflicting-
     // directory-structures guard on partitioned layouts); unionByName
     // because the partition column's position differs from the in-memory
     // frame's
-    val codes = meta.codeDirs
+    val codes = codeDirs
       .map(d => spark.read.parquet(s"$dir/$d"))
       .reduce(_.unionByName(_))
-    (RpqArtifacts(fines, coarse, codes, meta.cents, meta.ks, meta.n), meta)
+    RpqArtifacts(fines, coarse, codes, cents, ks, n, nprobeCal)
+  }
+
+  /** Loads the persisted artifacts plus their meta. Freshness is the
+    * CALLER's check ([[isFresh]]) — load itself is pure deserialization so
+    * ops tooling can inspect a stale index without a corpus in reach. */
+  def load(spark: SparkSession, dir: String): (RpqArtifacts, AnnMeta) = {
+    val meta = readMeta(dir)
+    (readArtifacts(spark, dir, meta.fineDir, meta.coarseDir, meta.codeDirs,
+      meta.cents, meta.ks, meta.n, Some(meta.nprobeCal)), meta)
   }
 
   /** Whether the saved index still matches the corpus' CURRENT listing. */
@@ -240,6 +293,19 @@ object AnnIndexIO {
     val (art, _) = load(spark, dir)
     val newVecs = SimilarityQueries.vecsOf(spark.read.parquet(fresh.map(_._1): _*))
     val added = newVecs.count()
+    // vec_id disjointness: an appended file that REUSES an indexed id
+    // would put duplicate xi rows across codes_base and the delta and
+    // double-count n, silently duplicating served candidates (review
+    // finding) — fail loud like the append-only gate. One broadcast-able
+    // semi-join of the (small) append against the code tier.
+    val clash = art.codes.select(col("xi").as("vec_id"))
+      .join(newVecs.select("vec_id"), Seq("vec_id"), "left_semi")
+      .limit(1).collect()
+    if (clash.nonEmpty)
+      throw new IllegalStateException(
+        s"ANN refresh requires fresh vec_ids: appended file(s) reuse indexed " +
+          s"id ${clash.head.getLong(0)} — duplicate ids would double-count " +
+          "served candidates; rebuild instead")
     val newFp = UWheelIndex.fingerprintOfListing(current)
     // delta dir named by the TARGET fingerprint: a refresh that crashed
     // after writing parquet but before the meta commit re-runs into the

@@ -423,6 +423,74 @@ object SimilarityQueries {
     math.max(IvfNprobe, math.ceil(IvfProbeFrac * k.toDouble).toInt)
   }
 
+  /** Query-sample size and recall tolerance for build-time nprobe
+    * calibration ([[calibrateNprobe]]). 32 sampled queries × top-5 = 160
+    * ground-truth pairs, so ε = 0.005 (< 1/160) accepts an earlier ladder
+    * point only when its measured recall TIES the ladder maximum — on
+    * random corpora (where recall keeps buying scanned fraction all the
+    * way up, see [[IvfProbeFrac]]) the ceiling wins and the calibrated
+    * value reproduces [[nprobeFor]]; on clustered corpora the curve
+    * saturates early and the calibration captures it. */
+  private[graft] val AnnCalQueries = 32
+  private[graft] val AnnCalEps = 0.005
+
+  /** Geometric nprobe ladder from the legacy [[IvfNprobe]] floor to the
+    * [[nprobeFor]] ceiling, factor ~1.4 — fine enough that the chosen
+    * saturation point sits within ~1.4× of the true one (the round-17
+    * verdict's "within ~1.5× of measured saturation" gate). */
+  private[graft] def nprobeLadder(n: Long): Seq[Int] = {
+    val ceiling = nprobeFor(n)
+    val b = Seq.newBuilder[Int]
+    var c = IvfNprobe
+    while (c < ceiling) { b += c; c = math.max(c + 1, math.ceil(c * 1.4).toInt) }
+    b += ceiling
+    b.result()
+  }
+
+  /** Build-time nprobe calibration (round-17 verdict task 1): the
+    * constant-fraction [[nprobeFor]] rule is sized for worst-case RANDOM
+    * corpora, and on clustered (i.e. real) data it overshoots — at 1M
+    * vectors the auto value scanned 59 % of the corpus for recall 0.99
+    * where the measured curve saturates at 17.6 % with recall 1.0
+    * (`BENCH_ann_scale_r17.json`). So instead of deriving the knob from n
+    * alone, measure the recall curve ON THIS CORPUS at build time and pick
+    * the saturation point: run the PRODUCTION search ([[rpqSearchRanked]])
+    * at each [[nprobeLadder]] point over a deterministic query sample (the
+    * [[AnnCalQueries]] smallest vec_ids), score recall@5 against the exact
+    * brute-force top-5 of the same sample, and choose the SMALLEST point
+    * within [[AnnCalEps]] of the ladder's maximum recall. The choice is
+    * stored in [[AnnIndexIO.AnnMeta]] next to the codebook — the operating
+    * point is part of the trained index, the per-deployment tuning the
+    * reference performs on its one index knob (`index/mod.rs:168-181`).
+    * Returns the chosen nprobe plus the measured (nprobe, recall) ladder
+    * for the record/logs; a single-point ladder (floor == ceiling, the
+    * contract-small corpora) short-circuits without measuring. */
+  private[graft] def calibrateNprobe(
+      art: RpqArtifacts, e: DataFrame): (Int, Seq[(Int, Double)]) = {
+    val ladder = nprobeLadder(art.n)
+    if (ladder.size == 1) return (ladder.head, Nil)
+    val sample = e.orderBy("vec_id").limit(AnnCalQueries)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val q = sample.select(
+      col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"))
+    val scored = broadcast(q)
+      .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")),
+        col("qi") =!= col("xi"))
+      .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
+      .select(col("qi"), col("xi"), col("sim"))
+    val exact = topKPerQuery(scored, "sim", 5)
+      .select("qi", "xi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.isEmpty) return (ladder.last, Nil)
+    val recalls = ladder.map { np =>
+      val got = rpqSearchRanked(art, e, sample, np)
+        .select("qi", "xi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      np -> got.intersect(exact).size.toDouble / exact.size
+    }
+    val maxR = recalls.map(_._2).max
+    (recalls.collectFirst { case (np, r) if r >= maxR - AnnCalEps => np }.get,
+      recalls)
+  }
+
   /** IVF-bucketed ANN — the 100 TB path: vectors are assigned to their
     * nearest centroid once (an O(n·k) map-side pass); a query probes only
     * the `nprobe` closest centroids' buckets instead of the full corpus.
@@ -878,7 +946,19 @@ object SimilarityQueries {
     * bit-reproducible. */
   private[graft] final case class RpqArtifacts(
       fines: DataFrame, coarse: DataFrame, codes: DataFrame,
-      cents: Array[Double], ks: Int, n: Long)
+      cents: Array[Double], ks: Int, n: Long,
+      nprobeCal: Option[Int] = None)
+
+  /** The probe count a search over these artifacts runs at: the build-time
+    * CALIBRATED operating point when the index carries one
+    * ([[calibrateNprobe]], persisted in [[AnnIndexIO.AnnMeta]]), else the
+    * un-calibrated [[nprobeFor]] floor — the round-17 verdict's fix for
+    * the constant-fraction rule's linear serve cost (at 1M clustered
+    * vectors `nprobeFor` = 450 scans 59 % of the corpus for recall 0.99
+    * where the measured curve saturates at nprobe = 100, recall 1.0 at
+    * 17.6 % scanned — `BENCH_ann_scale_r17.json`). */
+  private[graft] def servedNprobe(art: RpqArtifacts): Int =
+    art.nprobeCal.getOrElse(nprobeFor(art.n))
 
   /** Partition-cell count for the persisted codes scan tier: `pcell =
     * pmod(cid, AnnPcells)` rides every codes row and [[AnnIndexIO.save]]
@@ -947,7 +1027,7 @@ object SimilarityQueries {
     * and norms, and the d-wide re-rank reads raw vectors back from the
     * corpus by id, the standard deployment split. */
   private[graft] def rpqSearch(art: RpqArtifacts, e: DataFrame): DataFrame =
-    rpqSearchRanked(art, e, e.where(col("vec_id") < 10), nprobeFor(art.n))
+    rpqSearchRanked(art, e, e.where(col("vec_id") < 10), servedNprobe(art))
       .select("qi", "xi").orderBy("qi", "xi")
 
   /** [[rpqSearch]] parameterized over the query frame and `nprobe`, with
@@ -1030,7 +1110,38 @@ object SimilarityQueries {
     Q.ctx(spark, sfDir)
     val art = AnnIndexIO.loadFreshOrRebuild(
       spark, AnnIndexIO.defaultDir(spark, sfDir), s"$sfDir/embeddings.parquet")
+    lastServedNprobe.set(Some(servedNprobe(art)))
     rpqSearch(art, vecs(spark))
+  }
+
+  /** The nprobe the most recent [[annIvfRpqServed]] run actually served at
+    * — how the served entry's ORACLE "learns the calibrated value the same
+    * way it learned nprobeFor" (round-17 verdict task 1): `Verify` runs
+    * every query BEFORE dumping [[oracleSql]], so by oracle-generation
+    * time the calibrated operating point of the index the entry answered
+    * from is known in-process and [[withServedOracle]] mirrors it as a
+    * literal; with no served run in this JVM the oracle falls back to the
+    * [[nprobeFor]] formula (≡ the legacy shared-oracle behavior). The knob
+    * VALUE is declared index state, like the codebook — the oracle still
+    * recomputes the entire search pipeline at that operating point, and
+    * `ann_ivf_rpq_served_check` separately gates the point's recall. */
+  private val lastServedNprobe =
+    new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
+
+  /** Recall companion for the SERVED entry at its calibrated operating
+    * point (the annIvfRpqCheck pattern): calibration accepts an earlier
+    * ladder point only within [[AnnCalEps]] of the ceiling's recall on the
+    * calibration sample, and this check proves the served answers clear
+    * the same measured floor on the contract queries. */
+  def annIvfRpqServedCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val served = annIvfRpqServed(spark, sfDir).withColumn("hit", lit(1))
+    val exact = annTopK(spark, sfDir)
+    exact.join(served, Seq("qi", "xi"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(coalesce(col("hit"), lit(0))).as("h"))
+      .select(when(col("h") >= col("n") * lit(IvfRpqRecallFloor), col("n"))
+        .otherwise(lit(-1L)).cast("long").as("n_exact"))
   }
 
   /** Recall companion for the residual tier (the ann_pq_check pattern). */
@@ -1389,6 +1500,7 @@ object SimilarityQueries {
     "ann_ivf_rpq" -> (annIvfRpq _),
     "ann_ivf_rpq_check" -> (annIvfRpqCheck _),
     "ann_ivf_rpq_served" -> (annIvfRpqServed _),
+    "ann_ivf_rpq_served_check" -> (annIvfRpqServedCheck _),
     "emb_centroid" -> Q.sql(embCentroidSpark),
     "emb_quant" -> Q.sql(embQuantSpark),
   )
@@ -1398,7 +1510,13 @@ object SimilarityQueries {
     * (stride-picked fines, ~√k coarse, coarse-first assignment) plus the
     * first-10-queries probe set — consumed verbatim by the `ann_ivf` and
     * `ann_ivf_pq` oracles so the two can never drift apart. */
-  private val ivfOracleCtes: String =
+  /** The [[nprobeFor]] formula as oracle SQL — the default probe bound of
+    * [[ivfOracleCtesAt]]; [[withServedOracle]] swaps in the calibrated
+    * literal for the served entry. */
+  private val ivfNprobeFormulaSql: String =
+    s"SELECT greatest($IvfNprobe, CAST(ceil($IvfProbeFrac * k) AS BIGINT)) FROM p2"
+
+  private def ivfOracleCtesAt(nprobeSql: String): String =
     s"""p1 AS (
       |  SELECT count(*) AS n,
       |         greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
@@ -1443,8 +1561,99 @@ object SimilarityQueries {
       |                              ORDER BY list_cosine_similarity(e.embedding, f.vc) DESC, f.cid) AS rn
       |    FROM embeddings e CROSS JOIN fines f
       |    WHERE e.vec_id < 10) t
-      |  WHERE rn <= (SELECT greatest($IvfNprobe,
-      |    CAST(ceil($IvfProbeFrac * k) AS BIGINT)) FROM p2))""".stripMargin
+      |  WHERE rn <= ($nprobeSql))""".stripMargin
+
+  private val ivfOracleCtes: String = ivfOracleCtesAt(ivfNprobeFormulaSql)
+
+  /** The full residual-PQ oracle pipeline over a given IVF CTE block —
+    * shared by the `ann_ivf_rpq` entry (the [[nprobeFor]] formula bound)
+    * and [[withServedOracle]] (the calibrated-literal bound), so the two
+    * can never drift apart. */
+  private def rpqOracleSqlAt(ctes: String): String =
+    "WITH " + ctes + s""",
+        |res AS (
+        |  SELECT a.xi, a.cid,
+        |         list_transform(range(1, len(a.vx) + 1),
+        |           t -> CAST(a.vx[t] - f.vc[t] AS REAL)) AS r
+        |  FROM assign a JOIN fines f ON f.cid = a.cid),
+        |pR AS (SELECT count(*) AS n FROM res),
+        |psR AS (SELECT greatest(1, CAST(ceil(n * 1.0 / $RpqKs) AS BIGINT)) AS stride FROM pR),
+        |wR AS (SELECT CAST(len(r) / $RpqM AS BIGINT) AS sub FROM res LIMIT 1),
+        |donR AS (
+        |  SELECT r, row_number() OVER (ORDER BY xi) - 1 AS j
+        |  FROM res, psR WHERE xi % stride = 0
+        |  ORDER BY xi LIMIT $RpqKs),
+        |miR AS (SELECT unnest(range(0, $RpqM)) AS mi),
+        |-- the width rides as a SCALAR subquery, not a third cross join:
+        |-- DuckDB 1.0.0 silently yields ZERO rows for derived-CTE x dim x
+        |-- dim chains of this shape (count(*) says 8000, any projection
+        |-- says 0 — reproduced and worked around, not guessed)
+        |centsR AS (
+        |  SELECT miR.mi, d.j,
+        |         list_slice(d.r, miR.mi * (SELECT sub FROM wR) + 1,
+        |                    miR.mi * (SELECT sub FROM wR) + (SELECT sub FROM wR)) AS c
+        |  FROM donR d CROSS JOIN miR),
+        |slicesR AS (
+        |  SELECT res.xi, miR.mi,
+        |         list_slice(res.r, miR.mi * (SELECT sub FROM wR) + 1,
+        |                    miR.mi * (SELECT sub FROM wR) + (SELECT sub FROM wR)) AS s
+        |  FROM res CROSS JOIN miR),
+        |encR AS (
+        |  SELECT xi, mi, j AS code FROM (
+        |    SELECT s.xi, s.mi, c.j,
+        |           row_number() OVER (PARTITION BY s.xi, s.mi ORDER BY
+        |             list_sum(list_transform(range(1, len(s.s) + 1),
+        |               t -> (CAST(s.s[t] AS DOUBLE) - CAST(c.c[t] AS DOUBLE))
+        |                  * (CAST(s.s[t] AS DOUBLE) - CAST(c.c[t] AS DOUBLE)))) ASC,
+        |             c.j ASC) AS rn
+        |    FROM slicesR s JOIN centsR c ON s.mi = c.mi) t
+        |  WHERE rn = 1),
+        |qslicesR AS (
+        |  SELECT e.vec_id AS qi, miR.mi,
+        |         list_slice(e.embedding, miR.mi * (SELECT sub FROM wR) + 1,
+        |                    miR.mi * (SELECT sub FROM wR) + (SELECT sub FROM wR)) AS s
+        |  FROM embeddings e CROSS JOIN miR
+        |  WHERE e.vec_id < 10),
+        |lutsR AS (
+        |  SELECT q.qi, c.mi, c.j,
+        |         list_sum(list_transform(range(1, len(q.s) + 1),
+        |           t -> CAST(q.s[t] AS DOUBLE) * CAST(c.c[t] AS DOUBLE))) AS d
+        |  FROM qslicesR q JOIN centsR c ON q.mi = c.mi),
+        |normsR AS (
+        |  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |qdc AS (
+        |  SELECT p.qi, p.cid,
+        |         list_sum(list_transform(range(1, len(p.vq) + 1),
+        |           t -> CAST(p.vq[t] AS DOUBLE) * CAST(f.vc[t] AS DOUBLE))) AS qc
+        |  FROM probes p JOIN fines f ON f.cid = p.cid),
+        |scannedR AS (
+        |  SELECT p.qi, rs.xi, qd.qc + list_sum(list(l.d ORDER BY l.mi)) AS adot
+        |  FROM probes p
+        |  JOIN res rs ON rs.cid = p.cid AND p.qi <> rs.xi
+        |  JOIN qdc qd ON qd.qi = p.qi AND qd.cid = p.cid
+        |  JOIN encR en ON en.xi = rs.xi
+        |  JOIN lutsR l ON l.qi = p.qi AND l.mi = en.mi AND l.j = en.code
+        |  GROUP BY p.qi, rs.xi, qd.qc),
+        |slstR AS (
+        |  SELECT qi, xi FROM (
+        |    SELECT s.qi, s.xi,
+        |           row_number() OVER (PARTITION BY s.qi
+        |             ORDER BY s.adot / (nq.nrm * nx.nrm) DESC, s.xi ASC) AS arn
+        |    FROM scannedR s JOIN normsR nq ON nq.vec_id = s.qi
+        |                    JOIN normsR nx ON nx.vec_id = s.xi) t
+        |  WHERE arn <= $PqShortlist),
+        |rrR AS (
+        |  SELECT s.qi, s.xi,
+        |         list_cosine_similarity(q.embedding, x.embedding) AS sim
+        |  FROM slstR s JOIN embeddings q ON q.vec_id = s.qi
+        |               JOIN embeddings x ON x.vec_id = s.xi)
+        |SELECT qi, xi FROM (
+        |  SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi ASC) AS rn
+        |  FROM rrR) t
+        |WHERE rn <= 5 ORDER BY qi, xi""".stripMargin
+
 
   /** Shared DuckDB CTE block: the full PQ pipeline up to the per-query ADC
     * tables — stride-picked codebook donors, per-subspace slices (width
@@ -1501,7 +1710,10 @@ object SimilarityQueries {
     * instead. Everything else is exactly checkable — including IVF, whose
     * centroid choice, assignment, and probing are deterministic with
     * explicit tie-breaks. */
-  val oracles: Map[String, String] = withServedOracle(Map(
+  // a DEF, not a val: [[withServedOracle]] must see the nprobe the served
+  // entry actually ran at, and Verify reads oracleSql AFTER running the
+  // queries — an eagerly-initialized map would freeze the formula fallback
+  def oracles: Map[String, String] = withServedOracle(Map(
     // LSH recall-gated companions: the Spark side returns the exact pair
     // COUNT only when precision is 1 and recall clears the spec-pinned
     // bound, so the plain exact count is the oracle
@@ -1610,90 +1822,7 @@ object SimilarityQueries {
     // Spark's float minus), residual codebook at the finer RpqM×RpqKs
     // geometry, ADC = per-(query, bucket) dot(q, c) constant + mi-ordered
     // residual table sum — value-for-value like the parent oracles
-    "ann_ivf_rpq" ->
-      ("WITH " + ivfOracleCtes + s""",
-        |res AS (
-        |  SELECT a.xi, a.cid,
-        |         list_transform(range(1, len(a.vx) + 1),
-        |           t -> CAST(a.vx[t] - f.vc[t] AS REAL)) AS r
-        |  FROM assign a JOIN fines f ON f.cid = a.cid),
-        |pR AS (SELECT count(*) AS n FROM res),
-        |psR AS (SELECT greatest(1, CAST(ceil(n * 1.0 / $RpqKs) AS BIGINT)) AS stride FROM pR),
-        |wR AS (SELECT CAST(len(r) / $RpqM AS BIGINT) AS sub FROM res LIMIT 1),
-        |donR AS (
-        |  SELECT r, row_number() OVER (ORDER BY xi) - 1 AS j
-        |  FROM res, psR WHERE xi % stride = 0
-        |  ORDER BY xi LIMIT $RpqKs),
-        |miR AS (SELECT unnest(range(0, $RpqM)) AS mi),
-        |-- the width rides as a SCALAR subquery, not a third cross join:
-        |-- DuckDB 1.0.0 silently yields ZERO rows for derived-CTE x dim x
-        |-- dim chains of this shape (count(*) says 8000, any projection
-        |-- says 0 — reproduced and worked around, not guessed)
-        |centsR AS (
-        |  SELECT miR.mi, d.j,
-        |         list_slice(d.r, miR.mi * (SELECT sub FROM wR) + 1,
-        |                    miR.mi * (SELECT sub FROM wR) + (SELECT sub FROM wR)) AS c
-        |  FROM donR d CROSS JOIN miR),
-        |slicesR AS (
-        |  SELECT res.xi, miR.mi,
-        |         list_slice(res.r, miR.mi * (SELECT sub FROM wR) + 1,
-        |                    miR.mi * (SELECT sub FROM wR) + (SELECT sub FROM wR)) AS s
-        |  FROM res CROSS JOIN miR),
-        |encR AS (
-        |  SELECT xi, mi, j AS code FROM (
-        |    SELECT s.xi, s.mi, c.j,
-        |           row_number() OVER (PARTITION BY s.xi, s.mi ORDER BY
-        |             list_sum(list_transform(range(1, len(s.s) + 1),
-        |               t -> (CAST(s.s[t] AS DOUBLE) - CAST(c.c[t] AS DOUBLE))
-        |                  * (CAST(s.s[t] AS DOUBLE) - CAST(c.c[t] AS DOUBLE)))) ASC,
-        |             c.j ASC) AS rn
-        |    FROM slicesR s JOIN centsR c ON s.mi = c.mi) t
-        |  WHERE rn = 1),
-        |qslicesR AS (
-        |  SELECT e.vec_id AS qi, miR.mi,
-        |         list_slice(e.embedding, miR.mi * (SELECT sub FROM wR) + 1,
-        |                    miR.mi * (SELECT sub FROM wR) + (SELECT sub FROM wR)) AS s
-        |  FROM embeddings e CROSS JOIN miR
-        |  WHERE e.vec_id < 10),
-        |lutsR AS (
-        |  SELECT q.qi, c.mi, c.j,
-        |         list_sum(list_transform(range(1, len(q.s) + 1),
-        |           t -> CAST(q.s[t] AS DOUBLE) * CAST(c.c[t] AS DOUBLE))) AS d
-        |  FROM qslicesR q JOIN centsR c ON q.mi = c.mi),
-        |normsR AS (
-        |  SELECT vec_id, sqrt(list_sum(list_transform(embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |qdc AS (
-        |  SELECT p.qi, p.cid,
-        |         list_sum(list_transform(range(1, len(p.vq) + 1),
-        |           t -> CAST(p.vq[t] AS DOUBLE) * CAST(f.vc[t] AS DOUBLE))) AS qc
-        |  FROM probes p JOIN fines f ON f.cid = p.cid),
-        |scannedR AS (
-        |  SELECT p.qi, rs.xi, qd.qc + list_sum(list(l.d ORDER BY l.mi)) AS adot
-        |  FROM probes p
-        |  JOIN res rs ON rs.cid = p.cid AND p.qi <> rs.xi
-        |  JOIN qdc qd ON qd.qi = p.qi AND qd.cid = p.cid
-        |  JOIN encR en ON en.xi = rs.xi
-        |  JOIN lutsR l ON l.qi = p.qi AND l.mi = en.mi AND l.j = en.code
-        |  GROUP BY p.qi, rs.xi, qd.qc),
-        |slstR AS (
-        |  SELECT qi, xi FROM (
-        |    SELECT s.qi, s.xi,
-        |           row_number() OVER (PARTITION BY s.qi
-        |             ORDER BY s.adot / (nq.nrm * nx.nrm) DESC, s.xi ASC) AS arn
-        |    FROM scannedR s JOIN normsR nq ON nq.vec_id = s.qi
-        |                    JOIN normsR nx ON nx.vec_id = s.xi) t
-        |  WHERE arn <= $PqShortlist),
-        |rrR AS (
-        |  SELECT s.qi, s.xi,
-        |         list_cosine_similarity(q.embedding, x.embedding) AS sim
-        |  FROM slstR s JOIN embeddings q ON q.vec_id = s.qi
-        |               JOIN embeddings x ON x.vec_id = s.xi)
-        |SELECT qi, xi FROM (
-        |  SELECT qi, xi, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, xi ASC) AS rn
-        |  FROM rrR) t
-        |WHERE rn <= 5 ORDER BY qi, xi""".stripMargin),
+    "ann_ivf_rpq" -> rpqOracleSqlAt(ivfOracleCtes),
     "ann_ivf_rpq_check" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_exact FROM (
         |  WITH s AS (
@@ -1757,11 +1886,27 @@ object SimilarityQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   ))
 
-  /** `ann_ivf_rpq_served` answers from the PERSISTED index, and its
-    * contract is exactly that doing so changes nothing: it shares
-    * `ann_ivf_rpq`'s full-pipeline DuckDB oracle verbatim, so the driver
-    * hash-compares the save → load → serve round trip against the
-    * from-scratch pipeline value-for-value. */
-  private def withServedOracle(base: Map[String, String]): Map[String, String] =
-    base + ("ann_ivf_rpq_served" -> base("ann_ivf_rpq"))
+  /** `ann_ivf_rpq_served` answers from the PERSISTED index at its
+    * CALIBRATED operating point, and its oracle is the same full-pipeline
+    * DuckDB search recomputed at that point: the probe bound is the
+    * nprobe the entry actually served at ([[lastServedNprobe]], set when
+    * the entry ran earlier in the Verify process), every other stage the
+    * formula-bound parent oracle's verbatim ([[rpqOracleSqlAt]]). On
+    * corpora where calibration lands on the [[nprobeFor]] ceiling — the
+    * random contract corpora, where recall keeps buying scanned fraction —
+    * the substituted literal EQUALS the formula's value and the oracle is
+    * value-identical to the parent's, the legacy shared-oracle contract.
+    * With no served run in this JVM the formula bound stands in. */
+  private def withServedOracle(base: Map[String, String]): Map[String, String] = {
+    val servedSql = lastServedNprobe.get() match {
+      case Some(np) => rpqOracleSqlAt(ivfOracleCtesAt(s"SELECT $np"))
+      case None     => base("ann_ivf_rpq")
+    }
+    base +
+      ("ann_ivf_rpq_served" -> servedSql) +
+      // recall companion at the served operating point: DuckDB checks the
+      // exact top-5 count, the floor gate runs server-side (the
+      // ann_ivf_rpq_check pattern — same exact-count oracle)
+      ("ann_ivf_rpq_served_check" -> base("ann_ivf_rpq_check"))
+  }
 }

@@ -84,7 +84,9 @@ object StreamingAnnTopK {
       coarseVecs = c.map(_.getSeq[Float](1).toArray),
       coarseNorms = c.map(_.getDouble(2)),
       cents = art.cents, m = SimilarityQueries.RpqM, ks = art.ks,
-      nprobe = SimilarityQueries.nprobeFor(art.n))
+      // the batch tier's served operating point — calibrated when the
+      // artifacts carry one, else the nprobeFor floor
+      nprobe = SimilarityQueries.servedNprobe(art))
   }
 
   /** One routed event: a HOME insert (`probe = false`: code + norm) or a

@@ -97,7 +97,11 @@ class AnnIndexIOSpec extends AnyFunSuite {
     // filter vanishing even while results stay correct)
     assert(plan.contains("dynamicpruning"),
       s"served plan lost dynamic partition pruning:\n${plan.take(2000)}")
-    assert(plan.contains("PartitionFilters: ["))
+    // the filter list must be NON-empty and dynamic — a bare
+    // "PartitionFilters: []" (full scan) must fail here (review finding:
+    // the old contains("PartitionFilters: [") matched the empty list too)
+    assert(plan.contains("dynamicpruningexpression(pcell"),
+      s"codes scan's PartitionFilters lost the dynamic pcell filter:\n${plan.take(2000)}")
     // and the layout change is invisible to results: served == inline
     val inline = SimilarityQueries.rpqSearch(
       SimilarityQueries.rpqArtifactsOf(e, 300L), e)
@@ -158,6 +162,76 @@ class AnnIndexIOSpec extends AnyFunSuite {
     // the frozen codebook: serve top-1 for a query near vec 230
     val probeRows = art1.codes.where(col("xi") === 230L).count()
     assert(probeRows === 1L)
+  }
+
+  test("calibrated nprobe is stored, served, and frozen across refresh") {
+    val corpus = Files.createTempDirectory("annio-corpus-cal")
+    val idx = Files.createTempDirectory("annio-idx-cal")
+    writeFile(corpus, mkVecs(300, seed = 21L), "part-0.parquet")
+    AnnIndexIO.save(spark, idx.toString, corpus.toString)
+    val (art, meta) = AnnIndexIO.load(spark, idx.toString)
+    // the stored operating point is a ladder member bounded by the formula
+    val ladder = SimilarityQueries.nprobeLadder(meta.n)
+    assert(ladder.contains(meta.nprobeCal))
+    assert(meta.nprobeCal <= SimilarityQueries.nprobeFor(meta.n))
+    // loaded artifacts carry it and the serve path reads it
+    assert(art.nprobeCal === Some(meta.nprobeCal))
+    assert(SimilarityQueries.servedNprobe(art) === meta.nprobeCal)
+    // refresh freezes it with the codebook (rebuild is what re-calibrates)
+    writeFile(corpus, mkVecs(40, seed = 22L, idBase = 300L), "part-1.parquet")
+    assert(AnnIndexIO.refresh(spark, idx.toString) === 40L)
+    assert(AnnIndexIO.readMeta(idx.toString).nprobeCal === meta.nprobeCal)
+  }
+
+  test("a crashed re-save cannot corrupt the committed index (generation dirs)") {
+    val corpus = Files.createTempDirectory("annio-corpus-gen")
+    val idx = Files.createTempDirectory("annio-idx-gen")
+    writeFile(corpus, mkVecs(250, seed = 31L), "part-0.parquet")
+    AnnIndexIO.save(spark, idx.toString, corpus.toString)
+    val (_, meta0) = AnnIndexIO.load(spark, idx.toString)
+    assert(meta0.gen === 0L && meta0.codeDirs === Seq("codes_base_g0"))
+    val e = SimilarityQueries.vecsOf(spark.read.parquet(corpus.toString))
+    val before = collectSorted(SimilarityQueries.rpqSearch(
+      AnnIndexIO.load(spark, idx.toString)._1, e))
+    // simulate a re-save over the UNCHANGED corpus crashing mid-write:
+    // the next generation's codes dir exists but holds garbage, and the
+    // meta was never rewritten — load must keep serving generation 0
+    // (the old in-place layout would have served the half-written codes
+    // under a still-fresh meta — review finding)
+    val crashed = idx.resolve("codes_base_g1")
+    Files.createDirectories(crashed)
+    Files.write(crashed.resolve("pcell=0"), Array[Byte](1, 2, 3))
+    val (art1, meta1) = AnnIndexIO.load(spark, idx.toString)
+    assert(meta1.gen === 0L)
+    assert(AnnIndexIO.isFresh(spark, meta1))
+    assert(collectSorted(SimilarityQueries.rpqSearch(art1, e)) === before)
+    // a completed re-save targets generation 1 again (the counter comes
+    // from the COMMITTED meta, so the crashed attempt's uncommitted g1
+    // garbage is simply overwritten — idempotent retry) and the commit
+    // sweeps every superseded directory
+    AnnIndexIO.save(spark, idx.toString, corpus.toString)
+    val (art2, meta2) = AnnIndexIO.load(spark, idx.toString)
+    assert(meta2.gen === 1L && meta2.codeDirs === Seq("codes_base_g1"))
+    assert(collectSorted(SimilarityQueries.rpqSearch(art2, e)) === before)
+    val leftovers = Files.list(idx).map(_.getFileName.toString).toArray.map(_.toString)
+      .filter(d => d.startsWith("fines") || d.startsWith("coarse") ||
+        d.startsWith("codes_base"))
+    assert(leftovers.toSet ===
+      Set("fines_g1", "coarse_g1", "codes_base_g1"), leftovers.mkString(","))
+  }
+
+  test("refresh rejects appended files that reuse indexed vec_ids") {
+    val corpus = Files.createTempDirectory("annio-corpus-dup")
+    val idx = Files.createTempDirectory("annio-idx-dup")
+    writeFile(corpus, mkVecs(120, seed = 41L), "part-0.parquet")
+    AnnIndexIO.save(spark, idx.toString, corpus.toString)
+    // appended file reuses ids 100..119 — double-counted candidates if
+    // served; the gate must fail loud before any delta is written
+    writeFile(corpus, mkVecs(20, seed = 42L, idBase = 100L), "part-1.parquet")
+    val e = intercept[IllegalStateException](AnnIndexIO.refresh(spark, idx.toString))
+    assert(e.getMessage.contains("fresh vec_ids"))
+    assert(Files.list(idx).map(_.getFileName.toString).toArray
+      .forall(!_.toString.startsWith("codes_delta_")))
   }
 
   test("refresh is append-only: a changed indexed file fails loud") {
