@@ -702,6 +702,62 @@ object Bench {
         System.err.println(s"[graft] ann index lifecycle probe failed: $e")
     }
 
+    // Streaming ANN gate state under the RocksDB provider (round-17 verdict
+    // task 2): ingest the full embeddings corpus through StreamingAnnTopK
+    // and record the state store's rows/bytes — the gate_state_rocksdb_*
+    // discipline for the one stateful operator that lacked measured keys.
+    // The row bound is structural: one state row per NON-EMPTY bucket,
+    // ≤ the fine-centroid count (~√n), regardless of corpus size; bytes are
+    // recorded for observability (RocksDB's accounting carries block-cache/
+    // memtable overhead, like gate_state_rocksdb_bytes). The 32·n-byte code
+    // payload (id + 16-byte code + norm per ingested vector) rides along so
+    // the record shows how far the provider's overhead sits above the
+    // irreducible compressed scan tier.
+    if (only.isEmpty) try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rocks = spark.newSession()
+      rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      rocks.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      graft.Graft.registerFunctions(rocks)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = rocks.sqlContext
+      import rocks.implicits._
+      val annCorpus = rocks.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val annN = annCorpus.count()
+      val annE = graft.queries.SimilarityQueries.vecsOf(annCorpus)
+      val fz = graft.streaming.StreamingAnnTopK.freeze(
+        graft.queries.SimilarityQueries.rpqArtifactsOf(annE, annN))
+      val arrivals = annCorpus.as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingAnnTopK.topKCandidates(
+          input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", fz, 5)
+        .toDF("qi", "xi", "asim")
+        .writeStream.format("noop").outputMode("update").start()
+      try {
+        input.addData(arrivals)
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators
+        val srows = so.map(_.numRowsTotal).sum.toDouble
+        val sbytes = so.map(_.memoryUsedBytes).sum.toDouble
+        val onRocks = so.flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+          .exists(_.toLowerCase.contains("rocksdb"))
+        probes("ann_gate_state_rows") = srows
+        probes("ann_gate_state_bytes") = sbytes
+        probes("ann_gate_state_rows_bound") = fz.fineIds.length.toDouble
+        probes("ann_gate_state_code_bytes") = annN * (8.0 + fz.m + 8.0)
+        probes("ann_gate_state_ok") =
+          if (onRocks && srows <= fz.fineIds.length) 1.0 else -1.0
+        if (probes("ann_gate_state_ok") < 0)
+          System.err.println(s"[graft] ANN GATE STATE BOUND BROKEN: " +
+            s"rows=$srows onRocks=$onRocks (buckets=${fz.fineIds.length})")
+      } finally q.stop()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        probes("ann_gate_state_ok") = -1.0
+        System.err.println(s"[graft] ann_gate_state probe failed: $e")
+    }
 
     // how much of the suite actually served from the index, from the
     // production observability counters (snapshotted right after the timed
