@@ -422,7 +422,8 @@ object PipelineQueries {
     // default, and on corpora without a pathological stop shingle (incl.
     // this one) identical to the exact pairs
     connectedComponents(
-      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf))))
+      spark.sql(TextQueries.shingleJaccardSparkSql(
+        capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents"))))
   }
 
   /** Representative selection — the step that turns clusters into a dedup
@@ -440,7 +441,8 @@ object PipelineQueries {
   def ddClusterKeep(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     keepsFrom(connectedComponentsMembers(
-      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf)))),
+      spark.sql(TextQueries.shingleJaccardSparkSql(
+        capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents")))),
       spark)
   }
 
@@ -591,7 +593,8 @@ object PipelineQueries {
         case Some((df, _)) => df
         case None =>
           val built = connectedComponentsMembersWithRdd(
-            spark.sql(TextQueries.shingleJaccardSparkSql(capDf = Some(TextQueries.ShingleCapDf))))
+            spark.sql(TextQueries.shingleJaccardSparkSql(
+        capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents"))))
           membersMemo.put(key, built)
           built._1
       }

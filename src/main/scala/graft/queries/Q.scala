@@ -292,4 +292,56 @@ object Q {
   /** A query whose Spark side is a plain SQL string over the corpus views. */
   def sql(text: String): (SparkSession, String) => DataFrame =
     (spark, sfDir) => ctx(spark, sfDir).sql(text)
+
+  // ---- adaptive scan fan-out (optimization round 18, guide §2.5) ---------
+
+  /** Scan partition count of a registered corpus view, memoized per
+    * (session, dir, table) — one physical planning of the bare scan, never
+    * a job. */
+  private val scanParts = new ConcurrentHashMap[String, Int]()
+
+  /** Fan-out width for explode-/compute-amplified consumers of `table`:
+    * the session's default parallelism when the table's scan yields fewer
+    * than half that many splits, else 0 (= leave the plan alone).
+    *
+    * Why (guide §2.5, input skew): the corpus files are small enough that a
+    * scan is ONE split, but consumers amplify each input byte by orders of
+    * magnitude (n-gram explosion, 64 MinHash probes/gram, 512 SRP dots or a
+    * 16×256-centroid PQ encode per vector), so the whole stage serializes
+    * on one core while the rest idle. At production scale the scan itself
+    * produces ≥ cores splits and the gate returns 0 — no extra exchange is
+    * ever paid where the input already parallelizes; the repartition width
+    * derives from the session (never a constant), so the driver's
+    * lower-core bench runs keep their proportions. Row-identical: a
+    * repartition reorders rows only, and every consumer is
+    * order-insensitive (aggregates, joins, sorted collect_lists, final
+    * ORDER BYs). */
+  private[graft] def fanWidth(spark: SparkSession, table: String): Int = {
+    val sid = org.apache.spark.sql.graft.ColumnBridge.sessionUUID(spark)
+    val dir = registeredDir.get(sid)
+    val parts = scanParts.computeIfAbsent(s"$sid#$dir#$table",
+      _ => spark.table(table).rdd.getNumPartitions)
+    val target = spark.sparkContext.defaultParallelism
+    if (parts * 2 >= target) 0 else target
+  }
+
+  /** [[fanWidth]] applied to a DataFrame: gated round-robin repartition. */
+  private[graft] def fanOut(df: DataFrame, table: String = "documents"): DataFrame = {
+    val w = fanWidth(df.sparkSession, table)
+    if (w == 0) df else df.repartition(w)
+  }
+
+  /** A SQL query parametrized on the fan-out width of its driving table —
+    * `build(0)` must be the un-hinted text (the production / at-scale
+    * form). */
+  def sqlFan(table: String)(build: Int => String): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => {
+      val s = ctx(spark, sfDir)
+      s.sql(build(fanWidth(s, table)))
+    }
+
+  /** `/*+ REPARTITION(w) */` when fanned, empty at scale — splice directly
+    * after SELECT in the scan-side CTE. */
+  private[graft] def repHint(w: Int): String =
+    if (w > 0) s"/*+ REPARTITION($w) */ " else ""
 }

@@ -70,9 +70,13 @@ object SimilarityQueries {
       .where(col("i") < col("j"))
       .distinct()
 
-  /** doc_id → distinct 3-word shingles, as in TextQueries.dd_shingle_jaccard. */
+  /** doc_id → distinct 3-word shingles, as in TextQueries.dd_shingle_jaccard.
+    * The scan is fanned out ([[Q.fanOut]]): the n-gram explosion plus the 64
+    * MinHash probes per gram amplify each input byte by orders of magnitude,
+    * so a single-split scan serializes the stage on one core; at production
+    * scale the gate is a no-op (guide §2.5). */
   private def shingles(spark: SparkSession): DataFrame =
-    spark.table("documents")
+    Q.fanOut(spark.table("documents"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"),
@@ -137,7 +141,7 @@ object SimilarityQueries {
     * 64-bit [[simhash]]. One groupBy with 64·sigWords map-side-combined
     * vote sums — still a single shuffle of per-doc partials at any width. */
   private[queries] def simhashSig(spark: SparkSession, sigWords: Int): DataFrame = {
-    val words = spark.table("documents")
+    val words = Q.fanOut(spark.table("documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     val withH = (0 until sigWords).foldLeft(words) { (df, k) =>
@@ -269,7 +273,7 @@ object SimilarityQueries {
     * ([[graft.functions.VecDot]]) — same sequential double fold as the
     * `aggregate(zip_with(...))` form, minus the per-element lambda dispatch. */
   private def vecs(spark: SparkSession): DataFrame =
-    vecsOf(spark.table("embeddings"))
+    vecsOf(Q.fanOut(spark.table("embeddings"), "embeddings"))
 
   private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
@@ -562,49 +566,171 @@ object SimilarityQueries {
     * against the frozen hierarchy ([[assignToFrozen]]); reconstructing the
     * coarse set from the fines' in-use ccid values (the [[adaptiveProbes]]
     * shortcut) would silently drop a coarse cell that no fine mapped to. */
+  /** A centroid row held on the driver: the id, the ORIGINAL-typed vector
+    * (for rebuilding frames without a type round-trip), its exact
+    * double-widened copy (for arithmetic), the stored norm, and — for fine
+    * centroids — the owning coarse cell. */
+  private final case class LocalCent(
+      id: Long, orig: Seq[Any], vec: Array[Double], nrm: Double, ccid: Long)
+
+  /** Collects a centroid frame — bounded O(√n·d) BY CONSTRUCTION, the same
+    * payload every consumer already ships to each executor as
+    * `broadcast(fines)` — into driver arrays sorted by id. Float vectors
+    * widen exactly (the identical per-element cast [[VecDot]] performs). */
+  private def collectCentroids(
+      df: DataFrame, cols: Seq[String], withCcid: Boolean): Array[LocalCent] = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val isFloat = df.schema(cols(1)).dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+    df.select(cols.map(col): _*).collect().map { r =>
+      val orig = r.getSeq[Any](1)
+      val vec =
+        if (isFloat) orig.iterator.map(_.asInstanceOf[Float].toDouble).toArray
+        else orig.iterator.map(_.asInstanceOf[Double]).toArray
+      LocalCent(r.getLong(0), orig, vec, r.getDouble(2),
+        if (withCcid) r.getLong(3) else -1L)
+    }.sortBy(_.id)
+  }
+
+  /** [[graft.functions.CentroidAssign.Hier]] from driver-local centroid
+    * rows: coarse cells in ccid order, each cell's fines in cid order —
+    * result-order-free (the kernel's explicit smaller-id tie-break makes
+    * the argmax independent of iteration order). A fine whose ccid names
+    * no coarse cell is unreachable in the join form too (probe ccids come
+    * from the coarse set) and is dropped identically. */
+  private def hierOf(
+      fines: Array[LocalCent], coarse: Array[LocalCent]): graft.functions.CentroidAssign.Hier = {
+    val d = if (coarse.nonEmpty) coarse(0).vec.length
+            else if (fines.nonEmpty) fines(0).vec.length else 0
+    val byCell = fines.groupBy(_.ccid)
+    val cellOff = new Array[Int](coarse.length + 1)
+    val ordFines = Array.newBuilder[LocalCent]
+    var off = 0
+    coarse.zipWithIndex.foreach { case (c, j) =>
+      cellOff(j) = off
+      val cell = byCell.getOrElse(c.id, Array.empty[LocalCent])
+      ordFines ++= cell
+      off += cell.length
+    }
+    cellOff(coarse.length) = off
+    val of = ordFines.result()
+    graft.functions.CentroidAssign.Hier(
+      d,
+      coarse.map(_.id), coarse.flatMap(_.vec), coarse.map(_.nrm),
+      cellOff,
+      of.map(_.id), of.flatMap(_.vec), of.map(_.nrm))
+  }
+
+  /** ONE-map corpus assignment against a driver-held hierarchy — see
+    * [[graft.functions.CentroidAssign]] for the exactness contract vs the
+    * join/aggregate form this replaces (r18, guide §2.4: zero shuffles
+    * where the old form shuffled one row per corpus vector twice). */
+  private def assignWithHier(
+      e: DataFrame, hier: graft.functions.CentroidAssign.Hier): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
+    e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx"),
+        cc(graft.functions.CentroidAssignExpr(ce(col("v")), ce(col("nrm")), hier)).as("cid"))
+      .where(col("cid").isNotNull)
+  }
+
+  /** Local rows → a LocalRelation frame with the given column names (the
+    * hierarchy frames are plan CONSTANTS downstream — no corpus lineage,
+    * no Exchange, broadcast builds are trivial). */
+  private def centFrame(spark: SparkSession, rows: Array[LocalCent],
+      vecType: org.apache.spark.sql.types.DataType, names: Seq[String],
+      withCcid: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val base = Seq(
+      StructField(names(0), LongType, nullable = false),
+      StructField(names(1), vecType, nullable = true),
+      StructField(names(2), DoubleType, nullable = false))
+    val schema = StructType(
+      if (withCcid) base :+ StructField(names(3), LongType, nullable = false) else base)
+    val data = rows.map { r =>
+      if (withCcid) Row(r.id, r.orig, r.nrm, r.ccid) else Row(r.id, r.orig, r.nrm)
+    }.toSeq.asJava
+    spark.createDataFrame(data, schema)
+  }
+
   private[graft] def ivfIndexFull(
       e: DataFrame, n: Long): (DataFrame, DataFrame, DataFrame) = {
+    val spark = e.sparkSession
+    val vecType = e.schema("v").dataType
     val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
     val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)
-    val fines = e.where(col("vec_id") % stride === 0)
+    val finesBase = e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
-      .withColumn("r", row_number().over(Window.orderBy("cid")))
-    val kf = fines.count()
+    // r18 optimization (guide §2.4/§1.2): ONE bounded collect of the fine
+    // rows (O(√n·d) — the exact payload every consumer already ships as
+    // broadcast(fines)) replaces (a) the former count() job, (b) the
+    // single-partition row_number window that rode the fines lineage into
+    // every downstream materialization, and (c) the k×k1 fine→coarse
+    // argmax join — all now driver arithmetic over ≤ √n rows. The
+    // hierarchy frames become LocalRelations, and corpus assignment
+    // becomes ONE map expression where the join/aggregate form shuffled
+    // one row per corpus vector twice. Selection identity: row_number
+    // ordered by the (distinct) cid equals the sorted index, so the old
+    // `(r-1) % stride2 == 0` coarse pick is exactly the sorted ids at
+    // positions 0, stride2, 2·stride2, …; the fine→coarse argmax runs the
+    // identical widened-double arithmetic and (sim, -id) tie order.
+    val fineRows = collectCentroids(finesBase, Seq("cid", "vc", "nc"), withCcid = false)
+    val kf = fineRows.length.toLong
     val k1 = math.max(1L, math.floor(math.sqrt(kf.toDouble)).toLong)
     val stride2 = math.max(1L, math.ceil(kf.toDouble / k1).toLong)
-    val coarse = fines.where((col("r") - 1) % stride2 === 0)
-      .select(col("cid").as("ccid"), col("vc").as("vcc"), col("nc").as("ncc"))
-    // fine → nearest coarse (k × k1, tiny)
-    val f2c = argmaxJoin(
-      fines.select(col("cid"), col("vc"), col("nc")), "cid", coarse,
-      dot("vc", "vcc") / (col("nc") * col("ncc")), "ccid", Nil)
-      .join(fines.select(col("cid"), col("vc"), col("nc")), "cid")
-    // vector → nearest coarse → nearest fine within it
-    val finesC = f2c.select(col("cid"), col("vc"), col("nc"), col("ccid"))
-    val assigned = assignToFrozen(finesC, coarse, e)
+    val coarseRows = fineRows.zipWithIndex.collect {
+      case (r, i) if i % stride2 == 0 => r
+    }
+    // fine → nearest coarse (k × k1 driver dots, the join form's argmax)
+    val f2cRows = fineRows.map { f =>
+      var bi = -1
+      var bs = 0.0
+      var j = 0
+      while (j < coarseRows.length) {
+        val c = coarseRows(j)
+        var s = 0.0
+        var i = 0
+        val m = math.min(f.vec.length, c.vec.length)
+        while (i < m) { s += f.vec(i) * c.vec(i); i += 1 }
+        s = s / (f.nrm * c.nrm)
+        if (bi < 0 || java.lang.Double.compare(s, bs) > 0 ||
+            (java.lang.Double.compare(s, bs) == 0 && c.id < coarseRows(bi).id)) {
+          bi = j; bs = s
+        }
+        j += 1
+      }
+      f.copy(ccid = coarseRows(bi).id)
+    }
+    val finesC = centFrame(spark, f2cRows, vecType,
+      Seq("cid", "vc", "nc", "ccid"), withCcid = true)
+    val coarse = centFrame(spark, coarseRows, vecType,
+      Seq("ccid", "vcc", "ncc"), withCcid = false)
+    val assigned = assignWithHier(e, hierOf(f2cRows, coarseRows))
     (finesC, coarse, assigned)
   }
 
   /** Coarse-first assignment of `(vec_id, v, nrm)` vectors against an
-    * EXISTING hierarchy — the exact `vass1` + fine-argmax tail of
-    * [[ivfIndexFull]], factored out so [[AnnIndexIO.refresh]] assigns
+    * EXISTING hierarchy — factored out so [[AnnIndexIO.refresh]] assigns
     * appended vectors through the identical procedure against FROZEN
     * centroids (standard FAISS append practice: the index never re-trains
     * on refresh, so refresh ≡ rebuild-with-frozen-codebook by
     * construction). `fines` is (cid, vc, nc, ccid), `coarse` is
-    * (ccid, vcc, ncc). Returns (xi, vx, nx, cid). */
+    * (ccid, vcc, ncc). Returns (xi, vx, nx, cid). r18: the two-level
+    * argmax runs as the ONE-map [[graft.functions.CentroidAssignExpr]]
+    * against the collected (bounded) hierarchy instead of two corpus-wide
+    * groupBy-argmax shuffles — see [[graft.functions.CentroidAssign]] for
+    * the exactness contract. */
   private[queries] def assignToFrozen(
       fines: DataFrame, coarse: DataFrame, e: DataFrame): DataFrame = {
-    val vass1 = argmaxJoin(
-      e.select(col("vec_id"), col("v"), col("nrm")), "vec_id", coarse,
-      dot("v", "vcc") / (col("nrm") * col("ncc")), "ccid", Seq("v", "nrm"))
-    vass1.join(broadcast(fines), "ccid")
-      .withColumn("_fs", dot("v", "vc") / (col("nrm") * col("nc")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("_fs"), (-col("cid")).as("_n0"), col("cid"),
-        col("v"), col("nrm"))).as("_a"))
-      .select(col("vec_id").as("xi"), col("_a.v").as("vx"),
-        col("_a.nrm").as("nx"), col("_a.cid").as("cid"))
+    val fineRows = collectCentroids(fines, Seq("cid", "vc", "nc", "ccid"), withCcid = true)
+    val coarseRows = collectCentroids(coarse, Seq("ccid", "vcc", "ncc"), withCcid = false)
+    if (fineRows.isEmpty || coarseRows.isEmpty)
+      // the join form yields zero rows when either centroid set is empty
+      // (inner joins against an empty side) — replicate that shape exactly
+      return e.select(col("vec_id").as("xi"), col("v").as("vx"),
+        col("nrm").as("nx"), lit(null).cast("long").as("cid")).limit(0)
+    assignWithHier(e, hierOf(fineRows, coarseRows))
   }
 
   /** Probe + scan: each query ranks ALL fine centroids (√n comparisons per
@@ -1227,7 +1353,8 @@ object SimilarityQueries {
   def minhashCheck(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     pairRecallCheck(
-      spark.sql(TextQueries.shingleJaccardSparkSql(capDf = None)),
+      spark.sql(TextQueries.shingleJaccardSparkSql(
+        capDf = None, fanW = Q.fanWidth(spark, "documents"))),
       minhashLsh(spark, sfDir), recallBound = 0.95)
   }
 
