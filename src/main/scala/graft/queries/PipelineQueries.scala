@@ -265,22 +265,6 @@ object PipelineQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
          |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // source-pair contamination matrix: distinct shared 8-word shingles per
-    // source pair — the corpus-curation signal for "which ingest feeds
-    // duplicate each other". Scale shape: the join key is the shingle, and
-    // each shingle's fan-out is bounded by the SOURCE count (distinct
-    // (source, shingle) pairs), never the document count; at larger source
-    // counts the dd_shingle_capped stop-shingle df-cap applies unchanged.
-    "dd_src_overlap" ->
-      s"""WITH d AS (SELECT source, split(text, ' ') AS w FROM documents
-         |           WHERE size(split(text, ' ')) >= $OverlapN),
-         |g AS (SELECT DISTINCT source, s
-         |      FROM (SELECT source, explode(word_ngrams(w, $OverlapN)) AS s FROM d))
-         |SELECT a.source AS src_a, b.source AS src_b,
-         |       CAST(count(*) AS BIGINT) AS n_shared
-         |FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
-         |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin,
-
     // intra-document repetition score (the Gopher-style rep signal):
     // duplicate-bigram fraction, integer counts + one division so both
     // engines agree bit-for-bit.
@@ -1096,8 +1080,36 @@ object PipelineQueries {
     sparkSqlMap.getOrElse(name, throw new NoSuchElementException(
       s"no PipelineQueries entry named '$name' — known: ${sparkSqlMap.keys.toSeq.sorted.mkString(", ")}"))
 
+  /** Source-pair contamination matrix: distinct shared 8-word shingles per
+    * source pair — the corpus-curation signal for "which ingest feeds
+    * duplicate each other". r18 shape (guide §2.4): per-shingle sorted
+    * DISTINCT-SOURCE SETS (collect_set — partials dedup map-side) with
+    * in-task pair generation, instead of the former DISTINCT + g ⋈ g
+    * self-join on the shingle: the gram stream is shuffled ONCE where the
+    * old plan computed the distinct twice and shuffled a third time for
+    * the join, and each set's pair fan-out stays bounded by the SOURCE
+    * count, never the document count. Identical output: collect_set's
+    * distinct sources per gram are exactly the old g rows, so each shared
+    * shingle contributes exactly one (a, b), a < b pair to the count in
+    * both forms. At larger source counts the dd_shingle_capped stop-shingle
+    * df-cap applies unchanged. */
+  private def srcOverlapSql(fanW: Int): String =
+    s"""WITH d AS (SELECT ${Q.repHint(fanW)}source, split(text, ' ') AS w FROM documents
+       |           WHERE size(split(text, ' ')) >= $OverlapN),
+       |g AS (SELECT source, explode(word_ngrams(w, $OverlapN)) AS s FROM d),
+       |lists AS (SELECT sort_array(collect_set(source)) AS ss
+       |          FROM g GROUP BY s),
+       |shared AS (SELECT ss FROM lists WHERE size(ss) >= 2)
+       |SELECT sa AS src_a, sb AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM shared
+       |LATERAL VIEW explode(ss) ta AS sa
+       |LATERAL VIEW explode(ss) tb AS sb
+       |WHERE sa < sb
+       |GROUP BY sa, sb ORDER BY src_a, src_b""".stripMargin
+
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
     sparkSql.map { case (n, s) => n -> Q.sql(s) } :+
+      ("dd_src_overlap" -> Q.sqlFan("documents")(srcOverlapSql)) :+
       ("dd_cluster" -> (ddCluster _)) :+
       ("dd_cluster_keep" -> (ddClusterKeep _)) :+
       ("ds_curated" -> (dsCurated _))

@@ -344,4 +344,19 @@ object Q {
     * after SELECT in the scan-side CTE. */
   private[graft] def repHint(w: Int): String =
     if (w > 0) s"/*+ REPARTITION($w) */ " else ""
+
+  /** Keyed variant: `/*+ REPARTITION(w, cols…) */` pins the WIDTH of a
+    * CPU-dense post-shuffle stage (AQE coalesces exchanges by BYTES, which
+    * under-parallelizes stages whose per-byte compute is extreme — in-task
+    * pair generation, 64-column signature votes). Keying on the group-by
+    * columns lets the aggregation reuse the exchange (no extra shuffle);
+    * empty at scale, where post-shuffle bytes are a good width proxy. */
+  private[graft] def repHintBy(w: Int, cols: String): String =
+    if (w > 0) s"/*+ REPARTITION($w, $cols) */ " else ""
+
+  /** [[repHintBy]] as a DataFrame transform. */
+  private[graft] def pinWidth(df: DataFrame, w: Int,
+      cols: Seq[String]): DataFrame =
+    if (w <= 0) df
+    else df.repartition(w, cols.map(org.apache.spark.sql.functions.col): _*)
 }

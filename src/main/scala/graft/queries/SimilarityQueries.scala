@@ -61,8 +61,13 @@ object SimilarityQueries {
     * the `a.id < b.id` self-join's pair set. Buckets of one produce no
     * pairs and are dropped by the BETWEEN. */
   private[graft] def bandedCandidates(
-      bands: DataFrame, idCol: String, maxBucket: Int = MaxBucket): DataFrame =
-    bands.groupBy("band", "bk")
+      bands: DataFrame, idCol: String, maxBucket: Int = MaxBucket,
+      fanW: Int = 0): DataFrame =
+    // r18: pin the in-bucket pair-gen stage's width (Q.pinWidth — AQE's
+    // byte-proxy coalescing under-parallelizes the quadratic explode); the
+    // keyed repartition replaces the aggregation's own exchange 1:1, and
+    // fanW = 0 at scale keeps the plan untouched
+    Q.pinWidth(bands, fanW, Seq("band", "bk")).groupBy("band", "bk")
       .agg(expr(s"collect_capped_long($idCol, $maxBucket)").as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
       .select(explode(expr("array_pairs(ids)")).as("p"))
@@ -99,7 +104,7 @@ object SimilarityQueries {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bk"))
-    bandedCandidates(bands, "doc_id")
+    bandedCandidates(bands, "doc_id", fanW = Q.fanWidth(spark, "documents"))
   }
 
   /** MinHash signatures + banded LSH candidates + exact-Jaccard verification.
@@ -107,29 +112,29 @@ object SimilarityQueries {
     * (16 bands × 4 rows: P[candidate | J=0.9] ≈ 1 - (1 - 0.9⁴)¹⁶ ≈ 0.999.) */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
-    // not cached: the explode is cheap to recompute and a session-lifetime
-    // cache of the largest intermediate would squat on storage memory
-    val sh = shingles(spark)
     val cand = minhashCandidates(spark, sfDir)
-    // Verify candidates with the exact Jaccard, joins restricted to the
-    // candidate set. Deliberately NO broadcast hint: |cand| scales with the
-    // number of near-dup pairs in the corpus — unbounded at 100 TB — so a
-    // forced broadcast is a driver OOM at exactly the scale this operator
-    // exists for. AQE broadcasts small candidate sets on its own.
-    // sz stays an AGGREGATE of the exploded grams rather than a map-side
-    // size(word_ngrams(...)) projection: the aggregate's post-shuffle
-    // stats let AQE broadcast it into the verification joins at runtime,
-    // where a scan-side projection carries the parquet's static size and
-    // falls back to sort-merge (measured: the "optimization" cost ~0.3 s)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("x"), col("x.doc_id") === col("i"))
-      .join(sh.as("y"), col("y.doc_id") === col("j") && col("y.s") === col("x.s"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.as("sa"), col("sa.doc_id") === col("i"))
-      .join(sz.as("sb"), col("sb.doc_id") === col("j"))
-      .where(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")) >= 0.5)
+    // r18 verification restructure (guide §2.3/§2.4): candidates join the
+    // per-doc DISTINCT-GRAM ARRAYS and the intersection count is a
+    // map-side size(array_intersect(...)) — the exploded gram stream is
+    // never shuffled (the old form shuffled ~|grams| rows twice — into the
+    // x/y verification joins and again into the (i, j) count aggregate)
+    // and the Jaccard denominators are size(gs) projections of the same
+    // arrays. Exact by the word_ngrams distinctness identity (the r17
+    // verdict's recorded no-op finding): |array_intersect(gi, gj)| equals
+    // the gram-equijoin count over distinct gram sets, and the integer
+    // Jaccard arithmetic is value-identical. The tiny gram-array side
+    // auto-broadcasts (scan-estimated well under the 10 MB threshold);
+    // the unbounded candidate side streams — same strategy rationale as
+    // before (never force-broadcast |cand|).
+    val g = Q.fanOut(spark.table("documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), expr("word_ngrams(w, 3)").as("gs"))
+    val gi = g.select(col("doc_id").as("i"), col("gs").as("gi"), size(col("gs")).as("ni"))
+    val gj = g.select(col("doc_id").as("j"), col("gs").as("gj"), size(col("gs")).as("nj"))
+    cand.join(gi, "i").join(gj, "j")
+      .withColumn("c", size(array_intersect(col("gi"), col("gj"))))
+      .where(col("c").cast("double") / (col("ni") + col("nj") - col("c")) >= 0.5)
       .select(col("i"), col("j"))
       .orderBy("i", "j")
   }
@@ -141,6 +146,10 @@ object SimilarityQueries {
     * 64-bit [[simhash]]. One groupBy with 64·sigWords map-side-combined
     * vote sums — still a single shuffle of per-doc partials at any width. */
   private[queries] def simhashSig(spark: SparkSession, sigWords: Int): DataFrame = {
+    // (r18 measured: a pinWidth on the (doc_id, w) exchange cost more in
+    // extra shuffle than the vote stage's parallelism bought back — the
+    // votes ride the count agg's partials, which are already map-side
+    // parallel under the fanned scan. Left as the fanned two-level agg.)
     val words = Q.fanOut(spark.table("documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
@@ -342,7 +351,8 @@ object SimilarityQueries {
     val bands = e
       .select(col("vec_id"),
         posexplode(expr(s"srp_band_keys(v, $SrpBits, $SrpRowsPerBand)")).as(Seq("band", "bk")))
-    val cand = bandedCandidates(bands, "vec_id")
+    val cand = bandedCandidates(bands, "vec_id",
+      fanW = Q.fanWidth(e.sparkSession, "embeddings"))
     val x = e.select(col("vec_id").as("xi"), col("v").as("xv"), col("nrm").as("xn"))
     val y = e.select(col("vec_id").as("yi"), col("v").as("yv"), col("nrm").as("yn"))
     cand
@@ -1429,7 +1439,14 @@ object SimilarityQueries {
     val sig = simhashSig(spark, cfg.sigWords)
     val banded = simhashBandedPairsN(sig, cfg.sigWords, cfg.bands, maxHam = 3)
     val ks = 0 until cfg.sigWords
-    val ai = sig.select(col("doc_id").as("i") +: ks.map(k => col(s"s$k").as(s"si$k")): _*)
+    // fan the cartesian's STREAM side (r18, guide §2.5): the O(n²)
+    // bit_count verification otherwise runs in the one or two tasks AQE
+    // leaves after the signature aggregation; the extra exchange moves n
+    // signature rows to parallelize n²/2 comparisons — trivially amortized
+    // at any n this oracle-tier check admits, and a no-op at scale (w = 0)
+    val ai0 = sig.select(col("doc_id").as("i") +: ks.map(k => col(s"s$k").as(s"si$k")): _*)
+    val fw = Q.fanWidth(spark, "documents")
+    val ai = if (fw > 0) ai0.repartition(fw) else ai0
     val bj = sig.select(col("doc_id").as("j") +: ks.map(k => col(s"s$k").as(s"sj$k")): _*)
     val ham = ks.map(k => s"bit_count(si$k ^ sj$k)").mkString(" + ")
     val brute = ai.join(bj, col("i") < col("j"))

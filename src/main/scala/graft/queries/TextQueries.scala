@@ -205,7 +205,7 @@ object TextQueries {
     // far under the 10 MB threshold). Scan fan-out per Q.fanWidth.
     s"""WITH d AS (SELECT ${Q.repHint(fanW)}doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 3),
        |g AS (SELECT doc_id, word_ngrams(w, 3) AS gs FROM d),
-       |sh AS (SELECT doc_id, explode(gs) AS s FROM g),
+       |sh AS (SELECT ${Q.repHintBy(fanW, "s")}doc_id, explode(gs) AS s FROM g),
        |sz AS (SELECT doc_id, size(gs) AS n FROM g),
        |lists AS (SELECT sort_array(collect_list(doc_id)) AS ds
        |          FROM sh GROUP BY s HAVING count(*) > 1$cap),
