@@ -36,17 +36,6 @@ object RelationalQueries {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
-    "q3_topk" ->
-      s"""SELECT l_orderkey, CAST(sum($disc) AS DOUBLE) AS revenue, o_orderdate
-         |FROM customer
-         |JOIN orders ON c_custkey = o_custkey
-         |JOIN lineitem ON l_orderkey = o_orderkey
-         |WHERE c_mktsegment = 'BUILDING'
-         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-         |GROUP BY l_orderkey, o_orderdate
-         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-
     "q5_region_revenue" ->
       s"""SELECT n_name, CAST(sum($disc) AS DOUBLE) AS revenue
          |FROM customer
@@ -60,6 +49,17 @@ object RelationalQueries {
          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q3_topk" ->
+      s"""SELECT l_orderkey, CAST(sum($disc) AS DOUBLE) AS revenue, o_orderdate
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q10_returned_topk" ->
       s"""SELECT c_custkey, c_name, CAST(sum($disc) AS DOUBLE) AS revenue
@@ -156,13 +156,6 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
-    "q_cube" ->
-      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-        |FROM lineitem
-        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_grouping_sets" ->
@@ -272,18 +265,47 @@ object RelationalQueries {
     // across engines (FMA contraction), which the fixed-point rounding
     // absorbs — measured boundary margins are >=1e6 x the ULP noise at
     // every SF. One map-side-combinable hash aggregate; scales like q1.
-    "q_corr" ->
-      """WITH s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, n,
-        |  CAST(round(((n * sxy - sx * sy)
-        |       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) * 1000000000) AS BIGINT) AS corr_e9
-        |FROM s ORDER BY l_returnflag""".stripMargin,
+  )
+
+  /** r18 fanned variants (guide §2.5): the single-file lineitem scan
+    * otherwise runs its 600k-row multi-column decimal moment aggregation
+    * in ONE task; a gated `/*+ REPARTITION(w) */` on a projected scan CTE
+    * spreads it across the session's cores. The hint is a dialect-neutral
+    * comment and `build(0)` (the at-scale form) IS the DuckDB oracle text,
+    * so both engines always run the same semantics. Measured and kept for
+    * the two heaviest aggregations only (q_corr 1.00 -> 0.84 s, q_cube
+    * 0.95 -> 0.83); the same treatment measured FLAT on q1_pricing and
+    * REGRESSED q5_region_revenue 2x (the repartition node in the 6-way
+    * join disturbed join planning), so those keep their shared form. */
+  private val fannedShared: Seq[(String, String, Int => String)] = Seq(
+    ("q_cube", "lineitem", (h: Int) =>
+      s"""WITH l0 AS (SELECT ${Q.repHint(h)}l_returnflag, l_linestatus, l_quantity FROM lineitem)
+         |SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         |FROM l0
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // Pearson correlation per group from decimal-exact moment sums: the five
+    // sums are exact integers (DECIMAL) in any accumulation order, lowered to
+    // DOUBLE once. The closed-form combination is reported as a nano-unit
+    // INTEGER (round(r * 1e9)): the divide/sqrt chain can differ by 1 ULP
+    // across engines (FMA contraction), which the fixed-point rounding
+    // absorbs — measured boundary margins are >=1e6 x the ULP noise at
+    // every SF. One map-side-combinable hash aggregate; scales like q1.
+    ("q_corr", "lineitem", (h: Int) =>
+      s"""WITH l0 AS (SELECT ${Q.repHint(h)}l_returnflag, l_quantity, l_extendedprice FROM lineitem),
+         |s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+         |  FROM l0 GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  CAST(round(((n * sxy - sx * sy)
+         |       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) * 1000000000) AS BIGINT) AS corr_e9
+         |FROM s ORDER BY l_returnflag""".stripMargin),
   )
 
   /** (name, Spark SQL, DuckDB SQL) — engine dialects differ only in the
@@ -366,9 +388,11 @@ object RelationalQueries {
 
   val defs: Seq[(String, (SparkSession, String) => DataFrame)] =
     shared.map { case (n, s) => n -> Q.sql(s) } ++
+      fannedShared.map { case (n, t, f) => n -> Q.sqlFan(t)(f) } ++
       split.map { case (n, s, _) => n -> Q.sql(s) } :+
       ("q_asof_join" -> (asofAttribution _))
 
   val oracles: Map[String, String] =
-    shared.toMap ++ split.map { case (n, _, d) => n -> d } + ("q_asof_join" -> asofOracle)
+    shared.toMap ++ fannedShared.map { case (n, _, f) => n -> f(0) } ++
+      split.map { case (n, _, d) => n -> d } + ("q_asof_join" -> asofOracle)
 }
