@@ -407,7 +407,8 @@ object PipelineQueries {
     // this one) identical to the exact pairs
     connectedComponents(
       spark.sql(TextQueries.shingleJaccardSparkSql(
-        capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents"))))
+        capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents"),
+        ordered = false)))
   }
 
   /** Representative selection — the step that turns clusters into a dedup
@@ -426,7 +427,8 @@ object PipelineQueries {
     Q.ctx(spark, sfDir)
     keepsFrom(connectedComponentsMembers(
       spark.sql(TextQueries.shingleJaccardSparkSql(
-        capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents")))),
+        capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents"),
+        ordered = false))),
       spark)
   }
 
@@ -578,7 +580,8 @@ object PipelineQueries {
         case None =>
           val built = connectedComponentsMembersWithRdd(
             spark.sql(TextQueries.shingleJaccardSparkSql(
-        capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents"))))
+        capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents"),
+        ordered = false)))
           membersMemo.put(key, built)
           built._1
       }

@@ -193,8 +193,16 @@ object TextQueries {
     * hinges on ubiquitous shingles are missed (for near-dup detection those
     * are exactly the uninformative matches). `capDf = None` is the exact
     * form. */
-  private[graft] def shingleJaccardSparkSql(capDf: Option[Int], fanW: Int = 0): String = {
+  private[graft] def shingleJaccardSparkSql(capDf: Option[Int], fanW: Int = 0,
+      ordered: Boolean = true): String = {
     val cap = capDf.map(n => s" AND count(*) <= $n").getOrElse("")
+    // `ordered = false` is the fixpoint-input form (r18 optimization, guide
+    // §2.4): connectedComponents consumes the pair SET — its first move is a
+    // canonical re-orientation — so the contract entries' global ORDER BY
+    // (a full range-partitioned sort of the pair stream) is pure waste
+    // there. Row-set identical by construction; the CONTRACT entries keep
+    // the sorted form verbatim.
+    val orderBy = if (ordered) "\nORDER BY i, j" else ""
     // r18 optimization (guide §1.2/§2.3): the gram ARRAY is computed once
     // (`g`) and both consumers derive from it — `sz` as a map-side
     // size(gs) projection instead of a second full split+ngram pass and a
@@ -215,8 +223,7 @@ object TextQueries {
        |SELECT i, j FROM inter
        |JOIN sz sa ON sa.doc_id = i
        |JOIN sz sb ON sb.doc_id = j
-       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
-       |ORDER BY i, j""".stripMargin
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5$orderBy""".stripMargin
   }
 
   /** DuckDB twin of [[shingleJaccardSparkSql]] (join-based co-occurrence —
