@@ -284,6 +284,17 @@ object SimilarityQueries {
   private def vecs(spark: SparkSession): DataFrame =
     vecsOf(Q.fanOut(spark.table("embeddings"), "embeddings"))
 
+  /** [[vecs]] WITHOUT the scan fan-out — for the BOUNDED driver collects
+    * (query rows, codebook donors, stride-picked centroids), which read a
+    * handful of rows: the fan-out's round-robin repartition is a full
+    * corpus shuffle barrier that costs more than the collect it feeds
+    * (r18 measured: ann_topk's 10-row query collect over the fanned frame
+    * was 2 stages + a corpus shuffle; over the plain scan it is one narrow
+    * single-stage job). Values are identical by construction — the same
+    * rows with the same per-row deterministic norm, partitioning-free. */
+  private def vecsLite(spark: SparkSession): DataFrame =
+    vecsOf(spark.table("embeddings"))
+
   private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   /** Vector-count ceiling for the brute-force cosine baseline: above it the
@@ -388,14 +399,19 @@ object SimilarityQueries {
       .select(col("qi"), explode(col("tk")).as("p"))
       .select(col("qi"), col("p").getField("i").as("xi"))
 
-  /** Brute-force cosine top-5 neighbors for the first 10 vectors. */
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors. r18: the
+    * 10-row query side is collected and re-enters as a broadcast
+    * LocalRelation — the broadcast build no longer schedules its own
+    * corpus-scan job per run. */
   def annTopK(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     val e = vecs(spark)
-    val q = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"))
+    val qRows = collectCentroids(
+      vecsLite(spark).where(col("vec_id") < 10), Seq("vec_id", "v", "nrm"), withCcid = false)
+    val qf = centFrame(spark, qRows, e.schema("v").dataType,
+      Seq("qi", "vq", "nq"), withCcid = false)
     val x = e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx"))
-    val scored = broadcast(q).join(x, col("qi") =!= col("xi"))
+    val scored = broadcast(qf).join(x, col("qi") =!= col("xi"))
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
     topKPerQuery(scored, "sim", 5).orderBy("qi", "xi")
@@ -483,10 +499,18 @@ object SimilarityQueries {
       art: RpqArtifacts, e: DataFrame): (Int, Seq[(Int, Double)]) = {
     val ladder = nprobeLadder(art.n)
     if (ladder.size == 1) return (ladder.head, Nil)
-    val sample = e.orderBy("vec_id").limit(AnnCalQueries)
-      .select(col("vec_id"), col("v"), col("nrm"))
-    val q = sample.select(
-      col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"))
+    // r18: the sample is collected ONCE and re-enters every ladder search
+    // and the exact side as a LocalRelation — the old per-ladder-point
+    // sample scan and broadcast builds each scheduled their own jobs,
+    // ~8 extra jobs per ladder point at save time
+    val sampleRows = collectCentroids(
+      e.orderBy("vec_id").limit(AnnCalQueries).select(col("vec_id"), col("v"), col("nrm")),
+      Seq("vec_id", "v", "nrm"), withCcid = false)
+    val vecType = e.schema("v").dataType
+    val sample = centFrame(e.sparkSession, sampleRows, vecType,
+      Seq("vec_id", "v", "nrm"), withCcid = false)
+    val q = centFrame(e.sparkSession, sampleRows, vecType,
+      Seq("qi", "vq", "nq"), withCcid = false)
     val scored = broadcast(q)
       .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")),
         col("qi") =!= col("xi"))
@@ -565,8 +589,9 @@ object SimilarityQueries {
     * Returns (fine centroids (cid, vc, nc, ccid) — ccid is the coarse cell
     * the fine belongs to, consumed by [[ivfSearchAdaptive]]'s
     * assignment-aligned probing — and assignment (xi, vx, nx, cid)). */
-  private[graft] def ivfIndex(e: DataFrame, n: Long): (DataFrame, DataFrame) = {
-    val (fines, _, assigned) = ivfIndexFull(e, n)
+  private[graft] def ivfIndex(e: DataFrame, n: Long,
+      collectFrom: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val (fines, _, assigned) = ivfIndexFull(e, n, collectFrom)
     (fines, assigned)
   }
 
@@ -664,13 +689,113 @@ object SimilarityQueries {
     spark.createDataFrame(data, schema)
   }
 
+  /** Per-query probe selection on the DRIVER (r18 optimization, guide
+    * §1.2/§2.4): ranking ≤ √n fine centroids per query is O(q·√n·d) scalar
+    * arithmetic over data BOTH sides already hold bounded copies of (the
+    * fines are collected/broadcast everywhere, the query set is ≤ O(√n) by
+    * contract — 10 rows for the contract entries, 32 for calibration), yet
+    * the join form ran it as a broadcast-nested-loop join plus a
+    * row_number window: one Exchange, one sort, and 2-3 scheduled jobs PER
+    * ENTRY for ~2k rows of work. Measured: the ann family spent its time
+    * in 10-21 sequential sub-second jobs per run, ~100 ms scheduling
+    * overhead each, dwarfing the actual scan work. Exactness contract (the
+    * [[graft.functions.CentroidAssign]] discipline): `qdotc` is the same
+    * index-ordered double fold as [[graft.functions.VecDot]] over the same
+    * [[collectCentroids]]-widened values, `csim` the same division, and
+    * the (csim desc, cid asc) order replicates the replaced window's total
+    * order via `java.lang.Double.compare` (NaN greatest, like Spark's
+    * double ordering; csim can never be -0.0 — the fold starts at +0.0).
+    * Returns (query, fine, qdotc) triples in (query, probe-rank) order. */
+  private def rankProbes(qs: Array[LocalCent], fines: Array[LocalCent],
+      nprobe: Int): Array[(LocalCent, LocalCent, Double)] =
+    qs.flatMap { q =>
+      val scored = fines.map { f =>
+        var s = 0.0
+        var i = 0
+        val m = math.min(q.vec.length, f.vec.length)
+        while (i < m) { s += q.vec(i) * f.vec(i); i += 1 }
+        (f, s, s / (q.nrm * f.nrm))
+      }
+      scored.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(b._3, a._3) // csim desc
+        if (c != 0) c < 0 else a._1.id < b._1.id // cid asc
+      }.iterator.take(nprobe).map(t => (q, t._1, t._2)).toArray[(LocalCent, LocalCent, Double)]
+    }
+
+  /** Probe triples → a (qi, cid, qdotc, pcell) LocalRelation — the probe
+    * side of the residual search as a plan constant: broadcasting it needs
+    * no job, and its literal pcell set prunes the persisted codes scan at
+    * PLAN time ([[rpqSearchRanked]]). */
+  private def rpqProbeFrame(
+      spark: SparkSession, probes: Array[(LocalCent, LocalCent, Double)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("qi", LongType, nullable = false),
+      StructField("cid", LongType, nullable = false),
+      StructField("qdotc", DoubleType, nullable = false),
+      StructField("pcell", IntegerType, nullable = false)))
+    spark.createDataFrame(
+      probes.map { case (q, f, d) =>
+        Row(q.id, f.id, d, java.lang.Math.floorMod(f.id, AnnPcells.toLong).toInt)
+      }.toSeq.asJava, schema)
+  }
+
+  /** Probe triples → a (qi, cid) LocalRelation (the raw-IVF probe side). */
+  private def ivfProbeFrame(
+      spark: SparkSession, probes: Array[(LocalCent, LocalCent, Double)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("qi", LongType, nullable = false),
+      StructField("cid", LongType, nullable = false)))
+    spark.createDataFrame(
+      probes.map { case (q, f, _) => Row(q.id, f.id) }.toSeq.asJava, schema)
+  }
+
+  /** Driver-computed ADC tables → a (qi, lut, nq) LocalRelation: the SAME
+    * [[graft.functions.Pq.lut]] kernel the PqLut expression runs, fed the
+    * original-typed vector, so the tables are bit-identical to the join
+    * form's — built once per query on ≤ O(√n) rows, zero jobs. */
+  private def qlutFrame(spark: SparkSession, qs: Array[LocalCent],
+      cents: Array[Double], m: Int, ks: Int, isFloat: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("qi", LongType, nullable = false),
+      StructField("lut", ArrayType(DoubleType, containsNull = false), nullable = true),
+      StructField("nq", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      qs.map { q =>
+        val lut = graft.functions.Pq.lut(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(q.orig.toArray),
+          isFloat, cents, m, ks)
+        Row(q.id, lut.toSeq, q.nrm)
+      }.toSeq.asJava, schema)
+  }
+
+  /** Whether a corpus/query frame's vector column is float-typed (the
+    * [[graft.functions.PqLut]] input-type flag). */
+  private def isFloatVec(df: DataFrame, c: String): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    df.schema(c).dataType.asInstanceOf[ArrayType].elementType == FloatType
+  }
+
   private[graft] def ivfIndexFull(
-      e: DataFrame, n: Long): (DataFrame, DataFrame, DataFrame) = {
+      e: DataFrame, n: Long,
+      collectFrom: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     val spark = e.sparkSession
     val vecType = e.schema("v").dataType
     val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
     val stride = math.max(1L, math.ceil(n.toDouble / k).toLong)
-    val finesBase = e.where(col("vec_id") % stride === 0)
+    // the stride-picked fine rows are a BOUNDED collect — read them from
+    // `collectFrom` (the un-fanned scan) when the caller provides one, so
+    // the ≤ √n-row fetch skips the corpus-wide fan-out shuffle; same rows,
+    // same values (r18, see [[vecsLite]])
+    val finesBase = collectFrom.getOrElse(e).where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("vc"), col("nrm").as("nc"))
     // r18 optimization (guide §2.4/§1.2): ONE bounded collect of the fine
     // rows (O(√n·d) — the exact payload every consumer already ships as
@@ -745,16 +870,23 @@ object SimilarityQueries {
 
   /** Probe + scan: each query ranks ALL fine centroids (√n comparisons per
     * query — per-query work, not per-corpus-row), scans its `nprobe`
-    * buckets, and keeps the top `topK` by cosine. */
+    * buckets, and keeps the top `topK` by cosine. r18: probe selection runs
+    * on the driver ([[rankProbes]] — same arithmetic, same total order);
+    * the probe set and the query vectors reach the corpus scan as
+    * broadcast LocalRelations, so the whole search is ONE map-side join
+    * chain into the bounded-heap top-k instead of a window + three
+    * scheduled broadcast builds. */
   private[graft] def ivfSearch(fines: DataFrame, assigned: DataFrame,
       queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
-    val probes = queries.join(broadcast(fines), lit(true))
-      .withColumn("csim", dot("v", "vc") / (col("nrm") * col("nc")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
-      .where(col("crn") <= nprobe)
-      .select(col("vec_id").as("qi"), col("v").as("vq"), col("nrm").as("nq"), col("cid"))
-    val scored = probes.join(assigned, probes("cid") === assigned("cid") && col("qi") =!= col("xi"))
+    val spark = queries.sparkSession
+    val vecType = queries.schema("v").dataType
+    val fineRows = collectCentroids(fines, Seq("cid", "vc", "nc"), withCcid = false)
+    val qRows = collectCentroids(queries, Seq("vec_id", "v", "nrm"), withCcid = false)
+    val probes = ivfProbeFrame(spark, rankProbes(qRows, fineRows, nprobe))
+    val qf = centFrame(spark, qRows, vecType, Seq("qi", "vq", "nq"), withCcid = false)
+    val scored = assigned
+      .join(broadcast(probes), probes("cid") === assigned("cid") && col("qi") =!= col("xi"))
+      .join(broadcast(qf), "qi")
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
     topKPerQuery(scored, "sim", topK).orderBy("qi", "xi")
@@ -811,9 +943,10 @@ object SimilarityQueries {
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     val e = vecs(spark)
+    val eq = vecsLite(spark)
     val n: Long = cachedCount(spark, sfDir, "embeddings")
-    val (fines, assigned) = ivfIndex(e, n)
-    ivfSearch(fines, assigned, e.where(col("vec_id") < 10), nprobeFor(n), 5)
+    val (fines, assigned) = ivfIndex(e, n, collectFrom = Some(eq))
+    ivfSearch(fines, assigned, eq.where(col("vec_id") < 10), nprobeFor(n), 5)
   }
 
   /** PQ geometry: 8 subspaces × 32 centroids → 8-byte codes for the dim-64
@@ -912,28 +1045,36 @@ object SimilarityQueries {
     import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
     Q.ctx(spark, sfDir)
     val e = vecs(spark)
+    val eq = vecsLite(spark)
     val n: Long = cachedCount(spark, sfDir, "embeddings")
-    val (cents, ks) = pqCodebook(e, n, PqM, PqKs)
+    val (cents, ks) = pqCodebook(eq, n, PqM, PqKs)
     val codes = e.select(col("vec_id").as("xi"),
       cc(graft.functions.PqEncode(ce(col("v")), cents, PqM, ks)).as("codes"),
       col("nrm").as("nx"))
-    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("qi"),
-      cc(graft.functions.PqLut(ce(col("v")), cents, PqM, ks)).as("lut"),
-      col("v").as("vq"), col("nrm").as("nq"))
+    // r18 (guide §1.2/§2.4): the ≤10-row query side — ADC tables and raw
+    // vectors — is collected once and re-enters the plan as broadcast
+    // LocalRelations ([[qlutFrame]]: same Pq.lut kernel, bit-identical
+    // tables), replacing two scheduled broadcast builds per run
+    val qRows = collectCentroids(
+      eq.where(col("vec_id") < 10), Seq("vec_id", "v", "nrm"), withCcid = false)
+    val qluts = qlutFrame(spark, qRows, cents, PqM, ks, isFloatVec(e, "v"))
+    val qf = centFrame(spark, qRows, e.schema("v").dataType,
+      Seq("qi", "vq", "nq"), withCcid = false)
     // the corpus-wide top-k consumes ONLY (qi, xi, asim) through the
     // bounded-heap aggregate — no sort, no wide lut/vector columns riding
-    // the shortlist selection; the 100-row shortlist re-joins the vectors
+    // the shortlist selection; the shortlist re-joins the vectors
     val scanned = codes
-      .join(broadcast(queries.select(col("qi"), col("lut"), col("nq"))),
-        col("qi") =!= col("xi"))
+      .join(broadcast(qluts), col("qi") =!= col("xi"))
       .withColumn("asim",
         cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))) / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("asim"))
     val shortlist = topKPerQuery(scanned, "asim", shortlistFor(n))
-    // exact re-rank of the bounded shortlist: the ONLY d-wide dot products
-    val reranked = shortlist
+    // exact re-rank of the bounded shortlist: the ONLY d-wide dot products.
+    // The shortlist is ≤ queries × shortlistFor(n) rows by construction —
+    // broadcast it so the corpus side is never shuffled by xi (guide §3.1)
+    val reranked = broadcast(shortlist)
       .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")), "xi")
-      .join(broadcast(queries.select(col("qi"), col("vq"), col("nq"))), "qi")
+      .join(broadcast(qf), "qi")
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
     topKPerQuery(reranked, "sim", 5).orderBy("qi", "xi")
@@ -985,44 +1126,41 @@ object SimilarityQueries {
     import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
     Q.ctx(spark, sfDir)
     val e = vecs(spark)
+    val eq = vecsLite(spark)
     val n: Long = cachedCount(spark, sfDir, "embeddings")
-    val (fines, assigned) = ivfIndex(e, n)
-    val (cents, ks) = pqCodebook(e, n, PqM, PqKs)
+    val (fines, assigned) = ivfIndex(e, n, collectFrom = Some(eq))
+    val (cents, ks) = pqCodebook(eq, n, PqM, PqKs)
     // scan tier: one row per vector with its bucket, code, and norm — the
-    // ONLY per-corpus-row state the composed search reads
-    val codes = e.select(col("vec_id").as("xi2"),
-      cc(graft.functions.PqEncode(ce(col("v")), cents, PqM, ks)).as("codes"))
-    val assignedC = assigned.join(codes, assigned("xi") === codes("xi2"))
-      .select(assigned("xi"), assigned("cid"), assigned("nx"), codes("codes"))
-    // per-query probe set (the ivfSearch global fine ranking — √n
-    // comparisons per QUERY, not per corpus row); the query's ADC table is
-    // built ONCE per query on the 10-row frame and joined onto the probe
-    // set — building it inside the probe projection would redo the
-    // m·ks·sub-multiply table nprobe times per query (review finding)
-    val queries = e.where(col("vec_id") < 10)
-    val qluts = queries.select(col("vec_id").as("qi"),
-      cc(graft.functions.PqLut(ce(col("v")), cents, PqM, ks)).as("lut"),
-      col("nrm").as("nq"))
-    val probes = queries.join(broadcast(fines), lit(true))
-      .withColumn("csim", dot("v", "vc") / (col("nrm") * col("nc")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
-      .where(col("crn") <= nprobeFor(n))
-      .select(col("vec_id").as("qi"), col("cid"))
-      .join(broadcast(qluts), "qi")
+    // ONLY per-corpus-row state the composed search reads. r18 (guide
+    // §2.4): the code is encoded ON the assignment projection (vx IS the
+    // corpus vector by construction) — the old separate codes scan +
+    // xi = xi2 self-join re-read and re-shuffled the corpus to attach a
+    // column the same scan already had in hand
+    val assignedC = assigned.select(col("xi"), col("cid"), col("nx"),
+      cc(graft.functions.PqEncode(ce(col("vx")), cents, PqM, ks)).as("codes"))
+    // per-query probe set and ADC tables on the DRIVER (rankProbes /
+    // qlutFrame — same arithmetic, same kernels, zero extra jobs); both
+    // re-enter the plan as broadcast LocalRelations
+    val fineRows = collectCentroids(fines, Seq("cid", "vc", "nc"), withCcid = false)
+    val qRows = collectCentroids(
+      eq.where(col("vec_id") < 10), Seq("vec_id", "v", "nrm"), withCcid = false)
+    val probes = ivfProbeFrame(spark, rankProbes(qRows, fineRows, nprobeFor(n)))
+    val qluts = qlutFrame(spark, qRows, cents, PqM, ks, isFloatVec(e, "v"))
     // ADC inside the probed buckets only; the bucket-restricted top-k
     // consumes ONLY (qi, xi, asim) through the bounded-heap aggregate —
-    // the annPq discipline — and the 100-row shortlist re-joins vectors
-    val scanned = probes.join(assignedC, Seq("cid"))
+    // the annPq discipline — and the bounded shortlist re-joins vectors
+    val scanned = assignedC.join(broadcast(probes), Seq("cid"))
       .where(col("qi") =!= col("xi"))
+      .join(broadcast(qluts), "qi")
       .withColumn("asim",
         cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))) / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("asim"))
     val shortlist = topKPerQuery(scanned, "asim", shortlistFor(n))
-    val reranked = shortlist
+    val qf = centFrame(spark, qRows, e.schema("v").dataType,
+      Seq("qi", "vq", "nq"), withCcid = false)
+    val reranked = broadcast(shortlist)
       .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")), "xi")
-      .join(broadcast(queries.select(col("vec_id").as("qi"),
-        col("v").as("vq"), col("nrm").as("nq"))), "qi")
+      .join(broadcast(qf), "qi")
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
     topKPerQuery(reranked, "sim", 5).orderBy("qi", "xi")
@@ -1124,9 +1262,10 @@ object SimilarityQueries {
     * computes. Residuals are FLOAT subtraction against the assigned fine
     * centroid, so the DuckDB oracle's REAL arithmetic reproduces each
     * component bit-for-bit. */
-  private[graft] def rpqArtifactsOf(e: DataFrame, n: Long): RpqArtifacts = {
+  private[graft] def rpqArtifactsOf(e: DataFrame, n: Long,
+      collectFrom: Option[DataFrame] = None): RpqArtifacts = {
     import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
-    val (fines, coarse, assigned) = ivfIndexFull(e, n)
+    val (fines, coarse, assigned) = ivfIndexFull(e, n, collectFrom)
     val assignedR = assigned
       .join(fines.select(col("cid"), col("vc")), "cid")
       .withColumn("r", expr("zip_with(vx, vc, (a, b) -> a - b)"))
@@ -1162,8 +1301,10 @@ object SimilarityQueries {
     * SOURCE table, not index state: the persisted index carries only codes
     * and norms, and the d-wide re-rank reads raw vectors back from the
     * corpus by id, the standard deployment split. */
-  private[graft] def rpqSearch(art: RpqArtifacts, e: DataFrame): DataFrame =
-    rpqSearchRanked(art, e, e.where(col("vec_id") < 10), servedNprobe(art))
+  private[graft] def rpqSearch(art: RpqArtifacts, e: DataFrame,
+      queriesFrom: Option[DataFrame] = None): DataFrame =
+    rpqSearchRanked(art, e,
+      queriesFrom.getOrElse(e).where(col("vec_id") < 10), servedNprobe(art))
       .select("qi", "xi").orderBy("qi", "xi")
 
   /** [[rpqSearch]] parameterized over the query frame and `nprobe`, with
@@ -1176,36 +1317,45 @@ object SimilarityQueries {
   private[graft] def rpqSearchRanked(art: RpqArtifacts, e: DataFrame,
       queries: DataFrame, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column => cc, expression => ce}
-    // probe set: global fine ranking per query; keep the RAW dot(q, c) —
-    // the per-bucket constant of the decomposition — alongside the lut
-    val qluts = queries.select(col("vec_id").as("qi"),
-      cc(graft.functions.PqLut(ce(col("v")), art.cents, RpqM, art.ks)).as("lut"),
-      col("nrm").as("nq"))
-    val probes = queries.join(broadcast(art.fines), lit(true))
-      .withColumn("qdotc", dot("v", "vc"))
-      .withColumn("csim", col("qdotc") / (col("nrm") * col("nc")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))))
-      .where(col("crn") <= nprobe)
-      .select(col("vec_id").as("qi"), col("cid"), col("qdotc"))
-      .transform(withPcell)
-      .join(broadcast(qluts), "qi")
-    // join on (pcell, cid): pcell is the codes parquet's PARTITION column,
-    // so on a persisted index the broadcast probe side hands dynamic
-    // partition pruning the cell set and unprobed partitions are never
-    // read — the probe-bounded scan holds at the STORAGE level, not just
-    // as a post-scan join filter (AnnIndexIOSpec plan-asserts it)
-    val scanned = probes.join(art.codes, Seq("pcell", "cid"))
+    val spark = e.sparkSession
+    // r18 (guide §1.2/§2.4): probe selection — the global fine ranking per
+    // query, keeping the RAW dot(q, c) bucket constant of the
+    // decomposition — and the per-query ADC tables run on the DRIVER over
+    // the ≤ √n fines and the ≤ O(√n) query sample ([[rankProbes]] /
+    // [[qlutFrame]]: same index-ordered double fold, same Pq.lut kernel,
+    // same (csim desc, cid asc) total order). The old join + window form
+    // cost 8-10 scheduled jobs per run on ~2k rows of arithmetic.
+    val fineRows = collectCentroids(art.fines, Seq("cid", "vc", "nc"), withCcid = false)
+    val qRows = collectCentroids(queries, Seq("vec_id", "v", "nrm"), withCcid = false)
+    val probeRows = rankProbes(qRows, fineRows, nprobe)
+    val probes = rpqProbeFrame(spark, probeRows)
+    val qluts = qlutFrame(spark, qRows, art.cents, RpqM, art.ks, isFloatVec(e, "v"))
+    // probe-bounded scan at the STORAGE level: the probe set is a plan
+    // CONSTANT now, so the probed pcell set prunes the persisted codes
+    // parquet's partitions at PLAN time (PartitionFilters: pcell IN (…) —
+    // stronger than the dynamic pruning the old broadcast probe side
+    // handed the scan, and asserted by AnnIndexIOSpec); the (pcell, cid)
+    // join keys are unchanged, and on the in-memory path the filter is a
+    // no-op map-side predicate
+    val cells = probeRows.map(t => java.lang.Math.floorMod(t._2.id, AnnPcells.toLong).toInt)
+      .distinct.sorted
+    val codes = if (cells.isEmpty) art.codes
+      else art.codes.where(col("pcell").isin(cells.map(Int.box): _*))
+    val scanned = codes.join(broadcast(probes), Seq("pcell", "cid"))
       .where(col("qi") =!= col("xi"))
+      .join(broadcast(qluts), "qi")
       .withColumn("asim",
         (col("qdotc") + cc(graft.functions.PqAdc(ce(col("lut")), ce(col("codes")))))
           / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("asim"))
     val shortlist = topKPerQuery(scanned, "asim", PqShortlist)
-    val reranked = shortlist
+    // the ≤ queries × PqShortlist shortlist is broadcast so the corpus
+    // re-rank side is never shuffled by xi (guide §3.1)
+    val qf = centFrame(spark, qRows, e.schema("v").dataType,
+      Seq("qi", "vq", "nq"), withCcid = false)
+    val reranked = broadcast(shortlist)
       .join(e.select(col("vec_id").as("xi"), col("v").as("vx"), col("nrm").as("nx")), "xi")
-      .join(broadcast(queries.select(col("vec_id").as("qi"),
-        col("v").as("vq"), col("nrm").as("nq"))), "qi")
+      .join(broadcast(qf), "qi")
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
     topKPerQueryRanked(reranked, "sim", 5)
@@ -1229,8 +1379,9 @@ object SimilarityQueries {
   def annIvfRpq(spark: SparkSession, sfDir: String): DataFrame = {
     Q.ctx(spark, sfDir)
     val e = vecs(spark)
+    val eq = vecsLite(spark)
     val n: Long = cachedCount(spark, sfDir, "embeddings")
-    rpqSearch(rpqArtifactsOf(e, n), e)
+    rpqSearch(rpqArtifactsOf(e, n, collectFrom = Some(eq)), e, queriesFrom = Some(eq))
   }
 
   /** `ann_ivf_rpq` SERVED FROM THE PERSISTED INDEX (round-16 verdict task
@@ -1247,7 +1398,7 @@ object SimilarityQueries {
     val art = AnnIndexIO.loadFreshOrRebuild(
       spark, AnnIndexIO.defaultDir(spark, sfDir), s"$sfDir/embeddings.parquet")
     lastServedNprobe.set(Some(servedNprobe(art)))
-    rpqSearch(art, vecs(spark))
+    rpqSearch(art, vecs(spark), queriesFrom = Some(vecsLite(spark)))
   }
 
   /** The nprobe the most recent [[annIvfRpqServed]] run actually served at

@@ -106,10 +106,14 @@ object TextQueries {
     // terms over high-tf common ones (and a term in every doc keeps score
     // tf·1 instead of 0). Fold the eval into buckets or precompute a
     // df→weight table if log weighting must be reproduced exactly.
+    // r18 optimization (guide §2.3): df derives FROM tf — tf holds exactly
+    // one row per (doc, term), so count(*) ≡ count(DISTINCT doc_id) — which
+    // drops the second full token explode + distinct aggregation; the df
+    // shuffle now carries distinct (doc, term) rows instead of every token.
     "txt_tfidf" ->
       """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n FROM documents),
         |scored AS (
         |  SELECT tf.doc_id, tf.term,
@@ -128,16 +132,24 @@ object TextQueries {
     // explode → df hash-agg, a 50-row vocab Spark auto-BROADCASTs into the
     // token join, one final hash-agg per doc — no driver work, scales with
     // executors at 100 TB.
+    // r18 optimization (guide §2.3): ONE token explode — the (doc, term)
+    // occurrence counts `wt` feed df (count(*) over wt ≡ count(DISTINCT
+    // doc_id) over raw tokens), the vocab pick, AND the per-doc scoring
+    // (occurrence-weighted: sum(oov·c) / sum(c) ≡ the per-token sums);
+    // the old form exploded the full token stream twice and shuffled every
+    // token into the df distinct-aggregation.
     "txt_oov" ->
       """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+        |wt AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM wt GROUP BY term),
         |vocab AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 50),
-        |j AS (SELECT w.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
-        |      FROM w LEFT JOIN vocab v ON w.term = v.term)
+        |j AS (SELECT wt.doc_id, wt.c,
+        |             CASE WHEN v.term IS NULL THEN wt.c ELSE 0 END AS oov
+        |      FROM wt LEFT JOIN vocab v ON wt.term = v.term)
         |SELECT doc_id, CAST(sum(oov) AS BIGINT) AS n_oov,
-        |       CAST(count(*) AS BIGINT) AS n_tok,
-        |       CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate,
-        |       CASE WHEN sum(oov) * 4 <= count(*) THEN 'keep' ELSE 'drop' END AS verdict
+        |       CAST(sum(c) AS BIGINT) AS n_tok,
+        |       CAST(sum(oov) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS oov_rate,
+        |       CASE WHEN sum(oov) * 4 <= sum(c) THEN 'keep' ELSE 'drop' END AS verdict
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // token-commonness score: mean corpus document-frequency of a doc's
@@ -146,14 +158,19 @@ object TextQueries {
     // model; sums and one division keep both engines bit-identical where
     // a log-prob's transcendental eval would not). Low mean_df = unusual
     // vocabulary, the same documents a perplexity filter flags.
+    // r18 optimization (guide §2.3): same one-explode restructure as
+    // txt_oov — df from the (doc, term) counts, per-doc sums occurrence-
+    // weighted (sum(df·c) ≡ the per-token df sum; integer addition
+    // regrouped, bit-exact).
     "txt_commonness" ->
       """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term)
-        |SELECT w.doc_id, CAST(sum(df.df) AS BIGINT) AS df_sum,
-        |       CAST(count(*) AS BIGINT) AS n_tok,
-        |       CAST(sum(df.df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
-        |FROM w JOIN df ON w.term = df.term
-        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+        |wt AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM wt GROUP BY term)
+        |SELECT wt.doc_id, CAST(sum(df.df * wt.c) AS BIGINT) AS df_sum,
+        |       CAST(sum(wt.c) AS BIGINT) AS n_tok,
+        |       CAST(sum(df.df * wt.c) AS DOUBLE) / CAST(sum(wt.c) AS DOUBLE) AS mean_df
+        |FROM wt JOIN df ON wt.term = df.term
+        |GROUP BY wt.doc_id ORDER BY wt.doc_id""".stripMargin,
 
     // document n-gram census through the NATIVE one-pass word_ngrams
     // expression (the building block behind decontamination and

@@ -83,7 +83,7 @@ class AnnIndexIOSpec extends AnyFunSuite {
     assert(collectSorted(served) === collectSorted(inline))
   }
 
-  test("served search prunes codes partitions: DPP on the pcell layout") {
+  test("served search prunes codes partitions: static pruning on the pcell layout") {
     val corpus = Files.createTempDirectory("annio-corpus-dpp")
     val idx = Files.createTempDirectory("annio-idx-dpp")
     writeFile(corpus, mkVecs(300, seed = 11L), "part-0.parquet")
@@ -91,17 +91,22 @@ class AnnIndexIOSpec extends AnyFunSuite {
     val e = SimilarityQueries.vecsOf(spark.read.parquet(corpus.toString))
     val served = SimilarityQueries.rpqSearch(art, e)
     val plan = served.queryExecution.executedPlan.toString
-    // the persisted codes scan must carry a dynamic partition-pruning
-    // filter on pcell — the probe-bounded scan at the STORAGE level, not a
-    // post-scan join filter (a full-scan regression shows here as the
-    // filter vanishing even while results stay correct)
-    assert(plan.contains("dynamicpruning"),
-      s"served plan lost dynamic partition pruning:\n${plan.take(2000)}")
-    // the filter list must be NON-empty and dynamic — a bare
-    // "PartitionFilters: []" (full scan) must fail here (review finding:
-    // the old contains("PartitionFilters: [") matched the empty list too)
-    assert(plan.contains("dynamicpruningexpression(pcell"),
-      s"codes scan's PartitionFilters lost the dynamic pcell filter:\n${plan.take(2000)}")
+    // the persisted codes scan must carry a partition-pruning filter on
+    // pcell — the probe-bounded scan at the STORAGE level, not a post-scan
+    // join filter (a full-scan regression shows here as the filter
+    // vanishing even while results stay correct). r18: the probe set is
+    // computed on the driver and is a plan CONSTANT, so the pruning is
+    // STATIC (PartitionFilters: pcell IN (…) / pcell = c at plan time) —
+    // strictly stronger than the dynamic-subquery pruning the old
+    // broadcast probe side produced; a bare "PartitionFilters: []" (full
+    // scan) must still fail here (review finding on the earlier vacuous
+    // contains check)
+    // (the positive form only: unpartitioned scans — the corpus re-rank
+    // side — always print "PartitionFilters: []", so a blanket negative
+    // assertion would be vacuous-false; losing the pruning makes THIS
+    // string disappear, which is the regression signal)
+    assert(plan.contains("PartitionFilters: [pcell"),
+      s"codes scan's PartitionFilters lost the static pcell filter:\n${plan.take(2000)}")
     // and the layout change is invisible to results: served == inline
     val inline = SimilarityQueries.rpqSearch(
       SimilarityQueries.rpqArtifactsOf(e, 300L), e)
