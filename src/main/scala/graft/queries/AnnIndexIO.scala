@@ -82,7 +82,16 @@ object AnnIndexIO {
       fineDir: String,
       coarseDir: String,
       codeDirs: Seq[String],
-      nprobeCal: Int) extends Serializable
+      nprobeCal: Int,
+      // r18 serve-path optimization: the artifact/corpus schemas AS SAVED
+      // (DDL strings, keys "corpus"/"fines"/"coarse"/"codes") — a load
+      // that provides the schema skips parquet schema inference, which
+      // costs ONE SCHEDULED JOB per spark.read.parquet (profiled: 4 jobs
+      // ≈ 130 ms of the served entry's per-run cost; at scale, schema
+      // from the catalog — not footer inference — is the standard serve
+      // shape anyway). Same pinned SerialVersionUID: metas written before
+      // this field deserialize with null and fall back to inference.
+      schemaDdl: Map[String, String] = null) extends Serializable
 
   private def metaPath(dir: String) = Paths.get(dir, "ann_meta.bin")
 
@@ -196,9 +205,16 @@ object AnnIndexIO {
         ladder.map { case (np, r) => f"np$np=$r%.3f" }.mkString(" ") +
         s" -> serving nprobe=$nprobeCal (formula floor ${
           SimilarityQueries.nprobeFor(n)})")
+    // schemas AS READ BACK from the saved parquet (not the in-memory
+    // frames') so later schema-provided loads see byte-identical types
+    val ddl = Map(
+      "corpus" -> df.schema.toDDL,
+      "fines" -> savedArt.fines.schema.toDDL,
+      "coarse" -> savedArt.coarse.schema.toDDL,
+      "codes" -> savedArt.codes.schema.toDDL)
     writeMeta(dir, AnnMeta(FormatVersion, corpusPath, fp, listing, n,
       SimilarityQueries.RpqM, art.ks, art.cents, gen, fineDir, coarseDir,
-      Seq(codesDir), nprobeCal))
+      Seq(codesDir), nprobeCal, ddl))
     // best-effort cleanup of directories no generation references anymore:
     // superseded generations' artifacts, stale deltas, and v1-layout dirs
     // are unreachable after the meta commit — but they'd still occupy disk
@@ -226,16 +242,24 @@ object AnnIndexIO {
   private def readArtifacts(spark: SparkSession, dir: String,
       fineDir: String, coarseDir: String, codeDirs: Seq[String],
       cents: Array[Double], ks: Int, n: Long,
-      nprobeCal: Option[Int]): RpqArtifacts = {
-    val fines = spark.read.parquet(s"$dir/$fineDir")
-    val coarse = spark.read.parquet(s"$dir/$coarseDir")
+      nprobeCal: Option[Int],
+      schemaDdl: Map[String, String] = null): RpqArtifacts = {
+    // provided schemas (saved in the meta) skip the per-directory schema-
+    // inference job; a meta without them (pre-r18 files) infers as before
+    def reader(key: String) = {
+      val ddl = Option(schemaDdl).flatMap(_.get(key))
+      ddl.fold(spark.read)(d => spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(d)))
+    }
+    val fines = reader("fines").parquet(s"$dir/$fineDir")
+    val coarse = reader("coarse").parquet(s"$dir/$coarseDir")
     // each code directory is its own pcell-partitioned table root — read
     // separately and union (one multi-root read trips Spark's conflicting-
     // directory-structures guard on partitioned layouts); unionByName
     // because the partition column's position differs from the in-memory
     // frame's
     val codes = codeDirs
-      .map(d => spark.read.parquet(s"$dir/$d"))
+      .map(d => reader("codes").parquet(s"$dir/$d"))
       .reduce(_.unionByName(_))
     RpqArtifacts(fines, coarse, codes, cents, ks, n, nprobeCal)
   }
@@ -246,14 +270,22 @@ object AnnIndexIO {
   def load(spark: SparkSession, dir: String): (RpqArtifacts, AnnMeta) = {
     val meta = readMeta(dir)
     (readArtifacts(spark, dir, meta.fineDir, meta.coarseDir, meta.codeDirs,
-      meta.cents, meta.ks, meta.n, Some(meta.nprobeCal)), meta)
+      meta.cents, meta.ks, meta.n, Some(meta.nprobeCal), meta.schemaDdl), meta)
   }
+
+  /** The corpus frame under the meta's saved schema when present (skips
+    * the schema-inference job — the fingerprint needs only the LISTING,
+    * which the relation provides without reading any data). */
+  private def corpusDf(spark: SparkSession, meta: AnnMeta) =
+    Option(meta.schemaDdl).flatMap(_.get("corpus"))
+      .fold(spark.read)(d => spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(d)))
+      .parquet(meta.corpusPath)
 
   /** Whether the saved index still matches the corpus' CURRENT listing. */
   def isFresh(spark: SparkSession, meta: AnnMeta): Boolean =
     scala.util.Try {
-      UWheelIndex.fingerprintOfDf(spark.read.parquet(meta.corpusPath)) ==
-        meta.fingerprint
+      UWheelIndex.fingerprintOfDf(corpusDf(spark, meta)) == meta.fingerprint
     }.getOrElse(false)
 
   /** The serve entry point: a fresh saved index loads (paying
@@ -279,7 +311,7 @@ object AnnIndexIO {
     * silently wrong; rebuild instead. */
   def refresh(spark: SparkSession, dir: String): Long = {
     val meta = readMeta(dir)
-    val df = spark.read.parquet(meta.corpusPath)
+    val df = corpusDf(spark, meta)
     val current = UWheelIndex.listingOfDf(df)
     val currentByPath = current.map(f => f._1 -> f).toMap
     val broken = meta.files.filterNot(f => currentByPath.get(f._1).contains(f))

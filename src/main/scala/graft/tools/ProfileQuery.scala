@@ -38,6 +38,10 @@ object ProfileQuery {
 
     // stage accounting: name -> (count, total ms, total tasks)
     val stages = mutable.LinkedHashMap.empty[String, (Int, Long, Int)]
+    // per-stage detail: (stageId, ms, tasks, rddChainHead) — the job-level
+    // view the aggregated names hide (every broadcast-future stage shares
+    // one callsite name)
+    val stageList = mutable.ArrayBuffer.empty[(Int, Long, Int, String)]
     var jobs = 0
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = synchronized { jobs += 1 }
@@ -47,6 +51,10 @@ object ProfileQuery {
         val key = si.name.split("\n").head.take(120)
         val (c, t, k) = stages.getOrElse(key, (0, 0L, 0))
         stages(key) = (c + 1, t + ms, k + si.numTasks)
+        val detail = si.details.split("\n").drop(1)
+          .find(l => l.contains("graft") && !l.contains("ProfileQuery"))
+          .getOrElse("").trim.take(90)
+        stageList += ((si.stageId, ms, si.numTasks, detail))
       }
     }
 
@@ -66,7 +74,7 @@ object ProfileQuery {
             java.nio.file.Files.createDirectories(p.getParent)
             java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
           }
-          stages.clear(); jobs = 0
+          stages.clear(); stageList.clear(); jobs = 0
           spark.sparkContext.addSparkListener(listener)
           System.gc(); Thread.sleep(200)
           val t0 = System.nanoTime()
@@ -79,6 +87,10 @@ object ProfileQuery {
           stages.toSeq.sortBy(-_._2._2).foreach { case (k, (c, ms, tk)) =>
             println(f"   ${ms / reps}%6d ms  x${c / reps}%-3d tasks=${tk / reps}%-5d $k%s")
           }
+          if (sys.env.contains("SPARK_GRAFT_STAGE_DETAIL"))
+            stageList.sortBy(-_._2).take(12).foreach { case (id, ms, tk, d) =>
+              println(f"     s$id%-5d ${ms}%6d ms tasks=$tk%-4d $d%s")
+            }
       }
     }
     spark.stop()
