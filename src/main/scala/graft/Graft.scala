@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.WordNGrams].getName, "word_ngrams"),
       Graft.wordNGramsBuilder))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("poly_fp"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.PolyFingerprint].getName, "poly_fp"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.PolyFingerprint(exprs.head)))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("array_pairs"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.ArrayPairs].getName, "array_pairs"),
@@ -171,6 +177,10 @@ object Graft {
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_pairs",
       exprs => graft.functions.ArrayPairs(exprs.head),
+      "scala_udf")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_fp",
+      exprs => graft.functions.PolyFingerprint(exprs.head),
       "scala_udf")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "collect_capped_long", collectCappedBuilder, "scala_udf")

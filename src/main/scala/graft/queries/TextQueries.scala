@@ -80,13 +80,14 @@ object TextQueries {
         |    / CAST(size(split(text, ' ')) AS DOUBLE) AS fertility
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // rolling polynomial fingerprint over the token stream
+    // rolling polynomial fingerprint over the token stream. r18 (guide
+    // §4.1): the aggregate/transform HOF chain is CodegenFallback — a
+    // per-element lambda environment — so it runs as the native fused
+    // [[graft.functions.PolyFingerprint]] loop instead; identical fold
+    // (same length/ascii/int-widening/% semantics), pinned element-for-
+    // element against the HOF form by PolyFingerprintSpec.
     "txt_fingerprint" ->
-      """SELECT doc_id,
-        |  aggregate(
-        |    transform(split(text, ' '), w -> CAST(length(w) * 131 + ascii(w) AS BIGINT)),
-        |    CAST(7 AS BIGINT),
-        |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
+      """SELECT doc_id, poly_fp(split(text, ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // corpus statistics: top terms by document frequency (+ total term freq)
