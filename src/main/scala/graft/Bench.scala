@@ -391,7 +391,30 @@ object Bench {
     val gateCap = 8
     val gateHealthyBuckets = 100
     val gateBucketCount = gateHealthyBuckets + 1
-    def gateReplay(session: org.apache.spark.sql.SparkSession): (Double, Double, Boolean) = {
+    // Micro-batch scheduling profile (round-19, verdict item 7): jobs per
+    // trigger, counted by a listener scoped to the replay — the streaming
+    // batch-path cost the state-bound probes never measured. A per-trigger
+    // broadcast/collect rebuild (the batch-ANN scheduling problem) would
+    // show here as a high constant before any latency drifts.
+    def jobsPerTrigger(session: org.apache.spark.sql.SparkSession)(
+        replay: => org.apache.spark.sql.streaming.StreamingQuery): Double = {
+      val jc = new java.util.concurrent.atomic.AtomicInteger()
+      val jl = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jc.incrementAndGet(); ()
+        }
+      }
+      session.sparkContext.addSparkListener(jl)
+      try {
+        val q = replay
+        Thread.sleep(300) // listener bus drain
+        val triggers = math.max(1, q.recentProgress.count(_.numInputRows > 0))
+        jc.get.toDouble / triggers
+      } finally session.sparkContext.removeSparkListener(jl)
+    }
+    def gateReplay(
+        session: org.apache.spark.sql.SparkSession): (Double, Double, Boolean, Double) = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
       import session.implicits._
@@ -404,20 +427,25 @@ object Bench {
       val q = gated.toDF("i", "j").writeStream
         .format("noop").outputMode("update").start()
       try {
-        input.addData(hot ++ healthy)
-        q.processAllAvailable()
+        val jpt = jobsPerTrigger(session) {
+          input.addData(hot ++ healthy)
+          q.processAllAvailable()
+          q
+        }
         val so = q.lastProgress.stateOperators
         (so.map(_.numRowsTotal).sum.toDouble,
           so.map(_.memoryUsedBytes).sum.toDouble,
           so.flatMap(_.customMetrics.keySet().toArray.map(_.toString))
-            .exists(_.toLowerCase.contains("rocksdb")))
+            .exists(_.toLowerCase.contains("rocksdb")),
+          jpt)
       } finally q.stop()
     }
 
     if (only.isEmpty) try {
-      val (rows, bytes, _) = gateReplay(spark)
+      val (rows, bytes, _, jpt) = gateReplay(spark)
       probes("gate_state_rows") = rows
       probes("gate_state_bytes") = bytes
+      probes("gate_jobs_per_trigger") = jpt
       probes("gate_state_rows_bound") = gateBucketCount.toDouble
       probes("gate_state_ok") =
         if (rows <= gateBucketCount &&
@@ -445,9 +473,10 @@ object Bench {
       val rocks = spark.newSession()
       rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val (rows, bytes, onRocks) = gateReplay(rocks)
+      val (rows, bytes, onRocks, jpt) = gateReplay(rocks)
       probes("gate_state_rocksdb_rows") = rows
       probes("gate_state_rocksdb_bytes") = bytes
+      probes("gate_rocksdb_jobs_per_trigger") = jpt
       probes("gate_state_rocksdb_ok") =
         if (onRocks && rows <= gateBucketCount) 1.0 else -1.0
       if (probes("gate_state_rocksdb_ok") < 0)
@@ -498,10 +527,19 @@ object Bench {
     // round-13: + the recurring r13 drifters txt_fingerprint and q_mode
     // (verdict task 4; q_pivot was already pinned) — plus the rule-off
     // twin uw_li_groupby_month_scan below, next to uw_groupby_hour_scan
+    // round-19 (verdict item 1b): + dd_shingle_jaccard — the r18
+    // contamination canary (12.44 s in the poisoned 32-core run vs 1.0-1.9 s
+    // everywhere else, on code untouched that round) had no pin to
+    // adjudicate it in-record
     val isoPins = Seq("uw_count_range", "uw_window_sliding", "q3_topk", "q_pivot",
       "dd_cluster", "ann_topk", "dd_embed_lsh", "ann_ivf",
       "q_cube", "q_time_band_join", "q_sessionize", "q1_pricing", "txt_lang_id",
-      "txt_fingerprint", "q_mode")
+      "txt_fingerprint", "q_mode", "dd_shingle_jaccard")
+    // rule-off twins re-pinned in isolation; round-19 adds uw_groupby_yearint
+    // (its scan twin was ~1.0 s in BOTH r18 driver runs vs 0.43 s r17 with no
+    // code change and no pin to adjudicate — verdict item 1b)
+    val scanPins = Seq("uw_groupby_hour", "uw_li_groupby_month",
+      "uw_groupby_month", "uw_revenue_monthly", "uw_year_eq", "uw_groupby_yearint")
     if (only.isEmpty) {
       System.gc(); Thread.sleep(1000); System.gc(); Thread.sleep(500)
       isoPins.foreach { name =>
@@ -519,8 +557,7 @@ object Bench {
       // scan twins drifted 1.30×/1.20× with no pin — verdict task 7;
       // uw_year_eq joined round 16: its scan twin moved 1.78× in r15, the
       // round's only unpinned >1.5× drift — verdict task 4)
-      Seq("uw_groupby_hour", "uw_li_groupby_month",
-          "uw_groupby_month", "uw_revenue_monthly", "uw_year_eq").foreach { base =>
+      scanPins.foreach { base =>
         WheelQueries.defs.toMap.get(base).foreach { fn =>
           Graft.rewritesEnabled = false
           try {
@@ -549,6 +586,24 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           probes("iso_topk_read_us") = -1.0
           System.err.println(s"[graft] iso topk_read probe failed: $e")
+      }
+      // In-record noise verdict (round-18 verdict item 1b): the r18
+      // ground-truth 32-core run was contaminated by host churn and only
+      // after-the-fact forensics (an 8-core re-run, manual iso/in-suite
+      // comparison) showed it. The pins exist precisely to measure that;
+      // this reduces them to ONE key: noise_ratio = median over the pinned
+      // set of iso_x / x (end-of-run settled re-time ÷ in-suite time).
+      // ≈ 1 certifies the suite numbers as the queries' own cost; ≪ 1
+      // (r18's poisoned run would have read ~0.5) says the in-suite numbers
+      // were captured by background churn and the run's per-entry values
+      // should not be diffed round-over-round.
+      val noiseRatios = (
+        isoPins.map(n => (results.get(n), probes.get("iso_" + n))) ++
+        scanPins.map(b => (results.get(b + "_scan"), probes.get(s"iso_${b}_scan")))
+      ).collect { case (Some(x), Some(iso)) if x > 0 && iso > 0 => iso / x }.sorted
+      if (noiseRatios.nonEmpty) {
+        probes("noise_ratio") = noiseRatios(noiseRatios.length / 2)
+        probes("noise_pins_n") = noiseRatios.length.toDouble
       }
     }
 
@@ -736,8 +791,12 @@ object Bench {
         .toDF("qi", "xi", "asim")
         .writeStream.format("noop").outputMode("update").start()
       try {
-        input.addData(arrivals)
-        q.processAllAvailable()
+        val jpt = jobsPerTrigger(rocks) {
+          input.addData(arrivals)
+          q.processAllAvailable()
+          q
+        }
+        probes("ann_gate_jobs_per_trigger") = jpt
         val so = q.lastProgress.stateOperators
         val srows = so.map(_.numRowsTotal).sum.toDouble
         val sbytes = so.map(_.memoryUsedBytes).sum.toDouble
@@ -840,36 +899,77 @@ object Bench {
     // The driver keeps only the LAST 2000 chars of stdout and parses the JSON
     // line out of that window; sbt prints ~75 chars of `[success] Total time`
     // after us. Round 3's 84-entry line (~2150 chars) overflowed the window
-    // and benched as `parsed: null`. Guarantee the contract line fits: if it
-    // exceeds the cap, fold the cheapest non-wheel entries into an
-    // `other_sec`/`other_n` pair (wheel-family and index_build entries are the
-    // BASELINE.md comparison and are always kept verbatim).
+    // and benched as `parsed: null`. Guarantee the contract line fits by
+    // folding the rest into an `other_sec`/`other_n` pair.
+    //
+    // Round-19 (verdict item 1a): membership is a FIXED list. The old fold
+    // picked victims by smallest |value| until the line fit — and because
+    // the uw family alone renders at ~3000 chars against a 1750 cap, WHICH
+    // uw entries survived depended on each run's timing noise (r18: 9
+    // entries "dropped" from the line and 9 "new", all fold artifacts,
+    // blinding the driver's round-over-round diff). The fixed list is the
+    // r18 contract line's exact membership minus its two longest
+    // *_check_scan twins — the line budget arithmetic: 52 entries rendered
+    // at 1748/1750 chars, so value-INDEPENDENT membership (every value
+    // budgeted at its 6-char worst case, 0.0001–9999.9 s) plus the
+    // noise_ratio key needs ~75 chars back, and the two longest twin names
+    // free 85. The two folded twins (and every non-uw entry, as before)
+    // stay in BENCH_full_r*.json and the oracle gate — nothing is dropped
+    // from the bench, only from the capped stdout rendering. No membership
+    // decision reads a measured value.
     val cap = 1750
-    val essential = results.keys.filter(k => k.startsWith("uw_") || k == "index_build").toSet
-    var kept = results.toSeq
-    var otherSum = 0.0
-    var otherN = 0
+    val contractKeep: Seq[String] = Seq(
+      "uw_distinct_bytype_check", "uw_distinct_daily_check",
+      "uw_distinct_multigroupby_check", "uw_distinct_sliding_check",
+      "uw_freq_daily_check", "uw_quantile_bytype_check",
+      "uw_quantile_daily_check", "uw_revenue_p90_check",
+      "uw_groupby_hour_scan", "uw_groupby_second_scan", "uw_groupby_day_scan",
+      "uw_groupby_week_scan", "uw_groupby_month_scan", "uw_groupby_date_scan",
+      "uw_keyed_groupby_scan", "uw_prune_time_scan", "uw_li_groupby_month_scan",
+      "uw_li_groupby_year_scan", "uw_date_groupby_scan", "uw_trunc_eq_empty_scan",
+      "uw_year_eq_scan", "uw_or_ranges_scan", "uw_or_groupby_scan",
+      "uw_having_scan", "uw_groupby_yearint_scan", "uw_or_prune_scan",
+      "uw_keyed_in_scan", "uw_keyed_in_groupby_scan", "uw_keyed_dimjoin_scan",
+      "uw_keyed_multigroupby_scan", "uw_distinct_daily_scan",
+      "uw_distinct_bytype_scan", "uw_distinct_multigroupby_scan",
+      "uw_dec_groupby_scan", "uw_exact_distinct_daily_scan",
+      "uw_window_tumbling_scan", "uw_window_offset_scan",
+      "uw_window_sliding_scan", "uw_window_subsec_scan",
+      "uw_quantile_daily_scan", "uw_bytype_groupby_scan",
+      "uw_revenue_monthly_scan", "uw_revenue_var_scan",
+      "uw_distinct_daily_check_scan", "uw_quantile_daily_check_scan",
+      "uw_freq_daily_check_scan", "uw_distinct_bytype_check_scan",
+      "uw_quantile_bytype_check_scan", "uw_revenue_p90_check_scan",
+      "index_build")
+    val keepSet = contractKeep.toSet
+    var kept = results.toSeq.filter(e => keepSet(e._1))
+    var otherSum = results.collect { case (k, v) if !keepSet(k) && v >= 0 => v }.sum
+    var otherN = results.count(e => !keepSet(e._1))
     def render(): String = {
       val extra =
         if (otherN == 0) Nil
         else Seq("other_sec" -> num(otherSum), "other_n" -> otherN.toString)
-      line(kept.map { case (k, v) => k -> num(v) } ++ extra, total)
-    }
-    // Victims: cheapest non-essential entries first; if the essential set
-    // itself ever outgrows the cap, fold its cheapest members too (keeping
-    // index_build) — an abbreviated line that parses beats a verbatim line
-    // that overflows the window and benches as parsed:null.
-    def victims: Seq[(String, Double)] = {
-      val nonEss = kept.filter(e => !essential(e._1))
-      if (nonEss.nonEmpty) nonEss else kept.filter(_._1 != "index_build")
+      // the in-record noise verdict rides the contract line (an added
+      // `queries` entry, like other_sec) so the driver's record carries it
+      // even though only BENCH_full keeps the per-pin detail
+      val noise = probes.get("noise_ratio").map(v => "noise_ratio" -> num(v)).toSeq
+      line(kept.map { case (k, v) => k -> num(v) } ++ extra ++ noise, total)
     }
     var out = render()
-    while (out.length > cap && victims.nonEmpty) {
-      val victim = victims.minBy(e => math.abs(e._2))
-      kept = kept.filterNot(_._1 == victim._1)
-      if (victim._2 >= 0) otherSum += victim._2
-      otherN += 1
-      out = render()
+    // Deterministic overflow valve: the fixed list is sized to fit the cap
+    // at worst-case value widths, so this loop is expected dead — but a
+    // parse-able abbreviated line still beats an overflowing verbatim one,
+    // and victims are taken in FIXED reverse-list order (never index_build),
+    // never by measured value.
+    val fallbackVictims = contractKeep.reverse.filterNot(_ == "index_build").iterator
+    while (out.length > cap && fallbackVictims.hasNext) {
+      val victim = fallbackVictims.next()
+      kept.find(_._1 == victim).foreach { e =>
+        kept = kept.filterNot(_._1 == victim)
+        if (e._2 >= 0) otherSum += e._2
+        otherN += 1
+        out = render()
+      }
     }
     println(out)
     spark.stop()

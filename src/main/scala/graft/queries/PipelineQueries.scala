@@ -408,7 +408,8 @@ object PipelineQueries {
     connectedComponents(
       spark.sql(TextQueries.shingleJaccardSparkSql(
         capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents"),
-        ordered = false)))
+        ordered = false)),
+      inputDistinct = true) // the pair SQL ends GROUP BY i, j with i < j
   }
 
   /** Representative selection — the step that turns clusters into a dedup
@@ -428,7 +429,8 @@ object PipelineQueries {
     keepsFrom(connectedComponentsMembers(
       spark.sql(TextQueries.shingleJaccardSparkSql(
         capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents"),
-        ordered = false))),
+        ordered = false)),
+      inputDistinct = true), // the pair SQL ends GROUP BY i, j with i < j
       spark)
   }
 
@@ -581,7 +583,8 @@ object PipelineQueries {
           val built = connectedComponentsMembersWithRdd(
             spark.sql(TextQueries.shingleJaccardSparkSql(
         capDf = Some(TextQueries.ShingleCapDf), fanW = Q.fanWidth(spark, "documents"),
-        ordered = false)))
+        ordered = false)),
+            inputDistinct = true) // the pair SQL ends GROUP BY i, j with i < j
           membersMemo.put(key, built)
           built._1
       }
@@ -607,26 +610,29 @@ object PipelineQueries {
     * strict `i < j` match pairs, and a self-pair carries no duplication
     * information, so `(x, x)` rows are ignored (a node whose only "edge" is
     * a self-loop is not a duplicate cluster). */
-  private[queries] def connectedComponents(pairFrame: DataFrame): DataFrame =
-    connectedComponentsWithRounds(pairFrame)._1
+  private[queries] def connectedComponents(
+      pairFrame: DataFrame, inputDistinct: Boolean = false): DataFrame =
+    connectedComponentsWithRounds(pairFrame, inputDistinct = inputDistinct)._1
 
   /** Per-node cluster memberships `(id, cluster_id)` from the same star
     * fixpoint — the shape representative-selection needs ([[ddClusterKeep]]):
     * each fixpoint star contributes its children (child, root) and the root
     * itself (root, root). Materialized before the iteration state is
     * released, like the counts path. */
-  private[queries] def connectedComponentsMembers(pairFrame: DataFrame): DataFrame =
-    connectedComponentsMembersWithRdd(pairFrame)._1
+  private[queries] def connectedComponentsMembers(
+      pairFrame: DataFrame, inputDistinct: Boolean = false): DataFrame =
+    connectedComponentsMembersWithRdd(pairFrame, inputDistinct)._1
 
   /** Also returns the PERSISTED backing RDD, so a caching consumer (the
     * shared-members memo) can unpersist it on eviction — `df.rdd` would
     * manufacture a new RDD and leave the cached blocks pinned. */
   private def connectedComponentsMembersWithRdd(
-      pairFrame: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      pairFrame: DataFrame, inputDistinct: Boolean = false)
+      : (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairFrame.sparkSession
     import spark.implicits._
-    val (stars, _) = starFixpoint(pairFrame)
+    val (stars, _) = starFixpoint(pairFrame, inputDistinct = inputDistinct)
     val members = stars
       .union(stars.values.distinct(stars.getNumPartitions).map(r => (r, r)))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -672,11 +678,12 @@ object PipelineQueries {
     * are unpersisted each round. */
   private[graft] def connectedComponentsWithRounds(
       pairFrame: DataFrame,
-      localSolveMaxEdges: Long = LocalSolveMaxEdges): (DataFrame, Int) = {
+      localSolveMaxEdges: Long = LocalSolveMaxEdges,
+      inputDistinct: Boolean = false): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairFrame.sparkSession
     import spark.implicits._
-    val (stars, rounds) = starFixpoint(pairFrame, localSolveMaxEdges)
+    val (stars, rounds) = starFixpoint(pairFrame, localSolveMaxEdges, inputDistinct)
     // one row per duplicate cluster — small relative to the corpus but
     // unbounded in absolute terms, so it stays distributed; materialize it
     // before releasing the iteration state so the downstream read serves
@@ -717,7 +724,8 @@ object PipelineQueries {
     * equal by PipelineSemanticSpec's property test on both paths. */
   private def starFixpoint(
       pairFrame: DataFrame,
-      localSolveMaxEdges: Long = LocalSolveMaxEdges): (org.apache.spark.rdd.RDD[(Long, Long)], Int) = {
+      localSolveMaxEdges: Long = LocalSolveMaxEdges,
+      inputDistinct: Boolean = false): (org.apache.spark.rdd.RDD[(Long, Long)], Int) = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
@@ -726,14 +734,23 @@ object PipelineQueries {
     val sc = spark.sparkContext
     val defaultParts = spark.sessionState.conf.numShufflePartitions
 
-    // canonical (hi, lo) edges: self-loops dropped, orientation fixed, deduped
-    var cur: RDD[(Long, Long)] = pairFrame.select(col("i"), col("j")).as[(Long, Long)].rdd
+    // canonical (hi, lo) edges: self-loops dropped, orientation fixed, deduped.
+    // r19 (guide §2.4, verdict item 6): `inputDistinct = true` skips the
+    // dedup shuffle — the production pair SQL's output is PROVABLY distinct
+    // and canonically oriented (the `inter` stage ends `GROUP BY i, j`, its
+    // sz joins are 1:1 per doc, and array_pairs over each sorted bucket
+    // list emits strict i < j), so the `.distinct()` here re-shuffled the
+    // full pair set to remove nothing. Callers with arbitrary edge frames
+    // keep the default dedup; the union-find/star rounds themselves are
+    // duplicate-tolerant either way (dups only repeat idempotent unions),
+    // the flag exists purely to drop the wasted exchange.
+    val canon: RDD[(Long, Long)] = pairFrame.select(col("i"), col("j")).as[(Long, Long)].rdd
       .flatMap { case (a, b) =>
         if (a == b) Iterator.empty
         else if (a > b) Iterator((a, b))
         else Iterator((b, a))
       }
-      .distinct(defaultParts)
+    var cur: RDD[(Long, Long)] = (if (inputDistinct) canon else canon.distinct(defaultParts))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // size the round partitioner to the MEASURED edge count (~250k edges

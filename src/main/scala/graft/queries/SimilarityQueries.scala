@@ -146,18 +146,25 @@ object SimilarityQueries {
     * 64-bit [[simhash]]. One groupBy with 64·sigWords map-side-combined
     * vote sums — still a single shuffle of per-doc partials at any width. */
   private[queries] def simhashSig(spark: SparkSession, sigWords: Int): DataFrame = {
-    // (r18 measured: a pinWidth on the (doc_id, w) exchange cost more in
-    // extra shuffle than the vote stage's parallelism bought back — the
-    // votes ride the count agg's partials, which are already map-side
-    // parallel under the fanned scan. Left as the fanned two-level agg.)
+    // r19 (guide §2.3/§2.4): the former (doc_id, w) count aggregation is
+    // GONE — frequency-weighted votes regroup exactly, sum over distinct
+    // words of cnt·sign(bit) ≡ sum over raw occurrences of sign(bit)
+    // (integer addition reassociated, bit-identical), so the votes fold
+    // directly over the exploded occurrence stream. That deletes one full
+    // shuffle of the word stream AND moves the CPU-dense 64·sigWords-column
+    // vote evaluation onto the fanned scan's map side: the old shape ran it
+    // in the stage after the (doc_id, w) exchange, which AQE coalesced to
+    // ONE task (tiny bytes, heavy CPU — the r18-measured ~400 ms serial
+    // stage; the r18 pinWidth attempt to widen that stage backfired by
+    // forfeiting map-side combine). The one remaining exchange carries
+    // ≤ |docs| per-doc partial vote rows per map task.
     val words = Q.fanOut(spark.table("documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     val withH = (0 until sigWords).foldLeft(words) { (df, k) =>
       df.withColumn(s"h$k", if (k == 0) xxhash64(col("w")) else xxhash64(lit(k), col("w")))
     }
     val voteCols = for { k <- 0 until sigWords; i <- 0 until 64 } yield
-      sum(col("cnt") * when(expr(s"(shiftright(h$k, $i) & 1) = 1"), 1).otherwise(-1))
+      sum(when(expr(s"(shiftright(h$k, $i) & 1) = 1"), 1).otherwise(-1))
         .as(s"v${k}_$i")
     val votes = withH.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
     val sigCols = (0 until sigWords).map { k =>
@@ -393,6 +400,17 @@ object SimilarityQueries {
     * aggregate with map-side combine — one O(log k) heap offer per row,
     * one ≤ k-pair buffer per query through the shuffle (PqScaleSpec's 1M
     * probe measured the window form costing ~10× the scoring scan). */
+  /** Global (qi, xi) row order over a BOUNDED ≤ queries×k top-k frame
+    * without a range exchange (r19, guide §2.4): `ORDER BY` plans a
+    * rangepartitioning Exchange plus its separate sampling job — two
+    * scheduled jobs to sort ≤ 50 rows. A single-partition sort is the
+    * identical total order ((qi, xi) pairs are distinct, so the sort key
+    * is unique) with no exchange at all. ONLY for outputs bounded by the
+    * query-count contract — pair streams and per-document frames are
+    * corpus-sized and keep their distributed ORDER BY. */
+  private def orderedBounded(df: DataFrame, cols: String*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols.map(col): _*)
+
   private def topKPerQuery(scored: DataFrame, score: String, k: Int): DataFrame =
     scored.groupBy("qi")
       .agg(expr(s"topk_pairs($score, xi, $k)").as("tk"))
@@ -414,7 +432,7 @@ object SimilarityQueries {
     val scored = broadcast(qf).join(x, col("qi") =!= col("xi"))
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
-    topKPerQuery(scored, "sim", 5).orderBy("qi", "xi")
+    orderedBounded(topKPerQuery(scored, "sim", 5), "qi", "xi")
   }
 
   private[graft] val IvfNprobe = 10
@@ -605,7 +623,7 @@ object SimilarityQueries {
     * (for rebuilding frames without a type round-trip), its exact
     * double-widened copy (for arithmetic), the stored norm, and — for fine
     * centroids — the owning coarse cell. */
-  private final case class LocalCent(
+  private[graft] final case class LocalCent(
       id: Long, orig: Seq[Any], vec: Array[Double], nrm: Double, ccid: Long)
 
   /** Collects a centroid frame — bounded O(√n·d) BY CONSTRUCTION, the same
@@ -625,6 +643,21 @@ object SimilarityQueries {
       LocalCent(r.getLong(0), orig, vec, r.getDouble(2),
         if (withCcid) r.getLong(3) else -1L)
     }.sortBy(_.id)
+  }
+
+  /** Persisted-artifact fines → (LocalRelation frame, driver rows): ONE
+    * bounded O(√n·d) collect of the saved fine centroids at LOAD time
+    * (r19, verdict item 3), so (a) every later search ranks probes from
+    * the driver-resident rows with zero scheduled jobs and (b) downstream
+    * consumers of the frame (frozen-assignment joins, re-encode) see a
+    * plan-constant LocalRelation instead of a parquet scan lineage —
+    * exactly the shape the in-memory build path already produces. Values
+    * are byte-identical to the parquet rows (same [[collectCentroids]]
+    * widening, same original-typed vector back into the frame). */
+  private[queries] def localizeFines(fines: DataFrame): (DataFrame, Array[LocalCent]) = {
+    val rows = collectCentroids(fines, Seq("cid", "vc", "nc", "ccid"), withCcid = true)
+    (centFrame(fines.sparkSession, rows, fines.schema("vc").dataType,
+      Seq("cid", "vc", "nc", "ccid"), withCcid = true), rows)
   }
 
   /** [[graft.functions.CentroidAssign.Hier]] from driver-local centroid
@@ -889,7 +922,7 @@ object SimilarityQueries {
       .join(broadcast(qf), "qi")
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
-    topKPerQuery(scored, "sim", topK).orderBy("qi", "xi")
+    orderedBounded(topKPerQuery(scored, "sim", topK), "qi", "xi")
   }
 
   /** Assignment-ALIGNED adaptive probing — the recall knob for clustered
@@ -937,7 +970,7 @@ object SimilarityQueries {
         probesF("cid") === assigned("cid") && col("qi") =!= col("xi"))
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
-    topKPerQuery(scored, "sim", topK).orderBy("qi", "xi")
+    orderedBounded(topKPerQuery(scored, "sim", topK), "qi", "xi")
   }
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1077,7 +1110,7 @@ object SimilarityQueries {
       .join(broadcast(qf), "qi")
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
-    topKPerQuery(reranked, "sim", 5).orderBy("qi", "xi")
+    orderedBounded(topKPerQuery(reranked, "sim", 5), "qi", "xi")
   }
 
   /** Recall companion for the PQ tier (the dd_embed_lsh_check pattern):
@@ -1163,7 +1196,7 @@ object SimilarityQueries {
       .join(broadcast(qf), "qi")
       .withColumn("sim", dot("vq", "vx") / (col("nq") * col("nx")))
       .select(col("qi"), col("xi"), col("sim"))
-    topKPerQuery(reranked, "sim", 5).orderBy("qi", "xi")
+    orderedBounded(topKPerQuery(reranked, "sim", 5), "qi", "xi")
   }
 
   /** Recall companion for the composed tier (the ann_pq_check pattern):
@@ -1221,7 +1254,15 @@ object SimilarityQueries {
   private[graft] final case class RpqArtifacts(
       fines: DataFrame, coarse: DataFrame, codes: DataFrame,
       cents: Array[Double], ks: Int, n: Long,
-      nprobeCal: Option[Int] = None)
+      nprobeCal: Option[Int] = None,
+      // r19 serve-path optimization (verdict item 3): the ≤ √n fine-centroid
+      // rows collected ONCE when the artifacts are built or loaded, so every
+      // search over them ranks probes from driver-resident state instead of
+      // re-collecting the fines frame per query (on loaded artifacts that
+      // was a scheduled parquet-scan job per serve). None only for
+      // hand-assembled artifacts; [[rpqSearchRanked]] falls back to the
+      // bounded collect.
+      fineRowsCache: Option[Array[LocalCent]] = None)
 
   /** The probe count a search over these artifacts runs at: the build-time
     * CALIBRATED operating point when the index carries one
@@ -1275,7 +1316,10 @@ object SimilarityQueries {
     // plus the derived partition cell the persisted layout prunes by
     val scanR = withPcell(assignedR.select(col("xi"), col("cid"), col("nx"),
       cc(graft.functions.PqEncode(ce(col("r")), centsR, RpqM, ks)).as("codes")))
-    RpqArtifacts(fines, coarse, scanR, centsR, ks, n)
+    // fines is a LocalRelation here, so this collect is driver-side row
+    // conversion, never a job — cached so searches skip even that
+    RpqArtifacts(fines, coarse, scanR, centsR, ks, n,
+      fineRowsCache = Some(collectCentroids(fines, Seq("cid", "vc", "nc"), withCcid = false)))
   }
 
   /** Residual-code encoding of an `(vec_id, v, nrm)` frame against FROZEN
@@ -1305,7 +1349,7 @@ object SimilarityQueries {
       queriesFrom: Option[DataFrame] = None): DataFrame =
     rpqSearchRanked(art, e,
       queriesFrom.getOrElse(e).where(col("vec_id") < 10), servedNprobe(art))
-      .select("qi", "xi").orderBy("qi", "xi")
+      .select("qi", "xi").transform(df => orderedBounded(df, "qi", "xi"))
 
   /** [[rpqSearch]] parameterized over the query frame and `nprobe`, with
     * the 1-based result rank — the ONE pipeline the contract entries, the
@@ -1325,7 +1369,11 @@ object SimilarityQueries {
     // [[qlutFrame]]: same index-ordered double fold, same Pq.lut kernel,
     // same (csim desc, cid asc) total order). The old join + window form
     // cost 8-10 scheduled jobs per run on ~2k rows of arithmetic.
-    val fineRows = collectCentroids(art.fines, Seq("cid", "vc", "nc"), withCcid = false)
+    // r19 (verdict item 3): on built/loaded artifacts the fine rows are
+    // already driver-resident (collected once at build/load); only
+    // hand-assembled artifacts pay the bounded ≤ √n collect here
+    val fineRows = art.fineRowsCache.getOrElse(
+      collectCentroids(art.fines, Seq("cid", "vc", "nc"), withCcid = false))
     val qRows = collectCentroids(queries, Seq("vec_id", "v", "nrm"), withCcid = false)
     val probeRows = rankProbes(qRows, fineRows, nprobe)
     val probes = rpqProbeFrame(spark, probeRows)
@@ -1398,7 +1446,12 @@ object SimilarityQueries {
     val art = AnnIndexIO.loadFreshOrRebuild(
       spark, AnnIndexIO.defaultDir(spark, sfDir), s"$sfDir/embeddings.parquet")
     lastServedNprobe.set(Some(servedNprobe(art)))
-    rpqSearch(art, vecs(spark), queriesFrom = Some(vecsLite(spark)))
+    // r19: the served search touches the corpus ONLY as the broadcast
+    // shortlist re-rank's probe-bounded read — the fan-out's corpus-wide
+    // repartition (built for the compute-amplified ENCODE consumers) is a
+    // full shuffle the ≤ queries×shortlist-row re-rank never amortizes.
+    // Row-identical: the fan is a repartition, the re-rank an equi-join.
+    rpqSearch(art, vecsLite(spark), queriesFrom = Some(vecsLite(spark)))
   }
 
   /** The nprobe the most recent [[annIvfRpqServed]] run actually served at

@@ -111,15 +111,25 @@ object TextQueries {
     // one row per (doc, term), so count(*) ≡ count(DISTINCT doc_id) — which
     // drops the second full token explode + distinct aggregation; the df
     // shuffle now carries distinct (doc, term) rows instead of every token.
+    // r19 (verdict item 5): df is a WINDOW over tf — count(*) OVER
+    // (PARTITION BY term) on one-row-per-(doc, term) input IS the document
+    // frequency — so tf is referenced ONCE and the plan holds ONE Generate
+    // node structurally. The r18 form referenced tf twice (scoring join +
+    // df aggregate); CTE inlining planned the token explode subtree twice
+    // and only AQE's runtime exchange reuse deduped it — a fragile
+    // dedup (it silently vanished in r18's ds_bloom experiment). Same
+    // integers (df), same double expression (tf·n/df), same row_number
+    // total order; the tf-side exchange by term replaces the old join's
+    // identical exchange, so no new shuffle is paid.
     "txt_tfidf" ->
       """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n FROM documents),
         |scored AS (
         |  SELECT tf.doc_id, tf.term,
-        |         CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
-        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |         CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |           / CAST(count(*) OVER (PARTITION BY tf.term) AS DOUBLE) AS score
+        |  FROM tf CROSS JOIN n),
         |ranked AS (
         |  SELECT doc_id, term, score,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
@@ -163,15 +173,17 @@ object TextQueries {
     // txt_oov — df from the (doc, term) counts, per-doc sums occurrence-
     // weighted (sum(df·c) ≡ the per-token df sum; integer addition
     // regrouped, bit-exact).
+    // r19 (verdict item 5): df as a WINDOW over wt (the txt_tfidf
+    // restructure) — wt referenced once, ONE Generate node structurally,
+    // no AQE-reuse dependence; same bigint df, same sums.
     "txt_commonness" ->
       """WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
         |wt AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*) AS df FROM wt GROUP BY term)
-        |SELECT wt.doc_id, CAST(sum(df.df * wt.c) AS BIGINT) AS df_sum,
-        |       CAST(sum(wt.c) AS BIGINT) AS n_tok,
-        |       CAST(sum(df.df * wt.c) AS DOUBLE) / CAST(sum(wt.c) AS DOUBLE) AS mean_df
-        |FROM wt JOIN df ON wt.term = df.term
-        |GROUP BY wt.doc_id ORDER BY wt.doc_id""".stripMargin,
+        |wd AS (SELECT doc_id, c, count(*) OVER (PARTITION BY term) AS df FROM wt)
+        |SELECT doc_id, CAST(sum(df * c) AS BIGINT) AS df_sum,
+        |       CAST(sum(c) AS BIGINT) AS n_tok,
+        |       CAST(sum(df * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS mean_df
+        |FROM wd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // document n-gram census through the NATIVE one-pass word_ngrams
     // expression (the building block behind decontamination and
